@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table access for the query registry (TESTDATA.md).
+  *
+  * Every query receives `(spark, sfDir)` and resolves its inputs here, so the
+  * scan is always a plain parquet read that Catalyst can prune/push into
+  * (column pruning + predicate pushdown reach the parquet scan — the same
+  * pushdown posture the reference hand-builds into its extraction SQL,
+  * mozart_etl/lib/extract/connectors/base.py:56-79).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every fixture table as a temp view so `spark.sql` queries (the
+    * SQL-model path, SURVEY.md §3.3) can name them like the DuckDB oracle
+    * does. Idempotent.
+    */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => t(spark, sfDir, n).createOrReplaceTempView(n))
+}
