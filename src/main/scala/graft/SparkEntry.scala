@@ -1,13 +1,358 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §2.5 for the declared query
+  * inventory. Every query is deterministic (total ORDER BY, pinned
+  * timestamps, exact-fold numerics) so the DuckDB oracle hash-matches.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.joinBroadcastDim(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Reference-parity (§2.5 table 1 — operators B1-B5, C1-C18, A8/A9/A15)
+    "q_scan_projection"     -> (Parity.scanProjection _),
+    "q_filter_tenant_eq"    -> (Parity.filterTenantEq _),
+    "q_filter_incremental"  -> (Parity.filterIncremental _),
+    "q_limit_topk"          -> (Parity.limitTopk _),
+    "q_cast_standard"       -> (Parity.castStandard _),
+    "q_concat_partition_key" -> (Parity.concatPartitionKey _),
+    "q_coalesce_prefix"     -> (Parity.coalescePrefix _),
+    "q_suffix_tag"          -> (Parity.suffixTag _),
+    "q_arith_scale"         -> (Parity.arithScale _),
+    "q_timestamp_replace"   -> (Parity.timestampReplace _),
+    "q_cte_stage_chain"     -> (Parity.cteStageChain _),
+    "q_groupby_count"       -> (Parity.groupbyCount _),
+    "q_mode_full_snapshot"  -> (PipelineOps.modeFullSnapshot _),
+    "q_delete_predicate"    -> (Parity.deletePredicate _),
+    "q_empty_result_schema" -> (Parity.emptyResultSchema _),
+    // Capability (§2.5 table 2 — §2.D decisions)
+    "q_join_equi"           -> (Relational.joinEqui _),
+    "q_join_broadcast_dim"  -> (Relational.joinBroadcastDim _),
+    "q_join_semi_anti"      -> (Relational.joinSemiAnti _),
+    "q_window_latest_by_pk" -> (Relational.windowLatestByPk _),
+    "q_window_running_agg"  -> (Relational.windowRunningAgg _),
+    "q_sort_topk_per_group" -> (Relational.sortTopkPerGroup _),
+    "q_union_two_tenants"   -> (Relational.unionTwoTenants _),
+    "q_except_intersect"    -> (Relational.exceptIntersect _),
+    "q_rollup_agg"          -> (Relational.rollupAgg _),
+    "q_distinct_exact"      -> (Relational.distinctExact _),
+    "q_approx_distinct"     -> (Relational.approxDistinct _),
+    "q_scalar_datetime_math" -> (Relational.scalarDatetimeMath _),
+    "q_json_extract"        -> (EventOps.jsonExtract _),
+    "q_event_tumbling_window" -> (EventOps.eventTumblingWindow _),
+    "q_session_window"      -> (EventOps.sessionWindow _),
+    // North-star LLM-pipeline ops (documents / embeddings)
+    "q_text_stats"          -> (TextOps.textStats _),
+    "q_quality_score"       -> (TextOps.qualityScore _),
+    "q_lang_id"             -> (TextOps.langId _),
+    "q_dedup_exact_text"    -> (TextOps.dedupExactText _),
+    "q_dedup_minhash"       -> (TextOps.dedupMinhash _),
+    "q_simhash"             -> (TextOps.simhash _),
+    "q_ngram_jaccard"       -> (TextOps.ngramJaccard _),
+    "q_doc_fingerprint"     -> (TextOps.docFingerprint _),
+    "q_binary_meta"         -> (TextOps.binaryMeta _),
+    "q_embed_norm"          -> (VectorOps.embedNorm _),
+    "q_knn_cosine_topk"     -> (VectorOps.knnCosineTopk _),
+    "q_lsh_cosine_buckets"  -> (VectorOps.lshCosineBuckets _),
+  )
+
+  /** DuckDB-dialect oracle SQL per query. Omitted (→ rows-only check):
+    * q_approx_distinct (sketch values engine-specific), q_dedup_minhash /
+    * q_simhash / q_lsh_cosine_buckets (xxhash64 family not in DuckDB) —
+    * each is property-tested in src/test instead.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_projection" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_tenant_eq" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice > 50000.0
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_filter_incremental" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE epoch_ns(ts) > 1705276800000000000 ORDER BY event_id""".stripMargin,
+    "q_limit_topk" ->
+      "SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q_cast_standard" ->
+      """SELECT CAST(p_partkey AS VARCHAR) AS item_id,
+        |       CAST(p_name AS VARCHAR) AS item_name,
+        |       CAST(p_type AS VARCHAR) AS item_type,
+        |       CAST(p_brand AS VARCHAR) AS item_group_id
+        |FROM part ORDER BY item_id""".stripMargin,
+    "q_concat_partition_key" ->
+      """SELECT CAST(o_custkey AS VARCHAR) || '_' || 'V1.0' AS partition_key,
+        |       'V1.0' AS plan_ver, o_orderkey
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_coalesce_prefix" ->
+      """SELECT p_partkey, '[계획용] ' || COALESCE(p_name, p_brand) AS description
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_suffix_tag" ->
+      """SELECT o_orderkey,
+        |       COALESCE(o_orderpriority, 'NORMAL') || '_PLANNED' AS order_priority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_arith_scale" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice * CAST(1.1 AS DOUBLE) AS scaled_price,
+        |       l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS disc_price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_timestamp_replace" ->
+      """SELECT CAST(p_partkey AS VARCHAR) AS item_id,
+        |       TIMESTAMP '2026-01-01 00:00:00' AS created_at,
+        |       TIMESTAMP '2026-01-01 00:00:00' AS updated_at
+        |FROM part ORDER BY item_id""".stripMargin,
+    "q_cte_stage_chain" ->
+      """WITH source AS (
+        |    SELECT * FROM orders WHERE o_orderstatus = 'F'
+        |), transformed AS (
+        |    SELECT CAST(o_custkey AS VARCHAR) || '_' || 'V1.0' AS partition_key,
+        |           'V1.0' AS plan_ver, o_orderkey,
+        |           o_totalprice * CAST(1.1 AS DOUBLE) AS demand_qty,
+        |           COALESCE(o_orderpriority, 'NORMAL') || '_PLANNED' AS demand_type
+        |    FROM source
+        |)
+        |SELECT * FROM transformed ORDER BY o_orderkey""".stripMargin,
+    "q_groupby_count" ->
+      "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
+    "q_mode_full_snapshot" ->
+      """SELECT CAST(p_partkey AS VARCHAR) AS item_id,
+        |       CAST(p_name AS VARCHAR) AS item_name,
+        |       CAST(p_type AS VARCHAR) AS item_type,
+        |       CAST(p_brand AS VARCHAR) AS item_group_id,
+        |       'STANDARD' AS procurement_type,
+        |       TIMESTAMP '2026-01-01 00:00:00' AS created_at,
+        |       TIMESTAMP '2026-01-01 00:00:00' AS updated_at
+        |FROM part
+        |WHERE p_brand = 'Brand#4' AND p_partkey % 5 <> 0
+        |ORDER BY item_id""".stripMargin,
+    "q_delete_predicate" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       CASE WHEN o_orderkey % 2 = 0 THEN 'V1.0' ELSE 'V2.0' END AS plan_ver
+        |FROM orders
+        |WHERE NOT (CASE WHEN o_orderkey % 2 = 0 THEN 'V1.0' ELSE 'V2.0' END = 'V1.0')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_empty_result_schema" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < -1",
+    "q_join_equi" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_join_broadcast_dim" ->
+      """SELECT r_name, n_name, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_join_semi_anti" ->
+      """SELECT c_custkey, c_name, 'HAS_ORDERS' AS tag FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, c_name, 'NO_ORDERS' AS tag FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_window_latest_by_pk" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |    SELECT user_id, event_id, event_type, value,
+        |           row_number() OVER (PARTITION BY user_id
+        |                              ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events
+        |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_window_running_agg" ->
+      """SELECT user_id, event_id,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+        |           PARTITION BY user_id ORDER BY event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |           AS running_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_sort_topk_per_group" ->
+      """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+        |    SELECT o_custkey, o_orderkey, o_totalprice,
+        |           row_number() OVER (PARTITION BY o_custkey
+        |                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |    FROM orders
+        |) WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "q_union_two_tenants" ->
+      """SELECT 'tenant_a' AS tenant_id, c_custkey, c_name, c_mktsegment
+        |FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION ALL
+        |SELECT 'tenant_b' AS tenant_id, c_custkey, c_name, c_mktsegment
+        |FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |ORDER BY tenant_id, c_custkey""".stripMargin,
+    "q_except_intersect" ->
+      """SELECT o_custkey, 'BOTH' AS tag FROM (
+        |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |    INTERSECT
+        |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |UNION ALL
+        |SELECT o_custkey, 'F_ONLY' AS tag FROM (
+        |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |    EXCEPT
+        |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |ORDER BY tag, o_custkey""".stripMargin,
+    "q_rollup_agg" ->
+      """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |       COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events
+        |GROUP BY ROLLUP(event_type, CAST(date_trunc('day', ts) AS DATE))
+        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+    "q_distinct_exact" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_scalar_datetime_math" ->
+      """SELECT o_orderkey,
+        |       CAST(date_trunc('day', o_orderdate) AS DATE) AS order_day,
+        |       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+        |       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        |       CAST(o_orderdate AS DATE) + 30 AS due_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_event_tumbling_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+        |       COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1 ORDER BY ws""".stripMargin,
+    "q_session_window" ->
+      """WITH e AS (
+        |    SELECT user_id, epoch_ns(ts) // 1000 AS tsu FROM events
+        |), m AS (
+        |    SELECT user_id, tsu,
+        |           CASE WHEN lag(tsu) OVER w IS NULL
+        |                  OR tsu - lag(tsu) OVER w >= 1800000000 THEN 1
+        |                ELSE 0 END AS brk
+        |    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu)
+        |), sess AS (
+        |    SELECT user_id, tsu,
+        |           SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |    FROM m
+        |)
+        |SELECT user_id, MIN(tsu) AS session_start_us, COUNT(*) AS cnt
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
+    "q_text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars_m,
+        |       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |       length(replace(text, ' ', '')) AS n_nonspace
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      """WITH tok AS (
+        |    SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS tokens
+        |    FROM documents
+        |)
+        |SELECT doc_id, len(tokens) AS n_tokens,
+        |       len(list_filter(tokens,
+        |           tk -> tk IN ('the', 'a', 'of', 'to', 'and'))) AS stop_cnt,
+        |       CAST(len(list_filter(tokens,
+        |           tk -> tk IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE)
+        |           / CAST(len(tokens) AS DOUBLE) AS stop_ratio,
+        |       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |           / CAST(len(tokens) AS DOUBLE) AS mean_token_len
+        |FROM tok ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH tok AS (
+        |    SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS tokens
+        |    FROM documents
+        |), scored AS (
+        |    SELECT doc_id, lang,
+        |      CAST(len(list_filter(tokens, t -> t IN ('the','a','of','and'))) AS INTEGER) AS en_score,
+        |      CAST(len(list_filter(tokens, t -> t IN ('der','die','und','das'))) AS INTEGER) AS de_score,
+        |      CAST(len(list_filter(tokens, t -> t IN ('el','la','los','que'))) AS INTEGER) AS es_score,
+        |      CAST(len(list_filter(tokens, t -> t IN ('le','la','les','et'))) AS INTEGER) AS fr_score
+        |    FROM tok
+        |)
+        |SELECT doc_id, lang, en_score, de_score, es_score, fr_score,
+        |       CASE WHEN en_score > greatest(de_score, es_score, fr_score) THEN 'en'
+        |            WHEN de_score > greatest(en_score, es_score, fr_score) THEN 'de'
+        |            WHEN es_score > greatest(en_score, de_score, fr_score) THEN 'es'
+        |            WHEN fr_score > greatest(en_score, de_score, es_score) THEN 'fr'
+        |            ELSE 'und' END AS lang_guess
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact_text" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_cnt FROM documents
+        |GROUP BY sha256(lower(trim(text))) ORDER BY doc_id""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH tok AS (
+        |    SELECT doc_id, lang,
+        |           list_distinct(string_split_regex(trim(text), '\s+')) AS token_set
+        |    FROM documents
+        |), pairs AS (
+        |    SELECT p.doc_id AS probe_id, c.doc_id AS other_id,
+        |           CAST(len(list_intersect(p.token_set, c.token_set)) AS DOUBLE)
+        |             / CAST(len(list_distinct(list_concat(p.token_set, c.token_set))) AS DOUBLE)
+        |             AS jacc
+        |    FROM tok p JOIN tok c ON p.lang = c.lang AND p.doc_id <> c.doc_id
+        |    WHERE p.doc_id < 10
+        |), ranked AS (
+        |    SELECT probe_id, other_id, jacc,
+        |           row_number() OVER (PARTITION BY probe_id
+        |                              ORDER BY jacc DESC, other_id ASC) AS rnk
+        |    FROM pairs
+        |)
+        |SELECT probe_id, rnk, other_id, jacc FROM ranked WHERE rnk <= 3
+        |ORDER BY probe_id, rnk""".stripMargin,
+    "q_doc_fingerprint" ->
+      """SELECT doc_id,
+        |       list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range(1, length(text) + 1),
+        |                          i -> CAST(ascii(text[i]) AS BIGINT))),
+        |         (a, c) -> (a * 31 + c) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_binary_meta" ->
+      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |       sha256(text) AS content_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_embed_norm" ->
+      """WITH sq AS (
+        |    SELECT vec_id, embedding,
+        |           list_reduce(
+        |             list_prepend(CAST(0.0 AS DOUBLE),
+        |               list_transform(embedding,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |             (a, b) -> a + b) AS sumsq
+        |    FROM embeddings
+        |)
+        |SELECT vec_id, sqrt(sumsq) AS l2_norm,
+        |       CAST(embedding[1] AS DOUBLE) / sqrt(sumsq) AS first_component_norm
+        |FROM sq ORDER BY vec_id""".stripMargin,
+    "q_knn_cosine_topk" ->
+      """WITH nrm AS (
+        |    SELECT vec_id, embedding,
+        |           sqrt(list_reduce(
+        |             list_prepend(CAST(0.0 AS DOUBLE),
+        |               list_transform(embedding,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |             (a, b) -> a + b)) AS l2
+        |    FROM embeddings
+        |), pairs AS (
+        |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |           list_reduce(
+        |             list_prepend(CAST(0.0 AS DOUBLE),
+        |               list_transform(range(1, len(p.embedding) + 1),
+        |                 i -> CAST(p.embedding[i] AS DOUBLE)
+        |                      * CAST(c.embedding[i] AS DOUBLE))),
+        |             (a, b) -> a + b) / (p.l2 * c.l2) AS cosine
+        |    FROM nrm p JOIN nrm c ON p.vec_id < 5
+        |), ranked AS (
+        |    SELECT probe_id, neighbor_id, cosine,
+        |           row_number() OVER (PARTITION BY probe_id
+        |                              ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+        |    FROM pairs
+        |)
+        |SELECT probe_id, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 5
+        |ORDER BY probe_id, rnk""".stripMargin,
+  )
 }

@@ -15,8 +15,13 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS); Spark has no ns timestamp, so we
+    // read it as a ns-epoch Long — exact (better than a lossy µs truncation):
+    // ordering and arithmetic stay bit-exact vs the DuckDB oracle's ns values.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   /** Register every fixture table as a temp view so `spark.sql` queries (the
     * SQL-model path, SURVEY.md §3.3) can name them like the DuckDB oracle

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.config.TenantConfig
+import graft.model.SqlModel
+import graft.pipeline.TenantPipeline
+import graft.source.ParquetSource
+import graft.std.ProductSchema
+import graft.store.Warehouse
+
+/** The end-to-end pipeline slice as a correctness query (SURVEY.md §7.2):
+  * tenant.yaml config → ParquetSource scan → Extractor (projection + tenant
+  * equality filter) → Warehouse raw load (A8) → rendered staging model →
+  * rendered mart model with `::VARCHAR` casts + pinned timestamps →
+  * ProductSchema validation (C15) → managed-table DELETE-WHERE (C18,
+  * anti-filter temp-swap) → final mart contents.
+  *
+  * This mirrors the reference's cfg_item_master → stg → mart_item_master
+  * path (stg_cfg_item_master.sql:6-23, mart_item_master.sql:8-16,
+  * _tenant_factory.py:212-326) with every network hop collapsed into one
+  * Spark job DAG.
+  */
+object PipelineOps {
+
+  val tenantYaml: String =
+    """tenant:
+      |  id: graft_demo
+      |  name: "Graft demo tenant"
+      |  source:
+      |    type: parquet
+      |    host: "${GRAFT_DEMO_HOST:localhost}"
+      |  params:
+      |    p_brand: "Brand#4"
+      |  storage:
+      |    prefix: "raw/graft_demo"
+      |  schedule: "0 */2 * * *"
+      |tables:
+      |  - name: item_master
+      |    source_table: part
+      |    primary_key: [p_partkey]
+      |    columns: [p_partkey, p_name, p_type, p_brand, p_size]
+      |    tenant_filter: p_brand
+      |    mode: full
+      |""".stripMargin
+
+  val stagingModel: SqlModel = SqlModel("graft_demo__stg_item_master",
+    """{{ config(materialized='table', schema=var('tenant_id', 'graft_demo')) }}
+      |SELECT p_partkey, p_name, p_type, p_brand
+      |FROM {{ source('graft_demo_raw', 'item_master') }}
+      |""".stripMargin)
+
+  val martModel: SqlModel = SqlModel("graft_demo__mart_item_master",
+    """{{ config(materialized='table', schema=var('tenant_id', 'graft_demo'), alias='mart_item_master') }}
+      |SELECT
+      |    p_partkey::VARCHAR AS item_id,
+      |    p_name::VARCHAR    AS item_name,
+      |    p_type::VARCHAR    AS item_type,
+      |    p_brand::VARCHAR   AS item_group_id,
+      |    'STANDARD'         AS procurement_type,
+      |    TIMESTAMP '{{ var("run_ts", "2026-01-01 00:00:00") }}' AS created_at,
+      |    TIMESTAMP '{{ var("run_ts", "2026-01-01 00:00:00") }}' AS updated_at
+      |FROM {{ ref('graft_demo__stg_item_master') }}
+      |""".stripMargin)
+
+  def modeFullSnapshot(s: SparkSession, d: String): DataFrame = {
+    val tenant = TenantConfig.parse(tenantYaml)
+    val pipeline = new TenantPipeline(tenant, new ParquetSource(d),
+      Seq(stagingModel, martModel))
+    pipeline.run(s)
+    // C18: partition-key hygiene delete on the managed mart table.
+    Warehouse.deleteWhere(s, tenant.database, "mart_item_master",
+      expr("CAST(item_id AS BIGINT) % 5 = 0"))
+    val mart = s.table("`graft_demo`.`mart_item_master`")
+    ProductSchema.requireConformant(mart, ProductSchema.martItemMaster)
+    mart.orderBy("item_id")
+  }
+}

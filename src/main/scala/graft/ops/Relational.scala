@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Capability queries (SURVEY.md §2.5 table 2) — the relational surface the
+  * reference delegates wholesale to Trino (SURVEY §2.D): joins, windows,
+  * sort/top-k, set ops, rollup, distinct.
+  *
+  * Determinism: double-typed aggregates go through DECIMAL so accumulation
+  * order can't perturb low bits (sum over decimal is exact; the final cast
+  * back to DOUBLE is a single deterministic conversion).
+  */
+object Relational {
+
+  /** Exact double sum: accumulate in DECIMAL, emit DOUBLE. */
+  private def exactSum(c: String, scale: Int = 2) =
+    sum(col(c).cast(s"decimal(18,$scale)")).cast("double")
+
+  /** Equi join + aggregation — lineitem ⋈ orders on orderkey. At scale both
+    * sides are large → shuffle hash/SMJ on the join key is the right plan;
+    * no broadcast hint on purpose.
+    */
+  def joinEqui(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), exactSum("l_extendedprice").as("revenue"))
+      .orderBy("o_orderstatus")
+
+  /** Star-schema lookup: fact ⋈ three small dims, all explicitly broadcast —
+    * at 100 TB the fact side streams, dims ship to every executor, zero
+    * shuffle on the fact until the final small aggregation.
+    */
+  def joinBroadcastDim(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("cnt"), exactSum("o_totalprice").as("total_price"))
+      .orderBy("r_name", "n_name")
+
+  /** Left-semi + left-anti in one result: customers with / without orders. */
+  def joinSemiAnti(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer").select("c_custkey", "c_name")
+    val o = t(s, d, "orders").select("o_custkey")
+    val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .withColumn("tag", lit("HAS_ORDERS"))
+    val without = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .withColumn("tag", lit("NO_ORDERS"))
+    withOrders.unionByName(without).orderBy("c_custkey")
+  }
+
+  /** Latest-wins dedup by PK — the correct incremental-merge the reference's
+    * PK + update_datetime columns imply (SURVEY §2.D windows row). Single
+    * shuffle on the partition key; ts is the exact ns-epoch long.
+    */
+  def windowLatestByPk(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    t(s, d, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  /** Running aggregate with an explicit frame spec (exact decimal accum). */
+  def windowRunningAgg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "events").select(
+      col("user_id"), col("event_id"),
+      sum(col("value").cast("decimal(18,6)")).over(w).cast("double").as("running_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Top-3 orders per customer — rank + filter, one shuffle on the group
+    * key, no global sort of the fact table.
+    */
+  def sortTopkPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, d, "orders")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rnk")
+  }
+
+  /** Two tenants' conformed slices unioned — the platform's stated purpose
+    * (docs/tenant-onboarding-architecture.md:169-175). unionByName so column
+    * order can never silently misalign.
+    */
+  def unionTwoTenants(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val a = c.filter(col("c_mktsegment") === "BUILDING")
+      .select(lit("tenant_a").as("tenant_id"), col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val b = c.filter(col("c_mktsegment") === "MACHINERY")
+      .select(lit("tenant_b").as("tenant_id"), col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    a.unionByName(b).orderBy("tenant_id", "c_custkey")
+  }
+
+  /** EXCEPT + INTERSECT over key sets. */
+  def exceptIntersect(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    val f = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+    val oo = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+    val both = f.intersect(oo).withColumn("tag", lit("BOTH"))
+    val fOnly = f.except(oo).withColumn("tag", lit("F_ONLY"))
+    both.unionByName(fOnly).orderBy("tag", "o_custkey")
+  }
+
+  /** ROLLUP over (event_type, day) — grouping-set aggregation. */
+  def rollupAgg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .withColumn("day", to_date(timestamp_millis(expr("ts div 1000000"))))
+      .rollup("event_type", "day")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
+
+  /** Exact distinct — PK hygiene. */
+  def distinctExact(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** HLL approximate distinct next to the exact count (no oracle — sketch
+    * values are engine-specific; driver records rows-only).
+    */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").agg(
+      approx_count_distinct("l_orderkey").as("approx_orderkeys"),
+      countDistinct("l_orderkey").as("exact_orderkeys"))
+
+  /** Scalar date/time functions over the ms-precision orders timestamps. */
+  def scalarDatetimeMath(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").select(
+      col("o_orderkey"),
+      to_date(date_trunc("DAY", col("o_orderdate"))).as("order_day"),
+      month(col("o_orderdate")).as("order_month"),
+      year(col("o_orderdate")).as("order_year"),
+      date_add(col("o_orderdate").cast("date"), 30).as("due_date"))
+      .orderBy("o_orderkey")
+}

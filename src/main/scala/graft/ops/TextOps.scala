@@ -1,0 +1,199 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Training-data text operators over `documents` (SURVEY.md §2.5 north-star
+  * table + the LLM-pipeline rubric): stats, quality scoring, language-ID,
+  * exact dedup, MinHash/SimHash near-dup, n-gram Jaccard, fingerprinting,
+  * binary metadata.
+  *
+  * Scale posture: everything is per-row expressions or hash-bucketed joins —
+  * no all-pairs comparison anywhere. MinHash candidates come from a
+  * band-keyed self-join (LSH), Jaccard probes broadcast a small probe set.
+  * Ratios are computed as int/int double division (deterministic, no
+  * rounding), never `round()` over noisy floats.
+  */
+object TextOps {
+
+  private def withTokens(df: DataFrame): DataFrame =
+    df.withColumn("tokens", split(trim(col("text")), "\\s+"))
+
+  /** Per-doc token/char counts. */
+  def textStats(s: SparkSession, d: String): DataFrame =
+    withTokens(t(s, d, "documents")).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_m"),
+      size(col("tokens")).as("n_tokens"),
+      length(regexp_replace(col("text"), " ", "")).as("n_nonspace"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: stopword ratio + mean token length (int/int double
+    * division — deterministic).
+    */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "to", "and")
+    withTokens(t(s, d, "documents"))
+      .withColumn("n_tokens", size(col("tokens")))
+      .withColumn("stop_cnt",
+        size(filter(col("tokens"), tk => tk.isin(stop.map(x => x: Any): _*))))
+      .select(
+        col("doc_id"), col("n_tokens"), col("stop_cnt"),
+        (col("stop_cnt").cast("double") / col("n_tokens").cast("double"))
+          .as("stop_ratio"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double")
+          / col("n_tokens").cast("double")).as("mean_token_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Stopword-vote language-ID heuristic: per-language marker counts with an
+    * argmax guess. (The fixture's text is a shared synthetic vocabulary, so
+    * most docs resolve to the dominant list — the operator's structure is
+    * what scales to a real lexicon.)
+    */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    def score(name: String, words: Seq[String]): (String, DataFrame => DataFrame) =
+      name -> ((df: DataFrame) => df.withColumn(name,
+        size(filter(col("tokens"), tk => tk.isin(words.map(x => x: Any): _*)))))
+    val scores = Seq(
+      score("en_score", Seq("the", "a", "of", "and")),
+      score("de_score", Seq("der", "die", "und", "das")),
+      score("es_score", Seq("el", "la", "los", "que")),
+      score("fr_score", Seq("le", "la", "les", "et")))
+    val scored = scores.foldLeft(withTokens(t(s, d, "documents"))) {
+      case (df, (_, f)) => f(df)
+    }
+    scored.select(
+      col("doc_id"), col("lang"),
+      col("en_score"), col("de_score"), col("es_score"), col("fr_score"),
+      when(col("en_score") > greatest(col("de_score"), col("es_score"), col("fr_score")), "en")
+        .when(col("de_score") > greatest(col("en_score"), col("es_score"), col("fr_score")), "de")
+        .when(col("es_score") > greatest(col("en_score"), col("de_score"), col("fr_score")), "es")
+        .when(col("fr_score") > greatest(col("en_score"), col("de_score"), col("es_score")), "fr")
+        .otherwise("und").as("lang_guess"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact dedup on normalized text hash, keep-lowest-id
+    * (hash-groupBy — one shuffle on the 256-bit digest; scales linearly).
+    */
+  def dedupExactText(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .groupBy(sha2(lower(trim(col("text"))), 256).as("text_hash"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_cnt"))
+      .select("doc_id", "dup_cnt")
+      .orderBy("doc_id")
+
+  /** MinHash+LSH near-dup candidates: 3-word shingles → 16 minhash
+    * signatures → 4 bands of 4 → self-join on (band, band_hash). Never
+    * all-pairs: candidate generation is a hash-bucketed equi-join, exactly
+    * the shape that survives 100 TB (band key partitions the shuffle).
+    * No SQL oracle (hash-family specific); property-tested: exact
+    * duplicates always collide in every band.
+    */
+  def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val sigs = minhashSignatures(withTokens(t(s, d, "documents")))
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(b =>
+        xxhash64((0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}")): _*)): _*))
+        .as(Seq("band_idx", "band_hash")))
+    val a = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand = 4
+
+  /** doc_id + sig_0..sig_15 minhash signature columns from a `tokens` array:
+    * per hash j, min over shingles of xxhash64(shingle, j). Pure
+    * codegen-friendly array expressions — no UDF, no explode of shingles.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val shingled = docs
+      .filter(size(col("tokens")) >= 3)
+      .withColumn("shingles",
+        transform(sequence(lit(0), size(col("tokens")) - 3),
+          i => concat_ws(" ", slice(col("tokens"), i + 1, lit(3)))))
+    (0 until NumHashes).foldLeft(shingled) { (df, j) =>
+      df.withColumn(s"sig_$j",
+        array_min(transform(col("shingles"), sh => xxhash64(sh, lit(j)))))
+    }.drop("shingles")
+  }
+
+  /** 64-bit SimHash per doc from token hashes — bit-vote accumulation as a
+    * single higher-order fold (no explode; one pass per row). No oracle
+    * (hash-family specific); self-tested.
+    */
+  def simhash(s: SparkSession, d: String): DataFrame =
+    withTokens(t(s, d, "documents"))
+      .withColumn("bit_votes", expr(
+        """aggregate(tokens, array_repeat(0, 64),
+          |  (acc, tk) -> zip_with(acc,
+          |      transform(sequence(0, 63),
+          |        i -> CASE WHEN ((xxhash64(tk) >> i) & 1) = 1 THEN 1 ELSE -1 END),
+          |      (a, b) -> a + b))""".stripMargin))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L,
+          |  (acc, i) -> acc + CASE WHEN element_at(bit_votes, i + 1) > 0
+          |                    THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin))
+      .select("doc_id", "simhash")
+      .orderBy("doc_id")
+
+  /** n-gram (token-set) Jaccard similarity: small probe set broadcast
+    * against the corpus, bucketed by lang — the block-join shape; top-3 by
+    * exact int/int ratio.
+    */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = withTokens(t(s, d, "documents"))
+      .withColumn("token_set", array_distinct(col("tokens")))
+    val probes = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("probe_id"), col("lang"), col("token_set").as("probe_set"))
+    val corpus = docs.select(col("doc_id").as("other_id"), col("lang"),
+      col("token_set").as("other_set"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+      .orderBy(col("jacc").desc, col("other_id").asc)
+    corpus.join(broadcast(probes), Seq("lang"))
+      .filter(col("probe_id") =!= col("other_id"))
+      .withColumn("jacc",
+        size(array_intersect(col("probe_set"), col("other_set"))).cast("double")
+          / size(array_union(col("probe_set"), col("other_set"))).cast("double"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("probe_id", "rnk", "other_id", "jacc")
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** Polynomial rolling-hash fingerprint over the character stream
+    * (base-31 mod 1e9+7) — one fold per row. At petabyte scale this
+    * graduates to a native codegen Expression; the fold keeps it
+    * whole-stage-codegen-compatible today.
+    */
+  def docFingerprint(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("fingerprint", expr(
+        """aggregate(transform(sequence(1, length(text)),
+          |            i -> ascii(substr(text, i, 1))),
+          |  0L, (a, c) -> (a * 31 + c) % 1000000007)""".stripMargin))
+      .select("doc_id", "fingerprint")
+      .orderBy("doc_id")
+
+  /** Multimodal plumbing: opaque binary payload + typed metadata extraction
+    * (byte length + content digest). The decode step for real image/audio
+    * bytes is the stubbed path in graft.ops.MultimodalOps; this query proves
+    * the binary-column schema + expression plumbing end-to-end.
+    */
+  def binaryMeta(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("payload", col("text").cast("binary"))
+      .select(
+        col("doc_id"),
+        octet_length(col("payload")).as("n_bytes"),
+        sha2(col("payload"), 256).as("content_hash"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.config.TenantConfig
+import graft.extract.Extractor
+import graft.model.{ModelDag, Renderer, SqlModel}
+import graft.source.Source
+import graft.store.{LoadMode, Warehouse}
+
+/** One tenant's full input → staging → mart run (reference lifecycle,
+  * SURVEY.md §3.2-3.3): extract each table spec through [[Extractor]] into
+  * `{tid}_raw`, then execute the SQL-model DAG into `{tid}`.
+  *
+  * Isolation model: the reference forks one OS process per tenant
+  * (workspace.yaml:2-9); here isolation is per-database on a shared
+  * SparkSession — the scale path on a real cluster is one `spark-submit`
+  * per tenant with the same code.
+  */
+final class TenantPipeline(
+    tenant: TenantConfig,
+    source: Source,
+    models: Seq[SqlModel],
+    extraVars: Map[String, String] = Map.empty) {
+
+  /** dbt-style var context: tenant_id + tenant params (reference:
+    * _tenant_factory.py:364 `{tenant_id, **tenant.params}`).
+    */
+  def varContext: Map[String, String] =
+    Map("tenant_id" -> tenant.id) ++ tenant.params ++ extraVars
+
+  def renderer: Renderer = new Renderer(
+    vars = varContext,
+    resolveSource = (schema, table) => s"`$schema`.`$table`",
+    resolveRef = name => {
+      val m = models.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"unresolved ref('$name')"))
+      s"`${modelSchema(m)}`.`${m.alias}`"
+    })
+
+  private def modelSchema(m: SqlModel): String =
+    // config(schema=var('tenant_id', ...)) — custom generate_schema_name uses
+    // the var value verbatim, no target-schema prefix (reference:
+    // macros/generate_schema_name.sql:1-7).
+    m.config.get("schema") match {
+      case Some(s) if s.startsWith("var") => tenant.id
+      case Some(s) if s.nonEmpty => s
+      case _ => tenant.id
+    }
+
+  /** Stage 1 — extraction into `{tid}_raw` (reference asset body,
+    * _tenant_factory.py:212-326). Returns per-table row counts.
+    */
+  def runExtract(spark: SparkSession, landingDir: Option[String] = None,
+                 rowLimit: Option[Int] = None): Map[String, Long] = {
+    Warehouse.ensureDatabase(spark, tenant.rawDatabase)
+    tenant.tables.map { spec =>
+      val mode = LoadMode.parse(spec.mode)
+      val last = mode match {
+        case LoadMode.WatermarkAppend => spec.incrementalColumn.flatMap(c =>
+          Warehouse.currentWatermark(spark, tenant.rawDatabase, spec.name, c))
+        case _ => None // reference never passes last_value (§2.A note)
+      }
+      val df = Extractor.extract(source.scan(spark, spec), spec, tenant, last, rowLimit)
+      landingDir.foreach { dir =>
+        Warehouse.writeLanding(df, s"$dir/${tenant.storagePrefix}/${spec.name}")
+      }
+      Warehouse.load(spark, df, tenant.rawDatabase, spec.name, mode)
+      spec.name -> spark.table(s"`${tenant.rawDatabase}`.`${spec.name}`").count()
+    }.toMap
+  }
+
+  /** Stage 2 — SQL-model DAG in topo order (reference: dbt build,
+    * _tenant_factory.py:361-392). Each model: render → spark.sql → CTAS.
+    */
+  def runModels(spark: SparkSession): Map[String, Long] = {
+    Warehouse.ensureDatabase(spark, tenant.database)
+    val r = renderer
+    ModelDag.topoSort(models).map { m =>
+      val df = spark.sql(r.render(m))
+      Warehouse.saveModel(df, modelSchema(m), m.alias)
+      m.alias -> spark.table(s"`${modelSchema(m)}`.`${m.alias}`").count()
+    }.toMap
+  }
+
+  def run(spark: SparkSession): Map[String, Long] =
+    runExtract(spark) ++ runModels(spark)
+
+  /** Render-only (no execution) — for tests and dry runs. */
+  def renderAll: Map[String, String] = {
+    val r = renderer
+    ModelDag.topoSort(models).map(m => m.name -> r.render(m)).toMap
+  }
+}

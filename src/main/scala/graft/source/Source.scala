@@ -1,0 +1,83 @@
+package graft.source
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.config.{SourceConfig, TableSpec}
+
+/** A scan provider: spec → DataFrame. The reference funnels every input
+  * through one `extract_table` surface (reference:
+  * mozart_etl/lib/extract/connectors/base.py:29-93); we keep that shape but
+  * return a *lazy* DataFrame so Catalyst can push projection/predicates into
+  * the physical scan instead of materializing rows driver-side (the
+  * reference fetches the whole table into driver memory, base.py:84 — the
+  * single biggest scale defect we fix).
+  */
+trait Source {
+  def scan(spark: SparkSession, spec: TableSpec): DataFrame
+
+  /** Connection liveness probe (reference: base.py:95-103). */
+  def probe(spark: SparkSession): Boolean
+}
+
+/** Parquet-directory source — the harness/landing-dir path (reference's
+  * Hive-external-table bridge over S3 parquet, _tenant_factory.py:274-285,
+  * collapsed to a direct columnar scan).
+  */
+final class ParquetSource(dir: String) extends Source {
+  override def scan(spark: SparkSession, spec: TableSpec): DataFrame =
+    spark.read.parquet(s"$dir/${spec.sourceTable}.parquet")
+  override def probe(spark: SparkSession): Boolean =
+    new java.io.File(dir).isDirectory
+}
+
+/** JDBC source (reference connectors: postgresql.py:6-14, mysql.py:6-14,
+  * oracle.py:6-25 + factory __init__.py:7-23). Reads are *partitioned* when
+  * the spec names a usable split column — N concurrent range queries instead
+  * of the reference's single-threaded fetchall.
+  *
+  * Not exercised by the offline harness (zero egress); URL construction and
+  * option plumbing are unit-tested.
+  */
+final class JdbcSource(cfg: SourceConfig, numPartitions: Int = 8) extends Source {
+
+  def connectionUrl: String = cfg.sourceType match {
+    case "postgresql" => s"jdbc:postgresql://${cfg.host}:${cfg.port}/${cfg.database}"
+    case "mysql"      => s"jdbc:mysql://${cfg.host}:${cfg.port}/${cfg.database}"
+    case "oracle" =>
+      // DSN by service name, else SID, else database field (oracle.py:14-25).
+      cfg.serviceName
+        .map(sn => s"jdbc:oracle:thin:@//${cfg.host}:${cfg.port}/$sn")
+        .orElse(cfg.sid.map(sid => s"jdbc:oracle:thin:@${cfg.host}:${cfg.port}:$sid"))
+        .getOrElse(s"jdbc:oracle:thin:@//${cfg.host}:${cfg.port}/${cfg.database}")
+    case other => throw new IllegalArgumentException(
+      s"Unknown source type: $other") // factory contract, __init__.py:20-23
+  }
+
+  override def scan(spark: SparkSession, spec: TableSpec): DataFrame = {
+    val qualified =
+      if (spec.sourceSchema.nonEmpty) s"${spec.sourceSchema}.${spec.sourceTable}"
+      else spec.sourceTable
+    val reader = spark.read.format("jdbc")
+      .option("url", connectionUrl)
+      .option("dbtable", qualified)
+      .option("user", cfg.username)
+      .option("password", cfg.password)
+      .option("fetchsize", "10000")
+    // Partitioned read on the watermark column when present — turns the
+    // extract into numPartitions parallel range scans at the source.
+    spec.incrementalColumn match {
+      case Some(c) => reader.option("partitionColumn", c)
+        .option("numPartitions", numPartitions.toString)
+      case None => reader
+    }
+  }.load()
+
+  override def probe(spark: SparkSession): Boolean =
+    try {
+      spark.read.format("jdbc")
+        .option("url", connectionUrl)
+        .option("query", "SELECT 1")
+        .option("user", cfg.username)
+        .option("password", cfg.password)
+        .load().count() == 1L
+    } catch { case _: Throwable => false }
+}

@@ -1,0 +1,129 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+
+/** Load-mode contract (SURVEY.md §2.A semantics note).
+  *
+  * The reference's `mode: incremental` is NOT an append: extract never passes
+  * a watermark last-value (reference: _tenant_factory.py:232-238 vs
+  * base.py:71-73), and the load DELETEs all rows then re-INSERTs
+  * (_tenant_factory.py:290-299). Both reference modes are full snapshots;
+  * they differ only in whether table identity survives. We implement both
+  * faithful modes plus the *declared* semantics as a proper watermark append.
+  */
+sealed trait LoadMode
+object LoadMode {
+  /** DROP + CTAS — schema drift absorbed (reference: _tenant_factory.py:300-307). */
+  case object FullRefresh extends LoadMode
+  /** Keep table identity; replace all rows (reference "incremental",
+    * _tenant_factory.py:290-299). Schema drift fails loudly (INSERT contract).
+    */
+  case object SnapshotReplace extends LoadMode
+  /** The upgrade the reference declares but never does: append rows strictly
+    * newer than the stored watermark.
+    */
+  case object WatermarkAppend extends LoadMode
+
+  def parse(s: String): LoadMode = s match {
+    case "full"        => FullRefresh
+    case "incremental" => SnapshotReplace // reference-effective behavior
+    case "append"      => WatermarkAppend
+    case other         => throw new IllegalArgumentException(s"unknown mode: $other")
+  }
+}
+
+/** Warehouse operators A6-A12 (SURVEY.md §2.A) on Spark managed tables.
+  * The reference's S3-landing → Hive-bridge → Iceberg-CTAS triple hop
+  * (_tenant_factory.py:249-310) collapses to direct parquet writes.
+  */
+object Warehouse {
+
+  /** A11 — namespace DDL (`CREATE SCHEMA IF NOT EXISTS`, _tenant_factory.py:276,288). */
+  def ensureDatabase(spark: SparkSession, db: String): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+
+  /** A6 — columnar landing write (s3.write_parquet call site,
+    * _tenant_factory.py:249-253).
+    */
+  def writeLanding(df: DataFrame, dir: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(dir)
+
+  /** A7 — landing read-back (replaces the Hive external-table bridge). */
+  def readLanding(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** A8/A9/append — load a batch into `db.table` under the given mode. */
+  def load(spark: SparkSession, df: DataFrame, db: String, table: String,
+           mode: LoadMode): Unit = {
+    ensureDatabase(spark, db)
+    val fq = s"`$db`.`$table`"
+    val exists = spark.catalog.tableExists(s"$db.$table")
+    mode match {
+      case LoadMode.FullRefresh =>
+        df.write.mode(SaveMode.Overwrite)
+          .option("overwriteSchema", "true").format("parquet").saveAsTable(fq)
+      case LoadMode.SnapshotReplace =>
+        if (!exists) {
+          df.write.format("parquet").saveAsTable(fq)
+        } else {
+          // Positional insertInto is the same breakage class as the
+          // reference's INSERT INTO on drift — validate names first, fail loud.
+          requireSameColumns(spark, df, db, table)
+          df.write.mode(SaveMode.Overwrite).insertInto(fq)
+        }
+      case LoadMode.WatermarkAppend =>
+        if (!exists) df.write.format("parquet").saveAsTable(fq)
+        else {
+          requireSameColumns(spark, df, db, table)
+          df.write.mode(SaveMode.Append).insertInto(fq)
+        }
+    }
+  }
+
+  /** Highest stored watermark value, for the append path's strict-`>` filter. */
+  def currentWatermark(spark: SparkSession, db: String, table: String,
+                       column: String): Option[Any] =
+    if (!spark.catalog.tableExists(s"$db.$table")) None
+    else Option(spark.table(s"`$db`.`$table`")
+      .agg(org.apache.spark.sql.functions.max(column)).head.get(0))
+
+  /** A14 — model-output sink (dbt CTAS, materialized='table'). */
+  def saveModel(df: DataFrame, db: String, alias: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("overwriteSchema", "true")
+      .format("parquet").saveAsTable(s"`$db`.`$alias`")
+
+  /** C18 — DELETE WHERE on a plain-parquet managed table: anti-filter
+    * rewrite with a checkpoint through a temp table so we never scan-and-
+    * overwrite the same files in one job (SURVEY.md §7.5). Runs entirely on
+    * executors — no driver-side row handling.
+    */
+  def deleteWhere(spark: SparkSession, db: String, table: String,
+                  predicate: Column): Unit = {
+    val fq = s"`$db`.`$table`"
+    val tmp = s"`$db`.`${table}__delete_tmp`"
+    spark.table(fq).filter(!predicate)
+      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(tmp)
+    spark.table(tmp)
+      .write.mode(SaveMode.Overwrite).option("overwriteSchema", "true")
+      .format("parquet").saveAsTable(fq)
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+  }
+
+  /** A15 — deterministic preview (reference samples 5 unordered rows,
+    * trino.py:55-71; we order by the given key so it's reproducible).
+    */
+  def preview(spark: SparkSession, db: String, table: String,
+              orderBy: Seq[String], n: Int = 5): DataFrame = {
+    val t = spark.table(s"`$db`.`$table`")
+    t.orderBy(orderBy.map(org.apache.spark.sql.functions.col): _*).limit(n)
+  }
+
+  private def requireSameColumns(spark: SparkSession, df: DataFrame,
+                                 db: String, table: String): Unit = {
+    val existing = spark.table(s"`$db`.`$table`").schema.fieldNames.toSeq
+    val incoming = df.schema.fieldNames.toSeq
+    require(existing == incoming,
+      s"schema drift on $db.$table: table has $existing, batch has $incoming " +
+        "(use LoadMode.FullRefresh to absorb drift)")
+  }
+}

@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check.py <verify_out_dir> <sf_dir> [query ...]
+
+Reads each Spark-written result parquet under <verify_out_dir>/<name>/ and
+compares it to the DuckDB oracle from <verify_out_dir>/oracle_sql.json run
+over the <sf_dir> parquet tables: row count, column names, dtypes, values.
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.reset_index(drop=True)
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
+        a = list(a) if a is not None else a
+        b = list(b) if b is not None else b
+    return a == b
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            spark_df = norm(con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark output: {e}")
+            failures += 1
+            continue
+        try:
+            ora_df = norm(con.sql(sql).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            failures += 1
+            continue
+
+        probs = []
+        if list(spark_df.columns) != list(ora_df.columns):
+            probs.append(f"columns spark={list(spark_df.columns)} oracle={list(ora_df.columns)}")
+        if len(spark_df) != len(ora_df):
+            probs.append(f"rows spark={len(spark_df)} oracle={len(ora_df)}")
+        if not probs:
+            ncell = 0
+            for c in spark_df.columns:
+                sv, ov = spark_df[c].tolist(), ora_df[c].tolist()
+                for i, (x, y) in enumerate(zip(sv, ov)):
+                    if not values_equal(x, y):
+                        ncell += 1
+                        if ncell <= 3:
+                            probs.append(f"cell [{i}].{c}: spark={x!r} oracle={y!r}")
+            if ncell > 3:
+                probs.append(f"... {ncell} mismatched cells total")
+        if probs:
+            failures += 1
+            print(f"FAIL {name}:")
+            for p in probs:
+                print(f"    {p}")
+        else:
+            print(f"OK   {name} ({len(spark_df)} rows)")
+    print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
