@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.config.{TableSpec, TenantConfig, SourceConfig}
+import graft.extract.Extractor
+import graft.source.JdbcSource
+import graft.std.ProductSchema
+import graft.store.{LoadMode, Warehouse}
+
+class ExtractWarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val spec = TableSpec("item", "", "part",
+    primaryKey = Seq("p_partkey"),
+    columns = Seq("p_partkey", "p_brand", "p_size"),
+    tenantFilter = Some("p_brand"),
+    incrementalColumn = Some("p_partkey"),
+    mode = "full")
+  private val tenant = TenantConfig.parse(ops.PipelineOps.tenantYaml, Map.empty)
+    .copy(params = Map("p_brand" -> "Brand#4"))
+
+  test("extractor composes projection + tenant filter + watermark + limit (base.py:55-79)") {
+    val part = Tables.t(spark, sf, "part")
+    val out = Extractor.extract(part, spec, tenant, lastValue = Some(50L), rowLimit = Some(5))
+    assert(out.columns.toSeq == Seq("p_partkey", "p_brand", "p_size"))
+    val rows = out.collect()
+    assert(rows.length <= 5)
+    assert(rows.forall(r => r.getAs[String]("p_brand") == "Brand#4"))
+    assert(rows.forall(r => r.getAs[Long]("p_partkey") > 50L)) // strict >
+    // watermark fires only when both column AND last value present (§2.A)
+    val noWm = Extractor.extract(part, spec, tenant)
+    assert(noWm.filter($"p_partkey" <= 50).count() > 0)
+  }
+
+  test("empty result preserves typed schema (divergence from base.py:86-89)") {
+    val out = Extractor.extract(Tables.t(spark, sf, "part"), spec,
+      tenant.copy(params = Map("p_brand" -> "NoSuchBrand")))
+    assert(out.count() == 0)
+    assert(out.schema("p_partkey").dataType.typeName == "long") // not degraded to string
+  }
+
+  test("jdbc url construction per connector type (postgresql/mysql/oracle.py)") {
+    def src(t: String, sn: Option[String] = None, sid: Option[String] = None) =
+      new JdbcSource(SourceConfig(t, "h", "5432", "db", "u", "p", sn, sid))
+    assert(src("postgresql").connectionUrl == "jdbc:postgresql://h:5432/db")
+    assert(src("mysql").connectionUrl == "jdbc:mysql://h:5432/db")
+    assert(src("oracle", sn = Some("svc")).connectionUrl == "jdbc:oracle:thin:@//h:5432/svc")
+    assert(src("oracle", sid = Some("XE")).connectionUrl == "jdbc:oracle:thin:@h:5432:XE")
+    assert(src("oracle").connectionUrl == "jdbc:oracle:thin:@//h:5432/db")
+    assertThrows[IllegalArgumentException](src("mssql").connectionUrl)
+  }
+
+  test("load modes: full refresh absorbs drift, snapshot replace keeps identity, drift fails loudly") {
+    val db = "wh_test"
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    Warehouse.load(spark, v1, db, "t1", LoadMode.FullRefresh)
+    assert(spark.table(s"$db.t1").count() == 2)
+
+    // A9: replace rows, keep identity
+    val v2 = Seq((3L, "c")).toDF("id", "name")
+    Warehouse.load(spark, v2, db, "t1", LoadMode.SnapshotReplace)
+    assert(spark.table(s"$db.t1").as[(Long, String)].collect().toSeq == Seq((3L, "c")))
+
+    // drift under snapshot-replace errors (reference breaks silently; we fail loudly)
+    val drifted = Seq((4L, "d", true)).toDF("id", "name", "extra")
+    assertThrows[IllegalArgumentException](
+      Warehouse.load(spark, drifted, db, "t1", LoadMode.SnapshotReplace))
+
+    // A8 absorbs the same drift
+    Warehouse.load(spark, drifted, db, "t1", LoadMode.FullRefresh)
+    assert(spark.table(s"$db.t1").columns.toSeq == Seq("id", "name", "extra"))
+  }
+
+  test("watermark append: only strictly newer rows land; snapshot equals full on same input") {
+    val db = "wh_test"
+    val day1 = Seq((1L, 10L), (2L, 20L)).toDF("id", "updated")
+    Warehouse.load(spark, day1, db, "t2", LoadMode.WatermarkAppend)
+    val wm = Warehouse.currentWatermark(spark, db, "t2", "updated")
+    assert(wm.contains(20L))
+    val day2all = Seq((2L, 20L), (3L, 30L)).toDF("id", "updated")
+    val newer = Extractor.watermark(day2all, Some("updated"), wm)
+    Warehouse.load(spark, newer, db, "t2", LoadMode.WatermarkAppend)
+    assert(spark.table(s"$db.t2").count() == 3) // no duplicate of id=2
+
+    // property: snapshot-replace and full-refresh of identical input give equal content
+    val input = Seq((9L, 90L), (8L, 80L)).toDF("id", "updated")
+    Warehouse.load(spark, input, db, "t3a", LoadMode.FullRefresh)
+    Warehouse.load(spark, input, db, "t3b", LoadMode.SnapshotReplace)
+    assert(spark.table(s"$db.t3a").orderBy("id").collect().toSeq
+      == spark.table(s"$db.t3b").orderBy("id").collect().toSeq)
+  }
+
+  test("deleteWhere: anti-filter temp-swap removes matching rows only (C18)") {
+    val db = "wh_test"
+    val df = Seq((1L, "V1.0"), (2L, "V2.0"), (3L, "V1.0")).toDF("id", "plan_ver")
+    Warehouse.load(spark, df, db, "t4", LoadMode.FullRefresh)
+    Warehouse.deleteWhere(spark, db, "t4", col("plan_ver") === "V1.0")
+    assert(spark.table(s"$db.t4").as[(Long, String)].collect().toSeq == Seq((2L, "V2.0")))
+    assert(!spark.catalog.tableExists(s"$db.t4__delete_tmp"))
+  }
+
+  test("deterministic preview orders by key (A15 upgrade over trino.py:55-71)") {
+    val db = "wh_test"
+    Warehouse.load(spark, Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("id", "v"),
+      db, "t5", LoadMode.FullRefresh)
+    val p = Warehouse.preview(spark, db, "t5", Seq("id"), 2).collect()
+    assert(p.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("product schema validator flags both name and type mismatches (C15)") {
+    val good = Seq(("1", "n", "t", "g", "p",
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .toDF("item_id", "item_name", "item_type", "item_group_id",
+        "procurement_type", "created_at", "updated_at")
+    assert(ProductSchema.validate(good, ProductSchema.martItemMaster).isEmpty)
+    val renamed = good.withColumnRenamed("item_name", "name")
+    assert(ProductSchema.validate(renamed, ProductSchema.martItemMaster).nonEmpty)
+    val retyped = good.withColumn("item_id", lit(1L))
+    assert(ProductSchema.validate(retyped, ProductSchema.martItemMaster)
+      .exists(_.contains("item_id")))
+    assertThrows[IllegalArgumentException](
+      ProductSchema.requireConformant(renamed, ProductSchema.martItemMaster))
+  }
+}

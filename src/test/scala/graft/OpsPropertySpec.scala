@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{MultimodalOps, TextOps, VectorOps}
+
+/** Property-style self-checks for the no-oracle operators (SURVEY §5.2):
+  * minhash must catch exact duplicates, knn top-1 is self, simhash is
+  * stable under identity and drifts little under small edits, dedup is
+  * idempotent.
+  */
+class OpsPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    val once = TextOps.dedupExactText(spark, sf)
+    assert(once.count() == once.distinct().count())
+    // applying the same keep-lowest-id grouping to the survivors is a no-op
+    val docs = Tables.t(spark, sf, "documents")
+    val survivors = docs.join(once.select("doc_id"), Seq("doc_id"), "left_semi")
+    val again = survivors
+      .groupBy(sha2(lower(trim(col("text"))), 256)).agg(min("doc_id").as("doc_id"))
+    assert(again.count() == once.count())
+  }
+
+  test("minhash bands always collide for exact duplicate texts") {
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup
+      (3L, "a completely different document about spark query engines entirely"))
+      .toDF("doc_id", "text")
+    val sigs = TextOps.minhashSignatures(
+      texts.withColumn("tokens", split(trim(col("text")), "\\s+")))
+    val rows = sigs.orderBy("doc_id").collect()
+    val sigCols = (0 until TextOps.NumHashes).map(j => s"sig_$j")
+    val s1 = sigCols.map(c => rows(0).getAs[Long](c))
+    val s2 = sigCols.map(c => rows(1).getAs[Long](c))
+    val s3 = sigCols.map(c => rows(2).getAs[Long](c))
+    assert(s1 == s2)   // identical text -> identical signature -> all bands collide
+    assert(s1 != s3)
+  }
+
+  test("knn top-1 of every probe is itself with cosine ~ 1") {
+    val top1 = VectorOps.knnCosineTopk(spark, sf).filter(col("rnk") === 1).collect()
+    assert(top1.nonEmpty)
+    top1.foreach { r =>
+      assert(r.getAs[Long]("probe_id") == r.getAs[Long]("neighbor_id"))
+      assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-12)
+    }
+  }
+
+  test("simhash: equal texts equal hashes; small edit -> small hamming distance") {
+    val base = "spark engine batch stream join window shuffle partition " * 4
+    val edited = base.replace("window", "pane")
+    val df = Seq((1L, base), (2L, base), (3L, edited)).toDF("doc_id", "text")
+    df.createOrReplaceTempView("documents_tmp")
+    // reuse simhash expressions over an inline frame
+    val tokens = df.withColumn("tokens", split(trim(col("text")), "\\s+"))
+    val hashed = tokens.withColumn("bit_votes", expr(
+      """aggregate(tokens, array_repeat(0, 64),
+        |  (acc, tk) -> zip_with(acc,
+        |      transform(sequence(0, 63),
+        |        i -> CASE WHEN ((xxhash64(tk) >> i) & 1) = 1 THEN 1 ELSE -1 END),
+        |      (a, b) -> a + b))""".stripMargin))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L,
+          |  (acc, i) -> acc + CASE WHEN element_at(bit_votes, i + 1) > 0
+          |                    THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin))
+      .orderBy("doc_id").select("simhash").as[Long].collect()
+    assert(hashed(0) == hashed(1))
+    val hamming = java.lang.Long.bitCount(hashed(0) ^ hashed(2))
+    assert(hamming > 0 && hamming <= 16, s"hamming=$hamming")
+  }
+
+  test("lsh buckets: identical vectors share a bucket; buckets partition the corpus") {
+    val b = VectorOps.lshCosineBuckets(spark, sf)
+    assert(b.count() == Tables.t(spark, sf, "embeddings").count())
+    assert(b.select("bucket").distinct().count() > 1) // not all in one bucket
+  }
+
+  test("multimodal stub: metadata and frame sampling are deterministic and batched") {
+    val media = MultimodalOps.mediaFromDocuments(spark, sf).limit(20)
+    val meta = MultimodalOps.extractMeta(media).collect()
+    assert(meta.length == 20)
+    assert(meta.forall(m => m.nBytes > 0 && m.features.length == 8))
+    assert(meta.forall(m => Set("png", "jpeg", "webp").contains(m.format)))
+    val again = MultimodalOps.extractMeta(media).collect()
+    assert(meta.map(_.width).toSeq == again.map(_.width).toSeq) // deterministic stub
+    val frames = MultimodalOps.sampleFrames(media, n = 3)
+    assert(frames.count() == 60)
+    assert(frames.groupBy("doc_id").count().filter(col("count") =!= 3).count() == 0)
+  }
+
+  test("broadcast star join actually broadcasts the dims (plan audit)") {
+    val plan = graft.ops.Relational.joinBroadcastDim(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), "dim joins must not sort-merge")
+  }
+
+  test("knn plan is broadcast-probe, not corpus x corpus shuffle") {
+    val plan = VectorOps.knnCosineTopk(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
+  test("scan projection prunes columns down to the parquet reader") {
+    val ex = graft.ops.Parity.scanProjection(spark, sf).queryExecution
+    val scan = ex.executedPlan.toString
+    assert(scan.contains("ReadSchema"), scan.take(500))
+    assert(!scan.contains("l_shipdate"), "unused column must be pruned from scan")
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{Ev, UserAgg}
+
+/** Batch/stream parity for the event-time operators: the same rows through
+  * the streaming path (MemoryStream micro-batches) must agree with the batch
+  * expressions.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def evs: Seq[Ev] = {
+    val h = 3600L * 1000000L
+    Seq(
+      Ev(1L, 1 * h + 100, "click", 1.0), Ev(1L, 1 * h + 200, "view", 2.0),
+      Ev(2L, 1 * h + 300, "click", 3.0), Ev(1L, 2 * h + 100, "click", 4.0),
+      Ev(2L, 3 * h + 100, "view", 5.0))
+  }
+
+  test("streaming hourly counts equal batch groupBy over the same rows") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val streamDf = mem.toDF().withColumn("ts_us", timestamp_micros(col("tsUs")))
+      .withColumnRenamed("eventType", "event_type")
+    val q = StreamingOps.hourlyCounts(streamDf).writeStream
+      .format("memory").queryName("hourly").outputMode(OutputMode.Append()).start()
+    mem.addData(evs: _*); q.processAllAvailable()
+    mem.addData(Ev(9L, 12L * 3600L * 1000000L, "click", 0.0)) // advance watermark
+    q.processAllAvailable(); q.stop()
+    // Append mode holds back windows until the watermark passes; compare the
+    // emitted prefix against batch results for those same windows.
+    val batch = evs.toDF().withColumn("ts_us", timestamp_micros(col("tsUs")))
+      .withColumnRenamed("eventType", "event_type")
+      .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+    val streamed = spark.table("hourly")
+    assert(streamed.count() >= 4) // all original-event windows were released
+    val joined = streamed.join(batch, Seq("ws", "event_type"))
+    assert(joined.count() == streamed.count())
+    assert(joined.filter(streamed("cnt") =!= batch("cnt")).count() == 0)
+  }
+
+  test("mapGroupsWithState running per-user aggregate across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.runningUserAgg(mem.toDS()).writeStream
+      .format("memory").queryName("running").outputMode(OutputMode.Update()).start()
+    mem.addData(evs.take(3): _*); q.processAllAvailable()
+    mem.addData(evs.drop(3): _*); q.processAllAvailable()
+    q.stop()
+    val last = spark.table("running").as[UserAgg].collect()
+      .groupBy(_.userId).map { case (u, rows) => u -> rows.maxBy(_.n) }
+    assert(last(1L).n == 3 && math.abs(last(1L).valueSum - 7.0) < 1e-9)
+    assert(last(2L).n == 2 && math.abs(last(2L).valueSum - 8.0) < 1e-9)
+  }
+
+  test("streaming session windows close after the gap and match batch sessionization") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val streamDf = mem.toDF()
+      .withColumn("ts_us", timestamp_micros(col("tsUs")))
+      .withColumnRenamed("userId", "user_id")
+    val q = StreamingOps.streamingSessions(streamDf).writeStream
+      .format("memory").queryName("sessions").outputMode(OutputMode.Append()).start()
+    mem.addData(evs: _*); q.processAllAvailable()
+    // sentinel far in the future advances the watermark past every session
+    // end, so append mode releases the closed sessions
+    mem.addData(Ev(9L, 12L * 3600L * 1000000L, "click", 0.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sessions").orderBy("user_id", "session_start_us")
+      .as[(Long, Long, Long)].collect().toSeq
+    // gap 30min: user 1 -> {h1: 2 events}, {h2: 1}; user 2 -> {h1: 1}, {h3: 1}
+    // (append mode emits sessions closed before the final watermark; all but
+    // the max-ts session close here)
+    assert(got.contains((1L, 3600000100L, 2L)))
+    assert(got.contains((1L, 7200000100L, 1L)))
+    assert(got.contains((2L, 3600000300L, 1L)))
+  }
+}
