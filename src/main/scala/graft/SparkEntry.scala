@@ -60,6 +60,7 @@ object SparkEntry {
     "q_embed_norm"          -> (VectorOps.embedNorm _),
     "q_knn_cosine_topk"     -> (VectorOps.knnCosineTopk _),
     "q_lsh_cosine_buckets"  -> (VectorOps.lshCosineBuckets _),
+    "q_embedding_near_dup"  -> ((s: SparkSession, d: String) => VectorOps.nearDupCosine(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query. Omitted (→ rows-only check):

@@ -23,10 +23,12 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** Register every fixture table as a temp view so `spark.sql` queries (the
+  /** Register fixture tables as temp views so `spark.sql` queries (the
     * SQL-model path, SURVEY.md §3.3) can name them like the DuckDB oracle
-    * does. Idempotent.
+    * does. Idempotent; callers pass only the tables they read so unused
+    * files are never opened.
     */
-  def registerViews(spark: SparkSession, sfDir: String): Unit =
-    all.foreach(n => t(spark, sfDir, n).createOrReplaceTempView(n))
+  def registerViews(spark: SparkSession, sfDir: String,
+                    names: Seq[String] = all): Unit =
+    names.foreach(n => t(spark, sfDir, n).createOrReplaceTempView(n))
 }

@@ -64,7 +64,7 @@ object Parity {
       |""".stripMargin
 
   def castStandard(s: SparkSession, d: String): DataFrame = {
-    t(s, d, "part").createOrReplaceTempView("part")
+    graft.Tables.registerViews(s, d, Seq("part"))
     val r = new Renderer(Map("tenant_id" -> "demo"), (_, tbl) => tbl, identity)
     s.sql(r.render(castStandardModel))
   }
@@ -138,7 +138,7 @@ object Parity {
       |""".stripMargin
 
   def cteStageChain(s: SparkSession, d: String): DataFrame = {
-    t(s, d, "orders").createOrReplaceTempView("orders")
+    graft.Tables.registerViews(s, d, Seq("orders"))
     val r = new Renderer(
       Map("tenant_id" -> "demo", "status_filter" -> "F"), (_, tbl) => tbl, identity)
     s.sql(r.render(cteStageChainModel))

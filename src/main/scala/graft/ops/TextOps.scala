@@ -110,20 +110,31 @@ object TextOps {
   val Bands = 4
   val RowsPerBand = 4
 
-  /** doc_id + sig_0..sig_15 minhash signature columns from a `tokens` array:
-    * per hash j, min over shingles of xxhash64(shingle, j). Pure
-    * codegen-friendly array expressions — no UDF, no explode of shingles.
+  /** doc_id + sig_0..sig_15 minhash signature columns from a `tokens` array.
+    *
+    * Shape: explode shingle positions → hash each shingle string ONCE →
+    * groupBy(doc) with 16 `min(xxhash64(h, j))` aggregates. The k hash
+    * functions are cheap long-rehashes of one base hash (same independence
+    * properties, k× less string hashing), and the whole pipeline is
+    * codegen'd row processing + hash aggregation — no interpreted
+    * higher-order lambdas. Map-side partial aggregation means the shuffle
+    * carries only docs×k partial minima, not the exploded shingles — the
+    * property that keeps this linear at 100 TB.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val shingled = docs
+    val exploded = docs
       .filter(size(col("tokens")) >= 3)
-      .withColumn("shingles",
-        transform(sequence(lit(0), size(col("tokens")) - 3),
-          i => concat_ws(" ", slice(col("tokens"), i + 1, lit(3)))))
-    (0 until NumHashes).foldLeft(shingled) { (df, j) =>
-      df.withColumn(s"sig_$j",
-        array_min(transform(col("shingles"), sh => xxhash64(sh, lit(j)))))
-    }.drop("shingles")
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("tokens")) - 3)).as("pos"),
+        col("tokens"))
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ", slice(col("tokens"), col("pos") + 1, lit(3))))
+          .as("h"))
+    exploded.groupBy("doc_id")
+      .agg(
+        min(xxhash64(col("h"), lit(0))).as("sig_0"),
+        (1 until NumHashes).map(j =>
+          min(xxhash64(col("h"), lit(j))).as(s"sig_$j")): _*)
   }
 
   /** 64-bit SimHash per doc from token hashes — bit-vote accumulation as a

@@ -77,6 +77,25 @@ class OpsPropertySpec extends SparkSpec {
     assert(b.select("bucket").distinct().count() > 1) // not all in one bucket
   }
 
+  test("banded near-dup always catches an exact duplicate vector; plan is band-joined") {
+    val pairs = VectorOps.nearDupCosine(spark, sf, threshold = 0.45)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be a band-keyed equi-join, never all-pairs")
+    val got = pairs.collect()
+    assert(got.forall(_.getAs[Double]("cosine") >= 0.45))
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).distinct.length == got.length)
+
+    // identical vectors agree on every plane bit -> collide in every band,
+    // cosine is exactly 1 -> the pair MUST be reported (recall floor).
+    val v = Seq.tabulate(64)(i => (i % 7 - 3).toFloat)
+    val other = Seq.tabulate(64)(i => ((i * 13) % 9 - 4).toFloat)
+    val synth = Seq((1L, v), (2L, v), (3L, other)).toDF("vec_id", "embedding")
+    val dupPairs = VectorOps.nearDupPairs(synth, threshold = 0.99).collect()
+    assert(dupPairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(math.abs(dupPairs.head.getAs[Double]("cosine") - 1.0) < 1e-12)
+  }
+
   test("multimodal stub: metadata and frame sampling are deterministic and batched") {
     val media = MultimodalOps.mediaFromDocuments(spark, sf).limit(20)
     val meta = MultimodalOps.extractMeta(media).collect()
