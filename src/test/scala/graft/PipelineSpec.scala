@@ -35,6 +35,31 @@ class PipelineSpec extends SparkSpec {
     assert(mart.count() == spark.table("graft_demo.graft_demo__stg_item_master").count())
   }
 
+  test("two tenants produce conformed marts that union cleanly (C14/C15)") {
+    // second tenant: same models, different id + tenant filter — the
+    // reference's project_02 shape (one engine instance serves N tenants)
+    val yaml2 = PipelineOps.tenantYaml
+      .replace("id: graft_demo", "id: graft_demo2")
+      .replace("Brand#4", "Brand#2")
+    val t2 = TenantConfig.parse(yaml2, Map.empty)
+    def retarget(m: graft.model.SqlModel) = m.copy(
+      name = m.name.replace("graft_demo__", "graft_demo2__"),
+      rawSql = m.rawSql.replace("graft_demo_raw", "graft_demo2_raw")
+        .replace("graft_demo__", "graft_demo2__"))
+    new TenantPipeline(t2, new ParquetSource(sf),
+      Seq(retarget(PipelineOps.stagingModel), retarget(PipelineOps.martModel))).run(spark)
+    // ensure tenant 1 exists too (other test may have run already — rerun is idempotent)
+    new TenantPipeline(TenantConfig.parse(PipelineOps.tenantYaml, Map.empty),
+      new ParquetSource(sf), Seq(PipelineOps.stagingModel, PipelineOps.martModel)).run(spark)
+
+    val m1 = spark.table("graft_demo.mart_item_master")
+    val m2 = spark.table("graft_demo2.mart_item_master")
+    assert(m1.schema == m2.schema) // standard-schema conformance across tenants
+    val unioned = m1.unionByName(m2)
+    assert(unioned.count() == m1.count() + m2.count())
+    assert(m2.filter(col("item_group_id") =!= "Brand#2").count() == 0)
+  }
+
   test("renderAll resolves refs to qualified physical names") {
     val tenant = TenantConfig.parse(PipelineOps.tenantYaml, Map.empty)
     val p = new TenantPipeline(tenant, new ParquetSource(sf),
