@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd polynomial rolling hash over a string's bytes:
+  * `acc = (acc * base + byte) mod 1e9+7`.
+  *
+  * This is the document-fingerprinting primitive (graft.ops.TextOps) as a
+  * first-class Catalyst expression: the higher-order-function formulation
+  * (`aggregate(transform(sequence(...)))`) evaluates one interpreted lambda
+  * per character, while this compiles to a tight Java loop inside
+  * whole-stage codegen — the per-row cost drops from O(len) closure calls
+  * to O(len) byte ops. Semantics match the HOF/oracle formulation for
+  * ASCII input (byte == code point); for multi-byte UTF-8 the hash runs
+  * over bytes, which is the right contract for fingerprinting.
+  *
+  * Registered as SQL function `rolling_hash` via [[GraftExtensions]] or
+  * [[GraftFunctions.register]].
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  final val Base = 31L
+  final val Mod = 1000000007L
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash requires a STRING argument, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * Base + (bytes(i) & 0xff)) % Mod
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $acc = ($acc * ${Base}L + ($bytes[$i] & 0xFF)) % ${Mod}L;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+/** Session-local registration of the engine's native functions. */
+object GraftFunctions {
+  val rollingHashInfo = new ExpressionInfo(
+    classOf[RollingHash].getName, null, "rolling_hash",
+    "_FUNC_(str) - polynomial rolling hash (base 31, mod 1e9+7) over the string's bytes.",
+    "")
+
+  /** Idempotent per-session registration (temp function registry). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` injects the
+  * engine's native functions into every session at build time — the
+  * SparkSessionExtensions path for cluster deployments.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      GraftFunctions.rollingHashInfo,
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+}

@@ -180,19 +180,18 @@ object TextOps {
       .orderBy("probe_id", "rnk")
   }
 
-  /** Polynomial rolling-hash fingerprint over the character stream
-    * (base-31 mod 1e9+7) — one fold per row. At petabyte scale this
-    * graduates to a native codegen Expression; the fold keeps it
-    * whole-stage-codegen-compatible today.
+  /** Polynomial rolling-hash fingerprint (base-31 mod 1e9+7) via the native
+    * codegen expression graft.functions.RollingHash — a tight Java byte
+    * loop inside whole-stage codegen instead of one interpreted lambda per
+    * character (the HOF formulation it replaced).
     */
-  def docFingerprint(s: SparkSession, d: String): DataFrame =
+  def docFingerprint(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     t(s, d, "documents")
-      .withColumn("fingerprint", expr(
-        """aggregate(transform(sequence(1, length(text)),
-          |            i -> ascii(substr(text, i, 1))),
-          |  0L, (a, c) -> (a * 31 + c) % 1000000007)""".stripMargin))
+      .withColumn("fingerprint", expr("rolling_hash(text)"))
       .select("doc_id", "fingerprint")
       .orderBy("doc_id")
+  }
 
   /** Multimodal plumbing: opaque binary payload + typed metadata extraction
     * (byte length + content digest). The decode step for real image/audio
