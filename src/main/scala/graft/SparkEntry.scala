@@ -44,11 +44,15 @@ object SparkEntry {
     "q_distinct_exact"      -> (Relational.distinctExact _),
     "q_approx_distinct"     -> (Relational.approxDistinct _),
     "q_scalar_datetime_math" -> (Relational.scalarDatetimeMath _),
+    "q_cube_agg"            -> (Relational.cubeAgg _),
+    "q_pivot_status"        -> (Relational.pivotStatus _),
     "q_json_extract"        -> (EventOps.jsonExtract _),
     "q_event_tumbling_window" -> (EventOps.eventTumblingWindow _),
     "q_session_window"      -> (EventOps.sessionWindow _),
     // North-star LLM-pipeline ops (documents / embeddings)
     "q_text_stats"          -> (TextOps.textStats _),
+    "q_token_count_bpe"     -> (TextOps.tokenCountBpe _),
+    "q_top_terms_per_lang"  -> (TextOps.topTermsPerLang _),
     "q_quality_score"       -> (TextOps.qualityScore _),
     "q_lang_id"             -> (TextOps.langId _),
     "q_dedup_exact_text"    -> (TextOps.dedupExactText _),
@@ -209,6 +213,37 @@ object SparkEntry {
     "q_distinct_exact" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_cube_agg" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_token_count_bpe" ->
+      """SELECT doc_id,
+        |       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpeish,
+        |       len(regexp_extract_all(text, '[a-z]+')) AS n_word,
+        |       len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_top_terms_per_lang" ->
+      """WITH tok AS (
+        |    SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |    FROM documents
+        |), counted AS (
+        |    SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY lang, token
+        |), ranked AS (
+        |    SELECT lang, token, cnt,
+        |           row_number() OVER (PARTITION BY lang
+        |                              ORDER BY cnt DESC, token ASC) AS rnk
+        |    FROM counted
+        |)
+        |SELECT lang, rnk, token, cnt FROM ranked WHERE rnk <= 5
+        |ORDER BY lang, rnk""".stripMargin,
     "q_scalar_datetime_math" ->
       """SELECT o_orderkey,
         |       CAST(date_trunc('day', o_orderdate) AS DATE) AS order_day,

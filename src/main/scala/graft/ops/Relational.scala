@@ -135,6 +135,24 @@ object Relational {
       approx_count_distinct("l_orderkey").as("approx_orderkeys"),
       countDistinct("l_orderkey").as("exact_orderkeys"))
 
+  /** CUBE over (status, priority) — all four grouping sets in one shuffle. */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), exactSum("o_totalprice").as("total_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** Row→column pivot: order counts per priority pivoted by status, with an
+    * explicit value list so the output schema is static (the scale-safe
+    * form — no extra pass to discover pivot values).
+    */
+  def pivotStatus(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(lit(1)))
+      .orderBy("o_orderpriority")
+
   /** Scalar date/time functions over the ms-precision orders timestamps. */
   def scalarDatetimeMath(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders").select(

@@ -193,6 +193,34 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** BPE-ish token counting: word pieces + standalone punctuation via one
+    * codegen'd regexp_count pass (the tokenizer-budget estimator of a
+    * training-data pipeline).
+    */
+  def tokenCountBpe(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(
+      col("doc_id"),
+      regexp_count(col("text"), lit("\\w+|[^\\w\\s]")).as("n_bpeish"),
+      regexp_count(col("text"), lit("[a-z]+")).as("n_word"),
+      regexp_count(col("text"), lit("[^\\w\\s]")).as("n_punct"))
+      .orderBy("doc_id")
+
+  /** Corpus vocabulary: top-5 terms per language by frequency — explode →
+    * two-level aggregation (map-side combined) → per-group top-k window.
+    * The shuffle is keyed by (lang, token); no collect, no global sort.
+    */
+  def topTermsPerLang(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(col("cnt").desc, col("token").asc)
+    withTokens(t(s, d, "documents"))
+      .select(col("lang"), explode(col("tokens")).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("lang", "rnk", "token", "cnt")
+      .orderBy("lang", "rnk")
+  }
+
   /** Multimodal plumbing: opaque binary payload + typed metadata extraction
     * (byte length + content digest). The decode step for real image/audio
     * bytes is the stubbed path in graft.ops.MultimodalOps; this query proves
