@@ -47,6 +47,8 @@ object SparkEntry {
     "q_cube_agg"            -> (Relational.cubeAgg _),
     "q_pivot_status"        -> (Relational.pivotStatus _),
     "q_json_extract"        -> (EventOps.jsonExtract _),
+    "q_asof_last_click"     -> (EventOps.asofLastClick _),
+    "q_groupby_salted"      -> (Relational.saltedGroupAgg _),
     "q_event_tumbling_window" -> (EventOps.eventTumblingWindow _),
     "q_session_window"      -> (EventOps.sessionWindow _),
     // North-star LLM-pipeline ops (documents / embeddings)
@@ -251,6 +253,23 @@ object SparkEntry {
         |       CAST(year(o_orderdate) AS INTEGER) AS order_year,
         |       CAST(o_orderdate AS DATE) + 30 AS due_date
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_asof_last_click" ->
+      """WITH p AS (
+        |    SELECT user_id, epoch_ns(ts) // 1000 AS tsu, event_id
+        |    FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |    SELECT user_id, epoch_ns(ts) // 1000 AS tsu, event_id
+        |    FROM events WHERE event_type = 'click'
+        |)
+        |SELECT p.event_id AS purchase_id, p.user_id,
+        |       c.event_id AS last_click_id,
+        |       p.tsu - c.tsu AS gap_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.tsu <= p.tsu
+        |ORDER BY purchase_id""".stripMargin,
+    "q_groupby_salted" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, COUNT(*) AS cnt,
         |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum

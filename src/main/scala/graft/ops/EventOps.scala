@@ -37,6 +37,42 @@ object EventOps {
       .select(col("window.start").as("ws"), col("cnt"), col("value_sum"))
       .orderBy("ws")
 
+  /** As-of join composed from primitives Spark has (an operator Spark lacks
+    * natively): for each purchase event, the user's most recent click at or
+    * before it. Implemented as the single-shuffle union-and-running-last
+    * trick — both sides union, one window pass per user ordered by time
+    * carries the latest click forward — NOT a range join (which explodes to
+    * per-pair comparisons) and not a per-row subquery. One shuffle on
+    * user_id regardless of data size.
+    *
+    * Ordering contract at equal timestamps: clicks sort before purchases
+    * (`is_click desc`), matching ASOF's inclusive `<=` bound.
+    */
+  def asofLastClick(s: SparkSession, d: String): DataFrame = {
+    // µs-epoch integers on both sides: the oracle's ASOF join coerces
+    // timestamps through a µs common type, so the engine compares the same
+    // exact integers (integer div, no double math on 1.7e18 ns).
+    val ev = t(s, d, "events").withColumn("tsu", expr("ts div 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase").select(
+      col("user_id"), col("tsu"), col("event_id").as("purchase_id"),
+      lit(null).cast("long").as("click_id"), lit(0).as("is_click"))
+    val clicks = ev.filter(col("event_type") === "click").select(
+      col("user_id"), col("tsu"), lit(null).cast("long").as("purchase_id"),
+      col("event_id").as("click_id"), lit(1).as("is_click"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("tsu").asc, col("is_click").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    purchases.unionByName(clicks)
+      .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("last_click_tsu",
+        last(when(col("is_click") === 1, col("tsu")), ignoreNulls = true).over(w))
+      .filter(col("is_click") === 0)
+      .select(col("purchase_id"), col("user_id"), col("last_click_id"),
+        (col("tsu") - col("last_click_tsu")).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
   /** 30-minute-gap session windows per user. Output times as exact µs-epoch
     * longs so the oracle's gaps-and-islands SQL compares integers, not
     * mixed-precision timestamps.

@@ -135,6 +135,24 @@ object Relational {
       approx_count_distinct("l_orderkey").as("approx_orderkeys"),
       countDistinct("l_orderkey").as("exact_orderkeys"))
 
+  /** Skew-safe two-phase aggregation: pre-aggregate on (key, salt) so a hot
+    * key's rows spread over 16 reducers, then combine partials per key.
+    * The salt derives deterministically from row identity (xxhash64), never
+    * rand() — results stay reproducible; decimal partials make the two-phase
+    * sum exactly equal to the direct one. l_returnflag (3 values over 600k
+    * rows) is a genuinely skewed key.
+    */
+  def saltedGroupAgg(s: SparkSession, d: String): DataFrame = {
+    val salted = t(s, d, "lineitem")
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(16)))
+      .groupBy("l_returnflag", "salt")
+      .agg(count(lit(1)).as("pcnt"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("psum"))
+    salted.groupBy("l_returnflag")
+      .agg(sum("pcnt").as("cnt"), sum("psum").cast("double").as("qty_sum"))
+      .orderBy("l_returnflag")
+  }
+
   /** CUBE over (status, priority) — all four grouping sets in one shuffle. */
   def cubeAgg(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders")

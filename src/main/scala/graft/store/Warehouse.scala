@@ -92,6 +92,20 @@ object Warehouse {
     df.write.mode(SaveMode.Overwrite).option("overwriteSchema", "true")
       .format("parquet").saveAsTable(s"`$db`.`$alias`")
 
+  /** Bucketed sink: co-locates future joins/aggregations on `bucketCols` —
+    * two tables bucketed identically join with NO shuffle exchange (the
+    * 100 TB answer to repeated fact⋈fact joins on the same key). Sorted
+    * within buckets so sort-merge reads skip the sort too.
+    */
+  def saveBucketed(df: DataFrame, db: String, table: String,
+                   bucketCols: Seq[String], numBuckets: Int): Unit = {
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(s"`$db`.`$table`")
+  }
+
   /** C18 — DELETE WHERE on a plain-parquet managed table: anti-filter
     * rewrite with a checkpoint through a temp table so we never scan-and-
     * overwrite the same files in one job (SURVEY.md §7.5). Runs entirely on

@@ -107,6 +107,28 @@ class ExtractWarehouseSpec extends SparkSpec {
     assert(p.map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 
+  test("bucketed tables join with no shuffle exchange (co-located join)") {
+    val db = "wh_test"
+    Warehouse.ensureDatabase(spark, db)
+    val orders = Tables.t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    val items = Tables.t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    Warehouse.saveBucketed(orders, db, "orders_b", Seq("o_orderkey"), 4)
+    Warehouse.saveBucketed(items.withColumnRenamed("l_orderkey", "o_orderkey"),
+      db, "items_b", Seq("o_orderkey"), 4)
+    // disable auto-broadcast so the plan exercises the large-table path the
+    // bucketing exists for (broadcast would hide the shuffle question)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table(s"$db.orders_b").join(spark.table(s"$db.items_b"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n${plan.take(1200)}")
+      assert(plan.contains("Bucketed: true"), plan.take(1200))
+      assert(joined.count() == items.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("product schema validator flags both name and type mismatches (C15)") {
     val good = Seq(("1", "n", "t", "g", "p",
       java.sql.Timestamp.valueOf("2026-01-01 00:00:00"),
