@@ -63,7 +63,7 @@ object VectorOps {
     * dimension i (splitmix64 mix — computed driver-side, shipped as a tiny
     * broadcast table; no RNG state on executors).
     */
-  private[ops] def planeWeight(p: Int, i: Int): Double = {
+  private[graft] def planeWeight(p: Int, i: Int): Double = {
     var z = p.toLong * 0x10001L + i + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL

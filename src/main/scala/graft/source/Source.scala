@@ -37,7 +37,8 @@ final class ParquetSource(dir: String) extends Source {
   * Not exercised by the offline harness (zero egress); URL construction and
   * option plumbing are unit-tested.
   */
-final class JdbcSource(cfg: SourceConfig, numPartitions: Int = 8) extends Source {
+final class JdbcSource(cfg: SourceConfig, numPartitions: Int = 8,
+                       bounds: Option[(String, String)] = None) extends Source {
 
   def connectionUrl: String = cfg.sourceType match {
     case "postgresql" => s"jdbc:postgresql://${cfg.host}:${cfg.port}/${cfg.database}"
@@ -63,13 +64,31 @@ final class JdbcSource(cfg: SourceConfig, numPartitions: Int = 8) extends Source
       .option("password", cfg.password)
       .option("fetchsize", "10000")
     // Partitioned read on the watermark column when present — turns the
-    // extract into numPartitions parallel range scans at the source.
-    spec.incrementalColumn match {
-      case Some(c) => reader.option("partitionColumn", c)
+    // extract into numPartitions parallel range scans at the source. Spark
+    // requires explicit lower/upper bounds with partitionColumn; without
+    // known bounds (discoverable via boundsQuery) fall back to a single
+    // stream rather than fail.
+    (spec.incrementalColumn, bounds) match {
+      case (Some(c), Some((lo, hi))) => reader
+        .option("partitionColumn", c)
+        .option("lowerBound", lo)
+        .option("upperBound", hi)
         .option("numPartitions", numPartitions.toString)
-      case None => reader
+      case _ => reader
     }
   }.load()
+
+  /** Bounds-discovery SQL for the partitioned read (run via option("query")
+    * before the main scan; one-row result).
+    */
+  def boundsQuery(spec: TableSpec): String = {
+    val c = spec.incrementalColumn.getOrElse(
+      throw new IllegalArgumentException(s"${spec.name}: no incremental_column"))
+    val qualified =
+      if (spec.sourceSchema.nonEmpty) s"${spec.sourceSchema}.${spec.sourceTable}"
+      else spec.sourceTable
+    s"SELECT MIN($c) AS lo, MAX($c) AS hi FROM $qualified"
+  }
 
   override def probe(spark: SparkSession): Boolean =
     try {
