@@ -51,6 +51,59 @@ object StreamingOps {
       }
   }
 
+  /** A closed session emitted by [[timeoutSessions]]. */
+  final case class Session(userId: Long, startUs: Long, endUs: Long, n: Long)
+  /** Internal state for [[timeoutSessions]] (public: Encoder codegen needs
+    * accessible accessors).
+    */
+  final case class SessionState(startUs: Long, lastUs: Long, n: Long)
+
+  /** Custom sessionization with flatMapGroupsWithState + event-time timeout:
+    * a session closes when no event arrives for `gapUs` past the watermark,
+    * emitting zero-or-more closed sessions per trigger (the arbitrary-state
+    * path that session_window can't express — e.g. per-session caps or
+    * custom merge rules would slot in here).
+    */
+  def timeoutSessions(events: Dataset[Ev], gapUs: Long = 30L * 60 * 1000000)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .withColumn("ts_us", timestamp_micros(col("tsUs")))
+      .withWatermark("ts_us", "2 hours")
+      .as[Ev]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.startUs, s.lastUs, s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.tsUs, e.value))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.tsUs - s.lastUs < gapUs =>
+                  cur = Some(SessionState(s.startUs, e.tsUs, s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(userId, s.startUs, s.lastUs, s.n)
+                  cur = Some(SessionState(e.tsUs, e.tsUs, 1))
+                case None =>
+                  cur = Some(SessionState(e.tsUs, e.tsUs, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Session windows on a stream: 30-minute gap per user, emitting closed
     * sessions only (append mode semantics mirror EventOps.sessionWindow).
     */
@@ -63,9 +116,25 @@ object StreamingOps {
         unix_micros(col("session_window.start")).as("session_start_us"),
         col("cnt"))
 
+  /** Stream → warehouse: per-micro-batch load through the same Warehouse
+    * sink the batch pipeline uses (foreachBatch bridges streaming to any
+    * batch writer — here WatermarkAppend-style appends into a managed
+    * table). Returns the started query; caller stops it.
+    */
+  def sinkToWarehouse(aggregated: DataFrame, db: String, table: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    aggregated.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.store.Warehouse.load(batch.sparkSession, batch.toDF(), db, table,
+          graft.store.LoadMode.WatermarkAppend)
+      }
+      .start()
+
   /** Default output mode pairings for the above (documented contract). */
   val outputModes: Map[String, OutputMode] = Map(
     "hourlyCounts" -> OutputMode.Append(),
     "runningUserAgg" -> OutputMode.Update(),
-    "streamingSessions" -> OutputMode.Append())
+    "streamingSessions" -> OutputMode.Append(),
+    "timeoutSessions" -> OutputMode.Append())
 }

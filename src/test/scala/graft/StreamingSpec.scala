@@ -59,6 +59,60 @@ class StreamingSpec extends SparkSpec {
     assert(last(2L).n == 2 && math.abs(last(2L).valueSum - 8.0) < 1e-9)
   }
 
+  test("late data beyond the watermark is dropped from append aggregations") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val streamDf = mem.toDF().withColumn("ts_us", timestamp_micros(col("tsUs")))
+      .withColumnRenamed("eventType", "event_type")
+    val q = StreamingOps.hourlyCounts(streamDf).writeStream
+      .format("memory").queryName("late").outputMode(OutputMode.Append()).start()
+    val h = 3600L * 1000000L
+    mem.addData(Ev(1L, 1 * h, "click", 1.0)); q.processAllAvailable()
+    mem.addData(Ev(2L, 10 * h, "click", 1.0)); q.processAllAvailable() // wm -> 8h
+    // this event is 7h older than the watermark: must be dropped
+    mem.addData(Ev(3L, 1 * h + 500, "click", 1.0)); q.processAllAvailable()
+    mem.addData(Ev(4L, 20 * h, "click", 1.0)); q.processAllAvailable() // flush
+    q.stop()
+    val w1 = spark.table("late")
+      .filter(col("ws") === timestamp_micros(lit(1 * h))).collect()
+    assert(w1.length == 1 && w1.head.getAs[Long]("cnt") == 1L) // late row excluded
+  }
+
+  test("flatMapGroupsWithState timeout sessions emit closed sessions with correct bounds") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.timeoutSessions(mem.toDS()).writeStream
+      .format("memory").queryName("tsessions").outputMode(OutputMode.Append()).start()
+    val h = 3600L * 1000000L
+    mem.addData(Ev(1L, 1 * h, "click", 1.0), Ev(1L, 1 * h + 60_000_000L, "view", 2.0),
+      Ev(1L, 2 * h, "click", 3.0))
+    q.processAllAvailable()
+    mem.addData(Ev(9L, 12 * h, "click", 0.0)) // advance watermark, time out state
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("tsessions").orderBy("startUs")
+      .as[StreamingOps.Session].collect().toSeq
+    // user 1: [1h, 1h+1m] (2 events) closed by gap; [2h, 2h] (1 event)
+    // closed by event-time timeout after the watermark passed 2h+30m
+    assert(got.contains(StreamingOps.Session(1L, 1 * h, 1 * h + 60_000_000L, 2L)))
+    assert(got.contains(StreamingOps.Session(1L, 2 * h, 2 * h, 1L)))
+  }
+
+  test("foreachBatch sink lands streaming aggregates in a warehouse table") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val streamDf = mem.toDF().withColumn("ts_us", timestamp_micros(col("tsUs")))
+      .withColumnRenamed("eventType", "event_type")
+    val q = StreamingOps.sinkToWarehouse(
+      StreamingOps.hourlyCounts(streamDf), "stream_wh", "hourly_counts")
+    val h = 3600L * 1000000L
+    mem.addData(Ev(1L, 1 * h, "click", 1.0), Ev(2L, 1 * h + 1, "click", 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(3L, 20 * h, "view", 1.0)) // advance watermark -> release window
+    q.processAllAvailable(); q.stop()
+    val landed = spark.table("stream_wh.hourly_counts")
+    assert(landed.filter(col("event_type") === "click").head().getAs[Long]("cnt") == 2L)
+  }
+
   test("streaming session windows close after the gap and match batch sessionization") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
