@@ -64,6 +64,7 @@ object SparkEntry {
     "q_doc_fingerprint"     -> (TextOps.docFingerprint _),
     "q_binary_meta"         -> (TextOps.binaryMeta _),
     "q_embed_norm"          -> (VectorOps.embedNorm _),
+    "q_label_centroid"      -> (VectorOps.labelCentroid _),
     "q_knn_cosine_topk"     -> (VectorOps.knnCosineTopk _),
     "q_lsh_cosine_buckets"  -> (VectorOps.lshCosineBuckets _),
     "q_embedding_near_dup"  -> ((s: SparkSession, d: String) => VectorOps.nearDupCosine(s, d)),
@@ -370,6 +371,17 @@ object SparkEntry {
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
         |       sha256(text) AS content_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_label_centroid" ->
+      """WITH ex AS (
+        |    SELECT label, CAST(i - 1 AS INTEGER) AS dim_idx,
+        |           CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+        |    FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+        |    WHERE i <= len(embedding)
+        |)
+        |SELECT label, dim_idx,
+        |       CAST(SUM(CAST(floor(x * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*)
+        |           AS centroid
+        |FROM ex GROUP BY label, dim_idx ORDER BY label, dim_idx""".stripMargin,
     "q_embed_norm" ->
       """WITH sq AS (
         |    SELECT vec_id, embedding,

@@ -28,6 +28,24 @@ object VectorOps {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Per-label embedding centroids: posexplode → groupBy(label, dim) with
+    * decimal-exact sums (order-independent) → mean. The scale shape for
+    * class statistics over embedding corpora — the shuffle carries
+    * labels×dims partials via map-side combine, never whole vectors.
+    */
+  def labelCentroid(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim_idx", "x")))
+      // fixed-point via floor (identical IEEE op in every engine — decimal
+      // casts differ in tie-rounding mode across engines): exact long sums,
+      // order-independent
+      .withColumn("xq", floor(col("x").cast("double") * lit(1e9)).cast("bigint"))
+      .groupBy("label", "dim_idx")
+      .agg(count(lit(1)).as("cnt"), sum("xq").as("xsum"))
+      .select(col("label"), col("dim_idx"),
+        (col("xsum").cast("double") / lit(1e9) / col("cnt")).as("centroid"))
+      .orderBy("label", "dim_idx")
+
   /** L2 norm + first normalized component per vector. */
   def embedNorm(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings")
