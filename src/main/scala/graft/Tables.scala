@@ -19,7 +19,10 @@ object Tables {
     // events.ts is parquet TIMESTAMP(NANOS); Spark has no ns timestamp, so we
     // read it as a ns-epoch Long — exact (better than a lossy µs truncation):
     // ordering and arithmetic stay bit-exact vs the DuckDB oracle's ns values.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Set defensively only where needed: query fns may run on a caller's
+    // session (driver harness) that lacks the config.
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

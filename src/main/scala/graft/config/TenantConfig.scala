@@ -16,7 +16,9 @@ final case class TableSpec(
     tenantFilter: Option[String],
     incrementalColumn: Option[String],
     mode: String) {
-  require(mode == "full" || mode == "incremental", s"unknown mode: $mode")
+  // "append" is the engine's watermark-append upgrade (LoadMode.parse)
+  require(mode == "full" || mode == "incremental" || mode == "append",
+    s"unknown mode: $mode")
 }
 
 /** Source connection config (reference: tenant.yaml:4-10). */

@@ -54,6 +54,8 @@ object Extractor {
       rowLimit)
   }
 
-  /** Composable predicate builder for ad-hoc conjunctions (B3). */
-  def and(conds: Seq[Column]): Column = conds.reduceLeft(_ && _)
+  /** Composable predicate builder for ad-hoc conjunctions (B3); empty
+    * conjunction is the identity `true`.
+    */
+  def and(conds: Seq[Column]): Column = conds.foldLeft(lit(true))(_ && _)
 }

@@ -59,9 +59,11 @@ object EventOps {
     val clicks = ev.filter(col("event_type") === "click").select(
       col("user_id"), col("tsu"), lit(null).cast("long").as("purchase_id"),
       col("event_id").as("click_id"), lit(1).as("is_click"))
+    // click_id tiebreak makes the order total: two same-user clicks in the
+    // same microsecond would otherwise leave last() shuffle-order-dependent
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id")
-      .orderBy(col("tsu").asc, col("is_click").desc)
+      .orderBy(col("tsu").asc, col("is_click").desc, col("click_id").asc_nulls_last)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     purchases.unionByName(clicks)
       .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))

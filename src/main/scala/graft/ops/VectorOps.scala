@@ -102,14 +102,23 @@ object VectorOps {
     val w = (0 until MaxDims)
       .map(i => (i, (0 until numPlanes).map(p => planeWeight(p, i))))
       .toDF("dim_idx", "w")
+    // Fail loudly instead of silently sketching a 512-dim prefix (the inner
+    // join below would drop dimensions the weights table lacks). The assert
+    // is woven into the exploded expression so column pruning can't drop it.
+    val checked = when(
+      assert_true(size(col("embedding")) <= MaxDims,
+        lit(s"planeBits supports at most $MaxDims dims")).isNull,
+      col("embedding"))
     val prods = vectors
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim_idx", "x")))
+      .select(col("vec_id"), posexplode(checked).as(Seq("dim_idx", "x")))
       .withColumn("xd", col("x").cast("double"))
       .join(broadcast(w), "dim_idx")
     // Fixed-point: scale products to 1e15 and sum as BIGINT — exact integer
     // accumulation (order-independent => bit-deterministic) on the codegen
     // long fast path; decimal(38,x) sums would fall back to per-row
     // BigDecimal (measured 10x slower across 65 agg columns).
+    // Range contract: |x| <= ~95 per element (x²·1e15 < Long.Max) — holds
+    // for normalized/bounded embeddings, which is the only sane input here.
     val S = 1e15
     val aggs = (0 until numPlanes).map(p =>
       sum((col("xd") * element_at(col("w"), p + 1) * S).cast("bigint"))
@@ -134,12 +143,12 @@ object VectorOps {
     bits.select(col("vec_id"), bucket.as("bucket")).orderBy("vec_id")
   }
 
-  /** Embedding-cosine near-dup detection, banded: 8 bands × 4 sign bits
-    * generate candidate pairs through a band-keyed equi-join (OR over
-    * bands boosts recall like MinHash banding), then the *exact* cosine
-    * confirms ≥ threshold. Never corpus×corpus: the shuffle is keyed by
-    * (band, 4-bit key), candidates are verified per bucket. Probabilistic
-    * recall, deterministic output (fixed hash planes).
+  /** Embedding-cosine near-dup detection, banded: DupBands bands ×
+    * BitsPerBand sign bits generate candidate pairs through a band-keyed
+    * equi-join (OR over bands boosts recall like MinHash banding), then the
+    * *exact* cosine confirms ≥ threshold. Never corpus×corpus: the shuffle
+    * is keyed by (band, band_key), candidates are verified per bucket.
+    * Probabilistic recall, deterministic output (fixed hash planes).
     */
   val DupBands = 8
   val BitsPerBand = 8
@@ -157,12 +166,21 @@ object VectorOps {
     *     product runs as explode + element_at + decimal sum (codegen'd
     *     hash agg, order-independent, no interpreted lambdas).
     */
+  /** Previous invocation's persisted sketch — released on the next call so
+    * repeated runs in one session hold at most one sketch in cache.
+    */
+  private var lastSketch: Option[DataFrame] = None
+
   def nearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
     // The sketch feeds three branches (band join sides + norms): persist it
     // so the plan computes it once. At cluster scale this is the "write the
     // sketch table" step of a production near-dup job.
     val bits = planeBits(vectors, DupBands * BitsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    synchronized {
+      lastSketch.foreach(_.unpersist(blocking = false))
+      lastSketch = Some(bits)
+    }
     val bandKeys = (0 until DupBands).map { b =>
       (0 until BitsPerBand).map(r =>
         shiftleft(col(s"bit_${b * BitsPerBand + r}"), r)).reduce(_ + _)

@@ -115,7 +115,11 @@ object Warehouse {
                   predicate: Column): Unit = {
     val fq = s"`$db`.`$table`"
     val tmp = s"`$db`.`${table}__delete_tmp`"
-    spark.table(fq).filter(!predicate)
+    // SQL DELETE keeps rows whose predicate is NULL — !pred alone would
+    // drop them (NULL is not true), inverting that contract.
+    spark.table(fq)
+      .filter(!org.apache.spark.sql.functions.coalesce(
+        predicate, org.apache.spark.sql.functions.lit(false)))
       .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(tmp)
     spark.table(tmp)
       .write.mode(SaveMode.Overwrite).option("overwriteSchema", "true")
@@ -134,8 +138,11 @@ object Warehouse {
 
   private def requireSameColumns(spark: SparkSession, df: DataFrame,
                                  db: String, table: String): Unit = {
-    val existing = spark.table(s"`$db`.`$table`").schema.fieldNames.toSeq
-    val incoming = df.schema.fieldNames.toSeq
+    // names AND types: positional insertInto would otherwise cast a
+    // type-drifted column silently (NULL-corrupting non-castable values)
+    val existing = spark.table(s"`$db`.`$table`").schema.fields
+      .map(f => (f.name, f.dataType)).toSeq
+    val incoming = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
     require(existing == incoming,
       s"schema drift on $db.$table: table has $existing, batch has $incoming " +
         "(use LoadMode.FullRefresh to absorb drift)")

@@ -99,6 +99,33 @@ class ExtractWarehouseSpec extends SparkSpec {
     assert(!spark.catalog.tableExists(s"$db.t4__delete_tmp"))
   }
 
+  test("deleteWhere keeps NULL-predicate rows (SQL DELETE semantics)") {
+    val db = "wh_test"
+    val df = Seq((1L, Some("V1.0")), (2L, None), (3L, Some("V2.0")))
+      .toDF("id", "plan_ver")
+    Warehouse.load(spark, df, db, "t_null", LoadMode.FullRefresh)
+    Warehouse.deleteWhere(spark, db, "t_null", col("plan_ver") === "V1.0")
+    // id=2 has NULL predicate: a real DELETE WHERE retains it
+    assert(spark.table(s"$db.t_null").select("id").as[Long].collect().sorted
+      .toSeq == Seq(2L, 3L))
+  }
+
+  test("snapshot replace rejects type drift even with matching names") {
+    val db = "wh_test"
+    Warehouse.load(spark, Seq((1L, "a")).toDF("id", "v"), db, "t_drift",
+      LoadMode.FullRefresh)
+    val retyped = Seq(("1", "a")).toDF("id", "v") // id: string now
+    assertThrows[IllegalArgumentException](
+      Warehouse.load(spark, retyped, db, "t_drift", LoadMode.SnapshotReplace))
+  }
+
+  test("tenant config accepts the append (watermark) mode") {
+    val yaml = ops.PipelineOps.tenantYaml.replace("mode: full", "mode: append")
+    val cfg = graft.config.TenantConfig.parse(yaml, Map.empty)
+    assert(graft.store.LoadMode.parse(cfg.tables.head.mode)
+      == graft.store.LoadMode.WatermarkAppend)
+  }
+
   test("deterministic preview orders by key (A15 upgrade over trino.py:55-71)") {
     val db = "wh_test"
     Warehouse.load(spark, Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("id", "v"),

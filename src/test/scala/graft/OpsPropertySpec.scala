@@ -96,6 +96,13 @@ class OpsPropertySpec extends SparkSpec {
     assert(math.abs(dupPairs.head.getAs[Double]("cosine") - 1.0) < 1e-12)
   }
 
+  test("near-dup sketch rejects vectors wider than the weights table") {
+    val wide = Seq((1L, Seq.fill(600)(1.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception](VectorOps.nearDupPairs(wide, 0.9).count())
+    assert(ex.getMessage.contains("planeBits") ||
+      Option(ex.getCause).exists(_.getMessage.contains("planeBits")), ex.getMessage)
+  }
+
   test("multimodal stub: metadata and frame sampling are deterministic and batched") {
     val media = MultimodalOps.mediaFromDocuments(spark, sf).limit(20)
     val meta = MultimodalOps.extractMeta(media).collect()
