@@ -32,6 +32,21 @@ object ModelDag {
     out.toSeq
   }
 
+  /** Topological *levels*: models in the same level share no ref edges and
+    * can materialize concurrently — the engine's equivalent of dbt's thread
+    * pool (reference: profiles.yml threads 4 dev / 8 prod). Level k contains
+    * models whose longest ref chain has length k.
+    */
+  def levels(models: Seq[SqlModel]): Seq[Seq[SqlModel]] = {
+    val sorted = topoSort(models)
+    val depth = scala.collection.mutable.Map[String, Int]()
+    sorted.foreach { m =>
+      val d = m.refs.flatMap(depth.get).maxOption.map(_ + 1).getOrElse(0)
+      depth(m.name) = d
+    }
+    sorted.groupBy(m => depth(m.name)).toSeq.sortBy(_._1).map(_._2)
+  }
+
   /** Staging-layer models of a DAG = those no other model refs... kept
     * simple: layer is detectable from dbt-style names (`__stg_` / `__mart_`).
     */

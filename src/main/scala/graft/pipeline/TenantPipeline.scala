@@ -69,16 +69,49 @@ final class TenantPipeline(
     }.toMap
   }
 
-  /** Stage 2 — SQL-model DAG in topo order (reference: dbt build,
+  /** Stage 2 — SQL-model DAG (reference: dbt build,
     * _tenant_factory.py:361-392). Each model: render → spark.sql → CTAS.
+    * Models within a DAG level share no ref edges and run concurrently
+    * (`threads` ≈ dbt's profile threads, reference profiles.yml:14,26) —
+    * Spark's scheduler interleaves the independent jobs on one session.
     */
-  def runModels(spark: SparkSession): Map[String, Long] = {
+  def runModels(spark: SparkSession, threads: Int = 4): Map[String, Long] = {
     Warehouse.ensureDatabase(spark, tenant.database)
     val r = renderer
-    ModelDag.topoSort(models).map { m =>
-      val df = spark.sql(r.render(m))
-      Warehouse.saveModel(df, modelSchema(m), m.alias)
-      m.alias -> spark.table(s"`${modelSchema(m)}`.`${m.alias}`").count()
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(threads, 1))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      ModelDag.levels(models).flatMap { level =>
+        val futures = level.map { m =>
+          Future {
+            val df = spark.sql(r.render(m))
+            Warehouse.saveModel(df, modelSchema(m), m.alias)
+            m.alias -> spark.table(s"`${modelSchema(m)}`.`${m.alias}`").count()
+          }
+        }
+        futures.map(Await.result(_, Duration.Inf))
+      }.toMap
+    } finally pool.shutdown()
+  }
+
+  /** Per-table materialization metadata — row count + a deterministic
+    * preview, the reference's UI metadata surface
+    * (_tenant_factory.py:317-326, 385-390) without the 5-arbitrary-rows
+    * nondeterminism.
+    */
+  def report(spark: SparkSession, previewRows: Int = 5)
+      : Map[String, (Long, Seq[String])] = {
+    val raw = tenant.tables.map(t => (tenant.rawDatabase, t.name, t.primaryKey))
+    val marts = models.map(m => (modelSchema(m),
+      m.alias, Seq.empty[String]))
+    (raw ++ marts).map { case (db, table, pk) =>
+      val df = spark.table(s"`$db`.`$table`")
+      val orderCols = if (pk.nonEmpty) pk else Seq(df.columns.head)
+      val preview = Warehouse.preview(spark, db, table, orderCols, previewRows)
+        .collect().map(_.toString).toSeq
+      s"$db.$table" -> (df.count(), preview)
     }.toMap
   }
 

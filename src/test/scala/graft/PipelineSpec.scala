@@ -35,6 +35,19 @@ class PipelineSpec extends SparkSpec {
     assert(mart.count() == spark.table("graft_demo.graft_demo__stg_item_master").count())
   }
 
+  test("materialization report carries counts and deterministic previews") {
+    val tenant = TenantConfig.parse(PipelineOps.tenantYaml, Map.empty)
+    val p = new TenantPipeline(tenant, new ParquetSource(sf),
+      Seq(PipelineOps.stagingModel, PipelineOps.martModel))
+    p.run(spark)
+    val rep = p.report(spark)
+    assert(rep.contains("graft_demo_raw.item_master"))
+    assert(rep.contains("graft_demo.mart_item_master"))
+    val (cnt, preview) = rep("graft_demo.mart_item_master")
+    assert(cnt > 0 && preview.nonEmpty && preview.size <= 5)
+    assert(rep == p.report(spark)) // deterministic
+  }
+
   test("two tenants produce conformed marts that union cleanly (C14/C15)") {
     // second tenant: same models, different id + tenant filter — the
     // reference's project_02 shape (one engine instance serves N tenants)

@@ -62,4 +62,16 @@ class RendererSpec extends AnyFunSuite {
     val c2 = SqlModel("b", "SELECT * FROM {{ ref('a') }}")
     assertThrows[IllegalStateException](ModelDag.topoSort(Seq(c1, c2)))
   }
+
+  test("DAG levels group ref-independent models for concurrent materialization") {
+    val s1 = SqlModel("t__stg_a", "SELECT * FROM {{ source('raw','x') }}")
+    val s2 = SqlModel("t__stg_b", "SELECT * FROM {{ source('raw','y') }}")
+    val m1 = SqlModel("t__mart_c", "SELECT * FROM {{ ref('t__stg_a') }}")
+    val m2 = SqlModel("t__mart_d",
+      "SELECT * FROM {{ ref('t__stg_a') }} JOIN {{ ref('t__stg_b') }}")
+    val deep = SqlModel("t__mart_e", "SELECT * FROM {{ ref('t__mart_d') }}")
+    val lv = ModelDag.levels(Seq(deep, m1, m2, s1, s2)).map(_.map(_.name).toSet)
+    assert(lv == Seq(Set("t__stg_a", "t__stg_b"), Set("t__mart_c", "t__mart_d"),
+      Set("t__mart_e")))
+  }
 }
