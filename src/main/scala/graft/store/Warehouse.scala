@@ -87,10 +87,18 @@ object Warehouse {
     else Option(spark.table(s"`$db`.`$table`")
       .agg(org.apache.spark.sql.functions.max(column)).head.get(0))
 
-  /** A14 — model-output sink (dbt CTAS, materialized='table'). */
-  def saveModel(df: DataFrame, db: String, alias: String): Unit =
-    df.write.mode(SaveMode.Overwrite).option("overwriteSchema", "true")
-      .format("parquet").saveAsTable(s"`$db`.`$alias`")
+  /** A14 — model-output sink (dbt CTAS, materialized='table'). Partition
+    * columns (e.g. the synthesized `partition_key`, C6) turn downstream
+    * equality filters into partition pruning — the scan never opens
+    * non-matching directories.
+    */
+  def saveModel(df: DataFrame, db: String, alias: String,
+                partitionCols: Seq[String] = Seq.empty): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).option("overwriteSchema", "true")
+      .format("parquet")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .saveAsTable(s"`$db`.`$alias`")
+  }
 
   /** Bucketed sink: co-locates future joins/aggregations on `bucketCols` —
     * two tables bucketed identically join with NO shuffle exchange (the

@@ -99,6 +99,20 @@ class ExtractWarehouseSpec extends SparkSpec {
     assert(!spark.catalog.tableExists(s"$db.t4__delete_tmp"))
   }
 
+  test("partitioned mart write enables partition pruning on the filter scan") {
+    val db = "wh_test"
+    val mart = Tables.t(spark, sf, "orders")
+      .withColumn("plan_ver",
+        when(col("o_orderkey") % 2 === 0, "V1.0").otherwise("V2.0"))
+    Warehouse.saveModel(mart, db, "mart_part", partitionCols = Seq("plan_ver"))
+    val q = spark.table(s"$db.mart_part").filter(col("plan_ver") === "V1.0")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("plan_ver"),
+      scan.take(600))
+    // the pruned read returns exactly the partition's rows
+    assert(q.count() == mart.filter(col("plan_ver") === "V1.0").count())
+  }
+
   test("deleteWhere keeps NULL-predicate rows (SQL DELETE semantics)") {
     val db = "wh_test"
     val df = Seq((1L, Some("V1.0")), (2L, None), (3L, Some("V2.0")))
