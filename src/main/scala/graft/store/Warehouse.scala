@@ -114,6 +114,35 @@ object Warehouse {
       .saveAsTable(s"`$db`.`$table`")
   }
 
+  /** Small-file compaction: rewrite a managed table into `numFiles` output
+    * files (repartition before write). Streaming appends and per-batch
+    * snapshot loads accrete small files; at warehouse scale periodic
+    * compaction keeps scan task counts and footer overhead sane.
+    */
+  def compact(spark: SparkSession, db: String, table: String,
+              numFiles: Int): Unit = {
+    val fq = s"`$db`.`$table`"
+    val tmp = s"`$db`.`${table}__compact_tmp`"
+    spark.table(fq).repartition(numFiles)
+      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(tmp)
+    spark.table(tmp)
+      .write.mode(SaveMode.Overwrite).option("overwriteSchema", "true")
+      .format("parquet").saveAsTable(fq)
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+  }
+
+  /** Table + column statistics for the cost-based optimizer — accurate
+    * broadcast decisions and join reordering need them (AQE covers runtime
+    * sizes; CBO needs these at plan time).
+    */
+  def analyze(spark: SparkSession, db: String, table: String,
+              columns: Seq[String] = Seq.empty): Unit = {
+    spark.sql(s"ANALYZE TABLE `$db`.`$table` COMPUTE STATISTICS")
+    if (columns.nonEmpty)
+      spark.sql(s"ANALYZE TABLE `$db`.`$table` COMPUTE STATISTICS " +
+        s"FOR COLUMNS ${columns.map(c => s"`$c`").mkString(", ")}")
+  }
+
   /** C18 — DELETE WHERE on a plain-parquet managed table: anti-filter
     * rewrite with a checkpoint through a temp table so we never scan-and-
     * overwrite the same files in one job (SURVEY.md §7.5). Runs entirely on

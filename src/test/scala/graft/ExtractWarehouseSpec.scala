@@ -99,6 +99,26 @@ class ExtractWarehouseSpec extends SparkSpec {
     assert(!spark.catalog.tableExists(s"$db.t4__delete_tmp"))
   }
 
+  test("compaction reduces file count without changing content; analyze records stats") {
+    val db = "wh_test"
+    val df = Tables.t(spark, sf, "orders").repartition(16)
+    Warehouse.load(spark, df, db, "t_frag", LoadMode.FullRefresh)
+    def files(t: String): Int =
+      spark.table(s"$db.$t").inputFiles.length
+    val before = files("t_frag")
+    val content = spark.table(s"$db.t_frag").orderBy("o_orderkey").collect()
+    Warehouse.compact(spark, db, "t_frag", 2)
+    assert(files("t_frag") <= 2 && files("t_frag") < before)
+    assert(spark.table(s"$db.t_frag").orderBy("o_orderkey").collect()
+      .toSeq == content.toSeq)
+    assert(!spark.catalog.tableExists(s"$db.t_frag__compact_tmp"))
+
+    Warehouse.analyze(spark, db, "t_frag", Seq("o_orderkey"))
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("t_frag", Some(db)))
+    assert(meta.stats.exists(_.rowCount.exists(_.longValue == content.length)))
+  }
+
   test("partitioned mart write enables partition pruning on the filter scan") {
     val db = "wh_test"
     val mart = Tables.t(spark, sf, "orders")
