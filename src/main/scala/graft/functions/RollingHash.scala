@@ -83,9 +83,11 @@ object GraftFunctions {
   * SparkSessionExtensions path for cluster deployments.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("rolling_hash"),
       GraftFunctions.rollingHashInfo,
       (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    ext.injectOptimizerRule(spark => graft.plans.TenantIsolationRule(spark))
+  }
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.store.{LoadMode, Warehouse}
+
+/** The full SparkSessionExtensions path: a session built with
+  * GraftExtensions enforces tenant isolation on raw-table scans via the
+  * injected optimizer rule, and carries the native functions.
+  */
+class TenantIsolationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    // Reuse the shared SparkContext but build a session WITH extensions
+    // (extensions bind at session construction).
+    SparkSpec.session // ensure context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .withExtensions(new graft.functions.GraftExtensions())
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+  }
+
+  test("raw-table scans are auto-filtered to the session tenant; other tables untouched") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq(("T1", 1L), ("T1", 2L), ("T2", 3L)).toDF("project_id", "id")
+    Warehouse.load(spark, df, "iso_raw", "items", LoadMode.FullRefresh)
+    Warehouse.load(spark, df, "iso_mart", "items", LoadMode.FullRefresh)
+
+    // no tenant conf -> rule inert
+    assert(spark.table("iso_raw.items").count() == 3)
+
+    spark.conf.set("graft.tenant.filterColumn", "project_id")
+    spark.conf.set("graft.tenant.filterValue", "T1")
+    try {
+      // raw-db scan gains the filter even though the query never wrote one
+      val got = spark.table("iso_raw.items").select("id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == Seq(1L, 2L))
+      // the injected predicate reaches the scan as a pushed filter
+      val plan = spark.table("iso_raw.items").queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("project_id"), plan.take(600))
+      // aggregations compose with the injected filter
+      assert(spark.table("iso_raw.items").count() == 2)
+      // non-raw databases are untouched
+      assert(spark.table("iso_mart.items").count() == 3)
+      // tables without the column are untouched (no resolution error)
+      Warehouse.load(spark, Seq((10L, "x")).toDF("k", "v"), "iso2_raw", "nocol",
+        LoadMode.FullRefresh)
+      assert(spark.table("iso2_raw.nocol").count() == 1)
+    } finally {
+      spark.conf.set("graft.tenant.filterColumn", "")
+      spark.conf.set("graft.tenant.filterValue", "")
+    }
+  }
+
+  test("extension-registered rolling_hash resolves without manual registration") {
+    assert(spark.sql("SELECT rolling_hash('abc') AS h").head().getLong(0) ==
+      "abc".getBytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L))
+  }
+}
