@@ -49,6 +49,9 @@ final class JdbcSource(cfg: SourceConfig, numPartitions: Int = 8,
         .map(sn => s"jdbc:oracle:thin:@//${cfg.host}:${cfg.port}/$sn")
         .orElse(cfg.sid.map(sid => s"jdbc:oracle:thin:@${cfg.host}:${cfg.port}:$sid"))
         .getOrElse(s"jdbc:oracle:thin:@//${cfg.host}:${cfg.port}/${cfg.database}")
+    // Escape hatch for embedded/other engines: `database` carries the full
+    // JDBC URL verbatim (used by the integration tests via embedded Derby).
+    case "jdbc" => cfg.database
     case other => throw new IllegalArgumentException(
       s"Unknown source type: $other") // factory contract, __init__.py:20-23
   }
@@ -90,13 +93,14 @@ final class JdbcSource(cfg: SourceConfig, numPartitions: Int = 8,
     s"SELECT MIN($c) AS lo, MAX($c) AS hi FROM $qualified"
   }
 
+  /** Liveness probe. The reference issues `SELECT 1` (base.py:95-103),
+    * which is not valid SQL on Oracle or Derby (no FROM-less SELECT);
+    * `Connection.isValid` is the engine-agnostic equivalent.
+    */
   override def probe(spark: SparkSession): Boolean =
     try {
-      spark.read.format("jdbc")
-        .option("url", connectionUrl)
-        .option("query", "SELECT 1")
-        .option("user", cfg.username)
-        .option("password", cfg.password)
-        .load().count() == 1L
+      val conn = java.sql.DriverManager.getConnection(
+        connectionUrl, cfg.username, cfg.password)
+      try conn.isValid(5) finally conn.close()
     } catch { case _: Throwable => false }
 }
