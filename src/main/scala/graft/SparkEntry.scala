@@ -45,6 +45,8 @@ object SparkEntry {
     "q_approx_distinct"     -> (Relational.approxDistinct _),
     "q_scalar_datetime_math" -> (Relational.scalarDatetimeMath _),
     "q_cube_agg"            -> (Relational.cubeAgg _),
+    "q_grouping_sets"       -> (Relational.groupingSets _),
+    "q_multimodal_meta"     -> (MultimodalOps.multimodalMeta _),
     "q_pivot_status"        -> (Relational.pivotStatus _),
     "q_json_extract"        -> (EventOps.jsonExtract _),
     "q_asof_last_click"     -> (EventOps.asofLastClick _),
@@ -221,6 +223,14 @@ object SparkEntry {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+        |           AS gid,
+        |       COUNT(*) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q_pivot_status" ->
       """SELECT o_orderpriority,
         |       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,

@@ -78,6 +78,17 @@ object MultimodalOps {
     }.toDF("doc_id", "frame_idx", "frame_bytes")
   }
 
+  /** Registry entry: typed metadata over the binary corpus (rows-only
+    * check — the decode stub's outputs are engine-internal, but fully
+    * deterministic; see OpsPropertySpec).
+    */
+  def multimodalMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    extractMeta(mediaFromDocuments(s, d))
+      .select("docId", "nBytes", "format", "width", "height")
+      .orderBy("docId")
+  }
+
   /** Fixture adapter: documents.text as the opaque payload (the offline
     * harness has no true media files).
     */

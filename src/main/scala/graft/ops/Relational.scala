@@ -160,6 +160,21 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), exactSum("o_totalprice").as("total_price"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
+  /** Explicit GROUPING SETS — the two single-dimension aggregates in one
+    * shuffle, with grouping_id distinguishing the sets.
+    */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    graft.Tables.registerViews(s, d, Seq("orders"))
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |       COUNT(*) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        |""".stripMargin)
+  }
+
   /** Row→column pivot: order counts per priority pivoted by status, with an
     * explicit value list so the output schema is static (the scale-safe
     * form — no extra pass to discover pivot values).
