@@ -88,6 +88,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("rolling_hash"),
       GraftFunctions.rollingHashInfo,
       (exprs: Seq[Expression]) => RollingHash(exprs.head)))
-    ext.injectOptimizerRule(spark => graft.plans.TenantIsolationRule(spark))
+    // resolution-stage so the filter is in the analyzed plan (cache-safe)
+    ext.injectPostHocResolutionRule(spark => graft.plans.TenantIsolationRule(spark))
   }
 }

@@ -51,13 +51,18 @@ object MultimodalOps {
     * the per-partition iterator is where a real codec/model is initialized
     * once and reused across the batch (never per row).
     */
-  def extractMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+  def extractMeta(media: Dataset[MediaRow],
+                  withFeatures: Boolean = true): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real impl: open codec / load model HERE, once per partition
+      // real impl: open codec / load model HERE, once per partition.
+      // withFeatures=false skips the (expensive) feature pass — Catalyst
+      // cannot prune columns out of opaque typed code, so metadata-only
+      // callers must opt out explicitly.
       rows.map { r =>
         val (fmt, w, h) = decodeStub(r.payload)
-        MediaMeta(r.docId, r.payload.length, fmt, w, h, featuresStub(r.payload))
+        val feats = if (withFeatures) featuresStub(r.payload) else Array.empty[Float]
+        MediaMeta(r.docId, r.payload.length, fmt, w, h, feats)
       }
     }
   }
@@ -82,12 +87,10 @@ object MultimodalOps {
     * check — the decode stub's outputs are engine-internal, but fully
     * deterministic; see OpsPropertySpec).
     */
-  def multimodalMeta(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    extractMeta(mediaFromDocuments(s, d))
+  def multimodalMeta(s: SparkSession, d: String): DataFrame =
+    extractMeta(mediaFromDocuments(s, d), withFeatures = false)
       .select("docId", "nBytes", "format", "width", "height")
       .orderBy("docId")
-  }
 
   /** Fixture adapter: documents.text as the opaque payload (the offline
     * harness has no true media files).

@@ -108,7 +108,9 @@ final class TenantPipeline(
       m.alias, Seq.empty[String]))
     (raw ++ marts).map { case (db, table, pk) =>
       val df = spark.table(s"`$db`.`$table`")
-      val orderCols = if (pk.nonEmpty) pk else Seq(df.columns.head)
+      // PK when declared, else ALL columns — a non-unique first column
+      // alone would leave tied rows in arbitrary order
+      val orderCols = if (pk.nonEmpty) pk else df.columns.toSeq
       val preview = Warehouse.preview(spark, db, table, orderCols, previewRows)
         .collect().map(_.toString).toSeq
       s"$db.$table" -> (df.count(), preview)

@@ -2,15 +2,14 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.catalog.HiveTableRelation
-import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 
-/** Catalyst optimizer rule enforcing tenant isolation at the plan level:
-  * every scan of a `*_raw` catalog table gains the tenant equality filter,
-  * whether or not the query author remembered it.
+/** Catalyst rule enforcing tenant isolation at the plan level: every scan of
+  * a `*_raw` catalog table gains the tenant equality filter, whether or not
+  * the query author remembered it.
   *
   * The reference trusts each generated extraction query to carry the
   * `tenant_filter` predicate (reference: base.py:63-68 builds it,
@@ -18,46 +17,74 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   * have no such guarantee. This rule closes that hole — the engine-level
   * equivalent of row-level security for the multi-tenant warehouse.
   *
+  * Injected as a post-hoc *resolution* rule (not an optimizer rule) so the
+  * filter is part of the analyzed plan: cached raw tables then cache the
+  * *filtered* plan — a later tenant switch can't be served another tenant's
+  * cached rows, and caching can't bypass isolation.
+  *
   * Configured per session (empty column disables the rule):
   * {{{
   *   spark.conf.set("graft.tenant.filterColumn", "project_id")
   *   spark.conf.set("graft.tenant.filterValue",  "EED70012-...")
   * }}}
+  * The literal is cast to the column's type, so numeric tenant keys work.
   *
-  * Activated via [[graft.functions.GraftExtensions]]
-  * (`spark.sql.extensions=graft.functions.GraftExtensions`).
+  * Maintenance operations (compaction, delete-rewrite, watermark reads in
+  * graft.store.Warehouse) are tenant-agnostic BY DESIGN — they run under
+  * [[TenantIsolationRule.withMaintenanceBypass]], which suspends injection
+  * for the enclosed reads; without it a tenant-scoped session compacting a
+  * shared raw table would silently drop every other tenant's rows.
   *
-  * The injected Filter sits directly above the relation, so it reaches the
-  * parquet reader as a pushed filter / partition prune like any authored
-  * predicate. A TreeNodeTag keeps the rule idempotent across the
-  * optimizer's fix-point iterations.
+  * Idempotency is structural (a raw relation already sitting under exactly
+  * this filter is left alone) — node tags or analyzed-flags cannot be used
+  * because the session catalog's tableRelationCache SHARES relation
+  * instances across queries, so per-node state from one query's analysis
+  * would wrongly suppress injection in the next.
   */
 case class TenantIsolationRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  private val Tag = TreeNodeTag[Boolean]("graft.tenantFiltered")
+  import TenantIsolationRule._
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val column = spark.conf.get("graft.tenant.filterColumn", "")
-    val value = spark.conf.get("graft.tenant.filterValue", "")
-    if (column.isEmpty) return plan
+    val column = spark.conf.get(ColumnKey, "")
+    val value = spark.conf.get(ValueKey, "")
+    if (column.isEmpty || spark.conf.get(BypassKey, "false") == "true") return plan
 
-    def guard(rel: LogicalPlan): LogicalPlan =
-      rel.output.find(a => a.name.equalsIgnoreCase(column)) match {
-        case Some(attr) =>
-          rel.setTagValue(Tag, true)
-          Filter(EqualTo(attr, Literal(value)), rel)
-        case None => rel
-      }
-
-    plan.transform {
-      case rel: LogicalRelation
-          if rel.getTagValue(Tag).isEmpty &&
-            rel.catalogTable.exists(_.identifier.database.exists(_.endsWith("_raw"))) =>
-        guard(rel)
-      case rel: HiveTableRelation
-          if rel.getTagValue(Tag).isEmpty &&
-            rel.tableMeta.identifier.database.exists(_.endsWith("_raw")) =>
-        guard(rel)
+    def isRawRelation(p: LogicalPlan): Boolean = p match {
+      case rel: LogicalRelation =>
+        rel.catalogTable.exists(_.identifier.database.exists(_.endsWith("_raw")))
+      case rel: HiveTableRelation =>
+        rel.tableMeta.identifier.database.exists(_.endsWith("_raw"))
+      case _ => false
     }
+
+    def predicateFor(rel: LogicalPlan) =
+      rel.output.find(a => a.name.equalsIgnoreCase(column))
+        .map(attr => EqualTo(attr, Cast(Literal(value), attr.dataType)))
+
+    // manual recursion: transform's automatic descent would re-wrap the
+    // relation under its own freshly injected (or pre-existing) filter
+    def inject(p: LogicalPlan): LogicalPlan = p match {
+      case f @ Filter(cond, rel) if isRawRelation(rel) &&
+          predicateFor(rel).exists(exp => cond.find(_.semanticEquals(exp)).isDefined) =>
+        f // already guarded for this tenant; don't descend
+      case rel if isRawRelation(rel) =>
+        predicateFor(rel).map(Filter(_, rel)).getOrElse(rel)
+      case other => other.mapChildren(inject)
+    }
+    inject(plan)
+  }
+}
+
+object TenantIsolationRule {
+  val ColumnKey = "graft.tenant.filterColumn"
+  val ValueKey = "graft.tenant.filterValue"
+  val BypassKey = "graft.tenant.maintenanceBypass"
+
+  /** Run `body` with tenant-filter injection suspended (maintenance ops). */
+  def withMaintenanceBypass[T](spark: SparkSession)(body: => T): T = {
+    val prev = spark.conf.get(BypassKey, "false")
+    spark.conf.set(BypassKey, "true")
+    try body finally spark.conf.set(BypassKey, prev)
   }
 }

@@ -93,14 +93,40 @@ final class JdbcSource(cfg: SourceConfig, numPartitions: Int = 8,
     s"SELECT MIN($c) AS lo, MAX($c) AS hi FROM $qualified"
   }
 
-  /** Liveness probe. The reference issues `SELECT 1` (base.py:95-103),
-    * which is not valid SQL on Oracle or Derby (no FROM-less SELECT);
-    * `Connection.isValid` is the engine-agnostic equivalent.
+  /** Engine-appropriate liveness statement — the reference's bare
+    * `SELECT 1` (base.py:95-103) is not valid SQL on Oracle (or Derby).
     */
-  override def probe(spark: SparkSession): Boolean =
-    try {
-      val conn = java.sql.DriverManager.getConnection(
-        connectionUrl, cfg.username, cfg.password)
-      try conn.isValid(5) finally conn.close()
-    } catch { case _: Throwable => false }
+  def validationQuery: String = cfg.sourceType match {
+    case "oracle" => "SELECT 1 FROM DUAL"
+    case "jdbc" => "SELECT 1 FROM SYSIBM.SYSDUMMY1" // Derby-style embedded
+    case _ => "SELECT 1"
+  }
+
+  /** Liveness probe. Tries `Connection.isValid` via DriverManager first
+    * (no SQL dialect involved); when the JDBC driver lives only in Spark's
+    * session classloader (e.g. shipped via --jars, where DriverManager's
+    * caller-classloader check rejects it), falls back to Spark's own JDBC
+    * reader with the per-engine validation query.
+    */
+  override def probe(spark: SparkSession): Boolean = {
+    val direct =
+      try {
+        val conn = java.sql.DriverManager.getConnection(
+          connectionUrl, cfg.username, cfg.password)
+        try Some(conn.isValid(5)) finally conn.close()
+      } catch {
+        case _: java.sql.SQLException => None // e.g. "No suitable driver"
+        case _: Throwable => Some(false)
+      }
+    direct.getOrElse {
+      try {
+        spark.read.format("jdbc")
+          .option("url", connectionUrl)
+          .option("query", validationQuery)
+          .option("user", cfg.username)
+          .option("password", cfg.password)
+          .load().count() == 1L
+      } catch { case _: Throwable => false }
+    }
+  }
 }

@@ -80,12 +80,16 @@ object Warehouse {
     }
   }
 
-  /** Highest stored watermark value, for the append path's strict-`>` filter. */
+  /** Highest stored watermark value, for the append path's strict-`>` filter.
+    * Maintenance read: the table-wide watermark, not a tenant-scoped one.
+    */
   def currentWatermark(spark: SparkSession, db: String, table: String,
                        column: String): Option[Any] =
-    if (!spark.catalog.tableExists(s"$db.$table")) None
-    else Option(spark.table(s"`$db`.`$table`")
-      .agg(org.apache.spark.sql.functions.max(column)).head.get(0))
+    graft.plans.TenantIsolationRule.withMaintenanceBypass(spark) {
+      if (!spark.catalog.tableExists(s"$db.$table")) None
+      else Option(spark.table(s"`$db`.`$table`")
+        .agg(org.apache.spark.sql.functions.max(column)).head.get(0))
+    }
 
   /** A14 — model-output sink (dbt CTAS, materialized='table'). Partition
     * columns (e.g. the synthesized `partition_key`, C6) turn downstream
@@ -114,21 +118,57 @@ object Warehouse {
       .saveAsTable(s"`$db`.`$table`")
   }
 
+  /** Rewrite a managed table through a temp-table checkpoint, preserving
+    * its partition and bucket layout (read from catalog metadata). The
+    * shared core of compaction and delete-rewrite: write transform(read)
+    * to `__rw_tmp` with the original layout, overwrite the target from it,
+    * drop the tmp. Reads run under the tenant-isolation maintenance bypass
+    * — table maintenance is tenant-agnostic by design (a tenant-scoped
+    * session must not silently drop other tenants' rows).
+    */
+  def rewriteVia(spark: SparkSession, db: String, table: String)
+                (transform: DataFrame => DataFrame,
+                 reshape: DataFrame => DataFrame = identity): Unit =
+    graft.plans.TenantIsolationRule.withMaintenanceBypass(spark) {
+      val fq = s"`$db`.`$table`"
+      val tmp = s"`$db`.`${table}__rw_tmp`"
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
+      def write(df: DataFrame, target: String): Unit = {
+        var w = reshape(df).write.mode(SaveMode.Overwrite)
+          .option("overwriteSchema", "true").format("parquet")
+        if (meta.partitionColumnNames.nonEmpty)
+          w = w.partitionBy(meta.partitionColumnNames: _*)
+        meta.bucketSpec.foreach { bs =>
+          w = w.bucketBy(bs.numBuckets,
+            bs.bucketColumnNames.head, bs.bucketColumnNames.tail: _*)
+          if (bs.sortColumnNames.nonEmpty)
+            w = w.sortBy(bs.sortColumnNames.head, bs.sortColumnNames.tail: _*)
+        }
+        w.saveAsTable(target)
+      }
+      write(transform(spark.table(fq)), tmp)
+      write(spark.table(tmp), fq)
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    }
+
   /** Small-file compaction: rewrite a managed table into `numFiles` output
-    * files (repartition before write). Streaming appends and per-batch
-    * snapshot loads accrete small files; at warehouse scale periodic
-    * compaction keeps scan task counts and footer overhead sane.
+    * files per partition. The repartition applies on BOTH writes —
+    * rereading the tmp would otherwise re-split by maxPartitionBytes and
+    * undo the compaction. Streaming appends and per-batch snapshot loads
+    * accrete small files; periodic compaction keeps scan task counts and
+    * footer overhead sane at warehouse scale.
     */
   def compact(spark: SparkSession, db: String, table: String,
               numFiles: Int): Unit = {
-    val fq = s"`$db`.`$table`"
-    val tmp = s"`$db`.`${table}__compact_tmp`"
-    spark.table(fq).repartition(numFiles)
-      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(tmp)
-    spark.table(tmp)
-      .write.mode(SaveMode.Overwrite).option("overwriteSchema", "true")
-      .format("parquet").saveAsTable(fq)
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    val pcols = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
+      .partitionColumnNames
+    def shrink(df: DataFrame): DataFrame =
+      if (pcols.nonEmpty)
+        df.repartition(numFiles, pcols.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(numFiles)
+    rewriteVia(spark, db, table)(identity, shrink)
   }
 
   /** Table + column statistics for the cost-based optimizer — accurate
@@ -149,20 +189,12 @@ object Warehouse {
     * executors — no driver-side row handling.
     */
   def deleteWhere(spark: SparkSession, db: String, table: String,
-                  predicate: Column): Unit = {
-    val fq = s"`$db`.`$table`"
-    val tmp = s"`$db`.`${table}__delete_tmp`"
+                  predicate: Column): Unit =
     // SQL DELETE keeps rows whose predicate is NULL — !pred alone would
     // drop them (NULL is not true), inverting that contract.
-    spark.table(fq)
-      .filter(!org.apache.spark.sql.functions.coalesce(
-        predicate, org.apache.spark.sql.functions.lit(false)))
-      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(tmp)
-    spark.table(tmp)
-      .write.mode(SaveMode.Overwrite).option("overwriteSchema", "true")
-      .format("parquet").saveAsTable(fq)
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
-  }
+    rewriteVia(spark, db, table)(_.filter(
+      !org.apache.spark.sql.functions.coalesce(
+        predicate, org.apache.spark.sql.functions.lit(false))))
 
   /** A15 — deterministic preview (reference samples 5 unordered rows,
     * trino.py:55-71; we order by the given key so it's reproducible).

@@ -96,7 +96,7 @@ class ExtractWarehouseSpec extends SparkSpec {
     Warehouse.load(spark, df, db, "t4", LoadMode.FullRefresh)
     Warehouse.deleteWhere(spark, db, "t4", col("plan_ver") === "V1.0")
     assert(spark.table(s"$db.t4").as[(Long, String)].collect().toSeq == Seq((2L, "V2.0")))
-    assert(!spark.catalog.tableExists(s"$db.t4__delete_tmp"))
+    assert(!spark.catalog.tableExists(s"$db.t4__rw_tmp"))
   }
 
   test("compaction reduces file count without changing content; analyze records stats") {
@@ -111,7 +111,20 @@ class ExtractWarehouseSpec extends SparkSpec {
     assert(files("t_frag") <= 2 && files("t_frag") < before)
     assert(spark.table(s"$db.t_frag").orderBy("o_orderkey").collect()
       .toSeq == content.toSeq)
-    assert(!spark.catalog.tableExists(s"$db.t_frag__compact_tmp"))
+    assert(!spark.catalog.tableExists(s"$db.t_frag__rw_tmp"))
+
+    // compaction and delete-rewrite preserve partition layout
+    val mart = Tables.t(spark, sf, "orders")
+      .withColumn("plan_ver",
+        when(col("o_orderkey") % 2 === 0, "V1.0").otherwise("V2.0"))
+    Warehouse.saveModel(mart, db, "t_playout", partitionCols = Seq("plan_ver"))
+    Warehouse.compact(spark, db, "t_playout", 1)
+    val metaAfter = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("t_playout", Some(db)))
+    assert(metaAfter.partitionColumnNames == Seq("plan_ver"))
+    val pruned = spark.table(s"$db.t_playout").filter(col("plan_ver") === "V1.0")
+      .queryExecution.executedPlan.toString
+    assert(pruned.contains("PartitionFilters"), pruned.take(400))
 
     Warehouse.analyze(spark, db, "t_frag", Seq("o_orderkey"))
     val meta = spark.sessionState.catalog.getTableMetadata(

@@ -68,6 +68,54 @@ class TenantIsolationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("maintenance ops bypass isolation: compact keeps every tenant's rows") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq(("T1", 1L), ("T2", 2L), ("T3", 3L)).toDF("project_id", "id")
+    Warehouse.load(spark, df, "isom_raw", "items", LoadMode.FullRefresh)
+    spark.conf.set("graft.tenant.filterColumn", "project_id")
+    spark.conf.set("graft.tenant.filterValue", "T1")
+    try {
+      Warehouse.compact(spark, "isom_raw", "items", 1)
+      Warehouse.deleteWhere(spark, "isom_raw", "items", col("id") === 999L)
+      // tenant-scoped query still sees only T1...
+      assert(spark.table("isom_raw.items").count() == 1)
+    } finally {
+      spark.conf.set("graft.tenant.filterColumn", "")
+    }
+    // ...but the table still holds ALL tenants' rows
+    assert(spark.table("isom_raw.items").count() == 3)
+  }
+
+  test("numeric tenant columns work: injected literal is cast to the column type") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq((10L, "a"), (10L, "b"), (20L, "c")).toDF("tenant_id", "v")
+    Warehouse.load(spark, df, "ison_raw", "items", LoadMode.FullRefresh)
+    spark.conf.set("graft.tenant.filterColumn", "tenant_id")
+    spark.conf.set("graft.tenant.filterValue", "10")
+    try assert(spark.table("ison_raw.items").count() == 2)
+    finally spark.conf.set("graft.tenant.filterColumn", "")
+  }
+
+  test("caching a raw table caches the FILTERED plan (no cross-tenant leak)") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq(("T1", 1L), ("T2", 2L)).toDF("project_id", "id")
+    Warehouse.load(spark, df, "isoc_raw", "items", LoadMode.FullRefresh)
+    spark.conf.set("graft.tenant.filterColumn", "project_id")
+    spark.conf.set("graft.tenant.filterValue", "T1")
+    try {
+      val t1 = spark.table("isoc_raw.items").cache()
+      assert(t1.count() == 1)
+      // switching tenants must NOT serve T1's cached rows
+      spark.conf.set("graft.tenant.filterValue", "T2")
+      val rows = spark.table("isoc_raw.items").collect()
+      assert(rows.length == 1 && rows.head.getString(0) == "T2")
+      t1.unpersist()
+    } finally spark.conf.set("graft.tenant.filterColumn", "")
+  }
+
   test("extension-registered rolling_hash resolves without manual registration") {
     assert(spark.sql("SELECT rolling_hash('abc') AS h").head().getLong(0) ==
       "abc".getBytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L))
