@@ -43,15 +43,19 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), exactSum("o_totalprice").as("total_price"))
       .orderBy("r_name", "n_name")
 
-  /** Left-semi + left-anti in one result: customers with / without orders. */
+  /** Left-semi + left-anti in one result: customers with / without orders.
+    * Single-pass form — one left join against the distinct key set tags
+    * both populations (running semi and anti separately would scan both
+    * tables twice and join twice for the same answer).
+    */
   def joinSemiAnti(s: SparkSession, d: String): DataFrame = {
     val c = t(s, d, "customer").select("c_custkey", "c_name")
-    val o = t(s, d, "orders").select("o_custkey")
-    val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
-      .withColumn("tag", lit("HAS_ORDERS"))
-    val without = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
-      .withColumn("tag", lit("NO_ORDERS"))
-    withOrders.unionByName(without).orderBy("c_custkey")
+    val o = t(s, d, "orders").select("o_custkey").distinct()
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        when(col("o_custkey").isNotNull, "HAS_ORDERS")
+          .otherwise("NO_ORDERS").as("tag"))
+      .orderBy("c_custkey")
   }
 
   /** Latest-wins dedup by PK — the correct incremental-merge the reference's
@@ -103,15 +107,22 @@ object Relational {
     a.unionByName(b).orderBy("tenant_id", "c_custkey")
   }
 
-  /** EXCEPT + INTERSECT over key sets. */
-  def exceptIntersect(s: SparkSession, d: String): DataFrame = {
-    val o = t(s, d, "orders")
-    val f = o.filter(col("o_orderstatus") === "F").select("o_custkey")
-    val oo = o.filter(col("o_orderstatus") === "O").select("o_custkey")
-    val both = f.intersect(oo).withColumn("tag", lit("BOTH"))
-    val fOnly = f.except(oo).withColumn("tag", lit("F_ONLY"))
-    both.unionByName(fOnly).orderBy("tag", "o_custkey")
-  }
+  /** EXCEPT + INTERSECT over key sets, as one single-pass aggregation:
+    * per key, membership flags for each side, then the set operations are
+    * flag predicates. One scan and one shuffle where the naive
+    * intersect-plus-except plan scans the fact twice and shuffles four
+    * times for the same answer.
+    */
+  def exceptIntersect(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .groupBy("o_custkey")
+      .agg(max(col("o_orderstatus") === "F").as("has_f"),
+        max(col("o_orderstatus") === "O").as("has_o"))
+      .filter(col("has_f"))
+      .select(col("o_custkey"),
+        when(col("has_o"), "BOTH").otherwise("F_ONLY").as("tag"))
+      .orderBy("tag", "o_custkey")
 
   /** ROLLUP over (event_type, day) — grouping-set aggregation. */
   def rollupAgg(s: SparkSession, d: String): DataFrame =
