@@ -282,8 +282,12 @@ object SparkEntry {
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_json_extract" ->
+      // outer CAST: DuckDB SUM(BIGINT) yields HUGEINT, which pandas fetches
+      // as float — Spark's int64 would then fail the driver's typed hash
+      // even though the values agree (round-2 verdict #2).
       """SELECT event_type, COUNT(*) AS cnt,
-        |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |            AS BIGINT) AS k_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_event_tumbling_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,

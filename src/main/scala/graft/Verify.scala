@@ -15,6 +15,11 @@ object Verify {
       // events.ts is parquet TIMESTAMP(NANOS): read as exact ns-epoch Long
       // (Spark has no ns timestamp type) — see graft.Tables.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Hermetic managed-table storage: a previous run's cwd/spark-warehouse
+      // would otherwise make every saveAsTable create path fail with
+      // LOCATION_ALREADY_EXISTS on the second run in the same checkout.
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-verify-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

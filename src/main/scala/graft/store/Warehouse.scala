@@ -52,12 +52,28 @@ object Warehouse {
   def readLanding(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
+  /** A catalog-unknown table whose default location survives on disk (a
+    * previous process's warehouse dir reused by this one) makes every
+    * saveAsTable create path throw LOCATION_ALREADY_EXISTS. Managed-table
+    * contract: the catalog owns the location — a directory the catalog
+    * doesn't know about is stale output, safe to clear before create.
+    */
+  private def dropStaleLocation(spark: SparkSession, db: String,
+                                table: String): Unit = {
+    val loc = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(spark.catalog.getDatabase(db).locationUri),
+      table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   /** A8/A9/append — load a batch into `db.table` under the given mode. */
   def load(spark: SparkSession, df: DataFrame, db: String, table: String,
            mode: LoadMode): Unit = {
     ensureDatabase(spark, db)
     val fq = s"`$db`.`$table`"
     val exists = spark.catalog.tableExists(s"$db.$table")
+    if (!exists) dropStaleLocation(spark, db, table)
     mode match {
       case LoadMode.FullRefresh =>
         df.write.mode(SaveMode.Overwrite)
@@ -98,6 +114,10 @@ object Warehouse {
     */
   def saveModel(df: DataFrame, db: String, alias: String,
                 partitionCols: Seq[String] = Seq.empty): Unit = {
+    val spark = df.sparkSession
+    ensureDatabase(spark, db)
+    if (!spark.catalog.tableExists(s"$db.$alias"))
+      dropStaleLocation(spark, db, alias)
     val w = df.write.mode(SaveMode.Overwrite).option("overwriteSchema", "true")
       .format("parquet")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
@@ -111,6 +131,10 @@ object Warehouse {
     */
   def saveBucketed(df: DataFrame, db: String, table: String,
                    bucketCols: Seq[String], numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    ensureDatabase(spark, db)
+    if (!spark.catalog.tableExists(s"$db.$table"))
+      dropStaleLocation(spark, db, table)
     df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)

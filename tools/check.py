@@ -12,6 +12,7 @@ import math
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -23,10 +24,23 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def _is_float(v) -> bool:
+    return isinstance(v, (float, np.floating))
+
+
+def _is_int(v) -> bool:
+    return isinstance(v, (int, np.integer)) and not isinstance(v, bool)
+
+
 def values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
-    if isinstance(a, float) and isinstance(b, float):
+    # Reject int-vs-float type drift: the driver hashes typed values, so
+    # 99111 != 99111.0 there — Python's numeric coercion must not hide it
+    # here (it did for q_json_extract's HUGEINT->float oracle in round 2).
+    if (_is_float(a) and _is_int(b)) or (_is_int(a) and _is_float(b)):
+        return False
+    if _is_float(a) and _is_float(b):
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b
