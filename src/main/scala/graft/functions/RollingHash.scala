@@ -73,9 +73,12 @@ object GraftFunctions {
     "")
 
   /** Idempotent per-session registration (temp function registry). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_sketch", exprs => HyperplaneSketch(exprs.head), "scala_udf")
+  }
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` injects the
@@ -88,6 +91,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("rolling_hash"),
       GraftFunctions.rollingHashInfo,
       (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_sketch"),
+      HyperplaneSketch.info,
+      (exprs: Seq[Expression]) => HyperplaneSketch(exprs.head)))
     // resolution-stage so the filter is in the analyzed plan (cache-safe)
     ext.injectPostHocResolutionRule(spark => graft.plans.TenantIsolationRule(spark))
   }

@@ -98,8 +98,15 @@ object TextOps {
       posexplode(array((0 until Bands).map(b =>
         xxhash64((0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}")): _*)): _*))
         .as(Seq("band_idx", "band_hash")))
-    val a = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
-    val b = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
+    // Hot-bucket guard (same rationale as VectorOps.nearDupPairs): a band
+    // hash shared by >cap docs (boilerplate, empty text) would expand
+    // quadratically in the self-join; such content is exact-dedup's job.
+    val hot = banded.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("n")).filter(col("n") > MaxBucketSize)
+      .select("band_idx", "band_hash")
+    val pruned = banded.join(broadcast(hot), Seq("band_idx", "band_hash"), "left_anti")
+    val a = pruned.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = pruned.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
@@ -109,6 +116,7 @@ object TextOps {
   val NumHashes = 16
   val Bands = 4
   val RowsPerBand = 4
+  val MaxBucketSize = 1024
 
   /** doc_id + sig_0..sig_15 minhash signature columns from a `tokens` array.
     *

@@ -77,57 +77,29 @@ object VectorOps {
       .orderBy("probe_id", "rnk")
   }
 
-  /** Deterministic pseudo-random hyperplane weight in [-1, 1) for plane p,
-    * dimension i (splitmix64 mix — computed driver-side, shipped as a tiny
-    * broadcast table; no RNG state on executors).
+  /** Deterministic hyperplane weight — delegates to the native sketch's
+    * weight matrix so the DataFrame path and the codegen expression can
+    * never drift (graft.functions.HyperplaneSketch.planeWeight).
     */
-  private[graft] def planeWeight(p: Int, i: Int): Double = {
-    var z = p.toLong * 0x10001L + i + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    (z ^ (z >>> 31)).toDouble / Long.MaxValue.toDouble
-  }
+  private[graft] def planeWeight(p: Int, i: Int): Double =
+    graft.functions.HyperplaneSketch.planeWeight(p, i)
 
-  /** Sign-bit sketch over `numPlanes` hyperplanes, computed as
-    * explode(dims) ⋈ broadcast(weights) → codegen'd hash aggregation with
-    * DECIMAL-exact sums (order-independent → bit-deterministic across
-    * shuffles). No interpreted per-element lambdas in the hot path; the
-    * shuffle carries vecs×planes partials thanks to map-side combine.
-    * Output: (vec_id, l2, bit_0..bit_{n-1}).
+  private[ops] val MaxDims = graft.functions.HyperplaneSketch.MaxDims
+
+  /** Sign-bit sketch: ONE native codegen expression per row
+    * (graft.functions.HyperplaneSketch) producing all 64 plane bits packed
+    * in a long plus the L2 norm. Replaces the former explode → weights-join
+    * → 65-column hash aggregation: same bit values (identical fixed-point
+    * terms, exact long addition), but zero shuffles and a codegen surface
+    * of one tight loop instead of 65 aggregate columns (~10 s of one-time
+    * janino compile at 64 planes).
+    * Output: (vec_id, sketch: long, l2: double).
     */
-  private[ops] val MaxDims = 512
-  private[ops] def planeBits(vectors: DataFrame, numPlanes: Int): DataFrame = {
-    val spark = vectors.sparkSession
-    import spark.implicits._
-    val w = (0 until MaxDims)
-      .map(i => (i, (0 until numPlanes).map(p => planeWeight(p, i))))
-      .toDF("dim_idx", "w")
-    // Fail loudly instead of silently sketching a 512-dim prefix (the inner
-    // join below would drop dimensions the weights table lacks). The assert
-    // is woven into the exploded expression so column pruning can't drop it.
-    val checked = when(
-      assert_true(size(col("embedding")) <= MaxDims,
-        lit(s"planeBits supports at most $MaxDims dims")).isNull,
-      col("embedding"))
-    val prods = vectors
-      .select(col("vec_id"), posexplode(checked).as(Seq("dim_idx", "x")))
-      .withColumn("xd", col("x").cast("double"))
-      .join(broadcast(w), "dim_idx")
-    // Fixed-point: scale products to 1e15 and sum as BIGINT — exact integer
-    // accumulation (order-independent => bit-deterministic) on the codegen
-    // long fast path; decimal(38,x) sums would fall back to per-row
-    // BigDecimal (measured 10x slower across 65 agg columns).
-    // Range contract: |x| <= ~95 per element (x²·1e15 < Long.Max) — holds
-    // for normalized/bounded embeddings, which is the only sane input here.
-    val S = 1e15
-    val aggs = (0 until numPlanes).map(p =>
-      sum((col("xd") * element_at(col("w"), p + 1) * S).cast("bigint"))
-        .as(s"dot_$p")) :+
-      sum((col("xd") * col("xd") * S).cast("bigint")).as("l2sq")
-    prods.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
-      .select(col("vec_id") +: sqrt(col("l2sq").cast("double") / S).as("l2") +:
-        (0 until numPlanes).map(p =>
-          when(col(s"dot_$p") >= 0, 1L).otherwise(0L).as(s"bit_$p")): _*)
+  private[ops] def sketch(vectors: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    vectors
+      .select(col("vec_id"), expr("hyperplane_sketch(embedding)").as("sk"))
+      .select(col("vec_id"), col("sk.bits").as("sketch"), col("sk.l2").as("l2"))
   }
 
   /** Scale path for corpus×corpus near-neighbor search: random-hyperplane
@@ -136,12 +108,13 @@ object VectorOps {
     * assignments; the join-side composition is nearDupCosine below.
     */
   val NumPlanes = 16
-  def lshCosineBuckets(s: SparkSession, d: String): DataFrame = {
-    val bits = planeBits(t(s, d, "embeddings"), NumPlanes)
-    val bucket = (0 until NumPlanes).map(p =>
-      shiftleft(col(s"bit_$p"), p)).reduce(_ + _)
-    bits.select(col("vec_id"), bucket.as("bucket")).orderBy("vec_id")
-  }
+  def lshCosineBuckets(s: SparkSession, d: String): DataFrame =
+    // bucket = the sketch's low NumPlanes bits (plane p at bit p — the
+    // same key the former per-bit shiftleft sum produced)
+    sketch(t(s, d, "embeddings"))
+      .select(col("vec_id"),
+        col("sketch").bitwiseAND(lit((1L << NumPlanes) - 1)).as("bucket"))
+      .orderBy("vec_id")
 
   /** Embedding-cosine near-dup detection, banded: DupBands bands ×
     * BitsPerBand sign bits generate candidate pairs through a band-keyed
@@ -158,37 +131,53 @@ object VectorOps {
   /** Core of nearDupCosine over any (vec_id, embedding) frame.
     *
     * Stages (each the codegen'd, shuffle-minimal shape):
-    *  1. sign-bit sketch via [[planeBits]] (one pass, decimal-exact);
-    *  2. band keys → posexplode → self-equi-join on (band, key) →
-    *     DISTINCT candidate pairs *before* any vector math (band overlap
-    *     would otherwise recompute each pair's cosine up to DupBands×);
+    *  1. sign-bit sketch via [[sketch]] (one native expression per row);
+    *  2. band keys = the sketch's byte slices → posexplode → hot-bucket
+    *     guard → self-equi-join on (band, key) → DISTINCT candidate pairs
+    *     *before* any vector math (band overlap would otherwise recompute
+    *     each pair's cosine up to DupBands×);
     *  3. exact-cosine confirm: candidates rejoin the vectors, the dot
-    *     product runs as explode + element_at + decimal sum (codegen'd
+    *     product runs as explode + element_at + fixed-point sum (codegen'd
     *     hash agg, order-independent, no interpreted lambdas).
+    *
+    * Hot-bucket guard: a degenerate band key (thousands of identical or
+    * near-zero vectors) would make the within-bucket pair expansion
+    * quadratic at corpus scale. Buckets larger than `maxBucketSize` are
+    * dropped from candidate generation (anti-join against the small hot
+    * set). Recall note: members of a dropped bucket can still pair through
+    * their other DupBands-1 bands; content degenerate enough to flood ALL
+    * its bands (exact duplicates at >cap multiplicity) is exact-dedup's
+    * job, which runs first in a real pipeline.
     */
-  /** Previous invocation's persisted sketch — released on the next call so
-    * repeated runs in one session hold at most one sketch in cache.
+  /** Previous invocation's persisted sketch per session — released on the
+    * next call so repeated runs hold at most one sketch in cache, and one
+    * session's release can never unpersist another's plan.
     */
-  private var lastSketch: Option[DataFrame] = None
+  private val lastSketch =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
 
-  def nearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+  val MaxBucketSize = 1024
+
+  def nearDupPairs(vectors: DataFrame, threshold: Double,
+                   maxBucketSize: Int = MaxBucketSize): DataFrame = {
     // The sketch feeds three branches (band join sides + norms): persist it
     // so the plan computes it once. At cluster scale this is the "write the
     // sketch table" step of a production near-dup job.
-    val bits = planeBits(vectors, DupBands * BitsPerBand)
+    val bits = sketch(vectors)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    synchronized {
-      lastSketch.foreach(_.unpersist(blocking = false))
-      lastSketch = Some(bits)
-    }
-    val bandKeys = (0 until DupBands).map { b =>
-      (0 until BitsPerBand).map(r =>
-        shiftleft(col(s"bit_${b * BitsPerBand + r}"), r)).reduce(_ + _)
-    }
+    Option(lastSketch.put(vectors.sparkSession, bits))
+      .foreach(_.unpersist(blocking = false))
+    val bandKeys = (0 until DupBands).map(b =>
+      shiftrightunsigned(col("sketch"), b * BitsPerBand)
+        .bitwiseAND(lit((1L << BitsPerBand) - 1)))
     val banded = bits.select(col("vec_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
-    val cands = banded.alias("a")
-      .join(banded.alias("b"), Seq("band_idx", "band_key"))
+    val hot = banded.groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
+      .select("band_idx", "band_key")
+    val pruned = banded.join(broadcast(hot), Seq("band_idx", "band_key"), "left_anti")
+    val cands = pruned.alias("a")
+      .join(pruned.alias("b"), Seq("band_idx", "band_key"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .filter(col("vec_a") < col("vec_b"))
       .distinct()

@@ -99,8 +99,29 @@ class OpsPropertySpec extends SparkSpec {
   test("near-dup sketch rejects vectors wider than the weights table") {
     val wide = Seq((1L, Seq.fill(600)(1.0f))).toDF("vec_id", "embedding")
     val ex = intercept[Exception](VectorOps.nearDupPairs(wide, 0.9).count())
-    assert(ex.getMessage.contains("planeBits") ||
-      Option(ex.getCause).exists(_.getMessage.contains("planeBits")), ex.getMessage)
+    def mentions(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("hyperplane_sketch")) ||
+        mentions(t.getCause))
+    assert(mentions(ex), ex.getMessage)
+  }
+
+  test("hot-bucket guard bounds candidate pairs under degenerate input") {
+    // A block of identical vectors floods every one of its band buckets
+    // past the cap: with the guard those buckets drop out of candidate
+    // generation (quadratic expansion averted), while a small duplicate
+    // pair elsewhere still pairs normally.
+    val v = Seq.tabulate(64)(i => (i % 5 - 2).toFloat)
+    val u = Seq.tabulate(64)(i => ((i * 7) % 11 - 5).toFloat)
+    val degenerate = (1L to 30L).map(id => (id, v)) ++ Seq((9001L, u), (9002L, u))
+    val df = degenerate.toDF("vec_id", "embedding")
+    val guarded = VectorOps.nearDupPairs(df, threshold = 0.99, maxBucketSize = 10)
+      .collect()
+    assert(guarded.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((9001L, 9002L)),
+      s"got ${guarded.length} pairs")
+    // sanity: the default cap (1024 > 30) DOES pair the identical block —
+    // proving the guard (not a bug) removed it above
+    val unguarded = VectorOps.nearDupPairs(df, 0.99)
+    assert(unguarded.filter(col("vec_a") === 1L && col("vec_b") === 2L).count() == 1)
   }
 
   test("multimodal stub: metadata and frame sampling are deterministic and batched") {
