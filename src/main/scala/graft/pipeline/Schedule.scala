@@ -1,0 +1,171 @@
+package graft.pipeline
+
+import java.time.temporal.ChronoUnit
+import java.time.{LocalDate, LocalDateTime}
+import org.apache.spark.sql.SparkSession
+import graft.config.TenantConfig
+
+/** Five-field cron expression (minute hour day-of-month month day-of-week),
+  * the schedule grammar every reference tenant declares
+  * (code_locations/project_01/tenant.yaml:19 `0 *&#47;2 * * *`; consumed by
+  * ScheduleComponent, mozart_etl/lib/schedule.py:7-23).
+  *
+  * Supported per field: `*`, `n`, `a-b`, lists `a,b,c`, and steps `*&#47;n` /
+  * `a-b/n`. Standard cron OR-rule: when BOTH day-of-month and day-of-week
+  * are restricted, a date matches if either does. dow 0 and 7 are Sunday.
+  */
+final case class CronSchedule(
+    source: String,
+    minutes: Set[Int],
+    hours: Set[Int],
+    daysOfMonth: Set[Int],
+    months: Set[Int],
+    daysOfWeek: Set[Int],
+    domRestricted: Boolean,
+    dowRestricted: Boolean) {
+
+  private def dateMatches(d: LocalDate): Boolean = {
+    if (!months.contains(d.getMonthValue)) return false
+    val domOk = daysOfMonth.contains(d.getDayOfMonth)
+    // java DayOfWeek: Monday=1..Sunday=7 → cron Sunday=0
+    val dowOk = daysOfWeek.contains(d.getDayOfWeek.getValue % 7)
+    if (domRestricted && dowRestricted) domOk || dowOk else domOk && dowOk
+  }
+
+  def matches(t: LocalDateTime): Boolean =
+    dateMatches(t.toLocalDate) && hours.contains(t.getHour) &&
+      minutes.contains(t.getMinute)
+
+  /** Next fire time strictly after `t`, at minute granularity. Field-wise
+    * skip (day → hour → minute) keeps the search linear in calendar
+    * distance, not in minutes.
+    */
+  def nextAfter(t: LocalDateTime): LocalDateTime = {
+    var c = t.truncatedTo(ChronoUnit.MINUTES).plusMinutes(1)
+    val limit = c.plusYears(5) // an unsatisfiable spec must not spin forever
+    while (c.isBefore(limit)) {
+      if (!dateMatches(c.toLocalDate))
+        c = c.toLocalDate.plusDays(1).atStartOfDay()
+      else if (!hours.contains(c.getHour))
+        c = c.plusHours(1).truncatedTo(ChronoUnit.HOURS)
+      else if (!minutes.contains(c.getMinute)) c = c.plusMinutes(1)
+      else return c
+    }
+    throw new IllegalArgumentException(s"cron '$source' never fires after $t")
+  }
+
+  override def toString: String = s"cron($source)"
+}
+
+object CronSchedule {
+
+  def parse(expr: String): CronSchedule = {
+    val fields = expr.trim.split("\\s+")
+    require(fields.length == 5,
+      s"cron '$expr' must have 5 fields (minute hour dom month dow)")
+    def field(tok: String, lo: Int, hi: Int, name: String): Set[Int] = {
+      def one(part: String): Seq[Int] = {
+        val (range, step) = part.split("/") match {
+          case Array(r) => (r, 1)
+          case Array(r, s) => (r, s.toInt)
+          case _ => throw new IllegalArgumentException(
+            s"cron '$expr': bad $name token '$part'")
+        }
+        require(step >= 1, s"cron '$expr': step must be >= 1 in '$part'")
+        val (a, b) = range match {
+          case "*" => (lo, hi)
+          case r if r.contains("-") =>
+            val Array(x, y) = r.split("-", 2); (x.toInt, y.toInt)
+          case n => val v = n.toInt; (v, if (step == 1) v else hi)
+        }
+        require(a >= lo && b <= hi && a <= b,
+          s"cron '$expr': $name value out of range in '$part' (allowed $lo-$hi)")
+        (a to b by step)
+      }
+      tok.split(",").toSeq.flatMap(one).toSet
+    }
+    // dow: accept 7 as Sunday by normalizing to 0
+    val dowRaw = field(fields(4), 0, 7, "day-of-week")
+    CronSchedule(
+      source = expr.trim,
+      minutes = field(fields(0), 0, 59, "minute"),
+      hours = field(fields(1), 0, 23, "hour"),
+      daysOfMonth = field(fields(2), 1, 31, "day-of-month"),
+      months = field(fields(3), 1, 12, "month"),
+      daysOfWeek = dowRaw.map(d => if (d == 7) 0 else d),
+      domRestricted = fields(2) != "*",
+      dowRestricted = fields(4) != "*")
+  }
+}
+
+/** Ticks tenant pipelines on their cron schedules — the execution half the
+  * reference delegates to its orchestrator's ScheduleDefinition
+  * (mozart_etl/lib/schedule.py:14-22; wired per tenant in
+  * _tenant_factory.py:170-174).
+  *
+  * Clock-agnostic: callers drive [[tick]] with "now" (tests use a simulated
+  * clock; [[runUntil]] wraps it in a real-time loop). Per entry, a tick
+  * fires AT MOST ONCE if the cron has any scheduled time in the window
+  * `(lastTick, now]` — a catch-up after downtime collapses to one run,
+  * which is exactly right for snapshot-replace materializations (each run
+  * rebuilds the full current state; replaying missed intervals would do
+  * identical work N times).
+  */
+final class ScheduleRunner(entries: Seq[ScheduleRunner.Entry],
+                           startAt: LocalDateTime) {
+  require(entries.map(_.id).distinct.size == entries.size,
+    "duplicate schedule entry ids")
+
+  private val last = scala.collection.mutable.Map(
+    entries.map(e => e.id -> startAt): _*)
+
+  /** Run every entry with a fire time in `(lastTick, now]`; returns the ids
+    * that ran. Monotonic: a `now` at or before an entry's last tick is a
+    * no-op for it.
+    */
+  def tick(spark: SparkSession, now: LocalDateTime): Seq[String] =
+    entries.flatMap { e =>
+      val prev = last(e.id)
+      if (!now.isAfter(prev)) None
+      else {
+        last(e.id) = now
+        if (!e.cron.nextAfter(prev).isAfter(now)) {
+          e.run(spark)
+          Some(e.id)
+        } else None
+      }
+    }
+
+  /** Earliest upcoming fire time across entries (sleep target for a
+    * real-time loop).
+    */
+  def nextWake: LocalDateTime =
+    entries.map(e => e.cron.nextAfter(last(e.id))).min
+
+  /** Real-time driver: sleep to each next fire, tick, repeat while
+    * `continue()`. `clock`/`sleeper` injectable so integration tests can
+    * run simulated days in milliseconds.
+    */
+  def runUntil(spark: SparkSession, continue: () => Boolean,
+               clock: () => LocalDateTime = () => LocalDateTime.now(),
+               sleeper: Long => Unit = Thread.sleep): Unit =
+    while (continue()) {
+      val wake = nextWake
+      val pause = java.time.Duration.between(clock(), wake).toMillis
+      if (pause > 0) sleeper(pause)
+      tick(spark, clock().withSecond(0).withNano(0))
+    }
+}
+
+object ScheduleRunner {
+  /** One scheduled unit of work. */
+  final case class Entry(id: String, cron: CronSchedule,
+                         run: SparkSession => Unit)
+
+  /** Standard wiring: a tenant's declared `schedule` drives its full
+    * pipeline run (extract + model DAG, snapshot-replace semantics).
+    */
+  def forTenant(tenant: TenantConfig, pipeline: TenantPipeline): Entry =
+    Entry(tenant.id, CronSchedule.parse(tenant.schedule),
+      s => { pipeline.run(s); () })
+}

@@ -1,0 +1,105 @@
+package graft
+
+import java.time.LocalDateTime
+import org.scalatest.funsuite.AnyFunSuite
+import graft.config.TenantConfig
+import graft.ops.PipelineOps
+import graft.pipeline.{CronSchedule, ScheduleRunner, TenantPipeline}
+import graft.source.ParquetSource
+
+/** Cron grammar unit coverage (no Spark session needed). */
+class CronScheduleSpec extends AnyFunSuite {
+  private def t(s: String) = LocalDateTime.parse(s)
+
+  test("*/2-hour schedule fires on even hours only (reference tenant.yaml:19)") {
+    val c = CronSchedule.parse("0 */2 * * *")
+    assert(c.nextAfter(t("2026-01-01T00:30:00")) == t("2026-01-01T02:00:00"))
+    assert(c.nextAfter(t("2026-01-01T02:00:00")) == t("2026-01-01T04:00:00"))
+    assert(c.matches(t("2026-01-01T22:00:00")))
+    assert(!c.matches(t("2026-01-01T03:00:00")))
+    assert(!c.matches(t("2026-01-01T02:01:00")))
+  }
+
+  test("lists, ranges and stepped ranges parse to the right sets") {
+    val c = CronSchedule.parse("15,45 9-17/4 1 * *")
+    assert(c.minutes == Set(15, 45))
+    assert(c.hours == Set(9, 13, 17))
+    assert(c.nextAfter(t("2026-03-01T13:45:00")) == t("2026-03-01T17:15:00"))
+    // dom=1 restricted: March 2 never matches; next is April 1
+    assert(c.nextAfter(t("2026-03-01T17:45:00")) == t("2026-04-01T09:15:00"))
+  }
+
+  test("dom/dow use cron's OR rule when both are restricted") {
+    // day 15 OR Sunday; 7 normalizes to Sunday
+    val c = CronSchedule.parse("0 0 15 * 7")
+    assert(c.matches(t("2026-02-15T00:00:00"))) // the 15th (a Sunday, too)
+    assert(c.matches(t("2026-02-08T00:00:00"))) // a Sunday that isn't the 15th
+    assert(c.matches(t("2026-04-15T00:00:00"))) // a Wednesday the 15th
+    assert(!c.matches(t("2026-02-10T00:00:00"))) // Tuesday the 10th
+  }
+
+  test("malformed specs fail loudly") {
+    assert(intercept[Exception](CronSchedule.parse("0 0 * *")).getMessage
+      .contains("5 fields"))
+    assert(intercept[Exception](CronSchedule.parse("61 * * * *")).getMessage
+      .contains("out of range"))
+    assert(intercept[Exception](CronSchedule.parse("* * 0 * *")).getMessage
+      .contains("out of range"))
+  }
+}
+
+/** Schedule runner over a real tenant pipeline with a simulated clock —
+  * the reference's ScheduleDefinition surface (lib/schedule.py:14-22)
+  * re-expressed as an engine-owned tick loop.
+  */
+class ScheduleRunnerSpec extends SparkSpec {
+
+  test("two due ticks produce two snapshot-replace materializations") {
+    val tenant = TenantConfig.parse(PipelineOps.tenantYaml, Map.empty)
+    assert(tenant.schedule == "0 */2 * * *") // parsed from tenant.yaml
+    val pipeline = new TenantPipeline(tenant, new ParquetSource(sf),
+      Seq(PipelineOps.stagingModel, PipelineOps.martModel))
+    var runs = 0
+    val entry = ScheduleRunner.forTenant(tenant, pipeline)
+      .copy(run = s => { pipeline.run(s); runs += 1 })
+    val t0 = LocalDateTime.parse("2026-01-01T00:00:00")
+    val runner = new ScheduleRunner(Seq(entry), startAt = t0)
+
+    assert(runner.tick(spark, t0.plusHours(1)).isEmpty) // 01:00 — not due
+    assert(runner.tick(spark, t0.plusHours(2)) == Seq(tenant.id)) // 02:00
+    val countAfterFirst = spark.table("graft_demo.mart_item_master").count()
+    assert(countAfterFirst > 0)
+
+    assert(runner.tick(spark, t0.plusHours(2)).isEmpty) // same instant: no-op
+    // catch-up across two missed fires (04:00, 06:00) collapses to ONE run
+    assert(runner.tick(spark, t0.plusHours(6).plusMinutes(30)) == Seq(tenant.id))
+    assert(runs == 2)
+    // snapshot-replace: the re-materialized mart replaced rows, not appended
+    assert(spark.table("graft_demo.mart_item_master").count() == countAfterFirst)
+  }
+
+  test("nextWake is the earliest upcoming fire across entries") {
+    val t0 = LocalDateTime.parse("2026-01-01T00:10:00")
+    val mk = (id: String, cron: String) =>
+      ScheduleRunner.Entry(id, CronSchedule.parse(cron), _ => ())
+    val runner = new ScheduleRunner(
+      Seq(mk("a", "0 */2 * * *"), mk("b", "30 * * * *")), startAt = t0)
+    assert(runner.nextWake == LocalDateTime.parse("2026-01-01T00:30:00"))
+  }
+
+  test("runUntil drives ticks from an injected clock without real sleeping") {
+    val t0 = LocalDateTime.parse("2026-01-01T00:00:00")
+    var fired = 0
+    val entry = ScheduleRunner.Entry("fast", CronSchedule.parse("*/30 * * * *"),
+      _ => fired += 1)
+    val runner = new ScheduleRunner(Seq(entry), startAt = t0)
+    var simNow = t0
+    var slept = Vector.empty[Long]
+    runner.runUntil(spark,
+      continue = () => fired < 3,
+      clock = () => simNow,
+      sleeper = ms => { slept :+= ms; simNow = simNow.plusNanos(ms * 1000000L) })
+    assert(fired == 3)
+    assert(slept.forall(_ <= 30L * 60 * 1000)) // never oversleeps an interval
+  }
+}
