@@ -29,6 +29,7 @@ object SparkEntry {
     "q_cte_stage_chain"     -> (Parity.cteStageChain _),
     "q_groupby_count"       -> (Parity.groupbyCount _),
     "q_mode_full_snapshot"  -> (PipelineOps.modeFullSnapshot _),
+    "q_partition_backfill"  -> (PipelineOps.partitionBackfill _),
     "q_delete_predicate"    -> (Parity.deletePredicate _),
     "q_empty_result_schema" -> (Parity.emptyResultSchema _),
     // Capability (§2.5 table 2 — §2.D decisions)
@@ -141,6 +142,13 @@ object SparkEntry {
         |FROM part
         |WHERE p_brand = 'Brand#4' AND p_partkey % 5 <> 0
         |ORDER BY item_id""".stripMargin,
+    "q_partition_backfill" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       strftime(o_orderdate, '%Y-%m') AS part_key
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-02-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-03-01 00:00:00'
+        |ORDER BY o_orderkey""".stripMargin,
     "q_delete_predicate" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
         |       CASE WHEN o_orderkey % 2 = 0 THEN 'V1.0' ELSE 'V2.0' END AS plan_ver

@@ -63,6 +63,31 @@ object PipelineOps {
       |FROM {{ ref('graft_demo__stg_item_master') }}
       |""".stripMargin)
 
+  /** Partitioned materialization + ranged backfill as a correctness query
+    * (reference partition definitions + single_run policy,
+    * executable_component.py:19-41): three monthly partitions of an orders
+    * mart materialize in ONE ranged run, then February alone re-backfills —
+    * dynamic partition overwrite must REPLACE that partition (an append-y
+    * rewrite would double its rows and fail the oracle hash), leaving the
+    * other months untouched. Returns the re-backfilled partition's content.
+    */
+  def partitionBackfill(s: SparkSession, d: String): DataFrame = {
+    import graft.pipeline.{PartitionGrain, PartitionedMaterializer}
+    import java.time.LocalDate
+    val src = graft.Tables.t(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val (db, table) = ("graft_backfill", "orders_by_month")
+    PartitionedMaterializer.backfill(s, src, "o_orderdate",
+      PartitionGrain.Monthly, db, table,
+      LocalDate.of(1996, 1, 1), LocalDate.of(1996, 4, 1))
+    PartitionedMaterializer.backfill(s, src, "o_orderdate",
+      PartitionGrain.Monthly, db, table,
+      LocalDate.of(1996, 2, 1), LocalDate.of(1996, 3, 1))
+    PartitionedMaterializer.partition(s, db, table, "1996-02")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "part_key")
+      .orderBy("o_orderkey")
+  }
+
   def modeFullSnapshot(s: SparkSession, d: String): DataFrame = {
     val tenant = TenantConfig.parse(tenantYaml)
     val pipeline = new TenantPipeline(tenant, new ParquetSource(d),
