@@ -19,9 +19,11 @@ object Tables {
     // events.ts is parquet TIMESTAMP(NANOS); Spark has no ns timestamp, so we
     // read it as a ns-epoch Long — exact (better than a lossy µs truncation):
     // ordering and arithmetic stay bit-exact vs the DuckDB oracle's ns values.
-    // Set defensively only where needed: query fns may run on a caller's
-    // session (driver harness) that lacks the config.
-    if (name == "events")
+    // Normally set at session construction (Verify/Bench/spec builders); the
+    // guarded set here only covers a caller session that lacks it — a table
+    // accessor must not unconditionally mutate session state.
+    if (name == "events" &&
+        !spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }

@@ -117,6 +117,36 @@ final class TenantPipeline(
     }.toMap
   }
 
+  /** Asset key for a model — the reference's translator contract
+    * (mozart_etl/lib/dbt/translator.py:31-47): strip the `{tid}__` prefix;
+    * `mart_*` → `[tid, output, name]`, other models → `[tid, staging,
+    * name]`, raw extracts → `[tid, input, table]`.
+    */
+  def assetKey(m: SqlModel): Seq[String] = {
+    val clean = m.name.stripPrefix(s"${tenant.id}__")
+    val layer = if (clean.startsWith("mart_")) "output" else "staging"
+    Seq(tenant.id, layer, clean)
+  }
+
+  /** Asset lineage: every asset key → its upstream asset keys (ref() edges
+    * to model keys, source() edges to input keys). The reference attaches
+    * eager automation to these edges (translator.py:52-55) — here the DAG
+    * levels of [[runModels]] ARE the eager propagation: a run materializes
+    * each asset after all its upstreams in the same pass.
+    */
+  def lineage: Map[String, Seq[String]] = {
+    def key(parts: Seq[String]): String = parts.mkString("/")
+    val inputs = tenant.tables.map(spec =>
+      key(Seq(tenant.id, "input", spec.name)) -> Seq.empty[String])
+    val modelEdges = models.map { m =>
+      val ups = m.refs.flatMap(r => models.find(_.name == r))
+        .map(r => key(assetKey(r))) ++
+        m.sources.map { case (_, tbl) => key(Seq(tenant.id, "input", tbl)) }
+      key(assetKey(m)) -> ups
+    }
+    (inputs ++ modelEdges).toMap
+  }
+
   def run(spark: SparkSession): Map[String, Long] =
     runExtract(spark) ++ runModels(spark)
 

@@ -73,6 +73,19 @@ class PipelineSpec extends SparkSpec {
     assert(m2.filter(col("item_group_id") =!= "Brand#2").count() == 0)
   }
 
+  test("asset lineage exposes tid/layer/name keys with upstream edges") {
+    val tenant = TenantConfig.parse(PipelineOps.tenantYaml, Map.empty)
+    val p = new TenantPipeline(tenant, new ParquetSource(sf),
+      Seq(PipelineOps.stagingModel, PipelineOps.martModel))
+    val lin = p.lineage
+    // reference translator contract: input / staging / output layers
+    assert(lin("graft_demo/input/item_master") == Seq.empty)
+    assert(lin("graft_demo/staging/stg_item_master") ==
+      Seq("graft_demo/input/item_master"))
+    assert(lin("graft_demo/output/mart_item_master") ==
+      Seq("graft_demo/staging/stg_item_master"))
+  }
+
   test("renderAll resolves refs to qualified physical names") {
     val tenant = TenantConfig.parse(PipelineOps.tenantYaml, Map.empty)
     val p = new TenantPipeline(tenant, new ParquetSource(sf),
