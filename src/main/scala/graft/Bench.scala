@@ -12,8 +12,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Hermetic managed-table storage (same rationale as Verify): a stale
       // cwd/spark-warehouse must not fail the pipeline query's create path.
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-bench-wh").toString)
+      .config("spark.sql.warehouse.dir", TempDirs.create("graft-bench-wh"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed engine warm-up: first parquet read + a shuffle compile so

@@ -18,8 +18,7 @@ object Verify {
       // Hermetic managed-table storage: a previous run's cwd/spark-warehouse
       // would otherwise make every saveAsTable create path fail with
       // LOCATION_ALREADY_EXISTS on the second run in the same checkout.
-      .config("spark.sql.warehouse.dir",
-        Files.createTempDirectory("graft-verify-wh").toString)
+      .config("spark.sql.warehouse.dir", TempDirs.create("graft-verify-wh"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -94,10 +94,13 @@ object TextOps {
     */
   def dedupMinhash(s: SparkSession, d: String): DataFrame = {
     val sigs = minhashSignatures(withTokens(t(s, d, "documents")))
-    val banded = sigs.select(col("doc_id"),
+    // banded feeds three branches (hot-set agg + both self-join sides):
+    // persist it so the signature pipeline (explode + 16-way hash agg)
+    // computes once, not per branch.
+    val banded = PlanCache.swap("minhash-banded", sigs.select(col("doc_id"),
       posexplode(array((0 until Bands).map(b =>
         xxhash64((0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}")): _*)): _*))
-        .as(Seq("band_idx", "band_hash")))
+        .as(Seq("band_idx", "band_hash"))))
     // Hot-bucket guard (same rationale as VectorOps.nearDupPairs): a band
     // hash shared by >cap docs (boilerplate, empty text) would expand
     // quadratically in the self-join; such content is exact-dedup's job.

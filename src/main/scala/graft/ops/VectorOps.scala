@@ -97,7 +97,12 @@ object VectorOps {
     */
   private[ops] def sketch(vectors: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(vectors.sparkSession)
+    // Null/empty embeddings have no sketch (same semantics as the former
+    // explode→groupBy path, which dropped them for lack of rows). Without
+    // this, an empty array would sketch to all-ones bits (zero dots pass
+    // `>= 0`) and flood one bucket in every band.
     vectors
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
       .select(col("vec_id"), expr("hyperplane_sketch(embedding)").as("sk"))
       .select(col("vec_id"), col("sk.bits").as("sketch"), col("sk.l2").as("l2"))
   }
@@ -149,24 +154,15 @@ object VectorOps {
     * its bands (exact duplicates at >cap multiplicity) is exact-dedup's
     * job, which runs first in a real pipeline.
     */
-  /** Previous invocation's persisted sketch per session — released on the
-    * next call so repeated runs hold at most one sketch in cache, and one
-    * session's release can never unpersist another's plan.
-    */
-  private val lastSketch =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
-
   val MaxBucketSize = 1024
 
   def nearDupPairs(vectors: DataFrame, threshold: Double,
                    maxBucketSize: Int = MaxBucketSize): DataFrame = {
     // The sketch feeds three branches (band join sides + norms): persist it
-    // so the plan computes it once. At cluster scale this is the "write the
-    // sketch table" step of a production near-dup job.
-    val bits = sketch(vectors)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Option(lastSketch.put(vectors.sparkSession, bits))
-      .foreach(_.unpersist(blocking = false))
+    // so the plan computes it once (PlanCache bounds the footprint to one
+    // sketch per session). At cluster scale this is the "write the sketch
+    // table" step of a production near-dup job.
+    val bits = PlanCache.swap("vector-near-dup-sketch", sketch(vectors))
     val bandKeys = (0 until DupBands).map(b =>
       shiftrightunsigned(col("sketch"), b * BitsPerBand)
         .bitwiseAND(lit((1L << BitsPerBand) - 1)))

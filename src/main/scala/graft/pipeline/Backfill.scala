@@ -68,6 +68,13 @@ object PartitionedMaterializer {
                from: LocalDate, untilExcl: LocalDate,
                partCol: String = DefaultPartCol): Seq[String] = {
     require(from.isBefore(untilExcl), s"empty backfill range [$from, $untilExcl)")
+    // The batch filter and the partition write-set MUST cover the same rows:
+    // a range that starts or ends mid-partition would tag a PARTIAL month/day
+    // with its partition key and dynamic overwrite would replace the whole
+    // partition with the fragment — silent data loss. Fail loud instead.
+    require(from == alignDown(grain, from) && untilExcl == alignDown(grain, untilExcl),
+      s"backfill range [$from, $untilExcl) is not aligned to ${grain.name} " +
+        "partition boundaries")
     val batch = source
       .filter(col(dateCol) >= lit(from.toString).cast("timestamp") &&
         col(dateCol) < lit(untilExcl.toString).cast("timestamp"))
@@ -78,18 +85,39 @@ object PartitionedMaterializer {
     } else {
       // Positional insertInto: align to the catalog column order (data
       // columns first, partition column last after partitionBy-create).
+      //
+      // Dynamic overwrite needs `partitionOverwriteMode=dynamic`, which is
+      // session conf — but flipping it on the SHARED session would race
+      // with concurrent writers (TenantRegistry.runAll runs pipelines in
+      // parallel on one session; a concurrent static Overwrite observing
+      // the flip — or us observing its restore — truncates whole tables).
+      // Instead the write runs on a cloned session (same SparkContext,
+      // catalog and data, isolated conf); the batch crosses sessions via a
+      // global temp view. insertInto ignores per-write options, so this is
+      // the race-free route.
       val cols = spark.table(fq).columns
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try batch.select(cols.map(col).toIndexedSeq: _*)
-        .write.mode(SaveMode.Overwrite).insertInto(fq)
-      finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+      val view = "graft_backfill_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      batch.createOrReplaceGlobalTempView(view)
+      try {
+        val writer = spark.newSession()
+        writer.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        writer.table(s"global_temp.`$view`")
+          .select(cols.map(col).toIndexedSeq: _*)
+          .write.mode(SaveMode.Overwrite).insertInto(fq)
+      } finally spark.catalog.dropGlobalTempView(view)
+      // the write ran on the clone: drop the caller session's cached file
+      // listing, or its next read resolves replaced partitions to dead files
+      spark.catalog.refreshTable(s"$db.$table")
     }
     grain.keys(from, untilExcl)
   }
+
+  private def alignDown(grain: PartitionGrain, d: LocalDate): LocalDate =
+    grain match {
+      case PartitionGrain.Daily => d
+      case PartitionGrain.Monthly => d.withDayOfMonth(1)
+    }
 
   /** One materialized partition's rows (the per-partition inspection
     * surface; deterministic when ordered by the caller).

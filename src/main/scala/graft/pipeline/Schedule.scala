@@ -93,8 +93,10 @@ object CronSchedule {
       daysOfMonth = field(fields(2), 1, 31, "day-of-month"),
       months = field(fields(3), 1, 12, "month"),
       daysOfWeek = dowRaw.map(d => if (d == 7) 0 else d),
-      domRestricted = fields(2) != "*",
-      dowRestricted = fields(4) != "*")
+      // vixie-cron star rule: a field BEGINNING with `*` (so `*/n` too)
+      // counts as unrestricted for the dom/dow OR-rule
+      domRestricted = !fields(2).startsWith("*"),
+      dowRestricted = !fields(4).startsWith("*"))
   }
 }
 
@@ -112,7 +114,10 @@ object CronSchedule {
   * identical work N times).
   */
 final class ScheduleRunner(entries: Seq[ScheduleRunner.Entry],
-                           startAt: LocalDateTime) {
+                           startAt: LocalDateTime,
+                           onError: (String, Throwable) => Unit =
+                             (id, e) => System.err.println(
+                               s"[schedule] entry '$id' failed: ${e.getMessage}")) {
   require(entries.map(_.id).distinct.size == entries.size,
     "duplicate schedule entry ids")
 
@@ -120,44 +125,65 @@ final class ScheduleRunner(entries: Seq[ScheduleRunner.Entry],
     entries.map(e => e.id -> startAt): _*)
 
   /** Run every entry with a fire time in `(lastTick, now]`; returns the ids
-    * that ran. Monotonic: a `now` at or before an entry's last tick is a
-    * no-op for it.
+    * that ran successfully. Monotonic: a `now` at or before an entry's last
+    * tick is a no-op for it.
+    *
+    * Fault isolation: one entry's failure must neither starve the other
+    * tenants this tick nor lose its own fire — on failure the entry's
+    * window is NOT advanced, so the next tick retries it (and `onError`
+    * observes the failure).
     */
   def tick(spark: SparkSession, now: LocalDateTime): Seq[String] =
     entries.flatMap { e =>
       val prev = last(e.id)
       if (!now.isAfter(prev)) None
       else {
-        last(e.id) = now
-        if (!e.cron.nextAfter(prev).isAfter(now)) {
-          e.run(spark)
-          Some(e.id)
-        } else None
+        val due =
+          try !e.cron.nextAfter(prev).isAfter(now)
+          catch { case ex: IllegalArgumentException => // unsatisfiable cron
+            onError(e.id, ex); last(e.id) = now; false }
+        if (!due) { last(e.id) = now; None }
+        else try { e.run(spark); last(e.id) = now; Some(e.id) }
+        catch { case scala.util.control.NonFatal(ex) =>
+          onError(e.id, ex); None }
       }
     }
 
   /** Earliest upcoming fire time across entries (sleep target for a
-    * real-time loop).
+    * real-time loop); None when no entry can ever fire again.
     */
-  def nextWake: LocalDateTime =
-    entries.map(e => e.cron.nextAfter(last(e.id))).min
+  def nextWake: Option[LocalDateTime] = {
+    val upcoming = entries.flatMap(e =>
+      try Some(e.cron.nextAfter(last(e.id)))
+      catch { case _: IllegalArgumentException => None })
+    if (upcoming.isEmpty) None else Some(upcoming.min)
+  }
 
   /** Real-time driver: sleep to each next fire, tick, repeat while
-    * `continue()`. `clock`/`sleeper` injectable so integration tests can
-    * run simulated days in milliseconds.
+    * `continue()` and something can still fire. `clock`/`sleeper`
+    * injectable so integration tests can run simulated days in
+    * milliseconds.
     */
   def runUntil(spark: SparkSession, continue: () => Boolean,
                clock: () => LocalDateTime = () => LocalDateTime.now(),
-               sleeper: Long => Unit = Thread.sleep): Unit =
-    while (continue()) {
-      val wake = nextWake
-      val pause = java.time.Duration.between(clock(), wake).toMillis
-      if (pause > 0) sleeper(pause)
-      tick(spark, clock().withSecond(0).withNano(0))
+               sleeper: Long => Unit = Thread.sleep): Unit = {
+    var alive = true
+    while (alive && continue()) nextWake match {
+      case None => alive = false
+      case Some(wake) =>
+        val pause = java.time.Duration.between(clock(), wake).toMillis
+        // wake in the past = a failed entry awaiting retry (tick keeps its
+        // window open) — back off instead of hot-looping the failure
+        sleeper(if (pause > 0) pause else ScheduleRunner.RetryBackoffMs)
+        tick(spark, clock().withSecond(0).withNano(0))
     }
+  }
 }
 
 object ScheduleRunner {
+  /** Pause before re-attempting a failed entry in [[ScheduleRunner.runUntil]]. */
+  val RetryBackoffMs: Long = 60000L
+
   /** One scheduled unit of work. */
   final case class Entry(id: String, cron: CronSchedule,
                          run: SparkSession => Unit)

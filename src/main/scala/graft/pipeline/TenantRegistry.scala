@@ -40,17 +40,25 @@ object TenantRegistry {
     * (sync_tenants.py:33-40). Models load from `<dir>/models/&#42;.sql`,
     * model name = file basename (dbt file-name contract).
     */
+  /** Files.list leaks its DirectoryStream unless closed — a re-scan loop
+    * (schedule tick per workspace) would exhaust fds without this.
+    */
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   def discover(root: String, env: Map[String, String] = sys.env): Seq[Discovered] = {
     val rootPath = Paths.get(root)
     require(Files.isDirectory(rootPath), s"tenant root not a directory: $root")
-    Files.list(rootPath).iterator().asScala
+    listDir(rootPath)
       .filter(Files.isDirectory(_))
       .filterNot { d =>
         val n = d.getFileName.toString
         n.startsWith("_") || n.startsWith(".")
       }
       .filter(d => Files.exists(d.resolve("tenant.yaml")))
-      .toSeq.sortBy(_.getFileName.toString)
+      .sortBy(_.getFileName.toString)
       .map { d =>
         val tenant = TenantConfig.load(d.resolve("tenant.yaml").toString, env)
         Discovered(d.getFileName.toString, tenant, loadModels(d))
@@ -60,9 +68,9 @@ object TenantRegistry {
   private def loadModels(dir: Path): Seq[SqlModel] = {
     val modelsDir = dir.resolve("models")
     if (!Files.isDirectory(modelsDir)) Seq.empty
-    else Files.list(modelsDir).iterator().asScala
+    else listDir(modelsDir)
       .filter(_.getFileName.toString.endsWith(".sql"))
-      .toSeq.sortBy(_.getFileName.toString)
+      .sortBy(_.getFileName.toString)
       .map { f =>
         val name = f.getFileName.toString.stripSuffix(".sql")
         SqlModel(name, Files.readString(f))

@@ -54,6 +54,17 @@ class BackfillSpec extends SparkSpec {
     assert(after("1996-02")._2 == before("1996-02")._2 * 2)
   }
 
+  test("non-aligned monthly range is refused (would clobber whole partitions)") {
+    val src = Tables.t(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderdate")
+    val ex = intercept[IllegalArgumentException] {
+      PartitionedMaterializer.backfill(spark, src, "o_orderdate",
+        PartitionGrain.Monthly, db, "om_bad",
+        LocalDate.of(1996, 1, 15), LocalDate.of(1996, 2, 1))
+    }
+    assert(ex.getMessage.contains("not aligned"))
+  }
+
   test("reads prune to the requested partition at plan time") {
     val src = Tables.t(spark, sf, "orders")
       .select("o_orderkey", "o_totalprice", "o_orderdate")

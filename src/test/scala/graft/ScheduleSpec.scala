@@ -38,6 +38,13 @@ class CronScheduleSpec extends AnyFunSuite {
     assert(!c.matches(t("2026-02-10T00:00:00"))) // Tuesday the 10th
   }
 
+  test("*/n in dom/dow counts as unrestricted for the OR rule (vixie star flag)") {
+    // dom=*/2 has the star flag: dow=Monday restricts ALONE (AND semantics)
+    val c = CronSchedule.parse("0 0 */2 * 1")
+    assert(c.matches(t("2026-01-05T00:00:00")))  // Monday the 5th (odd dom!)
+    assert(!c.matches(t("2026-01-03T00:00:00"))) // Saturday the 3rd: dom-only match must NOT fire
+  }
+
   test("malformed specs fail loudly") {
     assert(intercept[Exception](CronSchedule.parse("0 0 * *")).getMessage
       .contains("5 fields"))
@@ -78,13 +85,45 @@ class ScheduleRunnerSpec extends SparkSpec {
     assert(spark.table("graft_demo.mart_item_master").count() == countAfterFirst)
   }
 
+  test("a failing entry neither starves other tenants nor loses its fire") {
+    val t0 = LocalDateTime.parse("2026-01-01T00:00:00")
+    var healthyRuns, attempts, errors = 0
+    val failTwice = ScheduleRunner.Entry("flaky", CronSchedule.parse("0 * * * *"),
+      _ => { attempts += 1; if (attempts <= 2) sys.error("transient") })
+    val healthy = ScheduleRunner.Entry("steady", CronSchedule.parse("0 * * * *"),
+      _ => healthyRuns += 1)
+    val runner = new ScheduleRunner(Seq(failTwice, healthy), startAt = t0,
+      onError = (_, _) => errors += 1)
+
+    // tick 1: flaky throws, steady still runs; flaky's window stays open
+    assert(runner.tick(spark, t0.plusHours(1)) == Seq("steady"))
+    // tick 2 at the SAME instant would be a no-op for steady, but flaky's
+    // un-advanced window means the missed fire is retried (and fails again)
+    assert(runner.tick(spark, t0.plusHours(1)).isEmpty)
+    // tick 3: flaky finally succeeds on its retained window
+    assert(runner.tick(spark, t0.plusHours(2)) == Seq("flaky", "steady"))
+    assert(attempts == 3 && healthyRuns == 2 && errors == 2)
+  }
+
+  test("nextWake handles empty runners and unsatisfiable crons gracefully") {
+    val t0 = LocalDateTime.parse("2026-01-01T00:00:00")
+    assert(new ScheduleRunner(Seq.empty, t0).nextWake.isEmpty)
+    // Feb 30 parses but never fires: nextWake skips it instead of throwing,
+    // and runUntil exits instead of crashing
+    val feb30 = ScheduleRunner.Entry("never", CronSchedule.parse("0 0 30 2 *"), _ => ())
+    val r = new ScheduleRunner(Seq(feb30), t0, onError = (_, _) => ())
+    assert(r.nextWake.isEmpty)
+    r.runUntil(spark, continue = () => true,
+      clock = () => t0, sleeper = _ => fail("should not sleep"))
+  }
+
   test("nextWake is the earliest upcoming fire across entries") {
     val t0 = LocalDateTime.parse("2026-01-01T00:10:00")
     val mk = (id: String, cron: String) =>
       ScheduleRunner.Entry(id, CronSchedule.parse(cron), _ => ())
     val runner = new ScheduleRunner(
       Seq(mk("a", "0 */2 * * *"), mk("b", "30 * * * *")), startAt = t0)
-    assert(runner.nextWake == LocalDateTime.parse("2026-01-01T00:30:00"))
+    assert(runner.nextWake.contains(LocalDateTime.parse("2026-01-01T00:30:00")))
   }
 
   test("runUntil drives ticks from an injected clock without real sleeping") {
