@@ -70,13 +70,16 @@ object SparkEntry {
     "q_label_centroid"      -> (VectorOps.labelCentroid _),
     "q_knn_cosine_topk"     -> (VectorOps.knnCosineTopk _),
     "q_lsh_cosine_buckets"  -> (VectorOps.lshCosineBuckets _),
+    "q_ivf_cosine_topk"     -> (VectorOps.ivfCosineTopk _),
     "q_embedding_near_dup"  -> ((s: SparkSession, d: String) => VectorOps.nearDupCosine(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query. Omitted (→ rows-only check):
     * q_approx_distinct (sketch values engine-specific), q_dedup_minhash /
-    * q_simhash / q_lsh_cosine_buckets (xxhash64 family not in DuckDB) —
-    * each is property-tested in src/test instead.
+    * q_simhash / q_lsh_cosine_buckets (xxhash64 family not in DuckDB),
+    * q_ivf_cosine_topk (centroids engine-trained; recall-floor-tested vs
+    * the exact oracle'd q_knn_cosine_topk) — each is property-tested in
+    * src/test instead.
     */
   def oracleSql: Map[String, String] = Map(
     "q_scan_projection" ->

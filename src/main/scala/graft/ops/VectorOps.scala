@@ -133,6 +133,83 @@ object VectorOps {
   def nearDupCosine(s: SparkSession, d: String, threshold: Double = 0.45): DataFrame =
     nearDupPairs(t(s, d, "embeddings"), threshold)
 
+  /** IVF (inverted-file) approximate nearest neighbor — the data-adaptive
+    * complement to the hyperplane-LSH path: a k-means coarse quantizer
+    * learns `nCells` centroids over the corpus (MLlib, fixed seed), every
+    * vector lands in its nearest centroid's inverted list, and a query
+    * probes only the `nProbe` nearest cells, running exact cosine within
+    * them.
+    *
+    * Scale shape: train once (the "build the index" job), then search is
+    * probe×centroid scoring against a BROADCAST 16-row centroid table
+    * followed by a cell-keyed equi-join into the corpus — candidates ~
+    * corpus × nProbe/nCells, never corpus×corpus. Top-1 of a probe is
+    * always itself (its own cell is by definition its nearest centroid).
+    * No oracle (centroids are engine-trained); property-tested: self-hit
+    * invariant + recall floor vs the exact brute-force path.
+    */
+  val IvfCells = 16
+  val IvfProbe = 4
+
+  /** (cell assignments keyed by vec_id, centroid table (cell, centroid
+    * array)). Assignments persist via PlanCache — the in-process analog of
+    * writing the inverted lists to a table.
+    */
+  def ivfIndex(vectors: DataFrame, nCells: Int = IvfCells,
+               seed: Long = 42L): (DataFrame, DataFrame) = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val feats = vectors.withColumn("features",
+      org.apache.spark.ml.functions.array_to_vector(
+        transform(col("embedding"), x => x.cast("double"))))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCells).setSeed(seed).setFeaturesCol("features")
+      .setPredictionCol("cell")
+      .fit(feats)
+    val assignments = PlanCache.swap("ivf-assignments",
+      model.transform(feats).select(col("vec_id"), col("cell"), col("embedding")))
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+    (assignments, centroids)
+  }
+
+  /** Top-k cosine search through the IVF index for the probe set
+    * (vec_id < 5, same contract as [[knnCosineTopk]] so recall is directly
+    * comparable).
+    */
+  def ivfCosineTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val (assignments, centroids) = ivfIndex(emb)
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    // nProbe nearest cells per probe: scored against the broadcast
+    // centroid table (nCells rows), ranked, kept — all on executors.
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+      .orderBy(col("cdist").asc, col("cell").asc)
+    val probeCells = probes.crossJoin(broadcast(centroids))
+      .withColumn("cdist",
+        aggregate(zip_with(col("probe_vec"), col("centroid"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+          lit(0.0), (acc, v) => acc + v))
+      .withColumn("crnk", row_number().over(wc))
+      .filter(col("crnk") <= IvfProbe)
+      .select(col("probe_id"), col("probe_vec"), col("cell"))
+    // exact cosine only within the probed cells' inverted lists
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probeCells
+      .join(assignments.select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("cand_vec")), Seq("cell"))
+      .withColumn("cosine",
+        dot(col("probe_vec"), col("cand_vec"))
+          / (sqrt(sumSq(col("probe_vec"))) * sqrt(sumSq(col("cand_vec")))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("probe_id", "rnk", "neighbor_id", "cosine")
+      .orderBy("probe_id", "rnk")
+  }
+
   /** Core of nearDupCosine over any (vec_id, embedding) frame.
     *
     * Stages (each the codegen'd, shuffle-minimal shape):

@@ -138,14 +138,27 @@ final class ScheduleRunner(entries: Seq[ScheduleRunner.Entry],
       val prev = last(e.id)
       if (!now.isAfter(prev)) None
       else {
-        val due =
-          try !e.cron.nextAfter(prev).isAfter(now)
-          catch { case ex: IllegalArgumentException => // unsatisfiable cron
-            onError(e.id, ex); last(e.id) = now; false }
-        if (!due) { last(e.id) = now; None }
-        else try { e.run(spark); last(e.id) = now; Some(e.id) }
-        catch { case scala.util.control.NonFatal(ex) =>
-          onError(e.id, ex); None }
+        // latest fire in (prev, now] — catch-up collapses to the MOST
+        // RECENT scheduled instant, which is what a partition-aware run
+        // must materialize (the newest complete window)
+        val fire =
+          try {
+            var f = e.cron.nextAfter(prev)
+            if (f.isAfter(now)) None
+            else {
+              var next = e.cron.nextAfter(f)
+              while (!next.isAfter(now)) { f = next; next = e.cron.nextAfter(f) }
+              Some(f)
+            }
+          } catch { case ex: IllegalArgumentException => // unsatisfiable cron
+            onError(e.id, ex); last(e.id) = now; None }
+        fire match {
+          case None => last(e.id) = now; None
+          case Some(at) =>
+            try { e.run(spark, at); last(e.id) = now; Some(e.id) }
+            catch { case scala.util.control.NonFatal(ex) =>
+              onError(e.id, ex); None }
+        }
       }
     }
 
@@ -184,14 +197,39 @@ object ScheduleRunner {
   /** Pause before re-attempting a failed entry in [[ScheduleRunner.runUntil]]. */
   val RetryBackoffMs: Long = 60000L
 
-  /** One scheduled unit of work. */
+  /** One scheduled unit of work; `run` receives the scheduled fire instant
+    * (the latest one when catch-up collapsed), so partition-aware work can
+    * derive WHICH window to materialize from WHEN it fired.
+    */
   final case class Entry(id: String, cron: CronSchedule,
-                         run: SparkSession => Unit)
+                         run: (SparkSession, LocalDateTime) => Unit)
 
   /** Standard wiring: a tenant's declared `schedule` drives its full
     * pipeline run (extract + model DAG, snapshot-replace semantics).
     */
   def forTenant(tenant: TenantConfig, pipeline: TenantPipeline): Entry =
     Entry(tenant.id, CronSchedule.parse(tenant.schedule),
-      s => { pipeline.run(s); () })
+      (s, _) => { pipeline.run(s); () })
+
+  /** Scheduled incremental materialization: each fire backfills the most
+    * recent COMPLETE partition before the fire instant (the "yesterday"
+    * run of a daily mart, "last month" of a monthly one) — the reference's
+    * cron schedule and partition definitions composed
+    * (schedule.py:14-22 + executable_component.py:19-41).
+    */
+  def partitionedEntry(id: String, cronExpr: String,
+                       source: SparkSession => org.apache.spark.sql.DataFrame,
+                       dateCol: String, grain: PartitionGrain,
+                       db: String, table: String): Entry =
+    Entry(id, CronSchedule.parse(cronExpr), (s, fire) => {
+      val d = fire.toLocalDate
+      val (from, until) = grain match {
+        case PartitionGrain.Daily => (d.minusDays(1), d)
+        case PartitionGrain.Monthly =>
+          (d.withDayOfMonth(1).minusMonths(1), d.withDayOfMonth(1))
+      }
+      PartitionedMaterializer.backfill(s, source(s), dateCol, grain,
+        db, table, from, until)
+      ()
+    })
 }

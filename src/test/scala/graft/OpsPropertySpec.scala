@@ -124,6 +124,24 @@ class OpsPropertySpec extends SparkSpec {
     assert(unguarded.filter(col("vec_a") === 1L && col("vec_b") === 2L).count() == 1)
   }
 
+  test("ivf search: self-hit invariant, bounded candidates, recall floor vs exact") {
+    val ivf = VectorOps.ivfCosineTopk(spark, sf).collect()
+    // contract shape: 5 probes x top-5
+    assert(ivf.length == 25)
+    // a probe's own cell is its nearest centroid -> top-1 is always itself
+    ivf.filter(_.getAs[Int]("rnk") == 1).foreach { r =>
+      assert(r.getAs[Long]("probe_id") == r.getAs[Long]("neighbor_id"))
+      assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-12)
+    }
+    // recall@5 vs the exact brute-force path: probing 4/16 cells must
+    // recover a solid majority of the true neighbors on this corpus
+    val exact = VectorOps.knnCosineTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val got = ivf.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.6, s"ivf recall@5 = $recall")
+  }
+
   test("multimodal stub: metadata and frame sampling are deterministic and batched") {
     val media = MultimodalOps.mediaFromDocuments(spark, sf).limit(20)
     val meta = MultimodalOps.extractMeta(media).collect()

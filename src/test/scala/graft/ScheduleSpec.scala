@@ -1,6 +1,7 @@
 package graft
 
 import java.time.LocalDateTime
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.config.TenantConfig
 import graft.ops.PipelineOps
@@ -68,7 +69,7 @@ class ScheduleRunnerSpec extends SparkSpec {
       Seq(PipelineOps.stagingModel, PipelineOps.martModel))
     var runs = 0
     val entry = ScheduleRunner.forTenant(tenant, pipeline)
-      .copy(run = s => { pipeline.run(s); runs += 1 })
+      .copy(run = (s, _) => { pipeline.run(s); runs += 1 })
     val t0 = LocalDateTime.parse("2026-01-01T00:00:00")
     val runner = new ScheduleRunner(Seq(entry), startAt = t0)
 
@@ -89,9 +90,9 @@ class ScheduleRunnerSpec extends SparkSpec {
     val t0 = LocalDateTime.parse("2026-01-01T00:00:00")
     var healthyRuns, attempts, errors = 0
     val failTwice = ScheduleRunner.Entry("flaky", CronSchedule.parse("0 * * * *"),
-      _ => { attempts += 1; if (attempts <= 2) sys.error("transient") })
+      (_, _) => { attempts += 1; if (attempts <= 2) sys.error("transient") })
     val healthy = ScheduleRunner.Entry("steady", CronSchedule.parse("0 * * * *"),
-      _ => healthyRuns += 1)
+      (_, _) => healthyRuns += 1)
     val runner = new ScheduleRunner(Seq(failTwice, healthy), startAt = t0,
       onError = (_, _) => errors += 1)
 
@@ -110,7 +111,7 @@ class ScheduleRunnerSpec extends SparkSpec {
     assert(new ScheduleRunner(Seq.empty, t0).nextWake.isEmpty)
     // Feb 30 parses but never fires: nextWake skips it instead of throwing,
     // and runUntil exits instead of crashing
-    val feb30 = ScheduleRunner.Entry("never", CronSchedule.parse("0 0 30 2 *"), _ => ())
+    val feb30 = ScheduleRunner.Entry("never", CronSchedule.parse("0 0 30 2 *"), (_, _) => ())
     val r = new ScheduleRunner(Seq(feb30), t0, onError = (_, _) => ())
     assert(r.nextWake.isEmpty)
     r.runUntil(spark, continue = () => true,
@@ -120,17 +121,46 @@ class ScheduleRunnerSpec extends SparkSpec {
   test("nextWake is the earliest upcoming fire across entries") {
     val t0 = LocalDateTime.parse("2026-01-01T00:10:00")
     val mk = (id: String, cron: String) =>
-      ScheduleRunner.Entry(id, CronSchedule.parse(cron), _ => ())
+      ScheduleRunner.Entry(id, CronSchedule.parse(cron), (_, _) => ())
     val runner = new ScheduleRunner(
       Seq(mk("a", "0 */2 * * *"), mk("b", "30 * * * *")), startAt = t0)
     assert(runner.nextWake.contains(LocalDateTime.parse("2026-01-01T00:30:00")))
+  }
+
+  test("partition-aware entry materializes the last complete partition per fire") {
+    import graft.pipeline.PartitionGrain
+    // monthly grain: a whole month has enough fixture rows at sf0.001
+    val entry = ScheduleRunner.partitionedEntry("monthly_orders", "0 1 1 * *",
+      s => Tables.t(s, sf, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate"),
+      "o_orderdate", PartitionGrain.Monthly, "graft_sched_bf", "orders_monthly")
+    val t0 = LocalDateTime.parse("1996-03-31T00:00:00")
+    val runner = new ScheduleRunner(Seq(entry), startAt = t0)
+
+    // fire Apr 1 01:00 → materializes March; fire May 1 → April
+    assert(runner.tick(spark, LocalDateTime.parse("1996-04-01T01:00:00")).nonEmpty)
+    assert(runner.tick(spark, LocalDateTime.parse("1996-05-01T01:00:00")).nonEmpty)
+    val tbl = spark.table("`graft_sched_bf`.`orders_monthly`")
+    val parts = tbl.select("part_key").distinct().collect().map(_.getString(0)).sorted
+    assert(parts.toSeq == Seq("1996-03", "1996-04"))
+    // each partition holds exactly that month's source rows
+    val expected = Tables.t(spark, sf, "orders")
+      .filter(col("o_orderdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp")).count()
+    assert(expected > 0)
+    assert(tbl.filter(col("part_key") === "1996-03").count() == expected)
+
+    // catch-up across two missed months collapses to the LATEST window only
+    assert(runner.tick(spark, LocalDateTime.parse("1996-08-01T01:00:00")).nonEmpty)
+    val parts2 = tbl.select("part_key").distinct().collect().map(_.getString(0)).sorted
+    assert(parts2.toSeq == Seq("1996-03", "1996-04", "1996-07"))
   }
 
   test("runUntil drives ticks from an injected clock without real sleeping") {
     val t0 = LocalDateTime.parse("2026-01-01T00:00:00")
     var fired = 0
     val entry = ScheduleRunner.Entry("fast", CronSchedule.parse("*/30 * * * *"),
-      _ => fired += 1)
+      (_, _) => fired += 1)
     val runner = new ScheduleRunner(Seq(entry), startAt = t0)
     var simNow = t0
     var slept = Vector.empty[Long]
