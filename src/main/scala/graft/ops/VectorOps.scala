@@ -154,24 +154,54 @@ object VectorOps {
   /** (cell assignments keyed by vec_id, centroid table (cell, centroid
     * array)). Assignments persist via PlanCache — the in-process analog of
     * writing the inverted lists to a table.
+    *
+    * The quantizer is Lloyd's k-means hand-rolled in DataFrame ops: each
+    * iteration assigns vectors to their nearest centroid through a
+    * BROADCAST join against the nCells-row centroid table (min(struct)
+    * argmin — no window sort), then recomputes centroids with the
+    * fixed-point exact aggregation from [[labelCentroid]] (order-
+    * independent long sums → bit-deterministic across shuffles, unlike a
+    * double avg). Only the nCells×dims centroid matrix ever reaches the
+    * driver — index metadata, not data. Seeding is a deterministic
+    * hash-ordered sample, so the whole index is reproducible run-to-run.
+    * Cells that lose all members keep their previous centroid.
     */
   def ivfIndex(vectors: DataFrame, nCells: Int = IvfCells,
-               seed: Long = 42L): (DataFrame, DataFrame) = {
+               iterations: Int = 2): (DataFrame, DataFrame) = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val feats = vectors.withColumn("features",
-      org.apache.spark.ml.functions.array_to_vector(
-        transform(col("embedding"), x => x.cast("double"))))
-    val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nCells).setSeed(seed).setFeaturesCol("features")
-      .setPredictionCol("cell")
-      .fit(feats)
+    val emb = vectors.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("vec"))
+    var cents: Map[Int, Seq[Double]] = emb.orderBy(xxhash64(col("vec_id")))
+      .limit(nCells).collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Double](1) }.toMap
+    def centroidDf = cents.toSeq.sortBy(_._1).toDF("cell", "centroid")
+    def assign(cDf: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(cDf))
+        .withColumn("dist", aggregate(
+          zip_with(col("vec"), col("centroid"), (x, c) => (x - c) * (x - c)),
+          lit(0.0), (acc, v) => acc + v))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cell"))).as("m"))
+        .select(col("vec_id"), col("m.cell").as("cell"))
+    for (_ <- 1 to iterations) {
+      val updated = emb.join(assign(centroidDf), "vec_id")
+        .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "x")))
+        .withColumn("xq", floor(col("x") * lit(1e9)).cast("bigint"))
+        .groupBy("cell", "dim")
+        .agg(sum("xq").as("s"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1))
+            .map(r => r.getLong(2).toDouble / 1e9 / r.getLong(3)).toSeq
+        }
+      cents = cents ++ updated
+    }
     val assignments = PlanCache.swap("ivf-assignments",
-      model.transform(feats).select(col("vec_id"), col("cell"), col("embedding")))
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-    (assignments, centroids)
+      emb.join(assign(centroidDf), "vec_id")
+        .select(col("vec_id"), col("cell"), col("vec").as("embedding")))
+    (assignments, centroidDf)
   }
 
   /** Top-k cosine search through the IVF index for the probe set
