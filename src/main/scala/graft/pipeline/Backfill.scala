@@ -83,32 +83,23 @@ object PartitionedMaterializer {
     if (!spark.catalog.tableExists(s"$db.$table")) {
       Warehouse.saveModel(batch, db, table, Seq(partCol))
     } else {
-      // Positional insertInto: align to the catalog column order (data
-      // columns first, partition column last after partitionBy-create).
-      //
-      // Dynamic overwrite needs `partitionOverwriteMode=dynamic`, which is
-      // session conf — but flipping it on the SHARED session would race
-      // with concurrent writers (TenantRegistry.runAll runs pipelines in
-      // parallel on one session; a concurrent static Overwrite observing
-      // the flip — or us observing its restore — truncates whole tables).
-      // Instead the write runs on a cloned session (same SparkContext,
-      // catalog and data, isolated conf); the batch crosses sessions via a
-      // global temp view. insertInto ignores per-write options, so this is
-      // the race-free route.
+      // DECLARED-RANGE replacement, not touched-partition replacement:
+      // every partition in [from, untilExcl) is dropped, then the batch
+      // appends. Dynamic partition overwrite would only replace partitions
+      // the batch has rows for — a corrective re-run could never CLEAR a
+      // partition whose source rows disappeared, leaving stale data. Drop
+      // is a metadata op (chunked multi-partition ALTER); the append is
+      // one job with positional columns aligned to the catalog order
+      // (partition column last after partitionBy-create). Not atomic: a
+      // concurrent reader can see the range empty mid-run — same exposure
+      // window as an overwrite commit, acceptable for a maintenance op.
       val cols = spark.table(fq).columns
-      val view = "graft_backfill_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      batch.createOrReplaceGlobalTempView(view)
-      try {
-        val writer = spark.newSession()
-        writer.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        writer.table(s"global_temp.`$view`")
-          .select(cols.map(col).toIndexedSeq: _*)
-          .write.mode(SaveMode.Overwrite).insertInto(fq)
-      } finally spark.catalog.dropGlobalTempView(view)
-      // the write ran on the clone: drop the caller session's cached file
-      // listing, or its next read resolves replaced partitions to dead files
-      spark.catalog.refreshTable(s"$db.$table")
+      grain.keys(from, untilExcl).grouped(100).foreach { chunk =>
+        val specs = chunk.map(k => s"PARTITION (`$partCol`='$k')").mkString(", ")
+        spark.sql(s"ALTER TABLE $fq DROP IF EXISTS $specs")
+      }
+      batch.select(cols.map(col).toIndexedSeq: _*)
+        .write.mode(SaveMode.Append).insertInto(fq)
     }
     grain.keys(from, untilExcl)
   }
@@ -118,6 +109,27 @@ object PartitionedMaterializer {
       case PartitionGrain.Daily => d
       case PartitionGrain.Monthly => d.withDayOfMonth(1)
     }
+
+  /** Event-time-partitioned APPEND — the streaming-ingest shape: each
+    * micro-batch (or incremental batch) accretes rows into the partitions
+    * its event dates land in. Complements [[backfill]]: append is the
+    * forward path, ranged backfill the corrective rewrite, and
+    * Warehouse.compact the small-file maintenance those appends make
+    * necessary.
+    */
+  def appendPartitioned(df: DataFrame, dateCol: String, grain: PartitionGrain,
+                        db: String, table: String,
+                        partCol: String = DefaultPartCol): Unit = {
+    val spark = df.sparkSession
+    val withKey = df.withColumn(partCol, grain.key(col(dateCol)))
+    if (!spark.catalog.tableExists(s"$db.$table"))
+      Warehouse.saveModel(withKey, db, table, Seq(partCol))
+    else {
+      val cols = spark.table(s"`$db`.`$table`").columns
+      withKey.select(cols.map(col).toIndexedSeq: _*)
+        .write.mode(SaveMode.Append).insertInto(s"`$db`.`$table`")
+    }
+  }
 
   /** One materialized partition's rows (the per-partition inspection
     * surface; deterministic when ordered by the caller).

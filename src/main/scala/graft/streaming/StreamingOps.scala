@@ -131,6 +131,25 @@ object StreamingOps {
       }
       .start()
 
+  /** Stream → time-partitioned warehouse: each micro-batch appends into
+    * the daily/monthly partition its event dates land in
+    * (PartitionedMaterializer.appendPartitioned), so streaming ingest
+    * lands in the SAME partition layout the scheduled/backfill batch path
+    * maintains — one table serves both, and ranged backfill remains the
+    * corrective rewrite for any partition the stream got wrong.
+    */
+  def sinkToPartitionedWarehouse(rows: DataFrame, dateCol: String,
+                                 grain: graft.pipeline.PartitionGrain,
+                                 db: String, table: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.pipeline.PartitionedMaterializer.appendPartitioned(
+          batch.toDF(), dateCol, grain, db, table)
+      }
+      .start()
+
   /** Default output mode pairings for the above (documented contract). */
   val outputModes: Map[String, OutputMode] = Map(
     "hourlyCounts" -> OutputMode.Append(),

@@ -135,4 +135,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((1L, 7200000100L, 1L)))
     assert(got.contains((2L, 3600000300L, 1L)))
   }
+
+  test("streaming ingest lands micro-batches in the batch path's partition layout") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val streamDf = mem.toDF()
+      .withColumn("ts_us", timestamp_micros(col("tsUs")))
+      .select(col("userId").as("user_id"), col("ts_us"), col("value"))
+    val q = StreamingOps.sinkToPartitionedWarehouse(streamDf, "ts_us",
+      graft.pipeline.PartitionGrain.Daily, "stream_part_wh", "events_daily")
+    val day = 86400L * 1000000L
+    // two micro-batches: same day twice (appends accrete), then a new day
+    mem.addData(Ev(1L, 1 * day + 100, "click", 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(2L, 1 * day + 200, "click", 1.0), Ev(3L, 2 * day + 50, "view", 2.0))
+    q.processAllAvailable(); q.stop()
+
+    val tbl = spark.table("stream_part_wh.events_daily")
+    val byPart = tbl.groupBy("part_key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byPart == Map("1970-01-02" -> 2L, "1970-01-03" -> 1L))
+    // and the batch-side corrective path reads/writes the same layout:
+    // backfilling day 2 from an empty-but-aligned source clears only it
+    import java.time.LocalDate
+    graft.pipeline.PartitionedMaterializer.backfill(spark,
+      tbl.filter(lit(false)).drop("part_key"), "ts_us",
+      graft.pipeline.PartitionGrain.Daily, "stream_part_wh", "events_daily",
+      LocalDate.of(1970, 1, 3), LocalDate.of(1970, 1, 4))
+    val after = spark.table("stream_part_wh.events_daily")
+      .groupBy("part_key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == Map("1970-01-02" -> 2L))
+  }
 }
