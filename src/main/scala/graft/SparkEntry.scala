@@ -65,6 +65,8 @@ object SparkEntry {
     "q_simhash"             -> (TextOps.simhash _),
     "q_ngram_jaccard"       -> (TextOps.ngramJaccard _),
     "q_doc_fingerprint"     -> (TextOps.docFingerprint _),
+    "q_doc_chunking"        -> (TextOps.docChunks _),
+    "q_corpus_clean"        -> (TextOps.corpusClean _),
     "q_binary_meta"         -> (TextOps.binaryMeta _),
     "q_embed_norm"          -> (VectorOps.embedNorm _),
     "q_label_centroid"      -> (VectorOps.labelCentroid _),
@@ -384,6 +386,41 @@ object SparkEntry {
         |)
         |SELECT probe_id, rnk, other_id, jacc FROM ranked WHERE rnk <= 3
         |ORDER BY probe_id, rnk""".stripMargin,
+    "q_doc_chunking" ->
+      """WITH tok AS (
+        |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens
+        |    FROM documents
+        |), starts AS (
+        |    SELECT doc_id, tokens,
+        |           unnest(range(0, len(tokens), 24)) AS start,
+        |           generate_subscripts(range(0, len(tokens), 24), 1) - 1 AS chunk_idx
+        |    FROM tok
+        |)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |       len(list_slice(tokens, start + 1, start + 32)) AS n_chunk_tokens,
+        |       array_to_string(list_slice(tokens, start + 1, start + 32), ' ')
+        |           AS chunk_text
+        |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_corpus_clean" ->
+      """WITH tok AS (
+        |    SELECT doc_id, lang, text,
+        |           string_split_regex(trim(text), '\s+') AS tokens
+        |    FROM documents
+        |), stats AS (
+        |    SELECT doc_id, lang, text, len(tokens) AS n_tokens,
+        |           CAST(len(list_filter(tokens,
+        |               tk -> tk IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE)
+        |             / CAST(len(tokens) AS DOUBLE) AS stop_ratio
+        |    FROM tok
+        |), survivors AS (
+        |    SELECT MIN(doc_id) AS doc_id FROM documents
+        |    GROUP BY sha256(lower(trim(text)))
+        |)
+        |SELECT doc_id, lang, n_tokens, stop_ratio
+        |FROM stats
+        |WHERE doc_id IN (SELECT doc_id FROM survivors)
+        |  AND n_tokens >= 20 AND stop_ratio >= 0.05 AND stop_ratio <= 0.6
+        |ORDER BY doc_id""".stripMargin,
     "q_doc_fingerprint" ->
       """SELECT doc_id,
         |       list_reduce(

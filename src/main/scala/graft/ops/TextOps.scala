@@ -216,6 +216,54 @@ object TextOps {
       regexp_count(col("text"), lit("[^\\w\\s]")).as("n_punct"))
       .orderBy("doc_id")
 
+  /** Fixed-window document chunking with stride — the training-data prep
+    * op that turns documents into model-sized pieces. Chunk starts are a
+    * per-row `sequence` (0, stride, 2·stride, …) exploded into one row per
+    * chunk; the chunk itself is a `slice` of the token array. Per-row
+    * codegen'd expressions only — no shuffle until the final order.
+    */
+  val ChunkTokens = 32
+  val ChunkStride = 24
+  def docChunks(s: SparkSession, d: String): DataFrame =
+    withTokens(t(s, d, "documents"))
+      .select(col("doc_id"), col("tokens"),
+        posexplode(sequence(lit(0), size(col("tokens")) - 1, lit(ChunkStride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(
+        col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        slice(col("tokens"), col("start") + 1, lit(ChunkTokens)).as("chunk"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Composed corpus-cleaning pass (the C4-style filter chain): keep docs
+    * that are (a) the keep-lowest-id survivor of exact dedup, (b) long
+    * enough, (c) inside a stopword-ratio band (too low = not prose, too
+    * high = boilerplate). One scan computes the per-row stats; the dedup
+    * survivors arrive via a semi-join on the normalized-text hash group
+    * minimum — filters and join both scale linearly.
+    */
+  def corpusClean(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "to", "and")
+    val stats = withTokens(t(s, d, "documents"))
+      .withColumn("n_tokens", size(col("tokens")))
+      .withColumn("stop_ratio",
+        size(filter(col("tokens"), tk => tk.isin(stop.map(x => x: Any): _*)))
+          .cast("double") / col("n_tokens").cast("double"))
+    val survivors = t(s, d, "documents")
+      .groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    stats
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .filter(col("n_tokens") >= 20 &&
+        col("stop_ratio") >= 0.05 && col("stop_ratio") <= 0.6)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("stop_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus vocabulary: top-5 terms per language by frequency — explode →
     * two-level aggregation (map-side combined) → per-group top-k window.
     * The shuffle is keyed by (lang, token); no collect, no global sort.
