@@ -63,6 +63,7 @@ object SparkEntry {
     "q_dedup_exact_text"    -> (TextOps.dedupExactText _),
     "q_dedup_minhash"       -> (TextOps.dedupMinhash _),
     "q_simhash"             -> (TextOps.simhash _),
+    "q_simhash_near_dup"    -> (TextOps.simhashNearDup _),
     "q_ngram_jaccard"       -> (TextOps.ngramJaccard _),
     "q_doc_fingerprint"     -> (TextOps.docFingerprint _),
     "q_doc_chunking"        -> (TextOps.docChunks _),
@@ -78,7 +79,8 @@ object SparkEntry {
 
   /** DuckDB-dialect oracle SQL per query. Omitted (→ rows-only check):
     * q_approx_distinct (sketch values engine-specific), q_dedup_minhash /
-    * q_simhash / q_lsh_cosine_buckets (xxhash64 family not in DuckDB),
+    * q_simhash / q_simhash_near_dup / q_lsh_cosine_buckets (xxhash64
+    * family not in DuckDB),
     * q_ivf_cosine_topk (centroids engine-trained; recall-floor-tested vs
     * the exact oracle'd q_knn_cosine_topk) — each is property-tested in
     * src/test instead.

@@ -78,6 +78,8 @@ object GraftFunctions {
       "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hyperplane_sketch", exprs => HyperplaneSketch(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
   }
 }
 
@@ -95,6 +97,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("hyperplane_sketch"),
       HyperplaneSketch.info,
       (exprs: Seq[Expression]) => HyperplaneSketch(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      SimHash64.info,
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
     // resolution-stage so the filter is in the analyzed plan (cache-safe)
     ext.injectPostHocResolutionRule(spark => graft.plans.TenantIsolationRule(spark))
   }

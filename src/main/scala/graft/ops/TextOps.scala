@@ -148,24 +148,76 @@ object TextOps {
           min(xxhash64(col("h"), lit(j))).as(s"sig_$j")): _*)
   }
 
-  /** 64-bit SimHash per doc from token hashes — bit-vote accumulation as a
-    * single higher-order fold (no explode; one pass per row). No oracle
+  /** 64-bit SimHash per doc via the native codegen expression
+    * graft.functions.SimHash64 — one flat token loop per row. The previous
+    * higher-order-fold formulation allocated two 64-element arrays per
+    * token AND was recomputed wholesale by every downstream expression
+    * that referenced the column after project collapse (banding it 8 ways
+    * cost 8 full re-folds, ~228 s at sf0.1). Values are bit-identical
+    * (same xxhash64 seed, vote rule, packing — parity-tested). No oracle
     * (hash-family specific); self-tested.
     */
-  def simhash(s: SparkSession, d: String): DataFrame =
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     withTokens(t(s, d, "documents"))
-      .withColumn("bit_votes", expr(
-        """aggregate(tokens, array_repeat(0, 64),
-          |  (acc, tk) -> zip_with(acc,
-          |      transform(sequence(0, 63),
-          |        i -> CASE WHEN ((xxhash64(tk) >> i) & 1) = 1 THEN 1 ELSE -1 END),
-          |      (a, b) -> a + b))""".stripMargin))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L,
-          |  (acc, i) -> acc + CASE WHEN element_at(bit_votes, i + 1) > 0
-          |                    THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin))
+      .withColumn("simhash", expr("simhash64(tokens)"))
       .select("doc_id", "simhash")
       .orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs: the 64-bit simhash split into 8 byte-bands;
+    * two docs within hamming distance ≤ 8·(bands-matching…) share at least
+    * one full band by pigeonhole when distance < 8, so candidates come
+    * from a band-keyed equi-join (same shape + hot-bucket guard as the
+    * minhash path), confirmed by exact hamming distance on the full hash.
+    * Rows-only (xxhash64 family); exact-dup collision property-tested.
+    */
+  val SimhashBands = 8
+  val SimhashMaxHamming = 7
+
+  /** Registered query: PROBE-style (doc_id < 10 against the corpus, like
+    * q_ngram_jaccard) — the synthetic fixture's shared vocabulary makes
+    * most docs mutually similar, so an all-pairs report over it is
+    * inherently quadratic in OUTPUT (444 pairs at 500 docs, ~50× that at
+    * 5000); the probe shape keeps the band-join mechanics under a bounded
+    * result. The all-pairs operator remains [[simhashPairs]] with its
+    * hot-bucket cap for corpora where near-dup clusters are rare (the real
+    * ones, after exact dedup).
+    */
+  def simhashNearDup(s: SparkSession, d: String): DataFrame =
+    simhashPairs(simhash(s, d), probe = Some(col("doc_id") < 10))
+
+  /** Core over any (doc_id, simhash) frame. With `probe`, pairs are
+    * (probe doc, any other corpus doc); without, all unordered pairs.
+    */
+  def simhashPairs(hashes: DataFrame,
+                   maxHamming: Int = SimhashMaxHamming,
+                   probe: Option[Column] = None): DataFrame = {
+    val h = PlanCache.swap("simhash-hashes",
+      hashes.select(col("doc_id"), col("simhash")))
+    val banded = h.select(col("doc_id"),
+      posexplode(array((0 until SimhashBands).map(b =>
+        shiftrightunsigned(col("simhash"), b * 8).bitwiseAND(lit(0xFFL))): _*))
+        .as(Seq("band_idx", "band_key")))
+    val hot = banded.groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("n")).filter(col("n") > MaxBucketSize)
+      .select("band_idx", "band_key")
+    val pruned = banded.join(broadcast(hot), Seq("band_idx", "band_key"), "left_anti")
+    val left = probe.fold(pruned)(p => broadcast(pruned.filter(p)))
+    val cands = left.alias("a")
+      .join(pruned.alias("b"), Seq("band_idx", "band_key"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .filter(if (probe.isDefined) col("doc_a") =!= col("doc_b")
+              else col("doc_a") < col("doc_b"))
+      .distinct()
+    cands
+      .join(h.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), "doc_a")
+      .join(h.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), "doc_b")
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** n-gram (token-set) Jaccard similarity: small probe set broadcast
     * against the corpus, bucketed by lang — the block-join shape; top-3 by

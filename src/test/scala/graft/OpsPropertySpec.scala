@@ -49,13 +49,20 @@ class OpsPropertySpec extends SparkSpec {
   }
 
   test("simhash: equal texts equal hashes; small edit -> small hamming distance") {
+    graft.functions.GraftFunctions.register(spark)
     val base = "spark engine batch stream join window shuffle partition " * 4
     val edited = base.replace("window", "pane")
     val df = Seq((1L, base), (2L, base), (3L, edited)).toDF("doc_id", "text")
-    df.createOrReplaceTempView("documents_tmp")
-    // reuse simhash expressions over an inline frame
     val tokens = df.withColumn("tokens", split(trim(col("text")), "\\s+"))
-    val hashed = tokens.withColumn("bit_votes", expr(
+    val hashed = tokens.withColumn("simhash", expr("simhash64(tokens)"))
+      .orderBy("doc_id").select("simhash").as[Long].collect()
+    assert(hashed(0) == hashed(1))
+    val hamming = java.lang.Long.bitCount(hashed(0) ^ hashed(2))
+    assert(hamming > 0 && hamming <= 16, s"hamming=$hamming")
+
+    // parity: the native expression is bit-identical to the HOF fold it
+    // replaced (same xxhash64 seed, vote rule, bit packing)
+    val hof = tokens.withColumn("bit_votes", expr(
       """aggregate(tokens, array_repeat(0, 64),
         |  (acc, tk) -> zip_with(acc,
         |      transform(sequence(0, 63),
@@ -66,9 +73,7 @@ class OpsPropertySpec extends SparkSpec {
           |  (acc, i) -> acc + CASE WHEN element_at(bit_votes, i + 1) > 0
           |                    THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin))
       .orderBy("doc_id").select("simhash").as[Long].collect()
-    assert(hashed(0) == hashed(1))
-    val hamming = java.lang.Long.bitCount(hashed(0) ^ hashed(2))
-    assert(hamming > 0 && hamming <= 16, s"hamming=$hamming")
+    assert(hashed.toSeq == hof.toSeq)
   }
 
   test("lsh buckets: identical vectors share a bucket; buckets partition the corpus") {
@@ -122,6 +127,20 @@ class OpsPropertySpec extends SparkSpec {
     // proving the guard (not a bug) removed it above
     val unguarded = VectorOps.nearDupPairs(df, 0.99)
     assert(unguarded.filter(col("vec_a") === 1L && col("vec_b") === 2L).count() == 1)
+  }
+
+  test("simhash near-dup: pigeonhole recall is exact within the hamming budget") {
+    // hamming(a,b)=0 (identical), hamming(a,c)=5 (<= 7: MUST be found by
+    // pigeonhole — 5 flipped bits can't touch all 8 bands), hamming(a,d)=64
+    val a = 0x0123456789abcdefL
+    val c = a ^ 0x8421080000000000L // 5 bits across 3 bands
+    val hashes = Seq((1L, a), (2L, a), (3L, c), (4L, ~a))
+      .toDF("doc_id", "simhash")
+    val pairs = TextOps.simhashPairs(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 0), (1L, 3L, 5), (2L, 3L, 5)))
+    val plan = TextOps.simhashPairs(hashes).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
   }
 
   test("ivf search: self-hit invariant, bounded candidates, recall floor vs exact") {
