@@ -32,12 +32,19 @@ object TextOps {
   /** Quality scoring: stopword ratio + mean token length (int/int double
     * division — deterministic).
     */
+  /** Canonical English stopword set — shared by quality scoring and the
+    * cleaning pass so their ratios can never silently diverge (and by the
+    * matching oracle SQL literals).
+    */
+  val StopWords: Seq[String] = Seq("the", "a", "of", "to", "and")
+
+  private def stopCount(tokens: Column): Column =
+    size(filter(tokens, tk => tk.isin(StopWords.map(x => x: Any): _*)))
+
   def qualityScore(s: SparkSession, d: String): DataFrame = {
-    val stop = Seq("the", "a", "of", "to", "and")
     withTokens(t(s, d, "documents"))
       .withColumn("n_tokens", size(col("tokens")))
-      .withColumn("stop_cnt",
-        size(filter(col("tokens"), tk => tk.isin(stop.map(x => x: Any): _*))))
+      .withColumn("stop_cnt", stopCount(col("tokens")))
       .select(
         col("doc_id"), col("n_tokens"), col("stop_cnt"),
         (col("stop_cnt").cast("double") / col("n_tokens").cast("double"))
@@ -157,12 +164,18 @@ object TextOps {
     * (same xxhash64 seed, vote rule, packing — parity-tested). No oracle
     * (hash-family specific); self-tested.
     */
-  def simhash(s: SparkSession, d: String): DataFrame = {
+  def simhash(s: SparkSession, d: String): DataFrame =
+    simhashFrame(s, d).orderBy("doc_id")
+
+  /** Unsorted (doc_id, simhash) frame — the pairing path consumes this so
+    * the registered query's global ORDER BY isn't paid (and persisted) by
+    * a plan that immediately re-shuffles on band keys anyway.
+    */
+  private def simhashFrame(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     withTokens(t(s, d, "documents"))
       .withColumn("simhash", expr("simhash64(tokens)"))
       .select("doc_id", "simhash")
-      .orderBy("doc_id")
   }
 
   /** SimHash near-dup pairs: the 64-bit simhash split into 8 byte-bands;
@@ -185,7 +198,7 @@ object TextOps {
     * ones, after exact dedup).
     */
   def simhashNearDup(s: SparkSession, d: String): DataFrame =
-    simhashPairs(simhash(s, d), probe = Some(col("doc_id") < 10))
+    simhashPairs(simhashFrame(s, d), probe = Some(col("doc_id") < 10))
 
   /** Core over any (doc_id, simhash) frame. With `probe`, pairs are
     * (probe doc, any other corpus doc); without, all unordered pairs.
@@ -298,12 +311,10 @@ object TextOps {
     * minimum — filters and join both scale linearly.
     */
   def corpusClean(s: SparkSession, d: String): DataFrame = {
-    val stop = Seq("the", "a", "of", "to", "and")
     val stats = withTokens(t(s, d, "documents"))
       .withColumn("n_tokens", size(col("tokens")))
       .withColumn("stop_ratio",
-        size(filter(col("tokens"), tk => tk.isin(stop.map(x => x: Any): _*)))
-          .cast("double") / col("n_tokens").cast("double"))
+        stopCount(col("tokens")).cast("double") / col("n_tokens").cast("double"))
     val survivors = t(s, d, "documents")
       .groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
       .agg(min("doc_id").as("doc_id"))

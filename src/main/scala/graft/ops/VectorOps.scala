@@ -135,10 +135,10 @@ object VectorOps {
 
   /** IVF (inverted-file) approximate nearest neighbor — the data-adaptive
     * complement to the hyperplane-LSH path: a k-means coarse quantizer
-    * learns `nCells` centroids over the corpus (MLlib, fixed seed), every
-    * vector lands in its nearest centroid's inverted list, and a query
-    * probes only the `nProbe` nearest cells, running exact cosine within
-    * them.
+    * (hand-rolled Lloyd's in DataFrame ops, deterministic) learns
+    * `nCells` centroids over the corpus, every vector lands in its
+    * nearest centroid's inverted list, and a query probes only the
+    * `nProbe` nearest cells, running exact cosine within them.
     *
     * Scale shape: train once (the "build the index" job), then search is
     * probe×centroid scoring against a BROADCAST 16-row centroid table
@@ -170,8 +170,15 @@ object VectorOps {
                iterations: Int = 2): (DataFrame, DataFrame) = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val emb = vectors.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("vec"))
+    // null/empty embeddings are unindexable (same contract as sketch());
+    // a null seed centroid would otherwise win every NULLS-FIRST argmin
+    // and silently collapse the index to one cell. Persist: the frame
+    // feeds the seed sample, every Lloyd's iteration (twice each), and
+    // the final assignment — one scan instead of ~6.
+    val emb = PlanCache.swap("ivf-emb", vectors
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec")))
     var cents: Map[Int, Seq[Double]] = emb.orderBy(xxhash64(col("vec_id")))
       .limit(nCells).collect().zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Double](1) }.toMap

@@ -48,10 +48,11 @@ object PartitionGrain {
   * Scale mechanics:
   *  - the source filter is a plain timestamp range, so it pushes into the
   *    parquet scan (min/max row-group skipping);
-  *  - the target is a partition-column managed table; re-runs write under
-  *    dynamic partition overwrite, replacing exactly the partitions the
-  *    batch touches and leaving all history outside the range untouched
-  *    (an all-partition Overwrite would truncate it);
+  *  - the target is a partition-column managed table; re-runs replace the
+  *    DECLARED range (every partition in it is dropped, then the batch
+  *    appends), leaving all history outside the range untouched — an
+  *    all-partition Overwrite would truncate it, and touched-partition
+  *    overwrite could not clear a partition whose source rows vanished;
   *  - downstream equality/range filters on the partition key prune
   *    directories at plan time (PartitionFilters in the scan).
   */
@@ -121,7 +122,11 @@ object PartitionedMaterializer {
                         db: String, table: String,
                         partCol: String = DefaultPartCol): Unit = {
     val spark = df.sparkSession
-    val withKey = df.withColumn(partCol, grain.key(col(dateCol)))
+    // a null event time would land in the default (__HIVE_DEFAULT_PARTITION__)
+    // partition, which no date-ranged backfill can ever clear — such rows
+    // are undatable and excluded from a time-partitioned table by contract
+    val withKey = df.filter(col(dateCol).isNotNull)
+      .withColumn(partCol, grain.key(col(dateCol)))
     if (!spark.catalog.tableExists(s"$db.$table"))
       Warehouse.saveModel(withKey, db, table, Seq(partCol))
     else {

@@ -133,30 +133,47 @@ final class ScheduleRunner(entries: Seq[ScheduleRunner.Entry],
     * window is NOT advanced, so the next tick retries it (and `onError`
     * observes the failure).
     */
+  /** All fires of `e` in `(prev, now]`, as (first, last). The scan from
+    * `first` is shortcut to the most recent day when the window is long
+    * (a minutely cron a year behind must not walk 525k steps per tick);
+    * exceptions from ADVANCING past an already-found due fire must not
+    * lose it (a cron whose next occurrence is years away — leap days —
+    * throws from nextAfter long after a legitimate due fire was found).
+    */
+  private def firesIn(e: ScheduleRunner.Entry, prev: LocalDateTime,
+                      now: LocalDateTime): Option[(LocalDateTime, LocalDateTime)] = {
+    val first = e.cron.nextAfter(prev) // may throw: unsatisfiable — caller handles
+    if (first.isAfter(now)) return None
+    var f = first
+    try {
+      val dayAgo = now.minusDays(1)
+      if (f.isBefore(dayAgo)) {
+        val probe = e.cron.nextAfter(dayAgo)
+        if (!probe.isAfter(now)) f = probe
+      }
+      var next = e.cron.nextAfter(f)
+      while (!next.isAfter(now)) { f = next; next = e.cron.nextAfter(f) }
+    } catch { case _: IllegalArgumentException => () } // keep the found fire
+    Some((first, f))
+  }
+
   def tick(spark: SparkSession, now: LocalDateTime): Seq[String] =
     entries.flatMap { e =>
       val prev = last(e.id)
       if (!now.isAfter(prev)) None
       else {
-        // latest fire in (prev, now] — catch-up collapses to the MOST
-        // RECENT scheduled instant, which is what a partition-aware run
-        // must materialize (the newest complete window)
-        val fire =
-          try {
-            var f = e.cron.nextAfter(prev)
-            if (f.isAfter(now)) None
-            else {
-              var next = e.cron.nextAfter(f)
-              while (!next.isAfter(now)) { f = next; next = e.cron.nextAfter(f) }
-              Some(f)
-            }
-          } catch { case ex: IllegalArgumentException => // unsatisfiable cron
+        val fires =
+          try firesIn(e, prev, now)
+          catch { case ex: IllegalArgumentException => // unsatisfiable cron
             onError(e.id, ex); last(e.id) = now; None }
-        fire match {
+        fires match {
           case None => last(e.id) = now; None
-          case Some(at) =>
-            try { e.run(spark, at); last(e.id) = now; Some(e.id) }
-            catch { case scala.util.control.NonFatal(ex) =>
+          case Some((first, lastFire)) =>
+            try {
+              e.run(spark, ScheduleRunner.FireWindow(first, lastFire))
+              last(e.id) = now
+              Some(e.id)
+            } catch { case scala.util.control.NonFatal(ex) =>
               onError(e.id, ex); None }
         }
       }
@@ -197,37 +214,48 @@ object ScheduleRunner {
   /** Pause before re-attempting a failed entry in [[ScheduleRunner.runUntil]]. */
   val RetryBackoffMs: Long = 60000L
 
-  /** One scheduled unit of work; `run` receives the scheduled fire instant
-    * (the latest one when catch-up collapsed), so partition-aware work can
-    * derive WHICH window to materialize from WHEN it fired.
+  /** The scheduled fires a single run covers: `first` and `last` fire in
+    * the tick's window (equal when nothing was missed). Snapshot-replace
+    * work ignores it; partition-aware work derives WHICH windows to
+    * materialize from it, so a catch-up covers every missed partition.
     */
+  final case class FireWindow(first: LocalDateTime, last: LocalDateTime)
+
+  /** One scheduled unit of work. */
   final case class Entry(id: String, cron: CronSchedule,
-                         run: (SparkSession, LocalDateTime) => Unit)
+                         run: (SparkSession, FireWindow) => Unit)
 
   /** Standard wiring: a tenant's declared `schedule` drives its full
-    * pipeline run (extract + model DAG, snapshot-replace semantics).
+    * pipeline run (extract + model DAG, snapshot-replace semantics —
+    * catch-up collapses to one run by ignoring the window).
     */
   def forTenant(tenant: TenantConfig, pipeline: TenantPipeline): Entry =
     Entry(tenant.id, CronSchedule.parse(tenant.schedule),
       (s, _) => { pipeline.run(s); () })
 
-  /** Scheduled incremental materialization: each fire backfills the most
-    * recent COMPLETE partition before the fire instant (the "yesterday"
-    * run of a daily mart, "last month" of a monthly one) — the reference's
-    * cron schedule and partition definitions composed
-    * (schedule.py:14-22 + executable_component.py:19-41).
+  /** Scheduled incremental materialization: each run backfills every
+    * COMPLETE partition from the first covered fire's window through the
+    * last's (the "yesterday" run of a daily mart, "last month" of a
+    * monthly one) — the reference's cron schedule and partition
+    * definitions composed (schedule.py:14-22 +
+    * executable_component.py:19-41). Missed fires are NOT dropped: a
+    * catch-up run's range spans all of them in one ranged backfill.
     */
   def partitionedEntry(id: String, cronExpr: String,
                        source: SparkSession => org.apache.spark.sql.DataFrame,
                        dateCol: String, grain: PartitionGrain,
                        db: String, table: String): Entry =
-    Entry(id, CronSchedule.parse(cronExpr), (s, fire) => {
-      val d = fire.toLocalDate
-      val (from, until) = grain match {
-        case PartitionGrain.Daily => (d.minusDays(1), d)
-        case PartitionGrain.Monthly =>
-          (d.withDayOfMonth(1).minusMonths(1), d.withDayOfMonth(1))
+    Entry(id, CronSchedule.parse(cronExpr), (s, w) => {
+      def windowOf(fire: LocalDateTime): (java.time.LocalDate, java.time.LocalDate) = {
+        val d = fire.toLocalDate
+        grain match {
+          case PartitionGrain.Daily => (d.minusDays(1), d)
+          case PartitionGrain.Monthly =>
+            (d.withDayOfMonth(1).minusMonths(1), d.withDayOfMonth(1))
+        }
       }
+      val (from, _) = windowOf(w.first)
+      val (_, until) = windowOf(w.last)
       PartitionedMaterializer.backfill(s, source(s), dateCol, grain,
         db, table, from, until)
       ()

@@ -127,7 +127,7 @@ class ScheduleRunnerSpec extends SparkSpec {
     assert(runner.nextWake.contains(LocalDateTime.parse("2026-01-01T00:30:00")))
   }
 
-  test("partition-aware entry materializes the last complete partition per fire") {
+  test("partition-aware entry materializes every covered partition per fire") {
     import graft.pipeline.PartitionGrain
     // monthly grain: a whole month has enough fixture rows at sf0.001
     val entry = ScheduleRunner.partitionedEntry("monthly_orders", "0 1 1 * *",
@@ -150,10 +150,13 @@ class ScheduleRunnerSpec extends SparkSpec {
     assert(expected > 0)
     assert(tbl.filter(col("part_key") === "1996-03").count() == expected)
 
-    // catch-up across two missed months collapses to the LATEST window only
+    // catch-up across missed fires (Jun 1, Jul 1, Aug 1) runs ONCE but its
+    // window spans all of them: May, June AND July materialize — no
+    // partition is silently skipped
     assert(runner.tick(spark, LocalDateTime.parse("1996-08-01T01:00:00")).nonEmpty)
     val parts2 = tbl.select("part_key").distinct().collect().map(_.getString(0)).sorted
-    assert(parts2.toSeq == Seq("1996-03", "1996-04", "1996-07"))
+    assert(parts2.toSeq ==
+      Seq("1996-03", "1996-04", "1996-05", "1996-06", "1996-07"))
   }
 
   test("runUntil drives ticks from an injected clock without real sleeping") {
