@@ -51,4 +51,49 @@ object PropertySpec extends Properties("graft") {
       val w = graft.ops.VectorOps.planeWeight(p, i)
       w >= -1.0 && w <= 1.0 && w == graft.ops.VectorOps.planeWeight(p, i)
     }
+
+  // --- cron laws ---------------------------------------------------------
+  import graft.pipeline.CronSchedule
+  import java.time.LocalDateTime
+
+  private val cronGen: Gen[CronSchedule] = {
+    val minute = Gen.oneOf(Gen.const("*"), Gen.choose(0, 59).map(_.toString),
+      Gen.choose(2, 30).map(n => s"*/$n"))
+    val hour = Gen.oneOf(Gen.const("*"), Gen.choose(0, 23).map(_.toString),
+      Gen.choose(2, 12).map(n => s"*/$n"))
+    // dom capped at 28 so every month satisfies the spec (no Feb-30 traps
+    // in the law tests; the unsatisfiable case has its own deterministic
+    // test in ScheduleSpec)
+    val dom = Gen.oneOf(Gen.const("*"), Gen.choose(1, 28).map(_.toString))
+    val month = Gen.oneOf(Gen.const("*"), Gen.choose(1, 12).map(_.toString))
+    val dow = Gen.oneOf(Gen.const("*"), Gen.choose(0, 7).map(_.toString))
+    for (m <- minute; h <- hour; d <- dom; mo <- month; w <- dow)
+      yield CronSchedule.parse(s"$m $h $d $mo $w")
+  }
+
+  private val timeGen: Gen[LocalDateTime] =
+    Gen.choose(0L, 4102444800L).map(s => // 1970..2100
+      LocalDateTime.ofEpochSecond(s - s % 60, 0, java.time.ZoneOffset.UTC))
+
+  property("cron.nextAfterIsAMatchStrictlyAfter") =
+    forAll(cronGen, timeGen) { (c, tx) =>
+      val n = c.nextAfter(tx)
+      n.isAfter(tx) && c.matches(n)
+    }
+
+  property("cron.nothingMatchesBetweenTAndNext") =
+    forAll(cronGen, timeGen) { (c, tx) =>
+      val n = c.nextAfter(tx)
+      // spot-check a few interior minutes rather than the whole gap
+      val gapMinutes = java.time.Duration.between(tx, n).toMinutes
+      val probes = Seq(1L, gapMinutes / 2, gapMinutes - 1)
+        .filter(m => m >= 1 && m < gapMinutes)
+      probes.forall(m => !c.matches(tx.plusMinutes(m).withSecond(0).withNano(0)))
+    }
+
+  property("cron.nextAfterIsMonotone") =
+    forAll(cronGen, timeGen) { (c, tx) =>
+      val n = c.nextAfter(tx)
+      c.nextAfter(n) .isAfter(n)
+    }
 }
