@@ -30,6 +30,7 @@ object SparkEntry {
     "q_groupby_count"       -> (Parity.groupbyCount _),
     "q_mode_full_snapshot"  -> (PipelineOps.modeFullSnapshot _),
     "q_partition_backfill"  -> (PipelineOps.partitionBackfill _),
+    "q_mode_watermark_append" -> (PipelineOps.modeWatermarkAppend _),
     "q_delete_predicate"    -> (Parity.deletePredicate _),
     "q_empty_result_schema" -> (Parity.emptyResultSchema _),
     // Capability (§2.5 table 2 — §2.D decisions)
@@ -149,6 +150,9 @@ object SparkEntry {
         |FROM part
         |WHERE p_brand = 'Brand#4' AND p_partkey % 5 <> 0
         |ORDER BY item_id""".stripMargin,
+    "q_mode_watermark_append" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_partition_backfill" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
         |       strftime(o_orderdate, '%Y-%m') AS part_key

@@ -88,6 +88,34 @@ object PipelineOps {
       .orderBy("o_orderkey")
   }
 
+  /** The declared-but-never-executed reference semantics, end to end under
+    * the oracle: watermark APPEND (LoadMode.WatermarkAppend — the upgrade
+    * over the reference's effective delete-all+reinsert, SURVEY §2.A).
+    * Batch 1 (events at/below a cut) creates the table; the stored
+    * watermark is read back (Warehouse.currentWatermark) and batch 2
+    * appends strictly-newer rows only. Final content must equal the whole
+    * source exactly — a duplicate (non-strict compare) or a gap (lost
+    * batch) fails the hash.
+    */
+  def modeWatermarkAppend(s: SparkSession, d: String): DataFrame = {
+    import graft.store.LoadMode
+    val (db, table) = ("graft_append", "events_log")
+    // hermetic per-run: the two-batch sequence below assumes a fresh table
+    s.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
+    val ev = graft.Tables.t(s, d, "events")
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    val cut = 1705276800000000000L // ns-epoch, same cut as q_filter_incremental
+    Warehouse.load(s, ev.filter(col("ts") <= cut), db, table,
+      LoadMode.WatermarkAppend)
+    val wm = Warehouse.currentWatermark(s, db, table, "ts")
+      .get.asInstanceOf[Long]
+    Warehouse.load(s, ev.filter(col("ts") > wm), db, table,
+      LoadMode.WatermarkAppend)
+    s.table(s"`$db`.`$table`")
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   def modeFullSnapshot(s: SparkSession, d: String): DataFrame = {
     val tenant = TenantConfig.parse(tenantYaml)
     val pipeline = new TenantPipeline(tenant, new ParquetSource(d),
