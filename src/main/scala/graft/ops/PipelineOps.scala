@@ -104,11 +104,13 @@ object PipelineOps {
     s.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
     val ev = graft.Tables.t(s, d, "events")
       .select("event_id", "user_id", "event_type", "value", "ts")
-    val cut = 1705276800000000000L // ns-epoch, same cut as q_filter_incremental
+    val cut = Parity.watermarkNs // the q_filter_incremental cut, by reference
     Warehouse.load(s, ev.filter(col("ts") <= cut), db, table,
       LoadMode.WatermarkAppend)
     val wm = Warehouse.currentWatermark(s, db, table, "ts")
-      .get.asInstanceOf[Long]
+      .getOrElse(throw new IllegalStateException(
+        s"no watermark: batch 1 loaded zero rows at/below ns cut $cut"))
+      .asInstanceOf[Long]
     Warehouse.load(s, ev.filter(col("ts") > wm), db, table,
       LoadMode.WatermarkAppend)
     s.table(s"`$db`.`$table`")

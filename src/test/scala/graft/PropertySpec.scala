@@ -92,8 +92,9 @@ object PropertySpec extends Properties("graft") {
     }
 
   property("cron.nextAfterIsMonotone") =
-    forAll(cronGen, timeGen) { (c, tx) =>
-      val n = c.nextAfter(tx)
-      c.nextAfter(n) .isAfter(n)
+    forAll(cronGen, timeGen, timeGen) { (c, t1, t2) =>
+      val (lo, hi) = if (t1.isBefore(t2)) (t1, t2) else (t2, t1)
+      // a later start can never yield an earlier fire
+      !c.nextAfter(hi).isBefore(c.nextAfter(lo))
     }
 }
