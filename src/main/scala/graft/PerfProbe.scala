@@ -10,7 +10,8 @@ object PerfProbe {
     val d = "/root/testdata/sf0.1"
     val names = Seq("q_dedup_exact_text", "q_dedup_minhash", "q_except_intersect",
       "q_knn_cosine_topk", "q_concat_partition_key", "q_join_equi",
-      "q_doc_fingerprint", "q_ngram_jaccard", "q_embedding_near_dup")
+      "q_doc_fingerprint", "q_ngram_jaccard", "q_embedding_near_dup",
+      "q_ivf_cosine_topk", "q_simhash_near_dup", "q_doc_chunking")
     for (n <- names; i <- 1 to 2) {
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, d).count()
