@@ -118,6 +118,28 @@ class TenantRegistrySpec extends SparkSpec {
     assert(entries.map(_.id).sorted == Seq("reg_alpha", "reg_beta"))
   }
 
+  test("scheduler ticks a registry-discovered workspace end to end") {
+    import java.time.LocalDateTime
+    import graft.pipeline.ScheduleRunner
+    val root = freshRoot()
+    writeTenant(root, "reg_sched_a", "Brand#4")
+    writeTenant(root, "reg_sched_b", "Brand#2")
+    val entries = TenantRegistry.scheduleEntries(
+      TenantRegistry.discover(root.toString, Map.empty),
+      (_: TenantConfig) => new ParquetSource(sf))
+    val t0 = LocalDateTime.parse("2026-01-01T00:00:00")
+    val runner = new ScheduleRunner(entries, startAt = t0)
+    // tenant.yaml declares 0 */2 * * * → both due at 02:00, neither at 01:00
+    assert(runner.tick(spark, t0.plusHours(1)).isEmpty)
+    assert(runner.tick(spark, t0.plusHours(2)).sorted ==
+      Seq("reg_sched_a", "reg_sched_b"))
+    val a = spark.table("reg_sched_a.mart_items")
+    val b = spark.table("reg_sched_b.mart_items")
+    assert(a.count() > 0 && b.count() > 0)
+    assert(a.filter(col("item_group_id") =!= "Brand#4").count() == 0)
+    assert(b.filter(col("item_group_id") =!= "Brand#2").count() == 0)
+  }
+
   test("runAll refuses a drifted workspace") {
     val root = freshRoot()
     writeTenant(root, "reg_alpha", "Brand#4")
