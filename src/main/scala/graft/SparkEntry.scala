@@ -69,6 +69,7 @@ object SparkEntry {
     "q_doc_fingerprint"     -> (TextOps.docFingerprint _),
     "q_doc_chunking"        -> (TextOps.docChunks _),
     "q_corpus_clean"        -> (TextOps.corpusClean _),
+    "q_redact_pii"          -> (TextOps.redactPii _),
     "q_binary_meta"         -> (TextOps.binaryMeta _),
     "q_embed_norm"          -> (VectorOps.embedNorm _),
     "q_label_centroid"      -> (VectorOps.labelCentroid _),
@@ -392,6 +393,24 @@ object SparkEntry {
         |)
         |SELECT probe_id, rnk, other_id, jacc FROM ranked WHERE rnk <= 3
         |ORDER BY probe_id, rnk""".stripMargin,
+    "q_redact_pii" ->
+      """WITH enriched AS (
+        |    SELECT doc_id,
+        |           CASE WHEN doc_id % 7 = 0
+        |                THEN text || ' contact admin@example.com or https://example.com/data?id='
+        |                          || CAST(doc_id AS VARCHAR)
+        |                ELSE text END AS text2
+        |    FROM documents
+        |)
+        |SELECT doc_id,
+        |       len(regexp_extract_all(text2,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |       len(regexp_extract_all(text2, 'https?://[^\s]+')) AS n_urls,
+        |       regexp_replace(
+        |           regexp_replace(text2, 'https?://[^\s]+', '<URL>', 'g'),
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+        |           AS redacted
+        |FROM enriched ORDER BY doc_id""".stripMargin,
     "q_doc_chunking" ->
       """WITH tok AS (
         |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens

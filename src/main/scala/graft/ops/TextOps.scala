@@ -281,6 +281,34 @@ object TextOps {
       regexp_count(col("text"), lit("[^\\w\\s]")).as("n_punct"))
       .orderBy("doc_id")
 
+  /** PII-style scrubbing (the corpus-redaction pass of a training-data
+    * pipeline): count and mask email addresses and URLs with per-row
+    * codegen'd regexp expressions — linear, shuffle-free. URLs are masked
+    * BEFORE emails (an email pattern must never fire inside an
+    * already-masked URL's remnants). The synthetic fixture has no PII, so
+    * the query deterministically plants some on every 7th doc — identical
+    * enrichment in the oracle SQL — making the redaction path actually
+    * fire under the hash gate. Patterns stay within the regex subset Java
+    * and RE2 interpret identically (no backrefs, no lookaround).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  def redactPii(s: SparkSession, d: String): DataFrame = {
+    val enriched = t(s, d, "documents").withColumn("text2",
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"),
+          lit(" contact admin@example.com or https://example.com/data?id="),
+          col("doc_id")))
+        .otherwise(col("text")))
+    enriched.select(
+      col("doc_id"),
+      regexp_count(col("text2"), lit(EmailRe)).as("n_emails"),
+      regexp_count(col("text2"), lit(UrlRe)).as("n_urls"),
+      regexp_replace(regexp_replace(col("text2"), UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>").as("redacted"))
+      .orderBy("doc_id")
+  }
+
   /** Fixed-window document chunking with stride — the training-data prep
     * op that turns documents into model-sized pieces. Chunk starts are a
     * per-row `sequence` (0, stride, 2·stride, …) exploded into one row per
