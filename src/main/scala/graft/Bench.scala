@@ -30,20 +30,40 @@ object Bench {
     // (name, seconds, error). A failing query must surface its error, not a
     // fast wall-time — a swallowed exception here once masqueraded as the
     // round's cheapest pipeline run.
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable =>
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+    def oneRun(): Seq[(String, Double, Option[String])] =
+      SparkEntry.queries.toSeq.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None } catch {
+          case e: Throwable =>
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+        }
+        (name, (System.nanoTime() - t0) / 1e9, err)
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+    // Per-query MIN over `runs` passes: one loaded-machine spike must not
+    // read as a regression (sf0.1 wall times vary up to ~3× with host
+    // load). Cached state resets between passes so every pass measures a
+    // cold plan, not the previous pass's persisted frames.
+    val runs = math.max(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt, 1)
+    val perRun = (1 to runs).map { r =>
+      val res = oneRun()
+      if (r < runs) {
+        graft.ops.PlanCache.release(spark)
+        spark.catalog.clearCache()
+      }
+      res
+    }
+    val names = perRun.head.map(_._1)
+    val results = names.map { n =>
+      val samples = perRun.map(_.find(_._1 == n).get)
+      val firstErr = samples.flatMap(_._3).headOption
+      (n, samples.map(_._2).min, firstErr)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
       "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }

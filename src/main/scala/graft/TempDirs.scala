@@ -8,10 +8,22 @@ import java.util.Comparator
   * materialized table and would otherwise accumulate in /tmp per run.
   */
 object TempDirs {
+  private val owned = scala.collection.mutable.Set[Path]()
+
   def create(prefix: String): String = {
     val dir = Files.createTempDirectory(prefix)
+    synchronized { owned += dir.toAbsolutePath.normalize }
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(dir)))
     dir.toString
+  }
+
+  /** True when `path` lives under a temp dir THIS process created — the
+    * ownership check destructive cleanup paths (Warehouse stale-location
+    * clearing) require before deleting anything recursively.
+    */
+  def ownsPath(path: String): Boolean = {
+    val p = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+    synchronized { owned.exists(p.startsWith) }
   }
 
   private def deleteRecursively(p: Path): Unit =

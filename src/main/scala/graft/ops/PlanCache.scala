@@ -27,9 +27,25 @@ private[graft] object PlanCache {
       if (dead) drop(old)
       !dead
     }
-    val persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
-    slots.put((df.sparkSession, tag), persisted).foreach(drop)
-    persisted
+    val key = (df.sparkSession, tag)
+    slots.get(key) match {
+      // Spark's CacheManager keys entries by logical plan (sameResult), so
+      // when the same operator runs twice the new persist() would register
+      // against the OLD frame's entry and the subsequent drop(old) would
+      // uncache them BOTH — the returned frame would silently recompute its
+      // expensive upstream on every branch. Same plan → reuse the live entry.
+      case Some(old) if old.queryExecution.analyzed
+          .sameResult(df.queryExecution.analyzed) =>
+        old
+      case other =>
+        // unpersist the previous occupant BEFORE persisting the new frame
+        // (drop-after-persist hits the shared-entry hazard above when the
+        // plans alias each other in CacheManager).
+        other.foreach(drop)
+        val persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
+        slots.put(key, persisted)
+        persisted
+    }
   }
 
   def release(session: SparkSession): Unit = synchronized {

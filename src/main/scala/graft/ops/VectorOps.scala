@@ -232,12 +232,16 @@ object VectorOps {
       .withColumn("crnk", row_number().over(wc))
       .filter(col("crnk") <= IvfProbe)
       .select(col("probe_id"), col("probe_vec"), col("cell"))
-    // exact cosine only within the probed cells' inverted lists
+    // exact cosine only within the probed cells' inverted lists. The probe
+    // side (~probes×nProbe rows) is the BROADCAST side: the corpus-sized
+    // assignments frame must never be hash-partitioned on the nCells-value
+    // `cell` key (a SortMergeJoin there would funnel the whole corpus into
+    // ≤ nCells partitions — parallelism capped at nCells, hot cells skew).
     val w = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    probeCells
-      .join(assignments.select(col("cell"), col("vec_id").as("neighbor_id"),
-        col("embedding").as("cand_vec")), Seq("cell"))
+    assignments.select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("cand_vec"))
+      .join(broadcast(probeCells), Seq("cell"))
       .withColumn("cosine",
         dot(col("probe_vec"), col("cand_vec"))
           / (sqrt(sumSq(col("probe_vec"))) * sqrt(sumSq(col("cand_vec")))))

@@ -201,10 +201,14 @@ final class ScheduleRunner(entries: Seq[ScheduleRunner.Entry],
     while (alive && continue()) nextWake match {
       case None => alive = false
       case Some(wake) =>
-        val pause = java.time.Duration.between(clock(), wake).toMillis
+        val d = java.time.Duration.between(clock(), wake)
         // wake in the past = a failed entry awaiting retry (tick keeps its
-        // window open) — back off instead of hot-looping the failure
-        sleeper(if (pause > 0) pause else ScheduleRunner.RetryBackoffMs)
+        // window open) — back off instead of hot-looping the failure. A wake
+        // <1ms in the FUTURE is not that case: toMillis truncates it to 0,
+        // so positive durations clamp to at least 1ms instead of taking the
+        // retry branch (which would delay an on-time fire by the backoff).
+        sleeper(if (d.isNegative || d.isZero) ScheduleRunner.RetryBackoffMs
+                else math.max(d.toMillis, 1L))
         tick(spark, clock().withSecond(0).withNano(0))
     }
   }

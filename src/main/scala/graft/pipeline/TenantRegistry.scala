@@ -137,9 +137,22 @@ object TenantRegistry {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val futures = pipelines(discovered, source).map { case (tenant, p) =>
-        Future(tenant.id -> p.run(spark))
+        tenant.id -> Future(p.run(spark))
       }
-      futures.map(Await.result(_, Duration.Inf)).toMap
+      // Await EVERY tenant before reporting: awaiting in submission order
+      // and throwing on the first failure would leave later tenants running
+      // on the pool with their results and failures silently discarded.
+      val outcomes = futures.map { case (id, f) =>
+        id -> scala.util.Try(Await.result(f, Duration.Inf))
+      }
+      val failures = outcomes.collect { case (id, scala.util.Failure(e)) => (id, e) }
+      if (failures.nonEmpty) {
+        val ex = new RuntimeException("tenant run failures: " + failures
+          .map { case (id, e) => s"$id: ${e.getMessage}" }.mkString("; "))
+        failures.foreach { case (_, e) => ex.addSuppressed(e) }
+        throw ex
+      }
+      outcomes.collect { case (id, scala.util.Success(counts)) => id -> counts }.toMap
     } finally pool.shutdown()
   }
 

@@ -57,6 +57,13 @@ object Warehouse {
     * saveAsTable create path throw LOCATION_ALREADY_EXISTS. Managed-table
     * contract: the catalog owns the location — a directory the catalog
     * doesn't know about is stale output, safe to clear before create.
+    *
+    * Guard: the recursive delete runs ONLY under a warehouse dir this
+    * process created (graft.TempDirs) — against a user-configured shared
+    * or persistent warehouse dir, blindly deleting would destroy data
+    * another process (or a parked external dataset) owns. There we warn
+    * loudly and let the create path fail with LOCATION_ALREADY_EXISTS, so
+    * the operator decides what the directory is.
     */
   private def dropStaleLocation(spark: SparkSession, db: String,
                                 table: String): Unit = {
@@ -64,7 +71,14 @@ object Warehouse {
       new org.apache.hadoop.fs.Path(spark.catalog.getDatabase(db).locationUri),
       table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    if (fs.exists(loc)) {
+      if (graft.TempDirs.ownsPath(loc.toUri.getPath)) fs.delete(loc, true)
+      else System.err.println(
+        s"[warehouse] NOT clearing catalog-unknown location $loc (outside " +
+          "this process's temp warehouse dirs); the following create may " +
+          "fail with LOCATION_ALREADY_EXISTS — remove the directory " +
+          "manually if it is stale output")
+    }
   }
 
   /** A8/A9/append — load a batch into `db.table` under the given mode. */
