@@ -46,6 +46,14 @@ final case class TenantConfig(
     tables: Seq[TableSpec]) {
   def rawDatabase: String = s"${id}_raw"
   def database: String = id
+  /** Environment-scoped names: Local prefixes `dev_` so a dev run can
+    * never land in the production namespace (reference:
+    * environment_helpers.py:12-16). The zero-arg forms are the Prod/bare
+    * names.
+    */
+  def database(env: graft.pipeline.Environment): String = env.schemaFor(id)
+  def rawDatabase(env: graft.pipeline.Environment): String =
+    s"${env.schemaFor(id)}_raw"
 }
 
 object TenantConfig {

@@ -20,7 +20,15 @@ final class TenantPipeline(
     tenant: TenantConfig,
     source: Source,
     models: Seq[SqlModel],
-    extraVars: Map[String, String] = Map.empty) {
+    extraVars: Map[String, String] = Map.empty,
+    env: Environment = Environment.Prod) {
+
+  /** Environment-scoped database names (environment_helpers.py:12-16):
+    * Local runs land in `dev_{tid}` / `dev_{tid}_raw`, so the same tenant
+    * can run in dev and prod against one warehouse without colliding.
+    */
+  private val rawDb: String = tenant.rawDatabase(env)
+  private val martDb: String = tenant.database(env)
 
   /** dbt-style var context: tenant_id + tenant params (reference:
     * _tenant_factory.py:364 `{tenant_id, **tenant.params}`).
@@ -30,42 +38,47 @@ final class TenantPipeline(
 
   def renderer: Renderer = new Renderer(
     vars = varContext,
-    resolveSource = (schema, table) => s"`$schema`.`$table`",
+    // declared source schemas get the same environment prefix as the
+    // extract that landed them — a Local model must read the Local raw db
+    resolveSource = (schema, table) => s"`${env.schemaFor(schema)}`.`$table`",
     resolveRef = name => {
       val m = models.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"unresolved ref('$name')"))
       s"`${modelSchema(m)}`.`${m.alias}`"
     })
 
-  private def modelSchema(m: SqlModel): String =
+  private def modelSchema(m: SqlModel): String = {
     // config(schema=var('tenant_id', ...)) — custom generate_schema_name uses
     // the var value verbatim, no target-schema prefix (reference:
-    // macros/generate_schema_name.sql:1-7).
-    m.config.get("schema") match {
+    // macros/generate_schema_name.sql:1-7). The environment prefix applies
+    // on top, so dev materializations of explicit schemas are isolated too.
+    val base = m.config.get("schema") match {
       case Some(s) if s.startsWith("var") => tenant.id
       case Some(s) if s.nonEmpty => s
       case _ => tenant.id
     }
+    env.schemaFor(base)
+  }
 
   /** Stage 1 — extraction into `{tid}_raw` (reference asset body,
     * _tenant_factory.py:212-326). Returns per-table row counts.
     */
   def runExtract(spark: SparkSession, landingDir: Option[String] = None,
                  rowLimit: Option[Int] = None): Map[String, Long] = {
-    Warehouse.ensureDatabase(spark, tenant.rawDatabase)
+    Warehouse.ensureDatabase(spark, rawDb)
     tenant.tables.map { spec =>
       val mode = LoadMode.parse(spec.mode)
       val last = mode match {
         case LoadMode.WatermarkAppend => spec.incrementalColumn.flatMap(c =>
-          Warehouse.currentWatermark(spark, tenant.rawDatabase, spec.name, c))
+          Warehouse.currentWatermark(spark, rawDb, spec.name, c))
         case _ => None // reference never passes last_value (§2.A note)
       }
       val df = Extractor.extract(source.scan(spark, spec), spec, tenant, last, rowLimit)
       landingDir.foreach { dir =>
         Warehouse.writeLanding(df, s"$dir/${tenant.storagePrefix}/${spec.name}")
       }
-      Warehouse.load(spark, df, tenant.rawDatabase, spec.name, mode)
-      spec.name -> spark.table(s"`${tenant.rawDatabase}`.`${spec.name}`").count()
+      Warehouse.load(spark, df, rawDb, spec.name, mode)
+      spec.name -> spark.table(s"`${rawDb}`.`${spec.name}`").count()
     }.toMap
   }
 
@@ -76,7 +89,7 @@ final class TenantPipeline(
     * Spark's scheduler interleaves the independent jobs on one session.
     */
   def runModels(spark: SparkSession, threads: Int = 4): Map[String, Long] = {
-    Warehouse.ensureDatabase(spark, tenant.database)
+    Warehouse.ensureDatabase(spark, martDb)
     val r = renderer
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
@@ -103,7 +116,7 @@ final class TenantPipeline(
     */
   def report(spark: SparkSession, previewRows: Int = 5)
       : Map[String, (Long, Seq[String])] = {
-    val raw = tenant.tables.map(t => (tenant.rawDatabase, t.name, t.primaryKey))
+    val raw = tenant.tables.map(t => (rawDb, t.name, t.primaryKey))
     val marts = models.map(m => (modelSchema(m),
       m.alias, Seq.empty[String]))
     (raw ++ marts).map { case (db, table, pk) =>

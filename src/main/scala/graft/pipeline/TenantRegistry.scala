@@ -87,13 +87,18 @@ object TenantRegistry {
     *  - a declared schedule parses as five-field cron;
     *  - every model ref() resolves within the tenant's own model set.
     */
-  def check(discovered: Seq[Discovered]): Seq[String] = {
+  def check(discovered: Seq[Discovered],
+            environment: Environment = Environment.Prod): Seq[String] = {
     val idDrift = discovered.filter(d => d.tenant.id != d.dir)
       .map(d => s"tenant dir '${d.dir}' declares id '${d.tenant.id}' (must match)")
     val dupIds = discovered.groupBy(_.tenant.id).filter(_._2.size > 1).keys
       .map(id => s"duplicate tenant id '$id'")
+    // collision check runs on the names this environment will actually
+    // materialize (Local's `dev_` prefix included) — two ids that coexist
+    // bare could still collide prefixed, and vice versa
     val dbOwners = discovered.flatMap(d =>
-      Seq(d.tenant.database -> d.tenant.id, d.tenant.rawDatabase -> d.tenant.id))
+      Seq(d.tenant.database(environment) -> d.tenant.id,
+        d.tenant.rawDatabase(environment) -> d.tenant.id))
     val dbDrift = dbOwners.groupBy(_._1)
       .filter { case (_, owners) => owners.map(_._2).distinct.size > 1 }
       .map { case (db, owners) =>
@@ -114,9 +119,12 @@ object TenantRegistry {
 
   /** Build one pipeline per discovered tenant over a shared source factory. */
   def pipelines(discovered: Seq[Discovered],
-                source: TenantConfig => Source): Seq[(TenantConfig, TenantPipeline)] =
+                source: TenantConfig => Source,
+                environment: Environment = Environment.Prod)
+      : Seq[(TenantConfig, TenantPipeline)] =
     discovered.map(d =>
-      d.tenant -> new TenantPipeline(d.tenant, source(d.tenant), d.models))
+      d.tenant -> new TenantPipeline(d.tenant, source(d.tenant), d.models,
+        env = environment))
 
   /** Discover, drift-check (fail loud, the CI gate's exit-1), then run all
     * tenant pipelines concurrently on the shared session. Isolation is
@@ -126,9 +134,16 @@ object TenantRegistry {
   def runAll(spark: SparkSession, root: String,
              source: TenantConfig => Source,
              env: Map[String, String] = sys.env,
-             parallelism: Int = 4): Map[String, Map[String, Long]] = {
+             parallelism: Int = 4,
+             environment: Option[Environment] = None)
+      : Map[String, Map[String, Long]] = {
+    // environment defaults to detection from the same env-var map that
+    // resolves the yaml (reference reads os.getenv for both,
+    // environment_helpers.py:4-9) — a plain laptop run lands in dev_*
+    // namespaces unless the deployment vars say otherwise
+    val e = environment.getOrElse(Environment.detect(env))
     val discovered = discover(root, env)
-    val drift = check(discovered)
+    val drift = check(discovered, e)
     require(drift.isEmpty, s"tenant workspace drift:\n  ${drift.mkString("\n  ")}")
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
@@ -136,7 +151,7 @@ object TenantRegistry {
       math.max(parallelism, 1))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
-      val futures = pipelines(discovered, source).map { case (tenant, p) =>
+      val futures = pipelines(discovered, source, e).map { case (tenant, p) =>
         tenant.id -> Future(p.run(spark))
       }
       // Await EVERY tenant before reporting: awaiting in submission order
@@ -160,7 +175,9 @@ object TenantRegistry {
     * [[ScheduleRunner]] so one loop ticks the whole workspace.
     */
   def scheduleEntries(discovered: Seq[Discovered],
-                      source: TenantConfig => Source): Seq[ScheduleRunner.Entry] =
-    pipelines(discovered.filter(_.tenant.schedule.nonEmpty), source)
+                      source: TenantConfig => Source,
+                      environment: Environment = Environment.Prod)
+      : Seq[ScheduleRunner.Entry] =
+    pipelines(discovered.filter(_.tenant.schedule.nonEmpty), source, environment)
       .map { case (tenant, p) => ScheduleRunner.forTenant(tenant, p) }
 }

@@ -73,6 +73,44 @@ class PipelineSpec extends SparkSpec {
     assert(m2.filter(col("item_group_id") =!= "Brand#2").count() == 0)
   }
 
+  test("environment prefixing: a LOCAL run lands in dev_{tid}, PROD in {tid}") {
+    import graft.pipeline.Environment
+    val tenant = TenantConfig.parse(PipelineOps.tenantYaml, Map.empty)
+    val models = Seq(PipelineOps.stagingModel, PipelineOps.martModel)
+
+    // LOCAL: every namespace — raw, staging, mart — carries the dev_ prefix,
+    // and the model DAG resolves source()/ref() against the prefixed names
+    val local = new TenantPipeline(tenant, new ParquetSource(sf), models,
+      env = Environment.Local)
+    val localCounts = local.run(spark)
+    val devMart = spark.table("dev_graft_demo.mart_item_master")
+    assert(devMart.count() == localCounts("mart_item_master"))
+    assert(spark.table("dev_graft_demo_raw.item_master").count() ==
+      localCounts("item_master"))
+
+    // PROD: bare names; the same tenant coexists with its dev run in one
+    // warehouse (environment_helpers.py:12-16)
+    val prod = new TenantPipeline(tenant, new ParquetSource(sf), models,
+      env = Environment.Prod)
+    prod.run(spark)
+    assert(spark.table("graft_demo.mart_item_master").count() == devMart.count())
+    assert(spark.catalog.databaseExists("dev_graft_demo") &&
+      spark.catalog.databaseExists("graft_demo"))
+
+    // detection contract (environment_helpers.py:4-9): branch var wins,
+    // then prod deployment name, else Local
+    assert(Environment.detect(Map.empty) == Environment.Local)
+    assert(Environment.detect(Map("GRAFT_DEPLOYMENT_NAME" -> "prod")) ==
+      Environment.Prod)
+    assert(Environment.detect(Map("GRAFT_IS_BRANCH_DEPLOYMENT" -> "1",
+      "GRAFT_DEPLOYMENT_NAME" -> "prod")) == Environment.Branch)
+    // BRANCH shares prod schema names (isolation is catalog-level there)
+    assert(Environment.Branch.schemaFor("t") == "t")
+    assert(Environment.Prod.dbtTarget(Map.empty) == "prod")
+    assert(Environment.Local.dbtTarget(Map("GRAFT_DBT_TARGET" -> "ci")) == "ci")
+    assert(Environment.Branch.dbtTarget(Map.empty) == "dev")
+  }
+
   test("asset lineage exposes tid/layer/name keys with upstream edges") {
     val tenant = TenantConfig.parse(PipelineOps.tenantYaml, Map.empty)
     val p = new TenantPipeline(tenant, new ParquetSource(sf),

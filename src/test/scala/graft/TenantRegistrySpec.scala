@@ -84,6 +84,10 @@ class TenantRegistrySpec extends SparkSpec {
       tenant = found.head.tenant.copy(id = "reg_alpha_raw"))
     assert(TenantRegistry.check(found :+ collider)
       .exists(_.contains("claimed by tenants")))
+    // the gate checks the names the environment will materialize: in Local
+    // the same collision surfaces under its dev_-prefixed name
+    assert(TenantRegistry.check(found :+ collider, graft.pipeline.Environment.Local)
+      .exists(_.contains("database 'dev_reg_alpha_raw' claimed")))
 
     val badCron = found.map(d => d.copy(tenant = d.tenant.copy(schedule = "nope")))
     assert(TenantRegistry.check(badCron).exists(_.contains("schedule")))
@@ -99,7 +103,8 @@ class TenantRegistrySpec extends SparkSpec {
     writeTenant(root, "reg_beta", "Brand#2")
 
     val counts = TenantRegistry.runAll(spark, root.toString,
-      (_: TenantConfig) => new ParquetSource(sf), env = Map.empty)
+      (_: TenantConfig) => new ParquetSource(sf), env = Map.empty,
+      environment = Some(graft.pipeline.Environment.Prod))
     assert(counts.keySet == Set("reg_alpha", "reg_beta"))
     assert(counts("reg_alpha")("item_master") > 0)
 
@@ -138,6 +143,20 @@ class TenantRegistrySpec extends SparkSpec {
     assert(a.count() > 0 && b.count() > 0)
     assert(a.filter(col("item_group_id") =!= "Brand#4").count() == 0)
     assert(b.filter(col("item_group_id") =!= "Brand#2").count() == 0)
+  }
+
+  test("runAll detects LOCAL from the env map and lands in dev_ namespaces") {
+    val root = freshRoot()
+    writeTenant(root, "reg_envloc", "Brand#4")
+    // no deployment vars in the map → Environment.detect → Local
+    val counts = TenantRegistry.runAll(spark, root.toString,
+      (_: TenantConfig) => new ParquetSource(sf), env = Map.empty)
+    assert(counts("reg_envloc")("item_master") > 0)
+    assert(spark.table("dev_reg_envloc.mart_items").count() ==
+      counts("reg_envloc")("mart_items"))
+    assert(spark.table("dev_reg_envloc_raw.item_master").count() > 0)
+    // the bare prod namespace was never touched by the dev run
+    assert(!spark.catalog.databaseExists("reg_envloc"))
   }
 
   test("runAll refuses a drifted workspace") {
