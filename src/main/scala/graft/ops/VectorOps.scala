@@ -211,6 +211,47 @@ object VectorOps {
     (assignments, centroidDf)
   }
 
+  /** Names of the persisted IVF index tables ([[buildIvfIndex]]). */
+  val IvfAssignmentsTable = "ivf_assignments"
+  val IvfCentroidsTable = "ivf_centroids"
+
+  /** Train-once made real: train the quantizer and land the inverted
+    * lists + centroid table as warehouse tables, so any LATER session (or
+    * a scheduled refresh job) serves searches from storage without
+    * retraining. The session-lifetime PlanCache in [[ivfIndex]] is the
+    * within-job analog; this is the cross-job index.
+    */
+  def buildIvfIndex(vectors: DataFrame, db: String, nCells: Int = IvfCells,
+                    iterations: Int = 2): Unit = {
+    val (assignments, centroids) = ivfIndex(vectors, nCells, iterations)
+    graft.store.Warehouse.saveModel(assignments, db, IvfAssignmentsTable)
+    graft.store.Warehouse.saveModel(centroids, db, IvfCentroidsTable)
+  }
+
+  /** Scheduled index refresh — composes with [[graft.pipeline.ScheduleRunner]]
+    * so the IVF index rebuilds on a cron cadence like any other
+    * materialization (the production posture for an ANN index over a
+    * growing corpus: search always reads the stored tables; training cost
+    * is paid on the schedule, not per query).
+    */
+  def ivfRefreshEntry(id: String, cronExpr: String, db: String,
+                      vectors: SparkSession => DataFrame,
+                      nCells: Int = IvfCells): graft.pipeline.ScheduleRunner.Entry =
+    graft.pipeline.ScheduleRunner.Entry(id,
+      graft.pipeline.CronSchedule.parse(cronExpr),
+      (s, _) => buildIvfIndex(vectors(s), db, nCells))
+
+  /** Serve top-k search from a stored index ([[buildIvfIndex]]) — no
+    * training, no PlanCache: the inverted lists and centroids come off the
+    * warehouse tables.
+    */
+  def ivfCosineTopkFromIndex(s: SparkSession, d: String, db: String): DataFrame = {
+    val probes = t(s, d, "embeddings").filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    searchIvf(s.table(s"`$db`.`$IvfAssignmentsTable`"),
+      s.table(s"`$db`.`$IvfCentroidsTable`"), probes)
+  }
+
   /** Top-k cosine search through the IVF index for the probe set
     * (vec_id < 5, same contract as [[knnCosineTopk]] so recall is directly
     * comparable).
@@ -220,6 +261,14 @@ object VectorOps {
     val (assignments, centroids) = ivfIndex(emb)
     val probes = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    searchIvf(assignments, centroids, probes)
+  }
+
+  /** The search leg, over trained-in-session or warehouse-stored index
+    * frames alike.
+    */
+  private def searchIvf(assignments: DataFrame, centroids: DataFrame,
+                        probes: DataFrame): DataFrame = {
     // nProbe nearest cells per probe: scored against the broadcast
     // centroid table (nCells rows), ranked, kept — all on executors.
     val wc = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")

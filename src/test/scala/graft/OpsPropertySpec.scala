@@ -161,6 +161,40 @@ class OpsPropertySpec extends SparkSpec {
     assert(recall >= 0.6, s"ivf recall@5 = $recall")
   }
 
+  test("ivf index persists as warehouse tables and serves a fresh session") {
+    val db = "ivf_index_db"
+    VectorOps.buildIvfIndex(Tables.t(spark, sf, "embeddings"), db)
+    assert(spark.catalog.tableExists(s"$db.${VectorOps.IvfAssignmentsTable}"))
+    assert(spark.catalog.tableExists(s"$db.${VectorOps.IvfCentroidsTable}"))
+
+    // a NEW session (fresh session state — no PlanCache entries, no trained
+    // quantizer in memory) serves the search purely from the stored tables
+    val s2 = spark.newSession()
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("neighbor_id"))).toSeq
+    val served = key(VectorOps.ivfCosineTopkFromIndex(s2, sf, db).collect())
+    // deterministic training → the stored index answers exactly like an
+    // in-session retrain
+    val retrained = key(VectorOps.ivfCosineTopk(spark, sf).collect())
+    assert(served == retrained && served.length == 25)
+
+    // the scheduled refresh entry rebuilds the stored index on its cron fire
+    import java.time.LocalDateTime
+    import graft.pipeline.ScheduleRunner
+    spark.sql(s"DROP TABLE $db.${VectorOps.IvfAssignmentsTable}")
+    val entry = VectorOps.ivfRefreshEntry("ivf-refresh", "0 3 * * *", db,
+      s => Tables.t(s, sf, "embeddings"))
+    val t0 = LocalDateTime.parse("2026-01-01T00:00:00")
+    val runner = new ScheduleRunner(Seq(entry), startAt = t0)
+    assert(runner.tick(spark, t0.plusHours(3)) == Seq("ivf-refresh"))
+    // a long-lived serving session refreshes its relation cache after an
+    // index rebuild replaced the table files underneath it
+    s2.catalog.refreshTable(s"$db.${VectorOps.IvfAssignmentsTable}")
+    s2.catalog.refreshTable(s"$db.${VectorOps.IvfCentroidsTable}")
+    assert(key(VectorOps.ivfCosineTopkFromIndex(s2, sf, db).collect()) == served)
+  }
+
   test("multimodal stub: metadata and frame sampling are deterministic and batched") {
     val media = MultimodalOps.mediaFromDocuments(spark, sf).limit(20)
     val meta = MultimodalOps.extractMeta(media).collect()
