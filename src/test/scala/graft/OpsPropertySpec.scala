@@ -195,17 +195,52 @@ class OpsPropertySpec extends SparkSpec {
     assert(key(VectorOps.ivfCosineTopkFromIndex(s2, sf, db).collect()) == served)
   }
 
-  test("multimodal stub: metadata and frame sampling are deterministic and batched") {
+  test("multimodal meta: real header parse end-to-end, deterministic and batched") {
     val media = MultimodalOps.mediaFromDocuments(spark, sf).limit(20)
     val meta = MultimodalOps.extractMeta(media).collect()
     assert(meta.length == 20)
     assert(meta.forall(m => m.nBytes > 0 && m.features.length == 8))
-    assert(meta.forall(m => Set("png", "jpeg", "webp").contains(m.format)))
+    // the fixture payloads carry REAL crafted headers; extractMeta must
+    // report the true container dimensions, not stub pseudo-metadata
+    meta.foreach { m =>
+      val expectFmt = (m.docId % 3) match {
+        case 0 => "png"; case 1 => "bmp"; case _ => "jpeg"
+      }
+      assert(m.format == expectFmt, s"doc ${m.docId}")
+      assert(m.width == 16 + (m.docId * 7 % 2048).toInt)
+      assert(m.height == 16 + (m.docId * 13 % 2048).toInt)
+    }
     val again = MultimodalOps.extractMeta(media).collect()
-    assert(meta.map(_.width).toSeq == again.map(_.width).toSeq) // deterministic stub
+    assert(meta.map(_.width).toSeq == again.map(_.width).toSeq) // deterministic
     val frames = MultimodalOps.sampleFrames(media, n = 3)
     assert(frames.count() == 60)
     assert(frames.groupBy("doc_id").count().filter(col("count") =!= 3).count() == 0)
+  }
+
+  test("header parser: PNG/BMP/JPEG layouts on crafted payloads, stub fallback") {
+    import MultimodalOps.{craftHeader, parseHeader}
+    // round-trips through the real container layouts
+    assert(parseHeader(craftHeader("png", 640, 480)) == Some(("png", 640, 480)))
+    assert(parseHeader(craftHeader("bmp", 12, 34)) == Some(("bmp", 12, 34)))
+    assert(parseHeader(craftHeader("jpeg", 1920, 1080)) == Some(("jpeg", 1920, 1080)))
+    // headers survive an arbitrary body appended after them
+    assert(parseHeader(craftHeader("jpeg", 7, 9) ++ Array.fill(100)(0x55.toByte))
+      == Some(("jpeg", 7, 9)))
+    // BMP top-down rows: negative stored height parses as its magnitude
+    val bmpTopDown = craftHeader("bmp", 12, 34).clone()
+    val hb = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-34).array()
+    System.arraycopy(hb, 0, bmpTopDown, 22, 4)
+    assert(parseHeader(bmpTopDown) == Some(("bmp", 12, 34)))
+    // truncation mid-header and non-media bytes fall through to None
+    assert(parseHeader(craftHeader("png", 640, 480).take(15)).isEmpty)
+    assert(parseHeader("just some text".getBytes("UTF-8")).isEmpty)
+    assert(parseHeader(Array.empty[Byte]).isEmpty)
+    // non-media payloads reach the (labeled) deterministic stub
+    val m = MultimodalOps.MediaRow(1L, "plain text payload".getBytes("UTF-8"))
+    import spark.implicits._
+    val out = MultimodalOps.extractMeta(Seq(m).toDS()).collect().head
+    assert(Set("png", "jpeg", "webp").contains(out.format)) // stub namespace
   }
 
   test("broadcast star join actually broadcasts the dims (plan audit)") {
