@@ -250,6 +250,15 @@ class OpsPropertySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "dim joins must not sort-merge")
   }
 
+  test("ivf search broadcasts the probe cells — corpus never exchanged on the cell key") {
+    val plan = VectorOps.ivfCosineTopk(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    // a hash exchange on `cell` would funnel the whole corpus into
+    // ≤ IvfCells partitions — the r3 scale-killer this shape replaced
+    assert(!plan.contains("Exchange hashpartitioning(cell"),
+      "assignments must not be hash-partitioned on the nCells-value key")
+  }
+
   test("knn plan is broadcast-probe, not corpus x corpus shuffle") {
     val plan = VectorOps.knnCosineTopk(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
