@@ -121,12 +121,14 @@ object VectorOps {
         col("sketch").bitwiseAND(lit((1L << NumPlanes) - 1)).as("bucket"))
       .orderBy("vec_id")
 
-  /** Embedding-cosine near-dup detection, banded: DupBands bands ×
-    * BitsPerBand sign bits generate candidate pairs through a band-keyed
-    * equi-join (OR over bands boosts recall like MinHash banding), then the
-    * *exact* cosine confirms ≥ threshold. Never corpus×corpus: the shuffle
-    * is keyed by (band, band_key), candidates are verified per bucket.
-    * Probabilistic recall, deterministic output (fixed hash planes).
+  /** Embedding-cosine near-dup detection, banded: disjoint sign-bit slices
+    * of the sketch generate candidate pairs through a band-keyed equi-join
+    * (OR over bands boosts recall like MinHash banding), then the *exact*
+    * cosine confirms ≥ threshold. Band width adapts to corpus size
+    * ([[adaptiveBandBits]]) so candidate volume stays linear; DupBands ×
+    * BitsPerBand is the fixture-scale floor. Never corpus×corpus: the
+    * shuffle is keyed by (band, band_key), candidates are verified per
+    * bucket. Probabilistic recall, deterministic output (fixed hash planes).
     */
   val DupBands = 8
   val BitsPerBand = 8
@@ -323,16 +325,37 @@ object VectorOps {
     */
   val MaxBucketSize = 1024
 
+  /** Adaptive band width: average bucket occupancy is n / 2^bits, so the
+    * within-bucket pair expansion is O(n² / 2^bits) — with FIXED band bits
+    * that is quadratic in corpus size (measured: 5× corpus → ~9× wall
+    * time at 8 bits). Holding occupancy near a constant target keeps the
+    * candidate volume linear: bits grows with log2(n). Bounded to
+    * [BitsPerBand, 32]; the band count is however many disjoint slices of
+    * the 64-bit sketch that width allows (wider bands trade borderline-pair
+    * recall for candidate volume — the standard LSH dial).
+    */
+  val TargetBucketOccupancy = 16
+  private[ops] def adaptiveBandBits(n: Long): Int = {
+    val needed = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(n / TargetBucketOccupancy, 1L))
+    math.min(32, math.max(BitsPerBand, needed))
+  }
+
   def nearDupPairs(vectors: DataFrame, threshold: Double,
-                   maxBucketSize: Int = MaxBucketSize): DataFrame = {
+                   maxBucketSize: Int = MaxBucketSize,
+                   bandBits: Option[Int] = None): DataFrame = {
     // The sketch feeds three branches (band join sides + norms): persist it
     // so the plan computes it once (PlanCache bounds the footprint to one
     // sketch per session). At cluster scale this is the "write the sketch
     // table" step of a production near-dup job.
     val bits = PlanCache.swap("vector-near-dup-sketch", sketch(vectors))
-    val bandKeys = (0 until DupBands).map(b =>
-      shiftrightunsigned(col("sketch"), b * BitsPerBand)
-        .bitwiseAND(lit((1L << BitsPerBand) - 1)))
+    // the count() both materializes the persisted sketch (paid anyway by
+    // every downstream branch) and sizes the adaptive banding
+    val nBits = bandBits.getOrElse(adaptiveBandBits(bits.count()))
+    val nBands = 64 / nBits
+    val bandKeys = (0 until nBands).map(b =>
+      shiftrightunsigned(col("sketch"), b * nBits)
+        .bitwiseAND(lit((1L << nBits) - 1)))
     val banded = bits.select(col("vec_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
     val hot = banded.groupBy("band_idx", "band_key")
