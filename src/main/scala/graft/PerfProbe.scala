@@ -96,7 +96,9 @@ object PerfProbe {
 
     if (args.headOption.contains("scale")) {
       val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "5").toInt
-      val scaled = s"/tmp/graft-sf-scaled-k$k"
+      // TempDirs: the K× corpus is a full replicated copy of sf0.1 — it
+      // must not accumulate in /tmp across probe runs
+      val scaled = TempDirs.create(s"graft-sf-scaled-k$k")
       println(s"building ${k}x corpus at $scaled ...")
       buildScaled(spark, d, scaled, k)
       // the heavy tail per BENCH: corpus-bound LLM-pipeline operators plus

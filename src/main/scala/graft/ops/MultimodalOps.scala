@@ -53,10 +53,18 @@ object MultimodalOps {
 
   /** BMP: "BM" magic; BITMAPINFOHEADER width/height are little-endian
     * i32s at offsets 18 and 22. Height may be negative (top-down rows).
+    * A 2-byte magic alone misfires on text starting "BM…", so the DIB
+    * header size at offset 14 must be one of the published 32-bit-dims
+    * header lengths, and the dims must be sane (w > 0, h ≠ 0).
     */
+  private val BmpDibSizes = Set(40, 52, 56, 64, 108, 124)
   private def parseBmp(p: Array[Byte]): Option[(String, Int, Int)] = {
     if (p.length < 26 || p(0) != 'B' || p(1) != 'M') return None
-    Some(("bmp", le32(p, 18), math.abs(le32(p, 22))))
+    if (!BmpDibSizes(le32(p, 14))) return None
+    val w = le32(p, 18)
+    val h = le32(p, 22)
+    if (w <= 0 || h == 0) return None
+    Some(("bmp", w, math.abs(h)))
   }
 
   /** JPEG: SOI then a marker walk — each segment is FF <marker> <len:be16>;
@@ -100,7 +108,8 @@ object MultimodalOps {
       b.array()
     case "bmp" =>
       val b = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      b.put('B'.toByte).put('M'.toByte).position(18)
+      b.put('B'.toByte).put('M'.toByte).position(14)
+      b.putInt(40) // BITMAPINFOHEADER — the parser validates the DIB size
       b.putInt(w).putInt(h)
       b.array()
     case "jpeg" =>
@@ -116,15 +125,14 @@ object MultimodalOps {
 
   /** ==== STUB ==== deterministic fallback for payloads that are not
     * parseable media (real pipeline: quarantine or route to a codec that
-    * sniffs further formats). Derives stable pseudo-metadata from the
-    * bytes so plumbing stays testable on arbitrary payloads.
+    * sniffs further formats). Format is the sentinel "unknown" — never a
+    * real container name, so consumers can always tell genuinely parsed
+    * headers from pseudo-metadata. Dims are stable hashes of the bytes so
+    * the plumbing stays testable on arbitrary payloads.
     */
   private[ops] def decodeStub(payload: Array[Byte]): (String, Int, Int) = {
     val h = payload.foldLeft(17L)((a, b) => a * 31 + (b & 0xff))
-    val fmt = (h % 3).toInt match {
-      case 0 => "png"; case 1 => "jpeg"; case _ => "webp"
-    }
-    (fmt, 64 + math.abs(h % 1024).toInt, 64 + math.abs((h / 1024) % 1024).toInt)
+    ("unknown", 64 + math.abs(h % 1024).toInt, 64 + math.abs((h / 1024) % 1024).toInt)
   }
 
   /** ==== STUB ==== deterministic fake feature vector (real path: model

@@ -341,6 +341,13 @@ object VectorOps {
     math.min(32, math.max(BitsPerBand, needed))
   }
 
+  /** NOTE: with `bandBits = None`, CONSTRUCTING the frame runs a Spark job
+    * (persist + count of the sketch) to size the adaptive banding — that
+    * work is reused by every downstream branch of the returned plan, so
+    * callers that execute the query pay ~nothing extra, but plan-only
+    * callers (audits, explain) should pass explicit `bandBits` to stay
+    * lazy.
+    */
   def nearDupPairs(vectors: DataFrame, threshold: Double,
                    maxBucketSize: Int = MaxBucketSize,
                    bandBits: Option[Int] = None): DataFrame = {

@@ -87,18 +87,17 @@ object TenantRegistry {
     *  - a declared schedule parses as five-field cron;
     *  - every model ref() resolves within the tenant's own model set.
     */
-  def check(discovered: Seq[Discovered],
-            environment: Environment = Environment.Prod): Seq[String] = {
+  def check(discovered: Seq[Discovered]): Seq[String] = {
     val idDrift = discovered.filter(d => d.tenant.id != d.dir)
       .map(d => s"tenant dir '${d.dir}' declares id '${d.tenant.id}' (must match)")
     val dupIds = discovered.groupBy(_.tenant.id).filter(_._2.size > 1).keys
       .map(id => s"duplicate tenant id '$id'")
-    // collision check runs on the names this environment will actually
-    // materialize (Local's `dev_` prefix included) — two ids that coexist
-    // bare could still collide prefixed, and vice versa
+    // collision check runs on bare names: environment prefixing is a
+    // constant injective rename (`dev_` + name), so the prefixed collision
+    // set is identical to the bare one in every environment
     val dbOwners = discovered.flatMap(d =>
-      Seq(d.tenant.database(environment) -> d.tenant.id,
-        d.tenant.rawDatabase(environment) -> d.tenant.id))
+      Seq(d.tenant.database -> d.tenant.id,
+        d.tenant.rawDatabase -> d.tenant.id))
     val dbDrift = dbOwners.groupBy(_._1)
       .filter { case (_, owners) => owners.map(_._2).distinct.size > 1 }
       .map { case (db, owners) =>
@@ -117,10 +116,16 @@ object TenantRegistry {
     (idDrift ++ dupIds ++ dbDrift ++ schedDrift ++ refDrift).toSeq.sorted
   }
 
-  /** Build one pipeline per discovered tenant over a shared source factory. */
+  /** Build one pipeline per discovered tenant over a shared source factory.
+    * `environment` defaults to detection from the PROCESS environment
+    * (reference reads os.getenv, environment_helpers.py:4-9) — a plain
+    * laptop run lands in `dev_` namespaces unless the deployment vars say
+    * otherwise. Deliberately NOT detected from any yaml-var map: a caller
+    * passing curated yaml vars must not silently flip a prod run to dev.
+    */
   def pipelines(discovered: Seq[Discovered],
                 source: TenantConfig => Source,
-                environment: Environment = Environment.Prod)
+                environment: Environment = Environment.detect())
       : Seq[(TenantConfig, TenantPipeline)] =
     discovered.map(d =>
       d.tenant -> new TenantPipeline(d.tenant, source(d.tenant), d.models,
@@ -135,15 +140,14 @@ object TenantRegistry {
              source: TenantConfig => Source,
              env: Map[String, String] = sys.env,
              parallelism: Int = 4,
-             environment: Option[Environment] = None)
+             environment: Environment = Environment.detect())
       : Map[String, Map[String, Long]] = {
-    // environment defaults to detection from the same env-var map that
-    // resolves the yaml (reference reads os.getenv for both,
-    // environment_helpers.py:4-9) — a plain laptop run lands in dev_*
-    // namespaces unless the deployment vars say otherwise
-    val e = environment.getOrElse(Environment.detect(env))
+    // `env` resolves yaml ${VAR} placeholders ONLY; the deployment
+    // environment comes from process detection (or the explicit parameter)
+    // so a curated var map can never silently retarget prod to dev_
+    val e = environment
     val discovered = discover(root, env)
-    val drift = check(discovered, e)
+    val drift = check(discovered)
     require(drift.isEmpty, s"tenant workspace drift:\n  ${drift.mkString("\n  ")}")
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
@@ -176,7 +180,7 @@ object TenantRegistry {
     */
   def scheduleEntries(discovered: Seq[Discovered],
                       source: TenantConfig => Source,
-                      environment: Environment = Environment.Prod)
+                      environment: Environment = Environment.detect())
       : Seq[ScheduleRunner.Entry] =
     pipelines(discovered.filter(_.tenant.schedule.nonEmpty), source, environment)
       .map { case (tenant, p) => ScheduleRunner.forTenant(tenant, p) }

@@ -236,11 +236,15 @@ class OpsPropertySpec extends SparkSpec {
     assert(parseHeader(craftHeader("png", 640, 480).take(15)).isEmpty)
     assert(parseHeader("just some text".getBytes("UTF-8")).isEmpty)
     assert(parseHeader(Array.empty[Byte]).isEmpty)
-    // non-media payloads reach the (labeled) deterministic stub
+    // a text payload starting "BM" must NOT sniff as BMP (DIB-size check)
+    assert(parseHeader("BMW recall notice: bring your vehicle in soon"
+      .getBytes("UTF-8")).isEmpty)
+    // non-media payloads reach the (labeled) deterministic stub, whose
+    // sentinel format is disjoint from genuinely parsed containers
     val m = MultimodalOps.MediaRow(1L, "plain text payload".getBytes("UTF-8"))
     import spark.implicits._
     val out = MultimodalOps.extractMeta(Seq(m).toDS()).collect().head
-    assert(Set("png", "jpeg", "webp").contains(out.format)) // stub namespace
+    assert(out.format == "unknown")
   }
 
   test("broadcast star join actually broadcasts the dims (plan audit)") {

@@ -84,10 +84,6 @@ class TenantRegistrySpec extends SparkSpec {
       tenant = found.head.tenant.copy(id = "reg_alpha_raw"))
     assert(TenantRegistry.check(found :+ collider)
       .exists(_.contains("claimed by tenants")))
-    // the gate checks the names the environment will materialize: in Local
-    // the same collision surfaces under its dev_-prefixed name
-    assert(TenantRegistry.check(found :+ collider, graft.pipeline.Environment.Local)
-      .exists(_.contains("database 'dev_reg_alpha_raw' claimed")))
 
     val badCron = found.map(d => d.copy(tenant = d.tenant.copy(schedule = "nope")))
     assert(TenantRegistry.check(badCron).exists(_.contains("schedule")))
@@ -104,7 +100,7 @@ class TenantRegistrySpec extends SparkSpec {
 
     val counts = TenantRegistry.runAll(spark, root.toString,
       (_: TenantConfig) => new ParquetSource(sf), env = Map.empty,
-      environment = Some(graft.pipeline.Environment.Prod))
+      environment = graft.pipeline.Environment.Prod)
     assert(counts.keySet == Set("reg_alpha", "reg_beta"))
     assert(counts("reg_alpha")("item_master") > 0)
 
@@ -119,7 +115,8 @@ class TenantRegistrySpec extends SparkSpec {
     // registry composes with the scheduler: one entry per scheduled tenant
     val entries = TenantRegistry.scheduleEntries(
       TenantRegistry.discover(root.toString, Map.empty),
-      (_: TenantConfig) => new ParquetSource(sf))
+      (_: TenantConfig) => new ParquetSource(sf),
+      environment = graft.pipeline.Environment.Prod)
     assert(entries.map(_.id).sorted == Seq("reg_alpha", "reg_beta"))
   }
 
@@ -131,7 +128,8 @@ class TenantRegistrySpec extends SparkSpec {
     writeTenant(root, "reg_sched_b", "Brand#2")
     val entries = TenantRegistry.scheduleEntries(
       TenantRegistry.discover(root.toString, Map.empty),
-      (_: TenantConfig) => new ParquetSource(sf))
+      (_: TenantConfig) => new ParquetSource(sf),
+      environment = graft.pipeline.Environment.Prod)
     val t0 = LocalDateTime.parse("2026-01-01T00:00:00")
     val runner = new ScheduleRunner(entries, startAt = t0)
     // tenant.yaml declares 0 */2 * * * → both due at 02:00, neither at 01:00
@@ -145,12 +143,14 @@ class TenantRegistrySpec extends SparkSpec {
     assert(b.filter(col("item_group_id") =!= "Brand#2").count() == 0)
   }
 
-  test("runAll detects LOCAL from the env map and lands in dev_ namespaces") {
+  test("runAll in a LOCAL environment lands in dev_ namespaces") {
     val root = freshRoot()
     writeTenant(root, "reg_envloc", "Brand#4")
-    // no deployment vars in the map → Environment.detect → Local
+    // pinned Local (the default is Environment.detect() over the PROCESS
+    // env — the yaml-var map deliberately plays no role in detection)
     val counts = TenantRegistry.runAll(spark, root.toString,
-      (_: TenantConfig) => new ParquetSource(sf), env = Map.empty)
+      (_: TenantConfig) => new ParquetSource(sf), env = Map.empty,
+      environment = graft.pipeline.Environment.Local)
     assert(counts("reg_envloc")("item_master") > 0)
     assert(spark.table("dev_reg_envloc.mart_items").count() ==
       counts("reg_envloc")("mart_items"))
