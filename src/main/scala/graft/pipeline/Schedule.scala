@@ -225,17 +225,29 @@ object ScheduleRunner {
     */
   final case class FireWindow(first: LocalDateTime, last: LocalDateTime)
 
-  /** One scheduled unit of work. */
+  /** One scheduled unit of work. The runner keys entries by `id`;
+    * `name`/`target`/`tags` are the reference ScheduleComponent's
+    * descriptive metadata (lib/schedule.py:8-11) — inert to execution,
+    * surfaced for operators and UI.
+    */
   final case class Entry(id: String, cron: CronSchedule,
-                         run: (SparkSession, FireWindow) => Unit)
+                         run: (SparkSession, FireWindow) => Unit,
+                         name: String = "", target: String = "",
+                         tags: Map[String, String] = Map.empty)
 
   /** Standard wiring: a tenant's declared `schedule` drives its full
     * pipeline run (extract + model DAG, snapshot-replace semantics —
-    * catch-up collapses to one run by ignoring the window).
+    * catch-up collapses to one run by ignoring the window). Metadata
+    * mirrors the reference's generated definitions
+    * (_tenant_factory.py:163-174): `{tid}_schedule` targeting the
+    * `{tid}_pipeline` job tagged with its tenant.
     */
   def forTenant(tenant: TenantConfig, pipeline: TenantPipeline): Entry =
     Entry(tenant.id, CronSchedule.parse(tenant.schedule),
-      (s, _) => { pipeline.run(s); () })
+      (s, _) => { pipeline.run(s); () },
+      name = s"${tenant.id}_schedule",
+      target = s"${tenant.id}_pipeline",
+      tags = Map("tenant" -> tenant.id, "pipeline" -> "tenant"))
 
   /** Scheduled incremental materialization: each run backfills every
     * COMPLETE partition from the first covered fire's window through the

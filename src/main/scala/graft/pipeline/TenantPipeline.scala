@@ -109,6 +109,10 @@ final class TenantPipeline(
     } finally pool.shutdown()
   }
 
+  private def materializedTables: Seq[(String, String, Seq[String])] =
+    tenant.tables.map(t => (rawDb, t.name, t.primaryKey)) ++
+      models.map(m => (modelSchema(m), m.alias, Seq.empty[String]))
+
   /** Per-table materialization metadata — row count + a deterministic
     * preview, the reference's UI metadata surface
     * (_tenant_factory.py:317-326, 385-390) without the 5-arbitrary-rows
@@ -129,6 +133,27 @@ final class TenantPipeline(
       s"$db.$table" -> (df.count(), preview)
     }.toMap
   }
+
+  /** Full per-materialization metadata in the reference's enriched shape
+    * (_tenant_factory.py:317-326: num_rows / table / tenant +
+    * _build_arrow_preview:69-80 column schema +
+    * _build_trino_preview:83-98 markdown preview table), keyed by the
+    * qualified table name. Deterministic: the preview is PK-ordered (or
+    * all-columns-ordered) like [[report]].
+    */
+  def metadata(spark: SparkSession, previewRows: Int = 5)
+      : Map[String, TenantPipeline.Materialization] =
+    materializedTables.map { case (db, table, pk) =>
+      val df = spark.table(s"`$db`.`$table`")
+      val orderCols = if (pk.nonEmpty) pk else df.columns.toSeq
+      val preview = Warehouse.preview(spark, db, table, orderCols, previewRows)
+      s"$db.$table" -> TenantPipeline.Materialization(
+        table = s"$db.$table",
+        tenant = tenant.id,
+        numRows = df.count(),
+        columns = df.schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString),
+        previewMarkdown = TenantPipeline.markdownTable(preview))
+    }.toMap
 
   /** Asset key for a model — the reference's translator contract
     * (mozart_etl/lib/dbt/translator.py:31-47): strip the `{tid}__` prefix;
@@ -163,9 +188,39 @@ final class TenantPipeline(
   def run(spark: SparkSession): Map[String, Long] =
     runExtract(spark) ++ runModels(spark)
 
+  def runWithMetadata(spark: SparkSession)
+      : Map[String, TenantPipeline.Materialization] = {
+    run(spark)
+    metadata(spark)
+  }
+
   /** Render-only (no execution) — for tests and dry runs. */
   def renderAll: Map[String, String] = {
     val r = renderer
     ModelDag.topoSort(models).map(m => m.name -> r.render(m)).toMap
+  }
+}
+
+object TenantPipeline {
+
+  /** One materialization's UI metadata — the reference MaterializeResult
+    * payload (_tenant_factory.py:317-326): row count, qualified table,
+    * owning tenant, column schema, and a markdown preview.
+    */
+  final case class Materialization(
+      table: String, tenant: String, numRows: Long,
+      columns: Seq[(String, String)], previewMarkdown: String)
+
+  /** GitHub-style markdown table of a (small, already-limited) frame —
+    * the reference's preview rendering (_build_trino_preview:89-95:
+    * header row, `---` separator, one row per record).
+    */
+  private[pipeline] def markdownTable(df: DataFrame): String = {
+    val cols = df.columns.toSeq
+    val header = cols.mkString("| ", " | ", " |")
+    val sep = cols.map(_ => "---").mkString("| ", " | ", " |")
+    val body = df.collect().map(r =>
+      cols.indices.map(i => String.valueOf(r.get(i))).mkString("| ", " | ", " |"))
+    (header +: sep +: body).mkString("\n")
   }
 }

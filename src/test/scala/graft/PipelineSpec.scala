@@ -46,6 +46,22 @@ class PipelineSpec extends SparkSpec {
     val (cnt, preview) = rep("graft_demo.mart_item_master")
     assert(cnt > 0 && preview.nonEmpty && preview.size <= 5)
     assert(rep == p.report(spark)) // deterministic
+
+    // enriched metadata: the reference MaterializeResult shape
+    // (_tenant_factory.py:317-326) — num_rows, table, tenant, column
+    // schema, and a markdown preview table
+    val meta = p.metadata(spark)
+    assert(meta.keySet == rep.keySet)
+    val m = meta("graft_demo.mart_item_master")
+    assert(m.tenant == "graft_demo" && m.numRows == cnt)
+    assert(m.columns.map(_._1) ==
+      spark.table("graft_demo.mart_item_master").columns.toSeq)
+    assert(m.columns.forall(_._2.nonEmpty)) // every column carries a type
+    val lines = m.previewMarkdown.linesIterator.toSeq
+    assert(lines.head.startsWith("| ") && lines.head.endsWith(" |"))
+    assert(lines(1).matches("""\|( ---+ \|)+"""))
+    assert(lines.size == 2 + math.min(cnt, 5)) // header + sep + rows
+    assert(lines.forall(_.count(_ == '|') == m.columns.size + 1))
   }
 
   test("two tenants produce conformed marts that union cleanly (C14/C15)") {

@@ -118,6 +118,12 @@ class TenantRegistrySpec extends SparkSpec {
       (_: TenantConfig) => new ParquetSource(sf),
       environment = graft.pipeline.Environment.Prod)
     assert(entries.map(_.id).sorted == Seq("reg_alpha", "reg_beta"))
+    // descriptive metadata mirrors the reference's generated definitions
+    // (ScheduleComponent name/target/tags, _tenant_factory.py:163-174)
+    val alpha = entries.find(_.id == "reg_alpha").get
+    assert(alpha.name == "reg_alpha_schedule")
+    assert(alpha.target == "reg_alpha_pipeline")
+    assert(alpha.tags == Map("tenant" -> "reg_alpha", "pipeline" -> "tenant"))
   }
 
   test("scheduler ticks a registry-discovered workspace end to end") {
