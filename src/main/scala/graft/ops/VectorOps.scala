@@ -335,7 +335,7 @@ object VectorOps {
     * recall for candidate volume — the standard LSH dial).
     */
   val TargetBucketOccupancy = 16
-  private[ops] def adaptiveBandBits(n: Long): Int = {
+  private[graft] def adaptiveBandBits(n: Long): Int = {
     val needed = 64 - java.lang.Long.numberOfLeadingZeros(
       math.max(n / TargetBucketOccupancy, 1L))
     math.min(32, math.max(BitsPerBand, needed))

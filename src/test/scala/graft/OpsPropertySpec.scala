@@ -129,6 +129,27 @@ class OpsPropertySpec extends SparkSpec {
     assert(unguarded.filter(col("vec_a") === 1L && col("vec_b") === 2L).count() == 1)
   }
 
+  test("adaptive band bits: fixture-scale floor, log growth, 32-bit cap") {
+    import VectorOps.{adaptiveBandBits, BitsPerBand, TargetBucketOccupancy}
+    // at fixture scale the floor keeps the plan identical to the fixed shape
+    assert(adaptiveBandBits(0) == BitsPerBand)
+    assert(adaptiveBandBits(2000) == BitsPerBand)
+    // expected bucket occupancy n / 2^bits stays within [target/2, target]
+    // once past the floor: candidate volume is linear in n, not quadratic
+    for (e <- 13 to 35; n = 1L << e) {
+      val bits = adaptiveBandBits(n)
+      if (bits > BitsPerBand && bits < 32) {
+        val occupancy = n.toDouble / (1L << bits)
+        assert(occupancy <= TargetBucketOccupancy && occupancy >= TargetBucketOccupancy / 2.0,
+          s"n=$n bits=$bits occupancy=$occupancy")
+      }
+    }
+    // monotone in n, capped at 32 so at least two 64-bit bands remain
+    val sizes = Seq(1L, 1000L, 100000L, 10000000L, Long.MaxValue)
+    assert(sizes.map(adaptiveBandBits) == sizes.map(adaptiveBandBits).sorted)
+    assert(adaptiveBandBits(Long.MaxValue) == 32)
+  }
+
   test("simhash near-dup: pigeonhole recall is exact within the hamming budget") {
     // hamming(a,b)=0 (identical), hamming(a,c)=5 (<= 7: MUST be found by
     // pigeonhole — 5 flipped bits can't touch all 8 bands), hamming(a,d)=64
