@@ -70,6 +70,10 @@ object SparkEntry {
     "q_doc_chunking"        -> (TextOps.docChunks _),
     "q_corpus_clean"        -> (TextOps.corpusClean _),
     "q_redact_pii"          -> (TextOps.redactPii _),
+    "q_contamination"       -> (TextOps.contamination _),
+    "q_sample_stratified"   -> ((s: SparkSession, d: String) => SamplingOps.stratifiedSample(s, d)),
+    "q_mix_weighted"        -> (SamplingOps.weightedMix _),
+    "q_pack_sequences"      -> ((s: SparkSession, d: String) => SamplingOps.packSequences(s, d)),
     "q_binary_meta"         -> (TextOps.binaryMeta _),
     "q_embed_norm"          -> (VectorOps.embedNorm _),
     "q_label_centroid"      -> (VectorOps.labelCentroid _),
@@ -446,6 +450,48 @@ object SparkEntry {
         |WHERE doc_id IN (SELECT doc_id FROM survivors)
         |  AND n_tokens >= 20 AND stop_ratio >= 0.05 AND stop_ratio <= 0.6
         |ORDER BY doc_id""".stripMargin,
+    "q_contamination" ->
+      """WITH probes AS (
+        |    SELECT substr(text, 10, 40) AS probe FROM documents
+        |    WHERE doc_id % 100 = 7 AND length(text) >= 60
+        |)
+        |SELECT d.doc_id, COUNT(*) AS n_hits
+        |FROM documents d, probes p
+        |WHERE position(p.probe IN d.text) > 0
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      """WITH ranked AS (
+        |    SELECT lang, doc_id,
+        |           row_number() OVER (PARTITION BY lang
+        |               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |             AS sample_rank
+        |    FROM documents
+        |)
+        |SELECT lang, doc_id, sample_rank FROM ranked
+        |WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin,
+    "q_mix_weighted" ->
+      """WITH ranked AS (
+        |    SELECT source, doc_id,
+        |           (1 + CAST(substr(source, 4) AS INT) % 3) * 5 AS quota,
+        |           row_number() OVER (PARTITION BY source
+        |               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |             AS mix_rank
+        |    FROM documents
+        |)
+        |SELECT source, doc_id, mix_rank FROM ranked
+        |WHERE mix_rank <= quota ORDER BY source, mix_rank""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |    SELECT doc_id, GREATEST(n_chars // 4, 1) AS tokens FROM documents
+        |), c AS (
+        |    SELECT doc_id, tokens,
+        |           SUM(tokens) OVER (ORDER BY doc_id
+        |               ROWS UNBOUNDED PRECEDING) AS cum
+        |    FROM t
+        |)
+        |SELECT doc_id, tokens,
+        |       CAST((cum - tokens) // 512 AS BIGINT) AS seq_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_doc_fingerprint" ->
       """SELECT doc_id,
         |       list_reduce(

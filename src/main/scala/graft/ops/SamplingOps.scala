@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Deterministic corpus sampling / mixing / packing — the dataset-assembly
+  * stage of a training-data pipeline (select a reproducible subset per
+  * stratum, mix sources by weight, pack documents into fixed token-budget
+  * training sequences).
+  *
+  * Determinism contract: sampling order is md5(doc_id) — a fixed, engine-
+  * independent permutation both Spark and the DuckDB oracle compute
+  * identically, unlike rand(seed) whose stream is engine-specific.
+  */
+object SamplingOps {
+
+  private def sampleKey = md5(col("doc_id").cast("string").cast("binary"))
+
+  /** Per-language deterministic sample of k documents: rank by the md5
+    * permutation within each stratum, keep the first k. Scale shape: the
+    * rank-≤-k filter compiles to WindowGroupLimit — map-side per-group
+    * top-k before the single hash exchange on `lang`, never a global sort.
+    */
+  def stratifiedSample(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("sk"), col("doc_id"))
+    t(s, d, "documents")
+      .withColumn("sk", sampleKey)
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+      .select("lang", "doc_id", "sample_rank")
+      .orderBy("lang", "sample_rank")
+  }
+
+  /** Weighted corpus mixing: each source contributes a quota of documents
+    * proportional to its weight (here derived from the source name so the
+    * oracle can reproduce it; production passes a weights table). The
+    * constant rank bound (max quota) keeps the WindowGroupLimit pushdown;
+    * the per-source quota filters on top.
+    */
+  val MixUnit = 5
+  def weightedMix(s: SparkSession, d: String): DataFrame = {
+    val maxQuota = 3 * MixUnit
+    val w = Window.partitionBy("source").orderBy(col("sk"), col("doc_id"))
+    t(s, d, "documents")
+      .withColumn("quota",
+        (lit(1) + substring(col("source"), 4, 10).cast("int") % 3) * MixUnit)
+      .withColumn("sk", sampleKey)
+      .withColumn("mix_rank", row_number().over(w))
+      .filter(col("mix_rank") <= maxQuota && col("mix_rank") <= col("quota"))
+      .select("source", "doc_id", "mix_rank")
+      .orderBy("source", "mix_rank")
+  }
+
+  /** Token-budget sequence packing: concatenate the corpus in doc_id order
+    * and split every `budget` tokens — each document belongs to the
+    * sequence where it STARTS (seq_id = tokens-before-this-doc div budget),
+    * the standard concat-and-chunk assignment of LLM pre-training.
+    *
+    * The naive formulation is a running sum over a GLOBAL order — an
+    * `Exchange SinglePartition` that serializes the whole corpus through
+    * one task. This is the distributed two-phase prefix sum instead:
+    *   1. deterministic range buckets from the doc_id domain (computed
+    *      min/max, NOT sampled — same buckets every run);
+    *   2. per-bucket token totals (tiny: nBuckets rows to the driver,
+    *      index metadata like the IVF centroids);
+    *   3. running sum WITHIN each bucket in parallel + the broadcast
+    *      cumulative offset of all prior buckets.
+    * Each bucket's window runs on its own partition; nothing corpus-sized
+    * ever converges on one task.
+    */
+  def packSequences(s: SparkSession, d: String, budget: Int = 512,
+                    nBuckets: Int = 32): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), expr("greatest(n_chars div 4, 1)").as("tokens"))
+    val bounds = docs.agg(min("doc_id"), max("doc_id")).head()
+    if (bounds.isNullAt(0))
+      return docs.withColumn("seq_id", lit(0L)).select("doc_id", "tokens", "seq_id")
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max((hi - lo) / nBuckets + 1, 1L)
+    val bucketed = docs.withColumn("bucket",
+      ((col("doc_id") - lit(lo)) / lit(span)).cast("int"))
+    // phase 2: per-bucket totals → cumulative offsets (nBuckets rows)
+    val totals = bucketed.groupBy("bucket").agg(sum("tokens").as("tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _).init)
+    val offsetDf = s.createDataFrame(offsets.toSeq)
+      .toDF("bucket", "bucket_offset")
+    // phase 3: parallel within-bucket running sums + broadcast offsets
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+    bucketed.join(broadcast(offsetDf), Seq("bucket"))
+      .withColumn("cum", col("bucket_offset") + sum("tokens").over(w))
+      .withColumn("seq_id", expr(s"(cum - tokens) div $budget"))
+      .select("doc_id", "tokens", "seq_id")
+      .orderBy("doc_id")
+  }
+}

@@ -256,6 +256,24 @@ object TextOps {
       .orderBy("probe_id", "rnk")
   }
 
+  /** Benchmark-contamination check: flag every document containing any
+    * probe substring (eval-set leakage detection before training). Probes
+    * here are fixture-derived 40-char snippets (production: the benchmark
+    * suite's canonical strings). Scale shape: the probe set is tiny and
+    * BROADCAST; the corpus side is one codegen `instr` scan per probe —
+    * volume is nProbes × corpus with no shuffle of the corpus, the same
+    * probe-style bound as knn/ngram. Self-hits guarantee nonempty output.
+    */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val probes = docs
+      .filter(col("doc_id") % 100 === 7 && length(col("text")) >= 60)
+      .select(substring(col("text"), 10, 40).as("probe"))
+    docs.join(broadcast(probes), instr(col("text"), col("probe")) > 0)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   /** Polynomial rolling-hash fingerprint (base-31 mod 1e9+7) via the native
     * codegen expression graft.functions.RollingHash — a tight Java byte
     * loop inside whole-stage codegen instead of one interpreted lambda per

@@ -268,6 +268,34 @@ class OpsPropertySpec extends SparkSpec {
     assert(out.format == "unknown")
   }
 
+  test("sampling/mixing push WindowGroupLimit; packing never single-partitions") {
+    import graft.ops.SamplingOps
+    // per-stratum top-k compiles to map-side group limits, not a full sort
+    val p1 = SamplingOps.stratifiedSample(spark, sf).queryExecution.executedPlan.toString
+    assert(p1.contains("WindowGroupLimit"), p1.take(600))
+    // the constant max-quota bound preserves the pushdown under a
+    // per-group variable quota
+    val p2 = SamplingOps.weightedMix(spark, sf).queryExecution.executedPlan.toString
+    assert(p2.contains("WindowGroupLimit"), p2.take(600))
+    // two-phase prefix sum: the corpus-wide running sum must never route
+    // through an Exchange SinglePartition (the naive global-window shape)
+    val p3 = SamplingOps.packSequences(spark, sf).queryExecution.executedPlan.toString
+    assert(!p3.contains("SinglePartition"), p3.take(800))
+    // contamination probes broadcast; the corpus is never shuffled
+    val p4 = TextOps.contamination(spark, sf).queryExecution.executedPlan.toString
+    assert(p4.contains("BroadcastNestedLoopJoin"), p4.take(600))
+  }
+
+  test("distributed prefix-sum packing is invariant to bucket count") {
+    import graft.ops.SamplingOps
+    def rows(n: Int) = SamplingOps.packSequences(spark, sf, nBuckets = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // nBuckets=1 IS the sequential reference; any parallel bucketing must
+    // produce identical sequence assignments
+    assert(rows(1) == rows(32))
+    assert(rows(7) == rows(32)) // non-divisor bucket count too
+  }
+
   test("broadcast star join actually broadcasts the dims (plan audit)") {
     val plan = graft.ops.Relational.joinBroadcastDim(spark, sf)
       .queryExecution.executedPlan.toString
