@@ -103,9 +103,13 @@ object PerfProbe {
       buildScaled(spark, d, scaled, k)
       // the heavy tail per BENCH: corpus-bound LLM-pipeline operators plus
       // the full materialization pipeline
+      // q_contamination is deliberately absent: its fixture probe set
+      // (doc_id % 100) grows with K, so the ratio would measure the
+      // quadratic workload growth, not the engine.
       val names = Seq("q_dedup_minhash", "q_embedding_near_dup",
         "q_ivf_cosine_topk", "q_simhash_near_dup", "q_top_terms_per_lang",
-        "q_ngram_jaccard", "q_mode_full_snapshot")
+        "q_ngram_jaccard", "q_mode_full_snapshot", "q_sample_stratified",
+        "q_mix_weighted", "q_pack_sequences")
       println(f"${"query"}%-26s ${"sf0.1"}%8s ${s"${k}x"}%8s ${"ratio"}%7s  (linear ≈ $k)")
       names.foreach { n =>
         val base = time(spark, n, d)
