@@ -45,6 +45,7 @@ object SparkEntry {
     "q_rollup_agg"          -> (Relational.rollupAgg _),
     "q_distinct_exact"      -> (Relational.distinctExact _),
     "q_approx_distinct"     -> (Relational.approxDistinct _),
+    "q_percentile_status"   -> (Relational.percentileByStatus _),
     "q_scalar_datetime_math" -> (Relational.scalarDatetimeMath _),
     "q_cube_agg"            -> (Relational.cubeAgg _),
     "q_grouping_sets"       -> (Relational.groupingSets _),
@@ -450,6 +451,13 @@ object SparkEntry {
         |WHERE doc_id IN (SELECT doc_id FROM survivors)
         |  AND n_tokens >= 20 AND stop_ratio >= 0.05 AND stop_ratio <= 0.6
         |ORDER BY doc_id""".stripMargin,
+    "q_percentile_status" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)
+        |         AS p50_cents,
+        |       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.9)
+        |         AS p90_cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_contamination" ->
       """WITH probes AS (
         |    SELECT substr(text, 10, 40) AS probe FROM documents

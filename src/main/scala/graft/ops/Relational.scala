@@ -138,6 +138,24 @@ object Relational {
     t(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct()
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Exact interpolated percentiles per group — the order-statistics leg of
+    * the aggregate family (median/p90 monitoring of a mart column).
+    * Determinism: percentiles run over exact integer CENTS (the fixture's
+    * amounts carry 2 decimals), so the linear interpolation lands on .0/.5
+    * halves that doubles represent exactly in both engines — no fp drift.
+    * Scale shape: one hash-partition exchange on the group key; Spark's
+    * `percentile` aggregates per group without a global sort.
+    */
+  def percentileByStatus(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        expr("percentile(cents, 0.5)").as("p50_cents"),
+        expr("percentile(cents, 0.9)").as("p90_cents"))
+      .orderBy("o_orderstatus")
+
   /** HLL approximate distinct next to the exact count (no oracle — sketch
     * values are engine-specific; driver records rows-only).
     */
