@@ -53,6 +53,7 @@ object SparkEntry {
     "q_pivot_status"        -> (Relational.pivotStatus _),
     "q_json_extract"        -> (EventOps.jsonExtract _),
     "q_asof_last_click"     -> (EventOps.asofLastClick _),
+    "q_join_range"          -> (EventOps.rangeJoinFollowups _),
     "q_groupby_salted"      -> (Relational.saltedGroupAgg _),
     "q_event_tumbling_window" -> (EventOps.eventTumblingWindow _),
     "q_session_window"      -> (EventOps.sessionWindow _),
@@ -302,6 +303,19 @@ object SparkEntry {
         |       p.tsu - c.tsu AS gap_us
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.tsu <= p.tsu
         |ORDER BY purchase_id""".stripMargin,
+    "q_join_range" ->
+      """WITH c AS (
+        |    SELECT event_id AS click_id, user_id, epoch_ns(ts) AS cts
+        |    FROM events WHERE event_type = 'click'
+        |), p AS (
+        |    SELECT user_id, epoch_ns(ts) AS pts
+        |    FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.click_id, COUNT(p.pts) AS n_purchases_10m
+        |FROM c LEFT JOIN p
+        |  ON p.user_id = c.user_id
+        | AND p.pts > c.cts AND p.pts <= c.cts + 600000000000
+        |GROUP BY c.click_id ORDER BY c.click_id""".stripMargin,
     "q_groupby_salted" ->
       """SELECT l_returnflag, COUNT(*) AS cnt,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum

@@ -296,6 +296,17 @@ class OpsPropertySpec extends SparkSpec {
     assert(rows(7) == rows(32)) // non-divisor bucket count too
   }
 
+  test("range join shuffles on the equi key, range rides as join filter") {
+    val plan = graft.ops.EventOps.rangeJoinFollowups(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+    // equi-keyed implementation (SMJ / shuffled-hash / broadcast-hash) —
+    // candidates bounded per user, never a time-only cross product
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
   test("broadcast star join actually broadcasts the dims (plan audit)") {
     val plan = graft.ops.Relational.joinBroadcastDim(spark, sf)
       .queryExecution.executedPlan.toString
