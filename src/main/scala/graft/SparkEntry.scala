@@ -467,9 +467,11 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "q_percentile_status" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
-        |       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)
+        |       CAST(round(quantile_cont(
+        |           CAST(round(o_totalprice * 100) AS BIGINT), 0.5)) AS BIGINT)
         |         AS p50_cents,
-        |       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.9)
+        |       CAST(round(quantile_cont(
+        |           CAST(round(o_totalprice * 100) AS BIGINT), 0.9)) AS BIGINT)
         |         AS p90_cents
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_contamination" ->

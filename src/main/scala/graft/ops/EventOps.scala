@@ -48,30 +48,6 @@ object EventOps {
     * Ordering contract at equal timestamps: clicks sort before purchases
     * (`is_click desc`), matching ASOF's inclusive `<=` bound.
     */
-  /** Bounded-interval range join: for every click, how many purchases the
-    * same user made within the following 10 minutes (attribution window).
-    * Scale shape: the EQUI key (user_id) carries the one shuffle; the time
-    * range rides along as a join filter evaluated within each user's
-    * co-partitioned rows — candidates are bounded per user, never a
-    * time-only cross product. The unbounded "latest before" variant is the
-    * as-of union trick below; this is the finite-window variant.
-    * Arithmetic stays on exact ns-epoch longs (integer compare, no double).
-    */
-  def rangeJoinFollowups(s: SparkSession, d: String): DataFrame = {
-    val ev = t(s, d, "events")
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("pts"))
-    val windowNs = 600L * 1000000000L
-    clicks.join(purchases,
-        col("p_user") === col("user_id") &&
-          col("pts") > col("cts") && col("pts") <= col("cts") + lit(windowNs),
-        "left")
-      .groupBy("click_id").agg(count(col("pts")).as("n_purchases_10m"))
-      .orderBy("click_id")
-  }
-
   def asofLastClick(s: SparkSession, d: String): DataFrame = {
     // µs-epoch integers on both sides: the oracle's ASOF join coerces
     // timestamps through a µs common type, so the engine compares the same
@@ -97,6 +73,30 @@ object EventOps {
       .select(col("purchase_id"), col("user_id"), col("last_click_id"),
         (col("tsu") - col("last_click_tsu")).as("gap_us"))
       .orderBy("purchase_id")
+  }
+
+  /** Bounded-interval range join: for every click, how many purchases the
+    * same user made within the following 10 minutes (attribution window).
+    * Scale shape: the EQUI key (user_id) carries the one shuffle; the time
+    * range rides along as a join filter evaluated within each user's
+    * co-partitioned rows — candidates are bounded per user, never a
+    * time-only cross product. The unbounded "latest before" variant is the
+    * as-of union trick above; this is the finite-window variant.
+    * Arithmetic stays on exact ns-epoch longs (integer compare, no double).
+    */
+  def rangeJoinFollowups(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("pts"))
+    val windowNs = 600L * 1000000000L
+    clicks.join(purchases,
+        col("p_user") === col("user_id") &&
+          col("pts") > col("cts") && col("pts") <= col("cts") + lit(windowNs),
+        "left")
+      .groupBy("click_id").agg(count(col("pts")).as("n_purchases_10m"))
+      .orderBy("click_id")
   }
 
   /** 30-minute-gap session windows per user. Output times as exact µs-epoch

@@ -140,9 +140,14 @@ object Relational {
 
   /** Exact interpolated percentiles per group — the order-statistics leg of
     * the aggregate family (median/p90 monitoring of a mart column).
-    * Determinism: percentiles run over exact integer CENTS (the fixture's
-    * amounts carry 2 decimals), so the linear interpolation lands on .0/.5
-    * halves that doubles represent exactly in both engines — no fp drift.
+    * Determinism: percentiles run over exact integer CENTS and the result
+    * is rounded back to whole cents. The rounding is what makes the gate
+    * robust to 1-ulp interpolation-formula differences between engines
+    * ((1-f)·lo + f·hi vs lo + f·(hi-lo)): with integer inputs the
+    * interpolated value's fractional part is a multiple of 1/10 for these
+    * p-values — either an exact half (f=0.5, computed exactly, both
+    * engines round half up) or ≥ 0.1 away from the rounding boundary, so
+    * a 1-ulp drift can never flip the rounded integer.
     * Scale shape: one hash-partition exchange on the group key; Spark's
     * `percentile` aggregates per group without a global sort.
     */
@@ -152,8 +157,8 @@ object Relational {
       .groupBy("o_orderstatus")
       .agg(
         count(lit(1)).as("n_orders"),
-        expr("percentile(cents, 0.5)").as("p50_cents"),
-        expr("percentile(cents, 0.9)").as("p90_cents"))
+        expr("CAST(round(percentile(cents, 0.5)) AS BIGINT)").as("p50_cents"),
+        expr("CAST(round(percentile(cents, 0.9)) AS BIGINT)").as("p90_cents"))
       .orderBy("o_orderstatus")
 
   /** HLL approximate distinct next to the exact count (no oracle — sketch

@@ -120,10 +120,7 @@ final class TenantPipeline(
     */
   def report(spark: SparkSession, previewRows: Int = 5)
       : Map[String, (Long, Seq[String])] = {
-    val raw = tenant.tables.map(t => (rawDb, t.name, t.primaryKey))
-    val marts = models.map(m => (modelSchema(m),
-      m.alias, Seq.empty[String]))
-    (raw ++ marts).map { case (db, table, pk) =>
+    materializedTables.map { case (db, table, pk) =>
       val df = spark.table(s"`$db`.`$table`")
       // PK when declared, else ALL columns — a non-unique first column
       // alone would leave tied rows in arbitrary order
@@ -141,7 +138,8 @@ final class TenantPipeline(
     * qualified table name. Deterministic: the preview is PK-ordered (or
     * all-columns-ordered) like [[report]].
     */
-  def metadata(spark: SparkSession, previewRows: Int = 5)
+  def metadata(spark: SparkSession, previewRows: Int = 5,
+               knownCounts: Map[String, Long] = Map.empty)
       : Map[String, TenantPipeline.Materialization] =
     materializedTables.map { case (db, table, pk) =>
       val df = spark.table(s"`$db`.`$table`")
@@ -150,7 +148,9 @@ final class TenantPipeline(
       s"$db.$table" -> TenantPipeline.Materialization(
         table = s"$db.$table",
         tenant = tenant.id,
-        numRows = df.count(),
+        // run() already counted every table it materialized — reuse those
+        // counts instead of a second full-scan count job per table
+        numRows = knownCounts.getOrElse(table, df.count()),
         columns = df.schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString),
         previewMarkdown = TenantPipeline.markdownTable(preview))
     }.toMap
@@ -189,10 +189,8 @@ final class TenantPipeline(
     runExtract(spark) ++ runModels(spark)
 
   def runWithMetadata(spark: SparkSession)
-      : Map[String, TenantPipeline.Materialization] = {
-    run(spark)
-    metadata(spark)
-  }
+      : Map[String, TenantPipeline.Materialization] =
+    metadata(spark, knownCounts = run(spark))
 
   /** Render-only (no execution) — for tests and dry runs. */
   def renderAll: Map[String, String] = {
@@ -216,11 +214,15 @@ object TenantPipeline {
     * header row, `---` separator, one row per record).
     */
   private[pipeline] def markdownTable(df: DataFrame): String = {
+    // '|' and newlines inside a cell would break the table structure
+    def cell(v: Any): String = String.valueOf(v)
+      .replace("\\", "\\\\").replace("|", "\\|")
+      .replace("\n", " ").replace("\r", " ")
     val cols = df.columns.toSeq
-    val header = cols.mkString("| ", " | ", " |")
+    val header = cols.map(cell).mkString("| ", " | ", " |")
     val sep = cols.map(_ => "---").mkString("| ", " | ", " |")
     val body = df.collect().map(r =>
-      cols.indices.map(i => String.valueOf(r.get(i))).mkString("| ", " | ", " |"))
+      cols.indices.map(i => cell(r.get(i))).mkString("| ", " | ", " |"))
     (header +: sep +: body).mkString("\n")
   }
 }
