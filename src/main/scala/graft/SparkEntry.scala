@@ -73,6 +73,7 @@ object SparkEntry {
     "q_corpus_clean"        -> (TextOps.corpusClean _),
     "q_redact_pii"          -> (TextOps.redactPii _),
     "q_contamination"       -> (TextOps.contamination _),
+    "q_unicode_nfc"         -> (TextOps.unicodeNfc _),
     "q_sample_stratified"   -> ((s: SparkSession, d: String) => SamplingOps.stratifiedSample(s, d)),
     "q_mix_weighted"        -> (SamplingOps.weightedMix _),
     "q_pack_sequences"      -> ((s: SparkSession, d: String) => SamplingOps.packSequences(s, d)),
@@ -474,6 +475,17 @@ object SparkEntry {
         |           CAST(round(o_totalprice * 100) AS BIGINT), 0.9)) AS BIGINT)
         |         AS p90_cents
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_unicode_nfc" ->
+      """WITH e AS (
+        |    SELECT doc_id,
+        |           CASE WHEN doc_id % 5 = 0 THEN text || ' cafe' || chr(769)
+        |                ELSE text END AS enriched
+        |    FROM documents
+        |)
+        |SELECT doc_id, length(enriched) AS n_raw,
+        |       length(nfc_normalize(enriched)) AS n_nfc,
+        |       md5(nfc_normalize(enriched)) AS nfc_md5
+        |FROM e ORDER BY doc_id""".stripMargin,
     "q_contamination" ->
       """WITH probes AS (
         |    SELECT substr(text, 10, 40) AS probe FROM documents

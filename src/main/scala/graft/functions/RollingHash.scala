@@ -80,6 +80,8 @@ object GraftFunctions {
       "hyperplane_sketch", exprs => HyperplaneSketch(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs.head), "scala_udf")
   }
 }
 
@@ -101,6 +103,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("simhash64"),
       SimHash64.info,
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      NfcNormalize.info,
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
     // resolution-stage so the filter is in the analyzed plan (cache-safe)
     ext.injectPostHocResolutionRule(spark => graft.plans.TenantIsolationRule(spark))
   }

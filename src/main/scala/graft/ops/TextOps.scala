@@ -256,6 +256,29 @@ object TextOps {
       .orderBy("probe_id", "rnk")
   }
 
+  /** Unicode NFC normalization over the corpus via the native codegen
+    * `nfc_normalize` expression (graft.functions.NfcNormalize): composed
+    * and decomposed renderings of the same text must dedup/fingerprint
+    * identically. The fixture is ASCII, so every 5th document is enriched
+    * with a decomposed suffix (" cafe" + combining acute U+0301) in BOTH
+    * engines; NFC composes it to "café", shortening the string by one
+    * character — the length delta plus an md5 of the normalized text
+    * verifies the full normalized content against DuckDB's nfc_normalize.
+    */
+  def unicodeNfc(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t(s, d, "documents")
+      .withColumn("enriched",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" cafe\u0301"))).otherwise(col("text")))
+      .withColumn("norm", expr("nfc_normalize(enriched)"))
+      .select(col("doc_id"),
+        length(col("enriched")).as("n_raw"),
+        length(col("norm")).as("n_nfc"),
+        md5(col("norm").cast("binary")).as("nfc_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark-contamination check: flag every document containing any
     * probe substring (eval-set leakage detection before training). Probes
     * here are fixture-derived 40-char snippets (production: the benchmark

@@ -296,6 +296,25 @@ class OpsPropertySpec extends SparkSpec {
     assert(rows(7) == rows(32)) // non-divisor bucket count too
   }
 
+  test("nfc_normalize: composes decomposed text, identity on normalized, codegen == eval") {
+    graft.functions.GraftFunctions.register(spark)
+    val decomposed = "cafe\u0301 nai\u0308ve"
+    val composed = "caf\u00e9 na\u00efve"
+    val rows = Seq((1L, decomposed), (2L, composed), (3L, "plain ascii"), (4L, ""))
+      .toDF("id", "s")
+      .selectExpr("id", "nfc_normalize(s) AS n", "length(s) AS before",
+        "length(nfc_normalize(s)) AS after")
+      .orderBy("id").collect()
+    assert(rows(0).getString(1) == composed) // composed output
+    assert(rows(0).getInt(2) == rows(0).getInt(3) + 2) // two marks folded
+    assert(rows(1).getString(1) == composed) // already-NFC passes through
+    assert(rows(2).getString(1) == "plain ascii" && rows(3).getString(1) == "")
+    // interpreted eval agrees with the codegen path exercised above
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(graft.functions.NfcNormalize.normalize(
+      UTF8String.fromString(decomposed)).toString == composed)
+  }
+
   test("range join shuffles on the equi key, range rides as join filter") {
     val plan = graft.ops.EventOps.rangeJoinFollowups(spark, sf)
       .queryExecution.executedPlan.toString
