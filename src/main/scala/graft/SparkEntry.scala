@@ -467,14 +467,41 @@ object SparkEntry {
         |  AND n_tokens >= 20 AND stop_ratio >= 0.05 AND stop_ratio <= 0.6
         |ORDER BY doc_id""".stripMargin,
     "q_percentile_status" ->
-      """SELECT o_orderstatus, COUNT(*) AS n_orders,
-        |       CAST(round(quantile_cont(
-        |           CAST(round(o_totalprice * 100) AS BIGINT), 0.5)) AS BIGINT)
-        |         AS p50_cents,
-        |       CAST(round(quantile_cont(
-        |           CAST(round(o_totalprice * 100) AS BIGINT), 0.9)) AS BIGINT)
-        |         AS p90_cents
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      // same pure-integer order-statistic selection as the Spark side:
+      // built-in quantile_cont would interpolate through binary doubles
+      // with an engine-specific formula (1-ulp drift on half results)
+      """WITH freq AS (
+        |    SELECT o_orderstatus,
+        |           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |           COUNT(*) AS cnt
+        |    FROM orders GROUP BY 1, 2
+        |), cum AS (
+        |    SELECT o_orderstatus, cents,
+        |           SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY cents
+        |                          ROWS UNBOUNDED PRECEDING) AS cum,
+        |           SUM(cnt) OVER (PARTITION BY o_orderstatus) AS n
+        |    FROM freq
+        |), pos AS (
+        |    SELECT *,
+        |           (n - 1) * 5 // 10 AS idx50, (n - 1) * 5 % 10 AS frac50,
+        |           (n - 1) * 9 // 10 AS idx90, (n - 1) * 9 % 10 AS frac90
+        |    FROM cum
+        |), sel AS (
+        |    SELECT o_orderstatus, MAX(n) AS n_orders,
+        |           MIN(CASE WHEN cum > idx50 THEN cents END) AS lo50,
+        |           MIN(CASE WHEN cum > idx50 + 1 THEN cents END) AS hi50,
+        |           MAX(frac50) AS f50,
+        |           MIN(CASE WHEN cum > idx90 THEN cents END) AS lo90,
+        |           MIN(CASE WHEN cum > idx90 + 1 THEN cents END) AS hi90,
+        |           MAX(frac90) AS f90
+        |    FROM pos GROUP BY 1
+        |)
+        |SELECT o_orderstatus, CAST(n_orders AS BIGINT) AS n_orders,
+        |       CAST(lo50 * (10 - f50) + COALESCE(hi50, lo50) * f50 AS BIGINT)
+        |         AS p50_x10,
+        |       CAST(lo90 * (10 - f90) + COALESCE(hi90, lo90) * f90 AS BIGINT)
+        |         AS p90_x10
+        |FROM sel ORDER BY o_orderstatus""".stripMargin,
     "q_unicode_nfc" ->
       """WITH e AS (
         |    SELECT doc_id,

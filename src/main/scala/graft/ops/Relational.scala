@@ -140,26 +140,56 @@ object Relational {
 
   /** Exact interpolated percentiles per group — the order-statistics leg of
     * the aggregate family (median/p90 monitoring of a mart column).
-    * Determinism: percentiles run over exact integer CENTS and the result
-    * is rounded back to whole cents. The rounding is what makes the gate
-    * robust to 1-ulp interpolation-formula differences between engines
-    * ((1-f)·lo + f·hi vs lo + f·(hi-lo)): with integer inputs the
-    * interpolated value's fractional part is a multiple of 1/10 for these
-    * p-values — either an exact half (f=0.5, computed exactly, both
-    * engines round half up) or ≥ 0.1 away from the rounding boundary, so
-    * a 1-ulp drift can never flip the rounded integer.
-    * Scale shape: one hash-partition exchange on the group key; Spark's
-    * `percentile` aggregates per group without a global sort.
+    *
+    * Built-in `percentile`/`quantile_cont` are NOT cross-engine stable:
+    * the position fraction (n-1)·p is a binary double, and the two engines
+    * interpolate with different formulas ((1-f)·lo + f·hi vs
+    * lo + f·(hi-lo)), so a mathematically-half result can round to
+    * integers 1 apart. This computes the SAME continuous percentile in
+    * pure integer arithmetic instead: with p = k/10, the 0-based position
+    * is idx + frac/10 where idx = (n-1)·k div 10, frac = (n-1)·k mod 10,
+    * and the interpolated value ×10 is lo·(10-frac) + hi·frac — exact
+    * BIGINT deci-cents, no float anywhere.
+    *
+    * Scale shape — exact percentiles without sorting the fact table: first
+    * a (status, cents) frequency aggregation (map-side combinable; output
+    * is DISTINCT VALUES per group, ≪ row count), then the running-count
+    * window and the order-statistic selection run over that small
+    * frequency table. value@pos = min cents with cumulative count > pos.
     */
-  def percentileByStatus(s: SparkSession, d: String): DataFrame =
-    t(s, d, "orders")
+  def percentileByStatus(s: SparkSession, d: String): DataFrame = {
+    val freq = t(s, d, "orders")
       .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .groupBy("o_orderstatus", "cents").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderstatus").orderBy("cents")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy("o_orderstatus")
+    freq
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(wn))
+      // group-constant integer positions: 0-based idx + frac/10
+      .withColumn("idx50", expr("(n - 1) * 5 div 10"))
+      .withColumn("frac50", expr("(n - 1) * 5 % 10"))
+      .withColumn("idx90", expr("(n - 1) * 9 div 10"))
+      .withColumn("frac90", expr("(n - 1) * 9 % 10"))
       .groupBy("o_orderstatus")
       .agg(
-        count(lit(1)).as("n_orders"),
-        expr("CAST(round(percentile(cents, 0.5)) AS BIGINT)").as("p50_cents"),
-        expr("CAST(round(percentile(cents, 0.9)) AS BIGINT)").as("p90_cents"))
+        max("n").as("n_orders"),
+        min(when(col("cum") > col("idx50"), col("cents"))).as("lo50"),
+        min(when(col("cum") > col("idx50") + 1, col("cents"))).as("hi50"),
+        max("frac50").as("f50"),
+        min(when(col("cum") > col("idx90"), col("cents"))).as("lo90"),
+        min(when(col("cum") > col("idx90") + 1, col("cents"))).as("hi90"),
+        max("frac90").as("f90"))
+      .select(
+        col("o_orderstatus"), col("n_orders"),
+        (col("lo50") * (lit(10L) - col("f50")) +
+          coalesce(col("hi50"), col("lo50")) * col("f50")).as("p50_x10"),
+        (col("lo90") * (lit(10L) - col("f90")) +
+          coalesce(col("hi90"), col("lo90")) * col("f90")).as("p90_x10"))
       .orderBy("o_orderstatus")
+  }
 
   /** HLL approximate distinct next to the exact count (no oracle — sketch
     * values are engine-specific; driver records rows-only).
