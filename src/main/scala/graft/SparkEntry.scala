@@ -83,6 +83,7 @@ object SparkEntry {
     "q_knn_cosine_topk"     -> (VectorOps.knnCosineTopk _),
     "q_lsh_cosine_buckets"  -> (VectorOps.lshCosineBuckets _),
     "q_ivf_cosine_topk"     -> (VectorOps.ivfCosineTopk _),
+    "q_ivf_semantic_dedup"  -> ((s: SparkSession, d: String) => VectorOps.ivfSemanticDedup(s, d)),
     "q_embedding_near_dup"  -> ((s: SparkSession, d: String) => VectorOps.nearDupCosine(s, d)),
   )
 
@@ -90,9 +91,9 @@ object SparkEntry {
     * q_approx_distinct (sketch values engine-specific), q_dedup_minhash /
     * q_simhash / q_simhash_near_dup / q_lsh_cosine_buckets (xxhash64
     * family not in DuckDB),
-    * q_ivf_cosine_topk (centroids engine-trained; recall-floor-tested vs
-    * the exact oracle'd q_knn_cosine_topk) — each is property-tested in
-    * src/test instead.
+    * q_ivf_cosine_topk / q_ivf_semantic_dedup (centroids engine-trained;
+    * recall-floor-tested vs the exact oracle'd q_knn_cosine_topk /
+    * brute-force pair set) — each is property-tested in src/test instead.
     */
   def oracleSql: Map[String, String] = Map(
     "q_scan_projection" ->

@@ -266,16 +266,29 @@ object VectorOps {
     searchIvf(assignments, centroids, probes)
   }
 
-  /** The search leg, over trained-in-session or warehouse-stored index
-    * frames alike.
+  /** Probe-row count above which the probe side of the IVF search join is
+    * too big to broadcast (probes × IvfProbe rows of id + 64-dim vector ≈
+    * hundreds of MB at this limit — past it the broadcast would approach
+    * the executor/driver memory ceiling). Below: broadcast-probe plan
+    * (corpus streams, zero exchange). Above: salted shuffled join
+    * ([[searchIvfCandidates]]).
     */
-  private def searchIvf(assignments: DataFrame, centroids: DataFrame,
-                        probes: DataFrame): DataFrame = {
-    // nProbe nearest cells per probe: scored against the broadcast
-    // centroid table (nCells rows), ranked, kept — all on executors.
+  val IvfBroadcastProbeLimit = 100000L
+
+  /** Target corpus rows per (cell, salt) key in the large-probe shuffled
+    * search join. The per-cell salt factor is ceil(occupancy / this) —
+    * constant expected rows per join key regardless of corpus size or cell
+    * skew, the same constant-occupancy law as [[adaptiveBandBits]].
+    */
+  val IvfSaltTargetRows = 4096L
+
+  /** nProbe nearest cells per probe: scored against the broadcast centroid
+    * table (nCells rows), ranked, kept — all on executors.
+    */
+  private def probeNearestCells(centroids: DataFrame, probes: DataFrame): DataFrame = {
     val wc = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
       .orderBy(col("cdist").asc, col("cell").asc)
-    val probeCells = probes.crossJoin(broadcast(centroids))
+    probes.crossJoin(broadcast(centroids))
       .withColumn("cdist",
         aggregate(zip_with(col("probe_vec"), col("centroid"),
           (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
@@ -283,23 +296,134 @@ object VectorOps {
       .withColumn("crnk", row_number().over(wc))
       .filter(col("crnk") <= IvfProbe)
       .select(col("probe_id"), col("probe_vec"), col("cell"))
-    // exact cosine only within the probed cells' inverted lists. The probe
-    // side (~probes×nProbe rows) is the BROADCAST side: the corpus-sized
-    // assignments frame must never be hash-partitioned on the nCells-value
-    // `cell` key (a SortMergeJoin there would funnel the whole corpus into
-    // ≤ nCells partitions — parallelism capped at nCells, hot cells skew).
+  }
+
+  /** Exact-cosine candidates within the probed cells' inverted lists —
+    * (probe_id, neighbor_id, cosine), one row per (probe, corpus vector in
+    * a probed cell). Two plans by probe scale:
+    *
+    *  - `largeProbeSide = false` (query-style probe sets): the probe side
+    *    (~probes×nProbe rows) is the BROADCAST side; the corpus-sized
+    *    assignments frame must never be hash-partitioned on the
+    *    nCells-value `cell` key (a SortMergeJoin there would funnel the
+    *    whole corpus into ≤ nCells partitions — parallelism capped at
+    *    nCells, hot cells skew).
+    *  - `largeProbeSide = true` (corpus-sized probe batches, e.g. global
+    *    semantic dedup): broadcasting the probe side would blow the
+    *    broadcast limit, so the join shuffles BOTH sides — but on a SALTED
+    *    key (cell, salt), not the raw nCells-value cell: each corpus row
+    *    takes one deterministic salt in [0, saltN(cell)), each probe-cell
+    *    row fans out across that cell's salts, so every (probe, corpus
+    *    row) pair still meets exactly once while a hot cell's rows spread
+    *    over saltN partitions. saltN comes from measured cell occupancy
+    *    (an nCells-row broadcast side table), so parallelism tracks data
+    *    volume instead of capping at nCells.
+    */
+  private def searchIvfCandidates(assignments: DataFrame, probeCells: DataFrame,
+                                  largeProbeSide: Boolean): DataFrame = {
+    val corpus = assignments.select(col("cell"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("cand_vec"))
+    val joined =
+      if (!largeProbeSide) corpus.join(broadcast(probeCells), Seq("cell"))
+      else {
+        val salts = assignments.groupBy("cell")
+          .agg(count(lit(1)).as("cell_n"))
+          .select(col("cell"), greatest(lit(1L),
+            ceil(col("cell_n") / lit(IvfSaltTargetRows)).cast("bigint")).as("salt_n"))
+        val corpusSalted = corpus.join(broadcast(salts), Seq("cell"))
+          .withColumn("salt", pmod(xxhash64(col("neighbor_id")), col("salt_n")))
+          .drop("salt_n")
+        val probesSalted = probeCells.join(broadcast(salts), Seq("cell"))
+          .select(col("cell"), col("probe_id"), col("probe_vec"),
+            explode(sequence(lit(0L), col("salt_n") - 1)).as("salt"))
+        corpusSalted.join(probesSalted, Seq("cell", "salt")).drop("salt")
+      }
+    joined.withColumn("cosine",
+      dot(col("probe_vec"), col("cand_vec"))
+        / (sqrt(sumSq(col("probe_vec"))) * sqrt(sumSq(col("cand_vec")))))
+      .select("probe_id", "neighbor_id", "cosine")
+  }
+
+  /** The top-k search leg, over trained-in-session or warehouse-stored
+    * index frames alike.
+    */
+  private def searchIvf(assignments: DataFrame, centroids: DataFrame,
+                        probes: DataFrame,
+                        largeProbeSide: Boolean = false): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    assignments.select(col("cell"), col("vec_id").as("neighbor_id"),
-        col("embedding").as("cand_vec"))
-      .join(broadcast(probeCells), Seq("cell"))
-      .withColumn("cosine",
-        dot(col("probe_vec"), col("cand_vec"))
-          / (sqrt(sumSq(col("probe_vec"))) * sqrt(sumSq(col("cand_vec")))))
+    searchIvfCandidates(assignments, probeNearestCells(centroids, probes),
+        largeProbeSide)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select("probe_id", "rnk", "neighbor_id", "cosine")
       .orderBy("probe_id", "rnk")
+  }
+
+  /** Auto-thresholded search over a stored or in-session index: counts the
+    * probe side (one scan — callers that already know the probe scale call
+    * the explicit-flag paths and stay lazy) and picks the broadcast plan
+    * below [[IvfBroadcastProbeLimit]] probes, the salted shuffled plan
+    * above it.
+    */
+  def ivfSearch(assignments: DataFrame, centroids: DataFrame,
+                probes: DataFrame): DataFrame =
+    searchIvf(assignments, centroids, probes,
+      largeProbeSide = probes.count() > IvfBroadcastProbeLimit)
+
+  /** Corpus rows per cell the ADAPTIVE quantizer targets for corpus-sized
+    * probe workloads: with a FIXED cell count, corpus×corpus search is
+    * quadratic (candidates = n × nProbe × n/nCells); holding occupancy
+    * near a constant keeps candidates ~linear — the same
+    * constant-occupancy law as [[adaptiveBandBits]]. The cap bounds the
+    * driver-resident centroid matrix (IvfMaxCells × 64 doubles ≈ 2 MB) and
+    * the per-iteration centroid-update collect; past it (n > ~4M vectors
+    * per index) occupancy grows again — shard the index, don't widen the
+    * driver.
+    */
+  val IvfTargetCellOccupancy = 1024L
+  val IvfMaxCells = 4096
+  private[graft] def adaptiveIvfCells(n: Long): Int =
+    math.min(IvfMaxCells, math.max(IvfCells,
+      (n / IvfTargetCellOccupancy).toInt))
+
+  /** Global semantic dedup through the IVF index — the probe set IS the
+    * corpus, so this runs the large-probe salted-shuffle plan
+    * ([[searchIvfCandidates]]), never a corpus-sized broadcast, over an
+    * index whose cell count adapts to the corpus ([[adaptiveIvfCells]] —
+    * fixed cells would make corpus×corpus quadratic). Emits candidate
+    * pairs whose EXACT cosine clears `threshold`, canonicalized
+    * (vec_a < vec_b) and deduplicated across the two probing directions
+    * (the two directions compute bit-identical cosines: pairwise products
+    * commute and the fold order is fixed). Approximate recall (a pair is
+    * only seen if one endpoint probes the other's cell — identical
+    * vectors always pair: same assignment, and a probe's own cell is
+    * always probed), deterministic output (deterministic quantizer +
+    * exact in-order cosine folds).
+    */
+  def ivfSemanticDedup(s: SparkSession, d: String,
+                       threshold: Double = 0.45): DataFrame =
+    ivfSemanticDedupPairs(t(s, d, "embeddings"), threshold)
+
+  /** [[ivfSemanticDedup]] over any (vec_id, embedding) frame. The corpus
+    * count that sizes the adaptive cell grid is one scan — noise next to
+    * the index build's own seed-sample and Lloyd's jobs.
+    */
+  def ivfSemanticDedupPairs(vectors: DataFrame, threshold: Double,
+                            nCells: Option[Int] = None): DataFrame = {
+    val cells = nCells.getOrElse(adaptiveIvfCells(vectors.count()))
+    val (assignments, centroids) = ivfIndex(vectors, cells)
+    val probes = vectors.select(col("vec_id").as("probe_id"),
+      col("embedding").as("probe_vec"))
+    searchIvfCandidates(assignments, probeNearestCells(centroids, probes),
+        largeProbeSide = true)
+      .filter(col("probe_id") =!= col("neighbor_id")
+        && col("cosine") >= threshold)
+      .select(least(col("probe_id"), col("neighbor_id")).as("vec_a"),
+        greatest(col("probe_id"), col("neighbor_id")).as("vec_b"),
+        col("cosine"))
+      .distinct()
+      .orderBy("vec_a", "vec_b")
   }
 
   /** Core of nearDupCosine over any (vec_id, embedding) frame.

@@ -342,6 +342,60 @@ class OpsPropertySpec extends SparkSpec {
       "assignments must not be hash-partitioned on the nCells-value key")
   }
 
+  test("ivf semantic dedup: probes == corpus rides the salted shuffle, not a broadcast") {
+    // emulate scale: with auto-broadcast off (as it would be for two
+    // corpus-sized sides), the probe-corpus join must shuffle on the
+    // SALTED key — only the hinted metadata tables (centroids, salt
+    // factors) may broadcast
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan =
+      try VectorOps.ivfSemanticDedup(spark, sf).queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert("hashpartitioning\\(cell#\\d+, salt#\\d+".r.findFirstIn(plan).isDefined,
+      "search join must shuffle on the salted cell key\n" + plan.take(1500))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("ivf semantic dedup: no false positives, recall floor, exact-dup guarantee") {
+    val vecs = Tables.t(spark, sf, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+      c = cos(va, vb) if c >= 0.45
+    } yield (ia, ib)).toSet
+    val got = VectorOps.ivfSemanticDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exact-cosine confirm means zero false positives (1-ulp slack for the
+    // fold living in different engines' register scheduling)
+    got.foreach { case (a, b, c) =>
+      assert(c >= 0.45 && truth.contains((a, b)), s"false positive ($a,$b,$c)")
+    }
+    // the two probing directions were deduplicated
+    assert(got.map(p => (p._1, p._2)).distinct.length == got.length)
+    if (truth.nonEmpty) {
+      val recall = got.count(p => truth((p._1, p._2))).toDouble / truth.size
+      assert(recall >= 0.5, s"semantic-dedup recall = $recall over ${truth.size} pairs")
+    }
+    // identical vectors share their cell assignment and every probe visits
+    // its own cell first -> an exact duplicate can NEVER be missed
+    import spark.implicits._
+    val v = Seq.tabulate(64)(i => ((i * 11) % 13 - 6).toFloat)
+    val u = Seq.tabulate(64)(i => ((i * 5) % 17 - 8).toFloat)
+    val synth = (Seq((1L, v), (2L, v), (900L, u)) ++
+      (10L to 40L).map(id => (id, Seq.tabulate(64)(j => ((id * 31 + j * 7) % 19 - 9).toFloat))))
+      .toDF("vec_id", "embedding")
+    val pairs = VectorOps.ivfSemanticDedupPairs(synth, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup missed: $pairs")
+  }
+
   test("knn plan is broadcast-probe, not corpus x corpus shuffle") {
     val plan = VectorOps.knnCosineTopk(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
