@@ -50,6 +50,7 @@ object SparkEntry {
     "q_cube_agg"            -> (Relational.cubeAgg _),
     "q_grouping_sets"       -> (Relational.groupingSets _),
     "q_multimodal_meta"     -> (MultimodalOps.multimodalMeta _),
+    "q_multimodal_header"   -> (MultimodalOps.multimodalHeader _),
     "q_pivot_status"        -> (Relational.pivotStatus _),
     "q_json_extract"        -> (EventOps.jsonExtract _),
     "q_asof_last_click"     -> (EventOps.asofLastClick _),
@@ -567,6 +568,17 @@ object SparkEntry {
     "q_binary_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
         |       sha256(text) AS content_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the fixture crafts REAL container headers with doc_id-derived format
+    // and dimensions; the Spark side recovers them with byte-level parsers,
+    // so recomputing the derivation here hash-checks the parser round-trip
+    "q_multimodal_header" ->
+      """SELECT doc_id,
+        |       CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+        |            WHEN 2 THEN 'jpeg' WHEN 3 THEN 'gif'
+        |            WHEN 4 THEN 'webp' ELSE 'tiff' END AS format,
+        |       CAST(16 + (doc_id * 7 % 2048) AS INTEGER) AS width,
+        |       CAST(16 + (doc_id * 13 % 2048) AS INTEGER) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_label_centroid" ->
       """WITH ex AS (

@@ -22,13 +22,14 @@ object MultimodalOps {
       docId: Long, nBytes: Int, format: String, width: Int, height: Int,
       features: Array[Float])
 
-  /** Real byte-level header parsing for PNG / BMP / JPEG — no codec
-    * dependency, just the published container layouts. Returns
-    * (format, width, height); None when the payload is not one of the
-    * three (or is truncated mid-header).
+  /** Real byte-level header parsing for PNG / BMP / JPEG / GIF / WebP /
+    * TIFF — no codec dependency, just the published container layouts.
+    * Returns (format, width, height); None when the payload is not one of
+    * the six (or is truncated mid-header).
     */
   private[graft] def parseHeader(p: Array[Byte]): Option[(String, Int, Int)] =
     parsePng(p).orElse(parseBmp(p)).orElse(parseJpeg(p))
+      .orElse(parseGif(p)).orElse(parseWebp(p)).orElse(parseTiff(p))
 
   private def be32(p: Array[Byte], i: Int): Long =
     ((p(i) & 0xffL) << 24) | ((p(i + 1) & 0xffL) << 16) |
@@ -37,6 +38,12 @@ object MultimodalOps {
   private def le32(p: Array[Byte], i: Int): Int =
     (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) |
       ((p(i + 2) & 0xff) << 16) | ((p(i + 3) & 0xff) << 24)
+
+  private def le16(p: Array[Byte], i: Int): Int =
+    (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+
+  private def le24(p: Array[Byte], i: Int): Int =
+    (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) | ((p(i + 2) & 0xff) << 16)
 
   /** PNG: 8-byte signature, then the IHDR chunk MUST be first — width and
     * height are the two big-endian u32s at offsets 16 and 20.
@@ -96,6 +103,79 @@ object MultimodalOps {
     None
   }
 
+  /** GIF: "GIF87a"/"GIF89a" signature; the logical-screen width and height
+    * are little-endian u16s at offsets 6 and 8. Zero dims rejected (a text
+    * payload starting "GIF89a" followed by NULs must not sniff).
+    */
+  private def parseGif(p: Array[Byte]): Option[(String, Int, Int)] = {
+    if (p.length < 10) return None
+    val sig = new String(p.slice(0, 6), "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val w = le16(p, 6)
+    val h = le16(p, 8)
+    if (w == 0 || h == 0) None else Some(("gif", w, h))
+  }
+
+  /** WebP: RIFF container ("RIFF" <size:le32> "WEBP"), then the first
+    * chunk's FourCC picks the variant — VP8X extended (24-bit canvas dims
+    * stored minus one at offsets 24/27), VP8L lossless (0x2F signature
+    * then two 14-bit dims-minus-one packed little-endian bit-first), or
+    * VP8 lossy (3-byte frame tag, 9D 01 2A sync code, then 14-bit dims in
+    * little-endian u16s).
+    */
+  private def parseWebp(p: Array[Byte]): Option[(String, Int, Int)] = {
+    if (p.length < 30) return None
+    if (!(p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'E' && p(10) == 'B' && p(11) == 'P')) return None
+    new String(p.slice(12, 16), "US-ASCII") match {
+      case "VP8X" =>
+        Some(("webp", 1 + le24(p, 24), 1 + le24(p, 27)))
+      case "VP8L" =>
+        if ((p(20) & 0xff) != 0x2f) return None
+        val b = Array.tabulate(4)(i => p(21 + i) & 0xff)
+        val w = 1 + (b(0) | ((b(1) & 0x3f) << 8))
+        val h = 1 + ((b(1) >> 6) | (b(2) << 2) | ((b(3) & 0x0f) << 10))
+        Some(("webp", w, h))
+      case "VP8 " =>
+        if ((p(23) & 0xff) != 0x9d || (p(24) & 0xff) != 0x01 ||
+          (p(25) & 0xff) != 0x2a) return None
+        Some(("webp", le16(p, 26) & 0x3fff, le16(p, 28) & 0x3fff))
+      case _ => None
+    }
+  }
+
+  /** TIFF: "II*\0" (little-endian) or "MM\0*" (big-endian) magic with the
+    * first-IFD offset at 4; IFD entries are 12 bytes of (tag, type, count,
+    * value) — tags 256/257 carry ImageWidth/ImageLength as SHORT(3) or
+    * LONG(4), the value left-justified in its 4-byte field.
+    */
+  private def parseTiff(p: Array[Byte]): Option[(String, Int, Int)] = {
+    if (p.length < 8) return None
+    val le = p(0) == 'I' && p(1) == 'I' && (p(2) & 0xff) == 0x2a && p(3) == 0
+    val be = p(0) == 'M' && p(1) == 'M' && p(2) == 0 && (p(3) & 0xff) == 0x2a
+    if (!le && !be) return None
+    def u16(i: Int) = if (le) le16(p, i) else ((p(i) & 0xff) << 8) | (p(i + 1) & 0xff)
+    def u32(i: Int) = if (le) le32(p, i).toLong & 0xffffffffL else be32(p, i)
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > p.length) return None
+    val n = u16(ifd.toInt)
+    var w = -1
+    var h = -1
+    for (k <- 0 until n; e = ifd.toInt + 2 + k * 12 if e + 12 <= p.length) {
+      val v = u16(e + 2) match {
+        case 3 => u16(e + 8) // SHORT: first 2 bytes of the value field
+        case 4 => u32(e + 8).toInt // LONG
+        case _ => -1
+      }
+      u16(e) match {
+        case 256 => w = v
+        case 257 => h = v
+        case _ => ()
+      }
+    }
+    if (w > 0 && h > 0) Some(("tiff", w, h)) else None
+  }
+
   /** Minimal valid header bytes for each format with the given dimensions —
     * the fixture-enrichment writer ([[mediaFromDocuments]]) and the parser
     * tests share this so the parsed dimensions are real round-trips.
@@ -119,6 +199,32 @@ object MultimodalOps {
       b.putShort(0xffe0.toShort).putShort(2) // APP0, len counts itself only
       b.putShort(0xffc0.toShort).putShort(7) // SOF0: len + prec + h + w
       b.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+      b.array()
+    case "gif" =>
+      val b = java.nio.ByteBuffer.allocate(10).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("GIF89a".getBytes("US-ASCII")).putShort(w.toShort).putShort(h.toShort)
+      b.array()
+    case "webp" =>
+      // RIFF/WEBP with a VP8X chunk: canvas dims stored minus one as le24
+      val b = java.nio.ByteBuffer.allocate(30).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(22).put("WEBP".getBytes("US-ASCII"))
+      b.put("VP8X".getBytes("US-ASCII")).putInt(10)
+      b.putInt(0) // flags + reserved
+      def p24(v: Int): Unit = {
+        b.put((v & 0xff).toByte).put(((v >> 8) & 0xff).toByte)
+        b.put(((v >> 16) & 0xff).toByte)
+      }
+      p24(w - 1); p24(h - 1)
+      b.array()
+    case "tiff" =>
+      // little-endian, one IFD: ImageWidth/ImageLength as LONGs
+      val b = java.nio.ByteBuffer.allocate(8 + 2 + 2 * 12 + 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+      b.putShort(2)
+      b.putShort(256).putShort(4).putInt(1).putInt(w)
+      b.putShort(257).putShort(4).putInt(1).putInt(h)
+      b.putInt(0) // no next IFD
       b.array()
     case other => throw new IllegalArgumentException(s"unknown format: $other")
   }
@@ -208,12 +314,27 @@ object MultimodalOps {
       .select(col("doc_id").as("docId"), col("text").cast("binary").as("payload"))
       .as[MediaRow]
       .map { r =>
-        val fmt = (r.docId % 3) match {
-          case 0 => "png"; case 1 => "bmp"; case _ => "jpeg"
-        }
+        val fmt = FixtureFormats((r.docId % FixtureFormats.length).toInt)
         val w = 16 + (r.docId * 7 % 2048).toInt
         val h = 16 + (r.docId * 13 % 2048).toInt
         MediaRow(r.docId, craftHeader(fmt, w, h) ++ r.payload)
       }
   }
+
+  /** doc_id % 6 → container format in the crafted fixture — mirrored by
+    * the q_multimodal_header oracle SQL, which recomputes the same mapping
+    * so the real parsers' output is hash-compared against DuckDB.
+    */
+  private[graft] val FixtureFormats =
+    Vector("png", "bmp", "jpeg", "gif", "webp", "tiff")
+
+  /** Oracle-gated header leg: the fixture's crafted containers round-trip
+    * through the REAL byte parsers, so format/width/height are exactly the
+    * doc_id-derived values the DuckDB oracle recomputes. nBytes and the
+    * labeled feature stub stay in [[multimodalMeta]] (rows-only).
+    */
+  def multimodalHeader(s: SparkSession, d: String): DataFrame =
+    extractMeta(mediaFromDocuments(s, d), withFeatures = false)
+      .select(col("docId").as("doc_id"), col("format"), col("width"), col("height"))
+      .orderBy("doc_id")
 }

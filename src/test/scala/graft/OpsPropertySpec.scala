@@ -224,9 +224,7 @@ class OpsPropertySpec extends SparkSpec {
     // the fixture payloads carry REAL crafted headers; extractMeta must
     // report the true container dimensions, not stub pseudo-metadata
     meta.foreach { m =>
-      val expectFmt = (m.docId % 3) match {
-        case 0 => "png"; case 1 => "bmp"; case _ => "jpeg"
-      }
+      val expectFmt = MultimodalOps.FixtureFormats((m.docId % 6).toInt)
       assert(m.format == expectFmt, s"doc ${m.docId}")
       assert(m.width == 16 + (m.docId * 7 % 2048).toInt)
       assert(m.height == 16 + (m.docId * 13 % 2048).toInt)
@@ -260,6 +258,53 @@ class OpsPropertySpec extends SparkSpec {
     // a text payload starting "BM" must NOT sniff as BMP (DIB-size check)
     assert(parseHeader("BMW recall notice: bring your vehicle in soon"
       .getBytes("UTF-8")).isEmpty)
+    // GIF / WebP(VP8X) / TIFF round-trips through the real layouts
+    assert(parseHeader(craftHeader("gif", 320, 200)) == Some(("gif", 320, 200)))
+    assert(parseHeader(craftHeader("webp", 1024, 768)) == Some(("webp", 1024, 768)))
+    assert(parseHeader(craftHeader("tiff", 2000, 1500)) == Some(("tiff", 2000, 1500)))
+    assert(parseHeader(craftHeader("gif", 320, 200) ++ Array.fill(64)(0x2a.toByte))
+      == Some(("gif", 320, 200)))
+    // a text payload starting "GIF89a" with NUL dims must NOT sniff
+    assert(parseHeader(("GIF89a" + " " * 8).getBytes("US-ASCII")).isEmpty)
+    // WebP lossless (VP8L): 14-bit dims-minus-one packed bit-first
+    def vp8l(w: Int, h: Int): Array[Byte] = {
+      val wb = w - 1; val hb = h - 1
+      val packed = (wb.toLong & 0x3fff) | ((hb.toLong & 0x3fff) << 14)
+      val b = java.nio.ByteBuffer.allocate(30)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(22).put("WEBP".getBytes)
+      b.put("VP8L".getBytes).putInt(9).put(0x2f.toByte)
+      (0 until 5).foreach(i => b.put(((packed >> (8 * i)) & 0xff).toByte))
+      b.array()
+    }
+    assert(parseHeader(vp8l(800, 600)) == Some(("webp", 800, 600)))
+    assert(parseHeader(vp8l(16383, 1)) == Some(("webp", 16383, 1)))
+    // WebP lossy (VP8 ): sync code + 14-bit dims in le16
+    def vp8(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(30)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(22).put("WEBP".getBytes)
+      b.put("VP8 ".getBytes).putInt(10)
+      b.put(Array[Byte](0, 0, 0)) // frame tag
+      b.put(0x9d.toByte).put(0x01.toByte).put(0x2a.toByte)
+      b.putShort(w.toShort).putShort(h.toShort)
+      b.array()
+    }
+    assert(parseHeader(vp8(640, 360)) == Some(("webp", 640, 360)))
+    // big-endian TIFF with SHORT-typed dims (value left-justified)
+    val beTiff = {
+      val b = java.nio.ByteBuffer.allocate(38) // big-endian by default
+      b.put('M'.toByte).put('M'.toByte).putShort(42).putInt(8)
+      b.putShort(2)
+      b.putShort(256).putShort(3).putInt(1).putShort(77.toShort).putShort(0)
+      b.putShort(257).putShort(3).putInt(1).putShort(55.toShort).putShort(0)
+      b.putInt(0)
+      b.array()
+    }
+    assert(parseHeader(beTiff) == Some(("tiff", 77, 55)))
+    // TIFF with an IFD offset past the payload must not crash or sniff
+    val truncTiff = craftHeader("tiff", 10, 10).take(8)
+    assert(parseHeader(truncTiff).isEmpty)
     // non-media payloads reach the (labeled) deterministic stub, whose
     // sentinel format is disjoint from genuinely parsed containers
     val m = MultimodalOps.MediaRow(1L, "plain text payload".getBytes("UTF-8"))
