@@ -76,10 +76,7 @@ object PartitionedMaterializer {
     require(from == alignDown(grain, from) && untilExcl == alignDown(grain, untilExcl),
       s"backfill range [$from, $untilExcl) is not aligned to ${grain.name} " +
         "partition boundaries")
-    val batch = source
-      .filter(col(dateCol) >= lit(from.toString).cast("timestamp") &&
-        col(dateCol) < lit(untilExcl.toString).cast("timestamp"))
-      .withColumn(partCol, grain.key(col(dateCol)))
+    val batch = rangedBatch(source, dateCol, grain, from, untilExcl, partCol)
     val fq = s"`$db`.`$table`"
     if (!spark.catalog.tableExists(s"$db.$table")) {
       Warehouse.saveModel(batch, db, table, Seq(partCol))
@@ -104,6 +101,19 @@ object PartitionedMaterializer {
     }
     grain.keys(from, untilExcl)
   }
+
+  /** The ranged run's write batch: a plain timestamp-range filter (pushes
+    * into the parquet scan — min/max row-group skipping) plus the derived
+    * partition key. Factored out so plan audits can show the WRITE side's
+    * scan shape without executing a backfill.
+    */
+  def rangedBatch(source: DataFrame, dateCol: String, grain: PartitionGrain,
+                  from: LocalDate, untilExcl: LocalDate,
+                  partCol: String = DefaultPartCol): DataFrame =
+    source
+      .filter(col(dateCol) >= lit(from.toString).cast("timestamp") &&
+        col(dateCol) < lit(untilExcl.toString).cast("timestamp"))
+      .withColumn(partCol, grain.key(col(dateCol)))
 
   private def alignDown(grain: PartitionGrain, d: LocalDate): LocalDate =
     grain match {
