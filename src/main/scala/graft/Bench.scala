@@ -57,17 +57,28 @@ object Bench {
       val samples = perRun.map(_.find(_._1 == n).get)
       // min over SUCCESSFUL passes only — a failing pass aborts early, and
       // its fast wall time must not masquerade as the query's cheapest run.
-      // The errors map reports a query only when EVERY pass failed.
+      // The errors map reports a query only when EVERY pass failed; a query
+      // that failed SOME passes surfaces in the flaky map instead
+      // (intermittent OOM/race must not vanish behind its fastest success).
       val ok = samples.filter(_._3.isEmpty)
-      if (ok.nonEmpty) (n, ok.map(_._2).min, None)
-      else (n, samples.map(_._2).min, samples.flatMap(_._3).headOption)
+      val nFailed = samples.size - ok.size
+      if (ok.nonEmpty) (n, ok.map(_._2).min, None, nFailed)
+      else (n, samples.map(_._2).min, samples.flatMap(_._3).headOption, nFailed)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // 4 decimals (0.1 ms): keeps the single JSON line well inside the
+    // driver's tail-capture window (full double reprs pushed the r4 line's
+    // head past it) without losing bench-relevant precision
+    def r4(v: Double): Double = math.rint(v * 1e4) / 1e4
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) =>
+    val errs = results.collect { case (k, _, Some(e), _) =>
       "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","runs":$runs}""")
+    val flaky = results.collect { case (k, _, None, f) if f > 0 =>
+      "\"" + k + "\":" + f }.mkString("{", ",", "}")
+    val total = r4(results.map(_._2).sum)
+    // the JSON line is the LAST stdout the bench emits (stop() noise goes
+    // to stderr) so a bytes-bounded tail capture always includes its head
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }
