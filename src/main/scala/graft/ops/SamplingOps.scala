@@ -43,9 +43,16 @@ object SamplingOps {
   def weightedMix(s: SparkSession, d: String): DataFrame = {
     val maxQuota = 3 * MixUnit
     val w = Window.partitionBy("source").orderBy(col("sk"), col("doc_id"))
+    // full numeric suffix (no length cap — a capped substring would
+    // silently truncate long suffixes), and a non-numeric source name
+    // fails LOUDLY instead of null-ing its quota and silently dropping
+    // the whole source from the mix (the oracle's substr+CAST errors too)
+    val suffix = substring(col("source"), 4, Int.MaxValue).cast("int")
+    val checked = when(suffix.isNull, raise_error(concat(
+      lit("weightedMix: source name has no numeric suffix: "), col("source"))))
+      .otherwise(suffix)
     t(s, d, "documents")
-      .withColumn("quota",
-        (lit(1) + substring(col("source"), 4, 10).cast("int") % 3) * MixUnit)
+      .withColumn("quota", (lit(1) + checked % 3) * MixUnit)
       .withColumn("sk", sampleKey)
       .withColumn("mix_rank", row_number().over(w))
       .filter(col("mix_rank") <= maxQuota && col("mix_rank") <= col("quota"))

@@ -78,7 +78,10 @@ final class TenantPipeline(
         Warehouse.writeLanding(df, s"$dir/${tenant.storagePrefix}/${spec.name}")
       }
       Warehouse.load(spark, df, rawDb, spec.name, mode)
-      spec.name -> spark.table(s"`${rawDb}`.`${spec.name}`").count()
+      // qualified key: raw tables and model aliases may share a bare name,
+      // and run() merges both maps — bare keys would clobber each other
+      s"$rawDb.${spec.name}" ->
+        spark.table(s"`${rawDb}`.`${spec.name}`").count()
     }.toMap
   }
 
@@ -101,7 +104,8 @@ final class TenantPipeline(
           Future {
             val df = spark.sql(r.render(m))
             Warehouse.saveModel(df, modelSchema(m), m.alias)
-            m.alias -> spark.table(s"`${modelSchema(m)}`.`${m.alias}`").count()
+            s"${modelSchema(m)}.${m.alias}" ->
+              spark.table(s"`${modelSchema(m)}`.`${m.alias}`").count()
           }
         }
         futures.map(Await.result(_, Duration.Inf))
@@ -149,8 +153,9 @@ final class TenantPipeline(
         table = s"$db.$table",
         tenant = tenant.id,
         // run() already counted every table it materialized — reuse those
-        // counts instead of a second full-scan count job per table
-        numRows = knownCounts.getOrElse(table, df.count()),
+        // counts instead of a second full-scan count job per table (keys
+        // are the qualified db.table names run() emits)
+        numRows = knownCounts.getOrElse(s"$db.$table", df.count()),
         columns = df.schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString),
         previewMarkdown = TenantPipeline.markdownTable(preview))
     }.toMap

@@ -72,7 +72,12 @@ object Warehouse {
       table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) {
-      if (graft.TempDirs.ownsPath(loc.toUri.getPath)) fs.delete(loc, true)
+      // ownership is decided on the PATH component only, so the scheme must
+      // be local too — a remote (hdfs/s3) location whose path merely
+      // coincides with a local temp dir is never ours to delete
+      val scheme = loc.toUri.getScheme
+      val localFs = scheme == null || scheme == "file"
+      if (localFs && graft.TempDirs.ownsPath(loc.toUri.getPath)) fs.delete(loc, true)
       else System.err.println(
         s"[warehouse] NOT clearing catalog-unknown location $loc (outside " +
           "this process's temp warehouse dirs); the following create may " +

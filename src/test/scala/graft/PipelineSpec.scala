@@ -21,7 +21,7 @@ class PipelineSpec extends SparkSpec {
     // extractor applied the tenant filter and projection
     assert(raw.columns.toSeq == Seq("p_partkey", "p_name", "p_type", "p_brand", "p_size"))
     assert(raw.filter(col("p_brand") =!= "Brand#4").count() == 0)
-    assert(counts("item_master") == raw.count())
+    assert(counts("graft_demo_raw.item_master") == raw.count())
 
     val mart = spark.table("graft_demo.mart_item_master")
     assert(mart.columns.toSeq == Seq("item_id", "item_name", "item_type",
@@ -100,9 +100,9 @@ class PipelineSpec extends SparkSpec {
       env = Environment.Local)
     val localCounts = local.run(spark)
     val devMart = spark.table("dev_graft_demo.mart_item_master")
-    assert(devMart.count() == localCounts("mart_item_master"))
+    assert(devMart.count() == localCounts("dev_graft_demo.mart_item_master"))
     assert(spark.table("dev_graft_demo_raw.item_master").count() ==
-      localCounts("item_master"))
+      localCounts("dev_graft_demo_raw.item_master"))
 
     // PROD: bare names; the same tenant coexists with its dev run in one
     // warehouse (environment_helpers.py:12-16)

@@ -102,7 +102,7 @@ class TenantRegistrySpec extends SparkSpec {
       (_: TenantConfig) => new ParquetSource(sf), env = Map.empty,
       environment = graft.pipeline.Environment.Prod)
     assert(counts.keySet == Set("reg_alpha", "reg_beta"))
-    assert(counts("reg_alpha")("item_master") > 0)
+    assert(counts("reg_alpha")("reg_alpha_raw.item_master") > 0)
 
     val a = spark.table("reg_alpha.mart_items")
     val b = spark.table("reg_beta.mart_items")
@@ -110,7 +110,7 @@ class TenantRegistrySpec extends SparkSpec {
     // per-tenant filter really isolated the rows
     assert(a.filter(col("item_group_id") =!= "Brand#4").count() == 0)
     assert(b.filter(col("item_group_id") =!= "Brand#2").count() == 0)
-    assert(a.count() == counts("reg_alpha")("mart_items"))
+    assert(a.count() == counts("reg_alpha")("reg_alpha.mart_items"))
 
     // registry composes with the scheduler: one entry per scheduled tenant
     val entries = TenantRegistry.scheduleEntries(
@@ -157,9 +157,9 @@ class TenantRegistrySpec extends SparkSpec {
     val counts = TenantRegistry.runAll(spark, root.toString,
       (_: TenantConfig) => new ParquetSource(sf), env = Map.empty,
       environment = graft.pipeline.Environment.Local)
-    assert(counts("reg_envloc")("item_master") > 0)
+    assert(counts("reg_envloc")("dev_reg_envloc_raw.item_master") > 0)
     assert(spark.table("dev_reg_envloc.mart_items").count() ==
-      counts("reg_envloc")("mart_items"))
+      counts("reg_envloc")("dev_reg_envloc.mart_items"))
     assert(spark.table("dev_reg_envloc_raw.item_master").count() > 0)
     // the bare prod namespace was never touched by the dev run
     assert(!spark.catalog.databaseExists("reg_envloc"))
