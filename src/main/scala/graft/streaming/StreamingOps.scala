@@ -150,6 +150,41 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming ingest edge of the exact-dedup family: each micro-batch
+    * lands its BATCH-LOCAL dedup groups — (text_hash, keep-lowest doc_id,
+    * duplicate count), computed by the same expressions as the batch
+    * operator (graft.ops.TextOps.dedupGroups) — APPENDED to a survivor
+    * log. Nothing is rewritten per trigger: a per-batch merge would
+    * re-read and rewrite the accumulated table on every micro-batch, a
+    * scale tax that grows with the corpus. Cross-batch duplicates are
+    * resolved on read by [[dedupedCorpus]] (the same keep-lowest/sum
+    * aggregation); a scheduled compaction can materialize that view over
+    * the log when it grows (the append-log + compact pattern).
+    */
+  def sinkDedupedLog(docs: DataFrame, db: String, table: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.store.Warehouse.load(batch.sparkSession,
+          graft.ops.TextOps.dedupGroups(batch.toDF()), db, table,
+          graft.store.LoadMode.WatermarkAppend)
+      }
+      .start()
+
+  /** Read-side resolution over the [[sinkDedupedLog]] survivor log:
+    * keep-lowest doc_id and summed duplicate count per content hash —
+    * equal to batch dedupExactText over the same rows, whatever the
+    * micro-batch boundaries were.
+    */
+  def dedupedCorpus(spark: org.apache.spark.sql.SparkSession,
+                    db: String, table: String): DataFrame =
+    spark.table(s"`$db`.`$table`")
+      .groupBy("text_hash")
+      .agg(min("doc_id").as("doc_id"), sum("dup_cnt").as("dup_cnt"))
+      .select("doc_id", "dup_cnt")
+      .orderBy("doc_id")
+
   /** Default output mode pairings for the above (documented contract). */
   val outputModes: Map[String, OutputMode] = Map(
     "hourlyCounts" -> OutputMode.Append(),

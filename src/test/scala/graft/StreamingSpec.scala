@@ -136,6 +136,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((2L, 3600000300L, 1L)))
   }
 
+  test("streamed micro-batch dedup log equals batch dedup of the same rows") {
+    implicit val sq = spark.sqlContext
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    // exact duplicates that CROSS micro-batch boundaries (chunk size 40
+    // puts the +100000 copies in later triggers than their originals)
+    val dups = docs.take(5).map { case (id, tx) => (id + 100000L, tx) }
+    val all = docs ++ dups
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.sinkDedupedLog(
+      mem.toDF().toDF("doc_id", "text"), "stream_dedup", "survivor_log")
+    all.grouped(40).foreach { chunk =>
+      mem.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = StreamingOps.dedupedCorpus(spark, "stream_dedup", "survivor_log")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = graft.ops.TextOps.dedupGroups(all.toDF("doc_id", "text"))
+      .select("doc_id", "dup_cnt").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed == batch)
+    assert(streamed.length == all.length - dups.length) // dups collapsed
+    // the log appended batch-local groups only — it was never rewritten, so
+    // it holds one row per (trigger, hash), more than the resolved view when
+    // duplicates crossed triggers
+    assert(spark.table("stream_dedup.survivor_log").count() >= streamed.length)
+  }
+
   test("streaming ingest lands micro-batches in the batch path's partition layout") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
