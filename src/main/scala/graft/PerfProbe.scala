@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   */
 object PerfProbe {
 
-  private val ScaledTables = Set("documents", "embeddings", "part")
+  private val ScaledTables = Set("documents", "embeddings", "part", "orders", "events")
   private val Dims = 64
 
   def buildScaled(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
@@ -69,6 +69,21 @@ object PerfProbe {
     copies(part, (d, i) =>
       d.withColumn("p_partkey", col("p_partkey") + lit(i * partStride)))
       .write.mode("overwrite").parquet(s"$dst/part.parquet")
+
+    // orders/events: plain key offsets, event times and dates unchanged —
+    // the partitioned-backfill and watermark-append probes measure K× data
+    // through the SAME partition/watermark structure
+    val orders = Tables.t(spark, src, "orders")
+    val orderStride = orders.agg(max("o_orderkey")).head.getLong(0) + 1
+    copies(orders, (d, i) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(i * orderStride)))
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+
+    val events = Tables.t(spark, src, "events")
+    val eventStride = events.agg(max("event_id")).head.getLong(0) + 1
+    copies(events, (d, i) =>
+      d.withColumn("event_id", col("event_id") + lit(i * eventStride)))
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
   }
 
   /** Min-of-`runs` wall time with cold plan state per pass (the Bench
@@ -107,15 +122,32 @@ object PerfProbe {
       // (doc_id % 100) grows with K, so the ratio would measure the
       // quadratic workload growth, not the engine.
       val names = Seq("q_dedup_minhash", "q_embedding_near_dup",
-        "q_ivf_cosine_topk", "q_simhash_near_dup", "q_top_terms_per_lang",
-        "q_ngram_jaccard", "q_mode_full_snapshot", "q_sample_stratified",
-        "q_mix_weighted", "q_pack_sequences")
+        "q_ivf_cosine_topk", "q_ivf_semantic_dedup", "q_simhash_near_dup",
+        "q_top_terms_per_lang", "q_ngram_jaccard", "q_mode_full_snapshot",
+        "q_sample_stratified", "q_mix_weighted", "q_pack_sequences",
+        "q_partition_backfill", "q_mode_watermark_append")
       println(f"${"query"}%-26s ${"sf0.1"}%8s ${s"${k}x"}%8s ${"ratio"}%7s  (linear ≈ $k)")
       names.foreach { n =>
         val base = time(spark, n, d)
         val big = time(spark, n, scaled)
         println(f"$n%-26s $base%8.2f $big%8.2f ${big / base}%7.2f")
       }
+
+      // Skewed-id packing probe: one far-outlier doc_id inflates the id
+      // SPAN 1000× while the data volume is unchanged — equi-depth
+      // bucketing must hold the wall time ≈ the uniform corpus (range
+      // bucketing would serialize the whole prefix sum into one task).
+      // (the packing query reads only `documents`, so the skew dir holds
+      // just the remapped corpus)
+      val skewed = TempDirs.create(s"graft-sf-skew-k$k")
+      val sdocs = Tables.t(spark, scaled, "documents")
+      val mxId = sdocs.agg(max("doc_id")).head.getLong(0)
+      sdocs.withColumn("doc_id",
+        when(col("doc_id") === mxId, lit(mxId * 1000L)).otherwise(col("doc_id")))
+        .write.mode("overwrite").parquet(s"$skewed/documents.parquet")
+      val uni = time(spark, "q_pack_sequences", scaled)
+      val skw = time(spark, "q_pack_sequences", skewed)
+      println(f"q_pack_sequences skew-id   $uni%8.2f $skw%8.2f ${skw / uni}%7.2f  (vs uniform ${k}x — ≈1 is balanced)")
     } else {
       val names = Seq("q_dedup_exact_text", "q_dedup_minhash", "q_except_intersect",
         "q_knn_cosine_topk", "q_concat_partition_key", "q_join_equi",

@@ -68,8 +68,9 @@ object SamplingOps {
     * The naive formulation is a running sum over a GLOBAL order — an
     * `Exchange SinglePartition` that serializes the whole corpus through
     * one task. This is the distributed two-phase prefix sum instead:
-    *   1. deterministic range buckets from the doc_id domain (computed
-    *      min/max, NOT sampled — same buckets every run);
+    *   1. EQUI-DEPTH buckets contiguous in doc_id order
+    *      ([[equiDepthBucketed]] — range buckets from min/max would
+    *      degenerate under a skewed id distribution);
     *   2. per-bucket token totals (tiny: nBuckets rows to the driver,
     *      index metadata like the IVF centroids);
     *   3. running sum WITHIN each bucket in parallel + the broadcast
@@ -78,17 +79,41 @@ object SamplingOps {
     * ever converges on one task.
     */
   def packSequences(s: SparkSession, d: String, budget: Int = 512,
-                    nBuckets: Int = 32): DataFrame = {
-    val docs = t(s, d, "documents")
-      .select(col("doc_id"), expr("greatest(n_chars div 4, 1)").as("tokens"))
-    val bounds = docs.agg(min("doc_id"), max("doc_id")).head()
-    if (bounds.isNullAt(0))
+                    nBuckets: Int = 32): DataFrame =
+    packTokens(t(s, d, "documents")
+      .select(col("doc_id"), expr("greatest(n_chars div 4, 1)").as("tokens")),
+      budget, nBuckets)
+
+  /** Contiguous-in-id equi-depth bucketing: boundaries come from a
+    * mergeable approx-quantile sketch (one pass, no global sort), so every
+    * bucket holds ~n/nBuckets rows REGARDLESS of how the ids are
+    * distributed. Range buckets over (max-min)/nBuckets would serialize
+    * the whole corpus into one window partition the moment the id space is
+    * dense in one region (e.g. one far outlier id inflating the span
+    * 1000×). Boundaries are internal: seq_id assignment is bucket-count-
+    * and-boundary-invariant (property-tested), so the sketch's
+    * approximation error can never affect output — only balance.
+    */
+  private[graft] def equiDepthBucketed(docs: DataFrame, nBuckets: Int): DataFrame = {
+    if (nBuckets <= 1) return docs.withColumn("bucket", lit(0))
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds = docs.stat.approxQuantile("doc_id", probs, 0.001)
+    // bucket = number of boundaries strictly below this id — monotone in
+    // doc_id, so buckets stay contiguous ranges (the prefix-sum invariant)
+    val bucket = bounds.distinct.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("doc_id") > lit(b), 1).otherwise(0)
+    }
+    docs.withColumn("bucket", bucket)
+  }
+
+  /** [[packSequences]] over any (doc_id, tokens) frame. */
+  private[graft] def packTokens(docs: DataFrame, budget: Int,
+                                nBuckets: Int): DataFrame = {
+    val s = docs.sparkSession
+    if (docs.agg(min("doc_id")).head().isNullAt(0))
       return docs.withColumn("seq_id", lit(0L)).select("doc_id", "tokens", "seq_id")
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val span = math.max((hi - lo) / nBuckets + 1, 1L)
-    val bucketed = docs.withColumn("bucket",
-      ((col("doc_id") - lit(lo)) / lit(span)).cast("int"))
-    // phase 2: per-bucket totals → cumulative offsets (nBuckets rows)
+    val bucketed = equiDepthBucketed(docs, nBuckets)
+    // phase 2: per-bucket totals → cumulative offsets (≤ nBuckets rows)
     val totals = bucketed.groupBy("bucket").agg(sum("tokens").as("tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = totals.map(_._1)

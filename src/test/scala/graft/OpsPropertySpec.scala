@@ -341,6 +341,23 @@ class OpsPropertySpec extends SparkSpec {
     assert(rows(7) == rows(32)) // non-divisor bucket count too
   }
 
+  test("packing buckets stay equi-depth under a skewed id distribution") {
+    import graft.ops.SamplingOps
+    // one far outlier inflates the id SPAN 1000× — range bucketing would
+    // put all 400 dense ids in bucket 0 (the whole prefix sum on one task)
+    val ids = (1L to 400L) :+ 500000L
+    val docs = ids.map(id => (id, 10L)).toDF("doc_id", "tokens")
+    val sizes = SamplingOps.equiDepthBucketed(docs, 32)
+      .groupBy("bucket").count().collect().map(_.getLong(1))
+    assert(sizes.length > 16, s"only ${sizes.length} non-empty buckets")
+    assert(sizes.max <= 2 * (ids.length / 32 + 1),
+      s"max bucket ${sizes.max} of ${ids.length} rows")
+    // and the packed output still equals the single-bucket reference
+    def packed(n: Int) = SamplingOps.packTokens(docs, budget = 64, nBuckets = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(packed(32) == packed(1))
+  }
+
   test("nfc_normalize: composes decomposed text, identity on normalized, codegen == eval") {
     graft.functions.GraftFunctions.register(spark)
     val decomposed = "cafe\u0301 nai\u0308ve"
