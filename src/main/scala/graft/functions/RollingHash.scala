@@ -82,6 +82,8 @@ object GraftFunctions {
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", exprs => NfcNormalize(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
   }
 }
 
@@ -107,6 +109,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("nfc_normalize"),
       NfcNormalize.info,
       (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      VecDot.info,
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
     // resolution-stage so the filter is in the analyzed plan (cache-safe)
     ext.injectPostHocResolutionRule(spark => graft.plans.TenantIsolationRule(spark))
   }

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd in-order dot product over two numeric arrays — the hot
+  * inner loop of every cosine-similarity operator (k-NN, IVF search,
+  * semantic dedup), where it runs once per candidate pair.
+  *
+  * Computes Σ_i a_i·b_i as a LEFT-TO-RIGHT double fold — bit-identical to
+  * the `aggregate(zip_with(a, b, (x, y) => x·y), 0.0, _+_)` higher-order
+  * chain it replaces (same per-element double multiply after float→double
+  * widening, same accumulation order), but as a register-local loop under
+  * whole-stage codegen instead of per-element interpreted lambda dispatch
+  * with boxed doubles (HOFs are CodegenFallback). Measured ~an order of
+  * magnitude per-candidate on 64-dim embeddings.
+  *
+  * Null contract matches the HOF chain: null array → null; mismatched
+  * lengths or a null element → null (zip_with pads the shorter side with
+  * null and the fold propagates it).
+  */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_dot requires two ARRAY<FLOAT|DOUBLE>, got ${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    val fx = isFloat(left)
+    val fy = isFloat(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xi * yi
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gx = if (isFloat(left)) "getFloat" else "getDouble"
+    val gy = if (isFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    $acc += ((double) $a.$gx($i)) * ((double) $b.$gy($i));
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecDot {
+  val info = new ExpressionInfo(
+    classOf[VecDot].getName, null, "vec_dot",
+    "_FUNC_(a, b) - in-order double-fold dot product of two numeric arrays.",
+    "")
+}

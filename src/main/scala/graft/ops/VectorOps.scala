@@ -19,14 +19,14 @@ import graft.Tables.t
   */
 object VectorOps {
 
-  /** Σ x_i² as an in-order double fold. */
-  private def sumSq(v: Column): Column =
-    aggregate(transform(v, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Σ x_i² as an in-order double fold — the native codegen
+    * [[graft.functions.VecDot]] loop (bit-identical to the
+    * transform+aggregate HOF chain it replaced; callers must have
+    * registered GraftFunctions on the session).
+    */
+  private def sumSq(v: Column): Column = call_function("vec_dot", v, v)
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  private def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   /** Per-label embedding centroids: posexplode → groupBy(label, dim) with
     * decimal-exact sums (order-independent) → mean. The scale shape for
@@ -47,7 +47,8 @@ object VectorOps {
       .orderBy("label", "dim_idx")
 
   /** L2 norm + first normalized component per vector. */
-  def embedNorm(s: SparkSession, d: String): DataFrame =
+  def embedNorm(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     t(s, d, "embeddings")
       .withColumn("l2_norm", sqrt(sumSq(col("embedding"))))
       .select(
@@ -55,12 +56,14 @@ object VectorOps {
         (element_at(col("embedding"), 1).cast("double") / col("l2_norm"))
           .as("first_component_norm"))
       .orderBy("vec_id")
+  }
 
   /** Brute-force cosine top-k: probe set (vec_id < 5) broadcast against the
     * full corpus; rank by exact-fold cosine, ties by neighbor id. Top-1 of
     * each probe is itself (self-check invariant).
     */
   def knnCosineTopk(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val emb = t(s, d, "embeddings")
     val probes = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
@@ -321,6 +324,7 @@ object VectorOps {
     */
   private def searchIvfCandidates(assignments: DataFrame, probeCells: DataFrame,
                                   largeProbeSide: Boolean): DataFrame = {
+    graft.functions.GraftFunctions.register(assignments.sparkSession)
     // norms hoisted to ONCE per corpus row / probe-cell row BEFORE the
     // join: computed per candidate they'd run occupancy× redundant
     // 64-element folds (measured 3× the per-candidate cost of the dot

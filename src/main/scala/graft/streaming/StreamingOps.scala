@@ -185,6 +185,31 @@ object StreamingOps {
       .select("doc_id", "dup_cnt")
       .orderBy("doc_id")
 
+  /** Compaction for the [[sinkDedupedLog]] survivor log: rewrite the log
+    * as its own keep-lowest resolution (checkpointed temp-swap — never a
+    * scan-and-overwrite of the same files), re-anchoring the log's size to
+    * the unique-hash count instead of growing with trigger count.
+    * [[dedupedCorpus]] reads identically before and after (idempotent
+    * resolution).
+    */
+  def compactDedupLog(spark: org.apache.spark.sql.SparkSession,
+                      db: String, table: String): Unit =
+    graft.store.Warehouse.rewriteVia(spark, db, table)(log =>
+      log.groupBy("text_hash")
+        .agg(min("doc_id").as("doc_id"), sum("dup_cnt").as("dup_cnt"))
+        .select("text_hash", "doc_id", "dup_cnt"))
+
+  /** Scheduled wiring for the log compaction — the maintenance cadence an
+    * always-on ingest stream needs, composed like the IVF index refresh.
+    */
+  def dedupLogCompactionEntry(id: String, cronExpr: String, db: String,
+                              table: String): graft.pipeline.ScheduleRunner.Entry =
+    graft.pipeline.ScheduleRunner.Entry(id,
+      graft.pipeline.CronSchedule.parse(cronExpr),
+      (s, _) => compactDedupLog(s, db, table),
+      name = s"${table}_compaction", target = s"$db.$table",
+      tags = Map("pipeline" -> "dedup-log"))
+
   /** Default output mode pairings for the above (documented contract). */
   val outputModes: Map[String, OutputMode] = Map(
     "hourlyCounts" -> OutputMode.Append(),

@@ -404,6 +404,55 @@ class OpsPropertySpec extends SparkSpec {
       "assignments must not be hash-partitioned on the nCells-value key")
   }
 
+  test("vec_dot: bit-parity with the HOF fold, null contract, codegen == eval") {
+    graft.functions.GraftFunctions.register(spark)
+    val a = Seq.tabulate(64)(i => ((i * 7) % 13 - 6).toFloat / 3.0f)
+    val b = Seq.tabulate(64)(i => ((i * 11) % 17 - 8).toFloat / 5.0f)
+    val df = Seq((1L, a, b), (2L, a, a)).toDF("id", "x", "y")
+    val rows = df.selectExpr("id", "vec_dot(x, y) AS native",
+      """aggregate(zip_with(x, y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),
+        |CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS hof""".stripMargin)
+      .orderBy("id").collect()
+    // bit-identical fold (same multiply, same accumulation order)
+    rows.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2))))
+    // interpreted eval path agrees with the codegen path exercised above
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val lit_a = Literal.create(a, org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType))
+    val lit_b = Literal.create(b, org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType))
+    val evald = graft.functions.VecDot(lit_a, lit_b).eval(null)
+    assert(java.lang.Double.doubleToLongBits(evald.asInstanceOf[Double]) ==
+      java.lang.Double.doubleToLongBits(rows(0).getDouble(1)))
+    // null contract mirrors the HOF chain: length mismatch / null element
+    val edge = Seq((1L, Seq(1.0f, 2.0f), Seq(1.0f))).toDF("id", "x", "y")
+    assert(edge.selectExpr("vec_dot(x, y)").head().isNullAt(0))
+    assert(spark.sql("SELECT vec_dot(array(1.0D, NULL), array(1.0D, 2.0D))")
+      .head().isNullAt(0))
+    assert(spark.sql("SELECT vec_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D))")
+      .head().isNullAt(0))
+  }
+
+  test("ivfSearch auto-threshold keeps the broadcast plan for small probe sets") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val (assignments, centroids) = VectorOps.ivfIndex(emb)
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val df = VectorOps.ivfSearch(assignments, centroids, probes)
+    val plan = df.queryExecution.executedPlan.toString
+    // below the probe limit: the corpus must stream against broadcast
+    // probe cells, never hash-partition on the nCells-value key
+    assert(!plan.contains("Exchange hashpartitioning(cell"), plan.take(800))
+    val viaAuto = df.collect().map(r =>
+      (r.getAs[Long]("probe_id"), r.getAs[Int]("rnk"), r.getAs[Long]("neighbor_id"))).toSeq
+    val viaTopk = VectorOps.ivfCosineTopk(spark, sf).collect().map(r =>
+      (r.getAs[Long]("probe_id"), r.getAs[Int]("rnk"), r.getAs[Long]("neighbor_id"))).toSeq
+    assert(viaAuto == viaTopk)
+  }
+
   test("ivf semantic dedup: probes == corpus rides the salted shuffle, not a broadcast") {
     // emulate scale: with auto-broadcast off (as it would be for two
     // corpus-sized sides), the probe-corpus join must shuffle on the

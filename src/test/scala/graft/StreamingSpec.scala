@@ -161,7 +161,22 @@ class StreamingSpec extends SparkSpec {
     // the log appended batch-local groups only — it was never rewritten, so
     // it holds one row per (trigger, hash), more than the resolved view when
     // duplicates crossed triggers
-    assert(spark.table("stream_dedup.survivor_log").count() >= streamed.length)
+    val logRows = spark.table("stream_dedup.survivor_log").count()
+    assert(logRows >= streamed.length)
+
+    // scheduled compaction re-anchors the log to the unique-hash count
+    // without changing what dedupedCorpus reads
+    import java.time.LocalDateTime
+    import graft.pipeline.ScheduleRunner
+    val entry = StreamingOps.dedupLogCompactionEntry(
+      "dedup-compact", "0 4 * * *", "stream_dedup", "survivor_log")
+    val t0 = LocalDateTime.parse("2026-01-01T00:00:00")
+    val runner = new ScheduleRunner(Seq(entry), startAt = t0)
+    assert(runner.tick(spark, t0.plusHours(4)) == Seq("dedup-compact"))
+    assert(spark.table("stream_dedup.survivor_log").count() == streamed.length)
+    val afterCompact = StreamingOps.dedupedCorpus(spark, "stream_dedup", "survivor_log")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(afterCompact == streamed)
   }
 
   test("streaming ingest lands micro-batches in the batch path's partition layout") {
