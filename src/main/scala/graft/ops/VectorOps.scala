@@ -424,6 +424,27 @@ object VectorOps {
                             nCells: Option[Int] = None): DataFrame = {
     val cells = nCells.getOrElse(adaptiveIvfCells(vectors.count()))
     val (assignments, centroids) = ivfIndex(vectors, cells)
+    semanticDedupOverIndex(assignments, centroids, vectors, threshold)
+  }
+
+  /** Semantic dedup served from a PERSISTED index ([[buildIvfIndex]]) —
+    * the scheduled-maintenance posture: the quantizer trains on the index
+    * refresh cadence, and the (possibly much more frequent) dedup sweep
+    * reads the stored inverted lists instead of retraining. Probes are the
+    * stored corpus itself, so results match [[ivfSemanticDedupPairs]] over
+    * the same rows with the same cell count.
+    */
+  def ivfSemanticDedupFromIndex(s: SparkSession, db: String,
+                                threshold: Double = 0.45): DataFrame = {
+    val assignments = s.table(s"`$db`.`$IvfAssignmentsTable`")
+    val corpus = assignments.select(col("vec_id"), col("embedding"))
+    semanticDedupOverIndex(assignments,
+      s.table(s"`$db`.`$IvfCentroidsTable`"), corpus, threshold)
+  }
+
+  private def semanticDedupOverIndex(assignments: DataFrame,
+                                     centroids: DataFrame, vectors: DataFrame,
+                                     threshold: Double): DataFrame = {
     val probes = vectors.select(col("vec_id").as("probe_id"),
       col("embedding").as("probe_vec"))
     searchIvfCandidates(assignments, probeNearestCells(centroids, probes),

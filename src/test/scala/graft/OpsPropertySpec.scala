@@ -214,6 +214,15 @@ class OpsPropertySpec extends SparkSpec {
     s2.catalog.refreshTable(s"$db.${VectorOps.IvfAssignmentsTable}")
     s2.catalog.refreshTable(s"$db.${VectorOps.IvfCentroidsTable}")
     assert(key(VectorOps.ivfCosineTopkFromIndex(s2, sf, db).collect()) == served)
+
+    // semantic dedup served from the SAME stored index equals an
+    // in-session retrain at the stored cell count (deterministic quantizer)
+    val fromIdx = VectorOps.ivfSemanticDedupFromIndex(s2, db)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val inSession = VectorOps.ivfSemanticDedupPairs(
+      Tables.t(spark, sf, "embeddings"), 0.45, nCells = Some(VectorOps.IvfCells))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fromIdx == inSession)
   }
 
   test("multimodal meta: real header parse end-to-end, deterministic and batched") {
