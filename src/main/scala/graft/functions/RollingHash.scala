@@ -84,6 +84,8 @@ object GraftFunctions {
       "nfc_normalize", exprs => NfcNormalize(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_sqdist", exprs => VecSqDist(exprs(0), exprs(1)), "scala_udf")
   }
 }
 
@@ -113,6 +115,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("vec_dot"),
       VecDot.info,
       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_sqdist"),
+      VecSqDist.info,
+      (exprs: Seq[Expression]) => VecSqDist(exprs(0), exprs(1))))
     // resolution-stage so the filter is in the analyzed plan (cache-safe)
     ext.injectPostHocResolutionRule(spark => graft.plans.TenantIsolationRule(spark))
   }

@@ -96,3 +96,88 @@ object VecDot {
     "_FUNC_(a, b) - in-order double-fold dot product of two numeric arrays.",
     "")
 }
+
+/** Native codegen'd in-order squared euclidean distance Σ_i (a_i−b_i)² —
+  * the k-means assign/probe-score inner loop, run n×nCells times per
+  * Lloyd's iteration and per probe batch. Same fold order and per-element
+  * ops as the `aggregate(zip_with(a, b, (x, c) => (x−c)·(x−c)))` chain it
+  * replaces → bit-identical distances, so trained centroids and every
+  * downstream IVF result are unchanged. Null contract as [[VecDot]].
+  */
+case class VecSqDist(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_sqdist requires two ARRAY<FLOAT|DOUBLE>, got ${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_sqdist"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    val fx = isFloat(left)
+    val fy = isFloat(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xi - yi
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gx = if (isFloat(left)) "getFloat" else "getDouble"
+    val gy = if (isFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val dd = ctx.freshName("d")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    double $dd = ((double) $a.$gx($i)) - ((double) $b.$gy($i));
+         |    $acc += $dd * $dd;
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): VecSqDist =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecSqDist {
+  val info = new ExpressionInfo(
+    classOf[VecSqDist].getName, null, "vec_sqdist",
+    "_FUNC_(a, b) - in-order double-fold squared euclidean distance of two numeric arrays.",
+    "")
+}

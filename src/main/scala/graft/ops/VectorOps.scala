@@ -188,11 +188,13 @@ object VectorOps {
       .limit(nCells).collect().zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Double](1) }.toMap
     def centroidDf = cents.toSeq.sortBy(_._1).toDF("cell", "centroid")
+    graft.functions.GraftFunctions.register(spark)
     def assign(cDf: DataFrame): DataFrame =
       emb.crossJoin(broadcast(cDf))
-        .withColumn("dist", aggregate(
-          zip_with(col("vec"), col("centroid"), (x, c) => (x - c) * (x - c)),
-          lit(0.0), (acc, v) => acc + v))
+        // native codegen fold — bit-identical to the zip_with chain it
+        // replaced, so trained centroids are unchanged; this is the
+        // n×nCells-per-iteration inner loop of the index build
+        .withColumn("dist", call_function("vec_sqdist", col("vec"), col("centroid")))
         .groupBy("vec_id")
         .agg(min(struct(col("dist"), col("cell"))).as("m"))
         .select(col("vec_id"), col("m.cell").as("cell"))
@@ -289,13 +291,14 @@ object VectorOps {
     * table (nCells rows), ranked, kept — all on executors.
     */
   private def probeNearestCells(centroids: DataFrame, probes: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(probes.sparkSession)
     val wc = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
       .orderBy(col("cdist").asc, col("cell").asc)
     probes.crossJoin(broadcast(centroids))
+      // native fold (bit-identical) — runs probes×nCells times, which for
+      // corpus-sized probe batches is another O(n×nCells) interpreted loop
       .withColumn("cdist",
-        aggregate(zip_with(col("probe_vec"), col("centroid"),
-          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-          lit(0.0), (acc, v) => acc + v))
+        call_function("vec_sqdist", col("probe_vec"), col("centroid")))
       .withColumn("crnk", row_number().over(wc))
       .filter(col("crnk") <= IvfProbe)
       .select(col("probe_id"), col("probe_vec"), col("cell"))

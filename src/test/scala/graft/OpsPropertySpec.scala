@@ -436,9 +436,20 @@ class OpsPropertySpec extends SparkSpec {
     val evald = graft.functions.VecDot(lit_a, lit_b).eval(null)
     assert(java.lang.Double.doubleToLongBits(evald.asInstanceOf[Double]) ==
       java.lang.Double.doubleToLongBits(rows(0).getDouble(1)))
+    // vec_sqdist: bit-parity with its zip_with chain (the k-means fold)
+    val sq = df.selectExpr("id", "vec_sqdist(x, y) AS native",
+      """aggregate(zip_with(x, y, (p, q) -> (CAST(p AS DOUBLE) - CAST(q AS DOUBLE))
+        |  * (CAST(p AS DOUBLE) - CAST(q AS DOUBLE))),
+        |CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS hof""".stripMargin)
+      .orderBy("id").collect()
+    sq.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2))))
+    assert(sq(1).getDouble(1) == 0.0) // identical vectors: exactly zero
     // null contract mirrors the HOF chain: length mismatch / null element
     val edge = Seq((1L, Seq(1.0f, 2.0f), Seq(1.0f))).toDF("id", "x", "y")
     assert(edge.selectExpr("vec_dot(x, y)").head().isNullAt(0))
+    assert(edge.selectExpr("vec_sqdist(x, y)").head().isNullAt(0))
     assert(spark.sql("SELECT vec_dot(array(1.0D, NULL), array(1.0D, 2.0D))")
       .head().isNullAt(0))
     assert(spark.sql("SELECT vec_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D))")
