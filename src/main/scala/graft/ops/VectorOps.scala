@@ -430,6 +430,54 @@ object VectorOps {
     semanticDedupOverIndex(assignments, centroids, vectors, threshold)
   }
 
+  /** Sharded IVF — the documented single-index ceiling is the nCells cap
+    * (driver-resident centroid matrix + the probe-side centroid broadcast
+    * both grow with nCells), which pins occupancy once the corpus passes
+    * ~IvfMaxCells × target rows. S independent indexes over deterministic
+    * hash-slices of the corpus (pmod(xxhash64(vec_id), S)) relax that
+    * ceiling to S× without widening the driver: each shard trains only on
+    * its slice, and a search probes EVERY shard and merges by exact
+    * cosine — a vector's true neighbors are spread across shards, and
+    * each shard surfaces its own, so the self-hit guarantee and recall
+    * compose. Shard builds are independent jobs (a scheduled refresh can
+    * run them serially or as separate submissions).
+    */
+  def buildShardedIvfIndex(vectors: DataFrame, db: String, nShards: Int,
+                           iterations: Int = 2): Unit = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    for (sh <- 0 until nShards) {
+      val slice = vectors.filter(
+        pmod(xxhash64(col("vec_id")), lit(nShards.toLong)) === sh)
+      val cells = adaptiveIvfCells(slice.count())
+      val (assignments, centroids) = ivfIndex(slice, cells, iterations)
+      graft.store.Warehouse.saveModel(assignments, db, s"${IvfAssignmentsTable}_$sh")
+      graft.store.Warehouse.saveModel(centroids, db, s"${IvfCentroidsTable}_$sh")
+    }
+  }
+
+  /** Top-k search across a sharded index: per-shard candidates union into
+    * ONE global rank — exact cosine makes the merge trivially correct
+    * (no per-shard score calibration needed).
+    */
+  def ivfCosineTopkFromShardedIndex(s: SparkSession, d: String, db: String,
+                                    nShards: Int): DataFrame = {
+    val probes = t(s, d, "embeddings").filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val perShard = (0 until nShards).map { sh =>
+      searchIvfCandidates(
+        s.table(s"`$db`.`${IvfAssignmentsTable}_$sh`"),
+        probeNearestCells(s.table(s"`$db`.`${IvfCentroidsTable}_$sh`"), probes),
+        largeProbeSide = false)
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    perShard.reduce(_ unionByName _)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("probe_id", "rnk", "neighbor_id", "cosine")
+      .orderBy("probe_id", "rnk")
+  }
+
   /** Semantic dedup served from a PERSISTED index ([[buildIvfIndex]]) —
     * the scheduled-maintenance posture: the quantizer trains on the index
     * refresh cadence, and the (possibly much more frequent) dedup sweep

@@ -225,6 +225,34 @@ class OpsPropertySpec extends SparkSpec {
     assert(fromIdx == inSession)
   }
 
+  test("sharded ivf index: self-hit survives the shard merge, recall composes") {
+    val db = "ivf_shard_db"
+    VectorOps.buildShardedIvfIndex(Tables.t(spark, sf, "embeddings"), db, nShards = 2)
+    (0 until 2).foreach { sh =>
+      assert(spark.catalog.tableExists(s"$db.${VectorOps.IvfAssignmentsTable}_$sh"))
+      // shards hold disjoint slices covering the corpus
+    }
+    val n0 = spark.table(s"$db.${VectorOps.IvfAssignmentsTable}_0").count()
+    val n1 = spark.table(s"$db.${VectorOps.IvfAssignmentsTable}_1").count()
+    assert(n0 > 0 && n1 > 0 &&
+      n0 + n1 == Tables.t(spark, sf, "embeddings").count())
+    val got = VectorOps.ivfCosineTopkFromShardedIndex(spark, sf, db, nShards = 2)
+      .collect()
+    assert(got.length == 25)
+    // a probe lives in exactly one shard, whose index must surface it at
+    // rank 1 (same self-hit argument as the single index)
+    got.filter(_.getAs[Int]("rnk") == 1).foreach { r =>
+      assert(r.getAs[Long]("probe_id") == r.getAs[Long]("neighbor_id"))
+      assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-12)
+    }
+    // merged recall holds the single-index floor vs exact brute force
+    val exact = VectorOps.knnCosineTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val mine = got.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact intersect mine).size.toDouble / exact.size
+    assert(recall >= 0.6, s"sharded recall@5 = $recall")
+  }
+
   test("multimodal meta: real header parse end-to-end, deterministic and batched") {
     val media = MultimodalOps.mediaFromDocuments(spark, sf).limit(20)
     val meta = MultimodalOps.extractMeta(media).collect()
