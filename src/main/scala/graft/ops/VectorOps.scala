@@ -582,25 +582,24 @@ object VectorOps {
       .filter(col("vec_a") < col("vec_b"))
       .distinct()
 
-    // Confirm stage: vectors exploded ONCE into (vec_id, i, x) — no array
-    // duplication through the pair expansion; both joins are keyed
-    // equi-joins (AQE broadcasts the small side when it fits).
-    val ex = vectors
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .withColumn("xd", col("x").cast("double"))
-    val prods = cands
-      .join(ex.select(col("vec_id").as("vec_a"), col("i"), col("xd").as("xa")), "vec_a")
-      .join(ex.select(col("vec_id").as("vec_b"), col("i"), col("xd").as("xb")),
-        Seq("vec_b", "i"))
+    // Confirm stage: candidates rejoin the vectors (two keyed equi-joins —
+    // AQE broadcasts the small side when it fits) and the exact cosine is
+    // ONE native codegen fold per pair (vec_dot) with norms precomputed
+    // once per vector. This replaced an explode → per-dimension join →
+    // fixed-point hash aggregation: that shape existed to avoid
+    // interpreted HOF lambdas, which the native expression obsoletes —
+    // and it shuffled pairs×dims rows where this moves pairs×2 vectors.
+    val vecs = vectors.select(col("vec_id"), col("embedding"))
+      .withColumn("l2n", sqrt(call_function("vec_dot",
+        col("embedding"), col("embedding"))))
+    cands
+      .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
+        col("l2n").as("la")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
+        col("l2n").as("lb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
-        (col("xa") * col("xb") * lit(1e15)).cast("bigint").as("prod"))
-    val norms = bits.select(col("vec_id"), col("l2"))
-    prods.groupBy("vec_a", "vec_b")
-      .agg((sum("prod").cast("double") / lit(1e15)).as("dot"))
-      .join(norms.select(col("vec_id").as("vec_a"), col("l2").as("la")), "vec_a")
-      .join(norms.select(col("vec_id").as("vec_b"), col("l2").as("lb")), "vec_b")
-      .select(col("vec_a"), col("vec_b"),
-        (col("dot") / (col("la") * col("lb"))).as("cosine"))
+        (call_function("vec_dot", col("va"), col("vb"))
+          / (col("la") * col("lb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy("vec_a", "vec_b")
   }
