@@ -44,6 +44,10 @@ object Bench {
     // load). Cached state resets between passes so every pass measures a
     // cold plan, not the previous pass's persisted frames.
     val runs = math.max(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt, 1)
+    // parsed BEFORE any timed work: a malformed value must fail fast, not
+    // after minutes of passes with the JSON line still unprinted
+    val extraPasses = math.max(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIVIAL_EXTRA", "2").toInt, 0)
     val perRun = (1 to runs).map { r =>
       val res = oneRun()
       if (r < runs) {
@@ -74,19 +78,21 @@ object Bench {
     // is bounded by (number of sub-second queries × 1 s × passes), and the
     // reported min converges to the real floor. Resets are skipped here —
     // PlanCache/persist only matter for the heavy queries, which never
-    // take this path.
+    // take this path. A pass that FAILS counts into the flaky map like a
+    // failed main pass — the stabilizer must not hide intermittent errors
+    // behind the fastest success.
     val ExtraPassCutoffSec = 1.0
-    val ExtraPasses = math.max(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIVIAL_EXTRA", "2").toInt, 0)
     val stabilized = results.map {
-      case (n, v, None, f) if v < ExtraPassCutoffSec && ExtraPasses > 0 =>
-        val extra = (1 to ExtraPasses).map { _ =>
+      case (n, v, None, f) if v < ExtraPassCutoffSec && extraPasses > 0 =>
+        val extra = (1 to extraPasses).map { _ =>
           val t0 = System.nanoTime()
           val err = try { SparkEntry.queries(n)(spark, sfDir).count(); None }
           catch { case e: Throwable => Some(e) }
-          if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
+          (if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else Double.MaxValue,
+            err)
         }
-        (n, math.min(v, extra.min), None, f)
+        (n, math.min(v, extra.map(_._1).min), None,
+          f + extra.count(_._2.nonEmpty))
       case other => other
     }
     // 4 decimals (0.1 ms): keeps the single JSON line well inside the

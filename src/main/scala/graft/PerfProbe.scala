@@ -132,27 +132,32 @@ object PerfProbe {
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(allNames)
       println(f"${"query"}%-26s ${"sf0.1"}%8s ${s"${k}x"}%8s ${"ratio"}%7s  (linear ≈ $k)")
-      names.foreach { n =>
+      val bigTimes = names.map { n =>
         val base = time(spark, n, d)
         val big = time(spark, n, scaled)
         println(f"$n%-26s $base%8.2f $big%8.2f ${big / base}%7.2f")
-      }
+        n -> big
+      }.toMap
 
-      // Skewed-id packing probe: one far-outlier doc_id inflates the id
-      // SPAN 1000× while the data volume is unchanged — equi-depth
-      // bucketing must hold the wall time ≈ the uniform corpus (range
-      // bucketing would serialize the whole prefix sum into one task).
-      // (the packing query reads only `documents`, so the skew dir holds
-      // just the remapped corpus)
-      val skewed = TempDirs.create(s"graft-sf-skew-k$k")
-      val sdocs = Tables.t(spark, scaled, "documents")
-      val mxId = sdocs.agg(max("doc_id")).head.getLong(0)
-      sdocs.withColumn("doc_id",
-        when(col("doc_id") === mxId, lit(mxId * 1000L)).otherwise(col("doc_id")))
-        .write.mode("overwrite").parquet(s"$skewed/documents.parquet")
-      val uni = time(spark, "q_pack_sequences", scaled)
-      val skw = time(spark, "q_pack_sequences", skewed)
-      println(f"q_pack_sequences skew-id   $uni%8.2f $skw%8.2f ${skw / uni}%7.2f  (vs uniform ${k}x — ≈1 is balanced)")
+      // Skewed-id packing probe (only when the sweep covers packing — a
+      // SPARK_GRAFT_SCALE_ONLY subset without it skips the corpus rewrite):
+      // one far-outlier doc_id inflates the id SPAN 1000× while the data
+      // volume is unchanged — equi-depth bucketing must hold the wall time
+      // ≈ the uniform corpus (range bucketing would serialize the whole
+      // prefix sum into one task). The uniform-corpus time is reused from
+      // the sweep above; the packing query reads only `documents`, so the
+      // skew dir holds just the remapped corpus.
+      if (names.contains("q_pack_sequences")) {
+        val skewed = TempDirs.create(s"graft-sf-skew-k$k")
+        val sdocs = Tables.t(spark, scaled, "documents")
+        val mxId = sdocs.agg(max("doc_id")).head.getLong(0)
+        sdocs.withColumn("doc_id",
+          when(col("doc_id") === mxId, lit(mxId * 1000L)).otherwise(col("doc_id")))
+          .write.mode("overwrite").parquet(s"$skewed/documents.parquet")
+        val uni = bigTimes("q_pack_sequences")
+        val skw = time(spark, "q_pack_sequences", skewed)
+        println(f"q_pack_sequences skew-id   $uni%8.2f $skw%8.2f ${skw / uni}%7.2f  (vs uniform ${k}x — ≈1 is balanced)")
+      }
     } else {
       val names = Seq("q_dedup_exact_text", "q_dedup_minhash", "q_except_intersect",
         "q_knn_cosine_topk", "q_concat_partition_key", "q_join_equi",

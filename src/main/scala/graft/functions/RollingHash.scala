@@ -83,9 +83,23 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", exprs => NfcNormalize(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
+      "vec_dot", exprs => {
+        val (a, b) = binary("vec_dot", exprs); VecDot(a, b)
+      }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_sqdist", exprs => VecSqDist(exprs(0), exprs(1)), "scala_udf")
+      "vec_sqdist", exprs => {
+        val (a, b) = binary("vec_sqdist", exprs); VecSqDist(a, b)
+      }, "scala_udf")
+  }
+
+  /** Arity gate for 2-arg builders — a clear analysis-time message instead
+    * of an IndexOutOfBoundsException from the registry lambda.
+    */
+  private[functions] def binary(name: String,
+                                exprs: Seq[Expression]): (Expression, Expression) = {
+    require(exprs.length == 2,
+      s"$name requires exactly 2 arguments, got ${exprs.length}")
+    (exprs(0), exprs(1))
   }
 }
 
@@ -114,11 +128,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       VecDot.info,
-      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        val (a, b) = GraftFunctions.binary("vec_dot", exprs); VecDot(a, b)
+      }))
     ext.injectFunction((
       FunctionIdentifier("vec_sqdist"),
       VecSqDist.info,
-      (exprs: Seq[Expression]) => VecSqDist(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        val (a, b) = GraftFunctions.binary("vec_sqdist", exprs); VecSqDist(a, b)
+      }))
     // resolution-stage so the filter is in the analyzed plan (cache-safe)
     ext.injectPostHocResolutionRule(spark => graft.plans.TenantIsolationRule(spark))
   }

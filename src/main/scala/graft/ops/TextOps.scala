@@ -82,11 +82,9 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** Exact dedup on normalized text hash, keep-lowest-id
-    * (hash-groupBy — one shuffle on the 256-bit digest; scales linearly).
-    */
   /** Batch-local exact-dedup groups over any (doc_id, text) frame:
-    * (text_hash, keep-lowest doc_id, duplicate count). Shared by the batch
+    * (text_hash, keep-lowest doc_id, duplicate count) — hash-groupBy, one
+    * shuffle on the 256-bit digest, scales linearly. Shared by the batch
     * operator below and the streaming ingest bridge
     * ([[graft.streaming.StreamingOps.sinkDedupedLog]]) so both paths run
     * the SAME dedup expressions.
@@ -96,6 +94,7 @@ object TextOps {
       .groupBy(sha2(lower(trim(col("text"))), 256).as("text_hash"))
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_cnt"))
 
+  /** Exact dedup on normalized text hash, keep-lowest-id. */
   def dedupExactText(s: SparkSession, d: String): DataFrame =
     dedupGroups(t(s, d, "documents"))
       .select("doc_id", "dup_cnt")
