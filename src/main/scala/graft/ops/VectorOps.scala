@@ -184,7 +184,10 @@ object VectorOps {
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("vec")))
-    var cents: Map[Int, Seq[Double]] = emb.orderBy(xxhash64(col("vec_id")))
+    // vec_id tie-break: two ids hashing equal would otherwise make the
+    // seed sample depend on partition layout (orderBy is not stable)
+    var cents: Map[Int, Seq[Double]] = emb
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(nCells).collect().zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Double](1) }.toMap
     def centroidDf = cents.toSeq.sortBy(_._1).toDF("cell", "centroid")
