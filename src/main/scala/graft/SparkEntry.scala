@@ -51,6 +51,7 @@ object SparkEntry {
     "q_grouping_sets"       -> (Relational.groupingSets _),
     "q_multimodal_meta"     -> (MultimodalOps.multimodalMeta _),
     "q_multimodal_header"   -> (MultimodalOps.multimodalHeader _),
+    "q_av_meta"             -> (MultimodalOps.avMeta _),
     "q_pivot_status"        -> (Relational.pivotStatus _),
     "q_json_extract"        -> (EventOps.jsonExtract _),
     "q_asof_last_click"     -> (EventOps.asofLastClick _),
@@ -579,6 +580,26 @@ object SparkEntry {
         |            WHEN 4 THEN 'webp' ELSE 'tiff' END AS format,
         |       CAST(16 + (doc_id * 7 % 2048) AS INTEGER) AS width,
         |       CAST(16 + (doc_id * 13 % 2048) AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // WAV/MP4 fixture round-trip: the Spark side PARSES the crafted
+    // containers (data-size/byte-rate division for WAV duration); the
+    // oracle recomputes the doc_id derivations directly
+    "q_av_meta" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS format,
+        |       CAST(CASE WHEN doc_id % 2 = 0
+        |            THEN octet_length(CAST(text AS BLOB)) * 1000
+        |                 // ((8000 + doc_id * 37 % 40000)
+        |                    * (1 + (doc_id // 2) % 2) * 2)
+        |            ELSE (doc_id * 13 % 100000) * 1000
+        |                 // (1000 + doc_id % 9000)
+        |       END AS BIGINT) AS duration_ms,
+        |       CAST(CASE WHEN doc_id % 2 = 0
+        |            THEN 8000 + doc_id * 37 % 40000 ELSE 0
+        |       END AS INTEGER) AS sample_rate,
+        |       CAST(CASE WHEN doc_id % 2 = 0
+        |            THEN 1 + (doc_id // 2) % 2 ELSE 0
+        |       END AS INTEGER) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_label_centroid" ->
       """WITH ex AS (

@@ -176,6 +176,127 @@ object MultimodalOps {
     if (w > 0 && h > 0) Some(("tiff", w, h)) else None
   }
 
+  /** ==== audio/video containers ==== — same pure-byte discipline as the
+    * image parsers: WAV (RIFF/WAVE chunk walk) and MP4 (ISO-BMFF box walk)
+    * yield (format, duration_ms, sample_rate, channels); video/audio
+    * DECODE stays stubbed (no codecs here), the container metadata is
+    * real.
+    */
+
+  /** WAV: "RIFF" <size> "WAVE", then chunks of [fourcc, le32 size]. The
+    * "fmt " chunk carries channels (le16 at +2), sample rate (le32 at +4)
+    * and byte rate (le32 at +8); the "data" chunk's SIZE over the byte
+    * rate is the duration. Chunks are word-aligned (odd sizes pad 1).
+    */
+  private def parseWav(p: Array[Byte]): Option[(String, Long, Int, Int)] = {
+    if (p.length < 12 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
+      p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E') return None
+    var i = 12
+    var channels = -1
+    var sampleRate = -1
+    var byteRate = -1L
+    var dataSize = -1L
+    while (i + 8 <= p.length && (channels < 0 || dataSize < 0)) {
+      val id = new String(p.slice(i, i + 4), "US-ASCII")
+      val sz = le32(p, i + 4).toLong & 0xffffffffL
+      if (id == "fmt " && i + 8 + 16 <= p.length) {
+        channels = le16(p, i + 10)
+        sampleRate = le32(p, i + 12)
+        byteRate = le32(p, i + 16).toLong & 0xffffffffL
+      } else if (id == "data") dataSize = sz
+      i += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    if (channels <= 0 || sampleRate <= 0 || byteRate <= 0 || dataSize < 0) None
+    else Some(("wav", dataSize * 1000L / byteRate, sampleRate, channels))
+  }
+
+  /** MP4 (ISO base media): top-level boxes of [be32 size, fourcc] — `ftyp`
+    * authenticates the container, `moov`/`mvhd` carries the movie
+    * timescale and duration (version 0: u32s at +20/+24 past the box
+    * header; version 1: u64 duration at +32 past 8-byte times). Trailing
+    * non-box bytes are never reached: the walk stops once both boxes are
+    * seen or a size field goes invalid.
+    */
+  private def parseMp4(p: Array[Byte]): Option[(String, Long, Int, Int)] = {
+    if (p.length < 16) return None
+    var i = 0
+    var sawFtyp = false
+    var duration = -1L
+    while (i + 8 <= p.length && !(sawFtyp && duration >= 0)) {
+      val sz = be32(p, i)
+      val typ = new String(p.slice(i + 4, i + 8), "US-ASCII")
+      if (sz < 8 || i + sz > p.length) return if (sawFtyp && duration >= 0)
+        Some(("mp4", duration, 0, 0)) else None
+      typ match {
+        case "ftyp" => sawFtyp = true
+        case "moov" =>
+          var j = i + 8
+          while (j + 8 <= i + sz && duration < 0) {
+            val bsz = be32(p, j)
+            if (bsz < 8 || j + bsz > i + sz) return None
+            if (new String(p.slice(j + 4, j + 8), "US-ASCII") == "mvhd") {
+              val v = p(j + 8) & 0xff
+              if (v == 0 && j + 28 <= p.length) {
+                val timescale = be32(p, j + 20)
+                if (timescale > 0)
+                  duration = be32(p, j + 24) * 1000L / timescale
+              } else if (v == 1 && j + 40 <= p.length) {
+                val timescale = be32(p, j + 28)
+                val dur = (be32(p, j + 32) << 32) | be32(p, j + 36)
+                if (timescale > 0) duration = dur * 1000L / timescale
+              }
+            }
+            j += bsz.toInt
+          }
+        case _ => ()
+      }
+      i += sz.toInt
+    }
+    if (sawFtyp && duration >= 0) Some(("mp4", duration, 0, 0)) else None
+  }
+
+  /** Real byte-level AV header parsing — (format, duration_ms,
+    * sample_rate, channels); audio-only fields are 0 for video containers.
+    */
+  private[graft] def parseAvHeader(p: Array[Byte]): Option[(String, Long, Int, Int)] =
+    parseWav(p).orElse(parseMp4(p))
+
+  /** Crafted AV container headers (fixture + parser tests share these).
+    * WAV: the caller appends `dataLen` payload bytes after the header —
+    * the data chunk size covers exactly them. MP4: a minimal ftyp+moov;
+    * trailing payload bytes are never parsed.
+    */
+  private[graft] def craftAvHeader(fmt: String, a: Long, b: Long,
+                                   dataLen: Int = 0): Array[Byte] = fmt match {
+    case "wav" => // a = sample rate, b = channels
+      val byteRate = a.toInt * b.toInt * 2
+      val bb = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(b.toShort)
+        .putInt(a.toInt)
+        .putInt(byteRate)
+        .putShort((b * 2).toShort) // block align
+        .putShort(16) // bits/sample
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      bb.array()
+    case "mp4" => // a = timescale, b = duration (media units)
+      val bb = java.nio.ByteBuffer.allocate(16 + 8 + 108) // ftyp + moov(mvhd)
+      bb.putInt(16).put("ftyp".getBytes("US-ASCII"))
+        .put("isom".getBytes("US-ASCII")).putInt(0x200)
+      bb.putInt(8 + 108).put("moov".getBytes("US-ASCII"))
+      bb.putInt(108).put("mvhd".getBytes("US-ASCII"))
+        .putInt(0) // version 0 + flags
+        .putInt(0).putInt(0) // ctime, mtime
+        .putInt(a.toInt).putInt(b.toInt) // timescale, duration
+      // rest of the 108-byte mvhd (rate, volume, matrix, next-track) stays 0
+      bb.array()
+    case other => throw new IllegalArgumentException(s"unknown av format: $other")
+  }
+
   /** Minimal valid header bytes for each format with the given dimensions —
     * the fixture-enrichment writer ([[mediaFromDocuments]]) and the parser
     * tests share this so the parsed dimensions are real round-trips.
@@ -327,6 +448,55 @@ object MultimodalOps {
     */
   private[graft] val FixtureFormats =
     Vector("png", "bmp", "jpeg", "gif", "webp", "tiff")
+
+  final case class AvMeta(docId: Long, format: String, durationMs: Long,
+                          sampleRate: Int, channels: Int)
+
+  /** AV fixture: WAV for even doc_id (the text bytes ARE the data chunk,
+    * so the parsed duration is a real size/byte-rate quotient), MP4 for
+    * odd (text rides as trailing bytes the box walk never reaches). The
+    * rate/timescale/duration derivations are doc_id arithmetic the
+    * q_av_meta oracle recomputes.
+    */
+  def avFromDocuments(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    graft.Tables.t(s, d, "documents")
+      .select(col("doc_id").as("docId"), col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+      .map { r =>
+        val header =
+          if (r.docId % 2 == 0)
+            craftAvHeader("wav", 8000 + r.docId * 37 % 40000,
+              1 + (r.docId / 2) % 2, r.payload.length)
+          else craftAvHeader("mp4", 1000 + r.docId % 9000, r.docId * 13 % 100000)
+        MediaRow(r.docId, header ++ r.payload)
+      }
+  }
+
+  /** Typed AV metadata over binary payloads — same per-partition batching
+    * contract as [[extractMeta]].
+    */
+  def extractAvMeta(media: Dataset[MediaRow]): Dataset[AvMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (fmt, dur, sr, ch) =
+          parseAvHeader(r.payload).getOrElse(("unknown", -1L, 0, 0))
+        AvMeta(r.docId, fmt, dur, sr, ch)
+      }
+    }
+  }
+
+  /** Oracle-gated AV leg: real WAV/MP4 container parsing round-trips the
+    * crafted fixture; DuckDB recomputes the doc_id-derived rate, channel
+    * and duration values (incl. the data-size/byte-rate division).
+    */
+  def avMeta(s: SparkSession, d: String): DataFrame =
+    extractAvMeta(avFromDocuments(s, d))
+      .select(col("docId").as("doc_id"), col("format"),
+        col("durationMs").as("duration_ms"),
+        col("sampleRate").as("sample_rate"), col("channels"))
+      .orderBy("doc_id")
 
   /** Oracle-gated header leg: the fixture's crafted containers round-trip
     * through the REAL byte parsers, so format/width/height are exactly the

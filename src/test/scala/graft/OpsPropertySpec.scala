@@ -342,6 +342,21 @@ class OpsPropertySpec extends SparkSpec {
     // TIFF with an IFD offset past the payload must not crash or sniff
     val truncTiff = craftHeader("tiff", 10, 10).take(8)
     assert(parseHeader(truncTiff).isEmpty)
+    // WAV/MP4 container round-trips (AV leg): WAV duration is the data
+    // size over the byte rate; MP4 duration is mvhd units over timescale
+    import MultimodalOps.{craftAvHeader, parseAvHeader}
+    val wav = craftAvHeader("wav", 16000, 2, dataLen = 64000) ++
+      Array.fill(64000)(0x11.toByte)
+    assert(parseAvHeader(wav) == Some(("wav", 1000L, 16000, 2))) // 64000/(16000*2*2)=1s
+    val mp4 = craftAvHeader("mp4", 1000, 2500)
+    assert(parseAvHeader(mp4) == Some(("mp4", 2500L, 0, 0)))
+    // trailing junk after the boxes is never parsed
+    assert(parseAvHeader(mp4 ++ "some trailing text".getBytes("UTF-8"))
+      == Some(("mp4", 2500L, 0, 0)))
+    // truncation and non-AV payloads fall through
+    assert(parseAvHeader(craftAvHeader("wav", 16000, 2, 64).take(20)).isEmpty)
+    assert(parseAvHeader("RIFFxxxxWEBP".getBytes("US-ASCII")).isEmpty)
+    assert(parseAvHeader("plain text".getBytes("UTF-8")).isEmpty)
     // non-media payloads reach the (labeled) deterministic stub, whose
     // sentinel format is disjoint from genuinely parsed containers
     val m = MultimodalOps.MediaRow(1L, "plain text payload".getBytes("UTF-8"))
