@@ -125,7 +125,8 @@ object PerfProbe {
         "q_ivf_cosine_topk", "q_ivf_semantic_dedup", "q_simhash_near_dup",
         "q_top_terms_per_lang", "q_ngram_jaccard", "q_mode_full_snapshot",
         "q_sample_stratified", "q_mix_weighted", "q_pack_sequences",
-        "q_partition_backfill", "q_mode_watermark_append")
+        "q_partition_backfill", "q_mode_watermark_append",
+        "q_multimodal_header", "q_av_meta", "q_corpus_clean")
       // SPARK_GRAFT_SCALE_ONLY=a,b,c re-probes a subset after a targeted fix
       // without paying the full sweep
       val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
