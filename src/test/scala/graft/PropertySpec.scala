@@ -97,4 +97,51 @@ object PropertySpec extends Properties("graft") {
       // a later start can never yield an earlier fire
       !c.nextAfter(hi).isBefore(c.nextAfter(lo))
     }
+
+  // ---- media container parsers: craft→parse round-trip laws ----
+
+  private val imgFmtGen = Gen.oneOf(graft.ops.MultimodalOps.FixtureFormats)
+  private val dimGen = Gen.choose(1, 16383) // VP8 14-bit cap binds all
+
+  property("mediaHeader.craftParseRoundTrip") =
+    forAll(imgFmtGen, dimGen, dimGen) { (fmt, w, h) =>
+      graft.ops.MultimodalOps.parseHeader(
+        graft.ops.MultimodalOps.craftHeader(fmt, w, h)) == Some((fmt, w, h))
+    }
+
+  property("mediaHeader.survivesArbitraryBody") =
+    forAll(imgFmtGen, dimGen, dimGen, Gen.listOfN(32, Gen.choose(-128, 127))) {
+      (fmt, w, h, body) =>
+        graft.ops.MultimodalOps.parseHeader(
+          graft.ops.MultimodalOps.craftHeader(fmt, w, h)
+            ++ body.map(_.toByte).toArray) == Some((fmt, w, h))
+    }
+
+  property("avHeader.wavRoundTripDurationQuotient") =
+    forAll(Gen.choose(8000, 48000), Gen.choose(1, 2), Gen.choose(0, 1 << 20)) {
+      (sr, ch, dataLen) =>
+        val parsed = graft.ops.MultimodalOps.parseAvHeader(
+          graft.ops.MultimodalOps.craftAvHeader("wav", sr, ch, dataLen)
+            ++ new Array[Byte](dataLen))
+        parsed == Some(("wav", dataLen.toLong * 1000L / (sr * ch * 2), sr, ch))
+    }
+
+  property("avHeader.mp4RoundTripTimescaleQuotient") =
+    forAll(Gen.choose(1, 1000000), Gen.choose(0, 1000000)) { (timescale, dur) =>
+      graft.ops.MultimodalOps.parseAvHeader(
+        graft.ops.MultimodalOps.craftAvHeader("mp4", timescale, dur)) ==
+        Some(("mp4", dur.toLong * 1000L / timescale, 0, 0))
+    }
+
+  property("vecDot.matchesReferenceFoldAndIsSymmetric") =
+    forAll(Gen.listOfN(64, Gen.choose(-1000, 1000).map(_ / 100.0))) { xs =>
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      def lit(v: Seq[Double]) = Literal.create(v, ArrayType(DoubleType))
+      val ys = xs.reverse
+      val ab = graft.functions.VecDot(lit(xs), lit(ys)).eval(null).asInstanceOf[Double]
+      val ba = graft.functions.VecDot(lit(ys), lit(xs)).eval(null).asInstanceOf[Double]
+      val ref = xs.zip(ys).foldLeft(0.0)((a, p) => a + p._1 * p._2)
+      java.lang.Double.doubleToLongBits(ab) == java.lang.Double.doubleToLongBits(ref) &&
+        java.lang.Double.doubleToLongBits(ab) == java.lang.Double.doubleToLongBits(ba)
+    }
 }
