@@ -66,6 +66,7 @@ object SparkEntry {
     "q_quality_score"       -> (TextOps.qualityScore _),
     "q_lang_id"             -> (TextOps.langId _),
     "q_dedup_exact_text"    -> (TextOps.dedupExactText _),
+    "q_dedup_clusters"      -> (GraphOps.dedupClusters _),
     "q_dedup_minhash"       -> (TextOps.dedupMinhash _),
     "q_simhash"             -> (TextOps.simhash _),
     "q_simhash_near_dup"    -> (TextOps.simhashNearDup _),
@@ -396,6 +397,28 @@ object SparkEntry {
     "q_dedup_exact_text" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_cnt FROM documents
         |GROUP BY sha256(lower(trim(text))) ORDER BY doc_id""".stripMargin,
+    // transitive dedup clusters: the iterative label-propagation engine
+    // result must equal DuckDB's declarative recursive-CTE closure
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE
+        |bounds AS (SELECT max(doc_id) AS mx FROM documents),
+        |e AS (
+        |    SELECT doc_id AS src, doc_id + 1 AS dst FROM documents, bounds
+        |    WHERE doc_id % 10 <> 9 AND doc_id + 1 <= mx
+        |      AND doc_id + 1 IN (SELECT doc_id FROM documents)
+        |    UNION ALL
+        |    SELECT doc_id AS src, doc_id + 2 AS dst FROM documents, bounds
+        |    WHERE doc_id % 10 < 5 AND doc_id + 2 <= mx
+        |      AND doc_id + 2 IN (SELECT doc_id FROM documents)
+        |),
+        |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |reach(id, r) AS (
+        |    SELECT doc_id, doc_id FROM documents
+        |    UNION
+        |    SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id
+        |)
+        |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach
+        |GROUP BY id ORDER BY doc_id""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH tok AS (
         |    SELECT doc_id, lang,

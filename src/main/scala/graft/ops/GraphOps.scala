@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Graph operators for dedup canonicalization: near-dup/exact-dup PAIRS
+  * only say "a duplicates b" — a pipeline needs the TRANSITIVE cluster
+  * (a~b, b~c ⇒ {a,b,c}) and one canonical survivor per cluster to decide
+  * what to keep. That is connected components over the duplicate-pair
+  * edge set.
+  */
+object GraphOps {
+
+  /** Connected components over an undirected edge set — every vertex maps
+    * to its component's minimum vertex id (the canonical "keep" id of a
+    * duplicate cluster).
+    *
+    * Shape: each round combines MIN-LABEL PROPAGATION (adopt the smallest
+    * label among yourself and your neighbors — one keyed join + one
+    * map-side-combinable min aggregate) with POINTER JUMPING (adopt your
+    * label's own label — one self-join), so convergence is O(log diameter)
+    * rounds instead of O(diameter) for plain propagation over long chains.
+    * Per round the driver sees ONE scalar (the changed-label count for the
+    * fixpoint test).
+    *
+    * Iteration discipline: each round's labels are CHECKPOINTED (eager
+    * localCheckpoint), not merely persisted — a persist caches the data
+    * but the LOGICAL plan still references every prior round (the labels
+    * frame feeds three branches per round, so the plan quadruples each
+    * iteration: plan rendering alone OOMs past ~10 rounds). Checkpointing
+    * flattens the plan to the materialized rows. On a multi-executor
+    * cluster with executor churn, swap localCheckpoint for reliable
+    * `checkpoint()` against a checkpoint dir — same shape, durable blocks.
+    * Old rounds' blocks are reclaimed by the ContextCleaner once
+    * unreferenced. Deterministic: min is order-independent.
+    *
+    * `edges`: (src, dst) — symmetrized internally, self-loops harmless.
+    * `vertices`: (id) — vertices with no edges become singleton clusters.
+    */
+  def connectedComponents(edges: DataFrame, vertices: DataFrame,
+                          maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .union(edges.select(col("dst").cast("long").as("src"),
+        col("src").cast("long").as("dst")))
+      .persist()
+    try {
+      var labels = vertices.select(col("id").cast("long").as("id"),
+        col("id").cast("long").as("label")).localCheckpoint(true)
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIter) {
+        val nbrMin = sym.join(labels, sym("src") === labels("id"))
+          .select(col("dst").as("id"), col("label"))
+          .groupBy("id").agg(min("label").as("nbr_label"))
+        val prop = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("label").as("prev"),
+            least(col("label"), coalesce(col("nbr_label"), col("label")))
+              .as("label"))
+        // pointer jump: every label is a real vertex id, so look up that
+        // vertex's own label and take the smaller (halves chain depth)
+        val hops = prop.select(col("id").as("label"), col("label").as("hop"))
+        val jumped = prop.join(hops, Seq("label"), "left")
+          .select(col("id"), col("prev"),
+            least(col("label"), coalesce(col("hop"), col("label"))).as("label"))
+          .localCheckpoint(true)
+        changed = jumped.filter(col("label") =!= col("prev")).count()
+        labels = jumped.select("id", "label")
+        iter += 1
+      }
+      require(changed == 0,
+        s"connectedComponents did not converge within $maxIter rounds")
+      labels.select(col("id"), col("label").as("cluster_id"))
+    } finally sym.unpersist()
+  }
+
+  /** Oracle-gated cluster query: deterministic block-chain edges over the
+    * documents table (doc_id → doc_id+1 within each 10-id block, plus a
+    * +2 skip edge in the block's lower half), so components are exactly
+    * the 10-id blocks and DuckDB's recursive-CTE closure reproduces the
+    * same (doc_id, cluster_id = block minimum) assignment — a rare chance
+    * to hash-check an iterative distributed algorithm against a
+    * declarative oracle.
+    */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"))
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val e1 = docs.filter(col("doc_id") % 10 =!= 9)
+      .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+    val e2 = docs.filter(col("doc_id") % 10 < 5)
+      .select(col("doc_id").as("src"), (col("doc_id") + 2).as("dst"))
+    // both endpoints must be real documents — with id gaps, an edge into a
+    // phantom id would let a declarative closure hop THROUGH it while the
+    // label-propagation engine (correctly) cannot
+    val edges = e1.union(e2).filter(col("dst") <= maxId)
+      .join(docs.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+    connectedComponents(edges, docs.select(col("doc_id").as("id")))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+  }
+}

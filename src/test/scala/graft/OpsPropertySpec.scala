@@ -253,6 +253,24 @@ class OpsPropertySpec extends SparkSpec {
     assert(recall >= 0.6, s"sharded recall@5 = $recall")
   }
 
+  test("connected components: chains, singletons, log-round convergence") {
+    import graft.ops.GraphOps
+    // a 1000-long chain: plain propagation would need ~1000 rounds; the
+    // pointer-jumping variant must land the single component well inside
+    // maxIter=50 (log2(1000) ≈ 10 label-halving rounds)
+    val chain = (0L until 1000L).map(i => (i, i + 1)).toDF("src", "dst")
+    val verts = (0L to 1001L).toDF("id") // 0..1000 chained; 1001 isolated
+    val cc = GraphOps.connectedComponents(chain, verts)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L to 1000L).foreach(i => assert(cc(i) == 0L, s"vertex $i"))
+    assert(cc(1001L) == 1001L) // isolated vertex keeps itself
+    // two components + self-loop + duplicate edges stay separate
+    val e2 = Seq((1L, 2L), (2L, 1L), (3L, 3L), (4L, 5L)).toDF("src", "dst")
+    val cc2 = GraphOps.connectedComponents(e2, Seq(1L, 2L, 3L, 4L, 5L).toDF("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc2 == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 4L))
+  }
+
   test("multimodal meta: real header parse end-to-end, deterministic and batched") {
     val media = MultimodalOps.mediaFromDocuments(spark, sf).limit(20)
     val meta = MultimodalOps.extractMeta(media).collect()
