@@ -126,7 +126,8 @@ object PerfProbe {
         "q_top_terms_per_lang", "q_ngram_jaccard", "q_mode_full_snapshot",
         "q_sample_stratified", "q_mix_weighted", "q_pack_sequences",
         "q_partition_backfill", "q_mode_watermark_append",
-        "q_multimodal_header", "q_av_meta", "q_corpus_clean")
+        "q_multimodal_header", "q_av_meta", "q_corpus_clean",
+        "q_dedup_clusters")
       // SPARK_GRAFT_SCALE_ONLY=a,b,c re-probes a subset after a targeted fix
       // without paying the full sweep
       val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

@@ -271,6 +271,29 @@ class OpsPropertySpec extends SparkSpec {
     assert(cc2 == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("near-dup pairs compose with connected components into keep/drop sets") {
+    import graft.ops.GraphOps
+    // three chained near-identical vectors (1~2 and 2~3 pair, 1~3 may or
+    // may not — transitivity must come from the component step) + one far
+    // vector
+    val base = Seq.tabulate(64)(i => ((i * 11) % 13 - 6).toFloat)
+    def nudge(seed: Int) = base.zipWithIndex.map { case (v, i) =>
+      v + (if (i == seed) 0.001f else 0f)
+    }
+    val far = Seq.tabulate(64)(i => ((i * 5) % 17 - 8).toFloat)
+    val vecs = Seq((1L, base), (2L, nudge(3)), (3L, nudge(7)), (9L, far))
+      .toDF("vec_id", "embedding")
+    val pairs = VectorOps.nearDupPairs(vecs, threshold = 0.999)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    val clusters = GraphOps.connectedComponents(pairs,
+        vecs.select(col("vec_id").as("id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L)
+    assert(clusters(9L) == 9L)
+    // survivors = cluster minima: exactly one per duplicate cluster
+    assert(clusters.values.toSet == Set(1L, 9L))
+  }
+
   test("multimodal meta: real header parse end-to-end, deterministic and batched") {
     val media = MultimodalOps.mediaFromDocuments(spark, sf).limit(20)
     val meta = MultimodalOps.extractMeta(media).collect()
