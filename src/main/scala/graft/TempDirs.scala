@@ -11,34 +11,42 @@ object TempDirs {
   private val owned = scala.collection.mutable.Set[Path]()
 
   /** Shutdown hooks don't run for killed JVMs (timeouts, OOM-kills), so
-    * stale graft temp dirs accumulate across runs. Every create() sweeps
-    * sibling `graft-*` dirs untouched for this long — far beyond any live
-    * run's write cadence, so a concurrent process's dirs are never hit.
+    * stale graft temp dirs accumulate across runs. Dir names embed the
+    * creating PID; every create() sweeps sibling graft dirs whose process
+    * is no longer alive. Liveness — NOT age — is the criterion: a
+    * directory's mtime only changes when its direct children change, so
+    * nested table writes never refresh it and an age cutoff would delete a
+    * long-lived concurrent run's live warehouse.
     */
-  private val StaleAfterMs = 2L * 60 * 60 * 1000
-
   def create(prefix: String): String = {
-    sweepStale()
+    sweepDead()
     require(prefix.startsWith("graft-"),
       s"temp dir prefixes must carry the graft- sweep marker: $prefix")
-    val dir = Files.createTempDirectory(prefix)
+    val dir = Files.createTempDirectory(s"$prefix-pid${ProcessHandle.current.pid}-")
     synchronized { owned += dir.toAbsolutePath.normalize }
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(dir)))
     dir.toString
   }
 
-  private def sweepStale(): Unit =
+  private val PidMarker = ".*-pid(\\d+)-.*".r
+
+  private def sweepDead(): Unit =
     try {
       val tmp = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir", "/tmp"))
-      val cutoff = System.currentTimeMillis() - StaleAfterMs
       val listing = Files.list(tmp)
       try listing.forEach { p =>
+        val name = p.getFileName.toString
         val mine = synchronized(owned.contains(p.toAbsolutePath.normalize))
-        if (!mine && p.getFileName.toString.startsWith("graft-") &&
-          Files.isDirectory(p) &&
-          Files.getLastModifiedTime(p).toMillis < cutoff)
-          deleteRecursively(p)
+        if (!mine && name.startsWith("graft-") && Files.isDirectory(p))
+          name match {
+            // only pid-marked dirs are swept — an unmarked graft dir might
+            // belong to a build running older code, and liveness can't be
+            // established for it
+            case PidMarker(pid) if ProcessHandle.of(pid.toLong).isEmpty =>
+              deleteRecursively(p)
+            case _ => ()
+          }
       } finally listing.close()
     } catch { case _: Throwable => () } // hygiene must never fail a run
 

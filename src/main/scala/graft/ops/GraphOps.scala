@@ -85,7 +85,10 @@ object GraphOps {
     */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select(col("doc_id"))
-    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val bounds = docs.agg(max("doc_id")).head()
+    if (bounds.isNullAt(0)) // empty corpus → empty clusters, like the oracle
+      return docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    val maxId = bounds.getLong(0)
     val e1 = docs.filter(col("doc_id") % 10 =!= 9)
       .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
     val e2 = docs.filter(col("doc_id") % 10 < 5)

@@ -199,7 +199,10 @@ object MultimodalOps {
     while (i + 8 <= p.length && (channels < 0 || dataSize < 0)) {
       val id = new String(p.slice(i, i + 4), "US-ASCII")
       val sz = le32(p, i + 4).toLong & 0xffffffffL
-      if (id == "fmt " && i + 8 + 16 <= p.length) {
+      // a corrupt/crafted size past the payload would truncate to a
+      // negative Int and stall or crash the cursor advance — reject
+      if (sz > p.length) return None
+      if (id == "fmt " && sz >= 16 && i + 24 <= p.length) {
         channels = le16(p, i + 10)
         sampleRate = le32(p, i + 12)
         byteRate = le32(p, i + 16).toLong & 0xffffffffL
@@ -225,8 +228,9 @@ object MultimodalOps {
     while (i + 8 <= p.length && !(sawFtyp && duration >= 0)) {
       val sz = be32(p, i)
       val typ = new String(p.slice(i + 4, i + 8), "US-ASCII")
-      if (sz < 8 || i + sz > p.length) return if (sawFtyp && duration >= 0)
-        Some(("mp4", duration, 0, 0)) else None
+      // the loop guard already exited when both boxes were found, so an
+      // invalid size here can only mean trailing non-box bytes: stop
+      if (sz < 8 || i + sz > p.length) return None
       typ match {
         case "ftyp" => sawFtyp = true
         case "moov" =>
@@ -234,13 +238,16 @@ object MultimodalOps {
           while (j + 8 <= i + sz && duration < 0) {
             val bsz = be32(p, j)
             if (bsz < 8 || j + bsz > i + sz) return None
-            if (new String(p.slice(j + 4, j + 8), "US-ASCII") == "mvhd") {
+            // field reads are bounded by the mvhd box's OWN size — a
+            // short box must not read the sibling box's bytes as fields
+            if (new String(p.slice(j + 4, j + 8), "US-ASCII") == "mvhd"
+                && bsz >= 9) {
               val v = p(j + 8) & 0xff
-              if (v == 0 && j + 28 <= p.length) {
+              if (v == 0 && bsz >= 28) {
                 val timescale = be32(p, j + 20)
                 if (timescale > 0)
                   duration = be32(p, j + 24) * 1000L / timescale
-              } else if (v == 1 && j + 40 <= p.length) {
+              } else if (v == 1 && bsz >= 40) {
                 val timescale = be32(p, j + 28)
                 val dur = (be32(p, j + 32) << 32) | be32(p, j + 36)
                 if (timescale > 0) duration = dur * 1000L / timescale

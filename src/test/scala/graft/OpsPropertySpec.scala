@@ -398,6 +398,36 @@ class OpsPropertySpec extends SparkSpec {
     assert(parseAvHeader(craftAvHeader("wav", 16000, 2, 64).take(20)).isEmpty)
     assert(parseAvHeader("RIFFxxxxWEBP".getBytes("US-ASCII")).isEmpty)
     assert(parseAvHeader("plain text".getBytes("UTF-8")).isEmpty)
+    // crafted/corrupt WAV chunk sizes must fail cleanly — a size field of
+    // 0xFFFFFFF8 truncates to -8 and would stall the cursor forever
+    val evilWav = {
+      val b = java.nio.ByteBuffer.allocate(24)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(16).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(0xFFFFFFF8)
+      b.array()
+    }
+    assert(parseAvHeader(evilWav).isEmpty)
+    // header-only mvhd ending exactly at the buffer, and a short mvhd
+    // whose declared size can't hold the fields: None, not a crash or a
+    // sibling-bytes misparse
+    val tinyMvhd = {
+      val b = java.nio.ByteBuffer.allocate(32)
+      b.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+      b.putInt(16).put("moov".getBytes)
+      b.putInt(8).put("mvhd".getBytes)
+      b.array()
+    }
+    assert(parseAvHeader(tinyMvhd).isEmpty)
+    val shortMvhd = {
+      val b = java.nio.ByteBuffer.allocate(16 + 8 + 12 + 16)
+      b.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+      b.putInt(8 + 12 + 16).put("moov".getBytes)
+      b.putInt(12).put("mvhd".getBytes).putInt(0) // too short for fields
+      b.putInt(16).put("free".getBytes).putInt(1000).putInt(2500)
+      b.array()
+    }
+    assert(parseAvHeader(shortMvhd).isEmpty)
     // non-media payloads reach the (labeled) deterministic stub, whose
     // sentinel format is disjoint from genuinely parsed containers
     val m = MultimodalOps.MediaRow(1L, "plain text payload".getBytes("UTF-8"))
