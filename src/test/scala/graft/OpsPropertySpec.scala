@@ -343,7 +343,7 @@ class OpsPropertySpec extends SparkSpec {
     assert(parseHeader(craftHeader("gif", 320, 200) ++ Array.fill(64)(0x2a.toByte))
       == Some(("gif", 320, 200)))
     // a text payload starting "GIF89a" with NUL dims must NOT sniff
-    assert(parseHeader(("GIF89a" + " " * 8).getBytes("US-ASCII")).isEmpty)
+    assert(parseHeader(("GIF89a" + "\u0000" * 8).getBytes("US-ASCII")).isEmpty)
     // WebP lossless (VP8L): 14-bit dims-minus-one packed bit-first
     def vp8l(w: Int, h: Int): Array[Byte] = {
       val wb = w - 1; val hb = h - 1
