@@ -88,6 +88,9 @@ object SparkEntry {
     "q_ivf_cosine_topk"     -> (VectorOps.ivfCosineTopk _),
     "q_ivf_semantic_dedup"  -> ((s: SparkSession, d: String) => VectorOps.ivfSemanticDedup(s, d)),
     "q_embedding_near_dup"  -> ((s: SparkSession, d: String) => VectorOps.nearDupCosine(s, d)),
+    "q_repetition_stats"    -> (TextOps.repetitionStats _),
+    "q_mix_temperature"     -> (SamplingOps.temperatureMix _),
+    "q_export_shuffle"      -> (SamplingOps.exportShuffle _),
   )
 
   /** DuckDB-dialect oracle SQL per query. Omitted (→ rows-only check):
@@ -674,5 +677,65 @@ object SparkEntry {
         |)
         |SELECT probe_id, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 5
         |ORDER BY probe_id, rnk""".stripMargin,
+    // integer-count repetition signals; the most-frequent-token count is a
+    // per-doc GROUP BY here vs the engine's per-row sorted-run fold —
+    // identical integers either way
+    "q_repetition_stats" ->
+      """WITH tok AS (
+        |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens
+        |    FROM documents
+        |), flat AS (
+        |    SELECT doc_id, unnest(tokens) AS tk FROM tok
+        |), tcnt AS (
+        |    SELECT doc_id, tk, COUNT(*) AS cnt FROM flat GROUP BY doc_id, tk
+        |), tops AS (
+        |    SELECT doc_id, MAX(cnt) AS top_token_count FROM tcnt GROUP BY doc_id
+        |), big AS (
+        |    SELECT doc_id, tokens,
+        |           list_transform(range(1, len(tokens)),
+        |                          i -> tokens[i] || ' ' || tokens[i + 1]) AS bigrams
+        |    FROM tok
+        |)
+        |SELECT b.doc_id,
+        |       len(b.tokens) AS n_tokens,
+        |       len(list_distinct(b.tokens)) AS n_distinct_tokens,
+        |       len(b.bigrams) AS n_bigrams,
+        |       len(list_distinct(b.bigrams)) AS n_distinct_bigrams,
+        |       t.top_token_count,
+        |       CASE WHEN (len(b.bigrams) - len(list_distinct(b.bigrams))) * 2
+        |                 > len(b.bigrams)
+        |            THEN 1 ELSE 0 END AS repetitive
+        |FROM big b JOIN tops t USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+    // T=2 temperature mixing: sqrt is correctly rounded in IEEE-754, so
+    // floor(sqrt(w) * 5) is the same integer in both engines (pow/ln are
+    // libm-specific and would NOT be safe here)
+    "q_mix_temperature" ->
+      """WITH ranked AS (
+        |    SELECT source, doc_id,
+        |           CAST(floor(sqrt(CAST(1 + CAST(substr(source, 4) AS INT) % 9
+        |                                AS DOUBLE)) * 5) AS INT) AS quota,
+        |           row_number() OVER (PARTITION BY source
+        |               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |             AS mix_rank
+        |    FROM documents
+        |)
+        |SELECT source, doc_id, quota, mix_rank FROM ranked
+        |WHERE mix_rank <= quota ORDER BY source, mix_rank""".stripMargin,
+    "q_export_shuffle" ->
+      """WITH keyed AS (
+        |    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sk FROM documents
+        |), sharded AS (
+        |    SELECT doc_id, sk,
+        |           CAST(((strpos('0123456789abcdef', substr(sk, 1, 1)) - 1) * 16
+        |                 + (strpos('0123456789abcdef', substr(sk, 2, 1)) - 1))
+        |                % 8 AS INT) AS shard
+        |    FROM keyed
+        |)
+        |SELECT shard,
+        |       row_number() OVER (PARTITION BY shard ORDER BY sk, doc_id)
+        |         AS shard_rank,
+        |       doc_id
+        |FROM sharded ORDER BY shard, shard_rank""".stripMargin,
   )
 }

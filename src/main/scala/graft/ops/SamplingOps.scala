@@ -128,4 +128,65 @@ object SamplingOps {
       .select("doc_id", "tokens", "seq_id")
       .orderBy("doc_id")
   }
+
+  /** Temperature-scaled source mixing: per-source quota ∝ weight^(1/T)
+    * (the standard multi-corpus re-balancing that upweights small sources;
+    * T→∞ is uniform, T=1 is proportional). T is fixed at 2 — i.e. sqrt —
+    * DELIBERATELY: IEEE-754 sqrt is correctly rounded in every engine, so
+    * `floor(sqrt(w) * MixUnit)` is the same integer in Spark and the
+    * oracle, unlike pow/ln whose last-bit rounding is libm-specific. Same
+    * md5 permutation and constant-rank-bound WindowGroupLimit shape as
+    * [[weightedMix]].
+    */
+  def temperatureMix(s: SparkSession, d: String): DataFrame = {
+    val nWeights = 9
+    val maxQuota = math.floor(math.sqrt(nWeights.toDouble) * MixUnit).toInt
+    val w = Window.partitionBy("source").orderBy(col("sk"), col("doc_id"))
+    val suffix = substring(col("source"), 4, Int.MaxValue).cast("int")
+    val checked = when(suffix.isNull, raise_error(concat(
+      lit("temperatureMix: source name has no numeric suffix: "), col("source"))))
+      .otherwise(suffix)
+    val weight = (lit(1) + checked % nWeights).cast("double")
+    t(s, d, "documents")
+      .withColumn("quota", floor(sqrt(weight) * MixUnit).cast("int"))
+      .withColumn("sk", sampleKey)
+      .withColumn("mix_rank", row_number().over(w))
+      .filter(col("mix_rank") <= maxQuota && col("mix_rank") <= col("quota"))
+      .select("source", "doc_id", "quota", "mix_rank")
+      .orderBy("source", "mix_rank")
+  }
+
+  /** Deterministic export shuffle: the write-time global permutation of a
+    * training corpus (training reads files sequentially, so the shuffle
+    * must happen at export). Every document gets an engine-independent
+    * pseudorandom shard (two hex chars of the md5 permutation key folded
+    * to an int — portable to the oracle, which has no xxhash64) and a
+    * within-shard rank by the full key. Scale shape: ONE hash exchange on
+    * `shard` + per-shard sort — never a global sort or single-partition
+    * window; the production write is `.repartition(col("shard"))
+    * .sortWithinPartitions("sk").write.partitionBy("shard")` — see
+    * [[exportShuffledWrite]].
+    */
+  val ExportShards = 8
+  def exportShuffle(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("sk"), col("doc_id"))
+    t(s, d, "documents")
+      .withColumn("sk", sampleKey)
+      .withColumn("shard", expr(
+        s"""CAST(((instr('0123456789abcdef', substring(sk, 1, 1)) - 1) * 16
+           |      + (instr('0123456789abcdef', substring(sk, 2, 1)) - 1))
+           |     % $ExportShards AS INT)""".stripMargin))
+      .withColumn("shard_rank", row_number().over(w))
+      .select("shard", "shard_rank", "doc_id")
+      .orderBy("shard", "shard_rank")
+  }
+
+  /** The file-landing form of [[exportShuffle]]: one directory per shard,
+    * rows inside each file in permutation order. Returns the output path.
+    */
+  def exportShuffledWrite(s: SparkSession, d: String, outDir: String): Unit =
+    exportShuffle(s, d)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("shard_rank"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 }

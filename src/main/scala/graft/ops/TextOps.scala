@@ -433,4 +433,46 @@ object TextOps {
         octet_length(col("payload")).as("n_bytes"),
         sha2(col("payload"), 256).as("content_hash"))
       .orderBy("doc_id")
+
+  /** Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
+    * "repetitious text" filters, integer-count form): token/bigram
+    * distinct ratios plus the most frequent token's occurrence count. All
+    * outputs are integer counts — no float ratio can drift between
+    * engines; the downstream filter rule is the integer cross-multiplied
+    * comparison `2 * duplicate_bigram_slots > n_bigrams`.
+    *
+    * Scale shape: strictly per-row expressions — documents never shuffle,
+    * no explode, no groupBy. The most-frequent-token count folds over the
+    * SORTED token array tracking the longest equal-run, so the whole
+    * signal set is one projection over the scan at any corpus size.
+    */
+  def repetitionStatsFor(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("tokens", split(trim(col("text")), "\\s+"))
+      .withColumn("bigrams", expr(
+        """CASE WHEN size(tokens) < 2 THEN slice(tokens, 1, 0)
+          |     ELSE transform(sequence(0, size(tokens) - 2),
+          |                    i -> concat(tokens[i], ' ', tokens[i + 1]))
+          |END""".stripMargin))
+      .withColumn("top_token_count", expr(
+        """aggregate(array_sort(tokens),
+          |          named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+          |          (acc, x) -> named_struct(
+          |              'prev', x,
+          |              'run',  IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1),
+          |              'best', GREATEST(acc.best,
+          |                        IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1))),
+          |          acc -> acc.best)""".stripMargin))
+      .select(
+        col("doc_id"),
+        size(col("tokens")).as("n_tokens"),
+        size(array_distinct(col("tokens"))).as("n_distinct_tokens"),
+        size(col("bigrams")).as("n_bigrams"),
+        size(array_distinct(col("bigrams"))).as("n_distinct_bigrams"),
+        col("top_token_count"),
+        ((size(col("bigrams")) - size(array_distinct(col("bigrams")))) * 2
+          > size(col("bigrams"))).cast("int").as("repetitive"))
+
+  def repetitionStats(s: SparkSession, d: String): DataFrame =
+    repetitionStatsFor(t(s, d, "documents")).orderBy("doc_id")
 }

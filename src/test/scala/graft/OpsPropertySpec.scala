@@ -11,6 +11,26 @@ import graft.ops.{MultimodalOps, TextOps, VectorOps}
 class OpsPropertySpec extends SparkSpec {
   import spark.implicits._
 
+  test("repetition stats: crafted docs hit every branch of the signals") {
+    val docs = Seq(
+      (1L, "x x x x x"),     // maximally repetitive
+      (2L, "a b c d"),       // all distinct
+      (3L, "a b a b a"),     // alternating — dup bigrams but below the rule
+      (4L, "z"))             // single token, zero bigrams
+      .toDF("doc_id", "text")
+    val rows = TextOps.repetitionStatsFor(docs).orderBy("doc_id").collect()
+    // (n_tokens, n_distinct_tokens, n_bigrams, n_distinct_bigrams, top, repetitive)
+    val got = rows.map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+      r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6)))
+    assert(got(0) == ((1L, 5, 1, 4, 1, 5, 1))) // (4-1)*2 > 4 → repetitive
+    assert(got(1) == ((2L, 4, 4, 3, 3, 1, 0)))
+    assert(got(2) == ((3L, 5, 2, 4, 2, 3, 0))) // (4-2)*2 = 4, not > 4
+    assert(got(3) == ((4L, 1, 1, 0, 0, 1, 0)))
+    // per-row only: the plan must contain no shuffle at all
+    val plan = TextOps.repetitionStatsFor(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"repetition stats shuffled:\n$plan")
+  }
+
   test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
     val once = TextOps.dedupExactText(spark, sf)
     assert(once.count() == once.distinct().count())
@@ -452,6 +472,58 @@ class OpsPropertySpec extends SparkSpec {
     // contamination probes broadcast; the corpus is never shuffled
     val p4 = TextOps.contamination(spark, sf).queryExecution.executedPlan.toString
     assert(p4.contains("BroadcastNestedLoopJoin"), p4.take(600))
+  }
+
+  test("temperature mixing: sqrt quotas, pushdown kept, quota respected") {
+    import graft.ops.SamplingOps
+    val out = SamplingOps.temperatureMix(spark, sf)
+    val rows = out.collect()
+    // every source's contribution is min(quota, |source|), quota = floor(sqrt(w)*5)
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val w = 1 + src.drop(3).toInt % 9
+      val quota = math.floor(math.sqrt(w.toDouble) * SamplingOps.MixUnit).toInt
+      assert(rs.map(_.getInt(2)).distinct.toSeq == Seq(quota), src)
+      assert(rs.length <= quota, s"$src exceeded quota")
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length), src)
+    }
+    // T=2 damps the spread: quotas range over floor(5*sqrt(1..9)) = 5..15,
+    // narrower than the T=1 proportional 5..45 would be
+    val quotas = rows.map(_.getInt(2)).distinct
+    assert(quotas.min >= SamplingOps.MixUnit && quotas.max <= 3 * SamplingOps.MixUnit)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(600))
+  }
+
+  test("export shuffle: a permutation partitioned by shard, no global sort") {
+    import graft.ops.SamplingOps
+    val docs = Tables.t(spark, sf, "documents")
+    val out = SamplingOps.exportShuffle(spark, sf)
+    val rows = out.collect()
+    assert(rows.length == docs.count()) // every doc exactly once
+    assert(rows.map(_.getLong(2)).distinct.length == rows.length)
+    val byShard = rows.groupBy(_.getInt(0))
+    assert(byShard.keySet.subsetOf((0 until SamplingOps.ExportShards).toSet))
+    byShard.foreach { case (sh, rs) => // dense ranks per shard
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length), s"shard $sh")
+    }
+    // the window partitions by shard — never an Exchange SinglePartition
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan.take(800))
+  }
+
+  test("export shuffled write lands one directory per shard in rank order") {
+    import graft.ops.SamplingOps
+    val dir = TempDirs.create("graft-export")
+    SamplingOps.exportShuffledWrite(spark, sf, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == Tables.t(spark, sf, "documents").count())
+    val shardDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(shardDirs.nonEmpty && shardDirs.length <= SamplingOps.ExportShards)
+    // within one shard file, rows are physically in rank order
+    val one = spark.read.parquet(s"$dir/${shardDirs.head}")
+      .select("shard_rank").collect().map(_.getInt(0)).toSeq
+    assert(one == one.sorted, "rows not written in permutation order")
   }
 
   test("distributed prefix-sum packing is invariant to bucket count") {
