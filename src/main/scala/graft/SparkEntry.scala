@@ -91,6 +91,8 @@ object SparkEntry {
     "q_repetition_stats"    -> (TextOps.repetitionStats _),
     "q_mix_temperature"     -> (SamplingOps.temperatureMix _),
     "q_export_shuffle"      -> (SamplingOps.exportShuffle _),
+    "q_decontaminate_ngram" -> ((s: SparkSession, d: String) => TextOps.decontaminateNgram(s, d)),
+    "q_blocklist_bloom"     -> (BlocklistOps.bloomBlocklistClean _),
   )
 
   /** DuckDB-dialect oracle SQL per query. Omitted (→ rows-only check):
@@ -737,5 +739,37 @@ object SparkEntry {
         |         AS shard_rank,
         |       doc_id
         |FROM sharded ORDER BY shard, shard_rank""".stripMargin,
+    // eval-set decontamination by distinct-trigram overlap: both engines
+    // build per-doc DISTINCT n-gram sets, so n_shared counts distinct
+    // shared grams
+    "q_decontaminate_ngram" ->
+      """WITH tok AS (
+        |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens
+        |    FROM documents
+        |), grams AS (
+        |    SELECT doc_id,
+        |           list_distinct(list_transform(range(1, len(tokens) - 1),
+        |               i -> array_to_string(tokens[i:i+2], ' '))) AS gs
+        |    FROM tok
+        |), eval_grams AS (
+        |    SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 100 = 7
+        |), corpus AS (
+        |    SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 100 <> 7
+        |)
+        |SELECT c.doc_id, COUNT(*) AS n_shared
+        |FROM corpus c JOIN eval_grams e ON c.g = e.g
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // the engine's bloom filter is a bandwidth gate only (FPs resolved by
+    // the exact confirm join), so the plain NOT EXISTS is the oracle
+    "q_blocklist_bloom" ->
+      """WITH block AS (
+        |    SELECT DISTINCT sha256(text) AS digest FROM documents
+        |    WHERE doc_id % 11 = 3
+        |)
+        |SELECT d.doc_id, sha256(d.text) AS digest
+        |FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM block b
+        |                  WHERE b.digest = sha256(d.text))
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }

@@ -90,6 +90,10 @@ object GraftFunctions {
       "vec_sqdist", exprs => {
         val (a, b) = binary("vec_sqdist", exprs); VecSqDist(a, b)
       }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain", exprs => {
+        val (a, b) = binary("bloom_might_contain", exprs); BloomMightContain(a, b)
+      }, "scala_udf")
   }
 
   /** Arity gate for 2-arg builders — a clear analysis-time message instead
@@ -136,6 +140,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       VecSqDist.info,
       (exprs: Seq[Expression]) => {
         val (a, b) = GraftFunctions.binary("vec_sqdist", exprs); VecSqDist(a, b)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      BloomMightContain.info,
+      (exprs: Seq[Expression]) => {
+        val (a, b) = GraftFunctions.binary("bloom_might_contain", exprs)
+        BloomMightContain(a, b)
       }))
     // resolution-stage so the filter is in the analyzed plan (cache-safe)
     ext.injectPostHocResolutionRule(spark => graft.plans.TenantIsolationRule(spark))

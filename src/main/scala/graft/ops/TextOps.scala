@@ -475,4 +475,49 @@ object TextOps {
 
   def repetitionStats(s: SparkSession, d: String): DataFrame =
     repetitionStatsFor(t(s, d, "documents")).orderBy("doc_id")
+
+  /** Distinct word n-grams of `tokens` as space-joined strings (empty
+    * array when the document is shorter than n).
+    */
+  private def ngramSet(n: Int): Column = expr(
+    s"""CASE WHEN size(tokens) < $n THEN slice(tokens, 1, 0)
+       |     ELSE array_distinct(transform(sequence(0, size(tokens) - $n),
+       |                         i -> concat_ws(' ', slice(tokens, i + 1, $n))))
+       |END""".stripMargin)
+
+  /** Benchmark decontamination by token n-gram overlap (the GPT-3 appendix
+    * C recipe: drop any training document sharing an n-gram with the eval
+    * set; n scaled to the fixture's short documents). Substring
+    * containment ([[contamination]]) catches verbatim inclusions; n-gram
+    * overlap also catches re-wrapped or partially copied text.
+    *
+    * Scale shape: the eval side collapses to a DISTINCT broadcast n-gram
+    * set; the corpus explodes to one row per distinct n-gram and hash-joins
+    * the broadcast set — no corpus-side shuffle before the final map-side-
+    * combined count on doc_id. Corpus volume is linear in token count;
+    * nothing is all-pairs.
+    */
+  def decontaminateNgram(s: SparkSession, d: String, n: Int = 3): DataFrame =
+    decontaminateNgramFor(t(s, d, "documents"), n)
+
+  private[graft] def decontaminateNgramFor(raw: DataFrame, n: Int): DataFrame = {
+    val docs = withTokens(raw).withColumn("grams", ngramSet(n))
+    val evalGrams = docs.filter(col("doc_id") % 100 === 7)
+      .select(explode(col("grams")).as("g")).distinct()
+    docs.filter(col("doc_id") % 100 =!= 7)
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  /** The surviving corpus after [[decontaminateNgram]]: eval docs and any
+    * doc overlapping them are removed (broadcast anti-join on doc_id).
+    */
+  def decontaminatedCorpus(s: SparkSession, d: String, n: Int = 3): DataFrame = {
+    val flagged = decontaminateNgram(s, d, n).select("doc_id")
+    t(s, d, "documents")
+      .filter(col("doc_id") % 100 =!= 7)
+      .join(broadcast(flagged), Seq("doc_id"), "left_anti")
+  }
 }

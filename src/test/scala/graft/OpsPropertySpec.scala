@@ -474,6 +474,84 @@ class OpsPropertySpec extends SparkSpec {
     assert(p4.contains("BroadcastNestedLoopJoin"), p4.take(600))
   }
 
+  test("bloom blocklist: no false negatives, exact under forced FPs, empty list") {
+    import graft.ops.BlocklistOps
+    graft.functions.GraftFunctions.register(spark)
+    val docs = (1L to 200L).map(i => (i, s"document number $i body"))
+      .toDF("doc_id", "text").withColumn("digest", sha2(col("text"), 256))
+    val block = docs.filter(col("doc_id") % 7 === 0).select("digest").distinct()
+    // no false negatives: every blocklisted key probes positive
+    val bloom = BlocklistOps.buildBloom(
+      block.select(xxhash64(col("digest")).as("key")))
+    val misses = block
+      .filter(!call_function("bloom_might_contain",
+        lit(bloom), xxhash64(col("digest"))))
+      .count()
+    assert(misses == 0, "bloom dropped a blocklisted key (false negative)")
+    // exactness: result equals the plain anti-join reference...
+    val expected = docs.join(block, Seq("digest"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val got = BlocklistOps.cleanAgainst(docs, block)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == expected)
+    // ...even with a deliberately undersized bloom (1 bit/key, k=1 → FP
+    // rate way up; the confirm join must absorb every false positive)
+    val gotTiny = BlocklistOps.cleanAgainst(docs, block, bitsPerKey = 1, k = 1)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotTiny == expected)
+    // empty blocklist: the probe is constant-false, everything survives
+    val empty = block.filter(lit(false))
+    val all = BlocklistOps.cleanAgainst(docs, empty).count()
+    assert(all == docs.count())
+  }
+
+  test("bloom_might_contain: codegen matches interpreted eval") {
+    import graft.ops.BlocklistOps
+    graft.functions.GraftFunctions.register(spark)
+    val keys = (-50L to 50L).map(i => Tuple1(i * 0x9e3779b97f4a7c15L))
+      .toDF("key")
+    val bloom = BlocklistOps.buildBloom(keys.filter(col("key") % 3 === 0))
+    val probed = keys.select(col("key"),
+      call_function("bloom_might_contain", lit(bloom), col("key")).as("c"))
+    val viaCodegen = probed.collect().map(r => r.getLong(0) -> r.getBoolean(1))
+    viaCodegen.foreach { case (k, c) =>
+      val interpreted = graft.functions.BloomMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bloom),
+        org.apache.spark.sql.catalyst.expressions.Literal(k))
+        .eval(null).asInstanceOf[Boolean]
+      assert(interpreted == c, s"key $k: eval=$interpreted codegen=$c")
+    }
+    // degenerate bitmaps contain nothing
+    val hdrOnly = graft.functions.BloomMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(Array[Byte](7)),
+      org.apache.spark.sql.catalyst.expressions.Literal(42L))
+      .eval(null).asInstanceOf[Boolean]
+    assert(!hdrOnly)
+  }
+
+  test("ngram decontamination: overlap flagged, clean docs survive, eval broadcast") {
+    val docs = Seq(
+      (107L, "alpha beta gamma delta epsilon"),        // eval doc (107 % 100 = 7)
+      (1L,   "xx alpha beta gamma yy"),                // shares trigram "alpha beta gamma"
+      (2L,   "beta gamma delta AND gamma delta epsilon zz"), // shares two distinct trigrams
+      (3L,   "completely different words here"),       // clean
+      (4L,   "alpha beta"))                            // shorter than n — no grams
+      .toDF("doc_id", "text")
+    val flagged = TextOps.decontaminateNgramFor(docs, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged == Map(1L -> 1L, 2L -> 2L))
+    val plan = TextOps.decontaminateNgramFor(docs, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    // survivors: everything except eval docs and flagged docs
+    import graft.Tables
+    val survivors = TextOps.decontaminatedCorpus(spark, sf)
+    val all = Tables.t(spark, sf, "documents")
+    val evalCnt = all.filter(col("doc_id") % 100 === 7).count()
+    val flaggedCnt = TextOps.decontaminateNgram(spark, sf).count()
+    assert(survivors.count() == all.count() - evalCnt - flaggedCnt)
+  }
+
   test("temperature mixing: sqrt quotas, pushdown kept, quota respected") {
     import graft.ops.SamplingOps
     val out = SamplingOps.temperatureMix(spark, sf)
