@@ -127,7 +127,13 @@ object PerfProbe {
         "q_sample_stratified", "q_mix_weighted", "q_pack_sequences",
         "q_partition_backfill", "q_mode_watermark_append",
         "q_multimodal_header", "q_av_meta", "q_corpus_clean",
-        "q_dedup_clusters")
+        "q_dedup_clusters",
+        // round-5 additions: decontamination joins K× corpus grams against
+        // a K×-grown broadcast eval set (hash join — linear per side);
+        // blocklist bloom rebuilds a K×-sized filter and confirm-joins the
+        // FP sliver; export shuffle is one exchange + per-shard sort
+        "q_repetition_stats", "q_mix_temperature", "q_export_shuffle",
+        "q_decontaminate_ngram", "q_blocklist_bloom")
       // SPARK_GRAFT_SCALE_ONLY=a,b,c re-probes a subset after a targeted fix
       // without paying the full sweep
       val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

@@ -199,6 +199,23 @@ object StreamingOps {
         .agg(min("doc_id").as("doc_id"), sum("dup_cnt").as("dup_cnt"))
         .select("text_hash", "doc_id", "dup_cnt"))
 
+  /** Watermark-bounded streaming exact dedup via Spark's
+    * dropDuplicatesWithinWatermark: collapse replayed/at-least-once
+    * duplicates on the content digest when the duplicate horizon is
+    * bounded in event time. Dedup state is GC'd as the watermark advances
+    * — unlike plain dropDuplicates, whose state grows with every distinct
+    * key forever — so this is the always-on-ingest shape; the
+    * [[sinkDedupedLog]] append-log path remains the UNBOUNDED-horizon
+    * dedup (survivor resolution on read, no streaming state at all).
+    * Input needs an `event_time` timestamp and a `text` column.
+    */
+  def dedupWithinWatermark(docs: DataFrame,
+                           delay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("digest", sha2(lower(trim(col("text"))), 256))
+      .withWatermark("event_time", delay)
+      .dropDuplicatesWithinWatermark("digest")
+
   /** Scheduled wiring for the log compaction — the maintenance cadence an
     * always-on ingest stream needs, composed like the IVF index refresh.
     */

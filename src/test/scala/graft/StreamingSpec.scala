@@ -179,6 +179,27 @@ class StreamingSpec extends SparkSpec {
     assert(afterCompact == streamed)
   }
 
+  test("watermark-bounded streaming dedup collapses replays, keeps distinct docs") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val streamDf = mem.toDF().toDF("doc_id", "ts_s", "text")
+      .withColumn("event_time", timestamp_seconds(col("ts_s")))
+    val q = StreamingOps.dedupWithinWatermark(streamDf).writeStream
+      .format("memory").queryName("wm_dedup")
+      .outputMode(OutputMode.Append()).start()
+    // replays of doc A land in the same and the NEXT micro-batch, all
+    // inside the 10-minute horizon; B and C are distinct content
+    mem.addData((1L, 100L, "alpha body"), (2L, 110L, "alpha body"),
+      (3L, 120L, "beta body"))
+    q.processAllAvailable()
+    mem.addData((4L, 130L, "alpha body"), (5L, 140L, "gamma body"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wm_dedup").select("text").as[String]
+      .collect().sorted.toSeq
+    assert(got == Seq("alpha body", "beta body", "gamma body"))
+  }
+
   test("streaming ingest lands micro-batches in the batch path's partition layout") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
