@@ -94,6 +94,8 @@ object GraftFunctions {
       "bloom_might_contain", exprs => {
         val (a, b) = binary("bloom_might_contain", exprs); BloomMightContain(a, b)
       }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_ngrams", WordNgrams.build, "scala_udf")
   }
 
   /** Arity gate for 2-arg builders — a clear analysis-time message instead
@@ -148,6 +150,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         val (a, b) = GraftFunctions.binary("bloom_might_contain", exprs)
         BloomMightContain(a, b)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      WordNgrams.info,
+      (exprs: Seq[Expression]) => WordNgrams.build(exprs)))
     // resolution-stage so the filter is in the analyzed plan (cache-safe)
     ext.injectPostHocResolutionRule(spark => graft.plans.TenantIsolationRule(spark))
   }

@@ -476,15 +476,6 @@ object TextOps {
   def repetitionStats(s: SparkSession, d: String): DataFrame =
     repetitionStatsFor(t(s, d, "documents")).orderBy("doc_id")
 
-  /** Distinct word n-grams of `tokens` as space-joined strings (empty
-    * array when the document is shorter than n).
-    */
-  private def ngramSet(n: Int): Column = expr(
-    s"""CASE WHEN size(tokens) < $n THEN slice(tokens, 1, 0)
-       |     ELSE array_distinct(transform(sequence(0, size(tokens) - $n),
-       |                         i -> concat_ws(' ', slice(tokens, i + 1, $n))))
-       |END""".stripMargin)
-
   /** Benchmark decontamination by token n-gram overlap (the GPT-3 appendix
     * C recipe: drop any training document sharing an n-gram with the eval
     * set; n scaled to the fixture's short documents). Substring
@@ -495,13 +486,20 @@ object TextOps {
     * set; the corpus explodes to one row per distinct n-gram and hash-joins
     * the broadcast set — no corpus-side shuffle before the final map-side-
     * combined count on doc_id. Corpus volume is linear in token count;
-    * nothing is all-pairs.
+    * nothing is all-pairs. Gram generation is the native codegen
+    * `word_ngrams` (graft.functions.WordNgrams) — the HOF chain it
+    * replaced paid one interpreted lambda per window (~5 s of the sf0.1
+    * sweep; the same per-element-lambda lesson as simhash64/vec_dot).
     */
-  def decontaminateNgram(s: SparkSession, d: String, n: Int = 3): DataFrame =
+  def decontaminateNgram(s: SparkSession, d: String, n: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     decontaminateNgramFor(t(s, d, "documents"), n)
+  }
 
   private[graft] def decontaminateNgramFor(raw: DataFrame, n: Int): DataFrame = {
-    val docs = withTokens(raw).withColumn("grams", ngramSet(n))
+    graft.functions.GraftFunctions.register(raw.sparkSession)
+    val docs = raw.withColumn("grams",
+      call_function("word_ngrams", col("text"), lit(n)))
     val evalGrams = docs.filter(col("doc_id") % 100 === 7)
       .select(explode(col("grams")).as("g")).distinct()
     docs.filter(col("doc_id") % 100 =!= 7)

@@ -529,6 +529,35 @@ class OpsPropertySpec extends SparkSpec {
     assert(!hdrOnly)
   }
 
+  test("word_ngrams: parity with the HOF formulation, codegen == eval") {
+    graft.functions.GraftFunctions.register(spark)
+    val texts = Seq("a b c d e", "  padded   spaces  ", "tab\tsep\nlines",
+      "short", "", "x x x x", "a b", "singleword", "a  b   c", "a b a b a b")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val hof = df.withColumn("tokens", split(trim(col("text")), "\\s+"))
+        .withColumn("g", expr(
+          s"""CASE WHEN size(tokens) < $n THEN slice(tokens, 1, 0)
+             |ELSE array_distinct(transform(sequence(0, size(tokens) - $n),
+             |     i -> concat_ws(' ', slice(tokens, i + 1, $n)))) END""".stripMargin))
+        .select("doc_id", "g").collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val native = df.select(col("doc_id"),
+        call_function("word_ngrams", col("text"), lit(n)).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(native == hof, s"n=$n: $native vs $hof")
+    }
+    // interpreted eval agrees with the codegen'd collect() path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val viaEval = graft.functions.WordNgrams(
+      Literal(UTF8String.fromString("a b a b a b"), org.apache.spark.sql.types.StringType), 2)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert((0 until viaEval.numElements())
+      .map(viaEval.getUTF8String(_).toString) == Seq("a b", "b a"))
+  }
+
   test("ngram decontamination: overlap flagged, clean docs survive, eval broadcast") {
     val docs = Seq(
       (107L, "alpha beta gamma delta epsilon"),        // eval doc (107 % 100 = 7)
