@@ -93,6 +93,7 @@ object SparkEntry {
     "q_export_shuffle"      -> (SamplingOps.exportShuffle _),
     "q_decontaminate_ngram" -> ((s: SparkSession, d: String) => TextOps.decontaminateNgram(s, d)),
     "q_blocklist_bloom"     -> (BlocklistOps.bloomBlocklistClean _),
+    "q_join_bucketed"       -> (Relational.joinBucketed _),
   )
 
   /** DuckDB-dialect oracle SQL per query. Omitted (→ rows-only check):
@@ -771,5 +772,12 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM block b
         |                  WHERE b.digest = sha256(d.text))
         |ORDER BY d.doc_id""".stripMargin,
+    // bucketing is a physical layout choice — the joined result is the
+    // plain equi-join, which the oracle computes directly
+    "q_join_bucketed" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -250,6 +250,33 @@ object Relational {
       .agg(sum(lit(1)))
       .orderBy("o_orderpriority")
 
+  /** Co-located fact-fact join via BUCKETED tables: both sides land with
+    * `bucketBy(join key) + sortBy`, so the SortMergeJoin reads bucket i
+    * against bucket i with NO Exchange on either side. At 100 TB this is
+    * the pattern for every RECURRING large-large join on a stable key:
+    * the shuffle is paid once at write time and amortized over every
+    * subsequent join/aggregation on that key (broadcast only rescues
+    * small dims; two big fact tables must otherwise re-shuffle per join).
+    * The `merge` hint pins SMJ so the plan demonstrates the bucketed path
+    * even at fixture scale, where broadcast would win on size alone.
+    */
+  def joinBucketed(s: SparkSession, d: String): DataFrame = {
+    val db = "graft_bucketed"
+    graft.store.Warehouse.ensureDatabase(s, db)
+    t(s, d, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(s"`$db`.`lineitem_bkt`")
+    t(s, d, "orders").select("o_orderkey", "o_orderpriority")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(s"`$db`.`orders_bkt`")
+    s.table(s"`$db`.`lineitem_bkt`")
+      .join(s.table(s"`$db`.`orders_bkt`").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), exactSum("l_quantity").as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Scalar date/time functions over the ms-precision orders timestamps. */
   def scalarDatetimeMath(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders").select(

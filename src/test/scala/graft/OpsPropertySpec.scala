@@ -697,6 +697,27 @@ class OpsPropertySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "dim joins must not sort-merge")
   }
 
+  test("bucketed join sort-merges with zero exchange on either side (plan audit)") {
+    val df = graft.ops.Relational.joinBucketed(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(800))
+    // the whole point of bucketing: the join keys never re-shuffle
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+      s"lineitem side re-shuffled:\n${plan.take(1200)}")
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"orders side re-shuffled:\n${plan.take(1200)}")
+    // and the result equals the plain (unbucketed) join
+    val plain = graft.Tables.t(spark, sf, "lineitem")
+      .join(graft.Tables.t(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy("o_orderpriority")
+      .collect().toSeq
+    assert(df.collect().toSeq == plain)
+  }
+
   test("ivf search broadcasts the probe cells — corpus never exchanged on the cell key") {
     val plan = VectorOps.ivfCosineTopk(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
