@@ -94,6 +94,7 @@ object SparkEntry {
     "q_decontaminate_ngram" -> ((s: SparkSession, d: String) => TextOps.decontaminateNgram(s, d)),
     "q_blocklist_bloom"     -> (BlocklistOps.bloomBlocklistClean _),
     "q_join_bucketed"       -> (Relational.joinBucketed _),
+    "q_salient_terms"       -> (TextOps.salientTermsPerSource _),
   )
 
   /** DuckDB-dialect oracle SQL per query. Omitted (→ rows-only check):
@@ -779,5 +780,29 @@ object SparkEntry {
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // integer idf (tf × n_sources div df) — log-free idf is monotone in
+    // the standard one, and integer ranks can't drift between engines
+    "q_salient_terms" ->
+      """WITH tok AS (
+        |    SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |    FROM documents
+        |), tf AS (
+        |    SELECT source, token, COUNT(*) AS tf FROM tok GROUP BY source, token
+        |), df AS (
+        |    SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+        |), ns AS (
+        |    SELECT COUNT(DISTINCT source) AS n FROM documents
+        |), scored AS (
+        |    SELECT tf.source, tf.token, tf.tf, df.df,
+        |           tf.tf * ns.n // df.df AS score
+        |    FROM tf JOIN df USING (token), ns
+        |), ranked AS (
+        |    SELECT source, token, tf, df, score,
+        |           row_number() OVER (PARTITION BY source
+        |                              ORDER BY score DESC, token ASC) AS rnk
+        |    FROM scored
+        |)
+        |SELECT source, rnk, token, tf, df, score FROM ranked WHERE rnk <= 3
+        |ORDER BY source, rnk""".stripMargin,
   )
 }

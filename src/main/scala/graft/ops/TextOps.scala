@@ -420,6 +420,39 @@ object TextOps {
       .orderBy("lang", "rnk")
   }
 
+  /** Salient terms per source — TF-IDF at source granularity, in INTEGER
+    * arithmetic so both engines rank identically (a float idf's last bit
+    * could flip a rank-boundary tie): score = tf_in_source × n_sources
+    * div n_sources_containing_term. log-free idf is monotone in the
+    * standard one, so "rare across sources, frequent here" ordering is
+    * preserved; what the corpus-signature use case needs.
+    *
+    * Scale shape: explode → two-level agg — (source, token) counts carry
+    * the only token-volume shuffle (map-side combined); the per-token
+    * document frequency is a second agg over the distinct (source, token)
+    * pairs, joined back WITHOUT a broadcast hint: vocabulary cardinality
+    * is unbounded at corpus scale (urls/typos), so AQE picks broadcast
+    * when df is small and a token-keyed shuffle join when it is not —
+    * tokenCounts already hash-partitions by (source, token), and the
+    * top-k filter is a WindowGroupLimit.
+    */
+  def salientTermsPerSource(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("score").desc, col("token").asc)
+    val tokenCounts = withTokens(t(s, d, "documents"))
+      .select(col("source"), explode(col("tokens")).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("tf"))
+    val nSources = t(s, d, "documents").select("source").distinct().count()
+    val docFreq = tokenCounts.groupBy("token")
+      .agg(count(lit(1)).as("df"))
+    tokenCounts.join(docFreq, "token")
+      .withColumn("score", expr(s"tf * ${nSources}L div df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("source", "rnk", "token", "tf", "df", "score")
+      .orderBy("source", "rnk")
+  }
+
   /** Multimodal plumbing: opaque binary payload + typed metadata extraction
     * (byte length + content digest). The decode step for real image/audio
     * bytes is the stubbed path in graft.ops.MultimodalOps; this query proves
