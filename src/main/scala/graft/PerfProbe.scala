@@ -27,7 +27,8 @@ import org.apache.spark.sql.functions._
   */
 object PerfProbe {
 
-  private val ScaledTables = Set("documents", "embeddings", "part", "orders", "events")
+  private val ScaledTables = Set("documents", "embeddings", "part", "orders",
+    "events", "lineitem")
   private val Dims = 64
 
   def buildScaled(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
@@ -84,6 +85,14 @@ object PerfProbe {
     copies(events, (d, i) =>
       d.withColumn("event_id", col("event_id") + lit(i * eventStride)))
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
+
+    // lineitem rides the SAME key offset as orders so fact-fact joins
+    // (bucketed join probe) keep their within-copy match structure
+    val li = Tables.t(spark, src, "lineitem")
+    val liOrderStride = orderStride // join key domain is orders' keys
+    copies(li, (d, i) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * liOrderStride)))
+      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
   }
 
   /** Min-of-`runs` wall time with cold plan state per pass (the Bench
@@ -133,7 +142,8 @@ object PerfProbe {
         // blocklist bloom rebuilds a K×-sized filter and confirm-joins the
         // FP sliver; export shuffle is one exchange + per-shard sort
         "q_repetition_stats", "q_mix_temperature", "q_export_shuffle",
-        "q_decontaminate_ngram", "q_blocklist_bloom")
+        "q_decontaminate_ngram", "q_blocklist_bloom",
+        "q_join_bucketed", "q_salient_terms")
       // SPARK_GRAFT_SCALE_ONLY=a,b,c re-probes a subset after a targeted fix
       // without paying the full sweep
       val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
