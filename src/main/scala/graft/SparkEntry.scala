@@ -31,6 +31,7 @@ object SparkEntry {
     "q_mode_full_snapshot"  -> (PipelineOps.modeFullSnapshot _),
     "q_partition_backfill"  -> (PipelineOps.partitionBackfill _),
     "q_mode_watermark_append" -> (PipelineOps.modeWatermarkAppend _),
+    "q_mode_merge_upsert"   -> (PipelineOps.modeMergeUpsert _),
     "q_delete_predicate"    -> (Parity.deletePredicate _),
     "q_empty_result_schema" -> (Parity.emptyResultSchema _),
     // Capability (§2.5 table 2 — §2.D decisions)
@@ -804,5 +805,21 @@ object SparkEntry {
         |)
         |SELECT source, rnk, token, tf, df, score FROM ranked WHERE rnk <= 3
         |ORDER BY source, rnk""".stripMargin,
+    // the engine runs the real merge machinery (base load + latest-wins
+    // window through the temp-swap); the oracle recomputes the final
+    // state declaratively
+    "q_mode_merge_upsert" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) + 1 AS stride FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |       CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2
+        |            ELSE o_totalprice END AS o_totalprice,
+        |       CAST(CASE WHEN o_orderkey % 10 = 3 THEN 2 ELSE 1 END
+        |            AS BIGINT) AS v
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + mx.stride AS o_orderkey, o_custkey,
+        |       o_totalprice, CAST(2 AS BIGINT) AS v
+        |FROM orders, mx WHERE o_orderkey % 100 = 55
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -118,6 +118,37 @@ object PipelineOps {
       .orderBy("event_id")
   }
 
+  /** Keyed merge-upsert materialization (the CDC-shaped mode the
+    * reference's full-refresh/append pair lacks): land a base snapshot,
+    * then merge a later batch of updates (doubled price on every 10th
+    * key, version 2) + inserts (key-shifted copies of every 100th-ish
+    * key). Latest-wins per key through Warehouse.mergeUpsert's single
+    * window over union(current, batch) — no point updates, layout
+    * preserved. The oracle recomputes the final state declaratively.
+    */
+  def modeMergeUpsert(s: SparkSession, d: String): DataFrame = {
+    import graft.store.LoadMode
+    val (db, table) = ("graft_merge", "orders_current")
+    s.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    s.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
+    val orders = graft.Tables.t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val base = orders.withColumn("v", lit(1L))
+    Warehouse.load(s, base, db, table, LoadMode.FullRefresh)
+    val stride = orders.agg(max("o_orderkey")).head.getLong(0) + 1
+    val updates = orders.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("v", lit(2L))
+    val inserts = orders.filter(col("o_orderkey") % 100 === 55)
+      .withColumn("o_orderkey", col("o_orderkey") + stride)
+      .withColumn("v", lit(2L))
+    Warehouse.mergeUpsert(s, updates.unionByName(inserts), db, table,
+      keys = Seq("o_orderkey"), versionCol = "v")
+    s.table(s"`$db`.`$table`")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "v")
+      .orderBy("o_orderkey")
+  }
+
   def modeFullSnapshot(s: SparkSession, d: String): DataFrame = {
     val tenant = TenantConfig.parse(tenantYaml)
     val pipeline = new TenantPipeline(tenant, new ParquetSource(d),

@@ -195,6 +195,32 @@ object Warehouse {
       spark.sql(s"DROP TABLE IF EXISTS $tmp")
     }
 
+  /** Keyed latest-wins upsert (MERGE semantics without update-in-place):
+    * batch rows replace existing rows on key when newer by `versionCol`
+    * (batch wins version ties — the replay/idempotency contract), unseen
+    * keys insert. Executed as ONE window over union(current, batch)
+    * through the checkpointed temp-swap ([[rewriteVia]]), preserving the
+    * table's partition/bucket layout: a single exchange on the key, no
+    * per-row point updates, no live-file rewrite hazard. Schema drift
+    * fails loudly (same contract as append).
+    */
+  def mergeUpsert(spark: SparkSession, batch: DataFrame, db: String,
+                  table: String, keys: Seq[String],
+                  versionCol: String): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, row_number}
+    require(keys.nonEmpty, "mergeUpsert needs at least one key column")
+    requireSameColumns(spark, batch, db, table)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(versionCol).desc, col("__is_batch").desc)
+    rewriteVia(spark, db, table)(current =>
+      current.withColumn("__is_batch", lit(0))
+        .unionByName(batch.withColumn("__is_batch", lit(1)))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__is_batch", "__rn"))
+  }
+
   /** Small-file compaction: rewrite a managed table into `numFiles` output
     * files per partition. The repartition applies on BOTH writes —
     * rereading the tmp would otherwise re-split by maxPartitionBytes and

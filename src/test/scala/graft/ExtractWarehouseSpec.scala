@@ -203,6 +203,34 @@ class ExtractWarehouseSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("mergeUpsert: latest wins per key, batch wins ties, drift rejected, idempotent") {
+    import graft.store.{LoadMode, Warehouse}
+    val (db, table) = ("graft_merge_ut", "kv")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
+    val base = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 2L))
+      .toDF("k", "val", "v")
+    Warehouse.load(spark, base, db, table, LoadMode.FullRefresh)
+    // update k=1 (newer), stale update k=3 (older — must lose),
+    // tie on k=2 (batch must win), insert k=4
+    val batch = Seq((1L, "a2", 2L), (3L, "stale", 1L), (2L, "b2", 1L),
+      (4L, "d", 1L)).toDF("k", "val", "v")
+    Warehouse.mergeUpsert(spark, batch, db, table, Seq("k"), "v")
+    def state() = spark.table(s"`$db`.`$table`").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val after = state()
+    assert(after == Seq((1L, "a2", 2L), (2L, "b2", 1L), (3L, "c", 2L),
+      (4L, "d", 1L)))
+    // replaying the same batch is a no-op (at-least-once delivery safety)
+    Warehouse.mergeUpsert(spark, batch, db, table, Seq("k"), "v")
+    assert(state() == after)
+    // schema drift fails loudly, table untouched
+    val drifted = Seq((5, "x", 1L)).toDF("k", "val", "v") // k is INT not BIGINT
+    assertThrows[IllegalArgumentException](
+      Warehouse.mergeUpsert(spark, drifted, db, table, Seq("k"), "v"))
+    assert(state() == after)
+  }
+
   test("product schema validator flags both name and type mismatches (C15)") {
     val good = Seq(("1", "n", "t", "g", "p",
       java.sql.Timestamp.valueOf("2026-01-01 00:00:00"),
