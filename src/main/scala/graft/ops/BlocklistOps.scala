@@ -40,9 +40,14 @@ object BlocklistOps {
     * 10 bits/key with k = 7 gives ~1% false positives (standard bloom
     * sizing), i.e. the confirm join sees ~1% of the corpus.
     */
-  def buildBloom(keys: DataFrame, bitsPerKey: Int = 10, k: Int = 7): Array[Byte] = {
+  def buildBloom(keys: DataFrame, bitsPerKey: Int = 10, k: Int = 7,
+                 nKeysHint: Option[Long] = None): Array[Byte] = {
     require(k >= 1 && k <= 255, s"bloom k must be in [1, 255], got $k")
-    val nKeys = keys.count()
+    // NOTE: sizing counts the blocklist when no hint is given — one
+    // aggregate job before the plan exists (the bloom is a literal, so it
+    // MUST materialize eagerly either way); production callers that track
+    // blocklist cardinality pass nKeysHint and skip the count.
+    val nKeys = nKeysHint.getOrElse(keys.count())
     val mBits = math.max(64L, ((nKeys * bitsPerKey + 63) / 64) * 64)
     // position_i = (h1 + i·h2) mod m over non-negative terms — identical
     // arithmetic to the probe expression's Java loop
