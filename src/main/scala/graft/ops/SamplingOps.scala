@@ -46,8 +46,10 @@ object SamplingOps {
     // full numeric suffix (no length cap — a capped substring would
     // silently truncate long suffixes), and a non-numeric source name
     // fails LOUDLY instead of null-ing its quota and silently dropping
-    // the whole source from the mix (the oracle's substr+CAST errors too)
-    val suffix = substring(col("source"), 4, Int.MaxValue).cast("int")
+    // the whole source from the mix (the oracle's substr+CAST errors too).
+    // try_cast, not cast: ANSI cast would throw its own error before the
+    // guard runs — the guard exists to name the OPERATOR and the source.
+    val suffix = expr("try_cast(substring(source, 4) AS INT)")
     val checked = when(suffix.isNull, raise_error(concat(
       lit("weightedMix: source name has no numeric suffix: "), col("source"))))
       .otherwise(suffix)
@@ -142,7 +144,9 @@ object SamplingOps {
     val nWeights = 9
     val maxQuota = math.floor(math.sqrt(nWeights.toDouble) * MixUnit).toInt
     val w = Window.partitionBy("source").orderBy(col("sk"), col("doc_id"))
-    val suffix = substring(col("source"), 4, Int.MaxValue).cast("int")
+    // try_cast for the same reason as weightedMix: let the named guard
+    // fire instead of a generic ANSI cast error
+    val suffix = expr("try_cast(substring(source, 4) AS INT)")
     val checked = when(suffix.isNull, raise_error(concat(
       lit("temperatureMix: source name has no numeric suffix: "), col("source"))))
       .otherwise(suffix)

@@ -601,6 +601,21 @@ class OpsPropertySpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(600))
   }
 
+  test("mixing fails loudly on a non-numeric source name (no silent drop)") {
+    import graft.ops.SamplingOps
+    val dir = TempDirs.create("graft-badsrc")
+    Seq((1L, "some text body", "en", "weird_name", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+    val e1 = intercept[Exception](SamplingOps.weightedMix(spark, dir).collect())
+    assert(messages(e1).contains("no numeric suffix"), messages(e1).take(300))
+    val e2 = intercept[Exception](SamplingOps.temperatureMix(spark, dir).collect())
+    assert(messages(e2).contains("no numeric suffix"), messages(e2).take(300))
+  }
+
   test("export shuffle: a permutation partitioned by shard, no global sort") {
     import graft.ops.SamplingOps
     val docs = Tables.t(spark, sf, "documents")

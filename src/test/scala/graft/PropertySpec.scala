@@ -133,6 +133,56 @@ object PropertySpec extends Properties("graft") {
         Some(("mp4", dur.toLong * 1000L / timescale, 0, 0))
     }
 
+  // build-side bit math replicated as a pure fold — the law is that the
+  // probe expression can NEVER miss an inserted key, for any key set and
+  // any probe count
+  private def pureBloom(keys: Seq[Long], bitsPerKey: Int, k: Int): Array[Byte] = {
+    val mBits = math.max(64L, ((keys.length.toLong * bitsPerKey + 63) / 64) * 64)
+    val out = new Array[Byte](1 + (mBits / 8).toInt)
+    out(0) = k.toByte
+    for (key <- keys; i <- 1 to k) {
+      val pos = ((key & 0xffffffffL) + i.toLong * (key >>> 32)) % mBits
+      val b = 1 + (pos >> 3).toInt
+      out(b) = (out(b) | (1 << (pos & 7).toInt)).toByte
+    }
+    out
+  }
+
+  private def probes(bits: Array[Byte], key: Long): Boolean =
+    graft.functions.BloomMightContain(Literal(bits), Literal(key))
+      .eval(null).asInstanceOf[Boolean]
+
+  property("bloom.noFalseNegativesEver") =
+    forAll(Gen.listOf(Gen.long), Gen.choose(1, 12)) { (keys, k) =>
+      val bits = pureBloom(keys, 10, k)
+      keys.forall(probes(bits, _))
+    }
+
+  property("bloom.emptyOrHeaderOnlyContainsNothing") =
+    forAll(Gen.long) { key =>
+      !probes(pureBloom(Nil, 10, 7), key) && !probes(Array[Byte](7), key)
+    }
+
+  private def ngramRef(s: String, n: Int): Seq[String] = {
+    val trimmed = s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    val toks = java.util.regex.Pattern.compile("\\s+").split(trimmed, -1)
+    if (toks.length < n) Seq.empty
+    else (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" ")).distinct
+  }
+
+  private val wordyGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.identifier.map(_.take(4)), Gen.const(""), Gen.const(" "),
+    Gen.const("\t"))).map(_.mkString(" "))
+
+  property("wordNgrams.matchesPureReference") =
+    forAll(wordyGen, Gen.choose(1, 4)) { (s, n) =>
+      val arr = graft.functions.WordNgrams(
+        Literal(UTF8String.fromString(s)), n)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val got = (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+      got == ngramRef(s, n)
+    }
+
   property("vecDot.matchesReferenceFoldAndIsSymmetric") =
     forAll(Gen.listOfN(64, Gen.choose(-1000, 1000).map(_ / 100.0))) { xs =>
       import org.apache.spark.sql.types.{ArrayType, DoubleType}
