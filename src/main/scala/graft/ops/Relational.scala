@@ -262,13 +262,12 @@ object Relational {
     */
   def joinBucketed(s: SparkSession, d: String): DataFrame = {
     val db = "graft_bucketed"
-    graft.store.Warehouse.ensureDatabase(s, db)
-    t(s, d, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
-      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable(s"`$db`.`lineitem_bkt`")
-    t(s, d, "orders").select("o_orderkey", "o_orderpriority")
-      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable(s"`$db`.`orders_bkt`")
+    graft.store.Warehouse.saveBucketed(
+      t(s, d, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice"),
+      db, "lineitem_bkt", Seq("l_orderkey"), numBuckets = 8)
+    graft.store.Warehouse.saveBucketed(
+      t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+      db, "orders_bkt", Seq("o_orderkey"), numBuckets = 8)
     s.table(s"`$db`.`lineitem_bkt`")
       .join(s.table(s"`$db`.`orders_bkt`").hint("merge"),
         col("l_orderkey") === col("o_orderkey"))

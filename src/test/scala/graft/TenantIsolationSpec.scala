@@ -35,6 +35,24 @@ class TenantIsolationSpec extends AnyFunSuite with BeforeAndAfterAll {
     SparkSession.clearDefaultSession()
   }
 
+  test("extensions inject EVERY native function (registry/injection drift gate)") {
+    // one SQL probe per injected function — fails if a function is added
+    // to GraftFunctions.register but forgotten in GraftExtensions (the
+    // cluster deployment path would silently lack it)
+    val row = spark.sql(
+      """SELECT rolling_hash('abc')                                AS a,
+        |       simhash64(array('x', 'y'))                         AS b,
+        |       hyperplane_sketch(array(1.0F, -1.0F))              AS c,
+        |       nfc_normalize('cafe')                              AS d,
+        |       vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))      AS e,
+        |       vec_sqdist(array(1.0D, 2.0D), array(3.0D, 4.0D))   AS f,
+        |       bloom_might_contain(CAST(NULL AS BINARY), 42L)     AS g,
+        |       word_ngrams('a b c', 2)                            AS h
+        |""".stripMargin).head()
+    assert(row.getDouble(4) == 11.0)
+    assert(row.getSeq[String](7) == Seq("a b", "b c"))
+  }
+
   test("raw-table scans are auto-filtered to the session tenant; other tables untouched") {
     val s2 = spark
     import s2.implicits._
