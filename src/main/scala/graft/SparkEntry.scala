@@ -69,6 +69,7 @@ object SparkEntry {
     "q_dedup_exact_text"    -> (TextOps.dedupExactText _),
     "q_dedup_clusters"      -> (GraphOps.dedupClusters _),
     "q_dedup_minhash"       -> (TextOps.dedupMinhash _),
+    "q_dedup_survivors"     -> (TextOps.dedupSurvivors _),
     "q_simhash"             -> (TextOps.simhash _),
     "q_simhash_near_dup"    -> (TextOps.simhashNearDup _),
     "q_ngram_jaccard"       -> (TextOps.ngramJaccard _),
@@ -100,8 +101,8 @@ object SparkEntry {
 
   /** DuckDB-dialect oracle SQL per query. Omitted (→ rows-only check):
     * q_approx_distinct (sketch values engine-specific), q_dedup_minhash /
-    * q_simhash / q_simhash_near_dup / q_lsh_cosine_buckets (xxhash64
-    * family not in DuckDB),
+    * q_dedup_survivors / q_simhash / q_simhash_near_dup /
+    * q_lsh_cosine_buckets (xxhash64 family not in DuckDB),
     * q_ivf_cosine_topk / q_ivf_semantic_dedup (centroids engine-trained;
     * recall-floor-tested vs the exact oracle'd q_knn_cosine_topk /
     * brute-force pair set) — each is property-tested in src/test instead.

@@ -542,6 +542,31 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** One-call near-dup corpus dedup — the composition the pieces exist
+    * for: [[dedupMinhash]] candidate pairs → transitive closure via
+    * [[GraphOps.connectedComponents]] → keep each cluster's lowest doc_id.
+    * Returns (doc_id, canonical_id, survives): every document mapped to
+    * its duplicate-cluster canon. Rows-only (minhash family is
+    * engine-specific); the exact-dup collapse guarantee and the
+    * survivors-per-cluster invariant are property-tested.
+    *
+    * Scale shape inherits its parts: banded pair generation (hash-
+    * bucketed, hot-bucket capped), O(log diameter) component rounds with
+    * per-round checkpoints, and a final broadcast-size-agnostic semi-join
+    * — nothing all-pairs, nothing single-partition.
+    */
+  def dedupSurvivors(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val pairs = dedupMinhash(s, d)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comps = GraphOps.connectedComponents(pairs,
+      docs.select(col("doc_id").as("id")))
+    comps
+      .select(col("id").as("doc_id"), col("cluster_id").as("canonical_id"))
+      .withColumn("survives", (col("doc_id") === col("canonical_id")).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** The surviving corpus after [[decontaminateNgram]]: eval docs and any
     * doc overlapping them are removed (broadcast anti-join on doc_id).
     */

@@ -601,6 +601,30 @@ class OpsPropertySpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(600))
   }
 
+  test("dedup survivors: one canon per cluster, exact dups collapse, total preserved") {
+    val out = TextOps.dedupSurvivors(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val docs = Tables.t(spark, sf, "documents")
+    assert(out.length == docs.count()) // every doc mapped, none invented
+    // survivors are exactly the distinct canonical ids, each its own canon
+    val canons = out.map(_._2).distinct.toSet
+    val survivors = out.filter(_._3 == 1).map(_._1).toSet
+    assert(survivors == canons)
+    out.foreach { case (id, canon, _) => assert(canon <= id) } // min-label law
+    // exact duplicate texts always share a canonical id (minhash bands
+    // collide on identical content by construction)
+    val exactDupGroups = docs
+      .groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
+      .agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .collect().map(_.getSeq[Long](1))
+    val canonOf = out.map(t => t._1 -> t._2).toMap
+    exactDupGroups.foreach { ids =>
+      assert(ids.map(canonOf).distinct.length == 1,
+        s"exact dups split across clusters: $ids")
+    }
+  }
+
   test("mixing fails loudly on a non-numeric source name (no silent drop)") {
     import graft.ops.SamplingOps
     val dir = TempDirs.create("graft-badsrc")
