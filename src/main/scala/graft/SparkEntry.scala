@@ -96,7 +96,7 @@ object SparkEntry {
     "q_decontaminate_ngram" -> ((s: SparkSession, d: String) => TextOps.decontaminateNgram(s, d)),
     "q_blocklist_bloom"     -> (BlocklistOps.bloomBlocklistClean _),
     "q_join_bucketed"       -> (Relational.joinBucketed _),
-    "q_salient_terms"       -> (TextOps.salientTermsPerSource _),
+    "q_salient_terms"       -> ((s: SparkSession, d: String) => TextOps.salientTermsPerSource(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query. Omitted (→ rows-only check):
@@ -733,7 +733,7 @@ object SparkEntry {
         |    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sk FROM documents
         |), sharded AS (
         |    SELECT doc_id, sk,
-        |           CAST(((strpos('0123456789abcdef', substr(sk, 1, 1)) - 1) * 16
+        |           CAST(((strpos('0123456789abcdef', substr(sk, 1, 1)) - 1) * 13
         |                 + (strpos('0123456789abcdef', substr(sk, 2, 1)) - 1))
         |                % 8 AS INT) AS shard
         |    FROM keyed

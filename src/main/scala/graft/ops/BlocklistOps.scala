@@ -83,9 +83,18 @@ object BlocklistOps {
     * `digest` column, `block` is a one-column `digest` blocklist.
     */
   private[graft] def cleanAgainst(docs: DataFrame, block: DataFrame,
-                                  bitsPerKey: Int = 10, k: Int = 7): DataFrame = {
-    val bloom = buildBloom(block.select(xxhash64(col("digest")).as("key")),
-      bitsPerKey, k)
+                                  bitsPerKey: Int = 10, k: Int = 7): DataFrame =
+    cleanAgainstBloom(docs, block,
+      buildBloom(block.select(xxhash64(col("digest")).as("key")), bitsPerKey, k))
+
+  /** Plan-shape core over a PREBUILT bloom: the bitmap is a literal, so
+    * the plan exists without running the build jobs — plan-only callers
+    * (PlanAudit) pass any layout-valid bytes; the shape is content-
+    * independent.
+    */
+  private[graft] def cleanAgainstBloom(docs: DataFrame, block: DataFrame,
+                                       bloom: Array[Byte]): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val probe = call_function("bloom_might_contain",
       lit(bloom), xxhash64(col("digest")))
     val definiteClean = docs.filter(!probe)

@@ -135,7 +135,11 @@ object PipelineOps {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     val base = orders.withColumn("v", lit(1L))
     Warehouse.load(s, base, db, table, LoadMode.FullRefresh)
-    val stride = orders.agg(max("o_orderkey")).head.getLong(0) + 1
+    // empty-source guard: max() over zero rows is NULL (same hole the
+    // dedupClusters empty-corpus fix closed) — an empty orders table
+    // makes both merge batches empty, so any stride works
+    val mx = orders.agg(max("o_orderkey")).head
+    val stride = if (mx.isNullAt(0)) 0L else mx.getLong(0) + 1
     val updates = orders.filter(col("o_orderkey") % 10 === 3)
       .withColumn("o_totalprice", col("o_totalprice") * 2)
       .withColumn("v", lit(2L))

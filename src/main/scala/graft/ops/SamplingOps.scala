@@ -18,6 +18,17 @@ object SamplingOps {
 
   private def sampleKey = md5(col("doc_id").cast("string").cast("binary"))
 
+  /** Non-negative numeric source suffix or a LOUD, operator-named error —
+    * shared by both mixes so their failure contracts can't diverge.
+    */
+  private def checkedSuffix(op: String) = {
+    val suffix = expr("try_cast(substring(source, 4) AS INT)")
+    when(suffix.isNull || suffix < 0, raise_error(concat(
+      lit(s"$op: source name has no non-negative numeric suffix: "),
+      col("source"))))
+      .otherwise(suffix)
+  }
+
   /** Per-language deterministic sample of k documents: rank by the md5
     * permutation within each stratum, keep the first k. Scale shape: the
     * rank-≤-k filter compiles to WindowGroupLimit — map-side per-group
@@ -44,15 +55,14 @@ object SamplingOps {
     val maxQuota = 3 * MixUnit
     val w = Window.partitionBy("source").orderBy(col("sk"), col("doc_id"))
     // full numeric suffix (no length cap — a capped substring would
-    // silently truncate long suffixes), and a non-numeric source name
-    // fails LOUDLY instead of null-ing its quota and silently dropping
-    // the whole source from the mix (the oracle's substr+CAST errors too).
-    // try_cast, not cast: ANSI cast would throw its own error before the
-    // guard runs — the guard exists to name the OPERATOR and the source.
-    val suffix = expr("try_cast(substring(source, 4) AS INT)")
-    val checked = when(suffix.isNull, raise_error(concat(
-      lit("weightedMix: source name has no numeric suffix: "), col("source"))))
-      .otherwise(suffix)
+    // silently truncate long suffixes), and a non-numeric OR negative
+    // suffix fails LOUDLY instead of null-ing/zeroing its quota and
+    // silently dropping the whole source from the mix (the oracle's
+    // substr+CAST errors too). try_cast, not cast: ANSI cast would throw
+    // its own error before the guard runs — the guard exists to name the
+    // OPERATOR and the source. Negative matters: -4 % 3 = -1 would make
+    // quota 0 (a silent drop) with no cast error at all.
+    val checked = checkedSuffix("weightedMix")
     t(s, d, "documents")
       .withColumn("quota", (lit(1) + checked % 3) * MixUnit)
       .withColumn("sk", sampleKey)
@@ -144,13 +154,10 @@ object SamplingOps {
     val nWeights = 9
     val maxQuota = math.floor(math.sqrt(nWeights.toDouble) * MixUnit).toInt
     val w = Window.partitionBy("source").orderBy(col("sk"), col("doc_id"))
-    // try_cast for the same reason as weightedMix: let the named guard
-    // fire instead of a generic ANSI cast error
-    val suffix = expr("try_cast(substring(source, 4) AS INT)")
-    val checked = when(suffix.isNull, raise_error(concat(
-      lit("temperatureMix: source name has no numeric suffix: "), col("source"))))
-      .otherwise(suffix)
-    val weight = (lit(1) + checked % nWeights).cast("double")
+    // same shared guard as weightedMix: a negative suffix would otherwise
+    // reach sqrt(negative) = NaN and die as a generic ANSI cast error
+    val weight = (lit(1) + checkedSuffix("temperatureMix") % nWeights)
+      .cast("double")
     t(s, d, "documents")
       .withColumn("quota", floor(sqrt(weight) * MixUnit).cast("int"))
       .withColumn("sk", sampleKey)
@@ -172,25 +179,38 @@ object SamplingOps {
     * [[exportShuffledWrite]].
     */
   val ExportShards = 8
-  def exportShuffle(s: SparkSession, d: String): DataFrame = {
+  /** Shard + rank assignment WITHOUT a total output order — the write
+    * path consumes this directly (a trailing global orderBy would range-
+    * sort the entire corpus only for the repartition to destroy it).
+    * Shard folds BOTH leading hex chars with an odd multiplier: with a
+    * power-of-two shard count, (a·16 + b) % shards would reduce to
+    * b % shards and waste the first character's entropy.
+    */
+  private def exportAssignments(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("shard").orderBy(col("sk"), col("doc_id"))
     t(s, d, "documents")
       .withColumn("sk", sampleKey)
       .withColumn("shard", expr(
-        s"""CAST(((instr('0123456789abcdef', substring(sk, 1, 1)) - 1) * 16
+        s"""CAST(((instr('0123456789abcdef', substring(sk, 1, 1)) - 1) * 13
            |      + (instr('0123456789abcdef', substring(sk, 2, 1)) - 1))
            |     % $ExportShards AS INT)""".stripMargin))
       .withColumn("shard_rank", row_number().over(w))
       .select("shard", "shard_rank", "doc_id")
-      .orderBy("shard", "shard_rank")
   }
 
-  /** The file-landing form of [[exportShuffle]]: one directory per shard,
-    * rows inside each file in permutation order. Returns the output path.
+  /** Oracle-checked form: totally ordered for the deterministic compare. */
+  def exportShuffle(s: SparkSession, d: String): DataFrame =
+    exportAssignments(s, d).orderBy("shard", "shard_rank")
+
+  /** The file-landing form: one directory per shard, rows inside each
+    * file in permutation order. The window's hash exchange on `shard`
+    * already co-locates each shard's rows sorted by rank, so the write
+    * adds NO further exchange — only the local sortWithinPartitions
+    * (a no-op on already-window-sorted data, kept as an explicit
+    * contract), never the global sort of the oracle form.
     */
   def exportShuffledWrite(s: SparkSession, d: String, outDir: String): Unit =
-    exportShuffle(s, d)
-      .repartition(col("shard"))
+    exportAssignments(s, d)
       .sortWithinPartitions(col("shard"), col("shard_rank"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 }

@@ -436,13 +436,18 @@ object TextOps {
     * tokenCounts already hash-partitions by (source, token), and the
     * top-k filter is a WindowGroupLimit.
     */
-  def salientTermsPerSource(s: SparkSession, d: String): DataFrame = {
+  def salientTermsPerSource(s: SparkSession, d: String,
+                            nSourcesHint: Option[Long] = None): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
       .orderBy(col("score").desc, col("token").asc)
     val tokenCounts = withTokens(t(s, d, "documents"))
       .select(col("source"), explode(col("tokens")).as("token"))
       .groupBy("source", "token").agg(count(lit(1)).as("tf"))
-    val nSources = t(s, d, "documents").select("source").distinct().count()
+    // the source count is a scalar in the score expression, so it must
+    // exist before the plan does; plan-only callers (PlanAudit) pass the
+    // hint to stay lazy
+    val nSources = nSourcesHint.getOrElse(
+      t(s, d, "documents").select("source").distinct().count())
     val docFreq = tokenCounts.groupBy("token")
       .agg(count(lit(1)).as("df"))
     tokenCounts.join(docFreq, "token")
@@ -480,8 +485,7 @@ object TextOps {
     * signal set is one projection over the scan at any corpus size.
     */
   def repetitionStatsFor(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("tokens", split(trim(col("text")), "\\s+"))
+    withTokens(docs)
       .withColumn("bigrams", expr(
         """CASE WHEN size(tokens) < 2 THEN slice(tokens, 1, 0)
           |     ELSE transform(sequence(0, size(tokens) - 2),
@@ -524,10 +528,8 @@ object TextOps {
     * replaced paid one interpreted lambda per window (~5 s of the sf0.1
     * sweep; the same per-element-lambda lesson as simhash64/vec_dot).
     */
-  def decontaminateNgram(s: SparkSession, d: String, n: Int = 3): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
+  def decontaminateNgram(s: SparkSession, d: String, n: Int = 3): DataFrame =
     decontaminateNgramFor(t(s, d, "documents"), n)
-  }
 
   private[graft] def decontaminateNgramFor(raw: DataFrame, n: Int): DataFrame = {
     graft.functions.GraftFunctions.register(raw.sparkSession)

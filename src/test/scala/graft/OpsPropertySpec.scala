@@ -635,9 +635,18 @@ class OpsPropertySpec extends SparkSpec {
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
     val e1 = intercept[Exception](SamplingOps.weightedMix(spark, dir).collect())
-    assert(messages(e1).contains("no numeric suffix"), messages(e1).take(300))
+    assert(messages(e1).contains("numeric suffix"), messages(e1).take(300))
     val e2 = intercept[Exception](SamplingOps.temperatureMix(spark, dir).collect())
-    assert(messages(e2).contains("no numeric suffix"), messages(e2).take(300))
+    assert(messages(e2).contains("numeric suffix"), messages(e2).take(300))
+    // negative suffix: try_cast succeeds, but -4 % 3 would zero the quota
+    // (silent drop) / reach sqrt(negative) — the guard must fire instead
+    Seq((1L, "some text body", "en", "src-4", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e3 = intercept[Exception](SamplingOps.weightedMix(spark, dir).collect())
+    assert(messages(e3).contains("non-negative"), messages(e3).take(300))
+    val e4 = intercept[Exception](SamplingOps.temperatureMix(spark, dir).collect())
+    assert(messages(e4).contains("non-negative"), messages(e4).take(300))
   }
 
   test("export shuffle: a permutation partitioned by shard, no global sort") {
