@@ -387,19 +387,28 @@ object TextOps {
     * survivors arrive via a semi-join on the normalized-text hash group
     * minimum — filters and join both scale linearly.
     */
-  def corpusClean(s: SparkSession, d: String): DataFrame = {
-    val stats = withTokens(t(s, d, "documents"))
+  /** The STATELESS per-row quality stats + gate — one definition shared
+    * by the batch cleaning pass and the streaming ingest filter, so the
+    * two paths can never silently drift (same rationale as StopWords).
+    */
+  private[graft] def qualityGateStats(docs: DataFrame): DataFrame =
+    withTokens(docs)
       .withColumn("n_tokens", size(col("tokens")))
       .withColumn("stop_ratio",
         stopCount(col("tokens")).cast("double") / col("n_tokens").cast("double"))
+
+  private[graft] def qualityGate: Column =
+    col("n_tokens") >= 20 &&
+      col("stop_ratio") >= 0.05 && col("stop_ratio") <= 0.6
+
+  def corpusClean(s: SparkSession, d: String): DataFrame = {
     val survivors = t(s, d, "documents")
       .groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    stats
+    qualityGateStats(t(s, d, "documents"))
       .join(survivors, Seq("doc_id"), "left_semi")
-      .filter(col("n_tokens") >= 20 &&
-        col("stop_ratio") >= 0.05 && col("stop_ratio") <= 0.6)
+      .filter(qualityGate)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("stop_ratio"))
       .orderBy("doc_id")
   }

@@ -216,6 +216,18 @@ object StreamingOps {
       .withWatermark("event_time", delay)
       .dropDuplicatesWithinWatermark("digest")
 
+  /** Streaming ingest quality gate: the BATCH stateless quality predicate
+    * (graft.ops.TextOps.qualityGate — the same length floor and stopword
+    * band corpusClean applies) filtered per micro-batch before landing,
+    * so streamed and batch-curated corpora pass identical rules. The
+    * stateful legs stay with their own operators: exact dedup via
+    * [[sinkDedupedLog]] / [[dedupWithinWatermark]].
+    */
+  def qualityGatedCorpus(docs: DataFrame): DataFrame =
+    graft.ops.TextOps.qualityGateStats(docs)
+      .filter(graft.ops.TextOps.qualityGate)
+      .select(docs.columns.head, docs.columns.tail.map(c => c): _*)
+
   /** Scheduled wiring for the log compaction — the maintenance cadence an
     * always-on ingest stream needs, composed like the IVF index refresh.
     */

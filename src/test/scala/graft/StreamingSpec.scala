@@ -200,6 +200,28 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq("alpha body", "beta body", "gamma body"))
   }
 
+  test("streaming quality gate passes exactly what the batch gate passes") {
+    implicit val sq = spark.sqlContext
+    val docs = Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.qualityGatedCorpus(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("quality_gate")
+      .outputMode(OutputMode.Append()).start()
+    docs.grouped(100).foreach { chunk =>
+      mem.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("quality_gate").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    val batch = graft.ops.TextOps.qualityGateStats(
+        docs.toDF("doc_id", "text"))
+      .filter(graft.ops.TextOps.qualityGate)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.length < docs.length) // gate bites
+  }
+
   test("streaming ingest lands micro-batches in the batch path's partition layout") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
