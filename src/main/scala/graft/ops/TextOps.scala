@@ -17,8 +17,13 @@ import graft.Tables.t
   */
 object TextOps {
 
+  /** THE tokenizer expression — the single definition every token
+    * consumer shares (a second inline copy could silently diverge).
+    */
+  private def tokensExpr: Column = split(trim(col("text")), "\\s+")
+
   private def withTokens(df: DataFrame): DataFrame =
-    df.withColumn("tokens", split(trim(col("text")), "\\s+"))
+    df.withColumn("tokens", tokensExpr)
 
   /** Per-doc token/char counts. */
   def textStats(s: SparkSession, d: String): DataFrame =
@@ -107,7 +112,15 @@ object TextOps {
     * No SQL oracle (hash-family specific); property-tested: exact
     * duplicates always collide in every band.
     */
-  def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+  def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    minhashCandidatePairs(s, d).orderBy("doc_a", "doc_b")
+
+  /** Sort-free pair core: [[dedupMinhash]] adds the total order only for
+    * the deterministic oracle compare; composition consumers
+    * ([[dedupSurvivors]]'s component edges) must not pay a global range
+    * sort the downstream hash joins ignore.
+    */
+  private[graft] def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
     val sigs = minhashSignatures(withTokens(t(s, d, "documents")))
     // banded feeds three branches (hot-set agg + both self-join sides):
     // persist it so the signature pipeline (explode + 16-way hash agg)
@@ -128,7 +141,6 @@ object TextOps {
     a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-      .orderBy("doc_a", "doc_b")
   }
 
   val NumHashes = 16
@@ -390,16 +402,27 @@ object TextOps {
   /** The STATELESS per-row quality stats + gate — one definition shared
     * by the batch cleaning pass and the streaming ingest filter, so the
     * two paths can never silently drift (same rationale as StopWords).
+    * Stats land under reserved `__gate_*` names so an arbitrary ingest
+    * schema (which may legitimately carry `tokens`/`n_tokens` columns)
+    * is never silently overwritten.
     */
-  private[graft] def qualityGateStats(docs: DataFrame): DataFrame =
-    withTokens(docs)
-      .withColumn("n_tokens", size(col("tokens")))
-      .withColumn("stop_ratio",
-        stopCount(col("tokens")).cast("double") / col("n_tokens").cast("double"))
+  private[graft] def qualityGateStats(docs: DataFrame): DataFrame = {
+    require(!docs.columns.exists(_.startsWith("__gate_")),
+      "__gate_* column names are reserved by the quality gate")
+    docs
+      .withColumn("__gate_tokens", tokensExpr)
+      .withColumn("__gate_n_tokens", size(col("__gate_tokens")))
+      .withColumn("__gate_stop_ratio",
+        stopCount(col("__gate_tokens")).cast("double")
+          / col("__gate_n_tokens").cast("double"))
+  }
 
   private[graft] def qualityGate: Column =
-    col("n_tokens") >= 20 &&
-      col("stop_ratio") >= 0.05 && col("stop_ratio") <= 0.6
+    col("__gate_n_tokens") >= 20 &&
+      col("__gate_stop_ratio") >= 0.05 && col("__gate_stop_ratio") <= 0.6
+
+  private[graft] val GateCols = Seq("__gate_tokens", "__gate_n_tokens",
+    "__gate_stop_ratio")
 
   def corpusClean(s: SparkSession, d: String): DataFrame = {
     val survivors = t(s, d, "documents")
@@ -409,7 +432,9 @@ object TextOps {
     qualityGateStats(t(s, d, "documents"))
       .join(survivors, Seq("doc_id"), "left_semi")
       .filter(qualityGate)
-      .select(col("doc_id"), col("lang"), col("n_tokens"), col("stop_ratio"))
+      .select(col("doc_id"), col("lang"),
+        col("__gate_n_tokens").as("n_tokens"),
+        col("__gate_stop_ratio").as("stop_ratio"))
       .orderBy("doc_id")
   }
 
@@ -562,13 +587,14 @@ object TextOps {
     * survivors-per-cluster invariant are property-tested.
     *
     * Scale shape inherits its parts: banded pair generation (hash-
-    * bucketed, hot-bucket capped), O(log diameter) component rounds with
-    * per-round checkpoints, and a final broadcast-size-agnostic semi-join
-    * — nothing all-pairs, nothing single-partition.
+    * bucketed, hot-bucket capped, consumed SORT-FREE — the oracle form's
+    * total order would be a wasted range exchange here) and
+    * O(log diameter) component rounds with per-round checkpoints —
+    * nothing all-pairs, nothing single-partition.
     */
   def dedupSurvivors(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
-    val pairs = dedupMinhash(s, d)
+    val pairs = minhashCandidatePairs(s, d)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val comps = GraphOps.connectedComponents(pairs,
       docs.select(col("doc_id").as("id")))

@@ -226,7 +226,7 @@ object StreamingOps {
   def qualityGatedCorpus(docs: DataFrame): DataFrame =
     graft.ops.TextOps.qualityGateStats(docs)
       .filter(graft.ops.TextOps.qualityGate)
-      .select(docs.columns.head, docs.columns.tail.map(c => c): _*)
+      .drop(graft.ops.TextOps.GateCols: _*)
 
   /** Scheduled wiring for the log compaction — the maintenance cadence an
     * always-on ingest stream needs, composed like the IVF index refresh.
