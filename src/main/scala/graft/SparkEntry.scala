@@ -90,6 +90,7 @@ object SparkEntry {
     "q_ivf_cosine_topk"     -> (VectorOps.ivfCosineTopk _),
     "q_ivf_semantic_dedup"  -> ((s: SparkSession, d: String) => VectorOps.ivfSemanticDedup(s, d)),
     "q_embedding_near_dup"  -> ((s: SparkSession, d: String) => VectorOps.nearDupCosine(s, d)),
+    "q_semantic_survivors"  -> ((s: SparkSession, d: String) => VectorOps.semanticSurvivors(s, d)),
     "q_repetition_stats"    -> (TextOps.repetitionStats _),
     "q_mix_temperature"     -> (SamplingOps.temperatureMix _),
     "q_export_shuffle"      -> (SamplingOps.exportShuffle _),
@@ -105,7 +106,8 @@ object SparkEntry {
     * q_lsh_cosine_buckets (xxhash64 family not in DuckDB),
     * q_ivf_cosine_topk / q_ivf_semantic_dedup (centroids engine-trained;
     * recall-floor-tested vs the exact oracle'd q_knn_cosine_topk /
-    * brute-force pair set) — each is property-tested in src/test instead.
+    * brute-force pair set), q_semantic_survivors (hyperplane-sketch
+    * family) — each is property-tested in src/test instead.
     */
   def oracleSql: Map[String, String] = Map(
     "q_scan_projection" ->

@@ -138,6 +138,26 @@ object VectorOps {
   def nearDupCosine(s: SparkSession, d: String, threshold: Double = 0.45): DataFrame =
     nearDupPairs(t(s, d, "embeddings"), threshold)
 
+  /** One-call SEMANTIC dedup canon — the embedding-side mirror of
+    * graft.ops.TextOps.dedupSurvivors: near-dup cosine pairs → connected
+    * components → cluster-min canon per vector. Same composition law:
+    * transitive closure canonicalizes what pairwise output can't (A~B,
+    * B~C puts A,B,C in ONE cluster even when A~C is below threshold).
+    * Rows-only (hyperplane sketch family); the mapped/canon invariants
+    * are property-tested like the text side.
+    */
+  def semanticSurvivors(s: SparkSession, d: String,
+                        threshold: Double = 0.45): DataFrame = {
+    val vecs = t(s, d, "embeddings")
+    val pairs = nearDupPairs(vecs, threshold)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    GraphOps.connectedComponents(pairs, vecs.select(col("vec_id").as("id")))
+      .select(col("id").as("vec_id"), col("cluster_id").as("canonical_id"))
+      .withColumn("survives",
+        (col("vec_id") === col("canonical_id")).cast("int"))
+      .orderBy("vec_id")
+  }
+
   /** IVF (inverted-file) approximate nearest neighbor — the data-adaptive
     * complement to the hyperplane-LSH path: a k-means coarse quantizer
     * (hand-rolled Lloyd's in DataFrame ops, deterministic) learns

@@ -601,6 +601,20 @@ class OpsPropertySpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(600))
   }
 
+  test("semantic survivors: every vector mapped, canons are minima and self-survivors") {
+    val out = VectorOps.semanticSurvivors(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val n = Tables.t(spark, sf, "embeddings").count()
+    assert(out.length == n)
+    val canons = out.map(_._2).distinct.toSet
+    val survivors = out.filter(_._3 == 1).map(_._1).toSet
+    assert(survivors == canons)
+    out.foreach { case (id, canon, _) => assert(canon <= id) }
+    // the fixture has known near-dup groups: at least one multi-member
+    // cluster must form (pairs exist → closure is non-trivial)
+    assert(survivors.size < n, "no cluster formed — pairs lost in closure")
+  }
+
   test("dedup survivors: one canon per cluster, exact dups collapse, total preserved") {
     val out = TextOps.dedupSurvivors(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
