@@ -144,7 +144,7 @@ object PerfProbe {
         "q_repetition_stats", "q_mix_temperature", "q_export_shuffle",
         "q_decontaminate_ngram", "q_blocklist_bloom",
         "q_join_bucketed", "q_salient_terms", "q_mode_merge_upsert",
-        "q_dedup_survivors")
+        "q_dedup_survivors", "q_semantic_survivors")
       // SPARK_GRAFT_SCALE_ONLY=a,b,c re-probes a subset after a targeted fix
       // without paying the full sweep
       val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
