@@ -186,7 +186,8 @@ object SamplingOps {
     * power-of-two shard count, (a·16 + b) % shards would reduce to
     * b % shards and waste the first character's entropy.
     */
-  private def exportAssignments(s: SparkSession, d: String): DataFrame = {
+  private def exportAssignments(s: SparkSession, d: String,
+                                payload: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy("shard").orderBy(col("sk"), col("doc_id"))
     t(s, d, "documents")
       .withColumn("sk", sampleKey)
@@ -195,7 +196,10 @@ object SamplingOps {
            |      + (instr('0123456789abcdef', substring(sk, 2, 1)) - 1))
            |     % $ExportShards AS INT)""".stripMargin))
       .withColumn("shard_rank", row_number().over(w))
-      .select("shard", "shard_rank", "doc_id")
+      // payload columns ride THROUGH the window — joining them back later
+      // would re-shuffle on doc_id and destroy the shard partitioning
+      .select((Seq("shard", "shard_rank", "doc_id") ++ payload)
+        .map(col): _*)
   }
 
   /** Oracle-checked form: totally ordered for the deterministic compare. */
@@ -213,4 +217,14 @@ object SamplingOps {
     exportAssignments(s, d)
       .sortWithinPartitions(col("shard"), col("shard_rank"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
+  /** JSONL flavor of the export — the interchange format most training
+    * stacks consume. Same plan (window's shard exchange only, local sort,
+    * one dir per shard in permutation order); text rides along so the
+    * output is self-contained training data, not just an assignment map.
+    */
+  def exportShuffledJsonl(s: SparkSession, d: String, outDir: String): Unit =
+    exportAssignments(s, d, payload = Seq("text"))
+      .sortWithinPartitions(col("shard"), col("shard_rank"))
+      .write.mode("overwrite").partitionBy("shard").json(outDir)
 }

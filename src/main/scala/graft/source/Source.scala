@@ -29,6 +29,44 @@ final class ParquetSource(dir: String) extends Source {
     new java.io.File(dir).isDirectory
 }
 
+/** Delimited-text landing source (CSV/TSV drops). Schema is EXPLICIT and
+  * required — `inferSchema` would be a full extra pass over the data (a
+  * 100 TB scan just to guess types) and is non-deterministic under dirty
+  * rows. FAILFAST by default: a malformed row surfaces as an error
+  * instead of silently nulling columns; pass mode="PERMISSIVE" for
+  * salvage ingest.
+  */
+final class CsvSource(dir: String,
+                      schema: org.apache.spark.sql.types.StructType,
+                      delimiter: String = ",",
+                      header: Boolean = true,
+                      mode: String = "FAILFAST") extends Source {
+  override def scan(spark: SparkSession, spec: TableSpec): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .option("mode", mode)
+      .csv(s"$dir/${spec.sourceTable}.csv")
+  override def probe(spark: SparkSession): Boolean =
+    new java.io.File(dir).isDirectory
+}
+
+/** JSON-Lines corpus source — the de-facto interchange format training
+  * corpora arrive in. Same explicit-schema + FAILFAST contract as
+  * [[CsvSource]] (schema inference over JSONL is an extra full scan AND
+  * widens types by whatever the dirtiest line contains).
+  */
+final class JsonlSource(dir: String,
+                        schema: org.apache.spark.sql.types.StructType,
+                        mode: String = "FAILFAST") extends Source {
+  override def scan(spark: SparkSession, spec: TableSpec): DataFrame =
+    spark.read.schema(schema)
+      .option("mode", mode)
+      .json(s"$dir/${spec.sourceTable}.jsonl")
+  override def probe(spark: SparkSession): Boolean =
+    new java.io.File(dir).isDirectory
+}
+
 /** JDBC source (reference connectors: postgresql.py:6-14, mysql.py:6-14,
   * oracle.py:6-25 + factory __init__.py:7-23). Reads are *partitioned* when
   * the spec names a usable split column — N concurrent range queries instead

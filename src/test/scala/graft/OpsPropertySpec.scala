@@ -680,6 +680,61 @@ class OpsPropertySpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan.take(800))
   }
 
+  test("csv/jsonl landing sources: explicit-schema round-trip, FAILFAST on corrupt rows") {
+    import graft.source.{CsvSource, JsonlSource}
+    import graft.config.TableSpec
+    val spec = TableSpec("docs", "", "documents", Seq("doc_id"),
+      Seq("doc_id", "text"), None, None, "full")
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text", "lang")
+    val dir = TempDirs.create("graft-landing")
+    docs.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(s"$dir/csv_stage")
+    docs.coalesce(1).write.mode("overwrite").json(s"$dir/json_stage")
+    // landing drops arrive as single files named <table>.<ext>
+    def promote(stage: String, ext: String): Unit = {
+      val part = new java.io.File(s"$dir/$stage").listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/documents.$ext"))
+    }
+    promote("csv_stage", "csv"); promote("json_stage", "jsonl")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType)))
+    val viaCsv = new CsvSource(dir, schema).scan(spark, spec)
+    val viaJsonl = new JsonlSource(dir, schema).scan(spark, spec)
+    val want = docs.orderBy("doc_id").collect().toSeq
+    assert(viaCsv.orderBy("doc_id").collect().toSeq == want)
+    assert(viaJsonl.orderBy("doc_id").collect().toSeq == want)
+    // FAILFAST: a corrupt line is an ERROR, not a silent null row
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/documents.jsonl"),
+      "this is not json\n".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    intercept[Exception](new JsonlSource(dir, schema).scan(spark, spec).count())
+    // PERMISSIVE salvage mode still reads the clean rows
+    val salvaged = new JsonlSource(dir, schema, mode = "PERMISSIVE")
+      .scan(spark, spec).filter(col("doc_id").isNotNull).count()
+    assert(salvaged == docs.count())
+  }
+
+  test("jsonl export lands self-contained shards in permutation order") {
+    import graft.ops.SamplingOps
+    val dir = TempDirs.create("graft-export-jsonl")
+    SamplingOps.exportShuffledJsonl(spark, sf, dir)
+    val back = spark.read.json(dir)
+    val docs = Tables.t(spark, sf, "documents")
+    assert(back.count() == docs.count())
+    assert(back.columns.toSet == Set("shard", "shard_rank", "doc_id", "text"))
+    // text rides along — the export is consumable training data
+    val joined = back.join(docs.withColumnRenamed("text", "orig"), "doc_id")
+    assert(joined.filter(col("text") =!= col("orig")).count() == 0)
+  }
+
   test("export shuffled write lands one directory per shard in rank order") {
     import graft.ops.SamplingOps
     val dir = TempDirs.create("graft-export")
