@@ -75,6 +75,20 @@ object GraphOps {
     } finally sym.unpersist()
   }
 
+  /** The canonical survivor shape shared by the text and embedding
+    * one-call dedups (TextOps.dedupSurvivors / VectorOps
+    * .semanticSurvivors): duplicate pairs → transitive closure →
+    * (id, canonical_id = cluster minimum, survives flag), ordered by id.
+    * One definition so the two "mirror" queries cannot drift.
+    */
+  private[graft] def survivorsOf(pairs: DataFrame, vertices: DataFrame,
+                                 idName: String): DataFrame =
+    connectedComponents(pairs, vertices)
+      .select(col("id").as(idName), col("cluster_id").as("canonical_id"))
+      .withColumn("survives",
+        (col(idName) === col("canonical_id")).cast("int"))
+      .orderBy(idName)
+
   /** Oracle-gated cluster query: deterministic block-chain edges over the
     * documents table (doc_id → doc_id+1 within each 10-id block, plus a
     * +2 skip edge in the block's lower half), so components are exactly

@@ -592,17 +592,12 @@ object TextOps {
     * O(log diameter) component rounds with per-round checkpoints —
     * nothing all-pairs, nothing single-partition.
     */
-  def dedupSurvivors(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
-    val pairs = minhashCandidatePairs(s, d)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val comps = GraphOps.connectedComponents(pairs,
-      docs.select(col("doc_id").as("id")))
-    comps
-      .select(col("id").as("doc_id"), col("cluster_id").as("canonical_id"))
-      .withColumn("survives", (col("doc_id") === col("canonical_id")).cast("int"))
-      .orderBy("doc_id")
-  }
+  def dedupSurvivors(s: SparkSession, d: String): DataFrame =
+    GraphOps.survivorsOf(
+      minhashCandidatePairs(s, d)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")),
+      t(s, d, "documents").select(col("doc_id").as("id")),
+      idName = "doc_id")
 
   /** The surviving corpus after [[decontaminateNgram]]: eval docs and any
     * doc overlapping them are removed (broadcast anti-join on doc_id).

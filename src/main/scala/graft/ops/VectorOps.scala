@@ -149,13 +149,11 @@ object VectorOps {
   def semanticSurvivors(s: SparkSession, d: String,
                         threshold: Double = 0.45): DataFrame = {
     val vecs = t(s, d, "embeddings")
-    val pairs = nearDupPairs(vecs, threshold)
-      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
-    GraphOps.connectedComponents(pairs, vecs.select(col("vec_id").as("id")))
-      .select(col("id").as("vec_id"), col("cluster_id").as("canonical_id"))
-      .withColumn("survives",
-        (col("vec_id") === col("canonical_id")).cast("int"))
-      .orderBy("vec_id")
+    GraphOps.survivorsOf(
+      nearDupPairs(vecs, threshold)
+        .select(col("vec_a").as("src"), col("vec_b").as("dst")),
+      vecs.select(col("vec_id").as("id")),
+      idName = "vec_id")
   }
 
   /** IVF (inverted-file) approximate nearest neighbor — the data-adaptive

@@ -35,17 +35,30 @@ final class ParquetSource(dir: String) extends Source {
   * rows. FAILFAST by default: a malformed row surfaces as an error
   * instead of silently nulling columns; pass mode="PERMISSIVE" for
   * salvage ingest.
+  *
+  * Two honest boundaries of that contract:
+  *  - FAILFAST validates the columns a query actually READS — Spark's
+  *    CSV column pruning (`spark.sql.csv.parser.columnPruning`, on by
+  *    default) never parses unselected fields, so garbage hiding in a
+  *    pruned column passes. Full-file validation = select every column
+  *    once at ingest (the load path does; ad-hoc projections don't).
+  *  - RFC-4180 text with embedded newlines needs `multiLine = true`,
+  *    which makes files NON-SPLITTABLE (one task per file — a real cost
+  *    at corpus scale; prefer newline-escaped or JSONL drops for
+  *    multi-line text).
   */
 final class CsvSource(dir: String,
                       schema: org.apache.spark.sql.types.StructType,
                       delimiter: String = ",",
                       header: Boolean = true,
-                      mode: String = "FAILFAST") extends Source {
+                      mode: String = "FAILFAST",
+                      multiLine: Boolean = false) extends Source {
   override def scan(spark: SparkSession, spec: TableSpec): DataFrame =
     spark.read.schema(schema)
       .option("header", header.toString)
       .option("delimiter", delimiter)
       .option("mode", mode)
+      .option("multiLine", multiLine.toString)
       .csv(s"$dir/${spec.sourceTable}.csv")
   override def probe(spark: SparkSession): Boolean =
     new java.io.File(dir).isDirectory

@@ -710,16 +710,45 @@ class OpsPropertySpec extends SparkSpec {
     val want = docs.orderBy("doc_id").collect().toSeq
     assert(viaCsv.orderBy("doc_id").collect().toSeq == want)
     assert(viaJsonl.orderBy("doc_id").collect().toSeq == want)
-    // FAILFAST: a corrupt line is an ERROR, not a silent null row
+    // FAILFAST: a corrupt line is an ERROR, not a silent null row — on
+    // BOTH formats (reading all columns: CSV FAILFAST only validates the
+    // fields a query parses, see the CsvSource boundary note)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/documents.jsonl"),
       "this is not json\n".getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.APPEND)
     intercept[Exception](new JsonlSource(dir, schema).scan(spark, spec).count())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/documents.csv"),
+      "not-a-long,too,many,fields,here\n".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    intercept[Exception](
+      new CsvSource(dir, schema).scan(spark, spec).select("doc_id", "text", "lang")
+        .collect())
     // PERMISSIVE salvage mode still reads the clean rows
     val salvaged = new JsonlSource(dir, schema, mode = "PERMISSIVE")
       .scan(spark, spec).filter(col("doc_id").isNotNull).count()
     assert(salvaged == docs.count())
+  }
+
+  test("csv multiLine reads RFC-4180 quoted newlines (non-splittable tradeoff)") {
+    import graft.source.CsvSource
+    import graft.config.TableSpec
+    val dir = TempDirs.create("graft-csv-ml")
+    val multi = Seq((1L, "line one\nline two", "en"), (2L, "plain", "de"))
+      .toDF("doc_id", "text", "lang")
+    multi.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(s"$dir/stage")
+    val part = new java.io.File(s"$dir/stage").listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/docs.csv"))
+    val schema = multi.schema
+    val spec = TableSpec("docs", "", "docs", Seq("doc_id"),
+      Seq("doc_id", "text", "lang"), None, None, "full")
+    val got = new CsvSource(dir, schema, multiLine = true).scan(spark, spec)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "line one\nline two"), (2L, "plain")))
   }
 
   test("jsonl export lands self-contained shards in permutation order") {
@@ -730,9 +759,19 @@ class OpsPropertySpec extends SparkSpec {
     val docs = Tables.t(spark, sf, "documents")
     assert(back.count() == docs.count())
     assert(back.columns.toSet == Set("shard", "shard_rank", "doc_id", "text"))
-    // text rides along — the export is consumable training data
+    // no exported text may be null (a null-vacuous =!= compare would hide
+    // a bug that nulls the payload)
+    assert(back.filter(col("text").isNull).count() == 0)
+    // text rides along untouched — null-safe equality, every row must match
     val joined = back.join(docs.withColumnRenamed("text", "orig"), "doc_id")
-    assert(joined.filter(col("text") =!= col("orig")).count() == 0)
+    assert(joined.filter(!(col("text") <=> col("orig"))).count() == 0)
+    // permutation order is PHYSICAL inside each shard dir
+    val shardDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(shardDirs.nonEmpty)
+    val one = spark.read.json(s"$dir/${shardDirs.head}")
+      .select("shard_rank").collect().map(_.getLong(0)).toSeq
+    assert(one == one.sorted, "rows not written in permutation order")
   }
 
   test("export shuffled write lands one directory per shard in rank order") {
