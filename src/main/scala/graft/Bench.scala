@@ -99,16 +99,32 @@ object Bench {
     // driver's tail-capture window (full double reprs pushed the r4 line's
     // head past it) without losing bench-relevant precision
     def r4(v: Double): Double = math.rint(v * 1e4) / 1e4
-    val qs = stabilized.map { case (k, v, _, _) => "\"" + k + "\":" + r4(v) }
+    // Entries CHEAPEST-FIRST: the capture window is a bytes-bounded TAIL of
+    // stdout with post-program sbt noise after us, so when the full line
+    // overflows it, the clip lands on the line's HEAD — ordering by cost
+    // puts the sub-noise-floor entries there and keeps every expensive
+    // entry (the ones a round is judged on) inside the window.
+    val qs = stabilized.sortBy(_._2)
+      .map { case (k, v, _, _) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val errs = stabilized.collect { case (k, _, Some(e), _) =>
       "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
     val flaky = stabilized.collect { case (k, _, None, f) if f > 0 =>
       "\"" + k + "\":" + f }.mkString("{", ",", "}")
     val total = r4(stabilized.map(_._2).sum)
-    // the JSON line is the LAST stdout the bench emits (stop() noise goes
-    // to stderr) so a bytes-bounded tail capture always includes its head
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"sf":"$sfDir","runs":$runs}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"sf":"$sfDir","runs":$runs}"""
+    // Full line to a file too — the lossless record when the stdout window
+    // still clips (best-effort: a read-only checkout must not fail the run).
+    val fullPath = "target/bench_full.json"
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full)
+    } catch { case _: Throwable => () }
+    println(full)
+    // Compact summary as the FINAL stdout line (stop() noise goes to
+    // stderr): ~150 bytes, so the tail window always contains the totals
+    // even when the full per-query line overflows it.
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n":${stabilized.size},"n_err":${stabilized.count(_._3.nonEmpty)},"n_flaky":${stabilized.count(r => r._3.isEmpty && r._4 > 0)},"sf":"$sfDir","runs":$runs,"full":"$fullPath"}""")
     spark.stop()
   }
 }

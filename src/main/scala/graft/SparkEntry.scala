@@ -569,10 +569,13 @@ object SparkEntry {
         |)
         |SELECT lang, doc_id, sample_rank FROM ranked
         |WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin,
+    // SamplingOps.MixUnit / ExportShards are interpolated, not hardcoded:
+    // a constant change on the engine side must break COMPILATION of
+    // nothing and the oracle of nothing — both sides read the same value.
     "q_mix_weighted" ->
-      """WITH ranked AS (
+      s"""WITH ranked AS (
         |    SELECT source, doc_id,
-        |           (1 + CAST(substr(source, 4) AS INT) % 3) * 5 AS quota,
+        |           (1 + CAST(substr(source, 4) AS INT) % 3) * ${SamplingOps.MixUnit} AS quota,
         |           row_number() OVER (PARTITION BY source
         |               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
         |             AS mix_rank
@@ -719,10 +722,10 @@ object SparkEntry {
     // floor(sqrt(w) * 5) is the same integer in both engines (pow/ln are
     // libm-specific and would NOT be safe here)
     "q_mix_temperature" ->
-      """WITH ranked AS (
+      s"""WITH ranked AS (
         |    SELECT source, doc_id,
         |           CAST(floor(sqrt(CAST(1 + CAST(substr(source, 4) AS INT) % 9
-        |                                AS DOUBLE)) * 5) AS INT) AS quota,
+        |                                AS DOUBLE)) * ${SamplingOps.MixUnit}) AS INT) AS quota,
         |           row_number() OVER (PARTITION BY source
         |               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
         |             AS mix_rank
@@ -731,13 +734,13 @@ object SparkEntry {
         |SELECT source, doc_id, quota, mix_rank FROM ranked
         |WHERE mix_rank <= quota ORDER BY source, mix_rank""".stripMargin,
     "q_export_shuffle" ->
-      """WITH keyed AS (
+      s"""WITH keyed AS (
         |    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sk FROM documents
         |), sharded AS (
         |    SELECT doc_id, sk,
         |           CAST(((strpos('0123456789abcdef', substr(sk, 1, 1)) - 1) * 13
         |                 + (strpos('0123456789abcdef', substr(sk, 2, 1)) - 1))
-        |                % 8 AS INT) AS shard
+        |                % ${SamplingOps.ExportShards} AS INT) AS shard
         |    FROM keyed
         |)
         |SELECT shard,

@@ -49,6 +49,14 @@ object BlocklistOps {
     // blocklist cardinality pass nKeysHint and skip the count.
     val nKeys = nKeysHint.getOrElse(keys.count())
     val mBits = math.max(64L, ((nKeys * bitsPerKey + 63) / 64) * 64)
+    // Loud ceiling instead of an opaque NegativeArraySizeException: at the
+    // default 10 bits/key a ~1.7B-key blocklist overflows the Int-sized
+    // byte array (and the multi-GB plan literal would be impractical long
+    // before that — the literal ships with every task binary).
+    require(1L + mBits / 8 <= Int.MaxValue,
+      s"bloom bitmap would need ${mBits / 8} bytes (> Int.MaxValue) for " +
+        s"$nKeys keys at $bitsPerKey bits/key — lower bitsPerKey or shard " +
+        "the blocklist into multiple blooms")
     // position_i = (h1 + i·h2) mod m over non-negative terms — identical
     // arithmetic to the probe expression's Java loop
     val h1 = col("key").bitwiseAND(lit(0xffffffffL))

@@ -207,14 +207,21 @@ object StreamingOps {
     * key forever — so this is the always-on-ingest shape; the
     * [[sinkDedupedLog]] append-log path remains the UNBOUNDED-horizon
     * dedup (survivor resolution on read, no streaming state at all).
-    * Input needs an `event_time` timestamp and a `text` column.
+    * Input needs an `event_time` timestamp and a `text` column. Output
+    * schema == input schema: the internal dedup digest is dropped (callers
+    * landing the stream must not inherit an undocumented extra column the
+    * batch dedup paths don't expose).
     */
   def dedupWithinWatermark(docs: DataFrame,
-                           delay: String = "10 minutes"): DataFrame =
+                           delay: String = "10 minutes"): DataFrame = {
+    require(!docs.columns.contains("__dedup_digest"),
+      "__dedup_digest column name is reserved by dedupWithinWatermark")
     docs
-      .withColumn("digest", sha2(lower(trim(col("text"))), 256))
+      .withColumn("__dedup_digest", sha2(lower(trim(col("text"))), 256))
       .withWatermark("event_time", delay)
-      .dropDuplicatesWithinWatermark("digest")
+      .dropDuplicatesWithinWatermark("__dedup_digest")
+      .drop("__dedup_digest")
+  }
 
   /** Streaming ingest quality gate: the BATCH stateless quality predicate
     * (graft.ops.TextOps.qualityGate — the same length floor and stopword
