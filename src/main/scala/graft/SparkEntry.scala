@@ -32,6 +32,7 @@ object SparkEntry {
     "q_partition_backfill"  -> (PipelineOps.partitionBackfill _),
     "q_mode_watermark_append" -> (PipelineOps.modeWatermarkAppend _),
     "q_mode_merge_upsert"   -> (PipelineOps.modeMergeUpsert _),
+    "q_mode_merge_partitioned" -> (PipelineOps.modeMergePartitioned _),
     "q_delete_predicate"    -> (Parity.deletePredicate _),
     "q_empty_result_schema" -> (Parity.emptyResultSchema _),
     // Capability (§2.5 table 2 — §2.D decisions)
@@ -811,6 +812,30 @@ object SparkEntry {
         |)
         |SELECT source, rnk, token, tf, df, score FROM ranked WHERE rnk <= 3
         |ORDER BY source, rnk""".stripMargin,
+    // the engine runs the partition-SCOPED merge machinery (pruned
+    // current-slice scan + metadata DROP PARTITION + append of only the
+    // touched partition); the oracle recomputes the final state
+    // declaratively over all three months
+    "q_mode_merge_partitioned" ->
+      """WITH base AS (
+        |    SELECT o_orderkey, o_custkey, o_totalprice,
+        |           strftime(o_orderdate, '%Y-%m') AS part_key
+        |    FROM orders
+        |    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |), mx AS (SELECT MAX(o_orderkey) + 1 AS stride FROM base)
+        |SELECT o_orderkey, o_custkey,
+        |       CASE WHEN part_key = '1996-02' AND o_orderkey % 10 = 3
+        |            THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+        |       CAST(CASE WHEN part_key = '1996-02' AND o_orderkey % 10 = 3
+        |            THEN 2 ELSE 1 END AS BIGINT) AS v,
+        |       part_key
+        |FROM base
+        |UNION ALL
+        |SELECT o_orderkey + mx.stride AS o_orderkey, o_custkey,
+        |       o_totalprice, CAST(2 AS BIGINT) AS v, part_key
+        |FROM base, mx WHERE part_key = '1996-02' AND o_orderkey % 100 = 55
+        |ORDER BY o_orderkey""".stripMargin,
     // the engine runs the real merge machinery (base load + latest-wins
     // window through the temp-swap); the oracle recomputes the final
     // state declaratively

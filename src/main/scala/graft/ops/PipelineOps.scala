@@ -153,6 +153,44 @@ object PipelineOps {
       .orderBy("o_orderkey")
   }
 
+  /** Partition-SCOPED merge-upsert (the 100 TB CDC shape): a monthly-
+    * partitioned orders snapshot takes a batch of February-only updates
+    * (doubled price on every 10th key, v=2) plus February inserts
+    * (key-shifted copies of every 100th-ish key). Warehouse.mergeUpsert
+    * detects the partitioned target and rewrites ONLY the 1996-02
+    * partition — January and March files are untouched on disk
+    * (file-level asserted in ExtractWarehouseSpec); the oracle recomputes
+    * the final three-month state declaratively.
+    */
+  def modeMergePartitioned(s: SparkSession, d: String): DataFrame = {
+    val (db, table) = ("graft_merge_part", "orders_by_month_cur")
+    s.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    s.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
+    val base = graft.Tables.t(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        lit(1L).as("v"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("part_key"))
+    Warehouse.saveModel(base, db, table, Seq("part_key"))
+    val feb = base.filter(col("part_key") === "1996-02")
+    // empty-source guard: same hole as modeMergeUpsert — no base rows
+    // makes both batch legs empty, any stride works
+    val mx = base.agg(max("o_orderkey")).head
+    val stride = if (mx.isNullAt(0)) 0L else mx.getLong(0) + 1
+    val updates = feb.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("v", lit(2L))
+    val inserts = feb.filter(col("o_orderkey") % 100 === 55)
+      .withColumn("o_orderkey", col("o_orderkey") + stride)
+      .withColumn("v", lit(2L))
+    Warehouse.mergeUpsert(s, updates.unionByName(inserts), db, table,
+      keys = Seq("o_orderkey"), versionCol = "v")
+    s.table(s"`$db`.`$table`")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "v", "part_key")
+      .orderBy("o_orderkey")
+  }
+
   def modeFullSnapshot(s: SparkSession, d: String): DataFrame = {
     val tenant = TenantConfig.parse(tenantYaml)
     val pipeline = new TenantPipeline(tenant, new ParquetSource(d),

@@ -231,6 +231,72 @@ class ExtractWarehouseSpec extends SparkSpec {
     assert(state() == after)
   }
 
+  test("partition-scoped merge rewrites ONLY touched partitions (file-level)") {
+    val (db, table) = ("graft_merge_ps", "kv_part")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
+    val base = Seq(
+      (1L, "a", 1L, "p1"), (2L, "b", 1L, "p1"),
+      (3L, "c", 1L, "p2"), (4L, "d", 1L, "p2"),
+      (5L, "e", 1L, "p3")).toDF("k", "val", "v", "pk")
+    Warehouse.saveModel(base, db, table, Seq("pk"))
+    def filesOf(pk: String): Map[String, Long] = {
+      val loc = new java.net.URI(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
+        .location.toString).getPath
+      new java.io.File(s"$loc/pk=$pk").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val p1Before = filesOf("p1")
+    val p3Before = filesOf("p3")
+    // batch touches ONLY p2: newer update k=3, version-tie k=4 (batch must
+    // win), insert k=6
+    val batch = Seq((3L, "c2", 2L), (4L, "d2", 1L), (6L, "f", 1L))
+      .toDF("k", "val", "v").withColumn("pk", lit("p2"))
+    Warehouse.mergeUpsert(spark, batch, db, table, Seq("k"), "v")
+    assert(filesOf("p1") == p1Before, "untouched partition p1 was rewritten")
+    assert(filesOf("p3") == p3Before, "untouched partition p3 was rewritten")
+    def state() = spark.table(s"`$db`.`$table`").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    val after = Seq((1L, "a", 1L, "p1"), (2L, "b", 1L, "p1"),
+      (3L, "c2", 2L, "p2"), (4L, "d2", 1L, "p2"), (5L, "e", 1L, "p3"),
+      (6L, "f", 1L, "p2"))
+    assert(state() == after)
+    // replay is a no-op on content AND still never touches p1/p3
+    Warehouse.mergeUpsert(spark, batch, db, table, Seq("k"), "v")
+    assert(state() == after)
+    assert(filesOf("p1") == p1Before)
+    assert(filesOf("p3") == p3Before)
+    // NULL partition value fails loudly, table untouched
+    val nullPk = Seq((9L, "z", 1L)).toDF("k", "val", "v")
+      .withColumn("pk", lit(null: String))
+    assertThrows[IllegalArgumentException](
+      Warehouse.mergeUpsert(spark, nullPk, db, table, Seq("k"), "v"))
+    assert(state() == after)
+  }
+
+  test("intra-batch (key, version) ties resolve by content, not row order") {
+    val (db, table) = ("graft_merge_tie", "kv")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    def winnerOf(rows: Seq[(Long, String, Long)]): String = {
+      spark.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
+      Warehouse.load(spark, Seq((0L, "seed", 0L)).toDF("k", "val", "v"),
+        db, table, LoadMode.FullRefresh)
+      Warehouse.mergeUpsert(spark, rows.toDF("k", "val", "v")
+        // skew the physical row order so a layout-dependent resolution
+        // would flip winners between the two calls
+        .repartition(4), db, table, Seq("k"), "v")
+      spark.table(s"`$db`.`$table`").filter($"k" === 7L)
+        .head.getString(1)
+    }
+    val dup = Seq((7L, "x", 5L), (7L, "y", 5L))
+    val w1 = winnerOf(dup)
+    val w2 = winnerOf(dup.reverse)
+    assert(w1 == w2, s"tie winner depends on batch row order: $w1 vs $w2")
+  }
+
   test("product schema validator flags both name and type mismatches (C15)") {
     val good = Seq(("1", "n", "t", "g", "p",
       java.sql.Timestamp.valueOf("2026-01-01 00:00:00"),
