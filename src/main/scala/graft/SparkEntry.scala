@@ -102,15 +102,42 @@ object SparkEntry {
   )
 
   /** DuckDB-dialect oracle SQL per query. Omitted (→ rows-only check):
-    * q_approx_distinct (sketch values engine-specific), q_dedup_minhash /
-    * q_dedup_survivors / q_simhash / q_simhash_near_dup /
+    * q_dedup_minhash / q_simhash / q_simhash_near_dup /
     * q_lsh_cosine_buckets (xxhash64 family not in DuckDB),
     * q_ivf_cosine_topk / q_ivf_semantic_dedup (centroids engine-trained;
     * recall-floor-tested vs the exact oracle'd q_knn_cosine_topk /
-    * brute-force pair set), q_semantic_survivors (hyperplane-sketch
-    * family) — each is property-tested in src/test instead.
+    * brute-force pair set) — each is property-tested in src/test instead.
+    * q_dedup_survivors / q_semantic_survivors run a SPLIT gate: the
+    * hash-family pair set is materialized (graft.OracleInputs) and stays
+    * rows-only, while the deterministic components → cluster-min canon
+    * derivation is hash-gated against a recursive-CTE closure over those
+    * same materialized pairs.
     */
+  /** Recursive-CTE closure over a materialized pair set → (id, cluster-min
+    * canon, survives) — the shared oracle shape of both survivor queries.
+    */
+  private def survivorOracle(pairsName: String, table: String,
+                             idCol: String, outId: String): String = {
+    val path = OracleInputs.path(OracleInputs.oracleSfDir, pairsName)
+    s"""WITH RECURSIVE
+       |e AS (SELECT src, dst FROM read_parquet('$path/*.parquet')),
+       |sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+       |reach(id, r) AS (
+       |    SELECT $idCol, $idCol FROM $table
+       |    UNION
+       |    SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id
+       |)
+       |SELECT id AS $outId, MIN(r) AS canonical_id,
+       |       CAST(CASE WHEN id = MIN(r) THEN 1 ELSE 0 END AS INTEGER)
+       |           AS survives
+       |FROM reach GROUP BY id ORDER BY $outId""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_survivors" ->
+      survivorOracle("text_pairs", "documents", "doc_id", "doc_id"),
+    "q_semantic_survivors" ->
+      survivorOracle("vec_pairs", "embeddings", "vec_id", "vec_id"),
     "q_scan_projection" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,

@@ -6,6 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // the dumped oracle SQL's read_parquet paths must reference THIS run's
+    // materialized oracle inputs (graft.OracleInputs is sf-namespaced)
+    OracleInputs.oracleSfDir = sfDir
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

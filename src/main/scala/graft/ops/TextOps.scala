@@ -591,11 +591,19 @@ object TextOps {
     * total order would be a wasted range exchange here) and
     * O(log diameter) component rounds with per-round checkpoints —
     * nothing all-pairs, nothing single-partition.
+    *
+    * SPLIT ORACLE GATE: the pair set is materialized through
+    * [[graft.OracleInputs.checkpoint]] (pairs stay rows-only — minhash is
+    * engine-specific) and the components → cluster-min-canon derivation is
+    * hash-gated against DuckDB's recursive-CTE closure over those SAME
+    * rows.
     */
   def dedupSurvivors(s: SparkSession, d: String): DataFrame =
     GraphOps.survivorsOf(
-      minhashCandidatePairs(s, d)
-        .select(col("doc_a").as("src"), col("doc_b").as("dst")),
+      graft.OracleInputs.checkpoint(
+        minhashCandidatePairs(s, d)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")),
+        d, "text_pairs"),
       t(s, d, "documents").select(col("doc_id").as("id")),
       idName = "doc_id")
 

@@ -143,15 +143,21 @@ object VectorOps {
     * components → cluster-min canon per vector. Same composition law:
     * transitive closure canonicalizes what pairwise output can't (A~B,
     * B~C puts A,B,C in ONE cluster even when A~C is below threshold).
-    * Rows-only (hyperplane sketch family); the mapped/canon invariants
-    * are property-tested like the text side.
+    * The PAIR set is rows-only (hyperplane sketch family) and
+    * property-tested like the text side; the components → cluster-min
+    * canon derivation is hash-gated against DuckDB's recursive-CTE
+    * closure over the materialized pairs
+    * ([[graft.OracleInputs.checkpoint]] — same split gate as
+    * [[graft.ops.TextOps.dedupSurvivors]]).
     */
   def semanticSurvivors(s: SparkSession, d: String,
                         threshold: Double = 0.45): DataFrame = {
     val vecs = t(s, d, "embeddings")
     GraphOps.survivorsOf(
-      nearDupPairs(vecs, threshold)
-        .select(col("vec_a").as("src"), col("vec_b").as("dst")),
+      graft.OracleInputs.checkpoint(
+        nearDupPairs(vecs, threshold)
+          .select(col("vec_a").as("src"), col("vec_b").as("dst")),
+        d, "vec_pairs"),
       vecs.select(col("vec_id").as("id")),
       idName = "vec_id")
   }
