@@ -134,6 +134,12 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // tolerance gate: the oracle asserts the HLL estimate landed within
+    // 3·rsd of the exact count (within_3rsd must be 1 on the Spark side)
+    "q_approx_distinct" ->
+      """SELECT COUNT(DISTINCT l_orderkey) AS exact_orderkeys,
+        |       CAST(1 AS INTEGER) AS within_3rsd
+        |FROM lineitem""".stripMargin,
     "q_dedup_survivors" ->
       survivorOracle("text_pairs", "documents", "doc_id", "doc_id"),
     "q_semantic_survivors" ->

@@ -191,13 +191,25 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
-  /** HLL approximate distinct next to the exact count (no oracle — sketch
-    * values are engine-specific; driver records rows-only).
+  /** HLL approximate distinct under a BOUNDED-TOLERANCE oracle: the raw
+    * estimate is engine-specific (HLL++ register layout), but its
+    * documented accuracy is not — Spark's default relativeSD is 0.05, so
+    * the estimate must sit within 3·rsd of the exact count
+    * (three-sigma of the HLL error model). The query emits the exact
+    * count plus an integer within-tolerance verdict; the oracle recomputes
+    * the exact count and ASSERTS the verdict is 1 — an out-of-tolerance
+    * sketch hash-mismatches and fails the gate, which is precisely the
+    * tolerance check expressed through an equality harness.
     */
+  val ApproxDistinctRsd = 0.05
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem").agg(
-      approx_count_distinct("l_orderkey").as("approx_orderkeys"),
+      approx_count_distinct("l_orderkey", ApproxDistinctRsd).as("approx"),
       countDistinct("l_orderkey").as("exact_orderkeys"))
+      .select(col("exact_orderkeys"),
+        (abs(col("approx") - col("exact_orderkeys")).cast("double")
+          <= lit(3 * ApproxDistinctRsd) * col("exact_orderkeys").cast("double"))
+          .cast("int").as("within_3rsd"))
 
   /** Skew-safe two-phase aggregation: pre-aggregate on (key, salt) so a hot
     * key's rows spread over 16 reducers, then combine partials per key.
