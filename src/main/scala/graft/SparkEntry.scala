@@ -64,6 +64,7 @@ object SparkEntry {
     // North-star LLM-pipeline ops (documents / embeddings)
     "q_text_stats"          -> (TextOps.textStats _),
     "q_token_count_bpe"     -> (TextOps.tokenCountBpe _),
+    "q_token_count_cjk"     -> (TextOps.tokenCountCjk _),
     "q_top_terms_per_lang"  -> (TextOps.topTermsPerLang _),
     "q_quality_score"       -> (TextOps.qualityScore _),
     "q_lang_id"             -> (TextOps.langId _),
@@ -319,6 +320,29 @@ object SparkEntry {
         |       len(regexp_extract_all(text, '[a-z]+')) AS n_word,
         |       len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // unicode-aware tokenization: the oracle reconstructs the expected
+    // token list arithmetically from the same deterministic CJK enrichment
+    // (base fixture text is pure lowercase/space, where UAX#29 word tokens
+    // == whitespace tokens — the parity law) and hashes the joined stream
+    "q_token_count_cjk" ->
+      """WITH tok AS (
+        |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS base
+        |    FROM documents
+        |), ex AS (
+        |    SELECT doc_id, len(base) AS nb,
+        |           CASE WHEN doc_id % 3 = 0
+        |                THEN list_concat(base,
+        |                     ['안녕', '세계',
+        |                      repeat('中', CAST(doc_id % 4 + 1 AS INT)), 'tail'])
+        |                ELSE base END AS toks
+        |    FROM tok
+        |)
+        |SELECT doc_id,
+        |       CAST(len(toks) AS INTEGER) AS n_unicode_tokens,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN nb + 2 ELSE nb END
+        |            AS INTEGER) AS n_space_tokens,
+        |       md5(array_to_string(toks, ' ')) AS tokens_md5
+        |FROM ex ORDER BY doc_id""".stripMargin,
     "q_top_terms_per_lang" ->
       """WITH tok AS (
         |    SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token

@@ -96,6 +96,8 @@ object GraftFunctions {
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_ngrams", WordNgrams.build, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "unicode_tokens", exprs => UnicodeTokens(exprs.head), "scala_udf")
   }
 
   /** Arity gate for 2-arg builders — a clear analysis-time message instead
@@ -154,6 +156,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("word_ngrams"),
       WordNgrams.info,
       (exprs: Seq[Expression]) => WordNgrams.build(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("unicode_tokens"),
+      UnicodeTokens.info,
+      (exprs: Seq[Expression]) => UnicodeTokens(exprs.head)))
     // resolution-stage so the filter is in the analyzed plan (cache-safe)
     ext.injectPostHocResolutionRule(spark => graft.plans.TenantIsolationRule(spark))
   }

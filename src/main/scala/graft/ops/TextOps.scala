@@ -17,10 +17,25 @@ import graft.Tables.t
   */
 object TextOps {
 
-  /** THE tokenizer expression — the single definition every token
-    * consumer shares (a second inline copy could silently diverge).
+  /** THE tokenizer — the single definition every token consumer shares (a
+    * second inline copy could silently diverge), with two modes behind one
+    * expression:
+    *  - default: the oracle-contract whitespace splitter (bit-identical to
+    *    DuckDB's `string_split_regex(trim(text), '\s+')`);
+    *  - `unicodeAware = true`: UAX#29 word boundaries via the native
+    *    codegen `unicode_tokens` (graft.functions.UnicodeTokens) — the
+    *    mode for corpora where space-splitting goes blind (CJK: the
+    *    reference's own mart literals are Korean). On space-delimited
+    *    letter/digit text the two modes agree exactly (parity law in
+    *    OpsPropertySpec), so unicode mode is a refinement, not a fork.
+    * Callers of unicode mode must have registered GraftFunctions on the
+    * session.
     */
-  private def tokensExpr: Column = split(trim(col("text")), "\\s+")
+  private[graft] def tokensOf(c: Column, unicodeAware: Boolean = false): Column =
+    if (unicodeAware) call_function("unicode_tokens", c)
+    else split(trim(c), "\\s+")
+
+  private def tokensExpr: Column = tokensOf(col("text"))
 
   private def withTokens(df: DataFrame): DataFrame =
     df.withColumn("tokens", tokensExpr)
@@ -606,6 +621,34 @@ object TextOps {
         d, "text_pairs"),
       t(s, d, "documents").select(col("doc_id").as("id")),
       idName = "doc_id")
+
+  /** Unicode-aware token counting over a CJK-enriched corpus — the
+    * [[tokensOf]] unicode mode under the oracle gate. Every 3rd document
+    * gains a deterministic mixed-script suffix: two space-delimited Hangul
+    * words, then '세계' fused directly to a doc_id-sized Han ideograph run
+    * fused to an ASCII 'tail' — ONE whitespace token that UAX#29 word
+    * boundaries split at each script transition. The whitespace count goes
+    * blind on exactly that token (+2 vs +4); the oracle reconstructs the
+    * expected token list arithmetically from the same enrichment (the
+    * fixture text is pure lowercase/space, where the modes agree — checked
+    * by the parity law) and hashes the full joined token stream, so the
+    * gate covers token CONTENT, not just counts.
+    */
+  def tokenCountCjk(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t(s, d, "documents")
+      .withColumn("enriched",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" 안녕 세계"),
+            expr("repeat('中', CAST(doc_id % 4 + 1 AS INT))"), lit("tail")))
+          .otherwise(col("text")))
+      .withColumn("toks", tokensOf(col("enriched"), unicodeAware = true))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_unicode_tokens"),
+        size(tokensOf(col("enriched"))).as("n_space_tokens"),
+        md5(concat_ws(" ", col("toks")).cast("binary")).as("tokens_md5"))
+      .orderBy("doc_id")
+  }
 
   /** The surviving corpus after [[decontaminateNgram]]: eval docs and any
     * doc overlapping them are removed (broadcast anti-join on doc_id).

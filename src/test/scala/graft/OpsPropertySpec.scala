@@ -558,6 +558,44 @@ class OpsPropertySpec extends SparkSpec {
       .map(viaEval.getUTF8String(_).toString) == Seq("a b", "b a"))
   }
 
+  test("unicode_tokens: whitespace parity on plain text, script-boundary splits on CJK") {
+    graft.functions.GraftFunctions.register(spark)
+    // parity law: on space-delimited letter/digit text the unicode mode
+    // agrees exactly with the oracle-contract whitespace splitter
+    val plain = Seq("key agg row scan", "a1 b2  c3", "singleword",
+      "x x x x", "a  b   c", "0 1 22 333")
+    val pdf = plain.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val ws = pdf.withColumn("t", split(trim(col("text")), "\\s+"))
+      .select("doc_id", "t").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val uni = pdf.withColumn("t", call_function("unicode_tokens", col("text")))
+      .select("doc_id", "t").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(uni == ws, s"unicode mode diverged on plain text: $uni vs $ws")
+    // CJK refinement: one whitespace token, split at every script
+    // transition; Hangul words segment, Han runs stay single tokens
+    val cjk = Seq((1L, "word 안녕 세계中中tail end"), (2L, "세계中tail"),
+      (3L, "punct, stays. out!"), (4L, ""))
+      .toDF("doc_id", "text")
+      .withColumn("t", call_function("unicode_tokens", col("text")))
+      .select("doc_id", "t").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(cjk(1L) == Seq("word", "안녕", "세계", "中中", "tail", "end"))
+    assert(cjk(2L) == Seq("세계", "中", "tail"))
+    assert(cjk(3L) == Seq("punct", "stays", "out")) // punctuation not a token
+    assert(cjk(4L) == Seq.empty)
+    // interpreted eval agrees with the codegen'd collect() path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val viaEval = graft.functions.UnicodeTokens(
+      Literal(UTF8String.fromString("세계中tail"),
+        org.apache.spark.sql.types.StringType))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert((0 until viaEval.numElements())
+      .map(viaEval.getUTF8String(_).toString) == Seq("세계", "中", "tail"))
+  }
+
   test("ngram decontamination: overlap flagged, clean docs survive, eval broadcast") {
     val docs = Seq(
       (107L, "alpha beta gamma delta epsilon"),        // eval doc (107 % 100 = 7)
