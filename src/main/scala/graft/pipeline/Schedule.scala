@@ -249,6 +249,30 @@ object ScheduleRunner {
       target = s"${tenant.id}_pipeline",
       tags = Map("tenant" -> tenant.id, "pipeline" -> "tenant"))
 
+  /** Threshold-gated small-file compaction on a cron cadence — the
+    * maintenance loop that keeps streaming appends and per-batch merges
+    * from accreting unbounded file counts (every micro-batch append and
+    * partition-scoped merge adds files; nothing else removes them). Each
+    * fire reads ONE cheap file-index count and rewrites to `targetFiles`
+    * only past `maxFiles` — built-in hysteresis: after a compaction the
+    * next fires are no-ops until appends re-accrete. A missing table is a
+    * no-op too (the maintenance entry may be scheduled before first land).
+    * Bounded-file-count law under repeated append+tick cycles is tested
+    * in ScheduleSpec.
+    */
+  def compactionEntry(id: String, cronExpr: String, db: String,
+                      table: String, maxFiles: Int,
+                      targetFiles: Int): Entry = {
+    require(targetFiles >= 1 && maxFiles >= targetFiles,
+      s"need maxFiles >= targetFiles >= 1, got ($maxFiles, $targetFiles)")
+    Entry(id, CronSchedule.parse(cronExpr), (s, _) => {
+      if (s.catalog.tableExists(s"$db.$table") &&
+          graft.store.Warehouse.fileCount(s, db, table) > maxFiles)
+        graft.store.Warehouse.compact(s, db, table, targetFiles)
+    }, name = s"${table}_compaction", target = s"$db.$table",
+      tags = Map("pipeline" -> "maintenance"))
+  }
+
   /** Scheduled incremental materialization: each run backfills every
     * COMPLETE partition from the first covered fire's window through the
     * last's (the "yesterday" run of a daily mart, "last month" of a

@@ -360,6 +360,16 @@ object Warehouse {
     rewriteVia(spark, db, table)(identity, shrink)
   }
 
+  /** Data-file count of a managed table — the small-file health metric
+    * the scheduled compaction trigger reads
+    * ([[graft.pipeline.ScheduleRunner.compactionEntry]]). One file-index
+    * listing; no data scan.
+    */
+  def fileCount(spark: SparkSession, db: String, table: String): Int =
+    graft.plans.TenantIsolationRule.withMaintenanceBypass(spark) {
+      spark.table(s"`$db`.`$table`").inputFiles.length
+    }
+
   /** Table + column statistics for the cost-based optimizer — accurate
     * broadcast decisions and join reordering need them (AQE covers runtime
     * sizes; CBO needs these at plan time).

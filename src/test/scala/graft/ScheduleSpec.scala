@@ -174,4 +174,35 @@ class ScheduleRunnerSpec extends SparkSpec {
     assert(fired == 3)
     assert(slept.forall(_ <= 30L * 60 * 1000)) // never oversleeps an interval
   }
+
+  test("scheduled compaction bounds file count across micro-batch append cycles") {
+    import graft.store.{LoadMode, Warehouse}
+    import spark.implicits._
+    val (db, table) = ("graft_sched_cmp", "ingest_log")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
+    val maxFiles = 6
+    val entry = ScheduleRunner.compactionEntry("cmp", "0 * * * *",
+      db, table, maxFiles = maxFiles, targetFiles = 2)
+    val t0 = LocalDateTime.parse("2026-01-01T00:00:00")
+    val runner = new ScheduleRunner(Seq(entry), startAt = t0)
+    // missing table: the maintenance fire is a harmless no-op
+    assert(runner.tick(spark, t0.plusMinutes(60)) == Seq("cmp"))
+    var expected = 0L
+    for (i <- 2 to 11) {
+      // each "micro-batch" lands 3 files; without compaction 10 cycles
+      // would accrete ~30 — the threshold loop must keep it bounded
+      val batch = Seq.tabulate(5)(j => (i * 100L + j, s"doc $i $j"))
+        .toDF("k", "txt").repartition(3)
+      Warehouse.load(spark, batch, db, table, LoadMode.WatermarkAppend)
+      expected += 5
+      runner.tick(spark, t0.plusHours(i))
+      // post-tick law: either under threshold untouched, or rewritten to
+      // targetFiles — never above maxFiles after maintenance ran
+      assert(Warehouse.fileCount(spark, db, table) <= maxFiles,
+        s"cycle $i left ${Warehouse.fileCount(spark, db, table)} files")
+    }
+    // compaction preserved every appended row
+    assert(spark.table(s"`$db`.`$table`").count() == expected)
+  }
 }
