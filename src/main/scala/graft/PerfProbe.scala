@@ -55,15 +55,7 @@ object PerfProbe {
       col("lang"), col("source"), col("n_chars")))
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
-    val emb = Tables.t(spark, src, "embeddings")
-    val vecStride = emb.agg(max("vec_id")).head.getLong(0) + 1
-    copies(emb, (d, i) => d.select(
-      (col("vec_id") + lit(i * vecStride)).as("vec_id"),
-      (if (i % Dims == 0) col("embedding")
-       else concat(slice(col("embedding"), i % Dims + 1, Dims - i % Dims),
-         slice(col("embedding"), 1, i % Dims))).as("embedding"),
-      col("label")))
-      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    buildScaledEmbeddings(spark, src, dst, k)
 
     val part = Tables.t(spark, src, "part")
     val partStride = part.agg(max("p_partkey")).head.getLong(0) + 1
@@ -95,6 +87,27 @@ object PerfProbe {
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
   }
 
+  /** Embeddings-only K× replica (per-copy circular dimension shift — L2
+    * and within-copy cosines exact, cross-copy cosines ≈ random). Factored
+    * out of [[buildScaled]] so the sharded-IVF probe can scale just the
+    * table it reads.
+    */
+  def buildScaledEmbeddings(spark: SparkSession, src: String, dst: String,
+                            k: Int): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
+    def copies(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until k).map(i => f(df, i)).reduce(_ unionByName _)
+    val emb = Tables.t(spark, src, "embeddings")
+    val vecStride = emb.agg(max("vec_id")).head.getLong(0) + 1
+    copies(emb, (d, i) => d.select(
+      (col("vec_id") + lit(i * vecStride)).as("vec_id"),
+      (if (i % Dims == 0) col("embedding")
+       else concat(slice(col("embedding"), i % Dims + 1, Dims - i % Dims),
+         slice(col("embedding"), 1, i % Dims))).as("embedding"),
+      col("label")))
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+  }
+
   /** Min-of-`runs` wall time with cold plan state per pass (the Bench
     * methodology — one loaded-host spike must not read as a regression).
     */
@@ -118,7 +131,46 @@ object PerfProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
 
-    if (args.headOption.contains("scale")) {
+    if (args.headOption.contains("shards")) {
+      // Sharded-IVF law probe (round-6 verdict #5): at a K× corpus, does
+      // sharding past S=2 keep recall while relaxing the per-shard driver
+      // bound (centroid matrix rows) S-fold, without concentrating merged
+      // candidates on one probe? S=1 is the single-index baseline.
+      val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "5").toInt
+      val scaled = TempDirs.create(s"graft-emb-scaled-k$k")
+      println(s"building ${k}x embeddings at $scaled ...")
+      buildScaledEmbeddings(spark, d, scaled, k)
+      val emb = Tables.t(spark, scaled, "embeddings")
+      val nVecs = emb.count()
+      // exact brute-force top-5 of the probe set — the recall reference
+      val exact = SparkEntry.queries("q_knn_cosine_topk")(spark, scaled)
+        .collect().map(r => (r.getAs[Long]("probe_id"),
+          r.getAs[Long]("neighbor_id"))).toSet
+      println(f"${"S"}%3s ${"recall@5"}%9s ${"build_s"}%8s ${"search_s"}%9s " +
+        f"${"maxCells"}%9s ${"maxCands"}%9s  (n=$nVecs)")
+      for (s <- Seq(1, 2, 4, 8)) {
+        val db = s"ivf_shard_probe_$s"
+        val t0 = System.nanoTime()
+        graft.ops.VectorOps.buildShardedIvfIndex(emb, db, s)
+        val buildS = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val got = graft.ops.VectorOps
+          .ivfCosineTopkFromShardedIndex(spark, scaled, db, s).collect()
+        val searchS = (System.nanoTime() - t1) / 1e9
+        val mine = got.map(r => (r.getAs[Long]("probe_id"),
+          r.getAs[Long]("neighbor_id"))).toSet
+        val recall = (exact intersect mine).size.toDouble / exact.size
+        // driver bound: largest per-shard centroid matrix (rows = cells)
+        val maxCells = (0 until s).map(sh => spark.table(
+          s"`$db`.`${graft.ops.VectorOps.IvfCentroidsTable}_$sh`").count()).max
+        // merge skew: per-probe candidate volume across the shard union
+        val cands = graft.ops.VectorOps
+          .shardedCandidatesPerProbe(spark, scaled, db, s)
+          .agg(max("n_cands"), min("n_cands")).head
+        println(f"$s%3d $recall%9.2f $buildS%8.2f $searchS%9.2f " +
+          f"$maxCells%9d ${cands.getLong(0)}%9d  (min ${cands.getLong(1)})")
+      }
+    } else if (args.headOption.contains("scale")) {
       val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "5").toInt
       // TempDirs: the K× corpus is a full replicated copy of sf0.1 — it
       // must not accumulate in /tmp across probe runs
@@ -144,7 +196,11 @@ object PerfProbe {
         "q_repetition_stats", "q_mix_temperature", "q_export_shuffle",
         "q_decontaminate_ngram", "q_blocklist_bloom",
         "q_join_bucketed", "q_salient_terms", "q_mode_merge_upsert",
-        "q_dedup_survivors", "q_semantic_survivors")
+        "q_dedup_survivors", "q_semantic_survivors",
+        // round-6 additions: partition-scoped merge (write volume bounded
+        // by the touched partition, not the table) and unicode tokenization
+        // (per-row expression — linear by construction)
+        "q_mode_merge_partitioned", "q_token_count_cjk")
       // SPARK_GRAFT_SCALE_ONLY=a,b,c re-probes a subset after a targeted fix
       // without paying the full sweep
       val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

@@ -505,6 +505,26 @@ object VectorOps {
       .orderBy("probe_id", "rnk")
   }
 
+  /** Per-probe candidate volume across the shard merge — the skew
+    * evidence for the sharded search: each shard contributes its own
+    * probed-cell candidates and the merge unions them per probe, so the
+    * volume per probe must stay ~Σ shards' probed-cell occupancies, never
+    * concentrate on one key. Probes = vec_id < 5 (the topk contract).
+    */
+  private[graft] def shardedCandidatesPerProbe(s: SparkSession, d: String,
+                                               db: String,
+                                               nShards: Int): DataFrame = {
+    val probes = t(s, d, "embeddings").filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    (0 until nShards).map { sh =>
+      searchIvfCandidates(
+        s.table(s"`$db`.`${IvfAssignmentsTable}_$sh`"),
+        probeNearestCells(s.table(s"`$db`.`${IvfCentroidsTable}_$sh`"), probes),
+        largeProbeSide = false)
+    }.reduce(_ unionByName _)
+      .groupBy("probe_id").agg(count(lit(1)).as("n_cands"))
+  }
+
   /** Semantic dedup served from a PERSISTED index ([[buildIvfIndex]]) —
     * the scheduled-maintenance posture: the quantizer trains on the index
     * refresh cadence, and the (possibly much more frequent) dedup sweep

@@ -245,32 +245,39 @@ class OpsPropertySpec extends SparkSpec {
     assert(fromIdx == inSession)
   }
 
-  test("sharded ivf index: self-hit survives the shard merge, recall composes") {
-    val db = "ivf_shard_db"
-    VectorOps.buildShardedIvfIndex(Tables.t(spark, sf, "embeddings"), db, nShards = 2)
-    (0 until 2).foreach { sh =>
-      assert(spark.catalog.tableExists(s"$db.${VectorOps.IvfAssignmentsTable}_$sh"))
-      // shards hold disjoint slices covering the corpus
-    }
-    val n0 = spark.table(s"$db.${VectorOps.IvfAssignmentsTable}_0").count()
-    val n1 = spark.table(s"$db.${VectorOps.IvfAssignmentsTable}_1").count()
-    assert(n0 > 0 && n1 > 0 &&
-      n0 + n1 == Tables.t(spark, sf, "embeddings").count())
-    val got = VectorOps.ivfCosineTopkFromShardedIndex(spark, sf, db, nShards = 2)
-      .collect()
-    assert(got.length == 25)
-    // a probe lives in exactly one shard, whose index must surface it at
-    // rank 1 (same self-hit argument as the single index)
-    got.filter(_.getAs[Int]("rnk") == 1).foreach { r =>
-      assert(r.getAs[Long]("probe_id") == r.getAs[Long]("neighbor_id"))
-      assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-12)
-    }
-    // merged recall holds the single-index floor vs exact brute force
+  test("sharded ivf index: self-hit survives the shard merge, recall composes (S=2, S=4)") {
     val exact = VectorOps.knnCosineTopk(spark, sf).collect()
       .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val mine = got.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val recall = (exact intersect mine).size.toDouble / exact.size
-    assert(recall >= 0.6, s"sharded recall@5 = $recall")
+    for (nShards <- Seq(2, 4)) {
+      val db = s"ivf_shard_db_$nShards"
+      VectorOps.buildShardedIvfIndex(Tables.t(spark, sf, "embeddings"), db, nShards)
+      // shards hold non-empty disjoint slices covering the corpus
+      val counts = (0 until nShards).map { sh =>
+        assert(spark.catalog.tableExists(s"$db.${VectorOps.IvfAssignmentsTable}_$sh"))
+        spark.table(s"$db.${VectorOps.IvfAssignmentsTable}_$sh").count()
+      }
+      assert(counts.forall(_ > 0), s"S=$nShards: empty shard in $counts")
+      assert(counts.sum == Tables.t(spark, sf, "embeddings").count())
+      val got = VectorOps.ivfCosineTopkFromShardedIndex(spark, sf, db, nShards)
+        .collect()
+      assert(got.length == 25)
+      // a probe lives in exactly one shard, whose index must surface it at
+      // rank 1 (same self-hit argument as the single index)
+      got.filter(_.getAs[Int]("rnk") == 1).foreach { r =>
+        assert(r.getAs[Long]("probe_id") == r.getAs[Long]("neighbor_id"))
+        assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-12)
+      }
+      // merged recall holds the single-index floor vs exact brute force
+      val mine = got.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val recall = (exact intersect mine).size.toDouble / exact.size
+      assert(recall >= 0.6, s"S=$nShards sharded recall@5 = $recall")
+      // the merge never concentrates candidates on one probe: per-probe
+      // candidate volume stays within the probed-cell occupancy sum
+      val cands = VectorOps.shardedCandidatesPerProbe(spark, sf, db, nShards)
+        .collect().map(r => r.getAs[Long]("n_cands"))
+      assert(cands.length == 5 && cands.max <= counts.sum,
+        s"S=$nShards candidate concentration: ${cands.toSeq}")
+    }
   }
 
   test("connected components: chains, singletons, log-round convergence") {
