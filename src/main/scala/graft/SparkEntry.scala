@@ -34,6 +34,7 @@ object SparkEntry {
     "q_mode_merge_upsert"   -> (PipelineOps.modeMergeUpsert _),
     "q_mode_merge_partitioned" -> (PipelineOps.modeMergePartitioned _),
     "q_delete_predicate"    -> (Parity.deletePredicate _),
+    "q_delete_partitioned"  -> (PipelineOps.deletePartitioned _),
     "q_empty_result_schema" -> (Parity.emptyResultSchema _),
     // Capability (§2.5 table 2 — §2.D decisions)
     "q_join_equi"           -> (Relational.joinEqui _),
@@ -226,6 +227,18 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
     "q_empty_result_schema" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < -1",
+    // the engine runs the partition-scoped delete machinery (match scan →
+    // affected partitions → drop+append of the filtered slice); the
+    // oracle recomputes the surviving rows declaratively
+    "q_delete_partitioned" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       strftime(o_orderdate, '%Y-%m') AS part_key
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  AND NOT (strftime(o_orderdate, '%Y-%m') = '1996-02'
+        |           AND o_orderkey % 3 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_join_equi" ->
       """SELECT o_orderstatus, COUNT(*) AS cnt,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

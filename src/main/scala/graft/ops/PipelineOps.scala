@@ -191,6 +191,29 @@ object PipelineOps {
       .orderBy("o_orderkey")
   }
 
+  /** Partition-SCOPED DELETE (C18 at the 100 TB shape): a monthly-
+    * partitioned orders snapshot deletes every 3rd key of February only —
+    * Warehouse.deleteWhere finds the partitions CONTAINING matches (one
+    * column-pruned scan) and rewrites only 1996-02; January and March
+    * files are untouched (file-level asserted in ExtractWarehouseSpec).
+    */
+  def deletePartitioned(s: SparkSession, d: String): DataFrame = {
+    val (db, table) = ("graft_del_part", "orders_by_month_del")
+    s.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    s.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
+    val base = graft.Tables.t(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("part_key"))
+    Warehouse.saveModel(base, db, table, Seq("part_key"))
+    Warehouse.deleteWhere(s, db, table,
+      expr("part_key = '1996-02' AND o_orderkey % 3 = 0"))
+    s.table(s"`$db`.`$table`")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "part_key")
+      .orderBy("o_orderkey")
+  }
+
   def modeFullSnapshot(s: SparkSession, d: String): DataFrame = {
     val tenant = TenantConfig.parse(tenantYaml)
     val pipeline = new TenantPipeline(tenant, new ParquetSource(d),

@@ -310,36 +310,59 @@ object Warehouse {
         s"mergeUpsert on partitioned $db.$table: batch has NULL partition " +
           s"values in (${pcols.mkString(", ")}) — undatable rows cannot be " +
           "merge-scoped (same contract as partitioned appends)")
-      val prune = affected.map { r =>
-        pcols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }
-          .reduce(_ && _)
-      }.reduce(_ || _)
-      val current = spark.table(fq).filter(prune)
+      val current = spark.table(fq).filter(pruneTo(pcols, affected))
       val w = mergeWindow(spark.table(fq).columns, keys, versionCol)
       val merged = current.withColumn("__is_batch", lit(0))
         .unionByName(batch.withColumn("__is_batch", lit(1)))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .drop("__is_batch", "__rn")
-      val tmpName = s"${table}__merge_tmp"
-      val tmp = s"`$db`.`$tmpName`"
-      if (!spark.catalog.tableExists(s"$db.$tmpName"))
-        dropStaleLocation(spark, db, tmpName)
-      merged.write.mode(SaveMode.Overwrite).option("overwriteSchema", "true")
-        .format("parquet").partitionBy(pcols: _*).saveAsTable(tmp)
-      affected.grouped(100).foreach { chunk =>
-        val specs = chunk.map { r =>
-          pcols.zipWithIndex.map { case (c, i) =>
-            s"`$c`='${r.get(i).toString.replace("'", "''")}'"
-          }.mkString("PARTITION (", ", ", ")")
-        }.mkString(", ")
-        spark.sql(s"ALTER TABLE $fq DROP IF EXISTS $specs")
-      }
-      val cols = spark.table(fq).columns
-      spark.table(tmp).select(cols.map(col).toIndexedSeq: _*)
-        .write.mode(SaveMode.Append).insertInto(fq)
-      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      replacePartitions(spark, db, table, pcols, affected, merged)
     }
+
+  /** Declared-set partition replacement (the Backfill mechanics shared by
+    * the partition-scoped merge and delete): write `replacement` to a temp
+    * table (checkpoint — never scan-and-overwrite the same files), drop
+    * exactly the `affected` partitions by metadata DDL (chunked), append
+    * the replacement, drop the temp. A partition the replacement has no
+    * rows for stays DROPPED — which is why this beats dynamic partition
+    * overwrite for delete (an emptied partition must actually disappear).
+    */
+  private def replacePartitions(spark: SparkSession, db: String,
+                                table: String, pcols: Seq[String],
+                                affected: Array[org.apache.spark.sql.Row],
+                                replacement: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    val fq = s"`$db`.`$table`"
+    val tmpName = s"${table}__rw_part_tmp"
+    val tmp = s"`$db`.`$tmpName`"
+    if (!spark.catalog.tableExists(s"$db.$tmpName"))
+      dropStaleLocation(spark, db, tmpName)
+    replacement.write.mode(SaveMode.Overwrite).option("overwriteSchema", "true")
+      .format("parquet").partitionBy(pcols: _*).saveAsTable(tmp)
+    affected.grouped(100).foreach { chunk =>
+      val specs = chunk.map { r =>
+        pcols.zipWithIndex.map { case (c, i) =>
+          s"`$c`='${r.get(i).toString.replace("'", "''")}'"
+        }.mkString("PARTITION (", ", ", ")")
+      }.mkString(", ")
+      spark.sql(s"ALTER TABLE $fq DROP IF EXISTS $specs")
+    }
+    val cols = spark.table(fq).columns
+    spark.table(tmp).select(cols.map(col).toIndexedSeq: _*)
+      .write.mode(SaveMode.Append).insertInto(fq)
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+  }
+
+  /** Plan-time pruning predicate over literal partition values. */
+  private def pruneTo(pcols: Seq[String],
+                      affected: Array[org.apache.spark.sql.Row]) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    affected.map { r =>
+      pcols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+  }
 
   /** Small-file compaction: rewrite a managed table into `numFiles` output
     * files per partition. The repartition applies on BOTH writes —
@@ -386,14 +409,43 @@ object Warehouse {
     * rewrite with a checkpoint through a temp table so we never scan-and-
     * overwrite the same files in one job (SURVEY.md §7.5). Runs entirely on
     * executors — no driver-side row handling.
+    *
+    * Write amplification is PARTITION-SCOPED like [[mergeUpsert]]: on a
+    * partitioned target, one column-pruned scan finds the partitions that
+    * actually CONTAIN matching rows, and only those are rewritten (drop +
+    * append of the filtered slice — a fully-emptied partition stays
+    * dropped, which dynamic overwrite could not do). A delete whose
+    * predicate touches nothing rewrites nothing. Unpartitioned tables
+    * keep the full temp-swap rewrite.
     */
   def deleteWhere(spark: SparkSession, db: String, table: String,
-                  predicate: Column): Unit =
+                  predicate: Column): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
     // SQL DELETE keeps rows whose predicate is NULL — !pred alone would
     // drop them (NULL is not true), inverting that contract.
-    rewriteVia(spark, db, table)(_.filter(
-      !org.apache.spark.sql.functions.coalesce(
-        predicate, org.apache.spark.sql.functions.lit(false))))
+    val matches = coalesce(predicate, lit(false))
+    val pcols = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
+      .partitionColumnNames
+    if (pcols.isEmpty)
+      rewriteVia(spark, db, table)(_.filter(!matches))
+    else graft.plans.TenantIsolationRule.withMaintenanceBypass(spark) {
+      import org.apache.spark.sql.functions.col
+      val fq = s"`$db`.`$table`"
+      // one column-pruned scan: which partitions hold matching rows?
+      // (driver collect bounded by partition count — metadata scale)
+      val affected = spark.table(fq).filter(matches)
+        .select(pcols.map(col).toIndexedSeq: _*).distinct().collect()
+      if (affected.isEmpty) return
+      require(affected.forall(r => pcols.indices.forall(!r.isNullAt(_))),
+        s"deleteWhere on partitioned $db.$table: matching rows carry NULL " +
+          s"partition values in (${pcols.mkString(", ")}) — the Hive " +
+          "default partition cannot be replaced by partition spec")
+      val slice = spark.table(fq).filter(pruneTo(pcols, affected))
+      replacePartitions(spark, db, table, pcols, affected,
+        slice.filter(!matches))
+    }
+  }
 
   /** A15 — deterministic preview (reference samples 5 unordered rows,
     * trino.py:55-71; we order by the given key so it's reproducible).

@@ -277,6 +277,48 @@ class ExtractWarehouseSpec extends SparkSpec {
     assert(state() == after)
   }
 
+  test("partition-scoped delete rewrites only partitions containing matches") {
+    val (db, table) = ("graft_del_ps", "kv_part")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
+    val base = Seq(
+      (1L, "a", "p1"), (2L, "b", "p1"),
+      (3L, "c", "p2"), (4L, "d", "p2"),
+      (5L, "e", "p3")).toDF("k", "val", "pk")
+    Warehouse.saveModel(base, db, table, Seq("pk"))
+    def filesOf(pk: String): Map[String, Long] = {
+      val loc = new java.net.URI(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
+        .location.toString).getPath
+      Option(new java.io.File(s"$loc/pk=$pk").listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    def state() = spark.table(s"`$db`.`$table`").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val p1Before = filesOf("p1")
+    val p3Before = filesOf("p3")
+    // a no-match delete rewrites NOTHING
+    val p2Before = filesOf("p2")
+    Warehouse.deleteWhere(spark, db, table, $"k" === 99L)
+    assert(filesOf("p1") == p1Before && filesOf("p2") == p2Before &&
+      filesOf("p3") == p3Before, "no-match delete rewrote files")
+    // matches only in p2: p1/p3 files untouched
+    Warehouse.deleteWhere(spark, db, table, $"k" === 3L)
+    assert(filesOf("p1") == p1Before, "untouched partition p1 was rewritten")
+    assert(filesOf("p3") == p3Before, "untouched partition p3 was rewritten")
+    assert(state() == Seq((1L, "a", "p1"), (2L, "b", "p1"),
+      (4L, "d", "p2"), (5L, "e", "p3")))
+    // a fully-emptied partition actually disappears (drop+append — dynamic
+    // overwrite could not clear it)
+    Warehouse.deleteWhere(spark, db, table, $"pk" === "p3")
+    assert(filesOf("p1") == p1Before)
+    assert(state() == Seq((1L, "a", "p1"), (2L, "b", "p1"), (4L, "d", "p2")))
+    assert(spark.table(s"`$db`.`$table`")
+      .filter($"pk" === "p3").count() == 0)
+  }
+
   test("intra-batch (key, version) ties resolve by content, not row order") {
     val (db, table) = ("graft_merge_tie", "kv")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
