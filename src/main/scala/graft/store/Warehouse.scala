@@ -352,6 +352,10 @@ object Warehouse {
     spark.table(tmp).select(cols.map(col).toIndexedSeq: _*)
       .write.mode(SaveMode.Append).insertInto(fq)
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    // DROP PARTITION deleted files under the table location; a cached
+    // relation/file index from before the replacement would keep serving
+    // the deleted paths (FAILED_READ_FILE on the next scan) — invalidate.
+    spark.catalog.refreshTable(s"`$db`.`$table`")
   }
 
   /** Plan-time pruning predicate over literal partition values. */

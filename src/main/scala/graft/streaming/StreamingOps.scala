@@ -150,6 +150,46 @@ object StreamingOps {
       }
       .start()
 
+  /** Stream → keyed CDC merge: each micro-batch upserts into the target
+    * through graft.store.Warehouse.mergeUpsert — partition-SCOPED on a
+    * partitioned target, so per-trigger write amplification is bounded by
+    * the partitions the batch touches, never the table (the foreachBatch
+    * form of the CDC endpoint; a full-rewrite-per-trigger would be the
+    * scale tax the append-log pattern exists to avoid, and the
+    * partition-scoped merge removes it for keyed state too). The first
+    * batch creates an EMPTY table from the batch schema (partitioned by
+    * `partitionCols`) and then merges into it, so every row — including
+    * the first trigger's — goes through the same intra-batch resolution
+    * and latest-wins window. At-least-once safe: redelivered rows replay
+    * idempotently (latest-wins; batch wins version ties).
+    *
+    * Reader note: the merge invalidates ITS session's relation cache, but
+    * foreachBatch executes in a cloned session — a concurrent reader
+    * session that already scanned the table must `REFRESH TABLE` after a
+    * partition replacement (standard Spark semantics for external table
+    * changes; session-local relation caches cannot be evicted remotely).
+    */
+  def sinkCdcMerge(cdc: DataFrame, db: String, table: String,
+                   keys: Seq[String], versionCol: String,
+                   partitionCols: Seq[String] = Seq.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    cdc.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        if (!s.catalog.tableExists(s"$db.$table"))
+          graft.store.Warehouse.saveModel(batch.toDF().limit(0), db, table,
+            partitionCols)
+        // the catalog reorders partition columns last — align the batch to
+        // the table's column ORDER (same names/types still enforced by the
+        // merge's drift gate)
+        val cols = s.table(s"`$db`.`$table`").columns
+        graft.store.Warehouse.mergeUpsert(s,
+          batch.toDF().select(cols.map(col).toIndexedSeq: _*), db, table,
+          keys, versionCol)
+      }
+      .start()
+
   /** Streaming ingest edge of the exact-dedup family: each micro-batch
     * lands its BATCH-LOCAL dedup groups — (text_hash, keep-lowest doc_id,
     * duplicate count), computed by the same expressions as the batch
