@@ -525,6 +525,50 @@ object VectorOps {
       .groupBy("probe_id").agg(count(lit(1)).as("n_cands"))
   }
 
+  /** Corpus×corpus semantic dedup across a SHARDED index
+    * ([[buildShardedIvfIndex]]): every vector probes EVERY shard —
+    * cross-shard duplicate pairs would otherwise be invisible, and hash
+    * slicing deliberately separates equal content carrying different ids —
+    * each shard runs the large-probe SALTED search over its own inverted
+    * lists, and the per-shard candidates union before the exact-cosine
+    * threshold, canonicalization and distinct.
+    *
+    * Scale shape: S independent salted-shuffle searches, each holding the
+    * constant-occupancy law over its own slice (adaptive cells per shard),
+    * so total candidate volume stays ~linear with an S× probe fan-out —
+    * the price of exactness across shard boundaries. Recall law: an exact
+    * duplicate pair ALWAYS surfaces regardless of shard placement (the
+    * probe's nearest centroid in the duplicate's shard is the duplicate's
+    * own cell — property-tested with a planted cross-shard dup). At S=1
+    * this reproduces the single-index dedup bit-for-bit (same quantizer,
+    * same adaptive cell count — property-tested).
+    */
+  def ivfSemanticDedupFromShardedIndex(s: SparkSession, db: String,
+                                       nShards: Int,
+                                       threshold: Double = 0.45): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val corpus = (0 until nShards).map(sh =>
+      s.table(s"`$db`.`${IvfAssignmentsTable}_$sh`")
+        .select(col("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+    val probes = corpus.select(col("vec_id").as("probe_id"),
+      col("embedding").as("probe_vec"))
+    val cands = (0 until nShards).map { sh =>
+      searchIvfCandidates(
+        s.table(s"`$db`.`${IvfAssignmentsTable}_$sh`"),
+        probeNearestCells(s.table(s"`$db`.`${IvfCentroidsTable}_$sh`"), probes),
+        largeProbeSide = true)
+    }.reduce(_ unionByName _)
+    cands
+      .filter(col("probe_id") =!= col("neighbor_id")
+        && col("cosine") >= threshold)
+      .select(least(col("probe_id"), col("neighbor_id")).as("vec_a"),
+        greatest(col("probe_id"), col("neighbor_id")).as("vec_b"),
+        col("cosine"))
+      .distinct()
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Semantic dedup served from a PERSISTED index ([[buildIvfIndex]]) —
     * the scheduled-maintenance posture: the quantizer trains on the index
     * refresh cadence, and the (possibly much more frequent) dedup sweep

@@ -280,6 +280,38 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("sharded semantic dedup: cross-shard exact dup pairs; S=1 equals single index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    val base = Tables.t(spark, sf, "embeddings").select("vec_id", "embedding")
+    // plant an exact duplicate of vector 0 under an id that hash-slices
+    // into the OTHER shard — the pair only exists across shard boundaries
+    def shardOf(id: Long): Long = spark.range(1)
+      .select(pmod(xxhash64(lit(id)), lit(2L))).head.getLong(0)
+    val dupId = (100000L to 100050L).find(shardOf(_) != shardOf(0L)).get
+    val dup = base.filter($"vec_id" === 0L)
+      .select(lit(dupId).as("vec_id"), $"embedding")
+    val db = "ivf_shard_dedup"
+    VectorOps.buildShardedIvfIndex(base.unionByName(dup), db, nShards = 2)
+    val pairs = VectorOps.ivfSemanticDedupFromShardedIndex(spark, db, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val planted = pairs.find(p => p._1 == 0L && p._2 == dupId)
+    assert(planted.isDefined,
+      s"cross-shard exact duplicate (0, $dupId) not found in ${pairs.length} pairs")
+    assert(math.abs(planted.get._3 - 1.0) < 1e-12)
+    // S=1 reproduces the single-index dedup bit-for-bit (same quantizer,
+    // same adaptive cell count, exact in-order cosine folds)
+    val db1 = "ivf_shard_dedup_s1"
+    VectorOps.buildShardedIvfIndex(base, db1, nShards = 1)
+    val sharded1 = VectorOps.ivfSemanticDedupFromShardedIndex(spark, db1, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val single = VectorOps.ivfSemanticDedupPairs(base, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sharded1 == single,
+      s"S=1 sharded dedup diverged from the single index: " +
+        s"${(sharded1 diff single).take(3)} vs ${(single diff sharded1).take(3)}")
+  }
+
   test("connected components: chains, singletons, log-round convergence") {
     import graft.ops.GraphOps
     // a 1000-long chain: plain propagation would need ~1000 rounds; the
