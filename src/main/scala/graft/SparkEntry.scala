@@ -66,6 +66,7 @@ object SparkEntry {
     "q_text_stats"          -> (TextOps.textStats _),
     "q_token_count_bpe"     -> (TextOps.tokenCountBpe _),
     "q_token_count_cjk"     -> (TextOps.tokenCountCjk _),
+    "q_top_terms_cjk"       -> (TextOps.topTermsCjk _),
     "q_top_terms_per_lang"  -> (TextOps.topTermsPerLang _),
     "q_quality_score"       -> (TextOps.qualityScore _),
     "q_lang_id"             -> (TextOps.langId _),
@@ -356,6 +357,33 @@ object SparkEntry {
         |            AS INTEGER) AS n_space_tokens,
         |       md5(array_to_string(toks, ' ')) AS tokens_md5
         |FROM ex ORDER BY doc_id""".stripMargin,
+    // the unicode tokenizer composed into the vocabulary aggregation:
+    // same arithmetic token-list reconstruction as q_token_count_cjk,
+    // then the standard count + rank
+    "q_top_terms_cjk" ->
+      """WITH tok AS (
+        |    SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS base
+        |    FROM documents
+        |), ex AS (
+        |    SELECT lang,
+        |           CASE WHEN doc_id % 3 = 0
+        |                THEN list_concat(base,
+        |                     ['안녕', '세계',
+        |                      repeat('中', CAST(doc_id % 4 + 1 AS INT)), 'tail'])
+        |                ELSE base END AS toks
+        |    FROM tok
+        |), flat AS (
+        |    SELECT lang, unnest(toks) AS token FROM ex
+        |), counted AS (
+        |    SELECT lang, token, COUNT(*) AS cnt FROM flat GROUP BY lang, token
+        |), ranked AS (
+        |    SELECT lang, token, cnt,
+        |           row_number() OVER (PARTITION BY lang
+        |                              ORDER BY cnt DESC, token ASC) AS rnk
+        |    FROM counted
+        |)
+        |SELECT lang, rnk, token, cnt FROM ranked WHERE rnk <= 5
+        |ORDER BY lang, rnk""".stripMargin,
     "q_top_terms_per_lang" ->
       """WITH tok AS (
         |    SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token

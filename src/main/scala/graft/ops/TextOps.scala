@@ -634,20 +634,52 @@ object TextOps {
     * by the parity law) and hashes the full joined token stream, so the
     * gate covers token CONTENT, not just counts.
     */
+  /** The deterministic mixed-script enrichment shared by every CJK-gated
+    * query (a second inline copy could silently drift from the oracles'
+    * arithmetic reconstruction): every 3rd doc gains two space-delimited
+    * Hangul words, the second fused directly to a doc_id-sized Han
+    * ideograph run fused to an ASCII tail — ONE whitespace token, four
+    * UAX#29 word tokens.
+    */
+  private def cjkEnriched: Column =
+    when(col("doc_id") % 3 === 0,
+      concat(col("text"), lit(" 안녕 세계"),
+        expr("repeat('中', CAST(doc_id % 4 + 1 AS INT))"), lit("tail")))
+      .otherwise(col("text"))
+
   def tokenCountCjk(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     t(s, d, "documents")
-      .withColumn("enriched",
-        when(col("doc_id") % 3 === 0,
-          concat(col("text"), lit(" 안녕 세계"),
-            expr("repeat('中', CAST(doc_id % 4 + 1 AS INT))"), lit("tail")))
-          .otherwise(col("text")))
+      .withColumn("enriched", cjkEnriched)
       .withColumn("toks", tokensOf(col("enriched"), unicodeAware = true))
       .select(col("doc_id"),
         size(col("toks")).as("n_unicode_tokens"),
         size(tokensOf(col("enriched"))).as("n_space_tokens"),
         md5(concat_ws(" ", col("toks")).cast("binary")).as("tokens_md5"))
       .orderBy("doc_id")
+  }
+
+  /** [[topTermsPerLang]] with the unicode tokenizer over the CJK-enriched
+    * corpus — the composition gate: the UAX#29 mode feeding the standard
+    * explode → two-level agg → windowed top-k vocabulary shape. The CJK
+    * tokens participate in ranking like any others (the whitespace mode
+    * would fuse '세계中…中tail' into per-doc-unique tokens and never rank
+    * them); the oracle reconstructs the token lists arithmetically and
+    * recomputes the same aggregation.
+    */
+  def topTermsCjk(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(col("cnt").desc, col("token").asc)
+    t(s, d, "documents")
+      .withColumn("enriched", cjkEnriched)
+      .select(col("lang"),
+        explode(tokensOf(col("enriched"), unicodeAware = true)).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("lang", "rnk", "token", "cnt")
+      .orderBy("lang", "rnk")
   }
 
   /** The surviving corpus after [[decontaminateNgram]]: eval docs and any

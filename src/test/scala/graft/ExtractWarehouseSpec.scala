@@ -319,6 +319,38 @@ class ExtractWarehouseSpec extends SparkSpec {
       .filter($"pk" === "p3").count() == 0)
   }
 
+  test("partition-scoped merge equals the full-rewrite merge on the same data") {
+    // the LAYOUT decides the write path; the CONTENT contract must not
+    // notice — same base + same batch through a partitioned and an
+    // unpartitioned table end in identical rows
+    val db = "graft_merge_eq"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`part_t`")
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`flat_t`")
+    val base = Seq(
+      (1L, "a", 1L, "p1"), (2L, "b", 1L, "p1"),
+      (3L, "c", 1L, "p2"), (4L, "d", 2L, "p2"),
+      (5L, "e", 1L, "p3")).toDF("k", "val", "v", "pk")
+    Warehouse.saveModel(base, db, "part_t", Seq("pk"))
+    Warehouse.saveModel(base, db, "flat_t")
+    val batch = Seq((3L, "c2", 2L, "p2"), (4L, "stale", 1L, "p2"),
+      (6L, "f", 1L, "p1"), (2L, "b2", 1L, "p1"))
+      .toDF("k", "val", "v", "pk")
+    // partitioned table's catalog order puts pk last
+    val partOrder = spark.table(s"`$db`.`part_t`").columns
+    Warehouse.mergeUpsert(spark, batch.select(partOrder.map(col).toIndexedSeq: _*),
+      db, "part_t", Seq("k"), "v")
+    Warehouse.mergeUpsert(spark, batch, db, "flat_t", Seq("k"), "v")
+    def rows(t: String) = spark.table(s"`$db`.`$t`")
+      .select("k", "val", "v", "pk").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(rows("part_t") == rows("flat_t"))
+    assert(rows("part_t") == Seq((1L, "a", 1L, "p1"), (2L, "b2", 1L, "p1"),
+      (3L, "c2", 2L, "p2"), (4L, "d", 2L, "p2"), (5L, "e", 1L, "p3"),
+      (6L, "f", 1L, "p1")))
+  }
+
   test("intra-batch (key, version) ties resolve by content, not row order") {
     val (db, table) = ("graft_merge_tie", "kv")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
