@@ -67,6 +67,8 @@ object SparkEntry {
     "q_token_count_bpe"     -> (TextOps.tokenCountBpe _),
     "q_token_count_cjk"     -> (TextOps.tokenCountCjk _),
     "q_top_terms_cjk"       -> (TextOps.topTermsCjk _),
+    "q_repeated_spans"      -> (TextOps.repeatedSpans _),
+    "q_length_histogram"    -> (TextOps.lengthHistogram _),
     "q_top_terms_per_lang"  -> (TextOps.topTermsPerLang _),
     "q_quality_score"       -> (TextOps.qualityScore _),
     "q_lang_id"             -> (TextOps.langId _),
@@ -357,6 +359,36 @@ object SparkEntry {
         |            AS INTEGER) AS n_space_tokens,
         |       md5(array_to_string(toks, ' ')) AS tokens_md5
         |FROM ex ORDER BY doc_id""".stripMargin,
+    // corpus-internal repeated spans: both engines build per-doc DISTINCT
+    // n-gram sets, so n_docs counts containing documents; the total order
+    // (count desc, gram asc) makes the top-k slice deterministic
+    "q_repeated_spans" ->
+      s"""WITH tok AS (
+        |    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens
+        |    FROM documents
+        |), grams AS (
+        |    SELECT doc_id,
+        |           list_distinct(list_transform(
+        |               range(1, len(tokens) - ${TextOps.SpanNgram - 2}),
+        |               i -> array_to_string(tokens[i:i+${TextOps.SpanNgram - 1}], ' '))) AS gs
+        |    FROM tok
+        |), flat AS (
+        |    SELECT unnest(gs) AS gram FROM grams
+        |), counted AS (
+        |    SELECT gram, COUNT(*) AS n_docs FROM flat GROUP BY gram
+        |)
+        |SELECT gram, n_docs FROM counted WHERE n_docs >= ${TextOps.SpanMinDocs}
+        |ORDER BY n_docs DESC, gram ASC LIMIT ${TextOps.SpanTopK}""".stripMargin,
+    "q_length_histogram" ->
+      s"""WITH tok AS (
+        |    SELECT len(string_split_regex(trim(text), '\\s+')) AS n
+        |    FROM documents
+        |)
+        |SELECT n // ${TextOps.LenBucketWidth} AS bucket,
+        |       COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS token_sum,
+        |       CAST(MIN(n) AS INTEGER) AS min_tokens,
+        |       CAST(MAX(n) AS INTEGER) AS max_tokens
+        |FROM tok GROUP BY bucket ORDER BY bucket""".stripMargin,
     // the unicode tokenizer composed into the vocabulary aggregation:
     // same arithmetic token-list reconstruction as q_token_count_cjk,
     // then the standard count + rank

@@ -682,6 +682,50 @@ object TextOps {
       .orderBy("lang", "rnk")
   }
 
+  /** Corpus-internal repeated spans (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", at n-gram granularity):
+    * the n-word spans shared by at least `minDocs` DISTINCT documents —
+    * the signal behind substring-level dedup, and the corpus-internal
+    * complement of [[decontaminateNgram]]'s cross-set overlap. word_ngrams
+    * emits each doc's distinct grams, so the count per gram IS its
+    * containing-document count.
+    *
+    * Scale shape: codegen gram expansion → ONE map-side-combined count on
+    * the gram key (the only token-volume shuffle) → threshold filter →
+    * bounded top-k (rank by count then gram; global limit over the tiny
+    * filtered set). Linear in corpus token volume; nothing all-pairs.
+    */
+  val SpanNgram = 5
+  val SpanMinDocs = 2
+  val SpanTopK = 50
+  def repeatedSpans(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t(s, d, "documents")
+      .withColumn("grams",
+        call_function("word_ngrams", col("text"), lit(SpanNgram)))
+      .select(explode(col("grams")).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= SpanMinDocs)
+      .orderBy(col("n_docs").desc, col("gram").asc)
+      .limit(SpanTopK)
+  }
+
+  /** Document length distribution — the curation histogram every corpus
+    * report starts with: docs bucketed by token count (fixed integer
+    * width), rows per bucket plus exact token totals. One scan, one
+    * map-side-combined aggregation on a handful of bucket keys.
+    */
+  val LenBucketWidth = 16
+  def lengthHistogram(s: SparkSession, d: String): DataFrame =
+    withTokens(t(s, d, "documents"))
+      .select(expr(s"CAST(size(tokens) DIV $LenBucketWidth AS BIGINT)")
+        .as("bucket"), size(col("tokens")).as("n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n").cast("bigint")).as("token_sum"),
+        min("n").as("min_tokens"), max("n").as("max_tokens"))
+      .orderBy("bucket")
+
   /** The surviving corpus after [[decontaminateNgram]]: eval docs and any
     * doc overlapping them are removed (broadcast anti-join on doc_id).
     */
