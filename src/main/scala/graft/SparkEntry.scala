@@ -138,7 +138,128 @@ object SparkEntry {
        |FROM reach GROUP BY id ORDER BY $outId""".stripMargin
   }
 
+  /** Shared oracle fragments for the ANN split gates: L2 norms and the
+    * in-order dot-product fold (the exact shape q_knn_cosine_topk proved
+    * bit-compatible with the engine's vec_dot).
+    */
+  private val VecNormCte: String =
+    """nrm AS (
+      |    SELECT vec_id, embedding,
+      |           sqrt(list_reduce(
+      |             list_prepend(CAST(0.0 AS DOUBLE),
+      |               list_transform(embedding,
+      |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |             (a, b) -> a + b)) AS l2
+      |    FROM embeddings
+      |)""".stripMargin
+
+  private val DotAB: String =
+    """list_reduce(
+      |             list_prepend(CAST(0.0 AS DOUBLE),
+      |               list_transform(range(1, len(a.embedding) + 1),
+      |                 i -> CAST(a.embedding[i] AS DOUBLE)
+      |                      * CAST(b.embedding[i] AS DOUBLE))),
+      |             (x, y) -> x + y)""".stripMargin
+
+  /** Pair-set split gate: read the engine's materialized (vec_a, vec_b)
+    * pairs, recompute each cosine from the raw embeddings, re-apply the
+    * threshold — a wrong cosine or below-threshold pair hash-mismatches.
+    */
+  private def pairCosineOracle(pairsName: String, threshold: Double): String = {
+    val path = OracleInputs.path(OracleInputs.oracleSfDir, pairsName)
+    s"""WITH p AS (SELECT vec_a, vec_b FROM read_parquet('$path/*.parquet')),
+       |$VecNormCte
+       |SELECT vec_a, vec_b, cosine FROM (
+       |    SELECT p.vec_a, p.vec_b,
+       |           $DotAB / (a.l2 * b.l2) AS cosine
+       |    FROM p JOIN nrm a ON a.vec_id = p.vec_a
+       |           JOIN nrm b ON b.vec_id = p.vec_b
+       |) WHERE cosine >= $threshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // given the materialized band keys, the candidate derivation —
+    // hot-bucket cap, band self-join, doc_a < doc_b canonicalization,
+    // distinct — is deterministic and fully recomputable
+    "q_dedup_minhash" -> {
+      val path = OracleInputs.path(OracleInputs.oracleSfDir, "minhash_banded")
+      s"""WITH b AS (SELECT doc_id, band_idx, band_hash
+         |           FROM read_parquet('$path/*.parquet')),
+         |hot AS (
+         |    SELECT band_idx, band_hash FROM b
+         |    GROUP BY band_idx, band_hash HAVING COUNT(*) > ${TextOps.MaxBucketSize}
+         |), pruned AS (
+         |    SELECT b.* FROM b
+         |    WHERE NOT EXISTS (SELECT 1 FROM hot
+         |                      WHERE hot.band_idx = b.band_idx
+         |                        AND hot.band_hash = b.band_hash)
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_a, p.doc_id AS doc_b
+         |FROM pruned a JOIN pruned p
+         |  ON a.band_idx = p.band_idx AND a.band_hash = p.band_hash
+         |WHERE a.doc_id < p.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    // everything downstream of the materialized simhash values is
+    // deterministic integer arithmetic: byte bands ((h >> 8i) & 255 — the
+    // mask absorbs the arithmetic-vs-logical shift difference), hot-bucket
+    // cap, probe join, hamming confirm
+    "q_simhash_near_dup" -> {
+      val path = OracleInputs.path(OracleInputs.oracleSfDir, "simhash_frame")
+      s"""WITH h AS (SELECT doc_id, simhash FROM read_parquet('$path/*.parquet')),
+         |banded AS (
+         |    SELECT doc_id, CAST(i AS INTEGER) AS band_idx,
+         |           (simhash >> CAST(i * 8 AS INTEGER)) & 255 AS band_key
+         |    FROM h, (SELECT unnest(range(0, ${TextOps.SimhashBands})) AS i)
+         |), hot AS (
+         |    SELECT band_idx, band_key FROM banded
+         |    GROUP BY band_idx, band_key HAVING COUNT(*) > ${TextOps.MaxBucketSize}
+         |), pruned AS (
+         |    SELECT b.* FROM banded b
+         |    WHERE NOT EXISTS (SELECT 1 FROM hot
+         |                      WHERE hot.band_idx = b.band_idx
+         |                        AND hot.band_key = b.band_key)
+         |), cand AS (
+         |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |    FROM pruned a JOIN pruned b
+         |      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |    WHERE a.doc_id < 10 AND a.doc_id <> b.doc_id
+         |)
+         |SELECT c.doc_a, c.doc_b,
+         |       CAST(bit_count(xor(ha.simhash, hb.simhash)) AS INTEGER)
+         |           AS hamming
+         |FROM cand c JOIN h ha ON ha.doc_id = c.doc_a
+         |            JOIN h hb ON hb.doc_id = c.doc_b
+         |WHERE bit_count(xor(ha.simhash, hb.simhash)) <= ${TextOps.SimhashMaxHamming}
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "q_embedding_near_dup" ->
+      pairCosineOracle("neardup_pairs", graft.ops.VectorOps.CosineDupThreshold),
+    "q_ivf_semantic_dedup" ->
+      pairCosineOracle("ivf_dedup_pairs", graft.ops.VectorOps.CosineDupThreshold),
+    // top-k split gate: given the engine's materialized (probe, neighbor)
+    // sets, the cosines AND the rank order are deterministic — recompute
+    // both; an engine rnk disagreeing with the exact-cosine order fails
+    "q_ivf_cosine_topk" -> {
+      val path = OracleInputs.path(OracleInputs.oracleSfDir, "ivf_topk")
+      s"""WITH p AS (SELECT probe_id, neighbor_id
+         |           FROM read_parquet('$path/*.parquet')),
+         |$VecNormCte, scored AS (
+         |    SELECT p.probe_id, p.neighbor_id,
+         |           $DotAB / (a.l2 * b.l2) AS cosine
+         |    FROM p JOIN nrm a ON a.vec_id = p.probe_id
+         |           JOIN nrm b ON b.vec_id = p.neighbor_id
+         |), ranked AS (
+         |    SELECT probe_id, neighbor_id, cosine,
+         |           row_number() OVER (PARTITION BY probe_id
+         |                              ORDER BY cosine DESC, neighbor_id ASC)
+         |               AS rnk
+         |    FROM scored
+         |)
+         |SELECT probe_id, rnk, neighbor_id, cosine FROM ranked
+         |ORDER BY probe_id, rnk""".stripMargin
+    },
     // tolerance gate: the oracle asserts the HLL estimate landed within
     // 3·rsd of the exact count (within_3rsd must be 1 on the Spark side)
     "q_approx_distinct" ->

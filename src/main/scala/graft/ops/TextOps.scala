@@ -138,12 +138,19 @@ object TextOps {
   private[graft] def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
     val sigs = minhashSignatures(withTokens(t(s, d, "documents")))
     // banded feeds three branches (hot-set agg + both self-join sides):
-    // persist it so the signature pipeline (explode + 16-way hash agg)
-    // computes once, not per branch.
-    val banded = PlanCache.swap("minhash-banded", sigs.select(col("doc_id"),
-      posexplode(array((0 until Bands).map(b =>
-        xxhash64((0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}")): _*)): _*))
-        .as(Seq("band_idx", "band_hash"))))
+    // the oracle-input checkpoint materializes the signature pipeline
+    // (explode + 16-way hash agg) ONCE to parquet — serving the same
+    // compute-once role the former PlanCache persist did, while making
+    // the band keys the SPLIT-GATE input: the keys are hash-family-
+    // specific (rows-only), but the hot-bucket cap + band self-join +
+    // canonical distinct downstream are deterministic and hash-gated
+    // against the oracle's recomputation over these same rows.
+    val banded = graft.OracleInputs.checkpoint(
+      sigs.select(col("doc_id"),
+        posexplode(array((0 until Bands).map(b =>
+          xxhash64((0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}")): _*)): _*))
+          .as(Seq("band_idx", "band_hash"))),
+      d, "minhash_banded")
     // Hot-bucket guard (same rationale as VectorOps.nearDupPairs): a band
     // hash shared by >cap docs (boilerplate, empty text) would expand
     // quadratically in the self-join; such content is exact-dedup's job.
@@ -231,9 +238,18 @@ object TextOps {
     * result. The all-pairs operator remains [[simhashPairs]] with its
     * hot-bucket cap for corpora where near-dup clusters are rare (the real
     * ones, after exact dedup).
+    *
+    * SPLIT ORACLE GATE: the hash VALUES are engine-specific (xxhash64
+    * family — rows-only), but everything downstream of them — byte
+    * banding, the hot-bucket cap, the probe join, the hamming confirm —
+    * is deterministic integer arithmetic. The (doc_id, simhash) frame is
+    * materialized ([[graft.OracleInputs]]) and the oracle recomputes the
+    * ENTIRE pairing from it.
     */
   def simhashNearDup(s: SparkSession, d: String): DataFrame =
-    simhashPairs(simhashFrame(s, d), probe = Some(col("doc_id") < 10))
+    simhashPairs(
+      graft.OracleInputs.checkpoint(simhashFrame(s, d), d, "simhash_frame"),
+      probe = Some(col("doc_id") < 10))
 
   /** Core over any (doc_id, simhash) frame. With `probe`, pairs are
     * (probe doc, any other corpus doc); without, all unordered pairs.

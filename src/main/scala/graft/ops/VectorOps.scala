@@ -135,8 +135,25 @@ object VectorOps {
     */
   val DupBands = 8
   val BitsPerBand = 8
-  def nearDupCosine(s: SparkSession, d: String, threshold: Double = 0.45): DataFrame =
-    nearDupPairs(t(s, d, "embeddings"), threshold)
+
+  /** The default exact-cosine duplicate threshold, shared by every dedup
+    * entry point AND interpolated into their oracle SQL (a literal drift
+    * between engine and oracle must be impossible).
+    */
+  val CosineDupThreshold = 0.45
+
+  /** SPLIT ORACLE GATE (same family as the survivor queries): WHICH pairs
+    * surface is sketch-recall-dependent (rows-only), but each pair's
+    * cosine and the threshold verdict are exact — the query materializes
+    * its result ([[graft.OracleInputs]]) and the oracle recomputes every
+    * pair's cosine from the raw embeddings with the same in-order fold,
+    * re-applying the threshold: a wrong cosine or a below-threshold pair
+    * hash-mismatches.
+    */
+  def nearDupCosine(s: SparkSession, d: String, threshold: Double = CosineDupThreshold): DataFrame =
+    graft.OracleInputs.checkpoint(
+      nearDupPairs(t(s, d, "embeddings"), threshold), d, "neardup_pairs")
+      .orderBy("vec_a", "vec_b")
 
   /** One-call SEMANTIC dedup canon — the embedding-side mirror of
     * graft.ops.TextOps.dedupSurvivors: near-dup cosine pairs → connected
@@ -151,7 +168,7 @@ object VectorOps {
     * [[graft.ops.TextOps.dedupSurvivors]]).
     */
   def semanticSurvivors(s: SparkSession, d: String,
-                        threshold: Double = 0.45): DataFrame = {
+                        threshold: Double = CosineDupThreshold): DataFrame = {
     val vecs = t(s, d, "embeddings")
     GraphOps.survivorsOf(
       graft.OracleInputs.checkpoint(
@@ -295,7 +312,13 @@ object VectorOps {
     val (assignments, centroids) = ivfIndex(emb)
     val probes = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
-    searchIvf(assignments, centroids, probes)
+    // split gate: WHICH neighbors the probed cells surface is
+    // quantizer-dependent (rows-only), but given the materialized top-k
+    // sets the cosines AND the rank order are exact — the oracle
+    // recomputes both from the raw embeddings
+    graft.OracleInputs.checkpoint(searchIvf(assignments, centroids, probes),
+      d, "ivf_topk")
+      .orderBy("probe_id", "rnk")
   }
 
   /** Probe-row count above which the probe side of the IVF search join is
@@ -443,8 +466,13 @@ object VectorOps {
     * exact in-order cosine folds).
     */
   def ivfSemanticDedup(s: SparkSession, d: String,
-                       threshold: Double = 0.45): DataFrame =
-    ivfSemanticDedupPairs(t(s, d, "embeddings"), threshold)
+                       threshold: Double = CosineDupThreshold): DataFrame =
+    // split gate like nearDupCosine: pair discovery is quantizer-dependent
+    // (rows-only); the materialized pairs' cosines + threshold are oracled
+    graft.OracleInputs.checkpoint(
+      ivfSemanticDedupPairs(t(s, d, "embeddings"), threshold),
+      d, "ivf_dedup_pairs")
+      .orderBy("vec_a", "vec_b")
 
   /** [[ivfSemanticDedup]] over any (vec_id, embedding) frame. The corpus
     * count that sizes the adaptive cell grid is one scan — noise next to
@@ -545,7 +573,7 @@ object VectorOps {
     */
   def ivfSemanticDedupFromShardedIndex(s: SparkSession, db: String,
                                        nShards: Int,
-                                       threshold: Double = 0.45): DataFrame = {
+                                       threshold: Double = CosineDupThreshold): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val corpus = (0 until nShards).map(sh =>
       s.table(s"`$db`.`${IvfAssignmentsTable}_$sh`")
@@ -577,7 +605,7 @@ object VectorOps {
     * the same rows with the same cell count.
     */
   def ivfSemanticDedupFromIndex(s: SparkSession, db: String,
-                                threshold: Double = 0.45): DataFrame = {
+                                threshold: Double = CosineDupThreshold): DataFrame = {
     val assignments = s.table(s"`$db`.`$IvfAssignmentsTable`")
     val corpus = assignments.select(col("vec_id"), col("embedding"))
     semanticDedupOverIndex(assignments,

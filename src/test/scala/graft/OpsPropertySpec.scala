@@ -952,7 +952,14 @@ class OpsPropertySpec extends SparkSpec {
   }
 
   test("ivf search broadcasts the probe cells — corpus never exchanged on the cell key") {
-    val plan = VectorOps.ivfCosineTopk(spark, sf).queryExecution.executedPlan.toString
+    // audit the SEARCH frame (the registered query's plan is the oracle-
+    // input checkpoint read-back; the search executes during its write)
+    val emb = Tables.t(spark, sf, "embeddings")
+    val (assignments, centroids) = VectorOps.ivfIndex(emb)
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val plan = VectorOps.ivfSearch(assignments, centroids, probes)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
     // a hash exchange on `cell` would funnel the whole corpus into
     // ≤ IvfCells partitions — the r3 scale-killer this shape replaced
@@ -1027,8 +1034,11 @@ class OpsPropertySpec extends SparkSpec {
     // factors) may broadcast
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the PAIR frame, not the registered query (whose plan is the oracle-
+    // input checkpoint read-back)
     val plan =
-      try VectorOps.ivfSemanticDedup(spark, sf).queryExecution.executedPlan.toString
+      try VectorOps.ivfSemanticDedupPairs(Tables.t(spark, sf, "embeddings"),
+        VectorOps.CosineDupThreshold).queryExecution.executedPlan.toString
       finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert("hashpartitioning\\(cell#\\d+, salt#\\d+".r.findFirstIn(plan).isDefined,
       "search join must shuffle on the salted cell key\n" + plan.take(1500))
