@@ -327,19 +327,39 @@ object Warehouse {
     * the replacement, drop the temp. A partition the replacement has no
     * rows for stays DROPPED — which is why this beats dynamic partition
     * overwrite for delete (an emptied partition must actually disappear).
+    *
+    * CRASH WINDOW: plain parquet + a Hive-style catalog cannot make
+    * drop+append atomic (that is what table formats with snapshot commits
+    * buy). The exposure is bounded and RECOVERABLE by construction: the
+    * temp table holds the complete replacement slice and is dropped LAST,
+    * so a crash anywhere inside the window leaves either the old state +
+    * tmp (before the drop) or a partial target + tmp (between drop and
+    * append-complete) — [[recoverReplacement]] finishes the swap from the
+    * surviving tmp in both cases. Only a successful append drops the tmp.
     */
   private def replacePartitions(spark: SparkSession, db: String,
                                 table: String, pcols: Seq[String],
                                 affected: Array[org.apache.spark.sql.Row],
                                 replacement: DataFrame): Unit = {
-    import org.apache.spark.sql.functions.col
-    val fq = s"`$db`.`$table`"
     val tmpName = s"${table}__rw_part_tmp"
-    val tmp = s"`$db`.`$tmpName`"
     if (!spark.catalog.tableExists(s"$db.$tmpName"))
       dropStaleLocation(spark, db, tmpName)
     replacement.write.mode(SaveMode.Overwrite).option("overwriteSchema", "true")
-      .format("parquet").partitionBy(pcols: _*).saveAsTable(tmp)
+      .format("parquet").partitionBy(pcols: _*)
+      .saveAsTable(s"`$db`.`$tmpName`")
+    finishReplacement(spark, db, table, pcols, affected)
+  }
+
+  /** The drop+append tail of [[replacePartitions]] — also the whole of a
+    * crash [[recoverReplacement]], which re-enters here with the
+    * surviving tmp as its input.
+    */
+  private def finishReplacement(spark: SparkSession, db: String,
+                                table: String, pcols: Seq[String],
+                                affected: Array[org.apache.spark.sql.Row]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val fq = s"`$db`.`$table`"
+    val tmp = s"`$db`.`${table}__rw_part_tmp`"
     affected.grouped(100).foreach { chunk =>
       val specs = chunk.map { r =>
         pcols.zipWithIndex.map { case (c, i) =>
@@ -357,6 +377,38 @@ object Warehouse {
     // the deleted paths (FAILED_READ_FILE on the next scan) — invalidate.
     spark.catalog.refreshTable(s"`$db`.`$table`")
   }
+
+  /** Crash recovery for [[replacePartitions]]: when a merge/delete died
+    * inside its drop+append window, `{table}__rw_part_tmp` survives with
+    * the COMPLETE replacement slice. Recovery re-drops the affected
+    * partitions (derived from the tmp's own distinct partition values —
+    * the same set the crashed run computed), re-appends from the tmp, and
+    * only then drops it. Idempotent: after a successful run (or a second
+    * recovery) the tmp is gone and this is a no-op; a recovery that
+    * itself crashes can simply re-run. Returns true when a recovery was
+    * performed. Note the one case recovery cannot see: a delete whose
+    * replacement slice is EMPTY for some affected partition drops that
+    * partition and appends nothing — recovery re-drops only partitions
+    * present in the tmp, so a fully-emptied partition that was already
+    * dropped stays dropped (correct), and one not yet dropped is left
+    * intact (the delete re-runs; deletes are idempotent by definition).
+    */
+  def recoverReplacement(spark: SparkSession, db: String,
+                         table: String): Boolean =
+    graft.plans.TenantIsolationRule.withMaintenanceBypass(spark) {
+      import org.apache.spark.sql.functions.col
+      val tmpName = s"${table}__rw_part_tmp"
+      if (!spark.catalog.tableExists(s"$db.$tmpName")) return false
+      val pcols = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
+        .partitionColumnNames
+      val affected = spark.table(s"`$db`.`$tmpName`")
+        .select(pcols.map(col).toIndexedSeq: _*).distinct().collect()
+      if (affected.nonEmpty)
+        finishReplacement(spark, db, table, pcols, affected)
+      else spark.sql(s"DROP TABLE IF EXISTS `$db`.`$tmpName`")
+      true
+    }
 
   /** Plan-time pruning predicate over literal partition values. */
   private def pruneTo(pcols: Seq[String],

@@ -319,6 +319,39 @@ class ExtractWarehouseSpec extends SparkSpec {
       .filter($"pk" === "p3").count() == 0)
   }
 
+  test("recoverReplacement completes a crashed partition swap from the surviving tmp") {
+    val (db, table) = ("graft_rec", "kv_part")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`${table}__rw_part_tmp`")
+    Warehouse.saveModel(Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"))
+      .toDF("k", "val", "pk"), db, table, Seq("pk"))
+    def state() = spark.table(s"`$db`.`$table`").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    def writeTmp(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("k", "val", "pk").write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("overwriteSchema", "true").format("parquet")
+        .partitionBy("pk").saveAsTable(s"`$db`.`${table}__rw_part_tmp`")
+    // crash BETWEEN drop and append: tmp holds the replacement, p2 already
+    // dropped — the worst point in the window
+    writeTmp(Seq((3L, "c2", "p2"), (4L, "d", "p2")))
+    spark.sql(s"ALTER TABLE `$db`.`$table` DROP IF EXISTS PARTITION (pk='p2')")
+    assert(Warehouse.recoverReplacement(spark, db, table))
+    assert(state() == Seq((1L, "a", "p1"), (2L, "b", "p1"),
+      (3L, "c2", "p2"), (4L, "d", "p2")))
+    // after a completed recovery (tmp gone) it is a no-op
+    assert(!Warehouse.recoverReplacement(spark, db, table))
+    assert(state() == Seq((1L, "a", "p1"), (2L, "b", "p1"),
+      (3L, "c2", "p2"), (4L, "d", "p2")))
+    // crash BEFORE the drop: tmp written, target still intact — recovery
+    // performs the whole swap (old p2 rows replaced, not duplicated)
+    writeTmp(Seq((3L, "c3", "p2")))
+    assert(Warehouse.recoverReplacement(spark, db, table))
+    assert(state() == Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c3", "p2")))
+    assert(!Warehouse.recoverReplacement(spark, db, table))
+  }
+
   test("partition-scoped merge equals the full-rewrite merge on the same data") {
     // the LAYOUT decides the write path; the CONTENT contract must not
     // notice — same base + same batch through a partitioned and an
