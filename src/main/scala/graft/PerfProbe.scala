@@ -170,6 +170,22 @@ object PerfProbe {
         println(f"$s%3d $recall%9.2f $buildS%8.2f $searchS%9.2f " +
           f"$maxCells%9d ${cands.getLong(0)}%9d  (min ${cands.getLong(1)})")
       }
+      // cross-shard CORPUS dedup over the same stored indexes: every
+      // vector probes every shard (S× fan-out) — wall and pair volume vs
+      // the single-index dedup baseline
+      val t2 = System.nanoTime()
+      val basePairs = graft.ops.VectorOps.ivfSemanticDedupPairs(emb,
+        graft.ops.VectorOps.CosineDupThreshold).count()
+      println(f"dedup S=1 (in-session): $basePairs%6d pairs " +
+        f"${(System.nanoTime() - t2) / 1e9}%8.2f s")
+      for (s <- Seq(2, 4, 8)) {
+        val t3 = System.nanoTime()
+        val n = graft.ops.VectorOps
+          .ivfSemanticDedupFromShardedIndex(spark, s"ivf_shard_probe_$s", s)
+          .count()
+        println(f"dedup S=$s:              $n%6d pairs " +
+          f"${(System.nanoTime() - t3) / 1e9}%8.2f s")
+      }
     } else if (args.headOption.contains("scale")) {
       val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "5").toInt
       // TempDirs: the K× corpus is a full replicated copy of sf0.1 — it
