@@ -40,6 +40,39 @@ object OracleInputs {
     */
   @volatile var oracleSfDir: String = "/root/testdata/sf0.01"
 
+  /** When set, dumped oracle SQL reads inputs from THIS directory instead
+    * of the live write location — Verify points it at a snapshot it copies
+    * into its own outDir ([[snapshotTo]]), so a later run at the same sf
+    * (a bench pass, a re-verify) can never overwrite the inputs between
+    * the dump and the driver's DuckDB pass.
+    */
+  @volatile var sqlReadDir: Option[String] = None
+
+  /** The path a dumped oracle-SQL string should reference for `name`. */
+  def sqlPath(name: String): String =
+    sqlReadDir.map(r => s"$r/$name").getOrElse(path(oracleSfDir, name))
+
+  /** Copy this sf's materialized inputs into `destDir` (recursive file
+    * copy) and route subsequent SQL dumps at the copy. No-op-safe when no
+    * query materialized anything yet.
+    */
+  def snapshotTo(sfDir: String, destDir: String): Unit = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    val src = Paths.get(dir(sfDir))
+    val dst = Paths.get(destDir).toAbsolutePath
+    if (Files.exists(src)) {
+      Files.walk(src).forEach { p: Path =>
+        val target = dst.resolve(src.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(target)
+        else {
+          Files.createDirectories(target.getParent)
+          Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    }
+    sqlReadDir = Some(dst.toString)
+  }
+
   /** Write-then-read checkpoint: downstream engine derivation and the
     * oracle consume the SAME materialized rows (also flattens the logical
     * plan before the iterative component rounds, like a localCheckpoint

@@ -123,7 +123,7 @@ object SparkEntry {
     */
   private def survivorOracle(pairsName: String, table: String,
                              idCol: String, outId: String): String = {
-    val path = OracleInputs.path(OracleInputs.oracleSfDir, pairsName)
+    val path = OracleInputs.sqlPath(pairsName)
     s"""WITH RECURSIVE
        |e AS (SELECT src, dst FROM read_parquet('$path/*.parquet')),
        |sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
@@ -166,7 +166,7 @@ object SparkEntry {
     * threshold — a wrong cosine or below-threshold pair hash-mismatches.
     */
   private def pairCosineOracle(pairsName: String, threshold: Double): String = {
-    val path = OracleInputs.path(OracleInputs.oracleSfDir, pairsName)
+    val path = OracleInputs.sqlPath(pairsName)
     s"""WITH p AS (SELECT vec_a, vec_b FROM read_parquet('$path/*.parquet')),
        |$VecNormCte
        |SELECT vec_a, vec_b, cosine FROM (
@@ -183,7 +183,7 @@ object SparkEntry {
     // hot-bucket cap, band self-join, doc_a < doc_b canonicalization,
     // distinct — is deterministic and fully recomputable
     "q_dedup_minhash" -> {
-      val path = OracleInputs.path(OracleInputs.oracleSfDir, "minhash_banded")
+      val path = OracleInputs.sqlPath("minhash_banded")
       s"""WITH b AS (SELECT doc_id, band_idx, band_hash
          |           FROM read_parquet('$path/*.parquet')),
          |hot AS (
@@ -206,7 +206,7 @@ object SparkEntry {
     // mask absorbs the arithmetic-vs-logical shift difference), hot-bucket
     // cap, probe join, hamming confirm
     "q_simhash_near_dup" -> {
-      val path = OracleInputs.path(OracleInputs.oracleSfDir, "simhash_frame")
+      val path = OracleInputs.sqlPath("simhash_frame")
       s"""WITH h AS (SELECT doc_id, simhash FROM read_parquet('$path/*.parquet')),
          |banded AS (
          |    SELECT doc_id, CAST(i AS INTEGER) AS band_idx,
@@ -242,7 +242,7 @@ object SparkEntry {
     // sets, the cosines AND the rank order are deterministic — recompute
     // both; an engine rnk disagreeing with the exact-cosine order fails
     "q_ivf_cosine_topk" -> {
-      val path = OracleInputs.path(OracleInputs.oracleSfDir, "ivf_topk")
+      val path = OracleInputs.sqlPath("ivf_topk")
       s"""WITH p AS (SELECT probe_id, neighbor_id
          |           FROM read_parquet('$path/*.parquet')),
          |$VecNormCte, scored AS (
