@@ -48,6 +48,7 @@ object SparkEntry {
     "q_rollup_agg"          -> (Relational.rollupAgg _),
     "q_distinct_exact"      -> (Relational.distinctExact _),
     "q_approx_distinct"     -> (Relational.approxDistinct _),
+    "q_profile_columns"     -> (Relational.profileOrders _),
     "q_percentile_status"   -> (Relational.percentileByStatus _),
     "q_scalar_datetime_math" -> (Relational.scalarDatetimeMath _),
     "q_cube_agg"            -> (Relational.cubeAgg _),
@@ -266,6 +267,46 @@ object SparkEntry {
       """SELECT COUNT(DISTINCT l_orderkey) AS exact_orderkeys,
         |       CAST(1 AS INTEGER) AS within_3rsd
         |FROM lineitem""".stripMargin,
+    // one row per profiled column; min/max stringified from
+    // format-stable types only (bigint/varchar — doubles profile via the
+    // cents derivation)
+    "q_profile_columns" ->
+      """WITH src AS (
+        |    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+        |           CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_cents
+        |    FROM orders
+        |), t AS (SELECT COUNT(*) AS total FROM src)
+        |SELECT * FROM (
+        |    SELECT 'o_orderkey' AS col_name,
+        |           t.total - COUNT(o_orderkey) AS n_nulls,
+        |           COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+        |           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+        |    FROM src, t GROUP BY t.total
+        |    UNION ALL
+        |    SELECT 'o_custkey', t.total - COUNT(o_custkey),
+        |           COUNT(DISTINCT o_custkey),
+        |           CAST(MIN(o_custkey) AS VARCHAR),
+        |           CAST(MAX(o_custkey) AS VARCHAR)
+        |    FROM src, t GROUP BY t.total
+        |    UNION ALL
+        |    SELECT 'o_orderstatus', t.total - COUNT(o_orderstatus),
+        |           COUNT(DISTINCT o_orderstatus),
+        |           MIN(o_orderstatus), MAX(o_orderstatus)
+        |    FROM src, t GROUP BY t.total
+        |    UNION ALL
+        |    SELECT 'o_orderpriority', t.total - COUNT(o_orderpriority),
+        |           COUNT(DISTINCT o_orderpriority),
+        |           MIN(o_orderpriority), MAX(o_orderpriority)
+        |    FROM src, t GROUP BY t.total
+        |    UNION ALL
+        |    SELECT 'o_totalprice_cents', t.total - COUNT(o_totalprice_cents),
+        |           COUNT(DISTINCT o_totalprice_cents),
+        |           CAST(MIN(o_totalprice_cents) AS VARCHAR),
+        |           CAST(MAX(o_totalprice_cents) AS VARCHAR)
+        |    FROM src, t GROUP BY t.total
+        |)
+        |ORDER BY col_name""".stripMargin,
     "q_dedup_survivors" ->
       survivorOracle("text_pairs", "documents", "doc_id", "doc_id"),
     "q_semantic_survivors" ->

@@ -321,6 +321,43 @@ object Relational {
     db
   }
 
+  /** ONE-PASS column profile — the data-quality surface every warehouse
+    * table needs monitored (null rates, cardinalities, value bounds): all
+    * per-column aggregates compute in a single scan (map-side partials;
+    * the multi-column exact distincts expand to one Expand + aggregation,
+    * not one job per column), then `stack` melts the single row into one
+    * row per column. min/max are stringified for the uniform schema —
+    * callers profile drift by comparing successive snapshots.
+    */
+  def profile(df: org.apache.spark.sql.DataFrame,
+              cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = count(lit(1)).as("__total") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}__cnt"),
+      countDistinct(col(c)).as(s"${c}__dst"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max")))
+    val stackArgs = cols.map(c =>
+      s"'$c', __total - ${c}__cnt, ${c}__dst, ${c}__min, ${c}__max")
+      .mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_nulls, n_distinct, min_value, max_value)"))
+      .orderBy("col_name")
+  }
+
+  /** Registered profile query over orders. Doubles/timestamps profile
+    * through integer derivations (cents) — a raw double min/max would
+    * stringify with engine-specific float formatting and break the hash
+    * gate; integer/varchar casts are format-stable in both engines.
+    */
+  def profileOrders(s: SparkSession, d: String): DataFrame =
+    profile(
+      t(s, d, "orders").withColumn("o_totalprice_cents",
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)")),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice_cents"))
+
   /** Scalar date/time functions over the ms-precision orders timestamps. */
   def scalarDatetimeMath(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders").select(
