@@ -60,6 +60,14 @@ object OracleInputs {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     val src = Paths.get(dir(sfDir))
     val dst = Paths.get(destDir).toAbsolutePath
+    // CLEAR the destination first: part-file names are unique per run, so
+    // copying over a previous snapshot would ACCUMULATE files and the
+    // oracle's glob would read both runs' rows (observed: doubled oracle
+    // row counts on the second verify into the same outDir)
+    if (Files.exists(dst)) {
+      Files.walk(dst).sorted(java.util.Comparator.reverseOrder())
+        .forEach((p: Path) => Files.delete(p))
+    }
     if (Files.exists(src)) {
       Files.walk(src).forEach { p: Path =>
         val target = dst.resolve(src.relativize(p).toString)
