@@ -328,13 +328,21 @@ object Relational {
     * not one job per column), then `stack` melts the single row into one
     * row per column. min/max are stringified for the uniform schema —
     * callers profile drift by comparing successive snapshots.
+    *
+    * `exactDistinct = false` swaps the cardinalities to
+    * approx_count_distinct — the 100 TB posture: the exact mode's Expand
+    * multiplies the scan by the profiled column count, while HLL partials
+    * keep the single-scan profile flat at any width (the registered query
+    * stays exact because the oracle gate needs reproducible integers).
     */
-  def profile(df: org.apache.spark.sql.DataFrame,
-              cols: Seq[String]): DataFrame = {
+  def profile(df: org.apache.spark.sql.DataFrame, cols: Seq[String],
+              exactDistinct: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    def dst(c: String) =
+      if (exactDistinct) countDistinct(col(c)) else approx_count_distinct(c)
     val aggs = count(lit(1)).as("__total") +: cols.flatMap(c => Seq(
       count(col(c)).as(s"${c}__cnt"),
-      countDistinct(col(c)).as(s"${c}__dst"),
+      dst(c).as(s"${c}__dst"),
       min(col(c)).cast("string").as(s"${c}__min"),
       max(col(c)).cast("string").as(s"${c}__max")))
     val stackArgs = cols.map(c =>
