@@ -173,26 +173,62 @@ object Warehouse {
                 (transform: DataFrame => DataFrame,
                  reshape: DataFrame => DataFrame = identity): Unit =
     graft.plans.TenantIsolationRule.withMaintenanceBypass(spark) {
+      recoverRewrite(spark, db, table)
       val fq = s"`$db`.`$table`"
       val tmp = s"`$db`.`${table}__rw_tmp`"
       val meta = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
-      def write(df: DataFrame, target: String): Unit = {
-        var w = reshape(df).write.mode(SaveMode.Overwrite)
-          .option("overwriteSchema", "true").format("parquet")
-        if (meta.partitionColumnNames.nonEmpty)
-          w = w.partitionBy(meta.partitionColumnNames: _*)
-        meta.bucketSpec.foreach { bs =>
-          w = w.bucketBy(bs.numBuckets,
-            bs.bucketColumnNames.head, bs.bucketColumnNames.tail: _*)
-          if (bs.sortColumnNames.nonEmpty)
-            w = w.sortBy(bs.sortColumnNames.head, bs.sortColumnNames.tail: _*)
-        }
-        w.saveAsTable(target)
-      }
+      def write(df: DataFrame, target: String): Unit =
+        writeWithLayout(reshape(df), meta, target)
       write(transform(spark.table(fq)), tmp)
       write(spark.table(tmp), fq)
       spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    }
+
+  /** Layout-preserving table write (partition + bucket spec from `meta`). */
+  private def writeWithLayout(df: DataFrame,
+                              meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
+                              target: String): Unit = {
+    var w = df.write.mode(SaveMode.Overwrite)
+      .option("overwriteSchema", "true").format("parquet")
+    if (meta.partitionColumnNames.nonEmpty)
+      w = w.partitionBy(meta.partitionColumnNames: _*)
+    meta.bucketSpec.foreach { bs =>
+      w = w.bucketBy(bs.numBuckets,
+        bs.bucketColumnNames.head, bs.bucketColumnNames.tail: _*)
+      if (bs.sortColumnNames.nonEmpty)
+        w = w.sortBy(bs.sortColumnNames.head, bs.sortColumnNames.tail: _*)
+    }
+    w.saveAsTable(target)
+  }
+
+  /** Crash recovery for [[rewriteVia]]'s full-table swap: a surviving
+    * `{table}__rw_tmp` IN THE CATALOG means a previous rewrite died after
+    * its tmp was completely written (saveAsTable commits the catalog entry
+    * only after the data lands — a crash mid-tmp-write leaves a
+    * catalog-unknown directory, cleared by [[dropStaleLocation]], never a
+    * table) but before the target swap finished. The tmp then holds the
+    * complete intended state and may be the ONLY copy (the target overwrite
+    * drops the old table first). Recovery completes the swap from the tmp —
+    * layout read from the tmp's own metadata, because the target may be
+    * mid-overwrite or missing — and only then drops it. Without this, a
+    * retry (scheduler re-run, streaming micro-batch replay) would read the
+    * partial target and OVERWRITE the tmp, permanently losing rows.
+    * Idempotent; returns true when a recovery was performed.
+    */
+  def recoverRewrite(spark: SparkSession, db: String, table: String): Boolean =
+    graft.plans.TenantIsolationRule.withMaintenanceBypass(spark) {
+      val tmpName = s"${table}__rw_tmp"
+      if (!spark.catalog.tableExists(s"$db.$tmpName")) return false
+      System.err.println(s"[warehouse] surviving `$db`.`$tmpName` found — " +
+        "completing the crashed rewrite's swap before proceeding")
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tmpName, Some(db)))
+      if (!spark.catalog.tableExists(s"$db.$table"))
+        dropStaleLocation(spark, db, table)
+      writeWithLayout(spark.table(s"`$db`.`$tmpName`"), meta, s"`$db`.`$table`")
+      spark.sql(s"DROP TABLE IF EXISTS `$db`.`$tmpName`")
+      true
     }
 
   /** Keyed latest-wins upsert (MERGE semantics without update-in-place):
@@ -221,6 +257,12 @@ object Warehouse {
                   versionCol: String): Unit = {
     import org.apache.spark.sql.functions.{col, lit, row_number}
     require(keys.nonEmpty, "mergeUpsert needs at least one key column")
+    // Retry-after-crash guard (at-least-once safety): a surviving rewrite
+    // tmp means the target is partial and the tmp holds the only complete
+    // copy — recover BEFORE any plan (or schema check) reads the target,
+    // or this retry would recompute from partial data and overwrite the tmp.
+    recoverReplacement(spark, db, table)
+    recoverRewrite(spark, db, table)
     requireSameColumns(spark, batch, db, table)
     val resolved = resolveBatch(batch, keys, versionCol)
     val pcols = spark.sessionState.catalog.getTableMetadata(
@@ -336,14 +378,27 @@ object Warehouse {
     * tmp (before the drop) or a partial target + tmp (between drop and
     * append-complete) — [[recoverReplacement]] finishes the swap from the
     * surviving tmp in both cases. Only a successful append drops the tmp.
+    * Every partition-rewriting entry point ([[mergeUpsert]], [[deleteWhere]])
+    * auto-recovers at entry, so an at-least-once retry is safe; this method
+    * itself refuses to run while a tmp survives (see the require below).
     */
   private def replacePartitions(spark: SparkSession, db: String,
                                 table: String, pcols: Seq[String],
                                 affected: Array[org.apache.spark.sql.Row],
                                 replacement: DataFrame): Unit = {
     val tmpName = s"${table}__rw_part_tmp"
-    if (!spark.catalog.tableExists(s"$db.$tmpName"))
-      dropStaleLocation(spark, db, tmpName)
+    // Defense-in-depth: every entry point recovers a surviving tmp BEFORE
+    // building its replacement plan, so reaching here with one still in the
+    // catalog means either a concurrent rewrite of the same table (two runs
+    // would clobber each other's tmp) or a caller that skipped recovery.
+    // Overwriting would destroy the only copy of a crashed run's dropped
+    // partitions — fail loudly instead.
+    require(!spark.catalog.tableExists(s"$db.$tmpName"),
+      s"refusing to overwrite surviving `$db`.`$tmpName`: a crashed " +
+        "partition swap left it holding the only copy of its dropped " +
+        "partitions (run Warehouse.recoverReplacement first), or a " +
+        "concurrent rewrite of the same table is in flight")
+    dropStaleLocation(spark, db, tmpName)
     replacement.write.mode(SaveMode.Overwrite).option("overwriteSchema", "true")
       .format("parquet").partitionBy(pcols: _*)
       .saveAsTable(s"`$db`.`$tmpName`")
@@ -477,6 +532,10 @@ object Warehouse {
   def deleteWhere(spark: SparkSession, db: String, table: String,
                   predicate: Column): Unit = {
     import org.apache.spark.sql.functions.{coalesce, lit}
+    // Retry-after-crash guard — same contract as mergeUpsert: make the
+    // target whole from any surviving rewrite tmp before planning over it.
+    recoverReplacement(spark, db, table)
+    recoverRewrite(spark, db, table)
     // SQL DELETE keeps rows whose predicate is NULL — !pred alone would
     // drop them (NULL is not true), inverting that contract.
     val matches = coalesce(predicate, lit(false))

@@ -352,6 +352,58 @@ class ExtractWarehouseSpec extends SparkSpec {
     assert(!Warehouse.recoverReplacement(spark, db, table))
   }
 
+  test("merge retry after a crashed partition swap auto-recovers — no row loss") {
+    // the at-least-once hazard: a retry that proceeded without recovery
+    // would recompute its replacement from the PARTIAL table (p2 dropped)
+    // and overwrite the tmp — permanently losing row 4
+    val (db, table) = ("graft_retry", "kv_part")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`${table}__rw_part_tmp`")
+    Warehouse.saveModel(Seq(
+      (1L, "a", 1L, "p1"), (2L, "b", 1L, "p1"),
+      (3L, "c", 1L, "p2"), (4L, "d", 1L, "p2")).toDF("k", "val", "v", "pk"),
+      db, table, Seq("pk"))
+    val batch = Seq((3L, "c2", 2L, "p2")).toDF("k", "val", "v", "pk")
+    // simulate the first attempt crashing at the worst point: tmp holds the
+    // complete merged p2 slice, p2 already dropped from the target
+    Seq((3L, "c2", 2L, "p2"), (4L, "d", 1L, "p2")).toDF("k", "val", "v", "pk")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("overwriteSchema", "true").format("parquet")
+      .partitionBy("pk").saveAsTable(s"`$db`.`${table}__rw_part_tmp`")
+    spark.sql(s"ALTER TABLE `$db`.`$table` DROP IF EXISTS PARTITION (pk='p2')")
+    // the scheduler re-runs the merge (same batch — at-least-once replay)
+    Warehouse.mergeUpsert(spark, batch, db, table, Seq("k"), "v")
+    val got = spark.table(s"`$db`.`$table`").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == Seq((1L, "a", 1L, "p1"), (2L, "b", 1L, "p1"),
+      (3L, "c2", 2L, "p2"), (4L, "d", 1L, "p2")))
+    assert(!spark.catalog.tableExists(s"$db.${table}__rw_part_tmp"))
+  }
+
+  test("delete retry after a crashed full-table swap auto-recovers the target") {
+    // unpartitioned path: rewriteVia's overwrite drops the old table first,
+    // so a crash mid-swap can leave the tmp as the ONLY copy — simulate the
+    // worst point (target gone, tmp complete), then retry the delete
+    val (db, table) = ("graft_retry", "kv_flat")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`${table}__rw_tmp`")
+    Warehouse.saveModel(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "val"), db, table)
+    // crashed delete of k=3: tmp holds the complete post-delete state
+    Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("k", "val")
+      .write.format("parquet").saveAsTable(s"`$db`.`${table}__rw_tmp`")
+    spark.sql(s"DROP TABLE `$db`.`$table`")
+    Warehouse.deleteWhere(spark, db, table, $"k" === 3L)
+    val got = spark.table(s"`$db`.`$table`").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (4L, "d")))
+    assert(!spark.catalog.tableExists(s"$db.${table}__rw_tmp"))
+    // and a recovery with no surviving tmp is a no-op
+    assert(!Warehouse.recoverRewrite(spark, db, table))
+  }
+
   test("partition-scoped merge equals the full-rewrite merge on the same data") {
     // the LAYOUT decides the write path; the CONTENT contract must not
     // notice — same base + same batch through a partitioned and an
