@@ -52,6 +52,14 @@ object OracleInputs {
   def sqlPath(name: String): String =
     sqlReadDir.map(r => s"$r/$name").getOrElse(path(oracleSfDir, name))
 
+  /** Name of the frozen snapshot dir inside a Verify outDir. Dot-prefixed
+    * so a result scanner globbing the outDir for query dumps skips it —
+    * it is gate plumbing, not a query result (r6 drivers recorded it as a
+    * spurious `no_oracle` correctness row). DuckDB reads it fine by
+    * explicit path.
+    */
+  val snapshotDirName: String = ".oracle_inputs"
+
   /** Copy this sf's materialized inputs into `destDir` (recursive file
     * copy) and route subsequent SQL dumps at the copy. No-op-safe when no
     * query materialized anything yet.
@@ -60,35 +68,66 @@ object OracleInputs {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     val src = Paths.get(dir(sfDir))
     val dst = Paths.get(destDir).toAbsolutePath
+    // The recursive delete below is correct for Verify's controlled outDir
+    // but a hazardous contract for an arbitrary path — hold callers to the
+    // snapshot naming convention so a mis-passed directory cannot be wiped.
+    require(dst.getFileName.toString == snapshotDirName,
+      s"snapshotTo refuses to clear $dst: destination must be a directory " +
+        s"named `$snapshotDirName` (got `${dst.getFileName}`)")
     // CLEAR the destination first: part-file names are unique per run, so
     // copying over a previous snapshot would ACCUMULATE files and the
     // oracle's glob would read both runs' rows (observed: doubled oracle
     // row counts on the second verify into the same outDir)
     if (Files.exists(dst)) {
-      Files.walk(dst).sorted(java.util.Comparator.reverseOrder())
+      val walk = Files.walk(dst)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach((p: Path) => Files.delete(p))
+      finally walk.close()
     }
     if (Files.exists(src)) {
-      Files.walk(src).forEach { p: Path =>
+      val walk = Files.walk(src)
+      try walk.forEach { p: Path =>
         val target = dst.resolve(src.relativize(p).toString)
         if (Files.isDirectory(p)) Files.createDirectories(target)
         else {
           Files.createDirectories(target.getParent)
           Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING)
         }
-      }
+      } finally walk.close()
     }
     sqlReadDir = Some(dst.toString)
   }
 
+  /** When false, [[checkpoint]] degrades to an executor-local checkpoint:
+    * same rows, same plan-flattening, but NO durable parquet write. The
+    * durable write exists only so the ORACLE can read the engine's
+    * intermediates — it is gate plumbing, not operator work — so Bench
+    * turns it off (per-query timings measure the engine) while Verify
+    * keeps the durable contract. Defaults to durable: correctness paths
+    * must opt out explicitly, never silently lose the oracle input.
+    */
+  @volatile var durable: Boolean = true
+
+  /** Cumulative nanoseconds spent inside [[checkpoint]] — Bench resets
+    * this per pass and reports the checkpoint share as its own field, so
+    * the split between operator time and checkpoint time stays visible.
+    */
+  val checkpointNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Write-then-read checkpoint: downstream engine derivation and the
     * oracle consume the SAME materialized rows (also flattens the logical
     * plan before the iterative component rounds, like a localCheckpoint
-    * with a durable, oracle-readable location).
+    * with a durable, oracle-readable location — which is exactly what it
+    * degrades to when [[durable]] is off).
     */
   def checkpoint(df: DataFrame, sfDir: String, name: String): DataFrame = {
-    val p = path(sfDir, name)
-    df.write.mode("overwrite").parquet(p)
-    df.sparkSession.read.parquet(p)
+    val t0 = System.nanoTime()
+    val out = if (durable) {
+      val p = path(sfDir, name)
+      df.write.mode("overwrite").parquet(p)
+      df.sparkSession.read.parquet(p)
+    } else df.localCheckpoint(true)
+    checkpointNanos.addAndGet(System.nanoTime() - t0)
+    out
   }
 }

@@ -36,7 +36,7 @@ object Verify {
     // point the dumped SQL at the frozen copy — a later run at the same sf
     // (bench, re-verify) can then never overwrite them between this dump
     // and the driver's DuckDB pass.
-    OracleInputs.snapshotTo(sfDir, s"$outDir/oracle_inputs")
+    OracleInputs.snapshotTo(sfDir, s"$outDir/${OracleInputs.snapshotDirName}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -338,9 +338,11 @@ object VectorOps {
   val IvfSaltTargetRows = 4096L
 
   /** nProbe nearest cells per probe: scored against the broadcast centroid
-    * table (nCells rows), ranked, kept — all on executors.
+    * table (nCells rows), ranked, kept — all on executors. `nProbe` above
+    * the cell count degrades gracefully to probing every cell.
     */
-  private def probeNearestCells(centroids: DataFrame, probes: DataFrame): DataFrame = {
+  private def probeNearestCells(centroids: DataFrame, probes: DataFrame,
+                                nProbe: Int = IvfProbe): DataFrame = {
     graft.functions.GraftFunctions.register(probes.sparkSession)
     val wc = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
       .orderBy(col("cdist").asc, col("cell").asc)
@@ -350,7 +352,7 @@ object VectorOps {
       .withColumn("cdist",
         call_function("vec_sqdist", col("probe_vec"), col("centroid")))
       .withColumn("crnk", row_number().over(wc))
-      .filter(col("crnk") <= IvfProbe)
+      .filter(col("crnk") <= nProbe)
       .select(col("probe_id"), col("probe_vec"), col("cell"))
   }
 
