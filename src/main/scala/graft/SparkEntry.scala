@@ -108,16 +108,20 @@ object SparkEntry {
   )
 
   /** DuckDB-dialect oracle SQL per query. Omitted (→ rows-only check):
-    * q_dedup_minhash / q_simhash / q_simhash_near_dup /
-    * q_lsh_cosine_buckets (xxhash64 family not in DuckDB),
-    * q_ivf_cosine_topk / q_ivf_semantic_dedup (centroids engine-trained;
-    * recall-floor-tested vs the exact oracle'd q_knn_cosine_topk /
-    * brute-force pair set) — each is property-tested in src/test instead.
-    * q_dedup_survivors / q_semantic_survivors run a SPLIT gate: the
-    * hash-family pair set is materialized (graft.OracleInputs) and stays
-    * rows-only, while the deterministic components → cluster-min canon
-    * derivation is hash-gated against a recursive-CTE closure over those
-    * same materialized pairs.
+    * only q_simhash / q_lsh_cosine_buckets (their OUTPUT is the xxhash64-
+    * family hash values themselves — an oracle would have to re-implement
+    * the engine hash, a tautology) and q_multimodal_meta (carries the
+    * declared pixel-decode stub legs) — each property-tested in src/test.
+    * Everything else in the hash/ANN family runs a SPLIT gate through
+    * [[graft.OracleInputs]]: the hash-family front half (candidate pairs /
+    * probed top-k sets — not reproducible in DuckDB) is materialized as
+    * parquet and stays rows-only + property-tested, while the
+    * deterministic back half is hash-gated — recursive-CTE closure →
+    * cluster-min canon for q_dedup_survivors / q_semantic_survivors,
+    * banding + cap + hamming/cosine replay for q_dedup_minhash /
+    * q_simhash_near_dup / q_embedding_near_dup, exact cosine + threshold
+    * over the pair set for q_ivf_semantic_dedup, and cosine + rank-order
+    * recompute for q_ivf_cosine_topk.
     */
   /** Recursive-CTE closure over a materialized pair set → (id, cluster-min
     * canon, survives) — the shared oracle shape of both survivor queries.

@@ -291,35 +291,43 @@ object Relational {
 
   /** Source dir the bucketed tables were last built from, per session —
     * a different dir in the same session forces a rebuild (never serve a
-    * join over the wrong scale's data).
+    * join over the wrong scale's data). WEAK keys: a strong session
+    * reference here would pin every session the map ever sees (and its
+    * whole catalog) for the JVM lifetime; a collected session's entry is
+    * simply rebuilt on next use. All access goes through the
+    * [[ensureBucketedTables]] lock.
     */
   private val bucketedBuiltFrom =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+    new java.util.WeakHashMap[SparkSession, String]()
 
   /** Write-once setup for [[joinBucketed]]: (re)creates the two bucketed
     * tables only when this session hasn't already built them from `d`.
+    * Synchronized: the check-then-build would otherwise race two
+    * concurrent first calls into clobbering each other's table writes
+    * (builds are rare one-time setup, so one coarse lock is fine).
     * The one-time write cost goes to stderr so bench runs keep a separate
     * write number next to the steady-state join timing.
     */
-  private def ensureBucketedTables(s: SparkSession, d: String): String = {
-    val db = "graft_bucketed"
-    val fresh = bucketedBuiltFrom.get(s) != d ||
-      !s.catalog.tableExists(s"$db.lineitem_bkt") ||
-      !s.catalog.tableExists(s"$db.orders_bkt")
-    if (fresh) {
-      val t0 = System.nanoTime()
-      graft.store.Warehouse.saveBucketed(
-        t(s, d, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice"),
-        db, "lineitem_bkt", Seq("l_orderkey"), numBuckets = 8)
-      graft.store.Warehouse.saveBucketed(
-        t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
-        db, "orders_bkt", Seq("o_orderkey"), numBuckets = 8)
-      bucketedBuiltFrom.put(s, d)
-      System.err.println(f"[joinBucketed] bucketed-table write (one-time " +
-        f"setup, amortized at steady state): ${(System.nanoTime() - t0) / 1e9}%.3f s")
+  private def ensureBucketedTables(s: SparkSession, d: String): String =
+    bucketedBuiltFrom.synchronized {
+      val db = "graft_bucketed"
+      val fresh = bucketedBuiltFrom.get(s) != d ||
+        !s.catalog.tableExists(s"$db.lineitem_bkt") ||
+        !s.catalog.tableExists(s"$db.orders_bkt")
+      if (fresh) {
+        val t0 = System.nanoTime()
+        graft.store.Warehouse.saveBucketed(
+          t(s, d, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice"),
+          db, "lineitem_bkt", Seq("l_orderkey"), numBuckets = 8)
+        graft.store.Warehouse.saveBucketed(
+          t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+          db, "orders_bkt", Seq("o_orderkey"), numBuckets = 8)
+        bucketedBuiltFrom.put(s, d)
+        System.err.println(f"[joinBucketed] bucketed-table write (one-time " +
+          f"setup, amortized at steady state): ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      db
     }
-    db
-  }
 
   /** ONE-PASS column profile — the data-quality surface every warehouse
     * table needs monitored (null rates, cardinalities, value bounds): all

@@ -280,6 +280,36 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("sharded ivf recall floor holds where quantization bites (10x corpus, S=4)") {
+    // The fixture-scale floor above can pass while a bigger corpus
+    // regresses: a shard's quantizer trains on n/S samples, so a FIXED
+    // per-shard probe budget loses recall exactly when sharding is reached
+    // for (observed before the √S budget scaling: recall@5 0.52 at S=4 vs
+    // 0.60 single-index on a 5× probe corpus). 10× the fixture puts the
+    // single index past the adaptive-cell floor (~19 cells) while S=4
+    // shards sit at the 16-cell floor — the same structure as the probe
+    // regression, big enough for quantization to bite.
+    val scaled = TempDirs.create("graft-emb-scaled-spec")
+    PerfProbe.buildScaledEmbeddings(spark, sf, scaled, 10)
+    val exact = SparkEntry.queries("q_knn_cosine_topk")(spark, scaled).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double =
+      (exact intersect rows.map(r =>
+        (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet)
+        .size.toDouble / exact.size
+    val singleRecall = recallOf(
+      SparkEntry.queries("q_ivf_cosine_topk")(spark, scaled).collect())
+    val db = "ivf_shard_floor_db"
+    VectorOps.buildShardedIvfIndex(Tables.t(spark, scaled, "embeddings"), db, 4)
+    val shardRecall = recallOf(
+      VectorOps.ivfCosineTopkFromShardedIndex(spark, scaled, db, 4).collect())
+    // sharding exists for driver relief — it must not silently pay for it
+    // in recall (deterministic quantizer: this is reproducible, not flaky)
+    assert(shardRecall >= singleRecall,
+      s"sharded recall@5 $shardRecall fell below single-index $singleRecall")
+    assert(singleRecall >= 0.5, s"single-index recall collapsed: $singleRecall")
+  }
+
   test("sharded semantic dedup: cross-shard exact dup pairs; S=1 equals single index") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
