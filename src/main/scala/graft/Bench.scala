@@ -94,7 +94,15 @@ object Bench {
     // take this path. A pass that FAILS counts into the flaky map like a
     // failed main pass — the stabilizer must not hide intermittent errors
     // behind the fastest success.
-    val ExtraPassCutoffSec = 1.0
+    // 1.5, not 1.0: the cutoff is a CLIFF — a query whose min-of-2 lands
+    // just past it gets no stabilizer samples at all. r6's driver run
+    // showed the failure: q_pack_sequences (true hot-JVM cost ~0.45 s, but
+    // JIT-convergence-bound — cold floor ~0.8 s) was pushed to 1.42 s by
+    // host contention, missed the 1.0 s gate, and recorded a phantom 3.6×
+    // regression on unchanged code. 1.5 s gives the sub-second JIT-bound
+    // queries contention headroom at a bounded price (only the handful of
+    // 1-1.5 s queries gain extra passes).
+    val ExtraPassCutoffSec = 1.5
     val stabilized = results.map {
       case (n, v, None, f) if v < ExtraPassCutoffSec && extraPasses > 0 =>
         val extra = (1 to extraPasses).map { _ =>

@@ -131,7 +131,25 @@ object PerfProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
 
-    if (args.headOption.contains("shards")) {
+    if (args.headOption.contains("time")) {
+      // Ad-hoc isolation timer: `PerfProbe time q_a,q_b [reps]` times each
+      // named query in its own steady state — every rep resets PlanCache +
+      // the relation cache like a Bench pass boundary, and each rep prints
+      // separately so cold-vs-warm structure is visible instead of folded
+      // into a min. The bisect tool for "query X regressed with unchanged
+      // code": compare this number (no neighbors) against the Bench number
+      // (runs after whatever the query map ordered before it).
+      val qnames = args(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val reps = args.lift(2).map(_.toInt).getOrElse(5)
+      val sfd = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", d)
+      for (n <- qnames; i <- 1 to reps) {
+        graft.ops.PlanCache.release(spark)
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfd).count()
+        println(f"$n%-26s rep$i ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      }
+    } else if (args.headOption.contains("shards")) {
       // Sharded-IVF law probe (round-6 verdict #5): at a K× corpus, does
       // sharding past S=2 keep recall while relaxing the per-shard driver
       // bound (centroid matrix rows) S-fold, without concentrating merged
