@@ -55,6 +55,7 @@ object SparkEntry {
     "q_grouping_sets"       -> (Relational.groupingSets _),
     "q_multimodal_meta"     -> (MultimodalOps.multimodalMeta _),
     "q_multimodal_header"   -> (MultimodalOps.multimodalHeader _),
+    "q_png_pixel_stats"     -> (MultimodalOps.pngPixelStats _),
     "q_av_meta"             -> (MultimodalOps.avMeta _),
     "q_pivot_status"        -> (Relational.pivotStatus _),
     "q_json_extract"        -> (EventOps.jsonExtract _),
@@ -110,8 +111,10 @@ object SparkEntry {
   /** DuckDB-dialect oracle SQL per query. Omitted (→ rows-only check):
     * only q_simhash / q_lsh_cosine_buckets (their OUTPUT is the xxhash64-
     * family hash values themselves — an oracle would have to re-implement
-    * the engine hash, a tautology) and q_multimodal_meta (carries the
-    * declared pixel-decode stub legs) — each property-tested in src/test.
+    * the engine hash, a tautology) — each property-tested in src/test.
+    * q_multimodal_meta left this list in round 7: the decode stub never
+    * fires on its fixture, so its whole projection is oracle arithmetic
+    * (and q_png_pixel_stats gates the REAL pixel decode end-to-end).
     * Everything else in the hash/ANN family runs a SPLIT gate through
     * [[graft.OracleInputs]]: the hash-family front half (candidate pairs /
     * probed top-k sets — not reproducible in DuckDB) is materialized as
@@ -915,6 +918,45 @@ object SparkEntry {
         |       CAST(16 + (doc_id * 7 % 2048) AS INTEGER) AS width,
         |       CAST(16 + (doc_id * 13 % 2048) AS INTEGER) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // typed-metadata leg over the same crafted containers: nBytes is the
+    // crafted header's compile-time length (per-format CASE) plus the
+    // text payload's UTF-8 byte length — the decode stub never fires on
+    // this fixture, so the whole projection is oracle arithmetic
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |       CAST(CASE doc_id % 6 WHEN 0 THEN 24 WHEN 1 THEN 26
+        |            WHEN 2 THEN 15 WHEN 3 THEN 10
+        |            WHEN 4 THEN 30 ELSE 38 END
+        |            + octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+        |       CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+        |            WHEN 2 THEN 'jpeg' WHEN 3 THEN 'gif'
+        |            WHEN 4 THEN 'webp' ELSE 'tiff' END AS format,
+        |       CAST(16 + (doc_id * 7 % 2048) AS INTEGER) AS width,
+        |       CAST(16 + (doc_id * 13 % 2048) AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // full-PNG pixel round-trip: the engine deflates+filters a doc_id-
+    // derived raster into a REAL PNG and decodes it back (Inflater + all
+    // five unfilter branches); pixel (x,y,c) = base + x + y + 3c is bounded
+    // under 256, so per-channel sum/min/max have these closed forms — any
+    // unfilter or inflate defect breaks the sums
+    "q_png_pixel_stats" ->
+      """WITH d AS (
+        |    SELECT doc_id,
+        |           4 + (doc_id * 7 % 13) AS w,
+        |           4 + (doc_id * 13 % 11) AS h,
+        |           CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS nch,
+        |           doc_id % 200 AS base
+        |    FROM documents
+        |), ch AS (SELECT unnest([0, 1, 2, 3]) AS c)
+        |SELECT doc_id, CAST(c AS INTEGER) AS channel,
+        |       CAST(w * h AS BIGINT) AS n_px,
+        |       CAST(w * h * (base + 3 * c)
+        |            + h * (w * (w - 1) // 2)
+        |            + w * (h * (h - 1) // 2) AS BIGINT) AS px_sum,
+        |       CAST(base + 3 * c AS INTEGER) AS px_min,
+        |       CAST(base + 3 * c + (w - 1) + (h - 1) AS INTEGER) AS px_max
+        |FROM d JOIN ch ON c < nch
+        |ORDER BY doc_id, channel""".stripMargin,
     // WAV/MP4 fixture round-trip: the Spark side PARSES the crafted
     // containers (data-size/byte-rate division for WAV duration); the
     // oracle recomputes the doc_id derivations directly

@@ -7,13 +7,14 @@ import org.apache.spark.sql.functions._
   * with typed metadata, processed per-partition in batches.
   *
   * Format/width/height come from REAL byte-level header parsing
-  * (PNG/BMP/JPEG container layouts, no codec dependency). Two pieces remain
-  * STUBS, clearly marked below: full pixel decode for payloads the header
-  * parser doesn't recognize (this container has no codecs) and the feature
-  * vector (real path: batched model inference). Everything else — binary
-  * schema, partition batching, typed output encoders, the mapPartitions
-  * shape that amortizes per-batch library init — is the real, tested scale
-  * path.
+  * (PNG/BMP/JPEG container layouts, no codec dependency), and PNG payloads
+  * get a REAL full pixel decode ([[PngCodec]]: zlib inflate + the five row
+  * filters — pure JDK). Two pieces remain STUBS, clearly marked below:
+  * pixel decode for codec-bound formats (JPEG/WebP entropy coding needs a
+  * codec library this container doesn't have) and the model-inference
+  * feature vector for non-PNG payloads. Everything else — binary schema,
+  * partition batching, typed output encoders, the mapPartitions shape that
+  * amortizes per-batch library init — is the real, tested scale path.
   */
 object MultimodalOps {
 
@@ -369,8 +370,25 @@ object MultimodalOps {
     ("unknown", 64 + math.abs(h % 1024).toInt, 64 + math.abs((h / 1024) % 1024).toInt)
   }
 
-  /** ==== STUB ==== deterministic fake feature vector (real path: model
-    * inference batched per partition).
+  /** Per-channel pixel means of a decodable PNG, normalized to [0,1] —
+    * the REAL feature leg for the one format this container can fully
+    * decode. None routes the caller to [[featuresStub]].
+    */
+  private[graft] def pngFeatures(payload: Array[Byte]): Option[Array[Float]] =
+    PngCodec.decode(payload).map { r =>
+      val sums = new Array[Long](r.channels)
+      var i = 0
+      while (i < r.samples.length) {
+        sums(i % r.channels) += r.samples(i) & 0xff
+        i += 1
+      }
+      val n = (r.width.toLong * r.height).toFloat
+      sums.map(s => s / n / 255f)
+    }
+
+  /** ==== STUB ==== deterministic fake feature vector for CODEC-BOUND
+    * formats only (JPEG/WebP entropy decode and true model inference need
+    * libraries this container doesn't have); PNG takes [[pngFeatures]].
     */
   private[ops] def featuresStub(payload: Array[Byte], dim: Int = 8): Array[Float] = {
     val out = new Array[Float](dim)
@@ -399,7 +417,11 @@ object MultimodalOps {
       rows.map { r =>
         // real header parse first; the stub only catches non-media payloads
         val (fmt, w, h) = parseHeader(r.payload).getOrElse(decodeStub(r.payload))
-        val feats = if (withFeatures) featuresStub(r.payload) else Array.empty[Float]
+        // real pixel decode where possible (PNG), stub only when the
+        // format is codec-bound
+        val feats =
+          if (!withFeatures) Array.empty[Float]
+          else pngFeatures(r.payload).getOrElse(featuresStub(r.payload))
         MediaMeta(r.docId, r.payload.length, fmt, w, h, feats)
       }
     }
@@ -421,14 +443,17 @@ object MultimodalOps {
     }.toDF("doc_id", "frame_idx", "frame_bytes")
   }
 
-  /** Registry entry: typed metadata over the binary corpus (rows-only
-    * check — the decode stub's outputs are engine-internal, but fully
-    * deterministic; see OpsPropertySpec).
+  /** Registry entry: typed metadata over the binary corpus. Oracle-gated
+    * since round 7: every fixture payload parses through the REAL header
+    * parsers (the decode stub never fires on this corpus), and nBytes is
+    * the crafted header's compile-time length plus the text's UTF-8 byte
+    * length — all doc_id/text arithmetic DuckDB recomputes.
     */
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
     extractMeta(mediaFromDocuments(s, d), withFeatures = false)
-      .select("docId", "nBytes", "format", "width", "height")
-      .orderBy("docId")
+      .select(col("docId").as("doc_id"), col("nBytes").as("n_bytes"),
+        col("format"), col("width"), col("height"))
+      .orderBy("doc_id")
 
   /** Fixture adapter: documents.text wrapped in a REAL crafted media header
     * (the offline harness has no true media files, but the headers are
@@ -455,6 +480,83 @@ object MultimodalOps {
     */
   private[graft] val FixtureFormats =
     Vector("png", "bmp", "jpeg", "gif", "webp", "tiff")
+
+  /** Full-PNG fixture: every document becomes a real, fully-decodable PNG
+    * (signature, IHDR, deflated+filtered IDAT, CRCs — [[PngCodec.encode]])
+    * whose dimensions, channel count and pixel values are doc_id
+    * arithmetic. Pixel (x, y, channel c) = base + x + y + 3c with
+    * base = doc_id % 200 and dims ≤ 16 — bounded under 256, so the raster
+    * never wraps and per-channel sum/min/max have the closed forms the
+    * oracle recomputes. Row filters cycle `(doc_id + y) % 5`, so across
+    * the corpus every unfilter branch (None/Sub/Up/Average/Paeth) is on
+    * the oracle-gated path, not just unit-tested.
+    */
+  def pngFromDocuments(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    graft.Tables.t(s, d, "documents")
+      .select(col("doc_id").as("docId"), lit(Array.emptyByteArray).as("payload"))
+      .as[MediaRow]
+      .map { r =>
+        val w = 4 + (r.docId * 7 % 13).toInt
+        val h = 4 + (r.docId * 13 % 11).toInt
+        val ch = (r.docId % 3) match { case 0 => 1; case 1 => 3; case _ => 4 }
+        val base = (r.docId % 200).toInt
+        val samples = new Array[Byte](w * h * ch)
+        var i = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var c = 0
+            while (c < ch) {
+              samples(i) = (base + x + y + 3 * c).toByte
+              i += 1
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        MediaRow(r.docId,
+          PngCodec.encode(PngCodec.Raster(w, h, ch, samples), r.docId.toInt))
+      }
+  }
+
+  /** Per-channel pixel statistics through the REAL decode path (inflate +
+    * unfilter): one output row per (doc, channel). A fixture payload that
+    * fails to decode emits a loud channel = -1 row — it would hash-mismatch
+    * the oracle instead of silently disappearing.
+    */
+  def pngPixelStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pngFromDocuments(s, d)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          PngCodec.decode(r.payload) match {
+            case Some(rst) =>
+              val n = rst.width * rst.height
+              val sums = new Array[Long](rst.channels)
+              val mins = Array.fill(rst.channels)(255)
+              val maxs = new Array[Int](rst.channels)
+              var i = 0
+              while (i < rst.samples.length) {
+                val c = i % rst.channels
+                val v = rst.samples(i) & 0xff
+                sums(c) += v
+                if (v < mins(c)) mins(c) = v
+                if (v > maxs(c)) maxs(c) = v
+                i += 1
+              }
+              (0 until rst.channels).iterator.map(c =>
+                (r.docId, c, n.toLong, sums(c), mins(c), maxs(c)))
+            case None =>
+              Iterator.single((r.docId, -1, 0L, 0L, 0, 0))
+          }
+        }
+      }
+      .toDF("doc_id", "channel", "n_px", "px_sum", "px_min", "px_max")
+      .orderBy("doc_id", "channel")
+  }
 
   final case class AvMeta(docId: Long, format: String, durationMs: Long,
                           sampleRate: Int, channels: Int)
