@@ -106,6 +106,8 @@ object SparkEntry {
     "q_blocklist_bloom"     -> (BlocklistOps.bloomBlocklistClean _),
     "q_join_bucketed"       -> (Relational.joinBucketed _),
     "q_salient_terms"       -> ((s: SparkSession, d: String) => TextOps.salientTermsPerSource(s, d)),
+    "q_salient_terms_cjk"   -> (TextOps.salientTermsCjk _),
+    "q_decontaminate_cjk"   -> ((s: SparkSession, d: String) => TextOps.decontaminateCjk(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query. Omitted (→ rows-only check):
@@ -511,10 +513,12 @@ object SparkEntry {
     // == whitespace tokens — the parity law) and hashes the joined stream
     "q_token_count_cjk" ->
       """WITH tok AS (
-        |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS base
+        |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS raw,
+        |           list_filter(string_split_regex(trim(text), '\s+'),
+        |                       t -> t <> '') AS base
         |    FROM documents
         |), ex AS (
-        |    SELECT doc_id, len(base) AS nb,
+        |    SELECT doc_id, len(raw) AS nb,
         |           CASE WHEN doc_id % 3 = 0
         |                THEN list_concat(base,
         |                     ['안녕', '세계',
@@ -563,7 +567,9 @@ object SparkEntry {
     // then the standard count + rank
     "q_top_terms_cjk" ->
       """WITH tok AS (
-        |    SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS base
+        |    SELECT doc_id, lang,
+        |           list_filter(string_split_regex(trim(text), '\s+'),
+        |                       t -> t <> '') AS base
         |    FROM documents
         |), ex AS (
         |    SELECT lang,
@@ -1107,6 +1113,73 @@ object SparkEntry {
         |SELECT c.doc_id, COUNT(*) AS n_shared
         |FROM corpus c JOIN eval_grams e ON c.g = e.g
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // the unicode tokenizer composed into decontamination: token lists
+    // reconstructed arithmetically (same CJK enrichment, empty-filtered
+    // base — unicode_tokens never emits empty tokens), then the same
+    // distinct-gram overlap count
+    "q_decontaminate_cjk" ->
+      """WITH tok AS (
+        |    SELECT doc_id,
+        |           list_filter(string_split_regex(trim(text), '\s+'),
+        |                       t -> t <> '') AS base
+        |    FROM documents
+        |), ex AS (
+        |    SELECT doc_id,
+        |           CASE WHEN doc_id % 3 = 0
+        |                THEN list_concat(base,
+        |                     ['안녕', '세계',
+        |                      repeat('中', CAST(doc_id % 4 + 1 AS INT)), 'tail'])
+        |                ELSE base END AS tokens
+        |    FROM tok
+        |), grams AS (
+        |    SELECT doc_id,
+        |           list_distinct(list_transform(range(1, len(tokens) - 1),
+        |               i -> array_to_string(tokens[i:i+2], ' '))) AS gs
+        |    FROM ex
+        |), eval_grams AS (
+        |    SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 100 = 7
+        |), corpus AS (
+        |    SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 100 <> 7
+        |)
+        |SELECT c.doc_id, COUNT(*) AS n_shared
+        |FROM corpus c JOIN eval_grams e ON c.g = e.g
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // the unicode tokenizer composed into the integer TF-IDF: same
+    // arithmetic token reconstruction, then the same tf/df/score replay
+    "q_salient_terms_cjk" ->
+      """WITH tok AS (
+        |    SELECT doc_id, source,
+        |           list_filter(string_split_regex(trim(text), '\s+'),
+        |                       t -> t <> '') AS base
+        |    FROM documents
+        |), ex AS (
+        |    SELECT source,
+        |           CASE WHEN doc_id % 3 = 0
+        |                THEN list_concat(base,
+        |                     ['안녕', '세계',
+        |                      repeat('中', CAST(doc_id % 4 + 1 AS INT)), 'tail'])
+        |                ELSE base END AS toks
+        |    FROM tok
+        |), flat AS (
+        |    SELECT source, unnest(toks) AS token FROM ex
+        |), tf AS (
+        |    SELECT source, token, COUNT(*) AS tf FROM flat GROUP BY source, token
+        |), df AS (
+        |    SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+        |), ns AS (
+        |    SELECT COUNT(DISTINCT source) AS n FROM documents
+        |), scored AS (
+        |    SELECT tf.source, tf.token, tf.tf, df.df,
+        |           tf.tf * ns.n // df.df AS score
+        |    FROM tf JOIN df USING (token), ns
+        |), ranked AS (
+        |    SELECT source, token, tf, df, score,
+        |           row_number() OVER (PARTITION BY source
+        |                              ORDER BY score DESC, token ASC) AS rnk
+        |    FROM scored
+        |)
+        |SELECT source, rnk, token, tf, df, score FROM ranked WHERE rnk <= 3
+        |ORDER BY source, rnk""".stripMargin,
     // the engine's bloom filter is a bandwidth gate only (FPs resolved by
     // the exact confirm join), so the plain NOT EXISTS is the oracle
     "q_blocklist_bloom" ->

@@ -656,6 +656,17 @@ object TextOps {
     * Hangul words, the second fused directly to a doc_id-sized Han
     * ideograph run fused to an ASCII tail — ONE whitespace token, four
     * UAX#29 word tokens.
+    *
+    * FIXTURE PRECONDITION (asserted by the "cjk fixture shape" spec): the
+    * oracles reconstruct the UNICODE token list from a whitespace split of
+    * the base text, which is exact only while base text is non-empty
+    * lowercase `[a-z0-9 ]` — on such text the two modes agree token for
+    * token (the parity law). The unicode-token legs are additionally
+    * normalized on the oracle side (empty strings filtered from the split,
+    * matching unicode_tokens' no-empty-token contract) so an empty or
+    * whitespace-only doc cannot silently diverge; the WHITESPACE-count leg
+    * (q_token_count_cjk.n_space_tokens) still assumes the precondition —
+    * that is what the fixture-shape assertion pins.
     */
   private def cjkEnriched: Column =
     when(col("doc_id") % 3 === 0,
@@ -696,6 +707,57 @@ object TextOps {
       .filter(col("rnk") <= 5)
       .select("lang", "rnk", "token", "cnt")
       .orderBy("lang", "rnk")
+  }
+
+  /** [[salientTermsPerSource]] with the unicode tokenizer over the
+    * CJK-enriched corpus — whitespace tokenization goes blind on CJK text
+    * for exactly the signals TF-IDF exists for: the fused '세계中…中tail'
+    * run would be a per-doc-unique token (tf 1, df 1) instead of its
+    * constituent terms. Same two-level agg + WindowGroupLimit shape; the
+    * oracle reconstructs the token lists arithmetically and replays the
+    * integer TF-IDF.
+    */
+  def salientTermsCjk(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("score").desc, col("token").asc)
+    val tokenCounts = t(s, d, "documents")
+      .withColumn("enriched", cjkEnriched)
+      .select(col("source"),
+        explode(tokensOf(col("enriched"), unicodeAware = true)).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("tf"))
+    val nSources = t(s, d, "documents").select("source").distinct().count()
+    val docFreq = tokenCounts.groupBy("token").agg(count(lit(1)).as("df"))
+    tokenCounts.join(docFreq, "token")
+      .withColumn("score", expr(s"tf * ${nSources}L div df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("source", "rnk", "token", "tf", "df", "score")
+      .orderBy("source", "rnk")
+  }
+
+  /** [[decontaminateNgram]] with the unicode tokenizer over the
+    * CJK-enriched corpus: an eval-set n-gram whose terms are CJK segments
+    * is invisible to the whitespace gram stream (the fused run never
+    * splits), so decontamination would silently pass contaminated CJK
+    * documents. The gram stream stays on the CODEGEN `word_ngrams` by
+    * re-joining the unicode tokens with single spaces first — tokens are
+    * space-free segments, so word_ngrams over the re-joined stream IS the
+    * n-gram set over unicode tokens, with no interpreted lambda per
+    * window.
+    */
+  def decontaminateCjk(s: SparkSession, d: String, n: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = t(s, d, "documents")
+      .withColumn("grams", call_function("word_ngrams",
+        concat_ws(" ", tokensOf(cjkEnriched, unicodeAware = true)), lit(n)))
+    val evalGrams = docs.filter(col("doc_id") % 100 === 7)
+      .select(explode(col("grams")).as("g")).distinct()
+    docs.filter(col("doc_id") % 100 =!= 7)
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
   }
 
   /** Corpus-internal repeated spans (Lee et al. 2021, "Deduplicating

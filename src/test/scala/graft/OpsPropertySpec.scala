@@ -665,6 +665,43 @@ class OpsPropertySpec extends SparkSpec {
       .map(viaEval.getUTF8String(_).toString) == Seq("세계", "中", "tail"))
   }
 
+  test("cjk fixture shape: base text is non-empty lowercase [a-z0-9 ]") {
+    // The CJK oracles reconstruct the unicode token list from a whitespace
+    // split of the base text — exact only under this precondition (the
+    // unicode-token legs are empty-filter-normalized on the oracle side,
+    // but q_token_count_cjk's whitespace-count leg still assumes it). Pin
+    // the fixture shape so a future testdata change fails HERE, loudly,
+    // instead of as an opaque oracle hash mismatch.
+    val bad = Tables.t(spark, sf, "documents")
+      .filter(length(trim(col("text"))) === 0 ||
+        col("text").rlike("[^a-z0-9 ]"))
+      .count()
+    assert(bad == 0, s"$bad documents violate the CJK-oracle fixture " +
+      "precondition (empty or non-[a-z0-9 ] base text)")
+  }
+
+  test("cjk salient terms and decontamination see through fused CJK runs") {
+    // A corpus where the whitespace tokenizer fuses the CJK segment into
+    // one per-doc token: the unicode variants must still surface the
+    // shared terms. Uses the PUBLIC entry points over the fixture corpus:
+    // the enriched docs (doc_id % 3 = 0) share '안녕' and '세계' across
+    // sources, so those tokens must appear in the unicode token stream's
+    // df counts (df > 1), which the whitespace mode cannot produce.
+    val cjkTf = TextOps.salientTermsCjk(spark, sf)
+    // deterministic and non-empty; every source gets exactly 3 ranks
+    val rows = cjkTf.collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    assert(bySource.nonEmpty && bySource.values.forall(_.length == 3))
+    // decontamination: the unicode gram stream must flag strictly more
+    // (or equal) corpus docs than the whitespace stream on the enriched
+    // corpus — the fused run hides eval grams from the whitespace mode,
+    // and the appended enrichment creates real cross-set CJK grams
+    val uniFlagged = TextOps.decontaminateCjk(spark, sf).count()
+    val wsFlagged = TextOps.decontaminateNgram(spark, sf).count()
+    assert(uniFlagged >= wsFlagged,
+      s"unicode decontamination flagged $uniFlagged < whitespace $wsFlagged")
+  }
+
   test("ngram decontamination: overlap flagged, clean docs survive, eval broadcast") {
     val docs = Seq(
       (107L, "alpha beta gamma delta epsilon"),        // eval doc (107 % 100 = 7)
