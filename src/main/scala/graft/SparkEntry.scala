@@ -49,6 +49,8 @@ object SparkEntry {
     "q_distinct_exact"      -> (Relational.distinctExact _),
     "q_approx_distinct"     -> (Relational.approxDistinct _),
     "q_profile_columns"     -> (Relational.profileOrders _),
+    "q_profile_documents"   -> (Relational.profileDocuments _),
+    "q_profile_embeddings"  -> (VectorOps.profileEmbeddings _),
     "q_percentile_status"   -> (Relational.percentileByStatus _),
     "q_scalar_datetime_math" -> (Relational.scalarDatetimeMath _),
     "q_cube_agg"            -> (Relational.cubeAgg _),
@@ -128,6 +130,32 @@ object SparkEntry {
     * over the pair set for q_ivf_semantic_dedup, and cosine + rank-order
     * recompute for q_ivf_cosine_topk.
     */
+  /** The one-pass profiler's oracle shape for any source projection: one
+    * UNION ALL block per profiled column, numeric columns (`true`) CAST
+    * their bounds to VARCHAR to match the engine's uniform stringified
+    * schema.
+    */
+  private def profileOracle(srcSql: String,
+                            cols: Seq[(String, Boolean)]): String = {
+    val blocks = cols.map { case (c, numeric) =>
+      val mn = if (numeric) s"CAST(MIN($c) AS VARCHAR)" else s"MIN($c)"
+      val mx = if (numeric) s"CAST(MAX($c) AS VARCHAR)" else s"MAX($c)"
+      s"""    SELECT '$c' AS col_name,
+         |           t.total - COUNT($c) AS n_nulls,
+         |           COUNT(DISTINCT $c) AS n_distinct,
+         |           $mn AS min_value,
+         |           $mx AS max_value
+         |    FROM src, t GROUP BY t.total""".stripMargin
+    }.mkString("\n    UNION ALL\n")
+    s"""WITH src AS (
+       |$srcSql
+       |), t AS (SELECT COUNT(*) AS total FROM src)
+       |SELECT * FROM (
+       |$blocks
+       |)
+       |ORDER BY col_name""".stripMargin
+  }
+
   /** Recursive-CTE closure over a materialized pair set → (id, cluster-min
     * canon, survives) — the shared oracle shape of both survivor queries.
     */
@@ -277,45 +305,33 @@ object SparkEntry {
         |       CAST(1 AS INTEGER) AS within_3rsd
         |FROM lineitem""".stripMargin,
     // one row per profiled column; min/max stringified from
-    // format-stable types only (bigint/varchar — doubles profile via the
-    // cents derivation)
-    "q_profile_columns" ->
-      """WITH src AS (
-        |    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+    // format-stable types only (bigint/varchar — doubles profile via
+    // integer derivations: cents for prices, the µ-scale norm floor for
+    // embeddings); one profileOracle shape per profiled table
+    "q_profile_columns" -> profileOracle(
+      """    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
         |           CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_cents
-        |    FROM orders
-        |), t AS (SELECT COUNT(*) AS total FROM src)
-        |SELECT * FROM (
-        |    SELECT 'o_orderkey' AS col_name,
-        |           t.total - COUNT(o_orderkey) AS n_nulls,
-        |           COUNT(DISTINCT o_orderkey) AS n_distinct,
-        |           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
-        |           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
-        |    FROM src, t GROUP BY t.total
-        |    UNION ALL
-        |    SELECT 'o_custkey', t.total - COUNT(o_custkey),
-        |           COUNT(DISTINCT o_custkey),
-        |           CAST(MIN(o_custkey) AS VARCHAR),
-        |           CAST(MAX(o_custkey) AS VARCHAR)
-        |    FROM src, t GROUP BY t.total
-        |    UNION ALL
-        |    SELECT 'o_orderstatus', t.total - COUNT(o_orderstatus),
-        |           COUNT(DISTINCT o_orderstatus),
-        |           MIN(o_orderstatus), MAX(o_orderstatus)
-        |    FROM src, t GROUP BY t.total
-        |    UNION ALL
-        |    SELECT 'o_orderpriority', t.total - COUNT(o_orderpriority),
-        |           COUNT(DISTINCT o_orderpriority),
-        |           MIN(o_orderpriority), MAX(o_orderpriority)
-        |    FROM src, t GROUP BY t.total
-        |    UNION ALL
-        |    SELECT 'o_totalprice_cents', t.total - COUNT(o_totalprice_cents),
-        |           COUNT(DISTINCT o_totalprice_cents),
-        |           CAST(MIN(o_totalprice_cents) AS VARCHAR),
-        |           CAST(MAX(o_totalprice_cents) AS VARCHAR)
-        |    FROM src, t GROUP BY t.total
-        |)
-        |ORDER BY col_name""".stripMargin,
+        |    FROM orders""".stripMargin,
+      Seq("o_orderkey" -> true, "o_custkey" -> true, "o_orderstatus" -> false,
+        "o_orderpriority" -> false, "o_totalprice_cents" -> true)),
+    "q_profile_documents" -> profileOracle(
+      "    SELECT doc_id, lang, source, n_chars, length(text) AS text_len" +
+        "\n    FROM documents",
+      Seq("doc_id" -> true, "lang" -> false, "source" -> false,
+        "n_chars" -> true, "text_len" -> true)),
+    // the norm fold mirrors q_embed_norm's proven bit-exact reduction,
+    // floored at µ-scale into a BIGINT so stringified bounds are
+    // format-stable across engines
+    "q_profile_embeddings" -> profileOracle(
+      """    SELECT vec_id, label, len(embedding) AS emb_dim,
+        |           CAST(floor(list_reduce(
+        |             list_prepend(CAST(0.0 AS DOUBLE),
+        |               list_transform(embedding,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |             (a, b) -> a + b) * 1000000) AS BIGINT) AS norm_sq_micro
+        |    FROM embeddings""".stripMargin,
+      Seq("vec_id" -> true, "label" -> true, "emb_dim" -> true,
+        "norm_sq_micro" -> true)),
     "q_dedup_survivors" ->
       survivorOracle("text_pairs", "documents", "doc_id", "doc_id"),
     "q_semantic_survivors" ->

@@ -374,6 +374,16 @@ object Relational {
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
         "o_totalprice_cents"))
 
+  /** Registered profile over the north-star corpus table: scalar columns
+    * plus the text LENGTH as a derived integer — the 100 TB data-quality
+    * entry point for a documents pipeline (null text, collapsed sources,
+    * out-of-range lengths all surface here before any operator runs).
+    */
+  def profileDocuments(s: SparkSession, d: String): DataFrame =
+    profile(
+      t(s, d, "documents").withColumn("text_len", length(col("text"))),
+      Seq("doc_id", "lang", "source", "n_chars", "text_len"))
+
   /** Scalar date/time functions over the ms-precision orders timestamps. */
   def scalarDatetimeMath(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders").select(

@@ -58,6 +58,25 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** Registered profile over the embeddings table — the array-typed
+    * complement of the scalar profiler: dimension count (a ragged corpus
+    * surfaces as min ≠ max) and the squared L2 norm as a fixed-point
+    * integer (µ-scale floor of the bit-exact [[sumSq]] fold — a raw double
+    * min/max would stringify with engine-specific float formatting and
+    * break the hash gate; zero/exploding norms surface in the integer
+    * bounds just as well). One scan, same shared-Expand shape as the
+    * scalar profile.
+    */
+  def profileEmbeddings(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Relational.profile(
+      t(s, d, "embeddings")
+        .withColumn("emb_dim", size(col("embedding")))
+        .withColumn("norm_sq_micro",
+          floor(sumSq(col("embedding")) * lit(1e6)).cast("bigint")),
+      Seq("vec_id", "label", "emb_dim", "norm_sq_micro"))
+  }
+
   /** Brute-force cosine top-k: probe set (vec_id < 5) broadcast against the
     * full corpus; rank by exact-fold cosine, ties by neighbor id. Top-1 of
     * each probe is itself (self-check invariant).
