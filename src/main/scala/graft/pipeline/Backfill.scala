@@ -146,6 +146,48 @@ object PartitionedMaterializer {
     }
   }
 
+  /** Partition-GRAIN evolution over a bounded range — changing a table
+    * from daily to monthly partitions (or back) without a manual full
+    * rebuild: the range's old-grain partitions are read through plan-time
+    * partition pruning (ONLY they are scanned — the bounded rewrite set),
+    * the partition key is re-derived from the event date at the new
+    * grain, and the swap runs through the evolve-tmp mechanics
+    * ([[Warehouse.evolveReplacePartitions]]) whose manifest-carrying temp
+    * table makes the drop+append window crash-recoverable — the same
+    * contract as the partition-scoped merge/delete. Everything outside
+    * the range keeps its grain and its FILES (bit-identical, tested).
+    *
+    * The range must align to the COARSER grain's boundaries (months, for
+    * daily↔monthly): a mid-month cut would leave a month split across two
+    * grains with the same key prefix semantics but different coverage.
+    * A re-run over an already-evolved range is a no-op (the old-grain
+    * keys no longer exist, the replacement slice is empty). A 100 TB
+    * table evolves range-by-range on the maintenance schedule — each run
+    * rewrites only its range's partitions.
+    */
+  def evolveGrain(spark: SparkSession, db: String, table: String,
+                  dateCol: String, fromGrain: PartitionGrain,
+                  toGrain: PartitionGrain, from: LocalDate,
+                  untilExcl: LocalDate,
+                  partCol: String = DefaultPartCol): Seq[String] = {
+    require(from.isBefore(untilExcl), s"empty evolve range [$from, $untilExcl)")
+    require(fromGrain != toGrain, "evolve needs two different grains")
+    require(from == from.withDayOfMonth(1) &&
+      untilExcl == untilExcl.withDayOfMonth(1),
+      s"evolve range [$from, $untilExcl) is not aligned to month " +
+        "boundaries (the coarser grain)")
+    // make the table whole from any crashed maintenance op before
+    // planning over it — same entry contract as merge/delete
+    Warehouse.recoverEvolve(spark, db, table)
+    Warehouse.recoverReplacement(spark, db, table)
+    val oldKeys = fromGrain.keys(from, untilExcl)
+    val slice = spark.table(s"`$db`.`$table`")
+      .filter(col(partCol).isin(oldKeys: _*))   // plan-time pruning
+      .withColumn(partCol, toGrain.key(col(dateCol)))
+    Warehouse.evolveReplacePartitions(spark, db, table, partCol, oldKeys, slice)
+    toGrain.keys(from, untilExcl)
+  }
+
   /** One materialized partition's rows (the per-partition inspection
     * surface; deterministic when ordered by the caller).
     */

@@ -263,6 +263,7 @@ object Warehouse {
     // or this retry would recompute from partial data and overwrite the tmp.
     recoverReplacement(spark, db, table)
     recoverRewrite(spark, db, table)
+    recoverEvolve(spark, db, table)
     requireSameColumns(spark, batch, db, table)
     val resolved = resolveBatch(batch, keys, versionCol)
     val pcols = spark.sessionState.catalog.getTableMetadata(
@@ -407,14 +408,16 @@ object Warehouse {
 
   /** The drop+append tail of [[replacePartitions]] — also the whole of a
     * crash [[recoverReplacement]], which re-enters here with the
-    * surviving tmp as its input.
+    * surviving tmp as its input. `tmpName` defaults to the merge/delete
+    * tmp; the grain-evolution path passes its own ([[evolveTmpName]]).
     */
   private def finishReplacement(spark: SparkSession, db: String,
                                 table: String, pcols: Seq[String],
-                                affected: Array[org.apache.spark.sql.Row]): Unit = {
+                                affected: Array[org.apache.spark.sql.Row],
+                                tmpName: String = null): Unit = {
     import org.apache.spark.sql.functions.col
     val fq = s"`$db`.`$table`"
-    val tmp = s"`$db`.`${table}__rw_part_tmp`"
+    val tmp = s"`$db`.`${Option(tmpName).getOrElse(s"${table}__rw_part_tmp")}`"
     affected.grouped(100).foreach { chunk =>
       val specs = chunk.map { r =>
         pcols.zipWithIndex.map { case (c, i) =>
@@ -462,6 +465,107 @@ object Warehouse {
       if (affected.nonEmpty)
         finishReplacement(spark, db, table, pcols, affected)
       else spark.sql(s"DROP TABLE IF EXISTS `$db`.`$tmpName`")
+      true
+    }
+
+  /** Tmp-table name and manifest property of a partition-grain evolution
+    * in flight ([[evolveReplacePartitions]]). A DISTINCT name from the
+    * merge/delete tmp: an evolve replaces partitions whose keys are NOT
+    * derivable from the replacement slice (the dropped old-grain keys
+    * differ from the appended new-grain keys), so its recovery needs the
+    * manifest and must never be confused with a plain partition swap.
+    */
+  private[graft] def evolveTmpName(table: String): String = s"${table}__evolve_tmp"
+  private[graft] val EvolveManifestProp = "graft.evolve.drop_keys"
+
+  /** Partition replacement where the DROPPED keys differ from the
+    * appended ones — the grain-evolution write path. Sequence:
+    *
+    *  1. the replacement slice lands as `{table}__evolve_tmp`
+    *     (saveAsTable commits the catalog entry only after the data —
+    *     same completeness invariant as the merge tmp);
+    *  2. the old-grain keys to drop are recorded ON the tmp itself as a
+    *     table property (the recovery manifest — recovery must know what
+    *     to drop even though the tmp's own partition values are the NEW
+    *     keys);
+    *  3. drop manifest keys + the tmp's own keys (re-runs/partial appends),
+    *     append, drop the tmp.
+    *
+    * Crash windows: before step 1 commits — no catalog tmp, table
+    * untouched (stale dir cleared next run). Between 1 and 2 — tmp exists
+    * WITHOUT a manifest: nothing was dropped yet, so [[recoverEvolve]]
+    * discards the tmp and the evolve simply re-runs. After 2 —
+    * [[recoverEvolve]] replays step 3 idempotently from the manifest +
+    * tmp. Single partition column only (grain keys are scalar strings).
+    */
+  private[graft] def evolveReplacePartitions(spark: SparkSession, db: String,
+                                             table: String, partCol: String,
+                                             dropKeys: Seq[String],
+                                             replacement: DataFrame): Unit = {
+    val tmpName = evolveTmpName(table)
+    require(!spark.catalog.tableExists(s"$db.$tmpName"),
+      s"refusing to overwrite surviving `$db`.`$tmpName`: a crashed grain " +
+        "evolution may have dropped partitions recoverable only from it " +
+        "(run Warehouse.recoverEvolve first), or a concurrent evolve of " +
+        "the same table is in flight")
+    // the manifest rides a catalog property — bound its size loudly
+    // instead of silently exceeding metastore limits (evolve decade-long
+    // ranges in chunks)
+    require(dropKeys.nonEmpty && dropKeys.mkString(",").length <= 60000,
+      s"evolve drop-key manifest too large (${dropKeys.size} keys) — " +
+        "evolve the range in smaller chunks")
+    dropStaleLocation(spark, db, tmpName)
+    replacement.write.mode(SaveMode.Overwrite).option("overwriteSchema", "true")
+      .format("parquet").partitionBy(partCol)
+      .saveAsTable(s"`$db`.`$tmpName`")
+    spark.sql(s"ALTER TABLE `$db`.`$tmpName` SET TBLPROPERTIES(" +
+      s"'$EvolveManifestProp'='${dropKeys.mkString(",").replace("'", "''")}')")
+    finishEvolve(spark, db, table, partCol, dropKeys)
+  }
+
+  /** The drop+append tail of [[evolveReplacePartitions]]: affected =
+    * manifest keys ∪ the tmp's own keys (a partial append's new-grain
+    * partitions must re-drop before the re-append, or recovery would
+    * double them).
+    */
+  private def finishEvolve(spark: SparkSession, db: String, table: String,
+                           partCol: String, dropKeys: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val tmpName = evolveTmpName(table)
+    val tmpKeys = spark.table(s"`$db`.`$tmpName`")
+      .select(col(partCol)).distinct().collect().map(_.get(0).toString)
+    val affected = (dropKeys ++ tmpKeys).distinct
+      .map(k => org.apache.spark.sql.Row(k)).toArray
+    finishReplacement(spark, db, table, Seq(partCol), affected, tmpName)
+  }
+
+  /** Crash recovery for a partition-grain evolution. A surviving
+    * `{table}__evolve_tmp` WITH its manifest property means drops may have
+    * begun and the tmp holds the complete new-grain slice — replay the
+    * drop+append from the manifest (idempotent). WITHOUT the manifest the
+    * crash hit before any drop: the table is intact and the tmp is
+    * incomplete state — discard it and let the evolve re-run. Returns true
+    * when anything was done.
+    */
+  def recoverEvolve(spark: SparkSession, db: String, table: String): Boolean =
+    graft.plans.TenantIsolationRule.withMaintenanceBypass(spark) {
+      val tmpName = evolveTmpName(table)
+      if (!spark.catalog.tableExists(s"$db.$tmpName")) return false
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tmpName, Some(db)))
+      meta.properties.get(EvolveManifestProp) match {
+        case Some(manifest) =>
+          System.err.println(s"[warehouse] surviving `$db`.`$tmpName` with " +
+            "manifest — completing the crashed grain evolution")
+          val pcols = meta.partitionColumnNames
+          finishEvolve(spark, db, table, pcols.head,
+            manifest.split(',').toSeq.filter(_.nonEmpty))
+        case None =>
+          System.err.println(s"[warehouse] surviving `$db`.`$tmpName` has " +
+            "no manifest — the evolve crashed before any partition drop; " +
+            "discarding the incomplete tmp (re-run the evolve)")
+          spark.sql(s"DROP TABLE IF EXISTS `$db`.`$tmpName`")
+      }
       true
     }
 
@@ -536,6 +640,7 @@ object Warehouse {
     // target whole from any surviving rewrite tmp before planning over it.
     recoverReplacement(spark, db, table)
     recoverRewrite(spark, db, table)
+    recoverEvolve(spark, db, table)
     // SQL DELETE keeps rows whose predicate is NULL — !pred alone would
     // drop them (NULL is not true), inverting that contract.
     val matches = coalesce(predicate, lit(false))

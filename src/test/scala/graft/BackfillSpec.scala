@@ -65,6 +65,113 @@ class BackfillSpec extends SparkSpec {
     assert(ex.getMessage.contains("not aligned"))
   }
 
+  test("grain evolution daily->monthly: bounded rewrite, untouched files, no-op re-run") {
+    import graft.store.Warehouse
+    val src = Tables.t(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    PartitionedMaterializer.backfill(spark, src, "o_orderdate",
+      PartitionGrain.Daily, db, "ev",
+      LocalDate.of(1996, 1, 1), LocalDate.of(1996, 3, 1))
+    val tbl = s"`$db`.`ev`"
+    def filesOf(pk: String): Map[String, Long] = {
+      val loc = new java.net.URI(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("ev", Some(db)))
+        .location.toString).getPath
+      Option(new java.io.File(s"$loc/part_key=$pk").listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    def rows() = spark.table(tbl)
+      .select("o_orderkey", "part_key").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+    val before = rows()
+    val janDayFiles = filesOf("1996-01-15")
+    assert(janDayFiles.nonEmpty)
+
+    // evolve ONLY February to monthly grain
+    val newKeys = PartitionedMaterializer.evolveGrain(spark, db, "ev",
+      "o_orderdate", PartitionGrain.Daily, PartitionGrain.Monthly,
+      LocalDate.of(1996, 2, 1), LocalDate.of(1996, 3, 1))
+    assert(newKeys == Seq("1996-02"))
+    // February collapsed to one monthly partition; January kept its days
+    val parts = spark.table(tbl).select("part_key").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(parts.filter(_.startsWith("1996-02")) == Set("1996-02"))
+    assert(parts.count(_.startsWith("1996-01")) > 1, "January grain changed")
+    // every row survived; February rows re-keyed, the rest bit-identical
+    val after = rows()
+    assert(after.map(_._1) == before.map(_._1), "row set changed")
+    assert(after.filter(_._2.startsWith("1996-02")).forall(_._2 == "1996-02"))
+    assert(after.filterNot(_._2.startsWith("1996-02")) ==
+      before.filterNot(_._2.startsWith("1996-02")))
+    // out-of-range partitions: FILES untouched, not just content
+    assert(filesOf("1996-01-15") == janDayFiles,
+      "untouched January partition was rewritten")
+    // re-running the same evolve is a no-op (old-grain keys are gone)
+    val febFiles = filesOf("1996-02")
+    PartitionedMaterializer.evolveGrain(spark, db, "ev",
+      "o_orderdate", PartitionGrain.Daily, PartitionGrain.Monthly,
+      LocalDate.of(1996, 2, 1), LocalDate.of(1996, 3, 1))
+    assert(rows() == after)
+    assert(filesOf("1996-02") == febFiles, "no-op re-run rewrote the range")
+    // the evolve tmp never survives a successful run
+    assert(!spark.catalog.tableExists(
+      s"$db.${Warehouse.evolveTmpName("ev")}"))
+    // a mid-month range is refused loudly
+    val ex = intercept[IllegalArgumentException] {
+      PartitionedMaterializer.evolveGrain(spark, db, "ev", "o_orderdate",
+        PartitionGrain.Daily, PartitionGrain.Monthly,
+        LocalDate.of(1996, 1, 15), LocalDate.of(1996, 2, 1))
+    }
+    assert(ex.getMessage.contains("not aligned"))
+  }
+
+  test("evolve crash recovery: manifest replay completes, no-manifest discards") {
+    import graft.store.Warehouse
+    val src = Tables.t(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    PartitionedMaterializer.backfill(spark, src, "o_orderdate",
+      PartitionGrain.Daily, db, "ev2",
+      LocalDate.of(1996, 1, 1), LocalDate.of(1996, 2, 1))
+    val tbl = s"`$db`.`ev2`"
+    val tmp = s"`$db`.`${Warehouse.evolveTmpName("ev2")}`"
+    def rows() = spark.table(tbl)
+      .select("o_orderkey", "part_key").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+    val before = rows()
+    val dailyKeys = PartitionGrain.Daily.keys(
+      LocalDate.of(1996, 1, 1), LocalDate.of(1996, 2, 1))
+    def writeTmp(): Unit = spark.table(tbl)
+      .withColumn("part_key",
+        PartitionGrain.Monthly.key(col("o_orderdate")))
+      .write.format("parquet").partitionBy("part_key").saveAsTable(tmp)
+
+    // crash window A: tmp committed but NO manifest yet — nothing was
+    // dropped; recovery must discard the tmp and leave the table intact
+    writeTmp()
+    assert(Warehouse.recoverEvolve(spark, db, "ev2"))
+    assert(!spark.catalog.tableExists(s"$db.${Warehouse.evolveTmpName("ev2")}"))
+    assert(rows() == before, "no-manifest recovery touched the table")
+
+    // crash window B: manifest set, drops partially applied, append never
+    // ran — recovery must complete the evolution from the manifest + tmp
+    writeTmp()
+    spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES(" +
+      s"'${Warehouse.EvolveManifestProp}'='${dailyKeys.mkString(",")}')")
+    dailyKeys.take(10).foreach { k =>
+      spark.sql(s"ALTER TABLE $tbl DROP IF EXISTS PARTITION (`part_key`='$k')")
+    }
+    assert(Warehouse.recoverEvolve(spark, db, "ev2"))
+    assert(!spark.catalog.tableExists(s"$db.${Warehouse.evolveTmpName("ev2")}"))
+    val parts = spark.table(tbl).select("part_key").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(parts == Set("1996-01"), s"recovery left mixed grains: $parts")
+    assert(rows().map(_._1) == before.map(_._1), "recovery lost/duplicated rows")
+    // recovery is idempotent: nothing left to do
+    assert(!Warehouse.recoverEvolve(spark, db, "ev2"))
+  }
+
   test("reads prune to the requested partition at plan time") {
     val src = Tables.t(spark, sf, "orders")
       .select("o_orderkey", "o_totalprice", "o_orderdate")
