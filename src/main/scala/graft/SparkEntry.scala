@@ -108,7 +108,7 @@ object SparkEntry {
     "q_blocklist_bloom"     -> (BlocklistOps.bloomBlocklistClean _),
     "q_join_bucketed"       -> (Relational.joinBucketed _),
     "q_salient_terms"       -> ((s: SparkSession, d: String) => TextOps.salientTermsPerSource(s, d)),
-    "q_salient_terms_cjk"   -> (TextOps.salientTermsCjk _),
+    "q_salient_terms_cjk"   -> ((s: SparkSession, d: String) => TextOps.salientTermsCjk(s, d)),
     "q_decontaminate_cjk"   -> ((s: SparkSession, d: String) => TextOps.decontaminateCjk(s, d)),
   )
 

@@ -717,7 +717,8 @@ object TextOps {
     * oracle reconstructs the token lists arithmetically and replays the
     * integer TF-IDF.
     */
-  def salientTermsCjk(s: SparkSession, d: String): DataFrame = {
+  def salientTermsCjk(s: SparkSession, d: String,
+                      nSourcesHint: Option[Long] = None): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
       .orderBy(col("score").desc, col("token").asc)
@@ -726,7 +727,9 @@ object TextOps {
       .select(col("source"),
         explode(tokensOf(col("enriched"), unicodeAware = true)).as("token"))
       .groupBy("source", "token").agg(count(lit(1)).as("tf"))
-    val nSources = t(s, d, "documents").select("source").distinct().count()
+    // same lazy-plan hint contract as salientTermsPerSource (PlanAudit)
+    val nSources = nSourcesHint.getOrElse(
+      t(s, d, "documents").select("source").distinct().count())
     val docFreq = tokenCounts.groupBy("token").agg(count(lit(1)).as("df"))
     tokenCounts.join(docFreq, "token")
       .withColumn("score", expr(s"tf * ${nSources}L div df"))
