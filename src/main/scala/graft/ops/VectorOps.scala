@@ -429,15 +429,37 @@ object VectorOps {
       .select("probe_id", "neighbor_id", "cosine")
   }
 
+  /** Probe budget for QUERY-style top-k search over an index of `nCells`
+    * cells. The cell count adapts to corpus size (constant occupancy), so
+    * a FIXED nProbe would probe a vanishing fraction of an ever-finer
+    * grid — recall decays with corpus growth exactly like the fixed
+    * per-shard budget did with S (the round-7 sharded fix). √nCells is
+    * the standard IVF dial: per-probe candidate volume grows only
+    * √C × occupancy (≈ 16√n at held occupancy — trivial for query-sized
+    * probe batches), and at the nCells floor it degrades to exactly
+    * IvfProbe, so fixture-scale behavior is unchanged.
+    *
+    * Corpus×corpus DEDUP deliberately keeps the FIXED budget: its scale
+    * contract is candidate-volume LINEARITY (n × nProbe × occupancy — a
+    * √C budget would make it O(n^1.5)), and its recall guarantee (an
+    * exact duplicate always pairs: same cell assignment, own cell always
+    * probed) holds at any budget.
+    */
+  private[graft] def adaptiveProbe(nCells: Long): Int =
+    math.max(IvfProbe, math.ceil(math.sqrt(nCells.toDouble)).toInt)
+
   /** The top-k search leg, over trained-in-session or warehouse-stored
-    * index frames alike.
+    * index frames alike. The probe budget scales √nCells
+    * ([[adaptiveProbe]]; the centroid count is an nCells-row action —
+    * index metadata, not data).
     */
   private def searchIvf(assignments: DataFrame, centroids: DataFrame,
                         probes: DataFrame,
                         largeProbeSide: Boolean = false): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    searchIvfCandidates(assignments, probeNearestCells(centroids, probes),
+    searchIvfCandidates(assignments,
+        probeNearestCells(centroids, probes, adaptiveProbe(centroids.count())),
         largeProbeSide)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
@@ -531,7 +553,7 @@ object VectorOps {
     }
   }
 
-  /** Per-shard probe budget for searches over a SHARDED index. A shard's
+  /** Per-shard probe budget for the sharded corpus DEDUP. A shard's
     * quantizer trains on n/S samples, so its centroid estimates — and with
     * them the probe's nearest-cell ranking — carry ~√S the noise of the
     * single index's (standard error of a k-means cell mean scales with
@@ -541,11 +563,24 @@ object VectorOps {
     * √S-fold restores it. Cost shape: merged candidate volume grows
     * S^0.5 per shard on top of the S× probe fan-out (occupancy is held by
     * the per-shard adaptive cell count), a sublinear price that keeps the
-    * search linear in corpus size. Budgets above a shard's cell count
-    * degrade gracefully to probing the whole shard.
+    * dedup linear in corpus size — which is why the base here stays the
+    * FIXED IvfProbe, not the √nCells query-search base (see
+    * [[adaptiveProbe]]). Budgets above a shard's cell count degrade
+    * gracefully to probing the whole shard.
     */
+  private def ceilSqrt(n: Int): Int = math.ceil(math.sqrt(n.toDouble)).toInt
   private[graft] def shardProbeBudget(nShards: Int): Int =
-    IvfProbe * math.ceil(math.sqrt(nShards.toDouble)).toInt
+    IvfProbe * ceilSqrt(nShards)
+
+  /** Per-shard budget for the sharded TOP-K search: the √S shard-noise
+    * factor on top of the √nCells query-search base ([[adaptiveProbe]]) —
+    * both corrections compose, and at the cell-count floor this reduces
+    * to exactly [[shardProbeBudget]]. The sharded DEDUP stays on the
+    * fixed-base [[shardProbeBudget]] for the linearity contract
+    * (see [[adaptiveProbe]]).
+    */
+  private[graft] def shardTopkBudget(nShards: Int, shardCells: Long): Int =
+    adaptiveProbe(shardCells) * ceilSqrt(nShards)
 
   /** Top-k search across a sharded index: per-shard candidates union into
     * ONE global rank — exact cosine makes the merge trivially correct
@@ -558,10 +593,11 @@ object VectorOps {
     val probes = t(s, d, "embeddings").filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
     val perShard = (0 until nShards).map { sh =>
+      val cents = s.table(s"`$db`.`${IvfCentroidsTable}_$sh`")
       searchIvfCandidates(
         s.table(s"`$db`.`${IvfAssignmentsTable}_$sh`"),
-        probeNearestCells(s.table(s"`$db`.`${IvfCentroidsTable}_$sh`"), probes,
-          shardProbeBudget(nShards)),
+        probeNearestCells(cents, probes,
+          shardTopkBudget(nShards, cents.count())),
         largeProbeSide = false)
     }
     val w = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
@@ -585,10 +621,11 @@ object VectorOps {
     val probes = t(s, d, "embeddings").filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
     (0 until nShards).map { sh =>
+      val cents = s.table(s"`$db`.`${IvfCentroidsTable}_$sh`")
       searchIvfCandidates(
         s.table(s"`$db`.`${IvfAssignmentsTable}_$sh`"),
-        probeNearestCells(s.table(s"`$db`.`${IvfCentroidsTable}_$sh`"), probes,
-          shardProbeBudget(nShards)),
+        probeNearestCells(cents, probes,
+          shardTopkBudget(nShards, cents.count())),
         largeProbeSide = false)
     }.reduce(_ unionByName _)
       .groupBy("probe_id").agg(count(lit(1)).as("n_cands"))
