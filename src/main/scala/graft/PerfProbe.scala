@@ -129,6 +129,11 @@ object PerfProbe {
       .config("spark.sql.warehouse.dir", TempDirs.create("graft-probe-wh"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // same contract as Bench: the probe measures the ENGINE, so the
+    // oracle-gate checkpoints degrade to executor-local (scale ratios were
+    // already gate-consistent on both sides, but absolute times shouldn't
+    // carry verify-only I/O either)
+    OracleInputs.durable = false
     val d = "/root/testdata/sf0.1"
 
     if (args.headOption.contains("time")) {

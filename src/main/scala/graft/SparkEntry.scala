@@ -76,6 +76,7 @@ object SparkEntry {
     "q_top_terms_per_lang"  -> (TextOps.topTermsPerLang _),
     "q_quality_score"       -> (TextOps.qualityScore _),
     "q_lang_id"             -> (TextOps.langId _),
+    "q_lang_id_script"      -> (TextOps.langIdScript _),
     "q_dedup_exact_text"    -> (TextOps.dedupExactText _),
     "q_dedup_clusters"      -> (GraphOps.dedupClusters _),
     "q_dedup_minhash"       -> (TextOps.dedupMinhash _),
@@ -708,6 +709,33 @@ object SparkEntry {
         |       CAST(length(replace(text, ' ', '')) AS DOUBLE)
         |           / CAST(len(tokens) AS DOUBLE) AS mean_token_len
         |FROM tok ORDER BY doc_id""".stripMargin,
+    // script-histogram lang ID: per-script codepoint counts over the same
+    // CJK enrichment, replayed with identical character-class strips
+    // (all ranges are single-unit BMP, so UTF-16 length == codepoint
+    // length); strict-argmax guess with ties -> 'und'
+    "q_lang_id_script" ->
+      """WITH ex AS (
+        |    SELECT doc_id,
+        |           CASE WHEN doc_id % 3 = 0
+        |                THEN text || ' 안녕 세계' ||
+        |                     repeat('中', CAST(doc_id % 4 + 1 AS INT)) || 'tail'
+        |                ELSE text END AS enriched
+        |    FROM documents
+        |), scored AS (
+        |    SELECT doc_id,
+        |      CAST(length(regexp_replace(enriched, '[^一-鿿]', '', 'g')) AS INTEGER) AS han_chars,
+        |      CAST(length(regexp_replace(enriched, '[^가-힯ᄀ-ᇿ㄰-㆏]', '', 'g')) AS INTEGER) AS hangul_chars,
+        |      CAST(length(regexp_replace(enriched, '[^぀-ヿ]', '', 'g')) AS INTEGER) AS kana_chars,
+        |      CAST(length(regexp_replace(enriched, '[^A-Za-z]', '', 'g')) AS INTEGER) AS latin_chars
+        |    FROM ex
+        |)
+        |SELECT doc_id, han_chars, hangul_chars, kana_chars, latin_chars,
+        |       CASE WHEN han_chars > greatest(hangul_chars, kana_chars, latin_chars) THEN 'han'
+        |            WHEN hangul_chars > greatest(han_chars, kana_chars, latin_chars) THEN 'hangul'
+        |            WHEN kana_chars > greatest(han_chars, hangul_chars, latin_chars) THEN 'kana'
+        |            WHEN latin_chars > greatest(han_chars, hangul_chars, kana_chars) THEN 'latin'
+        |            ELSE 'und' END AS script_guess
+        |FROM scored ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       """WITH tok AS (
         |    SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS tokens

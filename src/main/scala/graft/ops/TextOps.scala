@@ -102,6 +102,42 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Script-histogram language ID over the CJK-enriched corpus — the
+    * first-pass signal [[langId]]'s stopword vote cannot produce: CJK text
+    * has no spaces and no stopword list, but its Unicode script ranges
+    * identify it in one per-row regex pass (the standard pre-filter shape
+    * of production lang-ID). Counts are BMP codepoints per script (Han /
+    * Hangul incl. jamo / kana / Latin letters), guess is the strict
+    * argmax with ties → 'und'. Per-row expressions only — zero shuffle,
+    * linear at any corpus size; oracle replays the counts with the same
+    * character-class strips.
+    */
+  def langIdScript(s: SparkSession, d: String): DataFrame =
+    langIdScriptFor(t(s, d, "documents").withColumn("enriched", cjkEnriched))
+
+  /** [[langIdScript]] over any frame carrying (doc_id, enriched). */
+  private[graft] def langIdScriptFor(docs: DataFrame): DataFrame = {
+    // strip NON-members, count what remains: every range is single-unit
+    // BMP, so Spark's UTF-16 length == DuckDB's codepoint length
+    def cnt(ranges: String) =
+      length(regexp_replace(col("enriched"), s"[^$ranges]", ""))
+    val scored = docs
+      .select(col("doc_id"),
+        cnt("一-鿿").as("han_chars"),
+        cnt("가-힯ᄀ-ᇿ㄰-㆏").as("hangul_chars"),
+        cnt("぀-ヿ").as("kana_chars"),
+        cnt("A-Za-z").as("latin_chars"))
+    scored.select(
+      col("doc_id"), col("han_chars"), col("hangul_chars"),
+      col("kana_chars"), col("latin_chars"),
+      when(col("han_chars") > greatest(col("hangul_chars"), col("kana_chars"), col("latin_chars")), "han")
+        .when(col("hangul_chars") > greatest(col("han_chars"), col("kana_chars"), col("latin_chars")), "hangul")
+        .when(col("kana_chars") > greatest(col("han_chars"), col("hangul_chars"), col("latin_chars")), "kana")
+        .when(col("latin_chars") > greatest(col("han_chars"), col("hangul_chars"), col("kana_chars")), "latin")
+        .otherwise("und").as("script_guess"))
+      .orderBy("doc_id")
+  }
+
   /** Batch-local exact-dedup groups over any (doc_id, text) frame:
     * (text_hash, keep-lowest doc_id, duplicate count) — hash-groupBy, one
     * shuffle on the 256-bit digest, scales linearly. Shared by the batch

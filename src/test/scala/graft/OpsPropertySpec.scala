@@ -665,6 +665,30 @@ class OpsPropertySpec extends SparkSpec {
       .map(viaEval.getUTF8String(_).toString) == Seq("세계", "中", "tail"))
   }
 
+  test("script-histogram lang id: counts and argmax on crafted scripts") {
+    val docs = Seq(
+      (1L, "中文文本没有空格也没有停用词"),            // Han-dominant
+      (2L, "한국어 텍스트 입니다"),                    // Hangul-dominant
+      (3L, "ひらがなとカタカナのテキスト"),            // kana-dominant
+      (4L, "plain english text"),                      // Latin-dominant
+      (5L, "中文 and english 均分"),                   // compare mixed
+      (6L, ""))                                        // empty → und
+      .toDF("doc_id", "enriched")
+    val got = TextOps.langIdScriptFor(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getString(5))).toMap
+    assert(got(1L) == ((14, 0, 0, 0, "han")))
+    assert(got(2L)._5 == "hangul" && got(2L)._2 == 9)
+    assert(got(3L)._5 == "kana" && got(3L)._3 == 14)
+    assert(got(4L) == ((0, 0, 0, 16, "latin")))
+    assert(got(5L)._1 == 4 && got(5L)._4 == 10 && got(5L)._5 == "latin")
+    assert(got(6L) == ((0, 0, 0, 0, "und")))
+    // per-row only: the scoring plan must contain no shuffle
+    val plan = TextOps.langIdScriptFor(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") || plan.contains("rangepartitioning"),
+      s"script lang-id shuffled beyond the output sort:\n$plan")
+  }
+
   test("cjk fixture shape: base text is non-empty lowercase [a-z0-9 ]") {
     // The CJK oracles reconstruct the unicode token list from a whitespace
     // split of the base text — exact only under this precondition (the
