@@ -81,6 +81,7 @@ object SparkEntry {
     "q_dedup_clusters"      -> (GraphOps.dedupClusters _),
     "q_dedup_minhash"       -> (TextOps.dedupMinhash _),
     "q_dedup_survivors"     -> (TextOps.dedupSurvivors _),
+    "q_dedup_best_of_cluster" -> (TextOps.dedupBestOfCluster _),
     "q_simhash"             -> (TextOps.simhash _),
     "q_simhash_near_dup"    -> (TextOps.simhashNearDup _),
     "q_ngram_jaccard"       -> (TextOps.ngramJaccard _),
@@ -335,6 +336,35 @@ object SparkEntry {
         "norm_sq_micro" -> true)),
     "q_dedup_survivors" ->
       survivorOracle("text_pairs", "documents", "doc_id", "doc_id"),
+    // same closure, but the cluster representative is the BEST doc
+    // (most whitespace tokens, id tie-break) — the oracle replays the
+    // argmax over the same materialized pairs
+    "q_dedup_best_of_cluster" -> {
+      val path = OracleInputs.sqlPath("text_pairs_best")
+      s"""WITH RECURSIVE
+         |e AS (SELECT src, dst FROM read_parquet('$path/*.parquet')),
+         |sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+         |reach(id, r) AS (
+         |    SELECT doc_id, doc_id FROM documents
+         |    UNION
+         |    SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id
+         |),
+         |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |q AS (SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+         |      FROM documents),
+         |rep AS (
+         |    SELECT comp.cluster_id, comp.id,
+         |           row_number() OVER (PARTITION BY comp.cluster_id
+         |                              ORDER BY q.n_tokens DESC, comp.id ASC) AS rnk
+         |    FROM comp JOIN q ON q.doc_id = comp.id
+         |)
+         |SELECT c.id AS doc_id, r.id AS canonical_id,
+         |       CAST(CASE WHEN c.id = r.id THEN 1 ELSE 0 END AS INTEGER)
+         |           AS survives
+         |FROM comp c JOIN (SELECT cluster_id, id FROM rep WHERE rnk = 1) r
+         |     USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin
+    },
     "q_semantic_survivors" ->
       survivorOracle("vec_pairs", "embeddings", "vec_id", "vec_id"),
     "q_scan_projection" ->

@@ -674,6 +674,43 @@ object TextOps {
       t(s, d, "documents").select(col("doc_id").as("id")),
       idName = "doc_id")
 
+  /** Quality-aware dedup survivors: same minhash pairs → transitive
+    * closure as [[dedupSurvivors]], but each cluster KEEPS ITS BEST
+    * document (most tokens, doc_id tie-break) instead of its lowest id —
+    * what a real corpus dedup pass actually wants (dropping the longer,
+    * higher-quality copy because its id is larger throws away data). The
+    * cluster partition structure is identical to dedupSurvivors by
+    * construction (property-tested); only the representative choice
+    * differs. Split gate: pairs are materialized (hash-family, rows-only)
+    * and the closure + argmax-representative derivation is replayed by
+    * the oracle over the same rows.
+    *
+    * Scale shape: CC is the O(log diameter) checkpointed rounds; the
+    * quality join shuffles on id; the representative pick is one window
+    * per cluster key. Nothing all-pairs, nothing driver-side.
+    */
+  def dedupBestOfCluster(s: SparkSession, d: String): DataFrame = {
+    val pairs = graft.OracleInputs.checkpoint(
+      minhashCandidatePairs(s, d)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")),
+      d, "text_pairs_best")
+    val docs = t(s, d, "documents")
+    val comps = GraphOps.connectedComponents(pairs,
+      docs.select(col("doc_id").as("id")))
+    val quality = withTokens(docs)
+      .select(col("doc_id"), size(col("tokens")).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+      .orderBy(col("n_tokens").desc, col("id").asc)
+    val reps = comps.join(quality, comps("id") === quality("doc_id"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("cluster_id"), col("id").as("canonical_id"))
+    comps.join(reps, "cluster_id")
+      .select(col("id").as("doc_id"), col("canonical_id"),
+        (col("id") === col("canonical_id")).cast("int").as("survives"))
+      .orderBy("doc_id")
+  }
+
   /** Unicode-aware token counting over a CJK-enriched corpus — the
     * [[tokensOf]] unicode mode under the oracle gate. Every 3rd document
     * gains a deterministic mixed-script suffix: two space-delimited Hangul

@@ -665,6 +665,36 @@ class OpsPropertySpec extends SparkSpec {
       .map(viaEval.getUTF8String(_).toString) == Seq("세계", "中", "tail"))
   }
 
+  test("best-of-cluster dedup: same partition as min-id survivors, rep is argmax") {
+    val minId = TextOps.dedupSurvivors(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val best = TextOps.dedupBestOfCluster(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // identical cluster PARTITION: two docs share a min-id cluster iff
+    // they share a best-of cluster (same pairs, same closure)
+    val bestCanon = best.map(t => t._1 -> t._2).toMap
+    assert(minId.keySet == bestCanon.keySet)
+    assert(minId.groupBy(_._2).values.map(_.keys.toSet).toSet ==
+      bestCanon.groupBy(_._2).values.map(_.keys.toSet).toSet,
+      "cluster partition structure diverged between survivor variants")
+    // exactly one survivor per cluster, and it IS its own canonical
+    val survivors = best.filter(_._3 == 1)
+    assert(survivors.map(_._2).distinct.length == survivors.length)
+    assert(survivors.forall(t => t._1 == t._2))
+    // the representative maximizes token count within its cluster
+    // (doc_id tie-break ascending)
+    val nTokens = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    bestCanon.groupBy(_._2).foreach { case (canon, members) =>
+      val memberIds = members.keys.toSeq
+      val bestTok = memberIds.map(nTokens).max
+      val expected = memberIds.filter(nTokens(_) == bestTok).min
+      assert(canon == expected,
+        s"cluster of $memberIds picked $canon, expected $expected")
+    }
+  }
+
   test("script-histogram lang id: counts and argmax on crafted scripts") {
     val docs = Seq(
       (1L, "中文文本没有空格也没有停用词"),            // Han-dominant
