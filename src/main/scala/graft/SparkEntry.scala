@@ -112,6 +112,8 @@ object SparkEntry {
     "q_salient_terms"       -> ((s: SparkSession, d: String) => TextOps.salientTermsPerSource(s, d)),
     "q_salient_terms_cjk"   -> ((s: SparkSession, d: String) => TextOps.salientTermsCjk(s, d)),
     "q_decontaminate_cjk"   -> ((s: SparkSession, d: String) => TextOps.decontaminateCjk(s, d)),
+    "q_mean_token_freq"     -> (TextOps.meanTokenFreq _),
+    "q_token_budget_select" -> ((s: SparkSession, d: String) => SamplingOps.tokenBudgetSelect(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query. Omitted (→ rows-only check):
@@ -975,6 +977,42 @@ object SparkEntry {
         |SELECT doc_id, tokens,
         |       CAST((cum - tokens) // 512 AS BIGINT) AS seq_id
         |FROM c ORDER BY doc_id""".stripMargin,
+    // rarity filter core: numerator/denominator as exact integers
+    "q_mean_token_freq" ->
+      """WITH tok AS (
+        |    SELECT doc_id,
+        |           unnest(string_split_regex(trim(text), '\s+')) AS token
+        |    FROM documents
+        |), tf AS (
+        |    SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        |), cf AS (
+        |    SELECT token, SUM(tf) AS cf FROM tf GROUP BY 1
+        |)
+        |SELECT tf.doc_id,
+        |       CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(tf.tf * cf.cf) AS BIGINT) AS freq_sum
+        |FROM tf JOIN cf USING (token)
+        |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
+    // quality-ranked prefix that fits the token budget; the micro-ratio
+    // quality key is integer arithmetic on both sides (div / //)
+    "q_token_budget_select" ->
+      """WITH q AS (
+        |    SELECT doc_id, GREATEST(n_chars // 4, 1) AS tokens,
+        |           CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                    tk -> tk IN ('the', 'a', 'of', 'to', 'and')))
+        |                AS BIGINT) * 1000000
+        |             // CAST(len(string_split_regex(trim(text), '\s+'))
+        |                  AS BIGINT) AS qm
+        |    FROM documents
+        |), c AS (
+        |    SELECT doc_id, tokens,
+        |           SUM(tokens) OVER (ORDER BY qm DESC, doc_id
+        |               ROWS UNBOUNDED PRECEDING) AS cum
+        |    FROM q
+        |)
+        |SELECT doc_id, CAST(tokens AS BIGINT) AS n_tokens,
+        |       CAST(cum AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum <= 20000 ORDER BY doc_id""".stripMargin,
     "q_doc_fingerprint" ->
       """SELECT doc_id,
         |       list_reduce(

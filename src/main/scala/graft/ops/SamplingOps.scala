@@ -106,14 +106,16 @@ object SamplingOps {
     * and-boundary-invariant (property-tested), so the sketch's
     * approximation error can never affect output — only balance.
     */
-  private[graft] def equiDepthBucketed(docs: DataFrame, nBuckets: Int): DataFrame = {
+  private[graft] def equiDepthBucketed(docs: DataFrame, nBuckets: Int,
+                                       keyCol: String = "doc_id"): DataFrame = {
     if (nBuckets <= 1) return docs.withColumn("bucket", lit(0))
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val bounds = docs.stat.approxQuantile("doc_id", probs, 0.001)
-    // bucket = number of boundaries strictly below this id — monotone in
-    // doc_id, so buckets stay contiguous ranges (the prefix-sum invariant)
+    val bounds = docs.stat.approxQuantile(keyCol, probs, 0.001)
+    // bucket = number of boundaries strictly below this key — monotone in
+    // the key, so buckets stay contiguous ranges (the prefix-sum
+    // invariant); equal keys always share a bucket
     val bucket = bounds.distinct.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col("doc_id") > lit(b), 1).otherwise(0)
+      acc + when(col(keyCol) > lit(b), 1).otherwise(0)
     }
     docs.withColumn("bucket", bucket)
   }
@@ -227,4 +229,54 @@ object SamplingOps {
     exportAssignments(s, d, payload = Seq("text"))
       .sortWithinPartitions(col("shard"), col("shard_rank"))
       .write.mode("overwrite").partitionBy("shard").json(outDir)
+
+  /** Token-budget corpus selection: keep the highest-quality documents
+    * whose cumulative token count fits a fixed budget — the "fill a 1T-
+    * token training budget from a 10T-token corpus, best first" pass.
+    * Quality key = stopword micro-ratio (INTEGER: stop_cnt·1e6 div
+    * n_tokens, the shared [[graft.ops.TextOps.StopWords]] list so the
+    * signal can't diverge from the quality gate), descending, doc_id
+    * tie-break. A document is kept iff the running token total THROUGH it
+    * (in quality order) is ≤ budget — the selection is a prefix of the
+    * quality ranking by construction.
+    *
+    * Scale shape: the global running sum reuses the [[packTokens]]
+    * two-phase prefix sum, equi-depth-bucketed on the NEGATED quality key
+    * (monotone ⇒ contiguous buckets in quality order; equal keys share a
+    * bucket, so the doc_id tie-break stays inside one window): per-bucket
+    * totals (≤ nBuckets driver rows) → broadcast offsets → parallel
+    * within-bucket windows. Never a single-partition global window, and
+    * the approx-sketch boundaries can only affect balance, not output
+    * (bucket-count invariance is property-tested).
+    */
+  def tokenBudgetSelect(s: SparkSession, d: String, budget: Long = 20000L,
+                        nBuckets: Int = 32): DataFrame = {
+    val ws = split(trim(col("text")), "\\s+")
+    val stopCnt = size(filter(ws,
+      tk => tk.isin(graft.ops.TextOps.StopWords.map(x => x: Any): _*)))
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"),
+        expr("greatest(n_chars div 4, 1)").as("tokens"),
+        stopCnt.cast("long").as("stop_cnt"),
+        size(ws).cast("long").as("n_ws"))
+      // INTEGER micro-ratio (div, not /): float division's last bit could
+      // reorder a rank boundary between engines
+      .withColumn("qm", expr("stop_cnt * 1000000 div n_ws"))
+      .withColumn("q_neg", -col("qm"))
+      .drop("stop_cnt", "n_ws")
+    val bucketed = equiDepthBucketed(docs, nBuckets, keyCol = "q_neg")
+    val totals = bucketed.groupBy("bucket").agg(sum("tokens").as("tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _).init)
+    val offsetDf = s.createDataFrame(offsets.toSeq)
+      .toDF("bucket", "bucket_offset")
+    val w = Window.partitionBy("bucket").orderBy(col("q_neg"), col("doc_id"))
+    bucketed.join(broadcast(offsetDf), Seq("bucket"))
+      .withColumn("cum", col("bucket_offset") + sum("tokens").over(w))
+      .filter(col("cum") <= budget)
+      .select(col("doc_id"), col("tokens").as("n_tokens"),
+        col("cum").as("cum_tokens"))
+      .orderBy("doc_id")
+  }
 }

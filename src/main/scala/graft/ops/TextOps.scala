@@ -521,6 +521,33 @@ object TextOps {
       .orderBy("lang", "rnk")
   }
 
+  /** Per-document mean corpus-frequency signal — the integer core of a
+    * CCNet-style rarity filter: documents whose tokens are mostly
+    * corpus-rare (low `freq_sum / n_tokens`) are gibberish/boilerplate
+    * candidates; mostly corpus-common means natural running text. Emitted
+    * as the exact integer pair (numerator `freq_sum` = Σ over token
+    * occurrences of that token's corpus count, denominator `n_tokens`)
+    * per the int/int determinism contract — the consumer picks the ratio.
+    *
+    * Scale shape: explode → per-(doc, token) count with map-side combine
+    * (the only token-volume shuffle), corpus frequencies as a second agg
+    * over the same frame, joined back WITHOUT a broadcast hint — corpus
+    * vocabulary is unbounded (urls/typos), so AQE chooses broadcast vs
+    * token-keyed shuffle join at runtime. Final agg is doc-keyed. Nothing
+    * driver-side, nothing all-pairs.
+    */
+  def meanTokenFreq(s: SparkSession, d: String): DataFrame = {
+    val tf = withTokens(t(s, d, "documents"))
+      .select(col("doc_id"), explode(col("tokens")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy("token").agg(sum("tf").as("cf"))
+    tf.join(cf, "token")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"),
+        sum(col("tf") * col("cf")).as("freq_sum"))
+      .orderBy("doc_id")
+  }
+
   /** Salient terms per source — TF-IDF at source granularity, in INTEGER
     * arithmetic so both engines rank identically (a float idf's last bit
     * could flip a rank-boundary tie): score = tf_in_source × n_sources

@@ -997,6 +997,56 @@ class OpsPropertySpec extends SparkSpec {
     assert(rows(7) == rows(32)) // non-divisor bucket count too
   }
 
+  test("mean token freq: integer bounds and totals line up with text stats") {
+    val rows = TextOps.meanTokenFreq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every occurrence's corpus count ≥ its own contribution → freq_sum
+    // ≥ n_tokens, with equality iff every token is a corpus hapax
+    assert(rows.forall { case (_, n, f) => n >= 1 && f >= n })
+    // denominator column IS the whitespace token count (shared tokenizer)
+    val stats = TextOps.textStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    rows.foreach { case (id, n, _) => assert(n == stats(id)) }
+    // global identity: Σ_doc freq_sum = Σ_token cf² (count each token's
+    // occurrences once per occurrence of itself)
+    val cf = Tables.t(spark, sf, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy("token").count().collect().map(_.getLong(1))
+    assert(rows.map(_._3).sum == cf.map(c => c * c).sum)
+  }
+
+  test("token-budget select: quality-prefix, fits budget, bucket-invariant") {
+    import graft.ops.SamplingOps
+    val budget = 20000L
+    val got = SamplingOps.tokenBudgetSelect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // fits, and is maximal: the next doc in quality order would overflow
+    val total = got.map(_._2).sum
+    assert(total <= budget)
+    val all = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"),
+        expr("greatest(n_chars div 4, 1)").as("tokens"),
+        expr("""size(filter(split(trim(text), '\\s+'),
+                 tk -> tk IN ('the','a','of','to','and'))) * 1000000L
+                div size(split(trim(text), '\\s+'))""").as("qm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (id, _, q) => (-q, id) }
+    val selected = got.map(_._1).toSet
+    // the selection is exactly the maximal fitting PREFIX of quality order
+    val prefix = all.scanLeft(0L)(_ + _._2).tail.zip(all)
+      .takeWhile(_._1 <= budget).map(_._2._1).toSet
+    assert(selected == prefix,
+      s"selection is not the quality prefix: ${selected.size} vs ${prefix.size}")
+    // cum_tokens replays the running sum in (qm desc, id) order
+    val cums = all.scanLeft(0L)(_ + _._2).tail.zip(all)
+      .map { case (c, (id, _, _)) => id -> c }.toMap
+    got.foreach { case (id, _, c) => assert(c == cums(id)) }
+    // parallel two-phase prefix sum ≡ the nBuckets=1 sequential reference
+    val seq1 = SamplingOps.tokenBudgetSelect(spark, sf, nBuckets = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.toSeq == seq1)
+  }
+
   test("packing buckets stay equi-depth under a skewed id distribution") {
     import graft.ops.SamplingOps
     // one far outlier inflates the id SPAN 1000× — range bucketing would
