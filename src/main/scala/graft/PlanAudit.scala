@@ -31,7 +31,8 @@ object PlanAudit {
       "q_decontaminate_cjk", "q_salient_terms_cjk",
       // round-7 additions: rarity signal, quality-prefix budget selection,
       // best-of-cluster dedup
-      "q_mean_token_freq", "q_token_budget_select", "q_dedup_best_of_cluster")
+      "q_mean_token_freq", "q_token_budget_select", "q_dedup_best_of_cluster",
+      "q_dedup_incremental")
     // Plan-only overrides: q_embedding_near_dup's default construction
     // sizes its adaptive banding with a Spark job (persist + count of the
     // sketch); an explicit bandBits keeps the audit lazy and the plan
@@ -76,7 +77,13 @@ object PlanAudit {
           .select(org.apache.spark.sql.functions.col("vec_id").as("probe_id"),
             org.apache.spark.sql.functions.col("embedding").as("probe_vec"))
         ops.VectorOps.ivfSearch(assignments, centroids, probes)
-      })
+      },
+      // the registered form materializes gate inputs; the plan worth
+      // auditing is the PRODUCTION probe against the persisted bucketed
+      // band index (one small index build — same unavoidable-
+      // materialization class as the bucketed-join tables)
+      "q_dedup_incremental" ->
+        ops.IncrementalDedup.dedupIncrementJoined(spark, d))
     // q_join_bucketed stays un-overridden BY DESIGN: a bucketed-join plan
     // cannot exist without bucketed tables in the catalog (the layout IS
     // catalog metadata), so the audit pays the two small writes — same

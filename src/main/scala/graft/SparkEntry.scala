@@ -114,6 +114,7 @@ object SparkEntry {
     "q_decontaminate_cjk"   -> ((s: SparkSession, d: String) => TextOps.decontaminateCjk(s, d)),
     "q_mean_token_freq"     -> (TextOps.meanTokenFreq _),
     "q_token_budget_select" -> ((s: SparkSession, d: String) => SamplingOps.tokenBudgetSelect(s, d)),
+    "q_dedup_incremental"   -> (IncrementalDedup.dedupIncrement _),
   )
 
   /** DuckDB-dialect oracle SQL per query. Omitted (→ rows-only check):
@@ -365,6 +366,32 @@ object SparkEntry {
          |           AS survives
          |FROM comp c JOIN (SELECT cluster_id, id FROM rep WHERE rnk = 1) r
          |     USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+    // incremental dedup: the engine materializes the persisted index's
+    // CONTENT and the batch's band keys; the oracle replays the probe
+    // join + per-doc aggregation over the same rows (batch universe from
+    // the documents table so band-less short docs appear as survivors)
+    "q_dedup_incremental" -> {
+      val cb = OracleInputs.sqlPath("inc_corpus_bands")
+      val bb = OracleInputs.sqlPath("inc_batch_bands")
+      s"""WITH m AS (
+         |    SELECT b.doc_id, c.doc_id AS corpus_id
+         |    FROM read_parquet('$bb/*.parquet') b
+         |    JOIN read_parquet('$cb/*.parquet') c
+         |      ON b.band_idx = c.band_idx AND b.band_hash = c.band_hash
+         |    GROUP BY 1, 2
+         |), agg AS (
+         |    SELECT doc_id, COUNT(*) AS n_matches, MIN(corpus_id) AS m_min
+         |    FROM m GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |       CAST(COALESCE(agg.n_matches, 0) AS BIGINT) AS n_matches,
+         |       CAST(COALESCE(agg.m_min, d.doc_id) AS BIGINT) AS match_min_id,
+         |       CAST(CASE WHEN agg.doc_id IS NULL THEN 1 ELSE 0 END
+         |            AS INTEGER) AS survives
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+         |LEFT JOIN agg USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
     "q_semantic_survivors" ->

@@ -181,11 +181,7 @@ object TextOps {
     // specific (rows-only), but the hot-bucket cap + band self-join +
     // canonical distinct downstream are deterministic and hash-gated
     // against the oracle's recomputation over these same rows.
-    val banded = graft.OracleInputs.checkpoint(
-      sigs.select(col("doc_id"),
-        posexplode(array((0 until Bands).map(b =>
-          xxhash64((0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}")): _*)): _*))
-          .as(Seq("band_idx", "band_hash"))),
+    val banded = graft.OracleInputs.checkpoint(bandsOfSignatures(sigs),
       d, "minhash_banded")
     // Hot-bucket guard (same rationale as VectorOps.nearDupPairs): a band
     // hash shared by >cap docs (boilerplate, empty text) would expand
@@ -205,6 +201,22 @@ object TextOps {
   val Bands = 4
   val RowsPerBand = 4
   val MaxBucketSize = 1024
+
+  /** (doc_id, band_idx, band_hash) LSH band keys from a signature frame —
+    * the ONE band construction, shared by the batch self-join above and
+    * the persisted incremental index ([[IncrementalDedup]]) so an index
+    * built today stays joinable against a batch banded tomorrow.
+    */
+  private[graft] def bandsOfSignatures(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(b =>
+        xxhash64((0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}")): _*)): _*))
+        .as(Seq("band_idx", "band_hash")))
+
+  /** Band keys straight from a (doc_id, text) frame. */
+  private[graft] def bandsOfDocs(docs: DataFrame): DataFrame =
+    bandsOfSignatures(minhashSignatures(
+      docs.withColumn("tokens", tokensOf(col("text")))))
 
   /** doc_id + sig_0..sig_15 minhash signature columns from a `tokens` array.
     *

@@ -1047,6 +1047,63 @@ class OpsPropertySpec extends SparkSpec {
     assert(got.toSeq == seq1)
   }
 
+  test("incremental dedup: joined ≡ gated form, corpus side never re-shuffles") {
+    import graft.ops.IncrementalDedup
+    val joined = IncrementalDedup.dedupIncrementJoined(spark, sf)
+    // the whole point of the persisted bucketed index: probing it shuffles
+    // only the batch side — the index scan carries no exchange. At fixture
+    // scale AQE broadcasts the batch (also corpus-exchange-free); disable
+    // broadcast to pin the 100 TB shape: bucketed SMJ, ONE band exchange.
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = IncrementalDedup.dedupIncrementJoined(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(800))
+      assert(plan.contains("SelectedBucketsCount"), plan.take(1500))
+      val bandExchanges = "Exchange hashpartitioning\\(band_idx".r
+        .findAllIn(plan).size
+      assert(bandExchanges == 1,
+        s"expected only the batch-side band exchange, got $bandExchanges:\n${plan.take(1500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    // and the gate (checkpointed) form computes identical verdicts
+    val a = joined.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    val b = IncrementalDedup.dedupIncrement(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(a == b, "gate plumbing changed the verdicts")
+    // every match cites a real corpus doc (never a batch id)
+    a.filter(_._4 == 0).foreach { case (id, n, m, _) =>
+      assert(n >= 1 && m % 3 != 0, s"doc $id matched non-corpus id $m")
+    }
+  }
+
+  test("incremental dedup: appending the batch makes it self-match") {
+    import graft.ops.IncrementalDedup
+    IncrementalDedup.dedupIncrementJoined(spark, sf) // ensure index
+    val batch = IncrementalDedup.batchDocs(spark, sf)
+    IncrementalDedup.appendBatch(spark, sf, batch)
+    try {
+      val after = IncrementalDedup.dedupIncrementJoined(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      val banded = graft.ops.TextOps.bandsOfDocs(batch)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      after.foreach { case (id, n, m, sv) =>
+        if (banded(id)) {
+          // its own bands are now in the index: must match, and the lowest
+          // matching id can only be ≤ itself
+          assert(sv == 0 && n >= 1 && m <= id, s"doc $id: n=$n m=$m sv=$sv")
+        } else {
+          assert(sv == 1 && m == id, s"band-less doc $id should survive")
+        }
+      }
+    } finally {
+      // rebuild the pristine index so later tests in this session see the
+      // corpus-only state (the WeakHashMap would otherwise skip the build)
+      spark.sql(s"DROP TABLE IF EXISTS `${IncrementalDedup.IndexDb}`.`${IncrementalDedup.IndexTable}`")
+    }
+  }
+
   test("packing buckets stay equi-depth under a skewed id distribution") {
     import graft.ops.SamplingOps
     // one far outlier inflates the id SPAN 1000× — range bucketing would
