@@ -239,7 +239,13 @@ object PerfProbe {
         // round-6 additions: partition-scoped merge (write volume bounded
         // by the touched partition, not the table) and unicode tokenization
         // (per-row expression — linear by construction)
-        "q_mode_merge_partitioned", "q_token_count_cjk")
+        "q_mode_merge_partitioned", "q_token_count_cjk",
+        // round-7 additions: rarity signal (explode + two aggs + AQE join),
+        // budget selection (two-phase prefix sum on the quality key),
+        // best-of-cluster (CC + one window), incremental probe against the
+        // in-session band index (batch-side-only shuffle)
+        "q_mean_token_freq", "q_token_budget_select",
+        "q_dedup_best_of_cluster", "q_dedup_incremental")
       // SPARK_GRAFT_SCALE_ONLY=a,b,c re-probes a subset after a targeted fix
       // without paying the full sweep
       val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
