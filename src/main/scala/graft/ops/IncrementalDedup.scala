@@ -55,14 +55,24 @@ object IncrementalDedup {
   private val builtFrom =
     new java.util.WeakHashMap[SparkSession, String]()
 
+  /** (Re)build the bucketed index from an arbitrary corpus frame —
+    * overwrites any previous index. The streaming ingest sink and custom
+    * pipelines call this directly; the fixture queries go through
+    * [[ensureIndex]].
+    */
+  def buildIndexFrom(corpus: DataFrame): String = {
+    graft.store.Warehouse.saveBucketed(indexBands(corpus),
+      IndexDb, IndexTable, Seq("band_idx", "band_hash"),
+      numBuckets = IndexBuckets)
+    s"$IndexDb.$IndexTable"
+  }
+
   private[graft] def ensureIndex(s: SparkSession, d: String): String =
     builtFrom.synchronized {
       val fqn = s"$IndexDb.$IndexTable"
       if (builtFrom.get(s) != d || !s.catalog.tableExists(fqn)) {
         val t0 = System.nanoTime()
-        graft.store.Warehouse.saveBucketed(indexBands(corpusDocs(s, d)),
-          IndexDb, IndexTable, Seq("band_idx", "band_hash"),
-          numBuckets = IndexBuckets)
+        buildIndexFrom(corpusDocs(s, d))
         builtFrom.put(s, d)
         System.err.println(f"[incrementalDedup] band-index build (one-time, " +
           f"amortized across batches): ${(System.nanoTime() - t0) / 1e9}%.3f s")
@@ -132,13 +142,22 @@ object IncrementalDedup {
     * index; exactly-once batch tracking belongs to the caller's ledger.
     */
   def appendBatch(s: SparkSession, d: String, batch: DataFrame): Unit = {
-    val fqn = ensureIndex(s, d)
+    ensureIndex(s, d)
+    appendBands(s, batch)
+  }
+
+  /** Fold a docs frame's bands into an EXISTING index (fails loudly when
+    * no index was built — silent creation here would leave an un-bucketed
+    * table the probe join can't read in place).
+    */
+  def appendBands(s: SparkSession, batch: DataFrame): Unit = {
+    require(s.catalog.tableExists(s"$IndexDb.$IndexTable"),
+      s"appendBands: no band index at $IndexDb.$IndexTable — build one " +
+        "with buildIndexFrom first")
     indexBands(batch)
       .write.mode("append").format("parquet")
       .bucketBy(IndexBuckets, "band_idx", "band_hash")
       .sortBy("band_idx", "band_hash")
       .saveAsTable(s"`$IndexDb`.`$IndexTable`")
-    // fqn referenced to keep the ensure-before-append ordering explicit
-    require(s.catalog.tableExists(fqn))
   }
 }

@@ -275,6 +275,50 @@ object StreamingOps {
       .filter(graft.ops.TextOps.qualityGate)
       .drop(graft.ops.TextOps.GateCols: _*)
 
+  /** Streaming NEAR-dup ingest against the persisted minhash band index
+    * (graft.ops.IncrementalDedup): per micro-batch, probe the index with
+    * the batch's bands, append the full verdict frame (doc_id, n_matches,
+    * match_min_id, survives) to an audit log, and fold the SURVIVORS'
+    * bands into the index — so later triggers dedup against both the
+    * historical corpus and every earlier trigger's novel documents, while
+    * near-dups of already-seen content never become index content
+    * (first-occurrence-canonical, the same keep-first rule as the exact
+    * paths). Streaming state: NONE — the index table is the state, and
+    * per-trigger work is the batch-side-only probe join + one bounded
+    * append. The exact-dup legs ([[sinkDedupedLog]] /
+    * [[dedupWithinWatermark]]) remain the cheap first line; this sink is
+    * the fuzzy second line. Requires an index built beforehand
+    * (IncrementalDedup.buildIndexFrom — probing a missing index fails
+    * loudly rather than silently admitting everything).
+    */
+  def sinkIncrementalNearDup(docs: DataFrame, db: String, table: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.toDF()
+        val idx = graft.ops.IncrementalDedup.IndexDb + "." +
+          graft.ops.IncrementalDedup.IndexTable
+        require(s.catalog.tableExists(idx),
+          s"sinkIncrementalNearDup: no band index at $idx")
+        val verdicts = graft.ops.IncrementalDedup.incrementAgainst(
+          s.table(idx), graft.ops.TextOps.bandsOfDocs(b), b)
+        graft.store.Warehouse.load(s, verdicts, db, table,
+          graft.store.LoadMode.WatermarkAppend)
+        // at-least-once: a replayed trigger re-probes an index that may
+        // already hold its bands — its docs then self-match and the log
+        // gains a second (matched) verdict row for them. Readers wanting
+        // exactly-once verdicts resolve per doc_id by survives DESC /
+        // first write (same read-side-resolution contract as
+        // [[dedupedCorpus]]); the index itself only double-counts bands,
+        // which changes no future verdict (matches are distinct-counted)
+        graft.ops.IncrementalDedup.appendBands(s,
+          b.join(verdicts.filter(col("survives") === 1).select("doc_id"),
+            Seq("doc_id"), "left_semi"))
+      }
+      .start()
+
   /** Scheduled wiring for the log compaction — the maintenance cadence an
     * always-on ingest stream needs, composed like the IVF index refresh.
     */

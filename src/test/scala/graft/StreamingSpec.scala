@@ -307,4 +307,42 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(after == Map("1970-01-02" -> 2L))
   }
+
+  test("streaming near-dup sink: probes the index, survivors join it for later triggers") {
+    import graft.ops.IncrementalDedup
+    implicit val sq = spark.sqlContext
+    // historical corpus: two docs already indexed
+    IncrementalDedup.buildIndexFrom(Seq(
+      (1001L, "alpha beta gamma delta"),
+      (1002L, "one two three four five")).toDF("doc_id", "text"))
+    try {
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamingOps.sinkIncrementalNearDup(
+        mem.toDF().toDF("doc_id", "text"), "stream_inc", "near_dup_log")
+      // trigger 1: an exact dup of corpus doc 1001 + a novel doc
+      mem.addData((1L, "alpha beta gamma delta"),
+        (2L, "red green blue yellow orange"))
+      q.processAllAvailable()
+      // trigger 2: a dup of trigger 1's SURVIVOR (not in the original
+      // corpus — caught only because the survivor's bands were appended)
+      // + another novel doc
+      mem.addData((3L, "red green blue yellow orange"),
+        (4L, "cat dog mouse horse cow"))
+      q.processAllAvailable(); q.stop()
+      val log = spark.table("stream_inc.near_dup_log").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toMap
+      assert(log(1L)._3 == 0 && log(1L)._2 == 1001L,
+        s"doc 1 should match corpus doc 1001: ${log(1L)}")
+      assert(log(2L) == ((0L, 2L, 1)), s"doc 2 should survive: ${log(2L)}")
+      assert(log(3L)._3 == 0 && log(3L)._2 == 2L,
+        s"doc 3 should match trigger-1 survivor 2: ${log(3L)}")
+      assert(log(4L) == ((0L, 4L, 1)), s"doc 4 should survive: ${log(4L)}")
+    } finally {
+      // this test overwrote the shared fixture index — drop it so the
+      // batch incremental-dedup tests rebuild the corpus-only state
+      spark.sql(s"DROP TABLE IF EXISTS `${IncrementalDedup.IndexDb}`.`${IncrementalDedup.IndexTable}`")
+      spark.sql("DROP TABLE IF EXISTS `stream_inc`.`near_dup_log`")
+    }
+  }
 }
