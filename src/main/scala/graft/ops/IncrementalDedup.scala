@@ -12,8 +12,10 @@ import graft.Tables.t
   * batch — the build paid the one hash exchange when it bucketed the
   * index, so every increment's join reads corpus buckets in place and
   * shuffles only the (small) batch side. Mirrors the reference's
-  * incremental-load split (cf. `/root/reference` extraction watermark
-  * modes): a full pass establishes state, increments touch only the delta.
+  * incremental-load split (watermark extraction,
+  * mozart_etl/lib/extract/connectors/base.py:69-79: a full pass
+  * establishes state, increments touch only the delta) lifted from row
+  * ingestion to near-dup detection.
   *
   * Banding is [[TextOps.bandsOfDocs]] — the SAME construction as the
   * batch self-join operator, so index and probe keys can never drift.
@@ -145,6 +147,22 @@ object IncrementalDedup {
     ensureIndex(s, d)
     appendBands(s, batch)
   }
+
+  /** Scheduled index rebuild — the maintenance cadence an always-appending
+    * index needs (appends accumulate replayed/duplicate bands and newly-hot
+    * buckets that per-append pruning can't see globally; a periodic rebuild
+    * from the current canonical corpus re-anchors size and re-applies the
+    * hot-bucket cap corpus-wide). Same composition as the IVF refresh and
+    * the dedup-log compaction entries.
+    */
+  def indexRebuildEntry(id: String, cronExpr: String,
+                        corpus: SparkSession => DataFrame)
+      : graft.pipeline.ScheduleRunner.Entry =
+    graft.pipeline.ScheduleRunner.Entry(id,
+      graft.pipeline.CronSchedule.parse(cronExpr),
+      (s, _) => { buildIndexFrom(corpus(s)); () },
+      name = "band_index_rebuild", target = s"$IndexDb.$IndexTable",
+      tags = Map("pipeline" -> "incremental-dedup"))
 
   /** Fold a docs frame's bands into an EXISTING index (fails loudly when
     * no index was built — silent creation here would leave an un-bucketed

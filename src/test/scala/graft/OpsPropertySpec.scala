@@ -1104,6 +1104,34 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("band-index rebuild entry re-anchors the index after appends") {
+    import graft.ops.IncrementalDedup
+    val corpus = Seq((1L, "alpha beta gamma delta"),
+      (2L, "one two three four five")).toDF("doc_id", "text")
+    val fqn = s"`${IncrementalDedup.IndexDb}`.`${IncrementalDedup.IndexTable}`"
+    IncrementalDedup.buildIndexFrom(corpus)
+    try {
+      val base = spark.table(fqn).count()
+      assert(base > 0)
+      // a replayed append double-counts bands — verdicts unchanged, size not
+      IncrementalDedup.appendBands(spark, corpus)
+      assert(spark.table(fqn).count() == 2 * base)
+      import java.time.LocalDateTime
+      val entry = IncrementalDedup.indexRebuildEntry(
+        "band-rebuild", "0 4 * * *", _ => corpus)
+      entry.run(spark, graft.pipeline.ScheduleRunner.FireWindow(
+        LocalDateTime.parse("2026-01-01T04:00:00"),
+        LocalDateTime.parse("2026-01-01T04:00:00")))
+      assert(spark.table(fqn).count() == base,
+        "rebuild should re-anchor the index to the corpus band count")
+      // appending to a missing index fails loudly, never silently creates
+      spark.sql(s"DROP TABLE IF EXISTS $fqn")
+      intercept[IllegalArgumentException] {
+        IncrementalDedup.appendBands(spark, corpus)
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $fqn")
+  }
+
   test("packing buckets stay equi-depth under a skewed id distribution") {
     import graft.ops.SamplingOps
     // one far outlier inflates the id SPAN 1000× — range bucketing would
