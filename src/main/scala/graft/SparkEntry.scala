@@ -115,6 +115,7 @@ object SparkEntry {
     "q_mean_token_freq"     -> (TextOps.meanTokenFreq _),
     "q_token_budget_select" -> ((s: SparkSession, d: String) => SamplingOps.tokenBudgetSelect(s, d)),
     "q_dedup_incremental"   -> (IncrementalDedup.dedupIncrement _),
+    "q_cluster_sample"      -> ((s: SparkSession, d: String) => VectorOps.clusterBalancedSample(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query. Omitted (→ rows-only check):
@@ -396,6 +397,20 @@ object SparkEntry {
     },
     "q_semantic_survivors" ->
       survivorOracle("vec_pairs", "embeddings", "vec_id", "vec_id"),
+    // cluster-balanced sample: assignments are quantizer-specific
+    // (materialized); the per-cell md5-permutation top-k is replayed
+    "q_cluster_sample" -> {
+      val p = OracleInputs.sqlPath("cell_assignments")
+      s"""WITH ranked AS (
+         |    SELECT cell, vec_id,
+         |           row_number() OVER (PARTITION BY cell
+         |               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+         |             AS sample_rank
+         |    FROM read_parquet('$p/*.parquet')
+         |)
+         |SELECT cell, sample_rank, vec_id FROM ranked
+         |WHERE sample_rank <= 5 ORDER BY cell, sample_rank""".stripMargin
+    },
     "q_scan_projection" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,

@@ -281,6 +281,34 @@ object VectorOps {
     (assignments, centroidDf)
   }
 
+  /** Cluster-balanced corpus downsampling: keep a deterministic k per IVF
+    * cell — the coverage-preserving subsample (every embedding-space
+    * region keeps representatives; uniform sampling would thin sparse
+    * regions to zero exactly where diversity lives). Within each cell the
+    * pick is the md5(vec_id) permutation with id tie-break — the SAME
+    * engine-independent sampling order as the stratified text sampler, so
+    * the oracle replays it verbatim over the materialized assignments.
+    * Split gate: cell assignment is quantizer-specific (rows-only,
+    * materialized); the per-cell permutation top-k is hash-gated.
+    *
+    * Scale shape: assignment inherits the IVF build (broadcast centroids,
+    * corpus never exchanged on the cell key); the top-k filter compiles
+    * to WindowGroupLimit — map-side per-cell limits before the one hash
+    * exchange on `cell`. Never a global sort.
+    */
+  def clusterBalancedSample(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val (assignments, _) = ivfIndex(t(s, d, "embeddings"))
+    val assign = graft.OracleInputs.checkpoint(
+      assignments.select("vec_id", "cell"), d, "cell_assignments")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+    assign
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+      .select("cell", "sample_rank", "vec_id")
+      .orderBy("cell", "sample_rank")
+  }
+
   /** Names of the persisted IVF index tables ([[buildIvfIndex]]). */
   val IvfAssignmentsTable = "ivf_assignments"
   val IvfCentroidsTable = "ivf_centroids"

@@ -1104,6 +1104,30 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("cluster-balanced sample: every populated cell keeps ≤k reps, group-limit plan") {
+    val k = 5
+    val df = VectorOps.clusterBalancedSample(spark, sf, k)
+    val rows = df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    // ≤ k per cell, ranks dense from 1
+    rows.groupBy(_._1).foreach { case (cell, members) =>
+      assert(members.length <= k)
+      assert(members.map(_._2).sorted.toSeq == (1 to members.length),
+        s"cell $cell ranks not dense: ${members.map(_._2).sorted.toSeq}")
+    }
+    // coverage: the sample spans every populated cell of the SAME index
+    val (assignments, _) = VectorOps.ivfIndex(
+      Tables.t(spark, sf, "embeddings"))
+    val cells = assignments.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(rows.map(_._1).toSet == cells,
+      "sample missed a populated cell — uniform-thinning is the bug this op exists to avoid")
+    // the per-cell top-k must push down as a group limit (no global sort
+    // before the window's single cell-keyed exchange)
+    val plan = VectorOps.clusterBalancedSample(spark, sf, k)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(1200))
+  }
+
   test("band-index rebuild entry re-anchors the index after appends") {
     import graft.ops.IncrementalDedup
     val corpus = Seq((1L, "alpha beta gamma delta"),
