@@ -32,7 +32,7 @@ object PlanAudit {
       // round-7 additions: rarity signal, quality-prefix budget selection,
       // best-of-cluster dedup
       "q_mean_token_freq", "q_token_budget_select", "q_dedup_best_of_cluster",
-      "q_dedup_incremental", "q_cluster_sample")
+      "q_dedup_incremental", "q_cluster_sample", "q_budget_mix")
     // Plan-only overrides: q_embedding_near_dup's default construction
     // sizes its adaptive banding with a Spark job (persist + count of the
     // sketch); an explicit bandBits keeps the audit lazy and the plan

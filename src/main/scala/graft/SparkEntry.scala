@@ -116,6 +116,7 @@ object SparkEntry {
     "q_token_budget_select" -> ((s: SparkSession, d: String) => SamplingOps.tokenBudgetSelect(s, d)),
     "q_dedup_incremental"   -> (IncrementalDedup.dedupIncrement _),
     "q_cluster_sample"      -> ((s: SparkSession, d: String) => VectorOps.clusterBalancedSample(s, d)),
+    "q_budget_mix"          -> ((s: SparkSession, d: String) => SamplingOps.budgetMix(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query. Omitted (→ rows-only check):
@@ -1055,6 +1056,26 @@ object SparkEntry {
         |SELECT doc_id, CAST(tokens AS BIGINT) AS n_tokens,
         |       CAST(cum AS BIGINT) AS cum_tokens
         |FROM c WHERE cum <= 20000 ORDER BY doc_id""".stripMargin,
+    // per-source quality-prefix budget fill (same integer quality key)
+    "q_budget_mix" ->
+      """WITH q AS (
+        |    SELECT doc_id, source, GREATEST(n_chars // 4, 1) AS tokens,
+        |           CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                    tk -> tk IN ('the', 'a', 'of', 'to', 'and')))
+        |                AS BIGINT) * 1000000
+        |             // CAST(len(string_split_regex(trim(text), '\s+'))
+        |                  AS BIGINT) AS qm
+        |    FROM documents
+        |), c AS (
+        |    SELECT doc_id, source, tokens,
+        |           SUM(tokens) OVER (PARTITION BY source
+        |               ORDER BY qm DESC, doc_id
+        |               ROWS UNBOUNDED PRECEDING) AS cum
+        |    FROM q
+        |)
+        |SELECT doc_id, source, CAST(tokens AS BIGINT) AS n_tokens,
+        |       CAST(cum AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum <= 1000 ORDER BY doc_id""".stripMargin,
     "q_doc_fingerprint" ->
       """SELECT doc_id,
         |       list_reduce(

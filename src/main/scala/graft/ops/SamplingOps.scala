@@ -249,6 +249,55 @@ object SamplingOps {
     * the approx-sketch boundaries can only affect balance, not output
     * (bucket-count invariance is property-tested).
     */
+  /** Per-source token-budget fill: [[tokenBudgetSelect]]'s quality-prefix
+    * rule applied WITHIN each source under a per-source budget — the
+    * combined mixing + budget pass ("fill the run's budget at the declared
+    * source ratios, best documents first within each source"; production
+    * derives per-source budgets from a weights table, the fixture uses one
+    * constant so the oracle can replay it).
+    *
+    * Scale shape: the same two-phase prefix sum, now per source — the
+    * global equi-depth buckets on the negated quality key stay contiguous
+    * within every source (bucket is monotone in the key regardless of the
+    * partition column), per-(source, bucket) totals are ≤ sources×buckets
+    * driver rows, and the windows are keyed (source, bucket): one hash
+    * exchange, parallelism = sources×buckets, never a per-source global
+    * sort.
+    */
+  def budgetMix(s: SparkSession, d: String, perSourceBudget: Long = 1000L,
+                nBuckets: Int = 8): DataFrame = {
+    val ws = split(trim(col("text")), "\\s+")
+    val stopCnt = size(filter(ws,
+      tk => tk.isin(graft.ops.TextOps.StopWords.map(x => x: Any): _*)))
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("greatest(n_chars div 4, 1)").as("tokens"),
+        stopCnt.cast("long").as("stop_cnt"),
+        size(ws).cast("long").as("n_ws"))
+      .withColumn("qm", expr("stop_cnt * 1000000 div n_ws"))
+      .withColumn("q_neg", -col("qm"))
+      .drop("stop_cnt", "n_ws")
+    val bucketed = equiDepthBucketed(docs, nBuckets, keyCol = "q_neg")
+    val totals = bucketed.groupBy("source", "bucket")
+      .agg(sum("tokens").as("tot"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val offsets = totals.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.map(_._2).zip(sorted.map(_._3).scanLeft(0L)(_ + _).init)
+        .map { case (b, off) => (src, b, off) }
+    }
+    val offsetDf = s.createDataFrame(offsets)
+      .toDF("source", "bucket", "bucket_offset")
+    val w = Window.partitionBy("source", "bucket")
+      .orderBy(col("q_neg"), col("doc_id"))
+    bucketed.join(broadcast(offsetDf), Seq("source", "bucket"))
+      .withColumn("cum", col("bucket_offset") + sum("tokens").over(w))
+      .filter(col("cum") <= perSourceBudget)
+      .select(col("doc_id"), col("source"), col("tokens").as("n_tokens"),
+        col("cum").as("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
   def tokenBudgetSelect(s: SparkSession, d: String, budget: Long = 20000L,
                         nBuckets: Int = 32): DataFrame = {
     val ws = split(trim(col("text")), "\\s+")

@@ -1104,6 +1104,39 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("budget mix: per-source maximal quality prefix, bucket-invariant") {
+    import graft.ops.SamplingOps
+    val budget = 1000L
+    val got = SamplingOps.budgetMix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val all = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("greatest(n_chars div 4, 1)").as("tokens"),
+        expr("""size(filter(split(trim(text), '\\s+'),
+                 tk -> tk IN ('the','a','of','to','and'))) * 1000000L
+                div size(split(trim(text), '\\s+'))""").as("qm"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    all.groupBy(_._2).foreach { case (src, docs) =>
+      val ordered = docs.sortBy { case (id, _, _, q) => (-q, id) }
+      val prefix = ordered.map(_._3).scanLeft(0L)(_ + _).tail.zip(ordered)
+        .takeWhile(_._1 <= budget)
+      val expectedIds = prefix.map(_._2._1).toSet
+      val gotSrc = got.filter(_._2 == src)
+      assert(gotSrc.map(_._1).toSet == expectedIds,
+        s"source $src: selection is not its maximal quality prefix")
+      // cum_tokens replays the per-source running sum
+      val cums = prefix.map { case (c, (id, _, _, _)) => id -> c }.toMap
+      gotSrc.foreach { case (id, _, _, c) => assert(c == cums(id)) }
+    }
+    // every source with at least one short-enough doc is represented
+    assert(got.map(_._2).distinct.length ==
+      all.filter(_._3 <= budget).map(_._2).distinct.length)
+    // parallel two-phase ≡ the nBuckets=1 sequential reference
+    val seq1 = SamplingOps.budgetMix(spark, sf, nBuckets = 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.toSeq == seq1)
+  }
+
   test("cluster-balanced sample: every populated cell keeps ≤k reps, group-limit plan") {
     val k = 5
     val df = VectorOps.clusterBalancedSample(spark, sf, k)
