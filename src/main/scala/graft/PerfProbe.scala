@@ -245,7 +245,8 @@ object PerfProbe {
         // best-of-cluster (CC + one window), incremental probe against the
         // in-session band index (batch-side-only shuffle)
         "q_mean_token_freq", "q_token_budget_select",
-        "q_dedup_best_of_cluster", "q_dedup_incremental")
+        "q_dedup_best_of_cluster", "q_dedup_incremental",
+        "q_cluster_sample", "q_budget_mix")
       // SPARK_GRAFT_SCALE_ONLY=a,b,c re-probes a subset after a targeted fix
       // without paying the full sweep
       val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
