@@ -40,13 +40,28 @@ object IncrementalDedup {
   private[graft] def batchDocs(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").filter(expr("doc_id % 3 = 0"))
 
-  /** Corpus bands with hot buckets pruned — what the index stores. */
-  private[graft] def indexBands(docs: DataFrame): DataFrame = {
-    val bands = TextOps.bandsOfDocs(docs)
+  /** Hot-bucket pruning over an already-computed band frame. */
+  private[graft] def pruneHot(bands: DataFrame): DataFrame = {
     val hot = bands.groupBy("band_idx", "band_hash")
       .agg(count(lit(1)).as("n")).filter(col("n") > TextOps.MaxBucketSize)
       .select("band_idx", "band_hash")
     bands.join(broadcast(hot), Seq("band_idx", "band_hash"), "left_anti")
+  }
+
+  /** Corpus bands with hot buckets pruned — what the index stores. */
+  private[graft] def indexBands(docs: DataFrame): DataFrame =
+    pruneHot(TextOps.bandsOfDocs(docs))
+
+  /** Sign `docs` ONCE (persist), prune hot buckets, hand the pruned frame
+    * to `write`, release the cache. Without the persist the signature
+    * pipeline (shingle explode + 16 min-aggregates — the dominant cost)
+    * would run twice: once for the hot aggregation and once for the
+    * anti-join probe side.
+    */
+  private def withPrunedBands(docs: DataFrame)(write: DataFrame => Unit): Unit = {
+    val bands = TextOps.bandsOfDocs(docs).persist()
+    try write(pruneHot(bands))
+    finally bands.unpersist()
   }
 
   /** One bucketed index build per (session, sf dir) — same weak-keyed
@@ -63,9 +78,15 @@ object IncrementalDedup {
     * [[ensureIndex]].
     */
   def buildIndexFrom(corpus: DataFrame): String = {
-    graft.store.Warehouse.saveBucketed(indexBands(corpus),
-      IndexDb, IndexTable, Seq("band_idx", "band_hash"),
-      numBuckets = IndexBuckets)
+    // a rebuild invalidates whatever fixture dir the session's cached
+    // ensure-entry was built from — without this, a later fixture query
+    // would see builtFrom==d && tableExists and silently probe the
+    // foreign index this call just wrote
+    builtFrom.synchronized { builtFrom.remove(corpus.sparkSession) }
+    withPrunedBands(corpus)(pruned =>
+      graft.store.Warehouse.saveBucketed(pruned,
+        IndexDb, IndexTable, Seq("band_idx", "band_hash"),
+        numBuckets = IndexBuckets))
     s"$IndexDb.$IndexTable"
   }
 
@@ -172,10 +193,17 @@ object IncrementalDedup {
     require(s.catalog.tableExists(s"$IndexDb.$IndexTable"),
       s"appendBands: no band index at $IndexDb.$IndexTable — build one " +
         "with buildIndexFrom first")
-    indexBands(batch)
+    withPrunedBands(batch)(appendBandFrame(_))
+  }
+
+  /** Append an ALREADY-COMPUTED (and pruned/filtered) band frame — the
+    * streaming sink lands its persisted probe bands through this so the
+    * batch is never signed a second time.
+    */
+  private[graft] def appendBandFrame(bands: DataFrame): Unit =
+    bands
       .write.mode("append").format("parquet")
       .bucketBy(IndexBuckets, "band_idx", "band_hash")
       .sortBy("band_idx", "band_hash")
       .saveAsTable(s"`$IndexDb`.`$IndexTable`")
-  }
 }

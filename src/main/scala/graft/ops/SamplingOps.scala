@@ -233,99 +233,95 @@ object SamplingOps {
   /** Token-budget corpus selection: keep the highest-quality documents
     * whose cumulative token count fits a fixed budget — the "fill a 1T-
     * token training budget from a 10T-token corpus, best first" pass.
-    * Quality key = stopword micro-ratio (INTEGER: stop_cnt·1e6 div
-    * n_tokens, the shared [[graft.ops.TextOps.StopWords]] list so the
-    * signal can't diverge from the quality gate), descending, doc_id
-    * tie-break. A document is kept iff the running token total THROUGH it
-    * (in quality order) is ≤ budget — the selection is a prefix of the
-    * quality ranking by construction.
-    *
-    * Scale shape: the global running sum reuses the [[packTokens]]
-    * two-phase prefix sum, equi-depth-bucketed on the NEGATED quality key
-    * (monotone ⇒ contiguous buckets in quality order; equal keys share a
-    * bucket, so the doc_id tie-break stays inside one window): per-bucket
-    * totals (≤ nBuckets driver rows) → broadcast offsets → parallel
-    * within-bucket windows. Never a single-partition global window, and
-    * the approx-sketch boundaries can only affect balance, not output
-    * (bucket-count invariance is property-tested).
+    * A document is kept iff the running token total THROUGH it (in
+    * quality order) is ≤ budget — the selection is a prefix of the
+    * quality ranking by construction. See [[qualityPrefixSelect]] for the
+    * quality key and the distributed running-sum machinery.
     */
+  def tokenBudgetSelect(s: SparkSession, d: String, budget: Long = 20000L,
+                        nBuckets: Int = 32): DataFrame =
+    qualityPrefixSelect(t(s, d, "documents"), budget, nBuckets,
+      groupCols = Nil)
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("doc_id")
+
   /** Per-source token-budget fill: [[tokenBudgetSelect]]'s quality-prefix
     * rule applied WITHIN each source under a per-source budget — the
     * combined mixing + budget pass ("fill the run's budget at the declared
     * source ratios, best documents first within each source"; production
     * derives per-source budgets from a weights table, the fixture uses one
     * constant so the oracle can replay it).
-    *
-    * Scale shape: the same two-phase prefix sum, now per source — the
-    * global equi-depth buckets on the negated quality key stay contiguous
-    * within every source (bucket is monotone in the key regardless of the
-    * partition column), per-(source, bucket) totals are ≤ sources×buckets
-    * driver rows, and the windows are keyed (source, bucket): one hash
-    * exchange, parallelism = sources×buckets, never a per-source global
-    * sort.
     */
   def budgetMix(s: SparkSession, d: String, perSourceBudget: Long = 1000L,
-                nBuckets: Int = 8): DataFrame = {
-    val ws = split(trim(col("text")), "\\s+")
-    val stopCnt = size(filter(ws,
-      tk => tk.isin(graft.ops.TextOps.StopWords.map(x => x: Any): _*)))
-    val docs = t(s, d, "documents")
-      .select(col("doc_id"), col("source"),
-        expr("greatest(n_chars div 4, 1)").as("tokens"),
-        stopCnt.cast("long").as("stop_cnt"),
-        size(ws).cast("long").as("n_ws"))
-      .withColumn("qm", expr("stop_cnt * 1000000 div n_ws"))
-      .withColumn("q_neg", -col("qm"))
-      .drop("stop_cnt", "n_ws")
-    val bucketed = equiDepthBucketed(docs, nBuckets, keyCol = "q_neg")
-    val totals = bucketed.groupBy("source", "bucket")
-      .agg(sum("tokens").as("tot"))
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
-    val offsets = totals.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
-      val sorted = rows.sortBy(_._2)
-      sorted.map(_._2).zip(sorted.map(_._3).scanLeft(0L)(_ + _).init)
-        .map { case (b, off) => (src, b, off) }
-    }
-    val offsetDf = s.createDataFrame(offsets)
-      .toDF("source", "bucket", "bucket_offset")
-    val w = Window.partitionBy("source", "bucket")
-      .orderBy(col("q_neg"), col("doc_id"))
-    bucketed.join(broadcast(offsetDf), Seq("source", "bucket"))
-      .withColumn("cum", col("bucket_offset") + sum("tokens").over(w))
-      .filter(col("cum") <= perSourceBudget)
-      .select(col("doc_id"), col("source"), col("tokens").as("n_tokens"),
-        col("cum").as("cum_tokens"))
+                nBuckets: Int = 8): DataFrame =
+    qualityPrefixSelect(t(s, d, "documents"), perSourceBudget, nBuckets,
+      groupCols = Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"))
       .orderBy("doc_id")
-  }
 
-  def tokenBudgetSelect(s: SparkSession, d: String, budget: Long = 20000L,
-                        nBuckets: Int = 32): DataFrame = {
+  /** Shared core of [[tokenBudgetSelect]] (groupCols = Nil) and
+    * [[budgetMix]] (groupCols = Seq("source")) — one implementation so a
+    * fix to the quality key or the prefix sum can never silently miss one
+    * variant. Quality key = stopword micro-ratio (INTEGER: stop_cnt·1e6
+    * div n_tokens — div, not /: float division's last bit could reorder a
+    * rank boundary between engines; the shared
+    * [[graft.ops.TextOps.StopWords]] list keeps the signal aligned with
+    * the quality gate), descending, doc_id tie-break, running token sum
+    * per group, rows with running total ≤ budget survive.
+    *
+    * Scale shape: the [[packTokens]] two-phase prefix sum, equi-depth-
+    * bucketed on the NEGATED quality key — monotone, so buckets are
+    * contiguous in quality order WITHIN EVERY GROUP (bucket depends only
+    * on the key, equal keys share a bucket, so the doc_id tie-break stays
+    * inside one window). Per-(group, bucket) totals are ≤ groups×nBuckets
+    * driver rows → broadcast offsets → parallel windows keyed
+    * (group, bucket): one hash exchange, never a global (or per-group
+    * global) sort.
+    */
+  private def qualityPrefixSelect(docs0: DataFrame, budget: Long,
+                                  nBuckets: Int,
+                                  groupCols: Seq[String]): DataFrame = {
+    val s = docs0.sparkSession
     val ws = split(trim(col("text")), "\\s+")
     val stopCnt = size(filter(ws,
       tk => tk.isin(graft.ops.TextOps.StopWords.map(x => x: Any): _*)))
-    val docs = t(s, d, "documents")
-      .select(col("doc_id"),
-        expr("greatest(n_chars div 4, 1)").as("tokens"),
-        stopCnt.cast("long").as("stop_cnt"),
-        size(ws).cast("long").as("n_ws"))
-      // INTEGER micro-ratio (div, not /): float division's last bit could
-      // reorder a rank boundary between engines
+    val docs = docs0
+      .select(col("doc_id") +: groupCols.map(col) :+
+        expr("greatest(n_chars div 4, 1)").as("tokens") :+
+        stopCnt.cast("long").as("stop_cnt") :+
+        size(ws).cast("long").as("n_ws"): _*)
       .withColumn("qm", expr("stop_cnt * 1000000 div n_ws"))
       .withColumn("q_neg", -col("qm"))
       .drop("stop_cnt", "n_ws")
     val bucketed = equiDepthBucketed(docs, nBuckets, keyCol = "q_neg")
-    val totals = bucketed.groupBy("bucket").agg(sum("tokens").as("tot"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = totals.map(_._1)
-      .zip(totals.map(_._2).scanLeft(0L)(_ + _).init)
-    val offsetDf = s.createDataFrame(offsets.toSeq)
-      .toDF("bucket", "bucket_offset")
-    val w = Window.partitionBy("bucket").orderBy(col("q_neg"), col("doc_id"))
-    bucketed.join(broadcast(offsetDf), Seq("bucket"))
+    val keyCols = groupCols :+ "bucket"
+    val totals = bucketed.groupBy(keyCols.map(col): _*)
+      .agg(sum("tokens").as("tot")).collect()
+    val offsetRows = totals
+      .groupBy(r => groupCols.indices.map(r.get).toSeq).toSeq
+      .flatMap { case (gvals, rows) =>
+        val sorted = rows.sortBy(_.getAs[Int]("bucket"))
+        sorted.zip(sorted.map(_.getAs[Long]("tot")).scanLeft(0L)(_ + _).init)
+          // Seq[Any], NOT Seq(...): the inferred Seq[Long] would widen the
+          // Int bucket to Long and break the IntegerType schema slot
+          .map { case (r, off) => org.apache.spark.sql.Row.fromSeq(
+            gvals ++ Seq[Any](r.getAs[Int]("bucket"), off)) }
+      }
+    val offSchema = org.apache.spark.sql.types.StructType(
+      groupCols.map(c => bucketed.schema(c)) ++ Seq(
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("bucket_offset",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    val offsetDf = s.createDataFrame(offsetRows.asJava, offSchema)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("q_neg"), col("doc_id"))
+    bucketed.join(broadcast(offsetDf), keyCols)
       .withColumn("cum", col("bucket_offset") + sum("tokens").over(w))
       .filter(col("cum") <= budget)
-      .select(col("doc_id"), col("tokens").as("n_tokens"),
-        col("cum").as("cum_tokens"))
-      .orderBy("doc_id")
+      .withColumn("n_tokens", col("tokens"))
+      .withColumn("cum_tokens", col("cum"))
   }
 }

@@ -277,19 +277,31 @@ object StreamingOps {
 
   /** Streaming NEAR-dup ingest against the persisted minhash band index
     * (graft.ops.IncrementalDedup): per micro-batch, probe the index with
-    * the batch's bands, append the full verdict frame (doc_id, n_matches,
-    * match_min_id, survives) to an audit log, and fold the SURVIVORS'
-    * bands into the index — so later triggers dedup against both the
-    * historical corpus and every earlier trigger's novel documents, while
-    * near-dups of already-seen content never become index content
-    * (first-occurrence-canonical, the same keep-first rule as the exact
-    * paths). Streaming state: NONE — the index table is the state, and
-    * per-trigger work is the batch-side-only probe join + one bounded
-    * append. The exact-dup legs ([[sinkDedupedLog]] /
+    * the batch's bands AND the batch against its own lower-id bands
+    * (intra-trigger duplicates must not both survive), append the full
+    * verdict frame (doc_id, n_matches, match_min_id, survives) to an
+    * audit log, and fold the SURVIVORS' bands into the index — so later
+    * triggers dedup against both the historical corpus and every earlier
+    * trigger's novel documents, while near-dups of already-seen content
+    * never become index content (first-occurrence-canonical: within a
+    * trigger the LOWEST id of a duplicate group is the canon, matching
+    * the batch operators' keep-lowest rule). Streaming state: NONE — the
+    * index table is the state; per-trigger work is the batch signed ONCE
+    * (persisted band frame feeds the index probe, the intra-batch
+    * self-join, and the survivor append), two batch-keyed joins, one
+    * bounded append. The exact-dup legs ([[sinkDedupedLog]] /
     * [[dedupWithinWatermark]]) remain the cheap first line; this sink is
     * the fuzzy second line. Requires an index built beforehand
     * (IncrementalDedup.buildIndexFrom — probing a missing index fails
     * loudly rather than silently admitting everything).
+    *
+    * At-least-once: a replayed trigger re-probes an index that may
+    * already hold its bands — its docs then self-match and the log gains
+    * a second (matched) verdict row. Readers wanting exactly-once
+    * verdicts resolve per doc_id by first write (same read-side-
+    * resolution contract as [[dedupedCorpus]]); the index itself only
+    * double-counts bands, which changes no future verdict (matches are
+    * distinct-counted).
     */
   def sinkIncrementalNearDup(docs: DataFrame, db: String, table: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -302,20 +314,42 @@ object StreamingOps {
           graft.ops.IncrementalDedup.IndexTable
         require(s.catalog.tableExists(idx),
           s"sinkIncrementalNearDup: no band index at $idx")
-        val verdicts = graft.ops.IncrementalDedup.incrementAgainst(
-          s.table(idx), graft.ops.TextOps.bandsOfDocs(b), b)
-        graft.store.Warehouse.load(s, verdicts, db, table,
-          graft.store.LoadMode.WatermarkAppend)
-        // at-least-once: a replayed trigger re-probes an index that may
-        // already hold its bands — its docs then self-match and the log
-        // gains a second (matched) verdict row for them. Readers wanting
-        // exactly-once verdicts resolve per doc_id by survives DESC /
-        // first write (same read-side-resolution contract as
-        // [[dedupedCorpus]]); the index itself only double-counts bands,
-        // which changes no future verdict (matches are distinct-counted)
-        graft.ops.IncrementalDedup.appendBands(s,
-          b.join(verdicts.filter(col("survives") === 1).select("doc_id"),
-            Seq("doc_id"), "left_semi"))
+        val bands = graft.ops.TextOps.bandsOfDocs(b).persist()
+        try {
+          val corpusMatches = bands
+            .join(s.table(idx).withColumnRenamed("doc_id", "corpus_id"),
+              Seq("band_idx", "band_hash"))
+            .groupBy("doc_id")
+            .agg(countDistinct("corpus_id").as("c_n"),
+              min("corpus_id").as("c_min"))
+          val mates = bands.select(col("band_idx"), col("band_hash"),
+            col("doc_id").as("mate_id"))
+          val intraMatches = bands.join(mates, Seq("band_idx", "band_hash"))
+            .filter(col("mate_id") < col("doc_id"))
+            .groupBy("doc_id")
+            .agg(countDistinct("mate_id").as("i_n"), min("mate_id").as("i_min"))
+          val verdicts = b.select("doc_id")
+            .join(corpusMatches, Seq("doc_id"), "left")
+            .join(intraMatches, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              (coalesce(col("c_n"), lit(0L)) + coalesce(col("i_n"), lit(0L)))
+                .as("n_matches"),
+              // least() skips nulls, so a one-sided match still canonizes
+              coalesce(least(col("c_min"), col("i_min")), col("doc_id"))
+                .as("match_min_id"),
+              (col("c_n").isNull && col("i_n").isNull).cast("int")
+                .as("survives"))
+            .orderBy("doc_id")
+            .persist()
+          graft.store.Warehouse.load(s, verdicts, db, table,
+            graft.store.LoadMode.WatermarkAppend)
+          graft.ops.IncrementalDedup.appendBandFrame(
+            graft.ops.IncrementalDedup.pruneHot(
+              bands.join(verdicts.filter(col("survives") === 1)
+                .select("doc_id"), Seq("doc_id"), "left_semi")))
+          verdicts.unpersist()
+          ()
+        } finally bands.unpersist()
       }
       .start()
 

@@ -1128,9 +1128,13 @@ class OpsPropertySpec extends SparkSpec {
       val cums = prefix.map { case (c, (id, _, _, _)) => id -> c }.toMap
       gotSrc.foreach { case (id, _, _, c) => assert(c == cums(id)) }
     }
-    // every source with at least one short-enough doc is represented
-    assert(got.map(_._2).distinct.length ==
-      all.filter(_._3 <= budget).map(_._2).distinct.length)
+    // a source is represented iff its TOP-QUALITY doc fits the budget
+    // (the prefix rule: a huge best doc legitimately empties its source)
+    val expectedSources = all.groupBy(_._2).collect {
+      case (src, docs)
+        if docs.minBy { case (id, _, _, q) => (-q, id) }._3 <= budget => src
+    }.toSet
+    assert(got.map(_._2).toSet == expectedSources)
     // parallel two-phase ≡ the nBuckets=1 sequential reference
     val seq1 = SamplingOps.budgetMix(spark, sf, nBuckets = 1).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq

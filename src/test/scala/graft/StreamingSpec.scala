@@ -325,9 +325,11 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       // trigger 2: a dup of trigger 1's SURVIVOR (not in the original
       // corpus — caught only because the survivor's bands were appended)
-      // + another novel doc
+      // + an INTRA-trigger duplicate pair (novel text arriving twice in
+      // the same micro-batch — the lower id must canonize the higher)
       mem.addData((3L, "red green blue yellow orange"),
-        (4L, "cat dog mouse horse cow"))
+        (4L, "cat dog mouse horse cow"),
+        (5L, "cat dog mouse horse cow"))
       q.processAllAvailable(); q.stop()
       val log = spark.table("stream_inc.near_dup_log").collect()
         .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3)))
@@ -338,6 +340,15 @@ class StreamingSpec extends SparkSpec {
       assert(log(3L)._3 == 0 && log(3L)._2 == 2L,
         s"doc 3 should match trigger-1 survivor 2: ${log(3L)}")
       assert(log(4L) == ((0L, 4L, 1)), s"doc 4 should survive: ${log(4L)}")
+      assert(log(5L)._3 == 0 && log(5L)._2 == 4L,
+        s"doc 5 should match its intra-trigger mate 4: ${log(5L)}")
+      // only the canon's bands entered the index: a later probe of the
+      // same text cites 4, and exactly one of {4,5} is in the index
+      val inIdx = spark.table(
+        s"`${IncrementalDedup.IndexDb}`.`${IncrementalDedup.IndexTable}`")
+        .filter(col("doc_id").isin(4L, 5L))
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(inIdx == Set(4L), s"index should hold only the canon: $inIdx")
     } finally {
       // this test overwrote the shared fixture index — drop it so the
       // batch incremental-dedup tests rebuild the corpus-only state
