@@ -22,7 +22,10 @@ object Bench {
     // plan-flattening, no gate I/O) so per-query numbers measure the
     // engine; Verify keeps the durable oracle contract. The remaining
     // checkpoint share is reported as its own `ckpt_sec` field below.
-    OracleInputs.durable = false
+    // Scoped (withDurability), not a bare assignment: the flag is process-
+    // global, and any future same-JVM verify after the bench must get the
+    // durable contract back.
+    OracleInputs.withDurability(false) {
     // Untimed engine warm-up: first parquet read + a shuffle compile so
     // per-query timings measure steady-state execution, not one-off JVM/
     // session initialization landing on whichever query runs first.
@@ -65,6 +68,7 @@ object Bench {
       ckptSecPerPass += OracleInputs.checkpointNanos.get / 1e9
       if (r < runs) {
         graft.ops.PlanCache.release(spark)
+        OracleInputs.releaseLocalCheckpoints()
         spark.catalog.clearCache()
       }
       res
@@ -103,6 +107,10 @@ object Bench {
     // queries contention headroom at a bounded price (only the handful of
     // 1-1.5 s queries gain extra passes).
     val ExtraPassCutoffSec = 1.5
+    // main passes are done — drain their localCheckpoint blocks before the
+    // stabilizer passes add their own (each split-gate query checkpoints
+    // per execution; without the drain, blocks accumulate run-over-run)
+    OracleInputs.releaseLocalCheckpoints()
     val stabilized = results.map {
       case (n, v, None, f) if v < ExtraPassCutoffSec && extraPasses > 0 =>
         val extra = (1 to extraPasses).map { _ =>
@@ -147,6 +155,7 @@ object Bench {
     // stderr): ~150 bytes, so the tail window always contains the totals
     // even when the full per-query line overflows it.
     println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n":${stabilized.size},"n_err":${stabilized.count(_._3.nonEmpty)},"n_flaky":${stabilized.count(r => r._3.isEmpty && r._4 > 0)},"sf":"$sfDir","runs":$runs,"full":"$fullPath"}""")
+    } // end withDurability(false)
     spark.stop()
   }
 }

@@ -108,6 +108,37 @@ object OracleInputs {
     */
   @volatile var durable: Boolean = true
 
+  /** Scoped durability override — Bench/PerfProbe wrap their runs in
+    * `withDurability(false)` so the process-global flag can never leak
+    * past the measurement (a later verify in the same JVM would silently
+    * lose its durable oracle inputs otherwise).
+    */
+  def withDurability[T](v: Boolean)(body: => T): T = {
+    val prev = durable
+    durable = v
+    try body finally durable = prev
+  }
+
+  /** RDDs backing non-durable (localCheckpoint) gate checkpoints. Their
+    * cached blocks are NOT released by `spark.catalog.clearCache()`, so a
+    * long bench run would accumulate them across queries/passes and
+    * pressure executor memory — Bench/PerfProbe drain this at every pass
+    * boundary next to PlanCache.release.
+    */
+  private val localCkptRdds =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+
+  /** Unpersist every registered localCheckpoint block. Safe to call at any
+    * pass boundary: a drained entry is gone, double-release is a no-op.
+    */
+  def releaseLocalCheckpoints(): Unit = {
+    var r = localCkptRdds.poll()
+    while (r != null) {
+      try r.unpersist(blocking = false) catch { case _: Throwable => () }
+      r = localCkptRdds.poll()
+    }
+  }
+
   /** Cumulative nanoseconds spent inside [[checkpoint]] — Bench resets
     * this per pass and reports the checkpoint share as its own field, so
     * the split between operator time and checkpoint time stays visible.
@@ -126,7 +157,17 @@ object OracleInputs {
       val p = path(sfDir, name)
       df.write.mode("overwrite").parquet(p)
       df.sparkSession.read.parquet(p)
-    } else df.localCheckpoint(true)
+    } else {
+      val ck = df.localCheckpoint(true)
+      // register the checkpointed RDD for pass-boundary release (its
+      // storage outlives catalog.clearCache — see releaseLocalCheckpoints)
+      ck.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          localCkptRdds.add(lr.rdd)
+        case _ => ()
+      }
+      ck
+    }
     checkpointNanos.addAndGet(System.nanoTime() - t0)
     out
   }

@@ -115,6 +115,7 @@ object PerfProbe {
                    runs: Int = 2): Double =
     (1 to runs).map { _ =>
       graft.ops.PlanCache.release(spark)
+      OracleInputs.releaseLocalCheckpoints()
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, d).count()
@@ -132,8 +133,9 @@ object PerfProbe {
     // same contract as Bench: the probe measures the ENGINE, so the
     // oracle-gate checkpoints degrade to executor-local (scale ratios were
     // already gate-consistent on both sides, but absolute times shouldn't
-    // carry verify-only I/O either)
-    OracleInputs.durable = false
+    // carry verify-only I/O either). Scoped like Bench: the process-global
+    // flag must not leak past the probe.
+    OracleInputs.withDurability(false) {
     val d = "/root/testdata/sf0.1"
 
     if (args.headOption.contains("time")) {
@@ -290,6 +292,7 @@ object PerfProbe {
         println(f"$n%-26s run$i ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
     }
+    } // end withDurability(false)
     spark.stop()
   }
 }

@@ -32,7 +32,36 @@ object IncrementalDedup {
 
   val IndexDb = "graft_inc_dedup"
   val IndexTable = "band_index"
-  val IndexBuckets = 8
+
+  /** Bucket-count law for the persisted index — the same constant-
+    * occupancy rule as [[VectorOps.adaptiveIvfCells]]: a bucketed SMJ
+    * reads ONE task per bucket, so a fixed count caps the probe's
+    * index-side parallelism no matter how large the corpus grows
+    * (8 buckets at 100 TB = 8-way reads of a multi-TB index). Holding
+    * bands-per-bucket near a constant keeps per-task input flat instead:
+    * buckets = clamp(nBands / target, min, max). The floor keeps fixture
+    * scale at the historical 8; the cap bounds files-per-write (every
+    * bucket is ≥ 1 file per append — a million tiny buckets would trade
+    * the parallelism cap for a small-file explosion). At the cap
+    * (~2^15 buckets × 2^20-band target ≈ 3×10^10 bands ≈ a 200 TB-class
+    * corpus) occupancy grows again — shard the INDEX at that point, like
+    * the IVF law says to shard past its cell cap.
+    */
+  val MinIndexBuckets = 8
+  val MaxIndexBuckets = 32768
+  val TargetBandsPerBucket = 1L << 20
+  private[graft] def adaptiveIndexBuckets(nBands: Long): Int =
+    math.min(MaxIndexBuckets.toLong,
+      math.max(MinIndexBuckets.toLong, nBands / TargetBandsPerBucket)).toInt
+
+  /** Bucket count of the CURRENT stored index (appends must preserve the
+    * stored spec — a mismatched append would corrupt bucketed reads).
+    * Falls back to the floor when the table somehow lost its spec.
+    */
+  private[graft] def currentIndexBuckets(s: SparkSession): Int =
+    s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(IndexTable, Some(IndexDb)))
+      .bucketSpec.map(_.numBuckets).getOrElse(MinIndexBuckets)
 
   private[graft] def corpusDocs(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").filter(expr("doc_id % 3 != 0"))
@@ -58,9 +87,12 @@ object IncrementalDedup {
     * would run twice: once for the hot aggregation and once for the
     * anti-join probe side.
     */
-  private def withPrunedBands(docs: DataFrame)(write: DataFrame => Unit): Unit = {
+  private def withPrunedBands(docs: DataFrame)
+                             (write: (DataFrame, Long) => Unit): Unit = {
     val bands = TextOps.bandsOfDocs(docs).persist()
-    try write(pruneHot(bands))
+    // the count rides the cached frame (one cheap job) — it feeds the
+    // adaptive bucket law without re-running the signature pipeline
+    try write(pruneHot(bands), bands.count())
     finally bands.unpersist()
   }
 
@@ -77,16 +109,23 @@ object IncrementalDedup {
     * pipelines call this directly; the fixture queries go through
     * [[ensureIndex]].
     */
-  def buildIndexFrom(corpus: DataFrame): String = {
-    // a rebuild invalidates whatever fixture dir the session's cached
-    // ensure-entry was built from — without this, a later fixture query
-    // would see builtFrom==d && tableExists and silently probe the
-    // foreign index this call just wrote
-    builtFrom.synchronized { builtFrom.remove(corpus.sparkSession) }
-    withPrunedBands(corpus)(pruned =>
+  /** `numBuckets` ≤ 0 (the default) derives the bucket count from the
+    * corpus's band volume ([[adaptiveIndexBuckets]]); a positive value
+    * pins it (tests, operators with a known layout target).
+    */
+  def buildIndexFrom(corpus: DataFrame, numBuckets: Int = 0): String = {
+    // a rebuild invalidates EVERY session's cached ensure-entry, not just
+    // the caller's: the index table name is global, so a second live
+    // session whose entry says builtFrom==d would otherwise pass the
+    // ensureIndex check and silently probe the index this call just
+    // rebuilt from a different corpus
+    builtFrom.synchronized { builtFrom.clear() }
+    withPrunedBands(corpus) { (pruned, nBands) =>
       graft.store.Warehouse.saveBucketed(pruned,
         IndexDb, IndexTable, Seq("band_idx", "band_hash"),
-        numBuckets = IndexBuckets))
+        numBuckets =
+          if (numBuckets > 0) numBuckets else adaptiveIndexBuckets(nBands))
+    }
     s"$IndexDb.$IndexTable"
   }
 
@@ -172,9 +211,12 @@ object IncrementalDedup {
   /** Scheduled index rebuild — the maintenance cadence an always-appending
     * index needs (appends accumulate replayed/duplicate bands and newly-hot
     * buckets that per-append pruning can't see globally; a periodic rebuild
-    * from the current canonical corpus re-anchors size and re-applies the
-    * hot-bucket cap corpus-wide). Same composition as the IVF refresh and
-    * the dedup-log compaction entries.
+    * from the current canonical corpus re-anchors size, re-applies the
+    * hot-bucket cap corpus-wide, AND re-derives the bucket count from the
+    * grown corpus via [[adaptiveIndexBuckets]] — appends preserve the
+    * stored spec, so this is the only place probe parallelism catches up
+    * with corpus growth). Same composition as the IVF refresh and the
+    * dedup-log compaction entries.
     */
   def indexRebuildEntry(id: String, cronExpr: String,
                         corpus: SparkSession => DataFrame)
@@ -193,7 +235,7 @@ object IncrementalDedup {
     require(s.catalog.tableExists(s"$IndexDb.$IndexTable"),
       s"appendBands: no band index at $IndexDb.$IndexTable — build one " +
         "with buildIndexFrom first")
-    withPrunedBands(batch)(appendBandFrame(_))
+    withPrunedBands(batch)((pruned, _) => appendBandFrame(pruned))
   }
 
   /** Append an ALREADY-COMPUTED (and pruned/filtered) band frame — the
@@ -203,7 +245,11 @@ object IncrementalDedup {
   private[graft] def appendBandFrame(bands: DataFrame): Unit =
     bands
       .write.mode("append").format("parquet")
-      .bucketBy(IndexBuckets, "band_idx", "band_hash")
+      // the STORED spec, not the law: appends must match the existing
+      // bucket count exactly; re-bucketing happens on the scheduled
+      // rebuild ([[indexRebuildEntry]] → adaptive buildIndexFrom)
+      .bucketBy(currentIndexBuckets(bands.sparkSession),
+        "band_idx", "band_hash")
       .sortBy("band_idx", "band_hash")
       .saveAsTable(s"`$IndexDb`.`$IndexTable`")
 }

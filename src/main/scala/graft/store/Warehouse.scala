@@ -218,17 +218,22 @@ object Warehouse {
     */
   def recoverRewrite(spark: SparkSession, db: String, table: String): Boolean =
     graft.plans.TenantIsolationRule.withMaintenanceBypass(spark) {
+      // expression-shaped, no early `return`: a non-local return from this
+      // closure would ride NonLocalReturnControl through the bypass wrapper
+      // and silently break if the wrapper ever gained a catch-Throwable
       val tmpName = s"${table}__rw_tmp"
-      if (!spark.catalog.tableExists(s"$db.$tmpName")) return false
-      System.err.println(s"[warehouse] surviving `$db`.`$tmpName` found — " +
-        "completing the crashed rewrite's swap before proceeding")
-      val meta = spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(tmpName, Some(db)))
-      if (!spark.catalog.tableExists(s"$db.$table"))
-        dropStaleLocation(spark, db, table)
-      writeWithLayout(spark.table(s"`$db`.`$tmpName`"), meta, s"`$db`.`$table`")
-      spark.sql(s"DROP TABLE IF EXISTS `$db`.`$tmpName`")
-      true
+      if (!spark.catalog.tableExists(s"$db.$tmpName")) false
+      else {
+        System.err.println(s"[warehouse] surviving `$db`.`$tmpName` found — " +
+          "completing the crashed rewrite's swap before proceeding")
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(tmpName, Some(db)))
+        if (!spark.catalog.tableExists(s"$db.$table"))
+          dropStaleLocation(spark, db, table)
+        writeWithLayout(spark.table(s"`$db`.`$tmpName`"), meta, s"`$db`.`$table`")
+        spark.sql(s"DROP TABLE IF EXISTS `$db`.`$tmpName`")
+        true
+      }
     }
 
   /** Keyed latest-wins upsert (MERGE semantics without update-in-place):
@@ -348,19 +353,20 @@ object Warehouse {
       val fq = s"`$db`.`$table`"
       val affected = batch.select(pcols.map(col).toIndexedSeq: _*)
         .distinct().collect()
-      if (affected.isEmpty) return
-      require(affected.forall(r => pcols.indices.forall(!r.isNullAt(_))),
-        s"mergeUpsert on partitioned $db.$table: batch has NULL partition " +
-          s"values in (${pcols.mkString(", ")}) — undatable rows cannot be " +
-          "merge-scoped (same contract as partitioned appends)")
-      val current = spark.table(fq).filter(pruneTo(pcols, affected))
-      val w = mergeWindow(spark.table(fq).columns, keys, versionCol)
-      val merged = current.withColumn("__is_batch", lit(0))
-        .unionByName(batch.withColumn("__is_batch", lit(1)))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .drop("__is_batch", "__rn")
-      replacePartitions(spark, db, table, pcols, affected, merged)
+      if (affected.nonEmpty) { // no early return inside the bypass closure
+        require(affected.forall(r => pcols.indices.forall(!r.isNullAt(_))),
+          s"mergeUpsert on partitioned $db.$table: batch has NULL partition " +
+            s"values in (${pcols.mkString(", ")}) — undatable rows cannot be " +
+            "merge-scoped (same contract as partitioned appends)")
+        val current = spark.table(fq).filter(pruneTo(pcols, affected))
+        val w = mergeWindow(spark.table(fq).columns, keys, versionCol)
+        val merged = current.withColumn("__is_batch", lit(0))
+          .unionByName(batch.withColumn("__is_batch", lit(1)))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__is_batch", "__rn")
+        replacePartitions(spark, db, table, pcols, affected, merged)
+      }
     }
 
   /** Declared-set partition replacement (the Backfill mechanics shared by
@@ -456,16 +462,18 @@ object Warehouse {
     graft.plans.TenantIsolationRule.withMaintenanceBypass(spark) {
       import org.apache.spark.sql.functions.col
       val tmpName = s"${table}__rw_part_tmp"
-      if (!spark.catalog.tableExists(s"$db.$tmpName")) return false
-      val pcols = spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
-        .partitionColumnNames
-      val affected = spark.table(s"`$db`.`$tmpName`")
-        .select(pcols.map(col).toIndexedSeq: _*).distinct().collect()
-      if (affected.nonEmpty)
-        finishReplacement(spark, db, table, pcols, affected)
-      else spark.sql(s"DROP TABLE IF EXISTS `$db`.`$tmpName`")
-      true
+      if (!spark.catalog.tableExists(s"$db.$tmpName")) false
+      else {
+        val pcols = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
+          .partitionColumnNames
+        val affected = spark.table(s"`$db`.`$tmpName`")
+          .select(pcols.map(col).toIndexedSeq: _*).distinct().collect()
+        if (affected.nonEmpty)
+          finishReplacement(spark, db, table, pcols, affected)
+        else spark.sql(s"DROP TABLE IF EXISTS `$db`.`$tmpName`")
+        true
+      }
     }
 
   /** Tmp-table name and manifest property of a partition-grain evolution
@@ -550,23 +558,25 @@ object Warehouse {
   def recoverEvolve(spark: SparkSession, db: String, table: String): Boolean =
     graft.plans.TenantIsolationRule.withMaintenanceBypass(spark) {
       val tmpName = evolveTmpName(table)
-      if (!spark.catalog.tableExists(s"$db.$tmpName")) return false
-      val meta = spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(tmpName, Some(db)))
-      meta.properties.get(EvolveManifestProp) match {
-        case Some(manifest) =>
-          System.err.println(s"[warehouse] surviving `$db`.`$tmpName` with " +
-            "manifest — completing the crashed grain evolution")
-          val pcols = meta.partitionColumnNames
-          finishEvolve(spark, db, table, pcols.head,
-            manifest.split(',').toSeq.filter(_.nonEmpty))
-        case None =>
-          System.err.println(s"[warehouse] surviving `$db`.`$tmpName` has " +
-            "no manifest — the evolve crashed before any partition drop; " +
-            "discarding the incomplete tmp (re-run the evolve)")
-          spark.sql(s"DROP TABLE IF EXISTS `$db`.`$tmpName`")
+      if (!spark.catalog.tableExists(s"$db.$tmpName")) false
+      else {
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(tmpName, Some(db)))
+        meta.properties.get(EvolveManifestProp) match {
+          case Some(manifest) =>
+            System.err.println(s"[warehouse] surviving `$db`.`$tmpName` with " +
+              "manifest — completing the crashed grain evolution")
+            val pcols = meta.partitionColumnNames
+            finishEvolve(spark, db, table, pcols.head,
+              manifest.split(',').toSeq.filter(_.nonEmpty))
+          case None =>
+            System.err.println(s"[warehouse] surviving `$db`.`$tmpName` has " +
+              "no manifest — the evolve crashed before any partition drop; " +
+              "discarding the incomplete tmp (re-run the evolve)")
+            spark.sql(s"DROP TABLE IF EXISTS `$db`.`$tmpName`")
+        }
+        true
       }
-      true
     }
 
   /** Plan-time pruning predicate over literal partition values. */
@@ -656,14 +666,15 @@ object Warehouse {
       // (driver collect bounded by partition count — metadata scale)
       val affected = spark.table(fq).filter(matches)
         .select(pcols.map(col).toIndexedSeq: _*).distinct().collect()
-      if (affected.isEmpty) return
-      require(affected.forall(r => pcols.indices.forall(!r.isNullAt(_))),
-        s"deleteWhere on partitioned $db.$table: matching rows carry NULL " +
-          s"partition values in (${pcols.mkString(", ")}) — the Hive " +
-          "default partition cannot be replaced by partition spec")
-      val slice = spark.table(fq).filter(pruneTo(pcols, affected))
-      replacePartitions(spark, db, table, pcols, affected,
-        slice.filter(!matches))
+      if (affected.nonEmpty) { // no early return inside the bypass closure
+        require(affected.forall(r => pcols.indices.forall(!r.isNullAt(_))),
+          s"deleteWhere on partitioned $db.$table: matching rows carry NULL " +
+            s"partition values in (${pcols.mkString(", ")}) — the Hive " +
+            "default partition cannot be replaced by partition spec")
+        val slice = spark.table(fq).filter(pruneTo(pcols, affected))
+        replacePartitions(spark, db, table, pcols, affected,
+          slice.filter(!matches))
+      }
     }
   }
 

@@ -1165,6 +1165,53 @@ class OpsPropertySpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(1200))
   }
 
+  test("band-index bucket law: adaptive count, appends preserve the spec, " +
+      "probe parallelism tracks the bucket count") {
+    import graft.ops.IncrementalDedup
+    // the law itself: clamped constant-occupancy, monotone in band volume
+    assert(IncrementalDedup.adaptiveIndexBuckets(0L) ==
+      IncrementalDedup.MinIndexBuckets)
+    assert(IncrementalDedup.adaptiveIndexBuckets(
+      IncrementalDedup.TargetBandsPerBucket * 100) == 100)
+    assert(IncrementalDedup.adaptiveIndexBuckets(Long.MaxValue) ==
+      IncrementalDedup.MaxIndexBuckets)
+    val law = Seq(1L, 1L << 22, 1L << 26, 1L << 30, 1L << 40)
+      .map(IncrementalDedup.adaptiveIndexBuckets)
+    assert(law == law.sorted, s"bucket law must be monotone: $law")
+
+    // a pinned build stores exactly numBuckets, the probe's index scan
+    // reads one task per bucket (SelectedBucketsCount tracks the spec),
+    // and an append preserves the STORED spec rather than re-deriving it
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val fqn = s"`${IncrementalDedup.IndexDb}`.`${IncrementalDedup.IndexTable}`"
+    try {
+      for (n <- Seq(4, 16)) {
+        IncrementalDedup.buildIndexFrom(corpus, numBuckets = n)
+        assert(IncrementalDedup.currentIndexBuckets(spark) == n)
+        val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val probe = Seq((100L, "alpha beta gamma delta epsilon"))
+            .toDF("doc_id", "text")
+          val plan = spark.table(fqn)
+            .join(graft.ops.TextOps.bandsOfDocs(probe)
+              .withColumnRenamed("doc_id", "probe_id"),
+              Seq("band_idx", "band_hash"))
+            .queryExecution.executedPlan.toString
+          assert(plan.contains(s"SelectedBucketsCount: $n out of $n"),
+            s"probe parallelism should track numBuckets=$n:\n${plan.take(1500)}")
+        } finally
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        val before = spark.table(fqn).count()
+        IncrementalDedup.appendBands(spark, corpus)
+        assert(spark.table(fqn).count() == 2 * before)
+        assert(IncrementalDedup.currentIndexBuckets(spark) == n,
+          "append must preserve the stored bucket spec")
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $fqn")
+  }
+
   test("band-index rebuild entry re-anchors the index after appends") {
     import graft.ops.IncrementalDedup
     val corpus = Seq((1L, "alpha beta gamma delta"),
