@@ -119,14 +119,21 @@ object SparkEntry {
     "q_budget_mix"          -> ((s: SparkSession, d: String) => SamplingOps.budgetMix(s, d)),
   )
 
-  /** DuckDB-dialect oracle SQL per query. Omitted (→ rows-only check):
-    * only q_simhash / q_lsh_cosine_buckets (their OUTPUT is the xxhash64-
-    * family hash values themselves — an oracle would have to re-implement
-    * the engine hash, a tautology) — each property-tested in src/test.
-    * q_multimodal_meta left this list in round 7: the decode stub never
-    * fires on its fixture, so its whole projection is oracle arithmetic
-    * (and q_png_pixel_stats gates the REAL pixel decode end-to-end).
-    * Everything else in the hash/ANN family runs a SPLIT gate through
+  /** DuckDB-dialect oracle SQL per query — since round 8, EVERY query has
+    * one (99/99 oracle-gated, no rows-only remainder). The last two
+    * holdouts closed by re-basing the sketches on oracle-computable
+    * primitives: q_simhash's per-token hash is now the upper 64 bits of
+    * MD5 (bit-identical in DuckDB — the oracle rebuilds the whole sketch
+    * from raw text via hex-nibble bit extraction), and
+    * q_lsh_cosine_buckets' oracle replays the fixed-point hyperplane dot
+    * products against the engine's own inlined plane-weight constants
+    * (deterministic splitmix64-derived doubles — engine constants like
+    * the '[계획용] ' literal, not engine outputs).
+    * q_multimodal_meta left the omitted list in round 7: the decode stub
+    * never fires on its fixture, so its whole projection is oracle
+    * arithmetic (and q_png_pixel_stats gates the REAL pixel decode
+    * end-to-end).
+    * The rest of the hash/ANN family runs a SPLIT gate through
     * [[graft.OracleInputs]]: the hash-family front half (candidate pairs /
     * probed top-k sets — not reproducible in DuckDB) is materialized as
     * parquet and stays rows-only + property-tested, while the
@@ -187,6 +194,25 @@ object SparkEntry {
     * in-order dot-product fold (the exact shape q_knn_cosine_topk proved
     * bit-compatible with the engine's vec_dot).
     */
+  /** Fixture embedding dimensionality (TESTDATA.md: 64-dim float arrays).
+    * The LSH bucket oracle inlines plane weights for exactly this many
+    * dimensions; a wider fixture vector would make the oracle's replay
+    * partial and fail the hash gate LOUDLY (red, never a silent pass).
+    */
+  private val OracleEmbeddingDims = 64
+
+  /** The engine's deterministic hyperplane weights as a VALUES list —
+    * fixed splitmix64-derived constants (engine constants interpolated
+    * into the oracle like the thresholds, NOT engine outputs), inlined so
+    * DuckDB replays the exact fixed-point dot products. Double.toString
+    * is shortest-round-trip, so DuckDB parses each literal to the
+    * bit-identical double.
+    */
+  private def hyperplaneWeightValues(nPlanes: Int, dims: Int): String =
+    (0 until nPlanes).flatMap(p => (0 until dims).map(i =>
+      s"($p,$i,${graft.functions.HyperplaneSketch.planeWeight(p, i)})"))
+      .mkString(",")
+
   private val VecNormCte: String =
     """nrm AS (
       |    SELECT vec_id, embedding,
@@ -279,6 +305,53 @@ object SparkEntry {
          |WHERE bit_count(xor(ha.simhash, hb.simhash)) <= ${TextOps.SimhashMaxHamming}
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+    // full-value gate (no split): per token, the upper 64 bits of md5 are
+    // extracted nibble-by-nibble from the hex string (bit i lives in hex
+    // char 16 - i/4, nibble bit i%4), voted ±1 per bit over the doc's
+    // whitespace tokens, and packed signed (bit 63 = Long.MinValue)
+    "q_simhash" ->
+      s"""WITH tok AS (
+         |    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tk
+         |    FROM documents
+         |), h AS (
+         |    SELECT doc_id, substr(md5(tk), 1, 16) AS hx FROM tok
+         |), votes AS (
+         |    SELECT doc_id, i,
+         |           SUM(CASE WHEN (strpos('0123456789abcdef',
+         |                            substr(hx, CAST(16 - i//4 AS INT), 1)) - 1)
+         |                    // (1 << CAST(i % 4 AS INT)) % 2 = 1
+         |                    THEN 1 ELSE -1 END) AS v
+         |    FROM h, range(64) r(i) GROUP BY doc_id, i
+         |)
+         |SELECT doc_id,
+         |       CAST(SUM(CASE WHEN v > 0 THEN
+         |              CASE WHEN i = 63 THEN -9223372036854775807 - 1
+         |                   ELSE (1::BIGINT << CAST(i AS INT)) END
+         |            ELSE 0 END) AS BIGINT) AS simhash
+         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // full-value gate: the 16 bucket bits are sign bits of fixed-point
+    // dot products against the engine's deterministic plane weights,
+    // inlined below as literals (Double.toString round-trips exactly);
+    // per-term truncation to BIGINT makes the sum order-independent, so
+    // the replay is exact — see graft.functions.HyperplaneSketch
+    "q_lsh_cosine_buckets" ->
+      s"""WITH w(p, i, wt) AS (VALUES ${hyperplaneWeightValues(
+             graft.ops.VectorOps.NumPlanes, OracleEmbeddingDims)}),
+         |e AS (
+         |    SELECT vec_id, CAST(r.i AS INT) AS i,
+         |           CAST(embedding[CAST(r.i AS INT) + 1] AS DOUBLE) AS x
+         |    FROM embeddings CROSS JOIN range($OracleEmbeddingDims) r(i)
+         |    WHERE embedding IS NOT NULL
+         |      AND len(embedding) > CAST(r.i AS INT)
+         |), d AS (
+         |    SELECT e.vec_id, w.p,
+         |           SUM(CAST(trunc((e.x * w.wt) * 1e15) AS BIGINT)) AS dot
+         |    FROM e JOIN w ON w.i = e.i GROUP BY e.vec_id, w.p
+         |)
+         |SELECT vec_id,
+         |       CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p)
+         |                     ELSE 0 END) AS BIGINT) AS bucket
+         |FROM d GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q_embedding_near_dup" ->
       pairCosineOracle("neardup_pairs", graft.ops.VectorOps.CosineDupThreshold),
     "q_ivf_semantic_dedup" ->

@@ -250,9 +250,10 @@ object TextOps {
     * higher-order-fold formulation allocated two 64-element arrays per
     * token AND was recomputed wholesale by every downstream expression
     * that referenced the column after project collapse (banding it 8 ways
-    * cost 8 full re-folds, ~228 s at sf0.1). Values are bit-identical
-    * (same xxhash64 seed, vote rule, packing — parity-tested). No oracle
-    * (hash-family specific); self-tested.
+    * cost 8 full re-folds, ~228 s at sf0.1). FULLY oracle-gated: the
+    * per-token hash is the upper 64 bits of MD5 (bit-identical in DuckDB),
+    * so the oracle recomputes the entire sketch from raw text —
+    * hex-nibble bit extraction, ±1 votes, signed bit-63 packing.
     */
   def simhash(s: SparkSession, d: String): DataFrame =
     simhashFrame(s, d).orderBy("doc_id")
@@ -273,7 +274,9 @@ object TextOps {
     * one full band by pigeonhole when distance < 8, so candidates come
     * from a band-keyed equi-join (same shape + hot-bucket guard as the
     * minhash path), confirmed by exact hamming distance on the full hash.
-    * Rows-only (xxhash64 family); exact-dup collision property-tested.
+    * Exact-dup collision property-tested; oracle-gated via the split gate
+    * (and the hash VALUES themselves are md5-derived — q_simhash checks
+    * them end-to-end from raw text).
     */
   val SimhashBands = 8
   val SimhashMaxHamming = 7
@@ -287,12 +290,13 @@ object TextOps {
     * hot-bucket cap for corpora where near-dup clusters are rare (the real
     * ones, after exact dedup).
     *
-    * SPLIT ORACLE GATE: the hash VALUES are engine-specific (xxhash64
-    * family — rows-only), but everything downstream of them — byte
-    * banding, the hot-bucket cap, the probe join, the hamming confirm —
-    * is deterministic integer arithmetic. The (doc_id, simhash) frame is
-    * materialized ([[graft.OracleInputs]]) and the oracle recomputes the
-    * ENTIRE pairing from it.
+    * SPLIT ORACLE GATE: the (doc_id, simhash) frame is materialized
+    * ([[graft.OracleInputs]]) and the oracle recomputes the ENTIRE
+    * pairing from it — byte banding, the hot-bucket cap, the probe join,
+    * the hamming confirm, all deterministic integer arithmetic. The hash
+    * VALUES themselves are no longer trust-me: q_simhash's own oracle
+    * recomputes them from raw text (md5 halves), so the two gates
+    * together cover the whole path.
     */
   def simhashNearDup(s: SparkSession, d: String): DataFrame =
     simhashPairs(

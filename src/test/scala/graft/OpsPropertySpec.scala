@@ -80,20 +80,25 @@ class OpsPropertySpec extends SparkSpec {
     val hamming = java.lang.Long.bitCount(hashed(0) ^ hashed(2))
     assert(hamming > 0 && hamming <= 16, s"hamming=$hamming")
 
-    // parity: the native expression is bit-identical to the HOF fold it
-    // replaced (same xxhash64 seed, vote rule, bit packing)
-    val hof = tokens.withColumn("bit_votes", expr(
-      """aggregate(tokens, array_repeat(0, 64),
-        |  (acc, tk) -> zip_with(acc,
-        |      transform(sequence(0, 63),
-        |        i -> CASE WHEN ((xxhash64(tk) >> i) & 1) = 1 THEN 1 ELSE -1 END),
-        |      (a, b) -> a + b))""".stripMargin))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L,
-          |  (acc, i) -> acc + CASE WHEN element_at(bit_votes, i + 1) > 0
-          |                    THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin))
-      .orderBy("doc_id").select("simhash").as[Long].collect()
-    assert(hashed.toSeq == hof.toSeq)
+    // parity: the native expression is bit-identical to an independent
+    // reference fold over md5-upper-64 token hashes (the same value the
+    // DuckDB oracle derives nibble-by-nibble from the md5 hex string)
+    def refSimhash(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](64)
+      text.trim.split("\\s+").foreach { tk =>
+        md.reset()
+        val h = java.nio.ByteBuffer.wrap(
+          md.digest(tk.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          .getLong // first 8 bytes big-endian
+        (0 until 64).foreach(i =>
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1)
+      }
+      (0 until 64).foldLeft(0L)((acc, i) =>
+        if (votes(i) > 0) acc | (1L << i) else acc)
+    }
+    assert(hashed.toSeq == Seq(refSimhash(base), refSimhash(base),
+      refSimhash(edited)))
   }
 
   test("lsh buckets: identical vectors share a bucket; buckets partition the corpus") {
