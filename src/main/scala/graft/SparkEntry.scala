@@ -117,6 +117,7 @@ object SparkEntry {
     "q_dedup_incremental"   -> (IncrementalDedup.dedupIncrement _),
     "q_cluster_sample"      -> ((s: SparkSession, d: String) => VectorOps.clusterBalancedSample(s, d)),
     "q_budget_mix"          -> ((s: SparkSession, d: String) => SamplingOps.budgetMix(s, d)),
+    "q_corpus_pipeline"     -> (graft.pipeline.CorpusPipeline.query _),
   )
 
   /** DuckDB-dialect oracle SQL per query — since round 8, EVERY query has
@@ -304,6 +305,109 @@ object SparkEntry {
          |            JOIN h hb ON hb.doc_id = c.doc_b
          |WHERE bit_count(xor(ha.simhash, hb.simhash)) <= ${TextOps.SimhashMaxHamming}
          |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    // the END-TO-END corpus-assembly pipeline: the oracle replays every
+    // stage from raw text — exact dedup + quality gate, near-dup keep-
+    // lowest over the MATERIALIZED band index (split gate: minhash values
+    // are engine-specific, the survivor derivation is not), CJK 3-gram
+    // decontamination, per-source budget prefix, sequence packing, export
+    // shard/rank — and must land on the identical packed corpus
+    "q_corpus_pipeline" -> {
+      val path = OracleInputs.sqlPath("pipeline_bands")
+      import graft.pipeline.CorpusPipeline.{PerSourceBudget, PackBudget}
+      s"""WITH survivors AS (
+         |    SELECT MIN(doc_id) AS doc_id FROM documents
+         |    GROUP BY sha256(lower(trim(text)))
+         |), gate AS (
+         |    SELECT doc_id FROM (
+         |        SELECT doc_id,
+         |               string_split_regex(trim(text), '\\s+') AS tokens
+         |        FROM documents) t
+         |    WHERE doc_id IN (SELECT doc_id FROM survivors)
+         |      AND len(tokens) >= 20
+         |      AND CAST(len(list_filter(tokens,
+         |              tk -> tk IN ('the', 'a', 'of', 'to', 'and')))
+         |            AS DOUBLE) / CAST(len(tokens) AS DOUBLE) >= 0.05
+         |      AND CAST(len(list_filter(tokens,
+         |              tk -> tk IN ('the', 'a', 'of', 'to', 'and')))
+         |            AS DOUBLE) / CAST(len(tokens) AS DOUBLE) <= 0.6
+         |), bands AS (
+         |    SELECT doc_id, band_idx, band_hash
+         |    FROM read_parquet('$path/*.parquet')
+         |), dd AS (
+         |    SELECT g.doc_id FROM gate g
+         |    WHERE NOT EXISTS (
+         |        SELECT 1 FROM bands b JOIN bands m
+         |          ON m.band_idx = b.band_idx AND m.band_hash = b.band_hash
+         |        WHERE b.doc_id = g.doc_id AND m.doc_id < g.doc_id)
+         |), ctok AS (
+         |    SELECT doc_id,
+         |           list_filter(string_split_regex(trim(text), '\\s+'),
+         |                       t -> t <> '') AS base
+         |    FROM documents
+         |), cex AS (
+         |    SELECT doc_id,
+         |           CASE WHEN doc_id % 3 = 0
+         |                THEN list_concat(base,
+         |                     ['안녕', '세계',
+         |                      repeat('中', CAST(doc_id % 4 + 1 AS INT)),
+         |                      'tail'])
+         |                ELSE base END AS tokens
+         |    FROM ctok
+         |), grams AS (
+         |    SELECT doc_id,
+         |           list_distinct(list_transform(range(1, len(tokens) - 1),
+         |               i -> array_to_string(tokens[i:i+2], ' '))) AS gs
+         |    FROM cex
+         |), eval_grams AS (
+         |    SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 100 = 7
+         |), flagged AS (
+         |    SELECT DISTINCT c.doc_id
+         |    FROM (SELECT doc_id, unnest(gs) AS g FROM grams
+         |          WHERE doc_id % 100 <> 7) c
+         |    JOIN eval_grams e ON c.g = e.g
+         |), s3 AS (
+         |    SELECT doc_id FROM dd
+         |    WHERE doc_id % 100 <> 7
+         |      AND doc_id NOT IN (SELECT doc_id FROM flagged)
+         |), q AS (
+         |    SELECT d.doc_id, d.source,
+         |           GREATEST(d.n_chars // 4, 1) AS tokens,
+         |           CAST(len(list_filter(string_split_regex(trim(d.text), '\\s+'),
+         |                    tk -> tk IN ('the', 'a', 'of', 'to', 'and')))
+         |                AS BIGINT) * 1000000
+         |             // CAST(len(string_split_regex(trim(d.text), '\\s+'))
+         |                  AS BIGINT) AS qm
+         |    FROM documents d JOIN s3 USING (doc_id)
+         |), c AS (
+         |    SELECT doc_id, source, tokens,
+         |           SUM(tokens) OVER (PARTITION BY source
+         |               ORDER BY qm DESC, doc_id
+         |               ROWS UNBOUNDED PRECEDING) AS cum
+         |    FROM q
+         |), s4 AS (
+         |    SELECT doc_id, source, tokens FROM c WHERE cum <= $PerSourceBudget
+         |), p AS (
+         |    SELECT doc_id, source, tokens,
+         |           SUM(tokens) OVER (ORDER BY doc_id
+         |               ROWS UNBOUNDED PRECEDING) AS pcum
+         |    FROM s4
+         |), s5 AS (
+         |    SELECT doc_id, source, CAST(tokens AS BIGINT) AS n_tokens,
+         |           CAST((pcum - tokens) // $PackBudget AS BIGINT) AS seq_id,
+         |           md5(CAST(doc_id AS VARCHAR)) AS sk
+         |    FROM p
+         |), sharded AS (
+         |    SELECT doc_id, source, n_tokens, seq_id, sk,
+         |           CAST(((strpos('0123456789abcdef', substr(sk, 1, 1)) - 1) * 13
+         |                 + (strpos('0123456789abcdef', substr(sk, 2, 1)) - 1))
+         |                % ${SamplingOps.ExportShards} AS INT) AS shard
+         |    FROM s5
+         |)
+         |SELECT doc_id, source, n_tokens, seq_id, shard,
+         |       row_number() OVER (PARTITION BY shard ORDER BY sk, doc_id)
+         |         AS shard_rank
+         |FROM sharded ORDER BY doc_id""".stripMargin
     },
     // full-value gate (no split): per token, the upper 64 bits of md5 are
     // extracted nibble-by-nibble from the hex string (bit i lives in hex

@@ -58,9 +58,11 @@ object IncrementalDedup {
     * stored spec — a mismatched append would corrupt bucketed reads).
     * Falls back to the floor when the table somehow lost its spec.
     */
-  private[graft] def currentIndexBuckets(s: SparkSession): Int =
+  private[graft] def currentIndexBuckets(s: SparkSession,
+                                         db: String = IndexDb,
+                                         table: String = IndexTable): Int =
     s.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(IndexTable, Some(IndexDb)))
+      org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
       .bucketSpec.map(_.numBuckets).getOrElse(MinIndexBuckets)
 
   private[graft] def corpusDocs(s: SparkSession, d: String): DataFrame =
@@ -111,22 +113,27 @@ object IncrementalDedup {
     */
   /** `numBuckets` ≤ 0 (the default) derives the bucket count from the
     * corpus's band volume ([[adaptiveIndexBuckets]]); a positive value
-    * pins it (tests, operators with a known layout target).
+    * pins it (tests, operators with a known layout target). `db`/`table`
+    * default to the shared fixture index; pipelines owning their own
+    * index state (e.g. [[graft.pipeline.CorpusPipeline]]) pass their own
+    * target so fixture queries can never clobber pipeline state.
     */
-  def buildIndexFrom(corpus: DataFrame, numBuckets: Int = 0): String = {
+  def buildIndexFrom(corpus: DataFrame, numBuckets: Int = 0,
+                     db: String = IndexDb, table: String = IndexTable): String = {
     // a rebuild invalidates EVERY session's cached ensure-entry, not just
     // the caller's: the index table name is global, so a second live
     // session whose entry says builtFrom==d would otherwise pass the
     // ensureIndex check and silently probe the index this call just
     // rebuilt from a different corpus
-    builtFrom.synchronized { builtFrom.clear() }
+    if (db == IndexDb && table == IndexTable)
+      builtFrom.synchronized { builtFrom.clear() }
     withPrunedBands(corpus) { (pruned, nBands) =>
       graft.store.Warehouse.saveBucketed(pruned,
-        IndexDb, IndexTable, Seq("band_idx", "band_hash"),
+        db, table, Seq("band_idx", "band_hash"),
         numBuckets =
           if (numBuckets > 0) numBuckets else adaptiveIndexBuckets(nBands))
     }
-    s"$IndexDb.$IndexTable"
+    s"$db.$table"
   }
 
   private[graft] def ensureIndex(s: SparkSession, d: String): String =
@@ -154,7 +161,15 @@ object IncrementalDedup {
     * keyed by batch doc; nothing driver-side.
     */
   private[graft] def incrementAgainst(index: DataFrame, batchBands: DataFrame,
-                                      universe: DataFrame): DataFrame = {
+                                      universe: DataFrame): DataFrame =
+    incrementVerdicts(index, batchBands, universe).orderBy("doc_id")
+
+  /** Sort-free verdict core of [[incrementAgainst]] — pipeline stages
+    * consume this (their downstream shuffles would destroy the fixture
+    * query's total order anyway).
+    */
+  private[graft] def incrementVerdicts(index: DataFrame, batchBands: DataFrame,
+                                       universe: DataFrame): DataFrame = {
     val matches = batchBands
       .join(index.withColumnRenamed("doc_id", "corpus_id"),
         Seq("band_idx", "band_hash"))
@@ -166,7 +181,6 @@ object IncrementalDedup {
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),
         coalesce(col("m_min"), col("doc_id")).as("match_min_id"),
         col("n_matches").isNull.cast("int").as("survives"))
-      .orderBy("doc_id")
   }
 
   /** Oracle-gated form (split gate like the other hash-family operators):

@@ -189,9 +189,17 @@ object SamplingOps {
     * b % shards and waste the first character's entropy.
     */
   private def exportAssignments(s: SparkSession, d: String,
-                                payload: Seq[String] = Nil): DataFrame = {
+                                payload: Seq[String] = Nil): DataFrame =
+    shardAssignments(t(s, d, "documents"), payload)
+
+  /** [[exportAssignments]] over any frame carrying doc_id (+ payload
+    * columns) — the corpus pipeline shards its packed output through the
+    * same permutation law.
+    */
+  private[graft] def shardAssignments(docs: DataFrame,
+                                      payload: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy("shard").orderBy(col("sk"), col("doc_id"))
-    t(s, d, "documents")
+    docs
       .withColumn("sk", sampleKey)
       .withColumn("shard", expr(
         s"""CAST(((instr('0123456789abcdef', substring(sk, 1, 1)) - 1) * 13
@@ -254,11 +262,20 @@ object SamplingOps {
     */
   def budgetMix(s: SparkSession, d: String, perSourceBudget: Long = 1000L,
                 nBuckets: Int = 8): DataFrame =
-    qualityPrefixSelect(t(s, d, "documents"), perSourceBudget, nBuckets,
+    budgetMixFor(t(s, d, "documents"), perSourceBudget, nBuckets)
+      .orderBy("doc_id")
+
+  /** [[budgetMix]] over any documents frame (needs doc_id, source, text,
+    * n_chars) — sort-free: the pipeline consumes it into further stages,
+    * where the fixture query's total order would be a wasted range
+    * exchange.
+    */
+  private[graft] def budgetMixFor(docs: DataFrame, perSourceBudget: Long,
+                                  nBuckets: Int): DataFrame =
+    qualityPrefixSelect(docs, perSourceBudget, nBuckets,
       groupCols = Seq("source"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("cum_tokens"))
-      .orderBy("doc_id")
 
   /** Shared core of [[tokenBudgetSelect]] (groupCols = Nil) and
     * [[budgetMix]] (groupCols = Seq("source")) — one implementation so a

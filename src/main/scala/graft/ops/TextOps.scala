@@ -521,6 +521,25 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** [[corpusClean]]'s survivor set over any documents frame, with the
+    * document PAYLOAD carried forward (the corpus-assembly pipeline's
+    * first stage hands text/source/n_chars to every later stage — the
+    * fixture query keeps its stats-only projection). Same two rules, one
+    * definition of each: exact-dup keep-lowest on sha256(lower(trim)),
+    * then the shared [[qualityGate]].
+    */
+  private[graft] def corpusCleanSurvivors(docs: DataFrame): DataFrame = {
+    val survivors = docs
+      .groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    qualityGateStats(docs)
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .filter(qualityGate)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"), col("__gate_n_tokens").as("n_tokens"))
+  }
+
   /** Corpus vocabulary: top-5 terms per language by frequency — explode →
     * two-level aggregation (map-side combined) → per-group top-k window.
     * The shuffle is keyed by (lang, token); no collect, no global sort.
@@ -866,17 +885,30 @@ object TextOps {
     * window.
     */
   def decontaminateCjk(s: SparkSession, d: String, n: Int = 3): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
     val docs = t(s, d, "documents")
-      .withColumn("grams", call_function("word_ngrams",
+    cjkFlagged(docs, docs, n).orderBy("doc_id")
+  }
+
+  /** CJK-aware contamination core over explicit frames: eval n-grams from
+    * `all` (the benchmark set lives in the FULL corpus — `doc_id % 100 =
+    * 7`), corpus grams from `corpus` (the pipeline passes its deduped
+    * survivor slice; the fixture query passes the whole table). Returns
+    * (doc_id, n_shared) for corpus docs sharing ≥ 1 gram with the eval
+    * set. Same plan shape as before the split: broadcast eval grams,
+    * corpus-side explode, map-side-combined count.
+    */
+  private[graft] def cjkFlagged(all: DataFrame, corpus: DataFrame,
+                                n: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(all.sparkSession)
+    def withGrams(df: DataFrame) = df.withColumn("grams",
+      call_function("word_ngrams",
         concat_ws(" ", tokensOf(cjkEnriched, unicodeAware = true)), lit(n)))
-    val evalGrams = docs.filter(col("doc_id") % 100 === 7)
+    val evalGrams = withGrams(all).filter(col("doc_id") % 100 === 7)
       .select(explode(col("grams")).as("g")).distinct()
-    docs.filter(col("doc_id") % 100 =!= 7)
+    withGrams(corpus).filter(col("doc_id") % 100 =!= 7)
       .select(col("doc_id"), explode(col("grams")).as("g"))
       .join(broadcast(evalGrams), "g")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-      .orderBy("doc_id")
   }
 
   /** Corpus-internal repeated spans (Lee et al. 2021, "Deduplicating

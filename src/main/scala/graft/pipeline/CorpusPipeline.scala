@@ -1,0 +1,254 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{IncrementalDedup, SamplingOps, TextOps}
+import graft.store.Warehouse
+
+/** The end-to-end corpus-assembly pipeline: the LLM-data operators
+  * composed into ONE staged, lineage-tracked, crash-recoverable DAG —
+  * the training-data mirror of the ELT side's TenantPipeline (reference:
+  * composed extract → staging → mart DAGs, _tenant_factory.py:133-185,
+  * with translator.py's asset-key lineage).
+  *
+  *   s1_clean    exact dedup (sha256 keep-lowest) + quality gate
+  *               ([[TextOps.corpusCleanSurvivors]])
+  *   s2_dedup    near-dup dedup THROUGH the persisted band index
+  *               ([[IncrementalDedup]] — the pipeline owns its own index
+  *               table, `graft_corpus.band_index`, built from s1 with the
+  *               adaptive bucket law): keep a doc iff no band-mate has a
+  *               smaller id (the keep-lowest rule at band granularity)
+  *   s3_decontam eval docs (`doc_id % 100 = 7`) and anything sharing a
+  *               CJK-aware 3-gram with them are dropped
+  *               ([[TextOps.cjkFlagged]] — eval grams come from the FULL
+  *               corpus: the benchmark set is external to dedup)
+  *   s4_mix      per-source token-budget quality prefix
+  *               ([[SamplingOps.budgetMixFor]])
+  *   s5_pack     token-budget sequence packing ([[SamplingOps.packTokens]])
+  *               + deterministic export shard/rank
+  *               ([[SamplingOps.shardAssignments]]), stored PARTITIONED BY
+  *               shard, rows in permutation order — the export layout a
+  *               training run reads sequentially.
+  *
+  * Stage materialization & crash recovery: every stage CTASes a managed
+  * table in [[Db]] via [[Warehouse.saveModel]] (saveAsTable commits the
+  * catalog entry only after the data lands — a crash mid-write leaves a
+  * catalog-unknown dir, cleared by the stale-location guard, never a
+  * partial table), then stamps its LINEAGE KEY as a table property
+  * STRICTLY AFTER the write. The key is the md5 chain of (stage recipe,
+  * params, source dir, upstream keys) — translator.py's asset-key idea
+  * with dbt-style structural fingerprints. `run(resume = true)` skips a
+  * stage iff its table exists AND its stored key matches the expected
+  * chain; anything unstamped (crash between write and stamp, changed
+  * params, changed upstream) recomputes. A FRESH run (`resume = false`)
+  * first clears every stamp, so a crash mid-run leaves exactly the
+  * completed prefix stamped — the resume recomputes only the suffix.
+  *
+  * Scale notes: stages inherit their operators' shapes (banded index
+  * probe with batch-side-only shuffle; broadcast eval grams; two-phase
+  * prefix sums; one shard exchange at export). The stage tables add one
+  * linear write per stage — the checkpoint that buys restartability,
+  * exactly the tradeoff a 100 TB assembly run wants (recomputing a
+  * crashed 10-stage pipeline from scratch costs more than 5 materialized
+  * checkpoints; production would point [[Db]] at cheap object storage).
+  */
+object CorpusPipeline {
+
+  val Db = "graft_corpus"
+  val IndexTable = "band_index"
+  val Stages: Seq[String] =
+    Seq("s1_clean", "s2_dedup", "s3_decontam", "s4_mix", "s5_pack")
+
+  /** Lineage table properties: the chained structural key (skip gate) and
+    * the human-readable recipe + a stamp time for operators.
+    */
+  val LineageKeyProp = "graft.lineage.key"
+  val LineageProp = "graft.lineage"
+  val LineageStampProp = "graft.lineage.stamp"
+
+  /** Fixture-scale stage parameters (interpolated into the oracle SQL —
+    * shared constants, the no-drift contract).
+    */
+  val PerSourceBudget = 1000L
+  val MixBuckets = 8
+  val PackBudget = 512
+  val PackBuckets = 32
+  val DecontamNgram = 3
+
+  final case class StageResult(stage: String, skipped: Boolean, key: String)
+
+  /** Structural lineage keys per stage for source dir `d` — each key
+    * digests the stage recipe + its params + the upstream key, so a
+    * changed param or a changed upstream recipe invalidates exactly the
+    * downstream suffix.
+    */
+  def lineageKeys(d: String): Map[String, String] = {
+    def digest(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val k1 = digest(s"s1_clean(exact=sha256-min,gate=tokens>=20," +
+      s"stop=0.05..0.6)<-documents@$d")
+    val k2 = digest(s"s2_dedup(minhash${TextOps.NumHashes}x" +
+      s"${TextOps.Bands}bands,keep-lowest-mate)<-$k1")
+    val k3 = digest(s"s3_decontam(cjk${DecontamNgram}gram,eval=mod100=7" +
+      s"@documents@$d)<-$k2")
+    val k4 = digest(s"s4_mix(budget=$PerSourceBudget,per=source," +
+      s"buckets=$MixBuckets)<-$k3")
+    val k5 = digest(s"s5_pack(budget=$PackBudget,buckets=$PackBuckets," +
+      s"shards=${SamplingOps.ExportShards})<-$k4")
+    Map("s1_clean" -> k1, "s2_dedup" -> k2, "s3_decontam" -> k3,
+      "s4_mix" -> k4, "s5_pack" -> k5)
+  }
+
+  private def fq(table: String) = s"`$Db`.`$table`"
+
+  /** Stored lineage (key, recipe, stamp) of a stage table, for operators
+    * and the resume gate. None when the table is missing or unstamped.
+    */
+  def lineageOf(s: SparkSession, stage: String)
+      : Option[(String, String, String)] =
+    if (!s.catalog.tableExists(s"$Db.$stage")) None
+    else {
+      val props = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(stage, Some(Db)))
+        .properties
+      props.get(LineageKeyProp).map(k =>
+        (k, props.getOrElse(LineageProp, ""),
+          props.getOrElse(LineageStampProp, "")))
+    }
+
+  /** Clear every stage stamp — the fresh-run prologue: after this, only
+    * stages the CURRENT run completes are stamped, so a crash anywhere
+    * resumes with exactly the unfinished suffix.
+    */
+  private def invalidateAll(s: SparkSession): Unit =
+    Stages.filter(st => s.catalog.tableExists(s"$Db.$st")).foreach { st =>
+      s.sql(s"ALTER TABLE ${fq(st)} UNSET TBLPROPERTIES IF EXISTS " +
+        s"('$LineageKeyProp', '$LineageStampProp')")
+    }
+
+  /** Run the pipeline over `d`'s documents. `resume = false` (the
+    * scheduled mode) clears all stamps and rebuilds every stage;
+    * `resume = true` (the crash-recovery mode) skips stages whose stored
+    * lineage key matches. `failAfter` is a TEST-ONLY failpoint: throw
+    * right after the named stage completes (simulates a mid-pipeline
+    * crash with the prefix durably stamped).
+    */
+  def run(s: SparkSession, d: String, resume: Boolean = false,
+          failAfter: Option[String] = None): Seq[StageResult] = {
+    Warehouse.ensureDatabase(s, Db)
+    if (!resume) invalidateAll(s)
+    val keys = lineageKeys(d)
+    val docs = graft.Tables.t(s, d, "documents")
+
+    def stage(name: String, recipe: String, partitionCols: Seq[String] = Nil)
+             (compute: => DataFrame): StageResult = {
+      val key = keys(name)
+      val done = resume && lineageOf(s, name).exists(_._1 == key)
+      if (!done) {
+        val t0 = System.nanoTime()
+        Warehouse.saveModel(compute, Db, name, partitionCols)
+        System.err.println(f"[corpus-pipeline] $name materialized in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+        // stamp STRICTLY AFTER the write commits: the stamp IS the
+        // completion marker (a crash between write and stamp recomputes —
+        // safe; the reverse order would skip a half-written stage)
+        s.sql(s"ALTER TABLE ${fq(name)} SET TBLPROPERTIES (" +
+          s"'$LineageKeyProp'='$key', '$LineageProp'='$recipe', " +
+          s"'$LineageStampProp'='${System.nanoTime()}')")
+      }
+      val r = StageResult(name, skipped = done, key)
+      if (failAfter.contains(name))
+        throw new RuntimeException(s"injected failure after stage $name")
+      r
+    }
+
+    val r1 = stage("s1_clean", s"corpusCleanSurvivors(documents@$d)") {
+      TextOps.corpusCleanSurvivors(docs)
+    }
+    val r2 = stage("s2_dedup", "band-index keep-lowest over s1_clean") {
+      val s1 = s.table(fq("s1_clean"))
+      IncrementalDedup.buildIndexFrom(s1, db = Db, table = IndexTable)
+      // self-probe: the batch IS the corpus, so probe the index with ITS
+      // OWN stored bands — the corpus is signed exactly once (at build),
+      // and the probe join reads the bucketed table on BOTH sides (no
+      // exchange at all; a fresh bandsOfDocs probe side would re-sign the
+      // whole corpus and shuffle it). Pruned-vs-unpruned probe side is
+      // equivalent here: a hot-pruned key is absent from the index, so an
+      // unpruned probe row for it would match nothing anyway.
+      val verdicts = IncrementalDedup.incrementVerdicts(
+        s.table(fq(IndexTable)), s.table(fq(IndexTable)), s1)
+      // every banded doc matches at least itself, so the survivor rule is
+      // "no band-mate with a SMALLER id"
+      s1.join(verdicts.filter(col("match_min_id") === col("doc_id"))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+    }
+    val r3 = stage("s3_decontam",
+      s"cjk${DecontamNgram}gram decontamination of s2_dedup vs eval@$d") {
+      val s2 = s.table(fq("s2_dedup"))
+      val flagged = TextOps.cjkFlagged(docs, s2, DecontamNgram)
+        .select("doc_id")
+      s2.filter(col("doc_id") % 100 =!= 7)
+        .join(flagged, Seq("doc_id"), "left_anti")
+    }
+    val r4 = stage("s4_mix",
+      s"budgetMix($PerSourceBudget/source) over s3_decontam") {
+      SamplingOps.budgetMixFor(s.table(fq("s3_decontam")),
+        PerSourceBudget, MixBuckets)
+    }
+    val r5 = stage("s5_pack",
+      s"packSequences($PackBudget) + shard assignment over s4_mix",
+      partitionCols = Seq("shard")) {
+      val s4 = s.table(fq("s4_mix"))
+      val packed = SamplingOps.packTokens(
+        s4.select(col("doc_id"), col("n_tokens").as("tokens")),
+        PackBudget, PackBuckets)
+      val full = s4.select("doc_id", "source", "n_tokens")
+        .join(packed.select("doc_id", "seq_id"), Seq("doc_id"))
+      SamplingOps.shardAssignments(full,
+          payload = Seq("source", "n_tokens", "seq_id"))
+        .sortWithinPartitions("shard", "shard_rank")
+    }
+    Seq(r1, r2, r3, r4, r5)
+  }
+
+  /** The oracle-gated query form: run (resuming any completed prefix —
+    * a second call in one session reads the materialized state, the
+    * incremental-materialization semantics the stage tables exist for),
+    * materialize the band-index content for the oracle's dedup replay
+    * (SPLIT gate — minhash band values are engine-specific; everything
+    * downstream of them is replayed from raw text), and return the final
+    * packed corpus totally ordered.
+    */
+  def query(s: SparkSession, d: String): DataFrame = {
+    run(s, d, resume = true)
+    graft.OracleInputs.checkpoint(s.table(fq(IndexTable)), d,
+      "pipeline_bands")
+    s.table(fq("s5_pack"))
+      .select("doc_id", "source", "n_tokens", "seq_id", "shard", "shard_rank")
+      .orderBy("doc_id")
+  }
+
+  /** Scheduled wiring. A normal fire is a FRESH run (snapshot-replace
+    * semantics like the tenant pipelines — the source may have grown, so
+    * structural skip-keys must not short-circuit data freshness). A fire
+    * that follows THIS entry's own failure RESUMES instead: the crashed
+    * fresh run's prologue already cleared every stamp, so the resume
+    * recomputes exactly the unfinished suffix (the stamped prefix holds
+    * data the crashed run itself produced — fresh by construction). The
+    * runner's failure handling (window not advanced, retry after
+    * [[ScheduleRunner.RetryBackoffMs]]) drives the retry.
+    */
+  def scheduleEntry(id: String, cronExpr: String, d: String)
+      : ScheduleRunner.Entry = {
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    ScheduleRunner.Entry(id, CronSchedule.parse(cronExpr),
+      (s, _) => {
+        val mode = crashed.get()
+        try { run(s, d, resume = mode); crashed.set(false) }
+        catch { case e: Throwable => crashed.set(true); throw e }
+      },
+      name = "corpus_assembly", target = s"$Db.s5_pack",
+      tags = Map("pipeline" -> "corpus"))
+  }
+}

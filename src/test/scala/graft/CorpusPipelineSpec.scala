@@ -1,0 +1,99 @@
+package graft
+
+import graft.pipeline.CorpusPipeline
+import org.apache.spark.sql.functions._
+
+/** The corpus-assembly DAG's staging/lineage/recovery contract: stages
+  * materialize once, stamps gate the resume path, a mid-pipeline crash
+  * recomputes exactly the unfinished suffix, and the scheduled entry
+  * drives a fresh run. (Value correctness of the composed pipeline is the
+  * q_corpus_pipeline oracle's job — these tests own the MACHINERY.)
+  */
+class CorpusPipelineSpec extends SparkSpec {
+
+  private def finalRows() =
+    spark.table(s"`${CorpusPipeline.Db}`.`s5_pack`")
+      .select("doc_id", "source", "n_tokens", "seq_id", "shard", "shard_rank")
+      .orderBy("doc_id").collect().toSeq
+
+  private def stamps(): Map[String, String] =
+    CorpusPipeline.Stages.flatMap(st =>
+      CorpusPipeline.lineageOf(spark, st).map(l => st -> l._3)).toMap
+
+  test("fresh run materializes all stages; resume skips them all") {
+    val r1 = CorpusPipeline.run(spark, sf, resume = false)
+    assert(r1.map(_.stage) == CorpusPipeline.Stages)
+    assert(r1.forall(!_.skipped))
+    val rows = finalRows()
+    assert(rows.nonEmpty, "pipeline produced an empty packed corpus")
+    // every stage stamped with its lineage key + recipe
+    val keys = CorpusPipeline.lineageKeys(sf)
+    CorpusPipeline.Stages.foreach { st =>
+      val l = CorpusPipeline.lineageOf(spark, st)
+      assert(l.exists(_._1 == keys(st)), s"$st missing/wrong lineage key")
+      assert(l.exists(_._2.nonEmpty), s"$st missing human-readable lineage")
+    }
+    val s1 = stamps()
+    // resume: nothing recomputes, stamps untouched, content identical
+    val r2 = CorpusPipeline.run(spark, sf, resume = true)
+    assert(r2.forall(_.skipped), s"resume recomputed: ${r2.filterNot(_.skipped)}")
+    assert(stamps() == s1)
+    assert(finalRows() == rows)
+    // a FRESH run recomputes everything even when stamps match
+    val r3 = CorpusPipeline.run(spark, sf, resume = false)
+    assert(r3.forall(!_.skipped))
+    assert(finalRows() == rows, "fresh re-run changed the deterministic output")
+  }
+
+  test("mid-pipeline crash: resume recomputes exactly the unfinished suffix") {
+    intercept[RuntimeException] {
+      CorpusPipeline.run(spark, sf, resume = false,
+        failAfter = Some("s2_dedup"))
+    }
+    // the crashed run's prologue cleared all stamps; only the completed
+    // prefix is re-stamped
+    val afterCrash = stamps()
+    assert(afterCrash.keySet == Set("s1_clean", "s2_dedup"),
+      s"expected only the completed prefix stamped, got $afterCrash")
+    val r = CorpusPipeline.run(spark, sf, resume = true)
+    val skipped = r.filter(_.skipped).map(_.stage)
+    assert(skipped == Seq("s1_clean", "s2_dedup"),
+      s"resume should skip the stamped prefix, skipped=$skipped")
+    // the prefix tables were NOT rewritten (stamps identical)...
+    val afterResume = stamps()
+    assert(afterResume("s1_clean") == afterCrash("s1_clean"))
+    assert(afterResume("s2_dedup") == afterCrash("s2_dedup"))
+    assert(afterResume.keySet == CorpusPipeline.Stages.toSet)
+    // ...and the recovered output equals a pristine fresh run's
+    val recovered = finalRows()
+    CorpusPipeline.run(spark, sf, resume = false)
+    assert(finalRows() == recovered,
+      "crash-recovered output diverged from a pristine run")
+  }
+
+  test("a changed upstream key invalidates the downstream suffix") {
+    CorpusPipeline.run(spark, sf, resume = false)
+    // simulate an upstream recipe change by corrupting s3's stored key —
+    // s3 must recompute; s4/s5's stored keys still match THEIR chain (the
+    // real chain digests params, and those didn't change) so the stamped
+    // suffix stays skippable; s1/s2 untouched
+    spark.sql(s"ALTER TABLE `${CorpusPipeline.Db}`.`s3_decontam` " +
+      s"SET TBLPROPERTIES ('${CorpusPipeline.LineageKeyProp}'='stale')")
+    val r = CorpusPipeline.run(spark, sf, resume = true)
+    val recomputed = r.filterNot(_.skipped).map(_.stage)
+    assert(recomputed == Seq("s3_decontam"),
+      s"expected exactly the invalidated stage to recompute, got $recomputed")
+  }
+
+  test("scheduled entry fires a fresh run on its cron") {
+    import java.time.LocalDateTime
+    spark.sql(s"DROP TABLE IF EXISTS `${CorpusPipeline.Db}`.`s5_pack`")
+    val entry = CorpusPipeline.scheduleEntry("corpus", "0 3 * * *", sf)
+    assert(entry.target == s"${CorpusPipeline.Db}.s5_pack")
+    val runner = new pipeline.ScheduleRunner(Seq(entry),
+      LocalDateTime.parse("2026-02-01T00:00:00"))
+    val fired = runner.tick(spark, LocalDateTime.parse("2026-02-01T03:00:00"))
+    assert(fired == Seq("corpus"))
+    assert(finalRows().nonEmpty)
+  }
+}
