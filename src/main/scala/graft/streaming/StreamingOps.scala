@@ -295,63 +295,92 @@ object StreamingOps {
     * (IncrementalDedup.buildIndexFrom — probing a missing index fails
     * loudly rather than silently admitting everything).
     *
-    * At-least-once: a replayed trigger re-probes an index that may
-    * already hold its bands — its docs then self-match and the log gains
-    * a second (matched) verdict row. Readers wanting exactly-once
-    * verdicts resolve per doc_id by first write (same read-side-
-    * resolution contract as [[dedupedCorpus]]); the index itself only
-    * double-counts bands, which changes no future verdict (matches are
-    * distinct-counted).
+    * At-least-once delivery, EXACTLY-ONCE-EQUIVALENT state: a replayed
+    * trigger re-probes an index that already holds its bands — the
+    * resulting SELF-matches are detected and excluded from the match
+    * stats, so the replay emits byte-identical verdict rows (the log
+    * gains duplicates of the same content; readers resolving per doc_id
+    * by first write — the [[dedupedCorpus]] contract — see no
+    * difference), and self-seen survivors are not re-appended, so the
+    * index row count is unchanged by any number of replays (see
+    * [[processNearDupBatch]]).
     */
   def sinkIncrementalNearDup(docs: DataFrame, db: String, table: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val s = batch.sparkSession
-        val b = batch.toDF()
-        val idx = graft.ops.IncrementalDedup.IndexDb + "." +
-          graft.ops.IncrementalDedup.IndexTable
-        require(s.catalog.tableExists(idx),
-          s"sinkIncrementalNearDup: no band index at $idx")
-        val bands = graft.ops.TextOps.bandsOfDocs(b).persist()
-        try {
-          val corpusMatches = bands
-            .join(s.table(idx).withColumnRenamed("doc_id", "corpus_id"),
-              Seq("band_idx", "band_hash"))
-            .groupBy("doc_id")
-            .agg(countDistinct("corpus_id").as("c_n"),
-              min("corpus_id").as("c_min"))
-          val mates = bands.select(col("band_idx"), col("band_hash"),
-            col("doc_id").as("mate_id"))
-          val intraMatches = bands.join(mates, Seq("band_idx", "band_hash"))
-            .filter(col("mate_id") < col("doc_id"))
-            .groupBy("doc_id")
-            .agg(countDistinct("mate_id").as("i_n"), min("mate_id").as("i_min"))
-          val verdicts = b.select("doc_id")
-            .join(corpusMatches, Seq("doc_id"), "left")
-            .join(intraMatches, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              (coalesce(col("c_n"), lit(0L)) + coalesce(col("i_n"), lit(0L)))
-                .as("n_matches"),
-              // least() skips nulls, so a one-sided match still canonizes
-              coalesce(least(col("c_min"), col("i_min")), col("doc_id"))
-                .as("match_min_id"),
-              (col("c_n").isNull && col("i_n").isNull).cast("int")
-                .as("survives"))
-            .orderBy("doc_id")
-            .persist()
-          graft.store.Warehouse.load(s, verdicts, db, table,
-            graft.store.LoadMode.WatermarkAppend)
-          graft.ops.IncrementalDedup.appendBandFrame(
-            graft.ops.IncrementalDedup.pruneHot(
-              bands.join(verdicts.filter(col("survives") === 1)
-                .select("doc_id"), Seq("doc_id"), "left_semi")))
-          verdicts.unpersist()
-          ()
-        } finally bands.unpersist()
+        processNearDupBatch(batch.toDF(), db, table)
       }
       .start()
+
+  /** One trigger of the near-dup ingest — factored out so the replay
+    * contract is testable trigger-by-trigger. REPLAY-IDEMPOTENT at the
+    * index: a replayed doc's own bands are already stored, so it SELF-
+    * matches in the probe join the verdict needs anyway — that self-match
+    * is the replay detector, for free (no ledger table, no extra index
+    * scan). Self is EXCLUDED from the match stats (a first-run doc never
+    * self-matches — the index can't contain it yet — so first-run
+    * verdicts are unchanged), which makes a replayed trigger emit
+    * byte-identical verdict rows; and a self-seen survivor's bands are
+    * NOT re-appended, so a replay appends exactly zero index rows —
+    * exactly-once-equivalent state, at-least-once delivery.
+    */
+  private[graft] def processNearDupBatch(b: DataFrame, db: String,
+                                         table: String): Unit = {
+    val s = b.sparkSession
+    val idx = graft.ops.IncrementalDedup.IndexDb + "." +
+      graft.ops.IncrementalDedup.IndexTable
+    require(s.catalog.tableExists(idx),
+      s"sinkIncrementalNearDup: no band index at $idx")
+    val bands = graft.ops.TextOps.bandsOfDocs(b).persist()
+    try {
+      // ONE union of both mate legs, distinct-counted together: on a
+      // replay the same canonical mate surfaces through BOTH the corpus
+      // leg (the replayed trigger's survivors are index content now) and
+      // the intra leg — counting the legs separately would double it and
+      // break verdict idempotency. Self rows can only come from the
+      // corpus leg (the intra leg filters mate < doc); they carry the
+      // replay flag and are excluded from the stats.
+      val corpusLeg = bands
+        .join(s.table(idx).withColumnRenamed("doc_id", "corpus_id"),
+          Seq("band_idx", "band_hash"))
+        .select(col("doc_id"), col("corpus_id").as("mate_id"))
+      val intraLeg = bands
+        .join(bands.select(col("band_idx"), col("band_hash"),
+          col("doc_id").as("mate_id")), Seq("band_idx", "band_hash"))
+        .filter(col("mate_id") < col("doc_id"))
+        .select(col("doc_id"), col("mate_id"))
+      val notSelf = col("mate_id") =!= col("doc_id")
+      val matches = corpusLeg.union(intraLeg)
+        .groupBy("doc_id")
+        .agg(
+          countDistinct(when(notSelf, col("mate_id"))).as("n"),
+          min(when(notSelf, col("mate_id"))).as("m_min"),
+          max((!notSelf).cast("int")).as("self_seen"))
+      val verdicts = b.select("doc_id")
+        .join(matches, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n"), lit(0L)).as("n_matches"),
+          coalesce(col("m_min"), col("doc_id")).as("match_min_id"),
+          (coalesce(col("n"), lit(0L)) === 0).cast("int").as("survives"),
+          coalesce(col("self_seen"), lit(0)).as("self_seen"))
+        .orderBy("doc_id")
+        .persist()
+      graft.store.Warehouse.load(s,
+        verdicts.drop("self_seen"), db, table,
+        graft.store.LoadMode.WatermarkAppend)
+      // fold only NOVEL survivors' bands in: a self-seen survivor IS the
+      // replay case — its bands are already index content
+      graft.ops.IncrementalDedup.appendBandFrame(
+        graft.ops.IncrementalDedup.pruneHot(
+          bands.join(verdicts
+            .filter(col("survives") === 1 && col("self_seen") === 0)
+            .select("doc_id"), Seq("doc_id"), "left_semi")))
+      verdicts.unpersist()
+      ()
+    } finally bands.unpersist()
+  }
 
   /** Scheduled wiring for the log compaction — the maintenance cadence an
     * always-on ingest stream needs, composed like the IVF index refresh.

@@ -356,4 +356,42 @@ class StreamingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS `stream_inc`.`near_dup_log`")
     }
   }
+
+  test("near-dup sink replay: identical verdicts, zero index growth") {
+    import graft.ops.IncrementalDedup
+    IncrementalDedup.buildIndexFrom(Seq(
+      (1001L, "alpha beta gamma delta")).toDF("doc_id", "text"))
+    val (db, table) = ("stream_replay", "near_dup_log")
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
+    val fqn = s"`${IncrementalDedup.IndexDb}`.`${IncrementalDedup.IndexTable}`"
+    try {
+      // one trigger: a corpus dup + a novel survivor + an intra-trigger pair
+      val trigger = Seq(
+        (1L, "alpha beta gamma delta"),
+        (2L, "red green blue yellow orange"),
+        (3L, "red green blue yellow orange")).toDF("doc_id", "text")
+      StreamingOps.processNearDupBatch(trigger, db, table)
+      val idxAfterFirst = spark.table(fqn).count()
+      val verdictsFirst = spark.table(s"`$db`.`$table`").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .sortBy(_._1).toSeq
+      // the at-least-once case: the SAME trigger fires again
+      StreamingOps.processNearDupBatch(trigger, db, table)
+      assert(spark.table(fqn).count() == idxAfterFirst,
+        "a replayed trigger must append zero index rows")
+      val all = spark.table(s"`$db`.`$table`").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSeq
+      // the log gained one duplicate row per doc, byte-identical content
+      assert(all.size == 2 * verdictsFirst.size)
+      assert(all.distinct.sorted == verdictsFirst.sorted,
+        s"replayed verdicts diverged: ${all.sorted} vs $verdictsFirst")
+      // and a THIRD replay is still a no-op at the index
+      StreamingOps.processNearDupBatch(trigger, db, table)
+      assert(spark.table(fqn).count() == idxAfterFirst)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $fqn")
+      spark.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
+    }
+  }
 }
