@@ -24,20 +24,32 @@ object GraphOps {
     * Per round the driver sees ONE scalar (the changed-label count for the
     * fixpoint test).
     *
-    * Iteration discipline: each round's labels are CHECKPOINTED (eager
-    * localCheckpoint), not merely persisted — a persist caches the data
-    * but the LOGICAL plan still references every prior round (the labels
-    * frame feeds three branches per round, so the plan quadruples each
-    * iteration: plan rendering alone OOMs past ~10 rounds). Checkpointing
-    * flattens the plan to the materialized rows. On a multi-executor
-    * cluster with executor churn, swap localCheckpoint for reliable
-    * `checkpoint()` against a checkpoint dir — same shape, durable blocks.
+    * Iteration discipline: each round's labels are CHECKPOINTED (eager),
+    * not merely persisted — a persist caches the data but the LOGICAL
+    * plan still references every prior round (the labels frame feeds
+    * three branches per round, so the plan quadruples each iteration:
+    * plan rendering alone OOMs past ~10 rounds). Checkpointing flattens
+    * the plan to the materialized rows. CHECKPOINT MODE follows the
+    * session: when a checkpoint dir is configured
+    * (`sc.setCheckpointDir` — the cluster deployment), rounds use
+    * RELIABLE `checkpoint()` whose blocks survive executor loss (a
+    * lost-executor recovery recomputes from the durable files, tested
+    * under total block eviction); without one (ephemeral local runs) they
+    * degrade to `localCheckpoint` — same shape, executor-local blocks.
     * Old rounds' blocks are reclaimed by the ContextCleaner once
     * unreferenced. Deterministic: min is order-independent.
     *
     * `edges`: (src, dst) — symmetrized internally, self-loops harmless.
     * `vertices`: (id) — vertices with no edges become singleton clusters.
     */
+  /** Eager round checkpoint: reliable when the session has a checkpoint
+    * dir (durable files — survives executor loss), local otherwise.
+    */
+  private def roundCheckpoint(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
                           maxIter: Int = 50): DataFrame = {
     val sym = edges.select(col("src").cast("long").as("src"),
@@ -46,8 +58,9 @@ object GraphOps {
         col("src").cast("long").as("dst")))
       .persist()
     try {
-      var labels = vertices.select(col("id").cast("long").as("id"),
-        col("id").cast("long").as("label")).localCheckpoint(true)
+      var labels = roundCheckpoint(vertices.select(
+        col("id").cast("long").as("id"),
+        col("id").cast("long").as("label")))
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < maxIter) {
@@ -61,10 +74,9 @@ object GraphOps {
         // pointer jump: every label is a real vertex id, so look up that
         // vertex's own label and take the smaller (halves chain depth)
         val hops = prop.select(col("id").as("label"), col("label").as("hop"))
-        val jumped = prop.join(hops, Seq("label"), "left")
+        val jumped = roundCheckpoint(prop.join(hops, Seq("label"), "left")
           .select(col("id"), col("prev"),
-            least(col("label"), coalesce(col("hop"), col("label"))).as("label"))
-          .localCheckpoint(true)
+            least(col("label"), coalesce(col("hop"), col("label"))).as("label")))
         changed = jumped.filter(col("label") =!= col("prev")).count()
         labels = jumped.select("id", "label")
         iter += 1

@@ -15,6 +15,27 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
+  /** Session conf key for the DURABLE streaming checkpoint root. When
+    * set, every warehouse-writing sink places its offsets/commit WAL
+    * under `<root>/<db>.<table>`, so a restarted driver resumes from the
+    * last committed trigger instead of reprocessing from scratch — the
+    * cluster deployment mode (point it at shared storage). Unset
+    * (ephemeral tests/local runs) keeps Spark's temp default. Composes
+    * with the replay idempotency of the sinks themselves: resume bounds
+    * HOW MUCH replays; the sinks guarantee replays are harmless.
+    */
+  val CheckpointRootKey = "spark.graft.streaming.checkpointRoot"
+
+  /** Apply the configured checkpoint location for sink `name` (no-op
+    * without the conf).
+    */
+  private def withCheckpoint(
+      w: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+      src: DataFrame, name: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    src.sparkSession.conf.getOption(CheckpointRootKey)
+      .fold(w)(r => w.option("checkpointLocation", s"$r/$name"))
+
   /** Event row shape for the typed stateful ops. */
   final case class Ev(userId: Long, tsUs: Long, eventType: String, value: Double)
 
@@ -123,12 +144,12 @@ object StreamingOps {
     */
   def sinkToWarehouse(aggregated: DataFrame, db: String, table: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    aggregated.writeStream
+    withCheckpoint(aggregated.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.store.Warehouse.load(batch.sparkSession, batch.toDF(), db, table,
           graft.store.LoadMode.WatermarkAppend)
-      }
+      }, aggregated, s"$db.$table")
       .start()
 
   /** Stream → time-partitioned warehouse: each micro-batch appends into
@@ -142,12 +163,12 @@ object StreamingOps {
                                  grain: graft.pipeline.PartitionGrain,
                                  db: String, table: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    rows.writeStream
+    withCheckpoint(rows.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.pipeline.PartitionedMaterializer.appendPartitioned(
           batch.toDF(), dateCol, grain, db, table)
-      }
+      }, rows, s"$db.$table")
       .start()
 
   /** Stream → keyed CDC merge: each micro-batch upserts into the target
@@ -173,7 +194,7 @@ object StreamingOps {
                    keys: Seq[String], versionCol: String,
                    partitionCols: Seq[String] = Seq.empty)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    cdc.writeStream
+    withCheckpoint(cdc.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val s = batch.sparkSession
@@ -187,7 +208,7 @@ object StreamingOps {
         graft.store.Warehouse.mergeUpsert(s,
           batch.toDF().select(cols.map(col).toIndexedSeq: _*), db, table,
           keys, versionCol)
-      }
+      }, cdc, s"$db.$table")
       .start()
 
   /** Streaming ingest edge of the exact-dedup family: each micro-batch
@@ -203,13 +224,13 @@ object StreamingOps {
     */
   def sinkDedupedLog(docs: DataFrame, db: String, table: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+    withCheckpoint(docs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.store.Warehouse.load(batch.sparkSession,
           graft.ops.TextOps.dedupGroups(batch.toDF()), db, table,
           graft.store.LoadMode.WatermarkAppend)
-      }
+      }, docs, s"$db.$table")
       .start()
 
   /** Read-side resolution over the [[sinkDedupedLog]] survivor log:
@@ -307,11 +328,11 @@ object StreamingOps {
     */
   def sinkIncrementalNearDup(docs: DataFrame, db: String, table: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+    withCheckpoint(docs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         processNearDupBatch(batch.toDF(), db, table)
-      }
+      }, docs, s"$db.$table")
       .start()
 
   /** One trigger of the near-dup ingest — factored out so the replay

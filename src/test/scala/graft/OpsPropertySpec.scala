@@ -1170,6 +1170,32 @@ class OpsPropertySpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(1200))
   }
 
+  test("connected components: reliable checkpoints survive total block loss") {
+    import graft.ops.GraphOps
+    val ckptDir = TempDirs.create("graft-cc-ckpt")
+    // a checkpoint dir flips the CC rounds from localCheckpoint (executor-
+    // local blocks — die with the executor) to reliable checkpoint files
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    // a 40-vertex chain: long diameter forces several pointer-jump rounds
+    val edges = (0L until 39L).map(i => (i, i + 1)).toDF("src", "dst")
+    val verts = (0L until 40L).map(Tuple1(_)).toDF("id")
+    val labels = GraphOps.connectedComponents(edges, verts)
+    // reliable files actually landed
+    def files(d: java.io.File): Seq[java.io.File] = {
+      val k = Option(d.listFiles()).getOrElse(Array.empty)
+      k.toSeq.flatMap(f => if (f.isDirectory) files(f) else Seq(f))
+    }
+    assert(files(new java.io.File(ckptDir)).nonEmpty,
+      "no reliable checkpoint files written — CC ran in local mode")
+    // lost-executor shape: evict EVERY cached block in the cluster; a
+    // localCheckpoint'd plan would be unrecoverable (its only copy was
+    // block storage), a reliable one recomputes from the durable files
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 40 && got.values.forall(_ == 0L),
+      s"one chain must collapse to cluster 0 after block loss: $got")
+  }
+
   test("band-index bucket law: adaptive count, appends preserve the spec, " +
       "probe parallelism tracks the bucket count") {
     import graft.ops.IncrementalDedup

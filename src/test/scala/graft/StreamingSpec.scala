@@ -357,6 +357,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("configured checkpoint root gives every sink a durable WAL location") {
+    implicit val sq = spark.sqlContext
+    val root = TempDirs.create("graft-stream-ckpt")
+    spark.conf.set(StreamingOps.CheckpointRootKey, root)
+    try {
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamingOps.sinkDedupedLog(
+        mem.toDF().toDF("doc_id", "text"), "stream_ckpt", "log")
+      mem.addData((1L, "a b c"), (2L, "a b c"))
+      q.processAllAvailable(); q.stop()
+      // the WAL (offsets/commits) landed under <root>/<db>.<table> — the
+      // restart-resume location a durable deployment points at shared
+      // storage
+      val walDir = new java.io.File(s"$root/stream_ckpt.log")
+      assert(walDir.isDirectory,
+        s"sink did not place its checkpoint under the configured root")
+      assert(new java.io.File(walDir, "offsets").isDirectory &&
+        new java.io.File(walDir, "commits").isDirectory,
+        s"expected offsets+commits WAL in $walDir: " +
+          walDir.listFiles().map(_.getName).mkString(", "))
+    } finally {
+      spark.conf.unset(StreamingOps.CheckpointRootKey)
+      spark.sql("DROP TABLE IF EXISTS `stream_ckpt`.`log`")
+    }
+  }
+
   test("near-dup sink replay: identical verdicts, zero index growth") {
     import graft.ops.IncrementalDedup
     IncrementalDedup.buildIndexFrom(Seq(
