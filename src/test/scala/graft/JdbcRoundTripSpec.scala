@@ -73,6 +73,63 @@ class JdbcRoundTripSpec extends SparkSpec {
     assert(df.count() == 4) // bounds partition, never filter
   }
 
+  test("partitioned read is N range-bounded source queries: each partition " +
+      "fetches exactly its stride, the union is exact") {
+    // bounds (100, 400) over 2 partitions split at 250: the generated
+    // source queries are `WHERE updated < 250 (or null)` and
+    // `WHERE updated >= 250` — each partition must hold exactly its
+    // range's rows (updated = 100,200 | 300,400), proving the split is
+    // range-bounded WHERE clauses at the SOURCE, not a post-fetch split
+    val df = new JdbcSource(cfg, numPartitions = 2, bounds = Some(("100", "400")))
+      .scan(spark, spec)
+    val perPartition = df.rdd
+      .mapPartitionsWithIndex((i, rows) => Iterator.single(i -> rows.size))
+      .collect().sortBy(_._1).map(_._2).toSeq
+    assert(perPartition == Seq(2, 2),
+      s"expected each range query to fetch its own stride, got $perPartition")
+    // stride union is exact: no row lost, none duplicated
+    val ids = df.collect().map(_.getAs[Long]("ITEM_ID")).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L))
+    // more partitions than distinct values still degrades safely (empty
+    // strides, same exact union)
+    val wide = new JdbcSource(cfg, numPartitions = 8, bounds = Some(("100", "400")))
+      .scan(spark, spec)
+    assert(wide.rdd.getNumPartitions == 8)
+    assert(wide.collect().map(_.getAs[Long]("ITEM_ID")).sorted.toSeq == ids)
+  }
+
+  test("tenant + watermark predicates reach the source WHERE of a " +
+      "PARTITIONED read (pushdown composes with range splits)") {
+    def scanLower() = {
+      val src = new JdbcSource(cfg, numPartitions = 2,
+        bounds = Some(("100", "400")))
+      val raw = src.scan(spark, spec)
+      raw.toDF(raw.columns.map(_.toLowerCase): _*)
+    }
+    // no rowLimit here: LIMIT deliberately coalesces to one partition
+    // (a global limit is not range-splittable) — the property under test
+    // is that FILTERS keep the split
+    val out = Extractor.extract(scanLower(), spec, tenant,
+      lastValue = Some(100L), rowLimit = None)
+    // still the partitioned scan (the filter must not collapse the split)
+    assert(out.rdd.getNumPartitions == 2)
+    // both the tenant equality and the strict watermark filter are
+    // JDBCRelation pushed filters — they run in the source's WHERE, so
+    // each of the N range queries ships only its tenant's new rows
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan.take(800))
+    assert(plan.contains("PROJECT_ID") && plan.contains("UPDATED"),
+      s"tenant/watermark predicates missing from the pushed filters:\n" +
+        plan.take(1200))
+    // and the partitioned+filtered result equals the single-stream one
+    val single = Extractor.extract(
+      { val r = new JdbcSource(cfg).scan(spark, spec)
+        r.toDF(r.columns.map(_.toLowerCase): _*) },
+      spec, tenant, lastValue = Some(100L), rowLimit = None)
+    assert(out.collect().map(_.getAs[Long]("item_id")).sorted.toSeq ==
+      single.collect().map(_.getAs[Long]("item_id")).sorted.toSeq)
+  }
+
   test("connection probe (B6) succeeds on live DB and fails cleanly on a bad URL") {
     assert(new JdbcSource(cfg).probe(spark))
     val bad = SourceConfig("jdbc", "", "", s"jdbc:derby:$dbDir/nope", "", "")
