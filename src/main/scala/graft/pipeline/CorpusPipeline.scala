@@ -229,6 +229,28 @@ object CorpusPipeline {
       .orderBy("doc_id")
   }
 
+  /** Self-contained training-data export: the packed corpus WITH its
+    * text, one JSONL directory per shard, rows inside each file in
+    * permutation order — what a training run actually reads
+    * sequentially. The doc_id joins (seq_id from s5, text from s3) run
+    * BEFORE the shard window, so the whole export pays exactly ONE shard
+    * exchange with the payload riding through it — a join-back AFTER the
+    * window would re-shuffle on doc_id and destroy the shard layout (the
+    * [[SamplingOps.shardAssignments]] contract). Shard/rank are
+    * recomputed from the same deterministic md5 permutation, so they
+    * agree with the stored s5_pack assignments row-for-row.
+    */
+  def exportJsonl(s: SparkSession, outDir: String): Unit = {
+    val withText = s.table(fq("s4_mix"))
+      .select("doc_id", "source", "n_tokens")
+      .join(s.table(fq("s5_pack")).select("doc_id", "seq_id"), Seq("doc_id"))
+      .join(s.table(fq("s3_decontam")).select("doc_id", "text"), Seq("doc_id"))
+    SamplingOps.shardAssignments(withText,
+        payload = Seq("source", "n_tokens", "seq_id", "text"))
+      .sortWithinPartitions("shard", "shard_rank")
+      .write.mode("overwrite").partitionBy("shard").json(outDir)
+  }
+
   /** Scheduled wiring. A normal fire is a FRESH run (snapshot-replace
     * semantics like the tenant pipelines — the source may have grown, so
     * structural skip-keys must not short-circuit data freshness). A fire
