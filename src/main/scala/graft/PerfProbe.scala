@@ -211,6 +211,27 @@ object PerfProbe {
         println(f"dedup S=$s:              $n%6d pairs " +
           f"${(System.nanoTime() - t3) / 1e9}%8.2f s")
       }
+    } else if (args.headOption.contains("pipeline")) {
+      // Corpus-pipeline scale probe: FRESH runs (resume would skip every
+      // stage after the first materialization and time the skip path),
+      // base vs K× corpus. A staged pipeline of linear operators should
+      // scale ~linearly; the stage tables' write volume is the one cost
+      // the standalone query sweep doesn't carry.
+      val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "5").toInt
+      val scaled = TempDirs.create(s"graft-sf-pipe-k$k")
+      println(s"building ${k}x corpus at $scaled ...")
+      buildScaled(spark, d, scaled, k)
+      def timeFresh(dir: String): Double = (1 to 2).map { _ =>
+        graft.ops.PlanCache.release(spark)
+        OracleInputs.releaseLocalCheckpoints()
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        graft.pipeline.CorpusPipeline.run(spark, dir, resume = false)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val base = timeFresh(d)
+      val big = timeFresh(scaled)
+      println(f"corpus_pipeline fresh       $base%8.2f $big%8.2f ${big / base}%7.2f  (linear ≈ $k)")
     } else if (args.headOption.contains("scale")) {
       val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "5").toInt
       // TempDirs: the K× corpus is a full replicated copy of sf0.1 — it
