@@ -32,11 +32,13 @@ object PlanAudit {
       // round-7 additions: rarity signal, quality-prefix budget selection,
       // best-of-cluster dedup
       "q_mean_token_freq", "q_token_budget_select", "q_dedup_best_of_cluster",
-      "q_dedup_incremental", "q_cluster_sample", "q_budget_mix",
-      // round-8 addition: the end-to-end corpus-assembly pipeline (plan
-      // shown is the final read over the staged tables; the stage plans
-      // are the underlying operators', audited above)
-      "q_corpus_pipeline")
+      "q_dedup_incremental", "q_cluster_sample", "q_budget_mix")
+    // q_corpus_pipeline is deliberately NOT audited here: its query-form
+    // plan is a trivial read over the staged tables (auditing it would
+    // execute the whole 5-stage materialization for nothing — against
+    // this file's lazy-audit discipline), the stage plans ARE the
+    // operators audited above, and CorpusPipelineSpec plan-asserts the
+    // one pipeline-specific shape (zero-exchange bucketed self-probe).
     // Plan-only overrides: q_embedding_near_dup's default construction
     // sizes its adaptive banding with a Spark job (persist + count of the
     // sketch); an explicit bandBits keeps the audit lazy and the plan

@@ -50,6 +50,26 @@ object GraphOps {
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
 
+  /** Reliable-checkpoint FILES of a checkpointed frame (None in local
+    * mode). Needed for superseded-round cleanup: the ContextCleaner
+    * reclaims localCheckpoint BLOCKS, but reliable checkpoint files are
+    * only auto-deleted under `spark.cleaner.referenceTracking
+    * .cleanCheckpoints` (default false) — without explicit deletion a
+    * scheduled CC job would grow checkpoint storage by rounds × labels
+    * per run, unbounded.
+    */
+  private def checkpointFileOf(df: DataFrame): Option[String] =
+    df.queryExecution.analyzed.collectLeaves().collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.flatMap(r => Option(r.getCheckpointFile.orNull))
+
+  private def deleteCheckpointFile(df: DataFrame, path: String): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    } catch { case _: Throwable => () } // cleanup is best-effort
+
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
                           maxIter: Int = 50): DataFrame = {
     val sym = edges.select(col("src").cast("long").as("src"),
@@ -78,6 +98,12 @@ object GraphOps {
           .select(col("id"), col("prev"),
             least(col("label"), coalesce(col("hop"), col("label"))).as("label")))
         changed = jumped.filter(col("label") =!= col("prev")).count()
+        // `jumped` is fully materialized (eager), so the PREVIOUS round's
+        // reliable checkpoint files are no longer referenced by anything
+        // downstream — delete them now; only the FINAL round's files
+        // outlive the call (they back the returned frame), so reliable
+        // mode holds one round of files, not `iter` rounds
+        checkpointFileOf(labels).foreach(deleteCheckpointFile(labels, _))
         labels = jumped.select("id", "label")
         iter += 1
       }

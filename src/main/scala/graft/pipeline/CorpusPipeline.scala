@@ -141,11 +141,20 @@ object CorpusPipeline {
     val keys = lineageKeys(d)
     val docs = graft.Tables.t(s, d, "documents")
 
+    // Once ANY stage recomputes, every stage after it must too: the
+    // structural keys can't see that upstream DATA changed (same recipe,
+    // fresh rows), so a stale stamped SUFFIX — e.g. a fresh run that
+    // crashed mid-invalidateAll, leaving later stages stamped from the
+    // PREVIOUS fire — would otherwise be skipped over a recomputed
+    // prefix, serving output not derived from its own inputs.
+    var upstreamRecomputed = false
     def stage(name: String, recipe: String, partitionCols: Seq[String] = Nil)
              (compute: => DataFrame): StageResult = {
       val key = keys(name)
-      val done = resume && lineageOf(s, name).exists(_._1 == key)
+      val done = resume && !upstreamRecomputed &&
+        lineageOf(s, name).exists(_._1 == key)
       if (!done) {
+        upstreamRecomputed = true
         val t0 = System.nanoTime()
         Warehouse.saveModel(compute, Db, name, partitionCols)
         System.err.println(f"[corpus-pipeline] $name materialized in " +
@@ -155,7 +164,7 @@ object CorpusPipeline {
         // safe; the reverse order would skip a half-written stage)
         s.sql(s"ALTER TABLE ${fq(name)} SET TBLPROPERTIES (" +
           s"'$LineageKeyProp'='$key', '$LineageProp'='$recipe', " +
-          s"'$LineageStampProp'='${System.nanoTime()}')")
+          s"'$LineageStampProp'='${System.currentTimeMillis()}')")
       }
       val r = StageResult(name, skipped = done, key)
       if (failAfter.contains(name))
@@ -222,8 +231,14 @@ object CorpusPipeline {
     */
   def query(s: SparkSession, d: String): DataFrame = {
     run(s, d, resume = true)
-    graft.OracleInputs.checkpoint(s.table(fq(IndexTable)), d,
-      "pipeline_bands")
+    // durable mode only: unlike the split-gate queries (whose downstream
+    // derivation consumes the checkpointed frame), nothing here reads the
+    // result — the materialization exists purely for the oracle's dedup
+    // replay, so the non-durable (bench) mode skips it instead of paying
+    // an index-sized localCheckpoint per pass that nothing consumes
+    if (graft.OracleInputs.durable)
+      graft.OracleInputs.checkpoint(s.table(fq(IndexTable)), d,
+        "pipeline_bands")
     s.table(fq("s5_pack"))
       .select("doc_id", "source", "n_tokens", "seq_id", "shard", "shard_rank")
       .orderBy("doc_id")

@@ -71,18 +71,22 @@ class CorpusPipelineSpec extends SparkSpec {
       "crash-recovered output diverged from a pristine run")
   }
 
-  test("a changed upstream key invalidates the downstream suffix") {
+  test("an invalidated stage forces the whole downstream suffix to recompute") {
     CorpusPipeline.run(spark, sf, resume = false)
-    // simulate an upstream recipe change by corrupting s3's stored key —
-    // s3 must recompute; s4/s5's stored keys still match THEIR chain (the
-    // real chain digests params, and those didn't change) so the stamped
-    // suffix stays skippable; s1/s2 untouched
+    // corrupt s3's stored key (stands in for any mid-chain invalidation:
+    // crashed stamp-clearing, manual rebuild, recipe change). s3 must
+    // recompute — and then s4/s5 MUST too, even though their stored keys
+    // still match the structural chain: structural keys can't see that
+    // upstream DATA was rebuilt, so trusting a stamped suffix over a
+    // recomputed prefix would serve output not derived from its inputs
     spark.sql(s"ALTER TABLE `${CorpusPipeline.Db}`.`s3_decontam` " +
       s"SET TBLPROPERTIES ('${CorpusPipeline.LineageKeyProp}'='stale')")
     val r = CorpusPipeline.run(spark, sf, resume = true)
-    val recomputed = r.filterNot(_.skipped).map(_.stage)
-    assert(recomputed == Seq("s3_decontam"),
-      s"expected exactly the invalidated stage to recompute, got $recomputed")
+    assert(r.filter(_.skipped).map(_.stage) == Seq("s1_clean", "s2_dedup"),
+      s"prefix above the invalidation should skip: $r")
+    assert(r.filterNot(_.skipped).map(_.stage) ==
+      Seq("s3_decontam", "s4_mix", "s5_pack"),
+      s"the invalidated stage AND its downstream must recompute: $r")
   }
 
   test("s2 self-probe reads the bucketed index with zero exchange") {
@@ -114,7 +118,7 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(shards.nonEmpty, "no shard directories written")
     val exported = spark.read
       .schema("doc_id LONG, source STRING, n_tokens LONG, seq_id LONG, " +
-        "text STRING, shard_rank INT, sk STRING")
+        "text STRING, shard_rank INT")
       .json(s"$out/shard=*")
     val s5 = spark.table(s"`${CorpusPipeline.Db}`.`s5_pack`")
     assert(exported.count() == s5.count())

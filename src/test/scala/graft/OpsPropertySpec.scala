@@ -1176,24 +1176,37 @@ class OpsPropertySpec extends SparkSpec {
     // a checkpoint dir flips the CC rounds from localCheckpoint (executor-
     // local blocks — die with the executor) to reliable checkpoint files
     spark.sparkContext.setCheckpointDir(ckptDir)
-    // a 40-vertex chain: long diameter forces several pointer-jump rounds
-    val edges = (0L until 39L).map(i => (i, i + 1)).toDF("src", "dst")
-    val verts = (0L until 40L).map(Tuple1(_)).toDF("id")
-    val labels = GraphOps.connectedComponents(edges, verts)
-    // reliable files actually landed
-    def files(d: java.io.File): Seq[java.io.File] = {
-      val k = Option(d.listFiles()).getOrElse(Array.empty)
-      k.toSeq.flatMap(f => if (f.isDirectory) files(f) else Seq(f))
-    }
-    assert(files(new java.io.File(ckptDir)).nonEmpty,
-      "no reliable checkpoint files written — CC ran in local mode")
-    // lost-executor shape: evict EVERY cached block in the cluster; a
-    // localCheckpoint'd plan would be unrecoverable (its only copy was
-    // block storage), a reliable one recomputes from the durable files
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(got.size == 40 && got.values.forall(_ == 0L),
-      s"one chain must collapse to cluster 0 after block loss: $got")
+    try {
+      // a 40-vertex chain: long diameter forces several pointer-jump rounds
+      val edges = (0L until 39L).map(i => (i, i + 1)).toDF("src", "dst")
+      val verts = (0L until 40L).map(Tuple1(_)).toDF("id")
+      val labels = GraphOps.connectedComponents(edges, verts)
+      // reliable files actually landed
+      def files(d: java.io.File): Seq[java.io.File] = {
+        val k = Option(d.listFiles()).getOrElse(Array.empty)
+        k.toSeq.flatMap(f => if (f.isDirectory) files(f) else Seq(f))
+      }
+      val live = files(new java.io.File(ckptDir))
+      assert(live.nonEmpty,
+        "no reliable checkpoint files written — CC ran in local mode")
+      // superseded-round cleanup: only the FINAL round's checkpoint may
+      // remain on disk (one rdd-* dir), else scheduled CC runs would grow
+      // checkpoint storage by rounds x labels per run
+      val rddDirs = live.map(_.getParentFile.getName)
+        .filter(_.startsWith("rdd-")).distinct
+      assert(rddDirs.size == 1,
+        s"superseded rounds' checkpoint files must be deleted: $rddDirs")
+      // lost-executor shape: evict EVERY cached block in the cluster; a
+      // localCheckpoint'd plan would be unrecoverable (its only copy was
+      // block storage), a reliable one recomputes from the durable files
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got.size == 40 && got.values.forall(_ == 0L),
+        s"one chain must collapse to cluster 0 after block loss: $got")
+    } finally
+      // restore local-checkpoint mode for the rest of the shared session
+      // (setCheckpointDir(null) resets to None — Option(null))
+      spark.sparkContext.setCheckpointDir(null)
   }
 
   test("band-index bucket law: adaptive count, appends preserve the spec, " +
