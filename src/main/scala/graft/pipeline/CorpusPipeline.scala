@@ -133,6 +133,14 @@ object CorpusPipeline {
     * lineage key matches. `failAfter` is a TEST-ONLY failpoint: throw
     * right after the named stage completes (simulates a mid-pipeline
     * crash with the prefix durably stamped).
+    *
+    * SINGLE-RUNNER contract: the stage tables are shared mutable state,
+    * so exactly one run may be in flight (two concurrent runs would race
+    * on stamps and CTAS targets). The scheduler satisfies this by
+    * construction — [[ScheduleRunner.tick]] executes entries
+    * sequentially — and ad-hoc runs belong to the same operator lane,
+    * like every Warehouse rewrite (replacePartitions documents the same
+    * one-writer rule).
     */
   def run(s: SparkSession, d: String, resume: Boolean = false,
           failAfter: Option[String] = None): Seq[StageResult] = {
