@@ -386,9 +386,41 @@ object MultimodalOps {
       sums.map(s => s / n / 255f)
     }
 
+  /** Real JPEG pixel decode via the JDK's BUILT-IN ImageIO codec
+    * (java.desktop module — no external dependency): per-channel RGB
+    * means normalized to [0,1], one bulk getRGB call (per-pixel calls pay
+    * a color-model conversion each). DETERMINISM CAVEAT, and why this leg
+    * stays off the oracle surface: JPEG inverse-DCT output is bit-stable
+    * within one JDK but not specified across decoder implementations —
+    * so JPEG features remain rows-only like every feature vector, while
+    * the pixel DECODE itself is now real (the stub below is left only
+    * for WebP/unknown payloads, honestly labeled). None on anything
+    * ImageIO can't decode routes to the stub.
+    */
+  private[graft] def jpegFeatures(payload: Array[Byte]): Option[Array[Float]] =
+    try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+        val sums = new Array[Long](3)
+        var i = 0
+        while (i < rgb.length) {
+          val p = rgb(i)
+          sums(0) += (p >> 16) & 0xff
+          sums(1) += (p >> 8) & 0xff
+          sums(2) += p & 0xff
+          i += 1
+        }
+        val n = (w.toLong * h).toFloat
+        sums.map(s => s / n / 255f)
+      }
+    } catch { case _: Throwable => None }
+
   /** ==== STUB ==== deterministic fake feature vector for CODEC-BOUND
-    * formats only (JPEG/WebP entropy decode and true model inference need
-    * libraries this container doesn't have); PNG takes [[pngFeatures]].
+    * formats this JVM has no decoder for (WebP entropy coding; true model
+    * inference); PNG takes [[pngFeatures]], JPEG takes [[jpegFeatures]].
     */
   private[ops] def featuresStub(payload: Array[Byte], dim: Int = 8): Array[Float] = {
     val out = new Array[Float](dim)
@@ -417,11 +449,15 @@ object MultimodalOps {
       rows.map { r =>
         // real header parse first; the stub only catches non-media payloads
         val (fmt, w, h) = parseHeader(r.payload).getOrElse(decodeStub(r.payload))
-        // real pixel decode where possible (PNG), stub only when the
-        // format is codec-bound
+        // real pixel decode where a JVM codec exists (PNG: PngCodec;
+        // JPEG: built-in ImageIO, gated on the header so ImageIO never
+        // sniffs arbitrary bytes); stub only for genuinely codec-bound
+        // payloads (WebP, non-media)
         val feats =
           if (!withFeatures) Array.empty[Float]
-          else pngFeatures(r.payload).getOrElse(featuresStub(r.payload))
+          else pngFeatures(r.payload)
+            .orElse(if (fmt == "jpeg") jpegFeatures(r.payload) else None)
+            .getOrElse(featuresStub(r.payload))
         MediaMeta(r.docId, r.payload.length, fmt, w, h, feats)
       }
     }

@@ -408,6 +408,25 @@ class OpsPropertySpec extends SparkSpec {
     assert(frames.groupBy("doc_id").count().filter(col("count") =!= 3).count() == 0)
   }
 
+  test("extractMeta takes the REAL jpeg decode leg for decodable payloads") {
+    // a genuine ImageIO-encoded JPEG through the distributed path: the
+    // features must equal the direct jpegFeatures decode, not the stub's
+    // FNV fold (fixture containers are header-only, so they keep the
+    // stub — this payload has real entropy data)
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, 0x808080)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val payload = bos.toByteArray
+    val viaMeta = MultimodalOps.extractMeta(
+      Seq(MultimodalOps.MediaRow(1L, payload)).toDS()).collect().head
+    assert(viaMeta.format == "jpeg" && viaMeta.width == 16)
+    assert(viaMeta.features.toSeq ==
+      MultimodalOps.jpegFeatures(payload).get.toSeq)
+    assert(viaMeta.features.length == 3) // RGB means, not the 8-dim stub
+  }
+
   test("header parser: PNG/BMP/JPEG layouts on crafted payloads, stub fallback") {
     import MultimodalOps.{craftHeader, parseHeader}
     // round-trips through the real container layouts
