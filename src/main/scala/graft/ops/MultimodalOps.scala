@@ -397,6 +397,14 @@ object MultimodalOps {
     * for WebP/unknown payloads, honestly labeled). None on anything
     * ImageIO can't decode routes to the stub.
     */
+  /** Formats the JDK's ImageIO decodes that [[extractMeta]] routes through
+    * the real leg. PNG is deliberately absent — it takes the hand-rolled
+    * bit-deterministic [[PngCodec]] (the oracle-gradable path); GIF/BMP
+    * decode LOSSLESSLY in ImageIO (LZW / raw raster — deterministic),
+    * JPEG within its cross-implementation DCT caveat.
+    */
+  private[graft] val ImageIoFormats: Set[String] = Set("jpeg", "gif", "bmp")
+
   private[graft] def jpegFeatures(payload: Array[Byte]): Option[Array[Float]] =
     try {
       Option(javax.imageio.ImageIO.read(
@@ -450,13 +458,13 @@ object MultimodalOps {
         // real header parse first; the stub only catches non-media payloads
         val (fmt, w, h) = parseHeader(r.payload).getOrElse(decodeStub(r.payload))
         // real pixel decode where a JVM codec exists (PNG: PngCodec;
-        // JPEG: built-in ImageIO, gated on the header so ImageIO never
-        // sniffs arbitrary bytes); stub only for genuinely codec-bound
-        // payloads (WebP, non-media)
+        // JPEG/GIF/BMP: built-in ImageIO, gated on the header so ImageIO
+        // never sniffs arbitrary bytes); stub only for genuinely
+        // codec-bound payloads (WebP, non-media)
         val feats =
           if (!withFeatures) Array.empty[Float]
           else pngFeatures(r.payload)
-            .orElse(if (fmt == "jpeg") jpegFeatures(r.payload) else None)
+            .orElse(if (ImageIoFormats(fmt)) jpegFeatures(r.payload) else None)
             .getOrElse(featuresStub(r.payload))
         MediaMeta(r.docId, r.payload.length, fmt, w, h, feats)
       }

@@ -118,6 +118,20 @@ class PngCodecSpec extends AnyFunSuite {
     assert(MultimodalOps.jpegFeatures(
       java.util.Arrays.copyOf(payload, 24)).isEmpty)
     assert(MultimodalOps.jpegFeatures("plain text".getBytes).isEmpty)
+    // the lossless ImageIO legs (GIF LZW, BMP raw raster) decode EXACT:
+    // a flat 100-gray image round-trips to means of exactly 100/255
+    for (f <- Seq("gif", "bmp")) {
+      val flat = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) flat.setRGB(x, y, 0x646464)
+      val b = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(flat, f, b), s"no $f writer")
+      val got = MultimodalOps.jpegFeatures(b.toByteArray).get
+      assert(MultimodalOps.parseHeader(b.toByteArray).exists(m =>
+        MultimodalOps.ImageIoFormats(m._1)), s"$f header not recognized")
+      got.foreach(v => assert(math.abs(v - 100 / 255f) < 1e-6,
+        s"$f lossless decode drifted: $v"))
+    }
   }
 
   test("inflater bound: an IHDR claiming a huge raster is refused before allocation") {
