@@ -100,6 +100,7 @@ object SparkEntry {
     "q_knn_cosine_topk"     -> (VectorOps.knnCosineTopk _),
     "q_lsh_cosine_buckets"  -> (VectorOps.lshCosineBuckets _),
     "q_ivf_cosine_topk"     -> (VectorOps.ivfCosineTopk _),
+    "q_pq_cosine_topk"      -> (VectorOps.pqCosineTopk _),
     "q_ivf_semantic_dedup"  -> ((s: SparkSession, d: String) => VectorOps.ivfSemanticDedup(s, d)),
     "q_embedding_near_dup"  -> ((s: SparkSession, d: String) => VectorOps.nearDupCosine(s, d)),
     "q_semantic_survivors"  -> ((s: SparkSession, d: String) => VectorOps.semanticSurvivors(s, d)),
@@ -237,6 +238,32 @@ object SparkEntry {
     * pairs, recompute each cosine from the raw embeddings, re-apply the
     * threshold — a wrong cosine or below-threshold pair hash-mismatches.
     */
+  /** Shared top-k split-gate oracle: given a materialized (probe_id,
+    * neighbor_id) set, recompute every cosine from the raw embeddings and
+    * the full rank order — the gate for any retrieve-then-exact-re-rank
+    * search (IVF, PQ). An engine rank disagreeing with the exact-cosine
+    * order fails the hash.
+    */
+  private def topkCosineOracle(gateName: String): String = {
+    val path = OracleInputs.sqlPath(gateName)
+    s"""WITH p AS (SELECT probe_id, neighbor_id
+       |           FROM read_parquet('$path/*.parquet')),
+       |$VecNormCte, scored AS (
+       |    SELECT p.probe_id, p.neighbor_id,
+       |           $DotAB / (a.l2 * b.l2) AS cosine
+       |    FROM p JOIN nrm a ON a.vec_id = p.probe_id
+       |           JOIN nrm b ON b.vec_id = p.neighbor_id
+       |), ranked AS (
+       |    SELECT probe_id, neighbor_id, cosine,
+       |           row_number() OVER (PARTITION BY probe_id
+       |                              ORDER BY cosine DESC, neighbor_id ASC)
+       |               AS rnk
+       |    FROM scored
+       |)
+       |SELECT probe_id, rnk, neighbor_id, cosine FROM ranked
+       |ORDER BY probe_id, rnk""".stripMargin
+  }
+
   private def pairCosineOracle(pairsName: String, threshold: Double): String = {
     val path = OracleInputs.sqlPath(pairsName)
     s"""WITH p AS (SELECT vec_a, vec_b FROM read_parquet('$path/*.parquet')),
@@ -463,25 +490,12 @@ object SparkEntry {
     // top-k split gate: given the engine's materialized (probe, neighbor)
     // sets, the cosines AND the rank order are deterministic — recompute
     // both; an engine rnk disagreeing with the exact-cosine order fails
-    "q_ivf_cosine_topk" -> {
-      val path = OracleInputs.sqlPath("ivf_topk")
-      s"""WITH p AS (SELECT probe_id, neighbor_id
-         |           FROM read_parquet('$path/*.parquet')),
-         |$VecNormCte, scored AS (
-         |    SELECT p.probe_id, p.neighbor_id,
-         |           $DotAB / (a.l2 * b.l2) AS cosine
-         |    FROM p JOIN nrm a ON a.vec_id = p.probe_id
-         |           JOIN nrm b ON b.vec_id = p.neighbor_id
-         |), ranked AS (
-         |    SELECT probe_id, neighbor_id, cosine,
-         |           row_number() OVER (PARTITION BY probe_id
-         |                              ORDER BY cosine DESC, neighbor_id ASC)
-         |               AS rnk
-         |    FROM scored
-         |)
-         |SELECT probe_id, rnk, neighbor_id, cosine FROM ranked
-         |ORDER BY probe_id, rnk""".stripMargin
-    },
+    "q_ivf_cosine_topk" -> topkCosineOracle("ivf_topk"),
+    // same split-gate shape as the IVF path: WHICH candidates the PQ
+    // codebooks retrieve is engine-trained (rows-only), but the EXACT
+    // re-rank's cosines and order over the materialized sets are fully
+    // recomputed by the oracle
+    "q_pq_cosine_topk" -> topkCosineOracle("pq_topk"),
     // tolerance gate: the oracle asserts the HLL estimate landed within
     // 3·rsd of the exact count (within_3rsd must be 1 on the Spark side)
     "q_approx_distinct" ->

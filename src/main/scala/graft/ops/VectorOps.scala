@@ -506,6 +506,192 @@ object VectorOps {
     searchIvf(assignments, centroids, probes,
       largeProbeSide = probes.count() > IvfBroadcastProbeLimit)
 
+  /** Product quantization (PQ) with exact re-rank — the MEMORY-BOUND
+    * regime's ANN: at 100 TB the raw embeddings (256 B/vector at 64×f32)
+    * don't fit executor memory next to the working set, but their PQ
+    * codes do ([[PqSubspaces]] sub-vector codebook ids = 8 small ints,
+    * a 32× compression). The standard retrieve-then-re-rank shape:
+    *
+    *  1. TRAIN: the 64-dim space splits into M=[[PqSubspaces]] 8-dim
+    *     subspaces; each gets its own K=[[PqCodebookSize]] k-means
+    *     codebook via the SAME deterministic Lloyd's machinery as the IVF
+    *     quantizer ([[ivfIndex]] over the sliced vectors — one shared
+    *     implementation, bit-reproducible). Only M×K×8 doubles (the
+    *     codebooks) ever reach the driver.
+    *  2. ENCODE: one pass over the corpus computes all M argmin codes per
+    *     row against the BROADCAST (literal) codebooks — no joins, no
+    *     shuffle, pure codegen expressions; the codes table is what a
+    *     production deployment persists (and all the search scan reads).
+    *  3. SEARCH: approximate score per (probe, corpus row) =
+    *     Σ_m probe_sub_m · codebook_m[code_m] — M native vec_dot folds
+    *     against literal-array lookups, linear in the corpus with probes
+    *     broadcast; per-probe top-[[PqRerank]] candidates by approx
+    *     score (WindowGroupLimit), then EXACT cosine re-ranks the final
+    *     top-5 from the raw vectors of just those candidates.
+    *
+    * Self-hit invariant: a probe's own row has the minimal quantization
+    * error possible for its codes, but PQ approx scores do NOT guarantee
+    * rank-1 for self — the EXACT re-rank does (cosine(self)=1 is the
+    * global maximum, and the approx score of self is the best
+    * reconstruction of the true maximum, so self survives any sane
+    * candidate budget; property-tested, as is a recall floor vs exact
+    * brute force). SPLIT ORACLE GATE like the IVF path: WHICH candidates
+    * surface is codebook-dependent (rows-only), the cosines and rank
+    * order of the materialized sets are recomputed exactly by DuckDB.
+    */
+  val PqSubspaces = 8
+  val PqCodebookSize = 16
+  val PqRerank = 25
+
+  /** Per-subspace codebooks trained on the corpus: m → K centroids of
+    * subDim doubles. ONE Lloyd's over the EXPLODED (vec_id, m, sub-vector)
+    * frame — all M codebooks train simultaneously with centroid key
+    * (m, cell), so the whole training is ~5 jobs instead of M separate
+    * [[ivfIndex]] runs (~5M jobs; measured 8.5 → 2.3 s at sf0.1). Same
+    * deterministic machinery: hash-ordered seeds per subspace (the same
+    * seed VECTORS for every m — identical to what per-subspace training
+    * picks, since the ordering key ignores m), broadcast argmin via
+    * min(struct), fixed-point exact centroid aggregation; only M×K
+    * centroid rows reach the driver.
+    */
+  private[graft] def pqIndex(emb: DataFrame, subDim: Int,
+                             iterations: Int = 2)
+      : (DataFrame, Map[Int, Seq[Seq[Double]]]) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val sub = PlanCache.swap("pq-subvecs", emb
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("m"),
+        col("embedding"))
+      .select(col("vec_id"), col("m"),
+        transform(slice(col("embedding"), col("m") * subDim + 1, lit(subDim)),
+          x => x.cast("double")).as("vec")))
+    val ws = org.apache.spark.sql.expressions.Window.partitionBy("m")
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    var cents: Map[(Int, Int), Seq[Double]] = sub
+      .withColumn("rk", row_number().over(ws))
+      .filter(col("rk") <= PqCodebookSize)
+      .select(col("m"), (col("rk") - 1).as("cell"), col("vec"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq)
+      .toMap
+    def centroidDf = cents.toSeq
+      .map { case ((m, k), c) => (m, k, c) }.toDF("m", "cell", "centroid")
+    def assign(cDf: DataFrame) = sub.join(broadcast(cDf), Seq("m"))
+      .withColumn("dist", call_function("vec_sqdist", col("vec"), col("centroid")))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("cell"))).as("am"))
+      .select(col("vec_id"), col("m"), col("am.cell").as("cell"))
+    for (_ <- 1 to iterations) {
+      val updated = sub.join(assign(centroidDf), Seq("vec_id", "m"))
+        .select(col("m"), col("cell"), posexplode(col("vec")).as(Seq("dim", "x")))
+        .withColumn("xq", floor(col("x") * lit(1e9)).cast("bigint"))
+        .groupBy("m", "cell", "dim")
+        .agg(sum("xq").as("s"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rows) =>
+          key -> rows.sortBy(_.getInt(2))
+            .map(r => r.getLong(3).toDouble / 1e9 / r.getLong(4)).toSeq
+        }
+      cents = cents ++ updated
+    }
+    val books = (0 until PqSubspaces).map(m =>
+      m -> (0 until PqCodebookSize).map(k =>
+        cents((m, k))).toSeq).toMap
+    // final codes straight from the trainer's last assignment — one
+    // map-side-combined exchange on vec_id, no extra scoring pass (and no
+    // wide literal-codebook codegen: the in-session query path reuses
+    // work the training already did; [[pqEncode]] is the PRODUCTION scan
+    // shape over stored codebooks — argmin-parity-tested against this)
+    val codes = assign(centroidDf)
+      .groupBy("vec_id")
+      .agg(
+        max(when(col("m") === 0, col("cell"))).cast("int").as("code_0"),
+        (1 until PqSubspaces).map(m =>
+          max(when(col("m") === m, col("cell"))).cast("int")
+            .as(s"code_$m")): _*)
+    (codes, books)
+  }
+
+  /** Codebooks only — the stored-index surface ([[pqEncode]] consumers). */
+  private[graft] def pqCodebooks(emb: DataFrame, subDim: Int)
+      : Map[Int, Seq[Seq[Double]]] = pqIndex(emb, subDim)._2
+
+  /** One-pass PQ encode: M argmin-code columns against literal codebooks
+    * (zero joins/shuffles — the production scan shape).
+    */
+  private[graft] def pqEncode(emb: DataFrame, books: Map[Int, Seq[Seq[Double]]],
+                              subDim: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val vec = transform(col("embedding"), x => x.cast("double"))
+    val withCodes = (0 until PqSubspaces).foldLeft(
+      emb.select(col("vec_id"), col("embedding"))) { (df, m) =>
+      val sub = slice(vec, m * subDim + 1, subDim)
+      val dists = array(books(m).map(c =>
+        call_function("vec_sqdist", sub, typedLit(c))): _*)
+      df.withColumn(s"code_$m",
+        (array_position(dists, array_min(dists)) - 1).cast("int"))
+    }
+    withCodes.select(col("vec_id") +:
+      (0 until PqSubspaces).map(m => col(s"code_$m")): _*)
+  }
+
+  /** Registered query: PQ-approximate top-k with exact re-rank over the
+    * standard probe set (vec_id < 5 — recall directly comparable to
+    * [[knnCosineTopk]]/[[ivfCosineTopk]]).
+    */
+  def pqCosineTopk(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = t(s, d, "embeddings")
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+    val subDim = OracleDims / PqSubspaces
+    val (codesDf, books) = pqIndex(emb, subDim)
+    val codes = codesDf.withColumnRenamed("vec_id", "neighbor_id")
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"),
+        transform(col("embedding"), x => x.cast("double")).as("probe_vec"))
+    // approximate ADC score: Σ_m probe_sub · codebook_m[code_m]
+    val approx = (0 until PqSubspaces).map { m =>
+      call_function("vec_dot",
+        slice(col("probe_vec"), m * subDim + 1, subDim),
+        element_at(typedLit(books(m)), col(s"code_$m") + 1))
+    }.reduce(_ + _)
+    val wApprox = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id")
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    val cands = codes.crossJoin(broadcast(probes))
+      .withColumn("approx", approx)
+      .withColumn("arnk", row_number().over(wApprox))
+      .filter(col("arnk") <= PqRerank)
+      .select("probe_id", "neighbor_id")
+    // exact re-rank of the retrieved candidates only
+    val corpus = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cand_vec"))
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val reranked = cands
+      .join(corpus, Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .withColumn("cosine",
+        dot(col("probe_vec"), col("cand_vec"))
+          / (sqrt(sumSq(col("probe_vec"))) * sqrt(sumSq(col("cand_vec")))))
+      .withColumn("rnk", row_number().over(wExact))
+      .filter(col("rnk") <= 5)
+      .select("probe_id", "rnk", "neighbor_id", "cosine")
+    graft.OracleInputs.checkpoint(reranked, d, "pq_topk")
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** Fixture embedding dimensionality the PQ split assumes (matches the
+    * oracle-side constant in SparkEntry; a different corpus passes its
+    * own subDim through the private API).
+    */
+  private val OracleDims = 64
+
   /** Corpus rows per cell the ADAPTIVE quantizer targets for corpus-sized
     * probe workloads: with a FIXED cell count, corpus×corpus search is
     * quadratic (candidates = n × nProbe × n/nCells); holding occupancy

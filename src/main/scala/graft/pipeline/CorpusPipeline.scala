@@ -252,6 +252,23 @@ object CorpusPipeline {
       .orderBy("doc_id")
   }
 
+  /** Operator-facing lineage report: one row per stage with its stored
+    * key, whether that key matches the current recipe chain for `d`
+    * (fresh = a resume would skip it), the human-readable recipe, and the
+    * wall-clock stamp. Metadata-only — no stage data is scanned.
+    */
+  def report(s: SparkSession, d: String): DataFrame = {
+    val keys = lineageKeys(d)
+    import s.implicits._
+    Stages.map { st =>
+      lineageOf(s, st) match {
+        case Some((k, recipe, stamp)) =>
+          (st, k, k == keys(st), recipe, stamp)
+        case None => (st, "", false, "", "")
+      }
+    }.toDF("stage", "lineage_key", "fresh", "recipe", "stamp_ms")
+  }
+
   /** Self-contained training-data export: the packed corpus WITH its
     * text, one JSONL directory per shard, rows inside each file in
     * permutation order — what a training run actually reads

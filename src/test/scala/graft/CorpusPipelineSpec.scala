@@ -133,6 +133,21 @@ class CorpusPipelineSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("lineage report reflects freshness without scanning stage data") {
+    CorpusPipeline.run(spark, sf, resume = false)
+    val rows = CorpusPipeline.report(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getBoolean(2), r.getString(4))).toMap
+    assert(rows.keySet == CorpusPipeline.Stages.toSet)
+    assert(rows.values.forall(_._1), s"all stages should be fresh: $rows")
+    assert(rows.values.forall(_._2.nonEmpty), "stamps should be recorded")
+    // corrupt one stage's key: that row (alone) reads stale
+    spark.sql(s"ALTER TABLE `${CorpusPipeline.Db}`.`s4_mix` " +
+      s"SET TBLPROPERTIES ('${CorpusPipeline.LineageKeyProp}'='stale')")
+    val after = CorpusPipeline.report(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(!after("s4_mix") && after("s3_decontam") && after("s5_pack"))
+  }
+
   test("scheduled entry fires a fresh run on its cron") {
     import java.time.LocalDateTime
     spark.sql(s"DROP TABLE IF EXISTS `${CorpusPipeline.Db}`.`s5_pack`")

@@ -1189,6 +1189,50 @@ class OpsPropertySpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(1200))
   }
 
+  test("pq topk: self-hit after exact re-rank, recall floor vs exact knn, " +
+      "deterministic, encode is shuffle-free") {
+    val got = VectorOps.pqCosineTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // exact re-rank guarantees the self-hit (cosine(self)=1 is the global
+    // max; the approx score ranks self at the top of its own codes)
+    got.filter(_._2 == 1).foreach { case (p, _, n, c) =>
+      assert(p == n && math.abs(c - 1.0) < 1e-9, s"probe $p top-1 was $n ($c)")
+    }
+    // recall floor vs brute force (same floor contract as the IVF path)
+    val exact = VectorOps.knnCosineTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val mine = got.map(x => (x._1, x._3)).toSet
+    val recall = (exact intersect mine).size.toDouble / exact.size
+    assert(recall >= 0.6, s"pq recall@5 $recall below floor")
+    // deterministic end to end (codebook training is seeded)
+    val again = VectorOps.pqCosineTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == again.toSeq)
+    // the PRODUCTION encode pass (scan + literal stored codebooks) is
+    // pure codegen expressions: NO exchange at all
+    val emb = Tables.t(spark, sf, "embeddings")
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+    val (trainerCodes, books) = VectorOps.pqIndex(emb, 8)
+    val encPlan = VectorOps.pqEncode(emb, books, 8)
+      .queryExecution.executedPlan.toString
+    assert(!encPlan.contains("Exchange"),
+      s"PQ encode must be a shuffle-free scan:\n${encPlan.take(1200)}")
+    // the production encode and the trainer's in-session assignment are
+    // the SAME argmin (identical dist expression; both tie-break to the
+    // lowest cell) — a stored-codebook deployment encodes identically
+    def codeRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (1 to VectorOps.PqSubspaces).map(r.getInt))
+      .toMap
+    val enc = codeRows(VectorOps.pqEncode(emb, books, 8))
+    val trained = codeRows(trainerCodes)
+    assert(enc == trained, "stored-codebook encode diverged from trainer")
+    // codes are the compressed representation: every code in range
+    assert(enc.nonEmpty)
+    enc.values.flatten.foreach(c =>
+      assert(c >= 0 && c < VectorOps.PqCodebookSize, s"code out of range: $c"))
+  }
+
   test("connected components: reliable checkpoints survive total block loss") {
     import graft.ops.GraphOps
     val ckptDir = TempDirs.create("graft-cc-ckpt")
