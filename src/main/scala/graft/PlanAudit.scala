@@ -32,7 +32,10 @@ object PlanAudit {
       // round-7 additions: rarity signal, quality-prefix budget selection,
       // best-of-cluster dedup
       "q_mean_token_freq", "q_token_budget_select", "q_dedup_best_of_cluster",
-      "q_dedup_incremental", "q_cluster_sample", "q_budget_mix")
+      "q_dedup_incremental", "q_cluster_sample", "q_budget_mix",
+      // round-8 addition: PQ retrieve + exact re-rank (training collects
+      // are part of the audited path, like q_ivf_cosine_topk above)
+      "q_pq_cosine_topk")
     // q_corpus_pipeline is deliberately NOT audited here: its query-form
     // plan is a trivial read over the staged tables (auditing it would
     // execute the whole 5-stage materialization for nothing — against
@@ -47,6 +50,10 @@ object PlanAudit {
       "q_embedding_near_dup" -> ops.VectorOps.nearDupPairs(
         Tables.t(spark, d, "embeddings"), 0.45,
         bandBits = Some(ops.VectorOps.BitsPerBand)),
+      // the gated query's executed plan is only the oracle-checkpoint
+      // read-back — audit the SEARCH frame instead (training collects
+      // are unavoidable, the plan's codebooks are trained literals)
+      "q_pq_cosine_topk" -> ops.VectorOps.pqTopkFrame(spark, d),
       // explicit nCells skips the corpus-count job (the index TRAINING
       // jobs are unavoidable — the plan's centroid side is trained data)
       "q_ivf_semantic_dedup" -> ops.VectorOps.ivfSemanticDedupPairs(

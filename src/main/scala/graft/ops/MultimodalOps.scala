@@ -405,6 +405,14 @@ object MultimodalOps {
     */
   private[graft] val ImageIoFormats: Set[String] = Set("jpeg", "gif", "bmp")
 
+  /** Raster-size ceiling for the ImageIO decode leg — the same
+    * refuse-before-allocation contract [[PngCodec]] enforces (and its
+    * spec tests): a crafted header claiming a huge raster must not drive
+    * ImageIO into a multi-GB allocation whose OOME would poison the
+    * executor. 2^24 pixels ≈ a 4096×4096 image ≈ 64 MB of int ARGB.
+    */
+  private[graft] val MaxDecodePixels: Long = 1L << 24
+
   private[graft] def jpegFeatures(payload: Array[Byte]): Option[Array[Float]] =
     try {
       Option(javax.imageio.ImageIO.read(
@@ -461,10 +469,16 @@ object MultimodalOps {
         // JPEG/GIF/BMP: built-in ImageIO, gated on the header so ImageIO
         // never sniffs arbitrary bytes); stub only for genuinely
         // codec-bound payloads (WebP, non-media)
+        // refuse-before-allocation: the parsed header's claimed raster
+        // gates the ImageIO leg (PngCodec enforces the same bound
+        // internally) — a crafted 26-byte BMP claiming 20000x20000 must
+        // not drive a ~1.6 GB decode attempt
+        val decodable = ImageIoFormats(fmt) &&
+          w.toLong * h <= MaxDecodePixels && w > 0 && h > 0
         val feats =
           if (!withFeatures) Array.empty[Float]
           else pngFeatures(r.payload)
-            .orElse(if (ImageIoFormats(fmt)) jpegFeatures(r.payload) else None)
+            .orElse(if (decodable) jpegFeatures(r.payload) else None)
             .getOrElse(featuresStub(r.payload))
         MediaMeta(r.docId, r.payload.length, fmt, w, h, feats)
       }

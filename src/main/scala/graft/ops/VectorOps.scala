@@ -514,10 +514,10 @@ object VectorOps {
     *
     *  1. TRAIN: the 64-dim space splits into M=[[PqSubspaces]] 8-dim
     *     subspaces; each gets its own K=[[PqCodebookSize]] k-means
-    *     codebook via the SAME deterministic Lloyd's machinery as the IVF
-    *     quantizer ([[ivfIndex]] over the sliced vectors — one shared
-    *     implementation, bit-reproducible). Only M×K×8 doubles (the
-    *     codebooks) ever reach the driver.
+    *     codebook via the SAME deterministic Lloyd's recipe as the IVF
+    *     quantizer, batched over all subspaces at once ([[pqIndex]] —
+    *     recipe equivalence law-tested against [[ivfIndex]] at nSub=1).
+    *     Only M×K×8 doubles (the codebooks) ever reach the driver.
     *  2. ENCODE: one pass over the corpus computes all M argmin codes per
     *     row against the BROADCAST (literal) codebooks — no joins, no
     *     shuffle, pure codegen expressions; the codes table is what a
@@ -547,15 +547,21 @@ object VectorOps {
     * subDim doubles. ONE Lloyd's over the EXPLODED (vec_id, m, sub-vector)
     * frame — all M codebooks train simultaneously with centroid key
     * (m, cell), so the whole training is ~5 jobs instead of M separate
-    * [[ivfIndex]] runs (~5M jobs; measured 8.5 → 2.3 s at sf0.1). Same
-    * deterministic machinery: hash-ordered seeds per subspace (the same
-    * seed VECTORS for every m — identical to what per-subspace training
-    * picks, since the ordering key ignores m), broadcast argmin via
-    * min(struct), fixed-point exact centroid aggregation; only M×K
-    * centroid rows reach the driver.
+    * [[ivfIndex]] runs (~5M jobs; measured 8.5 → 3.0 s steady at sf0.1).
+    * Same deterministic RECIPE as [[ivfIndex]], re-batched over (m, cell):
+    * hash-ordered seeds per subspace (the same seed VECTORS for every m —
+    * the ordering key ignores m), broadcast argmin via min(struct),
+    * fixed-point exact centroid aggregation; only M×K centroid rows reach
+    * the driver. The recipe equivalence is LAW-TESTED, not assumed: an
+    * nSub=1 run over full vectors must produce ivfIndex's centroids
+    * bit-for-bit, so a quantization change to either implementation that
+    * misses the other fails the suite. Fewer usable vectors than K seeds
+    * degrade to a smaller codebook per subspace (same contract as
+    * ivfIndex's limit(nCells) seeding).
     */
   private[graft] def pqIndex(emb: DataFrame, subDim: Int,
-                             iterations: Int = 2)
+                             iterations: Int = 2,
+                             nSub: Int = PqSubspaces)
       : (DataFrame, Map[Int, Seq[Seq[Double]]]) = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -563,7 +569,7 @@ object VectorOps {
     val sub = PlanCache.swap("pq-subvecs", emb
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
       .select(col("vec_id"),
-        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("m"),
+        explode(sequence(lit(0), lit(nSub - 1))).as("m"),
         col("embedding"))
       .select(col("vec_id"), col("m"),
         transform(slice(col("embedding"), col("m") * subDim + 1, lit(subDim)),
@@ -598,19 +604,22 @@ object VectorOps {
         }
       cents = cents ++ updated
     }
-    val books = (0 until PqSubspaces).map(m =>
-      m -> (0 until PqCodebookSize).map(k =>
-        cents((m, k))).toSeq).toMap
-    // final codes straight from the trainer's last assignment — one
-    // map-side-combined exchange on vec_id, no extra scoring pass (and no
-    // wide literal-codebook codegen: the in-session query path reuses
-    // work the training already did; [[pqEncode]] is the PRODUCTION scan
-    // shape over stored codebooks — argmin-parity-tested against this)
+    // small-corpus degrade: fewer usable vectors than K seeds means a
+    // smaller codebook per subspace — take the cells that exist instead
+    // of throwing on a fixed range (ivfIndex's limit(nCells) contract)
+    val books = (0 until nSub).map(m =>
+      m -> cents.keys.collect { case (`m`, k) => k }.toSeq.sorted
+        .map(k => cents((m, k)))).toMap
+    // final codes from ONE more assignment pass against the FINAL
+    // centroids (required — the loop's last assign scored the
+    // pre-update centroids; pqEncode parity depends on final-centroid
+    // codes). Still no wide literal-codebook codegen on this path, and
+    // the aggregate's exchange on vec_id is map-side combined.
     val codes = assign(centroidDf)
       .groupBy("vec_id")
       .agg(
         max(when(col("m") === 0, col("cell"))).cast("int").as("code_0"),
-        (1 until PqSubspaces).map(m =>
+        (1 until nSub).map(m =>
           max(when(col("m") === m, col("cell"))).cast("int")
             .as(s"code_$m")): _*)
     (codes, books)
@@ -643,7 +652,15 @@ object VectorOps {
     * standard probe set (vec_id < 5 — recall directly comparable to
     * [[knnCosineTopk]]/[[ivfCosineTopk]]).
     */
-  def pqCosineTopk(s: SparkSession, d: String): DataFrame = {
+  def pqCosineTopk(s: SparkSession, d: String): DataFrame =
+    graft.OracleInputs.checkpoint(pqTopkFrame(s, d), d, "pq_topk")
+      .orderBy("probe_id", "rnk")
+
+  /** The search frame WITHOUT the oracle-gate checkpoint — what the plan
+    * audit inspects (the gated query's executed plan is just the
+    * checkpoint read-back).
+    */
+  private[graft] def pqTopkFrame(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val emb = t(s, d, "embeddings")
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
@@ -673,7 +690,7 @@ object VectorOps {
     val wExact = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    val reranked = cands
+    cands
       .join(corpus, Seq("neighbor_id"))
       .join(broadcast(probes), Seq("probe_id"))
       .withColumn("cosine",
@@ -682,8 +699,6 @@ object VectorOps {
       .withColumn("rnk", row_number().over(wExact))
       .filter(col("rnk") <= 5)
       .select("probe_id", "rnk", "neighbor_id", "cosine")
-    graft.OracleInputs.checkpoint(reranked, d, "pq_topk")
-      .orderBy("probe_id", "rnk")
   }
 
   /** Fixture embedding dimensionality the PQ split assumes (matches the

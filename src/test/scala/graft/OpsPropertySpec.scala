@@ -408,6 +408,26 @@ class OpsPropertySpec extends SparkSpec {
     assert(frames.groupBy("doc_id").count().filter(col("count") =!= 3).count() == 0)
   }
 
+  test("a crafted header claiming a huge raster never reaches ImageIO") {
+    // 26-byte BMP header claiming 20000x20000 (~1.6 GB decoded): the
+    // parsed dims must gate the decode BEFORE any allocation — features
+    // fall back to the stub (same refuse-before-allocation contract as
+    // PngCodec's inflater bound)
+    val bb = java.nio.ByteBuffer.allocate(26)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(26).putInt(0).putInt(54)
+      .putInt(40).putInt(20000).putInt(20000) // BITMAPINFOHEADER dims
+    val payload = bb.array()
+    val parsed = MultimodalOps.parseHeader(payload)
+    assert(parsed.exists(p => p._1 == "bmp" && p._2 == 20000),
+      s"fixture header should parse as a huge bmp: $parsed")
+    val out = MultimodalOps.extractMeta(
+      Seq(MultimodalOps.MediaRow(1L, payload)).toDS()).collect().head
+    assert(out.width == 20000 && out.format == "bmp")
+    assert(out.features.length == 8,
+      "huge-raster payload must take the 8-dim stub, never a decode")
+  }
+
   test("extractMeta takes the REAL jpeg decode leg for decodable payloads") {
     // a genuine ImageIO-encoded JPEG through the distributed path: the
     // features must equal the direct jpegFeatures decode, not the stub's
@@ -1231,6 +1251,35 @@ class OpsPropertySpec extends SparkSpec {
     assert(enc.nonEmpty)
     enc.values.flatten.foreach(c =>
       assert(c >= 0 && c < VectorOps.PqCodebookSize, s"code out of range: $c"))
+  }
+
+  test("pq quantizer law: nSub=1 training is bit-identical to ivfIndex — " +
+      "the shared-recipe claim is enforced, not assumed") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    // whole-vector "subspace": one codebook over 64 dims must reproduce
+    // the IVF quantizer's centroids exactly (same seeds, same argmin,
+    // same fixed-point update) — a quantization change to either
+    // implementation that misses the other fails here
+    val (_, books) = VectorOps.pqIndex(emb, subDim = 64, nSub = 1)
+    val ivfCents = VectorOps.ivfIndex(emb, nCells = VectorOps.PqCodebookSize)
+      ._2.orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    assert(books(0) == ivfCents,
+      "pqIndex's Lloyd's diverged from ivfIndex's — shared recipe broken")
+  }
+
+  test("pq small-corpus degrade: fewer vectors than K yields a smaller " +
+      "codebook, not a crash") {
+    val tiny = (1L to 5L).map(i =>
+      (i, Array.tabulate(16)(j => (i * 16 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val (codes, books) = VectorOps.pqIndex(tiny, subDim = 8, nSub = 2)
+    assert(books(0).size == 5 && books(1).size == 5)
+    val rows = codes.collect()
+    assert(rows.length == 5)
+    rows.foreach(r => (1 to 2).foreach { i =>
+      val c = r.getInt(i)
+      assert(c >= 0 && c < 5, s"code out of degraded range: $c")
+    })
   }
 
   test("connected components: reliable checkpoints survive total block loss") {
