@@ -107,10 +107,36 @@ object GraphOps {
         labels = jumped.select("id", "label")
         iter += 1
       }
-      require(changed == 0,
-        s"connectedComponents did not converge within $maxIter rounds")
+      if (changed != 0) {
+        // the abort path must not leak the last round's reliable files —
+        // nothing downstream will ever reference them
+        checkpointFileOf(labels).foreach(deleteCheckpointFile(labels, _))
+        throw new IllegalStateException(
+          s"connectedComponents did not converge within $maxIter rounds")
+      }
       labels.select(col("id"), col("label").as("cluster_id"))
     } finally sym.unpersist()
+  }
+
+  /** Loan-pattern variant for SCHEDULED/materializing callers: runs
+    * `consume` (write the labels to a sink, collect a summary, …) and then
+    * deletes the FINAL round's reliable checkpoint files — the one set of
+    * files [[connectedComponents]] must leave alive because they back its
+    * returned frame. A scheduled CC job calling the plain method grows
+    * checkpoint storage by one round of labels per run, unbounded across
+    * runs; draining through here keeps it at zero. (The alternative for
+    * deployments that can't restructure callers:
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, which lets
+    * the ContextCleaner reclaim the files when the frame is GC'd.)
+    * `consume` must fully materialize what it needs — the frame is not
+    * recomputable after the files are gone.
+    */
+  def connectedComponentsInto[A](edges: DataFrame, vertices: DataFrame,
+                                 maxIter: Int = 50)
+                                (consume: DataFrame => A): A = {
+    val labels = connectedComponents(edges, vertices, maxIter)
+    try consume(labels)
+    finally checkpointFileOf(labels).foreach(deleteCheckpointFile(labels, _))
   }
 
   /** The canonical survivor shape shared by the text and embedding

@@ -56,14 +56,21 @@ object IncrementalDedup {
 
   /** Bucket count of the CURRENT stored index (appends must preserve the
     * stored spec — a mismatched append would corrupt bucketed reads).
-    * Falls back to the floor when the table somehow lost its spec.
+    * A table with NO bucket spec is a hard error, not a default: writing
+    * an 8-bucket layout into an index whose real layout differs would
+    * silently corrupt every bucketed SMJ read — exactly the hazard this
+    * method exists to prevent. Recovery is the scheduled rebuild
+    * ([[buildIndexFrom]]), which restores a consistent spec.
     */
   private[graft] def currentIndexBuckets(s: SparkSession,
                                          db: String = IndexDb,
                                          table: String = IndexTable): Int =
     s.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
-      .bucketSpec.map(_.numBuckets).getOrElse(MinIndexBuckets)
+      .bucketSpec.map(_.numBuckets).getOrElse(throw new IllegalStateException(
+        s"band index $db.$table has no bucket spec — the table is not the " +
+          "layout appends require; rebuild it with buildIndexFrom before " +
+          "appending"))
 
   private[graft] def corpusDocs(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").filter(expr("doc_id % 3 != 0"))

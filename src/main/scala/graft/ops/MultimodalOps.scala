@@ -413,26 +413,48 @@ object MultimodalOps {
     */
   private[graft] val MaxDecodePixels: Long = 1L << 24
 
-  private[graft] def jpegFeatures(payload: Array[Byte]): Option[Array[Float]] =
+  private[graft] def jpegFeatures(payload: Array[Byte]): Option[Array[Float]] = {
+    import scala.util.control.NonFatal
+    // The raster ceiling must gate the dims the DECODER will allocate, not
+    // the container header's claim: a GIF's logical-screen descriptor (what
+    // parseHeader reads) can be tiny while a per-frame image descriptor
+    // declares an arbitrarily larger raster that ImageIO.read would size
+    // the BufferedImage from. reader.getWidth/getHeight(0) parse only the
+    // frame header — no pixel allocation — so checking them here closes
+    // that bypass. NonFatal keeps OutOfMemoryError propagating: swallowing
+    // it would leave the executor silently poisoned.
     try {
-      Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payload))).map { img =>
-        val w = img.getWidth
-        val h = img.getHeight
-        val rgb = img.getRGB(0, 0, w, h, null, 0, w)
-        val sums = new Array[Long](3)
-        var i = 0
-        while (i < rgb.length) {
-          val p = rgb(i)
-          sums(0) += (p >> 16) & 0xff
-          sums(1) += (p >> 8) & 0xff
-          sums(2) += p & 0xff
-          i += 1
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            val w = reader.getWidth(0)
+            val h = reader.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) None
+            else Option(reader.read(0)).map { img =>
+              val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+              val sums = new Array[Long](3)
+              var i = 0
+              while (i < rgb.length) {
+                val p = rgb(i)
+                sums(0) += (p >> 16) & 0xff
+                sums(1) += (p >> 8) & 0xff
+                sums(2) += p & 0xff
+                i += 1
+              }
+              val n = (w.toLong * h).toFloat
+              sums.map(s => s / n / 255f)
+            }
+          } finally reader.dispose()
         }
-        val n = (w.toLong * h).toFloat
-        sums.map(s => s / n / 255f)
-      }
-    } catch { case _: Throwable => None }
+      } finally if (iis != null) iis.close()
+    } catch { case NonFatal(_) => None }
+  }
 
   /** ==== STUB ==== deterministic fake feature vector for CODEC-BOUND
     * formats this JVM has no decoder for (WebP entropy coding; true model
@@ -469,10 +491,11 @@ object MultimodalOps {
         // JPEG/GIF/BMP: built-in ImageIO, gated on the header so ImageIO
         // never sniffs arbitrary bytes); stub only for genuinely
         // codec-bound payloads (WebP, non-media)
-        // refuse-before-allocation: the parsed header's claimed raster
-        // gates the ImageIO leg (PngCodec enforces the same bound
-        // internally) — a crafted 26-byte BMP claiming 20000x20000 must
-        // not drive a ~1.6 GB decode attempt
+        // refuse-before-allocation, two layers: the container header's
+        // claimed raster pre-gates the leg here, and jpegFeatures re-checks
+        // the READER's frame dims (GIF frames may exceed the logical
+        // screen) before any pixel allocation — a crafted 26-byte BMP
+        // claiming 20000x20000 must not drive a ~1.6 GB decode attempt
         val decodable = ImageIoFormats(fmt) &&
           w.toLong * h <= MaxDecodePixels && w > 0 && h > 0
         val feats =

@@ -127,6 +127,97 @@ object CorpusPipeline {
         s"('$LineageKeyProp', '$LineageStampProp')")
     }
 
+  /** Database property recording that a fresh run's PROLOGUE
+    * (invalidateAll) ran to completion. A crash-retry may resume only when
+    * this marker is set: without it, a fire that died inside
+    * ensureDatabase or mid-invalidateAll would leave the PREVIOUS fire's
+    * stamps standing — the lineage keys are data-independent, so a resume
+    * would skip every stage and "succeed" without refreshing anything from
+    * the grown source. Cleared BEFORE invalidateAll starts, set strictly
+    * AFTER it finishes, so the marker can never cover a partial prologue.
+    */
+  private[pipeline] val PrologueProp = "graft.run.prologue"
+
+  private def dbProps(s: SparkSession): Map[String, String] =
+    if (!s.catalog.databaseExists(Db)) Map.empty
+    else s.sessionState.catalog.getDatabaseMetadata(Db).properties
+
+  private def setDbProp(s: SparkSession, k: String, v: String): Unit =
+    s.sql(s"ALTER DATABASE `$Db` SET DBPROPERTIES ('$k'='$v')")
+
+  private[pipeline] def prologueDone(s: SparkSession): Boolean =
+    dbProps(s).get(PrologueProp).exists(_.nonEmpty)
+
+  /** Run lease — the enforcement of the single-runner contract. The stage
+    * tables are shared mutable state: two concurrent `run()`s would race
+    * on stamps and CTAS targets and double-write a stage. The lease is a
+    * database property `<fencing-token>:<expiry-ms>`: acquisition refuses
+    * while an unexpired lease is held by someone else (a live run),
+    * takes over a STALE lease (holder died — a crashed JVM cannot
+    * release, so expiry is the recovery path), and read-back-verifies the
+    * token so of two racing writers exactly one proceeds. Every stage
+    * stamp re-verifies ownership (fencing): a stalled runner whose lease
+    * expired and was taken over aborts at its next stage boundary instead
+    * of double-writing over the new owner.
+    */
+  private[pipeline] val LeaseProp = "graft.run.lease"
+
+  /** Lease TTL. Long enough that a healthy fixture/production stage never
+    * outlives it between renewals (the lease is re-stamped at every stage
+    * boundary), short enough that a dead runner's lease clears within one
+    * scheduler backoff cycle.
+    */
+  val LeaseTtlMs: Long = 10 * 60 * 1000L
+
+  final class LeaseHeldException(msg: String) extends IllegalStateException(msg)
+
+  private def leaseOf(s: SparkSession): Option[(String, Long)] =
+    dbProps(s).get(LeaseProp).filter(_.nonEmpty).flatMap { v =>
+      v.split(":", 2) match {
+        case Array(tok, exp) => scala.util.Try((tok, exp.toLong)).toOption
+        case _ => None
+      }
+    }
+
+  private[pipeline] def acquireLease(s: SparkSession): String = {
+    val now = System.currentTimeMillis()
+    leaseOf(s) match {
+      case Some((tok, exp)) if exp > now =>
+        throw new LeaseHeldException(
+          s"corpus pipeline run already in flight (lease $tok expires in " +
+            s"${exp - now} ms) — exactly one run may own the stage tables")
+      case _ => () // free, or stale (holder died) → take over
+    }
+    val token = java.util.UUID.randomUUID().toString
+    setDbProp(s, LeaseProp, s"$token:${now + LeaseTtlMs}")
+    // read-back fencing: two racing acquirers both pass the check above,
+    // but the catalog serializes the ALTERs — exactly one token survives,
+    // and the loser sees it here and backs off
+    if (!leaseOf(s).exists(_._1 == token))
+      throw new LeaseHeldException(
+        "lost the lease acquisition race — another run acquired first")
+    token
+  }
+
+  /** Re-assert ownership and extend the TTL — called at every stage
+    * boundary. Throwing here is the fencing guarantee: a runner that lost
+    * its lease (expired + taken over while stalled) stops BEFORE its next
+    * stage write.
+    */
+  private def renewLease(s: SparkSession, token: String): Unit = {
+    if (!leaseOf(s).exists(_._1 == token))
+      throw new LeaseHeldException(
+        "lease lost (expired and taken over) — aborting before the next " +
+          "stage write to avoid racing the new owner")
+    setDbProp(s, LeaseProp,
+      s"$token:${System.currentTimeMillis() + LeaseTtlMs}")
+  }
+
+  private def releaseLease(s: SparkSession, token: String): Unit =
+    // release only what we still own — clearing another runner's lease
+    // would re-open the race the lease exists to close
+    if (leaseOf(s).exists(_._1 == token)) setDbProp(s, LeaseProp, "")
+
   /** Run the pipeline over `d`'s documents. `resume = false` (the
     * scheduled mode) clears all stamps and rebuilds every stage;
     * `resume = true` (the crash-recovery mode) skips stages whose stored
