@@ -16,16 +16,27 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS); Spark has no ns timestamp, so we
-    // read it as a ns-epoch Long — exact (better than a lossy µs truncation):
-    // ordering and arithmetic stay bit-exact vs the DuckDB oracle's ns values.
-    // Normally set at session construction (Verify/Bench/spec builders); the
-    // guarded set here only covers a caller session that lacks it — a table
-    // accessor must not unconditionally mutate session state.
+    // events.ts: the engine-wide contract is a ns-epoch Long — exact
+    // ordering/arithmetic bit-identical to the DuckDB oracle's
+    // epoch_ns(ts). The fixture has shipped as both TIMESTAMP(NANOS)
+    // (read natively as Long under nanosAsLong) and TIMESTAMP(MICROS)
+    // (read as TIMESTAMP_NTZ, normalized to ns here — µs→ns is exact, and
+    // unix_micros on the UTC-session cast is the instant itself). The
+    // guarded conf set covers caller sessions lacking the nanos flag — a
+    // table accessor must not unconditionally mutate session state.
     if (name == "events" &&
         !spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" &&
+        df.schema.fields.exists(f => f.name == "ts" &&
+          (f.dataType == org.apache.spark.sql.types.TimestampType ||
+           f.dataType == org.apache.spark.sql.types.TimestampNTZType)))
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts").cast("timestamp")) *
+          org.apache.spark.sql.functions.lit(1000L))
+    else df
   }
 
   /** Register fixture tables as temp views so `spark.sql` queries (the

@@ -128,15 +128,19 @@ object CorpusPipeline {
     }
 
   /** Database property recording that a fresh run's PROLOGUE
-    * (invalidateAll) ran to completion. A crash-retry may resume only when
-    * this marker is set: without it, a fire that died inside
-    * ensureDatabase or mid-invalidateAll would leave the PREVIOUS fire's
-    * stamps standing — the lineage keys are data-independent, so a resume
-    * would skip every stage and "succeed" without refreshing anything from
-    * the grown source. Cleared BEFORE invalidateAll starts, set strictly
-    * AFTER it finishes, so the marker can never cover a partial prologue.
+    * (invalidateAll) ran to completion AND the run has not yet finished —
+    * i.e. "an interrupted fresh run owns the current stamps". A
+    * crash-retry may resume only while this marker is set: without it, a
+    * fire that died inside ensureDatabase or mid-invalidateAll would
+    * leave the PREVIOUS fire's stamps standing — the lineage keys are
+    * data-independent, so a resume would skip every stage and "succeed"
+    * without refreshing anything from the grown source. Cleared BEFORE
+    * invalidateAll starts (so it can never cover a partial prologue), set
+    * strictly AFTER it finishes, and cleared again when a run COMPLETES
+    * (so a marker from run N can never authorize a resume of run N+1's
+    * pre-prologue crash).
     */
-  private[pipeline] val PrologueProp = "graft.run.prologue"
+  private[graft] val PrologueProp = "graft.run.prologue"
 
   private def dbProps(s: SparkSession): Map[String, String] =
     if (!s.catalog.databaseExists(Db)) Map.empty
@@ -145,7 +149,7 @@ object CorpusPipeline {
   private def setDbProp(s: SparkSession, k: String, v: String): Unit =
     s.sql(s"ALTER DATABASE `$Db` SET DBPROPERTIES ('$k'='$v')")
 
-  private[pipeline] def prologueDone(s: SparkSession): Boolean =
+  private[graft] def prologueDone(s: SparkSession): Boolean =
     dbProps(s).get(PrologueProp).exists(_.nonEmpty)
 
   /** Run lease — the enforcement of the single-runner contract. The stage
@@ -160,7 +164,7 @@ object CorpusPipeline {
     * expired and was taken over aborts at its next stage boundary instead
     * of double-writing over the new owner.
     */
-  private[pipeline] val LeaseProp = "graft.run.lease"
+  private[graft] val LeaseProp = "graft.run.lease"
 
   /** Lease TTL. Long enough that a healthy fixture/production stage never
     * outlives it between renewals (the lease is re-stamped at every stage
@@ -179,7 +183,7 @@ object CorpusPipeline {
       }
     }
 
-  private[pipeline] def acquireLease(s: SparkSession): String = {
+  private[graft] def acquireLease(s: SparkSession): String = {
     val now = System.currentTimeMillis()
     leaseOf(s) match {
       case Some((tok, exp)) if exp > now =>
@@ -236,7 +240,24 @@ object CorpusPipeline {
   def run(s: SparkSession, d: String, resume: Boolean = false,
           failAfter: Option[String] = None): Seq[StageResult] = {
     Warehouse.ensureDatabase(s, Db)
-    if (!resume) invalidateAll(s)
+    val lease = acquireLease(s)
+    try runHoldingLease(s, d, resume, failAfter, lease)
+    finally releaseLease(s, lease)
+  }
+
+  private def runHoldingLease(s: SparkSession, d: String, resume: Boolean,
+                              failAfter: Option[String],
+                              lease: String): Seq[StageResult] = {
+    if (!resume) {
+      // prologue protocol: clear the marker BEFORE touching stamps, set it
+      // strictly AFTER invalidateAll completes — a crash anywhere inside
+      // leaves the marker unset, so a retry-resume is refused and the
+      // retry runs fresh instead of skipping over the PREVIOUS fire's
+      // stamps (lineage keys are data-independent and can't tell)
+      setDbProp(s, PrologueProp, "")
+      invalidateAll(s)
+      setDbProp(s, PrologueProp, System.currentTimeMillis().toString)
+    }
     val keys = lineageKeys(d)
     val docs = graft.Tables.t(s, d, "documents")
 
@@ -253,6 +274,9 @@ object CorpusPipeline {
       val done = resume && !upstreamRecomputed &&
         lineageOf(s, name).exists(_._1 == key)
       if (!done) {
+        // fencing at the stage boundary: a stalled runner whose lease
+        // expired and was taken over must abort HERE, before the write
+        renewLease(s, lease)
         upstreamRecomputed = true
         val t0 = System.nanoTime()
         Warehouse.saveModel(compute, Db, name, partitionCols)
@@ -317,7 +341,12 @@ object CorpusPipeline {
           payload = Seq("source", "n_tokens", "seq_id"))
         .sortWithinPartitions("shard", "shard_rank")
     }
-    Seq(r1, r2, r3, r4, r5)
+    val results = Seq(r1, r2, r3, r4, r5)
+    // success epilogue: the run finished, so no interrupted fresh run owns
+    // the stamps any more — a later fire that crashes BEFORE its own
+    // prologue must retry fresh, not resume against these stamps
+    setDbProp(s, PrologueProp, "")
+    results
   }
 
   /** The oracle-gated query form: run (resuming any completed prefix —
@@ -385,20 +414,28 @@ object CorpusPipeline {
   /** Scheduled wiring. A normal fire is a FRESH run (snapshot-replace
     * semantics like the tenant pipelines — the source may have grown, so
     * structural skip-keys must not short-circuit data freshness). A fire
-    * that follows THIS entry's own failure RESUMES instead: the crashed
-    * fresh run's prologue already cleared every stamp, so the resume
-    * recomputes exactly the unfinished suffix (the stamped prefix holds
-    * data the crashed run itself produced — fresh by construction). The
-    * runner's failure handling (window not advanced, retry after
-    * [[ScheduleRunner.RetryBackoffMs]]) drives the retry.
+    * that follows THIS entry's own failure RESUMES — but only when the
+    * durable [[PrologueProp]] marker confirms the crashed fresh run's
+    * prologue COMPLETED (all stamps cleared): then the stamped prefix
+    * holds data the crashed run itself produced — fresh by construction —
+    * and the resume recomputes exactly the unfinished suffix. A fire that
+    * died BEFORE the prologue finished (in ensureDatabase or
+    * mid-invalidateAll) left the PREVIOUS fire's stamps standing; the
+    * in-memory crash flag alone can't tell the two apart, and resuming
+    * would skip every stage and "succeed" without refreshing anything —
+    * so the retry runs fresh. The runner's failure handling (window not
+    * advanced, retry after [[ScheduleRunner.RetryBackoffMs]]) drives the
+    * retry. `failAfter` is the TEST-ONLY failpoint passed through to
+    * [[run]].
     */
-  def scheduleEntry(id: String, cronExpr: String, d: String)
+  def scheduleEntry(id: String, cronExpr: String, d: String,
+                    failAfter: () => Option[String] = () => None)
       : ScheduleRunner.Entry = {
     val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
     ScheduleRunner.Entry(id, CronSchedule.parse(cronExpr),
       (s, _) => {
-        val mode = crashed.get()
-        try { run(s, d, resume = mode); crashed.set(false) }
+        val mode = crashed.get() && prologueDone(s)
+        try { run(s, d, resume = mode, failAfter = failAfter()); crashed.set(false) }
         catch { case e: Throwable => crashed.set(true); throw e }
       },
       name = "corpus_assembly", target = s"$Db.s5_pack",

@@ -148,6 +148,106 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(!after("s4_mix") && after("s3_decontam") && after("s5_pack"))
   }
 
+  private def setDbProp(k: String, v: String): Unit =
+    spark.sql(s"ALTER DATABASE `${CorpusPipeline.Db}` " +
+      s"SET DBPROPERTIES ('$k'='$v')")
+
+  private def dbProp(k: String): Option[String] =
+    spark.sessionState.catalog.getDatabaseMetadata(CorpusPipeline.Db)
+      .properties.get(k).filter(_.nonEmpty)
+
+  test("run lease: a held lease refuses a second run; a stale lease is " +
+      "taken over; success and crash both release") {
+    graft.store.Warehouse.ensureDatabase(spark, CorpusPipeline.Db)
+    // someone else's UNEXPIRED lease → refused, stage tables untouched
+    val before = stamps()
+    setDbProp(CorpusPipeline.LeaseProp,
+      s"other-runner:${System.currentTimeMillis() + 60000}")
+    intercept[CorpusPipeline.LeaseHeldException] {
+      CorpusPipeline.run(spark, sf, resume = true)
+    }
+    assert(stamps() == before, "a refused run must not touch stage state")
+    // the refused run must NOT have cleared the holder's lease
+    assert(dbProp(CorpusPipeline.LeaseProp).exists(_.startsWith("other-runner:")),
+      "loser must not release the winner's lease")
+    // a STALE lease (holder died; expiry in the past) is taken over
+    setDbProp(CorpusPipeline.LeaseProp,
+      s"dead-runner:${System.currentTimeMillis() - 1000}")
+    CorpusPipeline.run(spark, sf, resume = true)
+    // ...and a completed run releases: the property is empty again
+    assert(dbProp(CorpusPipeline.LeaseProp).isEmpty,
+      "a completed run must release its lease")
+    // an in-JVM crash (injected failpoint) releases too — the finally path
+    intercept[RuntimeException] {
+      CorpusPipeline.run(spark, sf, resume = false, failAfter = Some("s1_clean"))
+    }
+    assert(dbProp(CorpusPipeline.LeaseProp).isEmpty,
+      "a crashed (in-JVM) run must release its lease on the way out")
+    // restore green state for later tests
+    CorpusPipeline.run(spark, sf, resume = true)
+  }
+
+  test("prologue marker: set only while an interrupted fresh run owns the " +
+      "stamps; retry-resume is honored iff it is set") {
+    import java.time.LocalDateTime
+    // a COMPLETED run leaves the marker clear
+    CorpusPipeline.run(spark, sf, resume = false)
+    assert(!CorpusPipeline.prologueDone(spark),
+      "marker must clear when a run completes")
+    // a crash AFTER the prologue leaves it set → scheduled retry RESUMES
+    val fail = new java.util.concurrent.atomic.AtomicReference[Option[String]](
+      Some("s2_dedup"))
+    var attempts = 0
+    val entry = CorpusPipeline.scheduleEntry("corpus2", "0 3 * * *", sf,
+      failAfter = () => { attempts += 1; fail.get() })
+    val runner = new pipeline.ScheduleRunner(Seq(entry),
+      LocalDateTime.parse("2026-03-01T00:00:00"))
+    assert(runner.tick(spark,
+      LocalDateTime.parse("2026-03-01T03:00:00")).isEmpty) // fire 1 crashes
+    assert(CorpusPipeline.prologueDone(spark),
+      "marker must survive a post-prologue crash — it authorizes the resume")
+    val prefixStamps = stamps()
+    fail.set(None)
+    // the retry (window not advanced) must RESUME: s1/s2 untouched
+    val r2 = runner.tick(spark, LocalDateTime.parse("2026-03-01T03:05:00"))
+    assert(r2 == Seq("corpus2"))
+    assert(attempts == 2)
+    val afterRetry = stamps()
+    assert(afterRetry("s1_clean") == prefixStamps("s1_clean") &&
+      afterRetry("s2_dedup") == prefixStamps("s2_dedup"),
+      "retry with the marker set must RESUME — prefix stamps untouched")
+    assert(afterRetry.keySet == CorpusPipeline.Stages.toSet)
+    assert(!CorpusPipeline.prologueDone(spark),
+      "the completing retry must clear the marker")
+    // the ADVICE scenario: a fire dies BEFORE its prologue completes,
+    // leaving the PREVIOUS fire's stamps standing and the marker clear
+    // (a pre-prologue death never set it). The in-memory crash flag alone
+    // would resume and skip every stage; the marker forces FRESH.
+    val fail2 = new java.util.concurrent.atomic.AtomicReference[Option[String]](
+      Some("s5_pack"))
+    val entry2 = CorpusPipeline.scheduleEntry("corpus3", "0 3 * * *", sf,
+      failAfter = () => fail2.get())
+    val runner2 = new pipeline.ScheduleRunner(Seq(entry2),
+      LocalDateTime.parse("2026-04-01T00:00:00"))
+    assert(runner2.tick(spark,
+      LocalDateTime.parse("2026-04-01T03:00:00")).isEmpty) // crash sets the flag
+    // simulate the pre-prologue death's observable state: marker clear,
+    // stamps standing (here: the crashed run's own completed stages)
+    setDbProp(CorpusPipeline.PrologueProp, "")
+    val stale = stamps()
+    fail2.set(None)
+    assert(runner2.tick(spark,
+      LocalDateTime.parse("2026-04-01T03:05:00")) == Seq("corpus3"))
+    // with the marker clear the retry ran FRESH: every stage carries a
+    // NEW stamp — nothing was skipped over the stale prefix
+    val afterFresh = stamps()
+    assert(afterFresh.keySet == CorpusPipeline.Stages.toSet)
+    stale.keys.foreach { st =>
+      assert(afterFresh(st) != stale(st),
+        s"$st was skipped on a marker-less retry — the ADVICE bug")
+    }
+  }
+
   test("scheduled entry fires a fresh run on its cron") {
     import java.time.LocalDateTime
     spark.sql(s"DROP TABLE IF EXISTS `${CorpusPipeline.Db}`.`s5_pack`")
