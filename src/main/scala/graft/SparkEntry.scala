@@ -101,6 +101,7 @@ object SparkEntry {
     "q_lsh_cosine_buckets"  -> (VectorOps.lshCosineBuckets _),
     "q_ivf_cosine_topk"     -> (VectorOps.ivfCosineTopk _),
     "q_pq_cosine_topk"      -> (VectorOps.pqCosineTopk _),
+    "q_ivfpq_cosine_topk"   -> (VectorOps.ivfPqCosineTopk _),
     "q_ivf_semantic_dedup"  -> ((s: SparkSession, d: String) => VectorOps.ivfSemanticDedup(s, d)),
     "q_embedding_near_dup"  -> ((s: SparkSession, d: String) => VectorOps.nearDupCosine(s, d)),
     "q_semantic_survivors"  -> ((s: SparkSession, d: String) => VectorOps.semanticSurvivors(s, d)),
@@ -496,6 +497,9 @@ object SparkEntry {
     // re-rank's cosines and order over the materialized sets are fully
     // recomputed by the oracle
     "q_pq_cosine_topk" -> topkCosineOracle("pq_topk"),
+    // IVF-PQ composition: cell pruning changes only WHICH candidates
+    // reach the exact re-rank — the same materialized-set gate applies
+    "q_ivfpq_cosine_topk" -> topkCosineOracle("ivfpq_topk"),
     // tolerance gate: the oracle asserts the HLL estimate landed within
     // 3·rsd of the exact count (within_3rsd must be 1 on the Spark side)
     "q_approx_distinct" ->

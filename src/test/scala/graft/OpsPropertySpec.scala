@@ -250,6 +250,76 @@ class OpsPropertySpec extends SparkSpec {
     assert(fromIdx == inSession)
   }
 
+  test("pq index persists as warehouse tables and serves a fresh session " +
+      "with no training jobs") {
+    val db = "pq_index_db"
+    VectorOps.buildPqIndex(Tables.t(spark, sf, "embeddings"), db)
+    assert(spark.catalog.tableExists(s"$db.${VectorOps.PqCodesTable}"))
+    assert(spark.catalog.tableExists(s"$db.${VectorOps.PqCodebooksTable}"))
+    // codes table is the compressed scan: vec_id + M small ints, NO raw
+    // vectors (the memory-bound contract — re-rank point-reads the corpus)
+    val codeCols = spark.table(s"$db.${VectorOps.PqCodesTable}").columns.toSet
+    assert(codeCols == (Set("vec_id") ++
+      (0 until VectorOps.PqSubspaces).map(m => s"code_$m")),
+      s"codes table must hold only codes: $codeCols")
+
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("neighbor_id"))).toSeq
+    // a NEW session serves purely from the stored tables...
+    val s2 = spark.newSession()
+    val servedDf = VectorOps.pqCosineTopkFromIndex(s2, sf, db)
+    // ...with NO quantizer training anywhere in the query path: Lloyd's
+    // is the only vec_sqdist consumer, the serving scan is ADC (vec_dot)
+    val plan = servedDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("vec_sqdist"),
+      s"serving path must not train (vec_sqdist = Lloyd's argmin):\n${plan.take(800)}")
+    val served = key(servedDf.collect())
+    // deterministic training → stored index answers like an in-session
+    // retrain (pqTopkFrame trains + searches in one go)
+    val retrained = key(VectorOps.pqTopkFrame(spark, sf)
+      .orderBy("probe_id", "rnk").collect())
+    assert(served == retrained && served.length == 25)
+
+    // scheduled refresh rebuilds the stored index on its cron fire
+    import java.time.LocalDateTime
+    import graft.pipeline.ScheduleRunner
+    spark.sql(s"DROP TABLE $db.${VectorOps.PqCodesTable}")
+    val entry = VectorOps.pqRefreshEntry("pq-refresh", "0 4 * * *", db,
+      s => Tables.t(s, sf, "embeddings"))
+    val t0 = LocalDateTime.parse("2026-01-01T00:00:00")
+    val runner = new ScheduleRunner(Seq(entry), startAt = t0)
+    assert(runner.tick(spark, t0.plusHours(4)) == Seq("pq-refresh"))
+    s2.catalog.refreshTable(s"$db.${VectorOps.PqCodesTable}")
+    s2.catalog.refreshTable(s"$db.${VectorOps.PqCodebooksTable}")
+    assert(key(VectorOps.pqCosineTopkFromIndex(s2, sf, db).collect()) == served)
+  }
+
+  test("ivf-pq: cell-pruned ADC scan, self-hit via exact re-rank, recall " +
+      "holds the flat-pq floor") {
+    val frame = VectorOps.ivfPqTopkFrame(spark, sf)
+    val rows = frame.orderBy("probe_id", "rnk").collect()
+    assert(rows.length == 25)
+    // exact re-rank restores the self-hit guarantee (cosine(self)=1)
+    rows.filter(_.getAs[Int]("rnk") == 1).foreach { r =>
+      assert(r.getAs[Long]("probe_id") == r.getAs[Long]("neighbor_id"))
+      assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-12)
+    }
+    // recall@5 vs exact brute force: must hold the flat-PQ floor — the
+    // cell pruning may only cut candidates the re-rank wouldn't keep
+    val exact = VectorOps.knnCosineTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val got = rows.map(r =>
+      (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.6, s"ivf-pq recall@5 = $recall")
+    // the code scan is CELL-PRUNED: the candidate join is a hash join on
+    // the cell key — never a cross join of all codes against all probes
+    val plan = frame.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin \\[cell#".r.findFirstIn(plan).isDefined,
+      s"ADC scan must join on the probed-cell key:\n${plan.take(1500)}")
+  }
+
   test("sharded ivf index: self-hit survives the shard merge, recall composes (S=2, S=4)") {
     val exact = VectorOps.knnCosineTopk(spark, sf).collect()
       .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
