@@ -58,6 +58,7 @@ object SparkEntry {
     "q_multimodal_meta"     -> (MultimodalOps.multimodalMeta _),
     "q_multimodal_header"   -> (MultimodalOps.multimodalHeader _),
     "q_png_pixel_stats"     -> (MultimodalOps.pngPixelStats _),
+    "q_vp8l_pixel_stats"    -> (MultimodalOps.vp8lPixelStats _),
     "q_av_meta"             -> (MultimodalOps.avMeta _),
     "q_pivot_status"        -> (Relational.pivotStatus _),
     "q_json_extract"        -> (EventOps.jsonExtract _),
@@ -120,6 +121,7 @@ object SparkEntry {
     "q_cluster_sample"      -> ((s: SparkSession, d: String) => VectorOps.clusterBalancedSample(s, d)),
     "q_budget_mix"          -> ((s: SparkSession, d: String) => SamplingOps.budgetMix(s, d)),
     "q_corpus_pipeline"     -> (graft.pipeline.CorpusPipeline.query _),
+    "q_corpus_increment"    -> (graft.pipeline.CorpusPipeline.queryIncrement _),
   )
 
   /** DuckDB-dialect oracle SQL per query — since round 8, EVERY query has
@@ -265,6 +267,111 @@ object SparkEntry {
        |ORDER BY probe_id, rnk""".stripMargin
   }
 
+  /** The five-stage corpus-assembly replay from raw text, shared by the
+    * full-pipeline and incremental gates (they differ only in WHICH
+    * materialized band index the near-dup stage reads — the fresh build's
+    * or the base-build-plus-batch-appends'). s5 packs PER SHARD: shard
+    * assignment first (md5 permutation fold), then the running token sum
+    * in shard read order — sequences never span shards, and a shard's
+    * packing depends only on its own rows (the incremental contract).
+    */
+  private def corpusPipelineOracle(bandsGate: String): String = {
+    val path = OracleInputs.sqlPath(bandsGate)
+    import graft.pipeline.CorpusPipeline.{PerSourceBudget, PackBudget}
+    s"""WITH survivors AS (
+       |    SELECT MIN(doc_id) AS doc_id FROM documents
+       |    GROUP BY sha256(lower(trim(text)))
+       |), gate AS (
+       |    SELECT doc_id FROM (
+       |        SELECT doc_id,
+       |               string_split_regex(trim(text), '\\s+') AS tokens
+       |        FROM documents) t
+       |    WHERE doc_id IN (SELECT doc_id FROM survivors)
+       |      AND len(tokens) >= 20
+       |      AND CAST(len(list_filter(tokens,
+       |              tk -> tk IN ('the', 'a', 'of', 'to', 'and')))
+       |            AS DOUBLE) / CAST(len(tokens) AS DOUBLE) >= 0.05
+       |      AND CAST(len(list_filter(tokens,
+       |              tk -> tk IN ('the', 'a', 'of', 'to', 'and')))
+       |            AS DOUBLE) / CAST(len(tokens) AS DOUBLE) <= 0.6
+       |), bands AS (
+       |    SELECT doc_id, band_idx, band_hash
+       |    FROM read_parquet('$path/*.parquet')
+       |), dd AS (
+       |    SELECT g.doc_id FROM gate g
+       |    WHERE NOT EXISTS (
+       |        SELECT 1 FROM bands b JOIN bands m
+       |          ON m.band_idx = b.band_idx AND m.band_hash = b.band_hash
+       |        WHERE b.doc_id = g.doc_id AND m.doc_id < g.doc_id)
+       |), ctok AS (
+       |    SELECT doc_id,
+       |           list_filter(string_split_regex(trim(text), '\\s+'),
+       |                       t -> t <> '') AS base
+       |    FROM documents
+       |), cex AS (
+       |    SELECT doc_id,
+       |           CASE WHEN doc_id % 3 = 0
+       |                THEN list_concat(base,
+       |                     ['안녕', '세계',
+       |                      repeat('中', CAST(doc_id % 4 + 1 AS INT)),
+       |                      'tail'])
+       |                ELSE base END AS tokens
+       |    FROM ctok
+       |), grams AS (
+       |    SELECT doc_id,
+       |           list_distinct(list_transform(range(1, len(tokens) - 1),
+       |               i -> array_to_string(tokens[i:i+2], ' '))) AS gs
+       |    FROM cex
+       |), eval_grams AS (
+       |    SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 100 = 7
+       |), flagged AS (
+       |    SELECT DISTINCT c.doc_id
+       |    FROM (SELECT doc_id, unnest(gs) AS g FROM grams
+       |          WHERE doc_id % 100 <> 7) c
+       |    JOIN eval_grams e ON c.g = e.g
+       |), s3 AS (
+       |    SELECT doc_id FROM dd
+       |    WHERE doc_id % 100 <> 7
+       |      AND doc_id NOT IN (SELECT doc_id FROM flagged)
+       |), q AS (
+       |    SELECT d.doc_id, d.source,
+       |           GREATEST(d.n_chars // 4, 1) AS tokens,
+       |           CAST(len(list_filter(string_split_regex(trim(d.text), '\\s+'),
+       |                    tk -> tk IN ('the', 'a', 'of', 'to', 'and')))
+       |                AS BIGINT) * 1000000
+       |             // CAST(len(string_split_regex(trim(d.text), '\\s+'))
+       |                  AS BIGINT) AS qm
+       |    FROM documents d JOIN s3 USING (doc_id)
+       |), c AS (
+       |    SELECT doc_id, source, tokens,
+       |           SUM(tokens) OVER (PARTITION BY source
+       |               ORDER BY qm DESC, doc_id
+       |               ROWS UNBOUNDED PRECEDING) AS cum
+       |    FROM q
+       |), s4 AS (
+       |    SELECT doc_id, source, tokens FROM c WHERE cum <= $PerSourceBudget
+       |), sharded AS (
+       |    SELECT doc_id, source, CAST(tokens AS BIGINT) AS n_tokens,
+       |           md5(CAST(doc_id AS VARCHAR)) AS sk,
+       |           CAST(((strpos('0123456789abcdef',
+       |                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 13
+       |                 + (strpos('0123456789abcdef',
+       |                    substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))
+       |                % ${SamplingOps.ExportShards} AS INT) AS shard
+       |    FROM s4
+       |), packed AS (
+       |    SELECT doc_id, source, n_tokens, shard,
+       |           row_number() OVER (PARTITION BY shard ORDER BY sk, doc_id)
+       |             AS shard_rank,
+       |           CAST((SUM(n_tokens) OVER (PARTITION BY shard
+       |                     ORDER BY sk, doc_id ROWS UNBOUNDED PRECEDING)
+       |                 - n_tokens) // $PackBudget AS BIGINT) AS seq_id
+       |    FROM sharded
+       |)
+       |SELECT doc_id, source, n_tokens, seq_id, shard, shard_rank
+       |FROM packed ORDER BY doc_id""".stripMargin
+  }
+
   private def pairCosineOracle(pairsName: String, threshold: Double): String = {
     val path = OracleInputs.sqlPath(pairsName)
     s"""WITH p AS (SELECT vec_a, vec_b FROM read_parquet('$path/*.parquet')),
@@ -340,103 +447,11 @@ object SparkEntry {
     // are engine-specific, the survivor derivation is not), CJK 3-gram
     // decontamination, per-source budget prefix, sequence packing, export
     // shard/rank — and must land on the identical packed corpus
-    "q_corpus_pipeline" -> {
-      val path = OracleInputs.sqlPath("pipeline_bands")
-      import graft.pipeline.CorpusPipeline.{PerSourceBudget, PackBudget}
-      s"""WITH survivors AS (
-         |    SELECT MIN(doc_id) AS doc_id FROM documents
-         |    GROUP BY sha256(lower(trim(text)))
-         |), gate AS (
-         |    SELECT doc_id FROM (
-         |        SELECT doc_id,
-         |               string_split_regex(trim(text), '\\s+') AS tokens
-         |        FROM documents) t
-         |    WHERE doc_id IN (SELECT doc_id FROM survivors)
-         |      AND len(tokens) >= 20
-         |      AND CAST(len(list_filter(tokens,
-         |              tk -> tk IN ('the', 'a', 'of', 'to', 'and')))
-         |            AS DOUBLE) / CAST(len(tokens) AS DOUBLE) >= 0.05
-         |      AND CAST(len(list_filter(tokens,
-         |              tk -> tk IN ('the', 'a', 'of', 'to', 'and')))
-         |            AS DOUBLE) / CAST(len(tokens) AS DOUBLE) <= 0.6
-         |), bands AS (
-         |    SELECT doc_id, band_idx, band_hash
-         |    FROM read_parquet('$path/*.parquet')
-         |), dd AS (
-         |    SELECT g.doc_id FROM gate g
-         |    WHERE NOT EXISTS (
-         |        SELECT 1 FROM bands b JOIN bands m
-         |          ON m.band_idx = b.band_idx AND m.band_hash = b.band_hash
-         |        WHERE b.doc_id = g.doc_id AND m.doc_id < g.doc_id)
-         |), ctok AS (
-         |    SELECT doc_id,
-         |           list_filter(string_split_regex(trim(text), '\\s+'),
-         |                       t -> t <> '') AS base
-         |    FROM documents
-         |), cex AS (
-         |    SELECT doc_id,
-         |           CASE WHEN doc_id % 3 = 0
-         |                THEN list_concat(base,
-         |                     ['안녕', '세계',
-         |                      repeat('中', CAST(doc_id % 4 + 1 AS INT)),
-         |                      'tail'])
-         |                ELSE base END AS tokens
-         |    FROM ctok
-         |), grams AS (
-         |    SELECT doc_id,
-         |           list_distinct(list_transform(range(1, len(tokens) - 1),
-         |               i -> array_to_string(tokens[i:i+2], ' '))) AS gs
-         |    FROM cex
-         |), eval_grams AS (
-         |    SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 100 = 7
-         |), flagged AS (
-         |    SELECT DISTINCT c.doc_id
-         |    FROM (SELECT doc_id, unnest(gs) AS g FROM grams
-         |          WHERE doc_id % 100 <> 7) c
-         |    JOIN eval_grams e ON c.g = e.g
-         |), s3 AS (
-         |    SELECT doc_id FROM dd
-         |    WHERE doc_id % 100 <> 7
-         |      AND doc_id NOT IN (SELECT doc_id FROM flagged)
-         |), q AS (
-         |    SELECT d.doc_id, d.source,
-         |           GREATEST(d.n_chars // 4, 1) AS tokens,
-         |           CAST(len(list_filter(string_split_regex(trim(d.text), '\\s+'),
-         |                    tk -> tk IN ('the', 'a', 'of', 'to', 'and')))
-         |                AS BIGINT) * 1000000
-         |             // CAST(len(string_split_regex(trim(d.text), '\\s+'))
-         |                  AS BIGINT) AS qm
-         |    FROM documents d JOIN s3 USING (doc_id)
-         |), c AS (
-         |    SELECT doc_id, source, tokens,
-         |           SUM(tokens) OVER (PARTITION BY source
-         |               ORDER BY qm DESC, doc_id
-         |               ROWS UNBOUNDED PRECEDING) AS cum
-         |    FROM q
-         |), s4 AS (
-         |    SELECT doc_id, source, tokens FROM c WHERE cum <= $PerSourceBudget
-         |), p AS (
-         |    SELECT doc_id, source, tokens,
-         |           SUM(tokens) OVER (ORDER BY doc_id
-         |               ROWS UNBOUNDED PRECEDING) AS pcum
-         |    FROM s4
-         |), s5 AS (
-         |    SELECT doc_id, source, CAST(tokens AS BIGINT) AS n_tokens,
-         |           CAST((pcum - tokens) // $PackBudget AS BIGINT) AS seq_id,
-         |           md5(CAST(doc_id AS VARCHAR)) AS sk
-         |    FROM p
-         |), sharded AS (
-         |    SELECT doc_id, source, n_tokens, seq_id, sk,
-         |           CAST(((strpos('0123456789abcdef', substr(sk, 1, 1)) - 1) * 13
-         |                 + (strpos('0123456789abcdef', substr(sk, 2, 1)) - 1))
-         |                % ${SamplingOps.ExportShards} AS INT) AS shard
-         |    FROM s5
-         |)
-         |SELECT doc_id, source, n_tokens, seq_id, shard,
-         |       row_number() OVER (PARTITION BY shard ORDER BY sk, doc_id)
-         |         AS shard_rank
-         |FROM sharded ORDER BY doc_id""".stripMargin
-    },
+    "q_corpus_pipeline" -> corpusPipelineOracle("pipeline_bands"),
+    // same replay over the same raw documents, gated on the INCREMENT's
+    // band index (base build + batch appends): the batch-appended state
+    // must land on the identical packed corpus a fresh full run produces
+    "q_corpus_increment" -> corpusPipelineOracle("inc_pipeline_bands"),
     // full-value gate (no split): per token, the upper 64 bits of md5 are
     // extracted nibble-by-nibble from the hex string (bit i lives in hex
     // char 16 - i/4, nibble bit i%4), voted ±1 per bit over the doc's
@@ -1332,6 +1347,32 @@ object SparkEntry {
         |       CAST(base + 3 * c AS INTEGER) AS px_min,
         |       CAST(base + 3 * c + (w - 1) + (h - 1) AS INTEGER) AS px_max
         |FROM d JOIN ch ON c < nch
+        |ORDER BY doc_id, channel""".stripMargin,
+    // full-VP8L round-trip: the engine entropy-encodes a doc_id-derived
+    // ARGB raster into a REAL WebP-lossless stream (canonical prefix
+    // codes, LSB-first bit packing) and decodes it back; R/G/B (x,y) =
+    // base + x + y + 3c bounded under 256, alpha constant 255 — any
+    // bit-packing or prefix-decode defect breaks the sums
+    "q_vp8l_pixel_stats" ->
+      """WITH d AS (
+        |    SELECT doc_id,
+        |           4 + (doc_id * 5 % 12) AS w,
+        |           4 + (doc_id * 11 % 9) AS h,
+        |           doc_id % 200 AS base
+        |    FROM documents
+        |), ch AS (SELECT unnest([0, 1, 2, 3]) AS c)
+        |SELECT doc_id, CAST(c AS INTEGER) AS channel,
+        |       CAST(w * h AS BIGINT) AS n_px,
+        |       CAST(CASE WHEN c = 3 THEN w * h * 255
+        |            ELSE w * h * (base + 3 * c)
+        |                 + h * (w * (w - 1) // 2)
+        |                 + w * (h * (h - 1) // 2) END AS BIGINT) AS px_sum,
+        |       CAST(CASE WHEN c = 3 THEN 255
+        |            ELSE base + 3 * c END AS INTEGER) AS px_min,
+        |       CAST(CASE WHEN c = 3 THEN 255
+        |            ELSE base + 3 * c + (w - 1) + (h - 1) END AS INTEGER)
+        |         AS px_max
+        |FROM d JOIN ch ON true
         |ORDER BY doc_id, channel""".stripMargin,
     // WAV/MP4 fixture round-trip: the Spark side PARSES the crafted
     // containers (data-size/byte-rate division for WAV duration); the

@@ -252,25 +252,28 @@ object IncrementalDedup {
     * no index was built — silent creation here would leave an un-bucketed
     * table the probe join can't read in place).
     */
-  def appendBands(s: SparkSession, batch: DataFrame): Unit = {
-    require(s.catalog.tableExists(s"$IndexDb.$IndexTable"),
-      s"appendBands: no band index at $IndexDb.$IndexTable — build one " +
+  def appendBands(s: SparkSession, batch: DataFrame,
+                  db: String = IndexDb, table: String = IndexTable): Unit = {
+    require(s.catalog.tableExists(s"$db.$table"),
+      s"appendBands: no band index at $db.$table — build one " +
         "with buildIndexFrom first")
-    withPrunedBands(batch)((pruned, _) => appendBandFrame(pruned))
+    withPrunedBands(batch)((pruned, _) => appendBandFrame(pruned, db, table))
   }
 
   /** Append an ALREADY-COMPUTED (and pruned/filtered) band frame — the
     * streaming sink lands its persisted probe bands through this so the
     * batch is never signed a second time.
     */
-  private[graft] def appendBandFrame(bands: DataFrame): Unit =
+  private[graft] def appendBandFrame(bands: DataFrame,
+                                     db: String = IndexDb,
+                                     table: String = IndexTable): Unit =
     bands
       .write.mode("append").format("parquet")
       // the STORED spec, not the law: appends must match the existing
       // bucket count exactly; re-bucketing happens on the scheduled
       // rebuild ([[indexRebuildEntry]] → adaptive buildIndexFrom)
-      .bucketBy(currentIndexBuckets(bands.sparkSession),
+      .bucketBy(currentIndexBuckets(bands.sparkSession, db, table),
         "band_idx", "band_hash")
       .sortBy("band_idx", "band_hash")
-      .saveAsTable(s"`$IndexDb`.`$IndexTable`")
+      .saveAsTable(s"`$db`.`$table`")
 }

@@ -7,14 +7,17 @@ import org.apache.spark.sql.functions._
   * with typed metadata, processed per-partition in batches.
   *
   * Format/width/height come from REAL byte-level header parsing
-  * (PNG/BMP/JPEG container layouts, no codec dependency), and PNG payloads
-  * get a REAL full pixel decode ([[PngCodec]]: zlib inflate + the five row
-  * filters — pure JDK). Two pieces remain STUBS, clearly marked below:
-  * pixel decode for codec-bound formats (JPEG/WebP entropy coding needs a
-  * codec library this container doesn't have) and the model-inference
-  * feature vector for non-PNG payloads. Everything else — binary schema,
-  * partition batching, typed output encoders, the mapPartitions shape that
-  * amortizes per-batch library init — is the real, tested scale path.
+  * (PNG/BMP/JPEG container layouts, no codec dependency). Pixel decode is
+  * REAL for PNG ([[PngCodec]]: zlib inflate + the five row filters),
+  * WebP-lossless ([[Vp8lCodec]]: canonical prefix codes + LZ77 + color
+  * cache, pure JVM) and JPEG/GIF/BMP (the JDK's built-in ImageIO). The
+  * one STUB left, clearly marked below, is the model-inference feature
+  * vector for payloads with no deterministic decode (lossy VP8's
+  * adaptive arithmetic coder — the same cross-implementation
+  * nondeterminism that keeps JPEG features rows-only — and non-media
+  * bytes). Everything else — binary schema, partition batching, typed
+  * output encoders, the mapPartitions shape that amortizes per-batch
+  * library init — is the real, tested scale path.
   */
 object MultimodalOps {
 
@@ -456,9 +459,27 @@ object MultimodalOps {
     } catch { case NonFatal(_) => None }
   }
 
+  /** Per-channel RGB means of a VP8L (lossless WebP) payload through the
+    * REAL bit-level decode ([[Vp8lCodec]]) — same contract as
+    * [[pngFeatures]]; None (lossy VP8, VP8X, corrupt stream) routes to
+    * the stub.
+    */
+  private[graft] def vp8lFeatures(payload: Array[Byte]): Option[Array[Float]] =
+    scala.util.Try(Vp8lCodec.decode(payload)).toOption.flatten.map { img =>
+      val sums = new Array[Long](3)
+      img.pixels.foreach { p =>
+        sums(0) += (p >>> 16) & 0xff
+        sums(1) += (p >>> 8) & 0xff
+        sums(2) += p & 0xff
+      }
+      val n = (img.width.toLong * img.height).toFloat
+      sums.map(s => s / n / 255f)
+    }
+
   /** ==== STUB ==== deterministic fake feature vector for CODEC-BOUND
-    * formats this JVM has no decoder for (WebP entropy coding; true model
-    * inference); PNG takes [[pngFeatures]], JPEG takes [[jpegFeatures]].
+    * formats this JVM has no decoder for (lossy VP8's adaptive arithmetic
+    * coder; true model inference); PNG takes [[pngFeatures]], VP8L WebP
+    * takes [[vp8lFeatures]], JPEG/GIF/BMP take [[jpegFeatures]].
     */
   private[ops] def featuresStub(payload: Array[Byte], dim: Int = 8): Array[Float] = {
     val out = new Array[Float](dim)
@@ -501,6 +522,9 @@ object MultimodalOps {
         val feats =
           if (!withFeatures) Array.empty[Float]
           else pngFeatures(r.payload)
+            .orElse(if (fmt == "webp" &&
+              w.toLong * h <= MaxDecodePixels) vp8lFeatures(r.payload)
+            else None)
             .orElse(if (decodable) jpegFeatures(r.payload) else None)
             .getOrElse(featuresStub(r.payload))
         MediaMeta(r.docId, r.payload.length, fmt, w, h, feats)
@@ -630,6 +654,76 @@ object MultimodalOps {
               }
               (0 until rst.channels).iterator.map(c =>
                 (r.docId, c, n.toLong, sums(c), mins(c), maxs(c)))
+            case None =>
+              Iterator.single((r.docId, -1, 0L, 0L, 0, 0))
+          }
+        }
+      }
+      .toDF("doc_id", "channel", "n_px", "px_sum", "px_min", "px_max")
+      .orderBy("doc_id", "channel")
+  }
+
+  /** Full-WebP-lossless fixture: every document becomes a real VP8L
+    * stream ([[Vp8lCodec.encode]] — canonical prefix codes, LSB-first bit
+    * packing, RIFF container) whose pixels are doc_id arithmetic:
+    * R/G/B (x, y) = base + x + y + 3c for c = 0/1/2 with base =
+    * doc_id % 200 and dims ≤ 15 (bounded under 256, no wrap), alpha
+    * constant 255. The closed forms mirror [[pngFromDocuments]] so the
+    * oracle recomputes per-channel sum/min/max exactly.
+    */
+  def vp8lFromDocuments(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    graft.Tables.t(s, d, "documents")
+      .select(col("doc_id").as("docId"), lit(Array.emptyByteArray).as("payload"))
+      .as[MediaRow]
+      .map { r =>
+        val w = 4 + (r.docId * 5 % 12).toInt
+        val h = 4 + (r.docId * 11 % 9).toInt
+        val base = (r.docId % 200).toInt
+        val px = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = base + x + y
+            px(y * w + x) = (0xff << 24) | (v << 16) | ((v + 3) << 8) | (v + 6)
+            x += 1
+          }
+          y += 1
+        }
+        MediaRow(r.docId, Vp8lCodec.encode(Vp8lCodec.Argb(w, h, px)))
+      }
+  }
+
+  /** Per-channel pixel statistics through the REAL VP8L decode path
+    * (canonical prefix decode of every literal) — channel 0/1/2 = R/G/B,
+    * 3 = alpha. Decode failure emits the loud channel = -1 row, same
+    * contract as [[pngPixelStats]].
+    */
+  def vp8lPixelStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    vp8lFromDocuments(s, d)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          scala.util.Try(Vp8lCodec.decode(r.payload)).toOption.flatten match {
+            case Some(img) =>
+              val n = img.width.toLong * img.height
+              val sums = new Array[Long](4)
+              val mins = Array.fill(4)(255)
+              val maxs = new Array[Int](4)
+              img.pixels.foreach { p =>
+                val ch = Array((p >>> 16) & 0xff, (p >>> 8) & 0xff,
+                  p & 0xff, (p >>> 24) & 0xff)
+                var c = 0
+                while (c < 4) {
+                  sums(c) += ch(c)
+                  if (ch(c) < mins(c)) mins(c) = ch(c)
+                  if (ch(c) > maxs(c)) maxs(c) = ch(c)
+                  c += 1
+                }
+              }
+              (0 until 4).iterator.map(c =>
+                (r.docId, c, n, sums(c), mins(c), maxs(c)))
             case None =>
               Iterator.single((r.docId, -1, 0L, 0L, 0, 0))
           }

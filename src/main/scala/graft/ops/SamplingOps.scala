@@ -181,6 +181,26 @@ object SamplingOps {
     * [[exportShuffledWrite]].
     */
   val ExportShards = 8
+
+  /** The shard of a permutation key (two leading hex chars folded with an
+    * odd multiplier — with a power-of-two shard count, a·16 + b would
+    * reduce to b % shards and waste the first character's entropy).
+    */
+  private def shardOfSk(sk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (((hexVal(substring(sk, 1, 1)) * 13) + hexVal(substring(sk, 2, 1)))
+      % ExportShards).cast("int")
+
+  private def hexVal(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    // call_function: the functions.instr overload takes only a String
+    // literal for the needle; SQL instr accepts any expression
+    call_function("instr", lit("0123456789abcdef"), c) - 1
+
+  /** Shard of a doc_id directly — the pre-filter incremental rewrites use
+    * to restrict a frame to affected shards with the SAME law the window
+    * applies (computed from the same md5 key).
+    */
+  private[graft] def shardOfDocId: org.apache.spark.sql.Column =
+    shardOfSk(sampleKey)
   /** Shard + rank assignment WITHOUT a total output order — the write
     * path consumes this directly (a trailing global orderBy would range-
     * sort the entire corpus only for the repartition to destroy it).
@@ -196,20 +216,37 @@ object SamplingOps {
     * columns) — the corpus pipeline shards its packed output through the
     * same permutation law.
     */
+  /** `packTokensCol`/`packBudget`: per-SHARD sequence packing fused into
+    * the same window — seq_id = (tokens before this doc in shard read
+    * order) div budget. A shard is the unit a training run reads
+    * sequentially, so sequences must not span shards; packing inside the
+    * shard window also makes a shard's packing a function of ITS rows
+    * alone — append-only corpus growth re-packs only the shards that
+    * received documents (the incremental-pipeline contract). Same
+    * exchange, one extra running sum.
+    */
   private[graft] def shardAssignments(docs: DataFrame,
-                                      payload: Seq[String] = Nil): DataFrame = {
+                                      payload: Seq[String] = Nil,
+                                      packTokensCol: Option[String] = None,
+                                      packBudget: Int = 512): DataFrame = {
     val w = Window.partitionBy("shard").orderBy(col("sk"), col("doc_id"))
-    docs
+    val assigned = docs
       .withColumn("sk", sampleKey)
-      .withColumn("shard", expr(
-        s"""CAST(((instr('0123456789abcdef', substring(sk, 1, 1)) - 1) * 13
-           |      + (instr('0123456789abcdef', substring(sk, 2, 1)) - 1))
-           |     % $ExportShards AS INT)""".stripMargin))
+      .withColumn("shard", shardOfSk(col("sk")))
       .withColumn("shard_rank", row_number().over(w))
-      // payload columns ride THROUGH the window — joining them back later
-      // would re-shuffle on doc_id and destroy the shard partitioning
-      .select((Seq("shard", "shard_rank", "doc_id") ++ payload)
-        .map(col): _*)
+    val packed = packTokensCol match {
+      case Some(tc) => assigned
+        .withColumn("__cum_tok", sum(col(tc)).over(w))
+        // div, not /: SQL `/` on longs is double division and a budget
+        // boundary could round across engines
+        .withColumn("seq_id", expr(s"(__cum_tok - $tc) div $packBudget"))
+        .drop("__cum_tok")
+      case None => assigned
+    }
+    // payload columns ride THROUGH the window — joining them back later
+    // would re-shuffle on doc_id and destroy the shard partitioning
+    packed.select((Seq("shard", "shard_rank", "doc_id") ++
+      packTokensCol.map(_ => "seq_id").toSeq ++ payload).map(col): _*)
   }
 
   /** Oracle-checked form: totally ordered for the deterministic compare. */

@@ -533,12 +533,33 @@ object TextOps {
       .groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
+    cleanGated(docs, survivors)
+  }
+
+  /** Delta-clean for an APPEND-ONLY batch against a persisted hash set
+    * (every batch id exceeds every known id — the caller's contract):
+    * a batch doc survives exact dedup iff its hash is absent from
+    * `knownHashes` (a prior doc would be the keep-lowest winner) AND it is
+    * the min id for its hash within the batch; then the same quality gate.
+    * Equals [[corpusCleanSurvivors]] over the union, restricted to batch
+    * ids (the base side's verdicts can't change — new ids are larger).
+    */
+  private[graft] def corpusCleanSurvivorsAgainst(batch: DataFrame,
+                                                 knownHashes: DataFrame): DataFrame = {
+    val survivors = batch
+      .groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .join(knownHashes.select("h"), Seq("h"), "left_anti")
+      .select("doc_id")
+    cleanGated(batch, survivors)
+  }
+
+  private def cleanGated(docs: DataFrame, survivors: DataFrame): DataFrame =
     qualityGateStats(docs)
       .join(survivors, Seq("doc_id"), "left_semi")
       .filter(qualityGate)
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"), col("__gate_n_tokens").as("n_tokens"))
-  }
 
   /** Corpus vocabulary: top-5 terms per language by frequency — explode →
     * two-level aggregation (map-side combined) → per-group top-k window.
@@ -897,19 +918,34 @@ object TextOps {
     * set. Same plan shape as before the split: broadcast eval grams,
     * corpus-side explode, map-side-combined count.
     */
-  private[graft] def cjkFlagged(all: DataFrame, corpus: DataFrame,
-                                n: Int = 3): DataFrame = {
-    graft.functions.GraftFunctions.register(all.sparkSession)
-    def withGrams(df: DataFrame) = df.withColumn("grams",
+  private def cjkGrams(df: DataFrame, n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("grams",
       call_function("word_ngrams",
         concat_ws(" ", tokensOf(cjkEnriched, unicodeAware = true)), lit(n)))
-    val evalGrams = withGrams(all).filter(col("doc_id") % 100 === 7)
+  }
+
+  /** Distinct CJK-aware n-grams of `all`'s EVAL docs (doc_id % 100 = 7) —
+    * what the decontamination blocklist stores/appends incrementally.
+    */
+  private[graft] def cjkEvalGrams(all: DataFrame, n: Int = 3): DataFrame =
+    cjkGrams(all, n).filter(col("doc_id") % 100 === 7)
       .select(explode(col("grams")).as("g")).distinct()
-    withGrams(corpus).filter(col("doc_id") % 100 =!= 7)
+
+  /** Non-eval `corpus` docs sharing ≥1 gram with the GIVEN (broadcast)
+    * gram set — the probe half of [[cjkFlagged]], reusable against a
+    * persisted or delta gram set.
+    */
+  private[graft] def cjkFlaggedAgainst(evalGrams: DataFrame, corpus: DataFrame,
+                                       n: Int = 3): DataFrame =
+    cjkGrams(corpus, n).filter(col("doc_id") % 100 =!= 7)
       .select(col("doc_id"), explode(col("grams")).as("g"))
       .join(broadcast(evalGrams), "g")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-  }
+
+  private[graft] def cjkFlagged(all: DataFrame, corpus: DataFrame,
+                                n: Int = 3): DataFrame =
+    cjkFlaggedAgainst(cjkEvalGrams(all, n), corpus, n)
 
   /** Corpus-internal repeated spans (Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better", at n-gram granularity):

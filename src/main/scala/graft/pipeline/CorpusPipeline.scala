@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{IncrementalDedup, SamplingOps, TextOps}
 import graft.store.Warehouse
@@ -12,27 +12,32 @@ import graft.store.Warehouse
   * with translator.py's asset-key lineage).
   *
   *   s1_clean    exact dedup (sha256 keep-lowest) + quality gate
-  *               ([[TextOps.corpusCleanSurvivors]])
+  *               ([[TextOps.corpusCleanSurvivors]]); also lands the
+  *               corpus HASH SET ([[HashIndexTable]]) — the exact-dedup
+  *               index future increments probe
   *   s2_dedup    near-dup dedup THROUGH the persisted band index
   *               ([[IncrementalDedup]] — the pipeline owns its own index
-  *               table, `graft_corpus.band_index`, built from s1 with the
-  *               adaptive bucket law): keep a doc iff no band-mate has a
-  *               smaller id (the keep-lowest rule at band granularity)
+  *               table, built from s1 with the adaptive bucket law): keep
+  *               a doc iff no band-mate has a smaller id (the keep-lowest
+  *               rule at band granularity)
   *   s3_decontam eval docs (`doc_id % 100 = 7`) and anything sharing a
-  *               CJK-aware 3-gram with them are dropped
-  *               ([[TextOps.cjkFlagged]] — eval grams come from the FULL
-  *               corpus: the benchmark set is external to dedup)
+  *               CJK-aware 3-gram with them are dropped; also lands the
+  *               eval-gram blocklist ([[EvalGramsTable]]) increments
+  *               probe and extend
   *   s4_mix      per-source token-budget quality prefix
   *               ([[SamplingOps.budgetMixFor]])
-  *   s5_pack     token-budget sequence packing ([[SamplingOps.packTokens]])
-  *               + deterministic export shard/rank
+  *   s5_pack     deterministic export shard/rank + PER-SHARD token-budget
+  *               sequence packing in one window
   *               ([[SamplingOps.shardAssignments]]), stored PARTITIONED BY
   *               shard, rows in permutation order — the export layout a
-  *               training run reads sequentially.
+  *               training run reads sequentially. Packing is per shard
+  *               because a shard is the sequential read unit (sequences
+  *               must not span shards) and so growth re-packs only
+  *               affected shards ([[runIncrement]]).
   *
   * Stage materialization & crash recovery: every stage CTASes a managed
-  * table in [[Db]] via [[Warehouse.saveModel]] (saveAsTable commits the
-  * catalog entry only after the data lands — a crash mid-write leaves a
+  * table via [[Warehouse.saveModel]] (saveAsTable commits the catalog
+  * entry only after the data lands — a crash mid-write leaves a
   * catalog-unknown dir, cleared by the stale-location guard, never a
   * partial table), then stamps its LINEAGE KEY as a table property
   * STRICTLY AFTER the write. The key is the md5 chain of (stage recipe,
@@ -55,7 +60,28 @@ import graft.store.Warehouse
 object CorpusPipeline {
 
   val Db = "graft_corpus"
+
+  /** Separate database for the incremental-assembly fixture query, so its
+    * base-run + append state can never interfere with [[Db]]'s stamps
+    * (each query self-caches via its own lineage keys).
+    */
+  val IncDb = "graft_corpus_inc"
+
   val IndexTable = "band_index"
+
+  /** Exact-dedup hash set (one `h` column, distinct sha256 of normalized
+    * text over the WHOLE ingested corpus — survivors alone would lose the
+    * hashes of gated-out keep-lowest winners, and a later batch dup of one
+    * would wrongly re-enter). Appended per increment.
+    */
+  val HashIndexTable = "hash_index"
+
+  /** Decontamination blocklist: distinct CJK n-grams of every eval doc
+    * seen so far. Appended per increment — new eval docs extend it, and
+    * their grams retroactively flag already-accepted documents.
+    */
+  val EvalGramsTable = "eval_grams"
+
   val Stages: Seq[String] =
     Seq("s1_clean", "s2_dedup", "s3_decontam", "s4_mix", "s5_pack")
 
@@ -72,20 +98,20 @@ object CorpusPipeline {
   val PerSourceBudget = 1000L
   val MixBuckets = 8
   val PackBudget = 512
-  val PackBuckets = 32
   val DecontamNgram = 3
 
   final case class StageResult(stage: String, skipped: Boolean, key: String)
 
-  /** Structural lineage keys per stage for source dir `d` — each key
-    * digests the stage recipe + its params + the upstream key, so a
+  private def digest(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Structural lineage keys per stage for source descriptor `d` — each
+    * key digests the stage recipe + its params + the upstream key, so a
     * changed param or a changed upstream recipe invalidates exactly the
     * downstream suffix.
     */
   def lineageKeys(d: String): Map[String, String] = {
-    def digest(x: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val k1 = digest(s"s1_clean(exact=sha256-min,gate=tokens>=20," +
       s"stop=0.05..0.6)<-documents@$d")
     val k2 = digest(s"s2_dedup(minhash${TextOps.NumHashes}x" +
@@ -94,23 +120,33 @@ object CorpusPipeline {
       s"@documents@$d)<-$k2")
     val k4 = digest(s"s4_mix(budget=$PerSourceBudget,per=source," +
       s"buckets=$MixBuckets)<-$k3")
-    val k5 = digest(s"s5_pack(budget=$PackBudget,buckets=$PackBuckets," +
+    val k5 = digest(s"s5_pack(budget=$PackBudget,per=shard," +
       s"shards=${SamplingOps.ExportShards})<-$k4")
     Map("s1_clean" -> k1, "s2_dedup" -> k2, "s3_decontam" -> k3,
       "s4_mix" -> k4, "s5_pack" -> k5)
   }
 
-  private def fq(table: String) = s"`$Db`.`$table`"
+  /** Lineage keys of the BATCH-APPENDED state: the base chain for the
+    * ≤-threshold slice, each link extended with the increment recipe. A
+    * table stamped with these holds exactly "base run + this batch
+    * appended" — the [[runIncrement]] fast-path/skip gate.
+    */
+  def incrementKeys(d: String, threshold: Long): Map[String, String] =
+    lineageKeys(s"$d#base<=$threshold").map { case (st, k) =>
+      st -> digest(s"inc(batch>$threshold@$d)<-$k")
+    }
+
+  private def fq(db: String, table: String) = s"`$db`.`$table`"
 
   /** Stored lineage (key, recipe, stamp) of a stage table, for operators
     * and the resume gate. None when the table is missing or unstamped.
     */
-  def lineageOf(s: SparkSession, stage: String)
+  def lineageOf(s: SparkSession, stage: String, db: String = Db)
       : Option[(String, String, String)] =
-    if (!s.catalog.tableExists(s"$Db.$stage")) None
+    if (!s.catalog.tableExists(s"$db.$stage")) None
     else {
       val props = s.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(stage, Some(Db)))
+        org.apache.spark.sql.catalyst.TableIdentifier(stage, Some(db)))
         .properties
       props.get(LineageKeyProp).map(k =>
         (k, props.getOrElse(LineageProp, ""),
@@ -121,9 +157,9 @@ object CorpusPipeline {
     * stages the CURRENT run completes are stamped, so a crash anywhere
     * resumes with exactly the unfinished suffix.
     */
-  private def invalidateAll(s: SparkSession): Unit =
-    Stages.filter(st => s.catalog.tableExists(s"$Db.$st")).foreach { st =>
-      s.sql(s"ALTER TABLE ${fq(st)} UNSET TBLPROPERTIES IF EXISTS " +
+  private def invalidateAll(s: SparkSession, db: String): Unit =
+    Stages.filter(st => s.catalog.tableExists(s"$db.$st")).foreach { st =>
+      s.sql(s"ALTER TABLE ${fq(db, st)} UNSET TBLPROPERTIES IF EXISTS " +
         s"('$LineageKeyProp', '$LineageStampProp')")
     }
 
@@ -142,15 +178,16 @@ object CorpusPipeline {
     */
   private[graft] val PrologueProp = "graft.run.prologue"
 
-  private def dbProps(s: SparkSession): Map[String, String] =
-    if (!s.catalog.databaseExists(Db)) Map.empty
-    else s.sessionState.catalog.getDatabaseMetadata(Db).properties
+  private def dbProps(s: SparkSession, db: String): Map[String, String] =
+    if (!s.catalog.databaseExists(db)) Map.empty
+    else s.sessionState.catalog.getDatabaseMetadata(db).properties
 
-  private def setDbProp(s: SparkSession, k: String, v: String): Unit =
-    s.sql(s"ALTER DATABASE `$Db` SET DBPROPERTIES ('$k'='$v')")
+  private def setDbProp(s: SparkSession, db: String, k: String,
+                        v: String): Unit =
+    s.sql(s"ALTER DATABASE `$db` SET DBPROPERTIES ('$k'='$v')")
 
-  private[graft] def prologueDone(s: SparkSession): Boolean =
-    dbProps(s).get(PrologueProp).exists(_.nonEmpty)
+  private[graft] def prologueDone(s: SparkSession, db: String = Db): Boolean =
+    dbProps(s, db).get(PrologueProp).exists(_.nonEmpty)
 
   /** Run lease — the enforcement of the single-runner contract. The stage
     * tables are shared mutable state: two concurrent `run()`s would race
@@ -175,17 +212,17 @@ object CorpusPipeline {
 
   final class LeaseHeldException(msg: String) extends IllegalStateException(msg)
 
-  private def leaseOf(s: SparkSession): Option[(String, Long)] =
-    dbProps(s).get(LeaseProp).filter(_.nonEmpty).flatMap { v =>
+  private def leaseOf(s: SparkSession, db: String): Option[(String, Long)] =
+    dbProps(s, db).get(LeaseProp).filter(_.nonEmpty).flatMap { v =>
       v.split(":", 2) match {
         case Array(tok, exp) => scala.util.Try((tok, exp.toLong)).toOption
         case _ => None
       }
     }
 
-  private[graft] def acquireLease(s: SparkSession): String = {
+  private[graft] def acquireLease(s: SparkSession, db: String = Db): String = {
     val now = System.currentTimeMillis()
-    leaseOf(s) match {
+    leaseOf(s, db) match {
       case Some((tok, exp)) if exp > now =>
         throw new LeaseHeldException(
           s"corpus pipeline run already in flight (lease $tok expires in " +
@@ -193,11 +230,11 @@ object CorpusPipeline {
       case _ => () // free, or stale (holder died) → take over
     }
     val token = java.util.UUID.randomUUID().toString
-    setDbProp(s, LeaseProp, s"$token:${now + LeaseTtlMs}")
+    setDbProp(s, db, LeaseProp, s"$token:${now + LeaseTtlMs}")
     // read-back fencing: two racing acquirers both pass the check above,
     // but the catalog serializes the ALTERs — exactly one token survives,
     // and the loser sees it here and backs off
-    if (!leaseOf(s).exists(_._1 == token))
+    if (!leaseOf(s, db).exists(_._1 == token))
       throw new LeaseHeldException(
         "lost the lease acquisition race — another run acquired first")
     token
@@ -208,19 +245,19 @@ object CorpusPipeline {
     * its lease (expired + taken over while stalled) stops BEFORE its next
     * stage write.
     */
-  private def renewLease(s: SparkSession, token: String): Unit = {
-    if (!leaseOf(s).exists(_._1 == token))
+  private def renewLease(s: SparkSession, db: String, token: String): Unit = {
+    if (!leaseOf(s, db).exists(_._1 == token))
       throw new LeaseHeldException(
         "lease lost (expired and taken over) — aborting before the next " +
           "stage write to avoid racing the new owner")
-    setDbProp(s, LeaseProp,
+    setDbProp(s, db, LeaseProp,
       s"$token:${System.currentTimeMillis() + LeaseTtlMs}")
   }
 
-  private def releaseLease(s: SparkSession, token: String): Unit =
+  private def releaseLease(s: SparkSession, db: String, token: String): Unit =
     // release only what we still own — clearing another runner's lease
     // would re-open the race the lease exists to close
-    if (leaseOf(s).exists(_._1 == token)) setDbProp(s, LeaseProp, "")
+    if (leaseOf(s, db).exists(_._1 == token)) setDbProp(s, db, LeaseProp, "")
 
   /** Run the pipeline over `d`'s documents. `resume = false` (the
     * scheduled mode) clears all stamps and rebuilds every stage;
@@ -229,37 +266,36 @@ object CorpusPipeline {
     * right after the named stage completes (simulates a mid-pipeline
     * crash with the prefix durably stamped).
     *
-    * SINGLE-RUNNER contract: the stage tables are shared mutable state,
-    * so exactly one run may be in flight (two concurrent runs would race
-    * on stamps and CTAS targets). The scheduler satisfies this by
-    * construction — [[ScheduleRunner.tick]] executes entries
-    * sequentially — and ad-hoc runs belong to the same operator lane,
-    * like every Warehouse rewrite (replacePartitions documents the same
-    * one-writer rule).
+    * SINGLE-RUNNER contract, ENFORCED by the run lease: exactly one run
+    * may own `db`'s stage tables at a time; a second concurrent run is
+    * refused ([[LeaseHeldException]]) and a stalled one is fenced out at
+    * its next stage boundary.
     */
   def run(s: SparkSession, d: String, resume: Boolean = false,
-          failAfter: Option[String] = None): Seq[StageResult] = {
-    Warehouse.ensureDatabase(s, Db)
-    val lease = acquireLease(s)
-    try runHoldingLease(s, d, resume, failAfter, lease)
-    finally releaseLease(s, lease)
+          failAfter: Option[String] = None,
+          db: String = Db): Seq[StageResult] = {
+    Warehouse.ensureDatabase(s, db)
+    val lease = acquireLease(s, db)
+    try runHoldingLease(s, graft.Tables.t(s, d, "documents"), d, resume,
+      failAfter, lease, db)
+    finally releaseLease(s, db, lease)
   }
 
-  private def runHoldingLease(s: SparkSession, d: String, resume: Boolean,
+  private def runHoldingLease(s: SparkSession, docs: DataFrame,
+                              srcTag: String, resume: Boolean,
                               failAfter: Option[String],
-                              lease: String): Seq[StageResult] = {
+                              lease: String, db: String): Seq[StageResult] = {
     if (!resume) {
       // prologue protocol: clear the marker BEFORE touching stamps, set it
       // strictly AFTER invalidateAll completes — a crash anywhere inside
       // leaves the marker unset, so a retry-resume is refused and the
       // retry runs fresh instead of skipping over the PREVIOUS fire's
       // stamps (lineage keys are data-independent and can't tell)
-      setDbProp(s, PrologueProp, "")
-      invalidateAll(s)
-      setDbProp(s, PrologueProp, System.currentTimeMillis().toString)
+      setDbProp(s, db, PrologueProp, "")
+      invalidateAll(s, db)
+      setDbProp(s, db, PrologueProp, System.currentTimeMillis().toString)
     }
-    val keys = lineageKeys(d)
-    val docs = graft.Tables.t(s, d, "documents")
+    val keys = lineageKeys(srcTag)
 
     // Once ANY stage recomputes, every stage after it must too: the
     // structural keys can't see that upstream DATA changed (same recipe,
@@ -272,20 +308,20 @@ object CorpusPipeline {
              (compute: => DataFrame): StageResult = {
       val key = keys(name)
       val done = resume && !upstreamRecomputed &&
-        lineageOf(s, name).exists(_._1 == key)
+        lineageOf(s, name, db).exists(_._1 == key)
       if (!done) {
         // fencing at the stage boundary: a stalled runner whose lease
         // expired and was taken over must abort HERE, before the write
-        renewLease(s, lease)
+        renewLease(s, db, lease)
         upstreamRecomputed = true
         val t0 = System.nanoTime()
-        Warehouse.saveModel(compute, Db, name, partitionCols)
+        Warehouse.saveModel(compute, db, name, partitionCols)
         System.err.println(f"[corpus-pipeline] $name materialized in " +
           f"${(System.nanoTime() - t0) / 1e9}%.2f s")
         // stamp STRICTLY AFTER the write commits: the stamp IS the
         // completion marker (a crash between write and stamp recomputes —
         // safe; the reverse order would skip a half-written stage)
-        s.sql(s"ALTER TABLE ${fq(name)} SET TBLPROPERTIES (" +
+        s.sql(s"ALTER TABLE ${fq(db, name)} SET TBLPROPERTIES (" +
           s"'$LineageKeyProp'='$key', '$LineageProp'='$recipe', " +
           s"'$LineageStampProp'='${System.currentTimeMillis()}')")
       }
@@ -295,12 +331,18 @@ object CorpusPipeline {
       r
     }
 
-    val r1 = stage("s1_clean", s"corpusCleanSurvivors(documents@$d)") {
+    val r1 = stage("s1_clean", s"corpusCleanSurvivors(documents@$srcTag)") {
+      // the corpus hash set lands with (and is stamped by) this stage:
+      // both writes precede the stamp, so a crash between them recomputes
+      // both — the hash index can never be stale relative to a stamped s1
+      Warehouse.saveModel(
+        docs.select(sha2(lower(trim(col("text"))), 256).as("h")).distinct(),
+        db, HashIndexTable)
       TextOps.corpusCleanSurvivors(docs)
     }
     val r2 = stage("s2_dedup", "band-index keep-lowest over s1_clean") {
-      val s1 = s.table(fq("s1_clean"))
-      IncrementalDedup.buildIndexFrom(s1, db = Db, table = IndexTable)
+      val s1 = s.table(fq(db, "s1_clean"))
+      IncrementalDedup.buildIndexFrom(s1, db = db, table = IndexTable)
       // self-probe: the batch IS the corpus, so probe the index with ITS
       // OWN stored bands — the corpus is signed exactly once (at build),
       // and the probe join reads the bucketed table on BOTH sides (no
@@ -309,44 +351,273 @@ object CorpusPipeline {
       // equivalent here: a hot-pruned key is absent from the index, so an
       // unpruned probe row for it would match nothing anyway.
       val verdicts = IncrementalDedup.incrementVerdicts(
-        s.table(fq(IndexTable)), s.table(fq(IndexTable)), s1)
+        s.table(fq(db, IndexTable)), s.table(fq(db, IndexTable)), s1)
       // every banded doc matches at least itself, so the survivor rule is
       // "no band-mate with a SMALLER id"
       s1.join(verdicts.filter(col("match_min_id") === col("doc_id"))
         .select("doc_id"), Seq("doc_id"), "left_semi")
     }
     val r3 = stage("s3_decontam",
-      s"cjk${DecontamNgram}gram decontamination of s2_dedup vs eval@$d") {
-      val s2 = s.table(fq("s2_dedup"))
-      val flagged = TextOps.cjkFlagged(docs, s2, DecontamNgram)
+      s"cjk${DecontamNgram}gram decontamination of s2_dedup vs eval@$srcTag") {
+      // the eval-gram blocklist lands with this stage (same crash
+      // contract as the hash index in s1)
+      Warehouse.saveModel(TextOps.cjkEvalGrams(docs, DecontamNgram),
+        db, EvalGramsTable)
+      val s2 = s.table(fq(db, "s2_dedup"))
+      val flagged = TextOps.cjkFlaggedAgainst(
+        s.table(fq(db, EvalGramsTable)), s2, DecontamNgram)
         .select("doc_id")
       s2.filter(col("doc_id") % 100 =!= 7)
         .join(flagged, Seq("doc_id"), "left_anti")
     }
     val r4 = stage("s4_mix",
       s"budgetMix($PerSourceBudget/source) over s3_decontam") {
-      SamplingOps.budgetMixFor(s.table(fq("s3_decontam")),
+      SamplingOps.budgetMixFor(s.table(fq(db, "s3_decontam")),
         PerSourceBudget, MixBuckets)
     }
     val r5 = stage("s5_pack",
-      s"packSequences($PackBudget) + shard assignment over s4_mix",
+      s"per-shard packSequences($PackBudget) + shard assignment over s4_mix",
       partitionCols = Seq("shard")) {
-      val s4 = s.table(fq("s4_mix"))
-      val packed = SamplingOps.packTokens(
-        s4.select(col("doc_id"), col("n_tokens").as("tokens")),
-        PackBudget, PackBuckets)
-      val full = s4.select("doc_id", "source", "n_tokens")
-        .join(packed.select("doc_id", "seq_id"), Seq("doc_id"))
-      SamplingOps.shardAssignments(full,
-          payload = Seq("source", "n_tokens", "seq_id"))
-        .sortWithinPartitions("shard", "shard_rank")
+      packShards(s.table(fq(db, "s4_mix")))
     }
     val results = Seq(r1, r2, r3, r4, r5)
     // success epilogue: the run finished, so no interrupted fresh run owns
     // the stamps any more — a later fire that crashes BEFORE its own
     // prologue must retry fresh, not resume against these stamps
-    setDbProp(s, PrologueProp, "")
+    setDbProp(s, db, PrologueProp, "")
     results
+  }
+
+  /** The s5 stage body: deterministic shard assignment + PER-SHARD
+    * sequence packing fused in one window ([[SamplingOps.shardAssignments]]
+    * with packing — a shard is what a training run reads sequentially, so
+    * sequences never span shards, and a shard's packing is a function of
+    * its own rows alone: append-only growth re-packs only shards that
+    * received documents, which is what makes [[runIncrement]]'s
+    * partition-scoped s5 rewrite possible). Rows land in permutation
+    * order, PARTITIONED BY shard.
+    */
+  private def packShards(s4: DataFrame): DataFrame =
+    SamplingOps.shardAssignments(
+        s4.select("doc_id", "source", "n_tokens"),
+        payload = Seq("source", "n_tokens"),
+        packTokensCol = Some("n_tokens"), packBudget = PackBudget)
+      .sortWithinPartitions("shard", "shard_rank")
+
+  // ==================== incremental assembly ====================
+
+  /** Batch-append a grown corpus through all five stages WITHOUT a full
+    * recompute — and land on EXACTLY the state a fresh run over the whole
+    * corpus produces (the oracle-gated contract of
+    * [[queryIncrement]]/q_corpus_increment). The split is append-only by
+    * id: base = `doc_id <= threshold` (a fresh run), batch = the rest,
+    * every batch id larger than every base id — which is what makes the
+    * per-stage deltas EXACT:
+    *
+    *   s1  keep-lowest can only keep the EARLIER doc, so base verdicts
+    *       are immutable; the batch probes the persisted [[HashIndexTable]]
+    *       ([[TextOps.corpusCleanSurvivorsAgainst]]) and appends
+    *   s2  batch bands append to the band index FIRST, then the probe's
+    *       keep-lowest verdict (match_min_id == self) is evaluated
+    *       against base ∪ batch in one bucketed join — base verdicts
+    *       again immutable (their band-mates only gained larger ids)
+    *   s3  NEW eval docs retroactively flag ALREADY-ACCEPTED documents:
+    *       one broadcast pass of the new grams over stored s3 removes
+    *       them; the batch's s2 survivors are probed against the FULL
+    *       (stored + new) blocklist; the blocklist table extends
+    *   s4  only sources with an s3 delta (addition OR removal) re-run
+    *       their budget prefix — a new high-quality doc can EVICT an
+    *       accepted one, so affected sources recompute wholesale;
+    *       untouched sources keep their rows bit-identical
+    *   s5  per-shard packing makes a shard's rows a function of its own
+    *       membership: only shards containing an s4 delta re-pack, via
+    *       DYNAMIC partition overwrite — unaffected shard partitions are
+    *       not rewritten (file-level identity, spec-tested)
+    *
+    * Known divergence from a pristine fresh run: hot-band pruning is
+    * applied per-append (the build prunes globally), so a bucket crossing
+    * [[TextOps.MaxBucketSize]] only via the union can differ until the
+    * scheduled index rebuild re-anchors — the standing
+    * [[IncrementalDedup]] caveat, irrelevant below the cap. Failure
+    * recovery is coarse: a crashed increment leaves stamps ≠
+    * [[incrementKeys]], and the next call falls back to base-rebuild +
+    * re-append (correct, just not minimal).
+    */
+  def runIncrement(s: SparkSession, d: String,
+                   db: String = IncDb): Seq[StageResult] =
+    runIncrementFrom(s, graft.Tables.t(s, d, "documents"), d, db)
+
+  /** [[runIncrement]] over any documents frame (`tag` names the source in
+    * the lineage keys) — custom pipelines and the synthetic-corpus tests
+    * pass their own frame.
+    */
+  private[graft] def runIncrementFrom(s: SparkSession, docs: DataFrame,
+                                      tag: String, db: String): Seq[StageResult] = {
+    Warehouse.ensureDatabase(s, db)
+    val lease = acquireLease(s, db)
+    try incrementHoldingLease(s, docs, tag, db, lease)
+    finally releaseLease(s, db, lease)
+  }
+
+  /** A fresh run over an explicit documents frame under `tag` — the
+    * "yesterday's scheduled run" seed of an incremental flow (and the
+    * base-state producer [[runIncrementFrom]] skips past when its stamps
+    * are already in place).
+    */
+  private[graft] def runFresh(s: SparkSession, docs: DataFrame, tag: String,
+                              db: String): Seq[StageResult] = {
+    Warehouse.ensureDatabase(s, db)
+    val lease = acquireLease(s, db)
+    try runHoldingLease(s, docs, tag, resume = false, failAfter = None,
+      lease, db)
+    finally releaseLease(s, db, lease)
+  }
+
+  private def incrementHoldingLease(s: SparkSession, docs: DataFrame,
+                                    d: String, db: String,
+                                    lease: String): Seq[StageResult] = {
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val threshold = maxId * 9L / 10L
+    val incKeys = incrementKeys(d, threshold)
+    // fast path: the stored state already IS this batch-appended state
+    if (Stages.forall(st => lineageOf(s, st, db).exists(_._1 == incKeys(st))))
+      return Stages.map(st => StageResult(st, skipped = true, incKeys(st)))
+
+    // 1. base state: REUSE it when the stored stamps already carry the
+    // base chain (the scheduled run landed it yesterday — rebuilding
+    // would defeat the increment); rebuild fresh otherwise
+    val baseTag = s"$d#base<=$threshold"
+    val baseKeys = lineageKeys(baseTag)
+    val baseInPlace =
+      Stages.forall(st => lineageOf(s, st, db).exists(_._1 == baseKeys(st)))
+    if (!baseInPlace)
+      runHoldingLease(s, docs.filter(col("doc_id") <= threshold),
+        srcTag = baseTag, resume = false, failAfter = None, lease, db)
+    val batch = docs.filter(col("doc_id") > threshold)
+
+    def restamp(st: String, recipe: String): Unit =
+      s.sql(s"ALTER TABLE ${fq(db, st)} SET TBLPROPERTIES (" +
+        s"'$LineageKeyProp'='${incKeys(st)}', '$LineageProp'='$recipe', " +
+        s"'$LineageStampProp'='${System.currentTimeMillis()}')")
+
+    // ---- s1: delta-clean against the persisted hash set ----
+    renewLease(s, db, lease)
+    val known = s.table(fq(db, HashIndexTable))
+    // localCheckpoint: the frame feeds bands, verdicts and appends AFTER
+    // the tables it reads are themselves appended — sever the lineage now
+    val batchClean = TextOps.corpusCleanSurvivorsAgainst(batch, known)
+      .localCheckpoint()
+    val newHashes = batch
+      .select(sha2(lower(trim(col("text"))), 256).as("h")).distinct()
+      .join(known, Seq("h"), "left_anti").localCheckpoint()
+    newHashes.write.mode("append").insertInto(fq(db, HashIndexTable))
+    batchClean.select(s.table(fq(db, "s1_clean")).columns.map(col).toIndexedSeq: _*)
+      .write.mode("append").insertInto(fq(db, "s1_clean"))
+    restamp("s1_clean", s"inc(batch>$threshold) append")
+
+    // ---- s2: append batch bands, keep-lowest against base ∪ batch ----
+    renewLease(s, db, lease)
+    val batchBands = graft.ops.TextOps.bandsOfDocs(batchClean)
+    val prunedBands = IncrementalDedup.pruneHot(batchBands).localCheckpoint()
+    IncrementalDedup.appendBandFrame(prunedBands, db, IndexTable)
+    val verdicts = IncrementalDedup.incrementVerdicts(
+      s.table(fq(db, IndexTable)), prunedBands, batchClean)
+    val keptBatch = batchClean
+      .join(verdicts.filter(col("match_min_id") === col("doc_id"))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    keptBatch.select(s.table(fq(db, "s2_dedup")).columns.map(col).toIndexedSeq: _*)
+      .write.mode("append").insertInto(fq(db, "s2_dedup"))
+    restamp("s2_dedup", s"inc(batch>$threshold) band-append + keep-lowest")
+
+    // ---- s3: retro-flag stored docs with NEW eval grams; probe batch
+    //          against the full blocklist; extend the blocklist ----
+    renewLease(s, db, lease)
+    val newEvalGrams = TextOps.cjkEvalGrams(batch, DecontamNgram)
+      .localCheckpoint()
+    val s3Old = s.table(fq(db, "s3_decontam"))
+    val removedIds = TextOps.cjkFlaggedAgainst(newEvalGrams, s3Old,
+      DecontamNgram).select("doc_id")
+    // capture removal metadata BEFORE the table is overwritten
+    val removed = s3Old.join(removedIds, Seq("doc_id"), "left_semi")
+      .select("doc_id", "source").localCheckpoint()
+    val allEval = s.table(fq(db, EvalGramsTable)).unionByName(newEvalGrams)
+      .distinct()
+    val addFlagged = TextOps.cjkFlaggedAgainst(allEval, keptBatch,
+      DecontamNgram).select("doc_id")
+    val added = keptBatch.filter(col("doc_id") % 100 =!= 7)
+      .join(addFlagged, Seq("doc_id"), "left_anti").localCheckpoint()
+    val s3New = s3Old.join(removedIds, Seq("doc_id"), "left_anti")
+      .unionByName(added.select(s3Old.columns.map(col).toIndexedSeq: _*))
+      .localCheckpoint()
+    newEvalGrams.join(s.table(fq(db, EvalGramsTable)), Seq("g"), "left_anti")
+      .write.mode("append").insertInto(fq(db, EvalGramsTable))
+    Warehouse.saveModel(s3New, db, "s3_decontam")
+    restamp("s3_decontam", s"inc(batch>$threshold) retro-flag + probe")
+
+    // ---- s4: re-run the budget prefix for DELTA sources only ----
+    renewLease(s, db, lease)
+    val changedSources = removed.select("source")
+      .unionByName(added.select("source")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val s4Old = s.table(fq(db, "s4_mix"))
+    // capture the OLD membership of changed sources before the overwrite
+    // (their docs' shards are affected even when the new mix evicts them)
+    val oldChangedDocs = s4Old
+      .filter(col("source").isin(changedSources: _*)).select("doc_id")
+      .localCheckpoint()
+    if (changedSources.nonEmpty) {
+      val s4New = s4Old.filter(!col("source").isin(changedSources: _*))
+        .unionByName(SamplingOps.budgetMixFor(
+          s.table(fq(db, "s3_decontam"))
+            .filter(col("source").isin(changedSources: _*)),
+          PerSourceBudget, MixBuckets))
+        .localCheckpoint()
+      Warehouse.saveModel(s4New, db, "s4_mix")
+    }
+    restamp("s4_mix", s"inc(batch>$threshold) delta-source remix")
+
+    // ---- s5: re-pack ONLY the shards holding an s4 delta ----
+    renewLease(s, db, lease)
+    val deltaDocs = oldChangedDocs.unionByName(
+      s.table(fq(db, "s4_mix"))
+        .filter(col("source").isin(changedSources: _*)).select("doc_id"))
+    val affectedShards = deltaDocs
+      .select(SamplingOps.shardOfDocId.as("shard")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (affectedShards.nonEmpty) {
+      val replacement = packShards(
+        s.table(fq(db, "s4_mix"))
+          .filter(SamplingOps.shardOfDocId.isin(affectedShards: _*)))
+        .select(s.table(fq(db, "s5_pack")).columns.map(col).toIndexedSeq: _*)
+      // dynamic partition overwrite: ONLY the partitions present in the
+      // replacement are dropped and rewritten — unaffected shard
+      // partitions keep their files byte-for-byte (spec-asserted)
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode",
+        "static")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try replacement.write.mode("overwrite").insertInto(fq(db, "s5_pack"))
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    }
+    restamp("s5_pack", s"inc(batch>$threshold) affected-shard repack")
+
+    Stages.map(st => StageResult(st, skipped = false, incKeys(st)))
+  }
+
+  /** The oracle-gated incremental query (q_corpus_increment): base run +
+    * batch append in [[IncDb]], band-index content materialized for the
+    * oracle's dedup replay, final packed corpus totally ordered. The
+    * oracle replays the FULL five-stage pipeline over the WHOLE corpus
+    * from raw text — so a green row PROVES batch-appended ≡ fresh-run.
+    */
+  def queryIncrement(s: SparkSession, d: String): DataFrame = {
+    runIncrement(s, d)
+    if (graft.OracleInputs.durable)
+      graft.OracleInputs.checkpoint(s.table(fq(IncDb, IndexTable)), d,
+        "inc_pipeline_bands")
+    s.table(fq(IncDb, "s5_pack"))
+      .select("doc_id", "source", "n_tokens", "seq_id", "shard", "shard_rank")
+      .orderBy("doc_id")
   }
 
   /** The oracle-gated query form: run (resuming any completed prefix —
@@ -365,9 +636,9 @@ object CorpusPipeline {
     // replay, so the non-durable (bench) mode skips it instead of paying
     // an index-sized localCheckpoint per pass that nothing consumes
     if (graft.OracleInputs.durable)
-      graft.OracleInputs.checkpoint(s.table(fq(IndexTable)), d,
+      graft.OracleInputs.checkpoint(s.table(fq(Db, IndexTable)), d,
         "pipeline_bands")
-    s.table(fq("s5_pack"))
+    s.table(fq(Db, "s5_pack"))
       .select("doc_id", "source", "n_tokens", "seq_id", "shard", "shard_rank")
       .orderBy("doc_id")
   }
@@ -377,11 +648,11 @@ object CorpusPipeline {
     * (fresh = a resume would skip it), the human-readable recipe, and the
     * wall-clock stamp. Metadata-only — no stage data is scanned.
     */
-  def report(s: SparkSession, d: String): DataFrame = {
+  def report(s: SparkSession, d: String, db: String = Db): DataFrame = {
     val keys = lineageKeys(d)
     import s.implicits._
     Stages.map { st =>
-      lineageOf(s, st) match {
+      lineageOf(s, st, db) match {
         case Some((k, recipe, stamp)) =>
           (st, k, k == keys(st), recipe, stamp)
         case None => (st, "", false, "", "")
@@ -400,11 +671,13 @@ object CorpusPipeline {
     * recomputed from the same deterministic md5 permutation, so they
     * agree with the stored s5_pack assignments row-for-row.
     */
-  def exportJsonl(s: SparkSession, outDir: String): Unit = {
-    val withText = s.table(fq("s4_mix"))
+  def exportJsonl(s: SparkSession, outDir: String, db: String = Db): Unit = {
+    val withText = s.table(fq(db, "s4_mix"))
       .select("doc_id", "source", "n_tokens")
-      .join(s.table(fq("s5_pack")).select("doc_id", "seq_id"), Seq("doc_id"))
-      .join(s.table(fq("s3_decontam")).select("doc_id", "text"), Seq("doc_id"))
+      .join(s.table(fq(db, "s5_pack")).select("doc_id", "seq_id"),
+        Seq("doc_id"))
+      .join(s.table(fq(db, "s3_decontam")).select("doc_id", "text"),
+        Seq("doc_id"))
     SamplingOps.shardAssignments(withText,
         payload = Seq("source", "n_tokens", "seq_id", "text"))
       .sortWithinPartitions("shard", "shard_rank")

@@ -248,6 +248,133 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("incremental assembly: lease enforced, fast-path re-entry, " +
+      "batch-appended state equals a fresh full run") {
+    import graft.store.Warehouse
+    val db = CorpusPipeline.IncDb
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    Warehouse.ensureDatabase(spark, db)
+    // a held lease refuses the increment too
+    CorpusPipeline.acquireLease(spark, db)
+    intercept[CorpusPipeline.LeaseHeldException] {
+      CorpusPipeline.runIncrement(spark, sf, db)
+    }
+    spark.sql(s"ALTER DATABASE `$db` SET DBPROPERTIES " +
+      s"('${CorpusPipeline.LeaseProp}'='')")
+
+    // full increment: base fresh run + batch append
+    val r1 = CorpusPipeline.runIncrement(spark, sf, db)
+    assert(r1.map(_.stage) == CorpusPipeline.Stages && r1.forall(!_.skipped))
+    val incRows = spark.table(s"`$db`.`s5_pack`")
+      .select("doc_id", "source", "n_tokens", "seq_id", "shard", "shard_rank")
+      .orderBy("doc_id").collect().toSeq
+    assert(incRows.nonEmpty)
+
+    // fast path: a second call skips everything (state already appended)
+    val r2 = CorpusPipeline.runIncrement(spark, sf, db)
+    assert(r2.forall(_.skipped), s"re-increment must fast-path: $r2")
+
+    // EQUIVALENCE: the appended state must equal a fresh run over the
+    // WHOLE corpus (the oracle proves this at sf0.01; this is the fast
+    // in-suite version at sf0.001)
+    CorpusPipeline.run(spark, sf, resume = false)
+    val freshRows = spark.table(s"`${CorpusPipeline.Db}`.`s5_pack`")
+      .select("doc_id", "source", "n_tokens", "seq_id", "shard", "shard_rank")
+      .orderBy("doc_id").collect().toSeq
+    assert(incRows == freshRows,
+      "batch-appended packed corpus diverged from the fresh full run")
+  }
+
+  test("incremental assembly: base state is reused, and unaffected " +
+      "export shards are file-bit-identical after the append") {
+    import graft.store.Warehouse
+    import org.apache.spark.sql.functions.{col, length}
+    val db = "graft_corpus_synth"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+
+    // synthetic corpus engineered so the batch delta is CONFINED to one
+    // shard: srcA's docs (and the one batch doc) all hash to the same
+    // shard; the other sources spread across the rest
+    def shardOf(id: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val hx = "0123456789abcdef"
+      (hx.indexOf(hex(0)) * 13 + hx.indexOf(hex(1))) % 8
+    }
+    // quality-gate-passing text: >= 20 tokens, stop ratio in [0.05, 0.6]
+    def text(id: Long) = s"the quick document $id of a series to index " +
+      s"and measure with twenty or more unique tokens alpha$id beta$id " +
+      s"gamma$id delta$id epsilon$id zeta$id eta$id theta$id"
+    val targetShard = shardOf(10011L)
+    // batch doc id: > 9/10 of maxId; base srcA ids: same shard, <= threshold
+    val batchId = 10011L
+    val srcAIds = (1000L to 8000L)
+      .filter(i => shardOf(i) == targetShard && i % 100 != 7).take(3)
+    val otherIds = (1L to 400L)
+      .filter(i => shardOf(i) != targetShard && i % 100 != 7).take(12)
+    val baseIds = srcAIds ++ otherIds
+    import spark.implicits._
+    def mkDocs(ids: Seq[Long], batched: Boolean) = {
+      val rows = ids.map(i => (i,
+        text(i),
+        "en",
+        if (srcAIds.contains(i) || i == batchId) "srcA"
+        else s"src${(i % 3).toInt}")) ++
+        (if (batched) Seq((batchId, text(batchId), "en", "srcA")) else Nil)
+      rows.toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    val baseDocs = mkDocs(baseIds, batched = false)
+    val allDocs = mkDocs(baseIds, batched = true)
+    val maxId = batchId
+    val threshold = maxId * 9L / 10L
+    assert(baseIds.forall(_ <= threshold), "base ids must stay below the split")
+
+    // 1. seed the base state (yesterday's scheduled run)
+    CorpusPipeline.runFresh(spark, baseDocs, s"syn#base<=$threshold", db)
+    val s5Dir = new java.io.File(new java.net.URI(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("s5_pack",
+          Some(db))).location.toString))
+    def fileState(): Map[String, Seq[(String, Long, Long)]] =
+      Option(s5Dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("shard=")).map { d =>
+          d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.length(), f.lastModified())).toSeq.sorted
+        }.toMap
+    val before = fileState()
+    assert(before.size > 1, s"need multiple shard partitions, got $before")
+
+    // 2. the increment REUSES the base (no rebuild) and appends the batch
+    val r = CorpusPipeline.runIncrementFrom(spark, allDocs, "syn", db)
+    assert(r.forall(!_.skipped))
+    val after = fileState()
+
+    // the delta is confined to srcA -> exactly the target shard reshapes;
+    // every other shard partition keeps its files BYTE-IDENTICAL (same
+    // names, sizes, mtimes -- never rewritten)
+    val changed = (before.keySet ++ after.keySet)
+      .filter(k => before.get(k) != after.get(k))
+    assert(changed == Set(s"shard=$targetShard"),
+      s"expected only shard=$targetShard to change, got $changed " +
+        s"(before=${before.keySet}, after=${after.keySet})")
+
+    // and the appended state still equals a fresh run over the union
+    val incRows = spark.table(s"`$db`.`s5_pack`")
+      .select("doc_id", "source", "n_tokens", "seq_id", "shard", "shard_rank")
+      .orderBy("doc_id").collect().toSeq
+    val db2 = "graft_corpus_synth_fresh"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db2` CASCADE")
+    CorpusPipeline.runFresh(spark, allDocs, "syn-all", db2)
+    val freshRows = spark.table(s"`$db2`.`s5_pack`")
+      .select("doc_id", "source", "n_tokens", "seq_id", "shard", "shard_rank")
+      .orderBy("doc_id").collect().toSeq
+    assert(incRows == freshRows,
+      "synthetic increment diverged from the fresh union run")
+    spark.sql(s"DROP DATABASE IF EXISTS `$db2` CASCADE")
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
   test("scheduled entry fires a fresh run on its cron") {
     import java.time.LocalDateTime
     spark.sql(s"DROP TABLE IF EXISTS `${CorpusPipeline.Db}`.`s5_pack`")
