@@ -171,24 +171,34 @@ object IncrementalDedup {
                                       universe: DataFrame): DataFrame =
     incrementVerdicts(index, batchBands, universe).orderBy("doc_id")
 
-  /** Sort-free verdict core of [[incrementAgainst]] — pipeline stages
-    * consume this (their downstream shuffles would destroy the fixture
-    * query's total order anyway).
+  /** The raw (batch doc, matching corpus doc) pairs of one index probe —
+    * the shard-mergeable half of [[incrementVerdicts]]: verdicts
+    * aggregate over the UNION of every shard's matches, so the per-doc
+    * distinct-count and min compose exactly.
     */
-  private[graft] def incrementVerdicts(index: DataFrame, batchBands: DataFrame,
-                                       universe: DataFrame): DataFrame = {
-    val matches = batchBands
-      .join(index.withColumnRenamed("doc_id", "corpus_id"),
-        Seq("band_idx", "band_hash"))
-      .groupBy("doc_id")
+  private def probeMatches(index: DataFrame, batchBands: DataFrame): DataFrame =
+    batchBands.join(index.withColumnRenamed("doc_id", "corpus_id"),
+      Seq("band_idx", "band_hash"))
+      .select("doc_id", "corpus_id")
+
+  private def verdictsOf(matches: DataFrame, universe: DataFrame): DataFrame = {
+    val agg = matches.groupBy("doc_id")
       .agg(countDistinct("corpus_id").as("n_matches"),
         min("corpus_id").as("m_min"))
-    universe.select("doc_id").join(matches, Seq("doc_id"), "left")
+    universe.select("doc_id").join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),
         coalesce(col("m_min"), col("doc_id")).as("match_min_id"),
         col("n_matches").isNull.cast("int").as("survives"))
   }
+
+  /** Sort-free verdict core of [[incrementAgainst]] — pipeline stages
+    * consume this (their downstream shuffles would destroy the fixture
+    * query's total order anyway).
+    */
+  private[graft] def incrementVerdicts(index: DataFrame, batchBands: DataFrame,
+                                       universe: DataFrame): DataFrame =
+    verdictsOf(probeMatches(index, batchBands), universe)
 
   /** Oracle-gated form (split gate like the other hash-family operators):
     * the engine materializes the index CONTENT and the batch bands, then
@@ -227,6 +237,72 @@ object IncrementalDedup {
   def appendBatch(s: SparkSession, d: String, batch: DataFrame): Unit = {
     ensureIndex(s, d)
     appendBands(s, batch)
+  }
+
+  // ==================== sharded band index ====================
+
+  /** The documented single-index ceiling ([[adaptiveIndexBuckets]]'s own
+    * comment): past ~[[MaxIndexBuckets]] × [[TargetBandsPerBucket]] bands
+    * (a ~200 TB-class corpus) occupancy grows again because the bucket
+    * count is capped. S independent indexes over deterministic hash
+    * slices of the corpus (pmod(xxhash64(doc_id), S) — the same slicing
+    * law as [[VectorOps.buildShardedIvfIndex]]) relax the ceiling to S×:
+    * each shard holds its slice's bands under its OWN adaptive bucket
+    * spec, so probe parallelism scales S × per-shard buckets.
+    *
+    * Unlike sharded IVF (where per-shard quantizer noise costs recall),
+    * sharding the band index is EXACT: a corpus doc lives in exactly one
+    * shard, a probe visits ALL shards, and verdicts aggregate over the
+    * union of matches — so the sharded verdicts are bit-equal to the
+    * single index's at any S (property-tested at S=1 and S=3).
+    */
+  def buildShardedIndexFrom(corpus: DataFrame, nShards: Int,
+                            db: String = IndexDb,
+                            tablePrefix: String = IndexTable): Unit = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    for (sh <- 0 until nShards)
+      buildIndexFrom(
+        corpus.filter(pmod(xxhash64(col("doc_id")), lit(nShards.toLong)) === sh),
+        db = db, table = s"${tablePrefix}_$sh")
+  }
+
+  /** Probe ALL shards and merge: per-shard bucketed scans read in place
+    * (no band-key exchange anywhere — plan-tested), their match pairs
+    * union, and the one batch-keyed aggregate computes the same verdicts
+    * the single index yields.
+    */
+  def shardedIncrementVerdicts(s: SparkSession, nShards: Int,
+                               batchBands: DataFrame, universe: DataFrame,
+                               db: String = IndexDb,
+                               tablePrefix: String = IndexTable): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val matches = (0 until nShards)
+      .map(sh => probeMatches(s.table(s"`$db`.`${tablePrefix}_$sh`"), batchBands))
+      .reduce(_ unionByName _)
+    verdictsOf(matches, universe)
+  }
+
+  /** Fold a batch's bands into a sharded index: the batch is signed ONCE,
+    * then each doc's bands land in its id-hash shard, preserving that
+    * shard's stored bucket spec (same per-append contract as
+    * [[appendBands]]).
+    */
+  def appendBandsSharded(s: SparkSession, batch: DataFrame, nShards: Int,
+                         db: String = IndexDb,
+                         tablePrefix: String = IndexTable): Unit = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    for (sh <- 0 until nShards)
+      require(s.catalog.tableExists(s"$db.${tablePrefix}_$sh"),
+        s"appendBandsSharded: missing shard table $db.${tablePrefix}_$sh")
+    withPrunedBands(batch) { (pruned, _) =>
+      val cached = pruned.persist()
+      try {
+        for (sh <- 0 until nShards)
+          appendBandFrame(cached.filter(
+              pmod(xxhash64(col("doc_id")), lit(nShards.toLong)) === sh),
+            db, s"${tablePrefix}_$sh")
+      } finally cached.unpersist()
+    }
   }
 
   /** Scheduled index rebuild — the maintenance cadence an always-appending

@@ -11,6 +11,7 @@ import graft.source.JdbcSource
   * query), partitioned-read option plumbing, and the liveness probe.
   */
 class JdbcRoundTripSpec extends SparkSpec {
+  import org.apache.spark.sql.functions.{col, length}
 
   private val dbDir = java.nio.file.Files.createTempDirectory("graft-derby")
   private val url = s"jdbc:derby:$dbDir/testdb;create=true"
@@ -134,5 +135,70 @@ class JdbcRoundTripSpec extends SparkSpec {
     assert(new JdbcSource(cfg).probe(spark))
     val bad = SourceConfig("jdbc", "", "", s"jdbc:derby:$dbDir/nope", "", "")
     assert(!new JdbcSource(bad).probe(spark))
+  }
+
+  test("e2e: Derby-extracted documents flow through the corpus-assembly " +
+      "pipeline to packed JSONL export — the ELT and training-data halves " +
+      "in one DAG") {
+    import graft.pipeline.CorpusPipeline
+    // a documents table in the SOURCE RDB (the reference's world: rows
+    // live in an operational database, not parquet)
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("""CREATE TABLE corpus_docs (
+      doc_id BIGINT, body VARCHAR(600), lang VARCHAR(8), src VARCHAR(20))""")
+    val ps = conn.prepareStatement("INSERT INTO corpus_docs VALUES (?, ?, ?, ?)")
+    // gate-passing texts (>= 20 tokens, stop ratio in [0.05, 0.6]);
+    // ids skip % 100 == 7 so no eval doc empties the tiny corpus
+    val ids = (1L to 13L).filterNot(_ % 100 == 7)
+    ids.foreach { i =>
+      val text = s"the catalog item $i of a series to extract and " +
+        s"measure with twenty or more tokens alpha$i beta$i gamma$i " +
+        s"delta$i epsilon$i zeta$i eta$i theta$i iota$i kappa$i"
+      ps.setLong(1, i); ps.setString(2, text)
+      ps.setString(3, "en"); ps.setString(4, s"src${i % 3}")
+      ps.addBatch()
+    }
+    ps.executeBatch()
+    conn.close()
+
+    // A1/A5: JDBC scan + B1 projection through the real extract surface
+    val docSpec = TableSpec("corpus_docs", "", "corpus_docs",
+      primaryKey = Seq("doc_id"),
+      columns = Seq("doc_id", "body", "lang", "src"),
+      tenantFilter = None, incrementalColumn = None, mode = "full")
+    val raw = new JdbcSource(cfg).scan(spark, docSpec)
+    val extracted = Extractor.extract(
+      raw.toDF(raw.columns.map(_.toLowerCase): _*),
+      docSpec, tenant, lastValue = None, rowLimit = None)
+    // conform to the corpus schema (the standard-schema step of the ELT
+    // side applied to the training-data source)
+    val docs = extracted.select(
+      col("doc_id"), col("body").as("text"), col("lang"),
+      col("src").as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+    val db = "graft_corpus_e2e"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    val res = CorpusPipeline.runFresh(spark, docs, "derby-e2e", db)
+    assert(res.map(_.stage) == CorpusPipeline.Stages && res.forall(!_.skipped))
+    val packed = spark.table(s"`$db`.`s5_pack`")
+    assert(packed.count() > 0, "e2e pipeline packed an empty corpus")
+
+    val out = TempDirs.create("graft-e2e-export")
+    CorpusPipeline.exportJsonl(spark, out, db)
+    val exported = spark.read
+      .schema("doc_id LONG, source STRING, n_tokens LONG, seq_id LONG, " +
+        "text STRING, shard_rank INT")
+      .json(s"$out/shard=*")
+    assert(exported.count() == packed.count(),
+      "export row count diverged from the packed table")
+    // self-contained training data: every exported row carries the text
+    // that came out of the source database
+    assert(exported.filter(col("text").isNull).count() == 0)
+    val aDoc = exported.filter(col("doc_id") === 1L).collect()
+    if (aDoc.nonEmpty)
+      assert(aDoc.head.getAs[String]("text").contains("alpha1"))
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
   }
 }

@@ -1218,6 +1218,75 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("sharded band index: verdicts bit-equal to the single index at " +
+      "S=1 and S=3, probe reads every shard in place, appends preserve " +
+      "per-shard specs") {
+    import graft.ops.{IncrementalDedup, TextOps}
+    val db = "graft_shard_dedup"
+    val corpus = IncrementalDedup.corpusDocs(spark, sf)
+    val batch = IncrementalDedup.batchDocs(spark, sf)
+    val batchBands = TextOps.bandsOfDocs(batch).localCheckpoint()
+    // reference: single index verdicts
+    IncrementalDedup.buildIndexFrom(corpus, db = db, table = "single")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    val single = key(IncrementalDedup.incrementVerdicts(
+      spark.table(s"`$db`.`single`"), batchBands, batch))
+
+    for (nShards <- Seq(1, 3)) {
+      IncrementalDedup.buildShardedIndexFrom(corpus, nShards, db = db,
+        tablePrefix = s"sh$nShards")
+      // shards partition the single index's content exactly
+      val unionCount = (0 until nShards)
+        .map(sh => spark.table(s"`$db`.`sh${nShards}_$sh`").count()).sum
+      assert(unionCount == spark.table(s"`$db`.`single`").count(),
+        s"S=$nShards shard content must partition the single index")
+      val sharded = key(IncrementalDedup.shardedIncrementVerdicts(
+        spark, nShards, batchBands, batch, db = db,
+        tablePrefix = s"sh$nShards"))
+      assert(sharded == single,
+        s"S=$nShards sharded verdicts diverged from the single index")
+    }
+
+    // plan: every shard scan is a bucketed in-place read — the only band
+    // exchange is the (one) batch side feeding the joins
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = IncrementalDedup.shardedIncrementVerdicts(
+        spark, 3, TextOps.bandsOfDocs(batch), batch, db = db,
+        tablePrefix = "sh3").queryExecution.executedPlan.toString
+      val bucketScans = "SelectedBucketsCount".r.findAllIn(plan).size
+      assert(bucketScans == 3,
+        s"expected 3 in-place bucketed shard scans, got $bucketScans:\n${plan.take(1500)}")
+      val indexSideExchanges = "Exchange hashpartitioning\\(band_idx"
+        .r.findAllIn(plan).size
+      // per-shard joins may each reshuffle the BATCH side, never a shard
+      assert(indexSideExchanges <= 3, plan.take(1500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+
+    // appends: batch bands land in their id-hash shard, preserving each
+    // shard's stored bucket spec; the batch then self-matches
+    val specsBefore = (0 until 3).map(sh =>
+      IncrementalDedup.currentIndexBuckets(spark, db, s"sh3_$sh"))
+    IncrementalDedup.appendBandsSharded(spark, batch, 3, db = db,
+      tablePrefix = "sh3")
+    val specsAfter = (0 until 3).map(sh =>
+      IncrementalDedup.currentIndexBuckets(spark, db, s"sh3_$sh"))
+    assert(specsAfter == specsBefore, "append changed a shard's bucket spec")
+    val after = key(IncrementalDedup.shardedIncrementVerdicts(
+      spark, 3, batchBands, batch, db = db, tablePrefix = "sh3"))
+    val banded = batchBands.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    after.foreach { case (id, n, m, sv) =>
+      if (banded(id)) assert(sv == 0 && n >= 1 && m <= id,
+        s"appended doc $id must self-match: n=$n m=$m sv=$sv")
+      else assert(sv == 1 && m == id)
+    }
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
   test("budget mix: per-source maximal quality prefix, bucket-invariant") {
     import graft.ops.SamplingOps
     val budget = 1000L
