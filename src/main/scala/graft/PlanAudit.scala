@@ -35,7 +35,11 @@ object PlanAudit {
       "q_dedup_incremental", "q_cluster_sample", "q_budget_mix",
       // round-8 addition: PQ retrieve + exact re-rank (training collects
       // are part of the audited path, like q_ivf_cosine_topk above)
-      "q_pq_cosine_topk")
+      "q_pq_cosine_topk",
+      // round-9 additions: the IVF-PQ composition (the audit evidence is
+      // the cell-keyed BroadcastHashJoin pruning the code scan) and the
+      // VP8L decode leg (typed mapPartitions batch shape)
+      "q_ivfpq_cosine_topk", "q_vp8l_pixel_stats")
     // q_corpus_pipeline is deliberately NOT audited here: its query-form
     // plan is a trivial read over the staged tables (auditing it would
     // execute the whole 5-stage materialization for nothing — against
@@ -54,6 +58,7 @@ object PlanAudit {
       // read-back — audit the SEARCH frame instead (training collects
       // are unavoidable, the plan's codebooks are trained literals)
       "q_pq_cosine_topk" -> ops.VectorOps.pqTopkFrame(spark, d),
+      "q_ivfpq_cosine_topk" -> ops.VectorOps.ivfPqTopkFrame(spark, d),
       // explicit nCells skips the corpus-count job (the index TRAINING
       // jobs are unavoidable — the plan's centroid side is trained data)
       "q_ivf_semantic_dedup" -> ops.VectorOps.ivfSemanticDedupPairs(
