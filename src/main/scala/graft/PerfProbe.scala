@@ -232,6 +232,33 @@ object PerfProbe {
       val base = timeFresh(d)
       val big = timeFresh(scaled)
       println(f"corpus_pipeline fresh       $base%8.2f $big%8.2f ${big / base}%7.2f  (linear ≈ $k)")
+    } else if (args.headOption.contains("increment")) {
+      // Incremental-assembly probe: the cost the increment AVOIDS is the
+      // fresh full recompute. Base state in place (yesterday's scheduled
+      // run, untimed here), batch = the top ~10% of ids — the timed
+      // append should cost a small fraction of the fresh run (batch-sized
+      // stage work + fixed per-stage overhead + one broadcast-gram pass
+      // over retained s3; nothing corpus-sized recomputes).
+      val sfd = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", d)
+      val docs = Tables.t(spark, sfd, "documents")
+      val maxId = docs.agg(max("doc_id")).head.getLong(0)
+      val threshold = maxId * 9L / 10L
+      val db = "graft_probe_inc"
+      def timeIt(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+      val fresh = timeIt(
+        graft.pipeline.CorpusPipeline.runFresh(spark, docs, "probe-full", db))
+      spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+      graft.pipeline.CorpusPipeline.runFresh(spark,
+        docs.filter(col("doc_id") <= threshold),
+        s"$sfd#base<=$threshold", db)
+      val inc = timeIt(
+        graft.pipeline.CorpusPipeline.runIncrementFrom(spark, docs, sfd, db))
+      println(f"corpus fresh-full $fresh%8.2f s | increment (10%% batch, " +
+        f"base in place) $inc%8.2f s | ratio ${inc / fresh}%5.2f")
+      spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
     } else if (args.headOption.contains("scale")) {
       val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "5").toInt
       // TempDirs: the K× corpus is a full replicated copy of sf0.1 — it

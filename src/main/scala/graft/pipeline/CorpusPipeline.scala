@@ -547,12 +547,22 @@ object CorpusPipeline {
       DecontamNgram).select("doc_id")
     val added = keptBatch.filter(col("doc_id") % 100 =!= 7)
       .join(addFlagged, Seq("doc_id"), "left_anti").localCheckpoint()
-    val s3New = s3Old.join(removedIds, Seq("doc_id"), "left_anti")
-      .unionByName(added.select(s3Old.columns.map(col).toIndexedSeq: _*))
-      .localCheckpoint()
     newEvalGrams.join(s.table(fq(db, EvalGramsTable)), Seq("g"), "left_anti")
       .write.mode("append").insertInto(fq(db, EvalGramsTable))
-    Warehouse.saveModel(s3New, db, "s3_decontam")
+    // removals force a full s3 rewrite (plain parquet can't delete in
+    // place); the common no-retro-flag case is a pure batch-sized APPEND —
+    // the corpus-sized write is paid only when new eval grams actually
+    // bite (`removed` is the already-materialized flagged set, so this
+    // count is a driver scalar over a checkpoint, not a recompute)
+    if (removed.isEmpty) {
+      added.select(s3Old.columns.map(col).toIndexedSeq: _*)
+        .write.mode("append").insertInto(fq(db, "s3_decontam"))
+    } else {
+      val s3New = s3Old.join(removedIds, Seq("doc_id"), "left_anti")
+        .unionByName(added.select(s3Old.columns.map(col).toIndexedSeq: _*))
+        .localCheckpoint()
+      Warehouse.saveModel(s3New, db, "s3_decontam")
+    }
     restamp("s3_decontam", s"inc(batch>$threshold) retro-flag + probe")
 
     // ---- s4: re-run the budget prefix for DELTA sources only ----
