@@ -757,8 +757,9 @@ object VectorOps {
   /** Stored codebooks → the in-memory M→centroids map the ADC scan
     * inlines as literals. M×K rows — index metadata, not data.
     */
-  private def loadPqBooks(s: SparkSession, db: String): Map[Int, Seq[Seq[Double]]] =
-    s.table(s"`$db`.`$PqCodebooksTable`")
+  private def loadPqBooks(s: SparkSession, db: String,
+                          table: String = PqCodebooksTable): Map[Int, Seq[Seq[Double]]] =
+    s.table(s"`$db`.`$table`")
       .select("m", "cell", "centroid").collect()
       .groupBy(_.getInt(0))
       .map { case (m, rows) =>
@@ -813,6 +814,55 @@ object VectorOps {
   def ivfPqCosineTopk(s: SparkSession, d: String): DataFrame =
     graft.OracleInputs.checkpoint(ivfPqTopkFrame(s, d), d, "ivfpq_topk")
       .orderBy("probe_id", "rnk")
+
+  /** Names of the persisted IVF-PQ index tables ([[buildIvfPqIndex]]). */
+  val IvfPqCodesTable = "ivfpq_codes"
+  val IvfPqCentroidsTable = "ivfpq_centroids"
+  val IvfPqCodebooksTable = "ivfpq_codebooks"
+
+  /** Train-once for the composed index: coarse centroids, per-subspace
+    * codebooks, and the code table WITH its coarse cell — stored
+    * PARTITIONED BY cell, so a serving scan reads ONLY the probed cells'
+    * partitions (dynamic partition pruning through the broadcast cell
+    * join — the file-skipping form of the cell pruning the in-session
+    * path does with a hash join).
+    */
+  def buildIvfPqIndex(vectors: DataFrame, db: String,
+                      subDim: Int = OracleDims / PqSubspaces): Unit = {
+    val emb = vectors
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+    val (assignments, centroids) = ivfIndex(emb)
+    val (codes, books) = pqIndex(emb, subDim)
+    import vectors.sparkSession.implicits._
+    graft.store.Warehouse.saveModel(
+      codes.join(assignments.select(col("vec_id"), col("cell")), Seq("vec_id")),
+      db, IvfPqCodesTable, partitionCols = Seq("cell"))
+    graft.store.Warehouse.saveModel(centroids, db, IvfPqCentroidsTable)
+    graft.store.Warehouse.saveModel(
+      books.toSeq.flatMap { case (m, cents) =>
+        cents.zipWithIndex.map { case (c, k) => (m, k, c) }
+      }.toDF("m", "cell", "centroid"),
+      db, IvfPqCodebooksTable)
+  }
+
+  /** Serve composed IVF-PQ top-k from the stored index: centroid scoring
+    * against the (nCells-row) stored centroid table, ADC only within the
+    * probed cells' PARTITIONS of the code table, exact re-rank from the
+    * corpus — no Lloyd's pass anywhere.
+    */
+  def ivfPqCosineTopkFromIndex(s: SparkSession, d: String, db: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+    val probes = probesOf(emb)
+    val centroids = s.table(s"`$db`.`$IvfPqCentroidsTable`")
+    val probedCells = probeNearestCells(centroids, probes,
+        IvfPqProbeSlack * adaptiveProbe(centroids.count()))
+      .select("probe_id", "cell")
+    searchPq(s.table(s"`$db`.`$IvfPqCodesTable`"),
+      loadPqBooks(s, db, IvfPqCodebooksTable), emb, probes,
+      OracleDims / PqSubspaces, cellFilter = Some(probedCells))
+      .orderBy("probe_id", "rnk")
+  }
 
   private[graft] def ivfPqTopkFrame(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)

@@ -249,6 +249,14 @@ object Vp8lCodec {
     val br = new BitReader(payload, 21)
     val width = 1 + br.readBits(14)
     val height = 1 + br.readBits(14)
+    // refuse-before-allocation (the MultimodalOps raster-guard contract):
+    // 14-bit dims allow 16384² = 268M pixels = a 1 GiB int array — a
+    // crafted header must not drive that allocation. Same ceiling as
+    // MultimodalOps.MaxDecodePixels (2^24), checked on the dims the
+    // DECODER will allocate from, before any pixel work.
+    if (width.toLong * height > (1L << 24))
+      throw new IllegalArgumentException(
+        s"vp8l: raster ${width}x$height exceeds the decode ceiling")
     br.readBits(1) // alpha hint
     val version = br.readBits(3)
     if (version != 0)

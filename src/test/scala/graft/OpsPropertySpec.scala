@@ -320,6 +320,31 @@ class OpsPropertySpec extends SparkSpec {
       s"ADC scan must join on the probed-cell key:\n${plan.take(1500)}")
   }
 
+  test("ivf-pq index persists (codes partitioned by cell) and serves a " +
+      "fresh session identically to the in-session composition") {
+    val db = "ivfpq_index_db"
+    VectorOps.buildIvfPqIndex(Tables.t(spark, sf, "embeddings"), db)
+    for (t <- Seq(VectorOps.IvfPqCodesTable, VectorOps.IvfPqCentroidsTable,
+        VectorOps.IvfPqCodebooksTable))
+      assert(spark.catalog.tableExists(s"$db.$t"))
+    // the code table is partitioned by the coarse cell — the probed-cell
+    // pruning becomes FILE-level pruning in the serving scan
+    val parts = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        VectorOps.IvfPqCodesTable, Some(db))).partitionColumnNames
+    assert(parts == Seq("cell"), s"codes must partition by cell: $parts")
+
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("neighbor_id"))).toSeq
+    val s2 = spark.newSession()
+    val served = key(VectorOps.ivfPqCosineTopkFromIndex(s2, sf, db).collect())
+    val inSession = key(VectorOps.ivfPqTopkFrame(spark, sf)
+      .orderBy("probe_id", "rnk").collect())
+    assert(served == inSession && served.length == 25,
+      "stored IVF-PQ index must answer exactly like the in-session composition")
+  }
+
   test("sharded ivf index: self-hit survives the shard merge, recall composes (S=2, S=4)") {
     val exact = VectorOps.knnCosineTopk(spark, sf).collect()
       .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet

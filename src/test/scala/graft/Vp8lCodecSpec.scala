@@ -144,6 +144,18 @@ class Vp8lCodecSpec extends AnyFunSuite {
     assert(dec.get.pixels.toSeq == Seq(argb, argb))
   }
 
+  test("refuse-before-allocation: a crafted header claiming a huge raster " +
+      "is rejected before any pixel allocation") {
+    // 16384x16384 claimed dims = 268M pixels = a 1 GiB int array if decoded
+    val w = new W
+    header(w, 16384, 16384)
+    w.bits(0, 64) // filler past the container minimum — never read
+    val ex = intercept[IllegalArgumentException] {
+      Vp8lCodec.decode(w.riffVp8l())
+    }
+    assert(ex.getMessage.contains("ceiling"))
+  }
+
   test("foreign payloads return None; truncation fails loudly") {
     assert(Vp8lCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
     // a VP8X (extended) WebP is not a VP8L stream
