@@ -106,19 +106,27 @@ object Vp8lCodec {
     * code — produced by 1-symbol simple codes and by degenerate length
     * sets).
     */
-  private final class PrefixCode(lengths: Array[Int]) {
+  private final class PrefixCode(lengths: Array[Int],
+                                 explicit: Map[Int, Int] = Map.empty) {
     private val nSyms = lengths.count(_ > 0)
     private val trivial: Int =
       if (nSyms == 1) lengths.indexWhere(_ > 0) else -1
-    // (code << 4 | len) -> symbol, len ≤ 15 per spec
+    // (code << 4 | len) -> symbol, len ≤ 15 per spec. `explicit` maps
+    // code → symbol directly for the simple 2-symbol form, whose code
+    // assignment follows TRANSMISSION order (first-read symbol = code 0),
+    // not the canonical by-symbol-value order.
     private val table: java.util.HashMap[Integer, Integer] = {
       val m = new java.util.HashMap[Integer, Integer]()
       if (trivial < 0) {
-        val codes = canonicalCodes(lengths)
-        var s = 0
-        while (s < lengths.length) {
-          if (lengths(s) > 0) m.put((codes(s) << 4) | lengths(s), s)
-          s += 1
+        if (explicit.nonEmpty)
+          explicit.foreach { case (code, sym) => m.put((code << 4) | 1, sym) }
+        else {
+          val codes = canonicalCodes(lengths)
+          var s = 0
+          while (s < lengths.length) {
+            if (lengths(s) > 0) m.put((codes(s) << 4) | lengths(s), s)
+            s += 1
+          }
         }
       }
       m
@@ -145,9 +153,13 @@ object Vp8lCodec {
       val first =
         if (br.readBit() == 1) br.readBits(8) else br.readBits(1)
       lengths(first) = 1
-      if (numSymbols == 2) lengths(br.readBits(8)) = 1
-      else lengths(first) = 1 // single symbol: trivial zero-bit code
-      new PrefixCode(lengths)
+      if (numSymbols == 2) {
+        val second = br.readBits(8)
+        lengths(second) = 1
+        // simple-form codes follow transmission order: first → code 0,
+        // second → code 1 (NOT the canonical by-value assignment)
+        new PrefixCode(lengths, explicit = Map(0 -> first, 1 -> second))
+      } else new PrefixCode(lengths) // single symbol: trivial zero-bit code
     } else {
       val clcLengths = new Array[Int](19)
       val numCodeLengths = 4 + br.readBits(4)

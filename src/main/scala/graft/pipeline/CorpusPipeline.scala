@@ -206,7 +206,13 @@ object CorpusPipeline {
   /** Lease TTL. Long enough that a healthy fixture/production stage never
     * outlives it between renewals (the lease is re-stamped at every stage
     * boundary), short enough that a dead runner's lease clears within one
-    * scheduler backoff cycle.
+    * scheduler backoff cycle. KNOWN LIMIT: renewal happens only at stage
+    * boundaries, so a single stage running past the TTL opens a takeover
+    * window in which old and new owner could overlap inside that stage
+    * (the old one is fenced out at its NEXT boundary, before any further
+    * stage write). Deployments whose stages can exceed the TTL raise it
+    * or add a heartbeat renewer thread — the fencing protocol itself is
+    * unchanged by either.
     */
   val LeaseTtlMs: Long = 10 * 60 * 1000L
 
@@ -476,6 +482,20 @@ object CorpusPipeline {
   private def incrementHoldingLease(s: SparkSession, docs: DataFrame,
                                     d: String, db: String,
                                     lease: String): Seq[StageResult] = {
+    // localCheckpoint blocks pinned by the increment's intermediates are
+    // released on the way out (success or failure): every consumer runs
+    // synchronously inside this method, and without the release a bench
+    // loop of increments would accumulate executor blocks per pass
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = { pinned += df; df }
+    try incrementPinned(s, docs, d, db, lease, pin)
+    finally pinned.foreach(df =>
+      try df.unpersist() catch { case scala.util.control.NonFatal(_) => () })
+  }
+
+  private def incrementPinned(s: SparkSession, docs: DataFrame,
+                              d: String, db: String, lease: String,
+                              pin: DataFrame => DataFrame): Seq[StageResult] = {
     val maxId = docs.agg(max("doc_id")).head.getLong(0)
     val threshold = maxId * 9L / 10L
     val incKeys = incrementKeys(d, threshold)
@@ -507,9 +527,11 @@ object CorpusPipeline {
     // the tables it reads are themselves appended — sever the lineage now
     val batchClean = TextOps.corpusCleanSurvivorsAgainst(batch, known)
       .localCheckpoint()
+    pin(batchClean)
     val newHashes = batch
       .select(sha2(lower(trim(col("text"))), 256).as("h")).distinct()
       .join(known, Seq("h"), "left_anti").localCheckpoint()
+    pin(newHashes)
     newHashes.write.mode("append").insertInto(fq(db, HashIndexTable))
     batchClean.select(s.table(fq(db, "s1_clean")).columns.map(col).toIndexedSeq: _*)
       .write.mode("append").insertInto(fq(db, "s1_clean"))
@@ -519,6 +541,7 @@ object CorpusPipeline {
     renewLease(s, db, lease)
     val batchBands = graft.ops.TextOps.bandsOfDocs(batchClean)
     val prunedBands = IncrementalDedup.pruneHot(batchBands).localCheckpoint()
+    pin(prunedBands)
     IncrementalDedup.appendBandFrame(prunedBands, db, IndexTable)
     val verdicts = IncrementalDedup.incrementVerdicts(
       s.table(fq(db, IndexTable)), prunedBands, batchClean)
@@ -526,6 +549,7 @@ object CorpusPipeline {
       .join(verdicts.filter(col("match_min_id") === col("doc_id"))
         .select("doc_id"), Seq("doc_id"), "left_semi")
       .localCheckpoint()
+    pin(keptBatch)
     keptBatch.select(s.table(fq(db, "s2_dedup")).columns.map(col).toIndexedSeq: _*)
       .write.mode("append").insertInto(fq(db, "s2_dedup"))
     restamp("s2_dedup", s"inc(batch>$threshold) band-append + keep-lowest")
@@ -535,18 +559,21 @@ object CorpusPipeline {
     renewLease(s, db, lease)
     val newEvalGrams = TextOps.cjkEvalGrams(batch, DecontamNgram)
       .localCheckpoint()
+    pin(newEvalGrams)
     val s3Old = s.table(fq(db, "s3_decontam"))
     val removedIds = TextOps.cjkFlaggedAgainst(newEvalGrams, s3Old,
       DecontamNgram).select("doc_id")
     // capture removal metadata BEFORE the table is overwritten
     val removed = s3Old.join(removedIds, Seq("doc_id"), "left_semi")
       .select("doc_id", "source").localCheckpoint()
+    pin(removed)
     val allEval = s.table(fq(db, EvalGramsTable)).unionByName(newEvalGrams)
       .distinct()
     val addFlagged = TextOps.cjkFlaggedAgainst(allEval, keptBatch,
       DecontamNgram).select("doc_id")
     val added = keptBatch.filter(col("doc_id") % 100 =!= 7)
       .join(addFlagged, Seq("doc_id"), "left_anti").localCheckpoint()
+    pin(added)
     newEvalGrams.join(s.table(fq(db, EvalGramsTable)), Seq("g"), "left_anti")
       .write.mode("append").insertInto(fq(db, EvalGramsTable))
     // removals force a full s3 rewrite (plain parquet can't delete in
@@ -561,6 +588,7 @@ object CorpusPipeline {
       val s3New = s3Old.join(removedIds, Seq("doc_id"), "left_anti")
         .unionByName(added.select(s3Old.columns.map(col).toIndexedSeq: _*))
         .localCheckpoint()
+      pin(s3New)
       Warehouse.saveModel(s3New, db, "s3_decontam")
     }
     restamp("s3_decontam", s"inc(batch>$threshold) retro-flag + probe")
@@ -576,6 +604,7 @@ object CorpusPipeline {
     val oldChangedDocs = s4Old
       .filter(col("source").isin(changedSources: _*)).select("doc_id")
       .localCheckpoint()
+    pin(oldChangedDocs)
     if (changedSources.nonEmpty) {
       val s4New = s4Old.filter(!col("source").isin(changedSources: _*))
         .unionByName(SamplingOps.budgetMixFor(
@@ -583,6 +612,7 @@ object CorpusPipeline {
             .filter(col("source").isin(changedSources: _*)),
           PerSourceBudget, MixBuckets))
         .localCheckpoint()
+      pin(s4New)
       Warehouse.saveModel(s4New, db, "s4_mix")
     }
     restamp("s4_mix", s"inc(batch>$threshold) delta-source remix")

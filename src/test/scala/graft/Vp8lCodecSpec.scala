@@ -144,6 +144,30 @@ class Vp8lCodecSpec extends AnyFunSuite {
     assert(dec.get.pixels.toSeq == Seq(argb, argb))
   }
 
+  test("decoder: simple 2-symbol codes assign codes in TRANSMISSION order, " +
+      "not canonical symbol order") {
+    // red channel: simple code transmitting symbols (200, 10) — code 0
+    // must decode to 200 (the first-read symbol) even though canonical
+    // by-value assignment would give 10 the zero code
+    val w = new W
+    header(w, 1, 1)
+    w.bits(0, 1) // no color cache
+    w.bits(0, 1) // no meta-prefix
+    greenTwoSymbol(w, 42, 256, 280) // green: literal 42 (code 0)
+    // red: simple, 2 symbols, 8-bit form: first=200, second=10
+    w.bits(1, 1).bits(1, 1).bits(1, 1).bits(200, 8).bits(10, 8)
+    simple1(w, 9) // blue
+    simple1(w, 255) // alpha
+    simple1(w, 0) // distance (unused)
+    w.code(0, 1) // green literal 42
+    w.bits(0, 1) // red code 0 → MUST be 200
+    val dec = Vp8lCodec.decode(w.riffVp8l())
+    assert(dec.isDefined)
+    val p = dec.get.pixels(0)
+    assert(((p >>> 16) & 0xff) == 200,
+      s"simple-code order broken: red = ${(p >>> 16) & 0xff}")
+  }
+
   test("refuse-before-allocation: a crafted header claiming a huge raster " +
       "is rejected before any pixel allocation") {
     // 16384x16384 claimed dims = 268M pixels = a 1 GiB int array if decoded
