@@ -296,7 +296,11 @@ object PerfProbe {
         // in-session band index (batch-side-only shuffle)
         "q_mean_token_freq", "q_token_budget_select",
         "q_dedup_best_of_cluster", "q_dedup_incremental",
-        "q_cluster_sample", "q_budget_mix")
+        "q_cluster_sample", "q_budget_mix",
+        // round-9 additions: the composed IVF-PQ (both quantizers train
+        // on the K× corpus; ADC scans only the probed cells) and the
+        // per-row VP8L entropy decode (linear by construction)
+        "q_ivfpq_cosine_topk", "q_vp8l_pixel_stats")
       // SPARK_GRAFT_SCALE_ONLY=a,b,c re-probes a subset after a targeted fix
       // without paying the full sweep
       val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
