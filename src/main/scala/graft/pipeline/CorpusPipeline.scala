@@ -279,18 +279,26 @@ object CorpusPipeline {
     */
   def run(s: SparkSession, d: String, resume: Boolean = false,
           failAfter: Option[String] = None,
-          db: String = Db): Seq[StageResult] = {
+          db: String = Db,
+          refreshAux: Boolean = true): Seq[StageResult] = {
     Warehouse.ensureDatabase(s, db)
     val lease = acquireLease(s, db)
     try runHoldingLease(s, graft.Tables.t(s, d, "documents"), d, resume,
-      failAfter, lease, db)
+      failAfter, lease, db, refreshAux)
     finally releaseLease(s, db, lease)
   }
 
+  /** `refreshAux = false` is the REMIX contract ([[remixEntry]]): the
+    * stamped s1/s2 prefix and the side indexes were built by the
+    * streaming ingest, so the s3 recompute must PROBE the accumulated
+    * blocklist, not rewrite it from `docs` (which lacks streamed rows).
+    * Only valid when s1/s2 will skip — remixEntry checks before calling.
+    */
   private def runHoldingLease(s: SparkSession, docs: DataFrame,
                               srcTag: String, resume: Boolean,
                               failAfter: Option[String],
-                              lease: String, db: String): Seq[StageResult] = {
+                              lease: String, db: String,
+                              refreshAux: Boolean = true): Seq[StageResult] = {
     if (!resume) {
       // prologue protocol: clear the marker BEFORE touching stamps, set it
       // strictly AFTER invalidateAll completes — a crash anywhere inside
@@ -301,6 +309,15 @@ object CorpusPipeline {
       invalidateAll(s, db)
       setDbProp(s, db, PrologueProp, System.currentTimeMillis().toString)
     }
+    // drop cached relations before reading ANY stage/index table: another
+    // session may have appended since this session last touched them —
+    // the streaming ingest writes through the micro-batch's CLONED
+    // session, whose invalidations don't reach this one's relation cache
+    // (a stale cached file listing would silently serve the pre-append
+    // state; caught by the streaming remix equivalence test)
+    (Stages ++ Seq(IndexTable, HashIndexTable, EvalGramsTable))
+      .filter(t => s.catalog.tableExists(s"$db.$t"))
+      .foreach(t => s.catalog.refreshTable(s"`$db`.`$t`"))
     val keys = lineageKeys(srcTag)
 
     // Once ANY stage recomputes, every stage after it must too: the
@@ -366,9 +383,11 @@ object CorpusPipeline {
     val r3 = stage("s3_decontam",
       s"cjk${DecontamNgram}gram decontamination of s2_dedup vs eval@$srcTag") {
       // the eval-gram blocklist lands with this stage (same crash
-      // contract as the hash index in s1)
-      Warehouse.saveModel(TextOps.cjkEvalGrams(docs, DecontamNgram),
-        db, EvalGramsTable)
+      // contract as the hash index in s1) — except under the remix
+      // contract, where the stream already accumulated it
+      if (refreshAux)
+        Warehouse.saveModel(TextOps.cjkEvalGrams(docs, DecontamNgram),
+          db, EvalGramsTable)
       val s2 = s.table(fq(db, "s2_dedup"))
       val flagged = TextOps.cjkFlaggedAgainst(
         s.table(fq(db, EvalGramsTable)), s2, DecontamNgram)
@@ -391,6 +410,11 @@ object CorpusPipeline {
     // the stamps any more — a later fire that crashes BEFORE its own
     // prologue must retry fresh, not resume against these stamps
     setDbProp(s, db, PrologueProp, "")
+    // seed the streaming-ingest append-only guard from this run's corpus
+    // (remix-mode runs leave the stream-advanced value untouched)
+    if (refreshAux && results.exists(!_.skipped))
+      Option(docs.agg(max("doc_id")).head.get(0))
+        .foreach(m => setDbProp(s, db, MaxDocIdProp, m.toString))
     results
   }
 
@@ -520,46 +544,13 @@ object CorpusPipeline {
         s"'$LineageKeyProp'='${incKeys(st)}', '$LineageProp'='$recipe', " +
         s"'$LineageStampProp'='${System.currentTimeMillis()}')")
 
-    // ---- s1: delta-clean against the persisted hash set ----
-    renewLease(s, db, lease)
-    val known = s.table(fq(db, HashIndexTable))
-    // localCheckpoint: the frame feeds bands, verdicts and appends AFTER
-    // the tables it reads are themselves appended — sever the lineage now
-    val batchClean = TextOps.corpusCleanSurvivorsAgainst(batch, known)
-      .localCheckpoint()
-    pin(batchClean)
-    val newHashes = batch
-      .select(sha2(lower(trim(col("text"))), 256).as("h")).distinct()
-      .join(known, Seq("h"), "left_anti").localCheckpoint()
-    pin(newHashes)
-    newHashes.write.mode("append").insertInto(fq(db, HashIndexTable))
-    batchClean.select(s.table(fq(db, "s1_clean")).columns.map(col).toIndexedSeq: _*)
-      .write.mode("append").insertInto(fq(db, "s1_clean"))
+    val (keptBatch, newEvalGrams) = appendS12(s, db, batch, lease, pin)
     restamp("s1_clean", s"inc(batch>$threshold) append")
-
-    // ---- s2: append batch bands, keep-lowest against base ∪ batch ----
-    renewLease(s, db, lease)
-    val batchBands = graft.ops.TextOps.bandsOfDocs(batchClean)
-    val prunedBands = IncrementalDedup.pruneHot(batchBands).localCheckpoint()
-    pin(prunedBands)
-    IncrementalDedup.appendBandFrame(prunedBands, db, IndexTable)
-    val verdicts = IncrementalDedup.incrementVerdicts(
-      s.table(fq(db, IndexTable)), prunedBands, batchClean)
-    val keptBatch = batchClean
-      .join(verdicts.filter(col("match_min_id") === col("doc_id"))
-        .select("doc_id"), Seq("doc_id"), "left_semi")
-      .localCheckpoint()
-    pin(keptBatch)
-    keptBatch.select(s.table(fq(db, "s2_dedup")).columns.map(col).toIndexedSeq: _*)
-      .write.mode("append").insertInto(fq(db, "s2_dedup"))
     restamp("s2_dedup", s"inc(batch>$threshold) band-append + keep-lowest")
 
     // ---- s3: retro-flag stored docs with NEW eval grams; probe batch
     //          against the full blocklist; extend the blocklist ----
     renewLease(s, db, lease)
-    val newEvalGrams = TextOps.cjkEvalGrams(batch, DecontamNgram)
-      .localCheckpoint()
-    pin(newEvalGrams)
     val s3Old = s.table(fq(db, "s3_decontam"))
     val removedIds = TextOps.cjkFlaggedAgainst(newEvalGrams, s3Old,
       DecontamNgram).select("doc_id")
@@ -574,8 +565,6 @@ object CorpusPipeline {
     val added = keptBatch.filter(col("doc_id") % 100 =!= 7)
       .join(addFlagged, Seq("doc_id"), "left_anti").localCheckpoint()
     pin(added)
-    newEvalGrams.join(s.table(fq(db, EvalGramsTable)), Seq("g"), "left_anti")
-      .write.mode("append").insertInto(fq(db, EvalGramsTable))
     // removals force a full s3 rewrite (plain parquet can't delete in
     // place); the common no-retro-flag case is a pure batch-sized APPEND —
     // the corpus-sized write is paid only when new eval grams actually
@@ -643,6 +632,136 @@ object CorpusPipeline {
 
     Stages.map(st => StageResult(st, skipped = false, incKeys(st)))
   }
+
+  /** Shared batch-append of the clean+dedup PREFIX (s1, s2) plus the
+    * three side indexes — the common core of [[runIncrement]] and the
+    * streaming ingest ([[corpusIngestBatch]]): delta-clean against the
+    * persisted hash set, hash append, s1 append, band append THEN one
+    * keep-lowest probe over base ∪ batch, s2 append, and the raw batch's
+    * eval grams folded into the blocklist. Returns (keptBatch,
+    * newEvalGrams), both local-checkpointed and pinned; the CALLER owns
+    * stage stamping. Append-only id contract assumed (callers enforce).
+    */
+  private def appendS12(s: SparkSession, db: String, batch: DataFrame,
+                        lease: String, pin: DataFrame => DataFrame)
+      : (DataFrame, DataFrame) = {
+    // ---- s1: delta-clean against the persisted hash set ----
+    renewLease(s, db, lease)
+    val known = s.table(fq(db, HashIndexTable))
+    // localCheckpoint: the frame feeds bands, verdicts and appends AFTER
+    // the tables it reads are themselves appended — sever the lineage now
+    val batchClean = pin(TextOps.corpusCleanSurvivorsAgainst(batch, known)
+      .localCheckpoint())
+    val newHashes = pin(batch
+      .select(sha2(lower(trim(col("text"))), 256).as("h")).distinct()
+      .join(known, Seq("h"), "left_anti").localCheckpoint())
+    newHashes.write.mode("append").insertInto(fq(db, HashIndexTable))
+    batchClean.select(s.table(fq(db, "s1_clean")).columns.map(col).toIndexedSeq: _*)
+      .write.mode("append").insertInto(fq(db, "s1_clean"))
+
+    // ---- s2: append batch bands, keep-lowest against base ∪ batch ----
+    renewLease(s, db, lease)
+    val batchBands = graft.ops.TextOps.bandsOfDocs(batchClean)
+    val prunedBands = pin(IncrementalDedup.pruneHot(batchBands).localCheckpoint())
+    IncrementalDedup.appendBandFrame(prunedBands, db, IndexTable)
+    val verdicts = IncrementalDedup.incrementVerdicts(
+      s.table(fq(db, IndexTable)), prunedBands, batchClean)
+    val keptBatch = pin(batchClean
+      .join(verdicts.filter(col("match_min_id") === col("doc_id"))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint())
+    keptBatch.select(s.table(fq(db, "s2_dedup")).columns.map(col).toIndexedSeq: _*)
+      .write.mode("append").insertInto(fq(db, "s2_dedup"))
+
+    // ---- blocklist: the RAW batch's eval grams (doc_id % 100 = 7) ----
+    val newEvalGrams = pin(TextOps.cjkEvalGrams(batch, DecontamNgram)
+      .localCheckpoint())
+    newEvalGrams.join(s.table(fq(db, EvalGramsTable)), Seq("g"), "left_anti")
+      .write.mode("append").insertInto(fq(db, EvalGramsTable))
+    (keptBatch, newEvalGrams)
+  }
+
+  /** Db property tracking the highest ingested doc_id — the append-only
+    * guard for the streaming ingest (a batch whose min id is not above
+    * this would violate the keep-lowest immutability every incremental
+    * path relies on). Set by fresh runs, advanced per ingest batch.
+    */
+  private[graft] val MaxDocIdProp = "graft.corpus.max_doc_id"
+
+  /** Fold ONE micro-batch of documents through the clean+dedup prefix —
+    * the foreachBatch body of a streaming corpus ingest: s1/s2 and the
+    * hash/band/blocklist indexes advance row-by-row, the downstream
+    * mix/pack stamps are invalidated, and the scheduled REMIX
+    * ([[remixEntry]]) recomputes s3..s5 from the streamed state on its
+    * cadence. s1/s2 are restamped with `srcTag`'s chain keys — they ARE
+    * fresh by construction (append-only ids keep prior verdicts
+    * immutable), so the remix resume skips them and recomputes exactly
+    * the suffix.
+    */
+  def corpusIngestBatch(s: SparkSession, srcTag: String, batch: DataFrame,
+                        db: String = Db): Unit = {
+    if (batch.isEmpty) return
+    Warehouse.ensureDatabase(s, db)
+    val lease = acquireLease(s, db)
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = { pinned += df; df }
+    try {
+      val bounds = batch.agg(min("doc_id"), max("doc_id")).head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      dbProps(s, db).get(MaxDocIdProp).filter(_.nonEmpty).map(_.toLong)
+        .foreach(storedMax => require(lo > storedMax,
+          s"corpusIngestBatch: batch min id $lo <= ingested max " +
+            s"$storedMax — the append-only contract (keep-lowest " +
+            "immutability) forbids out-of-order ingest"))
+      appendS12(s, db, batch, lease, pin)
+      val keys = lineageKeys(srcTag)
+      Seq("s1_clean", "s2_dedup").foreach { st =>
+        s.sql(s"ALTER TABLE ${fq(db, st)} SET TBLPROPERTIES (" +
+          s"'$LineageKeyProp'='${keys(st)}', " +
+          s"'$LineageProp'='streaming ingest append', " +
+          s"'$LineageStampProp'='${System.currentTimeMillis()}')")
+      }
+      // the suffix no longer derives from its inputs — invalidate it so
+      // the next remix (or any resume) recomputes s3..s5
+      Seq("s3_decontam", "s4_mix", "s5_pack")
+        .filter(st => s.catalog.tableExists(s"$db.$st")).foreach { st =>
+          s.sql(s"ALTER TABLE ${fq(db, st)} UNSET TBLPROPERTIES IF EXISTS " +
+            s"('$LineageKeyProp', '$LineageStampProp')")
+        }
+      setDbProp(s, db, MaxDocIdProp, hi.toString)
+    } finally {
+      pinned.foreach(df =>
+        try df.unpersist() catch { case scala.util.control.NonFatal(_) => () })
+      releaseLease(s, db, lease)
+    }
+  }
+
+  /** foreachBatch adapter for [[corpusIngestBatch]]. */
+  def corpusIngestSink(srcTag: String, db: String = Db)
+      : (DataFrame, Long) => Unit =
+    (batch, _) => corpusIngestBatch(batch.sparkSession, srcTag, batch, db)
+
+  /** Scheduled REMIX: recompute the mix/pack suffix from the streamed
+    * s1/s2 state. When the ingested prefix is stamped (the designed
+    * steady state) the run RESUMES with `refreshAux = false` — s1/s2 and
+    * the side indexes are left exactly as the stream built them (a fresh
+    * eval-gram rewrite from the source dir would CLOBBER streamed grams);
+    * if the prefix is missing/stale the fire falls back to a normal
+    * fresh run (aux rebuilt consistently from the source dir).
+    */
+  def remixEntry(id: String, cronExpr: String, d: String, db: String = Db)
+      : ScheduleRunner.Entry =
+    ScheduleRunner.Entry(id, CronSchedule.parse(cronExpr),
+      (s, _) => {
+        val keys = lineageKeys(d)
+        val prefixFresh = Seq("s1_clean", "s2_dedup").forall(st =>
+          lineageOf(s, st, db).exists(_._1 == keys(st)))
+        if (prefixFresh) run(s, d, resume = true, db = db, refreshAux = false)
+        else run(s, d, resume = false, db = db)
+        ()
+      },
+      name = "corpus_remix", target = s"$db.s5_pack",
+      tags = Map("pipeline" -> "corpus"))
 
   /** The oracle-gated incremental query (q_corpus_increment): base run +
     * batch append in [[IncDb]], band-index content materialized for the

@@ -375,6 +375,73 @@ class CorpusPipelineSpec extends SparkSpec {
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
   }
 
+  test("streaming ingest: micro-batches advance s1/s2 + indexes through a " +
+      "real streaming query, the scheduled remix recomputes the suffix, " +
+      "and the final state equals a fresh run over the whole corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, max => smax}
+    import spark.implicits._
+    import java.time.LocalDateTime
+    val db = "graft_corpus_stream"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+
+    val docs = Tables.t(spark, sf, "documents")
+    val maxId = docs.agg(smax("doc_id")).head.getLong(0)
+    val (t0, t1) = (maxId / 3, 2 * maxId / 3)
+    // yesterday's scheduled run: the base third, stamped for `sf`
+    CorpusPipeline.runFresh(spark, docs.filter(col("doc_id") <= t0), sf, db)
+
+    // the middle and top thirds arrive as STREAM micro-batches (ascending
+    // ids across batches — the append-only contract)
+    val rows = docs.filter(col("doc_id") > t0)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+    val (b1, b2) = rows.partition(_._1 <= t1)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val q = mem.toDF()
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch(CorpusPipeline.corpusIngestSink(sf, db))
+      .start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    // prefix stamped for sf, suffix invalidated
+    val keys = CorpusPipeline.lineageKeys(sf)
+    assert(CorpusPipeline.lineageOf(spark, "s1_clean", db)
+      .exists(_._1 == keys("s1_clean")))
+    assert(CorpusPipeline.lineageOf(spark, "s3_decontam", db).isEmpty,
+      "ingest must invalidate the mix/pack suffix")
+    // out-of-order ingest refused (append-only guard)
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.corpusIngestBatch(spark, sf,
+        Seq((1L, "dup text of an already seen id with enough tokens",
+          "en", "src0", 40L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars"), db)
+    }
+
+    // the remix fires: resumes (s1/s2 skip), recomputes s3..s5 from the
+    // streamed state without touching the accumulated blocklist
+    val runner = new pipeline.ScheduleRunner(
+      Seq(CorpusPipeline.remixEntry("remix", "0 4 * * *", sf, db)),
+      LocalDateTime.parse("2026-05-01T00:00:00"))
+    assert(runner.tick(spark,
+      LocalDateTime.parse("2026-05-01T04:00:00")) == Seq("remix"))
+
+    // equivalence: streamed-then-remixed state == a fresh full run
+    def key(t: String, d0: String) = spark.table(s"`$d0`.`$t`")
+      .select("doc_id", "source", "n_tokens", "seq_id", "shard", "shard_rank")
+      .orderBy("doc_id").collect().toSeq
+    CorpusPipeline.run(spark, sf, resume = false) // pristine, in Db
+    assert(key("s5_pack", db) == key("s5_pack", CorpusPipeline.Db),
+      "streamed + remixed corpus diverged from the fresh full run")
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
   test("scheduled entry fires a fresh run on its cron") {
     import java.time.LocalDateTime
     spark.sql(s"DROP TABLE IF EXISTS `${CorpusPipeline.Db}`.`s5_pack`")
