@@ -688,6 +688,13 @@ object CorpusPipeline {
     */
   private[graft] val MaxDocIdProp = "graft.corpus.max_doc_id"
 
+  /** Ledger of the last COMMITTED foreachBatch epoch — set strictly after
+    * a batch's appends and stamps all land, so a replayed epoch (normal
+    * at-least-once streaming recovery) is recognized and skipped instead
+    * of double-appending or tripping the append-only guard.
+    */
+  private[graft] val LastEpochProp = "graft.corpus.last_epoch"
+
   /** Fold ONE micro-batch of documents through the clean+dedup prefix —
     * the foreachBatch body of a streaming corpus ingest: s1/s2 and the
     * hash/band/blocklist indexes advance row-by-row, the downstream
@@ -697,15 +704,29 @@ object CorpusPipeline {
     * fresh by construction (append-only ids keep prior verdicts
     * immutable), so the remix resume skips them and recomputes exactly
     * the suffix.
+    *
+    * Replay semantics: an epoch ≤ the committed ledger is SKIPPED
+    * (exactly-once for whole-batch replays). The remaining exposure is a
+    * crash INSIDE a batch's append sequence (some tables appended, epoch
+    * not committed): the retry re-runs the appends, and rows whose
+    * hashes already landed are filtered as "known" — which deduplicates
+    * the hash/s1 path but can lose a doc whose hash landed without its
+    * s1 row (crash between the two writes). Same at-least-once caveat
+    * [[IncrementalDedup.appendBatch]] documents; the scheduled FRESH run
+    * (snapshot-replace) re-anchors the state on its cadence.
     */
   def corpusIngestBatch(s: SparkSession, srcTag: String, batch: DataFrame,
-                        db: String = Db): Unit = {
+                        db: String = Db, epochId: Long = -1L): Unit = {
     if (batch.isEmpty) return
     Warehouse.ensureDatabase(s, db)
     val lease = acquireLease(s, db)
     val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def pin(df: DataFrame): DataFrame = { pinned += df; df }
     try {
+      if (epochId >= 0 &&
+          dbProps(s, db).get(LastEpochProp).filter(_.nonEmpty)
+            .map(_.toLong).exists(_ >= epochId))
+        return // committed-epoch replay: everything already landed
       val bounds = batch.agg(min("doc_id"), max("doc_id")).head
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       dbProps(s, db).get(MaxDocIdProp).filter(_.nonEmpty).map(_.toLong)
@@ -729,6 +750,9 @@ object CorpusPipeline {
             s"('$LineageKeyProp', '$LineageStampProp')")
         }
       setDbProp(s, db, MaxDocIdProp, hi.toString)
+      // commit the epoch LAST: the ledger covers a batch only once every
+      // append and stamp above has landed
+      if (epochId >= 0) setDbProp(s, db, LastEpochProp, epochId.toString)
     } finally {
       pinned.foreach(df =>
         try df.unpersist() catch { case scala.util.control.NonFatal(_) => () })
@@ -736,10 +760,13 @@ object CorpusPipeline {
     }
   }
 
-  /** foreachBatch adapter for [[corpusIngestBatch]]. */
+  /** foreachBatch adapter for [[corpusIngestBatch]] — wires the streaming
+    * engine's epochId into the replay ledger.
+    */
   def corpusIngestSink(srcTag: String, db: String = Db)
       : (DataFrame, Long) => Unit =
-    (batch, _) => corpusIngestBatch(batch.sparkSession, srcTag, batch, db)
+    (batch, epochId) =>
+      corpusIngestBatch(batch.sparkSession, srcTag, batch, db, epochId)
 
   /** Scheduled REMIX: recompute the mix/pack suffix from the streamed
     * s1/s2 state. When the ingested prefix is stamped (the designed

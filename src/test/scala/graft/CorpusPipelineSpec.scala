@@ -423,6 +423,15 @@ class CorpusPipelineSpec extends SparkSpec {
           "en", "src0", 40L))
           .toDF("doc_id", "text", "lang", "source", "n_chars"), db)
     }
+    // a REPLAYED committed epoch (at-least-once recovery) is a no-op:
+    // the stream ran epochs 0 and 1, so re-delivering epoch 1 must not
+    // double-append (and must not trip the append-only guard either)
+    val s1Before = spark.table(s"`$db`.`s1_clean`").count()
+    CorpusPipeline.corpusIngestBatch(spark, sf,
+      b2.toIndexedSeq.toDF("doc_id", "text", "lang", "source", "n_chars"),
+      db, epochId = 1L)
+    assert(spark.table(s"`$db`.`s1_clean`").count() == s1Before,
+      "committed-epoch replay must append nothing")
 
     // the remix fires: resumes (s1/s2 skip), recomputes s3..s5 from the
     // streamed state without touching the accumulated blocklist
