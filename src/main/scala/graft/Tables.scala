@@ -31,12 +31,24 @@ object Tables {
     if (name == "events" &&
         df.schema.fields.exists(f => f.name == "ts" &&
           (f.dataType == org.apache.spark.sql.types.TimestampType ||
-           f.dataType == org.apache.spark.sql.types.TimestampNTZType)))
+           f.dataType == org.apache.spark.sql.types.TimestampNTZType))) {
+      // The µs→ns derivation below casts through the SESSION timezone; a
+      // non-UTC session would silently shift every ts by the zone offset
+      // versus the DuckDB oracle's epoch_ns. Fail loudly instead — the
+      // engine-wide contract (Verify/Bench/every spec session) is UTC.
+      val tz = spark.conf.get("spark.sql.session.timeZone")
+      require(java.time.ZoneId.of(tz).normalized == java.time.ZoneOffset.UTC,
+        s"events.ts ns normalization requires a UTC session " +
+          s"(spark.sql.session.timeZone=$tz) — set it to UTC before " +
+          "reading events, or land events as int64 ns at write time")
+      // ts becomes a COMPUTED column — install the transpose rule so
+      // watermark predicates still reach the parquet scan's PushedFilters
+      graft.plans.EpochNsTranspose.install(spark)
       df.withColumn("ts",
         org.apache.spark.sql.functions.unix_micros(
           org.apache.spark.sql.functions.col("ts").cast("timestamp")) *
           org.apache.spark.sql.functions.lit(1000L))
-    else df
+    } else df
   }
 
   /** Register fixture tables as temp views so `spark.sql` queries (the

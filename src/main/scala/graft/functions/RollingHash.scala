@@ -162,5 +162,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[Expression]) => UnicodeTokens(exprs.head)))
     // resolution-stage so the filter is in the analyzed plan (cache-safe)
     ext.injectPostHocResolutionRule(spark => graft.plans.TenantIsolationRule(spark))
+    // restore parquet pushdown for ns-epoch watermark predicates over the
+    // Tables.t timestamp normalization (see EpochNsTranspose scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.EpochNsTranspose)
   }
 }
