@@ -121,6 +121,17 @@ object Vp8lCodec {
         if (explicit.nonEmpty)
           explicit.foreach { case (code, sym) => m.put((code << 4) | 1, sym) }
         else {
+          // Kraft completeness gate: an over-subscribed length set would
+          // assign COLLIDING canonical codes (silent table overwrite →
+          // wrong pixels, not the documented loud failure); an incomplete
+          // one consumes bits without a match only on some inputs. The
+          // spec's sole sub-complete form is the single-symbol trivial
+          // code handled above, so anything off exactly 1 is corrupt.
+          val maxLen = lengths.max
+          var kraft = 0L
+          lengths.foreach(l => if (l > 0) kraft += 1L << (maxLen - l))
+          require(kraft == (1L << maxLen),
+            s"vp8l: corrupt prefix code — Kraft sum $kraft/${1L << maxLen}")
           val codes = canonicalCodes(lengths)
           var s = 0
           while (s < lengths.length) {

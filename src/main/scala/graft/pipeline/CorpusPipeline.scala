@@ -237,12 +237,24 @@ object CorpusPipeline {
     }
     val token = java.util.UUID.randomUUID().toString
     setDbProp(s, db, LeaseProp, s"$token:${now + LeaseTtlMs}")
-    // read-back fencing: two racing acquirers both pass the check above,
-    // but the catalog serializes the ALTERs — exactly one token survives,
-    // and the loser sees it here and backs off
+    // Read-back fencing: when two racing set()s BOTH precede the verifies,
+    // the catalog's last write wins and exactly one token survives — the
+    // loser sees a foreign token here and backs off. KNOWN RESIDUAL RACE:
+    // the interleaving A-set, A-verify, B-set admits both (A verified
+    // before B overwrote). The delayed second read below shrinks that
+    // window to the delay length; closing it entirely needs a conditional
+    // put the catalog API does not offer. The residual overlap is bounded
+    // the same way a TTL takeover is: the loser's token is gone, so it
+    // aborts at its next renewLease — i.e. at the first stage boundary,
+    // before any second stage write.
     if (!leaseOf(s, db).exists(_._1 == token))
       throw new LeaseHeldException(
         "lost the lease acquisition race — another run acquired first")
+    Thread.sleep(50L + scala.util.Random.nextInt(100))
+    if (!leaseOf(s, db).exists(_._1 == token))
+      throw new LeaseHeldException(
+        "lost the lease acquisition race (overwritten during the " +
+          "verification window) — another run acquired first")
     token
   }
 
@@ -615,20 +627,42 @@ object CorpusPipeline {
       .select(SamplingOps.shardOfDocId.as("shard")).distinct()
       .collect().map(_.getInt(0)).toSeq
     if (affectedShards.nonEmpty) {
-      val replacement = packShards(
-        s.table(fq(db, "s4_mix"))
-          .filter(SamplingOps.shardOfDocId.isin(affectedShards: _*)))
-        .select(s.table(fq(db, "s5_pack")).columns.map(col).toIndexedSeq: _*)
-      // dynamic partition overwrite: ONLY the partitions present in the
-      // replacement are dropped and rewritten — unaffected shard
-      // partitions keep their files byte-for-byte (spec-asserted)
-      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode",
-        "static")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try replacement.write.mode("overwrite").insertInto(fq(db, "s5_pack"))
-      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      val s4Affected = s.table(fq(db, "s4_mix"))
+        .filter(SamplingOps.shardOfDocId.isin(affectedShards: _*))
+      val presentShards = s4Affected
+        .select(SamplingOps.shardOfDocId.as("shard")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      // an affected shard whose s4 membership vanished entirely (every
+      // doc evicted, none added) emits NO replacement rows — dynamic
+      // overwrite only rewrites partitions PRESENT in the frame, so its
+      // stale s5 partition would survive and the increment would no
+      // longer equal a fresh run. Route those through the partition-
+      // scoped delete instead (a fully-emptied partition stays dropped).
+      val emptied = affectedShards.filterNot(presentShards)
+      if (emptied.nonEmpty)
+        Warehouse.deleteWhere(s, db, "s5_pack",
+          col("shard").isin(emptied: _*))
+      if (presentShards.nonEmpty) {
+        val replacement = packShards(s4Affected)
+          .select(s.table(fq(db, "s5_pack")).columns.map(col).toIndexedSeq: _*)
+        // dynamic partition overwrite: ONLY the partitions present in the
+        // replacement are dropped and rewritten — unaffected shard
+        // partitions keep their files byte-for-byte (spec-asserted)
+        val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode",
+          "static")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try replacement.write.mode("overwrite").insertInto(fq(db, "s5_pack"))
+        finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      }
     }
     restamp("s5_pack", s"inc(batch>$threshold) affected-shard repack")
+
+    // advance the streaming-ingest append-only guard past this increment's
+    // ids — the base rebuild stamped it at the <=threshold max, and
+    // without this a later ingest batch with ids in (threshold, maxId]
+    // would pass the guard and re-ingest already-present docs, breaking
+    // the keep-lowest immutability the guard protects
+    setDbProp(s, db, MaxDocIdProp, maxId.toString)
 
     Stages.map(st => StageResult(st, skipped = false, incKeys(st)))
   }
@@ -692,8 +726,17 @@ object CorpusPipeline {
     * a batch's appends and stamps all land, so a replayed epoch (normal
     * at-least-once streaming recovery) is recognized and skipped instead
     * of double-appending or tripping the append-only guard.
+    *
+    * Keyed PER SOURCE TAG: epoch ids are per streaming query, so a single
+    * scalar would let stream A's committed epoch N silently mask stream
+    * B's first epochs as "replays" — dropped data, not a loud failure.
+    * Two streams into one corpus db still share the append-only id guard
+    * (their batches must jointly arrive in ascending doc_id order); the
+    * ledgers only keep their REPLAY windows independent.
     */
   private[graft] val LastEpochProp = "graft.corpus.last_epoch"
+  private[graft] def epochProp(srcTag: String): String =
+    s"$LastEpochProp.${digest(srcTag)}"
 
   /** Fold ONE micro-batch of documents through the clean+dedup prefix —
     * the foreachBatch body of a streaming corpus ingest: s1/s2 and the
@@ -724,7 +767,7 @@ object CorpusPipeline {
     def pin(df: DataFrame): DataFrame = { pinned += df; df }
     try {
       if (epochId >= 0 &&
-          dbProps(s, db).get(LastEpochProp).filter(_.nonEmpty)
+          dbProps(s, db).get(epochProp(srcTag)).filter(_.nonEmpty)
             .map(_.toLong).exists(_ >= epochId))
         return // committed-epoch replay: everything already landed
       val bounds = batch.agg(min("doc_id"), max("doc_id")).head
@@ -752,7 +795,7 @@ object CorpusPipeline {
       setDbProp(s, db, MaxDocIdProp, hi.toString)
       // commit the epoch LAST: the ledger covers a batch only once every
       // append and stamp above has landed
-      if (epochId >= 0) setDbProp(s, db, LastEpochProp, epochId.toString)
+      if (epochId >= 0) setDbProp(s, db, epochProp(srcTag), epochId.toString)
     } finally {
       pinned.foreach(df =>
         try df.unpersist() catch { case scala.util.control.NonFatal(_) => () })

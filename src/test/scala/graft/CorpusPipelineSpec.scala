@@ -375,6 +375,106 @@ class CorpusPipelineSpec extends SparkSpec {
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
   }
 
+  test("incremental assembly: a shard fully emptied by retro-flag " +
+      "eviction drops its s5 partition (increment still equals fresh)") {
+    import org.apache.spark.sql.functions.{col, length}
+    val db = "graft_corpus_synth_empty"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    def shardOf(id: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val hx = "0123456789abcdef"
+      (hx.indexOf(hex(0)) * 13 + hx.indexOf(hex(1))) % 8
+    }
+    // three space-separated Hangul WORDS: the decontam gram is a word
+    // trigram (unspaced CJK runs stay single tokens), so the shared
+    // phrase must span three tokens to collide
+    val cjk = "데이터 품질 평가"
+    def text(id: Long) = s"the quick document $id of a series to index " +
+      s"and measure with twenty or more unique tokens alpha$id beta$id " +
+      s"gamma$id delta$id epsilon$id zeta$id eta$id theta$id"
+    // victim: sole occupant of its shard, sharing a CJK trigram with the
+    // batch's eval doc — the increment retro-evicts it, leaving the shard
+    // with zero s4 rows (the r10 dynamic-overwrite stale-partition edge)
+    val victimId = (1000L to 8000L).find(_ % 100 != 7).get
+    val targetShard = shardOf(victimId)
+    val otherIds = (1L to 400L)
+      .filter(i => shardOf(i) != targetShard && i % 100 != 7).take(10)
+    val batchEvalId = 10007L
+    val batchAddId = (10010L to 10200L)
+      .find(i => i % 100 != 7 && shardOf(i) != targetShard).get
+    val threshold = math.max(batchEvalId, batchAddId) * 9L / 10L
+    assert(victimId <= threshold && otherIds.forall(_ <= threshold))
+    assert(batchEvalId > threshold && batchAddId > threshold)
+    import spark.implicits._
+    def df(rows: Seq[(Long, String, String, String)]) =
+      rows.toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    val baseRows =
+      (victimId, text(victimId) + " " + cjk, "en", "srcA") +:
+        otherIds.map(i => (i, text(i), "en", s"src${(i % 3).toInt}"))
+    val batchRows = Seq(
+      (batchEvalId, s"evaluation reference $cjk", "en", "srcEval"),
+      (batchAddId, text(batchAddId), "en", "srcB"))
+
+    CorpusPipeline.runFresh(spark, df(baseRows), s"synE#base<=$threshold", db)
+    assert(spark.table(s"`$db`.`s5_pack`")
+      .filter(col("shard") === targetShard)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(victimId),
+      "victim must be the target shard's sole occupant in the base state")
+    val s5Dir = new java.io.File(new java.net.URI(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("s5_pack",
+          Some(db))).location.toString))
+    assert(new java.io.File(s5Dir, s"shard=$targetShard").exists())
+
+    val r = CorpusPipeline.runIncrementFrom(
+      spark, df(baseRows ++ batchRows), "synE", db)
+    assert(r.forall(!_.skipped))
+    // the emptied shard's partition is gone — rows AND files
+    assert(spark.table(s"`$db`.`s5_pack`")
+      .filter(col("shard") === targetShard).count() === 0L)
+    assert(!new java.io.File(s5Dir, s"shard=$targetShard").exists(),
+      "stale s5 partition directory survived the increment")
+    // and the increment still equals a fresh run over the union
+    val incRows = spark.table(s"`$db`.`s5_pack`")
+      .select("doc_id", "source", "n_tokens", "seq_id", "shard", "shard_rank")
+      .orderBy("doc_id").collect().toSeq
+    val db2 = "graft_corpus_synth_empty_fresh"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db2` CASCADE")
+    CorpusPipeline.runFresh(spark, df(baseRows ++ batchRows), "synE-all", db2)
+    val freshRows = spark.table(s"`$db2`.`s5_pack`")
+      .select("doc_id", "source", "n_tokens", "seq_id", "shard", "shard_rank")
+      .orderBy("doc_id").collect().toSeq
+    assert(incRows == freshRows,
+      "emptied-shard increment diverged from the fresh union run")
+    spark.sql(s"DROP DATABASE IF EXISTS `$db2` CASCADE")
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
+  test("incremental assembly advances the ingest guard past the batch ids") {
+    import org.apache.spark.sql.functions.{col, length}
+    val db = "graft_corpus_synth_guard"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    def text(id: Long) = s"the quick document $id of a series to index " +
+      s"and measure with twenty or more unique tokens alpha$id beta$id " +
+      s"gamma$id delta$id epsilon$id zeta$id eta$id theta$id"
+    import spark.implicits._
+    def df(ids: Seq[Long]) = ids.map(i => (i, text(i), "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val ids = (1L to 30L).filter(_ % 100 != 7)
+    CorpusPipeline.runIncrementFrom(spark, df(ids), "synG", db)
+    // the guard must sit at the increment's maxId, not the base threshold:
+    // a replayed ingest of ids inside (threshold, maxId] must be refused
+    val e = intercept[IllegalArgumentException] {
+      CorpusPipeline.corpusIngestBatch(spark, "replay", df(Seq(30L)), db)
+    }
+    assert(e.getMessage.toLowerCase.contains("append-only"),
+      s"expected the append-only guard, got: ${e.getMessage}")
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
   test("streaming ingest: micro-batches advance s1/s2 + indexes through a " +
       "real streaming query, the scheduled remix recomputes the suffix, " +
       "and the final state equals a fresh run over the whole corpus") {
@@ -448,6 +548,48 @@ class CorpusPipelineSpec extends SparkSpec {
     CorpusPipeline.run(spark, sf, resume = false) // pristine, in Db
     assert(key("s5_pack", db) == key("s5_pack", CorpusPipeline.Db),
       "streamed + remixed corpus diverged from the fresh full run")
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
+  test("per-source epoch ledgers: stream A's committed epoch does not " +
+      "mask stream B's, and each stream's own replays still skip") {
+    import org.apache.spark.sql.functions.{col, max => smax}
+    import spark.implicits._
+    val db = "graft_corpus_twostream"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    val docs = Tables.t(spark, sf, "documents")
+    val maxId = docs.agg(smax("doc_id")).head.getLong(0)
+    val t0 = maxId / 2
+    CorpusPipeline.runFresh(spark, docs.filter(col("doc_id") <= t0), sf, db)
+    val rest = docs.filter(col("doc_id") > t0)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+    def toDf(x: Seq[(Long, String, String, String, Long)]) =
+      x.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val n = rest.length
+    // two DIFFERENT streams deliver jointly-ascending id ranges; both use
+    // the streaming engine's per-query epoch numbering, which starts at 0
+    val aBatch = rest.slice(0, n / 3).toIndexedSeq
+    val bBatch = rest.slice(n / 3, 2 * n / 3).toIndexedSeq
+    CorpusPipeline.corpusIngestBatch(spark, "streamA", toDf(aBatch), db,
+      epochId = 0L)
+    val afterA = spark.table(s"`$db`.`s1_clean`").count()
+    // a SCALAR ledger would classify B's epoch 0 as a committed replay of
+    // A's and silently drop the batch — the per-source ledger must not
+    CorpusPipeline.corpusIngestBatch(spark, "streamB", toDf(bBatch), db,
+      epochId = 0L)
+    val afterB = spark.table(s"`$db`.`s1_clean`").count()
+    assert(afterB > afterA,
+      "stream B's first epoch was masked by stream A's committed ledger")
+    // each stream's OWN committed-epoch replays are still exact no-ops
+    // (the skip also precedes the append-only guard, which a genuine
+    // re-delivery of old ids would otherwise trip)
+    CorpusPipeline.corpusIngestBatch(spark, "streamA", toDf(aBatch), db,
+      epochId = 0L)
+    CorpusPipeline.corpusIngestBatch(spark, "streamB", toDf(bBatch), db,
+      epochId = 0L)
+    assert(spark.table(s"`$db`.`s1_clean`").count() == afterB,
+      "a committed-epoch replay appended rows")
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
   }
 
