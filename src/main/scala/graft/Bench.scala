@@ -16,12 +16,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The split-gate queries materialize engine intermediates so the ORACLE
-    // can read them — that durable parquet write is gate plumbing, not
-    // operator work (it inflated the ANN family 2.4-3.7× in r6). Bench
-    // degrades those checkpoints to executor-local (same rows, same
-    // plan-flattening, no gate I/O) so per-query numbers measure the
-    // engine; Verify keeps the durable oracle contract. The remaining
-    // checkpoint share is reported as its own `ckpt_sec` field below.
+    // can read them — gate plumbing, not operator work (it inflated the
+    // ANN family 2.4-3.7× in r6). Bench serves those frames UN-CHECKPOINTED
+    // (identity gate) so per-query numbers measure the operator DAG alone;
+    // Verify keeps the durable oracle contract. `ckpt_sec` below stays as
+    // the audit trail that the gate share is actually ~0.
     // Scoped (withDurability), not a bare assignment: the flag is process-
     // global, and any future same-JVM verify after the bench must get the
     // durable contract back.
@@ -68,7 +67,6 @@ object Bench {
       ckptSecPerPass += OracleInputs.checkpointNanos.get / 1e9
       if (r < runs) {
         graft.ops.PlanCache.release(spark)
-        OracleInputs.releaseLocalCheckpoints()
         spark.catalog.clearCache()
       }
       res
@@ -107,10 +105,6 @@ object Bench {
     // queries contention headroom at a bounded price (only the handful of
     // 1-1.5 s queries gain extra passes).
     val ExtraPassCutoffSec = 1.5
-    // main passes are done — drain their localCheckpoint blocks before the
-    // stabilizer passes add their own (each split-gate query checkpoints
-    // per execution; without the drain, blocks accumulate run-over-run)
-    OracleInputs.releaseLocalCheckpoints()
     val stabilized = results.map {
       case (n, v, None, f) if v < ExtraPassCutoffSec && extraPasses > 0 =>
         val extra = (1 to extraPasses).map { _ =>

@@ -98,13 +98,16 @@ object OracleInputs {
     sqlReadDir = Some(dst.toString)
   }
 
-  /** When false, [[checkpoint]] degrades to an executor-local checkpoint:
-    * same rows, same plan-flattening, but NO durable parquet write. The
-    * durable write exists only so the ORACLE can read the engine's
-    * intermediates — it is gate plumbing, not operator work — so Bench
-    * turns it off (per-query timings measure the engine) while Verify
-    * keeps the durable contract. Defaults to durable: correctness paths
-    * must opt out explicitly, never silently lose the oracle input.
+  /** When false, [[checkpoint]] is the IDENTITY: the query serves the
+    * same frame un-checkpointed. The materialization exists only so the
+    * ORACLE can read the engine's intermediates — gate plumbing, not
+    * operator work — so Bench turns it off entirely and its per-query
+    * timings measure the operator DAG alone (a frame consumed twice may
+    * recompute, which IS honest operator cost; the iterative component
+    * rounds own their lineage control via GraphOps' reliable
+    * checkpoints, not this gate). Verify keeps the durable contract.
+    * Defaults to durable: correctness paths must opt out explicitly,
+    * never silently lose the oracle input.
     */
   @volatile var durable: Boolean = true
 
@@ -119,55 +122,23 @@ object OracleInputs {
     try body finally durable = prev
   }
 
-  /** RDDs backing non-durable (localCheckpoint) gate checkpoints. Their
-    * cached blocks are NOT released by `spark.catalog.clearCache()`, so a
-    * long bench run would accumulate them across queries/passes and
-    * pressure executor memory — Bench/PerfProbe drain this at every pass
-    * boundary next to PlanCache.release.
-    */
-  private val localCkptRdds =
-    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
-
-  /** Unpersist every registered localCheckpoint block. Safe to call at any
-    * pass boundary: a drained entry is gone, double-release is a no-op.
-    */
-  def releaseLocalCheckpoints(): Unit = {
-    var r = localCkptRdds.poll()
-    while (r != null) {
-      try r.unpersist(blocking = false) catch { case _: Throwable => () }
-      r = localCkptRdds.poll()
-    }
-  }
-
   /** Cumulative nanoseconds spent inside [[checkpoint]] — Bench resets
     * this per pass and reports the checkpoint share as its own field, so
-    * the split between operator time and checkpoint time stays visible.
+    * the split between operator time and checkpoint time stays visible
+    * (≈0 in bench mode now that the non-durable path is the identity).
     */
   val checkpointNanos = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Write-then-read checkpoint: downstream engine derivation and the
-    * oracle consume the SAME materialized rows (also flattens the logical
-    * plan before the iterative component rounds, like a localCheckpoint
-    * with a durable, oracle-readable location — which is exactly what it
-    * degrades to when [[durable]] is off).
+    * oracle consume the SAME materialized rows. Identity when [[durable]]
+    * is off — bench timings measure the operator DAG, not gate I/O.
     */
   def checkpoint(df: DataFrame, sfDir: String, name: String): DataFrame = {
+    if (!durable) return df
     val t0 = System.nanoTime()
-    val out = if (durable) {
-      val p = path(sfDir, name)
-      df.write.mode("overwrite").parquet(p)
-      df.sparkSession.read.parquet(p)
-    } else {
-      val ck = df.localCheckpoint(true)
-      // register the checkpointed RDD for pass-boundary release (its
-      // storage outlives catalog.clearCache — see releaseLocalCheckpoints)
-      ck.queryExecution.analyzed.collectLeaves().foreach {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          localCkptRdds.add(lr.rdd)
-        case _ => ()
-      }
-      ck
-    }
+    val p = path(sfDir, name)
+    df.write.mode("overwrite").parquet(p)
+    val out = df.sparkSession.read.parquet(p)
     checkpointNanos.addAndGet(System.nanoTime() - t0)
     out
   }

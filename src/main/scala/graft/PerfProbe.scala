@@ -115,7 +115,6 @@ object PerfProbe {
                    runs: Int = 2): Double =
     (1 to runs).map { _ =>
       graft.ops.PlanCache.release(spark)
-      OracleInputs.releaseLocalCheckpoints()
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, d).count()
@@ -223,7 +222,6 @@ object PerfProbe {
       buildScaled(spark, d, scaled, k)
       def timeFresh(dir: String): Double = (1 to 2).map { _ =>
         graft.ops.PlanCache.release(spark)
-        OracleInputs.releaseLocalCheckpoints()
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         graft.pipeline.CorpusPipeline.run(spark, dir, resume = false)

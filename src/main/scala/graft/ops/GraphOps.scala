@@ -72,10 +72,16 @@ object GraphOps {
 
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
                           maxIter: Int = 50): DataFrame = {
-    val sym = edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
-      .union(edges.select(col("dst").cast("long").as("src"),
-        col("src").cast("long").as("dst")))
+    // symmetrize in ONE pass over the edge frame: the union form computes
+    // the (possibly expensive, e.g. banded-minhash) edges subtree twice —
+    // once per branch — while explode duplicates each row after a single
+    // computation. persist() then holds the symmetric set across rounds.
+    val sym = edges.select(explode(array(
+        struct(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst")),
+        struct(col("dst").cast("long").as("src"),
+          col("src").cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     try {
       var labels = roundCheckpoint(vertices.select(
