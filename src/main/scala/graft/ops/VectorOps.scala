@@ -543,6 +543,16 @@ object VectorOps {
   val PqCodebookSize = 16
   val PqRerank = 25
 
+  /** ADC codebook lookups inline as plan literals up to this many doubles
+    * (Σ_m K_m × subDim). The fixture configuration (8×16×8 = 1024) sits
+    * under it; a production-sized codebook (K=256, M≥16) rides broadcast
+    * joins instead, keeping the plan string, Kryo task binaries and
+    * codegen method sizes bounded — same exact lookup either way
+    * (equivalence spec-tested). `var` only so specs can force the
+    * broadcast path at fixture scale.
+    */
+  private[graft] var PqCodebookLiteralMaxDoubles: Int = 4096
+
   /** Per-subspace codebooks trained on the corpus: m → K centroids of
     * subDim doubles. ONE Lloyd's over the EXPLODED (vec_id, m, sub-vector)
     * frame — all M codebooks train simultaneously with centroid key
@@ -683,17 +693,11 @@ object VectorOps {
     * probed IVF cells first (the IVF-PQ composition — see
     * [[ivfPqTopkFrame]]); the flat path scans all codes (pure PQ).
     */
-  private def searchPq(codesDf: DataFrame, books: Map[Int, Seq[Seq[Double]]],
+  private[graft] def searchPq(codesDf: DataFrame, books: Map[Int, Seq[Seq[Double]]],
                        corpus: DataFrame, probes: DataFrame, subDim: Int,
                        cellFilter: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(codesDf.sparkSession)
     val codes = codesDf.withColumnRenamed("vec_id", "neighbor_id")
-    // approximate ADC score: Σ_m probe_sub · codebook_m[code_m]
-    val approx = (0 until PqSubspaces).map { m =>
-      call_function("vec_dot",
-        slice(col("probe_vec"), m * subDim + 1, subDim),
-        element_at(typedLit(books(m)), col(s"code_$m") + 1))
-    }.reduce(_ + _)
     val wApprox = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id")
       .orderBy(col("approx").desc, col("neighbor_id").asc)
@@ -705,8 +709,33 @@ object VectorOps {
         .join(broadcast(probes), Seq("probe_id"))
       case None => codes.crossJoin(broadcast(probes))
     }
-    val cands = scanned
-      .withColumn("approx", approx)
+    // approximate ADC score: Σ_m probe_sub · codebook_m[code_m]. Small
+    // codebooks inline as plan literals (zero joins); past the size
+    // threshold (production K=256, M≥16) literal inlining would bloat the
+    // plan string, task binaries and codegen method size, so the lookup
+    // rides M broadcast hash joins instead — same exact per-code centroid,
+    // no extra exchange (broadcast sides are K-row relations).
+    val litDoubles = books.valuesIterator
+      .map(b => b.iterator.map(_.size).sum).sum
+    val scored =
+      if (litDoubles <= PqCodebookLiteralMaxDoubles)
+        scanned.withColumn("approx", (0 until PqSubspaces).map { m =>
+          call_function("vec_dot",
+            slice(col("probe_vec"), m * subDim + 1, subDim),
+            element_at(typedLit(books(m)), col(s"code_$m") + 1))
+        }.reduce(_ + _))
+      else {
+        import codesDf.sparkSession.implicits._
+        (0 until PqSubspaces).foldLeft(scanned) { (df, m) =>
+          val bm = books(m).zipWithIndex
+            .map { case (c, k) => (k, c) }.toDF(s"__cell_$m", s"__cent_$m")
+          df.join(broadcast(bm), col(s"code_$m") === col(s"__cell_$m"))
+        }.withColumn("approx", (0 until PqSubspaces).map(m =>
+          call_function("vec_dot",
+            slice(col("probe_vec"), m * subDim + 1, subDim),
+            col(s"__cent_$m"))).reduce(_ + _))
+      }
+    val cands = scored
       .withColumn("arnk", row_number().over(wApprox))
       .filter(col("arnk") <= PqRerank)
       .select("probe_id", "neighbor_id")

@@ -295,6 +295,53 @@ class OpsPropertySpec extends SparkSpec {
     assert(key(VectorOps.pqCosineTopkFromIndex(s2, sf, db).collect()) == served)
   }
 
+  test("codebooks past the literal threshold ride broadcast joins: " +
+      "identical results at fixture K, bounded plan at K=256") {
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("neighbor_id"))).toSeq
+    val litKey = key(VectorOps.pqTopkFrame(spark, sf)
+      .orderBy("probe_id", "rnk").collect())
+    val prev = VectorOps.PqCodebookLiteralMaxDoubles
+    // 1. equivalence: force the broadcast path at fixture K — the lookup
+    // is exact either way, so the top-k must be IDENTICAL
+    try {
+      VectorOps.PqCodebookLiteralMaxDoubles = 0
+      val bc = VectorOps.pqTopkFrame(spark, sf).orderBy("probe_id", "rnk")
+      assert(bc.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "forced-broadcast path must join the codebook relations")
+      assert(key(bc.collect()) == litKey,
+        "broadcast-codebook lookup diverged from the literal path")
+    } finally VectorOps.PqCodebookLiteralMaxDoubles = prev
+
+    // 2. a production-sized K=256 codebook (16k doubles) crosses the
+    // threshold on its own and must keep the plan string bounded — the
+    // literal form embeds every centroid in the plan
+    val k256 = (0 until VectorOps.PqSubspaces).map(m => m ->
+      (0 until 256).map(k => (0 until 8).map(d =>
+        ((m * 31 + k * 7 + d) % 997).toDouble / 997).toSeq).toSeq).toMap
+    val emb = Tables.t(spark, sf, "embeddings")
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+    val codes = emb.select(col("vec_id") +: (0 until VectorOps.PqSubspaces)
+      .map(m => pmod(col("vec_id") * (m + 3), lit(256)).cast("int")
+        .as(s"code_$m")): _*)
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"),
+        transform(col("embedding"), x => x.cast("double")).as("probe_vec"))
+    val bcDf = VectorOps.searchPq(codes, k256, emb, probes, subDim = 8)
+    val bcLen = bcDf.queryExecution.executedPlan.toString.length
+    assert(bcDf.collect().length == 25, "K=256 broadcast search must run")
+    VectorOps.PqCodebookLiteralMaxDoubles = Int.MaxValue
+    try {
+      val litLen = VectorOps.searchPq(codes, k256, emb, probes, subDim = 8)
+        .queryExecution.executedPlan.toString.length
+      assert(bcLen * 4 < litLen,
+        s"broadcast plan ($bcLen chars) should be far smaller than the " +
+          s"literal-inlined plan ($litLen chars) at K=256")
+    } finally VectorOps.PqCodebookLiteralMaxDoubles = prev
+  }
+
   test("ivf-pq: cell-pruned ADC scan, self-hit via exact re-rank, recall " +
       "holds the flat-pq floor") {
     val frame = VectorOps.ivfPqTopkFrame(spark, sf)
