@@ -252,15 +252,7 @@ object VectorOps {
       .map { case (r, i) => i -> r.getSeq[Double](1) }.toMap
     def centroidDf = cents.toSeq.sortBy(_._1).toDF("cell", "centroid")
     graft.functions.GraftFunctions.register(spark)
-    def assign(cDf: DataFrame): DataFrame =
-      emb.crossJoin(broadcast(cDf))
-        // native codegen fold — bit-identical to the zip_with chain it
-        // replaced, so trained centroids are unchanged; this is the
-        // n×nCells-per-iteration inner loop of the index build
-        .withColumn("dist", call_function("vec_sqdist", col("vec"), col("centroid")))
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist"), col("cell"))).as("m"))
-        .select(col("vec_id"), col("m.cell").as("cell"))
+    def assign(cDf: DataFrame): DataFrame = assignToCells(emb, cDf)
     for (_ <- 1 to iterations) {
       val updated = emb.join(assign(centroidDf), "vec_id")
         .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "x")))
@@ -280,6 +272,30 @@ object VectorOps {
         .select(col("vec_id"), col("cell"), col("vec").as("embedding")))
     (assignments, centroidDf)
   }
+
+  /** Frozen-centroid argmin assignment of a (vec_id, vec) frame against a
+    * broadcast centroid table — the shared inner loop of the Lloyd's
+    * build AND the incremental index appends (one definition, so an
+    * appended vector gets EXACTLY the cell a rebuild at the same
+    * centroids would give it). Native codegen fold; the corpus side is
+    * never exchanged.
+    */
+  private[graft] def assignToCells(emb: DataFrame, cDf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    emb.crossJoin(broadcast(cDf))
+      .withColumn("dist", call_function("vec_sqdist", col("vec"), col("centroid")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"))
+  }
+
+  /** The (vec_id, vec) projection every index path assigns/encodes from:
+    * unindexable null/empty embeddings dropped, elements cast to double.
+    */
+  private def indexableVecs(vectors: DataFrame): DataFrame =
+    vectors.filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
 
   /** Cluster-balanced corpus downsampling: keep a deterministic k per IVF
     * cell — the coverage-preserving subsample (every embedding-space
@@ -770,23 +786,24 @@ object VectorOps {
     * searches from storage without retraining ([[pqCosineTopkFromIndex]]).
     */
   def buildPqIndex(vectors: DataFrame, db: String,
-                   subDim: Int = OracleDims / PqSubspaces): Unit = {
+                   subDim: Int = OracleDims / PqSubspaces,
+                   suffix: String = ""): Unit = {
     val emb = vectors
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
     val (codes, books) = pqIndex(emb, subDim)
     import vectors.sparkSession.implicits._
-    graft.store.Warehouse.saveModel(codes, db, PqCodesTable)
+    graft.store.Warehouse.saveModel(codes, db, PqCodesTable + suffix)
     graft.store.Warehouse.saveModel(
       books.toSeq.flatMap { case (m, cents) =>
         cents.zipWithIndex.map { case (c, k) => (m, k, c) }
       }.toDF("m", "cell", "centroid"),
-      db, PqCodebooksTable)
+      db, PqCodebooksTable + suffix)
   }
 
   /** Stored codebooks → the in-memory M→centroids map the ADC scan
     * inlines as literals. M×K rows — index metadata, not data.
     */
-  private def loadPqBooks(s: SparkSession, db: String,
+  private[graft] def loadPqBooks(s: SparkSession, db: String,
                           table: String = PqCodebooksTable): Map[Int, Seq[Seq[Double]]] =
     s.table(s"`$db`.`$table`")
       .select("m", "cell", "centroid").collect()
@@ -805,6 +822,56 @@ object VectorOps {
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
     searchPq(s.table(s"`$db`.`$PqCodesTable`"), loadPqBooks(s, db),
       emb, probesOf(emb), OracleDims / PqSubspaces)
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** Sharded PQ serving index — [[buildShardedIvfIndex]]'s hash-slice law
+    * applied to the PQ family: the single-index ceiling is the Lloyd's
+    * training corpus (and the per-query ADC scan, linear in codes), so S
+    * independent codebook+codes table pairs over deterministic slices
+    * relax it S-fold. Each shard trains only on its slice; a search runs
+    * every shard's ADC scan + exact re-rank and merges by exact cosine —
+    * calibration-free, so the S=1 case reproduces the single index
+    * bit-for-bit (spec-tested, the sharded-band equality standard).
+    */
+  def buildShardedPqIndex(vectors: DataFrame, db: String, nShards: Int,
+                          subDim: Int = OracleDims / PqSubspaces): Unit = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    for (sh <- 0 until nShards)
+      buildPqIndex(vectors.filter(
+          pmod(xxhash64(col("vec_id")), lit(nShards.toLong)) === sh),
+        db, subDim, suffix = s"_$sh")
+  }
+
+  /** Serve PQ top-k across a sharded index: per-shard exact-re-ranked
+    * top-5s union into one global rank (exact cosine → trivially correct
+    * merge, like [[ivfCosineTopkFromShardedIndex]]). Per-shard subDim is
+    * read off the stored codebooks, so a corpus with its own dims serves
+    * unchanged. Zero Lloyd's jobs anywhere in the path.
+    */
+  def pqCosineTopkFromShardedIndex(s: SparkSession, d: String, db: String,
+                                   nShards: Int): DataFrame = {
+    val emb = t(s, d, "embeddings")
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+    val probes = probesOf(emb)
+    mergeShardTopk((0 until nShards).map { sh =>
+      val books = loadPqBooks(s, db, s"${PqCodebooksTable}_$sh")
+      searchPq(s.table(s"`$db`.`${PqCodesTable}_$sh`"), books, emb, probes,
+        books(0).head.size)
+    })
+  }
+
+  /** Global exact-cosine re-rank over per-shard top-k unions — the merge
+    * shared by the sharded PQ and sharded IVF-PQ serving paths.
+    */
+  private def mergeShardTopk(perShard: Seq[DataFrame]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    perShard.map(_.select("probe_id", "neighbor_id", "cosine"))
+      .reduce(_ unionByName _)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("probe_id", "rnk", "neighbor_id", "cosine")
       .orderBy("probe_id", "rnk")
   }
 
@@ -857,7 +924,8 @@ object VectorOps {
     * path does with a hash join).
     */
   def buildIvfPqIndex(vectors: DataFrame, db: String,
-                      subDim: Int = OracleDims / PqSubspaces): Unit = {
+                      subDim: Int = OracleDims / PqSubspaces,
+                      suffix: String = ""): Unit = {
     val emb = vectors
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
     val (assignments, centroids) = ivfIndex(emb)
@@ -865,13 +933,110 @@ object VectorOps {
     import vectors.sparkSession.implicits._
     graft.store.Warehouse.saveModel(
       codes.join(assignments.select(col("vec_id"), col("cell")), Seq("vec_id")),
-      db, IvfPqCodesTable, partitionCols = Seq("cell"))
-    graft.store.Warehouse.saveModel(centroids, db, IvfPqCentroidsTable)
+      db, IvfPqCodesTable + suffix, partitionCols = Seq("cell"))
+    graft.store.Warehouse.saveModel(centroids, db, IvfPqCentroidsTable + suffix)
     graft.store.Warehouse.saveModel(
       books.toSeq.flatMap { case (m, cents) =>
         cents.zipWithIndex.map { case (c, k) => (m, k, c) }
       }.toDF("m", "cell", "centroid"),
-      db, IvfPqCodebooksTable)
+      db, IvfPqCodebooksTable + suffix)
+  }
+
+  /** Sharded IVF-PQ — all three layers compose: hash-slice shards relax
+    * the training ceiling ([[buildShardedIvfIndex]]'s law), the per-shard
+    * coarse quantizer prunes which code partitions each probe reads, PQ
+    * compresses what it reads. Serving probes EVERY shard with the
+    * √S-scaled budget and merges by exact cosine; S=1 reproduces the
+    * single composed index bit-for-bit.
+    */
+  def buildShardedIvfPqIndex(vectors: DataFrame, db: String, nShards: Int,
+                             subDim: Int = OracleDims / PqSubspaces): Unit = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    for (sh <- 0 until nShards)
+      buildIvfPqIndex(vectors.filter(
+          pmod(xxhash64(col("vec_id")), lit(nShards.toLong)) === sh),
+        db, subDim, suffix = s"_$sh")
+  }
+
+  /** Serve composed IVF-PQ top-k across a sharded index: per shard, the
+    * stored centroids pick probed cells under the IVF-PQ slack × the √S
+    * shard-noise budget ([[shardTopkBudget]] — at S=1 this is exactly the
+    * single-index budget), the ADC scan reads only those cells'
+    * partitions of the shard's code table, and the exact-re-ranked
+    * per-shard top-5s merge into one global rank.
+    */
+  def ivfPqCosineTopkFromShardedIndex(s: SparkSession, d: String, db: String,
+                                      nShards: Int): DataFrame = {
+    val emb = t(s, d, "embeddings")
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+    val probes = probesOf(emb)
+    mergeShardTopk((0 until nShards).map { sh =>
+      val cents = s.table(s"`$db`.`${IvfPqCentroidsTable}_$sh`")
+      val probedCells = probeNearestCells(cents, probes,
+          IvfPqProbeSlack * shardTopkBudget(nShards, cents.count()))
+        .select("probe_id", "cell")
+      val books = loadPqBooks(s, db, s"${IvfPqCodebooksTable}_$sh")
+      searchPq(prunedCodes(s, s"`$db`.`${IvfPqCodesTable}_$sh`", probedCells),
+        books, emb, probes, books(0).head.size,
+        cellFilter = Some(probedCells))
+    })
+  }
+
+  // ==================== incremental index appends ====================
+
+  /** Append-only growth for the stored ANN indexes — the band index's
+    * [[IncrementalDedup.appendBatch]] contract transplanted: new vectors
+    * are assigned against the STORED centroids and encoded with the
+    * STORED codebooks (zero training jobs anywhere), and the resulting
+    * rows append to the index tables, so the index serves the grown
+    * corpus immediately without a retrain. Exact under frozen parameters:
+    * the appended index is bit-equal to re-assigning the union corpus at
+    * the same centroids/codebooks (spec-tested); drift of the parameters
+    * themselves against a full retrain is bounded by the scheduled
+    * rebuild ([[ivfRefreshEntry]]/[[pqRefreshEntry]]) — the same caveat
+    * the band index documents for per-append hot-bucket pruning. The
+    * caller owns the append-only id contract (re-appending a vec_id
+    * would duplicate its index rows), as with every append surface here.
+    */
+  def appendToIvfIndex(s: SparkSession, db: String, vectors: DataFrame): Unit = {
+    val emb = indexableVecs(vectors)
+    val rows = emb
+      .join(assignToCells(emb, s.table(s"`$db`.`$IvfCentroidsTable`")), "vec_id")
+      .select(col("vec_id"), col("cell"), col("vec").as("embedding"))
+    val target = s"`$db`.`$IvfAssignmentsTable`"
+    rows.select(s.table(target).columns.map(col).toIndexedSeq: _*)
+      .write.mode("append").insertInto(target)
+  }
+
+  /** PQ side of the append: encode with the stored codebooks (the
+    * [[pqEncode]] one-pass argmin — parity with the build's final-centroid
+    * codes is property-tested) and append to the codes table.
+    */
+  def appendToPqIndex(s: SparkSession, db: String, vectors: DataFrame): Unit = {
+    val books = loadPqBooks(s, db)
+    val target = s"`$db`.`$PqCodesTable`"
+    pqEncode(vectors.filter(
+        col("embedding").isNotNull && size(col("embedding")) > 0),
+        books, books(0).head.size)
+      .select(s.table(target).columns.map(col).toIndexedSeq: _*)
+      .write.mode("append").insertInto(target)
+  }
+
+  /** Composed IVF-PQ append: stored-codebook encode + stored-centroid
+    * cell assignment, appended into the cell-partitioned code table —
+    * only the touched cells' partitions gain files.
+    */
+  def appendToIvfPqIndex(s: SparkSession, db: String, vectors: DataFrame): Unit = {
+    val emb = indexableVecs(vectors)
+    val books = loadPqBooks(s, db, IvfPqCodebooksTable)
+    val codes = pqEncode(vectors.filter(
+        col("embedding").isNotNull && size(col("embedding")) > 0),
+      books, books(0).head.size)
+    val celled = codes.join(
+      assignToCells(emb, s.table(s"`$db`.`$IvfPqCentroidsTable`")), "vec_id")
+    val target = s"`$db`.`$IvfPqCodesTable`"
+    celled.select(s.table(target).columns.map(col).toIndexedSeq: _*)
+      .write.mode("append").insertInto(target)
   }
 
   /** Serve composed IVF-PQ top-k from the stored index: centroid scoring
@@ -887,10 +1052,26 @@ object VectorOps {
     val probedCells = probeNearestCells(centroids, probes,
         IvfPqProbeSlack * adaptiveProbe(centroids.count()))
       .select("probe_id", "cell")
-    searchPq(s.table(s"`$db`.`$IvfPqCodesTable`"),
+    searchPq(prunedCodes(s, s"`$db`.`$IvfPqCodesTable`", probedCells),
       loadPqBooks(s, db, IvfPqCodebooksTable), emb, probes,
       OracleDims / PqSubspaces, cellFilter = Some(probedCells))
       .orderBy("probe_id", "rnk")
+  }
+
+  /** The serving scan of a cell-partitioned code table, statically pruned
+    * to the probed cells: the distinct probed-cell set is bounded driver
+    * METADATA (≤ probes × probe budget ints — the serving contract is a
+    * query-sized probe set), and an IN-list on the partition column shows
+    * up in the scan's `PartitionFilters` — file-level pruning guaranteed
+    * at plan time, not left to runtime dynamic partition pruning. The
+    * per-probe cell JOIN downstream still restricts each probe to its own
+    * cells.
+    */
+  private def prunedCodes(s: SparkSession, table: String,
+                          probedCells: DataFrame): DataFrame = {
+    val cells = probedCells.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    s.table(table).filter(col("cell").isin(cells: _*))
   }
 
   private[graft] def ivfPqTopkFrame(s: SparkSession, d: String): DataFrame = {

@@ -392,6 +392,152 @@ class OpsPropertySpec extends SparkSpec {
       "stored IVF-PQ index must answer exactly like the in-session composition")
   }
 
+  test("sharded pq serving index: S=1 reproduces the single index " +
+      "bit-for-bit, self-hit and recall hold at S=4") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    def full(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSeq
+    val db1 = "pq_shard_single_db"
+    VectorOps.buildPqIndex(emb, db1)
+    val single = full(VectorOps.pqCosineTopkFromIndex(spark, sf, db1).collect())
+    // S=1: the hash slice keeps every row, training is identical, and the
+    // exact-cosine merge of one shard's top-5 IS that top-5 — bit-equal
+    // (the sharded-band-index equality standard)
+    val dbS1 = "pq_shard_s1_db"
+    VectorOps.buildShardedPqIndex(emb, dbS1, 1)
+    assert(full(VectorOps.pqCosineTopkFromShardedIndex(spark, sf, dbS1, 1)
+      .collect()) == single,
+      "S=1 sharded PQ diverged from the single index")
+    // S=4: disjoint covering slices; self-hit survives the merge (the
+    // probe's own shard re-ranks it exactly); recall holds the PQ floor
+    val dbS4 = "pq_shard_s4_db"
+    VectorOps.buildShardedPqIndex(emb, dbS4, 4)
+    val counts = (0 until 4).map(sh =>
+      spark.table(s"$dbS4.${VectorOps.PqCodesTable}_$sh").count())
+    assert(counts.forall(_ > 0) && counts.sum == emb.count())
+    val s4 = VectorOps.pqCosineTopkFromShardedIndex(spark, sf, dbS4, 4).collect()
+    assert(s4.length == 25)
+    s4.filter(_.getAs[Int]("rnk") == 1).foreach { r =>
+      assert(r.getAs[Long]("probe_id") == r.getAs[Long]("neighbor_id"))
+      assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-12)
+    }
+    val exact = VectorOps.knnCosineTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val mine = s4.map(r =>
+      (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact intersect mine).size.toDouble / exact.size
+    assert(recall >= 0.6, s"S=4 sharded PQ recall@5 = $recall")
+  }
+
+  test("sharded ivf-pq serving index: S=1 bit-equal to single, per-shard " +
+      "scans partition-pruned to probed cells, recall holds at S=4") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    def full(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSeq
+    val db1 = "ivfpq_shard_single_db"
+    VectorOps.buildIvfPqIndex(emb, db1)
+    val single = full(VectorOps.ivfPqCosineTopkFromIndex(spark, sf, db1).collect())
+    val dbS1 = "ivfpq_shard_s1_db"
+    VectorOps.buildShardedIvfPqIndex(emb, dbS1, 1)
+    assert(full(VectorOps.ivfPqCosineTopkFromShardedIndex(spark, sf, dbS1, 1)
+      .collect()) == single,
+      "S=1 sharded IVF-PQ diverged from the single composed index")
+    val dbS4 = "ivfpq_shard_s4_db"
+    VectorOps.buildShardedIvfPqIndex(emb, dbS4, 4)
+    val served = VectorOps.ivfPqCosineTopkFromShardedIndex(spark, sf, dbS4, 4)
+    // every shard's code scan is statically pruned to the probed cells:
+    // the partition-column IN-list lands in the scan's PartitionFilters
+    // (file-level pruning at plan time, not runtime DPP)
+    val codeScans = served.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.tableIdentifier.exists(_.table.startsWith(
+            VectorOps.IvfPqCodesTable)) => f
+    }
+    assert(codeScans.size == 4, s"expected 4 shard code scans, got ${codeScans.size}")
+    codeScans.foreach { f =>
+      val pruning = f.partitionFilters.filter(e =>
+        e.references.exists(_.name == "cell") &&
+          !e.toString.toLowerCase.startsWith("isnotnull"))
+      assert(pruning.nonEmpty,
+        s"shard code scan not partition-pruned: ${f.partitionFilters}")
+    }
+    val rows = served.collect()
+    assert(rows.length == 25)
+    rows.filter(_.getAs[Int]("rnk") == 1).foreach { r =>
+      assert(r.getAs[Long]("probe_id") == r.getAs[Long]("neighbor_id"))
+      assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-12)
+    }
+    val exact = VectorOps.knnCosineTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val mine = rows.map(r =>
+      (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact intersect mine).size.toDouble / exact.size
+    assert(recall >= 0.6, s"S=4 sharded IVF-PQ recall@5 = $recall")
+  }
+
+  test("incremental ANN appends: frozen-parameter append is bit-equal to " +
+      "assignment of the union corpus, and the grown index serves " +
+      "without retraining") {
+    val emb = Tables.t(spark, sf, "embeddings")
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+    val maxId = emb.agg(max("vec_id")).head.getLong(0)
+    val base = emb.filter(col("vec_id") <= maxId * 2 / 3)
+    val batch = emb.filter(col("vec_id") > maxId * 2 / 3)
+    assert(base.count() > 0 && batch.count() > 0)
+    val db = "ann_append_db"
+    VectorOps.buildIvfIndex(base, db)
+    VectorOps.buildPqIndex(base, db)
+    VectorOps.buildIvfPqIndex(base, db)
+    VectorOps.appendToIvfIndex(spark, db, batch)
+    VectorOps.appendToPqIndex(spark, db, batch)
+    VectorOps.appendToIvfPqIndex(spark, db, batch)
+    val vecs = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("vec"))
+
+    // IVF: appended inverted lists == frozen-centroid assignment of the
+    // UNION corpus (cell by cell, bit-equal)
+    def cellsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(cellsOf(spark.table(s"$db.${VectorOps.IvfAssignmentsTable}")) ==
+      cellsOf(VectorOps.assignToCells(vecs,
+        spark.table(s"$db.${VectorOps.IvfCentroidsTable}"))),
+      "appended IVF assignments diverged from frozen-centroid rebuild")
+
+    // PQ: appended codes == stored-codebook encode of the union corpus
+    val books = VectorOps.loadPqBooks(spark, db)
+    def codesOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id") +: (0 until VectorOps.PqSubspaces)
+        .map(m => col(s"code_$m")): _*)
+      .collect().map(r => r.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    assert(codesOf(spark.table(s"$db.${VectorOps.PqCodesTable}")) ==
+      codesOf(VectorOps.pqEncode(emb, books, books(0).head.size)),
+      "appended PQ codes diverged from frozen-codebook encode")
+
+    // IVF-PQ: the composed rows carry both the frozen cell and codes
+    val ipBooks = VectorOps.loadPqBooks(spark, db, VectorOps.IvfPqCodebooksTable)
+    val expectIp = VectorOps.pqEncode(emb, ipBooks, ipBooks(0).head.size)
+      .join(VectorOps.assignToCells(vecs,
+        spark.table(s"$db.${VectorOps.IvfPqCentroidsTable}")), "vec_id")
+    assert(cellsOf(spark.table(s"$db.${VectorOps.IvfPqCodesTable}")) ==
+      cellsOf(expectIp),
+      "appended IVF-PQ cells diverged from frozen-centroid rebuild")
+
+    // the grown index serves the full corpus with zero training jobs:
+    // every corpus vector is a candidate (row counts) and the serving
+    // plan stays Lloyd's-free
+    assert(spark.table(s"$db.${VectorOps.IvfAssignmentsTable}").count() == emb.count())
+    assert(spark.table(s"$db.${VectorOps.PqCodesTable}").count() == emb.count())
+    val servedDf = VectorOps.pqCosineTopkFromIndex(spark, sf, db)
+    assert(!servedDf.queryExecution.executedPlan.toString.contains("vec_sqdist"),
+      "serving an appended index must not retrain")
+    assert(servedDf.collect().length == 25)
+    assert(VectorOps.ivfCosineTopkFromIndex(spark, sf, db).collect().length == 25)
+    assert(VectorOps.ivfPqCosineTopkFromIndex(spark, sf, db).collect().length == 25)
+  }
+
   test("sharded ivf index: self-hit survives the shard merge, recall composes (S=2, S=4)") {
     val exact = VectorOps.knnCosineTopk(spark, sf).collect()
       .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
