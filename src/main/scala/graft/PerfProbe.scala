@@ -298,7 +298,11 @@ object PerfProbe {
         // round-9 additions: the composed IVF-PQ (both quantizers train
         // on the K× corpus; ADC scans only the probed cells) and the
         // per-row VP8L entropy decode (linear by construction)
-        "q_ivfpq_cosine_topk", "q_vp8l_pixel_stats")
+        "q_ivfpq_cosine_topk", "q_vp8l_pixel_stats",
+        // round-10 additions: bigram-LM training is two aggregations over
+        // the K× transition set (vocab-sized outputs); the score probe is
+        // one fine-keyed join — linear per side, like decontamination
+        "q_perplexity_filter", "q_corpus_clean_ppx")
       // SPARK_GRAFT_SCALE_ONLY=a,b,c re-probes a subset after a targeted fix
       // without paying the full sweep
       val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

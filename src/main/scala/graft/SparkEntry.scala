@@ -116,6 +116,8 @@ object SparkEntry {
     "q_salient_terms_cjk"   -> ((s: SparkSession, d: String) => TextOps.salientTermsCjk(s, d)),
     "q_decontaminate_cjk"   -> ((s: SparkSession, d: String) => TextOps.decontaminateCjk(s, d)),
     "q_mean_token_freq"     -> (TextOps.meanTokenFreq _),
+    "q_perplexity_filter"   -> ((s: SparkSession, d: String) => TextOps.perplexityFilter(s, d)),
+    "q_corpus_clean_ppx"    -> ((s: SparkSession, d: String) => TextOps.corpusCleanPerplexity(s, d)),
     "q_token_budget_select" -> ((s: SparkSession, d: String) => SamplingOps.tokenBudgetSelect(s, d)),
     "q_dedup_incremental"   -> (IncrementalDedup.dedupIncrement _),
     "q_cluster_sample"      -> ((s: SparkSession, d: String) => VectorOps.clusterBalancedSample(s, d)),
@@ -1246,6 +1248,93 @@ object SparkEntry {
         |       CAST(SUM(tf.tf * cf.cf) AS BIGINT) AS freq_sum
         |FROM tf JOIN cf USING (token)
         |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
+    // CCNet-style bigram-LM quality filter, log-free: the oracle retrains
+    // the same add-one-smoothed LM and replays the fixed-point inverse-
+    // probability scores and the cross-multiplied corpus-mean keep rule
+    // in exact integer arithmetic (div / //)
+    "q_perplexity_filter" ->
+      """WITH base AS (
+        |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |    FROM documents
+        |), vocab AS (
+        |    SELECT COUNT(DISTINCT w) AS v
+        |    FROM (SELECT unnest(toks) AS w FROM base)
+        |), tok AS (
+        |    SELECT doc_id, unnest(toks) AS w,
+        |           unnest(range(1, len(toks)+1)) AS pos
+        |    FROM base WHERE len(toks) >= 2
+        |), pw AS (
+        |    SELECT a.doc_id, a.w AS prev, b.w AS w
+        |    FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |), c2 AS (SELECT prev, w, COUNT(*) AS c2 FROM pw GROUP BY 1, 2),
+        |c1 AS (SELECT prev, COUNT(*) AS c1 FROM pw GROUP BY 1),
+        |doc AS (
+        |    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+        |           CAST(SUM((1000 * (c1.c1 + (SELECT v FROM vocab)))
+        |                    // (c2.c2 + 1)) AS BIGINT) AS score_sum
+        |    FROM pw JOIN c2 USING (prev, w) JOIN c1 USING (prev)
+        |    GROUP BY doc_id
+        |), doc2 AS (
+        |    SELECT doc_id, n_trans, score_sum // n_trans AS ppx_score FROM doc
+        |), tot AS (
+        |    SELECT CAST(SUM(ppx_score) AS BIGINT) AS tot, COUNT(*) AS n FROM doc2
+        |)
+        |SELECT doc_id, n_trans, ppx_score,
+        |       CASE WHEN ppx_score * (SELECT n FROM tot) <= (SELECT tot FROM tot)
+        |            THEN 1 ELSE 0 END AS keep
+        |FROM doc2 ORDER BY doc_id""".stripMargin,
+    // corpus clean ∘ perplexity gate: the oracle replays BOTH halves —
+    // dedup keep-lowest + heuristic quality, intersected with the LM's
+    // integer keep set
+    "q_corpus_clean_ppx" ->
+      """WITH base AS (
+        |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |    FROM documents
+        |), vocab AS (
+        |    SELECT COUNT(DISTINCT w) AS v
+        |    FROM (SELECT unnest(toks) AS w FROM base)
+        |), tok2 AS (
+        |    SELECT doc_id, unnest(toks) AS w,
+        |           unnest(range(1, len(toks)+1)) AS pos
+        |    FROM base WHERE len(toks) >= 2
+        |), pw AS (
+        |    SELECT a.doc_id, a.w AS prev, b.w AS w
+        |    FROM tok2 a JOIN tok2 b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |), c2 AS (SELECT prev, w, COUNT(*) AS c2 FROM pw GROUP BY 1, 2),
+        |c1 AS (SELECT prev, COUNT(*) AS c1 FROM pw GROUP BY 1),
+        |doc AS (
+        |    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+        |           CAST(SUM((1000 * (c1.c1 + (SELECT v FROM vocab)))
+        |                    // (c2.c2 + 1)) AS BIGINT) AS score_sum
+        |    FROM pw JOIN c2 USING (prev, w) JOIN c1 USING (prev)
+        |    GROUP BY doc_id
+        |), doc2 AS (
+        |    SELECT doc_id, n_trans, score_sum // n_trans AS ppx_score FROM doc
+        |), tot AS (
+        |    SELECT CAST(SUM(ppx_score) AS BIGINT) AS tot, COUNT(*) AS n FROM doc2
+        |), kept AS (
+        |    SELECT doc_id FROM doc2
+        |    WHERE ppx_score * (SELECT n FROM tot) <= (SELECT tot FROM tot)
+        |), tok AS (
+        |    SELECT doc_id, lang, text,
+        |           string_split_regex(trim(text), '\s+') AS tokens
+        |    FROM documents
+        |), stats AS (
+        |    SELECT doc_id, lang, text, len(tokens) AS n_tokens,
+        |           CAST(len(list_filter(tokens,
+        |               tk -> tk IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE)
+        |             / CAST(len(tokens) AS DOUBLE) AS stop_ratio
+        |    FROM tok
+        |), survivors AS (
+        |    SELECT MIN(doc_id) AS doc_id FROM documents
+        |    GROUP BY sha256(lower(trim(text)))
+        |)
+        |SELECT doc_id, lang, n_tokens, stop_ratio
+        |FROM stats
+        |WHERE doc_id IN (SELECT doc_id FROM survivors)
+        |  AND n_tokens >= 20 AND stop_ratio >= 0.05 AND stop_ratio <= 0.6
+        |  AND doc_id IN (SELECT doc_id FROM kept)
+        |ORDER BY doc_id""".stripMargin,
     // quality-ranked prefix that fits the token budget; the micro-ratio
     // quality key is integer arithmetic on both sides (div / //)
     "q_token_budget_select" ->

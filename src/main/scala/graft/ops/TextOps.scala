@@ -642,6 +642,82 @@ object TextOps {
       .orderBy("source", "rnk")
   }
 
+  /** CCNet-style n-gram LM quality filter (Wenzek et al. 2019 §3.3 —
+    * score documents with a language model trained on the target domain,
+    * keep the fluent head of the distribution) in the engine's
+    * exact-integer idiom: a BIGRAM LM trains in-engine over the corpus
+    * itself (two aggregations — the vocab-sized count tables join each
+    * other on `prev` before the one corpus-sized probe join on the fine
+    * (prev, w) key), and each document scores as the fixed-point mean
+    * INVERSE transition probability under add-one smoothing:
+    *
+    *   t_score = (SCALE · (c1(prev) + V)) div (c2(prev, w) + 1)
+    *   ppx     = (Σ_t t_score) div n_transitions
+    *
+    * — a log-free monotone proxy for perplexity (true ppl is the
+    * geometric mean of inverse probabilities; the arithmetic mean ranks
+    * fluent-vs-rare-sequence text the same direction while staying
+    * replayable in exact integer arithmetic — the q_salient_terms
+    * contract: a float log's last ulp could flip a keep/drop boundary
+    * between engines). `keep` marks documents at or below the CORPUS
+    * MEAN score, integer cross-multiplied (ppx·n ≤ Σppx) so the
+    * threshold is scale-free and no float ratio exists anywhere.
+    *
+    * Scale shape: transitions explode once (zip_with over the token
+    * array — no self-join); c1/c2 are vocab-sized; the only corpus-sized
+    * shuffle keys on (prev, w) — fine-grained, so stop-word skew spreads
+    * across w (AQE skew-join covers the residual); per-doc agg keys on
+    * doc_id; the keep rule broadcasts one total row.
+    */
+  def perplexityFilter(s: SparkSession, d: String,
+                       vocabHint: Option[Long] = None): DataFrame = {
+    val Scale = 1000L
+    val docsT = withTokens(t(s, d, "documents"))
+    // V = corpus vocabulary (all tokens, all docs) — a driver scalar in
+    // the score expression, so it must exist before the plan does; the
+    // hint keeps plan-only callers (PlanAudit) lazy, like salientTerms
+    val vocab = vocabHint.getOrElse(docsT
+      .select(explode(col("tokens")).as("w"))
+      .agg(countDistinct("w")).head.getLong(0))
+    val pw = docsT.filter(size(col("tokens")) >= 2)
+      .withColumn("p", expr(
+        "zip_with(slice(tokens, 1, size(tokens)-1), " +
+          "slice(tokens, 2, size(tokens)-1), " +
+          "(a, b) -> struct(a AS prev, b AS w))"))
+      .select(col("doc_id"), explode(col("p")).as("t"))
+      .select(col("doc_id"), col("t.prev").as("prev"), col("t.w").as("w"))
+    val c2 = pw.groupBy("prev", "w").agg(count(lit(1)).as("c2"))
+    val c1 = pw.groupBy("prev").agg(count(lit(1)).as("c1"))
+    val lm = c2.join(c1, "prev") // vocab-sized × vocab-sized
+    val doc = pw.join(lm, Seq("prev", "w"))
+      .withColumn("t_score",
+        expr(s"($Scale * (c1 + ${vocab}L)) div (c2 + 1)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trans"), sum("t_score").as("score_sum"))
+      .withColumn("ppx_score", expr("score_sum div n_trans"))
+    val totals = doc.agg(sum("ppx_score").as("tot"), count(lit(1)).as("n"))
+    doc.crossJoin(broadcast(totals))
+      .withColumn("keep",
+        (col("ppx_score") * col("n") <= col("tot")).cast("int"))
+      .select("doc_id", "n_trans", "ppx_score", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** [[corpusClean]] with the perplexity gate composed in — the OPTIONAL
+    * extra stage a CCNet-style pipeline adds after exact-dedup + heuristic
+    * quality: only documents the corpus-trained bigram LM flags as fluent
+    * ([[perplexityFilter]] keep = 1) survive. The LM trains on the RAW
+    * corpus (the target-domain-corpus posture of Wenzek et al. 2019);
+    * both halves are individually oracle-gated, and this composition is
+    * gated end-to-end as q_corpus_clean_ppx.
+    */
+  def corpusCleanPerplexity(s: SparkSession, d: String,
+                            vocabHint: Option[Long] = None): DataFrame =
+    corpusClean(s, d)
+      .join(perplexityFilter(s, d, vocabHint).filter(col("keep") === 1)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .orderBy("doc_id")
+
   /** Multimodal plumbing: opaque binary payload + typed metadata extraction
     * (byte length + content digest). The decode step for real image/audio
     * bytes is the stubbed path in graft.ops.MultimodalOps; this query proves

@@ -136,7 +136,7 @@ object CorpusPipeline {
       st -> digest(s"inc(batch>$threshold@$d)<-$k")
     }
 
-  private def fq(db: String, table: String) = s"`$db`.`$table`"
+  private[graft] def fq(db: String, table: String) = s"`$db`.`$table`"
 
   /** Stored lineage (key, recipe, stamp) of a stage table, for operators
     * and the resume gate. None when the table is missing or unstamped.
@@ -439,7 +439,7 @@ object CorpusPipeline {
     * partition-scoped s5 rewrite possible). Rows land in permutation
     * order, PARTITIONED BY shard.
     */
-  private def packShards(s4: DataFrame): DataFrame =
+  private[graft] def packShards(s4: DataFrame): DataFrame =
     SamplingOps.shardAssignments(
         s4.select("doc_id", "source", "n_tokens"),
         payload = Seq("source", "n_tokens"),
