@@ -663,11 +663,14 @@ object TextOps {
     * MEAN score, integer cross-multiplied (ppx·n ≤ Σppx) so the
     * threshold is scale-free and no float ratio exists anywhere.
     *
-    * Scale shape: transitions explode once (zip_with over the token
-    * array — no self-join); c1/c2 are vocab-sized; the only corpus-sized
-    * shuffle keys on (prev, w) — fine-grained, so stop-word skew spreads
-    * across w (AQE skew-join covers the residual); per-doc agg keys on
-    * doc_id; the keep rule broadcasts one total row.
+    * Scale shape: transitions come from zip_with over the token array —
+    * never a positional self-join (the tokenizer+zip runs once per
+    * consumer: the c2 aggregation and the probe join, both inside
+    * columnar codegen); c1 rolls up from the VOCAB-SIZED c2 table, not
+    * the corpus; the only corpus-sized shuffle keys on (prev, w) —
+    * fine-grained, so stop-word skew spreads across w (AQE skew-join
+    * covers the residual); per-doc agg keys on doc_id; the keep rule
+    * broadcasts one total row.
     */
   def perplexityFilter(s: SparkSession, d: String,
                        vocabHint: Option[Long] = None): DataFrame = {
@@ -687,7 +690,11 @@ object TextOps {
       .select(col("doc_id"), explode(col("p")).as("t"))
       .select(col("doc_id"), col("t.prev").as("prev"), col("t.w").as("w"))
     val c2 = pw.groupBy("prev", "w").agg(count(lit(1)).as("c2"))
-    val c1 = pw.groupBy("prev").agg(count(lit(1)).as("c1"))
+    // c1(prev) = Σ_w c2(prev, w): roll up the VOCAB-SIZED bigram table
+    // instead of re-aggregating the corpus-sized transition set — and the
+    // probe join below shuffles pw on the same (prev, w) key as the c2
+    // aggregation, so the exchange is computed once and reused
+    val c1 = c2.groupBy("prev").agg(sum("c2").as("c1"))
     val lm = c2.join(c1, "prev") // vocab-sized × vocab-sized
     val doc = pw.join(lm, Seq("prev", "w"))
       .withColumn("t_score",
