@@ -982,6 +982,30 @@ object VectorOps {
     })
   }
 
+  /** Scheduled refresh entries for the SHARDED serving indexes — the
+    * single-index entries' law extended: one cron fire rebuilds every
+    * shard's tables (shard builds are independent jobs; a deployment
+    * that wants them as separate submissions schedules S entries over
+    * slice-filtered `vectors` instead).
+    */
+  def pqShardedRefreshEntry(id: String, cronExpr: String, db: String,
+                            nShards: Int,
+                            vectors: SparkSession => DataFrame): graft.pipeline.ScheduleRunner.Entry =
+    graft.pipeline.ScheduleRunner.Entry(id,
+      graft.pipeline.CronSchedule.parse(cronExpr),
+      (s, _) => buildShardedPqIndex(vectors(s), db, nShards),
+      name = "pq_sharded_index_refresh", target = s"$db.$PqCodesTable*",
+      tags = Map("pipeline" -> "ann-index"))
+
+  def ivfPqShardedRefreshEntry(id: String, cronExpr: String, db: String,
+                               nShards: Int,
+                               vectors: SparkSession => DataFrame): graft.pipeline.ScheduleRunner.Entry =
+    graft.pipeline.ScheduleRunner.Entry(id,
+      graft.pipeline.CronSchedule.parse(cronExpr),
+      (s, _) => buildShardedIvfPqIndex(vectors(s), db, nShards),
+      name = "ivfpq_sharded_index_refresh", target = s"$db.$IvfPqCodesTable*",
+      tags = Map("pipeline" -> "ann-index"))
+
   // ==================== incremental index appends ====================
 
   /** Append-only growth for the stored ANN indexes — the band index's

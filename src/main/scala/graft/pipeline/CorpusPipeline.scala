@@ -178,11 +178,11 @@ object CorpusPipeline {
     */
   private[graft] val PrologueProp = "graft.run.prologue"
 
-  private def dbProps(s: SparkSession, db: String): Map[String, String] =
+  private[pipeline] def dbProps(s: SparkSession, db: String): Map[String, String] =
     if (!s.catalog.databaseExists(db)) Map.empty
     else s.sessionState.catalog.getDatabaseMetadata(db).properties
 
-  private def setDbProp(s: SparkSession, db: String, k: String,
+  private[pipeline] def setDbProp(s: SparkSession, db: String, k: String,
                         v: String): Unit =
     s.sql(s"ALTER DATABASE `$db` SET DBPROPERTIES ('$k'='$v')")
 
@@ -272,7 +272,7 @@ object CorpusPipeline {
       s"$token:${System.currentTimeMillis() + LeaseTtlMs}")
   }
 
-  private def releaseLease(s: SparkSession, db: String, token: String): Unit =
+  private[pipeline] def releaseLease(s: SparkSession, db: String, token: String): Unit =
     // release only what we still own — clearing another runner's lease
     // would re-open the race the lease exists to close
     if (leaseOf(s, db).exists(_._1 == token)) setDbProp(s, db, LeaseProp, "")

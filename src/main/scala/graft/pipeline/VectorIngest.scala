@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{max, min}
+import graft.ops.VectorOps
+
+/** Streaming growth for the stored ANN indexes — the corpus-ingest
+  * machinery ([[CorpusPipeline.corpusIngestBatch]]) transplanted to the
+  * vector side: each foreachBatch micro-batch appends to EVERY index
+  * family present in the database through the frozen-parameter appends
+  * ([[VectorOps.appendToIvfIndex]]/[[VectorOps.appendToPqIndex]]/
+  * [[VectorOps.appendToIvfPqIndex]] — stored centroids/codebooks, zero
+  * training jobs), so searches serve the grown corpus immediately and
+  * the scheduled rebuild ([[VectorOps.ivfRefreshEntry]] family) bounds
+  * parameter drift on its cadence.
+  *
+  * Exactly-once/at-least-once contract, shared with the corpus ingest:
+  * a PER-SOURCE committed-epoch ledger (set strictly LAST) makes
+  * whole-batch replays no-ops and keeps concurrent streams' epoch
+  * numbering independent; the append-only vec_id guard refuses
+  * out-of-order batches (a re-appended vec_id would duplicate index
+  * rows — and a duplicated code row is a duplicated CANDIDATE, which
+  * the exact re-rank does not collapse). Remaining exposure is a crash
+  * INSIDE a batch's append sequence: already-appended families carry
+  * the batch twice until the scheduled rebuild re-anchors — the
+  * [[graft.ops.IncrementalDedup.appendBatch]] caveat class, here
+  * bounded by the ledger to the crashed batch alone.
+  */
+object VectorIngest {
+
+  private[graft] val MaxVecIdProp = "graft.ann.max_vec_id"
+  private[graft] val LastEpochProp = "graft.ann.last_epoch"
+
+  private def digest(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private[graft] def epochProp(srcTag: String): String =
+    s"$LastEpochProp.${digest(srcTag)}"
+
+  /** Fold one micro-batch of (vec_id, embedding, ...) rows into every
+    * stored index family present in `db`.
+    */
+  def vectorIngestBatch(s: SparkSession, srcTag: String, batch: DataFrame,
+                        db: String, epochId: Long = -1L): Unit = {
+    if (batch.isEmpty) return
+    graft.store.Warehouse.ensureDatabase(s, db)
+    val lease = CorpusPipeline.acquireLease(s, db)
+    try {
+      if (epochId >= 0 &&
+          CorpusPipeline.dbProps(s, db).get(epochProp(srcTag))
+            .filter(_.nonEmpty).map(_.toLong).exists(_ >= epochId))
+        return // committed-epoch replay: every append already landed
+      val bounds = batch.agg(min("vec_id"), max("vec_id")).head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      CorpusPipeline.dbProps(s, db).get(MaxVecIdProp).filter(_.nonEmpty)
+        .map(_.toLong).foreach(storedMax => require(lo > storedMax,
+          s"vectorIngestBatch: batch min vec_id $lo <= ingested max " +
+            s"$storedMax — the append-only contract forbids out-of-order " +
+            "ingest (a re-appended id duplicates index rows)"))
+      val families: Seq[(String, () => Unit)] = Seq(
+        VectorOps.IvfAssignmentsTable ->
+          (() => VectorOps.appendToIvfIndex(s, db, batch)),
+        VectorOps.PqCodesTable ->
+          (() => VectorOps.appendToPqIndex(s, db, batch)),
+        VectorOps.IvfPqCodesTable ->
+          (() => VectorOps.appendToIvfPqIndex(s, db, batch)))
+      val present = families.filter(f => s.catalog.tableExists(s"$db.${f._1}"))
+      require(present.nonEmpty,
+        s"vectorIngestBatch: no ANN index tables in `$db` — build one " +
+          "(buildIvfIndex/buildPqIndex/buildIvfPqIndex) before streaming " +
+          "into it")
+      present.foreach(_._2())
+      CorpusPipeline.setDbProp(s, db, MaxVecIdProp, hi.toString)
+      // commit the epoch LAST: the ledger covers a batch only once every
+      // family's append above has landed
+      if (epochId >= 0)
+        CorpusPipeline.setDbProp(s, db, epochProp(srcTag), epochId.toString)
+    } finally CorpusPipeline.releaseLease(s, db, lease)
+  }
+
+  /** foreachBatch adapter — wires the streaming engine's epochId into
+    * the replay ledger (mirror of [[CorpusPipeline.corpusIngestSink]]).
+    */
+  def vectorIngestSink(srcTag: String, db: String)
+      : (DataFrame, Long) => Unit =
+    (batch, epochId) =>
+      vectorIngestBatch(batch.sparkSession, srcTag, batch, db, epochId)
+}

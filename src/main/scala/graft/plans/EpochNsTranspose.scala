@@ -55,8 +55,9 @@ object EpochNsTranspose extends Rule[LogicalPlan] {
   }
 
   // exact integer transposition of `u*1000 <op> C` to the µs domain
-  private def floorUs(c: Long): Long = Math.floorDiv(c, 1000L)
-  private def ceilUs(c: Long): Long = Math.floorDiv(c + 999L, 1000L)
+  // (private[graft] so the ScalaCheck law tests the rule's OWN arithmetic)
+  private[graft] def floorUs(c: Long): Long = Math.floorDiv(c, 1000L)
+  private[graft] def ceilUs(c: Long): Long = Math.floorDiv(c + 999L, 1000L)
   private def usLit(us: Long, dt: DataType): Literal = Literal(us, dt)
 
   private val transpose: PartialFunction[Expression, Expression] = {

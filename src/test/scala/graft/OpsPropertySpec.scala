@@ -430,6 +430,23 @@ class OpsPropertySpec extends SparkSpec {
     assert(recall >= 0.6, s"S=4 sharded PQ recall@5 = $recall")
   }
 
+  test("sharded index refresh entry rebuilds every shard on its cron fire") {
+    import java.time.LocalDateTime
+    import graft.pipeline.ScheduleRunner
+    val db = "pq_shard_refresh_db"
+    VectorOps.buildShardedPqIndex(Tables.t(spark, sf, "embeddings"), db, 2)
+    spark.sql(s"DROP TABLE `$db`.`${VectorOps.PqCodesTable}_1`")
+    val entry = VectorOps.pqShardedRefreshEntry("pqs", "0 4 * * *", db, 2,
+      s => Tables.t(s, sf, "embeddings"))
+    val t0 = LocalDateTime.parse("2026-01-01T00:00:00")
+    val runner = new ScheduleRunner(Seq(entry), startAt = t0)
+    assert(runner.tick(spark, t0.plusHours(4)) == Seq("pqs"))
+    assert(spark.catalog.tableExists(s"$db.${VectorOps.PqCodesTable}_1"),
+      "refresh must rebuild the dropped shard")
+    assert(VectorOps.pqCosineTopkFromShardedIndex(spark, sf, db, 2)
+      .collect().length == 25)
+  }
+
   test("sharded ivf-pq serving index: S=1 bit-equal to single, per-shard " +
       "scans partition-pruned to probed cells, recall holds at S=4") {
     val emb = Tables.t(spark, sf, "embeddings")

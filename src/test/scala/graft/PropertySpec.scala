@@ -22,6 +22,23 @@ object PropertySpec extends Properties("graft") {
   property("rollingHash.matchesReferenceFold") =
     forAll(Gen.asciiPrintableStr)(sx => rollingExpr(sx) == rollingRef(sx))
 
+  // The EpochNsTranspose lemma: for every µs value u and ns constant c,
+  // each comparison of u*1000 against c equals the rewritten raw-domain
+  // comparison of u against the floor/ceil-divided constant — the exact
+  // law the optimizer rule relies on for parquet pushdown correctness.
+  private val usGen = Gen.choose(-4102444800000000L, 4102444800000000L)
+  private val nsGen = Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)
+  property("epochNsTranspose.exactIntegerTransposition") =
+    forAll(usGen, nsGen) { (u, c) =>
+      import graft.plans.EpochNsTranspose.{ceilUs, floorUs}
+      val ns = u * 1000L
+      (ns > c) == (u > floorUs(c)) &&
+      (ns >= c) == (u >= ceilUs(c)) &&
+      (ns < c) == (u < ceilUs(c)) &&
+      (ns <= c) == (u <= floorUs(c)) &&
+      (ns == c) == (c % 1000L == 0L && u == c / 1000L)
+    }
+
   property("rollingHash.appendLaw") =
     forAll(Gen.alphaNumStr, Gen.alphaChar) { (sx, c) =>
       rollingExpr(sx + c) == (rollingExpr(sx) * 31 + c.toByte) % 1000000007L

@@ -420,4 +420,68 @@ class StreamingSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
     }
   }
+
+  test("streaming ANN ingest: micro-batches grow every stored index family " +
+      "through frozen-parameter appends; replays skip; out-of-order refused") {
+    import graft.ops.VectorOps
+    import graft.pipeline.VectorIngest
+    implicit val sq = spark.sqlContext
+    val db = "ann_stream_db"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    val emb = Tables.t(spark, sf, "embeddings")
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+    val maxId = emb.agg(max("vec_id")).head.getLong(0)
+    val t0 = maxId * 2 / 3
+    // yesterday's scheduled build: all three families over the base slice
+    VectorOps.buildIvfIndex(emb.filter(col("vec_id") <= t0), db)
+    VectorOps.buildPqIndex(emb.filter(col("vec_id") <= t0), db)
+    VectorOps.buildIvfPqIndex(emb.filter(col("vec_id") <= t0), db)
+
+    // the rest arrives as TWO stream micro-batches (ascending vec_ids)
+    val rest = emb.filter(col("vec_id") > t0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch(VectorIngest.vectorIngestSink("annStream", db))
+      .start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    // every family holds the FULL corpus, bit-equal to a frozen-parameter
+    // assignment/encode of the union (the appendTo* law, through a real
+    // streaming query)
+    val vecs = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("vec"))
+    def cellsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(cellsOf(spark.table(s"$db.${VectorOps.IvfAssignmentsTable}")) ==
+      cellsOf(VectorOps.assignToCells(vecs,
+        spark.table(s"$db.${VectorOps.IvfCentroidsTable}"))))
+    assert(spark.table(s"$db.${VectorOps.PqCodesTable}").count() == emb.count())
+    assert(spark.table(s"$db.${VectorOps.IvfPqCodesTable}").count() == emb.count())
+
+    // a committed-epoch replay is an exact no-op (would otherwise trip
+    // the append-only guard before it could double-append)
+    val before = spark.table(s"$db.${VectorOps.PqCodesTable}").count()
+    VectorIngest.vectorIngestBatch(spark, "annStream",
+      b2.toIndexedSeq.toDF("vec_id", "embedding"), db, epochId = 1L)
+    assert(spark.table(s"$db.${VectorOps.PqCodesTable}").count() == before)
+    // an out-of-order batch (stale ids, fresh epoch) is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      VectorIngest.vectorIngestBatch(spark, "annStream",
+        b1.take(1).toIndexedSeq.toDF("vec_id", "embedding"), db, epochId = 7L)
+    }
+    assert(e.getMessage.contains("append-only"))
+    // and the grown index serves with zero training jobs
+    val served = VectorOps.pqCosineTopkFromIndex(spark, sf, db)
+    assert(!served.queryExecution.executedPlan.toString.contains("vec_sqdist"))
+    assert(served.collect().length == 25)
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
 }
