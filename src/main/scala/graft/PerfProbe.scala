@@ -301,8 +301,10 @@ object PerfProbe {
         "q_ivfpq_cosine_topk", "q_vp8l_pixel_stats",
         // round-10 additions: bigram-LM training is two aggregations over
         // the K× transition set (vocab-sized outputs); the score probe is
-        // one fine-keyed join — linear per side, like decontamination
-        "q_perplexity_filter", "q_corpus_clean_ppx")
+        // one fine-keyed join — linear per side, like decontamination;
+        // span coverage is gram explode + per-doc distinct + one
+        // gram-keyed semi join — linear like the decontam pair
+        "q_perplexity_filter", "q_corpus_clean_ppx", "q_span_coverage")
       // SPARK_GRAFT_SCALE_ONLY=a,b,c re-probes a subset after a targeted fix
       // without paying the full sweep
       val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

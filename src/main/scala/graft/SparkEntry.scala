@@ -118,6 +118,7 @@ object SparkEntry {
     "q_mean_token_freq"     -> (TextOps.meanTokenFreq _),
     "q_perplexity_filter"   -> ((s: SparkSession, d: String) => TextOps.perplexityFilter(s, d)),
     "q_corpus_clean_ppx"    -> ((s: SparkSession, d: String) => TextOps.corpusCleanPerplexity(s, d)),
+    "q_span_coverage"       -> ((s: SparkSession, d: String) => TextOps.spanCoverage(s, d)),
     "q_token_budget_select" -> ((s: SparkSession, d: String) => SamplingOps.tokenBudgetSelect(s, d)),
     "q_dedup_incremental"   -> (IncrementalDedup.dedupIncrement _),
     "q_cluster_sample"      -> ((s: SparkSession, d: String) => VectorOps.clusterBalancedSample(s, d)),
@@ -1335,6 +1336,37 @@ object SparkEntry {
         |  AND n_tokens >= 20 AND stop_ratio >= 0.05 AND stop_ratio <= 0.6
         |  AND doc_id IN (SELECT doc_id FROM kept)
         |ORDER BY doc_id""".stripMargin,
+    // span-coverage dedup signal: tokens covered by corpus-duplicated
+    // 5-grams (Lee et al. substring dedup, integer form); DISTINCT is
+    // applied in a subquery AFTER the position unnest on both engines
+    "q_span_coverage" ->
+      """WITH base AS (
+        |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |    FROM documents
+        |), st AS (
+        |    SELECT doc_id,
+        |           unnest(range(1, len(toks) - 3)) AS pos,
+        |           unnest(list_transform(range(1, len(toks) - 3),
+        |                  i -> array_to_string(toks[i:i+4], ' '))) AS g
+        |    FROM base WHERE len(toks) >= 5
+        |), dup AS (
+        |    SELECT g FROM (SELECT DISTINCT doc_id, g FROM st)
+        |    GROUP BY g HAVING COUNT(*) >= 2
+        |), cov AS (
+        |    SELECT DISTINCT doc_id, p FROM (
+        |        SELECT doc_id, unnest(range(pos, pos + 5)) AS p
+        |        FROM st WHERE g IN (SELECT g FROM dup))
+        |), covc AS (
+        |    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS covered FROM cov
+        |    GROUP BY doc_id
+        |), nt AS (
+        |    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM base
+        |)
+        |SELECT nt.doc_id, nt.n_tokens,
+        |       CAST(COALESCE(covc.covered, 0) AS BIGINT) AS covered_tokens,
+        |       CASE WHEN COALESCE(covc.covered, 0) * 5 < nt.n_tokens
+        |            THEN 1 ELSE 0 END AS keep
+        |FROM nt LEFT JOIN covc USING (doc_id) ORDER BY doc_id""".stripMargin,
     // quality-ranked prefix that fits the token budget; the micro-ratio
     // quality key is integer arithmetic on both sides (div / //)
     "q_token_budget_select" ->

@@ -710,6 +710,47 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Span-coverage dedup signal (Lee et al. 2021, the substring-level
+    * complement of the repeated-spans miner): for each document, how many
+    * of its tokens sit inside at least one n-gram that ALSO appears in
+    * another document. Repeated-spans mines the corpus-wide spans; this
+    * scores each document's exposure to them and keeps documents under
+    * 20% coverage — integer cross-multiplied (covered×5 < n_tokens), so
+    * the whole signal is exact-integer and the oracle replays it.
+    *
+    * Scale shape: grams explode n× the token stream; the duplicated-gram
+    * set reduces through a per-doc DISTINCT before the gram-keyed count
+    * (hot grams contribute one row per doc, not per occurrence); the
+    * coverage union is an explode + doc-keyed distinct — everything
+    * linear, no self-joins, no position×span quadratics.
+    */
+  def spanCoverage(s: SparkSession, d: String, n: Int = 5): DataFrame = {
+    val docsT = withTokens(t(s, d, "documents"))
+    val nt = docsT.select(col("doc_id"),
+      size(col("tokens")).cast("long").as("n_tokens"))
+    val st = docsT.filter(size(col("tokens")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(tokens) - ${n - 1}), " +
+          s"i -> struct(i AS pos, concat_ws(' ', slice(tokens, i, $n)) AS g))"))
+        .as("sg"))
+      .select(col("doc_id"), col("sg.pos").as("pos"), col("sg.g").as("g"))
+    val dup = st.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    val cov = st.join(dup, Seq("g"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .distinct()
+    val covc = cov.groupBy("doc_id")
+      .agg(count(lit(1)).as("covered_tokens"))
+    nt.join(covc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        (coalesce(col("covered_tokens"), lit(0L)) * 5 < col("n_tokens"))
+          .cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** [[corpusClean]] with the perplexity gate composed in — the OPTIONAL
     * extra stage a CCNet-style pipeline adds after exact-dedup + heuristic
     * quality: only documents the corpus-trained bigram LM flags as fluent

@@ -29,6 +29,22 @@ final class ParquetSource(dir: String) extends Source {
     new java.io.File(dir).isDirectory
 }
 
+/** ORC-directory landing source — the second self-describing columnar
+  * drop format (Hive-ecosystem warehouses like the reference's land ORC
+  * as readily as parquet). Same contract as [[ParquetSource]]: schema
+  * travels with the files, projection prunes columns, and predicates
+  * push into the scan (ORC stripe/row-group statistics — PushedFilters,
+  * asserted in the round-trip spec). No schema parameter by design:
+  * passing one would silently CAST drifted columns; columnar drops are
+  * validated by schema comparison downstream, not re-typing.
+  */
+final class OrcSource(dir: String) extends Source {
+  override def scan(spark: SparkSession, spec: TableSpec): DataFrame =
+    spark.read.orc(s"$dir/${spec.sourceTable}.orc")
+  override def probe(spark: SparkSession): Boolean =
+    new java.io.File(dir).isDirectory
+}
+
 /** Delimited-text landing source (CSV/TSV drops). Schema is EXPLICIT and
   * required — `inferSchema` would be a full extra pass over the data (a
   * 100 TB scan just to guess types) and is non-deterministic under dirty

@@ -1278,6 +1278,29 @@ class OpsPropertySpec extends SparkSpec {
     assert(salvaged == docs.count())
   }
 
+  test("orc landing source: self-describing round-trip with predicate pushdown") {
+    import graft.source.OrcSource
+    import graft.config.TableSpec
+    val spec = TableSpec("docs", "", "documents", Seq("doc_id"),
+      Seq("doc_id", "text"), None, None, "full")
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text", "lang")
+    val dir = TempDirs.create("graft-orc-landing")
+    docs.write.mode("overwrite").orc(s"$dir/documents.orc")
+    val src = new OrcSource(dir)
+    assert(src.probe(spark))
+    val got = src.scan(spark, spec)
+    assert(got.orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+    // the columnar contract travels: a filter reaches the ORC scan's
+    // PushedFilters (stripe/row-group stats pruning), projection prunes
+    // the ReadSchema
+    val plan = got.filter(col("doc_id") > 100L).select("doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(doc_id"),
+      plan.take(800))
+    assert(!plan.contains("text:"), s"projection must prune text:\n${plan.take(800)}")
+  }
+
   test("csv multiLine reads RFC-4180 quoted newlines (non-splittable tradeoff)") {
     import graft.source.CsvSource
     import graft.config.TableSpec
