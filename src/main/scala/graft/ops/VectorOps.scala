@@ -1018,18 +1018,42 @@ object VectorOps {
     * the same centroids/codebooks (spec-tested); drift of the parameters
     * themselves against a full retrain is bounded by the scheduled
     * rebuild ([[ivfRefreshEntry]]/[[pqRefreshEntry]]) — the same caveat
-    * the band index documents for per-append hot-bucket pruning. The
-    * caller owns the append-only id contract (re-appending a vec_id
-    * would duplicate its index rows), as with every append surface here.
+    * the band index documents for per-append hot-bucket pruning.
+    *
+    * Appends are row-level IDEMPOTENT: each call first anti-joins the
+    * batch against the ids the target already holds WITHIN THE BATCH'S
+    * ID RANGE — the probe scans only that range (parquet min/max stats
+    * prune to the files a crashed earlier attempt wrote, since batches
+    * are id-ascending), so a streaming retry after a mid-batch crash
+    * re-appends exactly the missing rows instead of duplicating a
+    * family ([[graft.pipeline.VectorIngest]]'s recovery path). A
+    * duplicated code row would be a duplicated CANDIDATE the exact
+    * re-rank does not collapse, so this is a correctness guard, not an
+    * optimization.
     */
   def appendToIvfIndex(s: SparkSession, db: String, vectors: DataFrame): Unit = {
-    val emb = indexableVecs(vectors)
+    val target = s"`$db`.`$IvfAssignmentsTable`"
+    val emb = freshOnly(s, target, indexableVecs(vectors))
     val rows = emb
       .join(assignToCells(emb, s.table(s"`$db`.`$IvfCentroidsTable`")), "vec_id")
       .select(col("vec_id"), col("cell"), col("vec").as("embedding"))
-    val target = s"`$db`.`$IvfAssignmentsTable`"
     rows.select(s.table(target).columns.map(col).toIndexedSeq: _*)
       .write.mode("append").insertInto(target)
+  }
+
+  /** The idempotence probe shared by the three appends: batch rows whose
+    * vec_id the target does NOT already hold within the batch's id range
+    * (one bounded agg on the batch + a stats-pruned range scan of the
+    * target — never a full-index anti-join).
+    */
+  private def freshOnly(s: SparkSession, target: String,
+                        batch: DataFrame): DataFrame = {
+    val b = batch.agg(min("vec_id"), max("vec_id")).head
+    if (b.isNullAt(0)) return batch // empty batch: nothing to dedup
+    val existing = s.table(target)
+      .filter(col("vec_id").between(b.getLong(0), b.getLong(1)))
+      .select("vec_id")
+    batch.join(existing, Seq("vec_id"), "left_anti")
   }
 
   /** PQ side of the append: encode with the stored codebooks (the
@@ -1039,8 +1063,8 @@ object VectorOps {
   def appendToPqIndex(s: SparkSession, db: String, vectors: DataFrame): Unit = {
     val books = loadPqBooks(s, db)
     val target = s"`$db`.`$PqCodesTable`"
-    pqEncode(vectors.filter(
-        col("embedding").isNotNull && size(col("embedding")) > 0),
+    pqEncode(freshOnly(s, target, vectors.filter(
+        col("embedding").isNotNull && size(col("embedding")) > 0)),
         books, books(0).head.size)
       .select(s.table(target).columns.map(col).toIndexedSeq: _*)
       .write.mode("append").insertInto(target)
@@ -1051,14 +1075,14 @@ object VectorOps {
     * only the touched cells' partitions gain files.
     */
   def appendToIvfPqIndex(s: SparkSession, db: String, vectors: DataFrame): Unit = {
-    val emb = indexableVecs(vectors)
+    val target = s"`$db`.`$IvfPqCodesTable`"
+    val fresh = freshOnly(s, target, vectors.filter(
+      col("embedding").isNotNull && size(col("embedding")) > 0))
+    val emb = indexableVecs(fresh)
     val books = loadPqBooks(s, db, IvfPqCodebooksTable)
-    val codes = pqEncode(vectors.filter(
-        col("embedding").isNotNull && size(col("embedding")) > 0),
-      books, books(0).head.size)
+    val codes = pqEncode(fresh, books, books(0).head.size)
     val celled = codes.join(
       assignToCells(emb, s.table(s"`$db`.`$IvfPqCentroidsTable`")), "vec_id")
-    val target = s"`$db`.`$IvfPqCodesTable`"
     celled.select(s.table(target).columns.map(col).toIndexedSeq: _*)
       .write.mode("append").insertInto(target)
   }

@@ -14,17 +14,19 @@ import graft.ops.VectorOps
   * the scheduled rebuild ([[VectorOps.ivfRefreshEntry]] family) bounds
   * parameter drift on its cadence.
   *
-  * Exactly-once/at-least-once contract, shared with the corpus ingest:
-  * a PER-SOURCE committed-epoch ledger (set strictly LAST) makes
+  * Exactly-once contract, stronger than the corpus ingest's: a
+  * PER-SOURCE committed-epoch ledger (set strictly LAST) makes
   * whole-batch replays no-ops and keeps concurrent streams' epoch
   * numbering independent; the append-only vec_id guard refuses
-  * out-of-order batches (a re-appended vec_id would duplicate index
-  * rows — and a duplicated code row is a duplicated CANDIDATE, which
-  * the exact re-rank does not collapse). Remaining exposure is a crash
-  * INSIDE a batch's append sequence: already-appended families carry
-  * the batch twice until the scheduled rebuild re-anchors — the
-  * [[graft.ops.IncrementalDedup.appendBatch]] caveat class, here
-  * bounded by the ledger to the crashed batch alone.
+  * out-of-order batches; and the family appends themselves are
+  * row-level IDEMPOTENT (each anti-joins the batch against the ids the
+  * target already holds within the batch's id range — a stats-pruned
+  * range scan, see [[VectorOps.appendToIvfIndex]]'s scaladoc), so a
+  * crash INSIDE the append sequence replays to exactly the missing
+  * rows: no family ever carries a batch twice (failpoint-tested). A
+  * duplicated code row would be a duplicated CANDIDATE the exact
+  * re-rank does not collapse, which is why this is a correctness
+  * guard and not an optimization.
   */
 object VectorIngest {
 
@@ -39,10 +41,14 @@ object VectorIngest {
     s"$LastEpochProp.${digest(srcTag)}"
 
   /** Fold one micro-batch of (vec_id, embedding, ...) rows into every
-    * stored index family present in `db`.
+    * stored index family present in `db`. `failAfter` is a TEST-ONLY
+    * failpoint (the [[CorpusPipeline]] pattern): throw right after the
+    * named family's append lands — simulates a mid-batch crash with
+    * some families appended and the epoch uncommitted.
     */
   def vectorIngestBatch(s: SparkSession, srcTag: String, batch: DataFrame,
-                        db: String, epochId: Long = -1L): Unit = {
+                        db: String, epochId: Long = -1L,
+                        failAfter: Option[String] = None): Unit = {
     if (batch.isEmpty) return
     graft.store.Warehouse.ensureDatabase(s, db)
     val lease = CorpusPipeline.acquireLease(s, db)
@@ -70,7 +76,11 @@ object VectorIngest {
         s"vectorIngestBatch: no ANN index tables in `$db` — build one " +
           "(buildIvfIndex/buildPqIndex/buildIvfPqIndex) before streaming " +
           "into it")
-      present.foreach(_._2())
+      present.foreach { case (table, append) =>
+        append()
+        if (failAfter.contains(table))
+          throw new RuntimeException(s"test failpoint after $table append")
+      }
       CorpusPipeline.setDbProp(s, db, MaxVecIdProp, hi.toString)
       // commit the epoch LAST: the ledger covers a batch only once every
       // family's append above has landed

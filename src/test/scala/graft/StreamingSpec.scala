@@ -484,4 +484,44 @@ class StreamingSpec extends SparkSpec {
     assert(served.collect().length == 25)
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
   }
+
+  test("streaming ANN ingest: a mid-batch crash replays to exactly the " +
+      "missing rows — no family ever carries a batch twice") {
+    import graft.ops.VectorOps
+    import graft.pipeline.VectorIngest
+    val db = "ann_crash_db"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    val emb = Tables.t(spark, sf, "embeddings")
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+    val maxId = emb.agg(max("vec_id")).head.getLong(0)
+    val t0 = maxId * 2 / 3
+    VectorOps.buildIvfIndex(emb.filter(col("vec_id") <= t0), db)
+    VectorOps.buildPqIndex(emb.filter(col("vec_id") <= t0), db)
+    val batch = emb.filter(col("vec_id") > t0)
+      .select("vec_id", "embedding")
+    // crash right after the FIRST family (IVF) lands, epoch uncommitted
+    intercept[RuntimeException] {
+      VectorIngest.vectorIngestBatch(spark, "crash", batch, db,
+        epochId = 0L, failAfter = Some(VectorOps.IvfAssignmentsTable))
+    }
+    assert(spark.table(s"$db.${VectorOps.IvfAssignmentsTable}").count() ==
+      emb.count(), "IVF landed before the crash")
+    assert(spark.table(s"$db.${VectorOps.PqCodesTable}").count() <
+      emb.count(), "PQ must NOT have landed")
+    // the streaming engine re-delivers the same epoch: the replay appends
+    // exactly the missing rows (IVF's range-pruned anti-join drops the
+    // already-landed ids), then commits the epoch
+    VectorIngest.vectorIngestBatch(spark, "crash", batch, db, epochId = 0L)
+    for (t <- Seq(VectorOps.IvfAssignmentsTable, VectorOps.PqCodesTable)) {
+      val ids = spark.table(s"$db.$t").groupBy("vec_id")
+        .count().filter(col("count") > 1).count()
+      assert(ids == 0L, s"$t holds duplicated vec_ids after the replay")
+      assert(spark.table(s"$db.$t").count() == emb.count())
+    }
+    // a SECOND re-delivery of the now-committed epoch is a pure no-op
+    val before = spark.table(s"$db.${VectorOps.IvfAssignmentsTable}").count()
+    VectorIngest.vectorIngestBatch(spark, "crash", batch, db, epochId = 0L)
+    assert(spark.table(s"$db.${VectorOps.IvfAssignmentsTable}").count() == before)
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
 }
