@@ -837,10 +837,16 @@ object VectorOps {
   def buildShardedPqIndex(vectors: DataFrame, db: String, nShards: Int,
                           subDim: Int = OracleDims / PqSubspaces): Unit = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    for (sh <- 0 until nShards)
-      buildPqIndex(vectors.filter(
-          pmod(xxhash64(col("vec_id")), lit(nShards.toLong)) === sh),
-        db, subDim, suffix = s"_$sh")
+    for (sh <- 0 until nShards) {
+      val slice = vectors.filter(
+        pmod(xxhash64(col("vec_id")), lit(nShards.toLong)) === sh)
+      // an empty hash slice (corpus smaller than the shard grid) would
+      // train an empty codebook and fail obscurely at serve time
+      require(!slice.isEmpty,
+        s"buildShardedPqIndex: shard $sh of $nShards holds no vectors — " +
+          "the corpus is too small to shard this finely")
+      buildPqIndex(slice, db, subDim, suffix = s"_$sh")
+    }
   }
 
   /** Serve PQ top-k across a sharded index: per-shard exact-re-ranked
@@ -952,10 +958,14 @@ object VectorOps {
   def buildShardedIvfPqIndex(vectors: DataFrame, db: String, nShards: Int,
                              subDim: Int = OracleDims / PqSubspaces): Unit = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    for (sh <- 0 until nShards)
-      buildIvfPqIndex(vectors.filter(
-          pmod(xxhash64(col("vec_id")), lit(nShards.toLong)) === sh),
-        db, subDim, suffix = s"_$sh")
+    for (sh <- 0 until nShards) {
+      val slice = vectors.filter(
+        pmod(xxhash64(col("vec_id")), lit(nShards.toLong)) === sh)
+      require(!slice.isEmpty,
+        s"buildShardedIvfPqIndex: shard $sh of $nShards holds no vectors — " +
+          "the corpus is too small to shard this finely")
+      buildIvfPqIndex(slice, db, subDim, suffix = s"_$sh")
+    }
   }
 
   /** Serve composed IVF-PQ top-k across a sharded index: per shard, the
@@ -1214,6 +1224,9 @@ object VectorOps {
     for (sh <- 0 until nShards) {
       val slice = vectors.filter(
         pmod(xxhash64(col("vec_id")), lit(nShards.toLong)) === sh)
+      require(!slice.isEmpty,
+        s"buildShardedIvfIndex: shard $sh of $nShards holds no vectors — " +
+          "the corpus is too small to shard this finely")
       val cells = adaptiveIvfCells(slice.count())
       val (assignments, centroids) = ivfIndex(slice, cells, iterations)
       graft.store.Warehouse.saveModel(assignments, db, s"${IvfAssignmentsTable}_$sh")
