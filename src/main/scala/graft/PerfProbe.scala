@@ -304,7 +304,9 @@ object PerfProbe {
         // one fine-keyed join — linear per side, like decontamination;
         // span coverage is gram explode + per-doc distinct + one
         // gram-keyed semi join — linear like the decontam pair
-        "q_perplexity_filter", "q_corpus_clean_ppx", "q_span_coverage")
+        "q_perplexity_filter", "q_corpus_clean_ppx", "q_span_coverage",
+        // broadcast-eval cosine probe — n x |eval| per-row codegen, no shuffle
+        "q_semantic_decontam")
       // SPARK_GRAFT_SCALE_ONLY=a,b,c re-probes a subset after a targeted fix
       // without paying the full sweep
       val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

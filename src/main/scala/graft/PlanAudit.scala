@@ -45,7 +45,7 @@ object PlanAudit {
       // scan's PushedFilters — EpochNsTranspose), and the bigram-LM
       // perplexity gate (vocab-sized LM join + one fine-keyed probe join)
       "q_filter_incremental", "q_perplexity_filter", "q_corpus_clean_ppx",
-      "q_span_coverage")
+      "q_span_coverage", "q_semantic_decontam")
     // q_corpus_pipeline is deliberately NOT audited here: its query-form
     // plan is a trivial read over the staged tables (auditing it would
     // execute the whole 5-stage materialization for nothing — against

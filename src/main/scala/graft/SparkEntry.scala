@@ -119,6 +119,7 @@ object SparkEntry {
     "q_perplexity_filter"   -> ((s: SparkSession, d: String) => TextOps.perplexityFilter(s, d)),
     "q_corpus_clean_ppx"    -> ((s: SparkSession, d: String) => TextOps.corpusCleanPerplexity(s, d)),
     "q_span_coverage"       -> ((s: SparkSession, d: String) => TextOps.spanCoverage(s, d)),
+    "q_semantic_decontam"   -> ((s: SparkSession, d: String) => VectorOps.semanticDecontam(s, d)),
     "q_token_budget_select" -> ((s: SparkSession, d: String) => SamplingOps.tokenBudgetSelect(s, d)),
     "q_dedup_incremental"   -> (IncrementalDedup.dedupIncrement _),
     "q_cluster_sample"      -> ((s: SparkSession, d: String) => VectorOps.clusterBalancedSample(s, d)),
@@ -1336,6 +1337,35 @@ object SparkEntry {
         |  AND n_tokens >= 20 AND stop_ratio >= 0.05 AND stop_ratio <= 0.6
         |  AND doc_id IN (SELECT doc_id FROM kept)
         |ORDER BY doc_id""".stripMargin,
+    // semantic decontamination: the knn oracle's exact in-order cosine
+    // fold against the eval subset — bit-identical cosines make the
+    // threshold boundary engine-stable; output is integer hit counts
+    "q_semantic_decontam" ->
+      """WITH nrm AS (
+        |    SELECT vec_id, embedding,
+        |           sqrt(list_reduce(
+        |             list_prepend(CAST(0.0 AS DOUBLE),
+        |               list_transform(embedding,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |             (a, b) -> a + b)) AS l2
+        |    FROM embeddings
+        |), ev AS (
+        |    SELECT vec_id, embedding, l2 FROM nrm WHERE vec_id % 100 = 7
+        |), co AS (
+        |    SELECT vec_id, embedding, l2 FROM nrm WHERE vec_id % 100 <> 7
+        |), pairs AS (
+        |    SELECT co.vec_id,
+        |           list_reduce(
+        |             list_prepend(CAST(0.0 AS DOUBLE),
+        |               list_transform(range(1, len(co.embedding) + 1),
+        |                 i -> CAST(co.embedding[i] AS DOUBLE)
+        |                      * CAST(ev.embedding[i] AS DOUBLE))),
+        |             (a, b) -> a + b) / (co.l2 * ev.l2) AS cosine
+        |    FROM co, ev
+        |)
+        |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits
+        |FROM pairs WHERE cosine >= 0.3
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // span-coverage dedup signal: tokens covered by corpus-duplicated
     // 5-grams (Lee et al. substring dedup, integer form); DISTINCT is
     // applied in a subquery AFTER the position unnest on both engines

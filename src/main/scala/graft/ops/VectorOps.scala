@@ -1206,6 +1206,37 @@ object VectorOps {
     semanticDedupOverIndex(assignments, centroids, vectors, threshold)
   }
 
+  /** Semantic decontamination — the embedding-space twin of the n-gram
+    * decontam probe (same eval convention: vec_id % 100 = 7): corpus
+    * vectors whose cosine against ANY eval vector clears `threshold` are
+    * flagged with their eval-hit count — eval examples paraphrased into
+    * the training corpus evade n-gram matching but not embedding
+    * similarity (the standard reason pretraining pipelines run both).
+    *
+    * Scale shape: the EVAL side broadcasts (eval sets are bounded — the
+    * decontam contract, like the broadcast gram set) and one corpus scan
+    * computes the native codegen cosine fold per (corpus, eval) pair —
+    * n × |eval| work with no shuffle before the per-vector aggregation.
+    * Integer output (hit counts); the cosines themselves are the
+    * bit-identical in-order folds the oracle replays, so the threshold
+    * boundary cannot drift between engines.
+    */
+  def semanticDecontam(s: SparkSession, d: String,
+                       threshold: Double = 0.3): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = t(s, d, "embeddings")
+    val ev = emb.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("eval_vec"))
+    emb.filter(col("vec_id") % 100 =!= 7)
+      .crossJoin(broadcast(ev))
+      .withColumn("cosine", dot(col("embedding"), col("eval_vec")) /
+        (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("eval_vec")))))
+      .filter(col("cosine") >= threshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_eval_hits"))
+      .orderBy("vec_id")
+  }
+
   /** Sharded IVF — the documented single-index ceiling is the nCells cap
     * (driver-resident centroid matrix + the probe-side centroid broadcast
     * both grow with nCells), which pins occupancy once the corpus passes
