@@ -93,6 +93,7 @@ object SparkEntry {
     "q_contamination"       -> (TextOps.contamination _),
     "q_unicode_nfc"         -> (TextOps.unicodeNfc _),
     "q_sample_stratified"   -> ((s: SparkSession, d: String) => SamplingOps.stratifiedSample(s, d)),
+    "q_split_assign"        -> (SamplingOps.splitAssign _),
     "q_mix_weighted"        -> (SamplingOps.weightedMix _),
     "q_pack_sequences"      -> ((s: SparkSession, d: String) => SamplingOps.packSequences(s, d)),
     "q_binary_meta"         -> (TextOps.binaryMeta _),
@@ -102,6 +103,7 @@ object SparkEntry {
     "q_lsh_cosine_buckets"  -> (VectorOps.lshCosineBuckets _),
     "q_ivf_cosine_topk"     -> (VectorOps.ivfCosineTopk _),
     "q_pq_cosine_topk"      -> (VectorOps.pqCosineTopk _),
+    "q_sq_cosine_topk"      -> (VectorOps.sqCosineTopk _),
     "q_ivfpq_cosine_topk"   -> (VectorOps.ivfPqCosineTopk _),
     "q_ivf_semantic_dedup"  -> ((s: SparkSession, d: String) => VectorOps.ivfSemanticDedup(s, d)),
     "q_embedding_near_dup"  -> ((s: SparkSession, d: String) => VectorOps.nearDupCosine(s, d)),
@@ -516,6 +518,71 @@ object SparkEntry {
     // re-rank's cosines and order over the materialized sets are fully
     // recomputed by the oracle
     "q_pq_cosine_topk" -> topkCosineOracle("pq_topk"),
+    // SQ8: the WHOLE pipeline is replayable — min/max training is
+    // order-independent (unlike Lloyd's), the encode/decode are fixed IEEE
+    // expression trees, and the ADC fold is the proven in-order vec_dot
+    // shape — so this gate retrains, re-encodes, re-cuts and re-ranks from
+    // the raw embeddings with no materialized split input at all
+    "q_sq_cosine_topk" ->
+      s"""WITH e AS (
+        |    SELECT vec_id, embedding FROM embeddings
+        |    WHERE embedding IS NOT NULL AND len(embedding) > 0
+        |), st AS (
+        |    SELECT i,
+        |           MIN(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS mn,
+        |           MAX(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS mx
+        |    FROM e, (SELECT unnest(range(1, ${OracleEmbeddingDims + 1})) AS i)
+        |    WHERE i <= len(embedding)
+        |    GROUP BY i
+        |), prm AS (
+        |    SELECT list(mn ORDER BY i) AS mns,
+        |           list(mx - mn ORDER BY i) AS ws
+        |    FROM st
+        |), codes AS (
+        |    SELECT e.vec_id,
+        |           list_transform(range(1, len(e.embedding) + 1), i ->
+        |             CASE WHEN p.ws[i] = 0 THEN 0
+        |                  ELSE CAST(LEAST(255, GREATEST(0,
+        |                       CAST(floor(((CAST(e.embedding[i] AS DOUBLE) - p.mns[i])
+        |                                   * 255.0) / p.ws[i]) AS BIGINT))) AS INTEGER)
+        |             END) AS codes
+        |    FROM e, prm p
+        |), dec AS (
+        |    SELECT c.vec_id,
+        |           list_transform(range(1, len(c.codes) + 1), i ->
+        |             p.mns[i] + (CAST(c.codes[i] AS DOUBLE) * p.ws[i]) / 255.0) AS dv
+        |    FROM codes c, prm p
+        |), pr AS (
+        |    SELECT vec_id AS probe_id, embedding AS pv FROM e WHERE vec_id < 5
+        |), approx AS (
+        |    SELECT pr.probe_id, d.vec_id AS neighbor_id,
+        |           list_reduce(
+        |             list_prepend(CAST(0.0 AS DOUBLE),
+        |               list_transform(range(1, len(pr.pv) + 1),
+        |                 i -> CAST(pr.pv[i] AS DOUBLE) * d.dv[i])),
+        |             (x, y) -> x + y) AS approx
+        |    FROM pr, dec d
+        |), cut AS (
+        |    SELECT probe_id, neighbor_id FROM (
+        |        SELECT probe_id, neighbor_id,
+        |               row_number() OVER (PARTITION BY probe_id
+        |                                  ORDER BY approx DESC, neighbor_id ASC)
+        |                   AS arnk
+        |        FROM approx)
+        |    WHERE arnk <= ${ops.VectorOps.SqRerank}
+        |), $VecNormCte, scored AS (
+        |    SELECT c.probe_id, c.neighbor_id,
+        |           $DotAB / (a.l2 * b.l2) AS cosine
+        |    FROM cut c JOIN nrm a ON a.vec_id = c.probe_id
+        |               JOIN nrm b ON b.vec_id = c.neighbor_id
+        |), ranked AS (
+        |    SELECT probe_id, neighbor_id, cosine,
+        |           row_number() OVER (PARTITION BY probe_id
+        |                              ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+        |    FROM scored
+        |)
+        |SELECT probe_id, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 5
+        |ORDER BY probe_id, rnk""".stripMargin,
     // IVF-PQ composition: cell pruning changes only WHICH candidates
     // reach the exact re-rank — the same materialized-set gate applies
     "q_ivfpq_cosine_topk" -> topkCosineOracle("ivfpq_topk"),
@@ -1208,6 +1275,28 @@ object SparkEntry {
         |)
         |SELECT lang, doc_id, sample_rank FROM ranked
         |WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin,
+    // deterministic holdout split: leading 16 bits of the stratum-salted
+    // md5 key on the 1000-bucket grid (the exportShuffle hex-digit idiom)
+    "q_split_assign" ->
+      s"""WITH keyed AS (
+        |    SELECT doc_id, lang, source,
+        |           md5(lang || '|' || source || '|' || CAST(doc_id AS VARCHAR))
+        |               AS sk
+        |    FROM documents
+        |), b AS (
+        |    SELECT doc_id, lang, source,
+        |           CAST(((strpos('0123456789abcdef', substr(sk, 1, 1)) - 1) * 4096
+        |                 + (strpos('0123456789abcdef', substr(sk, 2, 1)) - 1) * 256
+        |                 + (strpos('0123456789abcdef', substr(sk, 3, 1)) - 1) * 16
+        |                 + (strpos('0123456789abcdef', substr(sk, 4, 1)) - 1))
+        |                % ${ops.SamplingOps.SplitBuckets} AS INT) AS bucket
+        |    FROM keyed
+        |)
+        |SELECT doc_id, lang, source, bucket,
+        |       CASE WHEN bucket < ${ops.SamplingOps.TrainPerMille} THEN 'train'
+        |            WHEN bucket < ${ops.SamplingOps.ValPerMille} THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
     // SamplingOps.MixUnit / ExportShards are interpolated, not hardcoded:
     // a constant change on the engine side must break COMPILATION of
     // nothing and the oracle of nothing — both sides read the same value.

@@ -5,7 +5,9 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional trailing query names restrict the dump — local iteration
+    // only; the driver always passes exactly (sfDir, outDir)
+    val (sfDir, outDir, only) = (args(0), args(1), args.drop(2).toSet)
     // the dumped oracle SQL's read_parquet paths must reference THIS run's
     // materialized oracle inputs (graft.OracleInputs is sf-namespaced)
     OracleInputs.oracleSfDir = sfDir
@@ -25,7 +27,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

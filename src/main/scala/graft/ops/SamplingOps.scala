@@ -180,6 +180,52 @@ object SamplingOps {
     * .sortWithinPartitions("sk").write.partitionBy("shard")` — see
     * [[exportShuffledWrite]].
     */
+  /** Hash buckets the deterministic split grid divides documents into, and
+    * the train/val boundaries on that grid (per-mille): bucket < 980 →
+    * train, < 990 → val, else test.
+    */
+  val SplitBuckets = 1000
+  val TrainPerMille = 980
+  val ValPerMille = 990
+
+  /** Deterministic train/val/test split assignment — the reproducible
+    * holdout carve every training-corpus build needs before packing.
+    * Bucket = the leading 16 bits of md5(lang|source|doc_id) mod
+    * [[SplitBuckets]]: salting the key with the stratum makes assignments
+    * independent ACROSS strata (a doc_id never lands in the same bucket
+    * row-for-row in two strata), so each (lang, source) cell receives the
+    * target proportions in expectation with zero coordination.
+    *
+    * Scale shape: per-row hash arithmetic, NO shuffle at all — the
+    * embarrassingly parallel posture. The tempting "exact-count" variant
+    * (row_number per stratum, first 98% → train) is the anti-pattern at
+    * corpus scale: it funnels each stratum through one window-sort task,
+    * and a stratum is corpus-sized. The 16-bit fold is uniform on the
+    * 1000-bucket grid to within 2⁻¹⁶ bias (65536 % 1000 ≠ 0 —
+    * deterministic, documented, negligible).
+    */
+  def splitAssign(s: SparkSession, d: String): DataFrame = {
+    // concat (not concat_ws): a null stratum column nulls the key — the
+    // same propagation the oracle's `||` has — and the null bucket routes
+    // to the CASE fallback identically in both engines
+    val sk = md5(concat(col("lang"), lit("|"), col("source"), lit("|"),
+      col("doc_id").cast("string")).cast("binary"))
+    val bucket = ((hexVal(substring(col("sk"), 1, 1)) * 4096
+      + hexVal(substring(col("sk"), 2, 1)) * 256
+      + hexVal(substring(col("sk"), 3, 1)) * 16
+      + hexVal(substring(col("sk"), 4, 1)))
+      % SplitBuckets).cast("int")
+    t(s, d, "documents")
+      .withColumn("sk", sk)
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < TrainPerMille, "train")
+          .when(col("bucket") < ValPerMille, "val")
+          .otherwise("test"))
+      .select("doc_id", "lang", "source", "bucket", "split")
+      .orderBy("doc_id")
+  }
+
   val ExportShards = 8
 
   /** The shard of a permutation key (two leading hex chars folded with an

@@ -755,7 +755,17 @@ object VectorOps {
       .withColumn("arnk", row_number().over(wApprox))
       .filter(col("arnk") <= PqRerank)
       .select("probe_id", "neighbor_id")
-    // exact re-rank of the retrieved candidates only
+    exactCosineRerank(cands, corpus, probes)
+  }
+
+  /** Exact-cosine re-rank of a retrieved (probe_id, neighbor_id) candidate
+    * set — the shared back half of every approximate search (PQ ADC, SQ
+    * decode): only the ≤ probes × rerank-budget candidate rows touch raw
+    * vectors, so the raw corpus is point-read, never scanned, in a serving
+    * path.
+    */
+  private def exactCosineRerank(cands: DataFrame, corpus: DataFrame,
+                                probes: DataFrame): DataFrame = {
     val rerank = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("cand_vec"))
     val wExact = org.apache.spark.sql.expressions.Window
@@ -891,6 +901,181 @@ object VectorOps {
       graft.pipeline.CronSchedule.parse(cronExpr),
       (s, _) => buildPqIndex(vectors(s), db),
       name = "pq_index_refresh", target = s"$db.$PqCodesTable",
+      tags = Map("pipeline" -> "ann-index"))
+
+  // ─────────────────────── SQ8 scalar quantization ───────────────────────
+  // Completes the quantization spectrum between flat (exact, 4 B/dim) and
+  // PQ (32×, coarse): per-dimension 8-bit affine codes — 4× less scan I/O
+  // than raw float32 (parquet dictionary/bit-packs the 0..255 ints to
+  // ~1 B/dim on disk), near-exact candidate ranking, and NO Lloyd's
+  // anywhere: training is ONE min/max aggregation, which — unlike k-means —
+  // is order-independent and exactly replayable, so q_sq_cosine_topk gets a
+  // FULL-pipeline DuckDB hash gate (train + encode + ADC cut + exact
+  // re-rank), not a materialized-candidate split gate.
+
+  /** Names of the persisted SQ index tables ([[buildSqIndex]]). */
+  val SqParamsTable = "sq_params"
+  val SqCodesTable = "sq_codes"
+
+  /** Candidates per probe the SQ ADC cut retains for the exact re-rank —
+    * the [[PqRerank]] budget: SQ's 8-bit-per-dim score is far tighter than
+    * PQ's, so the same budget holds a higher recall floor (spec-tested
+    * against the exact [[knnCosineTopk]]).
+    */
+  val SqRerank = 25
+
+  /** Per-dimension (min, width) over the corpus: ONE aggregation on the
+    * posexploded dims (map-side combined — dims × partials on the wire),
+    * and only `dims` rows reach the driver (bounded index metadata, the
+    * [[ivfIndex]] centroid-collect contract).
+    */
+  private[graft] def sqParams(emb: DataFrame): (Seq[Double], Seq[Double]) = {
+    val rows = emb
+      .select(posexplode(transform(col("embedding"), x => x.cast("double")))
+        .as(Seq("dim", "x")))
+      .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+      .collect().sortBy(_.getInt(0))
+    (rows.map(_.getDouble(1)).toSeq,
+      rows.map(r => r.getDouble(2) - r.getDouble(1)).toSeq)
+  }
+
+  /** One-pass SQ8 encode: code_i = clamp₀..₂₅₅ ⌊((x_i − mn_i) · 255) / w_i⌋
+    * (degenerate dims → 0) — per-row codegen HOFs against literal params,
+    * zero joins/shuffles (the production scan shape, like [[pqEncode]]).
+    * The clamp runs in LONG before the int cast so a far-out-of-range
+    * append value saturates instead of wrapping. Corpus min/max map the
+    * corpus exactly onto [0, 255]; appended vectors outside the frozen
+    * range saturate at the edges — drift vs a retrain is bounded by the
+    * scheduled rebuild ([[sqRefreshEntry]]), the band-index caveat.
+    */
+  private[graft] def sqEncode(emb: DataFrame, mins: Seq[Double],
+                              widths: Seq[Double]): DataFrame = {
+    val shifted = zip_with(
+      transform(col("embedding"), x => x.cast("double")), typedLit(mins),
+      (x, mn) => x - mn)
+    val codes = zip_with(shifted, typedLit(widths), (d, w) =>
+      when(w === 0d, lit(0)).otherwise(
+        least(lit(255L), greatest(lit(0L), floor((d * lit(255.0)) / w)))
+          .cast("int")))
+    emb.select(col("vec_id"), codes.as("codes"))
+  }
+
+  /** Decode codes back to x̂_i = mn_i + (code_i · w_i) / 255 — the
+    * asymmetric-distance reconstruction the ADC score dots against the raw
+    * probe vector. Expression shape is fixed so the oracle replays the
+    * exact IEEE ops.
+    */
+  private def sqDecode(codes: Column, mins: Seq[Double],
+                       widths: Seq[Double]): Column =
+    zip_with(
+      zip_with(codes, typedLit(widths),
+        (c, w) => (c.cast("double") * w) / lit(255.0)),
+      typedLit(mins), (d, mn) => mn + d)
+
+  /** The SQ search leg shared by the in-session and stored-index paths:
+    * asymmetric ADC scan (probe_vec · decoded candidate — per-row codegen,
+    * probes broadcast, zero extra exchange), per-probe top-[[SqRerank]] cut
+    * (map-side WindowGroupLimit below the one probe_id exchange), exact
+    * cosine re-rank of just those candidates from the raw vectors.
+    */
+  private[graft] def searchSq(codesDf: DataFrame, mins: Seq[Double],
+                              widths: Seq[Double], corpus: DataFrame,
+                              probes: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(codesDf.sparkSession)
+    val wApprox = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id")
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    val cands = codesDf.withColumnRenamed("vec_id", "neighbor_id")
+      .crossJoin(broadcast(probes))
+      .withColumn("approx",
+        dot(col("probe_vec"), sqDecode(col("codes"), mins, widths)))
+      .withColumn("arnk", row_number().over(wApprox))
+      .filter(col("arnk") <= SqRerank)
+      .select("probe_id", "neighbor_id")
+    exactCosineRerank(cands, corpus, probes)
+  }
+
+  /** Registered query: SQ8-approximate top-k with exact re-rank over the
+    * standard probe set (vec_id < 5 — recall directly comparable to
+    * [[knnCosineTopk]]/[[pqCosineTopk]]).
+    */
+  def sqCosineTopk(s: SparkSession, d: String): DataFrame =
+    sqTopkFrame(s, d).orderBy("probe_id", "rnk")
+
+  private[graft] def sqTopkFrame(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = t(s, d, "embeddings")
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+    val (mins, widths) = sqParams(emb)
+    searchSq(sqEncode(emb, mins, widths), mins, widths, emb, probesOf(emb))
+  }
+
+  /** Train-once for SQ, mirroring [[buildPqIndex]]: the min/max pass signs
+    * the corpus into the 4×-compressed codes table plus a dims-row params
+    * table; any later session serves searches from storage without
+    * touching the raw corpus except to point-read re-rank candidates
+    * ([[sqCosineTopkFromIndex]]).
+    */
+  def buildSqIndex(vectors: DataFrame, db: String, suffix: String = ""): Unit = {
+    val emb = vectors
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+    val (mins, widths) = sqParams(emb)
+    import vectors.sparkSession.implicits._
+    graft.store.Warehouse.saveModel(
+      sqEncode(emb, mins, widths), db, SqCodesTable + suffix)
+    graft.store.Warehouse.saveModel(
+      mins.indices.map(i => (i, mins(i), widths(i)))
+        .toDF("dim", "mn", "width"),
+      db, SqParamsTable + suffix)
+  }
+
+  /** Stored params → the (mins, widths) the encode/decode inline as
+    * literals. `dims` rows — index metadata, not data.
+    */
+  private[graft] def loadSqParams(s: SparkSession, db: String,
+                                  table: String = SqParamsTable): (Seq[Double], Seq[Double]) = {
+    val rows = s.table(s"`$db`.`$table`")
+      .select("dim", "mn", "width").collect().sortBy(_.getInt(0))
+    (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
+  }
+
+  /** Serve SQ top-k from a stored index ([[buildSqIndex]]) — no training
+    * aggregation anywhere in the query path: params come off the dims-row
+    * table as literals, the ADC scan reads the stored codes, and only the
+    * ≤ probes × [[SqRerank]] re-rank candidates touch raw vectors.
+    */
+  def sqCosineTopkFromIndex(s: SparkSession, d: String, db: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+    val (mins, widths) = loadSqParams(s, db)
+    searchSq(s.table(s"`$db`.`$SqCodesTable`"), mins, widths, emb, probesOf(emb))
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** SQ side of the incremental append: encode with the STORED params
+    * (out-of-range values saturate — see [[sqEncode]]) and append to the
+    * codes table; row-level idempotent via the shared [[freshOnly]]
+    * range-pruned probe.
+    */
+  def appendToSqIndex(s: SparkSession, db: String, vectors: DataFrame): Unit = {
+    val (mins, widths) = loadSqParams(s, db)
+    val target = s"`$db`.`$SqCodesTable`"
+    sqEncode(freshOnly(s, target, vectors.filter(
+        col("embedding").isNotNull && size(col("embedding")) > 0)),
+        mins, widths)
+      .select(s.table(target).columns.map(col).toIndexedSeq: _*)
+      .write.mode("append").insertInto(target)
+  }
+
+  /** Scheduled SQ index refresh — re-fits the min/max range to the grown
+    * corpus on the cron cadence (mirrors [[pqRefreshEntry]]).
+    */
+  def sqRefreshEntry(id: String, cronExpr: String, db: String,
+                     vectors: SparkSession => DataFrame): graft.pipeline.ScheduleRunner.Entry =
+    graft.pipeline.ScheduleRunner.Entry(id,
+      graft.pipeline.CronSchedule.parse(cronExpr),
+      (s, _) => buildSqIndex(vectors(s), db),
+      name = "sq_index_refresh", target = s"$db.$SqCodesTable",
       tags = Map("pipeline" -> "ann-index"))
 
   /** IVF-PQ — the canonical 100 TB ANN composition: the IVF coarse

@@ -9,7 +9,8 @@ import graft.ops.VectorOps
   * vector side: each foreachBatch micro-batch appends to EVERY index
   * family present in the database through the frozen-parameter appends
   * ([[VectorOps.appendToIvfIndex]]/[[VectorOps.appendToPqIndex]]/
-  * [[VectorOps.appendToIvfPqIndex]] — stored centroids/codebooks, zero
+  * [[VectorOps.appendToIvfPqIndex]]/[[VectorOps.appendToSqIndex]] —
+  * stored centroids/codebooks/ranges, zero
   * training jobs), so searches serve the grown corpus immediately and
   * the scheduled rebuild ([[VectorOps.ivfRefreshEntry]] family) bounds
   * parameter drift on its cadence.
@@ -70,7 +71,9 @@ object VectorIngest {
         VectorOps.PqCodesTable ->
           (() => VectorOps.appendToPqIndex(s, db, batch)),
         VectorOps.IvfPqCodesTable ->
-          (() => VectorOps.appendToIvfPqIndex(s, db, batch)))
+          (() => VectorOps.appendToIvfPqIndex(s, db, batch)),
+        VectorOps.SqCodesTable ->
+          (() => VectorOps.appendToSqIndex(s, db, batch)))
       val present = families.filter(f => s.catalog.tableExists(s"$db.${f._1}"))
       require(present.nonEmpty,
         s"vectorIngestBatch: no ANN index tables in `$db` — build one " +

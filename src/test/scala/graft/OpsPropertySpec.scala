@@ -342,6 +342,121 @@ class OpsPropertySpec extends SparkSpec {
     } finally VectorOps.PqCodebookLiteralMaxDoubles = prev
   }
 
+  test("sq8: quantization maps the corpus range exactly onto [0,255], " +
+      "reconstruction error bounded by one level, recall beats the pq floor") {
+    val emb = Tables.t(spark, sf, "embeddings")
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+    val (mins, widths) = VectorOps.sqParams(emb)
+    val codes = VectorOps.sqEncode(emb, mins, widths)
+    // every code in [0,255]; corpus min hits 0 and corpus max hits 255 in
+    // every non-degenerate dim (the range is mapped exactly, not padded)
+    val ex = codes.select(explode(col("codes")).as("c"))
+    assert(ex.filter(col("c") < 0 || col("c") > 255).count() == 0)
+    val dimStats = codes
+      .select(posexplode(col("codes")).as(Seq("dim", "c")))
+      .groupBy("dim").agg(min("c").as("lo"), max("c").as("hi"))
+      .collect()
+    dimStats.foreach { r =>
+      // lo is exactly 0 (x=mn ⇒ 0·255/w = 0 exactly); hi is 255 up to one
+      // ulp of slack — (w·255)/w can round to 254.999…, flooring to 254
+      if (widths(r.getInt(0)) > 0)
+        assert(r.getInt(1) == 0 && r.getInt(2) >= 254,
+          s"dim ${r.getInt(0)} codes span [${r.getInt(1)}, ${r.getInt(2)}]")
+    }
+    // reconstruction law: |x̂_i − x_i| ≤ w_i/255 for every in-range value
+    // (floor quantization loses at most one level)
+    val wLit = typedLit(widths)
+    val mnLit = typedLit(mins)
+    val decoded = zip_with(
+      zip_with(col("codes"), wLit, (c, w) => (c.cast("double") * w) / lit(255.0)),
+      mnLit, (d, mn) => mn + d)
+    val slack = zip_with(
+      zip_with(transform(col("embedding"), x => x.cast("double")), decoded,
+        (x, xh) => abs(xh - x)),
+      wLit, (e, w) => e - w / lit(255.0))
+    val err = emb.join(codes, "vec_id")
+      .select(array_max(slack).as("slack"))
+      .agg(max("slack")).head.getDouble(0)
+    assert(err <= 1e-12, s"reconstruction error exceeded one level by $err")
+    // self-hit + recall@5 vs exact brute force: 8 bits per dim is
+    // near-exact, so SQ must beat PQ's 0.6 floor comfortably
+    val rows = VectorOps.sqCosineTopk(spark, sf).collect()
+    assert(rows.length == 25)
+    rows.filter(_.getAs[Int]("rnk") == 1).foreach(r =>
+      assert(r.getAs[Long]("neighbor_id") == r.getAs[Long]("probe_id")))
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = key(VectorOps.knnCosineTopk(spark, sf).collect())
+    val recall = (exact intersect key(rows)).size.toDouble / exact.size
+    assert(recall >= 0.8, s"sq recall@5 = $recall")
+  }
+
+  test("sq index persists as warehouse tables and serves a fresh session " +
+      "with no training aggregation; frozen-param appends are exact") {
+    val db = "sq_index_db"
+    val emb = Tables.t(spark, sf, "embeddings")
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+    val maxId = emb.agg(max("vec_id")).head.getLong(0)
+    val t0 = maxId * 2 / 3
+    VectorOps.buildSqIndex(emb.filter(col("vec_id") <= t0), db)
+    assert(spark.catalog.tableExists(s"$db.${VectorOps.SqCodesTable}"))
+    assert(spark.catalog.tableExists(s"$db.${VectorOps.SqParamsTable}"))
+    // codes table is the compressed scan: (vec_id, codes), no raw vectors
+    assert(spark.table(s"$db.${VectorOps.SqCodesTable}").columns.toSet ==
+      Set("vec_id", "codes"))
+
+    // frozen-parameter append: grown table bit-equal to encoding the
+    // union with the STORED params (never the union-trained ones)
+    VectorOps.appendToSqIndex(spark, db, emb.filter(col("vec_id") > t0))
+    val (mins, widths) = VectorOps.loadSqParams(spark, db)
+    def codeKey(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("codes"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).sortBy(_._1).toSeq
+    assert(codeKey(spark.table(s"$db.${VectorOps.SqCodesTable}")) ==
+      codeKey(VectorOps.sqEncode(emb, mins, widths)),
+      "appended codes diverged from a frozen-parameter encode of the union")
+    // the append is row-level idempotent (range-pruned anti-join)
+    val before = spark.table(s"$db.${VectorOps.SqCodesTable}").count()
+    VectorOps.appendToSqIndex(spark, db, emb.filter(col("vec_id") > t0))
+    assert(spark.table(s"$db.${VectorOps.SqCodesTable}").count() == before)
+
+    // a NEW session serves purely from the stored tables, with no
+    // training aggregation anywhere in the plan (the min/max pass is the
+    // only posexplode consumer on the SQ path)
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("neighbor_id"))).toSeq
+    val s2 = spark.newSession()
+    val servedDf = VectorOps.sqCosineTopkFromIndex(s2, sf, db)
+    val plan = servedDf.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("posexplode"),
+      s"serving path must not train (posexplode = min/max pass):\n${plan.take(800)}")
+    val served = key(servedDf.collect())
+    assert(served.length == 25)
+    // the full-corpus index was appended under the SLICE-trained params —
+    // out-of-range values saturate, ranking may differ from a full
+    // retrain; a full REBUILD must serve exactly like the in-session path
+    VectorOps.buildSqIndex(emb, db)
+    s2.catalog.refreshTable(s"$db.${VectorOps.SqCodesTable}")
+    s2.catalog.refreshTable(s"$db.${VectorOps.SqParamsTable}")
+    val rebuilt = key(VectorOps.sqCosineTopkFromIndex(s2, sf, db).collect())
+    assert(rebuilt == key(VectorOps.sqTopkFrame(spark, sf)
+      .orderBy("probe_id", "rnk").collect()))
+
+    // scheduled refresh rebuilds the stored index on its cron fire
+    import java.time.LocalDateTime
+    import graft.pipeline.ScheduleRunner
+    spark.sql(s"DROP TABLE $db.${VectorOps.SqCodesTable}")
+    val entry = VectorOps.sqRefreshEntry("sq-refresh", "0 4 * * *", db,
+      s => Tables.t(s, sf, "embeddings"))
+    val tt = LocalDateTime.parse("2026-01-01T00:00:00")
+    val runner = new ScheduleRunner(Seq(entry), startAt = tt)
+    assert(runner.tick(spark, tt.plusHours(4)) == Seq("sq-refresh"))
+    s2.catalog.refreshTable(s"$db.${VectorOps.SqCodesTable}")
+    s2.catalog.refreshTable(s"$db.${VectorOps.SqParamsTable}")
+    assert(key(VectorOps.sqCosineTopkFromIndex(s2, sf, db).collect()) == rebuilt)
+  }
+
   test("ivf-pq: cell-pruned ADC scan, self-hit via exact re-rank, recall " +
       "holds the flat-pq floor") {
     val frame = VectorOps.ivfPqTopkFrame(spark, sf)
@@ -890,6 +1005,36 @@ class OpsPropertySpec extends SparkSpec {
     // contamination probes broadcast; the corpus is never shuffled
     val p4 = TextOps.contamination(spark, sf).queryExecution.executedPlan.toString
     assert(p4.contains("BroadcastNestedLoopJoin"), p4.take(600))
+  }
+
+  test("split assignment: total, disjoint, deterministic, and shuffle-free " +
+      "up to the presentation sort") {
+    import graft.ops.SamplingOps
+    val out = SamplingOps.splitAssign(spark, sf)
+    val rows = out.collect()
+    val docs = Tables.t(spark, sf, "documents")
+    // every document gets exactly one split
+    assert(rows.length == docs.count())
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    val bySplit = rows.groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    // expected 98% train on the hash grid; the fixture is small, so the
+    // binomial bound is loose — train must still dominate
+    assert(bySplit("train").toDouble / rows.length >= 0.9,
+      s"train fraction ${bySplit("train").toDouble / rows.length}")
+    // buckets agree with the split boundaries row by row
+    rows.foreach { r =>
+      val (b, s) = (r.getAs[Int]("bucket"), r.getAs[String]("split"))
+      val expect = if (b < SamplingOps.TrainPerMille) "train"
+        else if (b < SamplingOps.ValPerMille) "val" else "test"
+      assert(s == expect, s"bucket $b labeled $s")
+    }
+    // deterministic: a second run is bit-identical
+    assert(SamplingOps.splitAssign(spark, sf).collect().toSeq == rows.toSeq)
+    // per-row hash arithmetic: the ONLY exchange is the presentation
+    // orderBy's range partitioning — no hash shuffle anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"), plan.take(800))
   }
 
   test("bloom blocklist: no false negatives, exact under forced FPs, empty list") {

@@ -432,10 +432,11 @@ class StreamingSpec extends SparkSpec {
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
     val maxId = emb.agg(max("vec_id")).head.getLong(0)
     val t0 = maxId * 2 / 3
-    // yesterday's scheduled build: all three families over the base slice
+    // yesterday's scheduled build: all four families over the base slice
     VectorOps.buildIvfIndex(emb.filter(col("vec_id") <= t0), db)
     VectorOps.buildPqIndex(emb.filter(col("vec_id") <= t0), db)
     VectorOps.buildIvfPqIndex(emb.filter(col("vec_id") <= t0), db)
+    VectorOps.buildSqIndex(emb.filter(col("vec_id") <= t0), db)
 
     // the rest arrives as TWO stream micro-batches (ascending vec_ids)
     val rest = emb.filter(col("vec_id") > t0)
@@ -465,6 +466,14 @@ class StreamingSpec extends SparkSpec {
         spark.table(s"$db.${VectorOps.IvfCentroidsTable}"))))
     assert(spark.table(s"$db.${VectorOps.PqCodesTable}").count() == emb.count())
     assert(spark.table(s"$db.${VectorOps.IvfPqCodesTable}").count() == emb.count())
+    // SQ: streamed codes bit-equal to a frozen-parameter encode of the
+    // union under the base slice's stored (min, width)
+    val (sqMins, sqWidths) = VectorOps.loadSqParams(spark, db)
+    def sqKey(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "codes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).sortBy(_._1).toSeq
+    assert(sqKey(spark.table(s"$db.${VectorOps.SqCodesTable}")) ==
+      sqKey(VectorOps.sqEncode(emb, sqMins, sqWidths)))
 
     // a committed-epoch replay is an exact no-op (would otherwise trip
     // the append-only guard before it could double-append)
