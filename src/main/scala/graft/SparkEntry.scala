@@ -105,6 +105,7 @@ object SparkEntry {
     "q_pq_cosine_topk"      -> (VectorOps.pqCosineTopk _),
     "q_sq_cosine_topk"      -> (VectorOps.sqCosineTopk _),
     "q_ivfpq_cosine_topk"   -> (VectorOps.ivfPqCosineTopk _),
+    "q_ivfsq_cosine_topk"   -> (VectorOps.ivfSqCosineTopk _),
     "q_ivf_semantic_dedup"  -> ((s: SparkSession, d: String) => VectorOps.ivfSemanticDedup(s, d)),
     "q_embedding_near_dup"  -> ((s: SparkSession, d: String) => VectorOps.nearDupCosine(s, d)),
     "q_semantic_survivors"  -> ((s: SparkSession, d: String) => VectorOps.semanticSurvivors(s, d)),
@@ -586,6 +587,9 @@ object SparkEntry {
     // IVF-PQ composition: cell pruning changes only WHICH candidates
     // reach the exact re-rank — the same materialized-set gate applies
     "q_ivfpq_cosine_topk" -> topkCosineOracle("ivfpq_topk"),
+    // IVF-SQ composition: same gate — the cell pruning + SQ cut only
+    // change WHICH candidates reach the exact re-rank
+    "q_ivfsq_cosine_topk" -> topkCosineOracle("ivfsq_topk"),
     // tolerance gate: the oracle asserts the HLL estimate landed within
     // 3·rsd of the exact count (within_3rsd must be 1 on the Spark side)
     "q_approx_distinct" ->

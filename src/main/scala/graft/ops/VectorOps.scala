@@ -977,16 +977,28 @@ object VectorOps {
     * probes broadcast, zero extra exchange), per-probe top-[[SqRerank]] cut
     * (map-side WindowGroupLimit below the one probe_id exchange), exact
     * cosine re-rank of just those candidates from the raw vectors.
+    * `cellFilter`, when set, prunes the code scan to the probed IVF cells
+    * first (the IVF-SQ composition — [[ivfSqTopkFrame]]); the flat path
+    * scans all codes.
     */
   private[graft] def searchSq(codesDf: DataFrame, mins: Seq[Double],
                               widths: Seq[Double], corpus: DataFrame,
-                              probes: DataFrame): DataFrame = {
+                              probes: DataFrame,
+                              cellFilter: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(codesDf.sparkSession)
     val wApprox = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id")
       .orderBy(col("approx").desc, col("neighbor_id").asc)
-    val cands = codesDf.withColumnRenamed("vec_id", "neighbor_id")
-      .crossJoin(broadcast(probes))
+    val codes = codesDf.withColumnRenamed("vec_id", "neighbor_id")
+    val scanned = cellFilter match {
+      // IVF-SQ: the broadcast (probe_id, cell) pairs prune the code scan
+      // to the probed cells — a code row pairs only with probes that
+      // probed ITS cell (the searchPq composition shape)
+      case Some(pc) => codes.join(broadcast(pc), Seq("cell"))
+        .join(broadcast(probes), Seq("probe_id"))
+      case None => codes.crossJoin(broadcast(probes))
+    }
+    val cands = scanned
       .withColumn("approx",
         dot(col("probe_vec"), sqDecode(col("codes"), mins, widths)))
       .withColumn("arnk", row_number().over(wApprox))
@@ -1076,6 +1088,110 @@ object VectorOps {
       graft.pipeline.CronSchedule.parse(cronExpr),
       (s, _) => buildSqIndex(vectors(s), db),
       name = "sq_index_refresh", target = s"$db.$SqCodesTable",
+      tags = Map("pipeline" -> "ann-index"))
+
+  // IVF-SQ — the coarse quantizer prunes WHICH code rows the scan reads,
+  // SQ8 compresses WHAT it reads: the high-recall serving point between
+  // IVF-flat (exact scores, full-width vectors in the index) and IVF-PQ
+  // (32× codes, coarse scores). Because the SQ score is near-exact (one
+  // 8-bit level per dim), the probe budget is plain [[adaptiveProbe]] —
+  // no [[IvfPqProbeSlack]] needed; recall matches exact-scoring IVF at
+  // the same budget (spec-asserted).
+
+  /** Names of the persisted IVF-SQ index tables ([[buildIvfSqIndex]]). */
+  val IvfSqCodesTable = "ivfsq_codes"
+  val IvfSqCentroidsTable = "ivfsq_centroids"
+  val IvfSqParamsTable = "ivfsq_params"
+
+  /** Registered query: IVF-pruned SQ8 top-k with exact re-rank — trains
+    * the coarse quantizer and the per-dim ranges in-session (the oracle
+    * replays the retrieved set through the shared exact-cosine gate).
+    */
+  def ivfSqCosineTopk(s: SparkSession, d: String): DataFrame =
+    graft.OracleInputs.checkpoint(ivfSqTopkFrame(s, d), d, "ivfsq_topk")
+      .orderBy("probe_id", "rnk")
+
+  private[graft] def ivfSqTopkFrame(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = t(s, d, "embeddings")
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+    val (assignments, centroids) = ivfIndex(emb)
+    val (mins, widths) = sqParams(emb)
+    val celled = sqEncode(emb, mins, widths)
+      .join(assignments.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val probes = probesOf(emb)
+    val probedCells = probeNearestCells(centroids, probes,
+        adaptiveProbe(centroids.count()))
+      .select("probe_id", "cell")
+    searchSq(celled, mins, widths, emb, probes, cellFilter = Some(probedCells))
+  }
+
+  /** Train-once for the composed index: coarse centroids, per-dim ranges,
+    * and the code table WITH its coarse cell — stored PARTITIONED BY cell
+    * so a serving scan reads only the probed cells' partitions (the
+    * [[buildIvfPqIndex]] layout with SQ codes).
+    */
+  def buildIvfSqIndex(vectors: DataFrame, db: String,
+                      suffix: String = ""): Unit = {
+    val emb = vectors
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+    val (assignments, centroids) = ivfIndex(emb)
+    val (mins, widths) = sqParams(emb)
+    import vectors.sparkSession.implicits._
+    graft.store.Warehouse.saveModel(
+      sqEncode(emb, mins, widths)
+        .join(assignments.select(col("vec_id"), col("cell")), Seq("vec_id")),
+      db, IvfSqCodesTable + suffix, partitionCols = Seq("cell"))
+    graft.store.Warehouse.saveModel(centroids, db, IvfSqCentroidsTable + suffix)
+    graft.store.Warehouse.saveModel(
+      mins.indices.map(i => (i, mins(i), widths(i)))
+        .toDF("dim", "mn", "width"),
+      db, IvfSqParamsTable + suffix)
+  }
+
+  /** Serve composed IVF-SQ top-k from the stored index: centroid scoring
+    * against the stored centroid table, the SQ scan statically pruned to
+    * the probed cells' partitions ([[prunedCodes]] — the IN-list lands in
+    * `PartitionFilters` at plan time), exact re-rank from the corpus. No
+    * Lloyd's or min/max pass anywhere in the query path.
+    */
+  def ivfSqCosineTopkFromIndex(s: SparkSession, d: String, db: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+    val probes = probesOf(emb)
+    val centroids = s.table(s"`$db`.`$IvfSqCentroidsTable`")
+    val probedCells = probeNearestCells(centroids, probes,
+        adaptiveProbe(centroids.count()))
+      .select("probe_id", "cell")
+    val (mins, widths) = loadSqParams(s, db, IvfSqParamsTable)
+    searchSq(prunedCodes(s, s"`$db`.`$IvfSqCodesTable`", probedCells),
+      mins, widths, emb, probes, cellFilter = Some(probedCells))
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** Composed IVF-SQ append: stored-range encode + stored-centroid cell
+    * assignment, appended into the cell partitions — only the touched
+    * cells' partitions gain files ([[appendToIvfPqIndex]]'s shape).
+    */
+  def appendToIvfSqIndex(s: SparkSession, db: String, vectors: DataFrame): Unit = {
+    val target = s"`$db`.`$IvfSqCodesTable`"
+    val fresh = freshOnly(s, target, vectors.filter(
+      col("embedding").isNotNull && size(col("embedding")) > 0))
+    val emb = indexableVecs(fresh)
+    val (mins, widths) = loadSqParams(s, db, IvfSqParamsTable)
+    val celled = sqEncode(fresh, mins, widths).join(
+      assignToCells(emb, s.table(s"`$db`.`$IvfSqCentroidsTable`")), "vec_id")
+    celled.select(s.table(target).columns.map(col).toIndexedSeq: _*)
+      .write.mode("append").insertInto(target)
+  }
+
+  /** Scheduled IVF-SQ index refresh (mirrors [[pqRefreshEntry]]). */
+  def ivfSqRefreshEntry(id: String, cronExpr: String, db: String,
+                        vectors: SparkSession => DataFrame): graft.pipeline.ScheduleRunner.Entry =
+    graft.pipeline.ScheduleRunner.Entry(id,
+      graft.pipeline.CronSchedule.parse(cronExpr),
+      (s, _) => buildIvfSqIndex(vectors(s), db),
+      name = "ivfsq_index_refresh", target = s"$db.$IvfSqCodesTable",
       tags = Map("pipeline" -> "ann-index"))
 
   /** IVF-PQ — the canonical 100 TB ANN composition: the IVF coarse

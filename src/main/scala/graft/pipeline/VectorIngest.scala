@@ -73,7 +73,9 @@ object VectorIngest {
         VectorOps.IvfPqCodesTable ->
           (() => VectorOps.appendToIvfPqIndex(s, db, batch)),
         VectorOps.SqCodesTable ->
-          (() => VectorOps.appendToSqIndex(s, db, batch)))
+          (() => VectorOps.appendToSqIndex(s, db, batch)),
+        VectorOps.IvfSqCodesTable ->
+          (() => VectorOps.appendToIvfSqIndex(s, db, batch)))
       val present = families.filter(f => s.catalog.tableExists(s"$db.${f._1}"))
       require(present.nonEmpty,
         s"vectorIngestBatch: no ANN index tables in `$db` — build one " +

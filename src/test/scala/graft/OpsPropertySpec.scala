@@ -457,6 +457,74 @@ class OpsPropertySpec extends SparkSpec {
     assert(key(VectorOps.sqCosineTopkFromIndex(s2, sf, db).collect()) == rebuilt)
   }
 
+  test("ivf-sq: cell-pruned SQ scan at the bare IVF probe budget holds " +
+      "the exact-scoring recall floor; stored index serves partition-" +
+      "pruned; composed appends are exact") {
+    val frame = VectorOps.ivfSqTopkFrame(spark, sf)
+    val rows = frame.orderBy("probe_id", "rnk").collect()
+    assert(rows.length == 25)
+    // self-hit: a probe's own cell is always its nearest, and the
+    // near-exact SQ score keeps self inside the cut
+    rows.filter(_.getAs[Int]("rnk") == 1).foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") == r.getAs[Long]("probe_id"))
+      assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-12)
+    }
+    // the SQ scan joins on the cell key — never all-codes × all-probes
+    assert(frame.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      frame.queryExecution.executedPlan.toString.take(600))
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = key(VectorOps.knnCosineTopk(spark, sf).collect())
+    // recall at the BARE adaptiveProbe budget (no PQ-style slack): the
+    // 8-bit score is near-exact, so cell pruning is the only recall
+    // loss — the plain-IVF floor must hold
+    val recall = (exact intersect key(rows)).size.toDouble / exact.size
+    assert(recall >= 0.6, s"ivf-sq recall@5 = $recall")
+
+    // stored index: deterministic training → identical serve; the code
+    // scan is STATICALLY pruned to the probed cells' partitions
+    val db = "ivfsq_index_db"
+    val emb = Tables.t(spark, sf, "embeddings")
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+    val maxId = emb.agg(max("vec_id")).head.getLong(0)
+    val t0 = maxId * 2 / 3
+    VectorOps.buildIvfSqIndex(emb.filter(col("vec_id") <= t0), db)
+    // composed frozen-parameter append: stored-range encode +
+    // stored-centroid assignment over the remainder
+    VectorOps.appendToIvfSqIndex(spark, db, emb.filter(col("vec_id") > t0))
+    val (mins, widths) = VectorOps.loadSqParams(spark, db,
+      VectorOps.IvfSqParamsTable)
+    val expect = VectorOps.sqEncode(emb, mins, widths)
+      .join(VectorOps.assignToCells(
+        emb.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("vec")),
+        spark.table(s"$db.${VectorOps.IvfSqCentroidsTable}")), "vec_id")
+    def codeKey(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cell", "codes").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).sortBy(_._1).toSeq
+    assert(codeKey(spark.table(s"$db.${VectorOps.IvfSqCodesTable}")) ==
+      codeKey(expect),
+      "appended composed index diverged from frozen-parameter encode+assign")
+
+    val s2 = spark.newSession()
+    val served = VectorOps.ivfSqCosineTopkFromIndex(s2, sf, db)
+    val codeScans = served.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.tableIdentifier.exists(_.table.startsWith(
+            VectorOps.IvfSqCodesTable)) => f
+    }
+    assert(codeScans.size == 1, s"expected 1 code scan, got ${codeScans.size}")
+    codeScans.foreach { f =>
+      val pruning = f.partitionFilters.filter(e =>
+        e.references.exists(_.name == "cell") &&
+          !e.toString.toLowerCase.startsWith("isnotnull"))
+      assert(pruning.nonEmpty,
+        s"code scan not partition-pruned: ${f.partitionFilters}")
+    }
+    assert(served.collect().length == 25)
+  }
+
   test("ivf-pq: cell-pruned ADC scan, self-hit via exact re-rank, recall " +
       "holds the flat-pq floor") {
     val frame = VectorOps.ivfPqTopkFrame(spark, sf)
