@@ -306,7 +306,12 @@ object PerfProbe {
         // gram-keyed semi join — linear like the decontam pair
         "q_perplexity_filter", "q_corpus_clean_ppx", "q_span_coverage",
         // broadcast-eval cosine probe — n x |eval| per-row codegen, no shuffle
-        "q_semantic_decontam")
+        "q_semantic_decontam",
+        // round-10 additions: SQ8 trains on one min/max agg and scans
+        // decoded codes per probe (linear per side); the IVF composition
+        // scans only the probed cells; split assignment is per-row hash
+        // arithmetic (linear by construction)
+        "q_sq_cosine_topk", "q_ivfsq_cosine_topk", "q_split_assign")
       // SPARK_GRAFT_SCALE_ONLY=a,b,c re-probes a subset after a targeted fix
       // without paying the full sweep
       val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

@@ -45,7 +45,17 @@ object PlanAudit {
       // scan's PushedFilters — EpochNsTranspose), and the bigram-LM
       // perplexity gate (vocab-sized LM join + one fine-keyed probe join)
       "q_filter_incremental", "q_perplexity_filter", "q_corpus_clean_ppx",
-      "q_span_coverage", "q_semantic_decontam")
+      "q_span_coverage", "q_semantic_decontam",
+      // round-10 additions: SQ8 flat + IVF-composed (the audit evidence is
+      // the decode-dot ADC inside whole-stage codegen, and for the
+      // composition the cell-keyed BroadcastHashJoin pruning the scan)
+      // and the shuffle-free split assignment
+      "q_sq_cosine_topk", "q_ivfsq_cosine_topk", "q_split_assign",
+      // stored-LM serving: the registered form pays the build (the
+      // q_join_bucketed unavoidable-materialization class); the audited
+      // plan is the serve — stored-table scans, no corpus-sized training
+      // aggregate
+      "q_perplexity_serve")
     // q_corpus_pipeline is deliberately NOT audited here: its query-form
     // plan is a trivial read over the staged tables (auditing it would
     // execute the whole 5-stage materialization for nothing — against
@@ -65,6 +75,7 @@ object PlanAudit {
       // are unavoidable, the plan's codebooks are trained literals)
       "q_pq_cosine_topk" -> ops.VectorOps.pqTopkFrame(spark, d),
       "q_ivfpq_cosine_topk" -> ops.VectorOps.ivfPqTopkFrame(spark, d),
+      "q_ivfsq_cosine_topk" -> ops.VectorOps.ivfSqTopkFrame(spark, d),
       // explicit nCells skips the corpus-count job (the index TRAINING
       // jobs are unavoidable — the plan's centroid side is trained data)
       "q_ivf_semantic_dedup" -> ops.VectorOps.ivfSemanticDedupPairs(

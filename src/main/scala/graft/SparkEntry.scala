@@ -120,6 +120,10 @@ object SparkEntry {
     "q_decontaminate_cjk"   -> ((s: SparkSession, d: String) => TextOps.decontaminateCjk(s, d)),
     "q_mean_token_freq"     -> (TextOps.meanTokenFreq _),
     "q_perplexity_filter"   -> ((s: SparkSession, d: String) => TextOps.perplexityFilter(s, d)),
+    "q_perplexity_serve"    -> ((s: SparkSession, d: String) => {
+      TextOps.buildLmModel(graft.Tables.t(s, d, "documents"), "graft_lm_q")
+      TextOps.perplexityFilterFromModel(s, d, "graft_lm_q")
+    }),
     "q_corpus_clean_ppx"    -> ((s: SparkSession, d: String) => TextOps.corpusCleanPerplexity(s, d)),
     "q_span_coverage"       -> ((s: SparkSession, d: String) => TextOps.spanCoverage(s, d)),
     "q_semantic_decontam"   -> ((s: SparkSession, d: String) => VectorOps.semanticDecontam(s, d)),
@@ -254,6 +258,43 @@ object SparkEntry {
     * search (IVF, PQ). An engine rank disagreeing with the exact-cosine
     * order fails the hash.
     */
+  /** The bigram-LM quality filter's full-replay oracle — shared verbatim
+    * by q_perplexity_filter (in-session train+score) and
+    * q_perplexity_serve (warehouse round-trip: build the stored LM, score
+    * from it): deterministic training makes the two paths row-identical.
+    */
+  private def perplexityFilterOracle: String =
+    """WITH base AS (
+      |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |    FROM documents
+      |), vocab AS (
+      |    SELECT COUNT(DISTINCT w) AS v
+      |    FROM (SELECT unnest(toks) AS w FROM base)
+      |), tok AS (
+      |    SELECT doc_id, unnest(toks) AS w,
+      |           unnest(range(1, len(toks)+1)) AS pos
+      |    FROM base WHERE len(toks) >= 2
+      |), pw AS (
+      |    SELECT a.doc_id, a.w AS prev, b.w AS w
+      |    FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |), c2 AS (SELECT prev, w, COUNT(*) AS c2 FROM pw GROUP BY 1, 2),
+      |c1 AS (SELECT prev, COUNT(*) AS c1 FROM pw GROUP BY 1),
+      |doc AS (
+      |    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+      |           CAST(SUM((1000 * (c1.c1 + (SELECT v FROM vocab)))
+      |                    // (c2.c2 + 1)) AS BIGINT) AS score_sum
+      |    FROM pw JOIN c2 USING (prev, w) JOIN c1 USING (prev)
+      |    GROUP BY doc_id
+      |), doc2 AS (
+      |    SELECT doc_id, n_trans, score_sum // n_trans AS ppx_score FROM doc
+      |), tot AS (
+      |    SELECT CAST(SUM(ppx_score) AS BIGINT) AS tot, COUNT(*) AS n FROM doc2
+      |)
+      |SELECT doc_id, n_trans, ppx_score,
+      |       CASE WHEN ppx_score * (SELECT n FROM tot) <= (SELECT tot FROM tot)
+      |            THEN 1 ELSE 0 END AS keep
+      |FROM doc2 ORDER BY doc_id""".stripMargin
+
   private def topkCosineOracle(gateName: String): String = {
     val path = OracleInputs.sqlPath(gateName)
     s"""WITH p AS (SELECT probe_id, neighbor_id
@@ -1347,37 +1388,13 @@ object SparkEntry {
     // the same add-one-smoothed LM and replays the fixed-point inverse-
     // probability scores and the cross-multiplied corpus-mean keep rule
     // in exact integer arithmetic (div / //)
-    "q_perplexity_filter" ->
-      """WITH base AS (
-        |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-        |    FROM documents
-        |), vocab AS (
-        |    SELECT COUNT(DISTINCT w) AS v
-        |    FROM (SELECT unnest(toks) AS w FROM base)
-        |), tok AS (
-        |    SELECT doc_id, unnest(toks) AS w,
-        |           unnest(range(1, len(toks)+1)) AS pos
-        |    FROM base WHERE len(toks) >= 2
-        |), pw AS (
-        |    SELECT a.doc_id, a.w AS prev, b.w AS w
-        |    FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-        |), c2 AS (SELECT prev, w, COUNT(*) AS c2 FROM pw GROUP BY 1, 2),
-        |c1 AS (SELECT prev, COUNT(*) AS c1 FROM pw GROUP BY 1),
-        |doc AS (
-        |    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
-        |           CAST(SUM((1000 * (c1.c1 + (SELECT v FROM vocab)))
-        |                    // (c2.c2 + 1)) AS BIGINT) AS score_sum
-        |    FROM pw JOIN c2 USING (prev, w) JOIN c1 USING (prev)
-        |    GROUP BY doc_id
-        |), doc2 AS (
-        |    SELECT doc_id, n_trans, score_sum // n_trans AS ppx_score FROM doc
-        |), tot AS (
-        |    SELECT CAST(SUM(ppx_score) AS BIGINT) AS tot, COUNT(*) AS n FROM doc2
-        |)
-        |SELECT doc_id, n_trans, ppx_score,
-        |       CASE WHEN ppx_score * (SELECT n FROM tot) <= (SELECT tot FROM tot)
-        |            THEN 1 ELSE 0 END AS keep
-        |FROM doc2 ORDER BY doc_id""".stripMargin,
+    "q_perplexity_filter" -> perplexityFilterOracle,
+    // stored-LM serving: deterministic training ⇒ build-then-serve on the
+    // same corpus must land on EXACTLY the in-session filter's rows, so
+    // the serve path shares the filter's full-replay oracle verbatim —
+    // a green row proves the warehouse round-trip (counts, vocab,
+    // threshold) loses nothing
+    "q_perplexity_serve" -> perplexityFilterOracle,
     // corpus clean ∘ perplexity gate: the oracle replays BOTH halves —
     // dedup keep-lowest + heuristic quality, intersected with the LM's
     // integer keep set

@@ -674,7 +674,6 @@ object TextOps {
     */
   def perplexityFilter(s: SparkSession, d: String,
                        vocabHint: Option[Long] = None): DataFrame = {
-    val Scale = 1000L
     val docsT = withTokens(t(s, d, "documents"))
     // V = corpus vocabulary (all tokens, all docs) — a driver scalar in
     // the score expression, so it must exist before the plan does; the
@@ -682,26 +681,14 @@ object TextOps {
     val vocab = vocabHint.getOrElse(docsT
       .select(explode(col("tokens")).as("w"))
       .agg(countDistinct("w")).head.getLong(0))
-    val pw = docsT.filter(size(col("tokens")) >= 2)
-      .withColumn("p", expr(
-        "zip_with(slice(tokens, 1, size(tokens)-1), " +
-          "slice(tokens, 2, size(tokens)-1), " +
-          "(a, b) -> struct(a AS prev, b AS w))"))
-      .select(col("doc_id"), explode(col("p")).as("t"))
-      .select(col("doc_id"), col("t.prev").as("prev"), col("t.w").as("w"))
+    val pw = lmTransitions(docsT)
     val c2 = pw.groupBy("prev", "w").agg(count(lit(1)).as("c2"))
     // c1(prev) = Σ_w c2(prev, w): roll up the VOCAB-SIZED bigram table
     // instead of re-aggregating the corpus-sized transition set — and the
     // probe join below shuffles pw on the same (prev, w) key as the c2
     // aggregation, so the exchange is computed once and reused
     val c1 = c2.groupBy("prev").agg(sum("c2").as("c1"))
-    val lm = c2.join(c1, "prev") // vocab-sized × vocab-sized
-    val doc = pw.join(lm, Seq("prev", "w"))
-      .withColumn("t_score",
-        expr(s"($Scale * (c1 + ${vocab}L)) div (c2 + 1)"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_trans"), sum("t_score").as("score_sum"))
-      .withColumn("ppx_score", expr("score_sum div n_trans"))
+    val doc = lmScore(pw, c2, c1, vocab)
     val totals = doc.agg(sum("ppx_score").as("tot"), count(lit(1)).as("n"))
     doc.crossJoin(broadcast(totals))
       .withColumn("keep",
@@ -709,6 +696,137 @@ object TextOps {
       .select("doc_id", "n_trans", "ppx_score", "keep")
       .orderBy("doc_id")
   }
+
+  /** (doc_id, prev, w) transition stream — zip_with over the token array,
+    * never a positional self-join. The shared front half of LM training
+    * and LM scoring.
+    */
+  private def lmTransitions(docsT: DataFrame): DataFrame =
+    docsT.filter(size(col("tokens")) >= 2)
+      .withColumn("p", expr(
+        "zip_with(slice(tokens, 1, size(tokens)-1), " +
+          "slice(tokens, 2, size(tokens)-1), " +
+          "(a, b) -> struct(a AS prev, b AS w))"))
+      .select(col("doc_id"), explode(col("p")).as("t"))
+      .select(col("doc_id"), col("t.prev").as("prev"), col("t.w").as("w"))
+
+  private val LmScale = 1000L
+
+  /** Per-document fixed-point mean inverse transition probability against
+    * a given count model — the ONE scoring definition the in-session
+    * filter and the stored-model serve both compose (they can never
+    * drift). Left joins + coalesce-to-0: a transition the model has never
+    * seen scores as pure add-one smoothing mass ((Scale·(c1+V)) div 1
+    * with c1 = 0 for an unseen context) instead of silently dropping out
+    * of the mean — on the training corpus itself every join hits, so the
+    * values are identical to the former inner-join form (oracle-gated).
+    */
+  private def lmScore(pw: DataFrame, c2: DataFrame, c1: DataFrame,
+                      vocab: Long): DataFrame =
+    pw.join(c2, Seq("prev", "w"), "left")
+      .join(c1, Seq("prev"), "left")
+      .withColumn("t_score",
+        expr(s"($LmScale * (coalesce(c1, 0L) + ${vocab}L)) " +
+          "div (coalesce(c2, 0L) + 1)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trans"), sum("t_score").as("score_sum"))
+      .withColumn("ppx_score", expr("score_sum div n_trans"))
+
+  /** Names of the persisted LM tables ([[buildLmModel]]). */
+  val LmCountsTable = "lm_bigram"
+  val LmVocabTable = "lm_vocab"
+  val LmThresholdTable = "lm_threshold"
+
+  /** Train-once for the perplexity filter — the ANN serving posture
+    * applied to quality filtering: the bigram count table (vocab-sized —
+    * the LM IS its counts), the vocabulary, and the training corpus's
+    * score distribution (Σ, n — the keep threshold) land as warehouse
+    * tables; any later session scores documents from storage without
+    * re-aggregating the training corpus ([[perplexityFilterFromModel]]).
+    */
+  def buildLmModel(docs: DataFrame, db: String): Unit = {
+    val s = docs.sparkSession
+    val docsT = withTokens(docs)
+    val vocabDf = docsT.select(explode(col("tokens")).as("w")).distinct()
+    graft.store.Warehouse.saveModel(vocabDf, db, LmVocabTable)
+    val pw = lmTransitions(docsT)
+    val c2 = pw.groupBy("prev", "w").agg(count(lit(1)).as("c2"))
+    graft.store.Warehouse.saveModel(c2, db, LmCountsTable)
+    // the stored threshold = the TRAINING corpus's mean (as Σ and n, so
+    // the serve-side keep rule stays an integer cross-multiplication)
+    val stored = s.table(s"`$db`.`$LmCountsTable`")
+    val c1 = stored.groupBy("prev").agg(sum("c2").as("c1"))
+    val vocab = s.table(s"`$db`.`$LmVocabTable`").count()
+    graft.store.Warehouse.saveModel(
+      lmScore(pw, stored, c1, vocab)
+        .agg(sum("ppx_score").as("tot"), count(lit(1)).as("n")),
+      db, LmThresholdTable)
+  }
+
+  /** Score documents against a STORED LM ([[buildLmModel]]) — no training
+    * aggregation over any corpus in the query path: counts come off the
+    * vocab-sized table (c1 rolls up from it, never from a transition
+    * stream), V is the vocab table's row count (a bounded metadata job),
+    * and the keep rule compares to the STORED training-corpus mean — the
+    * production shape for filtering a NEW batch with yesterday's LM.
+    * Unseen transitions score as smoothing mass, never drop (see
+    * [[lmScore]]); n_trans is therefore always tokens−1.
+    */
+  def perplexityFilterFromModel(s: SparkSession, d: String,
+                                db: String): DataFrame =
+    perplexityScoreFromModel(t(s, d, "documents"), db)
+
+  private[graft] def perplexityScoreFromModel(docs: DataFrame,
+                                              db: String): DataFrame = {
+    val s = docs.sparkSession
+    val pw = lmTransitions(withTokens(docs))
+    val c2 = s.table(s"`$db`.`$LmCountsTable`")
+    val c1 = c2.groupBy("prev").agg(sum("c2").as("c1"))
+    val vocab = s.table(s"`$db`.`$LmVocabTable`").count()
+    val thr = s.table(s"`$db`.`$LmThresholdTable`")
+    lmScore(pw, c2, c1, vocab)
+      .crossJoin(broadcast(thr))
+      .withColumn("keep",
+        (col("ppx_score") * col("n") <= col("tot")).cast("int"))
+      .select("doc_id", "n_trans", "ppx_score", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** Fold a new document batch into a stored LM: bigram counts are
+    * ADDITIVE, so the merge is batch-counts ∪ stored-counts → sum — cost
+    * is the batch's transitions plus a vocab-sized rewrite
+    * ([[graft.store.Warehouse.rewriteVia]] temp-swap), never a re-read of
+    * the base corpus; the vocab table grows by the batch's new tokens.
+    * The STORED THRESHOLD is deliberately left as trained: new counts
+    * shift every document's score, so the training-corpus mean cannot be
+    * advanced incrementally — drift is bounded by the scheduled rebuild
+    * ([[lmRefreshEntry]]), the frozen-parameter contract every index
+    * family carries. Batch-level API: the caller must not replay a batch
+    * (counts would double — there is no id-range idempotence for counts).
+    */
+  def appendToLmModel(s: SparkSession, db: String, docs: DataFrame): Unit = {
+    val docsT = withTokens(docs)
+    val batchC2 = lmTransitions(docsT)
+      .groupBy("prev", "w").agg(count(lit(1)).as("c2"))
+    graft.store.Warehouse.rewriteVia(s, db, LmCountsTable)(stored =>
+      stored.unionByName(batchC2)
+        .groupBy("prev", "w").agg(sum("c2").as("c2")))
+    val batchVocab = docsT.select(explode(col("tokens")).as("w")).distinct()
+    graft.store.Warehouse.rewriteVia(s, db, LmVocabTable)(stored =>
+      stored.unionByName(batchVocab).distinct())
+  }
+
+  /** Scheduled LM rebuild — re-anchors counts AND the keep threshold to
+    * the grown corpus on the cron cadence (mirrors the ANN refresh
+    * entries).
+    */
+  def lmRefreshEntry(id: String, cronExpr: String, db: String,
+                     docs: SparkSession => DataFrame): graft.pipeline.ScheduleRunner.Entry =
+    graft.pipeline.ScheduleRunner.Entry(id,
+      graft.pipeline.CronSchedule.parse(cronExpr),
+      (s, _) => buildLmModel(docs(s), db),
+      name = "lm_model_refresh", target = s"$db.$LmCountsTable",
+      tags = Map("pipeline" -> "quality-filter"))
 
   /** Span-coverage dedup signal (Lee et al. 2021, the substring-level
     * complement of the repeated-spans miner): for each document, how many

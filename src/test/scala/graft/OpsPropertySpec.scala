@@ -1075,6 +1075,64 @@ class OpsPropertySpec extends SparkSpec {
     assert(p4.contains("BroadcastNestedLoopJoin"), p4.take(600))
   }
 
+  test("stored LM: serve ≡ in-session filter on the training corpus; " +
+      "unseen transitions score smoothing mass, never drop; count " +
+      "appends are exact; cron rebuild re-anchors the threshold") {
+    val db = "lm_model_db"
+    val docs = Tables.t(spark, sf, "documents")
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+
+    // parity law: deterministic training ⇒ the warehouse round-trip
+    // (counts, vocab, threshold) reproduces the in-session filter exactly
+    TextOps.buildLmModel(docs, db)
+    assert(key(TextOps.perplexityFilterFromModel(spark, sf, db).collect()) ==
+      key(TextOps.perplexityFilter(spark, sf).collect()))
+
+    // train on a slice, serve the FULL corpus: docs with unseen bigrams
+    // still score every transition (n_trans = tokens − 1 for every doc —
+    // an inner-join serve would silently shrink the mean's denominator)
+    val dbS = "lm_model_slice_db"
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    TextOps.buildLmModel(docs.filter(col("doc_id") <= maxId / 2), dbS)
+    val servedAll = TextOps.perplexityFilterFromModel(spark, sf, dbS)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectTrans = docs
+      .withColumn("tokens", split(trim(col("text")), "\\s+"))
+      .filter(size(col("tokens")) >= 2)
+      .select(col("doc_id"), (size(col("tokens")) - 1).cast("long").as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(servedAll == expectTrans,
+      "serve must score every transition of every doc, seen or unseen")
+
+    // count appends are exact: merged counts ≡ a retrain's counts on the
+    // union corpus (bigram counts are additive), vocab ≡ union distinct
+    TextOps.appendToLmModel(spark, dbS, docs.filter(col("doc_id") > maxId / 2))
+    val dbU = "lm_model_union_db"
+    TextOps.buildLmModel(docs, dbU)
+    def counts(db: String) = spark.table(s"$db.${TextOps.LmCountsTable}")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(counts(dbS) == counts(dbU), "merged counts diverged from retrain")
+    assert(spark.table(s"$dbS.${TextOps.LmVocabTable}").count() ==
+      spark.table(s"$dbU.${TextOps.LmVocabTable}").count())
+    // the threshold deliberately stays as trained (scores shift with the
+    // counts — only a rebuild can re-anchor the mean); the cron rebuild
+    // does exactly that
+    import java.time.LocalDateTime
+    import graft.pipeline.ScheduleRunner
+    val entry = TextOps.lmRefreshEntry("lm-refresh", "0 4 * * *", dbS,
+      s => Tables.t(s, sf, "documents"))
+    val tt = LocalDateTime.parse("2026-01-01T00:00:00")
+    assert(new ScheduleRunner(Seq(entry), startAt = tt)
+      .tick(spark, tt.plusHours(4)) == Seq("lm-refresh"))
+    for (t <- Seq(TextOps.LmCountsTable, TextOps.LmVocabTable,
+        TextOps.LmThresholdTable))
+      spark.catalog.refreshTable(s"$dbS.$t")
+    assert(key(TextOps.perplexityFilterFromModel(spark, sf, dbS).collect()) ==
+      key(TextOps.perplexityFilterFromModel(spark, sf, dbU).collect()))
+  }
+
   test("split assignment: total, disjoint, deterministic, and shuffle-free " +
       "up to the presentation sort") {
     import graft.ops.SamplingOps
