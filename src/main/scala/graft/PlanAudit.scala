@@ -55,7 +55,10 @@ object PlanAudit {
       // q_join_bucketed unavoidable-materialization class); the audited
       // plan is the serve — stored-table scans, no corpus-sized training
       // aggregate
-      "q_perplexity_serve")
+      "q_perplexity_serve",
+      // the typed mapPartitions resize shape (decode → thumbnail → stats,
+      // rasters never leave the executor)
+      "q_image_resize_stats")
     // q_corpus_pipeline is deliberately NOT audited here: its query-form
     // plan is a trivial read over the staged tables (auditing it would
     // execute the whole 5-stage materialization for nothing — against

@@ -97,6 +97,9 @@ object SparkEntry {
     "q_mix_weighted"        -> (SamplingOps.weightedMix _),
     "q_pack_sequences"      -> ((s: SparkSession, d: String) => SamplingOps.packSequences(s, d)),
     "q_binary_meta"         -> (TextOps.binaryMeta _),
+    "q_image_resize_stats"  -> ((s: SparkSession, d: String) =>
+      graft.ops.MultimodalOps.pngThumbnailStats(s, d)),
+    "q_audio_features"      -> (graft.ops.MultimodalOps.audioFeatures _),
     "q_embed_norm"          -> (VectorOps.embedNorm _),
     "q_label_centroid"      -> (VectorOps.labelCentroid _),
     "q_knn_cosine_topk"     -> (VectorOps.knnCosineTopk _),
@@ -1609,6 +1612,72 @@ object SparkEntry {
         |       CAST(base + 3 * c + (w - 1) + (h - 1) AS INTEGER) AS px_max
         |FROM d JOIN ch ON c < nch
         |ORDER BY doc_id, channel""".stripMargin,
+    // nearest-neighbor resize through the REAL decode: the oracle
+    // enumerates the 8×8 destination grid and replays the exact integer
+    // index map src = (dst · src_dim) // 8 — a resize that picked
+    // different source pixels (round instead of floor, off-by-one grid)
+    // hash-mismatches even when coarse statistics survive
+    "q_image_resize_stats" ->
+      """WITH d AS (
+        |    SELECT doc_id,
+        |           4 + (doc_id * 7 % 13) AS w,
+        |           4 + (doc_id * 13 % 11) AS h,
+        |           CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS nch,
+        |           doc_id % 200 AS base
+        |    FROM documents
+        |), g AS (SELECT unnest(range(0, 8)) AS dx),
+        |gy AS (SELECT unnest(range(0, 8)) AS dy),
+        |ch AS (SELECT unnest([0, 1, 2, 3]) AS c),
+        |px AS (
+        |    SELECT d.doc_id, c,
+        |           d.base + (g.dx * d.w) // 8 + (gy.dy * d.h) // 8 + 3 * c AS v
+        |    FROM d, g, gy, ch
+        |    WHERE c < d.nch
+        |)
+        |SELECT doc_id, CAST(c AS INTEGER) AS channel,
+        |       CAST(64 AS BIGINT) AS n_px,
+        |       CAST(SUM(v) AS BIGINT) AS px_sum,
+        |       CAST(MIN(v) AS INTEGER) AS px_min,
+        |       CAST(MAX(v) AS INTEGER) AS px_max
+        |FROM px GROUP BY doc_id, c
+        |ORDER BY doc_id, channel""".stripMargin,
+    // audio feature-extract over the REAL PCM path: the WAV data chunk is
+    // the text's UTF-8 bytes by construction, so the oracle re-derives
+    // every signed 16-bit LE sample from a hex-digit fold over
+    // encode(text) and replays energy/peak/zero-crossings exactly
+    "q_audio_features" ->
+      """WITH w AS (
+        |    SELECT doc_id, hex(encode(text)) AS hx,
+        |           octet_length(encode(text)) AS nb
+        |    FROM documents WHERE doc_id % 2 = 0
+        |), b AS (
+        |    SELECT doc_id,
+        |           list_transform(range(1, nb + 1), i ->
+        |             (strpos('0123456789ABCDEF',
+        |                     substr(hx, CAST(2*i-1 AS INTEGER), 1)) - 1) * 16
+        |             + (strpos('0123456789ABCDEF',
+        |                       substr(hx, CAST(2*i AS INTEGER), 1)) - 1)) AS bytes
+        |    FROM w
+        |), s AS (
+        |    SELECT doc_id,
+        |           list_transform(range(1, len(bytes) // 2 + 1), i ->
+        |             CASE WHEN bytes[2*i-1] + 256 * bytes[2*i] >= 32768
+        |                  THEN bytes[2*i-1] + 256 * bytes[2*i] - 65536
+        |                  ELSE bytes[2*i-1] + 256 * bytes[2*i] END) AS smp
+        |    FROM b
+        |)
+        |SELECT doc_id,
+        |       CAST(len(smp) AS BIGINT) AS n_samples,
+        |       CAST(list_reduce(
+        |              list_prepend(0, list_transform(smp, x -> x * x)),
+        |              (a, b) -> a + b) AS BIGINT) AS sq_sum,
+        |       CAST(COALESCE(list_max(list_transform(smp, x -> abs(x))), 0)
+        |            AS INTEGER) AS peak,
+        |       CAST(list_reduce(
+        |              list_prepend(0, list_transform(range(2, len(smp) + 1),
+        |                i -> CASE WHEN smp[i-1] * smp[i] < 0 THEN 1 ELSE 0 END)),
+        |              (a, b) -> a + b) AS BIGINT) AS zero_cross
+        |FROM s ORDER BY doc_id""".stripMargin,
     // full-VP8L round-trip: the engine entropy-encodes a doc_id-derived
     // ARGB raster into a REAL WebP-lossless stream (canonical prefix
     // codes, LSB-first bit packing) and decodes it back; R/G/B (x,y) =

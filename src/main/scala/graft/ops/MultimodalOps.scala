@@ -272,6 +272,77 @@ object MultimodalOps {
   private[graft] def parseAvHeader(p: Array[Byte]): Option[(String, Long, Int, Int)] =
     parseWav(p).orElse(parseMp4(p))
 
+  /** The WAV data chunk as signed 16-bit LE samples (the format the
+    * [[craftAvHeader]] header declares): chunk walk identical to
+    * [[parseWav]]'s, trailing odd byte dropped (a 16-bit frame needs both
+    * halves). None for a non-WAV or truncated container.
+    */
+  private[graft] def wavPcm(p: Array[Byte]): Option[Array[Int]] = {
+    if (p.length < 12 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
+      p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E') return None
+    var i = 12
+    while (i + 8 <= p.length) {
+      val id = new String(p.slice(i, i + 4), "US-ASCII")
+      val sz = le32(p, i + 4).toLong & 0xffffffffL
+      if (sz > p.length) return None
+      if (id == "data") {
+        val end = math.min(i + 8 + sz.toInt, p.length)
+        val n = (end - (i + 8)) / 2
+        val out = new Array[Int](n)
+        var j = 0
+        while (j < n) {
+          val lo = p(i + 8 + 2 * j) & 0xff
+          val hi = p(i + 8 + 2 * j + 1) & 0xff
+          val v = lo + (hi << 8)
+          out(j) = if (v >= 32768) v - 65536 else v
+          j += 1
+        }
+        return Some(out)
+      }
+      i += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    None
+  }
+
+  /** Audio feature extraction over REAL PCM — the audio leg of the
+    * feature-extract quartet: each WAV fixture's data chunk (the document
+    * text's UTF-8 bytes, by construction) parses as the declared signed
+    * 16-bit LE stream and reduces to the classic integer DSP signals —
+    * energy (Σ s²), peak |s|, and strict sign-flip zero crossings
+    * (s_{i−1}·s_i < 0 — zeros break runs identically in both engines).
+    * All integers, so the DuckDB oracle replays the byte-pair decode and
+    * every feature exactly (hex-digit fold over the text bytes). A WAV
+    * that fails to parse emits the loud n_samples = −1 row; MP4 docs are
+    * out of scope by the fixture's even/odd split.
+    */
+  def audioFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    avFromDocuments(s, d)
+      .filter((r: MediaRow) => r.docId % 2 == 0)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          wavPcm(r.payload) match {
+            case Some(smp) =>
+              var sq = 0L
+              var peak = 0
+              var zc = 0L
+              var i = 0
+              while (i < smp.length) {
+                val v = smp(i)
+                sq += v.toLong * v
+                if (math.abs(v) > peak) peak = math.abs(v)
+                if (i > 0 && smp(i - 1).toLong * v < 0) zc += 1
+                i += 1
+              }
+              (r.docId, smp.length.toLong, sq, peak, zc)
+            case None => (r.docId, -1L, 0L, 0, 0L)
+          }
+        }
+      }
+      .toDF("doc_id", "n_samples", "sq_sum", "peak", "zero_cross")
+      .orderBy("doc_id")
+  }
+
   /** Crafted AV container headers (fixture + parser tests share these).
     * WAV: the caller appends `dataLen` payload bytes after the header —
     * the data chunk size covers exactly them. MP4: a minimal ftyp+moov;
@@ -724,6 +795,60 @@ object MultimodalOps {
               }
               (0 until 4).iterator.map(c =>
                 (r.docId, c, n, sums(c), mins(c), maxs(c)))
+            case None =>
+              Iterator.single((r.docId, -1, 0L, 0L, 0, 0))
+          }
+        }
+      }
+      .toDF("doc_id", "channel", "n_px", "px_sum", "px_min", "px_max")
+      .orderBy("doc_id", "channel")
+  }
+
+  /** Nearest-neighbor thumbnail through the REAL decode path — the
+    * "resize" leg of the multimodal toolkit (decode / feature-extract /
+    * resize / frame-sample): each PNG fixture decodes (inflate +
+    * unfilter), downsamples to a [[side]]×[[side]] thumbnail with the
+    * exact integer index map src = (dst · src_dim) div side (floor — the
+    * same op in every engine, so the DuckDB oracle replays WHICH source
+    * pixels the thumbnail keeps, not just their statistics), and reports
+    * per-channel sum/min/max over the thumbnail samples. Decode failure
+    * emits the loud channel = -1 row ([[pngPixelStats]]'s contract).
+    *
+    * Scale shape: per-row mapPartitions decode (a Catalyst expression
+    * genuinely doesn't fit raster work), output rows = docs × channels —
+    * the thumbnail itself never leaves the executor.
+    */
+  def pngThumbnailStats(s: SparkSession, d: String, side: Int = 8): DataFrame = {
+    import s.implicits._
+    pngFromDocuments(s, d)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          PngCodec.decode(r.payload) match {
+            case Some(rst) =>
+              val ch = rst.channels
+              val sums = new Array[Long](ch)
+              val mins = Array.fill(ch)(255)
+              val maxs = new Array[Int](ch)
+              var dy = 0
+              while (dy < side) {
+                val sy = dy * rst.height / side
+                var dx = 0
+                while (dx < side) {
+                  val sx = dx * rst.width / side
+                  var c = 0
+                  while (c < ch) {
+                    val v = rst.samples((sy * rst.width + sx) * ch + c) & 0xff
+                    sums(c) += v
+                    if (v < mins(c)) mins(c) = v
+                    if (v > maxs(c)) maxs(c) = v
+                    c += 1
+                  }
+                  dx += 1
+                }
+                dy += 1
+              }
+              (0 until ch).iterator.map(c =>
+                (r.docId, c, (side.toLong * side), sums(c), mins(c), maxs(c)))
             case None =>
               Iterator.single((r.docId, -1, 0L, 0L, 0, 0))
           }

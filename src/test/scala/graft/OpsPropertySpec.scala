@@ -1057,6 +1057,25 @@ class OpsPropertySpec extends SparkSpec {
     assert(out.format == "unknown")
   }
 
+  test("wav pcm extraction: signed 16-bit LE pairs, odd trailing byte " +
+      "dropped, corrupt containers refused") {
+    // 5 payload bytes → 2 full frames, the odd trailing byte dropped
+    val payload = Array[Byte](0x01, 0x80.toByte, 0xff.toByte, 0x7f, 0x33)
+    val wav = MultimodalOps.craftAvHeader("wav", 8000, 1, payload.length) ++ payload
+    assert(MultimodalOps.wavPcm(wav).get.toSeq == Seq(-32767, 32767))
+    // energy/peak/zero-cross semantics over a crafted sign pattern:
+    // +1, -1, 0, +2 → crossings only at strict sign flips (the zero
+    // breaks the -1 → +2 run)
+    val pat = Array[Byte](1, 0, -1, -1, 0, 0, 2, 0)
+    val wav2 = MultimodalOps.craftAvHeader("wav", 8000, 1, pat.length) ++ pat
+    assert(MultimodalOps.wavPcm(wav2).get.toSeq == Seq(1, -1, 0, 2))
+    // non-wav bytes and a data size past the payload are refused
+    assert(MultimodalOps.wavPcm("not a riff".getBytes("US-ASCII")).isEmpty)
+    val bad = wav.clone()
+    bad(40) = 0x7f; bad(41) = 0x7f; bad(42) = 0x7f; bad(43) = 0x7f
+    assert(MultimodalOps.wavPcm(bad).isEmpty)
+  }
+
   test("sampling/mixing push WindowGroupLimit; packing never single-partitions") {
     import graft.ops.SamplingOps
     // per-stratum top-k compiles to map-side group limits, not a full sort
