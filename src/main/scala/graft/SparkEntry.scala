@@ -100,6 +100,7 @@ object SparkEntry {
     "q_image_resize_stats"  -> ((s: SparkSession, d: String) =>
       graft.ops.MultimodalOps.pngThumbnailStats(s, d)),
     "q_audio_features"      -> (graft.ops.MultimodalOps.audioFeatures _),
+    "q_image_dedup_phash"   -> (graft.ops.MultimodalOps.imageDedupPhash _),
     "q_embed_norm"          -> (VectorOps.embedNorm _),
     "q_label_centroid"      -> (VectorOps.labelCentroid _),
     "q_knn_cosine_topk"     -> (VectorOps.knnCosineTopk _),
@@ -1678,6 +1679,51 @@ object SparkEntry {
         |                i -> CASE WHEN smp[i-1] * smp[i] < 0 THEN 1 ELSE 0 END)),
         |              (a, b) -> a + b) AS BIGINT) AS zero_cross
         |FROM s ORDER BY doc_id""".stripMargin,
+    // perceptual-hash image dedup: the oracle replays the whole aHash —
+    // thumbnail index map, integer luma, floor mean, strict
+    // brighter-than-mean bits as two 32-bit halves — then the keep-lowest
+    // canon; doc-arithmetic rasters collide across brightness offsets, so
+    // the survivor set is a REAL dedup, not a per-doc identity
+    "q_image_dedup_phash" ->
+      """WITH d AS (
+        |    SELECT doc_id,
+        |           4 + (doc_id * 7 % 13) AS w,
+        |           4 + (doc_id * 13 % 11) AS h,
+        |           CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS nch,
+        |           doc_id % 200 AS base
+        |    FROM documents
+        |), g AS (SELECT unnest(range(0, 8)) AS dx),
+        |gy AS (SELECT unnest(range(0, 8)) AS dy),
+        |cell AS (
+        |    SELECT d.doc_id, gy.dy * 8 + g.dx AS i,
+        |           CASE WHEN d.nch = 1
+        |                THEN d.base + (g.dx * d.w) // 8 + (gy.dy * d.h) // 8
+        |                ELSE ((d.base + (g.dx * d.w) // 8 + (gy.dy * d.h) // 8) * 299
+        |                      + (d.base + (g.dx * d.w) // 8 + (gy.dy * d.h) // 8 + 3) * 587
+        |                      + (d.base + (g.dx * d.w) // 8 + (gy.dy * d.h) // 8 + 6) * 114)
+        |                     // 1000
+        |           END AS v
+        |    FROM d, g, gy
+        |), m AS (
+        |    SELECT doc_id, SUM(v) // 64 AS mean FROM cell GROUP BY doc_id
+        |), bits AS (
+        |    SELECT c.doc_id,
+        |           CAST(SUM(CASE WHEN c.v > m.mean AND c.i >= 32
+        |                         THEN CAST(1 AS BIGINT) << (c.i - 32)
+        |                         ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |           CAST(SUM(CASE WHEN c.v > m.mean AND c.i < 32
+        |                         THEN CAST(1 AS BIGINT) << c.i
+        |                         ELSE 0 END) AS BIGINT) AS ahash_lo
+        |    FROM cell c JOIN m USING (doc_id)
+        |    GROUP BY c.doc_id
+        |)
+        |SELECT doc_id, ahash_hi, ahash_lo,
+        |       MIN(doc_id) OVER (PARTITION BY ahash_hi, ahash_lo)
+        |           AS canonical_id,
+        |       CAST(CASE WHEN doc_id = MIN(doc_id)
+        |                      OVER (PARTITION BY ahash_hi, ahash_lo)
+        |            THEN 1 ELSE 0 END AS INTEGER) AS survives
+        |FROM bits ORDER BY doc_id""".stripMargin,
     // full-VP8L round-trip: the engine entropy-encodes a doc_id-derived
     // ARGB raster into a REAL WebP-lossless stream (canonical prefix
     // codes, LSB-first bit packing) and decodes it back; R/G/B (x,y) =

@@ -858,6 +858,80 @@ object MultimodalOps {
       .orderBy("doc_id", "channel")
   }
 
+  /** 64-bit average hash (aHash — the classic image-dedup perceptual
+    * hash) of a decoded raster: grayscale 8×8 nearest-neighbor thumbnail
+    * (integer luma (299r + 587g + 114b) div 1000 for color; the raw
+    * sample for grayscale; alpha ignored), each cell strictly brighter
+    * than the integer floor mean → bit (row-major bit i = dy·8 + dx).
+    * Returned as two 32-bit halves (hi, lo): bit 63 as a BIGINT weight
+    * would flip the sign in one engine and overflow the addition in the
+    * other — two non-negative halves stay exact everywhere.
+    */
+  private[graft] def aHash(rst: PngCodec.Raster, side: Int = 8): (Long, Long) = {
+    val grid = new Array[Int](side * side)
+    var dy = 0
+    while (dy < side) {
+      val sy = dy * rst.height / side
+      var dx = 0
+      while (dx < side) {
+        val sx = dx * rst.width / side
+        val o = (sy * rst.width + sx) * rst.channels
+        grid(dy * side + dx) =
+          if (rst.channels == 1) rst.samples(o) & 0xff
+          else ((rst.samples(o) & 0xff) * 299 + (rst.samples(o + 1) & 0xff) * 587
+            + (rst.samples(o + 2) & 0xff) * 114) / 1000
+        dx += 1
+      }
+      dy += 1
+    }
+    val mean = grid.sum / grid.length
+    var hi = 0L
+    var lo = 0L
+    var i = 0
+    while (i < grid.length) {
+      if (grid(i) > mean) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (hi, lo)
+  }
+
+  /** Image dedup by perceptual hash — exact-dup keep-lowest over aHash
+    * identity, through the REAL decode path: visually identical images
+    * (same brighter-than-mean pattern) collapse to one canonical survivor
+    * regardless of brightness offset (the mean subtracts any constant
+    * shift — the fixture's doc-arithmetic rasters collide exactly this
+    * way across different `base` values). The hash-groupBy shape is the
+    * text exact-dup scale posture: one exchange on the 64-bit key, never
+    * image×image pairs; hamming-near-dup banding over the same bits would
+    * reuse the simhash band machinery ([[graft.ops.TextOps]]).
+    * Decode failure emits the loud (−1, −1) hash ([[pngPixelStats]]'s
+    * contract).
+    */
+  def imageDedupPhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ahash_hi", "ahash_lo")
+    pngFromDocuments(s, d)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          PngCodec.decode(r.payload) match {
+            case Some(rst) =>
+              val (hi, lo) = aHash(rst)
+              (r.docId, hi, lo)
+            case None => (r.docId, -1L, -1L)
+          }
+        }
+      }
+      .toDF("doc_id", "ahash_hi", "ahash_lo")
+      .withColumn("canonical_id",
+        org.apache.spark.sql.functions.min("doc_id").over(w))
+      .withColumn("survives",
+        (col("doc_id") === col("canonical_id")).cast("int"))
+      .orderBy("doc_id")
+  }
+
   final case class AvMeta(docId: Long, format: String, durationMs: Long,
                           sampleRate: Int, channels: Int)
 

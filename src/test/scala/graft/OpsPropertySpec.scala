@@ -1057,6 +1057,22 @@ class OpsPropertySpec extends SparkSpec {
     assert(out.format == "unknown")
   }
 
+  test("aHash: invariant under constant brightness shift, sensitive to " +
+      "pattern change") {
+    import graft.ops.PngCodec
+    def gray(w: Int, h: Int, f: (Int, Int) => Int): PngCodec.Raster =
+      PngCodec.Raster(w, h, 1, Array.tabulate(w * h)(i =>
+        f(i % w, i / w).toByte))
+    val a = gray(16, 16, (x, y) => x + y)
+    val b = gray(16, 16, (x, y) => x + y + 40) // same pattern, brighter
+    val c = gray(16, 16, (x, y) => if (x < 8) 0 else 200) // different pattern
+    assert(MultimodalOps.aHash(a) == MultimodalOps.aHash(b),
+      "a constant brightness shift must not change the hash")
+    assert(MultimodalOps.aHash(a) != MultimodalOps.aHash(c))
+    // a flat raster has no brighter-than-mean cell: the all-zeros hash
+    assert(MultimodalOps.aHash(gray(8, 8, (_, _) => 77)) == ((0L, 0L)))
+  }
+
   test("wav pcm extraction: signed 16-bit LE pairs, odd trailing byte " +
       "dropped, corrupt containers refused") {
     // 5 payload bytes → 2 full frames, the odd trailing byte dropped
