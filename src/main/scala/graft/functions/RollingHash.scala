@@ -95,6 +95,8 @@ object GraftFunctions {
         val (a, b) = binary("bloom_might_contain", exprs); BloomMightContain(a, b)
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sq_adc_dot", SqAdcDot.build, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_ngrams", WordNgrams.build, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "unicode_tokens", exprs => UnicodeTokens(exprs.head), "scala_udf")
@@ -152,6 +154,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         val (a, b) = GraftFunctions.binary("bloom_might_contain", exprs)
         BloomMightContain(a, b)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("sq_adc_dot"),
+      SqAdcDot.info,
+      (exprs: Seq[Expression]) => SqAdcDot.build(exprs)))
     ext.injectFunction((
       FunctionIdentifier("word_ngrams"),
       WordNgrams.info,

@@ -963,10 +963,13 @@ object VectorOps {
   /** Decode codes back to x̂_i = mn_i + (code_i · w_i) / 255 — the
     * asymmetric-distance reconstruction the ADC score dots against the raw
     * probe vector. Expression shape is fixed so the oracle replays the
-    * exact IEEE ops.
+    * exact IEEE ops. The search scan runs the FUSED native form
+    * ([[graft.functions.SqAdcDot]]); this HOF form is the executable
+    * spec the parity law tests it against (and the reconstruction-error
+    * law's reference).
     */
-  private def sqDecode(codes: Column, mins: Seq[Double],
-                       widths: Seq[Double]): Column =
+  private[graft] def sqDecode(codes: Column, mins: Seq[Double],
+                              widths: Seq[Double]): Column =
     zip_with(
       zip_with(codes, typedLit(widths),
         (c, w) => (c.cast("double") * w) / lit(255.0)),
@@ -998,9 +1001,14 @@ object VectorOps {
         .join(broadcast(probes), Seq("probe_id"))
       case None => codes.crossJoin(broadcast(probes))
     }
+    // the fused native decode-and-dot (graft.functions.SqAdcDot): one
+    // codegen loop per (probe, code-row) pair — bit-identical to
+    // vec_dot(probe, sqDecode(codes)) (parity law-tested), minus two
+    // intermediate arrays and per-element interpreted lambdas
     val cands = scanned
       .withColumn("approx",
-        dot(col("probe_vec"), sqDecode(col("codes"), mins, widths)))
+        call_function("sq_adc_dot", col("probe_vec"), col("codes"),
+          typedLit(mins), typedLit(widths)))
       .withColumn("arnk", row_number().over(wApprox))
       .filter(col("arnk") <= SqRerank)
       .select("probe_id", "neighbor_id")

@@ -391,6 +391,51 @@ class OpsPropertySpec extends SparkSpec {
     assert(recall >= 0.8, s"sq recall@5 = $recall")
   }
 
+  test("sq_adc_dot: fused native score bit-equal to the HOF decode-dot " +
+      "chain over every fixture pair, interpreted ≡ codegen, null on " +
+      "length mismatch") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.t(spark, sf, "embeddings")
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+    val (mins, widths) = VectorOps.sqParams(emb)
+    val codes = VectorOps.sqEncode(emb, mins, widths)
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"),
+        transform(col("embedding"), x => x.cast("double")).as("probe_vec"))
+    val both = codes.crossJoin(broadcast(probes)).select(
+      call_function("sq_adc_dot", col("probe_vec"), col("codes"),
+        typedLit(mins), typedLit(widths)).as("native"),
+      call_function("vec_dot", col("probe_vec"),
+        VectorOps.sqDecode(col("codes"), mins, widths)).as("hof"))
+      .collect()
+    assert(both.length > 100)
+    both.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+      s"native ${r.getDouble(0)} != hof ${r.getDouble(1)}"))
+    // interpreted eval agrees with the codegen'd collect() path above
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+    def dArr(v: Seq[Double]) =
+      Literal(new GenericArrayData(v.toArray), ArrayType(DoubleType))
+    val p = Seq(0.5, -1.25, 2.0)
+    val cs = Seq(0, 128, 255)
+    val mn = Seq(-1.0, 0.25, 0.125)
+    val wd = Seq(2.0, 1.5, 0.75)
+    val cLit = Literal(new GenericArrayData(cs.toArray), ArrayType(IntegerType))
+    val got = graft.functions.SqAdcDot(dArr(p), cLit, dArr(mn), dArr(wd))
+      .eval(null).asInstanceOf[Double]
+    var expect = 0.0
+    for (i <- 0 until 3)
+      expect += p(i) * (mn(i) + (cs(i).toDouble * wd(i)) / 255.0)
+    assert(got == expect)
+    // mismatched length → null (the HOF chain's contract)
+    val short = Literal(new GenericArrayData(Array(1, 2)), ArrayType(IntegerType))
+    assert(graft.functions.SqAdcDot(dArr(p), short, dArr(mn), dArr(wd))
+      .eval(null) == null)
+  }
+
   test("sq index persists as warehouse tables and serves a fresh session " +
       "with no training aggregation; frozen-param appends are exact") {
     val db = "sq_index_db"
