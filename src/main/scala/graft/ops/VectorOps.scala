@@ -1350,11 +1350,13 @@ object VectorOps {
     * re-rank does not collapse, so this is a correctness guard, not an
     * optimization.
     */
-  def appendToIvfIndex(s: SparkSession, db: String, vectors: DataFrame): Unit = {
-    val target = s"`$db`.`$IvfAssignmentsTable`"
+  def appendToIvfIndex(s: SparkSession, db: String, vectors: DataFrame,
+                       suffix: String = ""): Unit = {
+    val target = s"`$db`.`$IvfAssignmentsTable$suffix`"
     val emb = freshOnly(s, target, indexableVecs(vectors))
     val rows = emb
-      .join(assignToCells(emb, s.table(s"`$db`.`$IvfCentroidsTable`")), "vec_id")
+      .join(assignToCells(emb,
+        s.table(s"`$db`.`$IvfCentroidsTable$suffix`")), "vec_id")
       .select(col("vec_id"), col("cell"), col("vec").as("embedding"))
     rows.select(s.table(target).columns.map(col).toIndexedSeq: _*)
       .write.mode("append").insertInto(target)
@@ -1379,9 +1381,10 @@ object VectorOps {
     * [[pqEncode]] one-pass argmin — parity with the build's final-centroid
     * codes is property-tested) and append to the codes table.
     */
-  def appendToPqIndex(s: SparkSession, db: String, vectors: DataFrame): Unit = {
-    val books = loadPqBooks(s, db)
-    val target = s"`$db`.`$PqCodesTable`"
+  def appendToPqIndex(s: SparkSession, db: String, vectors: DataFrame,
+                      suffix: String = ""): Unit = {
+    val books = loadPqBooks(s, db, PqCodebooksTable + suffix)
+    val target = s"`$db`.`$PqCodesTable$suffix`"
     pqEncode(freshOnly(s, target, vectors.filter(
         col("embedding").isNotNull && size(col("embedding")) > 0)),
         books, books(0).head.size)
@@ -1393,17 +1396,51 @@ object VectorOps {
     * cell assignment, appended into the cell-partitioned code table —
     * only the touched cells' partitions gain files.
     */
-  def appendToIvfPqIndex(s: SparkSession, db: String, vectors: DataFrame): Unit = {
-    val target = s"`$db`.`$IvfPqCodesTable`"
+  def appendToIvfPqIndex(s: SparkSession, db: String, vectors: DataFrame,
+                         suffix: String = ""): Unit = {
+    val target = s"`$db`.`$IvfPqCodesTable$suffix`"
     val fresh = freshOnly(s, target, vectors.filter(
       col("embedding").isNotNull && size(col("embedding")) > 0))
     val emb = indexableVecs(fresh)
-    val books = loadPqBooks(s, db, IvfPqCodebooksTable)
+    val books = loadPqBooks(s, db, IvfPqCodebooksTable + suffix)
     val codes = pqEncode(fresh, books, books(0).head.size)
     val celled = codes.join(
-      assignToCells(emb, s.table(s"`$db`.`$IvfPqCentroidsTable`")), "vec_id")
+      assignToCells(emb,
+        s.table(s"`$db`.`$IvfPqCentroidsTable$suffix`")), "vec_id")
     celled.select(s.table(target).columns.map(col).toIndexedSeq: _*)
       .write.mode("append").insertInto(target)
+  }
+
+  /** Sharded-index appends — [[graft.ops.IncrementalDedup]]'s
+    * `appendBandsSharded` contract for the ANN families: route each new
+    * vector to its hash slice (the SAME deterministic pmod(xxhash64) law
+    * the sharded builders partition by — membership never drifts) and run
+    * that shard's frozen-parameter append against ITS stored
+    * centroids/codebooks. A grown sharded index serves immediately; the
+    * sharded refresh entries re-anchor parameter drift on their cadence.
+    * Row-level idempotent per shard (the shared [[freshOnly]] probe).
+    */
+  def appendToShardedIvfIndex(s: SparkSession, db: String, nShards: Int,
+                              vectors: DataFrame): Unit =
+    foreachShardSlice(nShards, vectors)((sh, slice) =>
+      appendToIvfIndex(s, db, slice, suffix = s"_$sh"))
+
+  def appendToShardedPqIndex(s: SparkSession, db: String, nShards: Int,
+                             vectors: DataFrame): Unit =
+    foreachShardSlice(nShards, vectors)((sh, slice) =>
+      appendToPqIndex(s, db, slice, suffix = s"_$sh"))
+
+  def appendToShardedIvfPqIndex(s: SparkSession, db: String, nShards: Int,
+                                vectors: DataFrame): Unit =
+    foreachShardSlice(nShards, vectors)((sh, slice) =>
+      appendToIvfPqIndex(s, db, slice, suffix = s"_$sh"))
+
+  private def foreachShardSlice(nShards: Int, vectors: DataFrame)
+                               (f: (Int, DataFrame) => Unit): Unit = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    for (sh <- 0 until nShards)
+      f(sh, vectors.filter(
+        pmod(xxhash64(col("vec_id")), lit(nShards.toLong)) === sh))
   }
 
   /** Serve composed IVF-PQ top-k from the stored index: centroid scoring

@@ -570,6 +570,61 @@ class OpsPropertySpec extends SparkSpec {
     assert(served.collect().length == 25)
   }
 
+  test("sharded ANN appends: hash-slice routing runs each shard's " +
+      "frozen-parameter append; grown index serves training-free; " +
+      "S=1 ≡ the single-index append") {
+    val emb = Tables.t(spark, sf, "embeddings")
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+    val maxId = emb.agg(max("vec_id")).head.getLong(0)
+    val t0 = maxId * 2 / 3
+    val base = emb.filter(col("vec_id") <= t0)
+    val rest = emb.filter(col("vec_id") > t0)
+
+    val db = "shard_append_db"
+    VectorOps.buildShardedPqIndex(base, db, 3)
+    VectorOps.buildShardedIvfIndex(base, db, 3)
+    VectorOps.appendToShardedPqIndex(spark, db, 3, rest)
+    VectorOps.appendToShardedIvfIndex(spark, db, 3, rest)
+    def codesKey(df: org.apache.spark.sql.DataFrame) = {
+      val cols = df.columns.sorted.toIndexedSeq
+      df.select(cols.map(col): _*).collect()
+        .map(_.toSeq).sortBy(_.toString).toSeq
+    }
+    for (sh <- 0 until 3) {
+      val slice = emb.filter(pmod(xxhash64(col("vec_id")), lit(3L)) === sh)
+      // PQ shard: grown codes ≡ frozen-codebook encode of ITS hash slice
+      // of the union corpus (membership never drifts — same pmod law)
+      val books = VectorOps.loadPqBooks(spark, db,
+        s"${VectorOps.PqCodebooksTable}_$sh")
+      assert(codesKey(spark.table(s"$db.${VectorOps.PqCodesTable}_$sh")) ==
+        codesKey(VectorOps.pqEncode(slice, books, books(0).head.size)),
+        s"pq shard $sh diverged from frozen-parameter encode")
+      // IVF shard: grown assignments ≡ stored-centroid assignment
+      val cents = spark.table(s"$db.${VectorOps.IvfCentroidsTable}_$sh")
+      val expect = VectorOps.assignToCells(
+        slice.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("vec")), cents)
+        .select("vec_id", "cell")
+      assert(codesKey(spark.table(s"$db.${VectorOps.IvfAssignmentsTable}_$sh")
+          .select("vec_id", "cell")) == codesKey(expect),
+        s"ivf shard $sh diverged from stored-centroid assignment")
+    }
+    // the grown sharded index serves with zero training jobs
+    val served = VectorOps.pqCosineTopkFromShardedIndex(spark, sf, db, 3)
+    assert(!served.queryExecution.executedPlan.toString.contains("vec_sqdist"))
+    assert(served.collect().length == 25)
+
+    // S=1 sharded append lands the exact single-index append state
+    val db1 = "shard_append_s1_db"
+    val dbS = "shard_append_single_db"
+    VectorOps.buildShardedPqIndex(base, db1, 1)
+    VectorOps.appendToShardedPqIndex(spark, db1, 1, rest)
+    VectorOps.buildPqIndex(base, dbS)
+    VectorOps.appendToPqIndex(spark, dbS, rest)
+    assert(codesKey(spark.table(s"$db1.${VectorOps.PqCodesTable}_0")) ==
+      codesKey(spark.table(s"$dbS.${VectorOps.PqCodesTable}")))
+  }
+
   test("ivf-pq: cell-pruned ADC scan, self-hit via exact re-rank, recall " +
       "holds the flat-pq floor") {
     val frame = VectorOps.ivfPqTopkFrame(spark, sf)
