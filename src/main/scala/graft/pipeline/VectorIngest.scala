@@ -76,7 +76,27 @@ object VectorIngest {
           (() => VectorOps.appendToSqIndex(s, db, batch)),
         VectorOps.IvfSqCodesTable ->
           (() => VectorOps.appendToIvfSqIndex(s, db, batch)))
-      val present = families.filter(f => s.catalog.tableExists(s"$db.${f._1}"))
+      // sharded families: `<prefix>_0.._S-1` tables (the sharded builders'
+      // layout) grow through the hash-slice routed appends — S is the
+      // contiguous run of suffixed tables, so a partially-built grid is
+      // appended only up to its first gap (the builders always write the
+      // full run). Keyed by the `_0` table for the failpoint contract.
+      val catalogTables = s.catalog.listTables(db).collect().map(_.name).toSet
+      def shardRun(prefix: String): Int =
+        Iterator.from(0).takeWhile(i => catalogTables(s"${prefix}_$i")).size
+      val sharded: Seq[(String, () => Unit)] = Seq[(String, Int => Unit)](
+        VectorOps.IvfAssignmentsTable ->
+          ((n: Int) => VectorOps.appendToShardedIvfIndex(s, db, n, batch)),
+        VectorOps.PqCodesTable ->
+          ((n: Int) => VectorOps.appendToShardedPqIndex(s, db, n, batch)),
+        VectorOps.IvfPqCodesTable ->
+          ((n: Int) => VectorOps.appendToShardedIvfPqIndex(s, db, n, batch)))
+        .flatMap { case (prefix, f) =>
+          val n = shardRun(prefix)
+          if (n > 0) Some(s"${prefix}_0" -> (() => f(n))) else None
+        }
+      val present =
+        families.filter(f => s.catalog.tableExists(s"$db.${f._1}")) ++ sharded
       require(present.nonEmpty,
         s"vectorIngestBatch: no ANN index tables in `$db` — build one " +
           "(buildIvfIndex/buildPqIndex/buildIvfPqIndex) before streaming " +

@@ -494,6 +494,40 @@ class StreamingSpec extends SparkSpec {
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
   }
 
+  test("streaming ANN ingest grows SHARDED families through hash-slice " +
+      "routed appends; committed-epoch replays stay no-ops") {
+    import graft.ops.VectorOps
+    import graft.pipeline.VectorIngest
+    val db = "ann_shard_stream_db"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    val emb = Tables.t(spark, sf, "embeddings")
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+    val maxId = emb.agg(max("vec_id")).head.getLong(0)
+    val t0 = maxId * 2 / 3
+    VectorOps.buildShardedPqIndex(emb.filter(col("vec_id") <= t0), db, 2)
+    val batch = emb.filter(col("vec_id") > t0).select("vec_id", "embedding")
+    VectorIngest.vectorIngestBatch(spark, "shardStream", batch, db, epochId = 0L)
+    def key(df: org.apache.spark.sql.DataFrame) = {
+      val cols = df.columns.sorted.toIndexedSeq
+      df.select(cols.map(col): _*).collect().map(_.toSeq).sortBy(_.toString).toSeq
+    }
+    // each shard holds exactly the frozen-codebook encode of ITS hash
+    // slice of the union corpus — the batch routed by the builders' law
+    for (sh <- 0 until 2) {
+      val books = VectorOps.loadPqBooks(spark, db,
+        s"${VectorOps.PqCodebooksTable}_$sh")
+      val slice = emb.filter(pmod(xxhash64(col("vec_id")), lit(2L)) === sh)
+      assert(key(spark.table(s"$db.${VectorOps.PqCodesTable}_$sh")) ==
+        key(VectorOps.pqEncode(slice, books, books(0).head.size)),
+        s"shard $sh diverged after the streamed append")
+    }
+    // the committed epoch replays as a pure no-op
+    val before = spark.table(s"$db.${VectorOps.PqCodesTable}_0").count()
+    VectorIngest.vectorIngestBatch(spark, "shardStream", batch, db, epochId = 0L)
+    assert(spark.table(s"$db.${VectorOps.PqCodesTable}_0").count() == before)
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
   test("streaming ANN ingest: a mid-batch crash replays to exactly the " +
       "missing rows — no family ever carries a batch twice") {
     import graft.ops.VectorOps
