@@ -101,6 +101,7 @@ object SparkEntry {
       graft.ops.MultimodalOps.pngThumbnailStats(s, d)),
     "q_audio_features"      -> (graft.ops.MultimodalOps.audioFeatures _),
     "q_image_dedup_phash"   -> (graft.ops.MultimodalOps.imageDedupPhash _),
+    "q_gif_pixel_stats"     -> (graft.ops.MultimodalOps.gifPixelStats _),
     "q_embed_norm"          -> (VectorOps.embedNorm _),
     "q_label_centroid"      -> (VectorOps.labelCentroid _),
     "q_knn_cosine_topk"     -> (VectorOps.knnCosineTopk _),
@@ -1724,6 +1725,27 @@ object SparkEntry {
         |                      OVER (PARTITION BY ahash_hi, ahash_lo)
         |            THEN 1 ELSE 0 END AS INTEGER) AS survives
         |FROM bits ORDER BY doc_id""".stripMargin,
+    // full-GIF round-trip: the engine LZW-encodes a doc_id-derived
+    // indexed raster into a REAL GIF89a stream and decodes it back;
+    // v(x,y) = base + x + y bounded under 256, so the oracle's closed
+    // forms replay sum/min/max exactly — any sub-block or code-width
+    // defect breaks the sums
+    "q_gif_pixel_stats" ->
+      """WITH d AS (
+        |    SELECT doc_id,
+        |           4 + (doc_id * 3 % 14) AS w,
+        |           4 + (doc_id * 17 % 9) AS h,
+        |           doc_id % 200 AS base
+        |    FROM documents
+        |)
+        |SELECT doc_id, CAST(0 AS INTEGER) AS channel,
+        |       CAST(w * h AS BIGINT) AS n_px,
+        |       CAST(w * h * base
+        |            + h * (w * (w - 1) // 2)
+        |            + w * (h * (h - 1) // 2) AS BIGINT) AS px_sum,
+        |       CAST(base AS INTEGER) AS px_min,
+        |       CAST(base + (w - 1) + (h - 1) AS INTEGER) AS px_max
+        |FROM d ORDER BY doc_id""".stripMargin,
     // full-VP8L round-trip: the engine entropy-encodes a doc_id-derived
     // ARGB raster into a REAL WebP-lossless stream (canonical prefix
     // codes, LSB-first bit packing) and decodes it back; R/G/B (x,y) =

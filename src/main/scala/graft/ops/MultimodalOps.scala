@@ -10,7 +10,10 @@ import org.apache.spark.sql.functions._
   * (PNG/BMP/JPEG container layouts, no codec dependency). Pixel decode is
   * REAL for PNG ([[PngCodec]]: zlib inflate + the five row filters),
   * WebP-lossless ([[Vp8lCodec]]: canonical prefix codes + LZ77 + color
-  * cache, pure JVM) and JPEG/GIF/BMP (the JDK's built-in ImageIO). The
+  * cache, pure JVM), GIF ([[GifCodec]]: variable-width LZW + sub-block
+  * framing + interlace, pure JVM, oracle-gated via q_gif_pixel_stats
+  * and cross-validated against the JDK's own reader) and JPEG/BMP (the
+  * JDK's built-in ImageIO). The
   * one STUB left, clearly marked below, is the model-inference feature
   * vector for payloads with no deterministic decode (lossy VP8's
   * adaptive arithmetic coder — the same cross-implementation
@@ -856,6 +859,64 @@ object MultimodalOps {
       }
       .toDF("doc_id", "channel", "n_px", "px_sum", "px_min", "px_max")
       .orderBy("doc_id", "channel")
+  }
+
+  /** GIF fixture: every document becomes a REAL GIF89a stream
+    * ([[GifCodec.encode]] — LZW with the canonical policy, grayscale
+    * palette) whose indexed pixels are doc_id arithmetic:
+    * v(x, y) = base + x + y with base = doc_id % 200 and dims bounded
+    * under 256 (no wrap). Dims deliberately differ from the PNG/VP8L
+    * fixtures so a codec cross-wiring bug cannot cancel out.
+    */
+  def gifFromDocuments(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    graft.Tables.t(s, d, "documents")
+      .select(col("doc_id").as("docId"), lit(Array.emptyByteArray).as("payload"))
+      .as[MediaRow]
+      .map { r =>
+        val w = 4 + (r.docId * 3 % 14).toInt
+        val h = 4 + (r.docId * 17 % 9).toInt
+        val base = (r.docId % 200).toInt
+        val px = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { px(y * w + x) = (base + x + y).toByte; x += 1 }
+          y += 1
+        }
+        MediaRow(r.docId, GifCodec.encode(GifCodec.Indexed(w, h, px)))
+      }
+  }
+
+  /** Pixel statistics through the REAL GIF decode path (sub-block
+    * reassembly + variable-width LZW): one row per doc, channel 0 (the
+    * indexed plane — index == luminance under the canonical grayscale
+    * palette). Decode failure emits the loud channel = -1 row
+    * ([[pngPixelStats]]'s contract).
+    */
+  def gifPixelStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    gifFromDocuments(s, d)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          GifCodec.decode(r.payload) match {
+            case Some(img) =>
+              var sum = 0L
+              var mn = 255
+              var mx = 0
+              img.pixels.foreach { b =>
+                val v = b & 0xff
+                sum += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+              }
+              (r.docId, 0, img.pixels.length.toLong, sum, mn, mx)
+            case None => (r.docId, -1, 0L, 0L, 0, 0)
+          }
+        }
+      }
+      .toDF("doc_id", "channel", "n_px", "px_sum", "px_min", "px_max")
+      .orderBy("doc_id")
   }
 
   /** 64-bit average hash (aHash — the classic image-dedup perceptual
