@@ -311,7 +311,12 @@ object PerfProbe {
         // decoded codes per probe (linear per side); the IVF composition
         // scans only the probed cells; split assignment is per-row hash
         // arithmetic (linear by construction)
-        "q_sq_cosine_topk", "q_ivfsq_cosine_topk", "q_split_assign")
+        "q_sq_cosine_topk", "q_ivfsq_cosine_topk", "q_split_assign",
+        // round-10 additions: per-row decode legs (resize, audio DSP, GIF
+        // LZW, aHash — linear by construction) and the stored-LM serve
+        // (vocab-sized join + one fine-keyed probe, like the filter)
+        "q_image_resize_stats", "q_audio_features", "q_gif_pixel_stats",
+        "q_image_dedup_phash", "q_perplexity_serve")
       // SPARK_GRAFT_SCALE_ONLY=a,b,c re-probes a subset after a targeted fix
       // without paying the full sweep
       val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

@@ -57,8 +57,9 @@ object PlanAudit {
       // aggregate
       "q_perplexity_serve",
       // the typed mapPartitions resize shape (decode → thumbnail → stats,
-      // rasters never leave the executor)
-      "q_image_resize_stats")
+      // rasters never leave the executor) and the perceptual-hash dedup
+      // (one hash-keyed window over decode output — never image pairs)
+      "q_image_resize_stats", "q_image_dedup_phash")
     // q_corpus_pipeline is deliberately NOT audited here: its query-form
     // plan is a trivial read over the staged tables (auditing it would
     // execute the whole 5-stage materialization for nothing — against

@@ -39,7 +39,13 @@ object GifCodec {
 
   // ── decode ──────────────────────────────────────────────────────────
 
-  def decode(p: Array[Byte]): Option[Indexed] = {
+  def decode(p: Array[Byte]): Option[Indexed] =
+    // a stream truncated mid-structure (header, descriptor, palette) is
+    // corrupt like any other: the loud-None contract, not an index error
+    try decodeUnsafe(p)
+    catch { case _: ArrayIndexOutOfBoundsException => None }
+
+  private def decodeUnsafe(p: Array[Byte]): Option[Indexed] = {
     if (p.length < 13) return None
     val sig = new String(p.slice(0, 6), "US-ASCII")
     if (sig != "GIF87a" && sig != "GIF89a") return None

@@ -82,8 +82,12 @@ class GifCodecSpec extends AnyFunSuite {
       "raster ceiling") {
     val r = raster(20, 20)((x, y) => (x * y) % 256)
     val bytes = GifCodec.encode(r)
-    // truncate inside the image data
+    // truncate inside the image data, and at EVERY earlier boundary —
+    // mid-header, mid-palette, mid-descriptor must all refuse as None,
+    // never throw
     assert(GifCodec.decode(bytes.take(bytes.length / 2)).isEmpty)
+    for (n <- Seq(13, 400, 782, 785, 789, 791))
+      assert(GifCodec.decode(bytes.take(n)).isEmpty, s"truncation at $n")
     // not a gif
     assert(GifCodec.decode("plainly not a gif".getBytes("US-ASCII")).isEmpty)
     // a crafted header with a raster past the ceiling must refuse BEFORE
