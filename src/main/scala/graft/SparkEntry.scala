@@ -102,6 +102,7 @@ object SparkEntry {
     "q_audio_features"      -> (graft.ops.MultimodalOps.audioFeatures _),
     "q_image_dedup_phash"   -> (graft.ops.MultimodalOps.imageDedupPhash _),
     "q_gif_pixel_stats"     -> (graft.ops.MultimodalOps.gifPixelStats _),
+    "q_image_near_dup"      -> (graft.ops.MultimodalOps.imageNearDup _),
     "q_embed_norm"          -> (VectorOps.embedNorm _),
     "q_label_centroid"      -> (VectorOps.labelCentroid _),
     "q_knn_cosine_topk"     -> (VectorOps.knnCosineTopk _),
@@ -1746,6 +1747,50 @@ object SparkEntry {
         |       CAST(base AS INTEGER) AS px_min,
         |       CAST(base + (w - 1) + (h - 1) AS INTEGER) AS px_max
         |FROM d ORDER BY doc_id""".stripMargin,
+    // banded aHash near-dup: the engine's 4×16-bit band join + confirm is
+    // EXACT at budget 3 (pigeonhole: ≤ 3 differing bits leave a band
+    // identical), so the oracle replays clean all-pairs hamming — the
+    // banding must change nothing, only the join volume
+    "q_image_near_dup" ->
+      s"""WITH d AS (
+        |    SELECT doc_id,
+        |           4 + (doc_id * 7 % 13) AS w,
+        |           4 + (doc_id * 13 % 11) AS h,
+        |           CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS nch,
+        |           doc_id % 200 AS base
+        |    FROM documents
+        |), g AS (SELECT unnest(range(0, 8)) AS dx),
+        |gy AS (SELECT unnest(range(0, 8)) AS dy),
+        |cell AS (
+        |    SELECT d.doc_id, gy.dy * 8 + g.dx AS i,
+        |           CASE WHEN d.nch = 1
+        |                THEN d.base + (g.dx * d.w) // 8 + (gy.dy * d.h) // 8
+        |                ELSE ((d.base + (g.dx * d.w) // 8 + (gy.dy * d.h) // 8) * 299
+        |                      + (d.base + (g.dx * d.w) // 8 + (gy.dy * d.h) // 8 + 3) * 587
+        |                      + (d.base + (g.dx * d.w) // 8 + (gy.dy * d.h) // 8 + 6) * 114)
+        |                     // 1000
+        |           END AS v
+        |    FROM d, g, gy
+        |), m AS (
+        |    SELECT doc_id, SUM(v) // 64 AS mean FROM cell GROUP BY doc_id
+        |), bits AS (
+        |    SELECT c.doc_id,
+        |           CAST(SUM(CASE WHEN c.v > m.mean AND c.i >= 32
+        |                         THEN CAST(1 AS BIGINT) << (c.i - 32)
+        |                         ELSE 0 END) AS BIGINT) AS hi,
+        |           CAST(SUM(CASE WHEN c.v > m.mean AND c.i < 32
+        |                         THEN CAST(1 AS BIGINT) << c.i
+        |                         ELSE 0 END) AS BIGINT) AS lo
+        |    FROM cell c JOIN m USING (doc_id)
+        |    GROUP BY c.doc_id
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.hi, b.hi))
+        |            + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
+        |FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+        |      <= ${ops.MultimodalOps.ImageHammingMax}
+        |ORDER BY id_a, id_b""".stripMargin,
     // full-VP8L round-trip: the engine entropy-encodes a doc_id-derived
     // ARGB raster into a REAL WebP-lossless stream (canonical prefix
     // codes, LSB-first bit packing) and decodes it back; R/G/B (x,y) =

@@ -971,9 +971,22 @@ object MultimodalOps {
     * contract).
     */
   def imageDedupPhash(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("ahash_hi", "ahash_lo")
+    imageHashes(s, d)
+      .withColumn("canonical_id",
+        org.apache.spark.sql.functions.min("doc_id").over(w))
+      .withColumn("survives",
+        (col("doc_id") === col("canonical_id")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id, ahash_hi, ahash_lo) through the real decode — the shared
+    * front half of the phash dedup and the hamming near-dup. Decode
+    * failures carry the loud (−1, −1) hash.
+    */
+  private[graft] def imageHashes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     pngFromDocuments(s, d)
       .mapPartitions { rows =>
         rows.map { r =>
@@ -986,11 +999,50 @@ object MultimodalOps {
         }
       }
       .toDF("doc_id", "ahash_hi", "ahash_lo")
-      .withColumn("canonical_id",
-        org.apache.spark.sql.functions.min("doc_id").over(w))
-      .withColumn("survives",
-        (col("doc_id") === col("canonical_id")).cast("int"))
-      .orderBy("doc_id")
+  }
+
+  /** Bit budget for the hamming near-dup: with the 64 hash bits split
+    * into 4 bands of 16, any pair within this distance shares at least
+    * one identical band (pigeonhole, budget = bands − 1), so the banded
+    * candidate join is EXACT — the result set equals all-pairs
+    * hamming ≤ budget, which is what the oracle replays.
+    */
+  val ImageHammingMax = 3
+
+  /** Near-duplicate images by aHash hamming distance — the simhash
+    * banding machinery over pixels: 4×16-bit band keys → equi-join
+    * candidates (never image × image), exact bit_count confirm. Exact
+    * dups (distance 0) pair too — run [[imageDedupPhash]] FIRST at scale
+    * and feed survivors, or identical-image clusters quadratically
+    * inflate the candidate set (the hot-bucket caveat of every banded
+    * join). Decode failures are excluded (a payload that didn't decode
+    * has no visual identity to compare — unlike the dedup canon, where
+    * the loud (−1,−1) group surfaces them).
+    */
+  def imageNearDup(s: SparkSession, d: String): DataFrame = {
+    val hashes = imageHashes(s, d).filter(col("ahash_hi") >= 0)
+    // (band index, band value) key: posexplode gives both in one pass
+    val keyed = hashes.select(col("doc_id"), posexplode(array(
+      col("ahash_lo") % 65536,
+      expr("ahash_lo div 65536"), // integer div — `/` would go double
+      col("ahash_hi") % 65536,
+      expr("ahash_hi div 65536"))).as(Seq("band", "v")))
+    val cands = keyed.as("x").join(keyed.as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val a = hashes.select(col("doc_id").as("id_a"),
+      col("ahash_hi").as("hi_a"), col("ahash_lo").as("lo_a"))
+    val b = hashes.select(col("doc_id").as("id_b"),
+      col("ahash_hi").as("hi_b"), col("ahash_lo").as("lo_b"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .withColumn("hamming",
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b")))
+          + bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("int"))
+      .filter(col("hamming") <= ImageHammingMax)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
   }
 
   final case class AvMeta(docId: Long, format: String, durationMs: Long,

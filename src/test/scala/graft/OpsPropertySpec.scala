@@ -1173,6 +1173,28 @@ class OpsPropertySpec extends SparkSpec {
     assert(MultimodalOps.aHash(gray(8, 8, (_, _) => 77)) == ((0L, 0L)))
   }
 
+  test("image near-dup: banded candidates are pigeonhole-exact at the " +
+      "hamming budget; band-keyed join, never image pairs") {
+    val out = MultimodalOps.imageNearDup(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    // all-pairs reference: banding must change only the join volume
+    val hs = MultimodalOps.imageHashes(spark, sf)
+      .filter(col("ahash_hi") >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = (for {
+      (a, ha, la) <- hs
+      (b, hb, lb) <- hs if a < b
+      dist = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if dist <= MultimodalOps.ImageHammingMax
+    } yield (a, b, dist)).sortBy(t => (t._1, t._2)).toSeq
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got.nonEmpty && got == expect,
+      s"banded result (${got.length}) != all-pairs reference (${expect.length})")
+  }
+
   test("wav pcm extraction: signed 16-bit LE pairs, odd trailing byte " +
       "dropped, corrupt containers refused") {
     // 5 payload bytes → 2 full frames, the odd trailing byte dropped
