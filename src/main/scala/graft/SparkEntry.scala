@@ -1783,11 +1783,13 @@ object SparkEntry {
         |                         ELSE 0 END) AS BIGINT) AS lo
         |    FROM cell c JOIN m USING (doc_id)
         |    GROUP BY c.doc_id
+        |), surv AS (
+        |    SELECT MIN(doc_id) AS doc_id, hi, lo FROM bits GROUP BY hi, lo
         |)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       CAST(bit_count(xor(a.hi, b.hi))
         |            + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
-        |FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        |FROM surv a JOIN surv b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
         |      <= ${ops.MultimodalOps.ImageHammingMax}
         |ORDER BY id_a, id_b""".stripMargin,

@@ -1011,16 +1011,25 @@ object MultimodalOps {
 
   /** Near-duplicate images by aHash hamming distance — the simhash
     * banding machinery over pixels: 4×16-bit band keys → equi-join
-    * candidates (never image × image), exact bit_count confirm. Exact
-    * dups (distance 0) pair too — run [[imageDedupPhash]] FIRST at scale
-    * and feed survivors, or identical-image clusters quadratically
-    * inflate the candidate set (the hot-bucket caveat of every banded
-    * join). Decode failures are excluded (a payload that didn't decode
-    * has no visual identity to compare — unlike the dedup canon, where
-    * the loud (−1,−1) group surfaces them).
+    * candidates (never image × image), exact bit_count confirm. Runs
+    * over the EXACT-DUP SURVIVORS (one keep-lowest representative per
+    * hash — [[imageDedupPhash]]'s canon, derived here as a groupBy):
+    * identical-image clusters would otherwise quadratically inflate both
+    * the banded candidates and the confirmed pairs (every 0-distance
+    * pair inside a cluster) — the compose-after-exact-dedup posture
+    * every near-dup family documents. Decode failures are excluded (a
+    * payload that didn't decode has no visual identity to compare —
+    * unlike the dedup canon, where the loud (−1,−1) group surfaces
+    * them).
     */
   def imageNearDup(s: SparkSession, d: String): DataFrame = {
-    val hashes = imageHashes(s, d).filter(col("ahash_hi") >= 0)
+    // the survivor-hash frame feeds three branches (band keys + both
+    // confirm sides); persisting it decodes each raster ONCE instead of
+    // three times, and the frame is bounded by the hash-class count
+    val hashes = PlanCache.swap("image-near-dup-hashes",
+      imageHashes(s, d).filter(col("ahash_hi") >= 0)
+        .groupBy("ahash_hi", "ahash_lo")
+        .agg(org.apache.spark.sql.functions.min("doc_id").as("doc_id")))
     // (band index, band value) key: posexplode gives both in one pass
     val keyed = hashes.select(col("doc_id"), posexplode(array(
       col("ahash_lo") % 65536,

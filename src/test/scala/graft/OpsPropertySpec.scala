@@ -1179,10 +1179,12 @@ class OpsPropertySpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
-    // all-pairs reference: banding must change only the join volume
+    // all-pairs reference over the exact-dup SURVIVORS (the query's
+    // scope): banding must change only the join volume
     val hs = MultimodalOps.imageHashes(spark, sf)
       .filter(col("ahash_hi") >= 0)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy("ahash_hi", "ahash_lo").agg(min("doc_id").as("doc_id"))
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
     val expect = (for {
       (a, ha, la) <- hs
       (b, hb, lb) <- hs if a < b
