@@ -200,6 +200,41 @@ object PropertySpec extends Properties("graft") {
       got == ngramRef(s, n)
     }
 
+  // GIF LZW total-correctness law: encode∘decode is the identity for
+  // ARBITRARY rasters — dictionary growth, width changes, KwKwK and the
+  // 4096-entry reset all fall under the generator (large noisy rasters
+  // overflow the dictionary; tiny ones exercise the degenerate paths).
+  private val rasterGen: Gen[graft.ops.GifCodec.Indexed] = for {
+    w <- Gen.choose(1, 48)
+    h <- Gen.choose(1, 48)
+    bytes <- Gen.containerOfN[Array, Byte](w * h, Gen.choose(0, 255).map(_.toByte))
+  } yield graft.ops.GifCodec.Indexed(w, h, bytes)
+
+  property("gifLzw.roundTripIsIdentity") =
+    forAll(rasterGen) { r =>
+      val back = graft.ops.GifCodec.decode(graft.ops.GifCodec.encode(r))
+      back.exists(b => b.width == r.width && b.height == r.height &&
+        java.util.Arrays.equals(b.pixels, r.pixels))
+    }
+
+  // SQ8 quantization law: for arbitrary params and in-range values the
+  // reconstruction error is bounded by one level (w/255) — the exact
+  // arithmetic the engine's encode (clamped floor) and the fused
+  // sq_adc_dot decode perform.
+  private val sqCaseGen: Gen[(Double, Double, Double)] = for {
+    mn <- Gen.choose(-1000.0, 1000.0)
+    w <- Gen.choose(1e-6, 2000.0)
+    t <- Gen.choose(0.0, 1.0) // position within [mn, mn+w]
+  } yield (mn, w, mn + t * w)
+
+  property("sq8.reconstructionWithinOneLevel") =
+    forAll(sqCaseGen) { case (mn, w, x) =>
+      val code = math.min(255L, math.max(0L,
+        math.floor(((x - mn) * 255.0) / w).toLong))
+      val decoded = mn + (code.toDouble * w) / 255.0
+      math.abs(decoded - x) <= w / 255.0 + math.ulp(w) * 4
+    }
+
   property("vecDot.matchesReferenceFoldAndIsSymmetric") =
     forAll(Gen.listOfN(64, Gen.choose(-1000, 1000).map(_ / 100.0))) { xs =>
       import org.apache.spark.sql.types.{ArrayType, DoubleType}
