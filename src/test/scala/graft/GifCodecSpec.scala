@@ -98,6 +98,66 @@ class GifCodecSpec extends AnyFunSuite {
     assert(GifCodec.decode(big).isEmpty)
   }
 
+  test("deferred clear: a foreign stream that fills the dictionary and " +
+      "keeps coding at 12 bits (never resetting) decodes exactly") {
+    // the canonical encoder always clears at 4096, so this decoder branch
+    // needs a hand-built variant: same LZW, but on a full dictionary it
+    // simply stops adding and keeps emitting existing codes at width 12
+    val w = 200; val h = 120
+    val px = Array.tabulate(w * h) { i =>
+      val v = (i % w) * 7919 + (i / w) * 104729
+      ((v ^ (v >> 7)) & 0xff).toByte
+    }
+    val minCode = 8
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var cur = 0; var curBits = 0; var width = minCode + 1
+    def emit(code: Int): Unit = {
+      cur |= code << curBits; curBits += width
+      while (curBits >= 8) { out.write(cur & 0xff); cur >>>= 8; curBits -= 8 }
+    }
+    val dict = new java.util.HashMap[Integer, Integer](8192)
+    var avail = eoi + 1
+    emit(clear)
+    var prev: Int = px(0) & 0xff
+    for (i <- 1 until px.length) {
+      val b = px(i) & 0xff
+      val key = (prev << 8) | b
+      val hit = dict.get(key)
+      if (hit != null) prev = hit.intValue()
+      else {
+        emit(prev)
+        if (avail < 4096) { // DEFER: never clear, just stop growing
+          dict.put(key, avail); avail += 1
+          if (avail == (1 << width) + 1 && width < 12) width += 1
+        }
+        prev = b
+      }
+    }
+    emit(prev); emit(eoi)
+    if (curBits > 0) out.write(cur & 0xff)
+    val lzw = out.toByteArray
+    // wrap in the canonical container with the hand-built data stream
+    val container = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { container.write(v & 0xff); container.write((v >> 8) & 0xff) }
+    container.write("GIF89a".getBytes("US-ASCII")); u16(w); u16(h)
+    container.write(0xf7); container.write(0); container.write(0)
+    for (g <- 0 until 256) { container.write(g); container.write(g); container.write(g) }
+    container.write(0x2c); u16(0); u16(0); u16(w); u16(h)
+    container.write(0); container.write(minCode)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      container.write(n); container.write(lzw, off, n); off += n
+    }
+    container.write(0); container.write(0x3b)
+    assert(avail == 4096, "fixture must actually fill the dictionary")
+    val back = GifCodec.decode(container.toByteArray)
+      .getOrElse(fail("deferred-clear stream failed to decode"))
+    assert(back.pixels.toSeq == px.toSeq, "deferred-clear pixels diverged")
+  }
+
   test("empty-ish and max-run rasters: single pixel and full-byte alphabet") {
     val one = Indexed(1, 1, Array(255.toByte))
     assert(GifCodec.decode(GifCodec.encode(one)).get.pixels.toSeq ==

@@ -47,10 +47,15 @@ class TenantIsolationSpec extends AnyFunSuite with BeforeAndAfterAll {
         |       vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))      AS e,
         |       vec_sqdist(array(1.0D, 2.0D), array(3.0D, 4.0D))   AS f,
         |       bloom_might_contain(CAST(NULL AS BINARY), 42L)     AS g,
-        |       word_ngrams('a b c', 2)                            AS h
+        |       word_ngrams('a b c', 2)                            AS h,
+        |       unicode_tokens('a b')                              AS i,
+        |       sq_adc_dot(array(1.0D), array(255), array(0.0D),
+        |                  array(2.0D))                            AS j
         |""".stripMargin).head()
     assert(row.getDouble(4) == 11.0)
     assert(row.getSeq[String](7) == Seq("a b", "b c"))
+    assert(row.getSeq[String](8) == Seq("a", "b"))
+    assert(row.getDouble(9) == 2.0) // 1 · (0 + 255·2/255)
   }
 
   test("raw-table scans are auto-filtered to the session tenant; other tables untouched") {
