@@ -803,6 +803,11 @@ object TextOps {
     * ([[lmRefreshEntry]]), the frozen-parameter contract every index
     * family carries. Batch-level API: the caller must not replay a batch
     * (counts would double — there is no id-range idempotence for counts).
+    * Crash window: a death between the counts and vocab rewrites leaves
+    * the vocab one batch behind (V slightly small in the smoothing
+    * constant) — and since the batch must NOT be replayed, the remedy
+    * for any mid-append crash is the scheduled rebuild, which re-derives
+    * both tables from the corpus.
     */
   def appendToLmModel(s: SparkSession, db: String, docs: DataFrame): Unit = {
     val docsT = withTokens(docs)

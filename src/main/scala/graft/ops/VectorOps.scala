@@ -1650,21 +1650,17 @@ object VectorOps {
                                     nShards: Int): DataFrame = {
     val probes = t(s, d, "embeddings").filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
-    val perShard = (0 until nShards).map { sh =>
+    // the union + global-rank tail is the one merge law every sharded
+    // serving path shares (mergeShardTopk — exact cosine needs no
+    // per-shard calibration)
+    mergeShardTopk((0 until nShards).map { sh =>
       val cents = s.table(s"`$db`.`${IvfCentroidsTable}_$sh`")
       searchIvfCandidates(
         s.table(s"`$db`.`${IvfAssignmentsTable}_$sh`"),
         probeNearestCells(cents, probes,
           shardTopkBudget(nShards, cents.count())),
         largeProbeSide = false)
-    }
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    perShard.reduce(_ unionByName _)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
-      .select("probe_id", "rnk", "neighbor_id", "cosine")
-      .orderBy("probe_id", "rnk")
+    })
   }
 
   /** Per-probe candidate volume across the shard merge — the skew

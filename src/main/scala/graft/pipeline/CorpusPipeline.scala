@@ -228,12 +228,13 @@ object CorpusPipeline {
 
   private[graft] def acquireLease(s: SparkSession, db: String = Db): String = {
     val now = System.currentTimeMillis()
-    leaseOf(s, db) match {
+    val staleTakeover = leaseOf(s, db) match {
       case Some((tok, exp)) if exp > now =>
         throw new LeaseHeldException(
           s"corpus pipeline run already in flight (lease $tok expires in " +
             s"${exp - now} ms) — exactly one run may own the stage tables")
-      case _ => () // free, or stale (holder died) → take over
+      case Some(_) => true // stale (holder died) → take over
+      case None => false   // free
     }
     val token = java.util.UUID.randomUUID().toString
     setDbProp(s, db, LeaseProp, s"$token:${now + LeaseTtlMs}")
@@ -241,20 +242,29 @@ object CorpusPipeline {
     // the catalog's last write wins and exactly one token survives — the
     // loser sees a foreign token here and backs off. KNOWN RESIDUAL RACE:
     // the interleaving A-set, A-verify, B-set admits both (A verified
-    // before B overwrote). The delayed second read below shrinks that
-    // window to the delay length; closing it entirely needs a conditional
-    // put the catalog API does not offer. The residual overlap is bounded
-    // the same way a TTL takeover is: the loser's token is gone, so it
-    // aborts at its next renewLease — i.e. at the first stage boundary,
-    // before any second stage write.
+    // before B overwrote). A delayed second read shrinks that window to
+    // the delay length; closing it entirely needs a conditional put the
+    // catalog API does not offer. The residual overlap is bounded the
+    // same way a TTL takeover is: the loser's token is gone, so it aborts
+    // at its next renewLease — i.e. at the first stage boundary, before
+    // any second stage write.
     if (!leaseOf(s, db).exists(_._1 == token))
       throw new LeaseHeldException(
         "lost the lease acquisition race — another run acquired first")
-    Thread.sleep(50L + scala.util.Random.nextInt(100))
-    if (!leaseOf(s, db).exists(_._1 == token))
-      throw new LeaseHeldException(
-        "lost the lease acquisition race (overwritten during the " +
-          "verification window) — another run acquired first")
+    // The delayed re-verify is paid only on a STALE-LEASE TAKEOVER — the
+    // realistic collision (two runners both observing the same dead
+    // lease and racing to claim it). The from-nothing race (two brand-new
+    // runs within the same few milliseconds) keeps only the immediate
+    // read-back: per-micro-batch streaming acquisitions must not pay a
+    // mandatory driver sleep on the uncontended fast path, and the
+    // first-renewal fence above bounds the residual either way.
+    if (staleTakeover) {
+      Thread.sleep(50L + scala.util.Random.nextInt(100))
+      if (!leaseOf(s, db).exists(_._1 == token))
+        throw new LeaseHeldException(
+          "lost the lease acquisition race (overwritten during the " +
+            "verification window) — another run acquired first")
+    }
     token
   }
 
@@ -766,10 +776,17 @@ object CorpusPipeline {
     val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def pin(df: DataFrame): DataFrame = { pinned += df; df }
     try {
-      if (epochId >= 0 &&
-          dbProps(s, db).get(epochProp(srcTag)).filter(_.nonEmpty)
-            .map(_.toLong).exists(_ >= epochId))
-        return // committed-epoch replay: everything already landed
+      if (epochId >= 0 && {
+        val props = dbProps(s, db)
+        // committed floor = the per-source key, falling back to the
+        // pre-r10 SCALAR ledger (single-stream by its own documented
+        // contract) — a db carried across the key change must not
+        // re-process its last committed epoch (the append-only guard
+        // would refuse it and wedge the restarted stream)
+        props.get(epochProp(srcTag)).filter(_.nonEmpty)
+          .orElse(props.get(LastEpochProp).filter(_.nonEmpty))
+          .map(_.toLong).exists(_ >= epochId)
+      }) return // committed-epoch replay: everything already landed
       val bounds = batch.agg(min("doc_id"), max("doc_id")).head
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       dbProps(s, db).get(MaxDocIdProp).filter(_.nonEmpty).map(_.toLong)
@@ -792,10 +809,16 @@ object CorpusPipeline {
           s.sql(s"ALTER TABLE ${fq(db, st)} UNSET TBLPROPERTIES IF EXISTS " +
             s"('$LineageKeyProp', '$LineageStampProp')")
         }
-      setDbProp(s, db, MaxDocIdProp, hi.toString)
-      // commit the epoch LAST: the ledger covers a batch only once every
-      // append and stamp above has landed
+      // commit the epoch BEFORE advancing the append-only guard (the
+      // VectorIngest ordering, same reasoning): guard-first would wedge
+      // the stream on a crash between the two writes — the replayed
+      // epoch, absent from the ledger, trips the guard's require on every
+      // redelivery. Epoch-first leaves only a benign window (guard one
+      // batch stale; replay is a ledger no-op; the guard catches up on
+      // the next batch). Every append and stamp above still precedes the
+      // commit.
       if (epochId >= 0) setDbProp(s, db, epochProp(srcTag), epochId.toString)
+      setDbProp(s, db, MaxDocIdProp, hi.toString)
     } finally {
       pinned.foreach(df =>
         try df.unpersist() catch { case scala.util.control.NonFatal(_) => () })

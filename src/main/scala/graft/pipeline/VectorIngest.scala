@@ -106,11 +106,19 @@ object VectorIngest {
         if (failAfter.contains(table))
           throw new RuntimeException(s"test failpoint after $table append")
       }
-      CorpusPipeline.setDbProp(s, db, MaxVecIdProp, hi.toString)
-      // commit the epoch LAST: the ledger covers a batch only once every
-      // family's append above has landed
+      // commit the epoch BEFORE advancing the append-only guard: with the
+      // guard first, a crash between the two writes would leave a state
+      // where the replayed epoch is not in the ledger but its ids are
+      // already "ingested" — the guard's require would then refuse every
+      // redelivery and wedge the stream. This order leaves only a
+      // benign window (epoch committed, guard one batch stale): the
+      // replay is a ledger no-op, the guard catches up on the next batch,
+      // and the row-level idempotent appends cover any interim overlap.
+      // Every family append still precedes the commit — the ledger never
+      // covers a batch that has not fully landed.
       if (epochId >= 0)
         CorpusPipeline.setDbProp(s, db, epochProp(srcTag), epochId.toString)
+      CorpusPipeline.setDbProp(s, db, MaxVecIdProp, hi.toString)
     } finally CorpusPipeline.releaseLease(s, db, lease)
   }
 

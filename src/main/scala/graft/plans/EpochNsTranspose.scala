@@ -57,7 +57,11 @@ object EpochNsTranspose extends Rule[LogicalPlan] {
   // exact integer transposition of `u*1000 <op> C` to the µs domain
   // (private[graft] so the ScalaCheck law tests the rule's OWN arithmetic)
   private[graft] def floorUs(c: Long): Long = Math.floorDiv(c, 1000L)
-  private[graft] def ceilUs(c: Long): Long = Math.floorDiv(c + 999L, 1000L)
+  // overflow-free ceiling: the add-999 form wraps for constants within
+  // 999 of Long.MaxValue (a natural "no upper bound" sentinel), silently
+  // rewriting >=/< into the opposite extreme
+  private[graft] def ceilUs(c: Long): Long =
+    Math.floorDiv(c, 1000L) + (if (Math.floorMod(c, 1000L) == 0L) 0L else 1L)
   private def usLit(us: Long, dt: DataType): Literal = Literal(us, dt)
 
   private val transpose: PartialFunction[Expression, Expression] = {

@@ -27,7 +27,13 @@ object PropertySpec extends Properties("graft") {
   // comparison of u against the floor/ceil-divided constant — the exact
   // law the optimizer rule relies on for parquet pushdown correctness.
   private val usGen = Gen.choose(-4102444800000000L, 4102444800000000L)
-  private val nsGen = Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)
+  // the FULL Long range, extremes explicitly over-weighted: the add-999
+  // ceiling overflowed near Long.MaxValue and a capped generator never
+  // reached it
+  private val nsGen = Gen.frequency(
+    8 -> Gen.choose(Long.MinValue, Long.MaxValue),
+    1 -> Gen.choose(Long.MaxValue - 2000L, Long.MaxValue),
+    1 -> Gen.choose(Long.MinValue, Long.MinValue + 2000L))
   property("epochNsTranspose.exactIntegerTransposition") =
     forAll(usGen, nsGen) { (u, c) =>
       import graft.plans.EpochNsTranspose.{ceilUs, floorUs}

@@ -565,6 +565,20 @@ class StreamingSpec extends SparkSpec {
     val before = spark.table(s"$db.${VectorOps.IvfAssignmentsTable}").count()
     VectorIngest.vectorIngestBatch(spark, "crash", batch, db, epochId = 0L)
     assert(spark.table(s"$db.${VectorOps.IvfAssignmentsTable}").count() == before)
+
+    // the post-appends crash window (epoch committed, append-only guard
+    // one batch stale — the only reachable state under the epoch-first
+    // commit order): the replay is a ledger no-op, never a guard trip,
+    // and the next batch re-advances the guard. The guard-first order
+    // had the INVERSE window, which wedged the stream (replayed epoch
+    // absent from the ledger + ids already "ingested" → require threw on
+    // every redelivery).
+    val staleMax = (t0 - 1).toString
+    spark.sql(s"ALTER DATABASE `$db` SET DBPROPERTIES " +
+      s"('${VectorIngest.MaxVecIdProp}'='$staleMax')")
+    VectorIngest.vectorIngestBatch(spark, "crash", batch, db, epochId = 0L)
+    assert(spark.table(s"$db.${VectorOps.IvfAssignmentsTable}").count() == before,
+      "stale-guard replay of a committed epoch must be a no-op")
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
   }
 }
