@@ -1168,11 +1168,10 @@ object VectorOps {
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
     val probes = probesOf(emb)
     val centroids = s.table(s"`$db`.`$IvfSqCentroidsTable`")
-    val probedCells = probeNearestCells(centroids, probes,
-        adaptiveProbe(centroids.count()))
-      .select("probe_id", "cell")
+    val (probedCells, cells) = collectProbeCells(s, centroids, probes,
+      adaptiveProbe(centroids.count()))
     val (mins, widths) = loadSqParams(s, db, IvfSqParamsTable)
-    searchSq(prunedCodes(s, s"`$db`.`$IvfSqCodesTable`", probedCells),
+    searchSq(prunedCodes(s, s"`$db`.`$IvfSqCodesTable`", cells),
       mins, widths, emb, probes, cellFilter = Some(probedCells))
       .orderBy("probe_id", "rnk")
   }
@@ -1291,11 +1290,10 @@ object VectorOps {
     val probes = probesOf(emb)
     mergeShardTopk((0 until nShards).map { sh =>
       val cents = s.table(s"`$db`.`${IvfPqCentroidsTable}_$sh`")
-      val probedCells = probeNearestCells(cents, probes,
-          IvfPqProbeSlack * shardTopkBudget(nShards, cents.count()))
-        .select("probe_id", "cell")
+      val (probedCells, cells) = collectProbeCells(s, cents, probes,
+        IvfPqProbeSlack * shardTopkBudget(nShards, cents.count()))
       val books = loadPqBooks(s, db, s"${IvfPqCodebooksTable}_$sh")
-      searchPq(prunedCodes(s, s"`$db`.`${IvfPqCodesTable}_$sh`", probedCells),
+      searchPq(prunedCodes(s, s"`$db`.`${IvfPqCodesTable}_$sh`", cells),
         books, emb, probes, books(0).head.size,
         cellFilter = Some(probedCells))
     })
@@ -1453,29 +1451,40 @@ object VectorOps {
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
     val probes = probesOf(emb)
     val centroids = s.table(s"`$db`.`$IvfPqCentroidsTable`")
-    val probedCells = probeNearestCells(centroids, probes,
-        IvfPqProbeSlack * adaptiveProbe(centroids.count()))
-      .select("probe_id", "cell")
-    searchPq(prunedCodes(s, s"`$db`.`$IvfPqCodesTable`", probedCells),
+    val (probedCells, cells) = collectProbeCells(s, centroids, probes,
+      IvfPqProbeSlack * adaptiveProbe(centroids.count()))
+    searchPq(prunedCodes(s, s"`$db`.`$IvfPqCodesTable`", cells),
       loadPqBooks(s, db, IvfPqCodebooksTable), emb, probes,
       OracleDims / PqSubspaces, cellFilter = Some(probedCells))
       .orderBy("probe_id", "rnk")
   }
 
   /** The serving scan of a cell-partitioned code table, statically pruned
-    * to the probed cells: the distinct probed-cell set is bounded driver
-    * METADATA (≤ probes × probe budget ints — the serving contract is a
-    * query-sized probe set), and an IN-list on the partition column shows
-    * up in the scan's `PartitionFilters` — file-level pruning guaranteed
-    * at plan time, not left to runtime dynamic partition pruning. The
+    * to the probed cells: the IN-list on the partition column shows up in
+    * the scan's `PartitionFilters` — file-level pruning guaranteed at
+    * plan time, not left to runtime dynamic partition pruning. The
     * per-probe cell JOIN downstream still restricts each probe to its own
     * cells.
     */
   private def prunedCodes(s: SparkSession, table: String,
-                          probedCells: DataFrame): DataFrame = {
-    val cells = probedCells.select("cell").distinct()
-      .collect().map(_.getInt(0)).toSeq
+                          cells: Seq[Int]): DataFrame =
     s.table(table).filter(col("cell").isin(cells: _*))
+
+  /** Probed (probe_id, cell) pairs COLLECTED once — bounded driver
+    * metadata (≤ probes × budget ints, the serving contract's query-sized
+    * probe set) — and rebuilt as a LOCAL relation plus the distinct cell
+    * list. The serve paths consume the same rows twice (the static
+    * partition IN-list and the broadcast cellFilter join); collecting
+    * once runs the centroid-scoring job once per serve instead of twice.
+    */
+  private def collectProbeCells(s: SparkSession, centroids: DataFrame,
+                                probes: DataFrame,
+                                budget: Int): (DataFrame, Seq[Int]) = {
+    import s.implicits._
+    val rows = probeNearestCells(centroids, probes, budget)
+      .select("probe_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    (rows.toDF("probe_id", "cell"), rows.map(_._2).distinct)
   }
 
   private[graft] def ivfPqTopkFrame(s: SparkSession, d: String): DataFrame = {

@@ -52,13 +52,19 @@ object VectorIngest {
                         failAfter: Option[String] = None): Unit = {
     if (batch.isEmpty) return
     graft.store.Warehouse.ensureDatabase(s, db)
+    // pin the batch once: the bounds agg plus every family's
+    // freshOnly probe + encode/assign scan re-reads it (~2 + 2 consumers
+    // per family) — with a non-trivial upstream, an unpersisted frame
+    // would recompute that upstream for each (the corpusIngestBatch pin,
+    // applied here)
+    val b = batch.persist()
     val lease = CorpusPipeline.acquireLease(s, db)
     try {
       if (epochId >= 0 &&
           CorpusPipeline.dbProps(s, db).get(epochProp(srcTag))
             .filter(_.nonEmpty).map(_.toLong).exists(_ >= epochId))
         return // committed-epoch replay: every append already landed
-      val bounds = batch.agg(min("vec_id"), max("vec_id")).head
+      val bounds = b.agg(min("vec_id"), max("vec_id")).head
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       CorpusPipeline.dbProps(s, db).get(MaxVecIdProp).filter(_.nonEmpty)
         .map(_.toLong).foreach(storedMax => require(lo > storedMax,
@@ -67,15 +73,15 @@ object VectorIngest {
             "ingest (a re-appended id duplicates index rows)"))
       val families: Seq[(String, () => Unit)] = Seq(
         VectorOps.IvfAssignmentsTable ->
-          (() => VectorOps.appendToIvfIndex(s, db, batch)),
+          (() => VectorOps.appendToIvfIndex(s, db, b)),
         VectorOps.PqCodesTable ->
-          (() => VectorOps.appendToPqIndex(s, db, batch)),
+          (() => VectorOps.appendToPqIndex(s, db, b)),
         VectorOps.IvfPqCodesTable ->
-          (() => VectorOps.appendToIvfPqIndex(s, db, batch)),
+          (() => VectorOps.appendToIvfPqIndex(s, db, b)),
         VectorOps.SqCodesTable ->
-          (() => VectorOps.appendToSqIndex(s, db, batch)),
+          (() => VectorOps.appendToSqIndex(s, db, b)),
         VectorOps.IvfSqCodesTable ->
-          (() => VectorOps.appendToIvfSqIndex(s, db, batch)))
+          (() => VectorOps.appendToIvfSqIndex(s, db, b)))
       // sharded families: `<prefix>_0.._S-1` tables (the sharded builders'
       // layout) grow through the hash-slice routed appends — S is the
       // contiguous run of suffixed tables, so a partially-built grid is
@@ -86,11 +92,11 @@ object VectorIngest {
         Iterator.from(0).takeWhile(i => catalogTables(s"${prefix}_$i")).size
       val sharded: Seq[(String, () => Unit)] = Seq[(String, Int => Unit)](
         VectorOps.IvfAssignmentsTable ->
-          ((n: Int) => VectorOps.appendToShardedIvfIndex(s, db, n, batch)),
+          ((n: Int) => VectorOps.appendToShardedIvfIndex(s, db, n, b)),
         VectorOps.PqCodesTable ->
-          ((n: Int) => VectorOps.appendToShardedPqIndex(s, db, n, batch)),
+          ((n: Int) => VectorOps.appendToShardedPqIndex(s, db, n, b)),
         VectorOps.IvfPqCodesTable ->
-          ((n: Int) => VectorOps.appendToShardedIvfPqIndex(s, db, n, batch)))
+          ((n: Int) => VectorOps.appendToShardedIvfPqIndex(s, db, n, b)))
         .flatMap { case (prefix, f) =>
           val n = shardRun(prefix)
           if (n > 0) Some(s"${prefix}_0" -> (() => f(n))) else None
@@ -119,7 +125,11 @@ object VectorIngest {
       if (epochId >= 0)
         CorpusPipeline.setDbProp(s, db, epochProp(srcTag), epochId.toString)
       CorpusPipeline.setDbProp(s, db, MaxVecIdProp, hi.toString)
-    } finally CorpusPipeline.releaseLease(s, db, lease)
+    } finally {
+      try b.unpersist()
+      catch { case scala.util.control.NonFatal(_) => () }
+      CorpusPipeline.releaseLease(s, db, lease)
+    }
   }
 
   /** foreachBatch adapter — wires the streaming engine's epochId into
