@@ -57,9 +57,12 @@ object PlanAudit {
       // aggregate
       "q_perplexity_serve",
       // the typed mapPartitions resize shape (decode → thumbnail → stats,
-      // rasters never leave the executor) and the perceptual-hash dedup
-      // (one hash-keyed window over decode output — never image pairs)
-      "q_image_resize_stats", "q_image_dedup_phash")
+      // rasters never leave the executor), the perceptual-hash dedup
+      // (one hash-keyed window over decode output — never image pairs),
+      // its banded hamming near-dup (band-keyed equi-join over the
+      // persisted survivor hashes) and the GIF LZW decode leg
+      "q_image_resize_stats", "q_image_dedup_phash", "q_image_near_dup",
+      "q_gif_pixel_stats")
     // q_corpus_pipeline is deliberately NOT audited here: its query-form
     // plan is a trivial read over the staged tables (auditing it would
     // execute the whole 5-stage materialization for nothing — against
