@@ -782,7 +782,10 @@ object CorpusPipeline {
         // pre-r10 SCALAR ledger (single-stream by its own documented
         // contract) — a db carried across the key change must not
         // re-process its last committed epoch (the append-only guard
-        // would refuse it and wedge the restarted stream)
+        // would refuse it and wedge the restarted stream). The commit
+        // below RETIRES the scalar key on the first per-source commit,
+        // bounding the window in which it could mask a different
+        // source's first epochs.
         props.get(epochProp(srcTag)).filter(_.nonEmpty)
           .orElse(props.get(LastEpochProp).filter(_.nonEmpty))
           .map(_.toLong).exists(_ >= epochId)
@@ -817,7 +820,15 @@ object CorpusPipeline {
       // batch stale; replay is a ledger no-op; the guard catches up on
       // the next batch). Every append and stamp above still precedes the
       // commit.
-      if (epochId >= 0) setDbProp(s, db, epochProp(srcTag), epochId.toString)
+      if (epochId >= 0) {
+        setDbProp(s, db, epochProp(srcTag), epochId.toString)
+        // the legacy scalar ledger has served its migration purpose once
+        // any per-source commit lands: clear it, or it would keep acting
+        // as a committed floor for every OTHER source and silently mask a
+        // NEW stream's first epochs on this db
+        if (dbProps(s, db).get(LastEpochProp).exists(_.nonEmpty))
+          setDbProp(s, db, LastEpochProp, "")
+      }
       setDbProp(s, db, MaxDocIdProp, hi.toString)
     } finally {
       pinned.foreach(df =>

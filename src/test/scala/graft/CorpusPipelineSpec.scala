@@ -593,6 +593,48 @@ class CorpusPipelineSpec extends SparkSpec {
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
   }
 
+  test("legacy scalar epoch ledger: honored as the committed floor for a " +
+      "restarted stream, then retired on the first per-source commit") {
+    import org.apache.spark.sql.functions.{col, max => smax}
+    import spark.implicits._
+    val db = "graft_corpus_legacy"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    val docs = Tables.t(spark, sf, "documents")
+    val maxId = docs.agg(smax("doc_id")).head.getLong(0)
+    val t0 = maxId / 2
+    CorpusPipeline.runFresh(spark, docs.filter(col("doc_id") <= t0), sf, db)
+    val rest = docs.filter(col("doc_id") > t0)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+    def toDf(x: Seq[(Long, String, String, String, Long)]) =
+      x.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (b0, b1) = rest.splitAt(rest.length / 2)
+    // simulate a pre-upgrade db: the SCALAR ledger says epoch 3 committed
+    spark.sql(s"ALTER DATABASE `$db` SET DBPROPERTIES " +
+      s"('${CorpusPipeline.LastEpochProp}'='3')")
+    val before = spark.table(s"`$db`.`s1_clean`").count()
+    // the restarted stream redelivers its committed epoch 3: the
+    // fallback must classify it as a replay (a miss would trip the
+    // append-only guard on a REAL redelivery; here it would append)
+    CorpusPipeline.corpusIngestBatch(spark, "legacyStream", toDf(b0.toIndexedSeq),
+      db, epochId = 3L)
+    assert(spark.table(s"`$db`.`s1_clean`").count() == before,
+      "legacy-committed epoch was re-processed")
+    // the stream advances: epoch 4 ingests, and the commit RETIRES the
+    // scalar key
+    CorpusPipeline.corpusIngestBatch(spark, "legacyStream", toDf(b0.toIndexedSeq),
+      db, epochId = 4L)
+    val afterAdvance = spark.table(s"`$db`.`s1_clean`").count()
+    assert(afterAdvance > before)
+    // a NEW second stream's first epochs must no longer be masked by the
+    // retired scalar (0 <= 3 would have been skipped under the fallback)
+    CorpusPipeline.corpusIngestBatch(spark, "newStream", toDf(b1.toIndexedSeq),
+      db, epochId = 0L)
+    assert(spark.table(s"`$db`.`s1_clean`").count() > afterAdvance,
+      "the retired legacy ledger still masked a new stream's first epoch")
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
   test("scheduled entry fires a fresh run on its cron") {
     import java.time.LocalDateTime
     spark.sql(s"DROP TABLE IF EXISTS `${CorpusPipeline.Db}`.`s5_pack`")
