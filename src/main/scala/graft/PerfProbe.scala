@@ -155,6 +155,41 @@ object PerfProbe {
         SparkEntry.queries(n)(spark, sfd).count()
         println(f"$n%-26s rep$i ${(System.nanoTime() - t0) / 1e9}%8.3f s")
       }
+    } else if (args.headOption.contains("serving")) {
+      // Serving scale law (r10): a FromIndex serve against a K× corpus.
+      // The cell-pruned composition (IVF-PQ) reads only the probed
+      // partitions — with the adaptive quantizer holding occupancy near
+      // constant, serve cost grows ~√K (the probe-budget law), while the
+      // flat SQ serve scans every code row (~K). Training is paid in the
+      // BUILD column (the refresh-cadence cost), serves are timed alone.
+      val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "5").toInt
+      val scaled = TempDirs.create(s"graft-emb-serve-k$k")
+      println(s"building ${k}x embeddings at $scaled ...")
+      buildScaledEmbeddings(spark, d, scaled, k)
+      import graft.ops.VectorOps
+      def measure(dir: String, label: String): (Double, Double, Double) = {
+        val db = s"serve_probe_$label"
+        spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+        val emb = Tables.t(spark, dir, "embeddings")
+        val tb0 = System.nanoTime()
+        VectorOps.buildIvfPqIndex(emb, db)
+        VectorOps.buildSqIndex(emb, db)
+        val build = (System.nanoTime() - tb0) / 1e9
+        def t(f: => Unit): Double = {
+          f // warm: plan compile + broadcasts out of the measurement
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        (build,
+          t(VectorOps.ivfPqCosineTopkFromIndex(spark, dir, db).count()),
+          t(VectorOps.sqCosineTopkFromIndex(spark, dir, db).count()))
+      }
+      val (b1, p1, s1) = measure(d, "1x")
+      val (bk, pk, sk) = measure(scaled, s"${k}x")
+      println(f"${"serve"}%-22s ${"1x"}%8s ${s"${k}x"}%8s ${"ratio"}%7s" +
+        f"  (flat scan ≈ $k, cell-pruned ≪ $k)")
+      println(f"${"build (both indexes)"}%-22s $b1%8.2f $bk%8.2f ${bk / b1}%7.2f")
+      println(f"${"ivfpq_from_index"}%-22s $p1%8.2f $pk%8.2f ${pk / p1}%7.2f")
+      println(f"${"sq_from_index"}%-22s $s1%8.2f $sk%8.2f ${sk / s1}%7.2f")
     } else if (args.headOption.contains("shards")) {
       // Sharded-IVF law probe (round-6 verdict #5): at a K× corpus, does
       // sharding past S=2 keep recall while relaxing the per-shard driver
