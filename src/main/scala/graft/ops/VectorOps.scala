@@ -1180,14 +1180,16 @@ object VectorOps {
     * assignment, appended into the cell partitions — only the touched
     * cells' partitions gain files ([[appendToIvfPqIndex]]'s shape).
     */
-  def appendToIvfSqIndex(s: SparkSession, db: String, vectors: DataFrame): Unit = {
-    val target = s"`$db`.`$IvfSqCodesTable`"
+  def appendToIvfSqIndex(s: SparkSession, db: String, vectors: DataFrame,
+                         suffix: String = ""): Unit = {
+    val target = s"`$db`.`$IvfSqCodesTable$suffix`"
     val fresh = freshOnly(s, target, vectors.filter(
       col("embedding").isNotNull && size(col("embedding")) > 0))
     val emb = indexableVecs(fresh)
-    val (mins, widths) = loadSqParams(s, db, IvfSqParamsTable)
+    val (mins, widths) = loadSqParams(s, db, IvfSqParamsTable + suffix)
     val celled = sqEncode(fresh, mins, widths).join(
-      assignToCells(emb, s.table(s"`$db`.`$IvfSqCentroidsTable`")), "vec_id")
+      assignToCells(emb,
+        s.table(s"`$db`.`$IvfSqCentroidsTable$suffix`")), "vec_id")
     celled.select(s.table(target).columns.map(col).toIndexedSeq: _*)
       .write.mode("append").insertInto(target)
   }
@@ -1200,6 +1202,70 @@ object VectorOps {
       (s, _) => buildIvfSqIndex(vectors(s), db),
       name = "ivfsq_index_refresh", target = s"$db.$IvfSqCodesTable",
       tags = Map("pipeline" -> "ann-index"))
+
+  /** Sharded IVF-SQ — the COARSE quantizer carries the same ~1M-vector
+    * Lloyd's ceiling that motivates every other sharded composition
+    * (SQ's own min/max training has none), so the hash-slice law applies
+    * unchanged: per-shard centroids + ranges + cell-partitioned codes,
+    * probe-all with the √S budget, exact-cosine merge; S=1 reproduces
+    * the single composed index bit-for-bit.
+    */
+  def buildShardedIvfSqIndex(vectors: DataFrame, db: String,
+                             nShards: Int): Unit = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    for (sh <- 0 until nShards) {
+      val slice = vectors.filter(
+        pmod(xxhash64(col("vec_id")), lit(nShards.toLong)) === sh)
+      require(!slice.isEmpty,
+        s"buildShardedIvfSqIndex: shard $sh of $nShards holds no vectors — " +
+          "the corpus is too small to shard this finely")
+      buildIvfSqIndex(slice, db, suffix = s"_$sh")
+    }
+  }
+
+  /** Serve composed IVF-SQ top-k across a sharded index: per shard, the
+    * stored centroids pick probed cells under the √S shard-noise budget
+    * (no PQ slack — the 8-bit score is near-exact, the single-index
+    * law), the SQ scan reads only those cells' partitions, and the
+    * exact-re-ranked per-shard top-5s merge globally.
+    */
+  def ivfSqCosineTopkFromShardedIndex(s: SparkSession, d: String, db: String,
+                                      nShards: Int): DataFrame = {
+    val emb = t(s, d, "embeddings")
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+    val probes = probesOf(emb)
+    mergeShardTopk((0 until nShards).map { sh =>
+      val cents = s.table(s"`$db`.`${IvfSqCentroidsTable}_$sh`")
+      val (probedCells, cells) = collectProbeCells(s, cents, probes,
+        shardTopkBudget(nShards, cents.count()))
+      val (mins, widths) = loadSqParams(s, db, s"${IvfSqParamsTable}_$sh")
+      searchSq(prunedCodes(s, s"`$db`.`${IvfSqCodesTable}_$sh`", cells),
+        mins, widths, emb, probes, cellFilter = Some(probedCells))
+    })
+  }
+
+  /** Scheduled refresh for the sharded IVF-SQ index (the
+    * [[pqShardedRefreshEntry]] law).
+    */
+  def ivfSqShardedRefreshEntry(id: String, cronExpr: String, db: String,
+                               nShards: Int,
+                               vectors: SparkSession => DataFrame): graft.pipeline.ScheduleRunner.Entry =
+    graft.pipeline.ScheduleRunner.Entry(id,
+      graft.pipeline.CronSchedule.parse(cronExpr),
+      (s, _) => buildShardedIvfSqIndex(vectors(s), db, nShards),
+      name = "ivfsq_sharded_index_refresh",
+      target = s"$db.${IvfSqCodesTable}_0",
+      tags = Map("pipeline" -> "ann-index"))
+
+  /** Sharded IVF-SQ append — route by the builders' hash-slice law,
+    * per-shard frozen-parameter appends ([[appendToShardedIvfPqIndex]]'s
+    * contract). Requires [[appendToIvfSqIndex]] with the shard's
+    * suffixed tables.
+    */
+  def appendToShardedIvfSqIndex(s: SparkSession, db: String, nShards: Int,
+                                vectors: DataFrame): Unit =
+    foreachShardSlice(nShards, vectors)((sh, slice) =>
+      appendToIvfSqIndex(s, db, slice, suffix = s"_$sh"))
 
   /** IVF-PQ — the canonical 100 TB ANN composition: the IVF coarse
     * quantizer prunes WHICH code rows the ADC scan reads (nProbe of

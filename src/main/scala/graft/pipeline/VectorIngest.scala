@@ -96,7 +96,9 @@ object VectorIngest {
         VectorOps.PqCodesTable ->
           ((n: Int) => VectorOps.appendToShardedPqIndex(s, db, n, b)),
         VectorOps.IvfPqCodesTable ->
-          ((n: Int) => VectorOps.appendToShardedIvfPqIndex(s, db, n, b)))
+          ((n: Int) => VectorOps.appendToShardedIvfPqIndex(s, db, n, b)),
+        VectorOps.IvfSqCodesTable ->
+          ((n: Int) => VectorOps.appendToShardedIvfSqIndex(s, db, n, b)))
         .flatMap { case (prefix, f) =>
           val n = shardRun(prefix)
           if (n > 0) Some(s"${prefix}_0" -> (() => f(n))) else None

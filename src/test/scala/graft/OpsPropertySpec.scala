@@ -625,6 +625,82 @@ class OpsPropertySpec extends SparkSpec {
       codesKey(spark.table(s"$dbS.${VectorOps.PqCodesTable}")))
   }
 
+  test("sharded ivf-sq: S=1 bit-equal to the single composed index; " +
+      "S=3 serving scans partition-pruned; composed sharded appends exact") {
+    val emb = Tables.t(spark, sf, "embeddings")
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+    def full(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSeq
+    // S=1 ≡ single composed index, full rows incl. cosines (the
+    // sharded-band equality standard; shardTopkBudget(1, ·) is exactly
+    // the single-index adaptiveProbe budget)
+    val db0 = "ivfsq_shard_single_db"
+    VectorOps.buildIvfSqIndex(emb, db0)
+    val single = full(VectorOps.ivfSqCosineTopkFromIndex(spark, sf, db0).collect())
+    val db1 = "ivfsq_shard_s1_db"
+    VectorOps.buildShardedIvfSqIndex(emb, db1, 1)
+    assert(full(VectorOps.ivfSqCosineTopkFromShardedIndex(spark, sf, db1, 1)
+      .collect()) == single,
+      "S=1 sharded IVF-SQ diverged from the single composed index")
+
+    // S=3 grown by the composed sharded append: per shard, stored state ≡
+    // frozen-parameter encode+assign of ITS hash slice of the union
+    val maxId = emb.agg(max("vec_id")).head.getLong(0)
+    val t0 = maxId * 2 / 3
+    val dbS = "ivfsq_shard_s3_db"
+    VectorOps.buildShardedIvfSqIndex(emb.filter(col("vec_id") <= t0), dbS, 3)
+    VectorOps.appendToShardedIvfSqIndex(spark, dbS, 3,
+      emb.filter(col("vec_id") > t0))
+    def key(df: org.apache.spark.sql.DataFrame) = {
+      val cols = df.columns.sorted.toIndexedSeq
+      df.select(cols.map(col): _*).collect().map(_.toSeq).sortBy(_.toString).toSeq
+    }
+    for (sh <- 0 until 3) {
+      val slice = emb.filter(pmod(xxhash64(col("vec_id")), lit(3L)) === sh)
+      val (mins, widths) = VectorOps.loadSqParams(spark, dbS,
+        s"${VectorOps.IvfSqParamsTable}_$sh")
+      val expect = VectorOps.sqEncode(slice, mins, widths)
+        .join(VectorOps.assignToCells(
+          slice.select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("vec")),
+          spark.table(s"$dbS.${VectorOps.IvfSqCentroidsTable}_$sh")), "vec_id")
+      assert(key(spark.table(s"$dbS.${VectorOps.IvfSqCodesTable}_$sh")) ==
+        key(expect), s"ivf-sq shard $sh diverged after the sharded append")
+    }
+    // every shard's serving scan is statically pruned to its probed cells
+    val served = VectorOps.ivfSqCosineTopkFromShardedIndex(spark, sf, dbS, 3)
+    val codeScans = served.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.tableIdentifier.exists(_.table.startsWith(
+            VectorOps.IvfSqCodesTable)) => f
+    }
+    assert(codeScans.size == 3, s"expected 3 shard code scans, got ${codeScans.size}")
+    codeScans.foreach { f =>
+      val pruning = f.partitionFilters.filter(e =>
+        e.references.exists(_.name == "cell") &&
+          !e.toString.toLowerCase.startsWith("isnotnull"))
+      assert(pruning.nonEmpty,
+        s"shard code scan not partition-pruned: ${f.partitionFilters}")
+    }
+    val rows = served.collect()
+    assert(rows.length == 25)
+    rows.filter(_.getAs[Int]("rnk") == 1).foreach(r =>
+      assert(r.getAs[Long]("probe_id") == r.getAs[Long]("neighbor_id")))
+
+    // scheduled sharded refresh rebuilds a dropped shard and serves
+    import java.time.LocalDateTime
+    import graft.pipeline.ScheduleRunner
+    spark.sql(s"DROP TABLE $dbS.${VectorOps.IvfSqCodesTable}_1")
+    val entry = VectorOps.ivfSqShardedRefreshEntry("ivfsq-sh", "0 4 * * *",
+      dbS, 3, s => Tables.t(s, sf, "embeddings"))
+    val tt = LocalDateTime.parse("2026-01-01T00:00:00")
+    assert(new ScheduleRunner(Seq(entry), startAt = tt)
+      .tick(spark, tt.plusHours(4)) == Seq("ivfsq-sh"))
+    assert(VectorOps.ivfSqCosineTopkFromShardedIndex(spark, sf, dbS, 3)
+      .collect().length == 25)
+  }
+
   test("ivf-pq: cell-pruned ADC scan, self-hit via exact re-rank, recall " +
       "holds the flat-pq floor") {
     val frame = VectorOps.ivfPqTopkFrame(spark, sf)
