@@ -845,19 +845,9 @@ object VectorOps {
     * bit-for-bit (spec-tested, the sharded-band equality standard).
     */
   def buildShardedPqIndex(vectors: DataFrame, db: String, nShards: Int,
-                          subDim: Int = OracleDims / PqSubspaces): Unit = {
-    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    for (sh <- 0 until nShards) {
-      val slice = vectors.filter(
-        pmod(xxhash64(col("vec_id")), lit(nShards.toLong)) === sh)
-      // an empty hash slice (corpus smaller than the shard grid) would
-      // train an empty codebook and fail obscurely at serve time
-      require(!slice.isEmpty,
-        s"buildShardedPqIndex: shard $sh of $nShards holds no vectors — " +
-          "the corpus is too small to shard this finely")
-      buildPqIndex(slice, db, subDim, suffix = s"_$sh")
-    }
-  }
+                          subDim: Int = OracleDims / PqSubspaces): Unit =
+    foreachShardSlice(nShards, vectors, Some("buildShardedPqIndex"))(
+      (sh, slice) => buildPqIndex(slice, db, subDim, suffix = s"_$sh"))
 
   /** Serve PQ top-k across a sharded index: per-shard exact-re-ranked
     * top-5s union into one global rank (exact cosine → trivially correct
@@ -1211,17 +1201,9 @@ object VectorOps {
     * the single composed index bit-for-bit.
     */
   def buildShardedIvfSqIndex(vectors: DataFrame, db: String,
-                             nShards: Int): Unit = {
-    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    for (sh <- 0 until nShards) {
-      val slice = vectors.filter(
-        pmod(xxhash64(col("vec_id")), lit(nShards.toLong)) === sh)
-      require(!slice.isEmpty,
-        s"buildShardedIvfSqIndex: shard $sh of $nShards holds no vectors — " +
-          "the corpus is too small to shard this finely")
-      buildIvfSqIndex(slice, db, suffix = s"_$sh")
-    }
-  }
+                             nShards: Int): Unit =
+    foreachShardSlice(nShards, vectors, Some("buildShardedIvfSqIndex"))(
+      (sh, slice) => buildIvfSqIndex(slice, db, suffix = s"_$sh"))
 
   /** Serve composed IVF-SQ top-k across a sharded index: per shard, the
     * stored centroids pick probed cells under the √S shard-noise budget
@@ -1330,17 +1312,9 @@ object VectorOps {
     * single composed index bit-for-bit.
     */
   def buildShardedIvfPqIndex(vectors: DataFrame, db: String, nShards: Int,
-                             subDim: Int = OracleDims / PqSubspaces): Unit = {
-    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    for (sh <- 0 until nShards) {
-      val slice = vectors.filter(
-        pmod(xxhash64(col("vec_id")), lit(nShards.toLong)) === sh)
-      require(!slice.isEmpty,
-        s"buildShardedIvfPqIndex: shard $sh of $nShards holds no vectors — " +
-          "the corpus is too small to shard this finely")
-      buildIvfPqIndex(slice, db, subDim, suffix = s"_$sh")
-    }
-  }
+                             subDim: Int = OracleDims / PqSubspaces): Unit =
+    foreachShardSlice(nShards, vectors, Some("buildShardedIvfPqIndex"))(
+      (sh, slice) => buildIvfPqIndex(slice, db, subDim, suffix = s"_$sh"))
 
   /** Serve composed IVF-PQ top-k across a sharded index: per shard, the
     * stored centroids pick probed cells under the IVF-PQ slack × the √S
@@ -1499,12 +1473,25 @@ object VectorOps {
     foreachShardSlice(nShards, vectors)((sh, slice) =>
       appendToIvfPqIndex(s, db, slice, suffix = s"_$sh"))
 
-  private def foreachShardSlice(nShards: Int, vectors: DataFrame)
+  /** Deterministic hash-slice iteration — the ONE definition of shard
+    * membership every sharded builder and append composes, so the law can
+    * never drift between build and append. `requireNonEmpty` names the
+    * calling BUILDER: an empty hash slice (corpus smaller than the shard
+    * grid) would train an empty index and fail obscurely at serve time;
+    * appends pass None — a batch legitimately misses some shards.
+    */
+  private def foreachShardSlice(nShards: Int, vectors: DataFrame,
+                                requireNonEmpty: Option[String] = None)
                                (f: (Int, DataFrame) => Unit): Unit = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    for (sh <- 0 until nShards)
-      f(sh, vectors.filter(
-        pmod(xxhash64(col("vec_id")), lit(nShards.toLong)) === sh))
+    for (sh <- 0 until nShards) {
+      val slice = vectors.filter(
+        pmod(xxhash64(col("vec_id")), lit(nShards.toLong)) === sh)
+      requireNonEmpty.foreach(caller => require(!slice.isEmpty,
+        s"$caller: shard $sh of $nShards holds no vectors — " +
+          "the corpus is too small to shard this finely"))
+      f(sh, slice)
+    }
   }
 
   /** Serve composed IVF-PQ top-k from the stored index: centroid scoring
@@ -1671,20 +1658,16 @@ object VectorOps {
     * run them serially or as separate submissions).
     */
   def buildShardedIvfIndex(vectors: DataFrame, db: String, nShards: Int,
-                           iterations: Int = 2): Unit = {
-    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    for (sh <- 0 until nShards) {
-      val slice = vectors.filter(
-        pmod(xxhash64(col("vec_id")), lit(nShards.toLong)) === sh)
-      require(!slice.isEmpty,
-        s"buildShardedIvfIndex: shard $sh of $nShards holds no vectors — " +
-          "the corpus is too small to shard this finely")
-      val cells = adaptiveIvfCells(slice.count())
-      val (assignments, centroids) = ivfIndex(slice, cells, iterations)
-      graft.store.Warehouse.saveModel(assignments, db, s"${IvfAssignmentsTable}_$sh")
-      graft.store.Warehouse.saveModel(centroids, db, s"${IvfCentroidsTable}_$sh")
+                           iterations: Int = 2): Unit =
+    foreachShardSlice(nShards, vectors, Some("buildShardedIvfIndex")) {
+      (sh, slice) =>
+        val cells = adaptiveIvfCells(slice.count())
+        val (assignments, centroids) = ivfIndex(slice, cells, iterations)
+        graft.store.Warehouse.saveModel(assignments, db,
+          s"${IvfAssignmentsTable}_$sh")
+        graft.store.Warehouse.saveModel(centroids, db,
+          s"${IvfCentroidsTable}_$sh")
     }
-  }
 
   /** Per-shard probe budget for the sharded corpus DEDUP. A shard's
     * quantizer trains on n/S samples, so its centroid estimates — and with

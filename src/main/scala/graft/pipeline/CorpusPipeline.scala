@@ -273,7 +273,7 @@ object CorpusPipeline {
     * its lease (expired + taken over while stalled) stops BEFORE its next
     * stage write.
     */
-  private def renewLease(s: SparkSession, db: String, token: String): Unit = {
+  private[pipeline] def renewLease(s: SparkSession, db: String, token: String): Unit = {
     if (!leaseOf(s, db).exists(_._1 == token))
       throw new LeaseHeldException(
         "lease lost (expired and taken over) — aborting before the next " +
@@ -776,22 +776,33 @@ object CorpusPipeline {
     val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def pin(df: DataFrame): DataFrame = { pinned += df; df }
     try {
-      if (epochId >= 0 && {
-        val props = dbProps(s, db)
-        // committed floor = the per-source key, falling back to the
-        // pre-r10 SCALAR ledger (single-stream by its own documented
-        // contract) — a db carried across the key change must not
-        // re-process its last committed epoch (the append-only guard
-        // would refuse it and wedge the restarted stream). The commit
-        // below RETIRES the scalar key on the first per-source commit,
-        // bounding the window in which it could mask a different
-        // source's first epochs.
-        props.get(epochProp(srcTag)).filter(_.nonEmpty)
-          .orElse(props.get(LastEpochProp).filter(_.nonEmpty))
-          .map(_.toLong).exists(_ >= epochId)
-      }) return // committed-epoch replay: everything already landed
+      val props = dbProps(s, db)
+      if (epochId >= 0 &&
+          props.get(epochProp(srcTag)).filter(_.nonEmpty)
+            .map(_.toLong).exists(_ >= epochId))
+        return // committed-epoch replay: everything already landed
       val bounds = batch.agg(min("doc_id"), max("doc_id")).head
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      // Migration from the pre-r10 SCALAR ledger (single-stream by its
+      // own documented contract): a restarted legacy stream redelivering
+      // its committed epoch must be skipped, or the append-only guard
+      // would wedge it — but the scalar carries no source attribution,
+      // so it may only ever suppress a batch that is PROVABLY a
+      // redelivery: ids entirely inside the already-ingested range. A
+      // fresh batch (a NEW source, or new data) falls through and
+      // ingests normally — the scalar must never swallow first-contact
+      // data. On a hit, the scalar MIGRATES to this source's key and
+      // retires, so it can mask nothing else afterwards.
+      if (epochId >= 0 &&
+          props.get(epochProp(srcTag)).forall(_.isEmpty) && {
+        val legacy = props.get(LastEpochProp).filter(_.nonEmpty).map(_.toLong)
+        val ingested = props.get(MaxDocIdProp).filter(_.nonEmpty).map(_.toLong)
+        legacy.exists(_ >= epochId) && ingested.exists(hi <= _) && {
+          setDbProp(s, db, epochProp(srcTag), legacy.get.toString)
+          setDbProp(s, db, LastEpochProp, "")
+          true
+        }
+      }) return // legacy-committed replay: landed pre-upgrade
       dbProps(s, db).get(MaxDocIdProp).filter(_.nonEmpty).map(_.toLong)
         .foreach(storedMax => require(lo > storedMax,
           s"corpusIngestBatch: batch min id $lo <= ingested max " +
@@ -820,15 +831,8 @@ object CorpusPipeline {
       // batch stale; replay is a ledger no-op; the guard catches up on
       // the next batch). Every append and stamp above still precedes the
       // commit.
-      if (epochId >= 0) {
+      if (epochId >= 0)
         setDbProp(s, db, epochProp(srcTag), epochId.toString)
-        // the legacy scalar ledger has served its migration purpose once
-        // any per-source commit lands: clear it, or it would keep acting
-        // as a committed floor for every OTHER source and silently mask a
-        // NEW stream's first epochs on this db
-        if (dbProps(s, db).get(LastEpochProp).exists(_.nonEmpty))
-          setDbProp(s, db, LastEpochProp, "")
-      }
       setDbProp(s, db, MaxDocIdProp, hi.toString)
     } finally {
       pinned.foreach(df =>

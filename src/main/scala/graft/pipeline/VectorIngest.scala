@@ -52,13 +52,15 @@ object VectorIngest {
                         failAfter: Option[String] = None): Unit = {
     if (batch.isEmpty) return
     graft.store.Warehouse.ensureDatabase(s, db)
-    // pin the batch once: the bounds agg plus every family's
-    // freshOnly probe + encode/assign scan re-reads it (~2 + 2 consumers
-    // per family) — with a non-trivial upstream, an unpersisted frame
-    // would recompute that upstream for each (the corpusIngestBatch pin,
-    // applied here)
-    val b = batch.persist()
     val lease = CorpusPipeline.acquireLease(s, db)
+    // pin the batch once, INSIDE the lease scope: the bounds agg plus
+    // every family's freshOnly probe + encode/assign scan re-reads it
+    // (~2 + 2 consumers per family) — with a non-trivial upstream, an
+    // unpersisted frame would recompute that upstream for each (the
+    // corpusIngestBatch pin). Persisting before acquisition would leak
+    // the cache entry on every lost-lease exception (the unpersist lives
+    // in this try's finally).
+    val b = batch.persist()
     try {
       if (epochId >= 0 &&
           CorpusPipeline.dbProps(s, db).get(epochProp(srcTag))
@@ -110,6 +112,13 @@ object VectorIngest {
           "(buildIvfIndex/buildPqIndex/buildIvfPqIndex) before streaming " +
           "into it")
       present.foreach { case (table, append) =>
+        // re-assert lease ownership at every family boundary — the same
+        // fencing structure the corpus pipeline has at stage boundaries.
+        // Without this, vectorIngestBatch had NO abort point between
+        // acquisition and release, so a racer admitted by the residual
+        // acquisition window could run every append concurrently; with
+        // it, a fenced-out runner stops before its next family write.
+        CorpusPipeline.renewLease(s, db, lease)
         append()
         if (failAfter.contains(table))
           throw new RuntimeException(s"test failpoint after $table append")

@@ -593,8 +593,9 @@ class CorpusPipelineSpec extends SparkSpec {
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
   }
 
-  test("legacy scalar epoch ledger: honored as the committed floor for a " +
-      "restarted stream, then retired on the first per-source commit") {
+  test("legacy scalar epoch ledger: suppresses only PROVABLE redeliveries " +
+      "(ids inside the ingested range), migrates to the replaying source " +
+      "and retires; never masks fresh first-contact data") {
     import org.apache.spark.sql.functions.{col, max => smax}
     import spark.implicits._
     val db = "graft_corpus_legacy"
@@ -603,35 +604,45 @@ class CorpusPipelineSpec extends SparkSpec {
     val maxId = docs.agg(smax("doc_id")).head.getLong(0)
     val t0 = maxId / 2
     CorpusPipeline.runFresh(spark, docs.filter(col("doc_id") <= t0), sf, db)
-    val rest = docs.filter(col("doc_id") > t0)
-      .select("doc_id", "text", "lang", "source", "n_chars")
-      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
     def toDf(x: Seq[(Long, String, String, String, Long)]) =
       x.toDF("doc_id", "text", "lang", "source", "n_chars")
-    val (b0, b1) = rest.splitAt(rest.length / 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+    val old = rows(docs.filter(col("doc_id") <= t0)) // pre-upgrade range
+    val (b0, b1) = rows(docs.filter(col("doc_id") > t0)).splitAt(
+      rows(docs.filter(col("doc_id") > t0)).length / 2)
+    def props = spark.sessionState.catalog.getDatabaseMetadata(db).properties
     // simulate a pre-upgrade db: the SCALAR ledger says epoch 3 committed
     spark.sql(s"ALTER DATABASE `$db` SET DBPROPERTIES " +
       s"('${CorpusPipeline.LastEpochProp}'='3')")
     val before = spark.table(s"`$db`.`s1_clean`").count()
-    // the restarted stream redelivers its committed epoch 3: the
-    // fallback must classify it as a replay (a miss would trip the
-    // append-only guard on a REAL redelivery; here it would append)
-    CorpusPipeline.corpusIngestBatch(spark, "legacyStream", toDf(b0.toIndexedSeq),
-      db, epochId = 3L)
-    assert(spark.table(s"`$db`.`s1_clean`").count() == before,
-      "legacy-committed epoch was re-processed")
-    // the stream advances: epoch 4 ingests, and the commit RETIRES the
-    // scalar key
-    CorpusPipeline.corpusIngestBatch(spark, "legacyStream", toDf(b0.toIndexedSeq),
-      db, epochId = 4L)
-    val afterAdvance = spark.table(s"`$db`.`s1_clean`").count()
-    assert(afterAdvance > before)
-    // a NEW second stream's first epochs must no longer be masked by the
-    // retired scalar (0 <= 3 would have been skipped under the fallback)
-    CorpusPipeline.corpusIngestBatch(spark, "newStream", toDf(b1.toIndexedSeq),
+    // a NEW stream's FRESH data at epoch 0 ≤ 3: the scalar must NOT mask
+    // first-contact data (its ids lie beyond the ingested range — this
+    // cannot be a redelivery, so a skip here would be silent data loss)
+    CorpusPipeline.corpusIngestBatch(spark, "newStream", toDf(b0.toIndexedSeq),
       db, epochId = 0L)
-    assert(spark.table(s"`$db`.`s1_clean`").count() > afterAdvance,
-      "the retired legacy ledger still masked a new stream's first epoch")
+    val afterNew = spark.table(s"`$db`.`s1_clean`").count()
+    assert(afterNew > before,
+      "the legacy scalar masked a new stream's first-contact data")
+    // the legacy stream redelivers its committed epoch 3 with ids wholly
+    // INSIDE the pre-upgrade range: provably a redelivery → skipped, and
+    // the scalar MIGRATES to this source's key and retires
+    CorpusPipeline.corpusIngestBatch(spark, "legacyStream",
+      toDf(old.toIndexedSeq), db, epochId = 3L)
+    assert(spark.table(s"`$db`.`s1_clean`").count() == afterNew,
+      "a provable legacy redelivery was re-processed")
+    assert(!props.get(CorpusPipeline.LastEpochProp).exists(_.nonEmpty),
+      "the scalar ledger must retire on migration")
+    // the migrated stream advances normally...
+    CorpusPipeline.corpusIngestBatch(spark, "legacyStream",
+      toDf(b1.toIndexedSeq), db, epochId = 4L)
+    val afterAdvance = spark.table(s"`$db`.`s1_clean`").count()
+    assert(afterAdvance > afterNew)
+    // ...and its old-epoch replays keep skipping via the MIGRATED key
+    CorpusPipeline.corpusIngestBatch(spark, "legacyStream",
+      toDf(old.toIndexedSeq), db, epochId = 3L)
+    assert(spark.table(s"`$db`.`s1_clean`").count() == afterAdvance)
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
   }
 
