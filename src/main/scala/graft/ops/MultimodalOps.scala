@@ -276,9 +276,12 @@ object MultimodalOps {
     parseWav(p).orElse(parseMp4(p))
 
   /** The WAV data chunk as signed 16-bit LE samples (the format the
-    * [[craftAvHeader]] header declares): chunk walk identical to
-    * [[parseWav]]'s, trailing odd byte dropped (a 16-bit frame needs both
-    * halves). None for a non-WAV or truncated container.
+    * [[craftAvHeader]] header declares): chunk walk as in [[parseWav]]
+    * but stricter — a chunk whose declared size exceeds the REMAINING
+    * bytes (EOF-truncated, not merely absurd) is also refused, because
+    * this path reads the payload, not just the header. Trailing odd byte
+    * dropped (a 16-bit frame needs both halves). None for a non-WAV or
+    * truncated container.
     */
   private[graft] def wavPcm(p: Array[Byte]): Option[Array[Int]] = {
     if (p.length < 12 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
@@ -287,9 +290,9 @@ object MultimodalOps {
     while (i + 8 <= p.length) {
       val id = new String(p.slice(i, i + 4), "US-ASCII")
       val sz = le32(p, i + 4).toLong & 0xffffffffL
-      if (sz > p.length) return None
+      if (i + 8 + sz > p.length) return None
       if (id == "data") {
-        val end = math.min(i + 8 + sz.toInt, p.length)
+        val end = i + 8 + sz.toInt
         val n = (end - (i + 8)) / 2
         val out = new Array[Int](n)
         var j = 0

@@ -264,6 +264,17 @@ object CorpusPipeline {
         throw new LeaseHeldException(
           "lost the lease acquisition race (overwritten during the " +
             "verification window) — another run acquired first")
+    } else {
+      // Fresh-path second verify, sleep-free: the extra catalog
+      // round-trip itself is the separation. It shrinks the residual
+      // A-set/A-verify/B-set overlap to a single set/read-back gap
+      // without taxing per-micro-batch streaming acquisitions with a
+      // driver sleep; the first renewLease fence (before any stage
+      // write) bounds whatever remains.
+      if (!leaseOf(s, db).exists(_._1 == token))
+        throw new LeaseHeldException(
+          "lost the lease acquisition race (overwritten during the " +
+            "verification window) — another run acquired first")
     }
     token
   }
@@ -798,9 +809,27 @@ object CorpusPipeline {
         val legacy = props.get(LastEpochProp).filter(_.nonEmpty).map(_.toLong)
         val ingested = props.get(MaxDocIdProp).filter(_.nonEmpty).map(_.toLong)
         legacy.exists(_ >= epochId) && ingested.exists(hi <= _) && {
-          setDbProp(s, db, epochProp(srcTag), legacy.get.toString)
-          setDbProp(s, db, LastEpochProp, "")
-          true
+          // A new stream starts at epoch 0, so `legacyEpoch >= epochId`
+          // alone proves little — demand CONTENT proof too: every text
+          // hash of the batch must already sit in the persisted hash
+          // index. A misconfigured NEW source whose ids merely overlap
+          // the ingested range fails this and falls through to the
+          // loud append-only guard instead of being silently swallowed.
+          val known = s.table(fq(db, HashIndexTable))
+          val allKnown = batch
+            .select(sha2(lower(trim(col("text"))), 256).as("h")).distinct()
+            .join(known, Seq("h"), "left_anti").isEmpty
+          allKnown && {
+            System.err.println(
+              s"[corpus-pipeline] WARNING: legacy scalar ledger " +
+                s"(epoch ${legacy.get}) migrated to source key " +
+                s"'$srcTag' on a proven redelivery (ids [$lo,$hi] " +
+                s"inside ingested range, all text hashes known); " +
+                s"batch epoch $epochId skipped")
+            setDbProp(s, db, epochProp(srcTag), legacy.get.toString)
+            setDbProp(s, db, LastEpochProp, "")
+            true
+          }
         }
       }) return // legacy-committed replay: landed pre-upgrade
       dbProps(s, db).get(MaxDocIdProp).filter(_.nonEmpty).map(_.toLong)

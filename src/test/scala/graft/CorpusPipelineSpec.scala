@@ -625,6 +625,20 @@ class CorpusPipelineSpec extends SparkSpec {
     val afterNew = spark.table(s"`$db`.`s1_clean`").count()
     assert(afterNew > before,
       "the legacy scalar masked a new stream's first-contact data")
+    // a MISCONFIGURED new source whose ids overlap the ingested range but
+    // whose CONTENT was never ingested: the content proof (all text
+    // hashes known) fails → falls through to the loud append-only guard
+    // instead of a silent skip, and the scalar must NOT migrate
+    val rogue = old.take(3).map { case (id, _, l, s, n) =>
+      (id, s"rogue-first-contact-text-$id", l, s, n) }
+    val rogueErr = intercept[IllegalArgumentException] {
+      CorpusPipeline.corpusIngestBatch(spark, "rogueStream",
+        toDf(rogue.toIndexedSeq), db, epochId = 1L)
+    }
+    assert(rogueErr.getMessage.contains("append-only"),
+      "an overlapping-but-not-identical batch must trip the loud guard")
+    assert(props.get(CorpusPipeline.LastEpochProp).exists(_.nonEmpty),
+      "the scalar ledger must not migrate on a failed content proof")
     // the legacy stream redelivers its committed epoch 3 with ids wholly
     // INSIDE the pre-upgrade range: provably a redelivery → skipped, and
     // the scalar MIGRATES to this source's key and retires

@@ -1290,6 +1290,12 @@ class OpsPropertySpec extends SparkSpec {
     val bad = wav.clone()
     bad(40) = 0x7f; bad(41) = 0x7f; bad(42) = 0x7f; bad(43) = 0x7f
     assert(MultimodalOps.wavPcm(bad).isEmpty)
+    // EOF-truncated data chunk: declared size exceeds the REMAINING
+    // bytes while staying <= the total file length — refused loudly,
+    // never silently shortened to the bytes present
+    val trunc = wav.dropRight(2)
+    assert(MultimodalOps.wavPcm(trunc).isEmpty,
+      "an EOF-truncated data chunk must be refused, not shortened")
   }
 
   test("sampling/mixing push WindowGroupLimit; packing never single-partitions") {
