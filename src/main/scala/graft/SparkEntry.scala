@@ -132,6 +132,7 @@ object SparkEntry {
     }),
     "q_corpus_clean_ppx"    -> ((s: SparkSession, d: String) => TextOps.corpusCleanPerplexity(s, d)),
     "q_span_coverage"       -> ((s: SparkSession, d: String) => TextOps.spanCoverage(s, d)),
+    "q_substring_dedup"     -> (TextOps.substringDedup _),
     "q_semantic_decontam"   -> ((s: SparkSession, d: String) => VectorOps.semanticDecontam(s, d)),
     "q_token_budget_select" -> ((s: SparkSession, d: String) => SamplingOps.tokenBudgetSelect(s, d)),
     "q_dedup_incremental"   -> (IncrementalDedup.dedupIncrement _),
@@ -1513,6 +1514,55 @@ object SparkEntry {
         |       CASE WHEN COALESCE(covc.covered, 0) * 5 < nt.n_tokens
         |            THEN 1 ELSE 0 END AS keep
         |FROM nt LEFT JOIN covc USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // substring-extent dedup (Lee et al. 2021 output-corpus operator):
+    // the oracle replays seed set (duplicated 5-grams, per-doc DISTINCT),
+    // interval-union extension (covered flag + lag run starts) and cut
+    // arithmetic (runs → one chr(9247) marker, survivors re-joined) —
+    // every column incl. the rewritten text is compared cell-for-cell
+    "q_substring_dedup" ->
+      """WITH base AS (
+        |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |    FROM documents
+        |), pos AS (
+        |    SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p,
+        |           unnest(toks) AS tok
+        |    FROM base
+        |), st AS (
+        |    SELECT doc_id,
+        |           unnest(range(1, len(toks) - 3)) AS pos,
+        |           unnest(list_transform(range(1, len(toks) - 3),
+        |                  i -> array_to_string(toks[i:i+4], ' '))) AS g
+        |    FROM base WHERE len(toks) >= 5
+        |), dup AS (
+        |    SELECT g FROM (SELECT DISTINCT doc_id, g FROM st)
+        |    GROUP BY g HAVING COUNT(*) >= 2
+        |), cov AS (
+        |    SELECT DISTINCT doc_id, p FROM (
+        |        SELECT doc_id, unnest(range(pos, pos + 5)) AS p
+        |        FROM st WHERE g IN (SELECT g FROM dup))
+        |), m AS (
+        |    SELECT pos.doc_id, pos.p, pos.tok,
+        |           cov.p IS NOT NULL AS covered
+        |    FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id
+        |                          AND pos.p = cov.p
+        |), r AS (
+        |    SELECT *, covered AND NOT COALESCE(
+        |               LAG(covered) OVER (PARTITION BY doc_id ORDER BY p),
+        |               false) AS new_span
+        |    FROM m
+        |)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_removed,
+        |       CAST(SUM(CASE WHEN new_span THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_spans,
+        |       array_to_string(list(
+        |           CASE WHEN new_span THEN chr(9247)
+        |                WHEN NOT covered THEN tok END ORDER BY p)
+        |           FILTER (WHERE new_span OR NOT covered), ' ')
+        |           AS text_clean
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // quality-ranked prefix that fits the token budget; the micro-ratio
     // quality key is integer arithmetic on both sides (div / //)
     "q_token_budget_select" ->

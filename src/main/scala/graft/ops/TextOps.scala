@@ -874,6 +874,88 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Marker token spliced in where a repeated extent was cut out by
+    * [[substringDedup]] (U+241F SYMBOL FOR UNIT SEPARATOR): keeps the two
+    * fragment edges from forming NEW n-gram adjacencies across the cut, so
+    * the no-surviving-repeat guarantee is exact, and makes the fragment
+    * boundaries recoverable downstream.
+    */
+  val SpanCutMarker = "␟"
+
+  /** Exact substring-extent dedup — the OUTPUT-CORPUS operator of Lee et
+    * al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better"): [[repeatedSpans]]/[[spanCoverage]] only SCORE repeated
+    * grams; this operator EXCISES every maximal corpus-repeated extent
+    * and rewrites the text. Construction:
+    *
+    *  1. seed: every n-gram start whose gram appears in >= 2 documents
+    *     (the [[spanCoverage]] duplicated-gram set — per-doc DISTINCT
+    *     before the count, so hot grams cost one row per doc);
+    *  2. extension: seeds n-1 apart or closer overlap, so the union of
+    *     their [pos, pos+n-1] token intervals merges chained duplicated
+    *     grams into MAXIMAL extents — computed relationally: a covered
+    *     flag per token position, run starts via a doc-keyed `lag`;
+    *  3. cut: covered runs are replaced by a single [[SpanCutMarker]]
+    *     token, survivors re-joined with single spaces.
+    *
+    * Exactness (the property OpsPropertySpec asserts): a surviving n-gram
+    * of real tokens is n consecutive uncovered source positions; were it
+    * corpus-duplicated, its own start seed would have covered them —
+    * contradiction. Grams spanning a cut contain the marker and cannot
+    * equal any source gram. So NO n-token corpus-repeated span survives
+    * anywhere in the output corpus.
+    *
+    * Scale shape: one gram-keyed token-volume shuffle (the dup count —
+    * same as [[spanCoverage]]), then everything rides ONE doc_id
+    * partitioning: the position frame shuffles on doc_id for the lag
+    * window and the final group reuses that exchange (window partition
+    * key = groupBy key). No self-joins, no position×span quadratics, no
+    * driver collection.
+    */
+  def substringDedupFor(docs: DataFrame, n: Int = SpanNgram): DataFrame = {
+    val docsT = withTokens(docs)
+    val pos = docsT.select(col("doc_id"),
+        posexplode(col("tokens")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+    val st = docsT.filter(size(col("tokens")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(tokens) - ${n - 1}), " +
+          s"i -> struct(i AS pos, concat_ws(' ', slice(tokens, i, $n)) AS g))"))
+        .as("sg"))
+      .select(col("doc_id"), col("sg.pos").as("pos"), col("sg.g").as("g"))
+    val dup = st.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    val cov = st.join(dup, Seq("g"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .distinct()
+    val marked = pos
+      .join(cov.withColumn("covered", lit(true)), Seq("doc_id", "p"), "left")
+      .withColumn("covered", coalesce(col("covered"), lit(false)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+    marked
+      .withColumn("new_span", (col("covered") &&
+        !coalesce(lag(col("covered"), 1).over(w), lit(false))).cast("int"))
+      .withColumn("out_tok",
+        when(col("new_span") === 1, lit(SpanCutMarker))
+          .when(!col("covered"), col("tok")))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("covered").cast("long")).as("n_removed"),
+        sum(col("new_span").cast("long")).as("n_spans"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(" +
+            "CASE WHEN out_tok IS NOT NULL THEN struct(p, out_tok) END))," +
+            " x -> x.out_tok)")).as("text_clean"))
+      .orderBy("doc_id")
+  }
+
+  def substringDedup(s: SparkSession, d: String): DataFrame =
+    substringDedupFor(t(s, d, "documents"))
+
   /** [[corpusClean]] with the perplexity gate composed in — the OPTIONAL
     * extra stage a CCNet-style pipeline adds after exact-dedup + heuristic
     * quality: only documents the corpus-trained bigram LM flags as fluent
