@@ -82,6 +82,7 @@ object SparkEntry {
     "q_dedup_clusters"      -> (GraphOps.dedupClusters _),
     "q_dedup_minhash"       -> (TextOps.dedupMinhash _),
     "q_dedup_survivors"     -> (TextOps.dedupSurvivors _),
+    "q_dedup_clusters_incremental" -> (graft.ops.IncrementalClusters.dedupClustersIncremental _),
     "q_dedup_best_of_cluster" -> (TextOps.dedupBestOfCluster _),
     "q_simhash"             -> (TextOps.simhash _),
     "q_simhash_near_dup"    -> (TextOps.simhashNearDup _),
@@ -726,6 +727,11 @@ object SparkEntry {
         "norm_sq_micro" -> true)),
     "q_dedup_survivors" ->
       survivorOracle("text_pairs", "documents", "doc_id", "doc_id"),
+    // incrementally-maintained cluster state: the oracle replays the
+    // closure over the FRESH full-corpus pair set, so a pass proves the
+    // append path landed bit-equal to a from-scratch survivors run
+    "q_dedup_clusters_incremental" ->
+      survivorOracle("inc_cluster_pairs", "documents", "doc_id", "doc_id"),
     // same closure, but the cluster representative is the BEST doc
     // (most whitespace tokens, id tie-break) — the oracle replays the
     // argmax over the same materialized pairs

@@ -125,6 +125,52 @@ class OpsPropertySpec extends SparkSpec {
     assert(served.count() > 0)
   }
 
+  test("incremental cluster maintenance: appended state bit-equal to a " +
+      "fresh survivors run; unaffected partitions file-bit-identical") {
+    import graft.ops.{IncrementalClusters, IncrementalDedup}
+    val db = "graft_inc_clusters_spec"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    graft.store.Warehouse.ensureDatabase(spark, db)
+    val corpus = IncrementalClusters.corpusDocsRange(spark, sf)
+    val batch = IncrementalClusters.batchDocsRange(spark, sf)
+    IncrementalClusters.buildClusterState(spark, corpus, db)
+    // snapshot every partition's files (name, length, mtime) pre-append
+    val whDir = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val tblDir = new java.io.File(s"$whDir/$db.db/cluster_labels")
+    def fileState(): Map[String, Seq[(String, Long, Long)]] =
+      Option(tblDir.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("part="))
+        .map(d => d.getName -> d.listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length(), f.lastModified())).toSeq.sorted)
+        .toMap
+    val before = fileState()
+    assert(before.nonEmpty)
+    IncrementalClusters.appendBatchClusters(spark, batch,
+      graft.ops.TextOps.bandsOfDocs(corpus), db)
+    val after = fileState()
+    // bit-equality with a from-scratch full-corpus run
+    val inc = IncrementalClusters.clusterState(spark, db).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val fresh = TextOps.dedupSurvivors(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(inc == fresh,
+      "incrementally-maintained labeling diverged from the fresh run")
+    // partitions untouched by the append keep their exact files; at least
+    // one partition must be untouched AND at least one rewritten, or the
+    // stability claim is vacuous
+    val untouched = before.keySet.filter(p => after.get(p).contains(before(p)))
+    val rewritten = before.keySet.filter(p =>
+      after.contains(p) && !after.get(p).contains(before(p)))
+    assert(rewritten.nonEmpty || after.keySet != before.keySet,
+      "append rewrote nothing — the fixture split produced no merges")
+    assert(untouched.nonEmpty,
+      "every partition was rewritten — the partition-scoped rewrite " +
+        "is not actually pruning")
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
   test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
     val once = TextOps.dedupExactText(spark, sf)
     assert(once.count() == once.distinct().count())
