@@ -1115,4 +1115,239 @@ object MultimodalOps {
     extractMeta(mediaFromDocuments(s, d), withFeatures = false)
       .select(col("docId").as("doc_id"), col("format"), col("width"), col("height"))
       .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- video
+  // Frame sampling from the MP4 sample tables — the video leg's primitive
+  // without touching H.264: stts (decode deltas, run-length) gives every
+  // sample's timestamp, stsz its byte size, stsc+stco its file offset
+  // (chunk base + intra-chunk prefix sum). ISO/IEC 14496-12 box layout.
+
+  final case class FrameRow(docId: Long, frameIdx: Long, tsMs: Long,
+                            offset: Long, size: Long)
+
+  /** Craft an MP4 with a full sample-table track:
+    * ftyp + moov{mvhd, trak{mdia{mdhd, minf{stbl{stts, stsc, stsz,
+    * stco}}}}}. All parameters are doc_id arithmetic the oracle
+    * recomputes: n samples, two stts runs (d1 then d1+25), per-sample
+    * sizes, a constant samples-per-chunk stsc, and stco offsets laid out
+    * contiguously from `base`.
+    */
+  private[graft] def craftMp4Track(docId: Long): Array[Byte] = {
+    val n = (5 + docId % 40).toInt
+    val spc = (2 + docId % 3).toInt
+    val tsc = (1000 + docId % 9000).toInt
+    val d1 = (100 + docId % 50).toInt
+    val base = (48 + docId % 64).toInt
+    val run1 = (n + 1) / 2
+    val sizes = (0 until n).map(i => (100 + (docId + i) % 37).toInt)
+    val nChunks = (n + spc - 1) / spc
+    val chunkOff = (0 until nChunks).map { c =>
+      base + sizes.take(c * spc).sum
+    }
+    def box(typ: String, payload: java.nio.ByteBuffer): Array[Byte] = {
+      val p = payload.array().take(payload.position())
+      val bb = java.nio.ByteBuffer.allocate(8 + p.length)
+      bb.putInt(8 + p.length).put(typ.getBytes("US-ASCII")).put(p)
+      bb.array()
+    }
+    def fullBoxHeader(bb: java.nio.ByteBuffer): java.nio.ByteBuffer = {
+      bb.putInt(0); bb // version 0 + flags
+    }
+    val stts = {
+      val bb = fullBoxHeader(java.nio.ByteBuffer.allocate(256))
+      if (run1 == n) { bb.putInt(1); bb.putInt(n).putInt(d1) }
+      else {
+        bb.putInt(2)
+        bb.putInt(run1).putInt(d1)
+        bb.putInt(n - run1).putInt(d1 + 25)
+      }
+      box("stts", bb)
+    }
+    val stsc = {
+      val bb = fullBoxHeader(java.nio.ByteBuffer.allocate(32))
+      bb.putInt(1) // one run: every chunk holds spc samples
+      bb.putInt(1).putInt(spc).putInt(1)
+      box("stsc", bb)
+    }
+    val stsz = {
+      val bb = fullBoxHeader(java.nio.ByteBuffer.allocate(12 + 4 * n))
+      bb.putInt(0).putInt(n) // per-sample sizes
+      sizes.foreach(bb.putInt)
+      box("stsz", bb)
+    }
+    val stco = {
+      val bb = fullBoxHeader(java.nio.ByteBuffer.allocate(8 + 4 * nChunks))
+      bb.putInt(nChunks)
+      chunkOff.foreach(bb.putInt)
+      box("stco", bb)
+    }
+    val stbl = {
+      val payload = stts ++ stsc ++ stsz ++ stco
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put("stbl".getBytes("US-ASCII"))
+        .put(payload)
+      bb.array()
+    }
+    def wrap(typ: String, inner: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + inner.length)
+      bb.putInt(8 + inner.length).put(typ.getBytes("US-ASCII")).put(inner)
+      bb.array()
+    }
+    val mdhd = {
+      val bb = fullBoxHeader(java.nio.ByteBuffer.allocate(24))
+      bb.putInt(0).putInt(0) // ctime, mtime
+      bb.putInt(tsc)         // media timescale — the sample-time base
+      bb.putInt(0)           // duration (unused by the walk)
+      box("mdhd", bb)
+    }
+    val minf = wrap("minf", stbl)
+    val mdia = wrap("mdia", mdhd ++ minf)
+    val trak = wrap("trak", mdia)
+    val mvhd = {
+      val bb = fullBoxHeader(java.nio.ByteBuffer.allocate(100))
+      bb.putInt(0).putInt(0).putInt(tsc).putInt(0)
+      box("mvhd", bb)
+    }
+    val moov = wrap("moov", mvhd ++ trak)
+    val ftyp = {
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.putInt(16).put("ftyp".getBytes("US-ASCII"))
+        .put("isom".getBytes("US-ASCII")).putInt(0x200)
+      bb.array()
+    }
+    ftyp ++ moov
+  }
+
+  /** Walk the sample tables of an MP4: media timescale (mdhd) plus every
+    * sample's (decode-time units, size, file offset). The offset is the
+    * real two-level derivation — stsc runs expanded against the stco
+    * chunk list, intra-chunk offsets accumulated from stsz — not a layout
+    * assumption. None (loud, never a guess) for a non-MP4, a truncated
+    * box, or a table combination the walk can't prove consistent.
+    */
+  private[graft] def mp4SampleTable(p: Array[Byte])
+      : Option[(Int, IndexedSeq[(Long, Int, Long)])] = {
+    def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        var i = lo
+        var dead = false
+        def hasNext: Boolean = !dead && i + 8 <= hi
+        def next(): (String, Int, Int) = {
+          val sz = be32(p, i)
+          if (sz < 8 || i + sz > hi) { dead = true; ("", 0, 0) }
+          else {
+            val r = (new String(p.slice(i + 4, i + 8), "US-ASCII"),
+              i + 8, (i + sz).toInt)
+            i += sz.toInt
+            r
+          }
+        }
+      }
+    if (p.length < 16 || be32(p, 0) < 8) return None
+    val top = boxes(0, p.length).toSeq
+    if (!top.exists(_._1 == "ftyp")) return None
+    val moov = top.find(_._1 == "moov").getOrElse(return None)
+    def child(range: (String, Int, Int), typ: String): Option[(String, Int, Int)] =
+      boxes(range._2, range._3).find(_._1 == typ)
+    val trak = child(moov, "trak").getOrElse(return None)
+    val mdia = child(trak, "mdia").getOrElse(return None)
+    val mdhd = child(mdia, "mdhd").getOrElse(return None)
+    if (mdhd._3 - mdhd._2 < 16) return None
+    val tsc = be32(p, mdhd._2 + 12).toInt
+    if (tsc <= 0) return None
+    val minf = child(mdia, "minf").getOrElse(return None)
+    val stbl = child(minf, "stbl").getOrElse(return None)
+    val stts = child(stbl, "stts").getOrElse(return None)
+    val stsc = child(stbl, "stsc").getOrElse(return None)
+    val stsz = child(stbl, "stsz").getOrElse(return None)
+    val stco = child(stbl, "stco").getOrElse(return None)
+    // stts → per-sample decode deltas
+    val sttsN = be32(p, stts._2 + 4).toInt
+    if (stts._2 + 8 + 8L * sttsN > stts._3) return None
+    val deltas = (0 until sttsN).flatMap { e =>
+      val cnt = be32(p, stts._2 + 8 + 8 * e).toInt
+      val d = be32(p, stts._2 + 12 + 8 * e)
+      if (cnt < 0) return None
+      Seq.fill(cnt)(d)
+    }
+    // stsz → per-sample sizes (constant or table)
+    val szConst = be32(p, stsz._2 + 4)
+    val szN = be32(p, stsz._2 + 8).toInt
+    if (szN != deltas.length) return None
+    val sizes =
+      if (szConst != 0) IndexedSeq.fill(szN)(szConst.toInt)
+      else {
+        if (stsz._2 + 12 + 4L * szN > stsz._3) return None
+        (0 until szN).map(i => be32(p, stsz._2 + 12 + 4 * i).toInt)
+      }
+    // stco → chunk bases; stsc runs → samples per chunk
+    val stcoN = be32(p, stco._2 + 4).toInt
+    if (stco._2 + 8 + 4L * stcoN > stco._3) return None
+    val chunkBase = (0 until stcoN).map(i => be32(p, stco._2 + 8 + 4 * i))
+    val stscN = be32(p, stsc._2 + 4).toInt
+    if (stsc._2 + 8 + 12L * stscN > stsc._3) return None
+    val runs = (0 until stscN).map { e =>
+      (be32(p, stsc._2 + 8 + 12 * e).toInt,   // first_chunk (1-based)
+        be32(p, stsc._2 + 12 + 12 * e).toInt) // samples_per_chunk
+    }
+    if (runs.isEmpty || runs.head._1 != 1) return None
+    val perChunk = (1 to stcoN).map { c =>
+      runs.takeWhile(_._1 <= c).lastOption.map(_._2).getOrElse(return None)
+    }
+    if (perChunk.sum < szN) return None
+    // assemble (pts units, size, offset) per sample
+    val out = IndexedSeq.newBuilder[(Long, Int, Long)]
+    var sample = 0
+    var pts = 0L
+    var chunk = 0
+    while (sample < szN) {
+      var off = chunkBase(chunk)
+      var inChunk = 0
+      while (sample < szN && inChunk < perChunk(chunk)) {
+        out += ((pts, sizes(sample), off))
+        pts += deltas(sample)
+        off += sizes(sample)
+        sample += 1
+        inChunk += 1
+      }
+      chunk += 1
+    }
+    Some((tsc, out.result()))
+  }
+
+  /** Crafted video fixture: every document becomes a sample-table MP4. */
+  def videoFromDocuments(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    graft.Tables.t(s, d, "documents")
+      .select(col("doc_id").as("docId"))
+      .as[Long]
+      .map(id => MediaRow(id, craftMp4Track(id)))
+  }
+
+  /** Deterministic every-k-th frame sampling (k = 1 + doc_id % 4) over
+    * the REAL sample-table walk: per selected frame its index, media
+    * timestamp in ms (integer μdiv), file offset and byte size — the
+    * columns a decode stage would seek on. Per-row decode, zero
+    * shuffles before the output sort; the DuckDB oracle replays the
+    * run-length, prefix-sum and chunk arithmetic from the doc_id
+    * formulas.
+    */
+  def frameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    videoFromDocuments(s, d)
+      .flatMap { r =>
+        val k = 1 + (r.docId % 4).toInt
+        mp4SampleTable(r.payload) match {
+          case None => Seq(FrameRow(r.docId, -1L, -1L, -1L, -1L)) // loud
+          case Some((tsc, samples)) =>
+            samples.zipWithIndex.collect {
+              case ((pts, sz, off), i) if i % k == 0 =>
+                FrameRow(r.docId, i.toLong, pts * 1000L / tsc, off, sz.toLong)
+            }
+        }
+      }
+      .select(col("docId").as("doc_id"), col("frameIdx").as("frame_idx"),
+        col("tsMs").as("ts_ms"), col("offset"), col("size"))
+      .orderBy("doc_id", "frame_idx")
+  }
 }

@@ -1413,6 +1413,39 @@ class OpsPropertySpec extends SparkSpec {
       s"banded result (${got.length}) != all-pairs reference (${expect.length})")
   }
 
+  test("mp4 sample-table walk: crafted track round-trips the run-length/" +
+      "chunk arithmetic; corrupt and truncated tables refused loudly") {
+    // doc 7: n=12, spc=0? 2+7%3=0 → spc=3, tsc=1007, d1=107, base=55,
+    // run1=6, k=4 — hand-verify the first samples
+    val p = MultimodalOps.craftMp4Track(7L)
+    val (tsc, samples) = MultimodalOps.mp4SampleTable(p).get
+    assert(tsc == 1007)
+    assert(samples.length == 12)
+    val sizes = (0 until 12).map(i => (100 + (7 + i) % 37).toInt)
+    // pts: run-length two-run decode
+    val pts = (0 until 12).map(i =>
+      if (i < 6) i * 107L else 6 * 107L + (i - 6) * 132L)
+    // offsets: chunk bases every 3 samples, contiguous layout
+    val offs = (0 until 12).map(i => 55L + sizes.take(i).sum)
+    assert(samples == pts.indices.map(i => (pts(i), sizes(i), offs(i))))
+    // truncation anywhere inside the table boxes is refused, not guessed
+    assert(MultimodalOps.mp4SampleTable(p.dropRight(6)).isEmpty)
+    // a corrupt stsz count (≠ stts sample count) is refused
+    val bad = p.clone()
+    val szIdx = {
+      var i = -1
+      for (j <- 0 until bad.length - 4)
+        if (i < 0 && new String(bad.slice(j, j + 4), "US-ASCII") == "stsz")
+          i = j
+      i
+    }
+    assert(szIdx > 0)
+    bad(szIdx + 12 + 3) = 99.toByte // sample count low byte
+    assert(MultimodalOps.mp4SampleTable(bad).isEmpty)
+    // non-mp4 bytes
+    assert(MultimodalOps.mp4SampleTable("not a box".getBytes).isEmpty)
+  }
+
   test("wav pcm extraction: signed 16-bit LE pairs, odd trailing byte " +
       "dropped, corrupt containers refused") {
     // 5 payload bytes → 2 full frames, the odd trailing byte dropped
