@@ -133,6 +133,8 @@ object SparkEntry {
     }),
     "q_corpus_clean_ppx"    -> ((s: SparkSession, d: String) => TextOps.corpusCleanPerplexity(s, d)),
     "q_bpe_tokenize"        -> (graft.ops.BpeOps.bpeTokenize _),
+    "q_quality_classifier"  -> (TextOps.qualityClassifier _),
+    "q_corpus_clean_qc"     -> (TextOps.corpusCleanClassified _),
     "q_span_coverage"       -> ((s: SparkSession, d: String) => TextOps.spanCoverage(s, d)),
     "q_substring_dedup"     -> (TextOps.substringDedup _),
     "q_frame_sample"        -> (graft.ops.MultimodalOps.frameSample _),
@@ -246,6 +248,50 @@ object SparkEntry {
        |       md5(a.pieces) AS pieces_md5
        |FROM base b JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
   }
+
+  /** Shared CTE chain of the Naive Bayes quality classifier oracle —
+    * retrains the add-one-smoothed class-rate ratios (positive class =
+    * the eval-convention doc_id % 100 = 7 slice) and derives `qckept`,
+    * the kept doc_id set under the cross-multiplied corpus-mean rule.
+    * Used by q_quality_classifier and the corpus-clean composition.
+    */
+  private val qcKeptCte: String =
+    """tokq AS (
+      |    SELECT doc_id, CASE WHEN doc_id % 100 = 7 THEN 1 ELSE 0 END AS pos,
+      |           unnest(string_split_regex(trim(text), '\s+')) AS w
+      |    FROM documents
+      |), qcnt AS (
+      |    SELECT w, CAST(SUM(pos) AS BIGINT) AS c_pos,
+      |           CAST(SUM(1 - pos) AS BIGINT) AS c_neg
+      |    FROM tokq GROUP BY w
+      |), qtot AS (
+      |    SELECT SUM(c_pos) AS t_pos, SUM(c_neg) AS t_neg,
+      |           COUNT(*) AS v
+      |    FROM qcnt
+      |), qsc AS (
+      |    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |           CAST(SUM((1000000 * (COALESCE(c.c_pos, 0) + 1)
+      |                     * ((SELECT t_neg FROM qtot) + (SELECT v FROM qtot)))
+      |               // ((COALESCE(c.c_neg, 0) + 1)
+      |                     * ((SELECT t_pos FROM qtot) + (SELECT v FROM qtot))))
+      |             AS BIGINT) AS q_sum
+      |    FROM tokq t LEFT JOIN qcnt c USING (w)
+      |    GROUP BY t.doc_id
+      |), qsc2 AS (
+      |    SELECT doc_id, n_tokens, q_sum // n_tokens AS q_score FROM qsc
+      |), qthr AS (
+      |    SELECT CAST(SUM(q_score) AS BIGINT) AS tot, COUNT(*) AS n FROM qsc2
+      |), qckept AS (
+      |    SELECT doc_id FROM qsc2
+      |    WHERE q_score * (SELECT n FROM qthr) >= (SELECT tot FROM qthr)
+      |)""".stripMargin
+
+  private def qualityClassifierOracle: String =
+    s"""WITH $qcKeptCte
+      |SELECT q.doc_id, q.n_tokens, CAST(q.q_score AS BIGINT) AS q_score,
+      |       CAST(CASE WHEN q.doc_id IN (SELECT doc_id FROM qckept)
+      |            THEN 1 ELSE 0 END AS INTEGER) AS keep
+      |FROM qsc2 q ORDER BY doc_id""".stripMargin
 
   /** Recursive-CTE closure over a materialized pair set → (id, cluster-min
     * canon, survives) — the shared oracle shape of both survivor queries.
@@ -1456,6 +1502,33 @@ object SparkEntry {
     // in exact integer arithmetic (div / //)
     "q_perplexity_filter" -> perplexityFilterOracle,
     "q_bpe_tokenize" -> bpeTokenizeOracle,
+    // seed-referenced NB quality classifier: deterministic training ⇒ the
+    // oracle RETRAINS the same add-one-smoothed class-rate ratios and
+    // replays the fixed-point token-mean + cross-multiplied keep rule
+    "q_quality_classifier" -> qualityClassifierOracle,
+    // heuristic corpus clean ∩ classifier keep (GPT-3 pipeline order)
+    "q_corpus_clean_qc" ->
+      s"""WITH $qcKeptCte
+        |, tokc AS (
+        |    SELECT doc_id, lang, text,
+        |           string_split_regex(trim(text), '\\s+') AS tokens
+        |    FROM documents
+        |), stats AS (
+        |    SELECT doc_id, lang, text, len(tokens) AS n_tokens,
+        |           CAST(len(list_filter(tokens,
+        |               tk -> tk IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE)
+        |             / CAST(len(tokens) AS DOUBLE) AS stop_ratio
+        |    FROM tokc
+        |), survivors AS (
+        |    SELECT MIN(doc_id) AS doc_id FROM documents
+        |    GROUP BY sha256(lower(trim(text)))
+        |)
+        |SELECT doc_id, lang, n_tokens, stop_ratio
+        |FROM stats
+        |WHERE doc_id IN (SELECT doc_id FROM survivors)
+        |  AND n_tokens >= 20 AND stop_ratio >= 0.05 AND stop_ratio <= 0.6
+        |  AND doc_id IN (SELECT doc_id FROM qckept)
+        |ORDER BY doc_id""".stripMargin,
     // stored-LM serving: deterministic training ⇒ build-then-serve on the
     // same corpus must land on EXACTLY the in-session filter's rows, so
     // the serve path shares the filter's full-replay oracle verbatim —

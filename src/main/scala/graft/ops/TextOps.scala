@@ -833,6 +833,111 @@ object TextOps {
       name = "lm_model_refresh", target = s"$db.$LmCountsTable",
       tags = Map("pipeline" -> "quality-filter"))
 
+  /** Names of the persisted quality-classifier tables
+    * ([[buildQualityClassifier]]).
+    */
+  val QcTokenTable = "qc_token"
+  val QcTotalsTable = "qc_totals"
+  val QcThresholdTable = "qc_threshold"
+  val QcScale = 1000000L
+
+  /** Seed-referenced quality classifier (the GPT-3 appendix A posture:
+    * score each document by how much its tokens look like a trusted
+    * high-quality slice), as an exact-integer Naive Bayes the oracle can
+    * retrain: the positive class is the eval-convention slice
+    * (doc_id % 100 = 7 — the same seed [[decontaminateNgram]] treats as
+    * the benchmark set), the negative class is the rest, and each token
+    * scores the add-one-smoothed class-rate ratio in [[QcScale]]
+    * fixed-point:
+    *
+    *   q(w) = Scale·(c_pos+1)·(t_neg+V) div ((c_neg+1)·(t_pos+V))
+    *
+    * (> Scale ⇔ w is positive evidence). A document's score is the
+    * token-mean (integer div); the keep rule cross-multiplies against the
+    * stored training-corpus mean — the [[perplexityFilter]] idiom, so no
+    * float ever crosses an engine boundary.
+    *
+    * Scale shape: ONE token-volume shuffle keyed w for the class counts;
+    * scoring joins the token stream against the vocab-sized count table
+    * and a 1-row totals table; the threshold is (Σ, n). Mirrors the LM
+    * family exactly.
+    */
+  def buildQualityClassifier(docs: DataFrame, db: String): Unit = {
+    val s = docs.sparkSession
+    val docsT = withTokens(docs)
+      .withColumn("pos", (col("doc_id") % 100 === 7).cast("long"))
+    val counts = docsT
+      .select(col("pos"), explode(col("tokens")).as("w"))
+      .groupBy("w")
+      .agg(sum("pos").as("c_pos"), sum(lit(1L) - col("pos")).as("c_neg"))
+    graft.store.Warehouse.saveModel(counts, db, QcTokenTable)
+    val stored = s.table(s"`$db`.`$QcTokenTable`")
+    graft.store.Warehouse.saveModel(
+      stored.agg(sum("c_pos").as("t_pos"), sum("c_neg").as("t_neg"),
+        count(lit(1)).as("v")),
+      db, QcTotalsTable)
+    val scores = qcScore(docsT,
+      s.table(s"`$db`.`$QcTokenTable`"), s.table(s"`$db`.`$QcTotalsTable`"))
+    graft.store.Warehouse.saveModel(
+      scores.agg(sum("q_score").as("tot"), count(lit(1)).as("n")),
+      db, QcThresholdTable)
+  }
+
+  private def qcScore(docsT: DataFrame, tokTable: DataFrame,
+                      totals: DataFrame): DataFrame =
+    docsT.select(col("doc_id"), explode(col("tokens")).as("w"))
+      .join(tokTable, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("q", expr(
+        s"($QcScale * (coalesce(c_pos, 0L) + 1) * (t_neg + v)) " +
+          "div ((coalesce(c_neg, 0L) + 1) * (t_pos + v))"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("q").as("q_sum"))
+      .withColumn("q_score", expr("q_sum div n_tokens"))
+      .select("doc_id", "n_tokens", "q_score")
+
+  /** Score documents against a STORED classifier ([[buildQualityClassifier]])
+    * — no training aggregation in the query path: counts come off the
+    * vocab-sized table, totals and threshold off their 1-row tables.
+    * Unseen tokens score the neutral smoothing ratio, never drop.
+    */
+  def qualityClassifierFromModel(s: SparkSession, d: String,
+                                 db: String): DataFrame =
+    qualityScoresFor(t(s, d, "documents"), db)
+
+  private[graft] def qualityScoresFor(docs: DataFrame, db: String): DataFrame = {
+    val s = docs.sparkSession
+    val thr = s.table(s"`$db`.`$QcThresholdTable`")
+    qcScore(withTokens(docs),
+      s.table(s"`$db`.`$QcTokenTable`"), s.table(s"`$db`.`$QcTotalsTable`"))
+      .crossJoin(broadcast(thr))
+      .withColumn("keep",
+        (col("q_score") * col("n") >= col("tot")).cast("int"))
+      .select("doc_id", "n_tokens", "q_score", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** Registry gate: train, store, serve — deterministic training means
+    * the oracle can RETRAIN the same classifier declaratively and land on
+    * identical fixed-point scores.
+    */
+  def qualityClassifier(s: SparkSession, d: String): DataFrame = {
+    buildQualityClassifier(t(s, d, "documents"), "graft_qc_q")
+    qualityClassifierFromModel(s, d, "graft_qc_q")
+  }
+
+  /** [[corpusClean]] with the trained classifier composed in as the
+    * optional final gate (the GPT-3 pipeline order: heuristics first,
+    * classifier last) — the NB sibling of [[corpusCleanPerplexity]].
+    */
+  def corpusCleanClassified(s: SparkSession, d: String): DataFrame = {
+    buildQualityClassifier(t(s, d, "documents"), "graft_qc_clean")
+    corpusClean(s, d)
+      .join(qualityClassifierFromModel(s, d, "graft_qc_clean")
+        .filter(col("keep") === 1).select("doc_id"), Seq("doc_id"), "left_semi")
+      .orderBy("doc_id")
+  }
+
   /** Span-coverage dedup signal (Lee et al. 2021, the substring-level
     * complement of the repeated-spans miner): for each document, how many
     * of its tokens sit inside at least one n-gram that ALSO appears in

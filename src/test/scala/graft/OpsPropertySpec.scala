@@ -1413,6 +1413,39 @@ class OpsPropertySpec extends SparkSpec {
       s"banded result (${got.length}) != all-pairs reference (${expect.length})")
   }
 
+  test("nb quality classifier: positive-evidence tokens raise the score " +
+      "monotonically, the keep rule tracks the stored threshold, unseen " +
+      "tokens score the neutral smoothing ratio") {
+    val db = "graft_qc_spec"
+    // doc 7 is the positive seed (eval convention); its tokens become
+    // positive evidence, the junk tokens negative evidence
+    val docs = Seq(
+      (7L, "clean prose tokens clean prose tokens"),
+      (1L, "junk junk junk junk junk junk"),
+      (2L, "junk junk junk clean junk junk"),
+      (3L, "clean prose tokens junk junk junk"))
+      .toDF("doc_id", "text")
+    TextOps.buildQualityClassifier(docs, db)
+    val scores = TextOps.qualityScoresFor(docs, db).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getInt(3)))).toMap
+    // monotone in positive-token share: all-seed > half-seed > one-clean > all-junk
+    assert(scores(7L)._1 > scores(3L)._1)
+    assert(scores(3L)._1 > scores(2L)._1)
+    assert(scores(2L)._1 > scores(1L)._1)
+    // the seed doc must clear the corpus-mean keep rule; all-junk must not
+    assert(scores(7L)._2 == 1 && scores(1L)._2 == 0)
+    // unseen tokens: a brand-new doc scores exactly the neutral smoothing
+    // ratio Scale·(t_neg+v) div (t_pos+v) — never dropped, never extreme
+    val unseen = TextOps.qualityScoresFor(
+      Seq((99L, "wholly unseen vocabulary here")).toDF("doc_id", "text"), db)
+      .head()
+    val tot = spark.table(s"`$db`.`${TextOps.QcTotalsTable}`").head()
+    val (tPos, tNeg, v) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    assert(unseen.getLong(2) ==
+      TextOps.QcScale * (tNeg + v) / (tPos + v))
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
   test("mp4 sample-table walk: crafted track round-trips the run-length/" +
       "chunk arithmetic; corrupt and truncated tables refused loudly") {
     // doc 7: n=12, spc=0? 2+7%3=0 → spc=3, tsc=1007, d1=107, base=55,
