@@ -155,6 +155,37 @@ object PerfProbe {
         SparkEntry.queries(n)(spark, sfd).count()
         println(f"$n%-26s rep$i ${(System.nanoTime() - t0) / 1e9}%8.3f s")
       }
+    } else if (args.headOption.contains("models")) {
+      // Stored-model TEXT families (round-11 verdict #7): the registry
+      // gates time build+serve as one number because the oracle must
+      // replay training; this probe pays training once and times the hot
+      // serving path alone, so a serving regression can't hide under
+      // training cost. Serve is timed on a cold plan after one warm run
+      // (JIT + file cache), like the ANN serving probe.
+      import graft.ops.{BpeOps, TextOps}
+      val docs = Tables.t(spark, d, "documents")
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def row(name: String, build: => Unit, serve: => Long): Unit = {
+        val b = timed(build)
+        serve // warm
+        val s1 = timed(serve)
+        println(f"$name%-22s build $b%7.2f s   serve $s1%7.2f s")
+      }
+      println(s"stored-model build/serve split at $d (local[32])")
+      spark.sql("DROP DATABASE IF EXISTS `model_probe_lm` CASCADE")
+      row("lm_perplexity",
+        TextOps.buildLmModel(docs, "model_probe_lm"),
+        TextOps.perplexityFilterFromModel(spark, d, "model_probe_lm").count())
+      spark.sql("DROP DATABASE IF EXISTS `model_probe_bpe` CASCADE")
+      row("bpe_tokenizer",
+        BpeOps.buildBpeModel(docs, "model_probe_bpe"),
+        BpeOps.bpeTokenizeFromModel(spark, d, "model_probe_bpe").count())
+      spark.sql("DROP DATABASE IF EXISTS `model_probe_qc` CASCADE")
+      row("nb_quality_classifier",
+        TextOps.buildQualityClassifier(docs, "model_probe_qc"),
+        TextOps.qualityClassifierFromModel(spark, d, "model_probe_qc").count())
     } else if (args.headOption.contains("serving")) {
       // Serving scale law (r10): a FromIndex serve against a K× corpus.
       // The cell-pruned composition (IVF-PQ) reads only the probed
