@@ -388,7 +388,16 @@ object PerfProbe {
         // LZW, aHash — linear by construction) and the stored-LM serve
         // (vocab-sized join + one fine-keyed probe, like the filter)
         "q_image_resize_stats", "q_audio_features", "q_gif_pixel_stats",
-        "q_image_dedup_phash", "q_perplexity_serve")
+        "q_image_dedup_phash", "q_perplexity_serve",
+        // round-11 additions: substring dedup (gram-keyed count + one
+        // doc_id window partitioning — linear like span coverage); BPE
+        // (one word-count shuffle, then vocab-sized merge rounds); NB
+        // classifier (one token shuffle + vocab-sized joins); incremental
+        // clusters (corpus CC build + a batch-fan-out contracted append);
+        // frame sampling (per-row box walk — linear by construction)
+        "q_substring_dedup", "q_bpe_tokenize", "q_quality_classifier",
+        "q_corpus_clean_qc", "q_dedup_clusters_incremental",
+        "q_frame_sample")
       // SPARK_GRAFT_SCALE_ONLY=a,b,c re-probes a subset after a targeted fix
       // without paying the full sweep
       val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

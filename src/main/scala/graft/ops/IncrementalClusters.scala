@@ -40,20 +40,45 @@ object IncrementalClusters {
   val Db = "graft_inc_clusters"
   val LabelsTable = "cluster_labels"
 
-  /** Id-range block size for the labels table partitioning: `part =
-    * canonical_id div PartBlock`. Range blocks, not a mod hash, because
+  /** Id-range block size law for the labels table partitioning: `part =
+    * canonical_id div block`. Range blocks, not a mod hash, because
     * ingest is APPEND-ONLY in doc_id (the CorpusPipeline contract): new
     * batches land in NEW top blocks and a merge only ever moves a
     * cluster's rows toward its corpus-min block, so the set of affected
     * partitions stays proportional to the batch's merge fan-out instead
-    * of smearing across every residue class. Partition count grows with
-    * the id range (like date partitions); the affected-part collects are
-    * bounded by the batch's touched clusters — driver metadata scale.
+    * of smearing across every residue class. The block size ADAPTS to the
+    * build corpus's id range so the partition count stays bounded near
+    * [[TargetParts]] (a fixed 32 at 25× the fixture id range produced
+    * ~10k partition directories and an 8× scale ratio — directory
+    * overhead, not operator work; caught by the r11 sweep) and is FROZEN
+    * into a table property: appends must key partitions exactly like the
+    * build or every partition-pruned read breaks. Batches appending past
+    * the build range simply land in higher part values — block never
+    * needs to change until the scheduled rebuild re-anchors it.
     */
-  val PartBlock = 32L
+  val PartBlockMin = 32L
+  val TargetParts = 256L
+  val PartBlockProp = "graft.clusters.part_block"
 
-  private def partOf(c: Column): Column =
-    (c / lit(PartBlock)).cast("long").cast("int")
+  private[graft] def adaptivePartBlock(maxId: Long): Long =
+    math.max(PartBlockMin, maxId / TargetParts + 1)
+
+  private def partOf(c: Column, block: Long): Column =
+    (c / lit(block)).cast("long").cast("int")
+
+  /** The FROZEN block size of the stored labels table. Absence is a hard
+    * error, not a default: writing parts under a guessed block into a
+    * table laid out under another corrupts every pruned read (the
+    * [[IncrementalDedup.currentIndexBuckets]] reasoning).
+    */
+  private[graft] def currentPartBlock(s: SparkSession, db: String): Long =
+    s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(LabelsTable, Some(db)))
+      .properties.get(PartBlockProp).map(_.toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"labels table $db.$LabelsTable carries no $PartBlockProp " +
+          "property — not a table buildClusterState laid out; rebuild " +
+          "before appending"))
 
   /** Append-only fixture split for the registry gate: the first two
     * thirds of the id range are the ingested corpus, the top third is
@@ -100,15 +125,21 @@ object IncrementalClusters {
     */
   def buildClusterState(s: SparkSession, corpus: DataFrame,
                         db: String = Db): Unit = {
+    val bounds = corpus.agg(max("doc_id")).head
+    val block =
+      if (bounds.isNullAt(0)) PartBlockMin
+      else adaptivePartBlock(bounds.getLong(0))
     val pairs = pairsOfBands(TextOps.bandsOfDocs(corpus))
     GraphOps.connectedComponentsInto(pairs,
       corpus.select(col("doc_id").as("id"))) { labels =>
       graft.store.Warehouse.saveModel(
         labels.select(col("id").as("doc_id"),
           col("cluster_id").as("canonical_id"),
-          partOf(col("cluster_id")).as("part")),
+          partOf(col("cluster_id"), block).as("part")),
         db, LabelsTable, partitionCols = Seq("part"))
     }
+    s.sql(s"ALTER TABLE ${fqn(db)} SET TBLPROPERTIES " +
+      s"('$PartBlockProp'='$block')")
   }
 
   /** Fold one batch into the persisted labeling. `corpusBands` is the
@@ -118,6 +149,7 @@ object IncrementalClusters {
     */
   def appendBatchClusters(s: SparkSession, batch: DataFrame,
                           corpusBands: DataFrame, db: String = Db): Unit = {
+    val block = currentPartBlock(s, db)
     val labels = s.table(fqn(db))
     val batchBands = IncrementalDedup.pruneHot(TextOps.bandsOfDocs(batch))
       .localCheckpoint()
@@ -153,9 +185,9 @@ object IncrementalClusters {
         .join(batch.select(col("doc_id").as("id")), Seq("id"), "left_anti")
         .select(col("id").as("old_label"), col("cluster_id").as("new_canon"))
         .localCheckpoint()
-      val srcParts = relabel.select(partOf(col("old_label")).as("part"))
-      val dstParts = relabel.select(partOf(col("new_canon")).as("part"))
-        .union(batchRows.select(partOf(col("canonical_id")).as("part")))
+      val srcParts = relabel.select(partOf(col("old_label"), block).as("part"))
+      val dstParts = relabel.select(partOf(col("new_canon"), block).as("part"))
+        .union(batchRows.select(partOf(col("canonical_id"), block).as("part")))
       val affected = srcParts.union(dstParts).distinct()
         .collect().map(_.getInt(0)).sorted // ≤ NumParts ints
       if (affected.nonEmpty) {
@@ -172,7 +204,7 @@ object IncrementalClusters {
           existingAff("canonical_id") === relabel("old_label"))
         .select(col("doc_id"), col("new_canon").as("canonical_id"))
       val written = kept.union(moved).union(batchRows)
-        .withColumn("part", partOf(col("canonical_id")))
+        .withColumn("part", partOf(col("canonical_id"), block))
         .localCheckpoint()
       // session-conf scoped, not a writer option: the option form is not
       // reliably honored by insertInto, and a STATIC overwrite here would
