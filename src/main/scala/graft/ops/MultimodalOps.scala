@@ -1253,6 +1253,12 @@ object MultimodalOps {
     val mdia = child(trak, "mdia").getOrElse(return None)
     val mdhd = child(mdia, "mdhd").getOrElse(return None)
     if (mdhd._3 - mdhd._2 < 16) return None
+    // version-0 layouts only, checked EXPLICITLY on every full box the
+    // walk reads fields from: a version-1 mdhd carries 64-bit times and
+    // its timescale sits at +20, not +12 — reading it as v0 would yield a
+    // garbage timescale silently. Loud refusal over a guess.
+    def v0(box: (String, Int, Int)): Boolean = p(box._2) == 0
+    if (!v0(mdhd)) return None
     val tsc = be32(p, mdhd._2 + 12).toInt
     if (tsc <= 0) return None
     val minf = child(mdia, "minf").getOrElse(return None)
@@ -1261,9 +1267,17 @@ object MultimodalOps {
     val stsc = child(stbl, "stsc").getOrElse(return None)
     val stsz = child(stbl, "stsz").getOrElse(return None)
     val stco = child(stbl, "stco").getOrElse(return None)
-    // stts → per-sample decode deltas
+    if (!v0(stts) || !v0(stsc) || !v0(stsz) || !v0(stco)) return None
+    // stts → per-sample decode deltas. Run counts are summed against a
+    // refuse-before-allocation ceiling (the codec-family contract): a
+    // crafted count must be rejected BEFORE Seq.fill materializes it.
+    val MaxSamples = 1 << 22
     val sttsN = be32(p, stts._2 + 4).toInt
     if (stts._2 + 8 + 8L * sttsN > stts._3) return None
+    val runTotal = (0 until sttsN).foldLeft(0L) { (acc, e) =>
+      acc + (be32(p, stts._2 + 8 + 8 * e).toLong & 0xffffffffL)
+    }
+    if (runTotal > MaxSamples) return None
     val deltas = (0 until sttsN).flatMap { e =>
       val cnt = be32(p, stts._2 + 8 + 8 * e).toInt
       val d = be32(p, stts._2 + 12 + 8 * e)

@@ -150,6 +150,14 @@ class OpsPropertySpec extends SparkSpec {
     IncrementalClusters.appendBatchClusters(spark, batch,
       graft.ops.TextOps.bandsOfDocs(corpus), db)
     val after = fileState()
+    // a replayed (or out-of-order) batch must trip the loud append-only
+    // guard — an id collision would fuse unrelated clusters in the
+    // contracted graph — and must not modify the state
+    val replayErr = intercept[IllegalArgumentException] {
+      IncrementalClusters.appendBatchClusters(spark, batch,
+        graft.ops.TextOps.bandsOfDocs(corpus), db)
+    }
+    assert(replayErr.getMessage.contains("append-only"))
     // bit-equality with a from-scratch full-corpus run
     val inc = IncrementalClusters.clusterState(spark, db).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
@@ -1477,6 +1485,20 @@ class OpsPropertySpec extends SparkSpec {
     assert(MultimodalOps.mp4SampleTable(bad).isEmpty)
     // non-mp4 bytes
     assert(MultimodalOps.mp4SampleTable("not a box".getBytes).isEmpty)
+    // a version-1 mdhd (64-bit times, timescale at +20) must be refused,
+    // not read through the v0 layout as a garbage timescale
+    val v1 = p.clone()
+    val mdhdIdx = {
+      var i = -1
+      for (j <- 0 until v1.length - 4)
+        if (i < 0 && new String(v1.slice(j, j + 4), "US-ASCII") == "mdhd")
+          i = j
+      i
+    }
+    assert(mdhdIdx > 0)
+    v1(mdhdIdx + 4) = 1 // version byte of the full box
+    assert(MultimodalOps.mp4SampleTable(v1).isEmpty,
+      "a version-1 mdhd must be refused loudly, not misread as v0")
   }
 
   test("wav pcm extraction: signed 16-bit LE pairs, odd trailing byte " +
