@@ -414,6 +414,76 @@ object StreamingOps {
       name = s"${table}_compaction", target = s"$db.$table",
       tags = Map("pipeline" -> "dedup-log"))
 
+  /** Streaming twin of [[graft.ops.IncrementalClusters]]: each micro-batch
+    * of documents folds into BOTH persisted near-dup states — the band
+    * index (so later triggers probe this batch's docs) and the cluster
+    * labeling (contracted-graph CC + partition-scoped rewrite).
+    *
+    * Crash-window design (the ordering IS the contract):
+    * bands append → cluster fold → epoch commit.
+    *  - replayed committed epoch → whole-trigger skip (ledger);
+    *  - crash after bands, before clusters: the replay's cluster fold
+    *    proceeds (labels guard still clear); the re-appended bands grow
+    *    the index harmlessly (probe matches are distinct-counted) — the
+    *    standing at-least-once index caveat;
+    *  - crash after clusters, before the commit: the replay proves the
+    *    redelivery by CONTENT (every batch id already labeled — checked
+    *    only when the append-only guard would fire, so the happy path
+    *    pays nothing) and skips to the commit. A batch that merely
+    *    OVERLAPS the labeled range still fails the containment proof and
+    *    hits the loud guard — never a silent partial fold.
+    */
+  def sinkIncrementalClusters(docs: DataFrame, db: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    withCheckpoint(docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        processClusterBatch(batch.toDF(), db, epochId)
+      }, docs, s"$db.${graft.ops.IncrementalClusters.LabelsTable}")
+      .start()
+
+  private val ClusterEpochProp = "graft.clusters.last_epoch"
+
+  private[graft] def processClusterBatch(b: DataFrame, db: String,
+                                         epochId: Long): Unit = {
+    import graft.ops.{IncrementalClusters, IncrementalDedup, TextOps}
+    if (b.isEmpty) return
+    val s = b.sparkSession
+    val labelsFqn = s"`$db`.`${IncrementalClusters.LabelsTable}`"
+    def tableProps = s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        IncrementalClusters.LabelsTable, Some(db))).properties
+    require(s.catalog.tableExists(labelsFqn.replace("`", "")),
+      s"sinkIncrementalClusters: no cluster state at $labelsFqn — " +
+        "run IncrementalClusters.buildClusterState first")
+    val idxFqn = s"`${IncrementalDedup.IndexDb}`.`${IncrementalDedup.IndexTable}`"
+    require(s.catalog.tableExists(
+      s"${IncrementalDedup.IndexDb}.${IncrementalDedup.IndexTable}"),
+      s"sinkIncrementalClusters: no band index at $idxFqn — " +
+        "run IncrementalDedup.buildIndexFrom over the same corpus first")
+    if (epochId >= 0 &&
+        tableProps.get(ClusterEpochProp).filter(_.nonEmpty)
+          .map(_.toLong).exists(_ >= epochId)) return // committed replay
+    val storedMax = tableProps.get(IncrementalClusters.MaxDocIdProp)
+      .map(_.toLong).getOrElse(Long.MinValue)
+    val bMin = b.agg(min("doc_id")).head.getLong(0)
+    val redelivery = bMin <= storedMax && {
+      // content proof, paid only when the loud guard WOULD fire: every
+      // batch id already labeled ⇒ the cluster fold landed pre-crash
+      b.select("doc_id").join(s.table(labelsFqn).select("doc_id"),
+        Seq("doc_id"), "left_anti").isEmpty
+    }
+    if (!redelivery) {
+      // bands FIRST: later triggers (and this fold's own probe) must see
+      // this batch's docs in the index
+      IncrementalDedup.appendBandFrame(
+        IncrementalDedup.pruneHot(TextOps.bandsOfDocs(b)))
+      IncrementalClusters.appendBatchClusters(s, b, s.table(idxFqn), db)
+    }
+    s.sql(s"ALTER TABLE $labelsFqn SET TBLPROPERTIES " +
+      s"('$ClusterEpochProp'='$epochId')")
+  }
+
   /** Default output mode pairings for the above (documented contract). */
   val outputModes: Map[String, OutputMode] = Map(
     "hourlyCounts" -> OutputMode.Append(),

@@ -357,6 +357,73 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming cluster sink: micro-batches fold into band index AND " +
+      "cluster labeling; streamed state bit-equal to a fresh build over " +
+      "the union; replays and mid-crash redeliveries stay exact") {
+    import graft.ops.{IncrementalClusters, IncrementalDedup}
+    implicit val sq = spark.sqlContext
+    val db = "stream_clusters"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    spark.sql("DROP DATABASE IF EXISTS `stream_clusters_ref` CASCADE")
+    graft.store.Warehouse.ensureDatabase(spark, db)
+    val corpusRows = Seq(
+      (10L, "alpha beta gamma delta"),
+      (11L, "one two three four five"),
+      (12L, "solo text never repeated"))
+    val t1 = Seq(
+      (20L, "alpha beta gamma delta"),       // merges with corpus 10
+      (21L, "red green blue yellow orange")) // novel
+    val t2 = Seq(
+      (30L, "red green blue yellow orange"), // merges with t1's 21
+      (31L, "cat dog mouse horse cow"),
+      (32L, "cat dog mouse horse cow"))      // intra-trigger pair
+    def df(x: Seq[(Long, String)]) = x.toDF("doc_id", "text")
+    // base state: band index + cluster labeling over the corpus
+    IncrementalDedup.buildIndexFrom(df(corpusRows))
+    IncrementalClusters.buildClusterState(spark, df(corpusRows), db)
+    try {
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamingOps.sinkIncrementalClusters(
+        mem.toDF().toDF("doc_id", "text"), db)
+      mem.addData(t1: _*); q.processAllAvailable()
+      mem.addData(t2: _*); q.processAllAvailable(); q.stop()
+      def state() = IncrementalClusters.clusterState(spark, db).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      val streamed = state()
+      // reference: a fresh full build over the union corpus
+      IncrementalClusters.buildClusterState(spark,
+        df(corpusRows ++ t1 ++ t2), "stream_clusters_ref")
+      val fresh = IncrementalClusters.clusterState(spark, "stream_clusters_ref")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      assert(streamed == fresh,
+        "streamed cluster state diverged from a fresh build over the union")
+      // committed-epoch replay: exact no-op on state AND index
+      val idxRows = spark.table(
+        s"`${IncrementalDedup.IndexDb}`.`${IncrementalDedup.IndexTable}`").count()
+      StreamingOps.processClusterBatch(df(t2), db, epochId = 1L)
+      assert(state() == streamed, "a committed-epoch replay changed state")
+      assert(spark.table(s"`${IncrementalDedup.IndexDb}`.`${
+        IncrementalDedup.IndexTable}`").count() == idxRows,
+        "a committed-epoch replay grew the index")
+      // mid-crash redelivery (epoch advanced past the ledger, ids already
+      // labeled): the content proof must skip the fold, not crash-loop on
+      // the append-only guard
+      StreamingOps.processClusterBatch(df(t2), db, epochId = 99L)
+      assert(state() == streamed, "a content-proven redelivery changed state")
+      // an OVERLAPPING but not contained batch still fails loudly
+      val rogue = Seq((31L, "cat dog mouse horse cow"),
+        (40L, "wholly new never seen text")).toDF("doc_id", "text")
+      val err = intercept[IllegalArgumentException] {
+        StreamingOps.processClusterBatch(rogue, db, epochId = 100L)
+      }
+      assert(err.getMessage.contains("append-only"))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `${IncrementalDedup.IndexDb}`.`${IncrementalDedup.IndexTable}`")
+      spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+      spark.sql("DROP DATABASE IF EXISTS `stream_clusters_ref` CASCADE")
+    }
+  }
+
   test("configured checkpoint root gives every sink a durable WAL location") {
     implicit val sq = spark.sqlContext
     val root = TempDirs.create("graft-stream-ckpt")
