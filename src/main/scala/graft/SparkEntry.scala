@@ -138,6 +138,7 @@ object SparkEntry {
     "q_span_coverage"       -> ((s: SparkSession, d: String) => TextOps.spanCoverage(s, d)),
     "q_substring_dedup"     -> (TextOps.substringDedup _),
     "q_frame_sample"        -> (graft.ops.MultimodalOps.frameSample _),
+    "q_keyframe_sample"     -> (graft.ops.MultimodalOps.keyframeSample _),
     "q_semantic_decontam"   -> ((s: SparkSession, d: String) => VectorOps.semanticDecontam(s, d)),
     "q_token_budget_select" -> ((s: SparkSession, d: String) => SamplingOps.tokenBudgetSelect(s, d)),
     "q_dedup_incremental"   -> (IncrementalDedup.dedupIncrement _),
@@ -1681,6 +1682,40 @@ object SparkEntry {
         |       CAST(base + presum AS BIGINT) AS "offset",
         |       CAST(sz AS BIGINT) AS size
         |FROM f WHERE i % k = 0 ORDER BY doc_id, frame_idx""".stripMargin,
+    // keyframe extraction: the engine reads the REAL stss sync-sample
+    // box (absent box = ISO default, every sample sync); the oracle
+    // replays the stride rule from the fixture formulas — docs with
+    // doc_id % 5 = 0 craft no stss and must yield every sample
+    "q_keyframe_sample" ->
+      """WITH par AS (
+        |    SELECT doc_id, 5 + doc_id % 40 AS n,
+        |           1000 + doc_id % 9000 AS tsc,
+        |           100 + doc_id % 50 AS d1,
+        |           48 + doc_id % 64 AS base,
+        |           2 + doc_id % 4 AS j
+        |    FROM documents
+        |), s AS (
+        |    SELECT doc_id, unnest(range(0, n)) AS i, n, tsc, d1, base, j
+        |    FROM par
+        |), e AS (
+        |    SELECT *, (n + 1) // 2 AS run1,
+        |           100 + ((doc_id + i) % 37) AS sz
+        |    FROM s
+        |), f AS (
+        |    SELECT *,
+        |           CASE WHEN i < run1 THEN i * d1
+        |                ELSE run1 * d1 + (i - run1) * (d1 + 25) END AS pts,
+        |           COALESCE(SUM(sz) OVER (PARTITION BY doc_id ORDER BY i
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |               0) AS presum
+        |    FROM e
+        |)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |       CAST(pts * 1000 // tsc AS BIGINT) AS ts_ms,
+        |       CAST(base + presum AS BIGINT) AS "offset",
+        |       CAST(sz AS BIGINT) AS size
+        |FROM f WHERE doc_id % 5 = 0 OR i % j = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     // substring-extent dedup (Lee et al. 2021 output-corpus operator):
     // the oracle replays seed set (duplicated 5-grams, per-doc DISTINCT),
     // interval-union extension (covered flag + lag run starts) and cut

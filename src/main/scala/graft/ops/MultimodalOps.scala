@@ -1181,8 +1181,21 @@ object MultimodalOps {
       chunkOff.foreach(bb.putInt)
       box("stco", bb)
     }
+    // sync-sample table: every j-th sample is a keyframe; docs with
+    // docId % 5 == 0 OMIT the box — the ISO default (no stss = every
+    // sample is sync) must round-trip too
+    val stssOpt: Array[Byte] =
+      if (docId % 5 == 0) Array.emptyByteArray
+      else {
+        val j = (2 + docId % 4).toInt
+        val syncs = (0 until n by j).map(_ + 1) // 1-based sample numbers
+        val bb = fullBoxHeader(java.nio.ByteBuffer.allocate(8 + 4 * syncs.length))
+        bb.putInt(syncs.length)
+        syncs.foreach(bb.putInt)
+        box("stss", bb)
+      }
     val stbl = {
-      val payload = stts ++ stsc ++ stsz ++ stco
+      val payload = stts ++ stsc ++ stsz ++ stco ++ stssOpt
       val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
       bb.putInt(8 + payload.length).put("stbl".getBytes("US-ASCII"))
         .put(payload)
@@ -1226,7 +1239,7 @@ object MultimodalOps {
     * box, or a table combination the walk can't prove consistent.
     */
   private[graft] def mp4SampleTable(p: Array[Byte])
-      : Option[(Int, IndexedSeq[(Long, Int, Long)])] = {
+      : Option[(Int, IndexedSeq[(Long, Int, Long, Boolean)])] = {
     def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
       new Iterator[(String, Int, Int)] {
         var i = lo
@@ -1298,6 +1311,20 @@ object MultimodalOps {
     val stcoN = be32(p, stco._2 + 4).toInt
     if (stco._2 + 8 + 4L * stcoN > stco._3) return None
     val chunkBase = (0 until stcoN).map(i => be32(p, stco._2 + 8 + 4 * i))
+    // stss (optional): 1-based sync-sample numbers. ABSENT means every
+    // sample is a sync sample (ISO 14496-12 §8.6.2) — the default must
+    // not be confused with "no keyframes".
+    val sync: Int => Boolean = child(stbl, "stss") match {
+      case None => _ => true
+      case Some(stss) =>
+        if (!v0(stss)) return None
+        val nSync = be32(p, stss._2 + 4).toInt
+        if (stss._2 + 8 + 4L * nSync > stss._3) return None
+        val nums = (0 until nSync).map(i => be32(p, stss._2 + 8 + 4 * i).toInt)
+        if (nums.exists(x => x < 1)) return None
+        val set = nums.map(_ - 1).toSet
+        set.contains _
+    }
     val stscN = be32(p, stsc._2 + 4).toInt
     if (stsc._2 + 8 + 12L * stscN > stsc._3) return None
     val runs = (0 until stscN).map { e =>
@@ -1309,8 +1336,8 @@ object MultimodalOps {
       runs.takeWhile(_._1 <= c).lastOption.map(_._2).getOrElse(return None)
     }
     if (perChunk.sum < szN) return None
-    // assemble (pts units, size, offset) per sample
-    val out = IndexedSeq.newBuilder[(Long, Int, Long)]
+    // assemble (pts units, size, offset, sync) per sample
+    val out = IndexedSeq.newBuilder[(Long, Int, Long, Boolean)]
     var sample = 0
     var pts = 0L
     var chunk = 0
@@ -1318,7 +1345,7 @@ object MultimodalOps {
       var off = chunkBase(chunk)
       var inChunk = 0
       while (sample < szN && inChunk < perChunk(chunk)) {
-        out += ((pts, sizes(sample), off))
+        out += ((pts, sizes(sample), off, sync(sample)))
         pts += deltas(sample)
         off += sizes(sample)
         sample += 1
@@ -1355,7 +1382,32 @@ object MultimodalOps {
           case None => Seq(FrameRow(r.docId, -1L, -1L, -1L, -1L)) // loud
           case Some((tsc, samples)) =>
             samples.zipWithIndex.collect {
-              case ((pts, sz, off), i) if i % k == 0 =>
+              case ((pts, sz, off, _), i) if i % k == 0 =>
+                FrameRow(r.docId, i.toLong, pts * 1000L / tsc, off, sz.toLong)
+            }
+        }
+      }
+      .select(col("docId").as("doc_id"), col("frameIdx").as("frame_idx"),
+        col("tsMs").as("ts_ms"), col("offset"), col("size"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Keyframe (sync-sample) extraction over the stss table — the
+    * vision-training sampling primitive: decode stages seek keyframes
+    * because only they decode standalone. Emits every sync sample's seek
+    * columns; a container WITHOUT an stss box yields every sample (the
+    * ISO default — all samples sync), never zero rows. Same per-row walk
+    * and loud-refusal contract as [[frameSample]].
+    */
+  def keyframeSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    videoFromDocuments(s, d)
+      .flatMap { r =>
+        mp4SampleTable(r.payload) match {
+          case None => Seq(FrameRow(r.docId, -1L, -1L, -1L, -1L)) // loud
+          case Some((tsc, samples)) =>
+            samples.zipWithIndex.collect {
+              case ((pts, sz, off, sync), i) if sync =>
                 FrameRow(r.docId, i.toLong, pts * 1000L / tsc, off, sz.toLong)
             }
         }

@@ -1468,7 +1468,17 @@ class OpsPropertySpec extends SparkSpec {
       if (i < 6) i * 107L else 6 * 107L + (i - 6) * 132L)
     // offsets: chunk bases every 3 samples, contiguous layout
     val offs = (0 until 12).map(i => 55L + sizes.take(i).sum)
-    assert(samples == pts.indices.map(i => (pts(i), sizes(i), offs(i))))
+    // doc 7: stss present with stride j = 2+7%4 = 5 → sync at i % 5 == 0
+    assert(samples ==
+      pts.indices.map(i => (pts(i), sizes(i), offs(i), i % 5 == 0)))
+    // doc 8: stss stride j = 2 → sync exactly at even sample indices
+    val (_, s8) = MultimodalOps.mp4SampleTable(
+      MultimodalOps.craftMp4Track(8L)).get
+    assert(s8.zipWithIndex.forall { case ((_, _, _, sy), i) => sy == (i % 2 == 0) })
+    // doc 10: NO stss box — the ISO default makes every sample sync
+    val (_, s10) = MultimodalOps.mp4SampleTable(
+      MultimodalOps.craftMp4Track(10L)).get
+    assert(s10.forall(_._4))
     // truncation anywhere inside the table boxes is refused, not guessed
     assert(MultimodalOps.mp4SampleTable(p.dropRight(6)).isEmpty)
     // a corrupt stsz count (≠ stts sample count) is refused
