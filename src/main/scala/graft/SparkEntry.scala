@@ -134,6 +134,7 @@ object SparkEntry {
     "q_corpus_clean_ppx"    -> ((s: SparkSession, d: String) => TextOps.corpusCleanPerplexity(s, d)),
     "q_bpe_tokenize"        -> (graft.ops.BpeOps.bpeTokenize _),
     "q_quality_classifier"  -> (TextOps.qualityClassifier _),
+    "q_pack_sequences_bpe"  -> ((s: SparkSession, d: String) => SamplingOps.packSequencesBpe(s, d)),
     "q_corpus_clean_qc"     -> (TextOps.corpusCleanClassified _),
     "q_span_coverage"       -> ((s: SparkSession, d: String) => TextOps.spanCoverage(s, d)),
     "q_substring_dedup"     -> (TextOps.substringDedup _),
@@ -208,10 +209,9 @@ object SparkEntry {
     * crafted corpora); this gate hash-compares the full per-document
     * piece stream.
     */
-  private def bpeTokenizeOracle: String = {
+  private def bpeAppliedCte: String = {
     val path = OracleInputs.sqlPath("bpe_merges")
-    s"""WITH RECURSIVE
-       |m AS (SELECT rank, l, r FROM read_parquet('$path/*.parquet')),
+    s"""m AS (SELECT rank, l, r FROM read_parquet('$path/*.parquet')),
        |base AS (
        |    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
        |    FROM documents
@@ -241,14 +241,41 @@ object SparkEntry {
        |    SELECT doc_id,
        |           array_to_string(list(pieces ORDER BY i), ' ') AS pieces
        |    FROM fin GROUP BY doc_id
-       |)
+       |)""".stripMargin
+  }
+
+  private def bpeTokenizeOracle: String =
+    s"""WITH RECURSIVE
+       |$bpeAppliedCte
        |SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_words,
        |       CAST(CASE WHEN length(a.pieces) = 0 THEN 0
        |            ELSE len(string_split(a.pieces, ' ')) END AS BIGINT)
        |           AS n_bpe_tokens,
        |       md5(a.pieces) AS pieces_md5
        |FROM base b JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
-  }
+
+  /** Sequence packing re-based on LEARNED BPE counts (the budgets the
+    * packer fills are finally real token budgets, not a chars/4 proxy):
+    * the applied-pieces CTE feeds the same prefix-sum packing arithmetic
+    * as q_pack_sequences.
+    */
+  private def packSequencesBpeOracle: String =
+    s"""WITH RECURSIVE
+       |$bpeAppliedCte
+       |, tokb AS (
+       |    SELECT doc_id,
+       |           GREATEST(CASE WHEN length(pieces) = 0 THEN 0
+       |               ELSE len(string_split(pieces, ' ')) END, 1) AS tokens
+       |    FROM agg
+       |), c AS (
+       |    SELECT doc_id, tokens,
+       |           SUM(tokens) OVER (ORDER BY doc_id
+       |               ROWS UNBOUNDED PRECEDING) AS cum
+       |    FROM tokb
+       |)
+       |SELECT doc_id, CAST(tokens AS BIGINT) AS tokens,
+       |       CAST((cum - tokens) // 512 AS BIGINT) AS seq_id
+       |FROM c ORDER BY doc_id""".stripMargin
 
   /** Shared CTE chain of the Naive Bayes quality classifier oracle —
     * retrains the add-one-smoothed class-rate ratios (positive class =
@@ -1503,6 +1530,7 @@ object SparkEntry {
     // in exact integer arithmetic (div / //)
     "q_perplexity_filter" -> perplexityFilterOracle,
     "q_bpe_tokenize" -> bpeTokenizeOracle,
+    "q_pack_sequences_bpe" -> packSequencesBpeOracle,
     // seed-referenced NB quality classifier: deterministic training ⇒ the
     // oracle RETRAINS the same add-one-smoothed class-rate ratios and
     // replays the fixed-point token-mean + cross-multiplied keep rule

@@ -96,6 +96,23 @@ object SamplingOps {
       .select(col("doc_id"), expr("greatest(n_chars div 4, 1)").as("tokens")),
       budget, nBuckets)
 
+  /** [[packSequences]] with budgets measured in LEARNED BPE tokens
+    * instead of the chars/4 proxy (the round-11 re-basing: every token
+    * budget the packer fills is now a real tokenizer count). Trains/
+    * stores the model like the q_bpe_tokenize gate, then feeds the
+    * served per-doc piece counts (floored at 1, the proxy's convention)
+    * into the same two-phase prefix-sum packing — scale shape unchanged.
+    */
+  def packSequencesBpe(s: SparkSession, d: String, budget: Int = 512,
+                       nBuckets: Int = 32): DataFrame = {
+    BpeOps.buildBpeModel(t(s, d, "documents"), "graft_bpe_pack")
+    packTokens(
+      BpeOps.bpeTokenizeFromModel(s, d, "graft_bpe_pack")
+        .select(col("doc_id"),
+          greatest(col("n_bpe_tokens"), lit(1L)).as("tokens")),
+      budget, nBuckets)
+  }
+
   /** Contiguous-in-id equi-depth bucketing: boundaries come from a
     * mergeable approx-quantile sketch (one pass, no global sort), so every
     * bucket holds ~n/nBuckets rows REGARDLESS of how the ids are
