@@ -176,6 +176,21 @@ object BpeOps {
       .orderBy("doc_id")
   }
 
+  /** Scheduled tokenizer retrain — merge tables are frozen between
+    * cadences (budget arithmetic must not drift mid-epoch under a
+    * changing vocabulary), so vocabulary growth re-anchors here, like
+    * every stored-model family ([[graft.ops.TextOps.lmRefreshEntry]]).
+    */
+  def bpeRefreshEntry(id: String, cronExpr: String, db: String,
+                      docs: SparkSession => DataFrame,
+                      k: Int = BpeNumMerges)
+      : graft.pipeline.ScheduleRunner.Entry =
+    graft.pipeline.ScheduleRunner.Entry(id,
+      graft.pipeline.CronSchedule.parse(cronExpr),
+      (s, _) => buildBpeModel(docs(s), db, k),
+      name = "bpe_model_refresh", target = s"$db.$BpeMergesTable",
+      tags = Map("pipeline" -> "tokenizer"))
+
   /** The registry gate: train on the corpus, store the model, serve from
     * the stored tables — the oracle replays ONLY the application fold
     * over the materialized merge table (training correctness is spec-

@@ -254,6 +254,21 @@ object IncrementalClusters {
     }
   }
 
+  /** Scheduled full rebuild — re-anchors the append path's frozen
+    * parameters (partition block law, hot-bucket cap evaluated over the
+    * grown corpus, any mid-append crash state) on the cron cadence; the
+    * re-anchor every incremental caveat in this file points at.
+    */
+  def clusterRebuildEntry(id: String, cronExpr: String,
+                          corpus: org.apache.spark.sql.SparkSession => DataFrame,
+                          db: String = Db)
+      : graft.pipeline.ScheduleRunner.Entry =
+    graft.pipeline.ScheduleRunner.Entry(id,
+      graft.pipeline.CronSchedule.parse(cronExpr),
+      (s, _) => buildClusterState(s, corpus(s), db),
+      name = "cluster_state_rebuild", target = s"$db.$LabelsTable",
+      tags = Map("pipeline" -> "incremental-dedup"))
+
   /** Serve the persisted labeling in the [[TextOps.dedupSurvivors]]
     * shape.
     */

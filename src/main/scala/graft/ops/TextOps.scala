@@ -917,6 +917,43 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Fold a new document batch into a stored classifier: class-rate
+    * counts are ADDITIVE, so the merge is batch-counts ∪ stored-counts →
+    * sum — the [[appendToLmModel]] contract verbatim, including its
+    * caveats: the caller must not replay a batch (counts double), and
+    * the STORED THRESHOLD stays as trained (new counts shift every
+    * score, so the corpus mean cannot advance incrementally — drift is
+    * re-anchored by [[qcRefreshEntry]]). Cost: the batch's tokens plus a
+    * vocab-sized rewrite; the base corpus is never re-read.
+    */
+  def appendToQualityClassifier(s: SparkSession, db: String,
+                                docs: DataFrame): Unit = {
+    val docsT = withTokens(docs)
+      .withColumn("pos", (col("doc_id") % 100 === 7).cast("long"))
+    val batch = docsT.select(col("pos"), explode(col("tokens")).as("w"))
+      .groupBy("w")
+      .agg(sum("pos").as("c_pos"), sum(lit(1L) - col("pos")).as("c_neg"))
+    graft.store.Warehouse.rewriteVia(s, db, QcTokenTable)(stored =>
+      stored.unionByName(batch).groupBy("w")
+        .agg(sum("c_pos").as("c_pos"), sum("c_neg").as("c_neg")))
+    graft.store.Warehouse.rewriteVia(s, db, QcTotalsTable)(_ =>
+      s.table(s"`$db`.`$QcTokenTable`")
+        .agg(sum("c_pos").as("t_pos"), sum("c_neg").as("t_neg"),
+          count(lit(1)).as("v")))
+  }
+
+  /** Scheduled classifier rebuild — re-anchors counts AND the keep
+    * threshold to the grown corpus (mirrors [[lmRefreshEntry]]).
+    */
+  def qcRefreshEntry(id: String, cronExpr: String, db: String,
+                     docs: SparkSession => DataFrame)
+      : graft.pipeline.ScheduleRunner.Entry =
+    graft.pipeline.ScheduleRunner.Entry(id,
+      graft.pipeline.CronSchedule.parse(cronExpr),
+      (s, _) => buildQualityClassifier(docs(s), db),
+      name = "qc_model_refresh", target = s"$db.$QcTokenTable",
+      tags = Map("pipeline" -> "quality-filter"))
+
   /** Registry gate: train, store, serve — deterministic training means
     * the oracle can RETRAIN the same classifier declaratively and land on
     * identical fixed-point scores.

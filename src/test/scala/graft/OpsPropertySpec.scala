@@ -1612,6 +1612,62 @@ class OpsPropertySpec extends SparkSpec {
       key(TextOps.perplexityFilterFromModel(spark, sf, dbU).collect()))
   }
 
+  test("qc classifier appends: merged counts bit-equal to a union retrain; " +
+      "threshold frozen until the cron rebuild re-anchors it; cluster and " +
+      "bpe rebuild entries fire on their crons") {
+    import java.time.LocalDateTime
+    import graft.pipeline.ScheduleRunner
+    val docs = Tables.t(spark, sf, "documents")
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val (dbS, dbU) = ("qc_model_split_db", "qc_model_union_db")
+    Seq(dbS, dbU).foreach(db =>
+      spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE"))
+    TextOps.buildQualityClassifier(docs.filter(col("doc_id") <= maxId / 2), dbS)
+    val thrBefore = spark.table(s"$dbS.${TextOps.QcThresholdTable}")
+      .head.getLong(0)
+    TextOps.appendToQualityClassifier(spark, dbS,
+      docs.filter(col("doc_id") > maxId / 2))
+    TextOps.buildQualityClassifier(docs, dbU)
+    def counts(db: String) = spark.table(s"$db.${TextOps.QcTokenTable}")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(counts(dbS) == counts(dbU), "merged counts diverged from retrain")
+    def totals(db: String) = spark.table(s"$db.${TextOps.QcTotalsTable}")
+      .head match { case r => (r.getLong(0), r.getLong(1), r.getLong(2)) }
+    assert(totals(dbS) == totals(dbU), "merged totals diverged from retrain")
+    // threshold frozen across the append (the LM contract)...
+    assert(spark.table(s"$dbS.${TextOps.QcThresholdTable}").head.getLong(0)
+      == thrBefore)
+    // ...until the cron rebuild re-anchors it to the union's
+    val tt = LocalDateTime.parse("2026-01-01T00:00:00")
+    assert(new ScheduleRunner(
+      Seq(TextOps.qcRefreshEntry("qc-refresh", "0 4 * * *", dbS,
+        s => Tables.t(s, sf, "documents"))), startAt = tt)
+      .tick(spark, tt.plusHours(4)) == Seq("qc-refresh"))
+    for (t <- Seq(TextOps.QcTokenTable, TextOps.QcTotalsTable,
+        TextOps.QcThresholdTable))
+      spark.catalog.refreshTable(s"$dbS.$t")
+    assert(spark.table(s"$dbS.${TextOps.QcThresholdTable}").head.getLong(0)
+      == spark.table(s"$dbU.${TextOps.QcThresholdTable}").head.getLong(0))
+    // rebuild entries for the other round-11 states fire on their crons
+    import graft.ops.{BpeOps, IncrementalClusters}
+    spark.sql("DROP DATABASE IF EXISTS `bpe_cron_db` CASCADE")
+    spark.sql("DROP DATABASE IF EXISTS `clusters_cron_db` CASCADE")
+    val fired = new ScheduleRunner(Seq(
+      BpeOps.bpeRefreshEntry("bpe-refresh", "0 4 * * *", "bpe_cron_db",
+        s => Tables.t(s, sf, "documents")),
+      IncrementalClusters.clusterRebuildEntry("cluster-rebuild", "0 4 * * *",
+        s => Tables.t(s, sf, "documents"), "clusters_cron_db")),
+      startAt = tt).tick(spark, tt.plusHours(4))
+    assert(fired.toSet == Set("bpe-refresh", "cluster-rebuild"))
+    assert(spark.table(s"bpe_cron_db.${BpeOps.BpeMergesTable}").count() > 0)
+    assert(spark.table(
+      s"clusters_cron_db.${IncrementalClusters.LabelsTable}").count() ==
+      docs.count())
+    Seq(dbS, dbU, "bpe_cron_db", "clusters_cron_db").foreach(db =>
+      spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE"))
+  }
+
   test("split assignment: total, disjoint, deterministic, and shuffle-free " +
       "up to the presentation sort") {
     import graft.ops.SamplingOps
