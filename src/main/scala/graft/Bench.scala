@@ -40,18 +40,42 @@ object Bench {
     // In-band host-load evidence (three rounds of driver-vs-quiet-host
     // bench disputes needed an out-of-band re-run to adjudicate): a FIXED
     // pure-CPU calibration probe — no I/O, no shuffle, fully parallel —
-    // interleaved through every pass. Its wall time moves only with CPU
-    // contention, so max/min over its samples IS the load index: ~1 on a
-    // quiet host, >>1 when neighbors stole cores mid-run. Reported in the
-    // JSON so a loaded run is self-evident without a counter-benchmark.
-    val calibSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // interleaved through every pass. TWO signals, validated under a
+    // 64-spinner hog (2x oversubscription, queries ~3x slower):
+    //  1. `calib.min` (absolute): the best-case probe time. Identical
+    //     code+config on the same host reproduces it, so two disputed
+    //     runs compare DIRECTLY — the hogged run's min read 1.4-2.1x the
+    //     quiet min. This is the adjudicator for load that spans the
+    //     whole run (the r10 dispute shape), which any within-run
+    //     statistic is structurally blind to.
+    //  2. `host_load_index` (relative): max/min over per-pass probe
+    //     minima — catches load that starts or stops mid-run without any
+    //     cross-run reference. ~1.0-1.4 quiet (the probe inherits some
+    //     of the neighbor queries' GC wake); >2 = a whole pass never saw
+    //     an uncontended window.
+    // samples grouped BY PASS: the reported index compares each pass's
+    // own minimum against the global minimum — a quiet pass always lands
+    // at least one clean probe among its ~9, while genuine external
+    // contention inflates even the pass minimum. (Raw per-point
+    // median/min read ~1.9 on a QUIET host at sf0.1: probes inherit the
+    // neighbor queries' GC/page-cache wake, which is self-load.)
+    val calibPasses =
+      scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[Double]]
+    def calibSamples = calibPasses.flatten
     def calibrate(): Unit = {
-      val t0 = System.nanoTime()
       // bit_xor, not sum: the xor fold can never overflow under ANSI.
       // A failed probe records no sample — it must never abort the bench.
+      // Each point is a MIN-OF-2: the first probe absorbs whatever GC the
+      // preceding query left pending (at sf0.1 that self-load alone read
+      // as index ~2 on a quiet host), the second measures CPU
+      // availability — external contention still inflates both.
       try {
-        spark.range(1L << 27).selectExpr("bit_xor(xxhash64(id)) AS h").collect()
-        calibSamples += (System.nanoTime() - t0) / 1e9
+        val pair = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          spark.range(1L << 27).selectExpr("bit_xor(xxhash64(id)) AS h").collect()
+          (System.nanoTime() - t0) / 1e9
+        }
+        calibPasses.last += pair.min
       } catch { case _: Throwable => () }
     }
     // one untimed probe run first: its codegen compile must not pollute
@@ -86,6 +110,7 @@ object Bench {
     val ckptSecPerPass = scala.collection.mutable.ArrayBuffer.empty[Double]
     val perRun = (1 to runs).map { r =>
       OracleInputs.checkpointNanos.set(0L)
+      calibPasses += scala.collection.mutable.ArrayBuffer.empty[Double]
       val res = oneRun()
       ckptSecPerPass += OracleInputs.checkpointNanos.get / 1e9
       if (r < runs) {
@@ -159,17 +184,21 @@ object Bench {
       "\"" + k + "\":" + f }.mkString("{", ",", "}")
     val total = r4(stabilized.map(_._2).sum)
     val ckptSec = r4(ckptSecPerPass.min)
-    // host_load_index: MEDIAN/min over the interleaved calibration
-    // samples — not max/min, because a single GC-coinciding sample is a
-    // 2× spike even on a quiet host, while genuine external contention
-    // (the r10 dispute: 4× on identical bytes) inflates MOST samples.
-    // ~1.0-1.4 = quiet host; >2 = the run carried sustained CPU
-    // contention and its per-query numbers are suspect. max is still
-    // reported in `calib` for the full picture.
-    val hostLoadIndex = if (calibSamples.size >= 2) {
-      val sorted = calibSamples.sorted
-      r4(sorted(sorted.size / 2) / sorted.head)
-    } else 1.0
+    // host_load_index: max over passes of (pass min / global min).
+    // ~1.0-1.3 = quiet host (every pass found a clean probe window); >2 =
+    // at least one whole pass ran without ANY uncontended moment — i.e.
+    // sustained external CPU contention (the r10 dispute: 4× on identical
+    // bytes), and that pass's per-query numbers are suspect. Raw min/max
+    // over all points is still reported in `calib`.
+    val passMins = calibPasses.filter(_.nonEmpty).map(_.min)
+    val hostLoadIndex =
+      if (passMins.size >= 2 && passMins.min > 0) r4(passMins.max / passMins.min)
+      else {
+        // single-pass run: no cross-pass baseline — fall back to
+        // median/min within the pass (noisier: carries some self-load)
+        val pts = calibSamples.toSeq.sorted
+        if (pts.size >= 2) r4(pts(pts.size / 2) / pts.head) else 1.0
+      }
     val calibJson = s"""{"n":${calibSamples.size},"min":${r4(
       if (calibSamples.nonEmpty) calibSamples.min else 0.0)},"max":${r4(
       if (calibSamples.nonEmpty) calibSamples.max else 0.0)}}"""
