@@ -1279,7 +1279,11 @@ object MultimodalOps {
     val stts = child(stbl, "stts").getOrElse(return None)
     val stsc = child(stbl, "stsc").getOrElse(return None)
     val stsz = child(stbl, "stsz").getOrElse(return None)
-    val stco = child(stbl, "stco").getOrElse(return None)
+    // chunk offsets: stco (32-bit) or co64 (64-bit — files past 4 GiB,
+    // the form a real 100 TB-scale video corpus actually carries)
+    val stco = child(stbl, "stco").orElse(child(stbl, "co64"))
+      .getOrElse(return None)
+    val co64 = stco._1 == "co64"
     if (!v0(stts) || !v0(stsc) || !v0(stsz) || !v0(stco)) return None
     // stts → per-sample decode deltas. Run counts are summed against a
     // refuse-before-allocation ceiling (the codec-family contract): a
@@ -1309,8 +1313,13 @@ object MultimodalOps {
       }
     // stco → chunk bases; stsc runs → samples per chunk
     val stcoN = be32(p, stco._2 + 4).toInt
-    if (stco._2 + 8 + 4L * stcoN > stco._3) return None
-    val chunkBase = (0 until stcoN).map(i => be32(p, stco._2 + 8 + 4 * i))
+    val offW = if (co64) 8 else 4
+    if (stco._2 + 8 + offW.toLong * stcoN > stco._3) return None
+    val chunkBase = (0 until stcoN).map { i =>
+      if (co64) (be32(p, stco._2 + 8 + 8 * i) << 32) |
+        be32(p, stco._2 + 12 + 8 * i)
+      else be32(p, stco._2 + 8 + 4 * i)
+    }
     // stss (optional): 1-based sync-sample numbers. ABSENT means every
     // sample is a sync sample (ISO 14496-12 §8.6.2) — the default must
     // not be confused with "no keyframes".

@@ -1511,6 +1511,49 @@ class OpsPropertySpec extends SparkSpec {
       "a version-1 mdhd must be refused loudly, not misread as v0")
   }
 
+  test("mp4 walk generality: multi-run stsc chunk mapping and 64-bit " +
+      "co64 offsets past 4 GiB decode exactly") {
+    import java.nio.ByteBuffer
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    def full(ints: Seq[Int]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(4 + 4 * ints.length)
+      bb.putInt(0); ints.foreach(bb.putInt); bb.array()
+    }
+    val sizes = (0 until 6).map(10 + _)
+    // chunks 1-2 hold 2 samples each, chunks 3+ hold 1 (two stsc runs);
+    // chunk 2 sits past the 32-bit boundary — co64 carries it
+    val offs = Seq(0x40L, 0x100000010L, 0x200L, 0x300L)
+    val stts = box("stts", full(Seq(1, 6, 10)))
+    val stsc = box("stsc", full(Seq(2, 1, 2, 1, 3, 1, 1)))
+    val stsz = box("stsz", full(Seq(0, 6) ++ sizes))
+    val co64 = {
+      val bb = ByteBuffer.allocate(8 + 8 * offs.length)
+      bb.putInt(0).putInt(offs.length); offs.foreach(bb.putLong)
+      box("co64", bb.array())
+    }
+    val mdhd = box("mdhd", full(Seq(0, 0, 1000, 0)))
+    val stbl = box("stbl", stts ++ stsc ++ stsz ++ co64)
+    val mdia = box("mdia", mdhd ++ box("minf", stbl))
+    val moov = box("moov",
+      box("mvhd", full(Seq(0, 0, 1000, 0))) ++ box("trak", mdia))
+    val ftyp = {
+      val bb = ByteBuffer.allocate(16)
+      bb.putInt(16).put("ftyp".getBytes("US-ASCII"))
+        .put("isom".getBytes("US-ASCII")).putInt(0x200)
+      bb.array()
+    }
+    val (tsc, samples) = MultimodalOps.mp4SampleTable(ftyp ++ moov).get
+    assert(tsc == 1000)
+    val expOffs = Seq(offs(0), offs(0) + 10, offs(1), offs(1) + 12,
+      offs(2), offs(3))
+    assert(samples == (0 until 6).map(i =>
+      (i * 10L, sizes(i), expOffs(i), true)))
+  }
+
   test("wav pcm extraction: signed 16-bit LE pairs, odd trailing byte " +
       "dropped, corrupt containers refused") {
     // 5 payload bytes → 2 full frames, the odd trailing byte dropped
