@@ -138,6 +138,7 @@ object SparkEntry {
     "q_corpus_clean_qc"     -> (TextOps.corpusCleanClassified _),
     "q_span_coverage"       -> ((s: SparkSession, d: String) => TextOps.spanCoverage(s, d)),
     "q_substring_dedup"     -> (TextOps.substringDedup _),
+    "q_substring_dedup_incremental" -> (TextOps.substringDedupIncrement _),
     "q_frame_sample"        -> (graft.ops.MultimodalOps.frameSample _),
     "q_keyframe_sample"     -> (graft.ops.MultimodalOps.keyframeSample _),
     "q_semantic_decontam"   -> ((s: SparkSession, d: String) => VectorOps.semanticDecontam(s, d)),
@@ -1793,6 +1794,55 @@ object SparkEntry {
         |           FILTER (WHERE new_span OR NOT covered), ' ')
         |           AS text_clean
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // incremental substring dedup: the oracle replays the FRESH union
+    // operator and keeps only batch rows (append-only 2/3 id split) — a
+    // green row proves the gram-index path's bit-equality invariant
+    "q_substring_dedup_incremental" ->
+      """WITH base AS (
+        |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |    FROM documents
+        |), pos AS (
+        |    SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p,
+        |           unnest(toks) AS tok
+        |    FROM base
+        |), st AS (
+        |    SELECT doc_id,
+        |           unnest(range(1, len(toks) - 3)) AS pos,
+        |           unnest(list_transform(range(1, len(toks) - 3),
+        |                  i -> array_to_string(toks[i:i+4], ' '))) AS g
+        |    FROM base WHERE len(toks) >= 5
+        |), dup AS (
+        |    SELECT g FROM (SELECT DISTINCT doc_id, g FROM st)
+        |    GROUP BY g HAVING COUNT(*) >= 2
+        |), cov AS (
+        |    SELECT DISTINCT doc_id, p FROM (
+        |        SELECT doc_id, unnest(range(pos, pos + 5)) AS p
+        |        FROM st WHERE g IN (SELECT g FROM dup))
+        |), m AS (
+        |    SELECT pos.doc_id, pos.p, pos.tok,
+        |           cov.p IS NOT NULL AS covered
+        |    FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id
+        |                          AND pos.p = cov.p
+        |), r AS (
+        |    SELECT *, covered AND NOT COALESCE(
+        |               LAG(covered) OVER (PARTITION BY doc_id ORDER BY p),
+        |               false) AS new_span
+        |    FROM m
+        |)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_removed,
+        |       CAST(SUM(CASE WHEN new_span THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_spans,
+        |       array_to_string(list(
+        |           CASE WHEN new_span THEN chr(9247)
+        |                WHEN NOT covered THEN tok END ORDER BY p)
+        |           FILTER (WHERE new_span OR NOT covered), ' ')
+        |           AS text_clean
+        |FROM r
+        |WHERE doc_id * 3 >= (SELECT MAX(doc_id) * 2 FROM documents)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // quality-ranked prefix that fits the token budget; the micro-ratio
     // quality key is integer arithmetic on both sides (div / //)
     "q_token_budget_select" ->

@@ -1056,18 +1056,31 @@ object TextOps {
     */
   def substringDedupFor(docs: DataFrame, n: Int = SpanNgram): DataFrame = {
     val docsT = withTokens(docs)
-    val pos = docsT.select(col("doc_id"),
-        posexplode(col("tokens")).as(Seq("p0", "tok")))
-      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
-    val st = docsT.filter(size(col("tokens")) >= n)
+    val st = gramStarts(docsT, n)
+    val dup = st.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    substringExcise(docsT, st, dup, n)
+  }
+
+  /** (doc_id, pos, g): every n-gram start of every document (1-based). */
+  private def gramStarts(docsT: DataFrame, n: Int): DataFrame =
+    docsT.filter(size(col("tokens")) >= n)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(tokens) - ${n - 1}), " +
           s"i -> struct(i AS pos, concat_ws(' ', slice(tokens, i, $n)) AS g))"))
         .as("sg"))
       .select(col("doc_id"), col("sg.pos").as("pos"), col("sg.g").as("g"))
-    val dup = st.select("doc_id", "g").distinct()
-      .groupBy("g").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select("g")
+
+  /** The excision tail shared by the batch and incremental forms: cover
+    * every position under a duplicated gram start, merge runs via the
+    * doc-keyed lag window, cut and re-join.
+    */
+  private def substringExcise(docsT: DataFrame, st: DataFrame,
+                              dup: DataFrame, n: Int): DataFrame = {
+    val pos = docsT.select(col("doc_id"),
+        posexplode(col("tokens")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
     val cov = st.join(dup, Seq("g"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
@@ -1097,6 +1110,85 @@ object TextOps {
 
   def substringDedup(s: SparkSession, d: String): DataFrame =
     substringDedupFor(t(s, d, "documents"))
+
+  /** Name of the persisted duplicated-gram state ([[buildGramIndex]]). */
+  val GramIndexDb = "graft_gram_index"
+  val GramIndexTable = "gram_index"
+
+  /** Persist the corpus's per-doc-DISTINCT gram profile, bucketed by gram
+    * so batch probes read it in place (the band-index posture — one
+    * gram-keyed shuffle paid at build, never per batch). Rows are
+    * (g, nd); the probe only needs existence, so appends stay append-only
+    * (no count merge).
+    */
+  def buildGramIndex(corpus: DataFrame, db: String = GramIndexDb,
+                     table: String = GramIndexTable,
+                     n: Int = SpanNgram): Unit = {
+    val grams = gramStarts(withTokens(corpus), n)
+      .select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+    val buckets = IncrementalDedup.adaptiveIndexBuckets(grams.count())
+    graft.store.Warehouse.saveBucketed(grams, db, table, Seq("g"), buckets)
+  }
+
+  /** Fold a processed batch's grams into the index (bucket spec
+    * preserved — the [[IncrementalDedup.appendBands]] contract, including
+    * its at-least-once caveat: replays grow the index without changing
+    * any verdict, existence being the only probe semantic).
+    */
+  def appendToGramIndex(batch: DataFrame, db: String = GramIndexDb,
+                        table: String = GramIndexTable,
+                        n: Int = SpanNgram): Unit = {
+    val s = batch.sparkSession
+    val grams = gramStarts(withTokens(batch), n)
+      .select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+    grams.write.mode("append").format("parquet")
+      .bucketBy(IncrementalDedup.currentIndexBuckets(s, db, table), "g")
+      .sortBy("g")
+      .saveAsTable(s"`$db`.`$table`")
+  }
+
+  /** Excise a BATCH against the persisted corpus gram profile: a batch
+    * gram is duplicated when the corpus already holds it (the batch doc
+    * is the second occurrence) or >= 2 batch docs share it — exactly the
+    * union corpus's duplicated-gram rule restricted to batch rows, so
+    * the output is BIT-EQUAL to a fresh [[substringDedupFor]] over the
+    * union filtered to the batch (the gate's invariant). Already-emitted
+    * corpus output is append-only (a batch can make a corpus gram
+    * retroactively duplicated — the scheduled rebuild re-anchors, the
+    * standing incremental contract).
+    *
+    * Scale shape: the corpus is never re-grammed — the probe semi-joins
+    * the batch's distinct grams against the bucketed index (batch-side
+    * shuffle only); everything else is batch-sized.
+    */
+  private[graft] def substringDedupAgainst(batch: DataFrame,
+                                           gramIndex: DataFrame,
+                                           n: Int = SpanNgram): DataFrame = {
+    val docsT = withTokens(batch)
+    val st = gramStarts(docsT, n)
+    val batchDup = st.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    val corpusHit = st.select("g").distinct()
+      .join(gramIndex.select("g"), Seq("g"), "left_semi")
+    substringExcise(docsT, st, batchDup.union(corpusHit).distinct(), n)
+  }
+
+  /** Registry gate (append-only id split, the [[graft.ops.IncrementalClusters]]
+    * fixture convention): build the gram index on the ingested corpus,
+    * excise the batch against it. The oracle replays the FRESH union
+    * operator filtered to batch rows — a green row proves the
+    * incremental path's bit-equality invariant.
+    */
+  def substringDedupIncrement(s: SparkSession, d: String): DataFrame = {
+    val corpus = IncrementalClusters.corpusDocsRange(s, d)
+    val batch = IncrementalClusters.batchDocsRange(s, d)
+    buildGramIndex(corpus)
+    substringDedupAgainst(batch,
+      s.table(s"`$GramIndexDb`.`$GramIndexTable`"))
+  }
 
   /** [[corpusClean]] with the perplexity gate composed in — the OPTIONAL
     * extra stage a CCNet-style pipeline adds after exact-dedup + heuristic

@@ -31,6 +31,46 @@ class OpsPropertySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"repetition stats shuffled:\n$plan")
   }
 
+  test("incremental substring dedup: batch output bit-equal to the fresh " +
+      "union operator; gram-index appends make later batches see earlier " +
+      "ones; probe reads the bucketed index in place") {
+    val db = "gram_index_spec"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    val corpus = graft.ops.IncrementalClusters.corpusDocsRange(spark, sf)
+    val b1 = graft.ops.IncrementalClusters.batchDocsRange(spark, sf)
+    TextOps.buildGramIndex(corpus, db)
+    val idx = spark.table(s"`$db`.`${TextOps.GramIndexTable}`")
+    val inc = TextOps.substringDedupAgainst(b1, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    val batchIds = b1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val fresh = TextOps.substringDedupFor(Tables.t(spark, sf, "documents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).filter(t => batchIds(t._1)).toSeq
+    assert(inc == fresh,
+      "incremental excision diverged from the fresh union operator")
+    // the probe's index side must read in place: no exchange above the
+    // bucketed scan (batch side shuffles, corpus side never)
+    val plan = TextOps.substringDedupAgainst(b1, idx)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"gram-index probe is not a bucketed in-place read:\n${plan.take(800)}")
+    // appends: a second batch repeating B1-only text now sees it as
+    // duplicated through the grown index
+    TextOps.appendToGramIndex(b1, db)
+    val b1Text = b1.orderBy("doc_id").select("text").head.getString(0)
+    import spark.implicits._
+    val b2 = Seq((100000L, b1Text)).toDF("doc_id", "text")
+    spark.catalog.refreshTable(s"`$db`.`${TextOps.GramIndexTable}`")
+    val out2 = TextOps.substringDedupAgainst(b2,
+      spark.table(s"`$db`.`${TextOps.GramIndexTable}`")).head
+    assert(out2.getLong(2) > 0,
+      "a doc repeating an earlier batch's text must lose spans after " +
+        "the gram-index append")
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
   test("substring dedup: no corpus-repeated n-gram survives in the output " +
       "corpus; crafted chained extents merge and cut exactly") {
     val n = TextOps.SpanNgram
