@@ -71,6 +71,52 @@ class OpsPropertySpec extends SparkSpec {
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
   }
 
+  test("round-11 operators: degenerate inputs stay total — zero-merge BPE, " +
+      "positive-free classifier, empty and single-doc corpora") {
+    // BPE with NO learnable merges (all words single-char, no repeats):
+    // training stops at zero merges, application is the identity split
+    val flat = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
+    val merges0 = graft.ops.BpeOps.trainBpe(flat, 10)
+    assert(merges0.isEmpty)
+    val applied0 = graft.ops.BpeOps.applyBpe(flat, merges0)
+      .orderBy("doc_id").select("pieces").collect().map(_.getString(0))
+    assert(applied0.toSeq == Seq("a b c", "d e f"),
+      "zero merges must apply as the identity character split")
+    // empty-text doc flows through BPE application as zero pieces
+    val empty = Seq((9L, "")).toDF("doc_id", "text")
+    assert(graft.ops.BpeOps.applyBpe(empty, merges0)
+      .head.getString(2) == "")
+    // classifier trained on a corpus with NO positive-slice docs: the
+    // neutral ratio still scores (v > 0 — no division by zero), and the
+    // keep rule still partitions by the corpus mean
+    val noPos = Seq((1L, "x y"), (2L, "x y z"), (3L, "w"))
+      .toDF("doc_id", "text") // no doc_id % 100 == 7
+    TextOps.buildQualityClassifier(noPos, "qc_nopos_spec")
+    val scored = TextOps.qualityScoresFor(noPos, "qc_nopos_spec").collect()
+    assert(scored.length == 3 && scored.forall(_.getLong(2) > 0))
+    spark.sql("DROP DATABASE IF EXISTS `qc_nopos_spec` CASCADE")
+    // substring dedup over a single document: within-doc repeats are NOT
+    // corpus-duplicated (doc-level convention) — full text survives
+    val solo = Seq((1L, "p q r s t p q r s t")).toDF("doc_id", "text")
+    val soloOut = TextOps.substringDedupFor(solo).head
+    assert(soloOut.getLong(2) == 0 &&
+      soloOut.getString(4) == "p q r s t p q r s t")
+    // substring dedup over an empty corpus: empty output, no job failure
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.substringDedupFor(emptyDocs).isEmpty)
+    // frame sampling on a doc whose payload is not an mp4: loud -1 row
+    import spark.implicits._
+    val badFrame = spark.createDataset(Seq(
+        graft.ops.MultimodalOps.MediaRow(5L, "junk".getBytes)))
+      .flatMap { r =>
+        graft.ops.MultimodalOps.mp4SampleTable(r.payload) match {
+          case None => Seq((r.docId, -1L))
+          case Some(_) => Seq((r.docId, 0L))
+        }
+      }.collect()
+    assert(badFrame.toSeq == Seq((5L, -1L)))
+  }
+
   test("substring dedup: no corpus-repeated n-gram survives in the output " +
       "corpus; crafted chained extents merge and cut exactly") {
     val n = TextOps.SpanNgram
