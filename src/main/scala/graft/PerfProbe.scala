@@ -186,6 +186,28 @@ object PerfProbe {
       row("nb_quality_classifier",
         TextOps.buildQualityClassifier(docs, "model_probe_qc"),
         TextOps.qualityClassifierFromModel(spark, d, "model_probe_qc").count())
+      // incremental-cluster split: the registry gate times the full
+      // build + append lifecycle (the oracle proves the maintenance
+      // invariant); production pays the BUILD on the rebuild cadence and
+      // the APPEND per batch — time them apart
+      import graft.ops.{IncrementalClusters, IncrementalDedup}
+      spark.sql("DROP DATABASE IF EXISTS `model_probe_cl` CASCADE")
+      val corpus = IncrementalClusters.corpusDocsRange(spark, d)
+      val batch = IncrementalClusters.batchDocsRange(spark, d)
+      val tb = timed {
+        IncrementalDedup.buildIndexFrom(corpus, db = "model_probe_cl",
+          table = "bands")
+        IncrementalClusters.buildClusterState(spark, corpus, "model_probe_cl")
+      }
+      val ta = timed {
+        IncrementalClusters.appendBatchClusters(spark, batch,
+          spark.table("`model_probe_cl`.`bands`"), "model_probe_cl")
+      }
+      println(f"${"cluster_maintenance"}%-22s build $tb%7.2f s   append $ta%7.2f s")
+      val ts = timed {
+        IncrementalClusters.clusterState(spark, "model_probe_cl").count()
+      }
+      println(f"${"cluster_state_serve"}%-22s                  serve $ts%7.2f s")
     } else if (args.headOption.contains("serving")) {
       // Serving scale law (r10): a FromIndex serve against a K× corpus.
       // The cell-pruned composition (IVF-PQ) reads only the probed
