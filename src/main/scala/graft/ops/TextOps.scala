@@ -1115,37 +1115,60 @@ object TextOps {
   val GramIndexDb = "graft_gram_index"
   val GramIndexTable = "gram_index"
 
-  /** Persist the corpus's per-doc-DISTINCT gram profile, bucketed by gram
-    * so batch probes read it in place (the band-index posture — one
-    * gram-keyed shuffle paid at build, never per batch). Rows are
-    * (g, nd); the probe only needs existence, so appends stay append-only
-    * (no count merge).
+  /** Persist the corpus's per-doc-DISTINCT gram profile, bucketed by the
+    * probe key so batch probes read it in place (the band-index posture —
+    * one gram-keyed shuffle paid at build, never per batch). The probe
+    * only needs existence, so appends stay append-only (no count merge).
+    *
+    * `hashGrams`: store `xxhash64(g)` instead of the gram STRING — at
+    * 100 TB the distinct-gram state is token-volume and the strings
+    * dominate it (~30 bytes vs 8); the hashed index shrinks state and
+    * probe shuffle ~4× at a 2⁻⁶⁴-per-pair false-duplicate budget (a
+    * collision excises one innocent span — the same accepted-FP class as
+    * the bloom blocklist, and absorbed by the scheduled rebuild). The
+    * STRING mode stays the default and the gate path: it is exact, and
+    * the oracle's replay is over strings. Both modes are spec-proved
+    * verdict-identical on the fixture.
     */
   def buildGramIndex(corpus: DataFrame, db: String = GramIndexDb,
                      table: String = GramIndexTable,
-                     n: Int = SpanNgram): Unit = {
-    val grams = gramStarts(withTokens(corpus), n)
-      .select("doc_id", "g").distinct()
-      .groupBy("g").agg(count(lit(1)).as("nd"))
+                     n: Int = SpanNgram,
+                     hashGrams: Boolean = false): Unit = {
+    val grams = gramProfile(corpus, n, hashGrams)
     val buckets = IncrementalDedup.adaptiveIndexBuckets(grams.count())
-    graft.store.Warehouse.saveBucketed(grams, db, table, Seq("g"), buckets)
+    graft.store.Warehouse.saveBucketed(grams, db, table,
+      Seq(gramKeyCol(hashGrams)), buckets)
+  }
+
+  private def gramKeyCol(hashGrams: Boolean): String =
+    if (hashGrams) "gh" else "g"
+
+  private def gramProfile(docs: DataFrame, n: Int,
+                          hashGrams: Boolean): DataFrame = {
+    val base = gramStarts(withTokens(docs), n)
+      .select("doc_id", "g").distinct()
+    (if (hashGrams) base.select(col("doc_id"), xxhash64(col("g")).as("gh"))
+     else base)
+      .groupBy(gramKeyCol(hashGrams))
+      .agg(count(lit(1)).as("nd"))
   }
 
   /** Fold a processed batch's grams into the index (bucket spec
     * preserved — the [[IncrementalDedup.appendBands]] contract, including
     * its at-least-once caveat: replays grow the index without changing
-    * any verdict, existence being the only probe semantic).
+    * any verdict, existence being the only probe semantic). The stored
+    * key column (g vs gh) tells the mode — appends can never mix them.
     */
   def appendToGramIndex(batch: DataFrame, db: String = GramIndexDb,
                         table: String = GramIndexTable,
                         n: Int = SpanNgram): Unit = {
     val s = batch.sparkSession
-    val grams = gramStarts(withTokens(batch), n)
-      .select("doc_id", "g").distinct()
-      .groupBy("g").agg(count(lit(1)).as("nd"))
+    val hashed = !s.table(s"`$db`.`$table`").columns.contains("g")
+    val grams = gramProfile(batch, n, hashed)
+    val key = gramKeyCol(hashed)
     grams.write.mode("append").format("parquet")
-      .bucketBy(IncrementalDedup.currentIndexBuckets(s, db, table), "g")
-      .sortBy("g")
+      .bucketBy(IncrementalDedup.currentIndexBuckets(s, db, table), key)
+      .sortBy(key)
       .saveAsTable(s"`$db`.`$table`")
   }
 
@@ -1171,8 +1194,16 @@ object TextOps {
     val batchDup = st.select("doc_id", "g").distinct()
       .groupBy("g").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select("g")
-    val corpusHit = st.select("g").distinct()
-      .join(gramIndex.select("g"), Seq("g"), "left_semi")
+    // probe key follows the index mode: gram string (exact, the gate
+    // path) or xxhash64 (the 100 TB state-compaction mode)
+    val corpusHit =
+      if (gramIndex.columns.contains("g"))
+        st.select("g").distinct()
+          .join(gramIndex.select("g"), Seq("g"), "left_semi")
+      else
+        st.select(col("g"), xxhash64(col("g")).as("gh")).distinct()
+          .join(gramIndex.select("gh"), Seq("gh"), "left_semi")
+          .select("g")
     substringExcise(docsT, st, batchDup.union(corpusHit).distinct(), n)
   }
 

@@ -68,6 +68,22 @@ class OpsPropertySpec extends SparkSpec {
     assert(out2.getLong(2) > 0,
       "a doc repeating an earlier batch's text must lose spans after " +
         "the gram-index append")
+    // hashed index mode (the 100 TB state-compaction posture): verdicts
+    // identical to the string index on the fixture (no collisions), and
+    // the key column records the mode so appends cannot mix layouts
+    TextOps.buildGramIndex(corpus, db, hashGrams = true)
+    spark.catalog.refreshTable(s"`$db`.`${TextOps.GramIndexTable}`")
+    val hashedIdx = spark.table(s"`$db`.`${TextOps.GramIndexTable}`")
+    assert(hashedIdx.columns.contains("gh") && !hashedIdx.columns.contains("g"))
+    val incH = TextOps.substringDedupAgainst(b1, hashedIdx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(incH == fresh,
+      "hashed-index excision diverged from the string index")
+    TextOps.appendToGramIndex(b1, db) // append must follow the hashed mode
+    spark.catalog.refreshTable(s"`$db`.`${TextOps.GramIndexTable}`")
+    assert(!spark.table(s"`$db`.`${TextOps.GramIndexTable}`")
+      .columns.contains("g"))
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
   }
 
