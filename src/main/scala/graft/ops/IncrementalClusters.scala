@@ -209,7 +209,7 @@ object IncrementalClusters {
       val dstParts = relabel.select(partOf(col("new_canon"), block).as("part"))
         .union(batchRows.select(partOf(col("canonical_id"), block).as("part")))
       val affected = srcParts.union(dstParts).distinct()
-        .collect().map(_.getInt(0)).sorted // ≤ NumParts ints
+        .collect().map(_.getInt(0)).sorted // bounded by the block law
       if (affected.nonEmpty) {
       // content of the affected partitions after the merge: untouched
       // rows stay, touched rows get the new canon (and may change part),
