@@ -208,6 +208,29 @@ object PerfProbe {
         IncrementalClusters.clusterState(spark, "model_probe_cl").count()
       }
       println(f"${"cluster_state_serve"}%-22s                  serve $ts%7.2f s")
+    } else if (args.headOption.contains("gramindex")) {
+      // State-compaction evidence for the hashed gram index: build both
+      // layouts over sf0.1 and report on-disk bytes. The claim under test
+      // is the ~4× shrink that makes exact-substring-dedup state
+      // carryable at 100 TB.
+      import graft.ops.TextOps
+      val docs = Tables.t(spark, d, "documents")
+      spark.sql("DROP DATABASE IF EXISTS `gs_str` CASCADE")
+      spark.sql("DROP DATABASE IF EXISTS `gs_hash` CASCADE")
+      TextOps.buildGramIndex(docs, "gs_str")
+      TextOps.buildGramIndex(docs, "gs_hash", hashGrams = true)
+      def sz(db: String): Long = {
+        val loc = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(
+            TextOps.GramIndexTable, Some(db))).location
+        def walk(x: java.io.File): Long =
+          if (x.isFile) x.length
+          else Option(x.listFiles).map(_.map(walk).sum).getOrElse(0L)
+        walk(new java.io.File(loc))
+      }
+      val (a, b) = (sz("gs_str"), sz("gs_hash"))
+      println(f"gram index bytes: string $a%d, hashed $b%d, " +
+        f"shrink ${a.toDouble / b}%.2f×")
     } else if (args.headOption.contains("serving")) {
       // Serving scale law (r10): a FromIndex serve against a K× corpus.
       // The cell-pruned composition (IVF-PQ) reads only the probed
