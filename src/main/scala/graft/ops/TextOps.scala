@@ -1176,6 +1176,82 @@ object TextOps {
       .saveAsTable(s"`$db`.`$table`")
   }
 
+  /** Sharded gram index — the hash-slice law the band index and every
+    * ANN family carry, for corpora past the single index's bucket cap
+    * (~3×10¹⁰ grams at the shared [[IncrementalDedup.adaptiveIndexBuckets]]
+    * ceiling): shard s holds the grams with `pmod(xxhash64(key), S) = s`,
+    * each with its own adaptive bucket spec. Existence probes query ALL
+    * shards and union the hits — EXACT (a gram lives in exactly one
+    * shard), unlike sharded IVF where per-shard training costs recall.
+    */
+  def buildShardedGramIndex(corpus: DataFrame, nShards: Int,
+                            db: String = GramIndexDb,
+                            table: String = GramIndexTable,
+                            n: Int = SpanNgram,
+                            hashGrams: Boolean = false): Unit = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val grams = gramProfile(corpus, n, hashGrams)
+    val key = gramKeyCol(hashGrams)
+    (0 until nShards).foreach { sh =>
+      val slice = grams.filter(pmod(xxhash64(col(key)), lit(nShards)) === sh)
+      val buckets = IncrementalDedup.adaptiveIndexBuckets(slice.count())
+      graft.store.Warehouse.saveBucketed(slice, db, s"${table}_$sh",
+        Seq(key), buckets)
+    }
+  }
+
+  /** Excise a batch against a SHARDED gram index: probe every shard (the
+    * batch's distinct grams are routed by the same pmod(xxhash64) law, so
+    * each shard join is slice-sized), union the existence hits. At S=1
+    * the result is bit-equal to [[substringDedupAgainst]] over the single
+    * index — the sharded-family standard, spec-asserted.
+    */
+  def substringDedupAgainstSharded(batch: DataFrame, s: SparkSession,
+                                   nShards: Int,
+                                   db: String = GramIndexDb,
+                                   table: String = GramIndexTable,
+                                   n: Int = SpanNgram): DataFrame = {
+    val docsT = withTokens(batch)
+    val st = gramStarts(docsT, n)
+    val batchDup = st.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    val hashed = !s.table(s"`$db`.`${table}_0`").columns.contains("g")
+    val key = gramKeyCol(hashed)
+    val probeKeys =
+      (if (hashed) st.select(col("g"), xxhash64(col("g")).as("gh"))
+       else st.select(col("g"))).distinct()
+    val hits = (0 until nShards).map { sh =>
+      probeKeys.filter(pmod(xxhash64(col(key)), lit(nShards)) === sh)
+        .join(s.table(s"`$db`.`${table}_$sh`").select(key), Seq(key),
+          "left_semi")
+        .select("g")
+    }.reduce(_.union(_))
+    substringExcise(docsT, st, batchDup.union(hits).distinct(), n)
+  }
+
+  /** Fold a batch's grams into a sharded index: each gram routes to its
+    * hash slice (membership can never drift — the same pmod law the
+    * builder used), appends preserving per-shard bucket specs.
+    */
+  def appendToShardedGramIndex(batch: DataFrame, s: SparkSession,
+                               nShards: Int,
+                               db: String = GramIndexDb,
+                               table: String = GramIndexTable,
+                               n: Int = SpanNgram): Unit = {
+    val hashed = !s.table(s"`$db`.`${table}_0`").columns.contains("g")
+    val grams = gramProfile(batch, n, hashed).localCheckpoint()
+    val key = gramKeyCol(hashed)
+    (0 until nShards).foreach { sh =>
+      val slice = grams.filter(pmod(xxhash64(col(key)), lit(nShards)) === sh)
+      slice.write.mode("append").format("parquet")
+        .bucketBy(IncrementalDedup.currentIndexBuckets(s, db, s"${table}_$sh"),
+          key)
+        .sortBy(key)
+        .saveAsTable(s"`$db`.`${table}_$sh`")
+    }
+  }
+
   /** Excise a BATCH against the persisted corpus gram profile: a batch
     * gram is duplicated when the corpus already holds it (the batch doc
     * is the second occurrence) or >= 2 batch docs share it — exactly the

@@ -133,6 +133,38 @@ class OpsPropertySpec extends SparkSpec {
     assert(badFrame.toSeq == Seq((5L, -1L)))
   }
 
+  test("sharded gram index: S=1 bit-equal to the single index, S=3 " +
+      "verdict-identical, appends route by the builder's hash-slice law") {
+    val db = "gram_shard_spec"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    val corpus = graft.ops.IncrementalClusters.corpusDocsRange(spark, sf)
+    val batch = graft.ops.IncrementalClusters.batchDocsRange(spark, sf)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    TextOps.buildGramIndex(corpus, db, table = "single")
+    val single = key(TextOps.substringDedupAgainst(batch,
+      spark.table(s"`$db`.`single`")))
+    TextOps.buildShardedGramIndex(corpus, 1, db)
+    assert(key(TextOps.substringDedupAgainstSharded(batch, spark, 1, db))
+      == single, "S=1 sharded diverged from the single index")
+    TextOps.buildShardedGramIndex(corpus, 3, db)
+    assert(key(TextOps.substringDedupAgainstSharded(batch, spark, 3, db))
+      == single, "S=3 sharded diverged from the single index")
+    // appends route to the owning slice: a later batch repeating this
+    // batch's text sees it duplicated through the grown sharded index
+    TextOps.appendToShardedGramIndex(batch, spark, 3, db)
+    (0 to 2).foreach(sh =>
+      spark.catalog.refreshTable(s"`$db`.`${TextOps.GramIndexTable}_$sh`"))
+    import spark.implicits._
+    val b1Text = batch.orderBy("doc_id").select("text").head.getString(0)
+    val again = Seq((100000L, b1Text)).toDF("doc_id", "text")
+    assert(TextOps.substringDedupAgainstSharded(again, spark, 3, db)
+      .head.getLong(2) > 0,
+      "sharded append did not make the earlier batch's grams visible")
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
   test("substring dedup: no corpus-repeated n-gram survives in the output " +
       "corpus; crafted chained extents merge and cut exactly") {
     val n = TextOps.SpanNgram
