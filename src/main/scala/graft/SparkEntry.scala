@@ -139,6 +139,7 @@ object SparkEntry {
     "q_span_coverage"       -> ((s: SparkSession, d: String) => TextOps.spanCoverage(s, d)),
     "q_substring_dedup"     -> (TextOps.substringDedup _),
     "q_substring_dedup_incremental" -> (TextOps.substringDedupIncrement _),
+    "q_corpus_clean_spans"  -> (TextOps.corpusCleanSpans _),
     "q_frame_sample"        -> (graft.ops.MultimodalOps.frameSample _),
     "q_keyframe_sample"     -> (graft.ops.MultimodalOps.keyframeSample _),
     "q_semantic_decontam"   -> ((s: SparkSession, d: String) => VectorOps.semanticDecontam(s, d)),
@@ -1754,6 +1755,70 @@ object SparkEntry {
       """WITH base AS (
         |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
         |    FROM documents
+        |), pos AS (
+        |    SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p,
+        |           unnest(toks) AS tok
+        |    FROM base
+        |), st AS (
+        |    SELECT doc_id,
+        |           unnest(range(1, len(toks) - 3)) AS pos,
+        |           unnest(list_transform(range(1, len(toks) - 3),
+        |                  i -> array_to_string(toks[i:i+4], ' '))) AS g
+        |    FROM base WHERE len(toks) >= 5
+        |), dup AS (
+        |    SELECT g FROM (SELECT DISTINCT doc_id, g FROM st)
+        |    GROUP BY g HAVING COUNT(*) >= 2
+        |), cov AS (
+        |    SELECT DISTINCT doc_id, p FROM (
+        |        SELECT doc_id, unnest(range(pos, pos + 5)) AS p
+        |        FROM st WHERE g IN (SELECT g FROM dup))
+        |), m AS (
+        |    SELECT pos.doc_id, pos.p, pos.tok,
+        |           cov.p IS NOT NULL AS covered
+        |    FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id
+        |                          AND pos.p = cov.p
+        |), r AS (
+        |    SELECT *, covered AND NOT COALESCE(
+        |               LAG(covered) OVER (PARTITION BY doc_id ORDER BY p),
+        |               false) AS new_span
+        |    FROM m
+        |)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_removed,
+        |       CAST(SUM(CASE WHEN new_span THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_spans,
+        |       array_to_string(list(
+        |           CASE WHEN new_span THEN chr(9247)
+        |                WHEN NOT covered THEN tok END ORDER BY p)
+        |           FILTER (WHERE new_span OR NOT covered), ' ')
+        |           AS text_clean
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // clean-then-excise composition (the Lee et al. pipeline order): the
+    // oracle derives the corpus-clean kept set, then replays the whole
+    // substring excision OVER THAT RESTRICTION — dup grams counted on the
+    // cleaned corpus only
+    "q_corpus_clean_spans" ->
+      """WITH tokq AS (
+        |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |    FROM documents
+        |), gate AS (
+        |    SELECT doc_id, len(tk) AS n_tokens,
+        |           CAST(len(list_filter(tk,
+        |               t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE)
+        |             / CAST(len(tk) AS DOUBLE) AS stop_ratio
+        |    FROM tokq
+        |), survivors AS (
+        |    SELECT MIN(doc_id) AS doc_id FROM documents
+        |    GROUP BY sha256(lower(trim(text)))
+        |), kept AS (
+        |    SELECT doc_id FROM gate
+        |    WHERE doc_id IN (SELECT doc_id FROM survivors)
+        |      AND n_tokens >= 20 AND stop_ratio >= 0.05 AND stop_ratio <= 0.6
+        |), base AS (
+        |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |    FROM documents WHERE doc_id IN (SELECT doc_id FROM kept)
         |), pos AS (
         |    SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p,
         |           unnest(toks) AS tok

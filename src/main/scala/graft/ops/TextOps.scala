@@ -1111,6 +1111,18 @@ object TextOps {
   def substringDedup(s: SparkSession, d: String): DataFrame =
     substringDedupFor(t(s, d, "documents"))
 
+  /** The Lee et al. 2021 pipeline ORDER as one query: exact-dedup +
+    * heuristic quality first ([[corpusClean]]), THEN excise corpus-
+    * repeated extents from the kept documents — the duplicated-gram set
+    * is computed over the CLEANED corpus (excising against pre-clean
+    * grams would cut spans whose other occurrence was already dropped).
+    */
+  def corpusCleanSpans(s: SparkSession, d: String): DataFrame = {
+    val kept = corpusClean(s, d).select("doc_id")
+    substringDedupFor(
+      t(s, d, "documents").join(kept, Seq("doc_id"), "left_semi"))
+  }
+
   /** Name of the persisted duplicated-gram state ([[buildGramIndex]]). */
   val GramIndexDb = "graft_gram_index"
   val GramIndexTable = "gram_index"
