@@ -142,6 +142,7 @@ object SparkEntry {
     "q_corpus_clean_spans"  -> (TextOps.corpusCleanSpans _),
     "q_frame_sample"        -> (graft.ops.MultimodalOps.frameSample _),
     "q_keyframe_sample"     -> (graft.ops.MultimodalOps.keyframeSample _),
+    "q_bm25_topk"           -> (RetrievalOps.bm25TopK _),
     "q_semantic_decontam"   -> ((s: SparkSession, d: String) => VectorOps.semanticDecontam(s, d)),
     "q_token_budget_select" -> ((s: SparkSession, d: String) => SamplingOps.tokenBudgetSelect(s, d)),
     "q_dedup_incremental"   -> (IncrementalDedup.dedupIncrement _),
@@ -2514,5 +2515,63 @@ object SparkEntry {
         |       o_totalprice, CAST(2 AS BIGINT) AS v
         |FROM orders, mx WHERE o_orderkey % 100 = 55
         |ORDER BY o_orderkey""".stripMargin,
+    // BM25 over the stored inverted index: the oracle re-derives postings,
+    // doclen, df and totals declaratively and replays the staged
+    // fixed-point scoring (dl/avgdl in 1e3, tf saturation in 1e6, odds idf
+    // in 1e4 — RetrievalOps constants) integer-for-integer; queries are
+    // the doc_id % 97 = 3 probe slice's first-4-distinct-token formula
+    "q_bm25_topk" ->
+      """WITH base AS (
+        |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |    FROM documents
+        |), tok AS (
+        |    SELECT doc_id, unnest(toks) AS w,
+        |           unnest(range(1, len(toks) + 1)) AS pos
+        |    FROM base
+        |), tfx AS (
+        |    SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+        |    FROM tok GROUP BY 1, 2
+        |), dlx AS (
+        |    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+        |    FROM tok GROUP BY 1
+        |), dfx AS (
+        |    SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tfx GROUP BY w
+        |), tot AS (
+        |    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |           CAST(SUM(dl) AS BIGINT) AS total_len
+        |    FROM dlx
+        |), qt AS (
+        |    SELECT query_id, w FROM (
+        |        SELECT query_id, w,
+        |               row_number() OVER (PARTITION BY query_id
+        |                   ORDER BY fp ASC, w ASC) AS rn
+        |        FROM (SELECT doc_id AS query_id, w, MIN(pos) AS fp
+        |              FROM tok WHERE doc_id % 97 = 3 GROUP BY 1, 2))
+        |    WHERE rn <= 4
+        |), sc AS (
+        |    SELECT q.query_id, f.doc_id,
+        |           CAST(COUNT(*) AS BIGINT) AS n_hit,
+        |           CAST(SUM(
+        |             (((10000 * (2 * t.n_docs - 2 * d.df + 1))
+        |                  // (2 * d.df + 1))
+        |              * ((22000000000 * f.tf)
+        |                  // (10000 * f.tf + 3000
+        |                     + 9 * ((1000 * l.dl * t.n_docs)
+        |                            // t.total_len))))
+        |             // 1000000) AS BIGINT) AS score
+        |    FROM qt q
+        |    JOIN tfx f ON f.w = q.w
+        |    JOIN dlx l ON l.doc_id = f.doc_id
+        |    JOIN dfx d ON d.w = q.w
+        |    CROSS JOIN tot t
+        |    GROUP BY 1, 2
+        |), rk AS (
+        |    SELECT query_id, doc_id, n_hit, score,
+        |           CAST(row_number() OVER (PARTITION BY query_id
+        |               ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rnk
+        |    FROM sc
+        |)
+        |SELECT query_id, rnk, doc_id, n_hit, score
+        |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
   )
 }

@@ -1,0 +1,257 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** BM25 full-text retrieval over a STORED inverted index — the corpus-scale
+  * search primitive a training-data pipeline needs for eval-set mining,
+  * targeted decontamination probes and boilerplate hunts (the reference has
+  * no search surface; this is north-star depth like the ANN family, and it
+  * deliberately mirrors that family's build / serve / append / refresh
+  * postures).
+  *
+  * Scoring is Robertson/Sparck-Jones BM25 (k1 = 1.2, b = 0.75) in STAGED
+  * EXACT-INTEGER fixed point so the DuckDB oracle replays every score
+  * bit-for-bit (the q_salient_terms contract — a float's last ulp must
+  * never flip a rank boundary):
+  *
+  *   dlr    = (1000 · dl · n_docs) div total_len            -- dl/avgdl, 1e3
+  *   tf_fp  = (1e6 · 22000 · tf) div (10000·tf + 3000 + 9·dlr)
+  *            -- tf·(k1+1) / (tf + k1·(1-b) + k1·b·dl/avgdl), 1e6
+  *   idf_fp = (1e4 · (2·n_docs - 2·df + 1)) div (2·df + 1)  -- odds idf, 1e4
+  *   score  = Σ_terms (idf_fp · tf_fp) div 1e6
+  *
+  * The idf is the RAW Robertson odds (N - df + ½)/(df + ½) — the log-free
+  * monotone variant (the [[TextOps.salientTermsPerSource]] precedent): the
+  * log changes only the per-term weight monotonically, never which terms
+  * are rare. Magnitude audit at the gate scales: tf ≤ dl ≤ ~10³,
+  * total_len ≤ ~10⁷ ⇒ every intermediate ≤ ~10¹⁵, far inside Long; at true
+  * 100 TB corpus counts the idf factor approaches Long bounds, which is
+  * where the stored table would move to decimal — the fixed-point scales
+  * are named constants so that swap is one edit.
+  *
+  * Scale shape: the index build carries ONE token-volume shuffle (the
+  * (doc_id, w) tf aggregation, map-side combined); df and totals roll up
+  * from the VOCAB-sized and DOC-COUNT-sized stored tables, never the
+  * corpus. Serving touches: the probe slice of documents (query input), the
+  * postings table PARTITION-PRUNED to the query terms' hash buckets
+  * (the ANN cell-pruning posture — the bucket list is a bounded driver
+  * collect of the query's distinct terms), a vocab-sized df join and a
+  * 1-row totals broadcast. Candidates per query are the UNION of the query
+  * terms' postings — never the corpus; top-k is a per-query
+  * WindowGroupLimit.
+  */
+object RetrievalOps {
+
+  /** Names of the persisted index tables. */
+  val PostingsTable = "bm25_postings"
+  val DfTable = "bm25_df"
+  val DocLenTable = "bm25_doclen"
+  val TotalsTable = "bm25_totals"
+
+  /** Postings live partitioned by `bkt = xxhash64(w) mod NumBuckets` so a
+    * serve-time term list prunes the scan to its buckets (ANN cell-pruning
+    * posture). Frozen at build via [[BucketsProp]] — appends and serves
+    * must read it back (absence = hard error), because rows bucketed under
+    * one modulus are unreachable under another.
+    */
+  val NumBuckets = 32
+  val BucketsProp = "graft.bm25.num_buckets"
+
+  /** Append-only fence (the [[IncrementalClusters]] contract): a replayed
+    * or overlapping batch would double tf counts silently, so the stored
+    * max doc_id makes it loud instead.
+    */
+  val MaxDocProp = "graft.bm25.max_doc_id"
+
+  val DlScale = 1000L
+  val TfScale = 1000000L
+  val IdfScale = 10000L
+
+  /** Gate query-set convention: probe docs are the doc_id % 97 = 3 slice,
+    * each contributing its first [[QueryTerms]] DISTINCT tokens in document
+    * order — a deterministic formula both engines derive independently.
+    */
+  val QueryModulus = 97L
+  val QueryResidue = 3L
+  val QueryTerms = 4
+  val TopK = 5
+
+  private def fqn(db: String, tbl: String) = s"`$db`.`$tbl`"
+
+  private def withTokens(docs: DataFrame): DataFrame =
+    docs.withColumn("tokens", TextOps.tokensOf(col("text")))
+
+  private def bktCol = pmod(xxhash64(col("w")), lit(NumBuckets.toLong))
+    .cast("int").as("bkt")
+
+  /** Build the four index tables from scratch and freeze the layout
+    * parameters. df/totals derive from the STORED postings/doclen tables so
+    * the append path's additive rewrites land on identical definitions.
+    */
+  def buildBm25Index(docs: DataFrame, db: String): Unit = {
+    val s = docs.sparkSession
+    val docsT = withTokens(docs)
+    val postings = docsT
+      .select(col("doc_id"), explode(col("tokens")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .select(col("w"), col("doc_id"), col("tf"), bktCol)
+    graft.store.Warehouse.saveModel(postings, db, PostingsTable, Seq("bkt"))
+    val doclen = docsT.select(col("doc_id"),
+      size(col("tokens")).cast("long").as("dl"))
+    graft.store.Warehouse.saveModel(doclen, db, DocLenTable)
+    graft.store.Warehouse.saveModel(
+      s.table(fqn(db, PostingsTable)).groupBy("w")
+        .agg(count(lit(1)).as("df")),
+      db, DfTable)
+    graft.store.Warehouse.saveModel(
+      s.table(fqn(db, DocLenTable))
+        .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len")),
+      db, TotalsTable)
+    val maxDoc = docs.agg(max("doc_id")).collect()(0).getLong(0)
+    s.sql(s"ALTER TABLE ${fqn(db, PostingsTable)} SET TBLPROPERTIES " +
+      s"('$BucketsProp' = '$NumBuckets', '$MaxDocProp' = '$maxDoc')")
+  }
+
+  private def readProp(s: SparkSession, db: String, prop: String): Long = {
+    val rows = s.sql(s"SHOW TBLPROPERTIES ${fqn(db, PostingsTable)}")
+      .filter(col("key") === prop).select("value").collect()
+    require(rows.nonEmpty,
+      s"$prop missing on $db.$PostingsTable — not a bm25 index built by " +
+        "buildBm25Index; refusing to guess the layout")
+    rows(0).getString(0).toLong
+  }
+
+  /** The gate's deterministic query frame: (query_id, w) — first
+    * [[QueryTerms]] distinct tokens of each probe doc, in first-occurrence
+    * order (min position is unique per word, so the order is total).
+    */
+  private[graft] def queryTermsFor(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("fp").asc, col("w").asc)
+    withTokens(docs)
+      .filter(pmod(col("doc_id"), lit(QueryModulus)) === QueryResidue)
+      .select(col("doc_id").as("query_id"),
+        posexplode(col("tokens")).as(Seq("pos", "w")))
+      .groupBy("query_id", "w").agg(min("pos").as("fp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= QueryTerms)
+      .select("query_id", "w")
+  }
+
+  /** Score + rank a (query_id, w) frame against index FRAMES (stored or
+    * in-session — the spec's parity law runs both through here).
+    */
+  private[graft] def scoreTerms(terms: DataFrame, postings: DataFrame,
+                                dfT: DataFrame, doclen: DataFrame,
+                                totals: DataFrame): DataFrame = {
+    val rw = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    postings
+      .join(broadcast(terms), Seq("w"))
+      .join(doclen, Seq("doc_id"))
+      .join(dfT, Seq("w"))
+      .crossJoin(broadcast(totals))
+      .withColumn("dlr", expr(s"(${DlScale}L * dl * n_docs) div total_len"))
+      .withColumn("tf_fp",
+        expr(s"(${TfScale}L * 22000L * tf) div " +
+          "(10000L * tf + 3000L + 9L * dlr)"))
+      .withColumn("idf_fp",
+        expr(s"(${IdfScale}L * (2L * n_docs - 2L * df + 1L)) " +
+          "div (2L * df + 1L)"))
+      .withColumn("contrib", expr(s"(idf_fp * tf_fp) div ${TfScale}L"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_hit"), sum("contrib").as("score"))
+      .withColumn("rnk", row_number().over(rw))
+      .filter(col("rnk") <= TopK)
+      .select("query_id", "rnk", "doc_id", "n_hit", "score")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Serve top-k from the STORED index — zero training aggregation: the
+    * postings scan is partition-pruned to the query terms' buckets (the
+    * term list is a bounded collect — queries are human/probe-sized, the
+    * ANN probe-cell precedent), df joins a vocab-sized table, totals
+    * broadcasts one row. The only documents read is the probe slice
+    * (the query INPUT, like ANN probe vectors).
+    */
+  def bm25TopKFromIndex(s: SparkSession, d: String, db: String): DataFrame =
+    bm25TopKFor(queryTermsFor(t(s, d, "documents")), s, db)
+
+  def bm25TopKFor(terms: DataFrame, s: SparkSession, db: String): DataFrame = {
+    val nb = readProp(s, db, BucketsProp)
+    require(nb == NumBuckets,
+      s"stored index bucketed mod $nb but this build scores mod $NumBuckets")
+    // bounded metadata collect: distinct query terms (≤ queries × QueryTerms)
+    val bkts = terms.select(pmod(xxhash64(col("w")), lit(nb)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val postings = s.table(fqn(db, PostingsTable))
+      .filter(col("bkt").isin(bkts: _*))
+    scoreTerms(terms, postings, s.table(fqn(db, DfTable)),
+      s.table(fqn(db, DocLenTable)), s.table(fqn(db, TotalsTable)))
+  }
+
+  /** Fold a new document batch into the stored index. tf/dl rows are
+    * per-doc facts → pure partitioned appends; df and totals are ADDITIVE
+    * → vocab-sized / 1-row rewrites. The base corpus is never re-read.
+    * Append-only fence: the batch's min doc_id must clear the stored max
+    * (a replay would double counts); the property advances only AFTER the
+    * rewrites commit, so a crashed append refuses its own retry loudly
+    * rather than double-counting (refusal beats silent corruption — the
+    * cluster-append contract).
+    */
+  def appendToBm25Index(s: SparkSession, db: String, docs: DataFrame): Unit = {
+    val nb = readProp(s, db, BucketsProp)
+    require(nb == NumBuckets,
+      s"stored index bucketed mod $nb but this build buckets mod $NumBuckets")
+    val maxDoc = readProp(s, db, MaxDocProp)
+    val batchMin = docs.agg(min("doc_id"), max("doc_id")).collect()(0)
+    require(!batchMin.isNullAt(0), "empty batch — nothing to append")
+    require(batchMin.getLong(0) > maxDoc,
+      s"batch min doc_id ${batchMin.getLong(0)} does not clear the stored " +
+        s"max $maxDoc — replayed or overlapping batch refused (counts " +
+        "would double silently)")
+    val docsT = withTokens(docs)
+    val postingsTarget = fqn(db, PostingsTable)
+    docsT.select(col("doc_id"), explode(col("tokens")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .select(col("w"), col("doc_id"), col("tf"), bktCol)
+      .select(s.table(postingsTarget).columns.map(col).toIndexedSeq: _*)
+      .write.mode("append").insertInto(postingsTarget)
+    docsT.select(col("doc_id"), size(col("tokens")).cast("long").as("dl"))
+      .write.mode("append").insertInto(fqn(db, DocLenTable))
+    val batchDf = docsT
+      .select(col("doc_id"), explode(col("tokens")).as("w"))
+      .groupBy("w").agg(count_distinct(col("doc_id")).as("df"))
+    graft.store.Warehouse.rewriteVia(s, db, DfTable)(stored =>
+      stored.unionByName(batchDf).groupBy("w").agg(sum("df").as("df")))
+    graft.store.Warehouse.rewriteVia(s, db, TotalsTable)(_ =>
+      s.table(fqn(db, DocLenTable))
+        .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len")))
+    s.sql(s"ALTER TABLE ${fqn(db, PostingsTable)} SET TBLPROPERTIES " +
+      s"('$MaxDocProp' = '${batchMin.getLong(1)}')")
+  }
+
+  /** Scheduled full re-index — re-anchors df/totals drift after many
+    * appends (mirrors [[VectorOps.sqRefreshEntry]]).
+    */
+  def bm25RefreshEntry(id: String, cronExpr: String, db: String,
+                       docs: SparkSession => DataFrame)
+      : graft.pipeline.ScheduleRunner.Entry =
+    graft.pipeline.ScheduleRunner.Entry(id,
+      graft.pipeline.CronSchedule.parse(cronExpr),
+      (s, _) => buildBm25Index(docs(s), db),
+      name = "bm25_index_refresh", target = s"$db.$PostingsTable",
+      tags = Map("pipeline" -> "retrieval"))
+
+  /** Registry gate: build, store, serve — deterministic integer scoring
+    * means the oracle re-derives the index declaratively and lands on
+    * identical ranks.
+    */
+  def bm25TopK(s: SparkSession, d: String): DataFrame = {
+    buildBm25Index(t(s, d, "documents"), "graft_bm25_q")
+    bm25TopKFromIndex(s, d, "graft_bm25_q")
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.RetrievalOps
+
+/** BM25 inverted-index retrieval: hand-computed fixed-point scores, stored
+  * vs in-session parity, additive append equivalence, the append-only
+  * fence, and the partition-pruned / training-free serving plan.
+  */
+class RetrievalOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  /** d1="a a b" d2="a c" d3="b b b c": N=3, total_len=9, df(a)=df(b)=2.
+    * Hand-derived staged fixed point (dlr, tf_fp, idf_fp worked by hand):
+    * query a → d1 contrib 8250, d2 6949; query b → d3 8800, d1 6000.
+    */
+  test("hand-computed staged fixed-point scores and rank order") {
+    val db = "graft_bm25_spec_hand"
+    RetrievalOps.buildBm25Index(
+      docsDf(1L -> "a a b", 2L -> "a c", 3L -> "b b b c"), db)
+    val terms = Seq((100L, "a"), (200L, "b")).toDF("query_id", "w")
+    val got = RetrievalOps.bm25TopKFor(terms, spark, db)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (100L, 1, 1L, 1L, 8250L), (100L, 2, 2L, 1L, 6949L),
+      (200L, 1, 3L, 1L, 8800L), (200L, 2, 1L, 1L, 6000L)))
+  }
+
+  test("multi-term scores sum per doc; unmatched docs never rank") {
+    val db = "graft_bm25_spec_sum"
+    RetrievalOps.buildBm25Index(
+      docsDf(1L -> "a a b", 2L -> "a c", 3L -> "b b b c"), db)
+    val got = RetrievalOps.bm25TopKFor(
+        Seq((7L, "a"), (7L, "b")).toDF("query_id", "w"), spark, db)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    // d1 = 8250 + 6000 (both terms), d3 = b only, d2 = a only
+    assert(got.toSeq == Seq((1L, 2L, 14250L), (3L, 1L, 8800L),
+      (2L, 1L, 6949L)))
+  }
+
+  test("build + append(batch) is bit-equal to a from-scratch full build") {
+    val base = Tables.t(spark, sf, "documents").filter(col("doc_id") < 300)
+    val batch = Tables.t(spark, sf, "documents").filter(col("doc_id") >= 300)
+    RetrievalOps.buildBm25Index(base, "graft_bm25_spec_inc")
+    RetrievalOps.appendToBm25Index(spark, "graft_bm25_spec_inc", batch)
+    RetrievalOps.buildBm25Index(Tables.t(spark, sf, "documents"),
+      "graft_bm25_spec_full")
+    def dump(db: String, tbl: String, cols: String*): Seq[Seq[Any]] =
+      spark.table(s"`$db`.`$tbl`").select(cols.map(col).toIndexedSeq: _*)
+        .orderBy(cols.map(col).toIndexedSeq: _*)
+        .collect().toSeq.map(_.toSeq)
+    for ((tbl, cols) <- Seq(
+        RetrievalOps.PostingsTable -> Seq("w", "doc_id", "tf", "bkt"),
+        RetrievalOps.DfTable -> Seq("w", "df"),
+        RetrievalOps.DocLenTable -> Seq("doc_id", "dl"),
+        RetrievalOps.TotalsTable -> Seq("n_docs", "total_len")))
+      assert(dump("graft_bm25_spec_inc", tbl, cols: _*) ==
+        dump("graft_bm25_spec_full", tbl, cols: _*), s"table $tbl diverged")
+    // and the served ranking agrees between the two index lineages
+    val q = RetrievalOps.bm25TopKFromIndex(spark, sf, "graft_bm25_spec_inc")
+      .collect().toSeq.map(_.toSeq)
+    assert(q == RetrievalOps.bm25TopKFromIndex(spark, sf,
+      "graft_bm25_spec_full").collect().toSeq.map(_.toSeq))
+    assert(q.nonEmpty)
+  }
+
+  test("append-only fence: overlapping or empty batches are refused loudly") {
+    val db = "graft_bm25_spec_fence"
+    RetrievalOps.buildBm25Index(docsDf(1L -> "a b", 5L -> "c d"), db)
+    val e = intercept[IllegalArgumentException](
+      RetrievalOps.appendToBm25Index(spark, db, docsDf(5L -> "c d")))
+    assert(e.getMessage.contains("refused"))
+    intercept[IllegalArgumentException](
+      RetrievalOps.appendToBm25Index(spark, db,
+        docsDf(1L -> "a").filter(col("doc_id") < 0)))
+    // a non-index table never serves: the layout property is demanded
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bm25_spec_rogue")
+    spark.sql("CREATE TABLE graft_bm25_spec_rogue.bm25_postings (w STRING) " +
+      "USING parquet")
+    val e2 = intercept[IllegalArgumentException](
+      RetrievalOps.bm25TopKFor(Seq((1L, "a")).toDF("query_id", "w"),
+        spark, "graft_bm25_spec_rogue"))
+    assert(e2.getMessage.contains("num_buckets"))
+  }
+
+  test("serving plan: postings partition-pruned to term buckets, no corpus scan") {
+    val db = "graft_bm25_spec_plan"
+    RetrievalOps.buildBm25Index(
+      Tables.t(spark, sf, "documents").filter(col("doc_id") < 100), db)
+    val served = RetrievalOps.bm25TopKFor(
+      Seq((1L, "the"), (1L, "merge")).toDF("query_id", "w"), spark, db)
+    val plan = served.queryExecution.executedPlan.toString
+    // the terms frame is in-memory, so ANY documents/parquet-corpus scan
+    // would be training leaking into the serve path
+    assert(!plan.contains("documents.parquet"), "serve path scanned the corpus")
+    assert(plan.contains(RetrievalOps.PostingsTable))
+    // partition pruning: the postings scan carries a bkt partition filter
+    assert(plan.contains("PartitionFilters") && plan.contains("bkt"),
+      "postings scan is not partition-pruned to the query terms' buckets")
+    assert(served.collect().nonEmpty)
+  }
+}
