@@ -143,6 +143,7 @@ object SparkEntry {
     "q_frame_sample"        -> (graft.ops.MultimodalOps.frameSample _),
     "q_keyframe_sample"     -> (graft.ops.MultimodalOps.keyframeSample _),
     "q_bm25_topk"           -> (RetrievalOps.bm25TopK _),
+    "q_domain_classify"     -> (DomainOps.domainClassify _),
     "q_semantic_decontam"   -> ((s: SparkSession, d: String) => VectorOps.semanticDecontam(s, d)),
     "q_token_budget_select" -> ((s: SparkSession, d: String) => SamplingOps.tokenBudgetSelect(s, d)),
     "q_dedup_incremental"   -> (IncrementalDedup.dedupIncrement _),
@@ -2573,5 +2574,42 @@ object SparkEntry {
         |)
         |SELECT query_id, rnk, doc_id, n_hit, score
         |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // K-class NB domain classifier: the oracle retrains the add-one-
+    // smoothed per-class token rates (class = source) and replays the
+    // token-mean argmax in the same 1e9 fixed point
+    "q_domain_classify" ->
+      """WITH tokd AS (
+        |    SELECT doc_id, source,
+        |           unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents
+        |), dcnt AS (
+        |    SELECT source AS c, w, CAST(COUNT(*) AS BIGINT) AS cnt
+        |    FROM tokd GROUP BY 1, 2
+        |), dtot AS (
+        |    SELECT c, CAST(SUM(cnt) AS BIGINT) AS t_c FROM dcnt GROUP BY c
+        |), dvoc AS (
+        |    SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM dcnt
+        |), psc AS (
+        |    SELECT t.doc_id, t.source, tc.c,
+        |           CAST(SUM((1000000000 * (COALESCE(c2.cnt, 0) + 1))
+        |                    // (tc.t_c + (SELECT v FROM dvoc)))
+        |                AS BIGINT) AS s_sum,
+        |           CAST(COUNT(*) AS BIGINT) AS n
+        |    FROM tokd t
+        |    CROSS JOIN dtot tc
+        |    LEFT JOIN dcnt c2 ON c2.c = tc.c AND c2.w = t.w
+        |    GROUP BY 1, 2, 3
+        |), ssc AS (
+        |    SELECT doc_id, source, c, s_sum // n AS dc_score FROM psc
+        |), drk AS (
+        |    SELECT doc_id, source, c, dc_score,
+        |           row_number() OVER (PARTITION BY doc_id
+        |               ORDER BY dc_score DESC, c ASC) AS rn
+        |    FROM ssc
+        |)
+        |SELECT doc_id, c AS pred_source, CAST(dc_score AS BIGINT) AS dc_score,
+        |       CAST(CASE WHEN c = source THEN 1 ELSE 0 END AS INTEGER)
+        |           AS is_correct
+        |FROM drk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
   )
 }
