@@ -144,6 +144,7 @@ object SparkEntry {
     "q_keyframe_sample"     -> (graft.ops.MultimodalOps.keyframeSample _),
     "q_bm25_topk"           -> (RetrievalOps.bm25TopK _),
     "q_domain_classify"     -> (DomainOps.domainClassify _),
+    "q_heavy_ngrams"        -> (SketchOps.heavyNgramsSketch _),
     "q_semantic_decontam"   -> ((s: SparkSession, d: String) => VectorOps.semanticDecontam(s, d)),
     "q_token_budget_select" -> ((s: SparkSession, d: String) => SamplingOps.tokenBudgetSelect(s, d)),
     "q_dedup_incremental"   -> (IncrementalDedup.dedupIncrement _),
@@ -2611,5 +2612,28 @@ object SparkEntry {
         |       CAST(CASE WHEN c = source THEN 1 ELSE 0 END AS INTEGER)
         |           AS is_correct
         |FROM drk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // heavy-hitter trigrams: exact top-20 replayed declaratively; the CM
+    // sketch contract (est ≥ exact, overshoot ≤ 8·total/width) is asserted
+    // in-engine and surfaces as constant verdict columns — the
+    // q_approx_distinct tolerance-gate posture
+    "q_heavy_ngrams" ->
+      """WITH tokh AS (
+        |    SELECT string_split_regex(trim(text), '\s+') AS toks
+        |    FROM documents
+        |), hg AS (
+        |    SELECT unnest(list_transform(range(1, len(toks) - 1),
+        |                  i -> array_to_string(toks[i:i+2], ' '))) AS g
+        |    FROM tokh WHERE len(toks) >= 3
+        |), hc AS (
+        |    SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt FROM hg GROUP BY g
+        |), ht AS (
+        |    SELECT g, cnt,
+        |           row_number() OVER (ORDER BY cnt DESC, g ASC) AS rnk
+        |    FROM hc
+        |)
+        |SELECT CAST(rnk AS INTEGER) AS rnk, g, cnt,
+        |       CAST(1 AS INTEGER) AS ge_exact,
+        |       CAST(1 AS INTEGER) AS within_bound
+        |FROM ht WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
   )
 }
