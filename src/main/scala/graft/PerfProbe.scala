@@ -186,6 +186,16 @@ object PerfProbe {
       row("nb_quality_classifier",
         TextOps.buildQualityClassifier(docs, "model_probe_qc"),
         TextOps.qualityClassifierFromModel(spark, d, "model_probe_qc").count())
+      spark.sql("DROP DATABASE IF EXISTS `model_probe_dc` CASCADE")
+      row("nb_domain_classifier",
+        graft.ops.DomainOps.buildDomainClassifier(docs, "model_probe_dc"),
+        graft.ops.DomainOps.domainClassifyFromModel(spark, d,
+          "model_probe_dc").count())
+      spark.sql("DROP DATABASE IF EXISTS `model_probe_bm25` CASCADE")
+      row("bm25_index",
+        graft.ops.RetrievalOps.buildBm25Index(docs, "model_probe_bm25"),
+        graft.ops.RetrievalOps.bm25TopKFromIndex(spark, d,
+          "model_probe_bm25").count())
       // incremental-cluster split: the registry gate times the full
       // build + append lifecycle (the oracle proves the maintenance
       // invariant); production pays the BUILD on the rebuild cadence and
@@ -442,7 +452,15 @@ object PerfProbe {
         // frame sampling (per-row box walk — linear by construction)
         "q_substring_dedup", "q_bpe_tokenize", "q_quality_classifier",
         "q_corpus_clean_qc", "q_dedup_clusters_incremental",
-        "q_frame_sample")
+        "q_frame_sample",
+        // round-11 late additions: bm25 (probe count grows ×K but each
+        // copy's rotated vocabulary keeps a query's candidates inside its
+        // own copy — per-query work constant, total linear; unlike
+        // q_contamination the probe×corpus product does NOT explode);
+        // domain classifier (source classes stay K-invariant in the
+        // scaled corpus, so the ×K-class fan-out is constant); heavy
+        // ngrams (fixed grid + fixed top-k over a ×K token stream)
+        "q_bm25_topk", "q_domain_classify", "q_heavy_ngrams")
       // SPARK_GRAFT_SCALE_ONLY=a,b,c re-probes a subset after a targeted fix
       // without paying the full sweep
       val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

@@ -68,7 +68,15 @@ object PlanAudit {
       // final group — no second exchange — plus the gram-keyed count as
       // the only token-volume shuffle) and the per-row frame-sampling
       // flatMap (typed, no shuffle before the output sort)
-      "q_substring_dedup", "q_frame_sample")
+      "q_substring_dedup", "q_frame_sample",
+      // round-11 late additions: BM25 serving (the audit evidence is the
+      // bkt-partition-pruned postings scan + broadcast terms + vocab-sized
+      // df join; the registry form pays the index build, the
+      // q_perplexity_serve class), the K-class domain scorer (broadcast
+      // K-row class frame, stored-table joins, doc-keyed argmax window)
+      // and the CM-sketch heavy-hitter gate (TakeOrderedAndProject top-k,
+      // never a full-vocab window)
+      "q_bm25_topk", "q_domain_classify", "q_heavy_ngrams")
     // q_corpus_pipeline is deliberately NOT audited here: its query-form
     // plan is a trivial read over the staged tables (auditing it would
     // execute the whole 5-stage materialization for nothing — against

@@ -115,6 +115,60 @@ object RetrievalOps {
       s"('$BucketsProp' = '$NumBuckets', '$MaxDocProp' = '$maxDoc')")
   }
 
+  private[graft] def readIndexProp(s: SparkSession, db: String,
+                                   prop: String): Long =
+    readProp(s, db, prop)
+
+  /** Tokenize + count a batch and append its postings rows (layout columns
+    * included). Exposed for the streaming ingest, whose caller pre-filters
+    * the batch to fresh rows.
+    */
+  private[graft] def appendPostingsRows(s: SparkSession, db: String,
+                                        docs: DataFrame): Unit = {
+    val target = fqn(db, PostingsTable)
+    withTokens(docs)
+      .select(col("doc_id"), explode(col("tokens")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .select(col("w"), col("doc_id"), col("tf"), bktCol)
+      .select(s.table(target).columns.map(col).toIndexedSeq: _*)
+      .write.mode("append").insertInto(target)
+  }
+
+  private[graft] def appendDocLenRows(s: SparkSession, db: String,
+                                      docs: DataFrame): Unit =
+    withTokens(docs)
+      .select(col("doc_id"), size(col("tokens")).cast("long").as("dl"))
+      .write.mode("append").insertInto(fqn(db, DocLenTable))
+
+  /** Re-list the index tables in THIS session. Spark's per-session relation
+    * cache freezes an UNPARTITIONED table's file listing at first read, so
+    * a session that read the index before another session (a streaming
+    * ingest's cloned foreachBatch session, a concurrent writer JVM)
+    * appended to it would keep serving the stale listing forever — the
+    * REFRESH TABLE contract. Partitioned tables (postings) re-list per
+    * query and don't need it; the doc-fact and stat tables do. Serving
+    * calls this so a continuously-ingested index always scores against
+    * everything that has landed (a metadata-only op — the re-list cost is
+    * paid by the next query, which wants the fresh files anyway).
+    */
+  def refreshIndex(s: SparkSession, db: String): Unit =
+    for (t <- Seq(PostingsTable, DfTable, DocLenTable, TotalsTable)
+         if s.catalog.tableExists(s"$db.$t"))
+      s.catalog.refreshTable(s"$db.$t")
+
+  /** Rebuild df and totals from the stored fact tables — self-healing (the
+    * stats a crash left stale are re-derived from whatever facts landed),
+    * used by the streaming ingest after each batch's fact appends.
+    */
+  private[graft] def rebuildDerivedStats(s: SparkSession, db: String): Unit = {
+    graft.store.Warehouse.rewriteVia(s, db, DfTable)(_ =>
+      s.table(fqn(db, PostingsTable)).groupBy("w")
+        .agg(count(lit(1)).as("df")))
+    graft.store.Warehouse.rewriteVia(s, db, TotalsTable)(_ =>
+      s.table(fqn(db, DocLenTable))
+        .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len")))
+  }
+
   private def readProp(s: SparkSession, db: String, prop: String): Long = {
     val rows = s.sql(s"SHOW TBLPROPERTIES ${fqn(db, PostingsTable)}")
       .filter(col("key") === prop).select("value").collect()
@@ -181,6 +235,7 @@ object RetrievalOps {
     bm25TopKFor(queryTermsFor(t(s, d, "documents")), s, db)
 
   def bm25TopKFor(terms: DataFrame, s: SparkSession, db: String): DataFrame = {
+    refreshIndex(s, db) // see scaladoc: external appends must become visible
     val nb = readProp(s, db, BucketsProp)
     require(nb == NumBuckets,
       s"stored index bucketed mod $nb but this build scores mod $NumBuckets")
@@ -213,16 +268,9 @@ object RetrievalOps {
       s"batch min doc_id ${batchMin.getLong(0)} does not clear the stored " +
         s"max $maxDoc — replayed or overlapping batch refused (counts " +
         "would double silently)")
-    val docsT = withTokens(docs)
-    val postingsTarget = fqn(db, PostingsTable)
-    docsT.select(col("doc_id"), explode(col("tokens")).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      .select(col("w"), col("doc_id"), col("tf"), bktCol)
-      .select(s.table(postingsTarget).columns.map(col).toIndexedSeq: _*)
-      .write.mode("append").insertInto(postingsTarget)
-    docsT.select(col("doc_id"), size(col("tokens")).cast("long").as("dl"))
-      .write.mode("append").insertInto(fqn(db, DocLenTable))
-    val batchDf = docsT
+    appendPostingsRows(s, db, docs)
+    appendDocLenRows(s, db, docs)
+    val batchDf = withTokens(docs)
       .select(col("doc_id"), explode(col("tokens")).as("w"))
       .groupBy("w").agg(count_distinct(col("doc_id")).as("df"))
     graft.store.Warehouse.rewriteVia(s, db, DfTable)(stored =>

@@ -648,4 +648,81 @@ class StreamingSpec extends SparkSpec {
       "stale-guard replay of a committed epoch must be a no-op")
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
   }
+
+  test("streaming BM25 ingest: grown index bit-equal to a fresh full build; crash windows heal") {
+    implicit val sq = spark.sqlContext
+    import graft.ops.RetrievalOps
+    import graft.pipeline.Bm25Ingest
+    val db = "bm25_stream_db"
+    for (d <- Seq(db, "bm25_stream_full"))
+      spark.sql(s"DROP DATABASE IF EXISTS `$d` CASCADE")
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    RetrievalOps.buildBm25Index(docs.filter(col("doc_id") < 300), db)
+    val rest = docs.filter(col("doc_id") >= 300)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch(Bm25Ingest.bm25IngestSink("bm25Stream", db))
+      .start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    // every table bit-equal to a from-scratch build over the union (this
+    // session read the index during the base build, so it must re-list
+    // what the stream's cloned session appended — the REFRESH contract,
+    // which serving performs implicitly)
+    RetrievalOps.refreshIndex(spark, db)
+    RetrievalOps.buildBm25Index(docs, "bm25_stream_full")
+    def dump(d: String, tbl: String, cols: String*): Seq[Seq[Any]] =
+      spark.table(s"`$d`.`$tbl`").select(cols.map(col).toIndexedSeq: _*)
+        .orderBy(cols.map(col).toIndexedSeq: _*)
+        .collect().toSeq.map(_.toSeq)
+    for ((tbl, cols) <- Seq(
+        RetrievalOps.PostingsTable -> Seq("w", "doc_id", "tf", "bkt"),
+        RetrievalOps.DfTable -> Seq("w", "df"),
+        RetrievalOps.DocLenTable -> Seq("doc_id", "dl"),
+        RetrievalOps.TotalsTable -> Seq("n_docs", "total_len")))
+      assert(dump(db, tbl, cols: _*) == dump("bm25_stream_full", tbl, cols: _*),
+        s"streamed $tbl diverged from the fresh build")
+    // committed-epoch replay is a pure no-op
+    val before = spark.table(s"$db.${RetrievalOps.PostingsTable}").count()
+    Bm25Ingest.bm25IngestBatch(spark, "bm25Stream",
+      b2.toIndexedSeq.toDF("doc_id", "text"), db, epochId = 1L)
+    assert(spark.table(s"$db.${RetrievalOps.PostingsTable}").count() == before)
+    // a fully-stale batch under a FRESH epoch is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      Bm25Ingest.bm25IngestBatch(spark, "bm25Stream",
+        b1.take(1).toIndexedSeq.toDF("doc_id", "text"), db, epochId = 7L)
+    }
+    assert(e.getMessage.contains("append-only"))
+    // mid-crash: postings landed, doclen/stats did not, epoch uncommitted
+    val b3 = Seq((9000L, "zz yy zz"), (9001L, "yy qq")).toDF("doc_id", "text")
+    intercept[RuntimeException] {
+      Bm25Ingest.bm25IngestBatch(spark, "bm25Stream", b3, db, epochId = 2L,
+        failAfter = Some(RetrievalOps.PostingsTable))
+    }
+    // redelivery heals: row-idempotent fact appends + derived-stat rebuild
+    Bm25Ingest.bm25IngestBatch(spark, "bm25Stream", b3, db, epochId = 2L)
+    RetrievalOps.refreshIndex(spark, db)
+    val dupPostings = spark.table(s"$db.${RetrievalOps.PostingsTable}")
+      .groupBy("doc_id", "w").count().filter(col("count") > 1).count()
+    assert(dupPostings == 0L, "postings hold duplicated rows after replay")
+    RetrievalOps.buildBm25Index(docs.unionByName(b3), "bm25_stream_full2")
+    for ((tbl, cols) <- Seq(
+        RetrievalOps.PostingsTable -> Seq("w", "doc_id", "tf", "bkt"),
+        RetrievalOps.DfTable -> Seq("w", "df"),
+        RetrievalOps.TotalsTable -> Seq("n_docs", "total_len")))
+      assert(dump(db, tbl, cols: _*) == dump("bm25_stream_full2", tbl, cols: _*),
+        s"post-crash $tbl diverged from the fresh build over the union")
+    // and the grown index serves: same ranking as the fresh index
+    assert(RetrievalOps.bm25TopKFromIndex(spark, sf, db)
+      .collect().toSeq.map(_.toSeq) ==
+      RetrievalOps.bm25TopKFromIndex(spark, sf, "bm25_stream_full2")
+        .collect().toSeq.map(_.toSeq))
+    for (d <- Seq(db, "bm25_stream_full", "bm25_stream_full2"))
+      spark.sql(s"DROP DATABASE IF EXISTS `$d` CASCADE")
+  }
 }
