@@ -460,7 +460,10 @@ object PerfProbe {
         // domain classifier (source classes stay K-invariant in the
         // scaled corpus, so the ×K-class fan-out is constant); heavy
         // ngrams (fixed grid + fixed top-k over a ×K token stream)
-        "q_bm25_topk", "q_domain_classify", "q_heavy_ngrams")
+        "q_bm25_topk", "q_domain_classify", "q_heavy_ngrams",
+        // their compositions inherit the same shapes (eval-probe
+        // retrieval agg; classifier + one stratum window)
+        "q_bm25_decontam", "q_domain_mix")
       // SPARK_GRAFT_SCALE_ONLY=a,b,c re-probes a subset after a targeted fix
       // without paying the full sweep
       val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

@@ -145,6 +145,8 @@ object SparkEntry {
     "q_bm25_topk"           -> (RetrievalOps.bm25TopK _),
     "q_domain_classify"     -> (DomainOps.domainClassify _),
     "q_heavy_ngrams"        -> (SketchOps.heavyNgramsSketch _),
+    "q_bm25_decontam"       -> (RetrievalOps.bm25Decontam _),
+    "q_domain_mix"          -> (DomainOps.domainMixTemperature _),
     "q_semantic_decontam"   -> ((s: SparkSession, d: String) => VectorOps.semanticDecontam(s, d)),
     "q_token_budget_select" -> ((s: SparkSession, d: String) => SamplingOps.tokenBudgetSelect(s, d)),
     "q_dedup_incremental"   -> (IncrementalDedup.dedupIncrement _),
@@ -288,6 +290,99 @@ object SparkEntry {
     * the kept doc_id set under the cross-multiplied corpus-mean rule.
     * Used by q_quality_classifier and the corpus-clean composition.
     */
+  /** Shared CTE chain of the K-class NB domain-classifier oracles —
+    * retrains the per-class add-one-smoothed token rates (class = source)
+    * and ranks classes per document, ending at the argmax CTE `drk`.
+    */
+  private val dcCtes: String =
+    """WITH tokd AS (
+      |    SELECT doc_id, source,
+      |           unnest(string_split_regex(trim(text), '\s+')) AS w
+      |    FROM documents
+      |), dcnt AS (
+      |    SELECT source AS c, w, CAST(COUNT(*) AS BIGINT) AS cnt
+      |    FROM tokd GROUP BY 1, 2
+      |), dtot AS (
+      |    SELECT c, CAST(SUM(cnt) AS BIGINT) AS t_c FROM dcnt GROUP BY c
+      |), dvoc AS (
+      |    SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM dcnt
+      |), psc AS (
+      |    SELECT t.doc_id, t.source, tc.c,
+      |           CAST(SUM((1000000000 * (COALESCE(c2.cnt, 0) + 1))
+      |                    // (tc.t_c + (SELECT v FROM dvoc)))
+      |                AS BIGINT) AS s_sum,
+      |           CAST(COUNT(*) AS BIGINT) AS n
+      |    FROM tokd t
+      |    CROSS JOIN dtot tc
+      |    LEFT JOIN dcnt c2 ON c2.c = tc.c AND c2.w = t.w
+      |    GROUP BY 1, 2, 3
+      |), ssc AS (
+      |    SELECT doc_id, source, c, s_sum // n AS dc_score FROM psc
+      |), drk AS (
+      |    SELECT doc_id, source, c, dc_score,
+      |           row_number() OVER (PARTITION BY doc_id
+      |               ORDER BY dc_score DESC, c ASC) AS rn
+      |    FROM ssc
+      |)""".stripMargin
+
+  /** Shared CTE chain of the BM25 oracles — re-derives postings, doclen,
+    * df and totals declaratively and replays the staged fixed-point
+    * scoring (RetrievalOps constants) over `probeFilter`-selected queries
+    * against `candFilter`-restricted candidates, ending at the ranked
+    * top-k CTE `rk`.
+    */
+  private def bm25Ctes(probeFilter: String, candFilter: String): String =
+    raw"""WITH base AS (
+        |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |    FROM documents
+        |), tok AS (
+        |    SELECT doc_id, unnest(toks) AS w,
+        |           unnest(range(1, len(toks) + 1)) AS pos
+        |    FROM base
+        |), tfx AS (
+        |    SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+        |    FROM tok GROUP BY 1, 2
+        |), dlx AS (
+        |    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+        |    FROM tok GROUP BY 1
+        |), dfx AS (
+        |    SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tfx GROUP BY w
+        |), tot AS (
+        |    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |           CAST(SUM(dl) AS BIGINT) AS total_len
+        |    FROM dlx
+        |), qt AS (
+        |    SELECT query_id, w FROM (
+        |        SELECT query_id, w,
+        |               row_number() OVER (PARTITION BY query_id
+        |                   ORDER BY fp ASC, w ASC) AS rn
+        |        FROM (SELECT doc_id AS query_id, w, MIN(pos) AS fp
+        |              FROM tok WHERE $probeFilter GROUP BY 1, 2))
+        |    WHERE rn <= 4
+        |), sc AS (
+        |    SELECT q.query_id, f.doc_id,
+        |           CAST(COUNT(*) AS BIGINT) AS n_hit,
+        |           CAST(SUM(
+        |             (((10000 * (2 * t.n_docs - 2 * d.df + 1))
+        |                  // (2 * d.df + 1))
+        |              * ((22000000000 * f.tf)
+        |                  // (10000 * f.tf + 3000
+        |                     + 9 * ((1000 * l.dl * t.n_docs)
+        |                            // t.total_len))))
+        |             // 1000000) AS BIGINT) AS score
+        |    FROM qt q
+        |    JOIN tfx f ON f.w = q.w $candFilter
+        |    JOIN dlx l ON l.doc_id = f.doc_id
+        |    JOIN dfx d ON d.w = q.w
+        |    CROSS JOIN tot t
+        |    GROUP BY 1, 2
+        |), rk AS (
+        |    SELECT query_id, doc_id, n_hit, score,
+        |           CAST(row_number() OVER (PARTITION BY query_id
+        |               ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rnk
+        |    FROM sc
+        |)""".stripMargin
+
   private val qcKeptCte: String =
     """tokq AS (
       |    SELECT doc_id, CASE WHEN doc_id % 100 = 7 THEN 1 ELSE 0 END AS pos,
@@ -2522,96 +2617,45 @@ object SparkEntry {
     // fixed-point scoring (dl/avgdl in 1e3, tf saturation in 1e6, odds idf
     // in 1e4 — RetrievalOps constants) integer-for-integer; queries are
     // the doc_id % 97 = 3 probe slice's first-4-distinct-token formula
-    "q_bm25_topk" ->
-      """WITH base AS (
-        |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-        |    FROM documents
-        |), tok AS (
-        |    SELECT doc_id, unnest(toks) AS w,
-        |           unnest(range(1, len(toks) + 1)) AS pos
-        |    FROM base
-        |), tfx AS (
-        |    SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
-        |    FROM tok GROUP BY 1, 2
-        |), dlx AS (
-        |    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
-        |    FROM tok GROUP BY 1
-        |), dfx AS (
-        |    SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tfx GROUP BY w
-        |), tot AS (
-        |    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |           CAST(SUM(dl) AS BIGINT) AS total_len
-        |    FROM dlx
-        |), qt AS (
-        |    SELECT query_id, w FROM (
-        |        SELECT query_id, w,
-        |               row_number() OVER (PARTITION BY query_id
-        |                   ORDER BY fp ASC, w ASC) AS rn
-        |        FROM (SELECT doc_id AS query_id, w, MIN(pos) AS fp
-        |              FROM tok WHERE doc_id % 97 = 3 GROUP BY 1, 2))
-        |    WHERE rn <= 4
-        |), sc AS (
-        |    SELECT q.query_id, f.doc_id,
-        |           CAST(COUNT(*) AS BIGINT) AS n_hit,
-        |           CAST(SUM(
-        |             (((10000 * (2 * t.n_docs - 2 * d.df + 1))
-        |                  // (2 * d.df + 1))
-        |              * ((22000000000 * f.tf)
-        |                  // (10000 * f.tf + 3000
-        |                     + 9 * ((1000 * l.dl * t.n_docs)
-        |                            // t.total_len))))
-        |             // 1000000) AS BIGINT) AS score
-        |    FROM qt q
-        |    JOIN tfx f ON f.w = q.w
-        |    JOIN dlx l ON l.doc_id = f.doc_id
-        |    JOIN dfx d ON d.w = q.w
-        |    CROSS JOIN tot t
-        |    GROUP BY 1, 2
-        |), rk AS (
-        |    SELECT query_id, doc_id, n_hit, score,
-        |           CAST(row_number() OVER (PARTITION BY query_id
-        |               ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rnk
-        |    FROM sc
-        |)
+    "q_bm25_topk" -> (bm25Ctes("doc_id % 97 = 3", "") +
+      """
         |SELECT query_id, rnk, doc_id, n_hit, score
-        |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+        |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
+    // retrieval-driven decontamination: eval-slice docs query the same
+    // replayed index; candidates restricted to NON-eval docs; flags are
+    // per-doc hit counts over the eval queries' top-5 sets
+    "q_bm25_decontam" -> (bm25Ctes("doc_id % 100 = 7",
+        "AND f.doc_id % 100 <> 7") +
+      """
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+        |       CAST(MAX(score) AS BIGINT) AS best_score
+        |FROM rk WHERE rnk <= 5 GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin),
     // K-class NB domain classifier: the oracle retrains the add-one-
     // smoothed per-class token rates (class = source) and replays the
     // token-mean argmax in the same 1e9 fixed point
-    "q_domain_classify" ->
-      """WITH tokd AS (
-        |    SELECT doc_id, source,
-        |           unnest(string_split_regex(trim(text), '\s+')) AS w
-        |    FROM documents
-        |), dcnt AS (
-        |    SELECT source AS c, w, CAST(COUNT(*) AS BIGINT) AS cnt
-        |    FROM tokd GROUP BY 1, 2
-        |), dtot AS (
-        |    SELECT c, CAST(SUM(cnt) AS BIGINT) AS t_c FROM dcnt GROUP BY c
-        |), dvoc AS (
-        |    SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM dcnt
-        |), psc AS (
-        |    SELECT t.doc_id, t.source, tc.c,
-        |           CAST(SUM((1000000000 * (COALESCE(c2.cnt, 0) + 1))
-        |                    // (tc.t_c + (SELECT v FROM dvoc)))
-        |                AS BIGINT) AS s_sum,
-        |           CAST(COUNT(*) AS BIGINT) AS n
-        |    FROM tokd t
-        |    CROSS JOIN dtot tc
-        |    LEFT JOIN dcnt c2 ON c2.c = tc.c AND c2.w = t.w
-        |    GROUP BY 1, 2, 3
-        |), ssc AS (
-        |    SELECT doc_id, source, c, s_sum // n AS dc_score FROM psc
-        |), drk AS (
-        |    SELECT doc_id, source, c, dc_score,
-        |           row_number() OVER (PARTITION BY doc_id
-        |               ORDER BY dc_score DESC, c ASC) AS rn
-        |    FROM ssc
-        |)
+    "q_domain_classify" -> (dcCtes +
+      """
         |SELECT doc_id, c AS pred_source, CAST(dc_score AS BIGINT) AS dc_score,
         |       CAST(CASE WHEN c = source THEN 1 ELSE 0 END AS INTEGER)
         |           AS is_correct
-        |FROM drk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+        |FROM drk WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+    // classifier-routed temperature mixing: the same quota formula and md5
+    // permutation as q_mix_temperature, keyed on the PREDICTED domain the
+    // retrained classifier assigns
+    "q_domain_mix" -> (dcCtes + s"""
+        |, pred AS (SELECT doc_id, c AS source FROM drk WHERE rn = 1),
+        |mixr AS (
+        |    SELECT source, doc_id,
+        |           CAST(floor(sqrt(CAST(1 + CAST(substr(source, 4) AS INT) % 9
+        |                AS DOUBLE)) * ${graft.ops.SamplingOps.MixUnit}) AS INT) AS quota,
+        |           row_number() OVER (PARTITION BY source
+        |               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |             AS mix_rank
+        |    FROM pred
+        |)
+        |SELECT source AS pred_source, doc_id, quota, mix_rank FROM mixr
+        |WHERE mix_rank <= quota ORDER BY pred_source, mix_rank""".stripMargin),
     // heavy-hitter trigrams: exact top-20 replayed declaratively; the CM
     // sketch contract (est ≥ exact, overshoot ≤ 8·total/width) is asserted
     // in-engine and surfaces as constant verdict columns — the

@@ -162,6 +162,7 @@ object BpeOps {
     * table).
     */
   def bpeTokenizeFromModel(s: SparkSession, d: String, db: String): DataFrame = {
+    graft.store.Warehouse.refreshDb(s, db) // cross-session append visibility
     val mdf = graft.OracleInputs.checkpoint(
       s.table(s"`$db`.`$BpeMergesTable`").orderBy("rank"), d, "bpe_merges")
     val merges = collectMerges(mdf)

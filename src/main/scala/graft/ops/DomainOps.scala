@@ -73,6 +73,7 @@ object DomainOps {
     */
   private[graft] def scoreAgainst(docs: DataFrame, s: SparkSession,
                                   db: String): DataFrame = {
+    graft.store.Warehouse.refreshDb(s, db) // cross-session append visibility
     val rw = Window.partitionBy("doc_id")
       .orderBy(col("dc_score").desc, col("c").asc)
     withTokens(docs)
@@ -137,5 +138,25 @@ object DomainOps {
   def domainClassify(s: SparkSession, d: String): DataFrame = {
     buildDomainClassifier(t(s, d, "documents"), "graft_dc_q")
     domainClassifyFromModel(s, d, "graft_dc_q")
+  }
+
+  /** The end-use composition: temperature-scaled mixing keyed on the
+    * PREDICTED domain instead of the stored label — what a crawl pipeline
+    * actually does when sources arrive untrusted (infer the domain, then
+    * rebalance on the inference). Same quota formula, sample permutation
+    * and WindowGroupLimit shape as [[SamplingOps.temperatureMix]]; only
+    * the stratum column changes, so misclassified documents move quota
+    * mass between strata exactly as the classifier dictates — which is
+    * the point, and what the oracle replays end-to-end (retrain →
+    * argmax → mix).
+    */
+  def domainMixTemperature(s: SparkSession, d: String): DataFrame = {
+    buildDomainClassifier(t(s, d, "documents"), "graft_dc_mix")
+    val preds = scoreAgainst(t(s, d, "documents"), s, "graft_dc_mix")
+      .select(col("doc_id"), col("pred_source").as("source"))
+    SamplingOps.temperatureMixOver(preds)
+      .select(col("source").as("pred_source"), col("doc_id"), col("quota"),
+        col("mix_rank"))
+      .orderBy("pred_source", "mix_rank")
   }
 }

@@ -272,11 +272,13 @@ object IncrementalClusters {
   /** Serve the persisted labeling in the [[TextOps.dedupSurvivors]]
     * shape.
     */
-  def clusterState(s: SparkSession, db: String = Db): DataFrame =
+  def clusterState(s: SparkSession, db: String = Db): DataFrame = {
+    graft.store.Warehouse.refreshDb(s, db) // cross-session append visibility
     s.table(fqn(db))
       .select(col("doc_id"), col("canonical_id"),
         (col("doc_id") === col("canonical_id")).cast("int").as("survives"))
       .orderBy("doc_id")
+  }
 
   /** The registry gate: build the labeling on the "already ingested"
     * corpus split, fold in the batch split incrementally, and serve the

@@ -182,11 +182,13 @@ object RetrievalOps {
     * [[QueryTerms]] distinct tokens of each probe doc, in first-occurrence
     * order (min position is unique per word, so the order is total).
     */
-  private[graft] def queryTermsFor(docs: DataFrame): DataFrame = {
+  private[graft] def queryTermsFor(docs: DataFrame,
+                                   modulus: Long = QueryModulus,
+                                   residue: Long = QueryResidue): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("fp").asc, col("w").asc)
     withTokens(docs)
-      .filter(pmod(col("doc_id"), lit(QueryModulus)) === QueryResidue)
+      .filter(pmod(col("doc_id"), lit(modulus)) === residue)
       .select(col("doc_id").as("query_id"),
         posexplode(col("tokens")).as(Seq("pos", "w")))
       .groupBy("query_id", "w").agg(min("pos").as("fp"))
@@ -301,5 +303,36 @@ object RetrievalOps {
   def bm25TopK(s: SparkSession, d: String): DataFrame = {
     buildBm25Index(t(s, d, "documents"), "graft_bm25_q")
     bm25TopKFromIndex(s, d, "graft_bm25_q")
+  }
+
+  /** Retrieval-driven decontamination — the FUZZY complement of the n-gram
+    * and embedding decontam legs: each eval-convention document
+    * (doc_id % 100 = 7, the [[TextOps.decontaminateNgram]] seed) queries
+    * the index with its first-distinct-token formula, and the NON-eval
+    * corpus documents it retrieves into its top-[[TopK]] are flagged with
+    * how many eval queries hit them and their best score. Catches
+    * paraphrase-adjacent leakage that exact n-gram overlap misses while
+    * staying fully oracle-replayable (unlike an embedding model, BM25's
+    * lexical weighting is exact integer arithmetic).
+    *
+    * Scale shape: identical to serving — eval queries are a bounded probe
+    * set, candidates are the union of their terms' postings (partition-
+    * pruned scan), never the corpus; the final flag agg keys doc_id.
+    */
+  def bm25Decontam(s: SparkSession, d: String): DataFrame = {
+    val db = "graft_bm25_dc"
+    buildBm25Index(t(s, d, "documents"), db)
+    val terms = queryTermsFor(t(s, d, "documents"), 100L, 7L)
+    val nb = readProp(s, db, BucketsProp)
+    val bkts = terms.select(pmod(xxhash64(col("w")), lit(nb)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val candidates = s.table(fqn(db, PostingsTable))
+      .filter(col("bkt").isin(bkts: _*))
+      .filter(pmod(col("doc_id"), lit(100L)) =!= 7L) // rank non-eval only
+    scoreTerms(terms, candidates, s.table(fqn(db, DfTable)),
+      s.table(fqn(db, DocLenTable)), s.table(fqn(db, TotalsTable)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_eval_hits"), max("score").as("best_score"))
+      .orderBy("doc_id")
   }
 }

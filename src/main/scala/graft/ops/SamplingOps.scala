@@ -169,7 +169,15 @@ object SamplingOps {
     * md5 permutation and constant-rank-bound WindowGroupLimit shape as
     * [[weightedMix]].
     */
-  def temperatureMix(s: SparkSession, d: String): DataFrame = {
+  def temperatureMix(s: SparkSession, d: String): DataFrame =
+    temperatureMixOver(t(s, d, "documents"))
+
+  /** [[temperatureMix]] over any (doc_id, source) frame — the
+    * domain-routed composition passes PREDICTED sources
+    * ([[DomainOps.domainMixTemperature]]); stored sources are just the
+    * `documents` special case.
+    */
+  private[graft] def temperatureMixOver(docs: DataFrame): DataFrame = {
     val nWeights = 9
     val maxQuota = math.floor(math.sqrt(nWeights.toDouble) * MixUnit).toInt
     val w = Window.partitionBy("source").orderBy(col("sk"), col("doc_id"))
@@ -177,7 +185,7 @@ object SamplingOps {
     // reach sqrt(negative) = NaN and die as a generic ANSI cast error
     val weight = (lit(1) + checkedSuffix("temperatureMix") % nWeights)
       .cast("double")
-    t(s, d, "documents")
+    docs
       .withColumn("quota", floor(sqrt(weight) * MixUnit).cast("int"))
       .withColumn("sk", sampleKey)
       .withColumn("mix_rank", row_number().over(w))

@@ -779,6 +779,7 @@ object TextOps {
   private[graft] def perplexityScoreFromModel(docs: DataFrame,
                                               db: String): DataFrame = {
     val s = docs.sparkSession
+    graft.store.Warehouse.refreshDb(s, db) // cross-session append visibility
     val pw = lmTransitions(withTokens(docs))
     val c2 = s.table(s"`$db`.`$LmCountsTable`")
     val c1 = c2.groupBy("prev").agg(sum("c2").as("c1"))
@@ -907,6 +908,7 @@ object TextOps {
 
   private[graft] def qualityScoresFor(docs: DataFrame, db: String): DataFrame = {
     val s = docs.sparkSession
+    graft.store.Warehouse.refreshDb(s, db) // cross-session append visibility
     val thr = s.table(s"`$db`.`$QcThresholdTable`")
     qcScore(withTokens(docs),
       s.table(s"`$db`.`$QcTokenTable`"), s.table(s"`$db`.`$QcTotalsTable`"))

@@ -360,6 +360,7 @@ object VectorOps {
     * warehouse tables.
     */
   def ivfCosineTopkFromIndex(s: SparkSession, d: String, db: String): DataFrame = {
+    graft.store.Warehouse.refreshDb(s, db) // cross-session append visibility
     val probes = t(s, d, "embeddings").filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
     searchIvf(s.table(s"`$db`.`$IvfAssignmentsTable`"),
@@ -828,6 +829,7 @@ object VectorOps {
     * only the ≤ probes×[[PqRerank]] re-rank candidates touch raw vectors.
     */
   def pqCosineTopkFromIndex(s: SparkSession, d: String, db: String): DataFrame = {
+    graft.store.Warehouse.refreshDb(s, db) // cross-session append visibility
     val emb = t(s, d, "embeddings")
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
     searchPq(s.table(s"`$db`.`$PqCodesTable`"), loadPqBooks(s, db),
@@ -857,6 +859,7 @@ object VectorOps {
     */
   def pqCosineTopkFromShardedIndex(s: SparkSession, d: String, db: String,
                                    nShards: Int): DataFrame = {
+    graft.store.Warehouse.refreshDb(s, db) // cross-session append visibility
     val emb = t(s, d, "embeddings")
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
     val probes = probesOf(emb)
@@ -1055,6 +1058,7 @@ object VectorOps {
     * ≤ probes × [[SqRerank]] re-rank candidates touch raw vectors.
     */
   def sqCosineTopkFromIndex(s: SparkSession, d: String, db: String): DataFrame = {
+    graft.store.Warehouse.refreshDb(s, db) // cross-session append visibility
     val emb = t(s, d, "embeddings")
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
     val (mins, widths) = loadSqParams(s, db)
@@ -1154,6 +1158,7 @@ object VectorOps {
     * Lloyd's or min/max pass anywhere in the query path.
     */
   def ivfSqCosineTopkFromIndex(s: SparkSession, d: String, db: String): DataFrame = {
+    graft.store.Warehouse.refreshDb(s, db) // cross-session append visibility
     val emb = t(s, d, "embeddings")
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
     val probes = probesOf(emb)
@@ -1213,6 +1218,7 @@ object VectorOps {
     */
   def ivfSqCosineTopkFromShardedIndex(s: SparkSession, d: String, db: String,
                                       nShards: Int): DataFrame = {
+    graft.store.Warehouse.refreshDb(s, db) // cross-session append visibility
     val emb = t(s, d, "embeddings")
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
     val probes = probesOf(emb)
@@ -1325,6 +1331,7 @@ object VectorOps {
     */
   def ivfPqCosineTopkFromShardedIndex(s: SparkSession, d: String, db: String,
                                       nShards: Int): DataFrame = {
+    graft.store.Warehouse.refreshDb(s, db) // cross-session append visibility
     val emb = t(s, d, "embeddings")
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
     val probes = probesOf(emb)
@@ -1500,6 +1507,7 @@ object VectorOps {
     * corpus — no Lloyd's pass anywhere.
     */
   def ivfPqCosineTopkFromIndex(s: SparkSession, d: String, db: String): DataFrame = {
+    graft.store.Warehouse.refreshDb(s, db) // cross-session append visibility
     val emb = t(s, d, "embeddings")
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
     val probes = probesOf(emb)
@@ -1706,6 +1714,7 @@ object VectorOps {
     */
   def ivfCosineTopkFromShardedIndex(s: SparkSession, d: String, db: String,
                                     nShards: Int): DataFrame = {
+    graft.store.Warehouse.refreshDb(s, db) // cross-session append visibility
     val probes = t(s, d, "embeddings").filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
     // the union + global-rank tail is the one merge law every sharded
@@ -1765,6 +1774,7 @@ object VectorOps {
                                        nShards: Int,
                                        threshold: Double = CosineDupThreshold): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    graft.store.Warehouse.refreshDb(s, db) // cross-session append visibility
     val corpus = (0 until nShards).map(sh =>
       s.table(s"`$db`.`${IvfAssignmentsTable}_$sh`")
         .select(col("vec_id"), col("embedding")))
@@ -1800,6 +1810,7 @@ object VectorOps {
     */
   def ivfSemanticDedupFromIndex(s: SparkSession, db: String,
                                 threshold: Double = CosineDupThreshold): DataFrame = {
+    graft.store.Warehouse.refreshDb(s, db) // cross-session append visibility
     val assignments = s.table(s"`$db`.`$IvfAssignmentsTable`")
     val corpus = assignments.select(col("vec_id"), col("embedding"))
     semanticDedupOverIndex(assignments,

@@ -126,6 +126,27 @@ object Warehouse {
         .agg(org.apache.spark.sql.functions.max(column)).head.get(0))
     }
 
+  /** Re-list every table of a model/index database in THIS session.
+    * Spark's per-session relation cache freezes an UNPARTITIONED table's
+    * file listing at first read, so a session that touched a stored model
+    * before another session (a streaming ingest's cloned foreachBatch
+    * session, a concurrent writer JVM) appended or rewrote it would keep
+    * serving the stale listing forever — the REFRESH TABLE contract.
+    * Every stored-model SERVE entry point calls this so long-lived
+    * serving sessions always score against what has actually landed.
+    * Metadata-only: the re-list cost is paid by the next query, which
+    * wants the fresh files anyway; partitioned tables re-list per query
+    * regardless and the refresh is a no-op-priced invalidation.
+    */
+  def refreshDb(spark: SparkSession, db: String): Unit =
+    if (spark.catalog.databaseExists(db))
+      spark.catalog.listTables(db).collect()
+        // listTables also returns session temp VIEWS (e.g. a memory-sink
+        // query's name) — refreshing those under `db` resolves to a
+        // nonexistent table and throws
+        .filter(!_.isTemporary)
+        .foreach(t => spark.catalog.refreshTable(s"`$db`.`${t.name}`"))
+
   /** A14 — model-output sink (dbt CTAS, materialized='table'). Partition
     * columns (e.g. the synthesized `partition_key`, C6) turn downstream
     * equality filters into partition pruning — the scan never opens

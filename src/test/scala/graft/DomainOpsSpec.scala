@@ -74,6 +74,18 @@ class DomainOpsSpec extends SparkSpec {
     assert(served.size == 500)
   }
 
+  test("domain-routed mix: strata are predicted sources, quotas honored") {
+    val mixed = DomainOps.domainMixTemperature(spark, sf).collect()
+    assert(mixed.nonEmpty)
+    val sources = Tables.t(spark, sf, "documents")
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    mixed.foreach { r =>
+      assert(sources.contains(r.getAs[String]("pred_source")),
+        "predicted stratum is not a known source label")
+      assert(r.getAs[Int]("mix_rank") <= r.getAs[Int]("quota"))
+    }
+  }
+
   test("serving plan is training-free: stored tables only, one corpus scan") {
     val db = "graft_dc_spec_plan"
     DomainOps.buildDomainClassifier(

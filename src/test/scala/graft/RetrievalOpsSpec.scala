@@ -89,6 +89,19 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("num_buckets"))
   }
 
+  test("bm25 decontam flags only non-eval docs, bounded by the eval query count") {
+    val flagged = RetrievalOps.bm25Decontam(spark, sf).collect()
+    assert(flagged.nonEmpty)
+    val nEval = Tables.t(spark, sf, "documents")
+      .filter(col("doc_id") % 100 === 7).count()
+    flagged.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 100 != 7,
+        "an eval doc flagged itself — candidates must exclude the eval slice")
+      val hits = r.getAs[Long]("n_eval_hits")
+      assert(hits >= 1 && hits <= nEval)
+    }
+  }
+
   test("serving plan: postings partition-pruned to term buckets, no corpus scan") {
     val db = "graft_bm25_spec_plan"
     RetrievalOps.buildBm25Index(
