@@ -76,7 +76,11 @@ object PlanAudit {
       // K-row class frame, stored-table joins, doc-keyed argmax window)
       // and the CM-sketch heavy-hitter gate (TakeOrderedAndProject top-k,
       // never a full-vocab window)
-      "q_bm25_topk", "q_domain_classify", "q_heavy_ngrams")
+      "q_bm25_topk", "q_domain_classify", "q_heavy_ngrams",
+      // and their compositions: decontam inherits the pruned-postings
+      // serve shape with a doc-keyed flag agg; domain mix appends one
+      // stratum WindowGroupLimit to the classifier's serve plan
+      "q_bm25_decontam", "q_domain_mix")
     // q_corpus_pipeline is deliberately NOT audited here: its query-form
     // plan is a trivial read over the staged tables (auditing it would
     // execute the whole 5-stage materialization for nothing — against
