@@ -55,6 +55,10 @@ object DomainOps {
     */
   def buildDomainClassifier(docs: DataFrame, db: String): Unit = {
     val s = docs.sparkSession
+    require(!docs.isEmpty,
+      "buildDomainClassifier: empty corpus — a model with zero classes " +
+        "would silently predict nothing for every document; refusing " +
+        "loudly instead")
     val counts = withTokens(docs)
       .select(col("source").as("c"), explode(col("tokens")).as("w"))
       .groupBy("c", "w").agg(count(lit(1)).as("cnt"))

@@ -110,7 +110,11 @@ object RetrievalOps {
       s.table(fqn(db, DocLenTable))
         .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len")),
       db, TotalsTable)
-    val maxDoc = docs.agg(max("doc_id")).collect()(0).getLong(0)
+    val maxRow = docs.agg(max("doc_id")).collect()(0)
+    require(!maxRow.isNullAt(0),
+      "buildBm25Index: empty corpus — an index over nothing would serve " +
+        "nothing silently; refusing loudly instead")
+    val maxDoc = maxRow.getLong(0)
     s.sql(s"ALTER TABLE ${fqn(db, PostingsTable)} SET TBLPROPERTIES " +
       s"('$BucketsProp' = '$NumBuckets', '$MaxDocProp' = '$maxDoc')")
   }

@@ -74,6 +74,20 @@ class DomainOpsSpec extends SparkSpec {
     assert(served.size == 500)
   }
 
+  test("degenerate inputs: empty build refused; single-class corpus total") {
+    val e = intercept[IllegalArgumentException](
+      DomainOps.buildDomainClassifier(
+        docsDf((1L, "x", "A")).filter(col("doc_id") < 0), "graft_dc_empty"))
+    assert(e.getMessage.contains("empty corpus"))
+    // one class: the argmax is trivially that class for every doc
+    val db = "graft_dc_mono"
+    DomainOps.buildDomainClassifier(
+      docsDf((1L, "x y", "A"), (2L, "y z", "A")), db)
+    val got = DomainOps.scoreAgainst(docsDf((9L, "q", "A")), spark, db)
+      .collect()
+    assert(got.length == 1 && got(0).getString(1) == "A")
+  }
+
   test("domain-routed mix: strata are predicted sources, quotas honored") {
     val mixed = DomainOps.domainMixTemperature(spark, sf).collect()
     assert(mixed.nonEmpty)

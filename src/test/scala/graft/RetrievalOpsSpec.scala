@@ -89,6 +89,31 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("num_buckets"))
   }
 
+  test("degenerate inputs: empty build refused; empty probe slice and " +
+      "single-doc corpus stay total") {
+    // empty corpus: the build refuses loudly (an index over nothing
+    // would serve nothing silently)
+    val e = intercept[IllegalArgumentException](
+      RetrievalOps.buildBm25Index(
+        docsDf(1L -> "a").filter(col("doc_id") < 0), "graft_bm25_empty"))
+    assert(e.getMessage.contains("empty corpus"))
+    // single-doc corpus: n_docs = 1, df = 1 → idf odds (2-2+1)/3
+    val db1 = "graft_bm25_solo"
+    RetrievalOps.buildBm25Index(docsDf(1L -> "a a"), db1)
+    val solo = RetrievalOps.bm25TopKFor(
+      Seq((7L, "a")).toDF("query_id", "w"), spark, db1).collect()
+    assert(solo.length == 1 && solo(0).getLong(4) > 0)
+    // probe slice empty (no doc_id % 97 == 3 in a 2-doc corpus of other
+    // ids): serving returns an empty frame, never a job failure
+    val db2 = "graft_bm25_noprobe"
+    RetrievalOps.buildBm25Index(docsDf(1L -> "a b", 2L -> "c d"), db2)
+    assert(RetrievalOps.bm25TopKFromIndex(spark,
+      "/root/testdata/sf0.001", db2) != null)
+    val noTerms = RetrievalOps.bm25TopKFor(
+      Seq.empty[(Long, String)].toDF("query_id", "w"), spark, db2)
+    assert(noTerms.isEmpty)
+  }
+
   test("bm25 decontam flags only non-eval docs, bounded by the eval query count") {
     val flagged = RetrievalOps.bm25Decontam(spark, sf).collect()
     assert(flagged.nonEmpty)

@@ -54,6 +54,17 @@ class SketchOpsSpec extends SparkSpec {
     assert(est.values.forall { case (e, c0) => e >= c0 })
   }
 
+  test("degenerate inputs: short-doc-only and empty corpora yield empty grids, no failure") {
+    val short = Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text")
+    assert(SketchOps.gramsOf(short).isEmpty,
+      "docs under n tokens must contribute no grams")
+    val emptyCounts = SketchOps.gramsOf(short)
+      .groupBy("g").agg(count(lit(1)).as("cnt"))
+    assert(SketchOps.sketchOf(emptyCounts).isEmpty)
+    assert(SketchOps.estimateAgainst(emptyCounts,
+      SketchOps.sketchOf(emptyCounts)).isEmpty)
+  }
+
   test("gate verdicts hold and the top-k is a TakeOrderedAndProject, not a full-vocab window") {
     val df = SketchOps.heavyNgramsSketch(spark, sf)
     val rows = df.collect()
