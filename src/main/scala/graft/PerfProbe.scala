@@ -462,8 +462,9 @@ object PerfProbe {
         // ngrams (fixed grid + fixed top-k over a ×K token stream)
         "q_bm25_topk", "q_domain_classify", "q_heavy_ngrams",
         // their compositions inherit the same shapes (eval-probe
-        // retrieval agg; classifier + one stratum window)
-        "q_bm25_decontam", "q_domain_mix")
+        // retrieval agg; classifier + one stratum window); CDC is a
+        // per-row let-bound fold + one chunk-hash shuffle — linear
+        "q_bm25_decontam", "q_domain_mix", "q_cdc_chunks")
       // SPARK_GRAFT_SCALE_ONLY=a,b,c re-probes a subset after a targeted fix
       // without paying the full sweep
       val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

@@ -80,7 +80,11 @@ object PlanAudit {
       // and their compositions: decontam inherits the pruned-postings
       // serve shape with a doc-keyed flag agg; domain mix appends one
       // stratum WindowGroupLimit to the classifier's serve plan
-      "q_bm25_decontam", "q_domain_mix")
+      "q_bm25_decontam", "q_domain_mix",
+      // CDC chunking: the audit evidence is ONE chunk-hash exchange for
+      // the duplicate set + doc-keyed aggs — the exact-dedup shape at
+      // chunk granularity, no positional self-join
+      "q_cdc_chunks")
     // q_corpus_pipeline is deliberately NOT audited here: its query-form
     // plan is a trivial read over the staged tables (auditing it would
     // execute the whole 5-stage materialization for nothing — against

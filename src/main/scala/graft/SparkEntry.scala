@@ -147,6 +147,7 @@ object SparkEntry {
     "q_heavy_ngrams"        -> (SketchOps.heavyNgramsSketch _),
     "q_bm25_decontam"       -> (RetrievalOps.bm25Decontam _),
     "q_domain_mix"          -> (DomainOps.domainMixTemperature _),
+    "q_cdc_chunks"          -> (ChunkOps.cdcChunkStats _),
     "q_semantic_decontam"   -> ((s: SparkSession, d: String) => VectorOps.semanticDecontam(s, d)),
     "q_token_budget_select" -> ((s: SparkSession, d: String) => SamplingOps.tokenBudgetSelect(s, d)),
     "q_dedup_incremental"   -> (IncrementalDedup.dedupIncrement _),
@@ -2656,6 +2657,52 @@ object SparkEntry {
         |)
         |SELECT source AS pred_source, doc_id, quota, mix_rank FROM mixr
         |WHERE mix_rank <= quota ORDER BY pred_source, mix_rank""".stripMargin),
+    // content-defined chunking: the oracle replays the rolling window
+    // hash (the q_doc_fingerprint polynomial), the mod-residue cut rule,
+    // the boundary segmentation and the >=2-docs chunk-hash dedup
+    "q_cdc_chunks" ->
+      """WITH cbase AS (
+        |    SELECT doc_id, text, len(text) AS n FROM documents
+        |), cpos AS (
+        |    SELECT doc_id, unnest(range(8, n + 1)) AS i
+        |    FROM cbase WHERE n >= 8
+        |), chash AS (
+        |    SELECT p.doc_id, p.i,
+        |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(range(p.i - 7, p.i + 1),
+        |               j -> CAST(ascii(b.text[j]) AS BIGINT))),
+        |             (a, c) -> (a * 31 + c) % 1000000007) AS hv
+        |    FROM cpos p JOIN cbase b USING (doc_id)
+        |), bnd AS (
+        |    SELECT DISTINCT doc_id, b FROM (
+        |        SELECT doc_id, 0 AS b FROM cbase
+        |        UNION ALL SELECT doc_id, i AS b FROM chash WHERE hv % 16 = 7
+        |        UNION ALL SELECT doc_id, n AS b FROM cbase)
+        |), seg AS (
+        |    SELECT doc_id, b AS st,
+        |           lead(b) OVER (PARTITION BY doc_id ORDER BY b) AS en
+        |    FROM bnd
+        |), cchunks AS (
+        |    SELECT s.doc_id, substr(b.text, s.st + 1, s.en - s.st) AS chunk
+        |    FROM seg s JOIN cbase b USING (doc_id)
+        |    WHERE s.en IS NOT NULL AND s.en > s.st
+        |), dh AS (
+        |    SELECT DISTINCT doc_id, md5(chunk) AS h FROM cchunks
+        |), ddup AS (
+        |    SELECT h FROM dh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+        |), nck AS (
+        |    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+        |    FROM cchunks GROUP BY doc_id
+        |), ndp AS (
+        |    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_chunks
+        |    FROM dh WHERE h IN (SELECT h FROM ddup) GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(nck.n_chunks, 0) AS BIGINT) AS n_chunks,
+        |       CAST(COALESCE(ndp.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks
+        |FROM documents d
+        |LEFT JOIN nck USING (doc_id) LEFT JOIN ndp USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // heavy-hitter trigrams: exact top-20 replayed declaratively; the CM
     // sketch contract (est ≥ exact, overshoot ≤ 8·total/width) is asserted
     // in-engine and surfaces as constant verdict columns — the

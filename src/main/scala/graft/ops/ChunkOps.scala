@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Content-defined chunking (CDC) dedup signal — the byte-level dedup
+  * granularity between exact-document hashing and token-gram substring
+  * mining: documents split at positions where a rolling window hash hits a
+  * fixed residue, so INSERTIONS SHIFT BOUNDARIES ONLY LOCALLY and a shared
+  * run of text yields identical chunks in every document carrying it (the
+  * rsync/LBFS/FastCDC idea). Chunk hashes then dedup corpus-wide exactly
+  * like document hashes.
+  *
+  * The rule is the PURE content-defined form: cut after position i when
+  *
+  *   hash(c_{i-W+1..i}) mod D == R,   hash = fold (a·B + c) mod M
+  *
+  * (W=[[Window]], B=31, M=1e9+7 — the q_doc_fingerprint polynomial both
+  * engines already replay; D=[[Divisor]] targets ~D-char average chunks).
+  * Production CDC adds min/max chunk clamps, which make the cut sequence
+  * STATEFUL (each cut depends on the previous one) — deliberately omitted
+  * here so the rule stays a per-position predicate both engines evaluate
+  * independently; the clamp layer belongs to the packer pass that already
+  * owns stateful sequence walks. Every boundary set includes 0 and |text|,
+  * so short documents are one chunk and empty documents are zero chunks.
+  *
+  * Scale shape: the window hash is a per-row O(n·W) codegen expression
+  * (no shuffle); chunk explode carries one (doc, chunk-hash)-distinct
+  * stream into ONE hash-keyed shuffle for the ≥2-docs duplicate set
+  * (map-side combined, the exact-dedup shape); the per-doc flag agg keys
+  * doc_id. Nothing all-pairs, nothing positional-self-joined.
+  */
+object ChunkOps {
+
+  val Window = 8
+  val Divisor = 16L
+  val Residue = 7L
+  private val B = 31L
+  private val M = 1000000007L
+
+  /** (doc_id, chunk, chunk_pos) — the raw CDC split of a documents frame.
+    *
+    * Expression-shape notes, all load-bearing:
+    *  - the per-char code array and the boundary array are LET-BOUND as
+    *    single-element `transform` lambda variables instead of
+    *    `withColumn` projections: CollapseProject inlines a projected
+    *    column into EVERY reference, and higher-order functions evaluate
+    *    interpreted with no common-subexpression elimination — the
+    *    projected form re-ran `split(text, '')` once per window position
+    *    (minutes over 500 docs, single-task); the lambda binding
+    *    evaluates each intermediate exactly once per row;
+    *  - codes come from one `split`, never `substring(text, j, 1)` per
+    *    position (UTF8String indexing re-scans from the start — O(n²));
+    *  - the `size >= Window` guard also keeps `sequence` ascending (a
+    *    start above its stop DESCENDS, not empties);
+    *    `array_remove(array(-1), -1)` is the typed empty-array literal;
+    *  - the trailing filter drops the single empty candidate chunk an
+    *    empty text produces (real boundaries are strictly increasing, so
+    *    no real chunk is empty).
+    */
+  private[graft] def chunksOf(docs: DataFrame): DataFrame = {
+    val codesExpr =
+      "transform(filter(split(text, ''), ch -> ch != ''), " +
+        "ch -> bigint(ascii(ch)))"
+    val bndsOfCodes =
+      s"""array_distinct(concat(array(0),
+         |  case when size(codes) >= $Window then
+         |    filter(sequence($Window, size(codes)),
+         |      i -> aggregate(slice(codes, i - ${Window - 1}, $Window),
+         |        0L, (a, cc) -> (a * $B + cc) % $M) % $Divisor = $Residue)
+         |  else array_remove(array(-1), -1) end,
+         |  array(size(codes))))""".stripMargin
+    val ckOfBnds =
+      """filter(
+        |  transform(sequence(1, greatest(size(bnds) - 1, 1)),
+        |    k -> named_struct(
+        |      'chunk_pos', element_at(bnds, k),
+        |      'chunk', substring(text, element_at(bnds, k) + 1,
+        |        coalesce(element_at(bnds, least(k + 1, size(bnds))), 0)
+        |          - element_at(bnds, k)))),
+        |  c -> length(c.chunk) > 0)""".stripMargin
+    docs
+      .withColumn("ck", expr(
+        s"""element_at(transform(array(
+           |  element_at(transform(array($codesExpr),
+           |    codes -> $bndsOfCodes), 1)),
+           |  bnds -> $ckOfBnds), 1)""".stripMargin))
+      .select(col("doc_id"), explode(col("ck")).as("c"))
+      .select(col("doc_id"), col("c.chunk_pos").as("chunk_pos"),
+        col("c.chunk").as("chunk"))
+  }
+
+  /** Registry gate: per-document chunk counts and corpus-duplicated chunk
+    * counts (a chunk is duplicated when its md5 appears in ≥ 2 documents,
+    * per-doc DISTINCT — the exact-dedup convention at chunk granularity).
+    */
+  def cdcChunkStats(s: SparkSession, d: String): DataFrame = {
+    // the window-hash split is the expensive expression and THREE branches
+    // consume it (chunk counts, the dup set, the per-doc dup counts) — pin
+    // it once so no branch recomputes the O(n·W) fold (the image-near-dup
+    // survivor-frame pattern)
+    val chunks = PlanCache.swap("cdc-chunks",
+      chunksOf(t(s, d, "documents"))
+        .withColumn("h", md5(col("chunk").cast("binary"))))
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"))
+    val docHashes = chunks.select("doc_id", "h").distinct()
+    val dup = docHashes.groupBy("h")
+      .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2)
+      .select("h")
+    val dupPerDoc = docHashes.join(dup, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_chunks"))
+    t(s, d, "documents").select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"))
+      .orderBy("doc_id")
+  }
+}
