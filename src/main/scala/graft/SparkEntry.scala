@@ -148,6 +148,7 @@ object SparkEntry {
     "q_bm25_decontam"       -> (RetrievalOps.bm25Decontam _),
     "q_domain_mix"          -> (DomainOps.domainMixTemperature _),
     "q_cdc_chunks"          -> (ChunkOps.cdcChunkStats _),
+    "q_cdc_dedup_rewrite"   -> (ChunkOps.cdcDedupRewrite _),
     "q_semantic_decontam"   -> ((s: SparkSession, d: String) => VectorOps.semanticDecontam(s, d)),
     "q_token_budget_select" -> ((s: SparkSession, d: String) => SamplingOps.tokenBudgetSelect(s, d)),
     "q_dedup_incremental"   -> (IncrementalDedup.dedupIncrement _),
@@ -291,6 +292,40 @@ object SparkEntry {
     * the kept doc_id set under the cross-multiplied corpus-mean rule.
     * Used by q_quality_classifier and the corpus-clean composition.
     */
+  /** Shared CTE chain of the CDC oracles — replays the rolling window
+    * hash (the q_doc_fingerprint polynomial), the mod-residue cut rule
+    * and the boundary segmentation, ending at the per-occurrence chunk
+    * CTE `cchunks` (doc_id, chunk_pos, chunk).
+    */
+  private val cdcCtes: String =
+    """WITH cbase AS (
+      |    SELECT doc_id, text, len(text) AS n FROM documents
+      |), cpos AS (
+      |    SELECT doc_id, unnest(range(8, n + 1)) AS i
+      |    FROM cbase WHERE n >= 8
+      |), chash AS (
+      |    SELECT p.doc_id, p.i,
+      |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(range(p.i - 7, p.i + 1),
+      |               j -> CAST(ascii(b.text[j]) AS BIGINT))),
+      |             (a, c) -> (a * 31 + c) % 1000000007) AS hv
+      |    FROM cpos p JOIN cbase b USING (doc_id)
+      |), bnd AS (
+      |    SELECT DISTINCT doc_id, b FROM (
+      |        SELECT doc_id, 0 AS b FROM cbase
+      |        UNION ALL SELECT doc_id, i AS b FROM chash WHERE hv % 16 = 7
+      |        UNION ALL SELECT doc_id, n AS b FROM cbase)
+      |), seg AS (
+      |    SELECT doc_id, b AS st,
+      |           lead(b) OVER (PARTITION BY doc_id ORDER BY b) AS en
+      |    FROM bnd
+      |), cchunks AS (
+      |    SELECT s.doc_id, s.st AS chunk_pos,
+      |           substr(b.text, s.st + 1, s.en - s.st) AS chunk
+      |    FROM seg s JOIN cbase b USING (doc_id)
+      |    WHERE s.en IS NOT NULL AND s.en > s.st
+      |)""".stripMargin
+
   /** Shared CTE chain of the K-class NB domain-classifier oracles —
     * retrains the per-class add-one-smoothed token rates (class = source)
     * and ranks classes per document, ending at the argmax CTE `drk`.
@@ -2660,33 +2695,9 @@ object SparkEntry {
     // content-defined chunking: the oracle replays the rolling window
     // hash (the q_doc_fingerprint polynomial), the mod-residue cut rule,
     // the boundary segmentation and the >=2-docs chunk-hash dedup
-    "q_cdc_chunks" ->
-      """WITH cbase AS (
-        |    SELECT doc_id, text, len(text) AS n FROM documents
-        |), cpos AS (
-        |    SELECT doc_id, unnest(range(8, n + 1)) AS i
-        |    FROM cbase WHERE n >= 8
-        |), chash AS (
-        |    SELECT p.doc_id, p.i,
-        |           list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |             list_transform(range(p.i - 7, p.i + 1),
-        |               j -> CAST(ascii(b.text[j]) AS BIGINT))),
-        |             (a, c) -> (a * 31 + c) % 1000000007) AS hv
-        |    FROM cpos p JOIN cbase b USING (doc_id)
-        |), bnd AS (
-        |    SELECT DISTINCT doc_id, b FROM (
-        |        SELECT doc_id, 0 AS b FROM cbase
-        |        UNION ALL SELECT doc_id, i AS b FROM chash WHERE hv % 16 = 7
-        |        UNION ALL SELECT doc_id, n AS b FROM cbase)
-        |), seg AS (
-        |    SELECT doc_id, b AS st,
-        |           lead(b) OVER (PARTITION BY doc_id ORDER BY b) AS en
-        |    FROM bnd
-        |), cchunks AS (
-        |    SELECT s.doc_id, substr(b.text, s.st + 1, s.en - s.st) AS chunk
-        |    FROM seg s JOIN cbase b USING (doc_id)
-        |    WHERE s.en IS NOT NULL AND s.en > s.st
-        |), dh AS (
+    "q_cdc_chunks" -> (cdcCtes +
+      """
+        |, dh AS (
         |    SELECT DISTINCT doc_id, md5(chunk) AS h FROM cchunks
         |), ddup AS (
         |    SELECT h FROM dh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
@@ -2702,7 +2713,32 @@ object SparkEntry {
         |       CAST(COALESCE(ndp.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks
         |FROM documents d
         |LEFT JOIN nck USING (doc_id) LEFT JOIN ndp USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin),
+    // output-corpus form: globally-first chunk occurrences survive, later
+    // ones excise to chr(9247) (U+241F — the substring-dedup marker), and
+    // the rewritten text is hash-compared cell-for-cell
+    "q_cdc_dedup_rewrite" -> (cdcCtes +
+      """
+        |, crnk AS (
+        |    SELECT doc_id, chunk_pos, chunk,
+        |           row_number() OVER (PARTITION BY chunk
+        |               ORDER BY doc_id, chunk_pos) AS rnk
+        |    FROM cchunks
+        |), crw AS (
+        |    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |           CAST(SUM(CASE WHEN rnk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |               AS n_excised,
+        |           string_agg(CASE WHEN rnk = 1 THEN chunk
+        |                           ELSE chr(9247) END, ''
+        |                      ORDER BY chunk_pos) AS text_dedup
+        |    FROM crnk GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(crw.n_chunks, 0) AS BIGINT) AS n_chunks,
+        |       CAST(COALESCE(crw.n_excised, 0) AS BIGINT) AS n_excised,
+        |       COALESCE(crw.text_dedup, '') AS text_dedup
+        |FROM documents d LEFT JOIN crw USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
     // heavy-hitter trigrams: exact top-20 replayed declaratively; the CM
     // sketch contract (est ≥ exact, overshoot ≤ 8·total/width) is asserted
     // in-engine and surfaces as constant verdict columns — the

@@ -119,4 +119,46 @@ object ChunkOps {
         coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"))
       .orderBy("doc_id")
   }
+
+  /** Excised-chunk marker — U+241F (symbol-for-unit-separator), the
+    * [[TextOps.substringDedup]] convention: a cut can never splice two
+    * remaining chunks into a byte run that existed nowhere in the corpus.
+    */
+  val Marker = "␟"
+
+  /** The OUTPUT-corpus form: every chunk occurrence except the globally
+    * FIRST (by (doc_id, chunk_pos) — a total order) is excised and
+    * replaced by [[Marker]], and each document's text is rebuilt from its
+    * surviving pieces — chunk-granular storage dedup (the rsync/casync
+    * posture: later occurrences would be references into the first).
+    * Within-document repeats excise too (the first occurrence is the only
+    * copy kept anywhere).
+    *
+    * Scale shape: ONE chunk-content-keyed shuffle for the first-occurrence
+    * window (identical boilerplate chunks land on one reducer — bounded by
+    * that chunk's corpus occurrence count, the dedup-canon analogue of the
+    * exact-dedup hash group), then one doc_id shuffle for the ordered
+    * rebuild. No all-pairs, no positional self-join.
+    */
+  def cdcDedupRewrite(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("chunk").orderBy(col("doc_id").asc, col("chunk_pos").asc)
+    val rebuilt = chunksOf(t(s, d, "documents"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("piece",
+        when(col("rnk") === 1, col("chunk")).otherwise(lit(Marker)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum((col("rnk") > 1).cast("long")).as("n_excised"),
+        expr("""concat_ws('',
+          |  transform(array_sort(collect_list(struct(chunk_pos, piece))),
+          |    x -> x.piece))""".stripMargin).as("text_dedup"))
+    t(s, d, "documents").select("doc_id")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_excised"), lit(0L)).as("n_excised"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+      .orderBy("doc_id")
+  }
 }
