@@ -149,6 +149,7 @@ object SparkEntry {
     "q_domain_mix"          -> (DomainOps.domainMixTemperature _),
     "q_cdc_chunks"          -> (ChunkOps.cdcChunkStats _),
     "q_cdc_dedup_rewrite"   -> (ChunkOps.cdcDedupRewrite _),
+    "q_cdc_rewrite_incremental" -> (ChunkOps.cdcRewriteIncrement _),
     "q_semantic_decontam"   -> ((s: SparkSession, d: String) => VectorOps.semanticDecontam(s, d)),
     "q_token_budget_select" -> ((s: SparkSession, d: String) => SamplingOps.tokenBudgetSelect(s, d)),
     "q_dedup_incremental"   -> (IncrementalDedup.dedupIncrement _),
@@ -2738,6 +2739,33 @@ object SparkEntry {
         |       CAST(COALESCE(crw.n_excised, 0) AS BIGINT) AS n_excised,
         |       COALESCE(crw.text_dedup, '') AS text_dedup
         |FROM documents d LEFT JOIN crw USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
+    // incremental rewrite: the FRESH full-union rewrite restricted to the
+    // append-only batch split — a green row proves the persisted
+    // chunk-index path lands bit-equal (the substring-incremental gate
+    // style)
+    "q_cdc_rewrite_incremental" -> (cdcCtes +
+      """
+        |, crnk AS (
+        |    SELECT doc_id, chunk_pos, chunk,
+        |           row_number() OVER (PARTITION BY chunk
+        |               ORDER BY doc_id, chunk_pos) AS rnk
+        |    FROM cchunks
+        |), crw AS (
+        |    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |           CAST(SUM(CASE WHEN rnk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |               AS n_excised,
+        |           string_agg(CASE WHEN rnk = 1 THEN chunk
+        |                           ELSE chr(9247) END, ''
+        |                      ORDER BY chunk_pos) AS text_dedup
+        |    FROM crnk GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(crw.n_chunks, 0) AS BIGINT) AS n_chunks,
+        |       CAST(COALESCE(crw.n_excised, 0) AS BIGINT) AS n_excised,
+        |       COALESCE(crw.text_dedup, '') AS text_dedup
+        |FROM documents d LEFT JOIN crw USING (doc_id)
+        |WHERE d.doc_id * 3 >= (SELECT MAX(doc_id) * 2 FROM documents)
         |ORDER BY doc_id""".stripMargin),
     // heavy-hitter trigrams: exact top-20 replayed declaratively; the CM
     // sketch contract (est ≥ exact, overshoot ≤ 8·total/width) is asserted

@@ -161,4 +161,102 @@ object ChunkOps {
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
       .orderBy("doc_id")
   }
+
+  /** Persisted chunk-membership index — the incremental state of the CDC
+    * family (the gram-index sibling): existence of a chunk hash is all a
+    * batch rewrite needs, because ingest is append-only in doc_id (the
+    * CorpusPipeline contract), so every corpus occurrence PRECEDES every
+    * batch occurrence in the (doc_id, chunk_pos) first-survivor order.
+    * Bucketed by hash for pruned probes; the modulus freezes into a table
+    * property appends and probes must read (absence = hard error).
+    */
+  val ChunkIndexTable = "chunk_index"
+  val ChunkBuckets = 32
+  val ChunkBucketsProp = "graft.cdc.num_buckets"
+
+  private def idxFqn(db: String) = s"`$db`.`$ChunkIndexTable`"
+
+  private def hashedChunks(docs: DataFrame, nb: Long): DataFrame =
+    chunksOf(docs)
+      .withColumn("h", md5(col("chunk").cast("binary")))
+      .withColumn("bkt", pmod(xxhash64(col("h")), lit(nb)).cast("int"))
+
+  def buildChunkIndex(docs: DataFrame, db: String): Unit = {
+    val s = docs.sparkSession
+    graft.store.Warehouse.saveModel(
+      hashedChunks(docs, ChunkBuckets.toLong)
+        .select("h", "bkt").distinct(),
+      db, ChunkIndexTable, Seq("bkt"))
+    s.sql(s"ALTER TABLE ${idxFqn(db)} SET TBLPROPERTIES " +
+      s"('$ChunkBucketsProp' = '$ChunkBuckets')")
+  }
+
+  private def readBuckets(s: SparkSession, db: String): Long = {
+    val rows = s.sql(s"SHOW TBLPROPERTIES ${idxFqn(db)}")
+      .filter(col("key") === ChunkBucketsProp).select("value").collect()
+    require(rows.nonEmpty,
+      s"$ChunkBucketsProp missing on $db.$ChunkIndexTable — not a chunk " +
+        "index built by buildChunkIndex; refusing to guess the layout")
+    rows(0).getString(0).toLong
+  }
+
+  /** Rewrite a batch against the PERSISTED index: a batch chunk excises
+    * when the corpus already holds it (membership probe on the bucketed
+    * index) OR an earlier batch occurrence exists (batch-internal
+    * first-occurrence window) — exactly the full-union rewrite rule
+    * restricted to batch rows under the append-only id contract, which is
+    * what the gate's oracle proves. The corpus is never re-chunked.
+    */
+  def cdcRewriteAgainst(batch: DataFrame, s: SparkSession,
+                        db: String): DataFrame = {
+    graft.store.Warehouse.refreshDb(s, db)
+    val nb = readBuckets(s, db)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("chunk").orderBy(col("doc_id").asc, col("chunk_pos").asc)
+    val rebuilt = hashedChunks(batch, nb)
+      .join(s.table(idxFqn(db)).withColumn("present", lit(1)),
+        Seq("bkt", "h"), "left")
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("excise", col("present").isNotNull || col("rnk") > 1)
+      .withColumn("piece",
+        when(col("excise"), lit(Marker)).otherwise(col("chunk")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("excise").cast("long")).as("n_excised"),
+        expr("""concat_ws('',
+          |  transform(array_sort(collect_list(struct(chunk_pos, piece))),
+          |    x -> x.piece))""".stripMargin).as("text_dedup"))
+    batch.select("doc_id")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_excised"), lit(0L)).as("n_excised"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+      .orderBy("doc_id")
+  }
+
+  /** Fold a processed batch's chunks into the index (existence semantics —
+    * a replayed append is absorbed by the anti-join, the gram-index
+    * contract).
+    */
+  def appendToChunkIndex(s: SparkSession, db: String,
+                         docs: DataFrame): Unit = {
+    val nb = readBuckets(s, db)
+    val target = idxFqn(db)
+    hashedChunks(docs, nb).select("h", "bkt").distinct()
+      .join(s.table(target), Seq("bkt", "h"), "left_anti")
+      .select(s.table(target).columns.map(col).toIndexedSeq: _*)
+      .write.mode("append").insertInto(target)
+  }
+
+  /** Registry gate: index the "already ingested" corpus split, rewrite
+    * the batch split against it — the oracle replays the FRESH full-union
+    * rewrite restricted to batch rows, so a green row proves the
+    * incremental path is bit-equal to from-scratch.
+    */
+  def cdcRewriteIncrement(s: SparkSession, d: String): DataFrame = {
+    buildChunkIndex(IncrementalClusters.corpusDocsRange(s, d), "graft_cdc_inc")
+    cdcRewriteAgainst(IncrementalClusters.batchDocsRange(s, d), s,
+      "graft_cdc_inc")
+  }
 }

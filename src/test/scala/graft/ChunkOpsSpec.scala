@@ -91,6 +91,38 @@ class ChunkOpsSpec extends SparkSpec {
     assert(multiSurvivors == 0L)
   }
 
+  test("chunk-index appends feed later rewrites exactly; replays absorb; rogue dbs refuse") {
+    import graft.ops.ChunkOps
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    val c0 = docs.filter(col("doc_id") < 200)
+    val b1 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 350)
+    val b2 = docs.filter(col("doc_id") >= 350)
+    for (db <- Seq("cdc_idx_grown", "cdc_idx_fresh"))
+      spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    ChunkOps.buildChunkIndex(c0, "cdc_idx_grown")
+    ChunkOps.appendToChunkIndex(spark, "cdc_idx_grown", b1)
+    val grown = ChunkOps.cdcRewriteAgainst(b2, spark, "cdc_idx_grown")
+      .collect().toSeq.map(_.toSeq)
+    ChunkOps.buildChunkIndex(c0.unionByName(b1), "cdc_idx_fresh")
+    assert(grown == ChunkOps.cdcRewriteAgainst(b2, spark, "cdc_idx_fresh")
+      .collect().toSeq.map(_.toSeq),
+      "append-grown index rewrite diverged from a fresh build over the union")
+    // replayed append is absorbed by the existence anti-join
+    val before = spark.table(s"cdc_idx_grown.${ChunkOps.ChunkIndexTable}")
+      .count()
+    ChunkOps.appendToChunkIndex(spark, "cdc_idx_grown", b1)
+    graft.store.Warehouse.refreshDb(spark, "cdc_idx_grown")
+    assert(spark.table(s"cdc_idx_grown.${ChunkOps.ChunkIndexTable}")
+      .count() == before)
+    // a table without the frozen layout property never serves
+    spark.sql("CREATE DATABASE IF NOT EXISTS cdc_idx_rogue")
+    spark.sql(s"CREATE TABLE cdc_idx_rogue.${ChunkOps.ChunkIndexTable} " +
+      "(h STRING, bkt INT) USING parquet")
+    val e = intercept[IllegalArgumentException](
+      ChunkOps.cdcRewriteAgainst(b2, spark, "cdc_idx_rogue"))
+    assert(e.getMessage.contains("num_buckets"))
+  }
+
   test("degenerate inputs: empty text is zero chunks, short text one whole chunk") {
     val m = chunksOf(1L -> "", 2L -> "tiny", 3L -> "exactly8")
     assert(!m.contains(1L) || m(1L).isEmpty)
