@@ -174,6 +174,13 @@ object ChunkOps {
   val ChunkBuckets = 32
   val ChunkBucketsProp = "graft.cdc.num_buckets"
 
+  /** Append-only id fence for the STREAMING ingest ([[graft.pipeline.CdcIngest]]):
+    * the max doc_id whose chunks the index holds. Advanced last, so a
+    * crashed batch redelivers THROUGH the fence and the idempotent writes
+    * absorb the overlap.
+    */
+  val MaxDocProp = "graft.cdc.max_doc_id"
+
   private def idxFqn(db: String) = s"`$db`.`$ChunkIndexTable`"
 
   private def hashedChunks(docs: DataFrame, nb: Long): DataFrame =
@@ -187,18 +194,28 @@ object ChunkOps {
       hashedChunks(docs, ChunkBuckets.toLong)
         .select("h", "bkt").distinct(),
       db, ChunkIndexTable, Seq("bkt"))
+    val maxRow = docs.agg(max("doc_id")).collect()(0)
+    val maxDoc = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
     s.sql(s"ALTER TABLE ${idxFqn(db)} SET TBLPROPERTIES " +
-      s"('$ChunkBucketsProp' = '$ChunkBuckets')")
+      s"('$ChunkBucketsProp' = '$ChunkBuckets', '$MaxDocProp' = '$maxDoc')")
   }
 
-  private def readBuckets(s: SparkSession, db: String): Long = {
+  private[graft] def readIndexProp(s: SparkSession, db: String,
+                                   prop: String): Long = {
     val rows = s.sql(s"SHOW TBLPROPERTIES ${idxFqn(db)}")
-      .filter(col("key") === ChunkBucketsProp).select("value").collect()
+      .filter(col("key") === prop).select("value").collect()
     require(rows.nonEmpty,
-      s"$ChunkBucketsProp missing on $db.$ChunkIndexTable — not a chunk " +
+      s"$prop missing on $db.$ChunkIndexTable — not a chunk " +
         "index built by buildChunkIndex; refusing to guess the layout")
     rows(0).getString(0).toLong
   }
+
+  private[graft] def setIndexProp(s: SparkSession, db: String, prop: String,
+                                  value: String): Unit =
+    s.sql(s"ALTER TABLE ${idxFqn(db)} SET TBLPROPERTIES ('$prop' = '$value')")
+
+  private def readBuckets(s: SparkSession, db: String): Long =
+    readIndexProp(s, db, ChunkBucketsProp)
 
   /** Rewrite a batch against the PERSISTED index: a batch chunk excises
     * when the corpus already holds it (membership probe on the bucketed

@@ -725,4 +725,74 @@ class StreamingSpec extends SparkSpec {
     for (d <- Seq(db, "bm25_stream_full", "bm25_stream_full2"))
       spark.sql(s"DROP DATABASE IF EXISTS `$d` CASCADE")
   }
+  test("streaming CDC rewrite: output matches batch-at-a-time reference; poisoned redelivery discarded") {
+    implicit val sq = spark.sqlContext
+    import graft.ops.ChunkOps
+    import graft.pipeline.CdcIngest
+    val db = "cdc_stream_db"
+    val ref = "cdc_stream_ref"
+    for (d <- Seq(db, ref)) spark.sql(s"DROP DATABASE IF EXISTS `$d` CASCADE")
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    val base = docs.filter(col("doc_id") < 300)
+    ChunkOps.buildChunkIndex(base, db)
+    ChunkOps.buildChunkIndex(base, ref)
+    val rest = docs.filter(col("doc_id") >= 300)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch(CdcIngest.cdcIngestSink("cdcStream", db))
+      .start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    // batch-at-a-time reference: b1 vs base index, then b2 vs base ∪ b1
+    def dfOf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val ref1 = ChunkOps.cdcRewriteAgainst(dfOf(b1.toIndexedSeq), spark, ref)
+      .collect().toSeq.map(_.toSeq)
+    ChunkOps.appendToChunkIndex(spark, ref, dfOf(b1.toIndexedSeq))
+    val ref2 = ChunkOps.cdcRewriteAgainst(dfOf(b2.toIndexedSeq), spark, ref)
+      .collect().toSeq.map(_.toSeq)
+    graft.store.Warehouse.refreshDb(spark, db)
+    val streamed = spark.table(s"$db.${CdcIngest.OutputTable}")
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    assert(streamed == (ref1 ++ ref2),
+      "streamed output diverged from the batch-at-a-time reference")
+    // committed-epoch replay is a pure no-op
+    val before = spark.table(s"$db.${CdcIngest.OutputTable}").count()
+    CdcIngest.cdcIngestBatch(spark, "cdcStream",
+      dfOf(b2.toIndexedSeq), db, epochId = 1L)
+    assert(spark.table(s"$db.${CdcIngest.OutputTable}").count() == before)
+    // crash AFTER the output lands but BEFORE the index fold: the
+    // redelivered rewrite is POISONED (its own chunks are still absent,
+    // then present after the fold) — the row-idempotent output append
+    // must keep the first attempt's rows
+    val b3 = Seq((9000L, b1.head._2), (9001L, "wholly novel content here"))
+    intercept[RuntimeException] {
+      CdcIngest.cdcIngestBatch(spark, "cdcStream", dfOf(b3), db,
+        epochId = 2L, failAfter = Some(CdcIngest.OutputTable))
+    }
+    val firstAttempt = spark.table(s"$db.${CdcIngest.OutputTable}")
+      .filter(col("doc_id") >= 9000L).orderBy("doc_id")
+      .collect().toSeq.map(_.toSeq)
+    assert(firstAttempt.size == 2, "first attempt's output must have landed")
+    CdcIngest.cdcIngestBatch(spark, "cdcStream", dfOf(b3), db, epochId = 2L)
+    graft.store.Warehouse.refreshDb(spark, db)
+    val afterReplay = spark.table(s"$db.${CdcIngest.OutputTable}")
+      .filter(col("doc_id") >= 9000L).orderBy("doc_id")
+      .collect().toSeq.map(_.toSeq)
+    assert(afterReplay == firstAttempt,
+      "redelivery overwrote the first attempt's output rows")
+    // doc 9000 duplicates b1's first text: its chunks excised; 9001 novel
+    val r9000 = afterReplay.head
+    assert(r9000(2).asInstanceOf[Long] > 0L, "duplicate batch doc must excise")
+    // and the index now holds the batch: a repeat of 9001's text excises
+    val again = ChunkOps.cdcRewriteAgainst(
+      dfOf(Seq((9500L, "wholly novel content here"))), spark, db).head
+    assert(again.getLong(2) == again.getLong(1),
+      "post-fold repeat of a streamed doc must excise every chunk")
+    for (d <- Seq(db, ref)) spark.sql(s"DROP DATABASE IF EXISTS `$d` CASCADE")
+  }
 }
