@@ -150,6 +150,7 @@ object SparkEntry {
     "q_cdc_chunks"          -> (ChunkOps.cdcChunkStats _),
     "q_cdc_dedup_rewrite"   -> (ChunkOps.cdcDedupRewrite _),
     "q_cdc_rewrite_incremental" -> (ChunkOps.cdcRewriteIncrement _),
+    "q_phrase_search"       -> (RetrievalOps.phraseSearch _),
     "q_semantic_decontam"   -> ((s: SparkSession, d: String) => VectorOps.semanticDecontam(s, d)),
     "q_token_budget_select" -> ((s: SparkSession, d: String) => SamplingOps.tokenBudgetSelect(s, d)),
     "q_dedup_incremental"   -> (IncrementalDedup.dedupIncrement _),
@@ -2767,6 +2768,32 @@ object SparkEntry {
         |FROM documents d LEFT JOIN crw USING (doc_id)
         |WHERE d.doc_id * 3 >= (SELECT MAX(doc_id) * 2 FROM documents)
         |ORDER BY doc_id""".stripMargin),
+    // exact phrase search via anchor alignment over positional postings:
+    // the oracle re-derives 1-based token positions, joins each phrase
+    // term's occurrences at anchor pos - k, and counts anchors where all
+    // three distinct ks aligned
+    "q_phrase_search" ->
+      """WITH pb AS (
+        |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |    FROM documents
+        |), ptok AS (
+        |    SELECT doc_id, unnest(toks) AS w,
+        |           unnest(range(1, len(toks) + 1)) AS pos
+        |    FROM pb
+        |), pterms AS (
+        |    SELECT doc_id AS query_id,
+        |           unnest(range(0, 3)) AS k,
+        |           unnest(toks[1:3]) AS w
+        |    FROM pb WHERE doc_id % 101 = 11 AND len(toks) >= 3
+        |), pm AS (
+        |    SELECT t.query_id, p.doc_id, p.pos - t.k AS anchor, t.k
+        |    FROM pterms t JOIN ptok p ON p.w = t.w
+        |), pa AS (
+        |    SELECT query_id, doc_id, anchor
+        |    FROM pm GROUP BY 1, 2, 3 HAVING COUNT(DISTINCT k) = 3
+        |)
+        |SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+        |FROM pa GROUP BY 1, 2 ORDER BY query_id, doc_id""".stripMargin,
     // heavy-hitter trigrams: exact top-20 replayed declaratively; the CM
     // sketch contract (est ≥ exact, overshoot ≤ 8·total/width) is asserted
     // in-engine and surfaces as constant verdict columns — the

@@ -309,6 +309,94 @@ object RetrievalOps {
     bm25TopKFromIndex(s, d, "graft_bm25_q")
   }
 
+  /** Positional postings for EXACT phrase search — (w, doc_id, pos)
+    * 1-based, partitioned by the same term-hash bucket law as the BM25
+    * postings (modulus + max-doc fence frozen as table properties).
+    */
+  val PositionsTable = "bm25_positions"
+
+  def buildPhraseIndex(docs: DataFrame, db: String): Unit = {
+    val s = docs.sparkSession
+    val positions = withTokens(docs)
+      .select(col("doc_id"), posexplode(col("tokens")).as(Seq("p0", "w")))
+      .select(col("w"), col("doc_id"), (col("p0") + 1).as("pos"), bktCol)
+    graft.store.Warehouse.saveModel(positions, db, PositionsTable,
+      Seq("bkt"))
+    val maxRow = docs.agg(max("doc_id")).collect()(0)
+    require(!maxRow.isNullAt(0),
+      "buildPhraseIndex: empty corpus — refusing loudly (the buildBm25Index contract)")
+    s.sql(s"ALTER TABLE ${fqn(db, PositionsTable)} SET TBLPROPERTIES " +
+      s"('$BucketsProp' = '$NumBuckets', " +
+      s"'$MaxDocProp' = '${maxRow.getLong(0)}')")
+  }
+
+  /** Gate phrase convention: probe docs are the doc_id % 101 = 11 slice,
+    * each querying its own first [[PhraseLen]] tokens as an exact
+    * consecutive phrase.
+    */
+  val PhraseModulus = 101L
+  val PhraseResidue = 11L
+  val PhraseLen = 3
+
+  private def readPosProp(s: SparkSession, db: String, prop: String): Long = {
+    val rows = s.sql(s"SHOW TBLPROPERTIES ${fqn(db, PositionsTable)}")
+      .filter(col("key") === prop).select("value").collect()
+    require(rows.nonEmpty,
+      s"$prop missing on $db.$PositionsTable — not a phrase index built " +
+        "by buildPhraseIndex; refusing to guess the layout")
+    rows(0).getString(0).toLong
+  }
+
+  /** (query_id, k, w) — the k-th term of each probe doc's leading phrase. */
+  private[graft] def phraseTermsFor(docs: DataFrame): DataFrame =
+    withTokens(docs)
+      .filter(pmod(col("doc_id"), lit(PhraseModulus)) === PhraseResidue)
+      .filter(size(col("tokens")) >= PhraseLen)
+      .select(col("doc_id").as("query_id"),
+        posexplode(expr(s"slice(tokens, 1, $PhraseLen)")).as(Seq("k", "w")))
+
+  /** Exact consecutive-phrase occurrence counts via ANCHOR ALIGNMENT: a
+    * position row for term k matches anchor `pos - k`; an anchor where all
+    * [[PhraseLen]] DISTINCT ks matched is one phrase occurrence. One
+    * shuffle keyed (query_id, doc_id, anchor) — the classic positional
+    * intersection, never a per-occurrence string rebuild. The positions
+    * scan is partition-pruned to the phrase terms' buckets (the BM25
+    * serve posture); repeated words inside a phrase are handled by the
+    * DISTINCT-k requirement at a shared anchor.
+    */
+  def phraseSearchFor(terms: DataFrame, s: SparkSession,
+                      db: String): DataFrame = {
+    graft.store.Warehouse.refreshDb(s, db)
+    val nb = readPosProp(s, db, BucketsProp)
+    require(nb == NumBuckets,
+      s"stored index bucketed mod $nb but this build matches mod $NumBuckets")
+    val bkts = terms.select(pmod(xxhash64(col("w")), lit(nb)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    s.table(fqn(db, PositionsTable))
+      .filter(col("bkt").isin(bkts: _*))
+      .join(broadcast(terms), Seq("w"))
+      .withColumn("anchor", col("pos") - col("k"))
+      .groupBy("query_id", "doc_id", "anchor")
+      .agg(count_distinct(col("k")).as("nk"))
+      .filter(col("nk") === PhraseLen)
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy("query_id", "doc_id")
+  }
+
+  def phraseSearchFromIndex(s: SparkSession, d: String,
+                            db: String): DataFrame =
+    phraseSearchFor(phraseTermsFor(t(s, d, "documents")), s, db)
+
+  /** Registry gate: build the positional index, search every probe doc's
+    * leading phrase — self-retrieval (each probe doc contains its own
+    * phrase) makes the result set non-vacuous by construction.
+    */
+  def phraseSearch(s: SparkSession, d: String): DataFrame = {
+    buildPhraseIndex(t(s, d, "documents"), "graft_phrase_q")
+    phraseSearchFromIndex(s, d, "graft_phrase_q")
+  }
+
   /** Retrieval-driven decontamination — the FUZZY complement of the n-gram
     * and embedding decontam legs: each eval-convention document
     * (doc_id % 100 = 7, the [[TextOps.decontaminateNgram]] seed) queries

@@ -127,6 +127,33 @@ class RetrievalOpsSpec extends SparkSpec {
     }
   }
 
+  test("phrase search: anchor alignment finds exact consecutive runs only") {
+    val db = "graft_phrase_spec"
+    RetrievalOps.buildPhraseIndex(
+      docsDf(1L -> "a b c a b c", 2L -> "c b a", 3L -> "b b b c"), db)
+    def terms(ws: String*) =
+      ws.zipWithIndex.map { case (w, k) => (7L, k, w) }
+        .toDF("query_id", "k", "w")
+    // two occurrences in doc 1; the scrambled doc 2 never matches
+    val m1 = RetrievalOps.phraseSearchFor(terms("a", "b", "c"), spark, db)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(m1.toSeq == Seq((1L, 2L)))
+    // repeated-word phrase: "b b c" matches doc 3 exactly once (anchor 2)
+    val m2 = RetrievalOps.phraseSearchFor(terms("b", "b", "c"), spark, db)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(m2.toSeq == Seq((3L, 1L)))
+    // a phrase crossing nothing: "c a b" occurs once in doc 1
+    val m3 = RetrievalOps.phraseSearchFor(terms("c", "a", "b"), spark, db)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(m3.toSeq == Seq((1L, 1L)))
+    // serve plan: pruned positions scan, no corpus scan for manual terms
+    val plan = RetrievalOps.phraseSearchFor(terms("a", "b", "c"), spark, db)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"))
+    assert(plan.contains(RetrievalOps.PositionsTable))
+    assert(plan.contains("PartitionFilters") && plan.contains("bkt"))
+  }
+
   test("serving plan: postings partition-pruned to term buckets, no corpus scan") {
     val db = "graft_bm25_spec_plan"
     RetrievalOps.buildBm25Index(
