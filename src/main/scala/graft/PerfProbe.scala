@@ -196,6 +196,19 @@ object PerfProbe {
         graft.ops.RetrievalOps.buildBm25Index(docs, "model_probe_bm25"),
         graft.ops.RetrievalOps.bm25TopKFromIndex(spark, d,
           "model_probe_bm25").count())
+      spark.sql("DROP DATABASE IF EXISTS `model_probe_ph` CASCADE")
+      row("phrase_index",
+        graft.ops.RetrievalOps.buildPhraseIndex(docs, "model_probe_ph"),
+        graft.ops.RetrievalOps.phraseSearchFromIndex(spark, d,
+          "model_probe_ph").count())
+      spark.sql("DROP DATABASE IF EXISTS `model_probe_cdc` CASCADE")
+      row("cdc_chunk_index",
+        graft.ops.ChunkOps.buildChunkIndex(
+          graft.ops.IncrementalClusters.corpusDocsRange(spark, d),
+          "model_probe_cdc"),
+        graft.ops.ChunkOps.cdcRewriteAgainst(
+          graft.ops.IncrementalClusters.batchDocsRange(spark, d), spark,
+          "model_probe_cdc").count())
       // incremental-cluster split: the registry gate times the full
       // build + append lifecycle (the oracle proves the maintenance
       // invariant); production pays the BUILD on the rebuild cadence and

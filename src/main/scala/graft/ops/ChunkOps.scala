@@ -266,6 +266,19 @@ object ChunkOps {
       .write.mode("append").insertInto(target)
   }
 
+  /** Scheduled index rebuild — re-anchors the membership set (and compacts
+    * the accreted append files) on the cron cadence (mirrors
+    * [[IncrementalDedup.indexRebuildEntry]]).
+    */
+  def chunkRebuildEntry(id: String, cronExpr: String, db: String,
+                        docs: SparkSession => DataFrame)
+      : graft.pipeline.ScheduleRunner.Entry =
+    graft.pipeline.ScheduleRunner.Entry(id,
+      graft.pipeline.CronSchedule.parse(cronExpr),
+      (s, _) => buildChunkIndex(docs(s), db),
+      name = "chunk_index_rebuild", target = s"$db.$ChunkIndexTable",
+      tags = Map("pipeline" -> "cdc-dedup"))
+
   /** Registry gate: index the "already ingested" corpus split, rewrite
     * the batch split against it — the oracle replays the FRESH full-union
     * rewrite restricted to batch rows, so a green row proves the

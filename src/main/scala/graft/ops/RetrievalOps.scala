@@ -397,6 +397,41 @@ object RetrievalOps {
     phraseSearchFromIndex(s, d, "graft_phrase_q")
   }
 
+  /** Positional rows are per-doc facts → pure partitioned append behind
+    * the same loud append-only fence as [[appendToBm25Index]].
+    */
+  def appendToPhraseIndex(s: SparkSession, db: String,
+                          docs: DataFrame): Unit = {
+    val nb = readPosProp(s, db, BucketsProp)
+    require(nb == NumBuckets,
+      s"stored index bucketed mod $nb but this build buckets mod $NumBuckets")
+    val maxDoc = readPosProp(s, db, MaxDocProp)
+    val bounds = docs.agg(min("doc_id"), max("doc_id")).collect()(0)
+    require(!bounds.isNullAt(0), "empty batch — nothing to append")
+    require(bounds.getLong(0) > maxDoc,
+      s"batch min doc_id ${bounds.getLong(0)} does not clear the stored " +
+        s"max $maxDoc — replayed or overlapping batch refused (duplicate " +
+        "position rows would double phrase counts silently)")
+    val target = fqn(db, PositionsTable)
+    withTokens(docs)
+      .select(col("doc_id"), posexplode(col("tokens")).as(Seq("p0", "w")))
+      .select(col("w"), col("doc_id"), (col("p0") + 1).as("pos"), bktCol)
+      .select(s.table(target).columns.map(col).toIndexedSeq: _*)
+      .write.mode("append").insertInto(target)
+    s.sql(s"ALTER TABLE $target SET TBLPROPERTIES " +
+      s"('$MaxDocProp' = '${bounds.getLong(1)}')")
+  }
+
+  /** Scheduled positional re-index (mirrors [[bm25RefreshEntry]]). */
+  def phraseRefreshEntry(id: String, cronExpr: String, db: String,
+                         docs: SparkSession => DataFrame)
+      : graft.pipeline.ScheduleRunner.Entry =
+    graft.pipeline.ScheduleRunner.Entry(id,
+      graft.pipeline.CronSchedule.parse(cronExpr),
+      (s, _) => buildPhraseIndex(docs(s), db),
+      name = "phrase_index_refresh", target = s"$db.$PositionsTable",
+      tags = Map("pipeline" -> "retrieval"))
+
   /** Retrieval-driven decontamination — the FUZZY complement of the n-gram
     * and embedding decontam legs: each eval-convention document
     * (doc_id % 100 = 7, the [[TextOps.decontaminateNgram]] seed) queries

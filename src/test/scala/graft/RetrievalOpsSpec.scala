@@ -154,6 +154,42 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("bkt"))
   }
 
+  test("phrase appends land bit-equal to a full rebuild; fence refuses; cron entries fire") {
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    for (db <- Seq("phrase_inc", "phrase_full"))
+      spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    RetrievalOps.buildPhraseIndex(docs.filter(col("doc_id") < 300), "phrase_inc")
+    RetrievalOps.appendToPhraseIndex(spark, "phrase_inc",
+      docs.filter(col("doc_id") >= 300))
+    RetrievalOps.buildPhraseIndex(docs, "phrase_full")
+    def dump(db: String) = spark.table(s"`$db`.`${RetrievalOps.PositionsTable}`")
+      .orderBy("w", "doc_id", "pos").collect().toSeq.map(_.toSeq)
+    assert(dump("phrase_inc") == dump("phrase_full"))
+    val e = intercept[IllegalArgumentException](
+      RetrievalOps.appendToPhraseIndex(spark, "phrase_inc",
+        docs.filter(col("doc_id") >= 300)))
+    assert(e.getMessage.contains("refused"))
+    // the retrieval + chunk cron rebuild entries fire and materialize
+    import java.time.LocalDateTime
+    import graft.pipeline.ScheduleRunner
+    for (db <- Seq("ret_cron_db", "cdc_cron_db"))
+      spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    val tt = LocalDateTime.parse("2026-01-01T00:00:00")
+    val fired = new ScheduleRunner(Seq(
+      RetrievalOps.phraseRefreshEntry("phrase-refresh", "0 4 * * *",
+        "ret_cron_db", s => Tables.t(s, sf, "documents")),
+      graft.ops.ChunkOps.chunkRebuildEntry("chunk-rebuild", "0 4 * * *",
+        "cdc_cron_db", s => Tables.t(s, sf, "documents"))),
+      startAt = tt).tick(spark, tt.plusHours(4))
+    assert(fired.toSet == Set("phrase-refresh", "chunk-rebuild"))
+    assert(spark.table(
+      s"ret_cron_db.${RetrievalOps.PositionsTable}").count() > 0)
+    assert(spark.table(
+      s"cdc_cron_db.${graft.ops.ChunkOps.ChunkIndexTable}").count() > 0)
+    for (db <- Seq("phrase_inc", "phrase_full", "ret_cron_db", "cdc_cron_db"))
+      spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
   test("serving plan: postings partition-pruned to term buckets, no corpus scan") {
     val db = "graft_bm25_spec_plan"
     RetrievalOps.buildBm25Index(
