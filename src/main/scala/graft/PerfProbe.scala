@@ -479,7 +479,7 @@ object PerfProbe {
         // per-row let-bound fold + one chunk-hash shuffle — linear
         "q_bm25_decontam", "q_domain_mix", "q_cdc_chunks",
         "q_cdc_dedup_rewrite", "q_cdc_rewrite_incremental",
-        "q_phrase_search")
+        "q_phrase_search", "q_hybrid_search")
       // SPARK_GRAFT_SCALE_ONLY=a,b,c re-probes a subset after a targeted fix
       // without paying the full sweep
       val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

@@ -151,6 +151,7 @@ object SparkEntry {
     "q_cdc_dedup_rewrite"   -> (ChunkOps.cdcDedupRewrite _),
     "q_cdc_rewrite_incremental" -> (ChunkOps.cdcRewriteIncrement _),
     "q_phrase_search"       -> (RetrievalOps.phraseSearch _),
+    "q_hybrid_search"       -> (RetrievalOps.hybridSearch _),
     "q_semantic_decontam"   -> ((s: SparkSession, d: String) => VectorOps.semanticDecontam(s, d)),
     "q_token_budget_select" -> ((s: SparkSession, d: String) => SamplingOps.tokenBudgetSelect(s, d)),
     "q_dedup_incremental"   -> (IncrementalDedup.dedupIncrement _),
@@ -2794,6 +2795,50 @@ object SparkEntry {
         |)
         |SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
         |FROM pa GROUP BY 1, 2 ORDER BY query_id, doc_id""".stripMargin,
+    // hybrid retrieval: RRF over the replayed BM25 ranks and the exact
+    // in-order cosine-fold ranks (the q_knn_cosine_topk shape) — only
+    // RANKS cross into the fused score, which is exact integer
+    "q_hybrid_search" -> (bm25Ctes("doc_id % 97 = 3", "") +
+      """
+        |, hnrm AS (
+        |    SELECT vec_id, embedding,
+        |           sqrt(list_reduce(
+        |             list_prepend(CAST(0.0 AS DOUBLE),
+        |               list_transform(embedding,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |             (a, b) -> a + b)) AS l2
+        |    FROM embeddings
+        |), hsem AS (
+        |    SELECT probe_id AS query_id, neighbor_id AS doc_id, rnk AS r_sem
+        |    FROM (
+        |        SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |                 (list_reduce(
+        |                   list_prepend(CAST(0.0 AS DOUBLE),
+        |                     list_transform(range(1, len(p.embedding) + 1),
+        |                       i -> CAST(p.embedding[i] AS DOUBLE)
+        |                            * CAST(c.embedding[i] AS DOUBLE))),
+        |                   (a, b) -> a + b) / (p.l2 * c.l2)) DESC,
+        |                 c.vec_id ASC) AS rnk
+        |        FROM hnrm p JOIN hnrm c ON p.vec_id % 97 = 3)
+        |    WHERE rnk <= 5
+        |), hfuse AS (
+        |    SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+        |           COALESCE(l.doc_id, s.doc_id) AS doc_id,
+        |           COALESCE(1000000 // (60 + l.rnk), 0)
+        |             + COALESCE(1000000 // (60 + s.r_sem), 0) AS rrf_fp
+        |    FROM (SELECT query_id, doc_id, rnk FROM rk WHERE rnk <= 5) l
+        |    FULL OUTER JOIN hsem s
+        |        ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+        |), hfrk AS (
+        |    SELECT query_id, doc_id, rrf_fp,
+        |           row_number() OVER (PARTITION BY query_id
+        |               ORDER BY rrf_fp DESC, doc_id ASC) AS rn
+        |    FROM hfuse
+        |)
+        |SELECT query_id, CAST(rn AS INTEGER) AS rnk, doc_id,
+        |       CAST(rrf_fp AS BIGINT) AS rrf_fp
+        |FROM hfrk WHERE rn <= 5 ORDER BY query_id, rnk""".stripMargin),
     // heavy-hitter trigrams: exact top-20 replayed declaratively; the CM
     // sketch contract (est ≥ exact, overshoot ≤ 8·total/width) is asserted
     // in-engine and surfaces as constant verdict columns — the

@@ -432,6 +432,63 @@ object RetrievalOps {
       name = "phrase_index_refresh", target = s"$db.$PositionsTable",
       tags = Map("pipeline" -> "retrieval"))
 
+  /** Reciprocal-rank-fusion constant (Cormack et al. 2009: 1/(60 + r))
+    * and its fixed-point scale — RRF consumes only RANKS, so the fused
+    * score is exact integer arithmetic both engines replay.
+    */
+  val RrfK = 60L
+  val RrfScale = 1000000L
+  val HybridTopK = 5
+
+  /** Hybrid retrieval — the modern two-stack search: the BM25 lexical
+    * top-k and the exact-cosine semantic top-k (the fixture's embeddings
+    * ride the parallel-identity convention vec_id = doc_id) fuse by
+    * reciprocal-rank fusion, candidates being the UNION of both legs.
+    * Probes without an embedding row keep their lexical leg alone (RRF's
+    * missing-leg semantics: absent rank contributes zero). Fusing on
+    * ranks rather than scores is what makes the gate exact: the cosine
+    * leg's doubles never cross an engine boundary, only its rank order
+    * does (the established q_knn_cosine_topk bit-compatibility).
+    *
+    * Scale shape: the lexical leg is the pruned-postings serve; the
+    * semantic leg broadcasts the bounded probe set against the streamed
+    * corpus (the knn shape — at 100 TB the IVF/PQ serving indexes replace
+    * the flat scan, same ranks in, same fusion out); the fusion itself
+    * joins two k-row-per-query frames.
+    */
+  def hybridSearch(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    buildBm25Index(t(s, d, "documents"), "graft_hybrid_q")
+    val lex = bm25TopKFromIndex(s, d, "graft_hybrid_q")
+      .select(col("query_id"), col("doc_id"), col("rnk").as("r_lex"))
+    val emb = t(s, d, "embeddings")
+    val probes = emb
+      .filter(pmod(col("vec_id"), lit(QueryModulus)) === QueryResidue)
+      .select(col("vec_id").as("query_id"), col("embedding").as("probe_vec"))
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      call_function("vec_dot", a, b)
+    val sw = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("doc_id").asc)
+    val sem = emb.select(col("vec_id").as("doc_id"), col("embedding"))
+      .crossJoin(broadcast(probes))
+      .withColumn("cosine", dot(col("probe_vec"), col("embedding"))
+        / (sqrt(dot(col("probe_vec"), col("probe_vec")))
+          * sqrt(dot(col("embedding"), col("embedding")))))
+      .withColumn("r_sem", row_number().over(sw))
+      .filter(col("r_sem") <= HybridTopK)
+      .select("query_id", "doc_id", "r_sem")
+    val fw = Window.partitionBy("query_id")
+      .orderBy(col("rrf_fp").desc, col("doc_id").asc)
+    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_fp",
+        coalesce(expr(s"$RrfScale div (${RrfK}L + r_lex)"), lit(0L))
+          + coalesce(expr(s"$RrfScale div (${RrfK}L + r_sem)"), lit(0L)))
+      .withColumn("rnk", row_number().over(fw))
+      .filter(col("rnk") <= HybridTopK)
+      .select("query_id", "rnk", "doc_id", "rrf_fp")
+      .orderBy("query_id", "rnk")
+  }
+
   /** Retrieval-driven decontamination — the FUZZY complement of the n-gram
     * and embedding decontam legs: each eval-convention document
     * (doc_id % 100 = 7, the [[TextOps.decontaminateNgram]] seed) queries

@@ -190,6 +190,34 @@ class RetrievalOpsSpec extends SparkSpec {
       spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
   }
 
+  test("hybrid RRF fusion: valid rank-derived scores, both legs present, deterministic") {
+    val out = RetrievalOps.hybridSearch(spark, sf).collect()
+    val nProbes = Tables.t(spark, sf, "documents")
+      .filter(col("doc_id") % 97 === 3).count()
+    assert(out.length == nProbes * RetrievalOps.HybridTopK)
+    // every fused score is a sum of one or two exact rank reciprocals
+    val legVals = (1 to RetrievalOps.HybridTopK)
+      .map(r => RetrievalOps.RrfScale / (RetrievalOps.RrfK + r)).toSet
+    val valid = legVals ++
+      (for (a <- legVals; b <- legVals) yield a + b)
+    out.foreach(r => assert(valid.contains(r.getAs[Long]("rrf_fp")),
+      s"rrf ${r.getAs[Long]("rrf_fp")} is not a rank-reciprocal sum"))
+    // at this fixture every probe has an embedding: its own doc carries
+    // the semantic self-rank and must surface in the fused top-k
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.exists(_.getAs[Long]("doc_id") == q),
+        s"query $q lost its own document from the fused top-k")
+    }
+    // the legs are independent signals (random fixture embeddings), so a
+    // given query's top-5s may be disjoint — but corpus-wide at least one
+    // candidate must fuse both legs (the self-retrieval doc typically does)
+    assert(out.exists(r => !legVals.contains(r.getAs[Long]("rrf_fp"))),
+      "no candidate anywhere fused both legs")
+    assert(out.toSeq.map(_.toSeq) ==
+      RetrievalOps.hybridSearch(spark, sf).collect().toSeq.map(_.toSeq))
+  }
+
   test("serving plan: postings partition-pruned to term buckets, no corpus scan") {
     val db = "graft_bm25_spec_plan"
     RetrievalOps.buildBm25Index(
