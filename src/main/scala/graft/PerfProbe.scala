@@ -479,7 +479,12 @@ object PerfProbe {
         // per-row let-bound fold + one chunk-hash shuffle — linear
         "q_bm25_decontam", "q_domain_mix", "q_cdc_chunks",
         "q_cdc_dedup_rewrite", "q_cdc_rewrite_incremental",
-        "q_phrase_search", "q_hybrid_search")
+        "q_phrase_search")
+      // q_hybrid_search is deliberately absent for the q_contamination
+      // reason: its semantic leg is probe-set x corpus and BOTH grow with
+      // K here, so the ratio would measure the quadratic workload growth,
+      // not the engine (production replaces the flat leg with the IVF/PQ
+      // serving indexes)
       // SPARK_GRAFT_SCALE_ONLY=a,b,c re-probes a subset after a targeted fix
       // without paying the full sweep
       val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
