@@ -479,7 +479,7 @@ object PerfProbe {
         // per-row let-bound fold + one chunk-hash shuffle — linear
         "q_bm25_decontam", "q_domain_mix", "q_cdc_chunks",
         "q_cdc_dedup_rewrite", "q_cdc_rewrite_incremental",
-        "q_phrase_search")
+        "q_phrase_search", "q_approx_percentile")
       // q_hybrid_search is deliberately absent for the q_contamination
       // reason: its semantic leg is probe-set x corpus and BOTH grow with
       // K here, so the ratio would measure the quadratic workload growth,

@@ -85,7 +85,7 @@ object PlanAudit {
       // the duplicate set + doc-keyed aggs — the exact-dedup shape at
       // chunk granularity, no positional self-join
       "q_cdc_chunks", "q_cdc_dedup_rewrite", "q_cdc_rewrite_incremental",
-      "q_phrase_search", "q_hybrid_search")
+      "q_phrase_search", "q_hybrid_search", "q_approx_percentile")
     // q_corpus_pipeline is deliberately NOT audited here: its query-form
     // plan is a trivial read over the staged tables (auditing it would
     // execute the whole 5-stage materialization for nothing — against

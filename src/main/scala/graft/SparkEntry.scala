@@ -145,6 +145,7 @@ object SparkEntry {
     "q_bm25_topk"           -> (RetrievalOps.bm25TopK _),
     "q_domain_classify"     -> (DomainOps.domainClassify _),
     "q_heavy_ngrams"        -> (SketchOps.heavyNgramsSketch _),
+    "q_approx_percentile"   -> (SketchOps.approxPercentile _),
     "q_bm25_decontam"       -> (RetrievalOps.bm25Decontam _),
     "q_domain_mix"          -> (DomainOps.domainMixTemperature _),
     "q_cdc_chunks"          -> (ChunkOps.cdcChunkStats _),
@@ -2862,5 +2863,31 @@ object SparkEntry {
         |       CAST(1 AS INTEGER) AS ge_exact,
         |       CAST(1 AS INTEGER) AS within_bound
         |FROM ht WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    // approximate-quantile sketch: exact discrete percentiles replayed
+    // via the cum/frequency arithmetic; the rank-space verdicts are
+    // asserted in-engine and surface as constant columns
+    "q_approx_percentile" ->
+      """WITH apl AS (
+        |    SELECT l_returnflag,
+        |           CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |    FROM lineitem
+        |), apg AS (
+        |    SELECT l_returnflag, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+        |    FROM apl GROUP BY 1, 2
+        |), apc AS (
+        |    SELECT l_returnflag, cents,
+        |           SUM(cnt) OVER (PARTITION BY l_returnflag
+        |               ORDER BY cents) AS cum,
+        |           SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+        |    FROM apg
+        |)
+        |SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n_items,
+        |       CAST(MIN(CASE WHEN cum > (n - 1) * 5 // 10
+        |                     THEN cents END) AS BIGINT) AS p50_disc,
+        |       CAST(MIN(CASE WHEN cum > (n - 1) * 9 // 10
+        |                     THEN cents END) AS BIGINT) AS p90_disc,
+        |       CAST(1 AS INTEGER) AS p50_within,
+        |       CAST(1 AS INTEGER) AS p90_within
+        |FROM apc GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

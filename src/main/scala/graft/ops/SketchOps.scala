@@ -77,6 +77,58 @@ object SketchOps {
       .join(sketch, Seq("r", "bucket"))
       .groupBy("g").agg(min("bsum").as("est"))
 
+  /** Approximate-quantile sketch gate — completes the mergeable-sketch
+    * quartet (HLL cardinality, bloom membership, count-min frequency,
+    * quantiles): Spark's `percentile_approx` (a KLL-family rank sketch,
+    * mergeable across partitions/shards by construction) is checked
+    * against the EXACT discrete percentile derived by the
+    * [[Relational.percentileByStatus]] cum/frequency arithmetic, with the
+    * verdict expressed in RANK space — the sketch's actual guarantee
+    * (value-space error is data-dependent; rank error is bounded by the
+    * accuracy parameter). est's rank must land within max(n/100, 2) of
+    * the target rank at accuracy 10⁴ (guarantee: n/10⁴) — the
+    * q_approx_distinct tolerance-gate posture.
+    */
+  val PctAccuracy = 10000
+  def approxPercentile(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, d, "lineitem")
+      .withColumn("cents",
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+    val freq = li.groupBy("l_returnflag", "cents")
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("l_returnflag").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pc = freq
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("l_returnflag")))
+    val exact = pc.groupBy("l_returnflag").agg(
+      max("n").as("n_items"),
+      min(when(col("cum") > expr("(n - 1) * 5 div 10"), col("cents")))
+        .as("p50_disc"),
+      min(when(col("cum") > expr("(n - 1) * 9 div 10"), col("cents")))
+        .as("p90_disc"))
+    val approx = li.groupBy("l_returnflag")
+      .agg(expr(s"percentile_approx(cents, array(0.5D, 0.9D), $PctAccuracy)")
+        .as("ap"))
+      .select(col("l_returnflag"), col("ap")(0).as("a50"),
+        col("ap")(1).as("a90"))
+    val ranks = approx
+      .join(pc.select("l_returnflag", "cents", "cum"), Seq("l_returnflag"))
+      .groupBy("l_returnflag", "a50", "a90")
+      .agg(max(when(col("cents") <= col("a50"), col("cum"))).as("cum50"),
+        max(when(col("cents") <= col("a90"), col("cum"))).as("cum90"))
+    exact.join(ranks, Seq("l_returnflag"))
+      .withColumn("tol", greatest(expr("n_items div 100"), lit(2L)))
+      .select(col("l_returnflag"), col("n_items"), col("p50_disc"),
+        col("p90_disc"),
+        (abs(col("cum50") - (expr("(n_items - 1) * 5 div 10") + 1))
+          <= col("tol")).cast("int").as("p50_within"),
+        (abs(col("cum90") - (expr("(n_items - 1) * 9 div 10") + 1))
+          <= col("tol")).cast("int").as("p90_within"))
+      .orderBy("l_returnflag")
+  }
+
   /** Registry gate: exact top-k trigrams + the sketch contract verdicts. */
   def heavyNgramsSketch(s: SparkSession, d: String): DataFrame = {
     val counts = gramsOf(t(s, d, "documents"))

@@ -65,6 +65,23 @@ class SketchOpsSpec extends SparkSpec {
       SketchOps.sketchOf(emptyCounts)).isEmpty)
   }
 
+  test("approx-percentile verdicts hold and exact disc percentiles are true ranks") {
+    val rows = SketchOps.approxPercentile(spark, sf).collect()
+    assert(rows.length == 3) // A/N/R return flags
+    rows.foreach { r =>
+      assert(r.getAs[Int]("p50_within") == 1 && r.getAs[Int]("p90_within") == 1)
+      assert(r.getAs[Long]("p50_disc") <= r.getAs[Long]("p90_disc"))
+    }
+    // cross-check one exact percentile against a brute-force sort
+    val vals = Tables.t(spark, sf, "lineitem")
+      .filter(col("l_returnflag") === "A")
+      .selectExpr("CAST(round(l_extendedprice * 100) AS BIGINT) AS c")
+      .orderBy("c").collect().map(_.getLong(0))
+    val expect50 = vals((vals.length - 1) * 5 / 10)
+    val gotA = rows.find(_.getString(0) == "A").get
+    assert(gotA.getAs[Long]("p50_disc") == expect50)
+  }
+
   test("gate verdicts hold and the top-k is a TakeOrderedAndProject, not a full-vocab window") {
     val df = SketchOps.heavyNgramsSketch(spark, sf)
     val rows = df.collect()
