@@ -138,6 +138,13 @@ object RetrievalOps {
       .write.mode("append").insertInto(target)
   }
 
+  /** (doc_id, dl) of a batch — the cheap content digest the streaming
+    * ingest compares against stored rows for overlap proofs.
+    */
+  private[graft] def doclenOf(docs: DataFrame): DataFrame =
+    withTokens(docs)
+      .select(col("doc_id"), size(col("tokens")).cast("long").as("dl"))
+
   private[graft] def appendDocLenRows(s: SparkSession, db: String,
                                       docs: DataFrame): Unit =
     withTokens(docs)

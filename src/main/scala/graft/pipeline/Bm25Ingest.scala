@@ -84,7 +84,24 @@ object Bm25Ingest {
       val postingsT = fqn(db, RetrievalOps.PostingsTable)
       val doclenT = fqn(db, RetrievalOps.DocLenTable)
 
+      // content proof for absorbed overlaps: rows the anti-joins drop are
+      // only legitimate as REDELIVERIES of identical content. An
+      // overlapping-but-different batch (misconfigured source) would
+      // otherwise silently lose its text to the first writer — compare
+      // the cheap per-doc token count against the stored doclen and
+      // refuse loudly on any mismatch (the cluster-sink content-proof
+      // posture; doclen equality is necessary for content equality and
+      // costs one range-pruned join).
       CorpusPipeline.renewLease(s, db, lease)
+      val mismatched = RetrievalOps.doclenOf(b)
+        .join(s.table(fqn(db, RetrievalOps.DocLenTable))
+          .filter(col("doc_id").between(lo, hi))
+          .withColumnRenamed("dl", "dl_stored"), Seq("doc_id"))
+        .filter(col("dl") =!= col("dl_stored")).count()
+      require(mismatched == 0L,
+        s"bm25IngestBatch: $mismatched overlapping doc_ids carry DIFFERENT " +
+          "content than the rows already ingested — not a redelivery; " +
+          "refusing loudly instead of silently keeping the old text")
       RetrievalOps.appendPostingsRows(s, db,
         freshDocs(s, postingsT, b, lo, hi))
       if (failAfter.contains(RetrievalOps.PostingsTable))

@@ -66,9 +66,22 @@ object CdcIngest {
       if (!s.catalog.tableExists(s"$db.$OutputTable"))
         graft.store.Warehouse.saveModel(cleaned, db, OutputTable)
       else {
-        val existing = s.table(outFq)
-          .filter(col("doc_id").between(lo, hi)).select("doc_id").distinct()
-        cleaned.join(existing, Seq("doc_id"), "left_anti")
+        // content proof for absorbed overlaps: a row the anti-join drops
+        // must be a REDELIVERY. The rewritten text itself is poisoned on
+        // redelivery (the index then holds the batch's own chunks), so
+        // compare the index-INDEPENDENT raw chunk count instead — equal
+        // for identical text, a loud refusal for an overlapping-but-
+        // different batch that would otherwise silently keep old rows.
+        val stored = s.table(outFq)
+          .filter(col("doc_id").between(lo, hi))
+          .select(col("doc_id"), col("n_chunks").as("n_stored"))
+        val mismatched = cleaned.join(stored, Seq("doc_id"))
+          .filter(col("n_chunks") =!= col("n_stored")).count()
+        require(mismatched == 0L,
+          s"cdcIngestBatch: $mismatched overlapping doc_ids carry " +
+            "DIFFERENT content than the rows already ingested — not a " +
+            "redelivery; refusing loudly")
+        cleaned.join(stored.select("doc_id"), Seq("doc_id"), "left_anti")
           .select(s.table(outFq).columns.map(col).toIndexedSeq: _*)
           .write.mode("append").insertInto(outFq)
       }

@@ -722,6 +722,14 @@ class StreamingSpec extends SparkSpec {
       .collect().toSeq.map(_.toSeq) ==
       RetrievalOps.bm25TopKFromIndex(spark, sf, "bm25_stream_full2")
         .collect().toSeq.map(_.toSeq))
+    // an overlapping id with DIFFERENT content (past the fence via a
+    // fresh higher id) is NOT a redelivery — the content proof refuses
+    val rogue = Seq((9001L, "utterly different words now appear here"),
+      (9050L, "fresh doc")).toDF("doc_id", "text")
+    val e3 = intercept[IllegalArgumentException] {
+      Bm25Ingest.bm25IngestBatch(spark, "bm25Stream", rogue, db, epochId = 3L)
+    }
+    assert(e3.getMessage.contains("DIFFERENT content"))
     for (d <- Seq(db, "bm25_stream_full", "bm25_stream_full2"))
       spark.sql(s"DROP DATABASE IF EXISTS `$d` CASCADE")
   }
@@ -793,6 +801,14 @@ class StreamingSpec extends SparkSpec {
       dfOf(Seq((9500L, "wholly novel content here"))), spark, db).head
     assert(again.getLong(2) == again.getLong(1),
       "post-fold repeat of a streamed doc must excise every chunk")
+    // overlapping id + DIFFERENT content past the fence: the index-
+    // independent chunk-count proof refuses loudly
+    val e2 = intercept[IllegalArgumentException] {
+      CdcIngest.cdcIngestBatch(spark, "cdcStream", dfOf(Seq(
+        (9001L, "a very much longer replacement text with many more chunks than before " * 3),
+        (9600L, "another fresh doc"))), db, epochId = 3L)
+    }
+    assert(e2.getMessage.contains("DIFFERENT content"))
     for (d <- Seq(db, ref)) spark.sql(s"DROP DATABASE IF EXISTS `$d` CASCADE")
   }
 }
