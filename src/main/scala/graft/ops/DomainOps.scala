@@ -59,10 +59,29 @@ object DomainOps {
       "buildDomainClassifier: empty corpus — a model with zero classes " +
         "would silently predict nothing for every document; refusing " +
         "loudly instead")
+    // a REBUILD over a delta-grown model must advance the generation:
+    // the fresh base subsumes the streamed docs, so the old generation's
+    // delta tables would double-count if they stayed current. The bump is
+    // two catalog writes after the base lands (the documented
+    // non-atomic-but-recoverable class); old-generation deltas are
+    // dropped opportunistically.
+    import graft.pipeline.DeltaModelIngest
+    val prevGen =
+      if (s.catalog.tableExists(s"$db.$DcCountsTable"))
+        DeltaModelIngest.generation(s, dcFamily(db))
+      else -1L
     val counts = withTokens(docs)
       .select(col("source").as("c"), explode(col("tokens")).as("w"))
       .groupBy("c", "w").agg(count(lit(1)).as("cnt"))
     graft.store.Warehouse.saveModel(counts, db, DcCountsTable)
+    if (prevGen >= 0) {
+      s.sql(s"ALTER TABLE ${fqn(db, DcCountsTable)} SET TBLPROPERTIES " +
+        s"('${DeltaModelIngest.GenProp}' = '${prevGen + 1}')")
+      s.catalog.listTables(db).collect().filter(!_.isTemporary).map(_.name)
+        .filter(n => (0L to prevGen)
+          .exists(g => n.startsWith(s"${DcCountsTable}_dl_g${g}_")))
+        .foreach(n => s.sql(s"DROP TABLE IF EXISTS `$db`.`$n`"))
+    }
     val stored = s.table(fqn(db, DcCountsTable))
     graft.store.Warehouse.saveModel(
       stored.groupBy("c").agg(sum("cnt").as("t_c")), db, DcTotalsTable)
@@ -75,16 +94,54 @@ object DomainOps {
     * table (broadcast), counts off the vocab×K table, V off the 1-row
     * meta table.
     */
+  /** The classifier's delta-model descriptor (exactly-once streaming
+    * growth — [[graft.pipeline.DeltaModelIngest]]).
+    */
+  def dcFamily(db: String): graft.pipeline.DeltaModelIngest.Family =
+    graft.pipeline.DeltaModelIngest.Family(db, DcCountsTable,
+      Seq("c", "w"), Seq("cnt"))
+
+  /** Pre-aggregated (c, w, cnt) counts of a labeled batch — what the
+    * delta ingest folds in.
+    */
+  def batchCounts(docs: DataFrame): DataFrame =
+    withTokens(docs)
+      .select(col("source").as("c"), explode(col("tokens")).as("w"))
+      .groupBy("c", "w").agg(count(lit(1)).as("cnt"))
+
+  /** foreachBatch adapter: exactly-once count growth via the delta-table
+    * fold (a redelivered batch overwrites its own delta — no crash
+    * window can double a count, unlike [[appendToDomainClassifier]]'s
+    * additive rewrite, which keeps its do-not-replay contract for the
+    * batch path).
+    */
+  def dcDeltaSink(srcTag: String, db: String): (DataFrame, Long) => Unit =
+    (batch, epochId) =>
+      graft.pipeline.DeltaModelIngest.append(batch.sparkSession,
+        dcFamily(db), srcTag, epochId, batchCounts(batch))
+
   private[graft] def scoreAgainst(docs: DataFrame, s: SparkSession,
                                   db: String): DataFrame = {
     graft.store.Warehouse.refreshDb(s, db) // cross-session append visibility
     val rw = Window.partitionBy("doc_id")
       .orderBy(col("dc_score").desc, col("c").asc)
+    // delta-grown models serve the MERGED count view with totals/vocab
+    // derived from it (the stored 1-row tables are stale the moment a
+    // delta lands); delta-free models keep the static stored-table plan
+    import graft.pipeline.DeltaModelIngest
+    val fam = dcFamily(db)
+    val (counts, totals, meta) =
+      if (DeltaModelIngest.hasDeltas(s, fam)) {
+        val eff = DeltaModelIngest.effectiveCounts(s, fam)
+        (eff, eff.groupBy("c").agg(sum("cnt").as("t_c")),
+          eff.agg(count_distinct(col("w")).as("v")))
+      } else (s.table(fqn(db, DcCountsTable)),
+        s.table(fqn(db, DcTotalsTable)), s.table(fqn(db, DcMetaTable)))
     withTokens(docs)
       .select(col("doc_id"), col("source"), explode(col("tokens")).as("w"))
-      .crossJoin(broadcast(s.table(fqn(db, DcTotalsTable))))
-      .join(s.table(fqn(db, DcCountsTable)), Seq("c", "w"), "left")
-      .crossJoin(broadcast(s.table(fqn(db, DcMetaTable))))
+      .crossJoin(broadcast(totals))
+      .join(counts, Seq("c", "w"), "left")
+      .crossJoin(broadcast(meta))
       .withColumn("rate", expr(
         s"(${DcScale}L * (coalesce(cnt, 0L) + 1L)) div (t_c + v)"))
       .groupBy("doc_id", "source", "c")

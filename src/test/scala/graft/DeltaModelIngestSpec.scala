@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.DomainOps
+import graft.pipeline.DeltaModelIngest
+
+/** Exactly-once additive model growth (the LSM delta fold): every crash
+  * window re-delivered lands on the union-retrain counts bit-for-bit —
+  * including mid-append (delta written, ledger not), mid-compaction
+  * (combined written + stamped, pointer not switched), and a rebuild over
+  * a delta-grown model (generation bump).
+  */
+class DeltaModelIngestSpec extends SparkSpec {
+
+  private val db = "dc_delta_spec"
+  private def fam = DomainOps.dcFamily(db)
+
+  private def docs = Tables.t(spark, sf, "documents")
+  private def slice(lo: Long, hi: Long): DataFrame =
+    docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+
+  private def effective(): Seq[(String, String, Long)] =
+    DeltaModelIngest.effectiveCounts(spark, fam)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  private def retrain(hi: Long): Seq[(String, String, Long)] = {
+    spark.sql("DROP DATABASE IF EXISTS `dc_delta_ref` CASCADE")
+    DomainOps.buildDomainClassifier(slice(0, hi), "dc_delta_ref")
+    spark.table(s"dc_delta_ref.${DomainOps.DcCountsTable}")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+  }
+
+  test("delta folds are exact through replays, crashes, compaction and rebuild") {
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    DomainOps.buildDomainClassifier(slice(0, 200), db)
+
+    // two batches land; the merged view equals the union retrain
+    DeltaModelIngest.append(spark, fam, "s1", 0L,
+      DomainOps.batchCounts(slice(200, 300)))
+    DeltaModelIngest.append(spark, fam, "s1", 1L,
+      DomainOps.batchCounts(slice(300, 380)))
+    assert(effective() == retrain(380))
+
+    // committed-epoch replay: pure no-op
+    DeltaModelIngest.append(spark, fam, "s1", 1L,
+      DomainOps.batchCounts(slice(300, 380)))
+    assert(effective() == retrain(380))
+
+    // mid-append crash (delta written, ledger not) then redelivery:
+    // the overwrite lands identical bytes — still exact
+    intercept[RuntimeException] {
+      DeltaModelIngest.append(spark, fam, "s1", 2L,
+        DomainOps.batchCounts(slice(380, 430)), failBeforeLedger = true)
+    }
+    assert(effective() == retrain(430), "crashed delta must already count once")
+    DeltaModelIngest.append(spark, fam, "s1", 2L,
+      DomainOps.batchCounts(slice(380, 430)))
+    assert(effective() == retrain(430))
+
+    // a second source's epochs are independent
+    DeltaModelIngest.append(spark, fam, "s2", 0L,
+      DomainOps.batchCounts(slice(430, 460)))
+    assert(effective() == retrain(460))
+
+    // mid-compaction crash: combined written + covers stamped, pointer
+    // NOT switched — the old rule still serves exactly
+    intercept[RuntimeException] {
+      DeltaModelIngest.compact(spark, fam, failBeforeSwitch = true)
+    }
+    assert(effective() == retrain(460),
+      "orphan combined leaked into the serve view")
+    // the retried compaction folds everything; serving unchanged
+    DeltaModelIngest.compact(spark, fam)
+    assert(effective() == retrain(460))
+    // plains and orphans are gone; exactly one live combined remains
+    val names = spark.catalog.listTables(db).collect()
+      .filter(!_.isTemporary).map(_.name)
+      .filter(_.startsWith(s"${DomainOps.DcCountsTable}_dl_"))
+    assert(names.length == 1 && names.head.contains("_c"),
+      s"expected one combined, found ${names.toSeq}")
+
+    // growth continues after compaction; the merged view stays exact
+    DeltaModelIngest.append(spark, fam, "s1", 3L,
+      DomainOps.batchCounts(slice(460, 490)))
+    assert(effective() == retrain(490))
+
+    // serving parity: the delta-grown model predicts exactly like the
+    // union retrain
+    val grown = DomainOps.domainClassifyFromModel(spark, sf, db)
+    spark.sql("DROP DATABASE IF EXISTS `dc_delta_ref2` CASCADE")
+    DomainOps.buildDomainClassifier(slice(0, 490), "dc_delta_ref2")
+    assert(grown.collect().toSeq.map(_.toSeq) ==
+      DomainOps.domainClassifyFromModel(spark, sf, "dc_delta_ref2")
+        .collect().toSeq.map(_.toSeq))
+
+    // REBUILD over the delta-grown model: generation bumps, old deltas
+    // die, the fresh base serves alone
+    DomainOps.buildDomainClassifier(slice(0, 490), db)
+    assert(DeltaModelIngest.generation(spark, fam) == 1L)
+    assert(!DeltaModelIngest.hasDeltas(spark, fam),
+      "old-generation deltas survived the rebuild")
+    assert(effective() == retrain(490))
+    // and new-generation deltas fold against the new base
+    DeltaModelIngest.append(spark, fam, "s1", 4L,
+      DomainOps.batchCounts(slice(490, 500)))
+    assert(effective() == retrain(500))
+    for (d <- Seq(db, "dc_delta_ref", "dc_delta_ref2"))
+      spark.sql(s"DROP DATABASE IF EXISTS `$d` CASCADE")
+  }
+}

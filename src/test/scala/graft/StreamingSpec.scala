@@ -811,4 +811,42 @@ class StreamingSpec extends SparkSpec {
     assert(e2.getMessage.contains("DIFFERENT content"))
     for (d <- Seq(db, ref)) spark.sql(s"DROP DATABASE IF EXISTS `$d` CASCADE")
   }
+  test("streaming domain-classifier delta growth: exactly-once through a real stream") {
+    implicit val sq = spark.sqlContext
+    import graft.ops.DomainOps
+    import graft.pipeline.DeltaModelIngest
+    val db = "dc_stream_db"
+    for (d <- Seq(db, "dc_stream_ref"))
+      spark.sql(s"DROP DATABASE IF EXISTS `$d` CASCADE")
+    val docs = Tables.t(spark, sf, "documents")
+      .select("doc_id", "text", "source")
+    DomainOps.buildDomainClassifier(docs.filter(col("doc_id") < 300), db)
+    val rest = docs.filter(col("doc_id") >= 300)
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+    val mem = MemoryStream[(Long, String, String)]
+    val q = mem.toDF().toDF("doc_id", "text", "source").writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch(DomainOps.dcDeltaSink("dcStream", db))
+      .start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    DomainOps.buildDomainClassifier(docs, "dc_stream_ref")
+    def counts(d: String, eff: Boolean) = (
+      if (eff) DeltaModelIngest.effectiveCounts(spark, DomainOps.dcFamily(d))
+      else spark.table(s"$d.${DomainOps.DcCountsTable}"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(counts(db, eff = true) == counts("dc_stream_ref", eff = false),
+      "streamed delta counts diverged from the union retrain")
+    // and the served predictions match a fresh full model exactly
+    assert(DomainOps.domainClassifyFromModel(spark, sf, db)
+      .collect().toSeq.map(_.toSeq) ==
+      DomainOps.domainClassifyFromModel(spark, sf, "dc_stream_ref")
+        .collect().toSeq.map(_.toSeq))
+    for (d <- Seq(db, "dc_stream_ref"))
+      spark.sql(s"DROP DATABASE IF EXISTS `$d` CASCADE")
+  }
 }
