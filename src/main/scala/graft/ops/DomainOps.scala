@@ -66,22 +66,12 @@ object DomainOps {
     // non-atomic-but-recoverable class); old-generation deltas are
     // dropped opportunistically.
     import graft.pipeline.DeltaModelIngest
-    val prevGen =
-      if (s.catalog.tableExists(s"$db.$DcCountsTable"))
-        DeltaModelIngest.generation(s, dcFamily(db))
-      else -1L
+    val prevGen = DeltaModelIngest.prepareRebuild(s, dcFamily(db))
     val counts = withTokens(docs)
       .select(col("source").as("c"), explode(col("tokens")).as("w"))
       .groupBy("c", "w").agg(count(lit(1)).as("cnt"))
     graft.store.Warehouse.saveModel(counts, db, DcCountsTable)
-    if (prevGen >= 0) {
-      s.sql(s"ALTER TABLE ${fqn(db, DcCountsTable)} SET TBLPROPERTIES " +
-        s"('${DeltaModelIngest.GenProp}' = '${prevGen + 1}')")
-      s.catalog.listTables(db).collect().filter(!_.isTemporary).map(_.name)
-        .filter(n => (0L to prevGen)
-          .exists(g => n.startsWith(s"${DcCountsTable}_dl_g${g}_")))
-        .foreach(n => s.sql(s"DROP TABLE IF EXISTS `$db`.`$n`"))
-    }
+    DeltaModelIngest.finishRebuild(s, dcFamily(db), prevGen)
     val stored = s.table(fqn(db, DcCountsTable))
     graft.store.Warehouse.saveModel(
       stored.groupBy("c").agg(sum("cnt").as("t_c")), db, DcTotalsTable)
@@ -89,11 +79,6 @@ object DomainOps {
       stored.agg(count_distinct(col("w")).as("v")), db, DcMetaTable)
   }
 
-  /** Score a documents frame against the STORED model: no training
-    * aggregation in the query path — classes come off the K-row totals
-    * table (broadcast), counts off the vocab×K table, V off the 1-row
-    * meta table.
-    */
   /** The classifier's delta-model descriptor (exactly-once streaming
     * growth — [[graft.pipeline.DeltaModelIngest]]).
     */
@@ -120,6 +105,11 @@ object DomainOps {
       graft.pipeline.DeltaModelIngest.append(batch.sparkSession,
         dcFamily(db), srcTag, epochId, batchCounts(batch))
 
+  /** Score a documents frame against the STORED model: no training
+    * aggregation in the query path — classes come off the K-row totals
+    * table (broadcast), counts off the vocab×K table, V off the 1-row
+    * meta table (or their delta-merged equivalents, below).
+    */
   private[graft] def scoreAgainst(docs: DataFrame, s: SparkSession,
                                   db: String): DataFrame = {
     graft.store.Warehouse.refreshDb(s, db) // cross-session append visibility

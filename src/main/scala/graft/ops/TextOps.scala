@@ -744,14 +744,53 @@ object TextOps {
     * tables; any later session scores documents from storage without
     * re-aggregating the training corpus ([[perplexityFilterFromModel]]).
     */
+  /** Delta-model descriptors for exactly-once streaming growth
+    * ([[graft.pipeline.DeltaModelIngest]]): the LM carries TWO families —
+    * the bigram counts and the vocabulary SET (empty sumCols =
+    * union-distinct merge) — because the smoothing constant V must grow
+    * with the batches for the merged view to equal a union retrain.
+    */
+  def lmCountsFamily(db: String): graft.pipeline.DeltaModelIngest.Family =
+    graft.pipeline.DeltaModelIngest.Family(db, LmCountsTable,
+      Seq("prev", "w"), Seq("c2"))
+  def lmVocabFamily(db: String): graft.pipeline.DeltaModelIngest.Family =
+    graft.pipeline.DeltaModelIngest.Family(db, LmVocabTable,
+      Seq("w"), Seq.empty)
+
+  def lmBatchCounts(docs: DataFrame): DataFrame =
+    lmTransitions(withTokens(docs))
+      .groupBy("prev", "w").agg(count(lit(1)).as("c2"))
+  def lmBatchVocab(docs: DataFrame): DataFrame =
+    withTokens(docs).select(explode(col("tokens")).as("w")).distinct()
+
+  /** foreachBatch adapter: exactly-once LM growth — counts AND vocab
+    * fold as (source, epoch)-named overwrite deltas; a partial crash
+    * redelivers both (each overwrite lands identical bytes). The stored
+    * threshold stays frozen until the cron rebuild, as documented on
+    * [[appendToLmModel]].
+    */
+  def lmDeltaSink(srcTag: String, db: String): (DataFrame, Long) => Unit =
+    (batch, epochId) => {
+      val s = batch.sparkSession
+      graft.pipeline.DeltaModelIngest.append(s, lmCountsFamily(db), srcTag,
+        epochId, lmBatchCounts(batch))
+      graft.pipeline.DeltaModelIngest.append(s, lmVocabFamily(db), srcTag,
+        epochId, lmBatchVocab(batch))
+    }
+
   def buildLmModel(docs: DataFrame, db: String): Unit = {
     val s = docs.sparkSession
+    import graft.pipeline.DeltaModelIngest
+    val prevGenC = DeltaModelIngest.prepareRebuild(s, lmCountsFamily(db))
+    val prevGenV = DeltaModelIngest.prepareRebuild(s, lmVocabFamily(db))
     val docsT = withTokens(docs)
     val vocabDf = docsT.select(explode(col("tokens")).as("w")).distinct()
     graft.store.Warehouse.saveModel(vocabDf, db, LmVocabTable)
     val pw = lmTransitions(docsT)
     val c2 = pw.groupBy("prev", "w").agg(count(lit(1)).as("c2"))
     graft.store.Warehouse.saveModel(c2, db, LmCountsTable)
+    DeltaModelIngest.finishRebuild(s, lmCountsFamily(db), prevGenC)
+    DeltaModelIngest.finishRebuild(s, lmVocabFamily(db), prevGenV)
     // the stored threshold = the TRAINING corpus's mean (as Σ and n, so
     // the serve-side keep rule stays an integer cross-multiplication)
     val stored = s.table(s"`$db`.`$LmCountsTable`")
@@ -781,9 +820,18 @@ object TextOps {
     val s = docs.sparkSession
     graft.store.Warehouse.refreshDb(s, db) // cross-session append visibility
     val pw = lmTransitions(withTokens(docs))
-    val c2 = s.table(s"`$db`.`$LmCountsTable`")
+    // delta-grown models serve the merged count/vocab views
+    // (DeltaModelIngest); delta-free models keep the static tables
+    import graft.pipeline.DeltaModelIngest
+    val c2 =
+      if (DeltaModelIngest.hasDeltas(s, lmCountsFamily(db)))
+        DeltaModelIngest.effectiveCounts(s, lmCountsFamily(db))
+      else s.table(s"`$db`.`$LmCountsTable`")
     val c1 = c2.groupBy("prev").agg(sum("c2").as("c1"))
-    val vocab = s.table(s"`$db`.`$LmVocabTable`").count()
+    val vocab =
+      (if (DeltaModelIngest.hasDeltas(s, lmVocabFamily(db)))
+        DeltaModelIngest.effectiveCounts(s, lmVocabFamily(db))
+      else s.table(s"`$db`.`$LmVocabTable`")).count()
     val thr = s.table(s"`$db`.`$LmThresholdTable`")
     lmScore(pw, c2, c1, vocab)
       .crossJoin(broadcast(thr))
@@ -863,8 +911,31 @@ object TextOps {
     * and a 1-row totals table; the threshold is (Σ, n). Mirrors the LM
     * family exactly.
     */
+  /** The quality classifier's delta-model descriptor + batch counts
+    * ([[graft.pipeline.DeltaModelIngest]] — exactly-once streaming
+    * growth; the stored threshold stays frozen until the cron rebuild,
+    * the [[appendToQualityClassifier]] contract).
+    */
+  def qcFamily(db: String): graft.pipeline.DeltaModelIngest.Family =
+    graft.pipeline.DeltaModelIngest.Family(db, QcTokenTable,
+      Seq("w"), Seq("c_pos", "c_neg"))
+
+  def qcBatchCounts(docs: DataFrame): DataFrame =
+    withTokens(docs)
+      .withColumn("pos", (col("doc_id") % 100 === 7).cast("long"))
+      .select(col("pos"), explode(col("tokens")).as("w"))
+      .groupBy("w")
+      .agg(sum("pos").as("c_pos"), sum(lit(1L) - col("pos")).as("c_neg"))
+
+  def qcDeltaSink(srcTag: String, db: String): (DataFrame, Long) => Unit =
+    (batch, epochId) =>
+      graft.pipeline.DeltaModelIngest.append(batch.sparkSession,
+        qcFamily(db), srcTag, epochId, qcBatchCounts(batch))
+
   def buildQualityClassifier(docs: DataFrame, db: String): Unit = {
     val s = docs.sparkSession
+    import graft.pipeline.DeltaModelIngest
+    val prevGen = DeltaModelIngest.prepareRebuild(s, qcFamily(db))
     val docsT = withTokens(docs)
       .withColumn("pos", (col("doc_id") % 100 === 7).cast("long"))
     val counts = docsT
@@ -872,6 +943,7 @@ object TextOps {
       .groupBy("w")
       .agg(sum("pos").as("c_pos"), sum(lit(1L) - col("pos")).as("c_neg"))
     graft.store.Warehouse.saveModel(counts, db, QcTokenTable)
+    DeltaModelIngest.finishRebuild(s, qcFamily(db), prevGen)
     val stored = s.table(s"`$db`.`$QcTokenTable`")
     graft.store.Warehouse.saveModel(
       stored.agg(sum("c_pos").as("t_pos"), sum("c_neg").as("t_neg"),
@@ -910,8 +982,17 @@ object TextOps {
     val s = docs.sparkSession
     graft.store.Warehouse.refreshDb(s, db) // cross-session append visibility
     val thr = s.table(s"`$db`.`$QcThresholdTable`")
-    qcScore(withTokens(docs),
-      s.table(s"`$db`.`$QcTokenTable`"), s.table(s"`$db`.`$QcTotalsTable`"))
+    // delta-grown models serve the merged counts with totals derived
+    // from them; delta-free models keep the static stored tables
+    import graft.pipeline.DeltaModelIngest
+    val (qcnt, qtot) =
+      if (DeltaModelIngest.hasDeltas(s, qcFamily(db))) {
+        val eff = DeltaModelIngest.effectiveCounts(s, qcFamily(db))
+        (eff, eff.agg(sum("c_pos").as("t_pos"), sum("c_neg").as("t_neg"),
+          count(lit(1)).as("v")))
+      } else (s.table(s"`$db`.`$QcTokenTable`"),
+        s.table(s"`$db`.`$QcTotalsTable`"))
+    qcScore(withTokens(docs), qcnt, qtot)
       .crossJoin(broadcast(thr))
       .withColumn("keep",
         (col("q_score") * col("n") >= col("tot")).cast("int"))

@@ -36,10 +36,20 @@ import org.apache.spark.sql.functions._
 object DeltaModelIngest {
 
   /** A count model: its database, base table, grouping keys and summed
-    * count columns.
+    * count columns. An EMPTY `sumCols` means the table is a SET (e.g. a
+    * vocabulary): merging is union-distinct over the keys.
     */
   final case class Family(db: String, base: String, keyCols: Seq[String],
                           sumCols: Seq[String])
+
+  private def mergeParts(parts: Seq[DataFrame], fam: Family): DataFrame =
+    if (parts.size == 1) parts.head
+    else if (fam.sumCols.isEmpty)
+      parts.reduce(_ unionByName _).distinct()
+    else parts.reduce(_ unionByName _)
+      .groupBy(fam.keyCols.map(col): _*)
+      .agg(sum(fam.sumCols.head).as(fam.sumCols.head),
+        fam.sumCols.tail.map(c => sum(c).as(c)): _*)
 
   private def digest(x: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -101,11 +111,7 @@ object DeltaModelIngest {
     val parts = (Seq(fam.base) ++ done.toSeq ++ plains)
       .map(n => s.table(s"`${fam.db}`.`$n`")
         .select((fam.keyCols ++ fam.sumCols).map(col): _*))
-    if (parts.size == 1) parts.head
-    else parts.reduce(_ unionByName _)
-      .groupBy(fam.keyCols.map(col): _*)
-      .agg(sum(fam.sumCols.head).as(fam.sumCols.head),
-        fam.sumCols.tail.map(c => sum(c).as(c)): _*)
+    mergeParts(parts, fam)
   }
 
   /** Whether any delta tables exist for the current generation (serving
@@ -138,6 +144,30 @@ object DeltaModelIngest {
       epochId.toString)
   }
 
+  /** Capture the pre-rebuild generation (call BEFORE overwriting the
+    * base; -1 when no base exists yet).
+    */
+  def prepareRebuild(s: SparkSession, fam: Family): Long =
+    if (s.catalog.tableExists(s"${fam.db}.${fam.base}"))
+      generation(s, fam)
+    else -1L
+
+  /** After a full base rebuild: bump the generation (older-generation
+    * deltas become invisible — the fresh base subsumes their documents)
+    * and drop them opportunistically. The rebuild-then-bump pair is the
+    * documented non-atomic-but-recoverable window.
+    */
+  def finishRebuild(s: SparkSession, fam: Family, prevGen: Long): Unit =
+    if (prevGen >= 0) {
+      s.sql(s"ALTER TABLE `${fam.db}`.`${fam.base}` SET TBLPROPERTIES " +
+        s"('$GenProp' = '${prevGen + 1}')")
+      s.catalog.listTables(fam.db).collect().filter(!_.isTemporary)
+        .map(_.name)
+        .filter(n => (0L to prevGen)
+          .exists(g => n.startsWith(prefix(fam, g))))
+        .foreach(n => s.sql(s"DROP TABLE IF EXISTS `${fam.db}`.`$n`"))
+    }
+
   /** Merge the current combined + plains into ONE new combined (see the
     * crash-window walkthrough in the object scaladoc). `failBeforeSwitch`
     * is the test failpoint: combined written and stamped, pointer not
@@ -158,13 +188,9 @@ object DeltaModelIngest {
         .map(_.stripPrefix(prefix(fam, gen) + "c").toLong)
         .foldLeft(0L)(math.max) + 1
       val name = s"${prefix(fam, gen)}c$n"
-      val merged = constituents
+      val merged = mergeParts(constituents
         .map(t => s.table(s"`${fam.db}`.`$t`")
-          .select((fam.keyCols ++ fam.sumCols).map(col): _*))
-        .reduce(_ unionByName _)
-        .groupBy(fam.keyCols.map(col): _*)
-        .agg(sum(fam.sumCols.head).as(fam.sumCols.head),
-          fam.sumCols.tail.map(c => sum(c).as(c)): _*)
+          .select((fam.keyCols ++ fam.sumCols).map(col): _*)), fam)
       graft.store.Warehouse.saveModel(merged, fam.db, name)
       s.sql(s"ALTER TABLE `${fam.db}`.`$name` SET TBLPROPERTIES " +
         s"('$CoversProp' = '${constituents.mkString(",")}')")

@@ -110,4 +110,84 @@ class DeltaModelIngestSpec extends SparkSpec {
     for (d <- Seq(db, "dc_delta_ref", "dc_delta_ref2"))
       spark.sql(s"DROP DATABASE IF EXISTS `$d` CASCADE")
   }
+
+  test("LM delta growth: counts AND vocab fold exactly; serving equals a retrain under the frozen threshold") {
+    import graft.ops.TextOps
+    val lmDb = "lm_delta_spec"
+    for (d <- Seq(lmDb, "lm_delta_ref"))
+      spark.sql(s"DROP DATABASE IF EXISTS `$d` CASCADE")
+    TextOps.buildLmModel(slice(0, 300), lmDb)
+    val origThr = spark.table(s"$lmDb.${TextOps.LmThresholdTable}")
+      .collect().toSeq
+    // two streamed batches: counts + vocab deltas (the sink's two appends)
+    for ((lo, hi, e) <- Seq((300L, 400L, 0L), (400L, 500L, 1L))) {
+      DeltaModelIngest.append(spark, TextOps.lmCountsFamily(lmDb), "s1", e,
+        TextOps.lmBatchCounts(slice(lo, hi)))
+      DeltaModelIngest.append(spark, TextOps.lmVocabFamily(lmDb), "s1", e,
+        TextOps.lmBatchVocab(slice(lo, hi)))
+    }
+    TextOps.buildLmModel(docs, "lm_delta_ref")
+    def cnt(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(cnt(DeltaModelIngest.effectiveCounts(spark,
+        TextOps.lmCountsFamily(lmDb))) ==
+      cnt(spark.table(s"lm_delta_ref.${TextOps.LmCountsTable}")),
+      "merged bigram counts diverged from the union retrain")
+    assert(DeltaModelIngest.effectiveCounts(spark,
+        TextOps.lmVocabFamily(lmDb))
+        .collect().map(_.getString(0)).sorted.toSeq ==
+      spark.table(s"lm_delta_ref.${TextOps.LmVocabTable}")
+        .collect().map(_.getString(0)).sorted.toSeq,
+      "merged vocabulary diverged from the union retrain")
+    // serving parity under the FROZEN threshold: give the retrained ref
+    // the grown model's original threshold — rows must then match exactly
+    graft.store.Warehouse.saveModel(
+      spark.table(s"$lmDb.${TextOps.LmThresholdTable}").limit(0)
+        .sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(origThr).asJava),
+          spark.table(s"$lmDb.${TextOps.LmThresholdTable}").schema),
+      "lm_delta_ref", TextOps.LmThresholdTable)
+    assert(TextOps.perplexityFilterFromModel(spark, sf, lmDb)
+      .collect().toSeq.map(_.toSeq) ==
+      TextOps.perplexityFilterFromModel(spark, sf, "lm_delta_ref")
+        .collect().toSeq.map(_.toSeq),
+      "delta-grown LM serve diverged from the retrain under equal thresholds")
+    for (d <- Seq(lmDb, "lm_delta_ref"))
+      spark.sql(s"DROP DATABASE IF EXISTS `$d` CASCADE")
+  }
+
+  test("QC delta growth: counts fold exactly; serving equals a retrain under the frozen threshold") {
+    import graft.ops.TextOps
+    val qcDb = "qc_delta_spec"
+    for (d <- Seq(qcDb, "qc_delta_ref"))
+      spark.sql(s"DROP DATABASE IF EXISTS `$d` CASCADE")
+    TextOps.buildQualityClassifier(slice(0, 300), qcDb)
+    val origThr = spark.table(s"$qcDb.${TextOps.QcThresholdTable}")
+      .collect().toSeq
+    DeltaModelIngest.append(spark, TextOps.qcFamily(qcDb), "s1", 0L,
+      TextOps.qcBatchCounts(slice(300, 500)))
+    TextOps.buildQualityClassifier(docs, "qc_delta_ref")
+    def cnt3(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(cnt3(DeltaModelIngest.effectiveCounts(spark,
+        TextOps.qcFamily(qcDb))) ==
+      cnt3(spark.table(s"qc_delta_ref.${TextOps.QcTokenTable}")),
+      "merged qc counts diverged from the union retrain")
+    graft.store.Warehouse.saveModel(
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(origThr).asJava),
+        spark.table(s"$qcDb.${TextOps.QcThresholdTable}").schema),
+      "qc_delta_ref", TextOps.QcThresholdTable)
+    assert(TextOps.qualityClassifierFromModel(spark, sf, qcDb)
+      .collect().toSeq.map(_.toSeq) ==
+      TextOps.qualityClassifierFromModel(spark, sf, "qc_delta_ref")
+        .collect().toSeq.map(_.toSeq),
+      "delta-grown QC serve diverged from the retrain under equal thresholds")
+    for (d <- Seq(qcDb, "qc_delta_ref"))
+      spark.sql(s"DROP DATABASE IF EXISTS `$d` CASCADE")
+  }
 }
