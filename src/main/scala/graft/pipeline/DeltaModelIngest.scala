@@ -128,7 +128,8 @@ object DeltaModelIngest {
     * window can double a count. `failBeforeLedger` is the test failpoint.
     */
   def append(s: SparkSession, fam: Family, srcTag: String, epochId: Long,
-             counts: DataFrame, failBeforeLedger: Boolean = false): Unit = {
+             counts: DataFrame, failBeforeLedger: Boolean = false,
+             midAppendHook: () => Unit = () => ()): Unit = {
     require(epochId >= 0, "deltaAppend needs a non-negative epoch id")
     if (CorpusPipeline.dbProps(s, fam.db).get(ledgerPropOf(fam, srcTag))
         .filter(_.nonEmpty).map(_.toLong).exists(_ >= epochId))
@@ -138,6 +139,23 @@ object DeltaModelIngest {
     graft.store.Warehouse.saveModel(
       counts.select((fam.keyCols ++ fam.sumCols).map(col): _*),
       fam.db, name)
+    midAppendHook() // test seam: a concurrent rebuild lands right here
+    // generation fence: a FULL REBUILD racing this append would leave the
+    // delta stranded under the old generation — invisible to serving, the
+    // batch silently LOST. Re-check after the write and refuse loudly.
+    // The caller decides the retry: if the rebuild's corpus did not yet
+    // carry this batch (the usual streaming case), retrying lands the
+    // delta under the new generation exactly; if it did, the batch is
+    // already inside the new base and the retry must be SKIPPED — either
+    // way the refusal makes the race visible instead of losing data.
+    val genNow = generation(s, fam)
+    if (genNow != gen) {
+      s.sql(s"DROP TABLE IF EXISTS `${fam.db}`.`$name`")
+      throw new IllegalStateException(
+        s"deltaAppend: generation moved $gen -> $genNow during the append " +
+          "(a concurrent rebuild) — delta dropped; retry iff the rebuild's " +
+          "corpus did not already carry this batch")
+    }
     if (failBeforeLedger)
       throw new RuntimeException("test failpoint before ledger commit")
     CorpusPipeline.setDbProp(s, fam.db, ledgerPropOf(fam, srcTag),

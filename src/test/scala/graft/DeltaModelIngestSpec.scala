@@ -190,4 +190,34 @@ class DeltaModelIngestSpec extends SparkSpec {
     for (d <- Seq(qcDb, "qc_delta_ref"))
       spark.sql(s"DROP DATABASE IF EXISTS `$d` CASCADE")
   }
+  test("a rebuild racing an append trips the generation fence, never loses the batch silently") {
+    import graft.ops.DomainOps
+    val gdb = "dc_genrace_spec"
+    spark.sql(s"DROP DATABASE IF EXISTS `$gdb` CASCADE")
+    DomainOps.buildDomainClassifier(slice(0, 200), gdb)
+    val fam2 = DomainOps.dcFamily(gdb)
+    val e = intercept[IllegalStateException] {
+      DeltaModelIngest.append(spark, fam2, "s1", 0L,
+        DomainOps.batchCounts(slice(200, 300)),
+        midAppendHook = () =>
+          // the concurrent rebuild lands between the delta write and the
+          // fence re-check
+          DomainOps.buildDomainClassifier(slice(0, 200), gdb))
+    }
+    assert(e.getMessage.contains("generation moved"))
+    // the stranded delta was dropped; serving sees exactly the new base
+    assert(!DeltaModelIngest.hasDeltas(spark, fam2),
+      "stranded old-generation delta survived")
+    assert(effectiveOf(fam2) == retrain(200))
+    // the retry (rebuild corpus did NOT carry the batch) lands exactly
+    DeltaModelIngest.append(spark, fam2, "s1", 0L,
+      DomainOps.batchCounts(slice(200, 300)))
+    assert(effectiveOf(fam2) == retrain(300))
+    spark.sql(s"DROP DATABASE IF EXISTS `$gdb` CASCADE")
+  }
+
+  private def effectiveOf(f: DeltaModelIngest.Family): Seq[(String, String, Long)] =
+    DeltaModelIngest.effectiveCounts(spark, f)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
 }
