@@ -186,6 +186,17 @@ object DeltaModelIngest {
         .foreach(n => s.sql(s"DROP TABLE IF EXISTS `${fam.db}`.`$n`"))
     }
 
+  /** Scheduled compaction posture — bounds the merged view's read
+    * amplification on the cron cadence (the refresh-entry pattern every
+    * stored-model family carries).
+    */
+  def compactionEntry(id: String, cronExpr: String, fam: Family)
+      : ScheduleRunner.Entry =
+    ScheduleRunner.Entry(id, CronSchedule.parse(cronExpr),
+      (s, _) => compact(s, fam),
+      name = "delta_compaction", target = s"${fam.db}.${fam.base}",
+      tags = Map("pipeline" -> "delta-model"))
+
   /** Merge the current combined + plains into ONE new combined (see the
     * crash-window walkthrough in the object scaladoc). `failBeforeSwitch`
     * is the test failpoint: combined written and stamped, pointer not

@@ -213,6 +213,16 @@ class DeltaModelIngestSpec extends SparkSpec {
     DeltaModelIngest.append(spark, fam2, "s1", 0L,
       DomainOps.batchCounts(slice(200, 300)))
     assert(effectiveOf(fam2) == retrain(300))
+    // and the scheduled compaction entry fires on its cron
+    DeltaModelIngest.append(spark, fam2, "s1", 1L,
+      DomainOps.batchCounts(slice(300, 350)))
+    val tt = java.time.LocalDateTime.parse("2026-01-01T00:00:00")
+    val fired = new graft.pipeline.ScheduleRunner(Seq(
+      DeltaModelIngest.compactionEntry("dc-compact", "0 4 * * *", fam2)),
+      startAt = tt).tick(spark, tt.plusHours(4))
+    assert(fired == Seq("dc-compact"))
+    assert(effectiveOf(fam2) == retrain(350),
+      "cron compaction changed the merged view")
     spark.sql(s"DROP DATABASE IF EXISTS `$gdb` CASCADE")
   }
 
