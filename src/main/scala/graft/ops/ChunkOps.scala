@@ -201,14 +201,10 @@ object ChunkOps {
   }
 
   private[graft] def readIndexProp(s: SparkSession, db: String,
-                                   prop: String): Long = {
-    val rows = s.sql(s"SHOW TBLPROPERTIES ${idxFqn(db)}")
-      .filter(col("key") === prop).select("value").collect()
-    require(rows.nonEmpty,
-      s"$prop missing on $db.$ChunkIndexTable — not a chunk " +
-        "index built by buildChunkIndex; refusing to guess the layout")
-    rows(0).getString(0).toLong
-  }
+                                   prop: String): Long =
+    graft.store.Warehouse.readTablePropLong(s, db, ChunkIndexTable, prop,
+      "not a chunk index built by buildChunkIndex; refusing to guess " +
+        "the layout")
 
   private[graft] def setIndexProp(s: SparkSession, db: String, prop: String,
                                   value: String): Unit =

@@ -67,10 +67,7 @@ object DomainOps {
     // dropped opportunistically.
     import graft.pipeline.DeltaModelIngest
     val prevGen = DeltaModelIngest.prepareRebuild(s, dcFamily(db))
-    val counts = withTokens(docs)
-      .select(col("source").as("c"), explode(col("tokens")).as("w"))
-      .groupBy("c", "w").agg(count(lit(1)).as("cnt"))
-    graft.store.Warehouse.saveModel(counts, db, DcCountsTable)
+    graft.store.Warehouse.saveModel(batchCounts(docs), db, DcCountsTable)
     DeltaModelIngest.finishRebuild(s, dcFamily(db), prevGen)
     val stored = s.table(fqn(db, DcCountsTable))
     graft.store.Warehouse.saveModel(
@@ -122,7 +119,11 @@ object DomainOps {
     val fam = dcFamily(db)
     val (counts, totals, meta) =
       if (DeltaModelIngest.hasDeltas(s, fam)) {
-        val eff = DeltaModelIngest.effectiveCounts(s, fam)
+        // three consumers (the score join, totals, vocab) — pin the merged
+        // frame once so no branch re-unions the base + delta scans (the
+        // cdcChunkStats lesson)
+        val eff = PlanCache.swap(s"dc-delta-eff-$db",
+          DeltaModelIngest.effectiveCounts(s, fam))
         (eff, eff.groupBy("c").agg(sum("cnt").as("t_c")),
           eff.agg(count_distinct(col("w")).as("v")))
       } else (s.table(fqn(db, DcCountsTable)),
@@ -156,9 +157,7 @@ object DomainOps {
     */
   def appendToDomainClassifier(s: SparkSession, db: String,
                                docs: DataFrame): Unit = {
-    val batch = withTokens(docs)
-      .select(col("source").as("c"), explode(col("tokens")).as("w"))
-      .groupBy("c", "w").agg(count(lit(1)).as("cnt"))
+    val batch = batchCounts(docs)
     graft.store.Warehouse.rewriteVia(s, db, DcCountsTable)(stored =>
       stored.unionByName(batch).groupBy("c", "w")
         .agg(sum("cnt").as("cnt")))

@@ -147,9 +147,7 @@ object RetrievalOps {
 
   private[graft] def appendDocLenRows(s: SparkSession, db: String,
                                       docs: DataFrame): Unit =
-    withTokens(docs)
-      .select(col("doc_id"), size(col("tokens")).cast("long").as("dl"))
-      .write.mode("append").insertInto(fqn(db, DocLenTable))
+    doclenOf(docs).write.mode("append").insertInto(fqn(db, DocLenTable))
 
   /** Re-list the index tables in THIS session. Spark's per-session relation
     * cache freezes an UNPARTITIONED table's file listing at first read, so
@@ -163,9 +161,7 @@ object RetrievalOps {
     * paid by the next query, which wants the fresh files anyway).
     */
   def refreshIndex(s: SparkSession, db: String): Unit =
-    for (t <- Seq(PostingsTable, DfTable, DocLenTable, TotalsTable)
-         if s.catalog.tableExists(s"$db.$t"))
-      s.catalog.refreshTable(s"$db.$t")
+    graft.store.Warehouse.refreshDb(s, db)
 
   /** Rebuild df and totals from the stored fact tables — self-healing (the
     * stats a crash left stale are re-derived from whatever facts landed),
@@ -180,14 +176,9 @@ object RetrievalOps {
         .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len")))
   }
 
-  private def readProp(s: SparkSession, db: String, prop: String): Long = {
-    val rows = s.sql(s"SHOW TBLPROPERTIES ${fqn(db, PostingsTable)}")
-      .filter(col("key") === prop).select("value").collect()
-    require(rows.nonEmpty,
-      s"$prop missing on $db.$PostingsTable — not a bm25 index built by " +
-        "buildBm25Index; refusing to guess the layout")
-    rows(0).getString(0).toLong
-  }
+  private def readProp(s: SparkSession, db: String, prop: String): Long =
+    graft.store.Warehouse.readTablePropLong(s, db, PostingsTable, prop,
+      "not a bm25 index built by buildBm25Index; refusing to guess the layout")
 
   /** The gate's deterministic query frame: (query_id, w) — first
     * [[QueryTerms]] distinct tokens of each probe doc, in first-occurrence
@@ -281,6 +272,14 @@ object RetrievalOps {
       s"batch min doc_id ${batchMin.getLong(0)} does not clear the stored " +
         s"max $maxDoc — replayed or overlapping batch refused (counts " +
         "would double silently)")
+    // fence FIRST: a crash anywhere in the writes below leaves the fence
+    // already advanced, so the retry is REFUSED loudly (re-anchor via the
+    // cron re-index) instead of re-running the non-idempotent appends and
+    // silently double-counting — the refusal-beats-corruption contract
+    // the scaladoc promises (the streaming path instead keeps fence-last
+    // + row-idempotent writes, which absorb its retries exactly)
+    s.sql(s"ALTER TABLE ${fqn(db, PostingsTable)} SET TBLPROPERTIES " +
+      s"('$MaxDocProp' = '${batchMin.getLong(1)}')")
     appendPostingsRows(s, db, docs)
     appendDocLenRows(s, db, docs)
     val batchDf = withTokens(docs)
@@ -291,8 +290,6 @@ object RetrievalOps {
     graft.store.Warehouse.rewriteVia(s, db, TotalsTable)(_ =>
       s.table(fqn(db, DocLenTable))
         .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len")))
-    s.sql(s"ALTER TABLE ${fqn(db, PostingsTable)} SET TBLPROPERTIES " +
-      s"('$MaxDocProp' = '${batchMin.getLong(1)}')")
   }
 
   /** Scheduled full re-index — re-anchors df/totals drift after many
@@ -345,14 +342,10 @@ object RetrievalOps {
   val PhraseResidue = 11L
   val PhraseLen = 3
 
-  private def readPosProp(s: SparkSession, db: String, prop: String): Long = {
-    val rows = s.sql(s"SHOW TBLPROPERTIES ${fqn(db, PositionsTable)}")
-      .filter(col("key") === prop).select("value").collect()
-    require(rows.nonEmpty,
-      s"$prop missing on $db.$PositionsTable — not a phrase index built " +
-        "by buildPhraseIndex; refusing to guess the layout")
-    rows(0).getString(0).toLong
-  }
+  private def readPosProp(s: SparkSession, db: String, prop: String): Long =
+    graft.store.Warehouse.readTablePropLong(s, db, PositionsTable, prop,
+      "not a phrase index built by buildPhraseIndex; refusing to guess " +
+        "the layout")
 
   /** (query_id, k, w) — the k-th term of each probe doc's leading phrase. */
   private[graft] def phraseTermsFor(docs: DataFrame): DataFrame =
@@ -420,13 +413,15 @@ object RetrievalOps {
         s"max $maxDoc — replayed or overlapping batch refused (duplicate " +
         "position rows would double phrase counts silently)")
     val target = fqn(db, PositionsTable)
+    // fence FIRST (see appendToBm25Index): a crashed append's retry must
+    // refuse loudly, never re-append position rows
+    s.sql(s"ALTER TABLE $target SET TBLPROPERTIES " +
+      s"('$MaxDocProp' = '${bounds.getLong(1)}')")
     withTokens(docs)
       .select(col("doc_id"), posexplode(col("tokens")).as(Seq("p0", "w")))
       .select(col("w"), col("doc_id"), (col("p0") + 1).as("pos"), bktCol)
       .select(s.table(target).columns.map(col).toIndexedSeq: _*)
       .write.mode("append").insertInto(target)
-    s.sql(s"ALTER TABLE $target SET TBLPROPERTIES " +
-      s"('$MaxDocProp' = '${bounds.getLong(1)}')")
   }
 
   /** Scheduled positional re-index (mirrors [[bm25RefreshEntry]]). */
@@ -469,6 +464,7 @@ object RetrievalOps {
     val lex = bm25TopKFromIndex(s, d, "graft_hybrid_q")
       .select(col("query_id"), col("doc_id"), col("rnk").as("r_lex"))
     val emb = t(s, d, "embeddings")
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
     val probes = emb
       .filter(pmod(col("vec_id"), lit(QueryModulus)) === QueryResidue)
       .select(col("vec_id").as("query_id"), col("embedding").as("probe_vec"))

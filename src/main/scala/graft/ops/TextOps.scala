@@ -987,7 +987,8 @@ object TextOps {
     import graft.pipeline.DeltaModelIngest
     val (qcnt, qtot) =
       if (DeltaModelIngest.hasDeltas(s, qcFamily(db))) {
-        val eff = DeltaModelIngest.effectiveCounts(s, qcFamily(db))
+        val eff = PlanCache.swap(s"qc-delta-eff-$db",
+          DeltaModelIngest.effectiveCounts(s, qcFamily(db)))
         (eff, eff.agg(sum("c_pos").as("t_pos"), sum("c_neg").as("t_neg"),
           count(lit(1)).as("v")))
       } else (s.table(s"`$db`.`$QcTokenTable`"),

@@ -126,6 +126,13 @@ object DeltaModelIngest {
     * delta table name is a pure function of (source, epoch), the write is
     * an overwrite, so any redelivery lands identical bytes — no crash
     * window can double a count. `failBeforeLedger` is the test failpoint.
+    *
+    * `srcTag` identifies the (stream, checkpoint) LINEAGE, not just the
+    * stream: Spark resets epochIds to 0 under a fresh checkpoint, and the
+    * ledger would swallow the restarted stream's batches as replays — a
+    * new checkpoint must therefore use a new srcTag (the standing
+    * contract of every epoch-ledgered sink here: VectorIngest, CdcIngest,
+    * Bm25Ingest carry the same identity rule).
     */
   def append(s: SparkSession, fam: Family, srcTag: String, epochId: Long,
              counts: DataFrame, failBeforeLedger: Boolean = false,

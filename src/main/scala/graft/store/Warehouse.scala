@@ -147,6 +147,20 @@ object Warehouse {
         .filter(!_.isTemporary)
         .foreach(t => spark.catalog.refreshTable(s"`$db`.`${t.name}`"))
 
+  /** Read a frozen layout property (bucket modulus, append fence, …) off
+    * a table, refusing LOUDLY when absent — the shared contract of every
+    * stored-index family: a layout parameter the builder froze must never
+    * be guessed.
+    */
+  def readTablePropLong(spark: SparkSession, db: String, table: String,
+                        prop: String, hint: String): Long = {
+    val rows = spark.sql(s"SHOW TBLPROPERTIES `$db`.`$table`")
+      .filter(org.apache.spark.sql.functions.col("key") === prop)
+      .select("value").collect()
+    require(rows.nonEmpty, s"$prop missing on $db.$table — $hint")
+    rows(0).getString(0).toLong
+  }
+
   /** A14 — model-output sink (dbt CTAS, materialized='table'). Partition
     * columns (e.g. the synthesized `partition_key`, C6) turn downstream
     * equality filters into partition pruning — the scan never opens
@@ -203,6 +217,17 @@ object Warehouse {
         writeWithLayout(reshape(df), meta, target)
       write(transform(spark.table(fq)), tmp)
       write(spark.table(tmp), fq)
+      // saveAsTable(Overwrite) recreates the table WITHOUT its
+      // TBLPROPERTIES — silently erasing frozen layout/generation stamps
+      // (the DeltaModelIngest generation, the index bucket moduli), which
+      // downstream readers treat as hard contracts. Re-apply the user
+      // properties the pre-rewrite table carried.
+      val userProps = meta.properties.filterNot(_._1.startsWith("spark."))
+      if (userProps.nonEmpty)
+        spark.sql(s"ALTER TABLE $fq SET TBLPROPERTIES (" +
+          userProps.map { case (k, v) =>
+            s"'${k.replace("'", "''")}' = '${v.replace("'", "''")}'"
+          }.mkString(", ") + ")")
       spark.sql(s"DROP TABLE IF EXISTS $tmp")
     }
 
