@@ -140,6 +140,9 @@ object SparkEntry {
     "q_substring_dedup"     -> (TextOps.substringDedup _),
     "q_substring_dedup_incremental" -> (TextOps.substringDedupIncrement _),
     "q_corpus_clean_spans"  -> (TextOps.corpusCleanSpans _),
+    "q_gopher_quality"      -> (WebTextOps.gopherQuality _),
+    "q_line_dedup"          -> (WebTextOps.lineDedup _),
+    "q_split_leakage_safe"  -> (WebTextOps.leakageSafeSplit _),
     "q_frame_sample"        -> (graft.ops.MultimodalOps.frameSample _),
     "q_keyframe_sample"     -> (graft.ops.MultimodalOps.keyframeSample _),
     "q_bm25_topk"           -> (RetrievalOps.bm25TopK _),
@@ -480,6 +483,29 @@ object SparkEntry {
        |           AS survives
        |FROM reach GROUP BY id ORDER BY $outId""".stripMargin
   }
+
+  /** The deterministic crafted multi-line view shared by every line-family
+    * oracle — replays [[graft.ops.WebTextOps.craftedLines]] exactly: the
+    * per-source header, the every-8th-space line break (same regex, RE2
+    * 'g' flag = Java replace-all), the modular bullet/ellipsis/newsletter
+    * lines and the global footer; concat_ws skips the NULL optional
+    * pieces in both engines.
+    */
+  private def craftedLinesCte: String =
+    """crafted AS (
+      |    SELECT doc_id, lang, source,
+      |           concat_ws(chr(10),
+      |             'home about contact ' || source,
+      |             regexp_replace(trim(text), '(\S+( \S+){7}) ',
+      |                            '\1' || chr(10), 'g'),
+      |             CASE WHEN doc_id % 4 = 0 THEN '- related links' END,
+      |             CASE WHEN doc_id % 3 = 0 THEN 'read more ...' END,
+      |             CASE WHEN doc_id % 5 = 0 THEN
+      |               'subscribe to our newsletter' || chr(10) ||
+      |               'subscribe to our newsletter' END,
+      |             'copyright 2024 all rights reserved') AS crafted
+      |    FROM documents
+      |)""".stripMargin
 
   /** Shared oracle fragments for the ANN split gates: L2 norms and the
     * in-order dot-product fold (the exact shape q_knn_cosine_topk proved
@@ -1884,6 +1910,109 @@ object SparkEntry {
         |       CAST(sz AS BIGINT) AS size
         |FROM f WHERE doc_id % 5 = 0 OR i % j = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // Gopher repetition/format quality rules over the crafted line view:
+    // the oracle reconstructs the lines, replays the per-(doc, line)
+    // occurrence counts, the format-line counts and the integer
+    // cross-multiplied keep rule
+    "q_gopher_quality" ->
+      s"""WITH $craftedLinesCte,
+        |l AS (
+        |    SELECT doc_id, unnest(string_split(crafted, chr(10))) AS line
+        |    FROM crafted
+        |), pl AS (
+        |    SELECT doc_id, line, COUNT(*) AS c FROM l GROUP BY 1, 2
+        |), la AS (
+        |    SELECT doc_id,
+        |           CAST(SUM(c) AS BIGINT) AS n_lines,
+        |           CAST(SUM(c - 1) AS BIGINT) AS n_dup_lines,
+        |           CAST(SUM((c - 1) * length(line)) AS BIGINT) AS dup_chars,
+        |           CAST(SUM(CASE WHEN line LIKE '- %' THEN c ELSE 0 END)
+        |                AS BIGINT) AS n_bullet,
+        |           CAST(SUM(CASE WHEN line LIKE '%...' THEN c ELSE 0 END)
+        |                AS BIGINT) AS n_ellipsis
+        |    FROM pl GROUP BY 1
+        |), tk AS (
+        |    SELECT doc_id,
+        |           CAST(len(string_split_regex(trim(crafted), '\\s+')) AS INT)
+        |               AS n_tokens,
+        |           CAST(length(regexp_replace(crafted, '\\s', '', 'g')) AS INT)
+        |               AS n_nonspace
+        |    FROM crafted
+        |)
+        |SELECT doc_id, n_lines, n_dup_lines, dup_chars, n_bullet,
+        |       n_ellipsis, n_tokens, n_nonspace,
+        |       CAST(n_dup_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+        |           AS dup_line_frac,
+        |       CAST(CASE WHEN n_dup_lines * 10 <= n_lines * 3
+        |                  AND n_bullet * 10 <= n_lines * 9
+        |                  AND n_ellipsis * 10 <= n_lines * 3
+        |                  AND n_tokens BETWEEN 50 AND 100000
+        |                  AND n_nonspace >= n_tokens * 3
+        |                  AND n_nonspace <= n_tokens * 10
+        |            THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM la JOIN tk USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // corpus-level line dedup: the oracle reconstructs the crafted lines,
+    // counts distinct docs per md5 line key (the ENGINE's join key, so
+    // grouping can never diverge), and replays the rewrite — the cleaned
+    // text is compared cell-for-cell
+    "q_line_dedup" ->
+      s"""WITH $craftedLinesCte,
+        |l AS (
+        |    SELECT doc_id, unnest(range(1, len(ls) + 1)) AS p,
+        |           unnest(ls) AS line
+        |    FROM (SELECT doc_id, string_split(crafted, chr(10)) AS ls
+        |          FROM crafted)
+        |), dup AS (
+        |    SELECT lk FROM (
+        |        SELECT md5(line) AS lk, COUNT(DISTINCT doc_id) AS df
+        |        FROM l GROUP BY 1)
+        |    WHERE df >= ${ops.WebTextOps.MinLineDocs}
+        |), sel AS (
+        |    SELECT doc_id, p, line,
+        |           md5(line) IN (SELECT lk FROM dup) AS dropped
+        |    FROM l
+        |)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |       CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_removed,
+        |       COALESCE(array_to_string(
+        |           list(CASE WHEN NOT dropped THEN line END ORDER BY p)
+        |               FILTER (WHERE NOT dropped), chr(10)), '')
+        |           AS text_clean
+        |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // leakage-safe split: the oracle replays the closure over the
+    // materialized pair set (the survivors gate shape) and the md5-bucket
+    // assignment on the canonical id
+    "q_split_leakage_safe" -> {
+      val path = OracleInputs.sqlPath("split_pairs")
+      s"""WITH RECURSIVE
+         |e AS (SELECT src, dst FROM read_parquet('$path/*.parquet')),
+         |sym AS (SELECT src, dst FROM e
+         |        UNION SELECT dst AS src, src AS dst FROM e),
+         |reach(id, r) AS (
+         |    SELECT doc_id, doc_id FROM documents
+         |    UNION
+         |    SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id
+         |),
+         |comp AS (SELECT id AS doc_id, MIN(r) AS canonical_id
+         |         FROM reach GROUP BY id),
+         |k AS (SELECT doc_id, canonical_id,
+         |             md5('split|' || CAST(canonical_id AS VARCHAR)) AS sk
+         |      FROM comp),
+         |b AS (SELECT doc_id, canonical_id,
+         |        CAST(((strpos('0123456789abcdef', substr(sk, 1, 1)) - 1) * 4096
+         |              + (strpos('0123456789abcdef', substr(sk, 2, 1)) - 1) * 256
+         |              + (strpos('0123456789abcdef', substr(sk, 3, 1)) - 1) * 16
+         |              + (strpos('0123456789abcdef', substr(sk, 4, 1)) - 1))
+         |             % ${ops.SamplingOps.SplitBuckets} AS INT) AS bucket
+         |      FROM k)
+         |SELECT doc_id, canonical_id, bucket,
+         |       CASE WHEN bucket < ${ops.SamplingOps.TrainPerMille} THEN 'train'
+         |            WHEN bucket < ${ops.SamplingOps.ValPerMille} THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
     // substring-extent dedup (Lee et al. 2021 output-corpus operator):
     // the oracle replays seed set (duplicated 5-grams, per-doc DISTINCT),
     // interval-union extension (covered flag + lag run starts) and cut

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
@@ -229,20 +229,27 @@ object SamplingOps {
     * 1000-bucket grid to within 2⁻¹⁶ bias (65536 % 1000 ≠ 0 —
     * deterministic, documented, negligible).
     */
+  /** Leading 16 bits of an md5 hex key on the [[SplitBuckets]] grid — the
+    * single bucket derivation shared by the flat split and the
+    * cluster-keyed leakage-safe split ([[WebTextOps.leakageSafeSplit]]),
+    * so the two assignments can never silently use different arithmetic.
+    */
+  private[graft] def bucketOfKey(sk: Column): Column =
+    ((hexVal(substring(sk, 1, 1)) * 4096
+      + hexVal(substring(sk, 2, 1)) * 256
+      + hexVal(substring(sk, 3, 1)) * 16
+      + hexVal(substring(sk, 4, 1)))
+      % SplitBuckets).cast("int")
+
   def splitAssign(s: SparkSession, d: String): DataFrame = {
     // concat (not concat_ws): a null stratum column nulls the key — the
     // same propagation the oracle's `||` has — and the null bucket routes
     // to the CASE fallback identically in both engines
     val sk = md5(concat(col("lang"), lit("|"), col("source"), lit("|"),
       col("doc_id").cast("string")).cast("binary"))
-    val bucket = ((hexVal(substring(col("sk"), 1, 1)) * 4096
-      + hexVal(substring(col("sk"), 2, 1)) * 256
-      + hexVal(substring(col("sk"), 3, 1)) * 16
-      + hexVal(substring(col("sk"), 4, 1)))
-      % SplitBuckets).cast("int")
     t(s, d, "documents")
       .withColumn("sk", sk)
-      .withColumn("bucket", bucket)
+      .withColumn("bucket", bucketOfKey(col("sk")))
       .withColumn("split",
         when(col("bucket") < TrainPerMille, "train")
           .when(col("bucket") < ValPerMille, "val")

@@ -1,0 +1,192 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Web-corpus line-structure operators — the document-layout half of the
+  * training-data cleaning toolbox that [[TextOps]]'s token-level passes
+  * don't cover: Gopher/C4-style repetition and format quality rules and
+  * CCNet-style corpus-level line (boilerplate) deduplication.
+  *
+  * The fixture corpus is a flat single-space token stream (TESTDATA.md), so
+  * every operator here runs over a DETERMINISTIC crafted multi-line view
+  * ([[craftedLines]]) that both engines reconstruct identically — the
+  * [[TextOps]] CJK-enrichment posture: the crafting is the fixture, the
+  * operator logic is the product.
+  *
+  * Scale posture: per-doc signals are doc-keyed aggregations over the line
+  * volume (one line-volume shuffle, linear); corpus-level dedup adds one
+  * md5-line-key shuffle for the document-frequency count — never all-pairs,
+  * never a driver collect.
+  */
+object WebTextOps {
+
+  /** Tokens per crafted content line. */
+  private[graft] val LineTokens = 8
+
+  /** Deterministic multi-line crafting shared by every line-family query
+    * (a second inline copy could silently drift from the oracles'
+    * reconstruction — the [[TextOps]] cjkEnriched rule):
+    *
+    *  - a per-source boilerplate header (`home about contact <source>`) —
+    *    repeats across every doc of a source;
+    *  - the base text broken into [[LineTokens]]-token content lines (a
+    *    single global regex: every 8th inter-token space becomes a
+    *    newline — bit-identical in Java regex and RE2);
+    *  - `doc_id % 4 == 0`: a bullet line (`- related links`);
+    *  - `doc_id % 3 == 0`: an ellipsis line (`read more ...`);
+    *  - `doc_id % 5 == 0`: a newsletter line TWICE (an in-doc duplicate);
+    *  - a global footer (`copyright 2024 all rights reserved`).
+    *
+    * `concat_ws` skips the null optional pieces in both engines.
+    *
+    * FIXTURE PRECONDITION (pinned by the "lined fixture shape" spec): base
+    * text is non-empty and single-space delimited — the line-break regex
+    * counts token boundaries as single spaces, and the crafted view's
+    * line semantics are only the documented ones under that shape.
+    */
+  private[graft] def craftedLines: Column = concat_ws("\n",
+    concat(lit("home about contact "), col("source")),
+    regexp_replace(trim(col("text")), "(\\S+( \\S+){7}) ", "$1\n"),
+    when(col("doc_id") % 4 === 0, lit("- related links")),
+    when(col("doc_id") % 3 === 0, lit("read more ...")),
+    when(col("doc_id") % 5 === 0,
+      lit("subscribe to our newsletter\nsubscribe to our newsletter")),
+    lit("copyright 2024 all rights reserved"))
+
+  /** (doc_id, p, line, lk): 1-based line explosion of the crafted view
+    * with the md5 line key the corpus-level passes join on.
+    */
+  private def explodedLines(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(split(col("crafted"), "\n")).as(Seq("p0", "line")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("line"),
+        md5(col("line").cast("binary")).as("lk"))
+
+  /** Gopher-style repetition + format quality signals (Rae et al. 2021,
+    * table A1 thresholds) with a composed keep verdict:
+    *
+    *  - duplicate-line fraction (occurrences beyond each line's first /
+    *    total lines) and the duplicate-line CHARACTER fraction inputs;
+    *  - fraction of lines starting with a bullet / ending in an ellipsis;
+    *  - word count bounds [50, 100k] and mean word length bounds [3, 10].
+    *
+    * The keep rule cross-multiplies integer counts (`n_dup*10 <= n_lines*3`
+    * is `frac <= 0.30`) — no float threshold compare anywhere, the
+    * engine's exact-integer posture; the reported `dup_line_frac` double
+    * is int/int division, deterministic in both engines.
+    *
+    * Scale shape: one (doc_id, line)-keyed line-volume aggregation folded
+    * into a doc-keyed one, plus per-row token counts — linear, zero
+    * corpus-wide state.
+    */
+  def gopherQuality(s: SparkSession, d: String): DataFrame =
+    gopherQualityFor(t(s, d, "documents"))
+
+  /** [[gopherQuality]] over any (doc_id, text, source) frame. */
+  private[graft] def gopherQualityFor(raw: DataFrame): DataFrame = {
+    val docs = raw.withColumn("crafted", craftedLines)
+    val perLine = explodedLines(docs).groupBy("doc_id", "line")
+      .agg(count(lit(1)).as("c"))
+    val lineAgg = perLine.groupBy("doc_id").agg(
+      sum("c").as("n_lines"),
+      sum(col("c") - 1).as("n_dup_lines"),
+      sum((col("c") - 1) * length(col("line"))).as("dup_chars"),
+      sum(when(col("line").startsWith("- "), col("c")).otherwise(0L))
+        .as("n_bullet"),
+      sum(when(col("line").endsWith("..."), col("c")).otherwise(0L))
+        .as("n_ellipsis"))
+    val tok = docs.select(col("doc_id"),
+      size(split(trim(col("crafted")), "\\s+")).as("n_tokens"),
+      length(regexp_replace(col("crafted"), "\\s", "")).as("n_nonspace"))
+    lineAgg.join(tok, "doc_id")
+      .select(col("doc_id"), col("n_lines"), col("n_dup_lines"),
+        col("dup_chars"), col("n_bullet"), col("n_ellipsis"),
+        col("n_tokens"), col("n_nonspace"),
+        (col("n_dup_lines").cast("double") / col("n_lines").cast("double"))
+          .as("dup_line_frac"),
+        (col("n_dup_lines") * 10 <= col("n_lines") * 3 &&
+          col("n_bullet") * 10 <= col("n_lines") * 9 &&
+          col("n_ellipsis") * 10 <= col("n_lines") * 3 &&
+          col("n_tokens") >= 50 && col("n_tokens") <= 100000 &&
+          col("n_nonspace") >= col("n_tokens") * 3 &&
+          col("n_nonspace") <= col("n_tokens") * 10).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** A line is corpus-boilerplate when this many DISTINCT documents carry
+    * it (CCNet's cross-document paragraph-dedup rule).
+    */
+  val MinLineDocs = 2
+
+  /** CCNet-style corpus-level line dedup — the OUTPUT-corpus form: every
+    * line appearing in >= [[MinLineDocs]] distinct documents (the shared
+    * header/footer/newsletter boilerplate) is removed from EVERY document;
+    * survivors re-join in original order. In-document duplicates of a
+    * corpus-shared line are removed in full (the rule counts distinct
+    * documents, not occurrences).
+    *
+    * Scale shape: the document-frequency count groups the 16-byte md5
+    * line key (per-doc DISTINCT first, so a hot boilerplate line costs one
+    * row per doc); the verdict joins back on the same key; reassembly is
+    * one doc-keyed aggregation. Three linear shuffles, no all-pairs, no
+    * broadcast of an unbounded dup set.
+    */
+  def lineDedup(s: SparkSession, d: String): DataFrame =
+    lineDedupFor(t(s, d, "documents"))
+
+  /** [[lineDedup]] over any (doc_id, text, source) frame. */
+  private[graft] def lineDedupFor(raw: DataFrame): DataFrame = {
+    val lines = explodedLines(raw.withColumn("crafted", craftedLines))
+    val dup = lines.select("lk", "doc_id").distinct()
+      .groupBy("lk").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= MinLineDocs).select("lk")
+    val marked = lines
+      .join(dup.withColumn("dropped", lit(true)), Seq("lk"), "left")
+      .withColumn("dropped", coalesce(col("dropped"), lit(false)))
+    marked.groupBy("doc_id").agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("dropped").cast("long")).as("n_removed"),
+        concat_ws("\n", expr(
+          "transform(array_sort(collect_list(" +
+            "CASE WHEN NOT dropped THEN struct(p, line) END))," +
+            " x -> x.line)")).as("text_clean"))
+      .orderBy("doc_id")
+  }
+
+  /** Leakage-safe holdout split — the composition the flat hash split
+    * ([[SamplingOps.splitAssign]]) cannot provide: near-duplicate
+    * documents must never straddle train/test (a test doc with a training
+    * near-copy is contamination, Lee et al. 2021 §6). Split assignment is
+    * keyed on the near-dup CLUSTER canonical id (minhash candidate pairs →
+    * transitive closure → min-id canon, the [[TextOps.dedupSurvivors]]
+    * machinery), so every cluster member inherits one verdict by
+    * construction — the no-straddle property is structural, not
+    * probabilistic (asserted in spec over the real pair set).
+    *
+    * Split gate: pairs are hash-family-specific (materialized rows-only);
+    * the closure + md5-bucket assignment is replayed by the oracle over
+    * the same rows. Scale: CC's O(log d) checkpointed rounds + per-row
+    * hashing — no new shuffle beyond the cluster machinery.
+    */
+  def leakageSafeSplit(s: SparkSession, d: String): DataFrame = {
+    val pairs = graft.OracleInputs.checkpoint(
+      TextOps.minhashCandidatePairs(s, d)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")),
+      d, "split_pairs")
+    val canon = GraphOps.connectedComponents(pairs,
+        t(s, d, "documents").select(col("doc_id").as("id")))
+      .select(col("id").as("doc_id"), col("cluster_id").as("canonical_id"))
+    canon
+      .withColumn("sk", md5(concat(lit("split|"),
+        col("canonical_id").cast("string")).cast("binary")))
+      .withColumn("bucket", SamplingOps.bucketOfKey(col("sk")))
+      .withColumn("split",
+        when(col("bucket") < SamplingOps.TrainPerMille, "train")
+          .when(col("bucket") < SamplingOps.ValPerMille, "val")
+          .otherwise("test"))
+      .select("doc_id", "canonical_id", "bucket", "split")
+      .orderBy("doc_id")
+  }
+}

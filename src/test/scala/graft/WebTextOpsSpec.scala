@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.WebTextOps
+
+/** Line-structure operator laws: the crafted-view fixture shape, the Gopher
+  * repetition/format rule arithmetic on hand-built documents, corpus-level
+  * line-dedup semantics (distinct-document counting, order-preserving
+  * rewrite, full-drop totality) and the leakage-safe split's structural
+  * no-straddle property over the real candidate pair set.
+  */
+class WebTextOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String, String)*): DataFrame =
+    rows.toDF("doc_id", "text", "source")
+
+  private def gopherRows(rows: (Long, String, String)*) =
+    WebTextOps.gopherQualityFor(docsDf(rows: _*)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+  test("lined fixture shape: base text is single-space delimited, non-empty") {
+    // The crafted line view breaks lines at every 8th inter-token SPACE —
+    // exact lines-of-8 semantics only on single-space text. Pin the
+    // fixture shape so a future testdata change fails here, loudly.
+    val bad = Tables.t(spark, sf, "documents")
+      .filter(length(trim(col("text"))) === 0 ||
+        col("text").rlike("  ") || col("text").rlike("^ ") ||
+        col("text").rlike(" $"))
+      .count()
+    assert(bad == 0, s"$bad documents violate the lined-view fixture shape")
+  }
+
+  test("gopher: line accounting on a hand-built document") {
+    // 16 tokens → 2 content lines; doc_id 60 ≡ 0 mod 3,4,5 → bullet +
+    // ellipsis + newsletter×2 + header + footer = 8 lines total, the
+    // newsletter pair the only within-doc duplicate.
+    val toks = (1 to 16).map(i => s"tok$i").mkString(" ")
+    val r = gopherRows((60L, toks, "src1"))(60L)
+    assert(r.getAs[Long]("n_lines") == 8L)
+    assert(r.getAs[Long]("n_dup_lines") == 1L)
+    assert(r.getAs[Long]("dup_chars") == "subscribe to our newsletter".length.toLong)
+    assert(r.getAs[Long]("n_bullet") == 1L)
+    assert(r.getAs[Long]("n_ellipsis") == 1L)
+  }
+
+  test("gopher: each format rule drops independently at its threshold") {
+    // A 100-token doc (passes word-count bounds; 4-char tokens pass mean
+    // word length) whose id selects NO optional crafted lines (1 mod
+    // 3,4,5): header + 13 content lines + footer = 15 distinct lines.
+    val base = (1 to 100).map(i => f"t$i%03d").mkString(" ")
+    val ids = Seq(1L, 7L, 11L, 13L)
+    ids.foreach { id => assert(id % 3 != 0 && id % 4 != 0 && id % 5 != 0) }
+
+    // keep: no rule trips
+    val keep = gopherRows((1L, base, "s"))(1L)
+    assert(keep.getAs[Int]("keep") == 1, s"clean doc must keep: $keep")
+
+    // word count below 50 → drop (7 tokens, otherwise clean)
+    val short = gopherRows((7L, (1 to 7).map(i => s"tk$i").mkString(" "), "s"))(7L)
+    assert(short.getAs[Int]("keep") == 0, "under-50-token doc must drop")
+
+    // mean word length over 10 → drop
+    val longTok = (1 to 60).map(i => s"verylongtoken$i").mkString(" ")
+    val fat = gopherRows((11L, longTok, "s"))(11L)
+    assert(fat.getAs[Int]("n_nonspace").toLong >
+      fat.getAs[Int]("n_tokens").toLong * 10)
+    assert(fat.getAs[Int]("keep") == 0, "mean-word-length>10 doc must drop")
+
+    // dup-line fraction over 30%: same 8-token line repeated 13× among
+    // 16 crafted lines → 12 dup occurrences, 12*10 > 16*3
+    val dupLine = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val dupDoc = Seq.fill(13)(dupLine).mkString(" ") + " " +
+      (1 to 8).map(i => s"uniq$i").mkString(" ")
+    val dup = gopherRows((13L, dupDoc, "s"))(13L)
+    assert(dup.getAs[Long]("n_dup_lines") * 10 >
+      dup.getAs[Long]("n_lines") * 3)
+    assert(dup.getAs[Int]("keep") == 0, "dup-line-heavy doc must drop")
+  }
+
+  test("gopher: fixture newsletter docs carry the in-doc duplicate") {
+    val rows = WebTextOps.gopherQuality(spark, sf)
+      .filter(col("doc_id") % 5 === 0)
+      .agg(min("n_dup_lines")).head.getLong(0)
+    assert(rows >= 1L,
+      "every doc_id % 5 == 0 doc crafts the newsletter line twice")
+  }
+
+  test("line dedup: cross-document lines drop, in-document repeats survive") {
+    // doc 1 and doc 2 share their content line (plus header/footer — all
+    // docs share those); doc 4's content lines are unique but one repeats
+    // WITHIN the doc only — MinLineDocs counts distinct documents, so it
+    // must survive.
+    val shared = (1 to 8).map(i => s"sh$i").mkString(" ")
+    val solo = (1 to 8).map(i => s"solo$i").mkString(" ")
+    val out = WebTextOps.lineDedupFor(docsDf(
+        (1L, shared, "sA"), (2L, shared, "sB"),
+        (4L, s"$solo $solo", "sC")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    // docs 1/2: header unique per source, shared content + footer drop
+    assert(out(1L).getAs[Long]("n_removed") == 2L, s"${out(1L)}")
+    assert(out(1L).getAs[String]("text_clean") == "home about contact sA")
+    // doc 4 (≡0 mod 4): bullet line is its own; the in-doc repeated solo
+    // line survives twice in original order; footer dropped
+    assert(out(4L).getAs[String]("text_clean") ==
+      s"home about contact sC\n$solo\n$solo\n- related links")
+    assert(out(4L).getAs[Long]("n_removed") == 1L)
+  }
+
+  test("line dedup: a fully-boilerplate document rewrites to empty") {
+    // two docs, same source, same text → every line (incl. header) is
+    // shared by 2 distinct docs → all drop; totality: text_clean = ''
+    val txt = (1 to 8).map(i => s"w$i").mkString(" ")
+    val out = WebTextOps.lineDedupFor(docsDf((1L, txt, "s"), (2L, txt, "s")))
+      .collect()
+    assert(out.forall(_.getAs[String]("text_clean") == ""))
+    assert(out.forall(r =>
+      r.getAs[Long]("n_removed") == r.getAs[Long]("n_lines")))
+  }
+
+  test("line dedup: fixture boilerplate is removed corpus-wide") {
+    val out = WebTextOps.lineDedup(spark, sf)
+    // footer is in every doc; header in every doc of a source (>1 doc per
+    // source at sf0.001); newsletter in every %5 doc → none may survive
+    val survivors = out.filter(
+      col("text_clean").contains("copyright 2024 all rights reserved") ||
+        col("text_clean").contains("home about contact") ||
+        col("text_clean").contains("subscribe to our newsletter")).count()
+    assert(survivors == 0L, "corpus-shared boilerplate must not survive")
+    // but the rewrite is not vacuous: most docs keep their content lines
+    val kept = out.filter(length(col("text_clean")) > 0).count()
+    assert(kept > 400L, s"only $kept docs kept any content")
+  }
+
+  test("leakage-safe split: no candidate pair straddles a split boundary") {
+    val assign = WebTextOps.leakageSafeSplit(spark, sf)
+      .select(col("doc_id"), col("split"))
+    val pairs = spark.read.parquet(OracleInputs.path(sf, "split_pairs"))
+    val straddling = pairs
+      .join(assign.withColumnRenamed("doc_id", "src")
+        .withColumnRenamed("split", "split_a"), Seq("src"))
+      .join(assign.withColumnRenamed("doc_id", "dst")
+        .withColumnRenamed("split", "split_b"), Seq("dst"))
+      .filter(col("split_a") =!= col("split_b")).count()
+    assert(straddling == 0L,
+      "near-dup candidate pair assigned to different splits — leakage")
+    // non-vacuous: the pair set is non-empty and all three splits exist
+    assert(pairs.count() > 0L)
+    val splits = WebTextOps.leakageSafeSplit(spark, sf)
+      .select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(splits == Set("train", "val", "test"), s"got $splits")
+  }
+
+  test("line-family plans stay join-sane (no cartesian, no BNLJ)") {
+    Seq(WebTextOps.gopherQuality(spark, sf),
+        WebTextOps.lineDedup(spark, sf)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"line-family plan degraded:\n$plan")
+    }
+  }
+}
