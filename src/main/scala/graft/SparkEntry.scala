@@ -143,6 +143,9 @@ object SparkEntry {
     "q_gopher_quality"      -> (WebTextOps.gopherQuality _),
     "q_line_dedup"          -> (WebTextOps.lineDedup _),
     "q_split_leakage_safe"  -> (WebTextOps.leakageSafeSplit _),
+    "q_html_extract"        -> (WebTextOps.htmlExtract _),
+    "q_url_normalize"       -> (UrlOps.urlNormalize _),
+    "q_domain_stats"        -> (UrlOps.domainStats _),
     "q_frame_sample"        -> (graft.ops.MultimodalOps.frameSample _),
     "q_keyframe_sample"     -> (graft.ops.MultimodalOps.keyframeSample _),
     "q_bm25_topk"           -> (RetrievalOps.bm25TopK _),
@@ -2013,6 +2016,134 @@ object SparkEntry {
          |            ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin
     },
+    // HTML boilerplate extraction: the oracle reconstructs the crafted
+    // wrapper, strips script/style blocks (same lazy dot-all regex), tags
+    // to spaces, decodes the entity table in the same order and collapses
+    // whitespace — the extracted text is compared cell-for-cell
+    "q_html_extract" ->
+      """WITH h AS (
+        |    SELECT doc_id,
+        |           '<html><head><script type="text/javascript">var t = 1;'
+        |           || '</script><style>.x{color:red;}</style><title>'
+        |           || source || ' ' || CAST(doc_id AS VARCHAR)
+        |           || '</title></head><body><nav><a href="/">Home</a> | '
+        |           || '<a href="/about">About</a></nav><h1>Doc '
+        |           || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p>'
+        |           || CASE WHEN doc_id % 3 = 0 THEN
+        |                '<div class="ad">Buy now &amp; save &lt;50%&gt;</div>'
+        |              ELSE '' END
+        |           || '<footer>&copy; 2024 ' || source
+        |           || '</footer></body></html>' AS html
+        |    FROM documents
+        |), s1 AS (
+        |    SELECT doc_id, html, regexp_replace(html,
+        |             '(?is)<head>.*?</head>|<script.*?</script>|<style.*?</style>',
+        |             '', 'g') AS x
+        |    FROM h
+        |), s2 AS (
+        |    SELECT doc_id, html,
+        |           regexp_replace(x, '<[^>]*>', ' ', 'g') AS x
+        |    FROM s1
+        |), s3 AS (
+        |    SELECT doc_id, html,
+        |           replace(replace(replace(replace(replace(replace(x,
+        |             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |             '&#39;', ''''), '&copy;', '©'), '&amp;', '&') AS x
+        |    FROM s2
+        |), s4 AS (
+        |    SELECT doc_id, html,
+        |           trim(regexp_replace(x, '\s+', ' ', 'g')) AS text_main,
+        |           regexp_extract(html, '(?is)<title>(.*?)</title>', 1)
+        |               AS title
+        |    FROM s3
+        |)
+        |SELECT doc_id, title,
+        |       CAST(length(html) AS INT) AS n_chars_html,
+        |       CAST(length(text_main) AS INT) AS n_chars_text,
+        |       CAST(length(text_main) * 1000 // length(html) AS BIGINT)
+        |           AS text_permille,
+        |       text_main
+        |FROM s4 ORDER BY doc_id""".stripMargin,
+    // url canonicalization: the oracle reconstructs the crafted url and
+    // replays parse, host/port/www normalization, trailing-slash strip,
+    // tracking-param filter and the public-suffix label arithmetic
+    "q_url_normalize" ->
+      """WITH u AS (
+        |    SELECT doc_id,
+        |           CASE WHEN doc_id % 7 = 0 THEN
+        |             'https://Sub.' || source || '.CO.UK/Path/'
+        |               || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&id='
+        |               || CAST(doc_id AS VARCHAR) || '#top'
+        |           ELSE
+        |             'HTTPS://WWW.' || source || '.COM:443/Path/'
+        |               || CAST(doc_id AS VARCHAR) || '?id='
+        |               || CAST(doc_id AS VARCHAR) || '&utm_campaign=x'
+        |               || CASE WHEN doc_id % 3 = 0 THEN '&ref=promo'
+        |                  ELSE '' END
+        |           END AS url
+        |    FROM documents
+        |), p AS (
+        |    SELECT doc_id, url,
+        |           lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |           lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1))
+        |               AS hostport,
+        |           regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1)
+        |               AS path,
+        |           regexp_extract(url, '\?([^#]*)', 1) AS query
+        |    FROM u
+        |), hn AS (
+        |    SELECT doc_id, url, scheme,
+        |           regexp_replace(regexp_replace(hostport, ':443$', ''),
+        |                          '^www\.', '') AS host,
+        |           CASE WHEN path = '' THEN '/'
+        |                ELSE regexp_replace(path, '(.)/$', '\1') END
+        |               AS path_norm,
+        |           array_to_string(list_filter(string_split(query, '&'),
+        |             x -> NOT (starts_with(x, 'utm_')
+        |                       OR starts_with(x, 'ref=') OR x = '')), '&')
+        |               AS query_norm
+        |    FROM p
+        |), rd AS (
+        |    SELECT *, string_split(host, '.') AS labels,
+        |           CASE WHEN host LIKE '%.co.uk' THEN 3 ELSE 2 END AS k
+        |    FROM hn
+        |)
+        |SELECT doc_id, url, scheme, host, path_norm, query_norm,
+        |       array_to_string(labels[len(labels)-k+1:len(labels)], '.')
+        |           AS registered_domain,
+        |       scheme || '://' || host || path_norm ||
+        |         CASE WHEN query_norm = '' THEN ''
+        |              ELSE '?' || query_norm END AS norm_url
+        |FROM rd ORDER BY doc_id""".stripMargin,
+    // per-domain corpus stats: the oracle replays the crafting + suffix
+    // arithmetic, the domain aggregation and the exact per-mille share
+    "q_domain_stats" ->
+      s"""WITH u AS (
+        |    SELECT doc_id, lang,
+        |           CASE WHEN doc_id % 7 = 0 THEN
+        |             lower('Sub.' || source || '.CO.UK')
+        |           ELSE lower(source || '.COM') END AS host,
+        |           len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        |    FROM documents
+        |), rd AS (
+        |    SELECT *, string_split(host, '.') AS labels,
+        |           CASE WHEN host LIKE '%.co.uk' THEN 3 ELSE 2 END AS k
+        |    FROM u
+        |), g AS (
+        |    SELECT array_to_string(labels[len(labels)-k+1:len(labels)], '.')
+        |               AS registered_domain,
+        |           CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |    FROM rd GROUP BY 1
+        |), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS corpus_docs
+        |           FROM documents)
+        |SELECT registered_domain, n_docs, n_langs, total_tokens,
+        |       CAST(n_docs * 1000 // corpus_docs AS BIGINT) AS share_permille,
+        |       CAST(CASE WHEN n_docs * 1000 // corpus_docs
+        |                      > ${ops.UrlOps.SpamSharePerMille}
+        |            THEN 1 ELSE 0 END AS INT) AS over_share
+        |FROM g, tot ORDER BY registered_domain""".stripMargin,
     // substring-extent dedup (Lee et al. 2021 output-corpus operator):
     // the oracle replays seed set (duplicated 5-grams, per-doc DISTINCT),
     // interval-union extension (covered flag + lag run starts) and cut

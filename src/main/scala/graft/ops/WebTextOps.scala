@@ -4,10 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
-/** Web-corpus line-structure operators — the document-layout half of the
-  * training-data cleaning toolbox that [[TextOps]]'s token-level passes
-  * don't cover: Gopher/C4-style repetition and format quality rules and
-  * CCNet-style corpus-level line (boilerplate) deduplication.
+/** Web-corpus document-structure operators — the document-layout half of
+  * the training-data cleaning toolbox that [[TextOps]]'s token-level
+  * passes don't cover: Gopher/C4-style repetition and format quality
+  * rules, CCNet-style corpus-level line (boilerplate) deduplication, HTML
+  * boilerplate extraction, and the near-dup-cluster-keyed leakage-safe
+  * holdout split.
   *
   * The fixture corpus is a flat single-space token stream (TESTDATA.md), so
   * every operator here runs over a DETERMINISTIC crafted multi-line view
@@ -152,6 +154,66 @@ object WebTextOps {
           "transform(array_sort(collect_list(" +
             "CASE WHEN NOT dropped THEN struct(p, line) END))," +
             " x -> x.line)")).as("text_clean"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic crafted HTML wrapper shared by the extraction query and
+    * its oracle: head noise (script + style blocks, a title), nav
+    * boilerplate, the document text as the main paragraph, an
+    * entity-bearing ad block on every 3rd doc, and an entity-bearing
+    * footer.
+    */
+  private[graft] def craftedHtml: Column = concat(
+    lit("<html><head><script type=\"text/javascript\">var t = 1;</script>"),
+    lit("<style>.x{color:red;}</style><title>"),
+    col("source"), lit(" "), col("doc_id").cast("string"),
+    lit("</title></head><body><nav><a href=\"/\">Home</a> | " +
+      "<a href=\"/about\">About</a></nav><h1>Doc "),
+    col("doc_id").cast("string"), lit("</h1><p>"), col("text"), lit("</p>"),
+    when(col("doc_id") % 3 === 0,
+      lit("<div class=\"ad\">Buy now &amp; save &lt;50%&gt;</div>"))
+      .otherwise(lit("")),
+    lit("<footer>&copy; 2024 "), col("source"), lit("</footer></body></html>"))
+
+  /** Entity decode table, applied IN ORDER — `&amp;` must decode last so
+    * a literal `&amp;lt;` in source can never double-decode into `<`.
+    */
+  private val HtmlEntities = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&copy;" -> "©", "&amp;" -> "&")
+
+  /** Deterministic HTML boilerplate extraction — the first stage of every
+    * web-crawl corpus pipeline: drop the head and any script/style blocks
+    * (lazy dot-all regexes — identical semantics in Java regex and RE2;
+    * the title still surfaces as its own column), strip remaining
+    * tags to single spaces (so adjacent text nodes cannot fuse), decode
+    * the standard entities in fixed order, collapse whitespace. Emits the
+    * extracted text, the title, and the text-to-html per-mille ratio (the
+    * text-density signal boilerplate classifiers threshold on) as exact
+    * integer division. Per-row expressions only — zero shuffle before the
+    * output sort.
+    */
+  def htmlExtract(s: SparkSession, d: String): DataFrame =
+    htmlExtractFor(t(s, d, "documents"))
+
+  /** [[htmlExtract]] over any (doc_id, text, source) frame. */
+  private[graft] def htmlExtractFor(raw: DataFrame): DataFrame = {
+    val noBlocks = regexp_replace(col("html"),
+      "(?is)<head>.*?</head>|<script.*?</script>|<style.*?</style>", "")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = HtmlEntities.foldLeft(noTags) { case (c, (e, v)) =>
+      call_function("replace", c, lit(e), lit(v))
+    }
+    raw.withColumn("html", craftedHtml)
+      .withColumn("text_main", trim(regexp_replace(decoded, "\\s+", " ")))
+      .withColumn("title",
+        regexp_extract(col("html"), "(?is)<title>(.*?)</title>", 1))
+      .withColumn("n_chars_html", length(col("html")))
+      .withColumn("n_chars_text", length(col("text_main")))
+      .withColumn("text_permille",
+        expr("n_chars_text * 1000 div n_chars_html"))
+      .select("doc_id", "title", "n_chars_html", "n_chars_text",
+        "text_permille", "text_main")
       .orderBy("doc_id")
   }
 

@@ -154,6 +154,37 @@ class WebTextOpsSpec extends SparkSpec {
     assert(splits == Set("train", "val", "test"), s"got $splits")
   }
 
+  test("html extract: body text survives exactly, tags and blocks do not") {
+    val out = WebTextOps.htmlExtractFor(docsDf(
+        (3L, "alpha beta gamma", "srcx"), (7L, "delta epsilon", "srcy")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 7 (no ad block): nav + h1 + body + decoded © footer
+    assert(out(7L).getAs[String]("text_main") ==
+      "Home | About Doc 7 delta epsilon © 2024 srcy")
+    assert(out(7L).getAs[String]("title") == "srcy 7")
+    // doc 3 (≡0 mod 3): the ad block's entities decode, incl. the angle
+    // brackets — proof the tag strip ran BEFORE entity decode (a decoded
+    // &lt;50%&gt; must not be eaten as a tag)
+    assert(out(3L).getAs[String]("text_main") ==
+      "Home | About Doc 3 alpha beta gamma Buy now & save <50%> © 2024 srcx")
+    // script/style interiors are gone
+    assert(!out(3L).getAs[String]("text_main").contains("var t"))
+    assert(!out(3L).getAs[String]("text_main").contains("color:red"))
+  }
+
+  test("html extract: ratio arithmetic and fixture-wide tag absence") {
+    val rows = WebTextOps.htmlExtract(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (h, t, p) = (r.getAs[Int]("n_chars_html"),
+        r.getAs[Int]("n_chars_text"), r.getAs[Long]("text_permille"))
+      assert(p == t.toLong * 1000 / h)
+      assert(t < h)
+      // no tag-like remnant survives extraction
+      assert(!r.getAs[String]("text_main").matches(".*<[A-Za-z/].*"))
+    }
+  }
+
   test("line-family plans stay join-sane (no cartesian, no BNLJ)") {
     Seq(WebTextOps.gopherQuality(spark, sf),
         WebTextOps.lineDedup(spark, sf)).foreach { df =>
