@@ -146,6 +146,9 @@ object SparkEntry {
     "q_html_extract"        -> (WebTextOps.htmlExtract _),
     "q_url_normalize"       -> (UrlOps.urlNormalize _),
     "q_domain_stats"        -> (UrlOps.domainStats _),
+    "q_link_extract"        -> (graft.ops.LinkOps.linkExtract _),
+    "q_anchor_text"         -> (graft.ops.LinkOps.anchorText _),
+    "q_pagerank_domains"    -> (graft.ops.LinkOps.pagerankDomains _),
     "q_frame_sample"        -> (graft.ops.MultimodalOps.frameSample _),
     "q_keyframe_sample"     -> (graft.ops.MultimodalOps.keyframeSample _),
     "q_bm25_topk"           -> (RetrievalOps.bm25TopK _),
@@ -509,6 +512,170 @@ object SparkEntry {
       |             'copyright 2024 all rights reserved') AS crafted
       |    FROM documents
       |)""".stripMargin
+
+  /** Shared oracle fragments for the link-graph gates: crafted page url +
+    * link html (LinkOps.craftedLinkHtml replayed), regex anchor
+    * extraction, relative-reference resolution and the full UrlOps
+    * normalization chain per link — ending in `lx`, one row per link with
+    * (doc_id, href, anchor, link_url, target_domain, page_domain,
+    * is_external).
+    */
+  private def linkCtes: String =
+    """lp AS (
+      |    SELECT doc_id, source,
+      |           CASE WHEN doc_id % 7 = 0 THEN
+      |             'https://Sub.' || source || '.CO.UK/Path/'
+      |               || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&id='
+      |               || CAST(doc_id AS VARCHAR) || '#top'
+      |           ELSE
+      |             'HTTPS://WWW.' || source || '.COM:443/Path/'
+      |               || CAST(doc_id AS VARCHAR) || '?id='
+      |               || CAST(doc_id AS VARCHAR) || '&utm_campaign=x'
+      |               || CASE WHEN doc_id % 3 = 0 THEN '&ref=promo'
+      |                  ELSE '' END
+      |           END AS url,
+      |           '<html><body><p>read more</p><a href="/about">About '
+      |           || source || '</a>'
+      |           || CASE WHEN doc_id % 7 <> 0 THEN
+      |                '<a href="HTTPS://WWW.Src'
+      |                || CAST((doc_id * 3 + 1) % 20 AS VARCHAR)
+      |                || '.COM:443/p/' || CAST(doc_id AS VARCHAR)
+      |                || '?utm_source=l&x=' || CAST(doc_id AS VARCHAR)
+      |                || '">jump src'
+      |                || CAST((doc_id * 3 + 1) % 20 AS VARCHAR) || '</a>'
+      |                || '<a href="https://Sub.src'
+      |                || CAST((doc_id + 11) % 20 AS VARCHAR)
+      |                || '.CO.UK/t/' || CAST(doc_id AS VARCHAR)
+      |                || '/#s">uk story src'
+      |                || CAST((doc_id + 11) % 20 AS VARCHAR) || '</a>'
+      |              ELSE '' END
+      |           || CASE WHEN doc_id % 5 = 0 THEN
+      |                '<a href="https://src'
+      |                || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+      |                || '.com/x?ref=promo">promo offer src'
+      |                || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) || '</a>'
+      |              ELSE '' END
+      |           || '</body></html>' AS html
+      |    FROM documents
+      |), lm AS (
+      |    SELECT doc_id, url,
+      |           CASE WHEN doc_id % 7 = 0 THEN source || '.co.uk'
+      |                ELSE source || '.com' END AS page_domain,
+      |           unnest(regexp_extract_all(html,
+      |             '<a href="[^"]*"[^>]*>[^<]*</a>')) AS m
+      |    FROM lp
+      |), la AS (
+      |    SELECT doc_id, page_domain,
+      |           regexp_extract(m, '<a href="([^"]*)"', 1) AS href,
+      |           regexp_extract(m, '>([^<]*)</a>', 1) AS anchor,
+      |           CASE WHEN starts_with(
+      |                  regexp_extract(m, '<a href="([^"]*)"', 1), '/') THEN
+      |             regexp_extract(url, '^([A-Za-z]+://[^/?#]*)', 1)
+      |               || regexp_extract(m, '<a href="([^"]*)"', 1)
+      |           ELSE regexp_extract(m, '<a href="([^"]*)"', 1) END AS aurl
+      |    FROM lm
+      |), ln AS (
+      |    SELECT doc_id, page_domain, href, anchor,
+      |           lower(regexp_extract(aurl, '^([A-Za-z]+)://', 1)) AS scheme,
+      |           regexp_replace(regexp_replace(
+      |             lower(regexp_extract(aurl, '^[A-Za-z]+://([^/?#]*)', 1)),
+      |             ':443$', ''), '^www\.', '') AS host,
+      |           regexp_extract(aurl, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1)
+      |               AS path,
+      |           COALESCE(regexp_extract(aurl, '\?([^#]*)', 1), '')
+      |               AS query
+      |    FROM la
+      |), lq AS (
+      |    SELECT doc_id, page_domain, href, anchor, scheme, host,
+      |           CASE WHEN path = '' THEN '/'
+      |                ELSE regexp_replace(path, '(.)/$', '\1') END
+      |               AS path_norm,
+      |           COALESCE(array_to_string(
+      |             list_filter(string_split(query, '&'),
+      |               x -> NOT (starts_with(x, 'utm_')
+      |                         OR starts_with(x, 'ref=') OR x = '')), '&'),
+      |             '') AS query_norm,
+      |           string_split(host, '.') AS labels,
+      |           CASE WHEN host LIKE '%.co.uk' THEN 3 ELSE 2 END AS k
+      |    FROM ln
+      |), lx AS MATERIALIZED (
+      |    SELECT doc_id, href, anchor,
+      |           scheme || '://' || host || path_norm ||
+      |             CASE WHEN query_norm = '' THEN ''
+      |                  ELSE '?' || query_norm END AS link_url,
+      |           array_to_string(labels[len(labels)-k+1:len(labels)], '.')
+      |               AS target_domain,
+      |           page_domain,
+      |           CAST(CASE WHEN
+      |                  array_to_string(labels[len(labels)-k+1:len(labels)],
+      |                                  '.') <> page_domain
+      |                THEN 1 ELSE 0 END AS INT) AS is_external
+      |    FROM lq
+      |)""".stripMargin
+
+  /** PageRank oracle: replays GraphOps.pagerank's exact integer recurrence
+    * (base + (85·(contrib + dang div n)) div 100 at 1e12 total mass) as
+    * `iters` unrolled CTE stages over the crafted domain graph — all
+    * truncating BIGINT division, so the declarative replay lands on
+    * identical fixed-point values.
+    */
+  private def pagerankOracle(iters: Int): String = {
+    // every repeatedly-referenced CTE is MATERIALIZED: DuckDB inlines
+    // plain CTEs per reference, so the unrolled recurrence would otherwise
+    // replay the regex extraction 2^iters times (measured: minutes at
+    // sf0.01; materialized: instant)
+    val steps = (1 to iters).map { i =>
+      s""", c$i AS MATERIALIZED (
+         |    SELECT e.dst AS v, CAST(SUM(r.r // o.outdeg) AS BIGINT)
+         |               AS contrib
+         |    FROM edges e
+         |    JOIN r${i - 1} r ON e.src = r.v
+         |    JOIN outd o ON o.src = e.src
+         |    GROUP BY 1
+         |), d$i AS MATERIALIZED (
+         |    SELECT CAST(COALESCE(SUM(r.r), 0) AS BIGINT) AS dang
+         |    FROM r${i - 1} r LEFT JOIN outd o ON o.src = r.v
+         |    WHERE o.src IS NULL
+         |), r$i AS MATERIALIZED (
+         |    SELECT t.v,
+         |           CAST(nv.base + (85 * (COALESCE(c.contrib, 0)
+         |                  + (d$i.dang // nv.n))) // 100 AS BIGINT) AS r
+         |    FROM verts t CROSS JOIN nv CROSS JOIN d$i
+         |    LEFT JOIN c$i c ON c.v = t.v
+         |)""".stripMargin
+    }.mkString
+    "WITH " + linkCtes +
+      """, edges AS MATERIALIZED (
+        |    SELECT DISTINCT page_domain AS src, target_domain AS dst
+        |    FROM lx WHERE is_external = 1
+        |), verts AS MATERIALIZED (
+        |    SELECT DISTINCT page_domain AS v FROM lx
+        |    UNION
+        |    SELECT DISTINCT dst AS v FROM edges
+        |), outd AS MATERIALIZED (
+        |    SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+        |    FROM edges GROUP BY 1
+        |), ind AS MATERIALIZED (
+        |    SELECT dst, CAST(COUNT(*) AS BIGINT) AS indeg
+        |    FROM edges GROUP BY 1
+        |), nv AS MATERIALIZED (
+        |    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |           CAST(150000000000 // COUNT(*) AS BIGINT) AS base,
+        |           CAST(1000000000000 // COUNT(*) AS BIGINT) AS r_init
+        |    FROM verts
+        |), r0 AS MATERIALIZED (
+        |    SELECT v, r_init AS r FROM verts CROSS JOIN nv
+        |)""".stripMargin + steps +
+      s"""
+         |SELECT r.v AS domain,
+         |       CAST(COALESCE(o.outdeg, 0) AS BIGINT) AS n_out,
+         |       CAST(COALESCE(i.indeg, 0) AS BIGINT) AS n_in,
+         |       r.r AS rank_fp
+         |FROM r$iters r
+         |LEFT JOIN outd o ON o.src = r.v
+         |LEFT JOIN ind i ON i.dst = r.v
+         |ORDER BY rank_fp DESC, domain""".stripMargin
+  }
 
   /** Shared oracle fragments for the ANN split gates: L2 norms and the
     * in-order dot-product fold (the exact shape q_knn_cosine_topk proved
@@ -2144,6 +2311,39 @@ object SparkEntry {
         |                      > ${ops.UrlOps.SpamSharePerMille}
         |            THEN 1 ELSE 0 END AS INT) AS over_share
         |FROM g, tot ORDER BY registered_domain""".stripMargin,
+    // link extraction: the oracle reconstructs the crafted page html,
+    // replays the anchor regex, relative-reference resolution and the full
+    // url normalization chain per link — compared cell-for-cell
+    "q_link_extract" -> ("WITH " + linkCtes +
+      """
+        |SELECT doc_id, href, anchor, link_url, target_domain,
+        |       page_domain, is_external
+        |FROM lx ORDER BY doc_id, href""".stripMargin),
+    // anchor-text aggregation: same link CTEs, then the (domain, term)
+    // count and the top-3 window with the deterministic tie-break
+    "q_anchor_text" -> ("WITH " + linkCtes +
+      """, at1 AS (
+        |    SELECT target_domain,
+        |           unnest(string_split(anchor, ' ')) AS term
+        |    FROM lx WHERE is_external = 1
+        |), at2 AS (
+        |    SELECT target_domain, term,
+        |           CAST(COUNT(*) AS BIGINT) AS n_mentions
+        |    FROM at1 GROUP BY 1, 2
+        |), at3 AS (
+        |    SELECT target_domain, term, n_mentions,
+        |           CAST(row_number() OVER (PARTITION BY target_domain
+        |                ORDER BY n_mentions DESC, term) AS INT) AS rnk
+        |    FROM at2
+        |)
+        |SELECT target_domain, term, n_mentions, rnk
+        |FROM at3 WHERE rnk <= 3
+        |ORDER BY target_domain, rnk""".stripMargin),
+    // domain PageRank: the oracle unrolls the engine's 10 exact integer
+    // fixed-point rounds as chained CTEs — identical truncating BIGINT
+    // arithmetic, so an iterative distributed walk hash-checks against a
+    // declarative replay
+    "q_pagerank_domains" -> pagerankOracle(10),
     // substring-extent dedup (Lee et al. 2021 output-corpus operator):
     // the oracle replays seed set (duplicated 5-grams, per-doc DISTINCT),
     // interval-union extension (covered flag + lag run starts) and cut

@@ -159,6 +159,67 @@ object GraphOps {
         (col(idName) === col("canonical_id")).cast("int"))
       .orderBy(idName)
 
+  /** PageRank over a directed edge set in EXACT integer fixed point — the
+    * domain-authority signal a web-corpus pipeline feeds into source
+    * weighting ([[LinkOps.pagerankDomains]] wires the crafted link graph
+    * in). Floating-point PageRank is not oracle-checkable (sum order
+    * changes the bits); this one is: all arithmetic is Long fixed point at
+    * `scale` total mass with truncating division, so every sum is
+    * order-independent and a declarative replay lands on identical values.
+    *
+    * Per iteration (fixed `iters` rounds — no convergence test, so the
+    * round count is part of the deterministic contract):
+    * {{{
+    * r'(v) = base + (damp * (contrib(v) + dang div n)) div 100
+    *   base       = ((100-damp) * scale div 100) div n
+    *   contrib(v) = Σ_{u→v} (r(u) div outdeg(u))
+    *   dang       = Σ_{u: outdeg(u)=0} r(u)   (dangling mass, spread
+    *                                           uniformly like the teleport)
+    * }}}
+    *
+    * Shape: the edge set (the big table at web scale) is joined ONCE with
+    * out-degrees and persisted; each round is one src-keyed join + one
+    * map-side-combinable sum by dst, and the driver sees ONE scalar (the
+    * dangling mass) — the [[connectedComponents]] posture. Rounds are
+    * eagerly checkpointed (reliable when the session has a checkpoint dir)
+    * and superseded round files deleted, for the same plan-growth and
+    * storage reasons documented there.
+    *
+    * `edges`: (src, dst) directed, pre-deduplicated by the caller if
+    * multiplicity must not weight the walk. `vertices`: (id) — must cover
+    * every edge endpoint; isolated vertices hold base + teleport share.
+    */
+  def pagerank(edges: DataFrame, vertices: DataFrame, iters: Int = 10,
+               scale: Long = 1000000000000L, damp: Int = 85): DataFrame = {
+    require(iters >= 1 && damp >= 0 && damp <= 100)
+    val verts = vertices.select(col("id")).distinct().persist()
+    val outd = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("outdeg"))
+    val ewd = edges.join(outd.withColumnRenamed("id", "src"), "src").persist()
+    val dangVerts = verts.join(edges.select("src").distinct()
+      .withColumnRenamed("src", "id"), Seq("id"), "left_anti").persist()
+    try {
+      val n = verts.count()
+      require(n > 0, "pagerank over an empty vertex set")
+      val base = (100L - damp) * scale / 100 / n
+      var r = roundCheckpoint(verts.select(col("id"), lit(scale / n).as("r")))
+      for (_ <- 1 to iters) {
+        val dangShare = r.join(dangVerts, Seq("id"), "left_semi")
+          .agg(coalesce(sum("r"), lit(0L))).head().getLong(0) / n
+        val contrib = ewd.join(r, ewd("src") === r("id"))
+          .select(col("dst").as("id"), expr("r div outdeg").as("share"))
+          .groupBy("id").agg(sum("share").as("contrib"))
+        val next = roundCheckpoint(verts.join(contrib, Seq("id"), "left")
+          .select(col("id"),
+            (lit(base) + expr(s"($damp * (coalesce(contrib, 0L) + " +
+              s"${dangShare}L)) div 100")).as("r")))
+        checkpointFileOf(r).foreach(deleteCheckpointFile(r, _))
+        r = next
+      }
+      r.select(col("id"), col("r").as("rank_fp"))
+    } finally { verts.unpersist(); ewd.unpersist(); dangVerts.unpersist() }
+  }
+
   /** Oracle-gated cluster query: deterministic block-chain edges over the
     * documents table (doc_id → doc_id+1 within each 10-id block, plus a
     * +2 skip edge in the block's lower half), so components are exactly

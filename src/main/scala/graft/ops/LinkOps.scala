@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Hyperlink-graph operators — the third leg of the web-provenance family
+  * ([[WebTextOps]] extracts the text, [[UrlOps]] canonicalizes the page's
+  * own address; this extracts the OUTLINKS): anchor extraction with
+  * relative-reference resolution, per-target-domain anchor-text term
+  * aggregation (the classic off-page retrieval signal), and
+  * domain-authority PageRank over the induced domain graph
+  * ([[GraphOps.pagerank]] — exact integer fixed point, so the iterative
+  * walk is oracle-checkable).
+  *
+  * The fixture has no hyperlinks, so the link queries run over a
+  * DETERMINISTIC crafted page ([[craftedLinkHtml]]) whose outlink structure
+  * exercises the real cases: relative links (resolve against the page
+  * base, land on the page's own domain → internal), messy absolute links
+  * (upper-cased scheme/host, explicit default port, tracking params,
+  * fragments — the [[UrlOps]] normalization surface), cross-suffix targets
+  * (`.com` pages link into `.co.uk` and vice versa), and a structurally
+  * asymmetric graph: `.co.uk` pages (doc_id % 7 == 0) emit NO cross-domain
+  * links except the every-5th-doc promo, so most `.co.uk` domains are
+  * DANGLING PageRank sinks — the case the dangling-mass redistribution
+  * exists for. The crafting is the fixture; extraction, resolution,
+  * normalization and the walk are the product.
+  *
+  * Scale posture: extraction/resolution/normalization are per-row
+  * (regexp_extract_all + one explode — link rows ≈ a few × page rows,
+  * never quadratic); the anchor aggregation is one (domain, term)-keyed
+  * shuffle with a per-domain WindowGroupLimit; PageRank is
+  * [[GraphOps.pagerank]]'s one-join-one-agg-per-round shape over the
+  * domain-sized (not corpus-sized) graph.
+  */
+object LinkOps {
+
+  /** Deterministic crafted page body shared by the link queries and their
+    * oracles. Per document:
+    *  - always: a RELATIVE link `/about` (anchor carries the source name);
+    *  - `doc_id % 7 != 0` (the `.com` pages): a messy absolute link to
+    *    `src((3·id+1) mod 20).com` (upper-cased scheme/host, `:443`, a
+    *    tracking param) and a clean absolute link to
+    *    `src((id+11) mod 20).co.uk` (trailing slash + fragment);
+    *  - `doc_id % 5 == 0`: a promo link to `src((7·id+3) mod 20).com` with
+    *    a `ref` tracking param — the only cross-domain edges `.co.uk`
+    *    pages (id ≡ 0 mod 35) ever emit.
+    * No crafted choice produces a self-loop: 3id+1 ≡ id and 7id+3 ≡ id are
+    * both unsolvable mod 20 (parity), and cross-suffix targets differ by
+    * suffix.
+    */
+  private[graft] def craftedLinkHtml: Column = {
+    val id = col("doc_id")
+    def k(e: Column): Column = e.cast("string")
+    concat(
+      lit("<html><body><p>read more</p><a href=\"/about\">About "),
+      col("source"), lit("</a>"),
+      when(id % 7 =!= 0, concat(
+        lit("<a href=\"HTTPS://WWW.Src"), k((id * 3 + 1) % 20),
+        lit(".COM:443/p/"), k(id), lit("?utm_source=l&x="), k(id),
+        lit("\">jump src"), k((id * 3 + 1) % 20), lit("</a>"),
+        lit("<a href=\"https://Sub.src"), k((id + 11) % 20),
+        lit(".CO.UK/t/"), k(id), lit("/#s\">uk story src"),
+        k((id + 11) % 20), lit("</a>"))).otherwise(lit("")),
+      when(id % 5 === 0, concat(
+        lit("<a href=\"https://src"), k((id * 7 + 3) % 20),
+        lit(".com/x?ref=promo\">promo offer src"), k((id * 7 + 3) % 20),
+        lit("</a>"))).otherwise(lit("")),
+      lit("</body></html>"))
+  }
+
+  /** One row per extracted link for any (doc_id, url, html) frame: raw
+    * href, anchor text, the RESOLVED canonical link url (relative
+    * references joined to the page's scheme://authority, then the full
+    * [[UrlOps]] normalization), the link's registered target domain, the
+    * page's own registered domain, and the external flag (registered
+    * domains differ — intra-site navigation is not a provenance edge).
+    */
+  private[graft] def linkExtractFor(pages: DataFrame): DataFrame = {
+    val withPageDomain = UrlOps.withNormColumns(pages)
+      .select(col("doc_id"), col("url").as("page_url"),
+        col("registered_domain").as("page_domain"), col("html"))
+    val links = withPageDomain
+      .select(col("doc_id"), col("page_url"), col("page_domain"),
+        explode(regexp_extract_all(col("html"),
+          lit("<a href=\"[^\"]*\"[^>]*>[^<]*</a>"), lit(0))).as("m"))
+      .withColumn("href", regexp_extract(col("m"), "<a href=\"([^\"]*)\"", 1))
+      .withColumn("anchor", regexp_extract(col("m"), ">([^<]*)</a>", 1))
+      .withColumn("url", when(col("href").startsWith("/"),
+        concat(regexp_extract(col("page_url"), "^([A-Za-z]+://[^/?#]*)", 1),
+          col("href"))).otherwise(col("href")))
+    UrlOps.withNormColumns(links)
+      .withColumn("is_external",
+        (col("registered_domain") =!= col("page_domain")).cast("int"))
+      .select(col("doc_id"), col("href"), col("anchor"),
+        col("norm_url").as("link_url"),
+        col("registered_domain").as("target_domain"),
+        col("page_domain"), col("is_external"))
+  }
+
+  private def craftedLinks(s: SparkSession, d: String): DataFrame =
+    linkExtractFor(t(s, d, "documents")
+      .withColumn("url", UrlOps.craftedUrl)
+      .withColumn("html", craftedLinkHtml))
+
+  /** Link extraction over the crafted corpus — per-row only, ordered for
+    * the gate (href is unique within a page by crafting, so the order is
+    * total).
+    */
+  def linkExtract(s: SparkSession, d: String): DataFrame =
+    craftedLinks(s, d).orderBy("doc_id", "href")
+
+  /** Per-target-domain anchor-text terms, top 3 by mention count
+    * (count-desc, term-asc tie-break) — the aggregated off-page text
+    * retrieval systems index a page under. External links only; anchors
+    * split on single spaces (the crafted anchors are single-spaced).
+    * One (domain, term)-keyed aggregation + a per-domain window.
+    */
+  def anchorText(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = craftedLinks(s, d)
+      .filter(col("is_external") === 1)
+      .select(col("target_domain"),
+        explode(split(col("anchor"), " ")).as("term"))
+      .groupBy("target_domain", "term").agg(count(lit(1)).as("n_mentions"))
+    terms
+      .withColumn("rnk", row_number().over(Window.partitionBy("target_domain")
+        .orderBy(col("n_mentions").desc, col("term"))))
+      .filter(col("rnk") <= 3)
+      .orderBy("target_domain", "rnk")
+  }
+
+  /** Domain-authority PageRank over the crafted link graph: vertices =
+    * every page domain ∪ every external-link target domain, edges =
+    * DISTINCT external (page_domain → target_domain) pairs (multiplicity
+    * deliberately does not weight the walk — one domain spamming many
+    * links to one target gains nothing). 10 exact integer rounds at 1e12
+    * total mass ([[GraphOps.pagerank]]); in/out-degrees ride along for
+    * interpretability. rank_fp-desc order with domain tie-break.
+    */
+  def pagerankDomains(s: SparkSession, d: String): DataFrame = {
+    val links = craftedLinks(s, d).persist()
+    try {
+      val edges = links.filter(col("is_external") === 1)
+        .select(col("page_domain").as("src"), col("target_domain").as("dst"))
+        .distinct().persist()
+      try {
+        val verts = links.select(col("page_domain").as("id"))
+          .union(edges.select(col("dst").as("id"))).distinct()
+        val ranks = GraphOps.pagerank(edges, verts)
+        val outd = edges.groupBy(col("src").as("id"))
+          .agg(count(lit(1)).as("n_out"))
+        val ind = edges.groupBy(col("dst").as("id"))
+          .agg(count(lit(1)).as("n_in"))
+        // materialize eagerly while links/edges are still cached — the
+        // returned frame must not recompute the extraction after the
+        // finally-unpersist below
+        ranks.join(outd, Seq("id"), "left").join(ind, Seq("id"), "left")
+          .select(col("id").as("domain"),
+            coalesce(col("n_out"), lit(0L)).as("n_out"),
+            coalesce(col("n_in"), lit(0L)).as("n_in"),
+            col("rank_fp"))
+          .localCheckpoint(eager = true)
+          .orderBy(col("rank_fp").desc, col("domain"))
+      } finally edges.unpersist()
+    } finally links.unpersist()
+  }
+}

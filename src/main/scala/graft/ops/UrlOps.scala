@@ -62,12 +62,14 @@ object UrlOps {
     concat_ws(".", slice(labels, size(labels) - k + 1, k))
   }
 
-  /** Canonical url parts for any frame carrying (doc_id, url):
+  /** Appends the canonical url parts to any frame carrying a `url` column
+    * (other columns pass through — link extraction normalizes per-LINK
+    * rows through the same definitions the document query uses):
     * lower-cased scheme and host, `www.` prefix and default `:443` port
     * stripped, trailing path slash removed, tracking params dropped
     * (remaining params in original order), fragment discarded.
     */
-  private[graft] def urlNormalizeFor(docs: DataFrame): DataFrame = {
+  private[graft] def withNormColumns(docs: DataFrame): DataFrame = {
     val parsed = docs
       .withColumn("scheme", lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1)))
       .withColumn("hostport", lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]*)", 1)))
@@ -85,9 +87,14 @@ object UrlOps {
       .withColumn("norm_url", concat(
         col("scheme"), lit("://"), col("host"), col("path_norm"),
         when(col("query_norm") === "", "").otherwise(concat(lit("?"), col("query_norm")))))
+      .drop("hostport", "path", "query")
+  }
+
+  /** Canonicalization projection for a (doc_id, url) frame. */
+  private[graft] def urlNormalizeFor(docs: DataFrame): DataFrame =
+    withNormColumns(docs)
       .select("doc_id", "url", "scheme", "host", "path_norm", "query_norm",
         "registered_domain", "norm_url")
-  }
 
   /** Crafted-url canonicalization over the documents table — per-row only,
     * ordered for the gate.

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{GraphOps, LinkOps}
+
+/** Link-graph laws: anchor extraction + relative-reference resolution,
+  * exact integer PageRank hand-checks (fixed point on a cycle, dangling
+  * redistribution, mass conservation), and fixture-level structure.
+  */
+class LinkOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val Scale = 1000000000000L
+
+  test("extraction: hrefs, anchors, relative resolution, external flag") {
+    val pages = Seq((1L,
+      "https://www.Ex.COM:443/a",
+      """<html><body><a href="/about">About ex</a>""" +
+        """<a href="HTTPS://Other.ORG/p/1?utm_x=1&q=2">read other</a>""" +
+        """<a href="https://sub.ex.com/deep/">deep</a></body></html>"""))
+      .toDF("doc_id", "url", "html")
+    val out = LinkOps.linkExtractFor(pages).collect()
+      .map(r => r.getAs[String]("href") -> r).toMap
+    assert(out.size == 3)
+    // relative: joined to the page authority, then normalized (www + :443
+    // stripped, host lowered)
+    val rel = out("/about")
+    assert(rel.getAs[String]("link_url") == "https://ex.com/about")
+    assert(rel.getAs[String]("page_domain") == "ex.com")
+    assert(rel.getAs[Int]("is_external") == 0)
+    assert(rel.getAs[String]("anchor") == "About ex")
+    // absolute external: tracking param dropped, surviving param kept
+    val ext = out("HTTPS://Other.ORG/p/1?utm_x=1&q=2")
+    assert(ext.getAs[String]("link_url") == "https://other.org/p/1?q=2")
+    assert(ext.getAs[String]("target_domain") == "other.org")
+    assert(ext.getAs[Int]("is_external") == 1)
+    // subdomain of the page's registered domain is INTERNAL
+    val sub = out("https://sub.ex.com/deep/")
+    assert(sub.getAs[String]("target_domain") == "ex.com")
+    assert(sub.getAs[Int]("is_external") == 0)
+    assert(sub.getAs[String]("link_url") == "https://sub.ex.com/deep")
+  }
+
+  private def ranksOf(edges: Seq[(String, String)], verts: Seq[String],
+                      iters: Int): Map[String, Long] =
+    GraphOps.pagerank(edges.toDF("src", "dst"), verts.toDF("id"), iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("pagerank: a 2-cycle is an exact fixed point of the recurrence") {
+    // n=2: r0 = 5e11 each; contrib = r (outdeg 1); no dangling;
+    // r' = 75e9 + (85 * 5e11) div 100 = 75e9 + 425e9 = 5e11 — unchanged
+    val r = ranksOf(Seq("a" -> "b", "b" -> "a"), Seq("a", "b"), 10)
+    assert(r == Map("a" -> Scale / 2, "b" -> Scale / 2))
+  }
+
+  test("pagerank: dangling mass redistributes exactly (hand-computed)") {
+    // a -> b, b dangling, n=2. Round 1: dang = r(b) = 5e11, dang div n =
+    // 25e10; r'(a) = 75e9 + (85 * 25e10) div 100      = 287_500_000_000
+    //         r'(b) = 75e9 + (85 * (5e11+25e10)) div 100 = 712_500_000_000
+    val r = ranksOf(Seq("a" -> "b"), Seq("a", "b"), 1)
+    assert(r("a") == 287500000000L, s"got ${r("a")}")
+    assert(r("b") == 712500000000L, s"got ${r("b")}")
+    assert(r("a") + r("b") == Scale) // exact conservation here
+  }
+
+  test("pagerank: isolated vertex holds base + teleport share only") {
+    // c has no edges at all: contrib = 0, it only ever receives the base
+    // plus its share of the dangling mass it itself emits
+    val r = ranksOf(Seq("a" -> "b"), Seq("a", "b", "c"), 3)
+    assert(r("b") > r("a") && r("a") > 0 && r("c") > 0)
+    assert(r("c") < Scale / 3) // strictly below the uniform start
+  }
+
+  test("pagerank domains: mass conserved within truncation, sinks ranked") {
+    val rows = LinkOps.pagerankDomains(spark, sf).collect()
+    val n = rows.length.toLong
+    assert(n > 20, "both suffix families must appear as vertices")
+    val total = rows.map(_.getAs[Long]("rank_fp")).sum
+    // every truncating div loses < 1 unit per vertex per round (plus the
+    // damp div): allow 3 units × vertices × rounds of slack
+    assert(total <= Scale && total >= Scale - 3 * n * 10,
+      s"mass drifted: $total vs $Scale")
+    // the crafted graph has dangling .co.uk sinks with inlinks — they must
+    // exist and hold more than an isolated vertex would
+    val sinks = rows.filter(r => r.getAs[Long]("n_out") == 0 &&
+      r.getAs[Long]("n_in") > 0)
+    assert(sinks.nonEmpty, "crafting must produce dangling sinks")
+    // output order is rank-desc with domain tie-break
+    val pairs = rows.map(r =>
+      (r.getAs[Long]("rank_fp"), r.getAs[String]("domain")))
+    assert(pairs.sameElements(pairs.sortBy { case (rf, d) => (-rf, d) }))
+  }
+
+  test("anchor text: top-3 per domain, count-desc term-asc, external only") {
+    val rows = LinkOps.anchorText(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("target_domain")).foreach { case (_, g) =>
+      assert(g.length <= 3)
+      assert(g.map(_.getAs[Int]("rnk")).sorted.sameElements(1 to g.length))
+      val ordered = g.sortBy(_.getAs[Int]("rnk"))
+        .map(r => (-r.getAs[Long]("n_mentions"), r.getAs[String]("term")))
+      assert(ordered.sameElements(ordered.sorted), "tie-break violated")
+    }
+    // internal 'About srcN' anchors must not leak in
+    assert(!rows.exists(_.getAs[String]("term") == "About"))
+  }
+
+  test("link plans stay join-sane (no cartesian, no BNLJ)") {
+    Seq(LinkOps.linkExtract(spark, sf), LinkOps.anchorText(spark, sf))
+      .foreach { df =>
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"), p)
+      }
+  }
+}
