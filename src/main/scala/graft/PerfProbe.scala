@@ -479,7 +479,17 @@ object PerfProbe {
         // per-row let-bound fold + one chunk-hash shuffle — linear
         "q_bm25_decontam", "q_domain_mix", "q_cdc_chunks",
         "q_cdc_dedup_rewrite", "q_cdc_rewrite_incremental",
-        "q_phrase_search", "q_approx_percentile")
+        "q_phrase_search", "q_approx_percentile",
+        // round-11 web-provenance additions: html/url/link crafting +
+        // regex extraction are per-row (linear by construction); domain
+        // stats is one domain-keyed agg; the PageRank walk runs over the
+        // DOMAIN graph, whose size is K-invariant in the scaled corpus
+        // (sources don't multiply), so only the extraction leg scales
+        "q_html_extract", "q_url_normalize", "q_domain_stats",
+        "q_link_extract", "q_anchor_text", "q_pagerank_domains",
+        // quota table is domain-sized (broadcast); the draw is one
+        // WindowGroupLimit under a constant bound — output K-invariant
+        "q_authority_mix")
       // q_hybrid_search is deliberately absent for the q_contamination
       // reason: its semantic leg is probe-set x corpus and BOTH grow with
       // K here, so the ratio would measure the quadratic workload growth,

@@ -85,7 +85,15 @@ object PlanAudit {
       // the duplicate set + doc-keyed aggs — the exact-dedup shape at
       // chunk granularity, no positional self-join
       "q_cdc_chunks", "q_cdc_dedup_rewrite", "q_cdc_rewrite_incremental",
-      "q_phrase_search", "q_hybrid_search", "q_approx_percentile")
+      "q_phrase_search", "q_hybrid_search", "q_approx_percentile",
+      // round-11 web-provenance additions: link extraction (per-row
+      // regex + explode, zero exchange before the output sort), domain
+      // PageRank (the audit evidence is the returned frame being a
+      // checkpointed scan — the 10 iterative rounds run one src-keyed
+      // join + one dst-keyed sum each and never appear in the serve
+      // plan) and the authority mix (broadcast domain-sized quota join
+      // + one WindowGroupLimit under the constant rank bound)
+      "q_link_extract", "q_pagerank_domains", "q_authority_mix")
     // q_corpus_pipeline is deliberately NOT audited here: its query-form
     // plan is a trivial read over the staged tables (auditing it would
     // execute the whole 5-stage materialization for nothing — against

@@ -149,6 +149,7 @@ object SparkEntry {
     "q_link_extract"        -> (graft.ops.LinkOps.linkExtract _),
     "q_anchor_text"         -> (graft.ops.LinkOps.anchorText _),
     "q_pagerank_domains"    -> (graft.ops.LinkOps.pagerankDomains _),
+    "q_authority_mix"       -> (graft.ops.LinkOps.authorityMix _),
     "q_frame_sample"        -> (graft.ops.MultimodalOps.frameSample _),
     "q_keyframe_sample"     -> (graft.ops.MultimodalOps.keyframeSample _),
     "q_bm25_topk"           -> (RetrievalOps.bm25TopK _),
@@ -619,7 +620,22 @@ object SparkEntry {
     * truncating BIGINT division, so the declarative replay lands on
     * identical fixed-point values.
     */
-  private def pagerankOracle(iters: Int): String = {
+  private def pagerankOracle(iters: Int): String =
+    pagerankCtes(iters) +
+      s"""
+         |SELECT r.v AS domain,
+         |       CAST(COALESCE(o.outdeg, 0) AS BIGINT) AS n_out,
+         |       CAST(COALESCE(i.indeg, 0) AS BIGINT) AS n_in,
+         |       r.r AS rank_fp
+         |FROM r$iters r
+         |LEFT JOIN outd o ON o.src = r.v
+         |LEFT JOIN ind i ON i.dst = r.v
+         |ORDER BY rank_fp DESC, domain""".stripMargin
+
+  /** The link CTEs + the unrolled PageRank recurrence, ending at `r<iters>`
+    * (v, r) — shared by the rank gate and the authority-mix composition.
+    */
+  private def pagerankCtes(iters: Int): String = {
     // every repeatedly-referenced CTE is MATERIALIZED: DuckDB inlines
     // plain CTEs per reference, so the unrolled recurrence would otherwise
     // replay the regex extraction 2^iters times (measured: minutes at
@@ -665,16 +681,7 @@ object SparkEntry {
         |    FROM verts
         |), r0 AS MATERIALIZED (
         |    SELECT v, r_init AS r FROM verts CROSS JOIN nv
-        |)""".stripMargin + steps +
-      s"""
-         |SELECT r.v AS domain,
-         |       CAST(COALESCE(o.outdeg, 0) AS BIGINT) AS n_out,
-         |       CAST(COALESCE(i.indeg, 0) AS BIGINT) AS n_in,
-         |       r.r AS rank_fp
-         |FROM r$iters r
-         |LEFT JOIN outd o ON o.src = r.v
-         |LEFT JOIN ind i ON i.dst = r.v
-         |ORDER BY rank_fp DESC, domain""".stripMargin
+        |)""".stripMargin + steps
   }
 
   /** Shared oracle fragments for the ANN split gates: L2 norms and the
@@ -2344,6 +2351,29 @@ object SparkEntry {
     // arithmetic, so an iterative distributed walk hash-checks against a
     // declarative replay
     "q_pagerank_domains" -> pagerankOracle(10),
+    // authority-weighted mix: the PageRank CTEs feed per-domain quotas
+    // (1 + rank·100 div 1e12, exact integer), drawn by the shared md5
+    // permutation — the oracle replays walk, quota and draw end-to-end
+    "q_authority_mix" -> (pagerankCtes(10) +
+      """, au AS MATERIALIZED (
+        |    SELECT v AS domain,
+        |           CAST(1 + (r * 100) // 1000000000000 AS BIGINT) AS quota
+        |    FROM r10
+        |), apd AS (
+        |    SELECT doc_id,
+        |           CASE WHEN doc_id % 7 = 0 THEN source || '.co.uk'
+        |                ELSE source || '.com' END AS domain
+        |    FROM documents
+        |), ark AS (
+        |    SELECT apd.domain, apd.doc_id, au.quota,
+        |           row_number() OVER (PARTITION BY apd.domain
+        |               ORDER BY md5(CAST(apd.doc_id AS VARCHAR)),
+        |                        apd.doc_id) AS mix_rank
+        |    FROM apd JOIN au ON au.domain = apd.domain
+        |)
+        |SELECT domain, doc_id, quota, mix_rank FROM ark
+        |WHERE mix_rank <= quota
+        |ORDER BY domain, mix_rank""".stripMargin),
     // substring-extent dedup (Lee et al. 2021 output-corpus operator):
     // the oracle replays seed set (duplicated 5-grams, per-doc DISTINCT),
     // interval-union extension (covered flag + lag run starts) and cut

@@ -138,7 +138,13 @@ object LinkOps {
     * total mass ([[GraphOps.pagerank]]); in/out-degrees ride along for
     * interpretability. rank_fp-desc order with domain tie-break.
     */
-  def pagerankDomains(s: SparkSession, d: String): DataFrame = {
+  def pagerankDomains(s: SparkSession, d: String): DataFrame =
+    domainRanks(s, d).orderBy(col("rank_fp").desc, col("domain"))
+
+  /** Materialized (domain, n_out, n_in, rank_fp) over the crafted graph —
+    * shared by the rank query and the authority-weighted mix.
+    */
+  private[graft] def domainRanks(s: SparkSession, d: String): DataFrame = {
     val links = craftedLinks(s, d).persist()
     try {
       val edges = links.filter(col("is_external") === 1)
@@ -161,8 +167,34 @@ object LinkOps {
             coalesce(col("n_in"), lit(0L)).as("n_in"),
             col("rank_fp"))
           .localCheckpoint(eager = true)
-          .orderBy(col("rank_fp").desc, col("domain"))
       } finally edges.unpersist()
     } finally links.unpersist()
+  }
+
+  /** Authority-weighted source mixing — the provenance composition the
+    * link graph exists for (RefinedWeb-style domain weighting): each
+    * registered domain's sampling quota scales with its PageRank mass,
+    * `quota = 1 + (rank_fp · 100) div 1e12` (exact integer — 1 doc for a
+    * no-authority domain, up to 101 if one domain held ALL mass), and
+    * documents are drawn per domain by the same deterministic md5
+    * permutation as every mix operator. One broadcast join against the
+    * domain-sized rank table + one domain-keyed WindowGroupLimit under the
+    * constant rank bound — the corpus is never shuffled twice.
+    */
+  def authorityMix(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quotas = domainRanks(s, d)
+      .select(col("domain"),
+        (lit(1L) + expr("(rank_fp * 100) div 1000000000000")).as("quota"))
+    val docs = UrlOps.withNormColumns(
+        t(s, d, "documents").withColumn("url", UrlOps.craftedUrl))
+      .select(col("doc_id"), col("registered_domain").as("domain"))
+    val w = Window.partitionBy("domain")
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    docs.join(broadcast(quotas), "domain")
+      .withColumn("mix_rank", row_number().over(w))
+      .filter(col("mix_rank") <= 101 && col("mix_rank") <= col("quota"))
+      .select("domain", "doc_id", "quota", "mix_rank")
+      .orderBy("domain", "mix_rank")
   }
 }

@@ -106,6 +106,23 @@ class LinkOpsSpec extends SparkSpec {
     assert(!rows.exists(_.getAs[String]("term") == "About"))
   }
 
+  test("authority mix: quota tracks rank exactly, draws bounded by quota") {
+    val ranks = LinkOps.pagerankDomains(spark, sf).collect()
+      .map(r => r.getAs[String]("domain") -> r.getAs[Long]("rank_fp")).toMap
+    val rows = LinkOps.authorityMix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byDomain = rows.groupBy(_.getAs[String]("domain"))
+    byDomain.foreach { case (dom, g) =>
+      val quota = g.head.getAs[Long]("quota")
+      assert(quota == 1L + ranks(dom) * 100 / Scale, dom)
+      assert(g.map(_.getAs[Int]("mix_rank")).max <= quota)
+      assert(g.map(_.getAs[Int]("mix_rank")).sorted
+        .sameElements(1 to g.length), s"$dom ranks not dense")
+    }
+    // the weighting is non-vacuous: quotas differ across domains
+    assert(byDomain.values.map(_.head.getAs[Long]("quota")).toSet.size > 1)
+  }
+
   test("link plans stay join-sane (no cartesian, no BNLJ)") {
     Seq(LinkOps.linkExtract(spark, sf), LinkOps.anchorText(spark, sf))
       .foreach { df =>
