@@ -201,6 +201,11 @@ object PerfProbe {
         graft.ops.RetrievalOps.buildPhraseIndex(docs, "model_probe_ph"),
         graft.ops.RetrievalOps.phraseSearchFromIndex(spark, d,
           "model_probe_ph").count())
+      spark.sql("DROP DATABASE IF EXISTS `model_probe_auth` CASCADE")
+      row("domain_authority",
+        graft.ops.LinkOps.buildDomainAuthority(spark, d, "model_probe_auth"),
+        graft.ops.LinkOps.authorityMixFromModel(spark, d,
+          "model_probe_auth").count())
       spark.sql("DROP DATABASE IF EXISTS `model_probe_cdc` CASCADE")
       row("cdc_chunk_index",
         graft.ops.ChunkOps.buildChunkIndex(

@@ -181,11 +181,14 @@ object LinkOps {
     * domain-sized rank table + one domain-keyed WindowGroupLimit under the
     * constant rank bound — the corpus is never shuffled twice.
     */
-  def authorityMix(s: SparkSession, d: String): DataFrame = {
+  def authorityMix(s: SparkSession, d: String): DataFrame =
+    authorityMixWith(s, d, domainRanks(s, d))
+
+  private def authorityMixWith(s: SparkSession, d: String,
+                               ranks: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val quotas = domainRanks(s, d)
-      .select(col("domain"),
-        (lit(1L) + expr("(rank_fp * 100) div 1000000000000")).as("quota"))
+    val quotas = ranks.select(col("domain"),
+      (lit(1L) + expr("(rank_fp * 100) div 1000000000000")).as("quota"))
     val docs = UrlOps.withNormColumns(
         t(s, d, "documents").withColumn("url", UrlOps.craftedUrl))
       .select(col("doc_id"), col("registered_domain").as("domain"))
@@ -197,4 +200,58 @@ object LinkOps {
       .select("domain", "doc_id", "quota", "mix_rank")
       .orderBy("domain", "mix_rank")
   }
+
+  // ---- stored-authority lifecycle (the build/serve/refresh posture every
+  // model family carries: the walk is paid by the scheduled rebuild, the
+  // hot paths join the domain-sized stored table) ----
+
+  val AuthorityTable = "link_domain_authority"
+
+  /** Run the full extraction + walk and store (domain, n_out, n_in,
+    * rank_fp) — the scheduled-rebuild half. PageRank has no exact
+    * incremental form (one new edge can move every rank), so authority is
+    * a REBUILD family like IVF centroids, not an append family like the
+    * count models; between rebuilds serving uses the frozen table.
+    */
+  def buildDomainAuthority(s: SparkSession, d: String, db: String): Unit =
+    graft.store.Warehouse.saveModel(domainRanks(s, d), db, AuthorityTable)
+
+  /** Per-document authority serve: page domain (per-row derivation) joined
+    * against the STORED broadcast authority table — zero training jobs,
+    * zero iterations in the query path (plan-asserted in the spec).
+    * Domains the stored walk never saw (new since the rebuild) surface
+    * with authority 0, never drop.
+    */
+  def docAuthorityFromModel(s: SparkSession, d: String,
+                            db: String): DataFrame = {
+    graft.store.Warehouse.refreshDb(s, db) // cross-session rebuild visibility
+    val auth = s.table(s"`$db`.`$AuthorityTable`")
+      .select(col("domain"), col("rank_fp"))
+    UrlOps.withNormColumns(
+        t(s, d, "documents").withColumn("url", UrlOps.craftedUrl))
+      .select(col("doc_id"), col("registered_domain").as("domain"))
+      .join(broadcast(auth), Seq("domain"), "left")
+      .select(col("doc_id"), col("domain"),
+        coalesce(col("rank_fp"), lit(0L)).as("rank_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** [[authorityMix]] served from the stored table — bit-equal to the
+    * in-query gate for an unchanged corpus (spec-asserted), without
+    * re-running the walk.
+    */
+  def authorityMixFromModel(s: SparkSession, d: String,
+                            db: String): DataFrame = {
+    graft.store.Warehouse.refreshDb(s, db)
+    authorityMixWith(s, d, s.table(s"`$db`.`$AuthorityTable`"))
+  }
+
+  /** Cron posture: re-extract, re-walk, overwrite the stored table. */
+  def authorityRebuildEntry(id: String, cronExpr: String, d: String,
+                            db: String): graft.pipeline.ScheduleRunner.Entry =
+    graft.pipeline.ScheduleRunner.Entry(id,
+      graft.pipeline.CronSchedule.parse(cronExpr),
+      (s, _) => buildDomainAuthority(s, d, db),
+      name = "domain_authority_rebuild", target = s"$db.$AuthorityTable",
+      tags = Map("pipeline" -> "web-provenance"))
 }

@@ -123,6 +123,34 @@ class LinkOpsSpec extends SparkSpec {
     assert(byDomain.values.map(_.head.getAs[Long]("quota")).toSet.size > 1)
   }
 
+  test("stored authority: walk-free serve, mix bit-equal to the gate") {
+    val db = "graft_auth_spec"
+    LinkOps.buildDomainAuthority(spark, sf, db)
+    // the stored-table mix must land on exactly the in-query gate rows
+    val gate = LinkOps.authorityMix(spark, sf).collect().map(_.toString)
+    val served = LinkOps.authorityMixFromModel(spark, sf, db)
+      .collect().map(_.toString)
+    assert(served.sameElements(gate))
+    // per-doc authority: one corpus scan (the page-domain derivation),
+    // model side off the stored table — re-running the walk would scan
+    // documents again for the link extraction
+    val auth = LinkOps.docAuthorityFromModel(spark, sf, db)
+    val plan = auth.queryExecution.executedPlan.toString
+    assert(plan.sliding("documents.parquet".length)
+      .count(_ == "documents.parquet") == 1,
+      "authority serve re-ran the extraction/walk")
+    assert(plan.contains(LinkOps.AuthorityTable))
+    val rows = auth.collect()
+    assert(rows.length ==
+      Tables.t(spark, sf, "documents").count().toInt)
+    val ranks = LinkOps.pagerankDomains(spark, sf).collect()
+      .map(r => r.getAs[String]("domain") -> r.getAs[Long]("rank_fp")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rank_fp") ==
+        ranks.getOrElse(r.getAs[String]("domain"), 0L))
+    }
+  }
+
   test("link plans stay join-sane (no cartesian, no BNLJ)") {
     Seq(LinkOps.linkExtract(spark, sf), LinkOps.anchorText(spark, sf))
       .foreach { df =>
