@@ -494,7 +494,9 @@ object PerfProbe {
         "q_link_extract", "q_anchor_text", "q_pagerank_domains",
         // quota table is domain-sized (broadcast); the draw is one
         // WindowGroupLimit under a constant bound — output K-invariant
-        "q_authority_mix")
+        "q_authority_mix",
+        // second iterative walk — same K-invariant domain graph
+        "q_hits_domains")
       // q_hybrid_search is deliberately absent for the q_contamination
       // reason: its semantic leg is probe-set x corpus and BOTH grow with
       // K here, so the ratio would measure the quadratic workload growth,

@@ -93,7 +93,8 @@ object PlanAudit {
       // join + one dst-keyed sum each and never appear in the serve
       // plan) and the authority mix (broadcast domain-sized quota join
       // + one WindowGroupLimit under the constant rank bound)
-      "q_link_extract", "q_pagerank_domains", "q_authority_mix")
+      "q_link_extract", "q_pagerank_domains", "q_authority_mix",
+      "q_hits_domains")
     // q_corpus_pipeline is deliberately NOT audited here: its query-form
     // plan is a trivial read over the staged tables (auditing it would
     // execute the whole 5-stage materialization for nothing — against

@@ -149,6 +149,7 @@ object SparkEntry {
     "q_link_extract"        -> (graft.ops.LinkOps.linkExtract _),
     "q_anchor_text"         -> (graft.ops.LinkOps.anchorText _),
     "q_pagerank_domains"    -> (graft.ops.LinkOps.pagerankDomains _),
+    "q_hits_domains"        -> (graft.ops.LinkOps.hitsDomains _),
     "q_authority_mix"       -> (graft.ops.LinkOps.authorityMix _),
     "q_frame_sample"        -> (graft.ops.MultimodalOps.frameSample _),
     "q_keyframe_sample"     -> (graft.ops.MultimodalOps.keyframeSample _),
@@ -632,8 +633,61 @@ object SparkEntry {
          |LEFT JOIN ind i ON i.dst = r.v
          |ORDER BY rank_fp DESC, domain""".stripMargin
 
-  /** The link CTEs + the unrolled PageRank recurrence, ending at `r<iters>`
-    * (v, r) — shared by the rank gate and the authority-mix composition.
+  /** Link CTEs + the domain graph (distinct external edges + the vertex
+    * union) — shared by both iterative-walk oracles.
+    */
+  private def domainGraphCtes: String =
+    "WITH " + linkCtes +
+      """, edges AS MATERIALIZED (
+        |    SELECT DISTINCT page_domain AS src, target_domain AS dst
+        |    FROM lx WHERE is_external = 1
+        |), verts AS MATERIALIZED (
+        |    SELECT DISTINCT page_domain AS v FROM lx
+        |    UNION
+        |    SELECT DISTINCT dst AS v FROM edges
+        |)""".stripMargin
+
+  /** HITS oracle: replays GraphOps.hits' exact integer half-steps
+    * (sum-in, renormalize to 1e6, sum-out, renormalize) as `iters`
+    * unrolled MATERIALIZED CTE stages.
+    */
+  private def hitsOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s""", har$i AS MATERIALIZED (
+         |    SELECT e.dst AS v, CAST(SUM(h.h) AS BIGINT) AS raw
+         |    FROM edges e JOIN hh${i - 1} h ON h.v = e.src GROUP BY 1
+         |), has$i AS MATERIALIZED (
+         |    SELECT CAST(SUM(raw) AS BIGINT) AS s FROM har$i
+         |), ha$i AS MATERIALIZED (
+         |    SELECT t.v,
+         |           CAST((COALESCE(r.raw, 0) * 1000000) // has$i.s AS BIGINT)
+         |               AS a
+         |    FROM verts t CROSS JOIN has$i LEFT JOIN har$i r ON r.v = t.v
+         |), hhr$i AS MATERIALIZED (
+         |    SELECT e.src AS v, CAST(SUM(a.a) AS BIGINT) AS raw
+         |    FROM edges e JOIN ha$i a ON a.v = e.dst GROUP BY 1
+         |), hhs$i AS MATERIALIZED (
+         |    SELECT CAST(SUM(raw) AS BIGINT) AS s FROM hhr$i
+         |), hh$i AS MATERIALIZED (
+         |    SELECT t.v,
+         |           CAST((COALESCE(r.raw, 0) * 1000000) // hhs$i.s AS BIGINT)
+         |               AS h
+         |    FROM verts t CROSS JOIN hhs$i LEFT JOIN hhr$i r ON r.v = t.v
+         |)""".stripMargin
+    }.mkString
+    domainGraphCtes +
+      """, hh0 AS MATERIALIZED (
+        |    SELECT v, CAST(1000000 AS BIGINT) AS h FROM verts
+        |)""".stripMargin + steps +
+      s"""
+         |SELECT hh.v AS domain, hh.h AS hub_fp, ha.a AS auth_fp
+         |FROM hh$iters hh JOIN ha$iters ha ON ha.v = hh.v
+         |ORDER BY auth_fp DESC, hub_fp DESC, domain""".stripMargin
+  }
+
+  /** The graph CTEs + the unrolled PageRank recurrence, ending at
+    * `r<iters>` (v, r) — shared by the rank gate and the authority-mix
+    * composition.
     */
   private def pagerankCtes(iters: Int): String = {
     // every repeatedly-referenced CTE is MATERIALIZED: DuckDB inlines
@@ -660,15 +714,8 @@ object SparkEntry {
          |    LEFT JOIN c$i c ON c.v = t.v
          |)""".stripMargin
     }.mkString
-    "WITH " + linkCtes +
-      """, edges AS MATERIALIZED (
-        |    SELECT DISTINCT page_domain AS src, target_domain AS dst
-        |    FROM lx WHERE is_external = 1
-        |), verts AS MATERIALIZED (
-        |    SELECT DISTINCT page_domain AS v FROM lx
-        |    UNION
-        |    SELECT DISTINCT dst AS v FROM edges
-        |), outd AS MATERIALIZED (
+    domainGraphCtes +
+      """, outd AS MATERIALIZED (
         |    SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
         |    FROM edges GROUP BY 1
         |), ind AS MATERIALIZED (
@@ -2351,6 +2398,9 @@ object SparkEntry {
     // arithmetic, so an iterative distributed walk hash-checks against a
     // declarative replay
     "q_pagerank_domains" -> pagerankOracle(10),
+    // HITS: the second iterative walk — same exact-integer replay
+    // posture, mutually-recursive half-steps with in-band renormalization
+    "q_hits_domains" -> hitsOracle(5),
     // authority-weighted mix: the PageRank CTEs feed per-domain quotas
     // (1 + rank·100 div 1e12, exact integer), drawn by the shared md5
     // permutation — the oracle replays walk, quota and draw end-to-end

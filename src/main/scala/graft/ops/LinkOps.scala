@@ -141,10 +141,15 @@ object LinkOps {
   def pagerankDomains(s: SparkSession, d: String): DataFrame =
     domainRanks(s, d).orderBy(col("rank_fp").desc, col("domain"))
 
-  /** Materialized (domain, n_out, n_in, rank_fp) over the crafted graph —
-    * shared by the rank query and the authority-weighted mix.
+  /** Loan pattern over the crafted DOMAIN graph: persists the link rows
+    * and the distinct external (src, dst) edge set, hands (links, edges,
+    * verts) to `f`, eagerly materializes f's result while the inputs are
+    * still cached (the returned frame must not recompute the extraction
+    * after the unpersist), and releases the cache.
     */
-  private[graft] def domainRanks(s: SparkSession, d: String): DataFrame = {
+  private def withDomainGraph(s: SparkSession, d: String)
+                             (f: (DataFrame, DataFrame, DataFrame) => DataFrame)
+      : DataFrame = {
     val links = craftedLinks(s, d).persist()
     try {
       val edges = links.filter(col("is_external") === 1)
@@ -153,23 +158,39 @@ object LinkOps {
       try {
         val verts = links.select(col("page_domain").as("id"))
           .union(edges.select(col("dst").as("id"))).distinct()
-        val ranks = GraphOps.pagerank(edges, verts)
-        val outd = edges.groupBy(col("src").as("id"))
-          .agg(count(lit(1)).as("n_out"))
-        val ind = edges.groupBy(col("dst").as("id"))
-          .agg(count(lit(1)).as("n_in"))
-        // materialize eagerly while links/edges are still cached — the
-        // returned frame must not recompute the extraction after the
-        // finally-unpersist below
-        ranks.join(outd, Seq("id"), "left").join(ind, Seq("id"), "left")
-          .select(col("id").as("domain"),
-            coalesce(col("n_out"), lit(0L)).as("n_out"),
-            coalesce(col("n_in"), lit(0L)).as("n_in"),
-            col("rank_fp"))
-          .localCheckpoint(eager = true)
+        f(links, edges, verts).localCheckpoint(eager = true)
       } finally edges.unpersist()
     } finally links.unpersist()
   }
+
+  /** Materialized (domain, n_out, n_in, rank_fp) over the crafted graph —
+    * shared by the rank query and the authority-weighted mix.
+    */
+  private[graft] def domainRanks(s: SparkSession, d: String): DataFrame =
+    withDomainGraph(s, d) { (_, edges, verts) =>
+      val ranks = GraphOps.pagerank(edges, verts)
+      val outd = edges.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("n_out"))
+      val ind = edges.groupBy(col("dst").as("id"))
+        .agg(count(lit(1)).as("n_in"))
+      ranks.join(outd, Seq("id"), "left").join(ind, Seq("id"), "left")
+        .select(col("id").as("domain"),
+          coalesce(col("n_out"), lit(0L)).as("n_out"),
+          coalesce(col("n_in"), lit(0L)).as("n_in"),
+          col("rank_fp"))
+    }
+
+  /** HITS hubs/authorities over the crafted graph ([[GraphOps.hits]]) —
+    * the complementary walk to PageRank: a domain is a good AUTHORITY when
+    * good hubs link TO it and a good HUB when it links to good
+    * authorities. The crafted `.com` pages are the hub side, the `.co.uk`
+    * sinks pure authorities. auth-desc order, hub/domain tie-breaks.
+    */
+  def hitsDomains(s: SparkSession, d: String): DataFrame =
+    withDomainGraph(s, d) { (_, edges, verts) =>
+      GraphOps.hits(edges, verts)
+        .select(col("id").as("domain"), col("hub_fp"), col("auth_fp"))
+    }.orderBy(col("auth_fp").desc, col("hub_fp").desc, col("domain"))
 
   /** Authority-weighted source mixing — the provenance composition the
     * link graph exists for (RefinedWeb-style domain weighting): each

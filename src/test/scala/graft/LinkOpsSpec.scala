@@ -106,6 +106,41 @@ class LinkOpsSpec extends SparkSpec {
     assert(!rows.exists(_.getAs[String]("term") == "About"))
   }
 
+  test("hits: two-hub one-authority graph reaches its exact fixed point") {
+    // a→b, c→b at scale 1e6: round 1 gives a(b)=1e6 (all authority mass),
+    // h(a)=h(c)=500000 (hub mass split), h(b)=a(a)=a(c)=0 — and that is a
+    // fixed point of the normalized recurrence, so 5 rounds land there
+    val out = GraphOps.hits(
+        Seq("a" -> "b", "c" -> "b").toDF("src", "dst"),
+        Seq("a", "b", "c").toDF("id"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("a") == (500000L, 0L))
+    assert(out("c") == (500000L, 0L))
+    assert(out("b") == (0L, 1000000L))
+  }
+
+  test("hits domains: sinks are pure authorities, mass renormalized") {
+    val degrees = LinkOps.pagerankDomains(spark, sf).collect()
+      .map(r => r.getAs[String]("domain") ->
+        (r.getAs[Long]("n_out"), r.getAs[Long]("n_in"))).toMap
+    val rows = LinkOps.hitsDomains(spark, sf).collect()
+    assert(rows.length == degrees.size)
+    val n = rows.length
+    val (hubs, auths) = (rows.map(_.getAs[Long]("hub_fp")),
+      rows.map(_.getAs[Long]("auth_fp")))
+    // each half-step renormalizes to 1e6 with ≤1 unit truncation/vertex
+    assert(hubs.sum <= 1000000L && hubs.sum >= 1000000L - n)
+    assert(auths.sum <= 1000000L && auths.sum >= 1000000L - n)
+    rows.foreach { r =>
+      val (nOut, nIn) = degrees(r.getAs[String]("domain"))
+      if (nOut == 0) assert(r.getAs[Long]("hub_fp") == 0L,
+        s"${r.getAs[String]("domain")} is a sink but scored as a hub")
+      if (nIn == 0) assert(r.getAs[Long]("auth_fp") == 0L)
+    }
+    // the crafted graph is non-degenerate on both sides
+    assert(hubs.count(_ > 0) > 1 && auths.count(_ > 0) > 1)
+  }
+
   test("authority mix: quota tracks rank exactly, draws bounded by quota") {
     val ranks = LinkOps.pagerankDomains(spark, sf).collect()
       .map(r => r.getAs[String]("domain") -> r.getAs[Long]("rank_fp")).toMap
