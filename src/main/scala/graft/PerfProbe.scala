@@ -496,7 +496,10 @@ object PerfProbe {
         // WindowGroupLimit under a constant bound — output K-invariant
         "q_authority_mix",
         // second iterative walk — same K-invariant domain graph
-        "q_hits_domains")
+        "q_hits_domains",
+        // full build + streamed fold lifecycle: fact append is
+        // batch-proportional, the per-fold walk domain-sized
+        "q_link_graph_incremental")
       // q_hybrid_search is deliberately absent for the q_contamination
       // reason: its semantic leg is probe-set x corpus and BOTH grow with
       // K here, so the ratio would measure the quadratic workload growth,

@@ -151,6 +151,7 @@ object SparkEntry {
     "q_pagerank_domains"    -> (graft.ops.LinkOps.pagerankDomains _),
     "q_hits_domains"        -> (graft.ops.LinkOps.hitsDomains _),
     "q_authority_mix"       -> (graft.ops.LinkOps.authorityMix _),
+    "q_link_graph_incremental" -> (graft.ops.LinkOps.linkGraphIncrement _),
     "q_frame_sample"        -> (graft.ops.MultimodalOps.frameSample _),
     "q_keyframe_sample"     -> (graft.ops.MultimodalOps.keyframeSample _),
     "q_bm25_topk"           -> (RetrievalOps.bm25TopK _),
@@ -2401,6 +2402,10 @@ object SparkEntry {
     // HITS: the second iterative walk — same exact-integer replay
     // posture, mutually-recursive half-steps with in-band renormalization
     "q_hits_domains" -> hitsOracle(5),
+    // streaming maintenance invariant: the gate folds the back third of
+    // the corpus through LinkIngest; the oracle is the FRESH full-corpus
+    // walk — a green row proves streamed state ≡ a from-scratch build
+    "q_link_graph_incremental" -> pagerankOracle(10),
     // authority-weighted mix: the PageRank CTEs feed per-domain quotas
     // (1 + rank·100 div 1e12, exact integer), drawn by the shared md5
     // permutation — the oracle replays walk, quota and draw end-to-end

@@ -98,10 +98,16 @@ object LinkOps {
         col("page_domain"), col("is_external"))
   }
 
-  private def craftedLinks(s: SparkSession, d: String): DataFrame =
-    linkExtractFor(t(s, d, "documents")
+  /** Crafted-fixture link rows over any (doc_id, source) frame — shared by
+    * the corpus queries and the streaming fact ingest.
+    */
+  private[graft] def craftedLinksOver(docs: DataFrame): DataFrame =
+    linkExtractFor(docs
       .withColumn("url", UrlOps.craftedUrl)
       .withColumn("html", craftedLinkHtml))
+
+  private def craftedLinks(s: SparkSession, d: String): DataFrame =
+    craftedLinksOver(t(s, d, "documents"))
 
   /** Link extraction over the crafted corpus — per-row only, ordered for
     * the gate (href is unique within a page by crafting, so the order is
@@ -167,18 +173,25 @@ object LinkOps {
     * shared by the rank query and the authority-weighted mix.
     */
   private[graft] def domainRanks(s: SparkSession, d: String): DataFrame =
-    withDomainGraph(s, d) { (_, edges, verts) =>
-      val ranks = GraphOps.pagerank(edges, verts)
-      val outd = edges.groupBy(col("src").as("id"))
-        .agg(count(lit(1)).as("n_out"))
-      val ind = edges.groupBy(col("dst").as("id"))
-        .agg(count(lit(1)).as("n_in"))
-      ranks.join(outd, Seq("id"), "left").join(ind, Seq("id"), "left")
-        .select(col("id").as("domain"),
-          coalesce(col("n_out"), lit(0L)).as("n_out"),
-          coalesce(col("n_in"), lit(0L)).as("n_in"),
-          col("rank_fp"))
-    }
+    withDomainGraph(s, d) { (_, edges, verts) => ranksOver(edges, verts) }
+
+  /** The walk + degree decoration over an explicit (src, dst) edge set and
+    * (id) vertex set — shared by the corpus query path and the
+    * stored-fact rebuild ([[graft.pipeline.LinkIngest]]).
+    */
+  private[graft] def ranksOver(edges: DataFrame,
+                               verts: DataFrame): DataFrame = {
+    val ranks = GraphOps.pagerank(edges, verts)
+    val outd = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("n_out"))
+    val ind = edges.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).as("n_in"))
+    ranks.join(outd, Seq("id"), "left").join(ind, Seq("id"), "left")
+      .select(col("id").as("domain"),
+        coalesce(col("n_out"), lit(0L)).as("n_out"),
+        coalesce(col("n_in"), lit(0L)).as("n_in"),
+        col("rank_fp"))
+  }
 
   /** HITS hubs/authorities over the crafted graph ([[GraphOps.hits]]) —
     * the complementary walk to PageRank: a domain is a good AUTHORITY when
@@ -265,6 +278,23 @@ object LinkOps {
                             db: String): DataFrame = {
     graft.store.Warehouse.refreshDb(s, db)
     authorityMixWith(s, d, s.table(s"`$db`.`$AuthorityTable`"))
+  }
+
+  /** Registry gate for the streaming maintenance invariant: build the
+    * fact table from the front 2/3 of the corpus, fold the back 1/3
+    * through [[graft.pipeline.LinkIngest.linkIngestBatch]], output the
+    * stored authority table — the oracle replays the walk over the FULL
+    * corpus declaratively, so a green row proves streamed state ≡ a
+    * from-scratch build.
+    */
+  def linkGraphIncrement(s: SparkSession, d: String): DataFrame = {
+    val db = "graft_links_inc_q"
+    graft.pipeline.LinkIngest.buildLinkFacts(s,
+      IncrementalClusters.corpusDocsRange(s, d), db)
+    graft.pipeline.LinkIngest.linkIngestBatch(s, "gate",
+      IncrementalClusters.batchDocsRange(s, d), db)
+    s.table(s"`$db`.`$AuthorityTable`")
+      .orderBy(col("rank_fp").desc, col("domain"))
   }
 
   /** Cron posture: re-extract, re-walk, overwrite the stored table. */

@@ -1,0 +1,165 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.LinkOps
+
+/** Streaming growth for the link graph — the [[Bm25Ingest]] structure
+  * applied to web provenance: per-document link FACTS (page domain,
+  * target domain, external flag) append row-idempotently behind an
+  * append-only doc_id fence, and the DERIVED state — the stored
+  * domain-authority table ([[LinkOps.AuthorityTable]]) — is REBUILT from
+  * the stored facts after every fold, never additively patched: PageRank
+  * has no exact increment (one new edge can move every rank), so the
+  * rebuild-from-facts posture is not merely self-healing here, it is the
+  * only exact maintenance there is. Whatever partial state a crash left,
+  * the next fold's rebuild lands the authority the facts imply.
+  *
+  * Cost: one walk over the DOMAIN graph per micro-batch — domain-sized
+  * (vocab-class), not corpus-sized, so per-batch rebuild is affordable at
+  * ingest cadence; a deployment that can tolerate stale weights between
+  * folds drops the in-fold rebuild and re-anchors on
+  * [[LinkOps.authorityRebuildEntry]]'s cron instead — retrievability of
+  * the facts themselves is exact from the moment they land.
+  *
+  * Exactly-once: committed-epoch ledger per source set LAST (replays
+  * no-op), fence advanced AFTER the rebuild commits (a crashed batch's
+  * redelivery passes the fence and the row-idempotent fact append lands
+  * exactly the missing rows), content proof on absorbed overlaps (an
+  * overlapping doc whose LINK ROWS differ from the stored ones is not a
+  * redelivery — refused loudly), lease renewed at stage boundaries.
+  */
+object LinkIngest {
+
+  val LinkFactsTable = "link_facts"
+  private[graft] val MaxDocProp = "graft.links.max_doc"
+  private[graft] val LastEpochProp = "graft.links.last_epoch"
+
+  private def digest(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private[graft] def epochProp(srcTag: String): String =
+    s"$LastEpochProp.${digest(srcTag)}"
+
+  private def fqn(db: String, tbl: String) = s"`$db`.`$tbl`"
+
+  private def factsOf(docs: DataFrame): DataFrame =
+    LinkOps.craftedLinksOver(docs)
+      .select("doc_id", "page_domain", "target_domain", "is_external")
+
+  /** Walk the STORED facts and overwrite the authority table — the
+    * derived-state rebuild shared by the initial build and every fold.
+    */
+  def rebuildAuthorityFromFacts(s: SparkSession, db: String): Unit = {
+    graft.store.Warehouse.refreshDb(s, db)
+    val facts = s.table(fqn(db, LinkFactsTable)).persist()
+    try {
+      val edges = facts.filter(col("is_external") === 1)
+        .select(col("page_domain").as("src"), col("target_domain").as("dst"))
+        .distinct().persist()
+      try {
+        val verts = facts.select(col("page_domain").as("id"))
+          .union(edges.select(col("dst").as("id"))).distinct()
+        graft.store.Warehouse.saveModel(
+          LinkOps.ranksOver(edges, verts).localCheckpoint(eager = true),
+          db, LinkOps.AuthorityTable)
+      } finally edges.unpersist()
+    } finally facts.unpersist()
+  }
+
+  /** Initial state: overwrite the fact table from a corpus frame, pin the
+    * append-only fence at its max doc_id, rebuild authority. Overwriting
+    * resets any previous state under the same db (the bench-rerun
+    * contract every incremental gate follows).
+    */
+  def buildLinkFacts(s: SparkSession, corpus: DataFrame, db: String): Unit = {
+    val facts = factsOf(corpus)
+    val bounds = facts.agg(max("doc_id")).head()
+    require(!bounds.isNullAt(0), "buildLinkFacts over an empty corpus")
+    graft.store.Warehouse.saveModel(facts, db, LinkFactsTable)
+    CorpusPipeline.setDbProp(s, db, MaxDocProp, bounds.getLong(0).toString)
+    rebuildAuthorityFromFacts(s, db)
+  }
+
+  /** Fold one micro-batch of (doc_id, source) rows into the stored graph.
+    * `failAfter` is a TEST-ONLY failpoint: crash after the fact append,
+    * before the rebuild/fence.
+    */
+  def linkIngestBatch(s: SparkSession, srcTag: String, batch: DataFrame,
+                      db: String, epochId: Long = -1L,
+                      failAfter: Boolean = false): Unit = {
+    if (batch.isEmpty) return
+    require(s.catalog.tableExists(s"$db.$LinkFactsTable"),
+      s"linkIngestBatch: no link facts in `$db` — buildLinkFacts first")
+    val lease = CorpusPipeline.acquireLease(s, db)
+    val bf = factsOf(batch).persist()
+    try {
+      if (epochId >= 0 &&
+          CorpusPipeline.dbProps(s, db).get(epochProp(srcTag))
+            .filter(_.nonEmpty).map(_.toLong).exists(_ >= epochId))
+        return // committed-epoch replay: every write already landed
+      val bounds = bf.agg(min("doc_id"), max("doc_id")).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val storedMax = CorpusPipeline.dbProps(s, db)
+        .getOrElse(MaxDocProp, sys.error(
+          s"linkIngestBatch: `$db` carries no $MaxDocProp fence")).toLong
+      require(hi > storedMax,
+        s"linkIngestBatch: batch max doc_id $hi <= ingested max $storedMax " +
+          "— out-of-order ingest refused (the append-only contract)")
+      graft.store.Warehouse.refreshDb(s, db)
+      val factsT = fqn(db, LinkFactsTable)
+      val storedRange = s.table(factsT)
+        .filter(col("doc_id").between(lo, hi)).persist()
+      try {
+        // content proof for absorbed overlaps: a redelivered doc must carry
+        // EXACTLY the link rows it did the first time. A row COUNT (the
+        // Bm25Ingest doclen shortcut) is too weak here — the crafted link
+        // count depends only on doc_id arithmetic, so a rogue overlap
+        // with a different source would pass it. Compare the fact rows as
+        // per-doc MULTISETS (full outer on the grouped rows, restricted
+        // to the overlapping ids — ≤ a handful of rows per doc,
+        // range-pruned).
+        CorpusPipeline.renewLease(s, db, lease)
+        val factCols = Seq("doc_id", "page_domain", "target_domain",
+          "is_external")
+        val overlapIds = storedRange.select("doc_id").distinct()
+          .join(bf.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+        val stG = storedRange.groupBy(factCols.map(col): _*)
+          .agg(count(lit(1)).as("n_st"))
+        val btG = bf.groupBy(factCols.map(col): _*)
+          .agg(count(lit(1)).as("n_b"))
+        val mismatched = stG.join(btG, factCols, "full_outer")
+          .join(overlapIds, Seq("doc_id"), "left_semi")
+          .filter(coalesce(col("n_st"), lit(-1L)) =!=
+            coalesce(col("n_b"), lit(-1L)))
+          .select("doc_id").distinct().count()
+        require(mismatched == 0L,
+          s"linkIngestBatch: $mismatched overlapping doc_ids carry " +
+            "DIFFERENT link rows than the ingested ones — not a " +
+            "redelivery; refusing loudly")
+        val fresh = bf.join(storedRange.select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti")
+        fresh.write.mode("append").insertInto(factsT)
+        if (failAfter)
+          throw new RuntimeException("test failpoint after facts append")
+      } finally storedRange.unpersist()
+      CorpusPipeline.renewLease(s, db, lease)
+      rebuildAuthorityFromFacts(s, db)
+      if (epochId >= 0)
+        CorpusPipeline.setDbProp(s, db, epochProp(srcTag), epochId.toString)
+      CorpusPipeline.setDbProp(s, db, MaxDocProp, hi.toString)
+    } finally {
+      try bf.unpersist()
+      catch { case scala.util.control.NonFatal(_) => () }
+      CorpusPipeline.releaseLease(s, db, lease)
+    }
+  }
+
+  /** foreachBatch adapter — wires the streaming engine's epochId into the
+    * replay ledger.
+    */
+  def linkIngestSink(srcTag: String, db: String): (DataFrame, Long) => Unit =
+    (batch, epochId) =>
+      linkIngestBatch(batch.sparkSession, srcTag, batch, db, epochId)
+}
