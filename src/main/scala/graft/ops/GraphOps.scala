@@ -63,6 +63,15 @@ object GraphOps {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.flatMap(r => Option(r.getCheckpointFile.orNull))
 
+  /** ALL reliable-checkpoint files under a frame — [[hits]] returns a JOIN
+    * of two checkpointed rounds (hub + authority), so the single-leaf
+    * helper above would leak one of them.
+    */
+  private def checkpointFilesOf(df: DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collectLeaves().collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.flatMap(r => Option(r.getCheckpointFile.orNull))
+
   private def deleteCheckpointFile(df: DataFrame, path: String): Unit =
     try {
       val p = new org.apache.hadoop.fs.Path(path)
@@ -220,6 +229,19 @@ object GraphOps {
     } finally { verts.unpersist(); ewd.unpersist(); dangVerts.unpersist() }
   }
 
+  /** Loan variant of [[pagerank]] — like [[connectedComponentsInto]]:
+    * `consume` must fully materialize what it needs; the final round's
+    * reliable checkpoint files are deleted afterwards, so a scheduled
+    * walk doesn't grow checkpoint storage by one round of ranks per run.
+    */
+  def pagerankInto[A](edges: DataFrame, vertices: DataFrame, iters: Int = 10,
+                      scale: Long = 1000000000000L, damp: Int = 85)
+                     (consume: DataFrame => A): A = {
+    val r = pagerank(edges, vertices, iters, scale, damp)
+    try consume(r)
+    finally checkpointFilesOf(r).foreach(deleteCheckpointFile(r, _))
+  }
+
   /** HITS (Kleinberg) hubs/authorities in EXACT integer fixed point — the
     * mutually-recursive complement of [[pagerank]]: per round, authority
     * mass is the sum of in-linking hub scores, hub mass the sum of
@@ -235,7 +257,9 @@ object GraphOps {
     * `raw · scale` must stay inside Long: raw ≤ n·scale, so the bound is
     * n·scale² < 2⁶³ — at 1e6 that admits ~9·10⁶ vertices, the
     * registered-domain range; a larger graph needs a smaller scale or a
-    * two-level normalization, refused loudly rather than wrapped.
+    * two-level normalization, refused loudly rather than wrapped. (The
+    * normalization sums themselves are bounded by E·scale — Long-safe to
+    * ~9·10¹² edges — and ANSI mode makes any residual overflow loud.)
     *
     * Shape: per round two keyed join+sum passes over the edge set and two
     * driver scalars (the normalization sums); rounds eagerly checkpointed
@@ -275,6 +299,18 @@ object GraphOps {
       h.select(col("id"), col("h").as("hub_fp"))
         .join(a.select(col("id"), col("a").as("auth_fp")), "id")
     } finally { verts.unpersist(); e.unpersist() }
+  }
+
+  /** Loan variant of [[hits]] — the returned frame holds TWO rounds'
+    * checkpoint files (hub and authority), both deleted after `consume`
+    * materializes.
+    */
+  def hitsInto[A](edges: DataFrame, vertices: DataFrame, iters: Int = 5,
+                  scale: Long = 1000000L)
+                 (consume: DataFrame => A): A = {
+    val hv = hits(edges, vertices, iters, scale)
+    try consume(hv)
+    finally checkpointFilesOf(hv).foreach(deleteCheckpointFile(hv, _))
   }
 
   /** Oracle-gated cluster query: deterministic block-chain edges over the

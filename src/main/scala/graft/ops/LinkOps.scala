@@ -45,9 +45,12 @@ object LinkOps {
     *  - `doc_id % 5 == 0`: a promo link to `src((7·id+3) mod 20).com` with
     *    a `ref` tracking param — the only cross-domain edges `.co.uk`
     *    pages (id ≡ 0 mod 35) ever emit.
-    * No crafted choice produces a self-loop: 3id+1 ≡ id and 7id+3 ≡ id are
-    * both unsolvable mod 20 (parity), and cross-suffix targets differ by
-    * suffix.
+    * On the FIXTURE (where source = src(doc_id mod 20)) no crafted choice
+    * produces a self-loop: 3id+1 ≡ id and 7id+3 ≡ id are both unsolvable
+    * mod 20 (parity), and cross-suffix targets differ by suffix. A frame
+    * whose source is decoupled from doc_id (a streamed batch) CAN
+    * self-loop — such a link is simply internal (is_external = 0) and
+    * never becomes a graph edge.
     */
   private[graft] def craftedLinkHtml: Column = {
     val id = col("doc_id")
@@ -149,9 +152,10 @@ object LinkOps {
 
   /** Loan pattern over the crafted DOMAIN graph: persists the link rows
     * and the distinct external (src, dst) edge set, hands (links, edges,
-    * verts) to `f`, eagerly materializes f's result while the inputs are
-    * still cached (the returned frame must not recompute the extraction
-    * after the unpersist), and releases the cache.
+    * verts) to `f`, and releases the cache. `f` MUST return an
+    * eagerly-materialized frame (both walk paths checkpoint through their
+    * GraphOps loans) — a lazy result would recompute the extraction after
+    * the unpersist.
     */
   private def withDomainGraph(s: SparkSession, d: String)
                              (f: (DataFrame, DataFrame, DataFrame) => DataFrame)
@@ -164,7 +168,7 @@ object LinkOps {
       try {
         val verts = links.select(col("page_domain").as("id"))
           .union(edges.select(col("dst").as("id"))).distinct()
-        f(links, edges, verts).localCheckpoint(eager = true)
+        f(links, edges, verts)
       } finally edges.unpersist()
     } finally links.unpersist()
   }
@@ -177,21 +181,25 @@ object LinkOps {
 
   /** The walk + degree decoration over an explicit (src, dst) edge set and
     * (id) vertex set — shared by the corpus query path and the
-    * stored-fact rebuild ([[graft.pipeline.LinkIngest]]).
+    * stored-fact rebuild ([[graft.pipeline.LinkIngest]]). Returns an
+    * eagerly-materialized frame; the walk's round checkpoint files are
+    * reclaimed through the loan ([[GraphOps.pagerankInto]]), so repeated
+    * rebuilds can't grow reliable-checkpoint storage.
     */
   private[graft] def ranksOver(edges: DataFrame,
-                               verts: DataFrame): DataFrame = {
-    val ranks = GraphOps.pagerank(edges, verts)
-    val outd = edges.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("n_out"))
-    val ind = edges.groupBy(col("dst").as("id"))
-      .agg(count(lit(1)).as("n_in"))
-    ranks.join(outd, Seq("id"), "left").join(ind, Seq("id"), "left")
-      .select(col("id").as("domain"),
-        coalesce(col("n_out"), lit(0L)).as("n_out"),
-        coalesce(col("n_in"), lit(0L)).as("n_in"),
-        col("rank_fp"))
-  }
+                               verts: DataFrame): DataFrame =
+    GraphOps.pagerankInto(edges, verts) { ranks =>
+      val outd = edges.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("n_out"))
+      val ind = edges.groupBy(col("dst").as("id"))
+        .agg(count(lit(1)).as("n_in"))
+      ranks.join(outd, Seq("id"), "left").join(ind, Seq("id"), "left")
+        .select(col("id").as("domain"),
+          coalesce(col("n_out"), lit(0L)).as("n_out"),
+          coalesce(col("n_in"), lit(0L)).as("n_in"),
+          col("rank_fp"))
+        .localCheckpoint(eager = true)
+    }
 
   /** HITS hubs/authorities over the crafted graph ([[GraphOps.hits]]) —
     * the complementary walk to PageRank: a domain is a good AUTHORITY when
@@ -201,8 +209,10 @@ object LinkOps {
     */
   def hitsDomains(s: SparkSession, d: String): DataFrame =
     withDomainGraph(s, d) { (_, edges, verts) =>
-      GraphOps.hits(edges, verts)
-        .select(col("id").as("domain"), col("hub_fp"), col("auth_fp"))
+      GraphOps.hitsInto(edges, verts) { hv =>
+        hv.select(col("id").as("domain"), col("hub_fp"), col("auth_fp"))
+          .localCheckpoint(eager = true)
+      }
     }.orderBy(col("auth_fp").desc, col("hub_fp").desc, col("domain"))
 
   /** Authority-weighted source mixing — the provenance composition the

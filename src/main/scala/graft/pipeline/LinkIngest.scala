@@ -61,9 +61,10 @@ object LinkIngest {
       try {
         val verts = facts.select(col("page_domain").as("id"))
           .union(edges.select(col("dst").as("id"))).distinct()
+        // ranksOver is already eagerly materialized (checkpoint-reclaimed
+        // through the pagerank loan)
         graft.store.Warehouse.saveModel(
-          LinkOps.ranksOver(edges, verts).localCheckpoint(eager = true),
-          db, LinkOps.AuthorityTable)
+          LinkOps.ranksOver(edges, verts), db, LinkOps.AuthorityTable)
       } finally edges.unpersist()
     } finally facts.unpersist()
   }
