@@ -499,7 +499,9 @@ object PerfProbe {
         "q_hits_domains",
         // full build + streamed fold lifecycle: fact append is
         // batch-proportional, the per-fold walk domain-sized
-        "q_link_graph_incremental")
+        "q_link_graph_incremental",
+        // per-row bit arithmetic, zero shuffle — linear by construction
+        "q_zorder_key")
       // q_hybrid_search is deliberately absent for the q_contamination
       // reason: its semantic leg is probe-set x corpus and BOTH grow with
       // K here, so the ratio would measure the quadratic workload growth,

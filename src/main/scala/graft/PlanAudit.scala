@@ -94,7 +94,10 @@ object PlanAudit {
       // plan) and the authority mix (broadcast domain-sized quota join
       // + one WindowGroupLimit under the constant rank bound)
       "q_link_extract", "q_pagerank_domains", "q_authority_mix",
-      "q_hits_domains")
+      "q_hits_domains",
+      // Z-order key: the audit evidence is the 32-term shift/mask sum
+      // riding inside one WholeStageCodegen project over the scan
+      "q_zorder_key")
     // q_corpus_pipeline is deliberately NOT audited here: its query-form
     // plan is a trivial read over the staged tables (auditing it would
     // execute the whole 5-stage materialization for nothing — against

@@ -152,6 +152,7 @@ object SparkEntry {
     "q_hits_domains"        -> (graft.ops.LinkOps.hitsDomains _),
     "q_authority_mix"       -> (graft.ops.LinkOps.authorityMix _),
     "q_link_graph_incremental" -> (graft.ops.LinkOps.linkGraphIncrement _),
+    "q_zorder_key"          -> (graft.ops.LayoutOps.zOrderKey _),
     "q_frame_sample"        -> (graft.ops.MultimodalOps.frameSample _),
     "q_keyframe_sample"     -> (graft.ops.MultimodalOps.keyframeSample _),
     "q_bm25_topk"           -> (RetrievalOps.bm25TopK _),
@@ -633,6 +634,15 @@ object SparkEntry {
          |LEFT JOIN outd o ON o.src = r.v
          |LEFT JOIN ind i ON i.dst = r.v
          |ORDER BY rank_fp DESC, domain""".stripMargin
+
+  /** DuckDB-operator flavor of LayoutOps.mortonExpr — same 16-term
+    * shift/mask sum, spelled with `>> << &` (DuckDB has no shiftleft
+    * function).
+    */
+  private def mortonSqlDuck(x: String, y: String): String =
+    (0 until graft.ops.LayoutOps.Bits).map { b =>
+      s"(((($x >> $b) & 1) << ${2 * b}) + ((($y >> $b) & 1) << ${2 * b + 1}))"
+    }.mkString(" + ")
 
   /** Link CTEs + the domain graph (distinct external edges + the vertex
     * union) — shared by both iterative-walk oracles.
@@ -2406,6 +2416,30 @@ object SparkEntry {
     // the corpus through LinkIngest; the oracle is the FRESH full-corpus
     // walk — a green row proves streamed state ≡ a from-scratch build
     "q_link_graph_incremental" -> pagerankOracle(10),
+    // Z-order clustering key: the oracle replays the dimension encoding
+    // and the 16-term Morton interleave bit-for-bit
+    "q_zorder_key" ->
+      s"""WITH ld AS (
+         |    SELECT lang,
+         |           CAST(row_number() OVER (ORDER BY lang) - 1 AS BIGINT)
+         |               AS lang_idx
+         |    FROM (SELECT DISTINCT lang FROM documents)
+         |), zd AS (
+         |    SELECT doc_id, ld.lang_idx,
+         |           CAST(LEAST(n_chars, 65535) AS BIGINT) AS len16
+         |    FROM documents d JOIN ld ON ld.lang = d.lang
+         |), zk AS (
+         |    SELECT doc_id, lang_idx, len16,
+         |           CAST(${mortonSqlDuck("lang_idx", "len16")} AS BIGINT)
+         |               AS z_key
+         |    FROM zd
+         |), mz AS (
+         |    SELECT CAST(COALESCE(MAX(z_key), 0) AS BIGINT) AS mz FROM zk
+         |)
+         |SELECT doc_id, lang_idx, len16, z_key,
+         |       CAST(z_key // GREATEST(1, (mz + 1) // 64) AS BIGINT)
+         |           AS z_bucket
+         |FROM zk CROSS JOIN mz ORDER BY doc_id""".stripMargin,
     // authority-weighted mix: the PageRank CTEs feed per-domain quotas
     // (1 + rank·100 div 1e12, exact integer), drawn by the shared md5
     // permutation — the oracle replays walk, quota and draw end-to-end
