@@ -173,6 +173,7 @@ object SparkEntry {
     "q_budget_mix"          -> ((s: SparkSession, d: String) => SamplingOps.budgetMix(s, d)),
     "q_corpus_pipeline"     -> (graft.pipeline.CorpusPipeline.query _),
     "q_corpus_increment"    -> (graft.pipeline.CorpusPipeline.queryIncrement _),
+    "q_expectations"        -> (ExpectationOps.expectations _),
   )
 
   /** DuckDB-dialect oracle SQL per query — since round 8, EVERY query has
@@ -3468,5 +3469,49 @@ object SparkEntry {
         |       CAST(1 AS INTEGER) AS p50_within,
         |       CAST(1 AS INTEGER) AS p90_within
         |FROM apc GROUP BY 1 ORDER BY 1""".stripMargin,
+    // data-quality expectations: every verdict is an exact integer
+    // (conditional-sum violation counts, count-distinct uniqueness,
+    // NOT EXISTS referential containment, per-million rate by
+    // truncating division) — replayed constraint by constraint
+    "q_expectations" ->
+      """WITH o AS (
+        |    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+        |           CAST(sum(CASE WHEN o_orderstatus IS NULL
+        |                    OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+        |           CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+        |                    OR o_totalprice > 1e12 THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+        |           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS u_distinct,
+        |           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u_nulls
+        |    FROM orders
+        |), l AS (
+        |    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |           CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+        |                    OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+        |           CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0
+        |                    OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc
+        |    FROM lineitem
+        |), r AS (
+        |    SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows,
+        |           CAST((SELECT count(*) FROM orders o2
+        |                 WHERE o2.o_custkey IS NOT NULL AND NOT EXISTS (
+        |                     SELECT 1 FROM customer c
+        |                     WHERE c.c_custkey = o2.o_custkey)) AS BIGINT) AS violations
+        |), v AS (
+        |    SELECT 'orders.o_custkey.not_null' AS check_id, 'orders' AS tbl,
+        |           n_rows, v_null AS violations FROM o
+        |    UNION ALL SELECT 'orders.o_orderstatus.in_set', 'orders', n_rows, v_set FROM o
+        |    UNION ALL SELECT 'orders.o_totalprice.non_negative', 'orders', n_rows, v_range FROM o
+        |    UNION ALL SELECT 'orders.o_orderkey.unique', 'orders', n_rows,
+        |              n_rows - u_distinct - u_nulls FROM o
+        |    UNION ALL SELECT 'lineitem.l_quantity.range_1_50', 'lineitem', n_rows, v_qty FROM l
+        |    UNION ALL SELECT 'lineitem.l_discount.range_0_1', 'lineitem', n_rows, v_disc FROM l
+        |    UNION ALL SELECT 'orders.o_custkey.ref_customer', 'orders', n_rows, violations FROM r
+        |)
+        |SELECT check_id, tbl, n_rows, violations,
+        |       CAST(CASE WHEN n_rows = 0 THEN 0
+        |                 ELSE violations * 1000000 // n_rows END AS BIGINT) AS viol_ppm,
+        |       CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS INTEGER) AS ok
+        |FROM v ORDER BY check_id""".stripMargin,
   )
 }
