@@ -174,6 +174,7 @@ object SparkEntry {
     "q_corpus_pipeline"     -> (graft.pipeline.CorpusPipeline.query _),
     "q_corpus_increment"    -> (graft.pipeline.CorpusPipeline.queryIncrement _),
     "q_expectations"        -> (ExpectationOps.expectations _),
+    "q_jaccard_join_exact"  -> (SetJoinOps.jaccardJoinExact _),
   )
 
   /** DuckDB-dialect oracle SQL per query — since round 8, EVERY query has
@@ -3513,5 +3514,33 @@ object SparkEntry {
         |                 ELSE violations * 1000000 // n_rows END AS BIGINT) AS viol_ppm,
         |       CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS INTEGER) AS ok
         |FROM v ORDER BY check_id""".stripMargin,
+    // exact Jaccard set-similarity join: the oracle is the BRUTE-FORCE
+    // shingle-sharing join (complete by construction for t > 0), so a
+    // green gate proves the engine's prefix filter lost no true pair
+    "q_jaccard_join_exact" ->
+      s"""WITH tok AS (
+        |    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens
+        |    FROM documents
+        |), sh AS (
+        |    SELECT doc_id, unnest(list_distinct(list_transform(
+        |               range(1, len(tokens) - ${SetJoinOps.ShingleN - 2}),
+        |               i -> array_to_string(tokens[i:i+${SetJoinOps.ShingleN - 1}], ' ')))) AS sh
+        |    FROM tok WHERE len(tokens) >= ${SetJoinOps.ShingleN}
+        |), sz AS (
+        |    SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1
+        |), ov AS (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |           CAST(count(*) AS BIGINT) AS overlap
+        |    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, za.sz AS size_a, zb.sz AS size_b, overlap,
+        |       CAST(overlap * 1000000 // (za.sz + zb.sz - overlap) AS BIGINT) AS jac_ppm
+        |FROM ov
+        |JOIN sz za ON za.doc_id = ov.doc_a
+        |JOIN sz zb ON zb.doc_id = ov.doc_b
+        |WHERE ${SetJoinOps.JacDen} * overlap >=
+        |      ${SetJoinOps.JacNum} * (za.sz + zb.sz - overlap)
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

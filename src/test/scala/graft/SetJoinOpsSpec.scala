@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.SetJoinOps
+
+/** Prefix-filtered exact Jaccard join: threshold boundary exactness,
+  * completeness vs a brute-force join on synthetic sets, prefix-length
+  * arithmetic, and the fixture-level engine≡brute-force law (the gate's
+  * oracle restated in-engine).
+  */
+class SetJoinOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Brute force: every pair sharing ≥1 element, exact Jaccard filter. */
+  private def brute(sh: DataFrame): Seq[(Long, Long, Long)] = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    sh.as("a").join(sh.as("b"), Seq("sh"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("overlap"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("size_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("size_b")), Seq("doc_b"))
+      .where(lit(SetJoinOps.JacDen) * col("overlap") >=
+        lit(SetJoinOps.JacNum) * (col("size_a") + col("size_b") - col("overlap")))
+      .select("doc_a", "doc_b", "overlap")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+  }
+
+  private def setsOf(m: Map[Long, Seq[String]]): DataFrame =
+    m.toSeq.flatMap { case (id, els) => els.map((id, _)) }
+      .toDF("doc_id", "sh")
+
+  test("threshold boundary is exact: J = t kept, J just below dropped") {
+    // A,B: |8|,|8| overlap 6 → J = 6/10 = 0.60 exactly (kept)
+    // A,C: |8|,|8| overlap 5 → J = 5/11 < 0.6 (dropped)
+    val a = (1 to 8).map(i => s"e$i")
+    val b = (1 to 6).map(i => s"e$i") ++ Seq("x1", "x2")
+    val c = (1 to 5).map(i => s"e$i") ++ Seq("y1", "y2", "y3")
+    val sh = setsOf(Map(1L -> a, 2L -> b, 3L -> c))
+    val out = SetJoinOps.jaccardPairs(sh)
+      .select("doc_a", "doc_b", "overlap", "jac_ppm")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 6L, 600000L)))
+  }
+
+  test("complete vs brute force on overlapping synthetic sets") {
+    // doc i = {w_i .. w_{i+11}}: adjacent docs overlap 11/13 ≈ 0.85,
+    // distance-2 overlap 10/14 ≈ 0.71, distance-5 overlap 7/17 < 0.6
+    val sets = (0L to 20L).map(i =>
+      i -> (i until i + 12).map(j => f"w$j%03d")).toMap
+    val sh = setsOf(sets)
+    val engine = SetJoinOps.jaccardPairs(sh)
+      .select("doc_a", "doc_b", "overlap")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val bf = brute(sh)
+    assert(engine.nonEmpty && engine == bf)
+  }
+
+  test("prefix length arithmetic: |d|=10 at t=6/10 → 5 rarest elements") {
+    val sh = setsOf(Map(1L -> (1 to 10).map(i => s"p$i")))
+    val n = SetJoinOps.prefixesOf(sh).count()
+    // 10 − ceil(6) + 1 = 5
+    assert(n == 5L)
+  }
+
+  test("prefix filter actually prunes: prefixes are a strict subset") {
+    val sets = (0L to 20L).map(i =>
+      i -> (i until i + 12).map(j => f"w$j%03d")).toMap
+    val sh = setsOf(sets)
+    val total = sh.count()
+    val pref = SetJoinOps.prefixesOf(sh).count()
+    assert(pref < total && pref > 0)
+  }
+
+  test("fixture law: engine pairs == brute-force pairs") {
+    val sh = SetJoinOps.docShingles(Tables.t(spark, sf, "documents"))
+    val engine = SetJoinOps.jaccardPairs(sh)
+      .select("doc_a", "doc_b", "overlap")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(engine == brute(sh))
+    assert(engine.nonEmpty)
+  }
+}
