@@ -175,6 +175,8 @@ object SparkEntry {
     "q_corpus_increment"    -> (graft.pipeline.CorpusPipeline.queryIncrement _),
     "q_expectations"        -> (ExpectationOps.expectations _),
     "q_jaccard_join_exact"  -> (SetJoinOps.jaccardJoinExact _),
+    "q_hashed_tfidf"        -> (TfidfOps.hashedTfidf _),
+    "q_tfidf_knn"           -> (TfidfOps.tfidfKnnQuery _),
   )
 
   /** DuckDB-dialect oracle SQL per query — since round 8, EVERY query has
@@ -3542,5 +3544,93 @@ object SparkEntry {
         |WHERE ${SetJoinOps.JacDen} * overlap >=
         |      ${SetJoinOps.JacNum} * (za.sz + zb.sz - overlap)
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // in-engine embeddings: feature-hashed TF-IDF in exact integer fixed
+    // point — md5 16-bit fold mod Dims, ratio idf by truncating division,
+    // L1 normalization; every cell replayed
+    "q_hashed_tfidf" ->
+      s"""WITH toks AS (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        |    FROM documents
+        |), tf AS (
+        |    SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |    FROM toks GROUP BY 1, 2
+        |), dfreq AS (
+        |    SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), nd AS (
+        |    SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf
+        |), wtd AS (
+        |    SELECT tf.doc_id,
+        |           CAST(((strpos('0123456789abcdef', substr(md5(tf.tok),1,1))-1)*4096
+        |               + (strpos('0123456789abcdef', substr(md5(tf.tok),2,1))-1)*256
+        |               + (strpos('0123456789abcdef', substr(md5(tf.tok),3,1))-1)*16
+        |               + (strpos('0123456789abcdef', substr(md5(tf.tok),4,1))-1))
+        |               % ${TfidfOps.Dims} AS INT) AS dim,
+        |           tf.tf * ((${TfidfOps.IdfScale} * nd.n_docs) // dfreq.df) AS w
+        |    FROM tf JOIN dfreq USING (tok), nd
+        |), v AS (
+        |    SELECT doc_id, dim, CAST(sum(w) AS BIGINT) AS v FROM wtd GROUP BY 1, 2
+        |), l AS (
+        |    SELECT doc_id, dim, v, sum(v) OVER (PARTITION BY doc_id) AS l1 FROM v
+        |)
+        |SELECT doc_id, dim, CAST(v * ${TfidfOps.NormScale} // l1 AS BIGINT) AS v_fp
+        |FROM l ORDER BY doc_id, dim""".stripMargin,
+    // exact kNN over the in-engine vectors: integer cosine^2 score
+    // dot^2*1e12 // (na*nb) through HUGEINT (Spark side: DECIMAL(38)),
+    // deterministic other_id tie-break
+    "q_tfidf_knn" ->
+      s"""WITH toks AS (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        |    FROM documents
+        |), tf AS (
+        |    SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |    FROM toks GROUP BY 1, 2
+        |), dfreq AS (
+        |    SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), nd AS (
+        |    SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf
+        |), wtd AS (
+        |    SELECT tf.doc_id,
+        |           CAST(((strpos('0123456789abcdef', substr(md5(tf.tok),1,1))-1)*4096
+        |               + (strpos('0123456789abcdef', substr(md5(tf.tok),2,1))-1)*256
+        |               + (strpos('0123456789abcdef', substr(md5(tf.tok),3,1))-1)*16
+        |               + (strpos('0123456789abcdef', substr(md5(tf.tok),4,1))-1))
+        |               % ${TfidfOps.Dims} AS INT) AS dim,
+        |           tf.tf * ((${TfidfOps.IdfScale} * nd.n_docs) // dfreq.df) AS w
+        |    FROM tf JOIN dfreq USING (tok), nd
+        |), v AS (
+        |    SELECT doc_id, dim, CAST(sum(w) AS BIGINT) AS v FROM wtd GROUP BY 1, 2
+        |), vec AS MATERIALIZED (
+        |    SELECT doc_id, dim,
+        |           CAST(v * ${TfidfOps.NormScale} //
+        |                (sum(v) OVER (PARTITION BY doc_id)) AS BIGINT) AS v_fp
+        |    FROM v
+        |), nrm AS MATERIALIZED (
+        |    SELECT doc_id, CAST(sum(v_fp * v_fp) AS BIGINT) AS nrm
+        |    FROM vec GROUP BY 1
+        |), probes AS (
+        |    SELECT doc_id AS probe_id, dim, v_fp AS pv FROM vec
+        |    WHERE doc_id < ${TfidfOps.KnnProbes}
+        |), dots AS (
+        |    SELECT p.probe_id, x.doc_id AS other_id,
+        |           CAST(sum(x.v_fp * p.pv) AS BIGINT) AS dot
+        |    FROM vec x JOIN probes p USING (dim)
+        |    WHERE x.doc_id <> p.probe_id GROUP BY 1, 2
+        |), sc AS (
+        |    SELECT probe_id, other_id,
+        |           CAST(CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * 1000000000000
+        |                // (CAST(na.nrm AS HUGEINT) * CAST(nb.nrm AS HUGEINT))
+        |                AS BIGINT) AS score_fp
+        |    FROM dots
+        |    JOIN nrm na ON na.doc_id = dots.probe_id
+        |    JOIN nrm nb ON nb.doc_id = dots.other_id
+        |), rk AS (
+        |    SELECT probe_id, other_id, score_fp,
+        |           row_number() OVER (PARTITION BY probe_id
+        |               ORDER BY score_fp DESC, other_id ASC) AS rnk
+        |    FROM sc
+        |)
+        |SELECT probe_id, CAST(rnk AS INT) AS rnk, other_id, score_fp
+        |FROM rk WHERE rnk <= ${TfidfOps.TopK}
+        |ORDER BY probe_id, rnk""".stripMargin,
   )
 }
