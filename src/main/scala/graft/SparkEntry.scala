@@ -177,6 +177,7 @@ object SparkEntry {
     "q_jaccard_join_exact"  -> (SetJoinOps.jaccardJoinExact _),
     "q_hashed_tfidf"        -> (TfidfOps.hashedTfidf _),
     "q_tfidf_knn"           -> (TfidfOps.tfidfKnnQuery _),
+    "q_authority_survivors" -> (graft.ops.LinkOps.authoritySurvivors _),
   )
 
   /** DuckDB-dialect oracle SQL per query — since round 8, EVERY query has
@@ -657,9 +658,15 @@ object SparkEntry {
         |    SELECT DISTINCT page_domain AS src, target_domain AS dst
         |    FROM lx WHERE is_external = 1
         |), verts AS MATERIALIZED (
-        |    SELECT DISTINCT page_domain AS v FROM lx
-        |    UNION
-        |    SELECT DISTINCT dst AS v FROM edges
+        |    -- explicit outer DISTINCT, not bare UNION dedup: under a
+        |    -- WITH RECURSIVE header (the authority-survivors composition)
+        |    -- DuckDB runs a CTE-level UNION without cross-side dedup,
+        |    -- silently doubling every shared vertex
+        |    SELECT DISTINCT v FROM (
+        |        SELECT page_domain AS v FROM lx
+        |        UNION ALL
+        |        SELECT dst AS v FROM edges
+        |    )
         |)""".stripMargin
 
   /** HITS oracle: replays GraphOps.hits' exact integer half-steps
@@ -3632,5 +3639,46 @@ object SparkEntry {
         |SELECT probe_id, CAST(rnk AS INT) AS rnk, other_id, score_fp
         |FROM rk WHERE rnk <= ${TfidfOps.TopK}
         |ORDER BY probe_id, rnk""".stripMargin,
+    // authority-ranked survivors: closure from the materialized minhash
+    // pair set (the best-of-cluster posture) + the 10-round exact-integer
+    // walk (pagerankCtes), keep rule = max rank_fp, min doc_id
+    "q_authority_survivors" -> {
+      val path = OracleInputs.sqlPath("text_pairs_auth")
+      pagerankCtes(10).replaceFirst("WITH ", "WITH RECURSIVE ") +
+        s""", e AS (SELECT src, dst FROM read_parquet('$path/*.parquet')),
+           |sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+           |reach(id, rr) AS (
+           |    SELECT doc_id, doc_id FROM documents
+           |    UNION
+           |    SELECT s.dst, reach.rr FROM reach JOIN sym s ON s.src = reach.id
+           |),
+           |comp AS (SELECT id, MIN(rr) AS cluster_id FROM reach GROUP BY id),
+           |dd AS (
+           |    SELECT doc_id,
+           |           CASE WHEN doc_id % 7 = 0 THEN source || '.co.uk'
+           |                ELSE source || '.com' END AS domain
+           |    FROM documents
+           |),
+           |da AS MATERIALIZED (
+           |    SELECT dd.doc_id, dd.domain,
+           |           CAST(COALESCE(r.r, 0) AS BIGINT) AS rank_fp
+           |    FROM dd LEFT JOIN r10 r ON r.v = dd.domain
+           |),
+           |rep AS (
+           |    SELECT comp.cluster_id, comp.id,
+           |           row_number() OVER (PARTITION BY comp.cluster_id
+           |               ORDER BY da.rank_fp DESC, comp.id ASC) AS rnk
+           |    FROM comp JOIN da ON da.doc_id = comp.id
+           |)
+           |SELECT c.id AS doc_id, da.domain, da.rank_fp,
+           |       r.id AS canonical_id,
+           |       CAST(CASE WHEN c.id = r.id THEN 1 ELSE 0 END AS INTEGER)
+           |           AS survives
+           |FROM comp c
+           |JOIN da ON da.doc_id = c.id
+           |JOIN (SELECT cluster_id, id FROM rep WHERE rnk = 1) r
+           |     USING (cluster_id)
+           |ORDER BY doc_id""".stripMargin
+    },
   )
 }

@@ -228,6 +228,54 @@ object LinkOps {
   def authorityMix(s: SparkSession, d: String): DataFrame =
     authorityMixWith(s, d, domainRanks(s, d))
 
+  /** Authority-ranked dedup survivor selection — the composition the two
+    * families exist for: near-dup clusters (minhash pairs → connected
+    * components, the [[TextOps.dedupBestOfCluster]] machinery) keep the
+    * member whose REGISTERED DOMAIN carries the highest PageRank mass
+    * (tie → lowest doc_id), instead of the longest member. This is the
+    * provenance-aware keep rule crawl pipelines actually want: among N
+    * copies of a page, keep the authoritative origin, drop the
+    * scraper mirrors.
+    *
+    * Scale shape: the CC cost is the dedup family's (banded pairs, never
+    * all-pairs); the authority decoration is ONE broadcast join against
+    * the domain-sized rank table + the per-cluster WindowGroupLimit the
+    * best-of-cluster rule already pays. Gate `q_authority_survivors`: the
+    * oracle replays the closure from the materialized pair set AND the
+    * 10-round exact-integer walk, then the same argmax.
+    */
+  def authoritySurvivors(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = graft.OracleInputs.checkpoint(
+      TextOps.minhashCandidatePairs(s, d)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")),
+      d, "text_pairs_auth")
+    val docs = t(s, d, "documents")
+    val comps = GraphOps.connectedComponents(pairs,
+      docs.select(col("doc_id").as("id")))
+    val ranks = domainRanks(s, d).select(col("domain"), col("rank_fp"))
+    // page domains are always walk vertices, so the left join's 0-fill is
+    // for form; it becomes load-bearing the day a doc set outgrows the
+    // crafted graph (new domains must rank lowest, never drop)
+    val da = UrlOps.withNormColumns(docs.withColumn("url", UrlOps.craftedUrl))
+      .select(col("doc_id"), col("registered_domain").as("domain"))
+      .join(broadcast(ranks), Seq("domain"), "left")
+      .select(col("doc_id"), col("domain"),
+        coalesce(col("rank_fp"), lit(0L)).as("rank_fp"))
+    val joined = comps.join(da, comps("id") === da("doc_id"))
+      .select(col("cluster_id"), col("id"), col("domain"), col("rank_fp"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("rank_fp").desc, col("id").asc)
+    val reps = joined.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("cluster_id"), col("id").as("canonical_id"))
+    joined.join(reps, "cluster_id")
+      .select(col("id").as("doc_id"), col("domain"), col("rank_fp"),
+        col("canonical_id"),
+        (col("id") === col("canonical_id")).cast("int").as("survives"))
+      .orderBy("doc_id")
+  }
+
   private def authorityMixWith(s: SparkSession, d: String,
                                ranks: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window

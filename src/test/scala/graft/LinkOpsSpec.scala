@@ -186,6 +186,27 @@ class LinkOpsSpec extends SparkSpec {
     }
   }
 
+  test("authority survivors: canonical is the max-authority member") {
+    val out = LinkOps.authoritySurvivors(spark, sf).collect()
+    val byCluster = out.groupBy(_.getAs[Long]("canonical_id"))
+    assert(byCluster.nonEmpty)
+    // non-vacuous: the fixture's near-dups form at least one real cluster
+    assert(byCluster.exists(_._2.length > 1))
+    byCluster.foreach { case (canon, members) =>
+      // exactly one survivor per cluster, and it is the canonical
+      val survivors = members.filter(_.getAs[Int]("survives") == 1)
+      assert(survivors.length == 1)
+      assert(survivors.head.getAs[Long]("doc_id") == canon)
+      // keep rule: no member outranks the canonical (rank desc, id asc)
+      val c = members.find(_.getAs[Long]("doc_id") == canon).get
+      val ck = (-c.getAs[Long]("rank_fp"), c.getAs[Long]("doc_id"))
+      members.foreach { m =>
+        val mk = (-m.getAs[Long]("rank_fp"), m.getAs[Long]("doc_id"))
+        assert(Ordering[(Long, Long)].lteq(ck, mk))
+      }
+    }
+  }
+
   test("link plans stay join-sane (no cartesian, no BNLJ)") {
     Seq(LinkOps.linkExtract(spark, sf), LinkOps.anchorText(spark, sf))
       .foreach { df =>
