@@ -178,6 +178,7 @@ object SparkEntry {
     "q_hashed_tfidf"        -> (TfidfOps.hashedTfidf _),
     "q_tfidf_knn"           -> (TfidfOps.tfidfKnnQuery _),
     "q_authority_survivors" -> (graft.ops.LinkOps.authoritySurvivors _),
+    "q_robots_filter"       -> (graft.ops.RobotsOps.robotsFilter _),
   )
 
   /** DuckDB-dialect oracle SQL per query — since round 8, EVERY query has
@@ -3680,5 +3681,91 @@ object SparkEntry {
            |     USING (cluster_id)
            |ORDER BY doc_id""".stripMargin
     },
+    // robots.txt compliance: craft, line-parse, group-select and decide
+    // replayed end-to-end (longest raw pattern, allow wins ties, empty
+    // rules ignored, specific agent group shadows `*`)
+    "q_robots_filter" ->
+      s"""WITH docs AS (
+        |    SELECT doc_id,
+        |           CASE WHEN doc_id % 7 = 0 THEN source || '.co.uk'
+        |                ELSE source || '.com' END AS domain,
+        |           '/Path/' || CAST(doc_id AS VARCHAR) AS path
+        |    FROM documents
+        |), doms AS (
+        |    SELECT DISTINCT domain,
+        |           COALESCE(TRY_CAST(regexp_extract(domain, '([0-9]+)', 1)
+        |               AS INT), 0) % 10 AS k
+        |    FROM docs
+        |), rob AS (
+        |    SELECT domain, k,
+        |      CASE WHEN k % 2 = 0 THEN
+        |        '# crafted robots for ' || domain || chr(10) ||
+        |        'User-agent: ${RobotsOps.Agent}' || chr(10) ||
+        |        'Disallow: /Path/' || CAST(k AS VARCHAR)
+        |            || '  # note: prefix rule' || chr(10) ||
+        |        'Allow: /Path/' || CAST(k AS VARCHAR) || CAST(k AS VARCHAR)
+        |            || chr(10) || chr(10) ||
+        |        'User-agent: *' || chr(10) || 'Disallow: /'
+        |      ELSE
+        |        'User-agent: *' || chr(10) ||
+        |        'Disallow: /Path/*' || CAST(k AS VARCHAR) || chr(10) ||
+        |        'Allow: /Path/' || CAST(k AS VARCHAR) || CAST(k AS VARCHAR)
+        |            || chr(10) ||
+        |        'Disallow:'
+        |      END AS robots
+        |    FROM doms
+        |), ln AS (
+        |    SELECT domain, unnest(range(1, len(ls) + 1)) AS line_no,
+        |           unnest(ls) AS raw
+        |    FROM (SELECT domain, string_split(robots, chr(10)) AS ls FROM rob)
+        |), dv AS (
+        |    SELECT domain, line_no,
+        |           lower(regexp_extract(trim(regexp_replace(raw, '#.*$$', '')),
+        |               '^([A-Za-z-]+)\\s*:', 1)) AS directive,
+        |           trim(regexp_extract(trim(regexp_replace(raw, '#.*$$', '')),
+        |               '^[A-Za-z-]+\\s*:\\s*(.*)$$', 1)) AS value
+        |    FROM ln
+        |), gp AS (
+        |    SELECT domain, line_no, directive, value,
+        |           SUM(CASE WHEN directive = 'user-agent' THEN 1 ELSE 0 END)
+        |               OVER (PARTITION BY domain ORDER BY line_no) AS group_id
+        |    FROM dv
+        |), ag AS (
+        |    SELECT domain, group_id, max(value) AS agent FROM gp
+        |    WHERE directive = 'user-agent' GROUP BY 1, 2
+        |), hb AS (
+        |    SELECT domain, max(CASE WHEN agent = '${RobotsOps.Agent}' THEN 1
+        |                            ELSE 0 END) AS has_bot
+        |    FROM ag GROUP BY 1
+        |), ch AS (
+        |    SELECT ag.domain, ag.group_id FROM ag JOIN hb USING (domain)
+        |    WHERE (hb.has_bot = 1 AND ag.agent = '${RobotsOps.Agent}')
+        |       OR (hb.has_bot = 0 AND ag.agent = '*')
+        |), rl AS MATERIALIZED (
+        |    SELECT gp.domain, gp.directive AS rtype, gp.value AS pattern
+        |    FROM gp JOIN ch ON ch.domain = gp.domain
+        |                   AND ch.group_id = gp.group_id
+        |    WHERE gp.directive IN ('allow', 'disallow') AND gp.value <> ''
+        |), mt AS (
+        |    SELECT d.doc_id, d.domain, d.path, r.rtype, r.pattern,
+        |           (r.pattern IS NOT NULL AND
+        |            d.path LIKE replace(r.pattern, '*', '%') || '%') AS hit
+        |    FROM docs d LEFT JOIN rl r USING (domain)
+        |), rk AS (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY
+        |               hit DESC, length(pattern) DESC,
+        |               CASE WHEN rtype = 'allow' THEN 0 ELSE 1 END ASC,
+        |               pattern ASC) AS rnk
+        |    FROM mt
+        |)
+        |SELECT doc_id, domain, path,
+        |       COALESCE(max(CASE WHEN rnk = 1 AND hit THEN pattern END), '')
+        |           AS rule_pattern,
+        |       COALESCE(max(CASE WHEN rnk = 1 AND hit THEN rtype END), 'none')
+        |           AS rule_type,
+        |       CAST(CASE WHEN COALESCE(max(CASE WHEN rnk = 1 AND hit
+        |                                   THEN rtype END), 'allow')
+        |                 = 'disallow' THEN 0 ELSE 1 END AS INTEGER) AS allowed
+        |FROM rk GROUP BY doc_id, domain, path ORDER BY doc_id""".stripMargin,
   )
 }
