@@ -501,7 +501,16 @@ object PerfProbe {
         // batch-proportional, the per-fold walk domain-sized
         "q_link_graph_incremental",
         // per-row bit arithmetic, zero shuffle — linear by construction
-        "q_zorder_key")
+        "q_zorder_key",
+        // round-11 fifth-session additions: expectations is one agg pass
+        // per table + a broadcast anti-join (linear); the exact Jaccard
+        // join's candidates come from prefix buckets (replicas are
+        // salted, so true-pair count scales ~linearly); hashed TF-IDF is
+        // two keyed aggs; its kNN probes are a FIXED set over the K×
+        // corpus; authority survivors = banded CC + K-invariant walk;
+        // robots is a domain-sized broadcast + one corpus scan
+        "q_expectations", "q_jaccard_join_exact", "q_hashed_tfidf",
+        "q_tfidf_knn", "q_authority_survivors", "q_robots_filter")
       // q_hybrid_search is deliberately absent for the q_contamination
       // reason: its semantic leg is probe-set x corpus and BOTH grow with
       // K here, so the ratio would measure the quadratic workload growth,

@@ -97,7 +97,19 @@ object PlanAudit {
       "q_hits_domains",
       // Z-order key: the audit evidence is the 32-term shift/mask sum
       // riding inside one WholeStageCodegen project over the scan
-      "q_zorder_key")
+      "q_zorder_key",
+      // round-11 fifth-session additions: expectations (ONE aggregate
+      // pass per fact table — every constraint a conditional sum in the
+      // same agg — plus a broadcast anti-join for referential), exact
+      // Jaccard join (prefix-bucket equi-join, never all-pairs;
+      // verification keyed on candidate pairs), hashed TF-IDF (one
+      // (doc,token) shuffle + one (doc,dim) sum; the kNN consumer
+      // broadcasts probes over one corpus scan), authority survivors
+      // (CC over banded pairs + ONE broadcast rank join + per-cluster
+      // WindowGroupLimit) and the robots filter (domain-sized broadcast
+      // rule table, single corpus scan, per-doc WindowGroupLimit)
+      "q_expectations", "q_jaccard_join_exact", "q_hashed_tfidf",
+      "q_tfidf_knn", "q_authority_survivors", "q_robots_filter")
     // q_corpus_pipeline is deliberately NOT audited here: its query-form
     // plan is a trivial read over the staged tables (auditing it would
     // execute the whole 5-stage materialization for nothing — against

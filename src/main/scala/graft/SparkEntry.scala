@@ -179,6 +179,8 @@ object SparkEntry {
     "q_tfidf_knn"           -> (TfidfOps.tfidfKnnQuery _),
     "q_authority_survivors" -> (graft.ops.LinkOps.authoritySurvivors _),
     "q_robots_filter"       -> (graft.ops.RobotsOps.robotsFilter _),
+    "q_priority_sample"     -> (SamplingOps.prioritySample _),
+    "q_dataset_card"        -> (TextOps.datasetCard _),
   )
 
   /** DuckDB-dialect oracle SQL per query — since round 8, EVERY query has
@@ -3767,5 +3769,55 @@ object SparkEntry {
         |                                   THEN rtype END), 'allow')
         |                 = 'disallow' THEN 0 ELSE 1 END AS INTEGER) AS allowed
         |FROM rk GROUP BY doc_id, domain, path ORDER BY doc_id""".stripMargin,
+    // priority sampling: w·65536 // u with u = 16-bit md5 fold + 1 —
+    // the weighted top-k replayed rank for rank
+    "q_priority_sample" ->
+      s"""WITH sc AS (
+        |    SELECT doc_id,
+        |           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS w,
+        |           CAST((strpos('0123456789abcdef',
+        |                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |              + (strpos('0123456789abcdef',
+        |                    substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |              + (strpos('0123456789abcdef',
+        |                    substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |              + (strpos('0123456789abcdef',
+        |                    substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) + 1
+        |              AS BIGINT) AS u
+        |    FROM documents
+        |), s2 AS (
+        |    SELECT doc_id, w, u, CAST(w * 65536 // u AS BIGINT) AS score_fp
+        |    FROM sc
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id)
+        |            AS INTEGER) AS sample_rank,
+        |       doc_id, w, u, score_fp
+        |FROM s2 ORDER BY sample_rank LIMIT ${SamplingOps.PriorityK}""".stripMargin,
+    // dataset card: per-source release summary — counts, token/char
+    // totals, mean via truncating x100 fixed point, intra-source exact
+    // dups (docs - distinct normalized hashes), per-million corpus share
+    "q_dataset_card" ->
+      """WITH docs AS (
+        |    SELECT source, lang, doc_id,
+        |           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |           CAST(length(text) AS BIGINT) AS n_chars,
+        |           sha256(lower(trim(text))) AS text_hash
+        |    FROM documents
+        |), ps AS (
+        |    SELECT source,
+        |           CAST(count(*) AS BIGINT) AS n_docs,
+        |           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |           CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+        |           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+        |           CAST(count(*) - count(DISTINCT text_hash) AS BIGINT) AS dup_docs
+        |    FROM docs GROUP BY 1
+        |), tot AS (
+        |    SELECT CAST(count(*) AS BIGINT) AS corpus_docs FROM docs
+        |)
+        |SELECT source, n_docs, n_langs, tokens_total, chars_total,
+        |       CAST(tokens_total * 100 // n_docs AS BIGINT) AS mean_tokens_x100,
+        |       dup_docs,
+        |       CAST(n_docs * 1000000 // corpus_docs AS BIGINT) AS share_ppm
+        |FROM ps, tot ORDER BY source""".stripMargin,
   )
 }

@@ -456,4 +456,39 @@ object SamplingOps {
       .withColumn("n_tokens", col("tokens"))
       .withColumn("cum_tokens", col("cum"))
   }
+
+  /** Weighted sample size for [[prioritySample]]. */
+  val PriorityK = 50
+
+  /** Weighted sampling without replacement via PRIORITY SAMPLING
+    * (Duffield, Lund & Thorup 2007): each doc draws priority w/u with u
+    * uniform on its unit range, top-k win — heavy docs enter with
+    * probability ∝ weight, yet any doc CAN win (the property plain
+    * quota mixes lack). Integer rendering: u = 16-bit md5 fold of doc_id
+    * + 1 (∈ [1, 65536] — the established cross-engine permutation),
+    * weight = whitespace token count, score = w·65536 div u (truncating;
+    * residual ties broken by doc_id, deterministic in both engines).
+    *
+    * Scale shape: per-row expressions + `orderBy.limit(k)` — Spark
+    * compiles the global top-k to TakeOrderedAndProject (per-partition
+    * heaps, never a full sort); the trailing rank window runs over the
+    * k collected rows only (constant-bounded).
+    */
+  def prioritySample(s: SparkSession, d: String): DataFrame = {
+    val u16 = (hexVal(substring(col("sk"), 1, 1)) * 4096
+      + hexVal(substring(col("sk"), 2, 1)) * 256
+      + hexVal(substring(col("sk"), 3, 1)) * 16
+      + hexVal(substring(col("sk"), 4, 1)) + 1).cast("long")
+    val scored = t(s, d, "documents")
+      .withColumn("w", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("sk", sampleKey)
+      .withColumn("u", u16)
+      .withColumn("score_fp", expr("w * 65536L div u"))
+      .select("doc_id", "w", "u", "score_fp")
+    val top = scored.orderBy(col("score_fp").desc, col("doc_id")).limit(PriorityK)
+    top.withColumn("sample_rank", row_number().over(
+        Window.orderBy(col("score_fp").desc, col("doc_id"))).cast("int"))
+      .select("sample_rank", "doc_id", "w", "u", "score_fp")
+      .orderBy("sample_rank")
+  }
 }

@@ -1770,4 +1770,35 @@ object TextOps {
       .filter(col("doc_id") % 100 =!= 7)
       .join(broadcast(flagged), Seq("doc_id"), "left_anti")
   }
+
+  /** Dataset card: the per-source summary table a corpus release ships —
+    * doc/language/token/char totals, mean tokens (×100 fixed point),
+    * intra-source exact-dup count (docs minus distinct normalized text
+    * hashes — the [[dedupGroups]] normalization, so the card can never
+    * disagree with the dedup operator about what "duplicate" means) and
+    * the exact per-million corpus share. ONE source-keyed aggregate pass
+    * (dup counting rides it as a distinct-count) + a 1-row broadcast
+    * total. Gate `q_dataset_card`.
+    */
+  def datasetCard(s: SparkSession, d: String): DataFrame = {
+    val docs = withTokens(t(s, d, "documents"))
+      .select(col("source"), col("lang"), col("doc_id"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        sha2(lower(trim(col("text"))), 256).as("text_hash"))
+    val perSource = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum("n_tokens").as("tokens_total"),
+      sum("n_chars").as("chars_total"),
+      (count(lit(1)) - countDistinct(col("text_hash"))).as("dup_docs"))
+    val total = docs.agg(count(lit(1)).as("corpus_docs"))
+    perSource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        col("tokens_total"), col("chars_total"),
+        expr("tokens_total * 100L div n_docs").as("mean_tokens_x100"),
+        col("dup_docs"),
+        expr("n_docs * 1000000L div corpus_docs").as("share_ppm"))
+      .orderBy("source")
+  }
 }

@@ -2995,4 +2995,56 @@ class OpsPropertySpec extends SparkSpec {
     assert(scan.contains("ReadSchema"), scan.take(500))
     assert(!scan.contains("l_shipdate"), "unused column must be pruned from scan")
   }
+
+  test("priority sample: exact score arithmetic, u range, top-k order, " +
+      "TakeOrdered plan (never a global sort)") {
+    import graft.ops.SamplingOps
+    val q = SamplingOps.prioritySample(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    val rows = q.collect()
+    assert(rows.length == SamplingOps.PriorityK)
+    rows.foreach { r =>
+      val (w, u, sc) = (r.getAs[Long]("w"), r.getAs[Long]("u"),
+        r.getAs[Long]("score_fp"))
+      assert(u >= 1L && u <= 65536L)
+      assert(sc == w * 65536L / u, s"score mismatch for $r")
+    }
+    // ranks 1..k, scores non-increasing, doc_id tie-break ascending
+    assert(rows.map(_.getAs[Int]("sample_rank")).toSeq ==
+      (1 to SamplingOps.PriorityK))
+    val keys = rows.map(r =>
+      (-r.getAs[Long]("score_fp"), r.getAs[Long]("doc_id"))).toSeq
+    assert(keys == keys.sorted)
+    // weighted, not uniform: the sample's mean weight must exceed the
+    // corpus mean (heavy docs win more often)
+    import org.apache.spark.sql.functions._
+    val corpusMean = Tables.t(spark, sf, "documents")
+      .select(avg(size(split(trim(col("text")), "\\s+")))).head().getDouble(0)
+    val sampleMean = rows.map(_.getAs[Long]("w")).sum.toDouble / rows.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+
+  test("dataset card: totals foot to the corpus, shares sum within " +
+      "truncation, dup counts bounded") {
+    import org.apache.spark.sql.functions._
+    val card = graft.ops.TextOps.datasetCard(spark, sf).collect()
+    val docs = Tables.t(spark, sf, "documents")
+    val n = docs.count()
+    assert(card.map(_.getAs[Long]("n_docs")).sum == n)
+    // per-million shares sum to 1e6 minus at most one truncation unit
+    // per source row
+    val shareSum = card.map(_.getAs[Long]("share_ppm")).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - card.length)
+    card.foreach { r =>
+      val (nd, dup) = (r.getAs[Long]("n_docs"), r.getAs[Long]("dup_docs"))
+      assert(dup >= 0L && dup < nd)
+      assert(r.getAs[Long]("mean_tokens_x100") ==
+        r.getAs[Long]("tokens_total") * 100L / nd)
+    }
+    val tokensTotal = docs
+      .select(sum(size(split(trim(col("text")), "\\s+")))).head().getLong(0)
+    assert(card.map(_.getAs[Long]("tokens_total")).sum == tokensTotal)
+  }
 }
