@@ -181,6 +181,7 @@ object SparkEntry {
     "q_robots_filter"       -> (graft.ops.RobotsOps.robotsFilter _),
     "q_priority_sample"     -> (SamplingOps.prioritySample _),
     "q_dataset_card"        -> (TextOps.datasetCard _),
+    "q_card_drift"          -> (TextOps.cardDrift _),
   )
 
   /** DuckDB-dialect oracle SQL per query — since round 8, EVERY query has
@@ -3819,5 +3820,44 @@ object SparkEntry {
         |       dup_docs,
         |       CAST(n_docs * 1000000 // corpus_docs AS BIGINT) AS share_ppm
         |FROM ps, tot ORDER BY source""".stripMargin,
+    // card drift: both snapshots' cards replayed (previous = the
+    // doc_id % 10 != 0 slice), signed ppm delta, threshold + new/vanished
+    // flags
+    "q_card_drift" ->
+      s"""WITH oldc AS (
+        |    SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |    FROM documents WHERE doc_id % 10 <> 0 GROUP BY 1
+        |), oldt AS (
+        |    SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+        |    WHERE doc_id % 10 <> 0
+        |), olds AS (
+        |    SELECT source, n_docs,
+        |           CAST(n_docs * 1000000 // n AS BIGINT) AS share_ppm
+        |    FROM oldc, oldt
+        |), newc AS (
+        |    SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |    FROM documents GROUP BY 1
+        |), newt AS (
+        |    SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+        |), news AS (
+        |    SELECT source, n_docs,
+        |           CAST(n_docs * 1000000 // n AS BIGINT) AS share_ppm
+        |    FROM newc, newt
+        |)
+        |SELECT COALESCE(o.source, w.source) AS source,
+        |       CAST(COALESCE(o.n_docs, 0) AS BIGINT) AS docs_old,
+        |       CAST(COALESCE(w.n_docs, 0) AS BIGINT) AS docs_new,
+        |       CAST(COALESCE(o.share_ppm, 0) AS BIGINT) AS share_old_ppm,
+        |       CAST(COALESCE(w.share_ppm, 0) AS BIGINT) AS share_new_ppm,
+        |       CAST(COALESCE(w.share_ppm, 0) - COALESCE(o.share_ppm, 0)
+        |            AS BIGINT) AS share_delta_ppm,
+        |       CAST(CASE WHEN abs(COALESCE(w.share_ppm, 0)
+        |                          - COALESCE(o.share_ppm, 0))
+        |                      > ${TextOps.DriftThresholdPpm}
+        |                   OR COALESCE(o.n_docs, 0) = 0
+        |                   OR COALESCE(w.n_docs, 0) = 0
+        |                 THEN 1 ELSE 0 END AS INTEGER) AS drift
+        |FROM olds o FULL OUTER JOIN news w ON o.source = w.source
+        |ORDER BY source""".stripMargin,
   )
 }

@@ -1780,8 +1780,15 @@ object TextOps {
     * (dup counting rides it as a distinct-count) + a 1-row broadcast
     * total. Gate `q_dataset_card`.
     */
-  def datasetCard(s: SparkSession, d: String): DataFrame = {
-    val docs = withTokens(t(s, d, "documents"))
+  def datasetCard(s: SparkSession, d: String): DataFrame =
+    cardOver(t(s, d, "documents")).orderBy("source")
+
+  /** The card over any documents-shaped frame — shared by the corpus
+    * gate, the drift comparison's two snapshots and the stored lifecycle,
+    * so every consumer agrees on what the summary IS.
+    */
+  private[graft] def cardOver(docs0: DataFrame): DataFrame = {
+    val docs = withTokens(docs0)
       .select(col("source"), col("lang"), col("doc_id"),
         size(col("tokens")).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars"),
@@ -1799,6 +1806,60 @@ object TextOps {
         expr("tokens_total * 100L div n_docs").as("mean_tokens_x100"),
         col("dup_docs"),
         expr("n_docs * 1000000L div corpus_docs").as("share_ppm"))
+  }
+
+  /** A source whose corpus share moved more than this (per million)
+    * between snapshots is flagged as drifted.
+    */
+  val DriftThresholdPpm = 5000L
+
+  /** Card-to-card drift verdicts: per-source doc counts and shares of two
+    * snapshots, signed share delta, and the drift flag (share shift past
+    * [[DriftThresholdPpm]], or a source appearing/vanishing — both
+    * surface with 0-filled counts, never drop). Cards are source-sized,
+    * so the comparison is a broadcast-scale full outer join.
+    */
+  private[graft] def compareCards(oldCard: DataFrame,
+                                  newCard: DataFrame): DataFrame =
+    oldCard.select(col("source"), col("n_docs").as("docs_old"),
+        col("share_ppm").as("share_old_ppm"))
+      .join(newCard.select(col("source"), col("n_docs").as("docs_new"),
+        col("share_ppm").as("share_new_ppm")), Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("docs_old"), lit(0L)).as("docs_old"),
+        coalesce(col("docs_new"), lit(0L)).as("docs_new"),
+        coalesce(col("share_old_ppm"), lit(0L)).as("share_old_ppm"),
+        coalesce(col("share_new_ppm"), lit(0L)).as("share_new_ppm"))
+      .withColumn("share_delta_ppm",
+        col("share_new_ppm") - col("share_old_ppm"))
+      .withColumn("drift",
+        (abs(col("share_delta_ppm")) > DriftThresholdPpm ||
+          col("docs_old") === 0L || col("docs_new") === 0L).cast("int"))
+
+  /** Gate `q_card_drift`: drift of the full corpus against the
+    * deterministic "previous snapshot" slice (doc_id % 10 ≠ 0) — the
+    * oracle replays both cards and the comparison. The STORED lifecycle
+    * ([[buildDatasetCard]] / [[cardDriftFromModel]]) is spec-gated
+    * bit-equal to this in-query form.
+    */
+  def cardDrift(s: SparkSession, d: String): DataFrame = {
+    val all = t(s, d, "documents")
+    compareCards(cardOver(all.filter(col("doc_id") % 10 =!= 0)),
+      cardOver(all))
+      .orderBy("source")
+  }
+
+  /** Stored-card half of the drift monitor: persist today's card ... */
+  def buildDatasetCard(docs: DataFrame, db: String): Unit =
+    graft.store.Warehouse.saveModel(cardOver(docs), db, "dataset_card")
+
+  /** ... and compare a later corpus against it (card side is the stored
+    * table — no recomputation of the old snapshot; refreshDb per the
+    * cross-session freshness contract).
+    */
+  def cardDriftFromModel(s: SparkSession, d: String, db: String): DataFrame = {
+    graft.store.Warehouse.refreshDb(s, db)
+    compareCards(s.table(s"$db.dataset_card"), cardOver(t(s, d, "documents")))
       .orderBy("source")
   }
 }

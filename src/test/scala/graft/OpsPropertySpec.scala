@@ -3047,4 +3047,46 @@ class OpsPropertySpec extends SparkSpec {
       .select(sum(size(split(trim(col("text")), "\\s+")))).head().getLong(0)
     assert(card.map(_.getAs[Long]("tokens_total")).sum == tokensTotal)
   }
+
+  test("card drift: share shifts, new and vanished sources all flag") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ops.TextOps
+    def frame(rows: (Long, String, String)*) =
+      rows.toSeq.map { case (id, src, text) => (id, text, "en", src) }
+        .toDF("doc_id", "text", "lang", "source")
+    // old: a=2 docs, b=2 docs (50/50); new: a=6, c=2 (75/25) — b vanished,
+    // c new, a's share moved 250_000 ppm
+    val oldDocs = frame((1L, "a", "x x"), (2L, "a", "y"),
+      (3L, "b", "z"), (4L, "b", "w"))
+    val newDocs = frame((1L, "a", "x x"), (2L, "a", "y"), (5L, "a", "p"),
+      (6L, "a", "q"), (7L, "a", "r"), (8L, "a", "s"),
+      (9L, "c", "t"), (10L, "c", "u"))
+    val out = TextOps.compareCards(
+        TextOps.cardOver(oldDocs), TextOps.cardOver(newDocs))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("a").getAs[Long]("share_delta_ppm") == 250000L)
+    assert(out("a").getAs[Int]("drift") == 1)
+    assert(out("b").getAs[Long]("docs_new") == 0L &&
+      out("b").getAs[Int]("drift") == 1)
+    assert(out("c").getAs[Long]("docs_old") == 0L &&
+      out("c").getAs[Int]("drift") == 1)
+    // no-shift control: identical snapshots never flag
+    val same = TextOps.compareCards(
+        TextOps.cardOver(oldDocs), TextOps.cardOver(oldDocs))
+      .agg(sum("drift")).head().getLong(0)
+    assert(same == 0L)
+  }
+
+  test("card drift stored lifecycle: serve bit-equal to the in-query gate") {
+    import graft.ops.TextOps
+    val db = "card_drift_spec"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    TextOps.buildDatasetCard(
+      Tables.t(spark, sf, "documents")
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0), db)
+    val served = TextOps.cardDriftFromModel(spark, sf, db).collect().map(_.toSeq)
+    val gate = TextOps.cardDrift(spark, sf).collect().map(_.toSeq)
+    assert(served.sameElements(gate))
+  }
 }
