@@ -182,6 +182,7 @@ object SparkEntry {
     "q_priority_sample"     -> (SamplingOps.prioritySample _),
     "q_dataset_card"        -> (TextOps.datasetCard _),
     "q_card_drift"          -> (TextOps.cardDrift _),
+    "q_sitemap_coverage"    -> (graft.ops.UrlOps.sitemapCoverage _),
   )
 
   /** DuckDB-dialect oracle SQL per query — since round 8, EVERY query has
@@ -3859,5 +3860,69 @@ object SparkEntry {
         |                 THEN 1 ELSE 0 END AS INTEGER) AS drift
         |FROM olds o FULL OUTER JOIN news w ON o.source = w.source
         |ORDER BY source""".stripMargin,
+    // sitemap coverage: sorted assembly, regex re-parse (blocks -> fields
+    // -> path) and the per-(domain, path) full outer coverage join all
+    // replayed
+    "q_sitemap_coverage" ->
+      """WITH docs AS (
+        |    SELECT doc_id,
+        |           CASE WHEN doc_id % 7 = 0 THEN source || '.co.uk'
+        |                ELSE source || '.com' END AS domain,
+        |           '/Path/' || CAST(doc_id AS VARCHAR) AS path
+        |    FROM documents
+        |), ent AS (
+        |    SELECT domain,
+        |           '<url><loc>https://' || domain || '/Path/'
+        |             || CAST(doc_id AS VARCHAR) || '</loc><lastmod>2024-01-'
+        |             || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |             || '</lastmod></url>' AS entry
+        |    FROM docs WHERE doc_id % 5 <> 4
+        |    UNION ALL
+        |    SELECT domain,
+        |           '<url><loc>https://' || domain || '/Path/'
+        |             || CAST(doc_id + 100000 AS VARCHAR) || '</loc><lastmod>2024-01-'
+        |             || lpad(CAST((doc_id + 100000) % 28 + 1 AS VARCHAR), 2, '0')
+        |             || '</lastmod></url>' AS entry
+        |    FROM docs WHERE doc_id % 5 = 0
+        |), xml AS (
+        |    SELECT domain, '<?xml version="1.0"?><urlset>'
+        |             || string_agg(entry, '' ORDER BY entry) || '</urlset>' AS xml
+        |    FROM ent GROUP BY 1
+        |), blocks AS (
+        |    SELECT domain,
+        |           unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1)) AS block
+        |    FROM xml
+        |), parsed AS (
+        |    SELECT domain,
+        |           regexp_extract(block, '<loc>([^<]*)</loc>', 1) AS loc,
+        |           regexp_extract(block, '<lastmod>([^<]*)</lastmod>', 1) AS lastmod
+        |    FROM blocks
+        |), pp AS (
+        |    SELECT domain, regexp_extract(loc, '^https://[^/]+(/.*)$', 1) AS path,
+        |           lastmod, 1 AS listed
+        |    FROM parsed
+        |), cov AS (
+        |    SELECT COALESCE(p.domain, c.domain) AS domain,
+        |           p.listed, p.lastmod, c.crawled
+        |    FROM pp p FULL OUTER JOIN
+        |         (SELECT domain, path, 1 AS crawled FROM docs) c
+        |      ON p.domain = c.domain AND p.path = c.path
+        |)
+        |SELECT domain,
+        |       CAST(sum(COALESCE(listed, 0)) AS BIGINT) AS n_listed,
+        |       CAST(sum(COALESCE(crawled, 0)) AS BIGINT) AS n_crawled,
+        |       CAST(sum(CASE WHEN listed = 1 AND crawled = 1 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_both,
+        |       CAST(sum(CASE WHEN listed = 1 AND crawled IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_listed_uncrawled,
+        |       CAST(sum(CASE WHEN listed IS NULL AND crawled = 1 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_crawled_unlisted,
+        |       max(CASE WHEN listed = 1 THEN lastmod END) AS latest_lastmod,
+        |       CAST(CASE WHEN sum(COALESCE(listed, 0)) = 0 THEN 0
+        |                 ELSE sum(CASE WHEN listed = 1 AND crawled = 1
+        |                          THEN 1 ELSE 0 END) * 1000000
+        |                      // sum(COALESCE(listed, 0)) END AS BIGINT)
+        |           AS coverage_ppm
+        |FROM cov GROUP BY domain ORDER BY domain""".stripMargin,
   )
 }

@@ -135,4 +135,70 @@ object UrlOps {
         (col("share_permille") > SpamSharePerMille).cast("int").as("over_share"))
       .orderBy("registered_domain")
   }
+
+  /** Sitemap coverage — crawl completeness against the publisher's own
+    * URL inventory. Each domain's sitemap XML is ASSEMBLED
+    * deterministically (sorted `<url><loc>…</loc><lastmod>…</lastmod>
+    * </url>` entries: every corpus page except the doc_id % 5 = 4 slice,
+    * plus phantom id+100000 pages for the % 5 = 0 slice — pages the site
+    * lists but the crawl never fetched), then PARSED BACK with the real
+    * regex walk (`<url>` blocks → loc/lastmod fields → path), and the
+    * parsed inventory full-outer-joins the crawled page set per
+    * (domain, path):
+    *   - both sides      → listed and crawled,
+    *   - sitemap only    → listed_uncrawled (the crawl frontier),
+    *   - corpus only     → crawled_unlisted (organic discovery).
+    *
+    * Scale shape: entries explode per-row; the XML assembly and re-parse
+    * are one domain-keyed agg + per-row regex (a production crawl feeds
+    * real sitemap bytes into the SAME parse path); the coverage join keys
+    * (domain, path). Gate `q_sitemap_coverage` replays assembly, parse
+    * and join.
+    */
+  def sitemapCoverage(s: SparkSession, d: String): DataFrame = {
+    val docs = withNormColumns(
+        t(s, d, "documents").withColumn("url", craftedUrl))
+      .select(col("doc_id"), col("registered_domain").as("domain"),
+        col("path_norm"))
+    def entryFor(id: org.apache.spark.sql.Column) = concat(
+      lit("<url><loc>https://"), col("domain"), lit("/Path/"),
+      id.cast("string"), lit("</loc><lastmod>2024-01-"),
+      lpad((id % 28 + 1).cast("string"), 2, "0"),
+      lit("</lastmod></url>"))
+    val entries = docs.select(col("domain"), explode(array(
+        when(col("doc_id") % 5 =!= 4, entryFor(col("doc_id"))),
+        when(col("doc_id") % 5 === 0, entryFor(col("doc_id") + 100000))))
+        .as("entry"))
+      .where(col("entry").isNotNull)
+    val xml = entries.groupBy("domain").agg(concat(
+      lit("<?xml version=\"1.0\"?><urlset>"),
+      array_join(array_sort(collect_list(col("entry"))), ""),
+      lit("</urlset>")).as("xml"))
+    val parsed = xml.select(col("domain"),
+        explode(expr("regexp_extract_all(xml, '<url>(.*?)</url>', 1)"))
+          .as("block"))
+      .select(col("domain"),
+        regexp_extract(col("block"), "<loc>([^<]*)</loc>", 1).as("loc"),
+        regexp_extract(col("block"), "<lastmod>([^<]*)</lastmod>", 1)
+          .as("lastmod"))
+      .withColumn("path",
+        regexp_extract(col("loc"), "^https://[^/]+(/.*)$", 1))
+    val cov = parsed
+      .select(col("domain"), col("path"), col("lastmod"), lit(1).as("listed"))
+      .join(docs.select(col("domain"), col("path_norm").as("path"),
+        lit(1).as("crawled")), Seq("domain", "path"), "full_outer")
+    cov.groupBy("domain").agg(
+        sum(coalesce(col("listed"), lit(0))).cast("long").as("n_listed"),
+        sum(coalesce(col("crawled"), lit(0))).cast("long").as("n_crawled"),
+        sum(when(col("listed") === 1 && col("crawled") === 1, 1L)
+          .otherwise(0L)).as("n_both"),
+        sum(when(col("listed") === 1 && col("crawled").isNull, 1L)
+          .otherwise(0L)).as("n_listed_uncrawled"),
+        sum(when(col("listed").isNull && col("crawled") === 1, 1L)
+          .otherwise(0L)).as("n_crawled_unlisted"),
+        max(when(col("listed") === 1, col("lastmod"))).as("latest_lastmod"))
+      .withColumn("coverage_ppm", when(col("n_listed") === 0L, 0L)
+        .otherwise(expr("n_both * 1000000L div n_listed")))
+      .orderBy("domain")
+  }
 }

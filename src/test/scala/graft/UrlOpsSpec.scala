@@ -70,6 +70,34 @@ class UrlOpsSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Int]("over_share") == 0))
   }
 
+  test("sitemap coverage: classes foot, phantoms uncrawled, " +
+      "%5=4 slice unlisted, ppm arithmetic exact") {
+    import org.apache.spark.sql.functions._
+    val rows = UrlOps.sitemapCoverage(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nl, nc, nb) = (r.getAs[Long]("n_listed"),
+        r.getAs[Long]("n_crawled"), r.getAs[Long]("n_both"))
+      assert(nl == nb + r.getAs[Long]("n_listed_uncrawled"))
+      assert(nc == nb + r.getAs[Long]("n_crawled_unlisted"))
+      assert(r.getAs[Long]("coverage_ppm") ==
+        (if (nl == 0) 0L else nb * 1000000L / nl))
+      // lastmod parsed back out of the XML: a 2024-01-dd date whenever
+      // the domain lists anything (a domain whose only pages fall in the
+      // unlisted %5=4 slice has an empty sitemap -> null)
+      val lm = Option(r.getAs[String]("latest_lastmod"))
+      assert(if (nl == 0) lm.isEmpty
+             else lm.exists(_.matches("2024-01-\\d\\d")))
+    }
+    // corpus-level accounting against the slices that crafted the sitemap
+    val docs = Tables.t(spark, sf, "documents")
+    val phantoms = docs.filter(col("doc_id") % 5 === 0).count()
+    val unlisted = docs.filter(col("doc_id") % 5 === 4).count()
+    assert(rows.map(_.getAs[Long]("n_listed_uncrawled")).sum == phantoms)
+    assert(rows.map(_.getAs[Long]("n_crawled_unlisted")).sum == unlisted)
+    assert(rows.map(_.getAs[Long]("n_crawled")).sum == docs.count())
+  }
+
   test("url plans are per-row: no exchange beyond the output sort") {
     val plan = UrlOps.urlNormalize(spark, sf)
       .queryExecution.executedPlan.toString
