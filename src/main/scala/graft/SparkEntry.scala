@@ -183,6 +183,8 @@ object SparkEntry {
     "q_dataset_card"        -> (TextOps.datasetCard _),
     "q_card_drift"          -> (TextOps.cardDrift _),
     "q_sitemap_coverage"    -> (graft.ops.UrlOps.sitemapCoverage _),
+    "q_retention_cohorts"   -> (EventOps.retentionCohorts _),
+    "q_funnel_steps"        -> (EventOps.funnelSteps _),
   )
 
   /** DuckDB-dialect oracle SQL per query — since round 8, EVERY query has
@@ -3924,5 +3926,51 @@ object SparkEntry {
         |                      // sum(COALESCE(listed, 0)) END AS BIGINT)
         |           AS coverage_ppm
         |FROM cov GROUP BY domain ORDER BY domain""".stripMargin,
+    // cohort retention: first-active-week cohorts x week offsets over
+    // the distinct (user, week) activity set, exact ns-week arithmetic
+    "q_retention_cohorts" ->
+      s"""WITH uw AS (
+        |    SELECT DISTINCT user_id,
+        |           epoch_ns(ts) // ${EventOps.WeekNs} AS week
+        |    FROM events
+        |), ch AS (
+        |    SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1
+        |)
+        |SELECT ch.cohort_week,
+        |       uw.week - ch.cohort_week AS week_offset,
+        |       CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_users
+        |FROM uw JOIN ch USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    // strict-order funnel: first-touch chaining (each step strictly after
+    // the previous step's earliest time), per-step conversion in ppm
+    "q_funnel_steps" ->
+      """WITH e AS (
+        |    SELECT user_id, event_type, epoch_ns(ts) AS tsn FROM events
+        |), s1 AS (
+        |    SELECT user_id, MIN(tsn) AS t1 FROM e
+        |    WHERE event_type = 'signup' GROUP BY 1
+        |), s2 AS (
+        |    SELECT e.user_id, MIN(e.tsn) AS t2
+        |    FROM e JOIN s1 USING (user_id)
+        |    WHERE e.event_type = 'click' AND e.tsn > s1.t1 GROUP BY 1
+        |), s3 AS (
+        |    SELECT e.user_id, MIN(e.tsn) AS t3
+        |    FROM e JOIN s2 USING (user_id)
+        |    WHERE e.event_type = 'purchase' AND e.tsn > s2.t2 GROUP BY 1
+        |), c AS (
+        |    SELECT 1 AS step, 'signup' AS event_type,
+        |           CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+        |    UNION ALL
+        |    SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+        |    UNION ALL
+        |    SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+        |), t AS (
+        |    SELECT CAST(count(*) AS BIGINT) AS n_top FROM s1
+        |)
+        |SELECT CAST(step AS INTEGER) AS step, event_type, n_users,
+        |       CAST(CASE WHEN n_top = 0 THEN 0
+        |                 ELSE n_users * 1000000 // n_top END AS BIGINT)
+        |           AS conv_ppm
+        |FROM c, t ORDER BY step""".stripMargin,
   )
 }

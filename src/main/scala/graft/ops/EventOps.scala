@@ -112,4 +112,63 @@ object EventOps {
         unix_micros(col("session_window.start")).as("session_start_us"),
         col("cnt"))
       .orderBy("user_id", "session_start_us")
+
+  /** ns per epoch week (7 · 86400 · 1e9) — the exact integer week index
+    * both engines derive from the ns-epoch ts contract.
+    */
+  val WeekNs = 604800000000000L
+
+  /** Cohort retention: users grouped by their FIRST active epoch week,
+    * counted per week offset — the classic retention triangle. Two keyed
+    * shuffles (user_id for the cohort min, then (cohort, offset)) over
+    * the distinct (user, week) activity set; no window, no self-join.
+    * Gate `q_retention_cohorts`.
+    */
+  def retentionCohorts(s: SparkSession, d: String): DataFrame =
+    retentionOver(t(s, d, "events")).orderBy("cohort_week", "week_offset")
+
+  private[graft] def retentionOver(events: DataFrame): DataFrame = {
+    val uw = events
+      .select(col("user_id"), expr(s"ts div $WeekNs").as("week"))
+      .distinct()
+    val cohort = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
+    uw.join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
+  /** Strictly-ordered funnel signup → click → purchase: a user converts
+    * step k only with an event STRICTLY AFTER their earliest step-k−1
+    * conversion time (the first-touch rule, so re-orderings can't fake a
+    * funnel). Per-step user counts + exact per-million conversion from
+    * the funnel top. Each step is one user-keyed aggregate joined to the
+    * previous step's (small) survivor set. Gate `q_funnel_steps`.
+    */
+  def funnelSteps(s: SparkSession, d: String): DataFrame =
+    funnelOver(t(s, d, "events"))
+
+  private[graft] def funnelOver(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.where(col("event_type") === "click")
+      .join(s1, "user_id").where(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.where(col("event_type") === "purchase")
+      .join(s2, "user_id").where(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    val counts = s1.agg(count(lit(1)).as("n")).withColumn("step", lit(1))
+      .withColumn("event_type", lit("signup"))
+      .unionByName(s2.agg(count(lit(1)).as("n")).withColumn("step", lit(2))
+        .withColumn("event_type", lit("click")))
+      .unionByName(s3.agg(count(lit(1)).as("n")).withColumn("step", lit(3))
+        .withColumn("event_type", lit("purchase")))
+    val top = s1.agg(count(lit(1)).as("n_top"))
+    counts.crossJoin(broadcast(top))
+      .select(col("step"), col("event_type"), col("n").as("n_users"),
+        when(col("n_top") === 0L, 0L)
+          .otherwise(expr("n * 1000000L div n_top")).as("conv_ppm"))
+      .orderBy("step")
+  }
 }

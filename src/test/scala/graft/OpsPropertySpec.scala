@@ -3089,4 +3089,38 @@ class OpsPropertySpec extends SparkSpec {
     val gate = TextOps.cardDrift(spark, sf).collect().map(_.toSeq)
     assert(served.sameElements(gate))
   }
+
+  test("funnel: strict first-touch ordering, monotone step counts") {
+    import spark.implicits._
+    import graft.ops.EventOps
+    val wk = EventOps.WeekNs / 7 / 24  // one hour in ns
+    // u1 completes in order; u2 clicks after signup (step 2 converts) but
+    // their purchase PRECEDES the click (must not convert step 3); u3
+    // clicks before signup (click after signup absent -> stops at step
+    // 1); u4 never signs up (not in funnel at all)
+    val ev = Seq(
+      (1L, "signup", 1 * wk), (1L, "click", 2 * wk), (1L, "purchase", 3 * wk),
+      (2L, "signup", 1 * wk), (2L, "purchase", 2 * wk), (2L, "click", 3 * wk),
+      (3L, "click", 1 * wk), (3L, "signup", 2 * wk),
+      (4L, "purchase", 1 * wk))
+      .toDF("user_id", "event_type", "ts")
+    val out = graft.ops.EventOps.funnelOver(ev).orderBy("step").collect()
+    assert(out.map(_.getAs[Long]("n_users")).toSeq == Seq(3L, 2L, 1L))
+    assert(out.map(_.getAs[Long]("conv_ppm")).toSeq ==
+      Seq(1000000L, 666666L, 333333L))
+  }
+
+  test("retention: offset-0 counts every cohort member; a returning " +
+      "user lands in their cohort's later offset") {
+    import spark.implicits._
+    import graft.ops.EventOps
+    val w = EventOps.WeekNs
+    // u1: weeks 0,2; u2: week 0 only; u3: week 1
+    val ev = Seq((1L, 100L), (1L, 2 * w + 5L), (2L, 200L), (3L, w + 9L))
+      .toDF("user_id", "ts")
+    val out = EventOps.retentionOver(ev).collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("week_offset"))
+        -> r.getAs[Long]("n_users")).toMap
+    assert(out == Map((0L, 0L) -> 2L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
+  }
 }
