@@ -100,6 +100,57 @@ object ExpectationOps {
         .otherwise(expr("violations * 1000000L div n_rows")).as("viol_ppm"),
       when(col("violations") === 0L, 1).otherwise(0).as("ok"))
 
+  // ---- streaming data quality: verdict counts as a delta-model family
+  // (graft.pipeline.DeltaModelIngest). Row-level checks are ADDITIVE
+  // (n_rows and violations sum across batches), so the exactly-once
+  // machinery the LM/QC/DC count models use applies verbatim. Uniqueness
+  // and referential checks are NOT additive (they need cross-batch state)
+  // and deliberately stay batch-only — a streaming verdict that silently
+  // under-counted cross-batch duplicates would be worse than none. ----
+
+  /** The documents-stream check suite (row-level only, see above). */
+  def docChecks: Seq[RowCheck] = Seq(
+    notNull("documents.text.not_null", col("text")),
+    notNull("documents.lang.not_null", col("lang")),
+    between("documents.n_chars.range_0_1m", col("n_chars"), 0.0, 1e6))
+
+  val CountsTable = "expectation_counts"
+
+  def expectationsFamily(db: String): graft.pipeline.DeltaModelIngest.Family =
+    graft.pipeline.DeltaModelIngest.Family(db, CountsTable,
+      Seq("check_id", "tbl"), Seq("n_rows", "violations"))
+
+  /** Per-batch additive verdict rows for a documents-shaped batch. */
+  def docBatchVerdicts(batch: DataFrame): DataFrame =
+    tableVerdicts(batch, "documents", docChecks)
+
+  /** foreachBatch adapter: exactly-once verdict growth — one
+    * (source, epoch)-named overwrite delta per batch; redelivery lands
+    * identical bytes.
+    */
+  def expectationsDeltaSink(srcTag: String, db: String)
+      : (DataFrame, Long) => Unit =
+    (batch, epochId) => graft.pipeline.DeltaModelIngest.append(
+      batch.sparkSession, expectationsFamily(db), srcTag, epochId,
+      docBatchVerdicts(batch))
+
+  /** Full rebuild of the stored verdict counts (the cron re-anchor). */
+  def buildExpectationCounts(docs: DataFrame, db: String): Unit = {
+    val s = docs.sparkSession
+    val fam = expectationsFamily(db)
+    val prevGen = graft.pipeline.DeltaModelIngest.prepareRebuild(s, fam)
+    graft.store.Warehouse.saveModel(docBatchVerdicts(docs), db, CountsTable)
+    graft.pipeline.DeltaModelIngest.finishRebuild(s, fam, prevGen)
+  }
+
+  /** Serve the accumulated verdicts (base ∪ deltas) with rates/flags —
+    * the same [[withRates]] the batch gate applies.
+    */
+  def expectationsFromModel(s: SparkSession, db: String): DataFrame =
+    withRates(graft.pipeline.DeltaModelIngest.effectiveCounts(
+      s, expectationsFamily(db)))
+      .orderBy("check_id")
+
   /** The canonical fixture suite: 7 constraints over orders/lineitem/
     * customer — key uniqueness, null policy, enum drift, range sanity,
     * referential integrity. One aggregate pass over orders, one over

@@ -230,4 +230,26 @@ class DeltaModelIngestSpec extends SparkSpec {
     DeltaModelIngest.effectiveCounts(spark, f)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       .sortBy(t => (t._1, t._2)).toSeq
+
+  test("expectation verdicts fold exactly: stream + redelivery + " +
+      "compaction equals the single-shot suite over the union") {
+    import graft.ops.ExpectationOps
+    val exDb = "ex_delta_spec"
+    spark.sql(s"DROP DATABASE IF EXISTS `$exDb` CASCADE")
+    ExpectationOps.buildExpectationCounts(slice(0, 200), exDb)
+    val sink = ExpectationOps.expectationsDeltaSink("s1", exDb)
+    sink(slice(200, 350), 0L)
+    sink(slice(200, 350), 0L)  // redelivery: identical bytes, no double count
+    sink(slice(350, 500), 1L)
+    def dump(df: DataFrame) = df.collect().map(_.toSeq).toSeq
+    val union = ExpectationOps.withRates(
+        ExpectationOps.docBatchVerdicts(slice(0, 500)))
+      .orderBy("check_id")
+    assert(dump(ExpectationOps.expectationsFromModel(spark, exDb)) ==
+      dump(union), "streamed verdicts diverged from the single-shot suite")
+    DeltaModelIngest.compact(spark, ExpectationOps.expectationsFamily(exDb))
+    assert(dump(ExpectationOps.expectationsFromModel(spark, exDb)) ==
+      dump(union), "compaction changed the served verdicts")
+    spark.sql(s"DROP DATABASE IF EXISTS `$exDb` CASCADE")
+  }
 }
