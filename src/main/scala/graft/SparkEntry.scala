@@ -185,6 +185,7 @@ object SparkEntry {
     "q_sitemap_coverage"    -> (graft.ops.UrlOps.sitemapCoverage _),
     "q_retention_cohorts"   -> (EventOps.retentionCohorts _),
     "q_funnel_steps"        -> (EventOps.funnelSteps _),
+    "q_jaccard_join_incremental" -> (SetJoinOps.jaccardJoinIncrement _),
   )
 
   /** DuckDB-dialect oracle SQL per query — since round 8, EVERY query has
@@ -3972,5 +3973,34 @@ object SparkEntry {
         |                 ELSE n_users * 1000000 // n_top END AS BIGINT)
         |           AS conv_ppm
         |FROM c, t ORDER BY step""".stripMargin,
+    // incremental exact Jaccard: brute force over the FULL corpus,
+    // restricted to pairs touching the % 5 = 0 batch — green proves the
+    // frozen-order incremental path is exact, not approximately recalled
+    "q_jaccard_join_incremental" ->
+      s"""WITH tok AS (
+        |    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens
+        |    FROM documents
+        |), sh AS (
+        |    SELECT doc_id, unnest(list_distinct(list_transform(
+        |               range(1, len(tokens) - ${SetJoinOps.ShingleN - 2}),
+        |               i -> array_to_string(tokens[i:i+${SetJoinOps.ShingleN - 1}], ' ')))) AS sh
+        |    FROM tok WHERE len(tokens) >= ${SetJoinOps.ShingleN}
+        |), sz AS (
+        |    SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1
+        |), ov AS (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |           CAST(count(*) AS BIGINT) AS overlap
+        |    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, za.sz AS size_a, zb.sz AS size_b, overlap,
+        |       CAST(overlap * 1000000 // (za.sz + zb.sz - overlap) AS BIGINT) AS jac_ppm
+        |FROM ov
+        |JOIN sz za ON za.doc_id = ov.doc_a
+        |JOIN sz zb ON zb.doc_id = ov.doc_b
+        |WHERE ${SetJoinOps.JacDen} * overlap >=
+        |      ${SetJoinOps.JacNum} * (za.sz + zb.sz - overlap)
+        |  AND (doc_a % 5 = 0 OR doc_b % 5 = 0)
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

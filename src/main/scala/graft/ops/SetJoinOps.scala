@@ -54,21 +54,34 @@ object SetJoinOps {
         s"transform(sequence(1, size(tokens) - ${ShingleN - 1}), " +
           s"i -> concat_ws(' ', slice(tokens, i, $ShingleN)))"))).as("sh"))
 
-  /** The prefix frame: each doc's |d| − ceil(t·|d|) + 1 globally-rarest
-    * shingles (ceil via (num·sz + den − 1) div den). Exposed for the
-    * spec's pruning assertions.
+  private[graft] def freqOf(sh: DataFrame): DataFrame =
+    sh.groupBy("sh").agg(count(lit(1)).as("df"))
+
+  private[graft] def sizesOf(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+
+  /** The prefix frame UNDER A GIVEN frequency order: each doc's
+    * |d| − ceil(t·|d|) + 1 rarest shingles (ceil via (num·sz + den − 1)
+    * div den). Shingles absent from `freq` rank with df = 0 — rarest
+    * first. The prefix-filter theorem needs only that the two sides of a
+    * pair rank under the SAME total order, so a frozen `freq` keeps the
+    * incremental path EXACT (unlike the IVF family's frozen centroids,
+    * which trade recall): staleness degrades candidate-set size, never
+    * completeness.
     */
-  private[graft] def prefixesOf(sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    sh.join(freq, "sh")
+  private[graft] def prefixesUnder(sh: DataFrame, freq: DataFrame): DataFrame =
+    sh.join(freq, Seq("sh"), "left")
+      .withColumn("df0", coalesce(col("df"), lit(0L)))
       .withColumn("rnk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df").asc, col("sh").asc)))
-      .join(sizes, "doc_id")
+        Window.partitionBy("doc_id").orderBy(col("df0").asc, col("sh").asc)))
+      .join(sizesOf(sh), "doc_id")
       .where(col("rnk") <= col("sz") -
         expr(s"($JacNum * sz + ${JacDen - 1}) div $JacDen") + lit(1))
       .select(col("doc_id"), col("sh"))
-  }
+
+  /** Prefixes under the set's own frequency order. */
+  private[graft] def prefixesOf(sh: DataFrame): DataFrame =
+    prefixesUnder(sh, freqOf(sh))
 
   /** All pairs (doc_a < doc_b) with Jaccard(sh sets) ≥ t, exactly. */
   def jaccardPairs(sh0: DataFrame): DataFrame = {
@@ -104,4 +117,168 @@ object SetJoinOps {
   def jaccardJoinExact(s: SparkSession, d: String): DataFrame =
     jaccardPairs(docShingles(t(s, d, "documents")))
       .orderBy("doc_a", "doc_b")
+
+  // ---- incremental lifecycle: frozen-order stored index ----
+  //
+  // The corpus signs once (shingles + sizes + the FROZEN frequency order
+  // + prefix rows); a batch probes and appends without re-shuffling the
+  // corpus. Exactness survives freezing (see prefixesUnder), so unlike
+  // the ANN appends this carries no recall caveat — the cron rebuild
+  // ([[jaccardRebuildEntry]] caller posture) only restores candidate-set
+  // efficiency.
+
+  val ShinglesTable = "jac_shingles"
+  val FreqTable = "jac_freq"
+  val SizesTable = "jac_sizes"
+  val PrefixTable = "jac_prefixes"
+  val NumBuckets = 32
+  val BucketsProp = "graft.jaccard.buckets"
+  val MaxDocProp = "graft.jaccard.max_doc"
+
+  private def fqn(db: String, table: String) = s"`$db`.`$table`"
+
+  /** The four index frames, from the warehouse or built in-query. */
+  final case class JacIndex(shingles: DataFrame, sizes: DataFrame,
+                            freq: DataFrame, prefixes: DataFrame)
+
+  private[graft] def indexOver(corpusSh: DataFrame): JacIndex = {
+    val freq = freqOf(corpusSh)
+    JacIndex(corpusSh, sizesOf(corpusSh), freq,
+      prefixesUnder(corpusSh, freq))
+  }
+
+  def buildJaccardIndex(docs: DataFrame, db: String): Unit = {
+    val s = docs.sparkSession
+    val sh = PlanCache.swap("jac_build_sh", docShingles(docs))
+    val freq = freqOf(sh)
+    graft.store.Warehouse.saveModel(sh, db, ShinglesTable)
+    graft.store.Warehouse.saveModel(freq, db, FreqTable)
+    graft.store.Warehouse.saveModel(sizesOf(sh), db, SizesTable)
+    graft.store.Warehouse.saveModel(
+      prefixesUnder(sh, freq)
+        .withColumn("bkt", pmod(xxhash64(col("sh")), lit(NumBuckets))),
+      db, PrefixTable, partitionCols = Seq("bkt"))
+    val maxDoc = docs.agg(max("doc_id")).head.getLong(0)
+    s.sql(s"ALTER TABLE ${fqn(db, PrefixTable)} SET TBLPROPERTIES " +
+      s"('$BucketsProp' = '$NumBuckets', '$MaxDocProp' = '$maxDoc')")
+  }
+
+  private def storedIndex(s: SparkSession, db: String): JacIndex = {
+    graft.store.Warehouse.refreshDb(s, db)
+    JacIndex(s.table(fqn(db, ShinglesTable)), s.table(fqn(db, SizesTable)),
+      s.table(fqn(db, FreqTable)),
+      s.table(fqn(db, PrefixTable)).select("doc_id", "sh", "bkt"))
+  }
+
+  /** Batch-involving pairs (corpus↔batch and batch↔batch) with J ≥ t,
+    * exact under the index's frozen order. The corpus is touched by (a)
+    * the prefix probe — an equi-join the caller can partition-prune to
+    * the batch's buckets — and (b) the verification join restricted to
+    * candidate corpus docs. Never a corpus self-join.
+    */
+  private[graft] def incrementalPairs(idx: JacIndex,
+                                      batchSh0: DataFrame): DataFrame = {
+    val batchSh = PlanCache.swap("jac_batch_sh", batchSh0)
+    val bSizes = sizesOf(batchSh)
+    val bPref = prefixesUnder(batchSh, idx.freq)
+    val corpusPref = idx.prefixes.select(col("doc_id").as("a_id"), col("sh"))
+    val cross = bPref.select(col("doc_id").as("b_id"), col("sh"))
+      .join(corpusPref, "sh")
+      .select("a_id", "b_id").distinct()
+    val self = bPref.as("x").join(bPref.as("y"), Seq("sh"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    def verify(cands: DataFrame, shA: DataFrame, szA: DataFrame): DataFrame =
+      cands
+        .join(shA.select(col("doc_id").as("a_id"), col("sh")), Seq("a_id"))
+        .join(batchSh.select(col("doc_id").as("b_id"), col("sh")),
+          Seq("b_id", "sh"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("overlap"))
+        .join(szA.select(col("doc_id").as("a_id"), col("sz").as("size_a")),
+          Seq("a_id"))
+        .join(bSizes.select(col("doc_id").as("b_id"), col("sz").as("size_b")),
+          Seq("b_id"))
+        .where(lit(JacDen) * col("overlap") >=
+          lit(JacNum) * (col("size_a") + col("size_b") - col("overlap")))
+    val pairs = verify(cross, idx.shingles, idx.sizes)
+      .unionByName(verify(self, batchSh, bSizes))
+    // normalize to (doc_a < doc_b) with sizes following their doc
+    pairs.select(
+      least(col("a_id"), col("b_id")).as("doc_a"),
+      greatest(col("a_id"), col("b_id")).as("doc_b"),
+      when(col("a_id") < col("b_id"), col("size_a")).otherwise(col("size_b"))
+        .as("size_a2"),
+      when(col("a_id") < col("b_id"), col("size_b")).otherwise(col("size_a"))
+        .as("size_b2"),
+      col("overlap"))
+      .withColumnsRenamed(Map("size_a2" -> "size_a", "size_b2" -> "size_b"))
+      .withColumn("jac_ppm",
+        expr("overlap * 1000000L div (size_a + size_b - overlap)"))
+  }
+
+  /** Gate `q_jaccard_join_incremental`: corpus = doc_id % 5 ≠ 0, batch =
+    * the % 5 = 0 slice; the oracle replays the brute-force join over the
+    * FULL corpus restricted to batch-involving pairs — green proves the
+    * frozen-order incremental path is exact, not approximately recalled.
+    */
+  def jaccardJoinIncrement(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val corpusSh = PlanCache.swap("jac_corpus_sh",
+      docShingles(docs.filter(col("doc_id") % 5 =!= 0)))
+    incrementalPairs(indexOver(corpusSh),
+      docShingles(docs.filter(col("doc_id") % 5 === 0)))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Stored-index serve: prefix probe partition-pruned to the batch's
+    * shingle buckets (≤ [[NumBuckets]] values, the probe-cell posture).
+    */
+  def jaccardIncrementFromIndex(s: SparkSession, db: String,
+                                batch: DataFrame): DataFrame = {
+    val idx = storedIndex(s, db)
+    // bucket modulus must come off the table — absence refuses
+    val nb = graft.store.Warehouse.readTablePropLong(s, db, PrefixTable,
+      BucketsProp, "rebuild the jaccard index (buildJaccardIndex)")
+    val batchSh = docShingles(batch)
+    val buckets = prefixesUnder(batchSh, idx.freq)
+      .select(pmod(xxhash64(col("sh")), lit(nb)).as("bkt"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val pruned = idx.copy(prefixes =
+      idx.prefixes.where(col("bkt").isin(buckets: _*))
+        .select("doc_id", "sh"))
+    incrementalPairs(pruned, batchSh).orderBy("doc_a", "doc_b")
+  }
+
+  /** Append a batch behind the append-only fence: shingle/size/prefix
+    * rows land; the FROZEN order is deliberately untouched (absent
+    * shingles stay df = 0 forever — order stability is what keeps every
+    * future probe exact). Fence advances last.
+    */
+  def appendToJaccardIndex(s: SparkSession, db: String,
+                           batch: DataFrame): Unit = {
+    val fence = graft.store.Warehouse.readTablePropLong(s, db, PrefixTable,
+      MaxDocProp, "rebuild the jaccard index (buildJaccardIndex)")
+    val bounds = batch.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .head()
+    if (bounds.isNullAt(0)) return
+    require(bounds.getLong(0) > fence,
+      s"appendToJaccardIndex: batch ids [${bounds.getLong(0)}..] overlap " +
+        s"the fence $fence — replay or id reuse; refuse rather than " +
+        "double-append")
+    val idx = storedIndex(s, db)
+    val batchSh = PlanCache.swap("jac_append_sh", docShingles(batch))
+    batchSh.select(s.table(fqn(db, ShinglesTable)).columns.map(col)
+      .toIndexedSeq: _*)
+      .write.mode("append").insertInto(fqn(db, ShinglesTable))
+    sizesOf(batchSh).select(s.table(fqn(db, SizesTable)).columns.map(col)
+      .toIndexedSeq: _*)
+      .write.mode("append").insertInto(fqn(db, SizesTable))
+    prefixesUnder(batchSh, idx.freq)
+      .withColumn("bkt", pmod(xxhash64(col("sh")), lit(NumBuckets)))
+      .select(s.table(fqn(db, PrefixTable)).columns.map(col).toIndexedSeq: _*)
+      .write.mode("append").insertInto(fqn(db, PrefixTable))
+    s.sql(s"ALTER TABLE ${fqn(db, PrefixTable)} SET TBLPROPERTIES " +
+      s"('$MaxDocProp' = '${bounds.getLong(1)}')")
+  }
 }

@@ -75,6 +75,57 @@ class SetJoinOpsSpec extends SparkSpec {
     assert(pref < total && pref > 0)
   }
 
+  test("incremental: in-query gate == fresh pairs restricted to batch") {
+    val docs = Tables.t(spark, sf, "documents")
+    val inc = SetJoinOps.jaccardJoinIncrement(spark, sf)
+      .select("doc_a", "doc_b", "overlap")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val fresh = SetJoinOps.jaccardPairs(SetJoinOps.docShingles(docs))
+      .where(col("doc_a") % 5 === 0 || col("doc_b") % 5 === 0)
+      .select("doc_a", "doc_b", "overlap")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(inc == fresh && inc.nonEmpty)
+  }
+
+  test("incremental stored lifecycle: pruned serve == gate, append " +
+      "extends exactly, fence refuses overlap") {
+    val db = "jac_idx_spec"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    val docs = Tables.t(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") < 300)
+    val batch1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    val batch2 = docs.filter(col("doc_id") >= 400)
+    SetJoinOps.buildJaccardIndex(corpus, db)
+    // serve batch1 against the stored index: equals the frame-built path,
+    // and the prefix probe is partition-pruned to the batch's buckets
+    val served = SetJoinOps.jaccardIncrementFromIndex(spark, db, batch1)
+    val plan = served.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[.*bkt".r.findFirstIn(plan).isDefined,
+      "prefix probe not partition-pruned:\n" + plan.take(2000))
+    def dump(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_a", "doc_b", "overlap").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val frames = SetJoinOps.incrementalPairs(
+      SetJoinOps.indexOver(SetJoinOps.docShingles(corpus)),
+      SetJoinOps.docShingles(batch1))
+    assert(dump(served) == dump(frames))
+    // append batch1, then serving batch2 must equal the frame path over
+    // the grown corpus — the frozen order changes candidates, never pairs
+    SetJoinOps.appendToJaccardIndex(spark, db, batch1)
+    val served2 = dump(SetJoinOps.jaccardIncrementFromIndex(spark, db, batch2))
+    val frames2 = dump(SetJoinOps.incrementalPairs(
+      SetJoinOps.indexOver(SetJoinOps.docShingles(
+        corpus.unionByName(batch1))),
+      SetJoinOps.docShingles(batch2)))
+    assert(served2 == frames2)
+    // replaying batch1 trips the fence loudly
+    val e = intercept[IllegalArgumentException] {
+      SetJoinOps.appendToJaccardIndex(spark, db, batch1)
+    }
+    assert(e.getMessage.contains("fence"))
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
   test("fixture law: engine pairs == brute-force pairs") {
     val sh = SetJoinOps.docShingles(Tables.t(spark, sf, "documents"))
     val engine = SetJoinOps.jaccardPairs(sh)
