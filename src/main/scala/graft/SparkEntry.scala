@@ -186,6 +186,8 @@ object SparkEntry {
     "q_retention_cohorts"   -> (EventOps.retentionCohorts _),
     "q_funnel_steps"        -> (EventOps.funnelSteps _),
     "q_jaccard_join_incremental" -> (SetJoinOps.jaccardJoinIncrement _),
+    "q_scd2_history"        -> (graft.ops.ScdOps.scd2History _),
+    "q_scd2_incremental"    -> (graft.ops.ScdOps.scd2Incremental _),
   )
 
   /** DuckDB-dialect oracle SQL per query — since round 8, EVERY query has
@@ -4002,5 +4004,39 @@ object SparkEntry {
         |      ${SetJoinOps.JacNum} * (za.sz + zb.sz - overlap)
         |  AND (doc_a % 5 = 0 OR doc_b % 5 = 0)
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // SCD Type 2: run-collapse of the per-user status stream into
+    // versioned half-open validity intervals. The SAME replay gates the
+    // batch collapse AND the incremental stored maintenance — a green
+    // q_scd2_incremental proves the appended state is bit-equal to a
+    // from-scratch collapse.
+    "q_scd2_history" -> scd2HistorySql,
+    "q_scd2_incremental" -> scd2HistorySql,
   )
+
+  /** Fresh full-feed SCD2 collapse (shared by both scd2 gates). */
+  private def scd2HistorySql: String =
+    """WITH ev AS (
+      |    SELECT user_id, event_type AS status, epoch_ns(ts) AS ts, event_id
+      |    FROM events
+      |), chg AS (
+      |    SELECT user_id, status, ts, event_id,
+      |           lag(status) OVER (PARTITION BY user_id
+      |               ORDER BY ts, event_id) AS prev
+      |    FROM ev
+      |), runs AS (
+      |    SELECT user_id, status, ts AS valid_from, event_id AS first_event_id,
+      |           CAST(row_number() OVER (PARTITION BY user_id
+      |               ORDER BY ts, event_id) AS INTEGER) AS version
+      |    FROM chg WHERE prev IS NULL OR prev <> status
+      |), hist AS (
+      |    SELECT user_id, status, valid_from,
+      |           lead(valid_from) OVER (PARTITION BY user_id
+      |               ORDER BY valid_from, first_event_id) AS valid_to,
+      |           version, first_event_id
+      |    FROM runs
+      |)
+      |SELECT user_id, status, valid_from, valid_to, version, first_event_id,
+      |       CAST(valid_to IS NULL AS INTEGER) AS is_current
+      |FROM hist
+      |ORDER BY user_id, version""".stripMargin
 }
