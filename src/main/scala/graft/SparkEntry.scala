@@ -188,6 +188,7 @@ object SparkEntry {
     "q_jaccard_join_incremental" -> (SetJoinOps.jaccardJoinIncrement _),
     "q_scd2_history"        -> (graft.ops.ScdOps.scd2History _),
     "q_scd2_incremental"    -> (graft.ops.ScdOps.scd2Incremental _),
+    "q_fuzzy_vocab_edit1"   -> (graft.ops.FuzzyOps.fuzzyVocabEdit1 _),
   )
 
   /** DuckDB-dialect oracle SQL per query — since round 8, EVERY query has
@@ -4011,6 +4012,31 @@ object SparkEntry {
     // from-scratch collapse.
     "q_scd2_history" -> scd2HistorySql,
     "q_scd2_incremental" -> scd2HistorySql,
+    // Fuzzy edit-1 vocabulary join: the engine blocks on deletion
+    // neighborhoods (SymSpell); the oracle replays BRUTE FORCE over the
+    // distinct vocabulary — green proves the blocking lost no true pair.
+    "q_fuzzy_vocab_edit1" ->
+      s"""WITH tok AS (
+        |    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        |    FROM documents
+        |), base AS (
+        |    SELECT doc_id, toks[1] || toks[2] AS clean
+        |    FROM tok WHERE len(toks) >= 2
+        |), feed AS (
+        |    SELECT doc_id, CASE WHEN doc_id % 3 = 1 THEN
+        |               substr(clean, 1, CAST(doc_id % length(clean) AS INT)) ||
+        |               substr(clean, CAST(doc_id % length(clean) AS INT) + 2)
+        |           ELSE clean END AS name
+        |    FROM base WHERE length(clean) >= ${graft.ops.FuzzyOps.MinLen}
+        |), vocab AS (
+        |    SELECT name, CAST(count(*) AS BIGINT) AS freq FROM feed GROUP BY 1
+        |)
+        |SELECT a.name AS word_a, b.name AS word_b,
+        |       a.freq AS freq_a, b.freq AS freq_b,
+        |       CASE WHEN a.freq >= b.freq THEN a.name ELSE b.name END AS canon
+        |FROM vocab a JOIN vocab b
+        |  ON a.name < b.name AND levenshtein(a.name, b.name) = 1
+        |ORDER BY word_a, word_b""".stripMargin,
   )
 
   /** Fresh full-feed SCD2 collapse (shared by both scd2 gates). */
