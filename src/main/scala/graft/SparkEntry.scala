@@ -189,6 +189,8 @@ object SparkEntry {
     "q_scd2_history"        -> (graft.ops.ScdOps.scd2History _),
     "q_scd2_incremental"    -> (graft.ops.ScdOps.scd2Incremental _),
     "q_fuzzy_vocab_edit1"   -> (graft.ops.FuzzyOps.fuzzyVocabEdit1 _),
+    "q_winnow_fingerprint"  -> (graft.ops.WinnowOps.winnowFingerprint _),
+    "q_copy_candidates"     -> (graft.ops.WinnowOps.copyCandidatesQuery _),
   )
 
   /** DuckDB-dialect oracle SQL per query — since round 8, EVERY query has
@@ -4037,7 +4039,57 @@ object SparkEntry {
         |FROM vocab a JOIN vocab b
         |  ON a.name < b.name AND levenshtein(a.name, b.name) = 1
         |ORDER BY word_a, word_b""".stripMargin,
+    // Winnowing (MOSS): per window of W gram hashes select the min,
+    // rightmost on ties — one struct-min window pass, replayed
+    // cell-for-cell (md5-prefix hex strings order like the numbers).
+    "q_winnow_fingerprint" ->
+      s"""$winnowSelCte
+        |SELECT doc_id, pos, h FROM sel ORDER BY doc_id, pos""".stripMargin,
+    "q_copy_candidates" ->
+      s"""$winnowSelCte, dh AS (
+        |    SELECT DISTINCT doc_id, h FROM sel
+        |), cnt AS (
+        |    SELECT h, count(*) AS nd FROM dh GROUP BY 1
+        |), pruned AS (
+        |    SELECT dh.doc_id, dh.h FROM dh JOIN cnt USING (h)
+        |    WHERE cnt.nd <= ${graft.ops.WinnowOps.MaxDocsPerPrint}
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(count(*) AS BIGINT) AS n_shared
+        |FROM pruned a JOIN pruned b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= ${graft.ops.WinnowOps.MinShared}
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
+
+  /** Shared winnowing-selection CTE: gram hashes → full-window struct-min
+    * → distinct (doc_id, pos, h).
+    */
+  private def winnowSelCte: String = {
+    val k = graft.ops.WinnowOps.K
+    val w = graft.ops.WinnowOps.W
+    s"""WITH tok AS (
+      |    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens
+      |    FROM documents
+      |), g AS (
+      |    SELECT doc_id,
+      |           unnest(range(1, len(tokens) - ${k - 2})) AS pos,
+      |           unnest(list_transform(range(1, len(tokens) - ${k - 2}),
+      |               i -> substr(md5(array_to_string(tokens[i:i+${k - 1}], ' ')),
+      |                           1, 16))) AS h
+      |    FROM tok WHERE len(tokens) >= $k
+      |), fwin AS (
+      |    SELECT doc_id, pos,
+      |           count(*) OVER (PARTITION BY doc_id) AS n,
+      |           min({'h': h, 'np': -pos}) OVER (PARTITION BY doc_id
+      |               ORDER BY pos ROWS BETWEEN CURRENT ROW AND ${w - 1}
+      |               FOLLOWING) AS m
+      |    FROM g
+      |), sel AS (
+      |    SELECT DISTINCT doc_id, -(m.np) AS pos, m.h AS h
+      |    FROM fwin WHERE pos <= n - $w + 1
+      |)""".stripMargin
+  }
 
   /** Fresh full-feed SCD2 collapse (shared by both scd2 gates). */
   private def scd2HistorySql: String =
