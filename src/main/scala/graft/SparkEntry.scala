@@ -191,6 +191,8 @@ object SparkEntry {
     "q_fuzzy_vocab_edit1"   -> (graft.ops.FuzzyOps.fuzzyVocabEdit1 _),
     "q_winnow_fingerprint"  -> (graft.ops.WinnowOps.winnowFingerprint _),
     "q_copy_candidates"     -> (graft.ops.WinnowOps.copyCandidatesQuery _),
+    "q_gapfill_locf"        -> (graft.ops.TimeSeriesOps.gapfillLocfQuery _),
+    "q_outlier_mad"         -> (graft.ops.TimeSeriesOps.madOutliersQuery _),
   )
 
   /** DuckDB-dialect oracle SQL per query — since round 8, EVERY query has
@@ -4060,6 +4062,68 @@ object SparkEntry {
         |GROUP BY 1, 2
         |HAVING count(*) >= ${graft.ops.WinnowOps.MinShared}
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Dense hourly grid with LOCF: the carried value is a deterministic
+    // ROW pick (latest by ts, event_id), never an aggregate over doubles.
+    "q_gapfill_locf" ->
+      s"""WITH ev AS (
+        |    SELECT user_id, epoch_ns(ts) // ${graft.ops.TimeSeriesOps.HourNs}
+        |               AS bucket,
+        |           epoch_ns(ts) AS tsn, event_id, value
+        |    FROM events
+        |), bkt AS (
+        |    SELECT user_id, bucket, n, value AS v FROM (
+        |        SELECT *,
+        |               row_number() OVER (PARTITION BY user_id, bucket
+        |                   ORDER BY tsn DESC, event_id DESC) AS rn,
+        |               count(*) OVER (PARTITION BY user_id, bucket) AS n
+        |        FROM ev) WHERE rn = 1
+        |), grid AS (
+        |    SELECT user_id, unnest(range(mn, mx + 1)) AS bucket
+        |    FROM (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+        |          FROM bkt GROUP BY 1)
+        |), j AS (
+        |    SELECT g.user_id, g.bucket, coalesce(b.n, 0) AS n_events, b.v
+        |    FROM grid g LEFT JOIN bkt b USING (user_id, bucket)
+        |)
+        |SELECT user_id, bucket, n_events,
+        |       last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |           ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |           CURRENT ROW) AS value_filled
+        |FROM j ORDER BY user_id, bucket""".stripMargin,
+    // Robust per-type outlier summary: lower median + MAD over integer
+    // cents (rank (n+1) div 2 by (value, event_id) — no interpolation).
+    "q_outlier_mad" ->
+      s"""WITH e AS (
+        |    SELECT event_type, event_id,
+        |           CAST(round(value * 100) AS BIGINT) AS cents
+        |    FROM events
+        |), med AS (
+        |    SELECT event_type, cents AS med_cents FROM (
+        |        SELECT event_type, cents,
+        |               row_number() OVER (PARTITION BY event_type
+        |                   ORDER BY cents, event_id) AS rn,
+        |               count(*) OVER (PARTITION BY event_type) AS cnt
+        |        FROM e) WHERE rn = (cnt + 1) // 2
+        |), d AS (
+        |    SELECT e.event_type, e.event_id, m.med_cents,
+        |           abs(e.cents - m.med_cents) AS dev
+        |    FROM e JOIN med m USING (event_type)
+        |), mad AS (
+        |    SELECT event_type, dev AS mad_cents FROM (
+        |        SELECT event_type, dev,
+        |               row_number() OVER (PARTITION BY event_type
+        |                   ORDER BY dev, event_id) AS rn,
+        |               count(*) OVER (PARTITION BY event_type) AS cnt
+        |        FROM d) WHERE rn = (cnt + 1) // 2
+        |)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(d.med_cents) AS BIGINT) AS med_cents,
+        |       CAST(min(m.mad_cents) AS BIGINT) AS mad_cents,
+        |       CAST(sum(CASE WHEN d.dev > ${graft.ops.TimeSeriesOps.MadK}
+        |                     * m.mad_cents THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_outliers
+        |FROM d JOIN mad m USING (event_type)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
   )
 
   /** Shared winnowing-selection CTE: gram hashes → full-window struct-min

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TimeSeriesOps
+
+/** Gap-fill/LOCF and MAD outliers: hand-checked grids, carry semantics,
+  * lower-median convention, and robustness of the MAD flag.
+  */
+class TimeSeriesOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+  private val H = TimeSeriesOps.HourNs
+
+  private def ev(rows: (Long, Long, Long, Double)*) =
+    rows.map { case (u, ts, id, v) => (id, ts, u, "click", v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("gapfill: dense grid per user, zeros on gaps, LOCF carries values") {
+    // user 1: events in hours 10 and 13 -> grid 10..13 with 11,12 filled
+    val df = TimeSeriesOps.gapfillLocf(ev(
+      (1L, 10 * H + 5, 1L, 1.5), (1L, 10 * H + 9, 2L, 2.5),
+      (1L, 13 * H + 1, 3L, 9.0),
+      (2L, 20 * H, 4L, 7.0)))
+    val got = df.orderBy("user_id", "bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got === Array(
+      (1L, 10L, 2L, 2.5), // latest-in-bucket by (ts, event_id)
+      (1L, 11L, 0L, 2.5), // carried
+      (1L, 12L, 0L, 2.5),
+      (1L, 13L, 1L, 9.0),
+      (2L, 20L, 1L, 7.0))) // span is per-user, not global
+  }
+
+  test("gapfill: in-bucket pick breaks ts ties by event_id") {
+    val df = TimeSeriesOps.gapfillLocf(ev(
+      (1L, 5 * H, 1L, 1.0), (1L, 5 * H, 2L, 2.0)))
+    assert(df.select("value_filled").head.getDouble(0) === 2.0)
+  }
+
+  test("MAD: hand-computed lower median, MAD and outlier count") {
+    // cents: 100,200,300,400,10000 -> lower median (n=5, rank 3) = 300
+    // devs: 200,100,0,100,9700 -> sorted 0,100,100,200,9700, rank 3 = 100
+    // outliers: dev > 5*100 -> only 9700
+    val df = TimeSeriesOps.madOutliers(ev(
+      (1L, 1L, 1L, 1.0), (1L, 2L, 2L, 2.0), (1L, 3L, 3L, 3.0),
+      (1L, 4L, 4L, 4.0), (1L, 5L, 5L, 100.0)))
+    val r = df.head
+    assert((r.getAs[Long]("n"), r.getAs[Long]("med_cents"),
+      r.getAs[Long]("mad_cents"), r.getAs[Long]("n_outliers")) ===
+      ((5L, 300L, 100L, 1L)))
+  }
+
+  test("MAD is robust: one wild point does not move the estimates") {
+    val base = (1L to 9L).map(i => (1L, i, i, 10.0 + (i % 3))) // 10..12
+    val wild = base :+ ((1L, 10L, 10L, 1e6))
+    val a = TimeSeriesOps.madOutliers(ev(base: _*)).head
+    val b = TimeSeriesOps.madOutliers(ev(wild: _*)).head
+    assert(a.getAs[Long]("med_cents") === b.getAs[Long]("med_cents"))
+    assert(b.getAs[Long]("n_outliers") === 1L)
+  }
+
+  test("even-count groups use the lower median") {
+    // n=4: rank (4+1) div 2 = 2 -> second smallest
+    val df = TimeSeriesOps.madOutliers(ev(
+      (1L, 1L, 1L, 1.0), (1L, 2L, 2L, 2.0),
+      (1L, 3L, 3L, 3.0), (1L, 4L, 4L, 4.0)))
+    assert(df.head.getAs[Long]("med_cents") === 200L)
+  }
+}
