@@ -173,11 +173,17 @@ object ScdOps {
   private def changeFeedShape(df: DataFrame): DataFrame =
     df.select("user_id", "status", "ts", "event_id")
 
-  /** Serve the stored history in the gate projection. */
-  def storedHistory(s: SparkSession, db: String = Db): DataFrame =
+  /** Serve the stored history in the gate projection. The refresh is the
+    * cross-session freshness contract: a streaming fold's cloned session
+    * (or another writer JVM) may have overwritten the current partition
+    * since this session first listed the table.
+    */
+  def storedHistory(s: SparkSession, db: String = Db): DataFrame = {
+    graft.store.Warehouse.refreshDb(s, db)
     s.table(fqn(db)).select(col("user_id"), col("status"), col("valid_from"),
       col("valid_to"), col("version"), col("first_event_id"),
       (lit(1) - col("closed")).cast("int").as("is_current"))
+  }
 
   /** Scheduled full rebuild — the recovery/re-anchor entry (cron posture
     * shared with clusterRebuildEntry/bpeRefreshEntry).

@@ -442,6 +442,44 @@ object StreamingOps {
       }, docs, s"$db.${graft.ops.IncrementalClusters.LabelsTable}")
       .start()
 
+  /** Streaming SCD2 maintenance: micro-batches of change-feed rows
+    * (user_id, status, ts, event_id) fold through
+    * [[graft.ops.ScdOps.applyScd2Batch]], whose fence-FIRST posture makes
+    * every crash window exact or loud: a crash before the fence advance
+    * redelivers cleanly (nothing was written); a crash after it makes the
+    * redelivery refuse loudly (the closed-partition append is not
+    * row-idempotent — a silent re-apply could double-close versions), and
+    * [[graft.ops.ScdOps.scd2RebuildEntry]] is the recovery re-anchor.
+    * Committed epochs no-op via the table-property ledger set LAST.
+    */
+  def sinkScd2(feed: DataFrame, db: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    withCheckpoint(feed.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        processScd2Batch(batch.toDF(), db, epochId)
+      }, feed, s"$db.${graft.ops.ScdOps.HistTable}")
+      .start()
+
+  private val Scd2EpochProp = "graft.scd2.last_epoch"
+
+  private[graft] def processScd2Batch(b: DataFrame, db: String,
+                                      epochId: Long): Unit = {
+    import graft.ops.ScdOps
+    if (b.isEmpty) return
+    val s = b.sparkSession
+    require(s.catalog.tableExists(s"$db.${ScdOps.HistTable}"),
+      s"sinkScd2: no history table in `$db` — run ScdOps.buildScd2 first")
+    if (epochId >= 0 && s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          ScdOps.HistTable, Some(db))).properties
+        .get(Scd2EpochProp).filter(_.nonEmpty)
+        .map(_.toLong).exists(_ >= epochId)) return // committed replay
+    ScdOps.applyScd2Batch(s, b, db)
+    s.sql(s"ALTER TABLE `$db`.`${ScdOps.HistTable}` SET TBLPROPERTIES " +
+      s"('$Scd2EpochProp'='$epochId')")
+  }
+
   private val ClusterEpochProp = "graft.clusters.last_epoch"
 
   private[graft] def processClusterBatch(b: DataFrame, db: String,

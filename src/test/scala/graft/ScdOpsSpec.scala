@@ -113,6 +113,46 @@ class ScdOpsSpec extends SparkSpec {
       s"preexisting closed file $n was rewritten") }
   }
 
+  test("streaming fold lands bit-equal to a fresh full build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    val full = feed(
+      (1L, "free", 10L, 100L), (1L, "paid", 30L, 102L),
+      (1L, "paid", 60L, 105L), (1L, "gone", 90L, 106L),
+      (2L, "paid", 15L, 200L), (2L, "paid", 65L, 201L),
+      (3L, "free", 61L, 300L), (3L, "paid", 95L, 301L))
+    ScdOps.buildScd2(full.where(col("ts") < 50L), db)
+    val mem = MemoryStream[(Long, String, Long, Long)]
+    val q = graft.streaming.StreamingOps.sinkScd2(
+      mem.toDF().toDF("user_id", "status", "ts", "event_id"), db)
+    mem.addData((1L, "paid", 60L, 105L), (2L, "paid", 65L, 201L),
+      (3L, "free", 61L, 300L))
+    q.processAllAvailable()
+    mem.addData((1L, "gone", 90L, 106L), (3L, "paid", 95L, 301L))
+    q.processAllAvailable()
+    q.stop()
+    assert(hist(ScdOps.storedHistory(spark, db)) === hist(ScdOps.history(full)))
+  }
+
+  test("committed-epoch redelivery no-ops; an uncommitted crash window is loud") {
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    ScdOps.buildScd2(feed((1L, "a", 10L, 1L)), db)
+    val batch = feed((1L, "b", 20L, 2L))
+    graft.streaming.StreamingOps.processScd2Batch(batch, db, epochId = 3L)
+    // committed replay of the same epoch: silently absorbed
+    graft.streaming.StreamingOps.processScd2Batch(batch, db, epochId = 3L)
+    assert(hist(ScdOps.storedHistory(spark, db)).size === 2)
+    // crash window: the fence advanced but the epoch never committed —
+    // a redelivery under a LATER epoch must refuse loudly, not re-apply
+    val b2 = feed((1L, "c", 30L, 3L))
+    ScdOps.applyScd2Batch(spark, b2, db) // fold landed, epoch not set
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingOps.processScd2Batch(b2, db, epochId = 4L)
+    }
+    assert(e.getMessage.contains("watermark"))
+  }
+
   test("fence advances before the writes: a crashed batch's retry refuses") {
     spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
     ScdOps.buildScd2(feed((1L, "a", 10L, 1L)), db)
