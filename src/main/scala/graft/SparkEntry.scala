@@ -193,6 +193,8 @@ object SparkEntry {
     "q_copy_candidates"     -> (graft.ops.WinnowOps.copyCandidatesQuery _),
     "q_gapfill_locf"        -> (graft.ops.TimeSeriesOps.gapfillLocfQuery _),
     "q_outlier_mad"         -> (graft.ops.TimeSeriesOps.madOutliersQuery _),
+    "q_power_direction"     -> (graft.ops.SpectralOps.powerDirectionQuery _),
+    "q_spectral_order"      -> (graft.ops.SpectralOps.spectralOrderQuery _),
   )
 
   /** DuckDB-dialect oracle SQL per query — since round 8, EVERY query has
@@ -4124,7 +4126,75 @@ object SparkEntry {
         |           AS n_outliers
         |FROM d JOIN mad m USING (event_type)
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // Power iteration over the TF-IDF Gram matrix: every round replayed
+    // as MATERIALIZED CTE stages (HUGEINT sums, truncating division).
+    "q_power_direction" ->
+      s"""$spectralCtes
+        |SELECT CAST(dim AS INT) AS dim, CAST(u AS BIGINT) AS u_fp
+        |FROM u${graft.ops.SpectralOps.Rounds}
+        |ORDER BY dim""".stripMargin,
+    "q_spectral_order" ->
+      s"""$spectralCtes
+        |SELECT v.doc_id,
+        |       CAST(SUM(CAST(v.v_fp AS HUGEINT) * u.u)
+        |            // ${graft.ops.SpectralOps.UScale} AS BIGINT) AS proj_fp
+        |FROM vecs v JOIN u${graft.ops.SpectralOps.Rounds} u USING (dim)
+        |GROUP BY 1
+        |ORDER BY proj_fp DESC, doc_id""".stripMargin,
   )
+
+  /** TF-IDF vectors + unrolled power-iteration rounds (HUGEINT, floor
+    * division — identical to the engine's nonnegative truncation).
+    */
+  private def spectralCtes: String = {
+    val sc = graft.ops.SpectralOps.UScale
+    val rounds = (1 to graft.ops.SpectralOps.Rounds).map { i =>
+      s""", sd$i AS MATERIALIZED (
+         |    SELECT v.doc_id,
+         |           SUM(CAST(v.v_fp AS HUGEINT) * u.u) // $sc AS sd
+         |    FROM vecs v JOIN u${i - 1} u USING (dim) GROUP BY 1
+         |), w$i AS MATERIALIZED (
+         |    SELECT v.dim, SUM(CAST(v.v_fp AS HUGEINT) * s.sd) AS w
+         |    FROM vecs v JOIN sd$i s USING (doc_id) GROUP BY 1
+         |), wm$i AS MATERIALIZED (
+         |    SELECT MAX(w) AS mx FROM w$i
+         |), u$i AS MATERIALIZED (
+         |    SELECT d.dim, COALESCE(w.w, 0) * $sc // wm$i.mx AS u
+         |    FROM u0 d LEFT JOIN w$i w USING (dim), wm$i
+         |)""".stripMargin
+    }.mkString
+    s"""WITH toks AS (
+      |    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      |    FROM documents
+      |), tf AS (
+      |    SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |    FROM toks GROUP BY 1, 2
+      |), dfreq AS (
+      |    SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+      |), nd AS (
+      |    SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf
+      |), wtd AS (
+      |    SELECT tf.doc_id,
+      |           CAST(((strpos('0123456789abcdef', substr(md5(tf.tok),1,1))-1)*4096
+      |               + (strpos('0123456789abcdef', substr(md5(tf.tok),2,1))-1)*256
+      |               + (strpos('0123456789abcdef', substr(md5(tf.tok),3,1))-1)*16
+      |               + (strpos('0123456789abcdef', substr(md5(tf.tok),4,1))-1))
+      |               % ${graft.ops.TfidfOps.Dims} AS INT) AS dim,
+      |           tf.tf * ((${graft.ops.TfidfOps.IdfScale} * nd.n_docs) // dfreq.df) AS w
+      |    FROM tf JOIN dfreq USING (tok), nd
+      |), v0 AS (
+      |    SELECT doc_id, dim, CAST(sum(w) AS BIGINT) AS v FROM wtd GROUP BY 1, 2
+      |), l AS (
+      |    SELECT doc_id, dim, v, sum(v) OVER (PARTITION BY doc_id) AS l1 FROM v0
+      |), vecs AS MATERIALIZED (
+      |    SELECT doc_id, dim,
+      |           CAST(v * ${graft.ops.TfidfOps.NormScale} // l1 AS BIGINT) AS v_fp
+      |    FROM l
+      |), u0 AS MATERIALIZED (
+      |    SELECT CAST(unnest(range(0, ${graft.ops.TfidfOps.Dims})) AS INT) AS dim,
+      |           CAST($sc AS HUGEINT) AS u
+      |)""".stripMargin + rounds
+  }
 
   /** Shared winnowing-selection CTE: gram hashes → full-window struct-min
     * → distinct (doc_id, pos, h).
