@@ -195,6 +195,8 @@ object SparkEntry {
     "q_outlier_mad"         -> (graft.ops.TimeSeriesOps.madOutliersQuery _),
     "q_power_direction"     -> (graft.ops.SpectralOps.powerDirectionQuery _),
     "q_spectral_order"      -> (graft.ops.SpectralOps.spectralOrderQuery _),
+    "q_rag_chunks"          -> (graft.ops.ChunkOps.ragChunksQuery _),
+    "q_outlier_mad_incremental" -> (graft.ops.TimeSeriesOps.outlierMadIncremental _),
   )
 
   /** DuckDB-dialect oracle SQL per query — since round 8, EVERY query has
@@ -4094,7 +4096,14 @@ object SparkEntry {
         |FROM j ORDER BY user_id, bucket""".stripMargin,
     // Robust per-type outlier summary: lower median + MAD over integer
     // cents (rank (n+1) div 2 by (value, event_id) — no interpolation).
-    "q_outlier_mad" ->
+    // The SAME replay gates the raw-row query AND the histogram-served
+    // incremental maintenance (q_outlier_mad_incremental).
+    "q_outlier_mad" -> madOracleSql,
+    "q_outlier_mad_incremental" -> madOracleSql,
+  ) ++ lateOracleSql
+
+  /** Fresh raw-row MAD replay (shared by both outlier gates). */
+  private def madOracleSql: String =
       s"""WITH e AS (
         |    SELECT event_type, event_id,
         |           CAST(round(value * 100) AS BIGINT) AS cents
@@ -4125,7 +4134,12 @@ object SparkEntry {
         |                     * m.mad_cents THEN 1 ELSE 0 END) AS BIGINT)
         |           AS n_outliers
         |FROM d JOIN mad m USING (event_type)
-        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+        |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** Overflow tail of the oracle map (Scala limits a single Map literal's
+    * arity-safe growth here only stylistically — this is plain `++`).
+    */
+  private def lateOracleSql: Map[String, String] = Map(
     // Power iteration over the TF-IDF Gram matrix: every round replayed
     // as MATERIALIZED CTE stages (HUGEINT sums, truncating division).
     "q_power_direction" ->
@@ -4141,6 +4155,32 @@ object SparkEntry {
         |FROM vecs v JOIN u${graft.ops.SpectralOps.Rounds} u USING (dim)
         |GROUP BY 1
         |ORDER BY proj_fp DESC, doc_id""".stripMargin,
+    // RAG windows: overlapping fixed-token chunks, last-window-short rule.
+    "q_rag_chunks" ->
+      s"""WITH tok AS (
+        |    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens
+        |    FROM documents WHERE trim(text) <> ''
+        |), k AS (
+        |    SELECT doc_id, tokens, CAST(len(tokens) AS BIGINT) AS n,
+        |           CASE WHEN len(tokens) <= ${graft.ops.ChunkOps.RagChunkSize}
+        |                THEN 1
+        |                ELSE 1 + (len(tokens) - ${graft.ops.ChunkOps.RagChunkSize}
+        |                          + ${graft.ops.ChunkOps.RagStride - 1})
+        |                         // ${graft.ops.ChunkOps.RagStride} END AS nk
+        |    FROM tok
+        |), c AS (
+        |    SELECT doc_id, n, tokens,
+        |           unnest(range(0, nk)) AS chunk_idx
+        |    FROM k
+        |)
+        |SELECT doc_id, chunk_idx,
+        |       least(${graft.ops.ChunkOps.RagChunkSize},
+        |             n - chunk_idx * ${graft.ops.ChunkOps.RagStride}) AS n_tokens,
+        |       array_to_string(tokens[
+        |           1 + chunk_idx * ${graft.ops.ChunkOps.RagStride} :
+        |           chunk_idx * ${graft.ops.ChunkOps.RagStride}
+        |               + ${graft.ops.ChunkOps.RagChunkSize}], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
   )
 
   /** TF-IDF vectors + unrolled power-iteration rounds (HUGEINT, floor

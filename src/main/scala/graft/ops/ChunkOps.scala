@@ -285,4 +285,42 @@ object ChunkOps {
     cdcRewriteAgainst(IncrementalClusters.batchDocsRange(s, d), s,
       "graft_cdc_inc")
   }
+
+  // ------------------------------------------------------- RAG windows
+
+  /** Retrieval-chunk token budget and stride (overlap = size − stride):
+    * the fixed-window complement of the content-defined chunking above —
+    * CDC optimizes dedup locality, THIS optimizes retrieval locality
+    * (every token sits in ≥ 1 chunk; boundary context is preserved by
+    * the overlap).
+    */
+  val RagChunkSize = 64
+  val RagStride = 48
+
+  /** Overlapping token windows per doc: chunk k covers tokens
+    * [1 + k·stride, min(k·stride + size, n)]; the chunk count is 1 for
+    * n ≤ size, else 1 + ceil((n − size)/stride) — the last window is the
+    * only short one and no window is fully contained in its predecessor.
+    * Per-row transform, zero shuffles before the gate's output sort.
+    */
+  def ragChunks(docs: DataFrame): DataFrame =
+    docs
+      .where(trim(col("text")) =!= "")
+      .withColumn("tokens", split(trim(col("text")), "\\s+"))
+      .withColumn("n", size(col("tokens")).cast("long"))
+      .withColumn("nk",
+        when(col("n") <= RagChunkSize, lit(1L))
+          .otherwise(expr(
+            s"1 + (n - $RagChunkSize + $RagStride - 1) div $RagStride")))
+      .select(col("doc_id"), col("n"),
+        explode(expr("sequence(0, nk - 1)")).as("chunk_idx"), col("tokens"))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(RagChunkSize.toLong),
+          col("n") - col("chunk_idx") * RagStride).as("n_tokens"),
+        expr(s"concat_ws(' ', slice(tokens, " +
+          s"1 + chunk_idx * $RagStride, $RagChunkSize))").as("chunk_text"))
+
+  /** Gate `q_rag_chunks`. */
+  def ragChunksQuery(s: SparkSession, d: String): DataFrame =
+    ragChunks(t(s, d, "documents")).orderBy("doc_id", "chunk_idx")
 }

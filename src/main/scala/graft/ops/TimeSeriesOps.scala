@@ -101,4 +101,119 @@ object TimeSeriesOps {
   /** Gate `q_outlier_mad`. */
   def madOutliersQuery(s: SparkSession, d: String): DataFrame =
     madOutliers(graft.Tables.t(s, d, "events")).orderBy("event_type")
+
+  // ----------------------------------------------- histogram maintenance
+
+  /** Stored value-histogram state: per-(event_type, cents) counts are
+    * ADDITIVE, so exact medians/MADs maintain incrementally — the
+    * mergeable-EXACT-statistic complement of the KLL sketch gate. Serving
+    * never rescans events: median = smallest cents whose cumulative count
+    * reaches rank (n+1) div 2 (identical to the rank rule over raw rows —
+    * the value at a rank does not depend on tie order), the deviation
+    * histogram derives from the value histogram, and the outlier count is
+    * one weighted sum. State is bounded by distinct (type, cents) pairs —
+    * at 100 TB the events stream is unbounded but the histogram is not,
+    * and each append rewrites only the histogram-sized table.
+    */
+  val Db = "graft_tshist"
+  val HistTable = "value_hist"
+  val WmTsProp = "graft.tshist.wm_ts"
+  val WmEidProp = "graft.tshist.wm_event_id"
+
+  private def fqn(db: String) = s"`$db`.`$HistTable`"
+
+  private def centsOf(events: DataFrame): DataFrame =
+    events.select(col("event_type"), col("ts"), col("event_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+
+  private def histOf(events: DataFrame): DataFrame =
+    centsOf(events).groupBy("event_type", "cents")
+      .agg(count(lit(1)).as("cnt"))
+
+  private def setWm(s: SparkSession, db: String, feed: DataFrame): Unit = {
+    val wm = feed.agg(max(struct(col("ts"), col("event_id")))).head
+    if (!wm.isNullAt(0))
+      s.sql(s"ALTER TABLE ${fqn(db)} SET TBLPROPERTIES " +
+        s"('$WmTsProp'='${wm.getStruct(0).getLong(0)}', " +
+        s"'$WmEidProp'='${wm.getStruct(0).getLong(1)}')")
+  }
+
+  /** Full build — the scheduled re-anchor for the append path. */
+  def buildValueHistogram(events: DataFrame, db: String = Db): Unit = {
+    graft.store.Warehouse.saveModel(histOf(events), db, HistTable)
+    setWm(events.sparkSession, db, events)
+  }
+
+  /** Additive fold of one batch. Fence-first (the SCD2/BM25 posture): the
+    * histogram rewrite is not idempotent, so a crashed batch's replay
+    * refuses loudly and [[buildValueHistogram]] re-anchors.
+    */
+  def appendValueHistogram(s: SparkSession, batch: DataFrame,
+                           db: String = Db): Unit = {
+    val bWm = batch.agg(min(struct(col("ts"), col("event_id")))).head
+    if (bWm.isNullAt(0)) return
+    val wmTs = graft.store.Warehouse.readTablePropLong(s, db, HistTable,
+      WmTsProp, "rebuild with buildValueHistogram before appending")
+    val wmEid = graft.store.Warehouse.readTablePropLong(s, db, HistTable,
+      WmEidProp, "rebuild with buildValueHistogram before appending")
+    val (bTs, bEid) = (bWm.getStruct(0).getLong(0), bWm.getStruct(0).getLong(1))
+    require(bTs > wmTs || (bTs == wmTs && bEid > wmEid),
+      s"appendValueHistogram: batch min (ts=$bTs, event_id=$bEid) is not " +
+        s"past the stored watermark (ts=$wmTs, event_id=$wmEid) — replayed " +
+        "or out-of-order batches are refused (additive counts would " +
+        "double); re-anchor with buildValueHistogram")
+    setWm(s, db, batch)
+    val delta = histOf(batch).localCheckpoint()
+    graft.store.Warehouse.rewriteVia(s, db, HistTable)(stored =>
+      stored.unionByName(delta)
+        .groupBy("event_type", "cents").agg(sum("cnt").as("cnt")))
+  }
+
+  /** The [[madOutliers]] summary served from the stored histogram alone —
+    * no events scan, by construction (this function never sees the
+    * events table).
+    */
+  def madFromHistogram(s: SparkSession, db: String = Db): DataFrame = {
+    graft.store.Warehouse.refreshDb(s, db)
+    val h = s.table(fqn(db))
+    val tot = h.groupBy("event_type").agg(sum("cnt").as("n"))
+    val med = h
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy("event_type").orderBy("cents")))
+      .join(tot, Seq("event_type"))
+      .where(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy("event_type").agg(min("cents").as("med_cents"))
+    val dev = h.join(med, Seq("event_type"))
+      .groupBy(col("event_type"), col("med_cents"),
+        abs(col("cents") - col("med_cents")).as("dev"))
+      .agg(sum("cnt").as("dcnt"))
+    val mad = dev
+      .withColumn("cumd", sum("dcnt").over(
+        Window.partitionBy("event_type").orderBy("dev")))
+      .join(tot, Seq("event_type"))
+      .where(col("cumd") >= expr("(n + 1) div 2"))
+      .groupBy("event_type").agg(min("dev").as("mad_cents"))
+    dev.join(mad, Seq("event_type")).join(tot, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(first(col("n")).as("n"),
+        first(col("med_cents")).as("med_cents"),
+        first(col("mad_cents")).as("mad_cents"),
+        sum(when(col("dev") > lit(MadK) * col("mad_cents"), col("dcnt"))
+          .otherwise(0L)).as("n_outliers"))
+  }
+
+  /** Gate `q_outlier_mad_incremental`: build on the first two-thirds of
+    * the time range, fold the rest, serve from the histogram. The oracle
+    * is the SAME fresh full replay as `q_outlier_mad`, so a green row
+    * proves both the additive maintenance AND the histogram serving math
+    * land bit-equal to the raw-row rank rule.
+    */
+  def outlierMadIncremental(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.t(s, d, "events")
+    val b = ev.agg(min("ts"), max("ts")).head
+    val thr = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 3 * 2
+    buildValueHistogram(ev.where(col("ts") < thr))
+    appendValueHistogram(s, ev.where(col("ts") >= thr))
+    madFromHistogram(s).orderBy("event_type")
+  }
 }

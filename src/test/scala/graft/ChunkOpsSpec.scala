@@ -133,4 +133,33 @@ class ChunkOpsSpec extends SparkSpec {
     assert(stats.length == 500)
     assert(stats.forall(r => r.getLong(1) >= 1))
   }
+
+  test("rag chunks: full coverage, overlap, last-window-short rule") {
+    import ChunkOps.{RagChunkSize, RagStride}
+    def toks(n: Int) = (1 to n).map("t" + _)
+    // n = 100: chunks at 1..64 and 49..100 (short last window)
+    val got = ChunkOps.ragChunks(docsDf((1L, toks(100).mkString(" "))))
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.length === 2)
+    assert(got(0) === ((0L, RagChunkSize.toLong,
+      toks(100).take(RagChunkSize).mkString(" "))))
+    assert(got(1) === ((1L, 100L - RagStride,
+      toks(100).drop(RagStride).mkString(" "))))
+    // short doc: one chunk, whole text
+    val one = ChunkOps.ragChunks(docsDf((2L, "a b c"))).collect()
+    assert(one.length === 1 && one.head.getString(3) === "a b c")
+    // exact-boundary doc: exactly one chunk, no empty trailing window
+    val exact = ChunkOps.ragChunks(
+      docsDf((3L, toks(RagChunkSize).mkString(" ")))).collect()
+    assert(exact.length === 1)
+  }
+
+  test("rag chunks: every token position is covered by some chunk") {
+    val n = 200
+    val text = (1 to n).map("w" + _).mkString(" ")
+    val covered = ChunkOps.ragChunks(docsDf((1L, text)))
+      .collect().flatMap(_.getString(3).split(" ")).toSet
+    assert(covered === (1 to n).map("w" + _).toSet)
+  }
 }

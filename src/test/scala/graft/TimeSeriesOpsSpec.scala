@@ -59,6 +59,39 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(b.getAs[Long]("n_outliers") === 1L)
   }
 
+  test("histogram maintenance: build + append serves bit-equal to raw rows") {
+    spark.sql(s"DROP DATABASE IF EXISTS `${TimeSeriesOps.Db}` CASCADE")
+    val full = ev(
+      (1L, 1L, 1L, 1.0), (1L, 2L, 2L, 2.0), (1L, 3L, 3L, 3.0),
+      (1L, 60L, 4L, 4.0), (1L, 70L, 5L, 100.0), (1L, 80L, 6L, 2.0))
+    TimeSeriesOps.buildValueHistogram(full.where(col("ts") < 50L))
+    TimeSeriesOps.appendValueHistogram(spark, full.where(col("ts") >= 50L))
+    val served = TimeSeriesOps.madFromHistogram(spark).collect()
+    val fresh = TimeSeriesOps.madOutliers(full).collect()
+    assert(served.map(_.toSeq).toSeq === fresh.map(_.toSeq).toSeq)
+  }
+
+  test("histogram fence: replayed batches refuse loudly (counts would double)") {
+    spark.sql(s"DROP DATABASE IF EXISTS `${TimeSeriesOps.Db}` CASCADE")
+    TimeSeriesOps.buildValueHistogram(ev((1L, 1L, 1L, 1.0)))
+    val batch = ev((1L, 10L, 2L, 2.0))
+    TimeSeriesOps.appendValueHistogram(spark, batch)
+    val e = intercept[IllegalArgumentException] {
+      TimeSeriesOps.appendValueHistogram(spark, batch)
+    }
+    assert(e.getMessage.contains("watermark"))
+    // empty batch is a no-op
+    TimeSeriesOps.appendValueHistogram(spark, ev())
+  }
+
+  test("histogram serving never sees the events table") {
+    spark.sql(s"DROP DATABASE IF EXISTS `${TimeSeriesOps.Db}` CASCADE")
+    TimeSeriesOps.buildValueHistogram(ev((1L, 1L, 1L, 1.0), (1L, 2L, 2L, 5.0)))
+    val plan = TimeSeriesOps.madFromHistogram(spark)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("events"), "serve must read only the histogram")
+  }
+
   test("even-count groups use the lower median") {
     // n=4: rank (4+1) div 2 = 2 -> second smallest
     val df = TimeSeriesOps.madOutliers(ev(
