@@ -197,6 +197,7 @@ object SparkEntry {
     "q_spectral_order"      -> (graft.ops.SpectralOps.spectralOrderQuery _),
     "q_rag_chunks"          -> (graft.ops.ChunkOps.ragChunksQuery _),
     "q_outlier_mad_incremental" -> (graft.ops.TimeSeriesOps.outlierMadIncremental _),
+    "q_mojibake_repair"     -> (graft.ops.WebTextOps.mojibakeRepair _),
   )
 
   /** DuckDB-dialect oracle SQL per query — since round 8, EVERY query has
@@ -4181,6 +4182,35 @@ object SparkEntry {
         |           chunk_idx * ${graft.ops.ChunkOps.RagStride}
         |               + ${graft.ops.ChunkOps.RagChunkSize}], ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // Mojibake repair: the oracle computes the expected repaired text BY
+    // CONSTRUCTION (repair ∘ craft = identity on the injected tokens; the
+    // genuine-Latin-1 arm must survive unrepaired), and replays the
+    // suspect-pattern count with the same RE2 classes.
+    "q_mojibake_repair" ->
+      """WITH base AS (
+        |    SELECT doc_id,
+        |           CASE CAST(doc_id % 7 AS INT)
+        |             WHEN 2 THEN text || ' caf' || chr(195) || chr(169)
+        |             WHEN 3 THEN text || ' ' || chr(237) || chr(149) || chr(156)
+        |             WHEN 4 THEN text || ' caf' || chr(233)
+        |             ELSE text END AS crafted,
+        |           CASE CAST(doc_id % 7 AS INT)
+        |             WHEN 2 THEN text || ' caf' || chr(233)
+        |             WHEN 3 THEN text || ' ' || chr(54620)
+        |             WHEN 4 THEN text || ' caf' || chr(233)
+        |             ELSE text END AS expected,
+        |           CASE WHEN doc_id % 7 IN (2, 3) THEN 1 ELSE 0 END AS rep
+        |    FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(crafted,
+        |           '[\x{00E0}-\x{00EF}][\x{0080}-\x{00BF}]{2}' ||
+        |           '|[\x{00C2}-\x{00DF}][\x{0080}-\x{00BF}]'))
+        |         AS BIGINT) AS n_suspects,
+        |       CAST(rep AS INT) AS repaired,
+        |       md5(expected) AS repaired_md5,
+        |       CAST(length(expected) AS BIGINT) AS n_chars
+        |FROM base ORDER BY doc_id""".stripMargin,
   )
 
   /** TF-IDF vectors + unrolled power-iteration rounds (HUGEINT, floor

@@ -251,4 +251,57 @@ object WebTextOps {
       .select("doc_id", "canonical_id", "bucket", "split")
       .orderBy("doc_id")
   }
+
+  // ------------------------------------------------------------ mojibake
+
+  /** Mojibake detection and repair (the ftfy core case): text whose UTF-8
+    * bytes were once decoded as Latin-1 shows as 'Ã©'-style pairs; the
+    * exact inverse is encode(Latin-1) → decode(UTF-8), both codegen'd
+    * built-ins. Repair is GUARDED three ways — the string must be
+    * Latin-1-representable (chars ≤ U+00FF, else the encode would
+    * lossily '?'-substitute), must carry at least one UTF-8-shaped lead +
+    * continuation pattern, and the re-decode must produce no U+FFFD
+    * replacement char (a genuine Latin-1 'é' round-trips to malformed
+    * UTF-8 and must be left alone). Per-row, zero shuffles.
+    *
+    * The gate follows the crafted-fixture convention: docs are injected
+    * (by doc_id arithmetic, identically in both engines) with a 2-byte
+    * mojibake token, a 3-byte CJK mojibake, or a GENUINE Latin-1 char
+    * that must survive unrepaired — and the oracle computes the expected
+    * repaired text by CONSTRUCTION (repair ∘ craft = identity), so a
+    * green row is an inverse proof, not an arithmetic replay.
+    */
+  private[graft] val MojiSuspectRe =
+    "[\u00E0-\u00EF][\u0080-\u00BF]{2}|[\u00C2-\u00DF][\u0080-\u00BF]"
+
+  /** Inject deterministic mojibake/clean suffixes (engine side of the
+    * crafted fixture — the oracle builds the same strings with chr()).
+    */
+  private[graft] def craftedMojibake(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      when(pmod(col("doc_id"), lit(7)) === 2, lit(" caf\u00C3\u00A9")) // UTF-8 'é' as Latin-1
+        .when(pmod(col("doc_id"), lit(7)) === 3, lit(" \u00ED\u0095\u009C")) // UTF-8 '한' as Latin-1
+        .when(pmod(col("doc_id"), lit(7)) === 4, lit(" caf\u00E9")) // genuine é: keep
+        .otherwise(lit(""))))
+
+  def mojibakeRepairFor(raw: DataFrame): DataFrame = {
+    val suspects = size(expr(s"regexp_extract_all(text, '$MojiSuspectRe', 0)"))
+    val latin1able = col("text").rlike("^[\u0000-\u00FF]*$")
+    val redecoded = decode(encode(col("text"), "ISO-8859-1"), "UTF-8")
+    raw
+      .withColumn("n_suspects", suspects.cast("long"))
+      .withColumn("cand", when(latin1able && col("n_suspects") > 0, redecoded))
+      .withColumn("repaired",
+        (col("cand").isNotNull && !col("cand").contains("\uFFFD")).cast("int"))
+      .select(col("doc_id"), col("n_suspects"), col("repaired"),
+        md5(when(col("repaired") === 1, col("cand")).otherwise(col("text"))
+          .cast("binary")).as("repaired_md5"),
+        length(when(col("repaired") === 1, col("cand")).otherwise(col("text")))
+          .cast("long").as("n_chars"))
+  }
+
+  /** Gate `q_mojibake_repair`. */
+  def mojibakeRepair(s: SparkSession, d: String): DataFrame =
+    mojibakeRepairFor(craftedMojibake(graft.Tables.t(s, d, "documents")))
+      .orderBy("doc_id")
 }

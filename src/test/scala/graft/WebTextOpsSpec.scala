@@ -194,4 +194,46 @@ class WebTextOpsSpec extends SparkSpec {
         s"line-family plan degraded:\n$plan")
     }
   }
+
+  test("mojibake repair inverts the Latin-1 misdecode and honors its guards") {
+    import spark.implicits._
+    def run(rows: (Long, String)*): Map[Long, (Long, Int, String, Long)] =
+      WebTextOps.mojibakeRepairFor(rows.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getInt(2), r.getString(3), r.getLong(4)))).toMap
+    def m(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString
+    }
+    val moji2 = "cafÃ©" // UTF-8 'é' bytes shown as Latin-1
+    val moji3 = "\u00ED\u0095\u009C" // UTF-8 '한' bytes shown as Latin-1
+    val got = run(
+      (1L, s"plain $moji2 text"), // 2-byte repair
+      (2L, s"x $moji3 y"), // 3-byte repair
+      (3L, "café real accent"), // genuine Latin-1: keep
+      (4L, "pure ascii"), // nothing to do
+      (5L, "한 plus Ã©")) // non-Latin-1-able: guard refuses
+    assert(got(1L) === ((1L, 1, m("plain café text"), 15L)))
+    assert(got(2L) === ((1L, 1, m("x 한 y"), 5L)))
+    assert(got(3L)._2 === 0) // redecode would produce U+FFFD -> kept
+    assert(got(3L)._3 === m("café real accent"))
+    assert(got(4L) === ((0L, 0, m("pure ascii"), 10L)))
+    assert(got(5L)._1 === 1L) // suspect pattern present...
+    assert(got(5L)._2 === 0) // ...but the Latin-1-representable guard holds
+    assert(got(5L)._3 === m("한 plus Ã©"))
+  }
+
+  test("crafted mojibake corpus: repaired docs strictly shrink, others stay") {
+    val docs = Tables.t(spark, sf, "documents")
+    val out = WebTextOps.mojibakeRepairFor(WebTextOps.craftedMojibake(docs))
+    import org.apache.spark.sql.functions._
+    val byArm = out.withColumn("arm", pmod(col("doc_id"), lit(7)))
+      .groupBy("arm").agg(sum("repaired").as("nrep"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byArm(2L)._1 === byArm(2)._2, "every 2-byte arm doc repairs")
+    assert(byArm(3L)._1 === byArm(3)._2, "every 3-byte arm doc repairs")
+    assert(byArm(4L)._1 === 0L, "genuine Latin-1 arm never repairs")
+    assert(byArm(0L)._1 === 0L)
+  }
 }
