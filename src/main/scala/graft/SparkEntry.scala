@@ -198,6 +198,7 @@ object SparkEntry {
     "q_rag_chunks"          -> (graft.ops.ChunkOps.ragChunksQuery _),
     "q_outlier_mad_incremental" -> (graft.ops.TimeSeriesOps.outlierMadIncremental _),
     "q_mojibake_repair"     -> (graft.ops.WebTextOps.mojibakeRepair _),
+    "q_copy_incremental"    -> (graft.ops.WinnowOps.copyIncremental _),
   )
 
   /** DuckDB-dialect oracle SQL per query — since round 8, EVERY query has
@@ -4211,6 +4212,26 @@ object SparkEntry {
         |       md5(expected) AS repaired_md5,
         |       CAST(length(expected) AS BIGINT) AS n_chars
         |FROM base ORDER BY doc_id""".stripMargin,
+    // Incremental winnowing probe vs the FRESH full-corpus run restricted
+    // to batch-involving pairs (split: doc_id*3 >= 2*max).
+    "q_copy_incremental" ->
+      s"""$winnowSelCte, dh AS (
+        |    SELECT DISTINCT doc_id, h FROM sel
+        |), cnt AS (
+        |    SELECT h, count(*) AS nd FROM dh GROUP BY 1
+        |), pruned AS (
+        |    SELECT dh.doc_id, dh.h FROM dh JOIN cnt USING (h)
+        |    WHERE cnt.nd <= ${graft.ops.WinnowOps.MaxDocsPerPrint}
+        |), mx AS (
+        |    SELECT max(doc_id) AS m FROM documents
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(count(*) AS BIGINT) AS n_shared
+        |FROM pruned a JOIN pruned b ON a.h = b.h AND a.doc_id < b.doc_id, mx
+        |WHERE a.doc_id * 3 >= mx.m * 2 OR b.doc_id * 3 >= mx.m * 2
+        |GROUP BY 1, 2
+        |HAVING count(*) >= ${graft.ops.WinnowOps.MinShared}
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 
   /** TF-IDF vectors + unrolled power-iteration rounds (HUGEINT, floor

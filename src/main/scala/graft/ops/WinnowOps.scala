@@ -100,4 +100,114 @@ object WinnowOps {
   def copyCandidatesQuery(s: SparkSession, d: String): DataFrame =
     copyCandidates(graft.Tables.t(s, d, "documents"))
       .orderBy("doc_a", "doc_b")
+
+  // ------------------------------------------------- incremental index
+
+  /** Stored fingerprint index: (doc_id, h) partitioned by a frozen hash
+    * bucket of h, so a batch probe reads ONLY its prints' buckets
+    * (partition-pruned — the band-index/BM25 posture). Hot-print
+    * exactness is free: a print's docs all land in ITS bucket, so the
+    * census over probed buckets ∪ batch sees every holder — the
+    * incremental hot cap equals the fresh run's global one, and the gate
+    * oracle (a fresh full-corpus run restricted to batch-involving
+    * pairs) proves bit-equality rather than approximating it.
+    */
+  val IndexDb = "graft_winnow"
+  val IndexTable = "print_index"
+  val NBuckets = 32
+  val BucketsProp = "graft.winnow.n_buckets"
+  val MaxDocProp = "graft.winnow.max_doc_id"
+
+  private def fqn(db: String) = s"`$db`.`$IndexTable`"
+
+  private def withBucket(df: DataFrame, nb: Long): DataFrame =
+    df.withColumn("bucket", pmod(xxhash64(col("h")), lit(nb)).cast("int"))
+
+  private def distinctPrints(docs: DataFrame): DataFrame =
+    fingerprints(docs).select("doc_id", "h").distinct()
+
+  /** Full build — the scheduled re-anchor. */
+  def buildPrintIndex(docs: DataFrame, db: String = IndexDb): Unit = {
+    val s = docs.sparkSession
+    val prints = withBucket(distinctPrints(docs), NBuckets)
+    graft.store.Warehouse.saveModel(prints, db, IndexTable,
+      partitionCols = Seq("bucket"))
+    val mx = docs.agg(max("doc_id")).head
+    s.sql(s"ALTER TABLE ${fqn(db)} SET TBLPROPERTIES " +
+      s"('$BucketsProp'='$NBuckets', '$MaxDocProp'='${
+        if (mx.isNullAt(0)) -1L else mx.getLong(0)}')")
+  }
+
+  private def frozenBuckets(s: SparkSession, db: String): Long =
+    graft.store.Warehouse.readTablePropLong(s, db, IndexTable, BucketsProp,
+      "rebuild with buildPrintIndex — probing under a guessed bucket " +
+        "modulus reads the wrong partitions")
+
+  /** Copy candidates of a batch against the stored index plus the batch
+    * itself: the [[copyCandidates]] semantics restricted to pairs with at
+    * least one batch member, scanning only the batch prints' buckets.
+    */
+  def probeCopyCandidates(s: SparkSession, batch: DataFrame,
+                          db: String = IndexDb): DataFrame = {
+    val nb = frozenBuckets(s, db)
+    val bp = withBucket(distinctPrints(batch), nb).localCheckpoint()
+    val buckets = bp.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val probed = s.table(fqn(db))
+      .where(col("bucket").isin(buckets: _*))
+      .select("doc_id", "h")
+    // global hot census: every holder of a probed h lives in its bucket
+    val union = probed.unionByName(bp.select("doc_id", "h"))
+    val hot = union.groupBy("h").agg(count(lit(1)).as("nd"))
+      .where(col("nd") > MaxDocsPerPrint).select("h")
+    val prunedAll = union.join(broadcast(hot), Seq("h"), "left_anti")
+    val prunedBatch = bp.select("doc_id", "h")
+      .join(broadcast(hot), Seq("h"), "left_anti")
+    prunedBatch.as("x")
+      .join(prunedAll.as("y"), Seq("h"))
+      .where(col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"), col("h"))
+      .groupBy("doc_a", "doc_b")
+      .agg(countDistinct("h").as("n_shared"))
+      .where(col("n_shared") >= MinShared)
+  }
+
+  /** Row-idempotent append behind the stats-pruned anti-join (the BM25
+    * freshDocs posture): a crashed append's redelivery lands exactly the
+    * missing rows; the id fence advances AFTER the write and refuses
+    * full replays and out-of-order batches.
+    */
+  def appendToPrintIndex(s: SparkSession, batch: DataFrame,
+                         db: String = IndexDb): Unit = {
+    val nb = frozenBuckets(s, db)
+    val bounds = batch.agg(min("doc_id"), max("doc_id")).head
+    if (bounds.isNullAt(0)) return
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val storedMax = graft.store.Warehouse.readTablePropLong(s, db,
+      IndexTable, MaxDocProp, "rebuild with buildPrintIndex")
+    require(hi > storedMax,
+      s"appendToPrintIndex: batch max doc_id $hi <= ingested max " +
+        s"$storedMax — out-of-order ingest refused (append-only contract)")
+    val existing = s.table(fqn(db))
+      .where(col("doc_id").between(lo, hi))
+      .select("doc_id").distinct()
+    val fresh = withBucket(distinctPrints(batch), nb)
+      .join(existing, Seq("doc_id"), "left_anti")
+      .select("doc_id", "h", "bucket") // table column order
+    fresh.write.mode("append").insertInto(fqn(db))
+    s.sql(s"ALTER TABLE ${fqn(db)} SET TBLPROPERTIES ('$MaxDocProp'='$hi')")
+  }
+
+  /** Gate `q_copy_incremental`: index the ingested corpus split, probe
+    * the batch split. The oracle replays the FRESH full-corpus
+    * copy-candidate run restricted to batch-involving pairs — green
+    * proves the pruned probe (and its bucket-local hot census) is
+    * bit-equal to from-scratch.
+    */
+  def copyIncremental(s: SparkSession, d: String): DataFrame = {
+    buildPrintIndex(IncrementalClusters.corpusDocsRange(s, d))
+    probeCopyCandidates(s, IncrementalClusters.batchDocsRange(s, d))
+      .orderBy("doc_a", "doc_b")
+  }
 }

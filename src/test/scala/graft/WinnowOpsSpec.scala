@@ -80,6 +80,55 @@ class WinnowOpsSpec extends SparkSpec {
     assert(prints > 0)
   }
 
+  test("incremental probe equals the fresh run restricted to batch pairs") {
+    val db = "winnow_spec"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    val base = (1 to 30).map(i => "tok" + i).mkString(" ")
+    val other = (1 to 30).map(i => "oth" + i).mkString(" ")
+    val corpus = Seq((1L, base), (2L, other), (3L, "x " + base)).toDF("doc_id", "text")
+    val batch = Seq((10L, base), (11L, other + " tail"), (12L, "zz yy ww"))
+      .toDF("doc_id", "text")
+    WinnowOps.buildPrintIndex(corpus, db)
+    val got = WinnowOps.probeCopyCandidates(spark, batch, db)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fresh = WinnowOps.copyCandidates(corpus.unionByName(batch))
+      .where(col("doc_a") >= 10 || col("doc_b") >= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === fresh)
+    assert(got.nonEmpty, "fixture must produce batch-involving pairs")
+    assert(got.exists { case (a, b, _) => a < 10 && b >= 10 },
+      "a corpus-batch pair must exist") // non-vacuous cross leg
+  }
+
+  test("index appends: fence refuses replays; probe sees appended docs") {
+    val db = "winnow_spec2"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    val base = (1 to 30).map(i => "w" + i).mkString(" ")
+    WinnowOps.buildPrintIndex(Seq((1L, base)).toDF("doc_id", "text"), db)
+    val b1 = Seq((5L, base)).toDF("doc_id", "text")
+    WinnowOps.appendToPrintIndex(spark, b1, db)
+    val e = intercept[IllegalArgumentException] {
+      WinnowOps.appendToPrintIndex(spark, b1, db) // full replay
+    }
+    assert(e.getMessage.contains("append-only"))
+    // a later batch probes against BOTH the built and the appended docs
+    val got = WinnowOps.probeCopyCandidates(spark,
+        Seq((9L, base)).toDF("doc_id", "text"), db)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 9L), (5L, 9L)))
+  }
+
+  test("probe scans only the batch prints' buckets (partition pruned)") {
+    val db = "winnow_spec3"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    val docs = Tables.t(spark, sf, "documents")
+    WinnowOps.buildPrintIndex(docs.where(col("doc_id") < 100), db)
+    val plan = WinnowOps.probeCopyCandidates(spark,
+      docs.where(col("doc_id") === 200), db)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bucket"), "probe plan must filter on bucket")
+  }
+
   test("copy candidates: identical docs pair up; hot prints are pruned") {
     val base = (1 to 30).map(i => "tok" + i).mkString(" ")
     val noise = (1 to 30).map(i => "zzz" + i).mkString(" ")
