@@ -510,7 +510,23 @@ object PerfProbe {
         // corpus; authority survivors = banded CC + K-invariant walk;
         // robots is a domain-sized broadcast + one corpus scan
         "q_expectations", "q_jaccard_join_exact", "q_hashed_tfidf",
-        "q_tfidf_knn", "q_authority_survivors", "q_robots_filter")
+        "q_tfidf_knn", "q_authority_survivors", "q_robots_filter",
+        // round-11 sixth-session additions: SCD2 is user-keyed window
+        // collapse (events ×K on the SAME users → runs ×K, linear); the
+        // fuzzy join is vocabulary-bounded (each copy's rotated alphabet
+        // decorrelates vocabularies, so |V| grows ~linearly and residue
+        // buckets keep their constant cap); winnowing is one doc-keyed
+        // window + a print-keyed capped join; gap-fill output is span-
+        // bounded (users constant → grid constant while input ×K);
+        // histogram MAD serves from the bounded (type, cents) table; the
+        // power iteration is a fixed number of corpus-linear rounds; RAG
+        // chunks and mojibake are per-row; the incremental copy probe
+        // shuffles only its batch's buckets
+        "q_scd2_history", "q_scd2_incremental", "q_fuzzy_vocab_edit1",
+        "q_winnow_fingerprint", "q_copy_candidates", "q_copy_incremental",
+        "q_gapfill_locf", "q_outlier_mad", "q_outlier_mad_incremental",
+        "q_power_direction", "q_spectral_order", "q_rag_chunks",
+        "q_mojibake_repair")
       // q_hybrid_search is deliberately absent for the q_contamination
       // reason: its semantic leg is probe-set x corpus and BOTH grow with
       // K here, so the ratio would measure the quadratic workload growth,

@@ -109,7 +109,21 @@ object PlanAudit {
       // WindowGroupLimit) and the robots filter (domain-sized broadcast
       // rule table, single corpus scan, per-doc WindowGroupLimit)
       "q_expectations", "q_jaccard_join_exact", "q_hashed_tfidf",
-      "q_tfidf_knn", "q_authority_survivors", "q_robots_filter")
+      "q_tfidf_knn", "q_authority_survivors", "q_robots_filter",
+      // round-11 sixth-session additions: SCD2 collapse (the audit
+      // evidence is ONE user-keyed hash exchange carrying all three
+      // windows), the deletion-neighborhood join (residue equi-join +
+      // broadcast vocab joins, codegen'd levenshtein verify), winnowing
+      // (one doc-keyed exchange, struct-min window — no member self-join),
+      // the incremental copy probe (bucket-pruned index scan), gap-fill
+      // (one (user,bucket) collapse + user-keyed LOCF window), histogram
+      // MAD serving (bounded-table windows, no events scan), the power
+      // iteration serve (broadcast 64-row direction, one corpus scan) and
+      // the per-row RAG/mojibake transforms
+      "q_scd2_history", "q_scd2_incremental", "q_fuzzy_vocab_edit1",
+      "q_winnow_fingerprint", "q_copy_candidates", "q_copy_incremental",
+      "q_gapfill_locf", "q_outlier_mad", "q_outlier_mad_incremental",
+      "q_spectral_order", "q_rag_chunks", "q_mojibake_repair")
     // q_corpus_pipeline is deliberately NOT audited here: its query-form
     // plan is a trivial read over the staged tables (auditing it would
     // execute the whole 5-stage materialization for nothing — against
@@ -406,7 +420,15 @@ object PlanAudit {
       sb.append("stay dropped — the r10 stale-partition fix, spec-asserted).\n")
       spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
     }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)
+    // plan dumps can carry raw control chars (the mojibake regex ranges,
+    // the BPE chr(2)/chr(3) delimiters) — escape them so PLANS.md stays a
+    // text file a reviewer's grep/pager treats as one
+    val sanitized = sb.toString.flatMap {
+      case c if c != '\n' && c != '\t' && (c < ' ' || (c >= '\u007f' && c <= '\u009f')) =>
+        f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sanitized)
     println("wrote PLANS.md")
     spark.stop()
   }
