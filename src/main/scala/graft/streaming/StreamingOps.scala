@@ -461,6 +461,41 @@ object StreamingOps {
       }, feed, s"$db.${graft.ops.ScdOps.HistTable}")
       .start()
 
+  /** Streaming fold for the value-histogram statistics state
+    * ([[graft.ops.TimeSeriesOps]]): additive counts behind the same
+    * exact-or-loud fence discipline as [[sinkScd2]] — the histogram
+    * rewrite is not idempotent, so crash windows past the fence refuse
+    * loudly and the scheduled rebuild re-anchors.
+    */
+  def sinkValueHistogram(events: DataFrame, db: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    withCheckpoint(events.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        processHistogramBatch(batch.toDF(), db, epochId)
+      }, events, s"$db.${graft.ops.TimeSeriesOps.HistTable}")
+      .start()
+
+  private val HistEpochProp = "graft.tshist.last_epoch"
+
+  private[graft] def processHistogramBatch(b: DataFrame, db: String,
+                                           epochId: Long): Unit = {
+    import graft.ops.TimeSeriesOps
+    if (b.isEmpty) return
+    val s = b.sparkSession
+    require(s.catalog.tableExists(s"$db.${TimeSeriesOps.HistTable}"),
+      s"sinkValueHistogram: no histogram in `$db` — run " +
+        "TimeSeriesOps.buildValueHistogram first")
+    if (epochId >= 0 && s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          TimeSeriesOps.HistTable, Some(db))).properties
+        .get(HistEpochProp).filter(_.nonEmpty)
+        .map(_.toLong).exists(_ >= epochId)) return // committed replay
+    TimeSeriesOps.appendValueHistogram(s, b, db)
+    s.sql(s"ALTER TABLE `$db`.`${TimeSeriesOps.HistTable}` SET TBLPROPERTIES " +
+      s"('$HistEpochProp'='$epochId')")
+  }
+
   private val Scd2EpochProp = "graft.scd2.last_epoch"
 
   private[graft] def processScd2Batch(b: DataFrame, db: String,

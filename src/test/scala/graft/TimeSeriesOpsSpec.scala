@@ -92,6 +92,27 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(!plan.contains("events"), "serve must read only the histogram")
   }
 
+  test("streamed histogram folds land bit-equal to the fresh summary") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    spark.sql(s"DROP DATABASE IF EXISTS `${TimeSeriesOps.Db}` CASCADE")
+    val full = ev(
+      (1L, 1L, 1L, 1.0), (1L, 2L, 2L, 2.0), (1L, 3L, 3L, 3.0),
+      (1L, 60L, 4L, 4.0), (1L, 70L, 5L, 100.0), (1L, 80L, 6L, 2.0))
+    TimeSeriesOps.buildValueHistogram(full.where(col("ts") < 50L))
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val q = graft.streaming.StreamingOps.sinkValueHistogram(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      TimeSeriesOps.Db)
+    mem.addData((4L, 60L, 1L, "click", 4.0), (5L, 70L, 1L, "click", 100.0))
+    q.processAllAvailable()
+    mem.addData((6L, 80L, 1L, "click", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(TimeSeriesOps.madFromHistogram(spark).collect().map(_.toSeq).toSeq
+      === TimeSeriesOps.madOutliers(full).collect().map(_.toSeq).toSeq)
+  }
+
   test("even-count groups use the lower median") {
     // n=4: rank (4+1) div 2 = 2 -> second smallest
     val df = TimeSeriesOps.madOutliers(ev(
