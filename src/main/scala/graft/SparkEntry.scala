@@ -199,6 +199,8 @@ object SparkEntry {
     "q_outlier_mad_incremental" -> (graft.ops.TimeSeriesOps.outlierMadIncremental _),
     "q_mojibake_repair"     -> (graft.ops.WebTextOps.mojibakeRepair _),
     "q_copy_incremental"    -> (graft.ops.WinnowOps.copyIncremental _),
+    "q_event_transitions"   -> (EventOps.eventTransitions _),
+    "q_vocab_normalize"     -> (graft.ops.FuzzyOps.vocabNormalize _),
   )
 
   /** DuckDB-dialect oracle SQL per query — since round 8, EVERY query has
@@ -4232,6 +4234,70 @@ object SparkEntry {
         |GROUP BY 1, 2
         |HAVING count(*) >= ${graft.ops.WinnowOps.MinShared}
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // First-order Markov transitions: per-user bigram counts + exact ppm.
+    "q_event_transitions" ->
+      """WITH ev AS (
+        |    SELECT user_id, event_type, epoch_ns(ts) AS ts, event_id
+        |    FROM events
+        |), pr AS (
+        |    SELECT user_id, event_type,
+        |           lag(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS prev
+        |    FROM ev
+        |), n AS (
+        |    SELECT prev AS prev_type, event_type AS cur_type,
+        |           CAST(count(*) AS BIGINT) AS n
+        |    FROM pr WHERE prev IS NOT NULL GROUP BY 1, 2
+        |), tot AS (
+        |    SELECT prev_type, SUM(n) AS tot FROM n GROUP BY 1
+        |)
+        |SELECT n.prev_type, n.cur_type, n.n,
+        |       CAST(n.n * 1000000 // t.tot AS BIGINT) AS p_ppm
+        |FROM n JOIN tot t USING (prev_type)
+        |ORDER BY prev_type, cur_type""".stripMargin,
+    // Typo-cluster canonicalization: brute-force pairs → recursive
+    // transitive closure → (freq desc, name asc) canon per cluster.
+    "q_vocab_normalize" ->
+      s"""WITH RECURSIVE tok AS (
+        |    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        |    FROM documents
+        |), base AS (
+        |    SELECT doc_id, toks[1] || toks[2] AS clean
+        |    FROM tok WHERE len(toks) >= 2
+        |), feed AS (
+        |    SELECT doc_id, CASE WHEN doc_id % 3 = 1 THEN
+        |               substr(clean, 1, CAST(doc_id % length(clean) AS INT)) ||
+        |               substr(clean, CAST(doc_id % length(clean) AS INT) + 2)
+        |           ELSE clean END AS name
+        |    FROM base WHERE length(clean) >= ${graft.ops.FuzzyOps.MinLen}
+        |), vocab AS (
+        |    SELECT name, CAST(count(*) AS BIGINT) AS freq FROM feed GROUP BY 1
+        |), pairs AS (
+        |    SELECT a.name AS a, b.name AS b
+        |    FROM vocab a JOIN vocab b
+        |      ON a.name < b.name AND levenshtein(a.name, b.name) = 1
+        |), sym AS (
+        |    SELECT a AS x, b AS y FROM pairs
+        |    UNION ALL SELECT b, a FROM pairs
+        |), reach(a, b) AS (
+        |    SELECT name, name FROM vocab
+        |    UNION
+        |    SELECT r.a, s.y FROM reach r JOIN sym s ON s.x = r.b
+        |), lbl AS (
+        |    SELECT a AS name, min(b) AS cl FROM reach GROUP BY 1
+        |), canon AS (
+        |    SELECT cl, name AS canon FROM (
+        |        SELECT l.cl, v.name, v.freq,
+        |               row_number() OVER (PARTITION BY l.cl
+        |                   ORDER BY v.freq DESC, v.name ASC) AS rn
+        |        FROM lbl l JOIN vocab v USING (name)) WHERE rn = 1
+        |)
+        |SELECT f.doc_id, f.name, c.canon,
+        |       CAST(f.name <> c.canon AS INT) AS changed
+        |FROM feed f
+        |JOIN lbl USING (name)
+        |JOIN canon c USING (cl)
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** TF-IDF vectors + unrolled power-iteration rounds (HUGEINT, floor

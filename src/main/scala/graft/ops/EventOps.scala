@@ -171,4 +171,26 @@ object EventOps {
           .otherwise(expr("n * 1000000L div n_top")).as("conv_ppm"))
       .orderBy("step")
   }
+
+  /** First-order Markov transition matrix between event types: per-user
+    * (prev, cur) bigrams in (ts, event_id) order, counts and the exact
+    * per-million row-conditional probability. One user-keyed window +
+    * one K²-sized aggregate (K = event-type count — constant at scale).
+    * Gate `q_event_transitions`.
+    */
+  def eventTransitions(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val n = ev.withColumn("prev", lag(col("event_type"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev").as("prev_type"), col("event_type").as("cur_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = n.groupBy("prev_type").agg(sum("n").as("tot"))
+    n.join(tot, Seq("prev_type"))
+      .select(col("prev_type"), col("cur_type"), col("n"),
+        expr("n * 1000000L div tot").as("p_ppm"))
+      .orderBy("prev_type", "cur_type")
+  }
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Edit-distance-1 fuzzy vocabulary join via deletion-neighborhood
   * blocking (the SymSpell/FastSS family) — the record-linkage primitive
@@ -99,4 +100,50 @@ object FuzzyOps {
   def fuzzyVocabEdit1(s: SparkSession, d: String): DataFrame =
     edit1Pairs(vocabOf(nameFeed(graft.Tables.t(s, d, "documents"))))
       .orderBy("word_a", "word_b")
+
+  /** Typo-cluster canonicalization — the composition the edit-1 join
+    * exists for: edit-distance links → transitive closure → each cluster
+    * normalizes to its best member (max frequency, lexicographically
+    * smallest on ties — the best-of-cluster posture), and every doc's
+    * dirty reference maps to the canonical spelling.
+    *
+    * Engine ids for the CC walk are opaque injective Longs
+    * (monotonically_increasing_id frozen by a localCheckpoint — no
+    * global-window Exchange SinglePartition just to mint ranks); the
+    * output is id-free, so determinism needs only that the PARTITION of
+    * names matches the oracle's recursive-closure replay — which the
+    * canon rule then resolves identically.
+    *
+    * Scale shape: everything after the corpus-keyed vocabulary count is
+    * vocabulary-sized — the CC rounds, the canon window, the broadcast
+    * join back onto the per-doc feed.
+    */
+  def vocabNormalize(s: SparkSession, d: String): DataFrame = {
+    val feed = nameFeed(graft.Tables.t(s, d, "documents"))
+    val vocab = PlanCache.swap("fuzzy_vocab", vocabOf(feed))
+    val ids = vocab.select("name")
+      .withColumn("id", monotonically_increasing_id()).localCheckpoint()
+    val pairs = edit1Pairs(vocab)
+    val edges = pairs
+      .join(ids.select(col("name").as("word_a"), col("id").as("src")), Seq("word_a"))
+      .join(ids.select(col("name").as("word_b"), col("id").as("dst")), Seq("word_b"))
+      .select("src", "dst")
+    GraphOps.connectedComponentsInto(edges, ids.select("id")) { labels =>
+      val named = labels
+        .join(ids, Seq("id"))
+        .select(col("name"), col("cluster_id"))
+      val canon = named.join(vocab, Seq("name"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("cluster_id")
+            .orderBy(col("freq").desc, col("name").asc)))
+        .where(col("rn") === 1)
+        .select(col("cluster_id"), col("name").as("canon"))
+      feed
+        .join(broadcast(named), Seq("name"))
+        .join(broadcast(canon), Seq("cluster_id"))
+        .select(col("doc_id"), col("name"), col("canon"),
+          (col("name") =!= col("canon")).cast("int").as("changed"))
+        .localCheckpoint() // materialize before the CC loan reclaims
+    }.orderBy("doc_id")
+  }
 }

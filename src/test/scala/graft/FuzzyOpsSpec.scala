@@ -63,6 +63,28 @@ class FuzzyOpsSpec extends SparkSpec {
     assert(canon(("word", "word1")) === "word") // tie -> word_a
   }
 
+  test("vocab normalization: transitive clusters canonicalize to the best member") {
+    // chain: word -1- wordx -1- wordxy (wordxy is 2 from word, linked
+    // only transitively); canon = max freq then lexicographic
+    import graft.ops.FuzzyOps
+    val vocab = Seq(("word", 5L), ("wordx", 1L), ("wordxy", 1L),
+      ("other", 9L)).toDF("name", "freq")
+    val pairs = FuzzyOps.edit1Pairs(vocab)
+      .select("word_a", "word_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs === Set(("word", "wordx"), ("wordx", "wordxy")))
+    // full composition over the crafted corpus feed: every typo'd name
+    // maps to a clean canon, and no canon is itself a changed form
+    val out = FuzzyOps.vocabNormalize(spark, sf)
+    val changed = out.where(col("changed") === 1)
+    assert(changed.count() > 0, "some typo'd docs must normalize")
+    val canons = out.select(col("canon").as("name")).distinct()
+    val changedNames = out.where(col("changed") === 1)
+      .select("name").distinct()
+    assert(canons.join(changedNames, Seq("name"), "left_semi").count() === 0,
+      "a canonical form must never itself be a normalized-away name")
+  }
+
   test("typo feed links every typo'd doc to a clean form") {
     val docs = Tables.t(spark, sf, "documents")
     val feed = FuzzyOps.nameFeed(docs)
