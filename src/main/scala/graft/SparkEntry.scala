@@ -201,6 +201,7 @@ object SparkEntry {
     "q_copy_incremental"    -> (graft.ops.WinnowOps.copyIncremental _),
     "q_event_transitions"   -> (EventOps.eventTransitions _),
     "q_vocab_normalize"     -> (graft.ops.FuzzyOps.vocabNormalize _),
+    "q_domain_hops"         -> (graft.ops.LinkOps.domainHops _),
   )
 
   /** DuckDB-dialect oracle SQL per query — since round 8, EVERY query has
@@ -728,6 +729,33 @@ object SparkEntry {
          |SELECT hh.v AS domain, hh.h AS hub_fp, ha.a AS auth_fp
          |FROM hh$iters hh JOIN ha$iters ha ON ha.v = hh.v
          |ORDER BY auth_fp DESC, hub_fp DESC, domain""".stripMargin
+  }
+
+  /** BFS hop-distance oracle: seeds = the `.co.uk` page domains, `iters`
+    * unrolled min-fold rounds (`dist' = min(dist, min over in-edges
+    * dist+1)`) over the crafted domain graph — min is order-independent,
+    * so the declarative replay lands on GraphOps.bfsHops' exact Longs.
+    */
+  private def bfsHopsOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s""", bh$i AS MATERIALIZED (
+         |    SELECT v, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+         |        SELECT v, dist FROM bh${i - 1}
+         |        UNION ALL
+         |        SELECT e.dst AS v, h.dist + 1 AS dist
+         |        FROM bh${i - 1} h JOIN edges e ON e.src = h.v
+         |    ) GROUP BY 1
+         |)""".stripMargin
+    }.mkString
+    domainGraphCtes +
+      """, bh0 AS MATERIALIZED (
+        |    SELECT DISTINCT page_domain AS v, CAST(0 AS BIGINT) AS dist
+        |    FROM lx WHERE page_domain LIKE '%.co.uk'
+        |)""".stripMargin + steps +
+      s"""
+         |SELECT t.v AS domain, CAST(COALESCE(h.dist, -1) AS BIGINT) AS dist
+         |FROM verts t LEFT JOIN bh$iters h ON h.v = t.v
+         |ORDER BY domain""".stripMargin
   }
 
   /** The graph CTEs + the unrolled PageRank recurrence, ending at
@@ -2446,6 +2474,7 @@ object SparkEntry {
     // HITS: the second iterative walk — same exact-integer replay
     // posture, mutually-recursive half-steps with in-band renormalization
     "q_hits_domains" -> hitsOracle(5),
+    "q_domain_hops" -> bfsHopsOracle(6),
     // streaming maintenance invariant: the gate folds the back third of
     // the corpus through LinkIngest; the oracle is the FRESH full-corpus
     // walk — a green row proves streamed state ≡ a from-scratch build

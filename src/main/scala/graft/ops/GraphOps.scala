@@ -313,6 +313,62 @@ object GraphOps {
     finally checkpointFilesOf(hv).foreach(deleteCheckpointFile(hv, _))
   }
 
+  /** Multi-source BFS hop distance over a directed edge set — the
+    * crawl-depth primitive (how many link hops separate each vertex from a
+    * seed set; crawl schedulers budget fetch depth on it, and
+    * quality-weighting pipelines use "distance from trusted seeds" as a
+    * spam prior).
+    *
+    * Exact and declaratively replayable: distances are Longs and each
+    * round is `dist'(v) = min(dist(v), min_{u→v} dist(u)+1)` over the
+    * REACHED set only — min is order-independent, so an unrolled
+    * recurrence lands on identical values. Runs a FIXED `iters` rounds
+    * (part of the deterministic contract, like [[pagerank]]'s 10):
+    * vertices first reached after `iters` hops report -1 (unreached), and
+    * converged rounds are idempotent no-ops.
+    *
+    * Shape: per round one src-keyed join (reached ⋈ edges) + one
+    * map-side-combinable min by id — the reached set only ever GROWS
+    * toward vertex-sized, never corpus-sized fan-out; zero driver scalars.
+    * Rounds eagerly checkpointed with superseded-file deletion — the
+    * [[connectedComponents]] posture.
+    *
+    * `edges`: (src, dst) directed. `vertices`: (id) covering every
+    * endpoint. `seeds`: (id) — distance-0 set; seeds outside `vertices`
+    * are ignored (the left-semi anchors the walk to the graph).
+    */
+  def bfsHops(edges: DataFrame, vertices: DataFrame, seeds: DataFrame,
+              iters: Int = 6): DataFrame = {
+    require(iters >= 1, "bfsHops needs at least one round")
+    val verts = vertices.select(col("id")).distinct().persist()
+    val e = edges.select("src", "dst").persist()
+    try {
+      var reached = roundCheckpoint(
+        verts.join(seeds.select(col("id")).distinct(), Seq("id"), "left_semi")
+          .select(col("id"), lit(0L).as("dist")))
+      for (_ <- 1 to iters) {
+        val fringe = e.join(reached.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), (col("dist") + lit(1L)).as("dist"))
+        val next = roundCheckpoint(reached.unionByName(fringe)
+          .groupBy("id").agg(min("dist").as("dist")))
+        checkpointFileOf(reached).foreach(deleteCheckpointFile(reached, _))
+        reached = next
+      }
+      verts.join(reached, Seq("id"), "left")
+        .select(col("id"), coalesce(col("dist"), lit(-1L)).as("dist"))
+    } finally { verts.unpersist(); e.unpersist() }
+  }
+
+  /** Loan variant of [[bfsHops]] — `consume` materializes, then the final
+    * round's reliable checkpoint files are reclaimed ([[pagerankInto]]).
+    */
+  def bfsHopsInto[A](edges: DataFrame, vertices: DataFrame, seeds: DataFrame,
+                     iters: Int = 6)(consume: DataFrame => A): A = {
+    val h = bfsHops(edges, vertices, seeds, iters)
+    try consume(h)
+    finally checkpointFilesOf(h).foreach(deleteCheckpointFile(h, _))
+  }
+
   /** Oracle-gated cluster query: deterministic block-chain edges over the
     * documents table (doc_id → doc_id+1 within each 10-id block, plus a
     * +2 skip edge in the block's lower half), so components are exactly

@@ -215,6 +215,29 @@ object LinkOps {
       }
     }.orderBy(col("auth_fp").desc, col("hub_fp").desc, col("domain"))
 
+  /** Crawl-depth BFS over the crafted domain graph ([[GraphOps.bfsHops]],
+    * 6 rounds): seeds = the `.co.uk` registered PAGE domains — the
+    * structurally interesting choice on this fixture, because `.co.uk`
+    * pages are near-sinks (their only cross-domain edges are the
+    * every-35th-doc promo links), so distances genuinely spread: 0 on the
+    * seeds, 1 on the promo targets, 2+ across the `.com` mesh they open
+    * into, -1 on anything 6+ hops out. The real-pipeline reading is
+    * "link distance from a trusted seed list" — the spam prior of
+    * crawl-frontier scheduling.
+    *
+    * Scale: [[GraphOps.bfsHops]]'s one-join-one-min-per-round over the
+    * domain-sized graph; the corpus is touched once by the extraction.
+    */
+  def domainHops(s: SparkSession, d: String): DataFrame =
+    withDomainGraph(s, d) { (links, edges, verts) =>
+      val seeds = links.filter(col("page_domain").endsWith(".co.uk"))
+        .select(col("page_domain").as("id")).distinct()
+      GraphOps.bfsHopsInto(edges, verts, seeds) { hops =>
+        hops.select(col("id").as("domain"), col("dist"))
+          .localCheckpoint(eager = true)
+      }
+    }.orderBy("domain")
+
   /** Authority-weighted source mixing — the provenance composition the
     * link graph exists for (RefinedWeb-style domain weighting): each
     * registered domain's sampling quota scales with its PageRank mass,

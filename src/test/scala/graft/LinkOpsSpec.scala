@@ -207,6 +207,53 @@ class LinkOpsSpec extends SparkSpec {
     }
   }
 
+  private def hopsOf(edges: Seq[(String, String)], verts: Seq[String],
+                     seeds: Seq[String], iters: Int): Map[String, Long] =
+    GraphOps.bfsHops(edges.toDF("src", "dst"), verts.toDF("id"),
+        seeds.toDF("id"), iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("bfs hops: chain distances, round cap, shortest path wins") {
+    val chain = Seq("a" -> "b", "b" -> "c", "c" -> "d")
+    // 2 rounds reach exactly 2 hops; d stays unreached
+    assert(hopsOf(chain, Seq("a", "b", "c", "d"), Seq("a"), 2) ==
+      Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> -1L))
+    // 6 rounds converge past the diameter; extra rounds are no-ops
+    assert(hopsOf(chain, Seq("a", "b", "c", "d"), Seq("a"), 6) ==
+      Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
+    // two paths to c: the direct edge (1 hop) beats the a→b→c detour
+    assert(hopsOf(Seq("a" -> "b", "b" -> "c", "a" -> "c"),
+      Seq("a", "b", "c"), Seq("a"), 6)("c") == 1L)
+    // a seed outside the vertex set is ignored, not invented
+    val withGhost = hopsOf(Seq("a" -> "b"), Seq("a", "b"), Seq("a", "z"), 2)
+    assert(withGhost == Map("a" -> 0L, "b" -> 1L))
+  }
+
+  test("domain hops: seeds at 0, frontier consistent, -1 truly unreached") {
+    val edges = LinkOps.craftedLinksOver(graft.Tables.t(spark, sf, "documents"))
+      .filter(col("is_external") === 1)
+      .select(col("page_domain").as("src"), col("target_domain").as("dst"))
+      .distinct().collect().map(r => r.getString(0) -> r.getString(1))
+    val dist = LinkOps.domainHops(spark, sf).collect()
+      .map(r => r.getAs[String]("domain") -> r.getAs[Long]("dist")).toMap
+    val seeds = edges.map(_._1).filter(_.endsWith(".co.uk")).toSet
+    // every .co.uk PAGE domain is a seed at distance 0 — and on this
+    // fixture some .co.uk pages do emit promo links, so seeds exist
+    assert(seeds.nonEmpty && seeds.forall(dist(_) == 0L))
+    // promo targets sit one hop out
+    assert(dist.values.count(_ == 1L) > 0)
+    val inEdges = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    dist.foreach { case (v, dv) =>
+      if (dv > 0)
+        // consistency: a vertex at k ≥ 1 has an in-neighbor at exactly k-1
+        assert(inEdges(v).exists(u => dist(u) == dv - 1), s"$v at $dv")
+      else if (dv == -1L)
+        // unreached means NO in-neighbor inside the 6-round horizon
+        assert(inEdges.getOrElse(v, Array.empty[String]).forall(u =>
+          dist(u) == -1L || dist(u) >= 6L), s"$v should be reachable")
+    }
+  }
+
   test("link plans stay join-sane (no cartesian, no BNLJ)") {
     Seq(LinkOps.linkExtract(spark, sf), LinkOps.anchorText(spark, sf))
       .foreach { df =>
