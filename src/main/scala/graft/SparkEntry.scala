@@ -202,6 +202,7 @@ object SparkEntry {
     "q_event_transitions"   -> (EventOps.eventTransitions _),
     "q_vocab_normalize"     -> (graft.ops.FuzzyOps.vocabNormalize _),
     "q_domain_hops"         -> (graft.ops.LinkOps.domainHops _),
+    "q_pseudonymize_pii"    -> (TextOps.pseudonymizePii _),
   )
 
   /** DuckDB-dialect oracle SQL per query — since round 8, EVERY query has
@@ -1822,6 +1823,41 @@ object SparkEntry {
         |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
         |           AS redacted
         |FROM enriched ORDER BY doc_id""".stripMargin,
+    // keyed pseudonymization: identical enrichment, identical salt
+    // constant, identical SORTED fold order — list_reduce seeds the fold
+    // with the text via list_prepend, and replace/md5/substr agree
+    // byte-for-byte between the engines
+    "q_pseudonymize_pii" ->
+      s"""WITH enriched AS (
+        |    SELECT doc_id,
+        |           CASE WHEN doc_id % 7 = 0
+        |                THEN text || ' contact user' || CAST(doc_id % 23 AS VARCHAR)
+        |                          || '@example.com or ops' || CAST(doc_id % 5 AS VARCHAR)
+        |                          || '@corp.org for access'
+        |                ELSE text END AS text2
+        |    FROM documents
+        |), m AS (
+        |    -- length-desc fold order via the same 999-len prefix key the
+        |    -- engine uses (nesting-safe: longer addresses rewrite first)
+        |    SELECT doc_id, text2,
+        |           list_transform(list_sort(list_transform(
+        |             list_distinct(regexp_extract_all(text2,
+        |               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')),
+        |             x -> lpad(CAST(999 - len(x) AS VARCHAR), 3, '0') || x)),
+        |             k -> substr(k, 4)) AS ms
+        |    FROM enriched
+        |)
+        |SELECT doc_id,
+        |       CAST(len(ms) AS BIGINT) AS n_pii,
+        |       len(regexp_extract_all(text2,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_matches,
+        |       list_reduce(list_prepend(text2, ms), (acc, x) -> replace(acc, x,
+        |           '<EMAIL_' || substr(md5('${graft.ops.TextOps.PseudoSalt}' || lower(x)), 1, 10) || '>'))
+        |           AS pseudo_text,
+        |       COALESCE(array_to_string(list_transform(ms, x ->
+        |           '<EMAIL_' || substr(md5('${graft.ops.TextOps.PseudoSalt}' || lower(x)), 1, 10) || '>'), ' '), '')
+        |           AS tokens_cat
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q_doc_chunking" ->
       """WITH tok AS (
         |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens

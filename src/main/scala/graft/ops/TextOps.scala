@@ -453,6 +453,66 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Salt for [[pseudonymizePii]] tokens. An engine constant like the
+    * '[계획용] ' literal: the oracle replays it, a deployment rotates it.
+    */
+  val PseudoSalt = "graft-pseudo-v1:"
+
+  /** Keyed deterministic pseudonymization — the privacy pass that beats
+    * [[redactPii]]'s blanket `<EMAIL>` mask when downstream work needs
+    * JOIN-ABILITY: every email is replaced by a stable surrogate
+    * `<EMAIL_xxxxxxxxxx>` (first 10 hex chars of md5(salt‖lower(email))),
+    * so the same address maps to the same token across every document and
+    * table (linkage survives) while the raw value leaves the corpus.
+    * GDPR calls exactly this pseudonymization: reversible only via the
+    * salt, which lives outside the data.
+    *
+    * Mechanics: distinct matches per row, sorted LENGTH-DESC (then
+    * lexicographic) via a 3-digit `999-len` prefix key, then one
+    * `aggregate` fold of plain `replace`s — per-row expressions only,
+    * zero shuffle. Length-desc makes the fold nesting-safe: when one
+    * address is a substring of another (`ops1@x.com` ⊂ `xops1@x.com`),
+    * the longer rewrites first, and a surrogate contains no `@`, so no
+    * replacement can corrupt a pending match or create a fresh one. The
+    * key transform is identical in the oracle, so the fold order — and
+    * therefore every byte of output — matches cross-engine even for
+    * degenerate inputs (a >999-char "address" merely loses the
+    * length-desc reading, not the determinism).
+    */
+  private[graft] def pseudonymizeFor(docs: DataFrame): DataFrame = {
+    def tokOf(m: Column): Column = concat(lit("<EMAIL_"),
+      substring(md5(concat(lit(PseudoSalt), lower(m)).cast("binary")), 1, 10),
+      lit(">"))
+    docs
+      .withColumn("ms", transform(
+        array_sort(transform(
+          array_distinct(regexp_extract_all(col("text2"), lit(EmailRe), lit(0))),
+          m => concat(lpad((lit(999) - length(m)).cast("string"), 3, "0"), m))),
+        k => substring(k, 4, Int.MaxValue)))
+      .select(
+        col("doc_id"),
+        size(col("ms")).cast("bigint").as("n_pii"),
+        regexp_count(col("text2"), lit(EmailRe)).as("n_matches"),
+        aggregate(col("ms"), col("text2"),
+          (acc, m) => replace(acc, m, tokOf(m))).as("pseudo_text"),
+        array_join(transform(col("ms"), tokOf _), " ").as("tokens_cat"))
+  }
+
+  /** Registry gate: the fixture has no PII, so every 7th doc plants two
+    * RECURRING addresses (`user<id%23>@…`, `ops<id%5>@…` — 23 and 5 force
+    * cross-document repeats, exercising the stability that distinguishes
+    * pseudonymization from masking). Identical enrichment in the oracle.
+    */
+  def pseudonymizePii(s: SparkSession, d: String): DataFrame =
+    pseudonymizeFor(t(s, d, "documents").withColumn("text2",
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"),
+          lit(" contact user"), (col("doc_id") % 23).cast("string"),
+          lit("@example.com or ops"), (col("doc_id") % 5).cast("string"),
+          lit("@corp.org for access")))
+        .otherwise(col("text"))))
+      .orderBy("doc_id")
+
   /** Fixed-window document chunking with stride — the training-data prep
     * op that turns documents into model-sized pieces. Chunk starts are a
     * per-row `sequence` (0, stride, 2·stride, …) exploded into one row per

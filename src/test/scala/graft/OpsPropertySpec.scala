@@ -2984,6 +2984,43 @@ class OpsPropertySpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)), s"exact dup missed: $pairs")
   }
 
+  test("pseudonymize: stable surrogates, raw values gone, no-op rows " +
+      "untouched, nesting handled by sorted fold") {
+    val docs = Seq(
+      (1L, "mail a@x.com twice a@x.com end"),     // repeats inside one doc
+      (2L, "also a@x.com and b@y.org here"),      // repeats ACROSS docs
+      (3L, "no pii at all"),
+      // one address a substring-suffix of the other — the sorted-fold case
+      (4L, "pair ops1@corp.org and xops1@corp.org done"))
+      .toDF("doc_id", "text2")
+    val out = TextOps.pseudonymizeFor(docs).orderBy("doc_id").collect()
+    val p = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // join-ability: a@x.com maps to ONE surrogate in both docs
+    val tokA1 = p(1L).getAs[String]("tokens_cat")
+    assert(p(1L).getAs[Long]("n_pii") == 1 && p(1L).getAs[Int]("n_matches") == 2)
+    assert(p(2L).getAs[String]("tokens_cat").split(" ").contains(tokA1))
+    // masking: no raw address survives anywhere
+    out.foreach(r => assert(!r.getAs[String]("pseudo_text").contains("@")))
+    // both occurrences in doc 1 rewrote to the same token
+    assert(p(1L).getAs[String]("pseudo_text")
+      .sliding(tokA1.length).count(_ == tokA1) == 2)
+    // clean rows pass through byte-identical
+    assert(p(3L).getAs[String]("pseudo_text") == "no pii at all" &&
+      p(3L).getAs[String]("tokens_cat") == "")
+    // the substring pair (ops1@corp.org ⊂ xops1@corp.org): length-desc
+    // fold rewrites the longer first, so BOTH surrogates appear and the
+    // 'x' prefix survives intact — no corruption
+    val toks4 = p(4L).getAs[String]("tokens_cat").split(" ")
+    assert(toks4.length == 2 && toks4.distinct.length == 2)
+    val pt4 = p(4L).getAs[String]("pseudo_text")
+    assert(toks4.forall(pt4.contains), s"surrogate lost to nesting: $pt4")
+    assert(pt4.matches("pair <EMAIL_[0-9a-f]{10}> and <EMAIL_[0-9a-f]{10}> done"),
+      s"unexpected rewrite shape: $pt4")
+    // per-row only: no shuffle in the plan
+    val plan = TextOps.pseudonymizeFor(docs).queryExecution.executedPlan
+    assert(!plan.toString.contains("Exchange"), plan.toString)
+  }
+
   test("knn plan is broadcast-probe, not corpus x corpus shuffle") {
     val plan = VectorOps.knnCosineTopk(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
