@@ -203,6 +203,7 @@ object SparkEntry {
     "q_vocab_normalize"     -> (graft.ops.FuzzyOps.vocabNormalize _),
     "q_domain_hops"         -> (graft.ops.LinkOps.domainHops _),
     "q_pseudonymize_pii"    -> (TextOps.pseudonymizePii _),
+    "q_hard_negatives"      -> (RetrievalOps.hardNegatives _),
   )
 
   /** DuckDB-dialect oracle SQL per query — since round 8, EVERY query has
@@ -3349,6 +3350,36 @@ object SparkEntry {
         |       CAST(MAX(score) AS BIGINT) AS best_score
         |FROM rk WHERE rnk <= 5 GROUP BY doc_id ORDER BY doc_id"""
         .stripMargin),
+    // hard-negative mining: the unranked scored pool (sc CTE), minus the
+    // query's whole near-dup cluster (closure over the materialized
+    // minhash pair set), re-ranked top-5 — a cluster member at rank 3
+    // must PROMOTE rank 6, hence the filter-then-rank order
+    "q_hard_negatives" -> {
+      val path = OracleInputs.sqlPath("text_pairs_hardneg")
+      bm25Ctes("doc_id % 100 = 7", "")
+        .replaceFirst("WITH ", "WITH RECURSIVE ") +
+        s""", e AS (SELECT src, dst FROM read_parquet('$path/*.parquet')),
+           |sym AS (SELECT src, dst FROM e
+           |        UNION SELECT dst AS src, src AS dst FROM e),
+           |reach(id, rr) AS (
+           |    SELECT doc_id, doc_id FROM documents
+           |    UNION
+           |    SELECT s.dst, reach.rr FROM reach JOIN sym s ON s.src = reach.id
+           |),
+           |comp AS (SELECT id, MIN(rr) AS cluster_id FROM reach GROUP BY id),
+           |neg AS (
+           |    SELECT sc.query_id, sc.doc_id, sc.n_hit, sc.score,
+           |           CAST(row_number() OVER (PARTITION BY sc.query_id
+           |               ORDER BY sc.score DESC, sc.doc_id ASC) AS INTEGER)
+           |               AS rnk
+           |    FROM sc
+           |    JOIN comp cq ON cq.id = sc.query_id
+           |    JOIN comp cd ON cd.id = sc.doc_id
+           |    WHERE cq.cluster_id <> cd.cluster_id
+           |)
+           |SELECT query_id, rnk, doc_id, n_hit, score
+           |FROM neg WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+    },
     // K-class NB domain classifier: the oracle retrains the add-one-
     // smoothed per-class token rates (class = source) and replays the
     // token-mean argmax in the same 1e9 fixed point

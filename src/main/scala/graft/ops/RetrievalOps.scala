@@ -204,9 +204,17 @@ object RetrievalOps {
     */
   private[graft] def scoreTerms(terms: DataFrame, postings: DataFrame,
                                 dfT: DataFrame, doclen: DataFrame,
-                                totals: DataFrame): DataFrame = {
-    val rw = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("doc_id").asc)
+                                totals: DataFrame): DataFrame =
+    rankTopK(scoredTerms(terms, postings, dfT, doclen, totals))
+
+  /** The UNRANKED (query_id, doc_id, n_hit, score) set — split out so
+    * compositions that must filter candidates BEFORE the top-k cut
+    * ([[hardNegatives]]) see the full scored pool, not the survivors of
+    * an earlier rank-5 fence.
+    */
+  private[graft] def scoredTerms(terms: DataFrame, postings: DataFrame,
+                                 dfT: DataFrame, doclen: DataFrame,
+                                 totals: DataFrame): DataFrame =
     postings
       .join(broadcast(terms), Seq("w"))
       .join(doclen, Seq("doc_id"))
@@ -222,6 +230,12 @@ object RetrievalOps {
       .withColumn("contrib", expr(s"(idf_fp * tf_fp) div ${TfScale}L"))
       .groupBy("query_id", "doc_id")
       .agg(count(lit(1)).as("n_hit"), sum("contrib").as("score"))
+
+  /** Score-desc/doc-asc rank per query, cut at [[TopK]], gate order. */
+  private[graft] def rankTopK(scored: DataFrame): DataFrame = {
+    val rw = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored
       .withColumn("rnk", row_number().over(rw))
       .filter(col("rnk") <= TopK)
       .select("query_id", "rnk", "doc_id", "n_hit", "score")
@@ -521,5 +535,54 @@ object RetrievalOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_eval_hits"), max("score").as("best_score"))
       .orderBy("doc_id")
+  }
+
+  /** Hard-negative mining — the contrastive-training composition the
+    * retrieval and dedup families exist for: for every eval-slice query,
+    * the top-[[TopK]] BM25 candidates AFTER excluding the query document
+    * itself and every member of its minhash NEAR-DUP CLUSTER. A
+    * lexically-close near-duplicate is a false negative (it IS the
+    * positive in different clothes); what contrastive training wants is
+    * the highest-scoring documents that are NOT the same content — which
+    * is exactly "top-ranked minus the query's connected component".
+    *
+    * The exclusion runs on the UNRANKED scored pool ([[scoredTerms]]),
+    * then re-ranks: a cluster member holding rank 3 must PROMOTE the
+    * rank-6 candidate, not leave a 4-row hole.
+    *
+    * Scale shape: scoring is the serve posture (bucket-pruned postings ×
+    * broadcast terms); the cluster decoration is the CC cost the dedup
+    * family already pays plus ONE doc_id-keyed join of the candidate pool
+    * against the corpus-sized labels table (the label-lookup posture) and
+    * one broadcast-sized join on the query side.
+    */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val db = "graft_bm25_hn"
+    val docs = t(s, d, "documents")
+    buildBm25Index(docs, db)
+    val terms = queryTermsFor(docs, 100L, 7L)
+    val nb = readProp(s, db, BucketsProp)
+    val bkts = terms.select(pmod(xxhash64(col("w")), lit(nb)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val postings = s.table(fqn(db, PostingsTable))
+      .filter(col("bkt").isin(bkts: _*))
+    val scored = scoredTerms(terms, postings, s.table(fqn(db, DfTable)),
+      s.table(fqn(db, DocLenTable)), s.table(fqn(db, TotalsTable)))
+    val pairs = graft.OracleInputs.checkpoint(
+      TextOps.minhashCandidatePairs(s, d)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")),
+      d, "text_pairs_hardneg")
+    val comps = GraphOps.connectedComponents(pairs,
+      docs.select(col("doc_id").as("id")))
+    val qc = comps.select(col("id").as("query_id"),
+      col("cluster_id").as("q_cluster"))
+    val cand = comps.select(col("id").as("doc_id"),
+      col("cluster_id").as("d_cluster"))
+    // same cluster ⇒ same label (the query doc itself trivially included)
+    rankTopK(scored
+      .join(qc, Seq("query_id"))
+      .join(cand, Seq("doc_id"))
+      .filter(col("q_cluster") =!= col("d_cluster"))
+      .select("query_id", "doc_id", "n_hit", "score"))
   }
 }

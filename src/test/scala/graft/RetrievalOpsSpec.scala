@@ -218,6 +218,43 @@ class RetrievalOpsSpec extends SparkSpec {
       RetrievalOps.hybridSearch(spark, sf).collect().toSeq.map(_.toSeq))
   }
 
+  test("hard negatives: cluster-mates excluded, holes promoted, ranks dense") {
+    val out = RetrievalOps.hardNegatives(spark, sf).collect()
+    assert(out.nonEmpty)
+    // recompute the labels the miner used (same deterministic machinery)
+    val comps = graft.ops.GraphOps.connectedComponents(
+        graft.ops.TextOps.minhashCandidatePairs(spark, sf)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")),
+        graft.Tables.t(spark, sf, "documents").select(col("doc_id").as("id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (q, c) = (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))
+      assert(c != q, s"query $q retrieved itself")
+      assert(comps(q) != comps(c), s"cluster-mate $c survived for query $q")
+    }
+    // ranks dense from 1, scores non-increasing per query
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, g) =>
+      val byRnk = g.sortBy(_.getAs[Int]("rnk"))
+      assert(byRnk.map(_.getAs[Int]("rnk")).sameElements(1 to g.length))
+      val sc = byRnk.map(_.getAs[Long]("score"))
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b })
+    }
+    // promotion, not holes: every query with 5+ scored non-cluster
+    // candidates keeps a full top-5 even though self-retrieval (rank 1 in
+    // plain BM25 for a doc querying its own terms) was excluded
+    val plain = RetrievalOps.bm25TopKFor(
+      RetrievalOps.queryTermsFor(graft.Tables.t(spark, sf, "documents"),
+        100L, 7L), spark, "graft_bm25_hn").collect()
+    val selfHit = plain.filter(r =>
+      r.getAs[Long]("query_id") == r.getAs[Long]("doc_id"))
+      .map(_.getAs[Long]("query_id")).toSet
+    assert(selfHit.nonEmpty, "fixture sanity: self-retrieval must occur")
+    val full = out.groupBy(_.getAs[Long]("query_id"))
+      .filter(_._2.length == RetrievalOps.TopK).keySet
+    assert(selfHit.exists(full.contains),
+      "at least one self-hit query must refill to a full top-5")
+  }
+
   test("serving plan: postings partition-pruned to term buckets, no corpus scan") {
     val db = "graft_bm25_spec_plan"
     RetrievalOps.buildBm25Index(
