@@ -204,6 +204,7 @@ object SparkEntry {
     "q_domain_hops"         -> (graft.ops.LinkOps.domainHops _),
     "q_pseudonymize_pii"    -> (TextOps.pseudonymizePii _),
     "q_hard_negatives"      -> (RetrievalOps.hardNegatives _),
+    "q_tokenizer_health"    -> (graft.ops.BpeOps.tokenizerHealth _),
   )
 
   /** DuckDB-dialect oracle SQL per query — since round 8, EVERY query has
@@ -266,8 +267,10 @@ object SparkEntry {
     * crafted corpora); this gate hash-compares the full per-document
     * piece stream.
     */
-  private def bpeAppliedCte: String = {
-    val path = OracleInputs.sqlPath("bpe_merges")
+  private def bpeAppliedCte: String = bpeAppliedCteFrom("bpe_merges")
+
+  private def bpeAppliedCteFrom(ckpt: String): String = {
+    val path = OracleInputs.sqlPath(ckpt)
     s"""m AS (SELECT rank, l, r FROM read_parquet('$path/*.parquet')),
        |base AS (
        |    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
@@ -2030,6 +2033,37 @@ object SparkEntry {
     // in exact integer arithmetic (div / //)
     "q_perplexity_filter" -> perplexityFilterOracle,
     "q_bpe_tokenize" -> bpeTokenizeOracle,
+    // tokenizer health: re-apply the health run's own materialized merge
+    // table, then per-language integer fertility / char-fallback ratios
+    "q_tokenizer_health" ->
+      s"""WITH RECURSIVE
+         |${bpeAppliedCteFrom("bpe_merges_health")}
+         |, st AS (
+         |    SELECT b.doc_id, d.lang,
+         |           CAST(len(b.toks) AS BIGINT) AS n_words,
+         |           CAST(CASE WHEN length(a.pieces) = 0 THEN 0
+         |                ELSE len(string_split(a.pieces, ' ')) END AS BIGINT)
+         |               AS n_pieces,
+         |           CAST(CASE WHEN length(a.pieces) = 0 THEN 0
+         |                ELSE len(list_filter(string_split(a.pieces, ' '),
+         |                         p -> length(p) = 1)) END AS BIGINT)
+         |               AS n_single
+         |    FROM base b
+         |    JOIN agg a USING (doc_id)
+         |    JOIN documents d USING (doc_id)
+         |)
+         |SELECT lang,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_words) AS BIGINT) AS total_words,
+         |       CAST(SUM(n_pieces) AS BIGINT) AS total_pieces,
+         |       CAST(SUM(n_single) AS BIGINT) AS total_single,
+         |       CAST(CASE WHEN SUM(n_words) = 0 THEN 0
+         |            ELSE (1000 * SUM(n_pieces)) // SUM(n_words) END
+         |           AS BIGINT) AS fertility_permille,
+         |       CAST(CASE WHEN SUM(n_pieces) = 0 THEN 0
+         |            ELSE (1000 * SUM(n_single)) // SUM(n_pieces) END
+         |           AS BIGINT) AS char_fallback_permille
+         |FROM st GROUP BY lang ORDER BY lang""".stripMargin,
     "q_pack_sequences_bpe" -> packSequencesBpeOracle,
     // seed-referenced NB quality classifier: deterministic training ⇒ the
     // oracle RETRAINS the same add-one-smoothed class-rate ratios and

@@ -201,4 +201,50 @@ object BpeOps {
     buildBpeModel(t(s, d, "documents"), "graft_bpe_q")
     bpeTokenizeFromModel(s, d, "graft_bpe_q")
   }
+
+  /** Tokenizer-health telemetry per language — the go/no-go dashboard for
+    * a trained tokenizer before a corpus is budgeted with it:
+    * FERTILITY (pieces per word, ×1000 — high fertility means the vocab
+    * fits the language badly and every token budget silently shrinks in
+    * information terms) and CHAR-FALLBACK share (single-character pieces
+    * per ‰ of all pieces — BPE's "OOV" signal: a word no merge covers
+    * degrades to characters). Languages the merges were never trained on
+    * surface immediately with fallback near 1000.
+    *
+    * Scale: the [[applyBpe]] fold is per-row over the K stored merge
+    * literals; one lang-keyed map-side-combinable aggregation ends the
+    * plan. Gate `q_tokenizer_health`: the oracle re-applies the
+    * materialized merge table and replays the per-language integer
+    * ratios.
+    */
+  def tokenizerHealth(s: SparkSession, d: String): DataFrame = {
+    val db = "graft_bpe_h"
+    buildBpeModel(t(s, d, "documents"), db)
+    graft.store.Warehouse.refreshDb(s, db)
+    val mdf = graft.OracleInputs.checkpoint(
+      s.table(s"`$db`.`$BpeMergesTable`").orderBy("rank"),
+      d, "bpe_merges_health")
+    val merges = collectMerges(mdf)
+    applyBpe(t(s, d, "documents"), merges)
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"),
+        expr("CASE WHEN char_length(pieces) = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST(size(split(pieces, ' ')) AS BIGINT) END")
+          .as("n_pieces"),
+        expr("CASE WHEN char_length(pieces) = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST(size(filter(split(pieces, ' '), " +
+          "p -> char_length(p) = 1)) AS BIGINT) END").as("n_single"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_words").as("total_words"),
+        sum("n_pieces").as("total_pieces"),
+        sum("n_single").as("total_single"))
+      .withColumn("fertility_permille", expr(
+        "CASE WHEN total_words = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (1000 * total_pieces) div total_words END"))
+      .withColumn("char_fallback_permille", expr(
+        "CASE WHEN total_pieces = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (1000 * total_single) div total_pieces END"))
+      .orderBy("lang")
+  }
 }

@@ -259,6 +259,38 @@ class OpsPropertySpec extends SparkSpec {
     assert(served.count() > 0)
   }
 
+  test("tokenizer health: covered language compresses, untrained language " +
+      "falls back to characters at 1000 permille") {
+    import graft.ops.BpeOps
+    // merges trained on the 'ab' language only
+    val merges = BpeOps.trainBpe(
+      Seq((1L, "abab ab abab"), (2L, "ab abab")).toDF("doc_id", "text"), 10)
+    val mixed = Seq(
+      (1L, "en", "abab abab ab"),   // fully covered: pieces ∈ {abab, ab}
+      (2L, "en", "ab ab"),
+      (3L, "zz", "xyz qw"))         // no merge applies: all single chars
+      .toDF("doc_id", "lang", "text")
+    val stats = BpeOps.applyBpe(mixed, merges)
+      .select(col("lang"), col("pieces"))
+      .collect().groupBy(_.getString(0))
+    // en: every piece multi-char → fallback 0; zz: 5 chars → 5 singles
+    val enPieces = stats("en").flatMap(_.getString(1).split(" "))
+    assert(enPieces.forall(_.length > 1), enPieces.mkString(","))
+    val zzPieces = stats("zz").flatMap(_.getString(1).split(" "))
+    assert(zzPieces.length == 5 && zzPieces.forall(_.length == 1))
+    // the aggregate view over the real fixture: ratios in range, fertility
+    // at least 1000 (a word can never shrink below one piece)
+    val health = BpeOps.tokenizerHealth(spark, sf).collect()
+    assert(health.nonEmpty)
+    health.foreach { r =>
+      val f = r.getAs[Long]("fertility_permille")
+      val cf = r.getAs[Long]("char_fallback_permille")
+      assert(f >= 1000L, s"fertility below one piece/word: $r")
+      assert(cf >= 0L && cf <= 1000L, s"fallback share out of range: $r")
+      assert(r.getAs[Long]("total_single") <= r.getAs[Long]("total_pieces"))
+    }
+  }
+
   test("incremental cluster maintenance: appended state bit-equal to a " +
       "fresh survivors run; unaffected partitions file-bit-identical") {
     import graft.ops.{IncrementalClusters, IncrementalDedup}
