@@ -205,6 +205,7 @@ object SparkEntry {
     "q_pseudonymize_pii"    -> (TextOps.pseudonymizePii _),
     "q_hard_negatives"      -> (RetrievalOps.hardNegatives _),
     "q_tokenizer_health"    -> (graft.ops.BpeOps.tokenizerHealth _),
+    "q_rr_privatize"        -> (graft.ops.PrivacyOps.rrPrivatize _),
   )
 
   /** DuckDB-dialect oracle SQL per query — since round 8, EVERY query has
@@ -1862,6 +1863,34 @@ object SparkEntry {
         |           '<EMAIL_' || substr(md5('${graft.ops.TextOps.PseudoSalt}' || lower(x)), 1, 10) || '>'), ' '), '')
         |           AS tokens_cat
         |FROM m ORDER BY doc_id""".stripMargin,
+    // ε=ln3 randomized response: every deterministic coin recomputed, the
+    // debiased per-mille estimator replayed with negatives clamped before
+    // division (Spark div truncates, DuckDB // floors — never let them
+    // see a negative numerator)
+    "q_rr_privatize" ->
+      s"""WITH rep AS (
+        |    SELECT source,
+        |           CAST(lang = 'en' AS INT) AS truth,
+        |           CASE WHEN substr(md5('${graft.ops.PrivacyOps.RrSalt}'
+        |                    || CAST(doc_id AS VARCHAR)), 1, 1)
+        |                    IN ('0','4','8','c') THEN 1 ELSE 0 END AS flip
+        |    FROM documents
+        |), r2 AS (
+        |    SELECT source,
+        |           CASE WHEN flip = 1 THEN 1 - truth ELSE truth END
+        |               AS reported
+        |    FROM rep
+        |), a AS (
+        |    SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |           CAST(SUM(reported) AS BIGINT) AS n_reported
+        |    FROM r2 GROUP BY 1
+        |)
+        |SELECT source, n, n_reported,
+        |       CAST(CASE WHEN 2000 * n_reported - 500 * n <= 0 THEN 0
+        |            WHEN 2000 * n_reported - 500 * n >= 1000 * n THEN 1000
+        |            ELSE (2000 * n_reported - 500 * n) // n END AS BIGINT)
+        |           AS est_permille
+        |FROM a ORDER BY source""".stripMargin,
     "q_doc_chunking" ->
       """WITH tok AS (
         |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Privacy-preserving release operators — the fourth leg of the corpus
+  * privacy family ([[TextOps.redactPii]] masks, [[TextOps.pseudonymizeFor]]
+  * pseudonymizes, [[BlocklistOps]] suppresses; this PERTURBS): when even a
+  * per-group aggregate over a sensitive per-document attribute is too
+  * revealing to compute exactly, each row randomizes its own report before
+  * aggregation, and the aggregator debiases.
+  *
+  * Mechanism: Warner's randomized response — report the true bit with
+  * probability 3/4, the flipped bit with probability 1/4. That is ε-local
+  * differential privacy with ε = ln(3/4 ÷ 1/4) = ln 3: an adversary
+  * holding a single report cannot tell the true bit apart beyond 3:1 odds,
+  * yet the group rate estimator `π̂ = 2·λ̂ − 1/2` (λ̂ = observed report
+  * rate) is unbiased.
+  *
+  * DETERMINISTIC coin: flip iff the first hex char of
+  * md5(salt‖doc_id) ∈ {0,4,8,c} — exactly 4 of 16 equiprobable values, so
+  * the flip probability is exactly 1/4, the whole release is replayable
+  * (the oracle recomputes every coin), and a re-run releases the SAME
+  * report per row — re-releasing under fresh coins would average the
+  * noise away, which is the classic RR mistake; a deterministic coin per
+  * (salt, id) spends the privacy budget once. Rotating the salt IS the
+  * decision to spend more budget.
+  *
+  * Scale: per-row hash + one group-keyed map-side-combinable aggregation —
+  * zero extra shuffles over the plain (non-private) rate query.
+  */
+object PrivacyOps {
+
+  /** Coin salt — an engine constant the oracle replays; a deployment
+    * rotates it per release epoch (each rotation spends ε again).
+    */
+  val RrSalt = "graft-rr-v1:"
+
+  /** Hex chars marking a flip: 4/16 → P(flip) = 1/4 exactly. */
+  val FlipHex: Seq[String] = Seq("0", "4", "8", "c")
+
+  /** Adds `truth` (the sensitive bit: lang = 'en'), `flip` and `reported`
+    * to a (doc_id, lang) frame — split out for the spec's exact-replay
+    * law against a JVM-side md5.
+    */
+  private[graft] def withReports(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("truth", (col("lang") === "en").cast("int"))
+      .withColumn("flip", substring(md5(concat(lit(RrSalt),
+        col("doc_id").cast("string")).cast("binary")), 1, 1)
+        .isin(FlipHex: _*).cast("int"))
+      .withColumn("reported",
+        when(col("flip") === 1, lit(1) - col("truth")).otherwise(col("truth")))
+
+  /** Per-source ε=ln3 private release of the English-document rate:
+    * reports aggregate per source, the debiased estimate
+    * `(2000·n_reported − 500·n) div n` lands in exact per-mille fixed
+    * point, clamped to [0, 1000] BEFORE the division ever sees a negative
+    * numerator (Spark `div` truncates toward zero, DuckDB `//` floors —
+    * they disagree exactly on negatives, so negatives are clamped out,
+    * not divided).
+    */
+  def rrPrivatize(s: SparkSession, d: String): DataFrame =
+    withReports(t(s, d, "documents"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n"),
+        sum("reported").cast("long").as("n_reported"))
+      .withColumn("est_permille", expr(
+        "CASE WHEN 2000 * n_reported - 500 * n <= 0 THEN CAST(0 AS BIGINT) " +
+          "WHEN 2000 * n_reported - 500 * n >= 1000 * n THEN CAST(1000 AS BIGINT) " +
+          "ELSE (2000 * n_reported - 500 * n) div n END"))
+      .orderBy("source")
+}

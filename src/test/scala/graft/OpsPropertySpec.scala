@@ -3053,6 +3053,44 @@ class OpsPropertySpec extends SparkSpec {
     assert(!plan.toString.contains("Exchange"), plan.toString)
   }
 
+  test("randomized response: coins replay the salted md5 exactly, " +
+      "reports deterministic across runs, estimates in range") {
+    import graft.ops.PrivacyOps
+    def flipOf(id: Long): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest((PrivacyOps.RrSalt + id.toString).getBytes("UTF-8"))
+      if ("048c".contains("%02x".format(h(0)).charAt(0))) 1 else 0
+    }
+    val docs = (0L until 64L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val rows = PrivacyOps.withReports(docs).collect()
+    assert(rows.map(_.getAs[Int]("flip")).sum > 0, "no coin ever flipped")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val truth = if (id % 3 == 0) 1 else 0
+      assert(r.getAs[Int]("flip") == flipOf(id), s"coin mismatch at $id")
+      assert(r.getAs[Int]("truth") == truth)
+      assert(r.getAs[Int]("reported") ==
+        (if (flipOf(id) == 1) 1 - truth else truth))
+    }
+    // budget discipline: a re-release reports IDENTICAL bits (fresh coins
+    // would average the noise away and leak)
+    val again = PrivacyOps.withReports(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("reported")).toMap
+    rows.foreach(r => assert(
+      again(r.getAs[Long]("doc_id")) == r.getAs[Int]("reported")))
+    // fixture release: clamped range, group counts foot to the corpus
+    val est = graft.ops.PrivacyOps.rrPrivatize(spark, sf).collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      val e = r.getAs[Long]("est_permille")
+      assert(e >= 0L && e <= 1000L, s"estimate out of range: $r")
+      assert(r.getAs[Long]("n_reported") <= r.getAs[Long]("n"))
+    }
+    assert(est.map(_.getAs[Long]("n")).sum ==
+      graft.Tables.t(spark, sf, "documents").count())
+  }
+
   test("knn plan is broadcast-probe, not corpus x corpus shuffle") {
     val plan = VectorOps.knnCosineTopk(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
