@@ -206,6 +206,7 @@ object SparkEntry {
     "q_hard_negatives"      -> (RetrievalOps.hardNegatives _),
     "q_tokenizer_health"    -> (graft.ops.BpeOps.tokenizerHealth _),
     "q_rr_privatize"        -> (graft.ops.PrivacyOps.rrPrivatize _),
+    "q_k_anonymity"         -> (graft.ops.PrivacyOps.kAnonymize _),
   )
 
   /** DuckDB-dialect oracle SQL per query — since round 8, EVERY query has
@@ -1891,6 +1892,32 @@ object SparkEntry {
         |            ELSE (2000 * n_reported - 500 * n) // n END AS BIGINT)
         |           AS est_permille
         |FROM a ORDER BY source""".stripMargin,
+    // k-anonymity / l-diversity: class stats over the generalized QI
+    // tuple, suppression decisions replayed row-for-row
+    "q_k_anonymity" ->
+      s"""WITH g AS (
+        |    SELECT doc_id, source, lang,
+        |           LEAST(length(text) // 100, 9) AS len_decile
+        |    FROM documents
+        |), cls AS (
+        |    SELECT lang, len_decile,
+        |           CAST(COUNT(*) AS BIGINT) AS class_n,
+        |           CAST(COUNT(DISTINCT source) AS BIGINT) AS class_l
+        |    FROM g GROUP BY 1, 2
+        |), j AS (
+        |    SELECT g.*, cls.class_n, cls.class_l,
+        |           CAST(cls.class_n < ${graft.ops.PrivacyOps.KAnon}
+        |                OR cls.class_l < ${graft.ops.PrivacyOps.LDiv}
+        |               AS INT) AS suppress
+        |    FROM g JOIN cls USING (lang, len_decile)
+        |)
+        |SELECT doc_id,
+        |       CASE WHEN suppress = 1 THEN '*' ELSE lang END AS rel_lang,
+        |       CAST(CASE WHEN suppress = 1 THEN -1 ELSE len_decile END
+        |           AS BIGINT) AS rel_decile,
+        |       source AS sensitive_source,
+        |       class_n, class_l, suppress
+        |FROM j ORDER BY doc_id""".stripMargin,
     "q_doc_chunking" ->
       """WITH tok AS (
         |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens

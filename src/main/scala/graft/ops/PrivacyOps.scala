@@ -71,4 +71,50 @@ object PrivacyOps {
           "WHEN 2000 * n_reported - 500 * n >= 1000 * n THEN CAST(1000 AS BIGINT) " +
           "ELSE (2000 * n_reported - 500 * n) div n END"))
       .orderBy("source")
+
+  /** k for [[kAnonymize]]: an equivalence class smaller than this is
+    * re-identifiable and must suppress its quasi-identifiers.
+    */
+  val KAnon = 10L
+
+  /** l for the diversity rule: a class whose sensitive attribute takes
+    * fewer than `l` distinct values leaks it by membership alone, however
+    * large the class (the homogeneity attack k-anonymity misses).
+    */
+  val LDiv = 2L
+
+  /** k-anonymity + l-diversity audit and suppression over the release
+    * projection: quasi-identifiers = (lang, length decile) — the decile
+    * generalizes exact lengths the way real releases bucket ages — and
+    * the SENSITIVE attribute is the provenance `source` (published by
+    * design; what l-diversity protects is that QI-class membership alone
+    * must not pin it down). Every row joins its equivalence class's size
+    * and source diversity; rows in classes failing k=[[KAnon]] or
+    * l=[[LDiv]] release `*`/-1 for every quasi-identifier —
+    * suppression, the only transform that never invents data.
+    *
+    * One QI-keyed aggregation + one broadcast-sized join back (class
+    * count ≤ langs × 10); per-row elsewhere.
+    */
+  def kAnonymize(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .withColumn("len_decile",
+        least(expr("char_length(text) div 100"), lit(9L)))
+    val classes = docs
+      .groupBy("lang", "len_decile").agg(
+        count(lit(1)).as("class_n"),
+        countDistinct(col("source")).as("class_l"))
+      .withColumn("suppress",
+        (col("class_n") < KAnon || col("class_l") < LDiv).cast("int"))
+    docs.join(broadcast(classes), Seq("lang", "len_decile"))
+      .select(
+        col("doc_id"),
+        when(col("suppress") === 1, lit("*")).otherwise(col("lang"))
+          .as("rel_lang"),
+        when(col("suppress") === 1, lit(-1L)).otherwise(col("len_decile"))
+          .as("rel_decile"),
+        col("source").as("sensitive_source"),
+        col("class_n"), col("class_l"), col("suppress"))
+      .orderBy("doc_id")
+  }
 }

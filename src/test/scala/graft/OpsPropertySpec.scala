@@ -3091,6 +3091,36 @@ class OpsPropertySpec extends SparkSpec {
       graft.Tables.t(spark, sf, "documents").count())
   }
 
+  test("k-anonymity: released classes satisfy k and l, suppression masks " +
+      "all quasi-identifiers together") {
+    import graft.ops.PrivacyOps
+    val rows = PrivacyOps.kAnonymize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // non-vacuous in both directions on the fixture
+    assert(rows.exists(_.getAs[Int]("suppress") == 1), "nothing suppressed")
+    assert(rows.exists(_.getAs[Int]("suppress") == 0), "all suppressed")
+    rows.foreach { r =>
+      val sup = r.getAs[Int]("suppress")
+      assert((r.getAs[String]("rel_lang") == "*") == (sup == 1),
+        s"partial suppression: $r")
+      assert((r.getAs[Long]("rel_decile") == -1L) == (sup == 1))
+      if (sup == 0)
+        assert(r.getAs[Long]("class_n") >= PrivacyOps.KAnon &&
+          r.getAs[Long]("class_l") >= PrivacyOps.LDiv, s"leaky release: $r")
+    }
+    // THE guarantee, checked on the release itself: every non-masked
+    // equivalence class has >= k members and >= l distinct sensitive
+    // values (the homogeneity attack)
+    rows.filter(_.getAs[Int]("suppress") == 0)
+      .groupBy(r => (r.getAs[String]("rel_lang"),
+        r.getAs[Long]("rel_decile")))
+      .foreach { case (k, g) =>
+        assert(g.length >= PrivacyOps.KAnon, s"class $k has ${g.length}")
+        assert(g.map(_.getAs[String]("sensitive_source")).distinct.length
+          >= PrivacyOps.LDiv, s"homogeneous class $k")
+      }
+  }
+
   test("knn plan is broadcast-probe, not corpus x corpus shuffle") {
     val plan = VectorOps.knnCosineTopk(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
