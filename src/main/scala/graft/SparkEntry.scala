@@ -159,6 +159,8 @@ object SparkEntry {
     "q_domain_classify"     -> (DomainOps.domainClassify _),
     "q_heavy_ngrams"        -> (SketchOps.heavyNgramsSketch _),
     "q_approx_percentile"   -> (SketchOps.approxPercentile _),
+    "q_theta_sketch"        -> (graft.ops.ThetaOps.thetaSketchOverlap _),
+    "q_dsir_select"         -> (graft.ops.DsirOps.dsirSelect _),
     "q_bm25_decontam"       -> (RetrievalOps.bm25Decontam _),
     "q_domain_mix"          -> (DomainOps.domainMixTemperature _),
     "q_cdc_chunks"          -> (ChunkOps.cdcChunkStats _),
@@ -3688,6 +3690,133 @@ object SparkEntry {
         |       CAST(1 AS INTEGER) AS p50_within,
         |       CAST(1 AS INTEGER) AS p90_within
         |FROM apc GROUP BY 1 ORDER BY 1""".stripMargin,
+    // KMV theta sketch: unlike the CM/HLL tolerance gates, the md5-fold
+    // hash is cross-engine, so the ESTIMATES (and the ±30% verdicts)
+    // replay integer-for-integer — K-th-min thetas, merged-union K-min,
+    // joint-theta intersection count, (K-1)*M div theta estimators
+    "q_theta_sketch" ->
+      s"""WITH tdk AS (
+        |    SELECT DISTINCT l_returnflag AS tag, l_orderkey AS k
+        |    FROM lineitem WHERE l_returnflag IN ('R', 'A')
+        |), tfl AS (
+        |    SELECT k, MAX(CASE WHEN tag='R' THEN 1 ELSE 0 END) AS has_r,
+        |           MAX(CASE WHEN tag='A' THEN 1 ELSE 0 END) AS has_a
+        |    FROM tdk GROUP BY k
+        |), tex AS (
+        |    SELECT CAST(SUM(has_r) AS BIGINT) AS exact_r,
+        |           CAST(SUM(has_a) AS BIGINT) AS exact_a,
+        |           CAST(COUNT(*) AS BIGINT) AS exact_union,
+        |           CAST(SUM(has_r * has_a) AS BIGINT) AS exact_common
+        |    FROM tfl
+        |), thv AS (
+        |    SELECT DISTINCT tag,
+        |           ('0x' || substr(md5(CAST(k AS VARCHAR)), 1,
+        |                           ${ThetaOps.HashHexChars}))::BIGINT + 1 AS hv
+        |    FROM tdk
+        |), tsmp AS (
+        |    SELECT tag, hv FROM (
+        |        SELECT tag, hv,
+        |               row_number() OVER (PARTITION BY tag ORDER BY hv) AS rn
+        |        FROM thv) WHERE rn <= ${ThetaOps.K}
+        |), tpt AS (
+        |    SELECT MAX(CASE WHEN tag='R' THEN theta END) AS theta_r,
+        |           MAX(CASE WHEN tag='R' THEN cnt END) AS cnt_r,
+        |           MAX(CASE WHEN tag='A' THEN theta END) AS theta_a,
+        |           MAX(CASE WHEN tag='A' THEN cnt END) AS cnt_a
+        |    FROM (SELECT tag, MAX(hv) AS theta, CAST(COUNT(*) AS BIGINT) AS cnt
+        |          FROM tsmp GROUP BY tag)
+        |), tun AS (
+        |    SELECT MAX(hv) AS theta_u, CAST(COUNT(*) AS BIGINT) AS cnt_u
+        |    FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+        |          FROM (SELECT DISTINCT hv FROM tsmp)) WHERE rn <= ${ThetaOps.K}
+        |), tci AS (
+        |    SELECT CAST(COUNT(*) AS BIGINT) AS cnt_i
+        |    FROM (SELECT hv FROM tsmp WHERE tag='R') ta
+        |    JOIN (SELECT hv FROM tsmp WHERE tag='A') tb USING (hv), tpt
+        |    WHERE hv <= LEAST(theta_r, theta_a)
+        |), tst AS (
+        |    SELECT exact_r, exact_a, exact_union, exact_common,
+        |           CASE WHEN cnt_r < ${ThetaOps.K} THEN cnt_r
+        |                ELSE ${(ThetaOps.K - 1).toLong * ThetaOps.M} // theta_r END AS est_r,
+        |           CASE WHEN cnt_a < ${ThetaOps.K} THEN cnt_a
+        |                ELSE ${(ThetaOps.K - 1).toLong * ThetaOps.M} // theta_a END AS est_a,
+        |           CASE WHEN cnt_u < ${ThetaOps.K} THEN cnt_u
+        |                ELSE ${(ThetaOps.K - 1).toLong * ThetaOps.M} // theta_u END AS est_union,
+        |           CASE WHEN cnt_r < ${ThetaOps.K} AND cnt_a < ${ThetaOps.K} THEN cnt_i
+        |                ELSE cnt_i * ${ThetaOps.M} // LEAST(theta_r, theta_a) END AS est_common
+        |    FROM tex, tpt, tun, tci
+        |)
+        |SELECT exact_r, CAST(est_r AS BIGINT) AS est_r,
+        |       exact_a, CAST(est_a AS BIGINT) AS est_a,
+        |       exact_union, CAST(est_union AS BIGINT) AS est_union,
+        |       exact_common, CAST(est_common AS BIGINT) AS est_common,
+        |       CAST(CASE WHEN abs(est_r - exact_r) * ${ThetaOps.TolDen}
+        |                      <= exact_r * ${ThetaOps.TolNum} THEN 1 ELSE 0 END AS INTEGER) AS r_ok,
+        |       CAST(CASE WHEN abs(est_a - exact_a) * ${ThetaOps.TolDen}
+        |                      <= exact_a * ${ThetaOps.TolNum} THEN 1 ELSE 0 END AS INTEGER) AS a_ok,
+        |       CAST(CASE WHEN abs(est_union - exact_union) * ${ThetaOps.TolDen}
+        |                      <= exact_union * ${ThetaOps.TolNum} THEN 1 ELSE 0 END AS INTEGER) AS union_ok,
+        |       CAST(CASE WHEN abs(est_common - exact_common) * ${ThetaOps.TolDen}
+        |                      <= exact_common * ${ThetaOps.TolNum} THEN 1 ELSE 0 END AS INTEGER) AS common_ok
+        |FROM tst""".stripMargin,
+    // DSIR importance resampling: hashed-bigram class models retrained
+    // declaratively, the smoothed importance ratio, the integer doc mean,
+    // and the priority draw — replayed end-to-end rank for rank
+    "q_dsir_select" ->
+      s"""WITH dft AS (
+        |    SELECT doc_id,
+        |           CASE WHEN doc_id % 100 = 7 THEN 1 ELSE 0 END AS is_target,
+        |           string_split_regex(trim(text), '\\s+') AS toks
+        |    FROM documents
+        |), dfe AS (
+        |    SELECT doc_id, is_target,
+        |           unnest(list_transform(range(1, len(toks)),
+        |                  i -> array_to_string(toks[i:i+1], ' '))) AS g
+        |    FROM dft WHERE len(toks) >= 2
+        |), dff AS (
+        |    SELECT doc_id, is_target,
+        |           CAST(((strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 4096
+        |               + (strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1) * 256
+        |               + (strpos('0123456789abcdef', substr(md5(g), 3, 1)) - 1) * 16
+        |               + (strpos('0123456789abcdef', substr(md5(g), 4, 1)) - 1))
+        |               % ${DsirOps.Buckets} AS BIGINT) AS f
+        |    FROM dfe
+        |), dcn AS (
+        |    SELECT f, CAST(SUM(is_target) AS BIGINT) AS c_t,
+        |           CAST(SUM(1 - is_target) AS BIGINT) AS c_r
+        |    FROM dff GROUP BY f
+        |), dtt AS (
+        |    SELECT CAST(SUM(c_t) AS BIGINT) AS t_t,
+        |           CAST(SUM(c_r) AS BIGINT) AS t_r
+        |    FROM dcn
+        |), dwt AS (
+        |    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+        |           CAST(SUM((${DsirOps.Scale} * (COALESCE(c_t, 0) + 1) * (t_r + ${DsirOps.Buckets}))
+        |                    // ((COALESCE(c_r, 0) + 1) * (t_t + ${DsirOps.Buckets}))) AS BIGINT) AS r_sum
+        |    FROM dff LEFT JOIN dcn USING (f), dtt
+        |    WHERE is_target = 0
+        |    GROUP BY doc_id
+        |), dsc AS (
+        |    SELECT doc_id, n_feats, CAST(r_sum // n_feats AS BIGINT) AS imp_fp,
+        |           CAST((strpos('0123456789abcdef',
+        |                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |              + (strpos('0123456789abcdef',
+        |                    substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |              + (strpos('0123456789abcdef',
+        |                    substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |              + (strpos('0123456789abcdef',
+        |                    substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) + 1
+        |              AS BIGINT) AS u
+        |    FROM dwt
+        |), dpr AS (
+        |    SELECT doc_id, n_feats, imp_fp, u,
+        |           CAST(imp_fp * 65536 // u AS BIGINT) AS priority_fp
+        |    FROM dsc
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY priority_fp DESC, doc_id)
+        |            AS INTEGER) AS sample_rank,
+        |       doc_id, n_feats, imp_fp, u, priority_fp
+        |FROM dpr ORDER BY sample_rank LIMIT ${DsirOps.SampleK}""".stripMargin,
     // data-quality expectations: every verdict is an exact integer
     // (conditional-sum violation counts, count-distinct uniqueness,
     // NOT EXISTS referential containment, per-million rate by

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.ThetaOps
+
+/** KMV theta-sketch laws: the shard-merge identity (K smallest of a
+  * union equals the merge of the shards' K-min samples), the
+  * fully-sampled-exactness degeneration, tolerance verdicts on the real
+  * fixture, and hand-computed estimator arithmetic.
+  */
+class ThetaOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("merge law: kMin(S1 ∪ S2) = merge(kMin(S1), kMin(S2))") {
+    val li = Tables.t(spark, sf, "lineitem")
+      .select(lit("t").as("tag"), col("l_orderkey").as("k")).distinct()
+    val hv = li.withColumn("hv", ThetaOps.hvOf(col("k")))
+      .select("tag", "hv").distinct()
+    val s1 = ThetaOps.kMin(hv.filter(col("hv") % 3 =!= 0))
+    val s2 = ThetaOps.kMin(hv.filter(col("hv") % 3 === 0))
+    val merged = ThetaOps.mergeSamples(s1, s2)
+      .orderBy("hv").select("hv").as[Long].collect().toSeq
+    val direct = ThetaOps.kMin(hv)
+      .orderBy("hv").select("hv").as[Long].collect().toSeq
+    assert(merged == direct && merged.size == ThetaOps.K)
+  }
+
+  test("fully-sampled sets degrade to exact counts (est = cnt < K)") {
+    // suppliers: 10 distinct keys at sf0.001 — far below K, so the
+    // estimator must return the exact count, not (K-1)M/theta
+    val sup = Tables.t(spark, sf, "supplier")
+      .select(lit("s").as("tag"), col("s_suppkey").as("k")).distinct()
+    val hv = sup.withColumn("hv", ThetaOps.hvOf(col("k")))
+      .select("tag", "hv").distinct()
+    val n = ThetaOps.kMin(hv).count()
+    assert(n == sup.count() && n < ThetaOps.K)
+  }
+
+  test("estimator arithmetic matches the hand formula on a crafted set") {
+    // hash values 1..K planted directly: theta = K, est = (K-1)*M div K
+    val hv = spark.range(1, ThetaOps.K + 1)
+      .select(lit("x").as("tag"), col("id").as("hv"))
+    val samp = ThetaOps.kMin(hv)
+    val theta = samp.agg(max("hv")).head.getLong(0)
+    assert(theta == ThetaOps.K.toLong)
+    val est = (ThetaOps.K - 1).toLong * ThetaOps.M / theta
+    // K uniform values ending at K estimate a (K-1)*M/K ≈ M universe —
+    // the formula's exact integer value, no float anywhere
+    assert(est == (ThetaOps.K - 1).toLong * ThetaOps.M / ThetaOps.K)
+  }
+
+  test("gate verdicts hold on the fixture: every estimate within ±30%") {
+    val row = ThetaOps.thetaSketchOverlap(spark, sf).head()
+    for (c <- Seq("r_ok", "a_ok", "union_ok", "common_ok"))
+      assert(row.getAs[Int](c) == 1, s"$c failed: $row")
+    // non-vacuous: the R/A sets are genuinely sketched (above K) at
+    // sf0.001 and genuinely overlap partially
+    assert(row.getAs[Long]("exact_r") > ThetaOps.K)
+    val common = row.getAs[Long]("exact_common")
+    assert(common > 0 && common < row.getAs[Long]("exact_union"))
+  }
+
+  test("hash is the documented 48-bit md5 fold (cross-engine contract)") {
+    val got = spark.range(1).select(ThetaOps.hvOf(lit(42L)))
+      .head.getLong(0)
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("42".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = java.lang.Long.parseLong(md5hex.take(12), 16) + 1
+    assert(got == want)
+  }
+}
