@@ -161,6 +161,8 @@ object SparkEntry {
     "q_approx_percentile"   -> (SketchOps.approxPercentile _),
     "q_theta_sketch"        -> (graft.ops.ThetaOps.thetaSketchOverlap _),
     "q_dsir_select"         -> (graft.ops.DsirOps.dsirSelect _),
+    "q_kneser_ney"          -> ((s: SparkSession, d: String) => TextOps.kneserNeyScore(s, d)),
+    "q_curriculum_order"    -> (graft.ops.CurriculumOps.curriculumOrder _),
     "q_bm25_decontam"       -> (RetrievalOps.bm25Decontam _),
     "q_domain_mix"          -> (DomainOps.domainMixTemperature _),
     "q_cdc_chunks"          -> (ChunkOps.cdcChunkStats _),
@@ -3759,6 +3761,104 @@ object SparkEntry {
         |       CAST(CASE WHEN abs(est_common - exact_common) * ${ThetaOps.TolDen}
         |                      <= exact_common * ${ThetaOps.TolNum} THEN 1 ELSE 0 END AS INTEGER) AS common_ok
         |FROM tst""".stripMargin,
+    // curriculum ordering: integer readability difficulty, exact discrete
+    // tertile cuts (the q_approx_percentile idiom), md5 within-stage
+    // permutation — the easy→hard schedule replayed cell for cell
+    "q_curriculum_order" ->
+      s"""WITH cdoc AS (
+        |    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+        |           GREATEST(1, len(list_filter(
+        |               string_split_regex(text, '[.!?]+'),
+        |               x -> trim(x) <> ''))) AS n_sents
+        |    FROM documents
+        |), ctok AS (
+        |    SELECT doc_id, n_sents, unnest(toks) AS w FROM cdoc
+        |), ccw AS (
+        |    SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM ctok GROUP BY 1
+        |), ctot AS (
+        |    SELECT CAST(SUM(cw) AS BIGINT) AS t_tot FROM ccw
+        |), cpd AS (
+        |    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |           CAST(SUM(length(w)) AS BIGINT) AS chars_sum,
+        |           CAST(SUM(CASE WHEN cw * ${CurriculumOps.RarePm}
+        |                         <= (SELECT t_tot FROM ctot)
+        |                    THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |           MAX(n_sents) AS n_sents
+        |    FROM ctok JOIN ccw USING (w) GROUP BY doc_id
+        |), csc AS (
+        |    SELECT doc_id, n_tokens,
+        |           CAST(1000 * chars_sum // n_tokens AS BIGINT) AS awl_pm,
+        |           CAST(1000 * n_tokens // n_sents AS BIGINT) AS asl_pm,
+        |           CAST(1000 * n_rare // n_tokens AS BIGINT) AS rare_pm
+        |    FROM cpd
+        |), cs2 AS (
+        |    SELECT doc_id, n_tokens, awl_pm, asl_pm, rare_pm,
+        |           CAST(awl_pm + asl_pm // 10 + 2 * rare_pm AS BIGINT)
+        |               AS difficulty_fp
+        |    FROM csc
+        |), cfq AS (
+        |    SELECT difficulty_fp, COUNT(*) AS cnt FROM cs2 GROUP BY 1
+        |), ccm AS (
+        |    SELECT difficulty_fp,
+        |           SUM(cnt) OVER (ORDER BY difficulty_fp) AS cum,
+        |           (SELECT COUNT(*) FROM cs2) AS n
+        |    FROM cfq
+        |), cbd AS (
+        |    SELECT MIN(CASE WHEN cum * ${CurriculumOps.Stages} > (n - 1)
+        |                    THEN difficulty_fp END) AS t1,
+        |           MIN(CASE WHEN cum * ${CurriculumOps.Stages} > (n - 1) * 2
+        |                    THEN difficulty_fp END) AS t2
+        |    FROM ccm
+        |)
+        |SELECT doc_id, n_tokens, awl_pm, asl_pm, rare_pm, difficulty_fp,
+        |       CAST(CASE WHEN difficulty_fp <= t1 THEN 0
+        |                 WHEN difficulty_fp <= t2 THEN 1
+        |                 ELSE 2 END AS INTEGER) AS stage,
+        |       md5(CAST(doc_id AS VARCHAR)) AS sk
+        |FROM cs2, cbd ORDER BY stage, sk, doc_id""".stripMargin,
+    // interpolated Kneser-Ney: continuation counts, absolute discount
+    // D=3/4 as (4c2-3)/4, staged fixed-point interpolation — replayed
+    // transition for transition (the q_perplexity_filter CTE skeleton)
+    "q_kneser_ney" ->
+      s"""WITH base AS (
+        |    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        |    FROM documents
+        |), tok AS (
+        |    SELECT doc_id, unnest(toks) AS w,
+        |           unnest(range(1, len(toks)+1)) AS pos
+        |    FROM base WHERE len(toks) >= 2
+        |), pw AS (
+        |    SELECT a.doc_id, a.w AS prev, b.w AS w
+        |    FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |), c2 AS (SELECT prev, w, CAST(COUNT(*) AS BIGINT) AS c2
+        |          FROM pw GROUP BY 1, 2),
+        |c1 AS (SELECT prev, CAST(SUM(c2) AS BIGINT) AS c1,
+        |              CAST(COUNT(*) AS BIGINT) AS n1p
+        |       FROM c2 GROUP BY 1),
+        |cont AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n1m FROM c2 GROUP BY 1),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM c2),
+        |probs AS (
+        |    SELECT prev, w,
+        |           ((${TextOps.KnScale} * (4*c2 - 3)) // (4*c1))
+        |           + (((3 * ${TextOps.KnScale} * n1p) // (4*c1))
+        |              * ((${TextOps.KnScale} * n1m) // (SELECT nb FROM nb)))
+        |             // ${TextOps.KnScale} AS p_fp
+        |    FROM c2 JOIN c1 USING (prev) JOIN cont USING (w)
+        |), doc AS (
+        |    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+        |           CAST(SUM(p_fp) AS BIGINT) AS p_sum
+        |    FROM pw JOIN probs USING (prev, w)
+        |    GROUP BY doc_id
+        |), doc2 AS (
+        |    SELECT doc_id, n_trans,
+        |           CAST(p_sum // n_trans AS BIGINT) AS kn_fp FROM doc
+        |), tot AS (
+        |    SELECT CAST(SUM(kn_fp) AS BIGINT) AS tot, COUNT(*) AS n FROM doc2
+        |)
+        |SELECT doc_id, n_trans, kn_fp,
+        |       CAST(CASE WHEN kn_fp * (SELECT n FROM tot) >= (SELECT tot FROM tot)
+        |                 THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM doc2 ORDER BY doc_id""".stripMargin,
     // DSIR importance resampling: hashed-bigram class models retrained
     // declaratively, the smoothed importance ratio, the integer doc mean,
     // and the priority draw — replayed end-to-end rank for rank

