@@ -163,6 +163,8 @@ object SparkEntry {
     "q_dsir_select"         -> (graft.ops.DsirOps.dsirSelect _),
     "q_kneser_ney"          -> ((s: SparkSession, d: String) => TextOps.kneserNeyScore(s, d)),
     "q_curriculum_order"    -> (graft.ops.CurriculumOps.curriculumOrder _),
+    "q_ac_scan"             -> (BlocklistOps.acScanSpans _),
+    "q_split_proportional"  -> ((s: SparkSession, d: String) => SamplingOps.proportionalSplit(s, d)),
     "q_bm25_decontam"       -> (RetrievalOps.bm25Decontam _),
     "q_domain_mix"          -> (DomainOps.domainMixTemperature _),
     "q_cdc_chunks"          -> (ChunkOps.cdcChunkStats _),
@@ -3761,6 +3763,61 @@ object SparkEntry {
         |       CAST(CASE WHEN abs(est_common - exact_common) * ${ThetaOps.TolDen}
         |                      <= exact_common * ${ThetaOps.TolNum} THEN 1 ELSE 0 END AS INTEGER) AS common_ok
         |FROM tst""".stripMargin,
+    // largest-remainder apportionment: floor quotas + remainder-ranked
+    // leftover seats sum to exactly N; seats filled by the md5
+    // permutation — replayed seat for seat
+    "q_split_proportional" ->
+      s"""WITH pst AS (
+        |    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_i
+        |    FROM documents GROUP BY 1
+        |), ptt AS (
+        |    SELECT CAST(SUM(n_i) AS BIGINT) AS n_tot FROM pst
+        |), pbs AS (
+        |    SELECT lang, n_i,
+        |           CAST(${SamplingOps.ApportionN} * n_i // n_tot AS BIGINT) AS floor_q,
+        |           CAST((${SamplingOps.ApportionN} * n_i) % n_tot AS BIGINT) AS rem
+        |    FROM pst, ptt
+        |), plo AS (
+        |    SELECT ${SamplingOps.ApportionN} - CAST(SUM(floor_q) AS BIGINT) AS extra
+        |    FROM pbs
+        |), pal AS (
+        |    SELECT lang, n_i,
+        |           CAST(floor_q + CASE WHEN row_number()
+        |                    OVER (ORDER BY rem DESC, lang) <= extra
+        |                THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |    FROM pbs, plo
+        |), prk AS (
+        |    SELECT doc_id, lang,
+        |           row_number() OVER (PARTITION BY lang
+        |               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |    FROM documents
+        |)
+        |SELECT p.lang, a.n_i, a.alloc, p.doc_id,
+        |       CAST(p.rn AS INTEGER) AS pick_rank
+        |FROM prk p JOIN pal a USING (lang)
+        |WHERE p.rn <= a.alloc
+        |ORDER BY p.lang, pick_rank""".stripMargin,
+    // Aho-Corasick span scan: the oracle brute-forces every (doc, term,
+    // position) triple — O(text·terms) is fine for the oracle, while the
+    // engine's single-pass DFA is the 100 TB path; ASCII fixture text
+    // makes byte and character offsets coincide
+    "q_ac_scan" ->
+      s"""WITH act AS MATERIALIZED (
+        |    SELECT * FROM (VALUES ${BlocklistOps.AcTerms.zipWithIndex
+              .map { case (t, i) => s"($i, '$t')" }.mkString(", ")})
+        |        AS v(term_id, term)
+        |), acp AS MATERIALIZED (
+        |    SELECT doc_id, text, term_id, term FROM documents, act
+        |    WHERE length(text) >= length(term)
+        |), ace AS (
+        |    SELECT doc_id, text, term_id, term,
+        |           unnest(range(1, length(text) - length(term) + 2)) AS pos
+        |    FROM acp
+        |)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |       CAST(term_id AS INTEGER) AS term_id, term
+        |FROM ace WHERE substr(text, pos, length(term)) = term
+        |ORDER BY doc_id, pos, term_id""".stripMargin,
     // curriculum ordering: integer readability difficulty, exact discrete
     // tertile cuts (the q_approx_percentile idiom), md5 within-stage
     // permutation — the easy→hard schedule replayed cell for cell

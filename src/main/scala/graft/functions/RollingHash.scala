@@ -100,6 +100,10 @@ object GraftFunctions {
       "word_ngrams", WordNgrams.build, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "unicode_tokens", exprs => UnicodeTokens(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ac_scan", exprs => {
+        val (a, b) = binary("ac_scan", exprs); AcScan(a, b)
+      }, "scala_udf")
   }
 
   /** Arity gate for 2-arg builders — a clear analysis-time message instead
@@ -166,6 +170,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("unicode_tokens"),
       UnicodeTokens.info,
       (exprs: Seq[Expression]) => UnicodeTokens(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("ac_scan"),
+      AcScan.info,
+      (exprs: Seq[Expression]) => {
+        val (a, b) = GraftFunctions.binary("ac_scan", exprs); AcScan(a, b)
+      }))
     // resolution-stage so the filter is in the analyzed plan (cache-safe)
     ext.injectPostHocResolutionRule(spark => graft.plans.TenantIsolationRule(spark))
     // restore parquet pushdown for ns-epoch watermark predicates over the

@@ -111,4 +111,38 @@ object BlocklistOps {
       .select("doc_id", "digest")
       .orderBy("doc_id")
   }
+
+  /** The span-level blocklist term list for [[acScanSpans]] — crafted so
+    * the fixture exercises nested matches ("table" contains "able",
+    * "scan" contains "an") and a multi-word phrase overlapping a
+    * single-word term ("slow scan" vs "scan").
+    */
+  val AcTerms: Seq[String] =
+    Seq("able", "table", "an", "scan", "slow scan", "key agg")
+
+  /** Gate `q_ac_scan`: every occurrence of every [[AcTerms]] term in
+    * every document, with its 1-based byte position — the
+    * [[graft.functions.AcScan]] single-pass Aho-Corasick scan, exploded
+    * and named. The automaton blob is compiled once on the driver
+    * (term-volume bounded) and rides as a literal; the corpus is read
+    * once, matched inside whole-stage codegen, and never joined against
+    * the term list (the broadcast term-name join below fans over MATCH
+    * rows, not corpus rows).
+    */
+  def acScanSpans(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.AcScan
+    graft.functions.GraftFunctions.register(s)
+    val blob = AcScan.compile(AcTerms)
+    import s.implicits._
+    val terms = AcTerms.zipWithIndex
+      .map { case (t, i) => (i, t) }.toDF("term_id", "term")
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        explode(call_function("ac_scan", lit(blob), col("text"))).as("m"))
+      .withColumn("term_id", (col("m") bitwiseAND AcScan.TermMask).cast("int"))
+      .withColumn("pos", shiftright(col("m"), AcScan.PosShift))
+      .join(broadcast(terms), Seq("term_id"))
+      .select(col("doc_id"), col("pos"), col("term_id"), col("term"))
+      .orderBy("doc_id", "pos", "term_id")
+  }
 }

@@ -491,4 +491,47 @@ object SamplingOps {
       .select("sample_rank", "doc_id", "w", "u", "score_fp")
       .orderBy("sample_rank")
   }
+
+  /** Total seat budget for [[proportionalSplit]]. */
+  val ApportionN = 100L
+
+  /** Exact proportional eval-set allocation by the LARGEST-REMAINDER
+    * method (Hamilton apportionment): each language stratum gets
+    * floor(N·n_i/n_tot) seats, and the N − Σfloor leftover seats go to
+    * the largest remainders (ties by lang ascending) — the allocation
+    * sums to EXACTLY N with no float rounding drift, the property
+    * per-stratum fixed-k ([[stratifiedSample]]) and independent-hash
+    * splits ([[splitAssign]]'s family) cannot give. Seats are then
+    * filled by the engine-wide md5 permutation.
+    *
+    * Scale shape: stratum counts are one tiny agg; the remainder rank
+    * windows over STRATA (language-bounded, not corpus-bounded); the
+    * draw reuses the weightedMix trick — a CONSTANT rank bound (N) keeps
+    * the WindowGroupLimit pushdown, the per-stratum `alloc` cut applies
+    * on top via a broadcast join. A stratum thinner than its seat count
+    * under-fills visibly (output rows < N), never silently re-allocates.
+    */
+  def proportionalSplit(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val strata = docs.groupBy("lang").agg(count(lit(1)).as("n_i"))
+    val tot = strata.agg(sum("n_i").as("n_tot"))
+    val base = strata.crossJoin(broadcast(tot))
+      .withColumn("floor_q", expr(s"$ApportionN * n_i div n_tot"))
+      .withColumn("rem", expr(s"($ApportionN * n_i) % n_tot"))
+    val leftOver = base.agg((lit(ApportionN) - sum("floor_q")).as("extra"))
+    val wr = Window.orderBy(col("rem").desc, col("lang").asc)
+    val alloc = base.crossJoin(broadcast(leftOver))
+      .withColumn("rrank", row_number().over(wr))
+      .withColumn("alloc",
+        col("floor_q") + when(col("rrank") <= col("extra"), 1L).otherwise(0L))
+      .select("lang", "n_i", "alloc")
+    val w = Window.partitionBy("lang").orderBy(col("sk"), col("doc_id"))
+    docs.withColumn("sk", sampleKey)
+      .withColumn("pick_rank", row_number().over(w))
+      .filter(col("pick_rank") <= ApportionN)
+      .join(broadcast(alloc), Seq("lang"))
+      .filter(col("pick_rank") <= col("alloc"))
+      .select("lang", "n_i", "alloc", "doc_id", "pick_rank")
+      .orderBy("lang", "pick_rank")
+  }
 }

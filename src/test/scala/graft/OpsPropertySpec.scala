@@ -3260,4 +3260,26 @@ class OpsPropertySpec extends SparkSpec {
         -> r.getAs[Long]("n_users")).toMap
     assert(out == Map((0L, 0L) -> 2L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
   }
+
+  test("proportional split: allocations sum to exactly N, within one " +
+      "seat of the real quota, filled by the per-stratum permutation") {
+    val rows = graft.ops.SamplingOps.proportionalSplit(spark, sf).collect()
+    assert(rows.length == graft.ops.SamplingOps.ApportionN,
+      s"fixture strata are all thick enough — got ${rows.length}")
+    val alloc = rows.map(r => r.getAs[String]("lang") ->
+      (r.getAs[Long]("n_i"), r.getAs[Long]("alloc"))).toMap
+    assert(alloc.values.map(_._2).sum == graft.ops.SamplingOps.ApportionN)
+    val nTot = alloc.values.map(_._1).sum
+    for ((lang, (ni, a)) <- alloc) {
+      // Hamilton: every stratum lands within one seat of its exact quota
+      val lo = graft.ops.SamplingOps.ApportionN * ni / nTot
+      assert(a == lo || a == lo + 1, s"$lang: alloc $a vs floor $lo")
+    }
+    // seats are the permutation's first `alloc` docs per stratum
+    for ((lang, picks) <- rows.groupBy(_.getAs[String]("lang"))) {
+      val ranks = picks.map(_.getAs[Int]("pick_rank")).sorted
+      assert(ranks.toSeq == (1 to alloc(lang)._2.toInt).toSeq,
+        s"$lang ranks: $ranks")
+    }
+  }
 }
