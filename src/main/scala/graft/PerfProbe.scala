@@ -526,7 +526,17 @@ object PerfProbe {
         "q_winnow_fingerprint", "q_copy_candidates", "q_copy_incremental",
         "q_gapfill_locf", "q_outlier_mad", "q_outlier_mad_incremental",
         "q_power_direction", "q_spectral_order", "q_rag_chunks",
-        "q_mojibake_repair")
+        "q_mojibake_repair",
+        // round-11 seventh-session additions: theta sketch is one
+        // (tag,key) distinct shuffle + sample-bounded tails; DSIR is one
+        // bucket-keyed feature shuffle + a B-sized broadcast + a top-k
+        // draw; KN is the perplexity shape plus vocab-sized enrichment;
+        // curriculum is one token shuffle + a value-bounded boundary
+        // window; the AC scan is per-row DFA stepping (match volume
+        // scales with the corpus); the Hamilton split draws a CONSTANT
+        // N over strata-bounded windows (output K-invariant)
+        "q_theta_sketch", "q_dsir_select", "q_kneser_ney",
+        "q_curriculum_order", "q_ac_scan", "q_split_proportional")
       // q_hybrid_search is deliberately absent for the q_contamination
       // reason: its semantic leg is probe-set x corpus and BOTH grow with
       // K here, so the ratio would measure the quadratic workload growth,

@@ -123,7 +123,20 @@ object PlanAudit {
       "q_scd2_history", "q_scd2_incremental", "q_fuzzy_vocab_edit1",
       "q_winnow_fingerprint", "q_copy_candidates", "q_copy_incremental",
       "q_gapfill_locf", "q_outlier_mad", "q_outlier_mad_incremental",
-      "q_spectral_order", "q_rag_chunks", "q_mojibake_repair")
+      "q_spectral_order", "q_rag_chunks", "q_mojibake_repair",
+      // round-11 seventh-session additions: theta sketch (ONE (tag,key)
+      // distinct shuffle + per-tag WindowGroupLimit K-min; every
+      // downstream frame sample-bounded), DSIR (one bucket-keyed feature
+      // shuffle, broadcast B-sized model, TakeOrderedAndProject draw),
+      // Kneser-Ney (vocab-sized enrichment joins + one (prev,w) probe on
+      // the c2 exchange key), curriculum (one token shuffle + value-
+      // bounded boundary window, no global rank), the AC span scan (the
+      // audit evidence is the single corpus scan with the DFA literal
+      // inside WholeStageCodegen — the term join fans over match rows)
+      // and the Hamilton split (strata-bounded windows + the constant
+      // rank bound keeping WindowGroupLimit)
+      "q_theta_sketch", "q_dsir_select", "q_kneser_ney",
+      "q_curriculum_order", "q_ac_scan", "q_split_proportional")
     // q_corpus_pipeline is deliberately NOT audited here: its query-form
     // plan is a trivial read over the staged tables (auditing it would
     // execute the whole 5-stage materialization for nothing — against

@@ -95,6 +95,15 @@ object DsirOps {
       sum("is_target").as("c_t"),
       sum(lit(1L) - col("is_target")).as("c_r"))
     val totals = counts.agg(sum("c_t").as("t_t"), sum("c_r").as("t_r"))
+    selectAgainst(fs, counts, totals)
+  }
+
+  /** The ONE scoring+draw definition the in-query gate and the stored-
+    * model serve both compose (they can never drift — the lmScore
+    * contract).
+    */
+  private def selectAgainst(fs: DataFrame, counts: DataFrame,
+                            totals: DataFrame): DataFrame = {
     val weighted = fs.filter(col("is_target") === 0)
       .join(counts, Seq("f"), "left")
       .crossJoin(broadcast(totals))
@@ -114,5 +123,84 @@ object DsirOps {
       .select("sample_rank", "doc_id", "n_feats", "imp_fp", "u",
         "priority_fp")
       .orderBy("sample_rank")
+  }
+
+  /** Names of the persisted DSIR model tables ([[buildDsirModel]]). */
+  val DsirCountsTable = "dsir_bucket"
+  val DsirTotalsTable = "dsir_totals"
+
+  /** Delta-model descriptor + batch counts — exactly-once streaming
+    * growth through [[graft.pipeline.DeltaModelIngest]] (the qcFamily
+    * posture: bucket counts are additive, deltas land as (source,
+    * epoch)-named overwrite-idempotent tables).
+    */
+  def dsirFamily(db: String): graft.pipeline.DeltaModelIngest.Family =
+    graft.pipeline.DeltaModelIngest.Family(db, DsirCountsTable,
+      Seq("f"), Seq("c_t", "c_r"))
+
+  def dsirBatchCounts(docs: DataFrame): DataFrame =
+    features(docs).groupBy("f").agg(
+      sum("is_target").as("c_t"),
+      sum(lit(1L) - col("is_target")).as("c_r"))
+
+  def dsirDeltaSink(srcTag: String, db: String): (DataFrame, Long) => Unit =
+    (batch, epochId) =>
+      graft.pipeline.DeltaModelIngest.append(batch.sparkSession,
+        dsirFamily(db), srcTag, epochId, dsirBatchCounts(batch))
+
+  /** Train-once: the B-sized bucket count table + 1-row totals land as
+    * warehouse tables (the buildLmModel posture) — later sessions draw
+    * against storage without re-counting the reference corpus.
+    */
+  def buildDsirModel(docs: DataFrame, db: String): Unit = {
+    val s = docs.sparkSession
+    import graft.pipeline.DeltaModelIngest
+    val prevGen = DeltaModelIngest.prepareRebuild(s, dsirFamily(db))
+    graft.store.Warehouse.saveModel(dsirBatchCounts(docs), db,
+      DsirCountsTable)
+    DeltaModelIngest.finishRebuild(s, dsirFamily(db), prevGen)
+    graft.store.Warehouse.saveModel(
+      s.table(s"`$db`.`$DsirCountsTable`")
+        .agg(sum("c_t").as("t_t"), sum("c_r").as("t_r")),
+      db, DsirTotalsTable)
+  }
+
+  /** Score + draw against the STORED model — no training aggregation in
+    * the query path: the corpus feature stream joins the B-sized stored
+    * count table and the 1-row totals (delta-grown models serve the
+    * merged counts with totals derived from them — the qualityScoresFor
+    * branch). Note the weights stay anchored to the TRAINING pool until
+    * a rebuild — the appendToLmModel caveat.
+    */
+  def dsirSelectFromModel(s: SparkSession, d: String,
+                          db: String): DataFrame = {
+    graft.store.Warehouse.refreshDb(s, db)
+    import graft.pipeline.DeltaModelIngest
+    val (counts, totals) =
+      if (DeltaModelIngest.hasDeltas(s, dsirFamily(db))) {
+        val eff = PlanCache.swap(s"dsir-delta-eff-$db",
+          DeltaModelIngest.effectiveCounts(s, dsirFamily(db)))
+        (eff, eff.agg(sum("c_t").as("t_t"), sum("c_r").as("t_r")))
+      } else (s.table(s"`$db`.`$DsirCountsTable`"),
+        s.table(s"`$db`.`$DsirTotalsTable`"))
+    selectAgainst(features(t(s, d, "documents")), counts, totals)
+  }
+
+  /** Fold a new document batch into the stored model: bucket counts are
+    * ADDITIVE (the appendToQualityClassifier contract verbatim,
+    * including its do-not-replay caveat); totals rebuild from the
+    * B-sized table, never the corpus.
+    */
+  def appendToDsirModel(s: SparkSession, db: String,
+                        docs: DataFrame): Unit = {
+    val batch = features(docs).groupBy("f").agg(
+      sum("is_target").as("c_t"),
+      sum(lit(1L) - col("is_target")).as("c_r"))
+    graft.store.Warehouse.rewriteVia(s, db, DsirCountsTable)(stored =>
+      stored.unionByName(batch).groupBy("f")
+        .agg(sum("c_t").as("c_t"), sum("c_r").as("c_r")))
+    graft.store.Warehouse.rewriteVia(s, db, DsirTotalsTable)(_ =>
+      s.table(s"`$db`.`$DsirCountsTable`")
+        .agg(sum("c_t").as("t_t"), sum("c_r").as("t_r")))
   }
 }

@@ -90,16 +90,68 @@ object ThetaOps {
     when(col(cnt) < K, col(cnt))
       .otherwise(expr(s"${(K - 1).toLong * M}L div $theta"))
 
+  /** Persisted KMV sample table ([[buildThetaSketch]]). */
+  val ThetaTable = "theta_sample"
+
+  /** (tag, hv) K-min sample of a (tag, key) batch — the mergeable unit. */
+  def thetaBatchSample(keys: DataFrame): DataFrame =
+    kMin(keys.select(col("tag"), hvOf(col("key")).as("hv")).distinct())
+      .select("tag", "hv")
+
+  /** Build/refresh the stored sketch from a (tag, key) frame — the ANN
+    * build posture: the corpus pays one distinct shuffle, the stored
+    * state is ≤ K rows per tag.
+    */
+  def buildThetaSketch(keys: DataFrame, db: String): Unit =
+    graft.store.Warehouse.saveModel(thetaBatchSample(keys), db, ThetaTable)
+
+  /** Exactly-once streaming growth — WITHOUT an epoch ledger: the fold
+    * `stored ← kMin(stored ∪ batchSample)` is set-union + deterministic
+    * K-min, so it is IDEMPOTENT — a redelivered batch folds to the
+    * bit-identical table (unlike every count-model family, which needs
+    * [[graft.pipeline.DeltaModelIngest]] to absorb redelivery). A crash
+    * mid-rewrite is recovered by the rewriteVia temp-table protocol.
+    */
+  def thetaSink(db: String): (DataFrame, Long) => Unit =
+    (batch, _) => {
+      val s = batch.sparkSession
+      val samp = thetaBatchSample(batch)
+      if (!s.catalog.tableExists(s"$db.$ThetaTable"))
+        graft.store.Warehouse.saveModel(samp, db, ThetaTable)
+      else
+        graft.store.Warehouse.rewriteVia(s, db, ThetaTable)(stored =>
+          kMin(stored.select("tag", "hv").unionByName(samp).distinct())
+            .select("tag", "hv"))
+    }
+
+  /** Serve distinct-count estimates straight off the stored sample —
+    * production posture: no exact verdict legs, no corpus scan; the
+    * whole plan reads ≤ K rows per tag.
+    */
+  def thetaEstimatesFromModel(s: SparkSession, db: String): DataFrame = {
+    graft.store.Warehouse.refreshDb(s, db)
+    s.table(s"`$db`.`$ThetaTable`")
+      .groupBy("tag")
+      .agg(max("hv").as("theta"), count(lit(1)).as("cnt"))
+      .withColumn("est", estCol("cnt", "theta"))
+      .select("tag", "cnt", "theta", "est")
+      .orderBy("tag")
+  }
+
   /** Gate `q_theta_sketch`: KMV estimates vs exact counts for A = orders
     * with a returned line (l_returnflag 'R'), B = orders with an 'A'
     * line, their union and their intersection — one row, every column
     * (including the verdicts) replayed exactly by the oracle.
     */
   def thetaSketchOverlap(s: SparkSession, d: String): DataFrame = {
-    val dk = t(s, d, "lineitem")
+    // dk feeds the exact-verdict legs AND the sketch, and samp feeds
+    // three sample-sized tails — persisted once each so no branch
+    // recomputes the lineitem scan + distinct (without the cache every
+    // crossJoin branch re-ran them: 8.8 s → ~1 s at sf0.1)
+    val dk = PlanCache.swap(s"theta-dk-$d", t(s, d, "lineitem")
       .filter(col("l_returnflag").isin("R", "A"))
       .select(col("l_returnflag").as("tag"), col("l_orderkey").as("k"))
-      .distinct()
+      .distinct())
     // exact verdicts: one key-keyed aggregation (has_r/has_a per order)
     val flags = dk.groupBy("k").agg(
       max((col("tag") === "R").cast("long")).as("has_r"),
@@ -109,8 +161,9 @@ object ThetaOps {
       count(lit(1)).as("exact_union"),
       sum(col("has_r") * col("has_a")).as("exact_common"))
     // sketch: distinct hash values per tag, K smallest
-    val samp = kMin(dk.withColumn("hv", hvOf(col("k")))
-      .select("tag", "hv").distinct())
+    val samp = PlanCache.swap(s"theta-samp-$d",
+      kMin(dk.withColumn("hv", hvOf(col("k")))
+        .select("tag", "hv").distinct()))
     val perTag = samp.groupBy("tag")
       .agg(max("hv").as("theta"), count(lit(1)).as("cnt"))
     val tags = perTag.agg(

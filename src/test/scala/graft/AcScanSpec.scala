@@ -67,6 +67,30 @@ class AcScanSpec extends SparkSpec {
     assert(a.toSeq.map(_.toSeq) == b.toSeq.map(_.toSeq))
   }
 
+  test("randomized brute-force equivalence: 300 seeded texts, adversarial " +
+      "term set with shared prefixes/suffixes") {
+    // the DFA's fail links and merged outputs must agree with naive
+    // substring search on EVERY text — a seeded sweep over a tiny
+    // alphabet maximizes overlap collisions the fixture can't reach
+    val terms = Seq("ab", "aba", "bab", "abab", "b", "aab", "ba")
+    val blob = AcScan.compile(terms)
+    val rnd = new scala.util.Random(421)
+    for (_ <- 1 to 300) {
+      val text = Seq.fill(rnd.nextInt(40))("ab".charAt(rnd.nextInt(2))).mkString
+      val got = AcScan.scan(blob,
+          org.apache.spark.unsafe.types.UTF8String.fromString(text))
+        .toLongArray.toSeq
+        .map(m => ((m >> AcScan.PosShift), (m & AcScan.TermMask).toInt))
+        .sorted
+      val want = (for {
+        (t, tid) <- terms.zipWithIndex
+        i <- 0 to text.length - t.length
+        if text.startsWith(t, i)
+      } yield ((i + 1).toLong, tid)).sorted
+      assert(got == want, s"text '$text': got $got want $want")
+    }
+  }
+
   test("compile refuses empty terms and oversized term ids") {
     intercept[IllegalArgumentException](AcScan.compile(Seq.empty))
     intercept[IllegalArgumentException](AcScan.compile(Seq("a", "")))

@@ -55,6 +55,45 @@ class DsirOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("stored-model serve ≡ in-query gate; additive append ≡ union retrain") {
+    val db = "dsir_model_spec"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    val docs = Tables.t(spark, sf, "documents")
+    DsirOps.buildDsirModel(docs.filter(col("doc_id") < 400), db)
+    DsirOps.appendToDsirModel(spark, db, docs.filter(col("doc_id") >= 400))
+    val db2 = "dsir_retrain_spec"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db2` CASCADE")
+    DsirOps.buildDsirModel(docs, db2)
+    def dump(d: String) = spark.table(s"`$d`.`${DsirOps.DsirCountsTable}`")
+      .orderBy("f").collect().toSeq.map(_.toSeq)
+    assert(dump(db) == dump(db2), "build+append must equal a union retrain")
+    // serve against the full-corpus model reproduces the in-query gate
+    val served = DsirOps.dsirSelectFromModel(spark, sf, db2)
+      .collect().toSeq.map(_.toSeq)
+    val gate = DsirOps.dsirSelect(spark, sf).collect().toSeq.map(_.toSeq)
+    assert(served == gate)
+  }
+
+  test("delta-grown serve ≡ union retrain, through an epoch redelivery") {
+    val db = "dsir_delta_spec"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    val docs = Tables.t(spark, sf, "documents")
+    DsirOps.buildDsirModel(docs.filter(col("doc_id") < 400), db)
+    val batch = docs.filter(col("doc_id") >= 400)
+    DsirOps.dsirDeltaSink("src", db)(batch, 0L)
+    // crash-window redelivery: the (source, epoch) overwrite lands
+    // identical bytes — counts must not double
+    DsirOps.dsirDeltaSink("src", db)(batch, 0L)
+    val served = DsirOps.dsirSelectFromModel(spark, sf, db)
+      .collect().toSeq.map(_.toSeq)
+    val db2 = "dsir_delta_retrain"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db2` CASCADE")
+    DsirOps.buildDsirModel(docs, db2)
+    val retrained = DsirOps.dsirSelectFromModel(spark, sf, db2)
+      .collect().toSeq.map(_.toSeq)
+    assert(served == retrained)
+  }
+
   test("unseen features score the neutral smoothing ratio") {
     // doc 2's bigrams appear nowhere else: each feature scores
     // Scale·1·(T_r+B) div ((c_r+1)·(T_t+B)) with c_r = its own count 1
