@@ -536,7 +536,13 @@ object PerfProbe {
         // scales with the corpus); the Hamilton split draws a CONSTANT
         // N over strata-bounded windows (output K-invariant)
         "q_theta_sketch", "q_dsir_select", "q_kneser_ney",
-        "q_curriculum_order", "q_ac_scan", "q_split_proportional")
+        "q_curriculum_order", "q_ac_scan", "q_split_proportional",
+        // collocations is the KN count shape minus the probe join (two
+        // vocab-sized outputs + a fixed top-k); session sequences is ONE
+        // user-keyed exchange shared by the gap window and the group
+        // (users constant in the scaled corpus → sessions lengthen, the
+        // SCD2 run-growth shape)
+        "q_collocations", "q_session_sequences")
       // q_hybrid_search is deliberately absent for the q_contamination
       // reason: its semantic leg is probe-set x corpus and BOTH grow with
       // K here, so the ratio would measure the quadratic workload growth,

@@ -165,6 +165,8 @@ object SparkEntry {
     "q_curriculum_order"    -> (graft.ops.CurriculumOps.curriculumOrder _),
     "q_ac_scan"             -> (BlocklistOps.acScanSpans _),
     "q_split_proportional"  -> ((s: SparkSession, d: String) => SamplingOps.proportionalSplit(s, d)),
+    "q_collocations"        -> ((s: SparkSession, d: String) => TextOps.collocations(s, d)),
+    "q_session_sequences"   -> (EventOps.sessionSequences _),
     "q_bm25_decontam"       -> (RetrievalOps.bm25Decontam _),
     "q_domain_mix"          -> (DomainOps.domainMixTemperature _),
     "q_cdc_chunks"          -> (ChunkOps.cdcChunkStats _),
@@ -3763,6 +3765,68 @@ object SparkEntry {
         |       CAST(CASE WHEN abs(est_common - exact_common) * ${ThetaOps.TolDen}
         |                      <= exact_common * ${ThetaOps.TolNum} THEN 1 ELSE 0 END AS INTEGER) AS common_ok
         |FROM tst""".stripMargin,
+    // session trajectories: 30-min-gap sessionization (lag + running
+    // sum), ordered event-type sequence via ordered string_agg — the
+    // string cell itself is hash-compared
+    "q_session_sequences" ->
+      s"""WITH sev AS (
+        |    SELECT user_id, epoch_ns(ts) AS tns, event_id, event_type
+        |    FROM events
+        |), sbrk AS (
+        |    SELECT user_id, tns, event_id, event_type,
+        |           CASE WHEN lag(tns) OVER w IS NOT NULL
+        |                 AND tns - lag(tns) OVER w > ${EventOps.SessionGapNs}
+        |                THEN 1 ELSE 0 END AS brk
+        |    FROM sev WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)
+        |), ssid AS (
+        |    SELECT user_id, tns, event_id, event_type,
+        |           SUM(brk) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING
+        |                          AND CURRENT ROW) AS sid
+        |    FROM sbrk
+        |)
+        |SELECT user_id, CAST(sid AS INTEGER) AS session_idx,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(MIN(tns) // 1000000 AS BIGINT) AS start_ms,
+        |       CAST(MAX(tns) // 1000000 AS BIGINT) AS end_ms,
+        |       CAST(MAX(tns) // 1000000 - MIN(tns) // 1000000 AS BIGINT)
+        |           AS duration_ms,
+        |       string_agg(event_type, '>' ORDER BY tns, event_id) AS seq
+        |FROM ssid GROUP BY user_id, sid
+        |ORDER BY user_id, session_idx""".stripMargin,
+    // collocations: bigram association lift (the log-free PMI proxy)
+    // through DECIMAL(38) exact arithmetic, min-count guard, top-20 —
+    // replayed rank for rank
+    "q_collocations" ->
+      s"""WITH base AS (
+        |    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        |    FROM documents
+        |), ctk AS (
+        |    SELECT doc_id, unnest(toks) AS w,
+        |           unnest(range(1, len(toks)+1)) AS pos
+        |    FROM base WHERE len(toks) >= 2
+        |), cuni AS (
+        |    SELECT w AS tok, CAST(COUNT(*) AS BIGINT) AS cw
+        |    FROM (SELECT unnest(toks) AS w FROM base) GROUP BY 1
+        |), ctot AS (
+        |    SELECT CAST(SUM(cw) AS BIGINT) AS t_tot FROM cuni
+        |), cc2 AS (
+        |    SELECT a.w AS prev, b.w AS w, CAST(COUNT(*) AS BIGINT) AS c2
+        |    FROM ctk a JOIN ctk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |    GROUP BY 1, 2 HAVING COUNT(*) >= ${TextOps.CollocMinCount}
+        |), clf AS (
+        |    SELECT prev, w, c2,
+        |           CAST((CAST(1000000 AS HUGEINT) * c2
+        |                 * (SELECT t_tot FROM ctot))
+        |                // (CAST(u1.cw AS HUGEINT) * u2.cw) AS BIGINT) AS lift_fp
+        |    FROM cc2
+        |    JOIN cuni u1 ON cc2.prev = u1.tok
+        |    JOIN cuni u2 ON cc2.w = u2.tok
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY lift_fp DESC, prev, w)
+        |            AS INTEGER) AS rnk,
+        |       prev AS w1, w AS w2, c2, lift_fp
+        |FROM clf ORDER BY rnk LIMIT ${TextOps.CollocTopK}""".stripMargin,
     // largest-remainder apportionment: floor quotas + remainder-ranked
     // leftover seats sum to exactly N; seats filled by the md5
     // permutation — replayed seat for seat

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
@@ -112,6 +113,51 @@ object EventOps {
         unix_micros(col("session_window.start")).as("session_start_us"),
         col("cnt"))
       .orderBy("user_id", "session_start_us")
+
+  /** Session inactivity gap for [[sessionSequences]] (30 min, in ns). */
+  val SessionGapNs = 1800000000000L
+
+  /** Session trajectory assembly — the interaction-tuning data shape: each
+    * user's event stream cut at [[SessionGapNs]] inactivity gaps, every
+    * session emitted as its ORDERED event-type sequence ("view>click>
+    * purchase") plus span stats — the per-session training example a
+    * behavioral/agentic fine-tune consumes (the multi-turn analogue of
+    * document packing; q_session_window's aggregate only counts, this
+    * materializes the trajectory itself).
+    *
+    * Determinism: events order by (ts, event_id) — the engine-wide
+    * total-order tie-break; the sequence string is assembled from the
+    * SORTED struct array, identically to the oracle's ordered string_agg.
+    * Timestamps emitted at ms (ts div 1e6) per the engine contract.
+    *
+    * Scale shape: ONE user_id hash exchange carries the gap window AND
+    * the session group (same key — the SCD2 exchange-reuse posture);
+    * session boundaries are a lag + running sum, never a self-join. The
+    * sequence string is bounded by the session's own event count (a
+    * runaway bot session makes a long string, not a shuffle problem —
+    * cap downstream if serving constrains row width).
+    */
+  def sessionSequences(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, d, "events")
+      .select("user_id", "ts", "event_id", "event_type")
+      .withColumn("new_s",
+        (col("ts") - lag("ts", 1).over(w) > SessionGapNs).cast("int"))
+      .withColumn("session_idx",
+        coalesce(sum("new_s").over(w), lit(0L)).cast("int"))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        expr("min(ts) div 1000000").as("start_ms"),
+        expr("max(ts) div 1000000").as("end_ms"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          e => e.getField("event_type")), ">").as("seq"))
+      .withColumn("duration_ms", col("end_ms") - col("start_ms"))
+      .select("user_id", "session_idx", "n_events", "start_ms", "end_ms",
+        "duration_ms", "seq")
+      .orderBy("user_id", "session_idx")
+  }
 
   /** ns per epoch week (7 · 86400 · 1e9) — the exact integer week index
     * both engines derive from the ns-epoch ts contract.

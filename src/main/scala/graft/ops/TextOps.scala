@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
@@ -854,6 +855,112 @@ object TextOps {
         (col("kn_fp") * col("n") >= col("tot")).cast("int"))
       .select("doc_id", "n_trans", "kn_fp", "keep")
       .orderBy("doc_id")
+  }
+
+  /** Kneser-Ney scoring against the STORED bigram table — the ONE count
+    * table [[buildLmModel]] persists serves BOTH smoothing laws: add-one
+    * ([[perplexityFilterFromModel]]) and KN (here). Every derived
+    * statistic (c1, N1p, N1m, NB) rolls up from the VOCAB-SIZED stored
+    * c2 at serve time — vocabulary-bounded work, never a training
+    * re-aggregation over the reference corpus; the corpus being scored
+    * pays one (prev, w) probe join. A transition the stored model never
+    * saw backs off to pure continuation mass (c2 = 0 ⇒ the discounted
+    * term vanishes and λ·p_cont is computed under the UNSEEN-context
+    * rule: contexts absent from the model score the uniform continuation
+    * p_cont alone) — left joins + coalesce, the lmScore posture.
+    */
+  def kneserNeyFromModel(s: SparkSession, d: String, db: String): DataFrame = {
+    graft.store.Warehouse.refreshDb(s, db)
+    val c2 = s.table(s"`$db`.`$LmCountsTable`")
+    val docsT = withTokens(t(s, d, "documents"))
+    val doc = knScoreAgainst(lmTransitions(docsT), c2)
+    val totals = doc.agg(sum("kn_fp").as("tot"), count(lit(1)).as("n"))
+    doc.crossJoin(broadcast(totals))
+      .withColumn("keep",
+        (col("kn_fp") * col("n") >= col("tot")).cast("int"))
+      .select("doc_id", "n_trans", "kn_fp", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** Shared KN scoring core: enrich a c2 count table with its derived
+    * stats, probe the transition stream. Unseen (prev, w) pairs score
+    * λ(prev)·p_cont(w); fully unseen contexts score p_cont(w) alone.
+    */
+  private def knScoreAgainst(pw: DataFrame, c2: DataFrame): DataFrame = {
+    val c1 = c2.groupBy("prev")
+      .agg(sum("c2").as("c1"), count(lit(1)).as("n1p"))
+    val cont = c2.groupBy("w").agg(count(lit(1)).as("n1m"))
+    val nb = c2.agg(count(lit(1)).as("nb"))
+    pw.join(c2, Seq("prev", "w"), "left")
+      .join(c1, Seq("prev"), "left")
+      .join(cont, Seq("w"), "left")
+      .crossJoin(broadcast(nb))
+      .withColumn("p_cont", expr(s"($KnScale * coalesce(n1m, 0L)) div nb"))
+      .withColumn("p_fp", expr(
+        s"""CASE
+           |  WHEN c1 IS NULL THEN p_cont
+           |  ELSE coalesce(($KnScale * (4*c2 - 3)) div (4*c1), 0L)
+           |     + (((3 * $KnScale * n1p) div (4*c1)) * p_cont) div $KnScale
+           |END""".stripMargin.replace("\n", " ")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trans"), sum("p_fp").as("p_sum"))
+      .withColumn("kn_fp", expr("p_sum div n_trans"))
+  }
+
+  /** Collocation gate: minimum bigram count and emitted top-k. */
+  val CollocMinCount = 5L
+  val CollocTopK = 20
+  private val CollocScale = 1000000L
+
+  /** Collocation extraction (Church & Hanks 1990 — pointwise mutual
+    * information finds word pairs that co-occur far more than chance:
+    * multiword expressions, named entities, domain phrases): rank bigram
+    * TYPES by the association LIFT
+    *
+    *   lift = P(w1 w2) / (P(w1)·P(w2)) = c2·T / (c(w1)·c(w2))
+    *
+    * in [[CollocScale]] fixed point — PMI is log(lift), and lift is its
+    * monotone log-free proxy (the engine-wide contract: a float log's
+    * last ulp could flip a ranking boundary between engines). Pairs
+    * below [[CollocMinCount]] are dropped first (the standard guard: a
+    * hapax pair has lift ≈ T — spurious by construction).
+    *
+    * The product c2·T·Scale can pass 2^63 at corpus scale, so the
+    * arithmetic runs through DECIMAL(38,0) end-to-end (the tfidfKnn
+    * precedent) — exact in both engines, truncating division last.
+    *
+    * Scale shape: ONE (prev, w) token-volume shuffle for bigram types +
+    * one w-keyed unigram count (vocab-sized output); the lift join is
+    * vocab-sized × vocab-sized on single keys; the top-k compiles to
+    * TakeOrderedAndProject (per-partition heaps); the rank window runs
+    * over the k collected rows only.
+    */
+  def collocations(s: SparkSession, d: String): DataFrame = {
+    val docsT = withTokens(t(s, d, "documents"))
+    val pw = lmTransitions(docsT)
+    val c2 = pw.groupBy("prev", "w").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= CollocMinCount)
+    val uni = docsT.select(explode(col("tokens")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cw"))
+    val tot = uni.agg(sum("cw").as("t_tot"))
+    val lifted = c2
+      .join(uni.select(col("tok").as("prev"), col("cw").as("cw1")), Seq("prev"))
+      .join(uni.select(col("tok").as("w"), col("cw").as("cw2")), Seq("w"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_fp", expr(
+        s"""CAST(CAST($CollocScale AS DECIMAL(38,0)) * CAST(c2 AS DECIMAL(38,0))
+           | * CAST(t_tot AS DECIMAL(38,0))
+           | div (CAST(cw1 AS DECIMAL(38,0)) * CAST(cw2 AS DECIMAL(38,0)))
+           | AS BIGINT)""".stripMargin.replace("\n", " ")))
+    val top = lifted
+      .select("prev", "w", "c2", "lift_fp")
+      .orderBy(col("lift_fp").desc, col("prev"), col("w"))
+      .limit(CollocTopK)
+    top.withColumn("rnk", row_number().over(
+        Window.orderBy(col("lift_fp").desc, col("prev"), col("w"))).cast("int"))
+      .select(col("rnk"), col("prev").as("w1"), col("w").as("w2"),
+        col("c2"), col("lift_fp"))
+      .orderBy("rnk")
   }
 
   /** Names of the persisted LM tables ([[buildLmModel]]). */

@@ -40,6 +40,28 @@ class KneserNeySpec extends SparkSpec {
     assert(total <= TextOps.KnScale && total >= TextOps.KnScale - 10)
   }
 
+  test("stored-model serve ≡ in-query gate when the model is the corpus; " +
+      "unseen contexts back off to continuation mass") {
+    val db = "kn_model_spec"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    TextOps.buildLmModel(Tables.t(spark, sf, "documents"), db)
+    val served = TextOps.kneserNeyFromModel(spark, sf, db)
+      .collect().toSeq.map(_.toSeq)
+    val gate = TextOps.kneserNeyScore(spark, sf).collect().toSeq.map(_.toSeq)
+    assert(served == gate,
+      "one stored count table must serve the KN law identically")
+    // foreign corpus: a fully-unseen context scores p_cont alone — for a
+    // word the model never saw as a continuation, exactly 0
+    val dir = TempDirs.create("graft-kn-serve-spec")
+    Seq((1L, "zz qq")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val foreign = TextOps.kneserNeyFromModel(spark, dir, db).head()
+    assert(foreign.getAs[Long]("kn_fp") == 0L,
+      s"unseen continuation must carry zero mass: $foreign")
+  }
+
   test("gate shape on the fixture: deterministic, keep splits the corpus") {
     val a = TextOps.kneserNeyScore(spark, sf)
     val rows = a.collect()

@@ -3261,6 +3261,50 @@ class OpsPropertySpec extends SparkSpec {
     assert(out == Map((0L, 0L) -> 2L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
   }
 
+  test("session sequences: gap cut, ordered assembly, tie-break by " +
+      "event_id at equal ts") {
+    val dir = TempDirs.create("graft-sess-spec")
+    val m = 60L * 1000000000L // minute in ns
+    Seq(
+      (1L, 0L * m, 10L, "view"), (1L, 10L * m, 11L, "click"),
+      (1L, 50L * m, 12L, "purchase"),              // 40-min gap → new session
+      (2L, 0L * m, 20L, "b_second"), (2L, 0L * m, 19L, "a_first"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.ops.EventOps.sessionSequences(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("session_idx"))
+        -> (r.getAs[Long]("n_events"), r.getAs[String]("seq"),
+            r.getAs[Long]("duration_ms"))).toMap
+    assert(got == Map(
+      (1L, 0) -> ((2L, "view>click", 10L * 60000L)),
+      (1L, 1) -> ((1L, "purchase", 0L)),
+      (2L, 0) -> ((2L, "a_first>b_second", 0L))), got)
+  }
+
+  test("collocations: hand-computed lift, min-count guard, descending " +
+      "rank order") {
+    // "x y x y x y x y x y": c2(x,y)=5 survives, c2(y,x)=4 is guarded
+    // out; c(x)=c(y)=5, T=10 → lift = 1e6·5·10/(5·5) = 2,000,000
+    val dir = TempDirs.create("graft-colloc-spec")
+    Seq((1L, "x y x y x y x y x y")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.ops.TextOps.collocations(spark, dir).collect()
+    assert(rows.length == 1, rows.toSeq)
+    assert(rows(0).getAs[String]("w1") == "x"
+      && rows(0).getAs[String]("w2") == "y"
+      && rows(0).getAs[Long]("c2") == 5L
+      && rows(0).getAs[Long]("lift_fp") == 2000000L, rows(0))
+    // fixture: ranks descend in lift, every pair clears the guard
+    val fx = graft.ops.TextOps.collocations(spark, sf).collect()
+    assert(fx.nonEmpty && fx.forall(_.getAs[Long]("c2") >=
+      graft.ops.TextOps.CollocMinCount))
+    val lifts = fx.map(_.getAs[Long]("lift_fp")).toSeq
+    assert(lifts == lifts.sortBy(-_))
+  }
+
   test("proportional split: allocations sum to exactly N, within one " +
       "seat of the real quota, filled by the per-stratum permutation") {
     val rows = graft.ops.SamplingOps.proportionalSplit(spark, sf).collect()
