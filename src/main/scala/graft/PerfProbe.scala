@@ -542,7 +542,10 @@ object PerfProbe {
         // user-keyed exchange shared by the gap window and the group
         // (users constant in the scaled corpus → sessions lengthen, the
         // SCD2 run-growth shape)
-        "q_collocations", "q_session_sequences")
+        "q_collocations", "q_session_sequences",
+        // luhn is a per-row constant fold (linear by construction); the
+        // triangle walk runs over the K-invariant domain graph
+        "q_pii_luhn", "q_triangle_count")
       // q_hybrid_search is deliberately absent for the q_contamination
       // reason: its semantic leg is probe-set x corpus and BOTH grow with
       // K here, so the ratio would measure the quadratic workload growth,

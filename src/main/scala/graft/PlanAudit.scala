@@ -136,7 +136,14 @@ object PlanAudit {
       // and the Hamilton split (strata-bounded windows + the constant
       // rank bound keeping WindowGroupLimit)
       "q_theta_sketch", "q_dsir_select", "q_kneser_ney",
-      "q_curriculum_order", "q_ac_scan", "q_split_proportional")
+      "q_curriculum_order", "q_ac_scan", "q_split_proportional",
+      // collocations (vocab-sized lift join + TakeOrderedAndProject),
+      // session assembly (ONE user-keyed exchange under window + group),
+      // luhn (per-row folds, zero pre-sort exchanges) and triangles
+      // (oriented wedge self-join + membership join — no vertex-pair
+      // cartesian anywhere)
+      "q_collocations", "q_session_sequences", "q_pii_luhn",
+      "q_triangle_count")
     // q_corpus_pipeline is deliberately NOT audited here: its query-form
     // plan is a trivial read over the staged tables (auditing it would
     // execute the whole 5-stage materialization for nothing — against

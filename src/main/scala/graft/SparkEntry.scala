@@ -13,6 +13,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.joinBroadcastDim(spark, "/root/testdata/sf0.001")
 
+  /** DuckDB rendering of the Luhn digit fold over expression `x` — the
+    * q_pii_luhn oracle needs it twice (check-digit crafting + candidate
+    * validation), single-sourced so the copies can't drift.
+    */
+  private def duckLuhn(x: String): String = {
+    def d = s"(ascii(substr($x, length($x) + 1 - i, 1)) - 48)"
+    s"list_sum(list_transform(range(1, length($x) + 1), i -> " +
+      s"CASE WHEN i % 2 = 0 THEN CASE WHEN $d * 2 > 9 THEN $d * 2 - 9 " +
+      s"ELSE $d * 2 END ELSE $d END))"
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Reference-parity (§2.5 table 1 — operators B1-B5, C1-C18, A8/A9/A15)
@@ -167,6 +178,8 @@ object SparkEntry {
     "q_split_proportional"  -> ((s: SparkSession, d: String) => SamplingOps.proportionalSplit(s, d)),
     "q_collocations"        -> ((s: SparkSession, d: String) => TextOps.collocations(s, d)),
     "q_session_sequences"   -> (EventOps.sessionSequences _),
+    "q_pii_luhn"            -> (PrivacyOps.luhnScan _),
+    "q_triangle_count"      -> (graft.ops.LinkOps.triangleCount _),
     "q_bm25_decontam"       -> (RetrievalOps.bm25Decontam _),
     "q_domain_mix"          -> (DomainOps.domainMixTemperature _),
     "q_cdc_chunks"          -> (ChunkOps.cdcChunkStats _),
@@ -2610,6 +2623,42 @@ object SparkEntry {
     // posture, mutually-recursive half-steps with in-band renormalization
     "q_hits_domains" -> hitsOracle(5),
     "q_domain_hops" -> bfsHopsOracle(6),
+    // triangle counting: degree-ordered orientation, (lo)-keyed wedge
+    // self-join, closing-edge membership in the canonical undirected
+    // set — counts and the exact gcc ppm replayed join for join
+    "q_triangle_count" -> (domainGraphCtes +
+      """, tue AS MATERIALIZED (
+        |    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        |    FROM edges WHERE src <> dst
+        |), tdg AS MATERIALIZED (
+        |    SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |        SELECT a AS v FROM tue UNION ALL SELECT b AS v FROM tue
+        |    ) GROUP BY 1
+        |), tor AS MATERIALIZED (
+        |    SELECT CASE WHEN da.deg < db.deg
+        |                  OR (da.deg = db.deg AND e.a < e.b)
+        |                THEN e.a ELSE e.b END AS lo,
+        |           CASE WHEN da.deg < db.deg
+        |                  OR (da.deg = db.deg AND e.a < e.b)
+        |                THEN e.b ELSE e.a END AS hi
+        |    FROM tue e JOIN tdg da ON da.v = e.a JOIN tdg db ON db.v = e.b
+        |), tcl AS (
+        |    SELECT CAST(COUNT(*) AS BIGINT) AS n_tri
+        |    FROM (SELECT w1.hi AS x, w2.hi AS y
+        |          FROM tor w1 JOIN tor w2
+        |            ON w1.lo = w2.lo AND w1.hi < w2.hi) w
+        |    JOIN tue t ON t.a = LEAST(w.x, w.y) AND t.b = GREATEST(w.x, w.y)
+        |)
+        |SELECT CAST((SELECT COUNT(*) FROM tdg) AS BIGINT) AS n_vertices,
+        |       CAST((SELECT COUNT(*) FROM tue) AS BIGINT) AS n_edges,
+        |       CAST((SELECT SUM(deg * (deg - 1) // 2) FROM tdg) AS BIGINT)
+        |           AS n_wedges,
+        |       CAST((SELECT n_tri FROM tcl) AS BIGINT) AS n_triangles,
+        |       CAST(CASE WHEN (SELECT SUM(deg * (deg - 1) // 2) FROM tdg) = 0
+        |                 THEN 0
+        |                 ELSE 3000000 * (SELECT n_tri FROM tcl)
+        |                      // (SELECT SUM(deg * (deg - 1) // 2) FROM tdg)
+        |            END AS BIGINT) AS gcc_ppm""".stripMargin),
     // streaming maintenance invariant: the gate folds the back third of
     // the corpus through LinkIngest; the oracle is the FRESH full-corpus
     // walk — a green row proves streamed state ≡ a from-scratch build
@@ -3765,6 +3814,49 @@ object SparkEntry {
         |       CAST(CASE WHEN abs(est_common - exact_common) * ${ThetaOps.TolDen}
         |                      <= exact_common * ${ThetaOps.TolNum} THEN 1 ELSE 0 END AS INTEGER) AS common_ok
         |FROM tst""".stripMargin,
+    // Luhn-validated PAN scan: crafted valid/invalid candidates from
+    // doc_id arithmetic, the digit fold replayed position for position,
+    // checksum-gated redaction — every cell including the redacted text
+    // hash-compared
+    "q_pii_luhn" ->
+      s"""WITH lb AS (
+        |    SELECT doc_id,
+        |           substr(repeat(CAST(doc_id * 7919 + 13 AS VARCHAR), 8),
+        |                  1, 15) AS acct_base
+        |    FROM documents
+        |), lc AS (
+        |    SELECT doc_id, acct_base,
+        |           (10 - ${duckLuhn("concat(acct_base, '0')")} % 10) % 10
+        |               AS check_digit
+        |    FROM lb
+        |), lp AS (
+        |    SELECT doc_id,
+        |           concat(acct_base, CAST(check_digit AS VARCHAR)) AS valid_pan,
+        |           concat(acct_base, CAST((check_digit + 1) % 10 AS VARCHAR))
+        |               AS invalid_pan
+        |    FROM lc
+        |), lt AS (
+        |    SELECT doc_id,
+        |           concat('acct ', valid_pan, ' ref ', invalid_pan) AS acct_text
+        |    FROM lp
+        |), lel AS (
+        |    SELECT doc_id, acct_text,
+        |           regexp_extract_all(acct_text, '[0-9]{13,19}') AS cands
+        |    FROM lt
+        |), le AS (
+        |    SELECT doc_id, acct_text,
+        |           unnest(range(0, len(cands))) AS candidate_idx,
+        |           unnest(cands) AS digits
+        |    FROM lel
+        |)
+        |SELECT doc_id, CAST(candidate_idx AS INTEGER) AS candidate_idx,
+        |       digits, CAST(length(digits) AS INTEGER) AS n_digits,
+        |       CAST(CASE WHEN ${duckLuhn("digits")} % 10 = 0
+        |                 THEN 1 ELSE 0 END AS INTEGER) AS luhn_valid,
+        |       CASE WHEN ${duckLuhn("digits")} % 10 = 0
+        |            THEN replace(acct_text, digits, '[PAN]')
+        |            ELSE acct_text END AS redacted
+        |FROM le ORDER BY doc_id, candidate_idx""".stripMargin,
     // session trajectories: 30-min-gap sessionization (lag + running
     // sum), ordered event-type sequence via ordered string_agg — the
     // string cell itself is hash-compared

@@ -186,6 +186,19 @@ object DsirOps {
     selectAgainst(features(t(s, d, "documents")), counts, totals)
   }
 
+  /** Scheduled model rebuild — re-anchors the class models (and folds
+    * any accumulated deltas into a fresh generation) on the cron
+    * cadence, the lmRefreshEntry posture.
+    */
+  def dsirRefreshEntry(id: String, cronExpr: String, db: String,
+                       docs: SparkSession => DataFrame)
+      : graft.pipeline.ScheduleRunner.Entry =
+    graft.pipeline.ScheduleRunner.Entry(id,
+      graft.pipeline.CronSchedule.parse(cronExpr),
+      (s, _) => buildDsirModel(docs(s), db),
+      name = "dsir_model_refresh", target = s"$db.$DsirCountsTable",
+      tags = Map("pipeline" -> "data-selection"))
+
   /** Fold a new document batch into the stored model: bucket counts are
     * ADDITIVE (the appendToQualityClassifier contract verbatim,
     * including its do-not-replay caveat); totals rebuild from the

@@ -117,4 +117,67 @@ object PrivacyOps {
         col("class_n"), col("class_l"), col("suppress"))
       .orderBy("doc_id")
   }
+
+  /** Checksum-validated PAN detection (Luhn 1960 / ISO 7812) — the
+    * upgrade over pure-regex PII scanning: a 13–19-digit run is only a
+    * payment-card candidate if its Luhn check digit verifies, so
+    * order-ids and timestamps stop triggering redaction (the
+    * false-positive class regex-only scanners are known for). Redaction
+    * is CHECKSUM-GATED: only validated candidates are replaced.
+    *
+    * Fixture: document text carries no digit runs, so the gate scans a
+    * crafted account view (the robots/sitemap posture): each doc embeds
+    * one VALID candidate (15-digit base from doc_id arithmetic + the
+    * computed Luhn check digit) and one INVALID (same base, check digit
+    * +1 mod 10) — the gate proves the validator separates them 100%/0%.
+    *
+    * Luhn rendering (identical in both engines): digit i counted from
+    * the RIGHT doubles when i is even, doubled values > 9 subtract 9,
+    * valid ⇔ Σ mod 10 = 0 — a fold over the digit positions
+    * (`aggregate(sequence)` in Spark, `list_sum(list_transform(range))`
+    * in DuckDB), exact integer throughout.
+    *
+    * Scale shape: per-row regex extraction + a constant-length integer
+    * fold per candidate, zero shuffles before the output sort.
+    */
+  def luhnScan(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents")
+      .withColumn("acct_base",
+        expr("substring(repeat(cast(doc_id * 7919 + 13 as string), 8), 1, 15)"))
+      .withColumn("check_digit", expr(
+        s"(10 - ${luhnSumSql("concat(acct_base, '0')")} % 10) % 10"))
+      .withColumn("valid_pan",
+        concat(col("acct_base"), col("check_digit").cast("string")))
+      .withColumn("invalid_pan",
+        concat(col("acct_base"),
+          ((col("check_digit") + 1) % 10).cast("string")))
+      .withColumn("acct_text", concat(lit("acct "), col("valid_pan"),
+        lit(" ref "), col("invalid_pan")))
+    base.select(col("doc_id"), col("acct_text"),
+        posexplode(expr("regexp_extract_all(acct_text, '[0-9]{13,19}', 0)"))
+          .as(Seq("candidate_idx", "digits")))
+      .withColumn("n_digits", length(col("digits")))
+      .withColumn("luhn_valid",
+        expr(s"CAST(${luhnSumSql("digits")} % 10 = 0 AS INT)"))
+      .withColumn("redacted",
+        when(col("luhn_valid") === 1,
+          expr("replace(acct_text, digits, '[PAN]')"))
+          .otherwise(col("acct_text")))
+      .select("doc_id", "candidate_idx", "digits", "n_digits",
+        "luhn_valid", "redacted")
+      .orderBy("doc_id", "candidate_idx")
+  }
+
+  /** The Luhn digit-fold as a SQL fragment over a digit-string column
+    * expression — shared by candidate validation and check-digit
+    * crafting so the two can never disagree.
+    */
+  private def luhnSumSql(c: String): String =
+    s"""aggregate(sequence(1, length($c)), 0, (acc, i) ->
+       | acc + CASE WHEN i % 2 = 0 THEN
+       |   CASE WHEN (ascii(substring($c, length($c) + 1 - i, 1)) - 48) * 2 > 9
+       |        THEN (ascii(substring($c, length($c) + 1 - i, 1)) - 48) * 2 - 9
+       |        ELSE (ascii(substring($c, length($c) + 1 - i, 1)) - 48) * 2 END
+       |  ELSE ascii(substring($c, length($c) + 1 - i, 1)) - 48 END)"""
+      .stripMargin.replace("\n", " ")
 }

@@ -124,6 +124,20 @@ object ThetaOps {
             .select("tag", "hv"))
     }
 
+  /** Scheduled sketch rebuild — re-anchors the sample to the full corpus
+    * on the cron cadence (mirrors lmRefreshEntry; after heavy deletes the
+    * K-min sample can only be shrunk by a rebuild, since a KMV sample
+    * supports insert-merge but not exact deletion).
+    */
+  def thetaRefreshEntry(id: String, cronExpr: String, db: String,
+                        keys: SparkSession => DataFrame)
+      : graft.pipeline.ScheduleRunner.Entry =
+    graft.pipeline.ScheduleRunner.Entry(id,
+      graft.pipeline.CronSchedule.parse(cronExpr),
+      (s, _) => buildThetaSketch(keys(s), db),
+      name = "theta_sketch_refresh", target = s"$db.$ThetaTable",
+      tags = Map("pipeline" -> "distinct-sketch"))
+
   /** Serve distinct-count estimates straight off the stored sample —
     * production posture: no exact verdict legs, no corpus scan; the
     * whole plan reads ≤ K rows per tag.

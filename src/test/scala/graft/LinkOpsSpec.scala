@@ -262,4 +262,33 @@ class LinkOpsSpec extends SparkSpec {
           !p.contains("BroadcastNestedLoopJoin"), p)
       }
   }
+
+  test("triangles: K4 is all-triangles (gcc = 1e6), paths and stars are " +
+      "triangle-free, duplicate/reversed/self edges collapse") {
+    import spark.implicits._
+    def stats(edges: Seq[(String, String)]) =
+      LinkOps.trianglesOver(edges.toDF("src", "dst")).head()
+    // K4: 4 triangles, 12 wedges, complete graph → gcc exactly 1e6
+    val k4 = stats(for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d")
+      if a < b
+    } yield (a, b))
+    assert((k4.getAs[Long]("n_vertices"), k4.getAs[Long]("n_edges"),
+      k4.getAs[Long]("n_wedges"), k4.getAs[Long]("n_triangles"),
+      k4.getAs[Long]("gcc_ppm")) == ((4L, 6L, 12L, 4L, 1000000L)), k4)
+    // path a-b-c-d: 2 wedges, 0 triangles
+    val path = stats(Seq(("a", "b"), ("b", "c"), ("c", "d")))
+    assert(path.getAs[Long]("n_triangles") == 0L
+      && path.getAs[Long]("n_wedges") == 2L)
+    // hub star: high-degree pivot contributes wedges but no triangles;
+    // reversed duplicates, self loops and double edges all collapse
+    val star = stats(Seq(("h", "x1"), ("x1", "h"), ("h", "x2"), ("h", "x2"),
+      ("h", "x3"), ("h", "x4"), ("h", "x5"), ("h", "h")))
+    assert(star.getAs[Long]("n_edges") == 5L
+      && star.getAs[Long]("n_wedges") == 10L
+      && star.getAs[Long]("n_triangles") == 0L)
+    // one closing edge turns exactly one wedge into a triangle
+    val tri = stats(Seq(("h", "x1"), ("h", "x2"), ("x1", "x2"), ("h", "x3")))
+    assert(tri.getAs[Long]("n_triangles") == 1L)
+  }
 }

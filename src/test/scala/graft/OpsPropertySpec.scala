@@ -3261,6 +3261,30 @@ class OpsPropertySpec extends SparkSpec {
     assert(out == Map((0L, 0L) -> 2L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
   }
 
+  test("luhn scan: validator separates crafted valid/invalid 100%/0%, " +
+      "agrees with an independent JVM Luhn, redaction is checksum-gated") {
+    def jvmLuhn(s: String): Boolean = {
+      val sum = s.reverse.zipWithIndex.map { case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum
+      sum % 10 == 0
+    }
+    val rows = graft.ops.PrivacyOps.luhnScan(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length % 2 == 0)
+    for (r <- rows) {
+      val digits = r.getAs[String]("digits")
+      val valid = r.getAs[Int]("luhn_valid")
+      assert(valid == (if (jvmLuhn(digits)) 1 else 0),
+        s"engine vs JVM Luhn disagree on $digits")
+      assert(valid == (if (r.getAs[Int]("candidate_idx") == 0) 1 else 0),
+        s"crafted candidate parity broken: $r")
+      val red = r.getAs[String]("redacted")
+      if (valid == 1) assert(red.contains("[PAN]") && !red.contains(digits))
+      else assert(red.contains(digits) && !red.contains("[PAN]"))
+    }
+  }
+
   test("session sequences: gap cut, ordered assembly, tie-break by " +
       "event_id at equal ts") {
     val dir = TempDirs.create("graft-sess-spec")
