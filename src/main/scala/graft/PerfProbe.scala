@@ -545,7 +545,11 @@ object PerfProbe {
         "q_collocations", "q_session_sequences",
         // luhn is a per-row constant fold (linear by construction); the
         // triangle walk runs over the K-invariant domain graph
-        "q_pii_luhn", "q_triangle_count")
+        "q_pii_luhn", "q_triangle_count",
+        // KM grids are day-bounded (events ×K fold into the same days);
+        // LPA rounds run over the K-invariant domain graph; chi-square
+        // is one count agg + constant-row math
+        "q_survival_km", "q_communities_lpa", "q_ab_chisquare")
       // q_hybrid_search is deliberately absent for the q_contamination
       // reason: its semantic leg is probe-set x corpus and BOTH grow with
       // K here, so the ratio would measure the quadratic workload growth,

@@ -143,7 +143,12 @@ object PlanAudit {
       // (oriented wedge self-join + membership join — no vertex-pair
       // cartesian anywhere)
       "q_collocations", "q_session_sequences", "q_pii_luhn",
-      "q_triangle_count")
+      "q_triangle_count",
+      // KM (user-keyed aggs + the day-grid-bounded curve math), LPA
+      // (checkpointed rounds: per round one edge join + a per-id
+      // WindowGroupLimit pick — returned frame is a checkpointed scan)
+      // and chi-square (ONE (arm,type) count agg + K-row DECIMAL math)
+      "q_survival_km", "q_communities_lpa", "q_ab_chisquare")
     // q_corpus_pipeline is deliberately NOT audited here: its query-form
     // plan is a trivial read over the staged tables (auditing it would
     // execute the whole 5-stage materialization for nothing — against

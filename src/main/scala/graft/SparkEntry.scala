@@ -180,6 +180,9 @@ object SparkEntry {
     "q_session_sequences"   -> (EventOps.sessionSequences _),
     "q_pii_luhn"            -> (PrivacyOps.luhnScan _),
     "q_triangle_count"      -> (graft.ops.LinkOps.triangleCount _),
+    "q_survival_km"         -> (EventOps.kaplanMeier _),
+    "q_communities_lpa"     -> (graft.ops.LinkOps.communitiesLpa _),
+    "q_ab_chisquare"        -> (EventOps.abChiSquare _),
     "q_bm25_decontam"       -> (RetrievalOps.bm25Decontam _),
     "q_domain_mix"          -> (DomainOps.domainMixTemperature _),
     "q_cdc_chunks"          -> (ChunkOps.cdcChunkStats _),
@@ -757,6 +760,43 @@ object SparkEntry {
          |SELECT hh.v AS domain, hh.h AS hub_fp, ha.a AS auth_fp
          |FROM hh$iters hh JOIN ha$iters ha ON ha.v = hh.v
          |ORDER BY auth_fp DESC, hub_fp DESC, domain""".stripMargin
+  }
+
+  /** LPA oracle: symmetrized simple graph, `iters` unrolled synchronous
+    * rounds (neighbor-label counts → per-vertex majority pick with the
+    * count-desc/label-asc tie-break), community sizes joined last.
+    */
+  private def lpaOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s""", lpn$i AS MATERIALIZED (
+         |    SELECT s.dst AS id, l.label, CAST(COUNT(*) AS BIGINT) AS c
+         |    FROM lsy s JOIN lp${i - 1} l ON l.id = s.src GROUP BY 1, 2
+         |), lpp$i AS MATERIALIZED (
+         |    SELECT id, label AS new_label FROM (
+         |        SELECT id, label, row_number() OVER (PARTITION BY id
+         |            ORDER BY c DESC, label) AS rk FROM lpn$i) WHERE rk = 1
+         |), lp$i AS MATERIALIZED (
+         |    SELECT l.id, COALESCE(p.new_label, l.label) AS label
+         |    FROM lp${i - 1} l LEFT JOIN lpp$i p USING (id)
+         |)""".stripMargin
+    }.mkString
+    domainGraphCtes +
+      """, lsy AS MATERIALIZED (
+        |    SELECT DISTINCT src, dst FROM (
+        |        SELECT src, dst FROM edges WHERE src <> dst
+        |        UNION ALL
+        |        SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
+        |    )
+        |), lp0 AS MATERIALIZED (
+        |    SELECT v AS id, v AS label FROM verts
+        |)""".stripMargin + steps +
+      s"""
+         |SELECT l.id AS domain, l.label AS community,
+         |       CAST(z.community_size AS BIGINT) AS community_size
+         |FROM lp$iters l JOIN (
+         |    SELECT label, COUNT(*) AS community_size
+         |    FROM lp$iters GROUP BY 1) z ON z.label = l.label
+         |ORDER BY domain""".stripMargin
   }
 
   /** BFS hop-distance oracle: seeds = the `.co.uk` page domains, `iters`
@@ -2623,6 +2663,7 @@ object SparkEntry {
     // posture, mutually-recursive half-steps with in-band renormalization
     "q_hits_domains" -> hitsOracle(5),
     "q_domain_hops" -> bfsHopsOracle(6),
+    "q_communities_lpa" -> lpaOracle(graft.ops.LinkOps.LpaIters),
     // triangle counting: degree-ordered orientation, (lo)-keyed wedge
     // self-join, closing-edge membership in the canonical undirected
     // set — counts and the exact gcc ppm replayed join for join
@@ -3814,6 +3855,95 @@ object SparkEntry {
         |       CAST(CASE WHEN abs(est_common - exact_common) * ${ThetaOps.TolDen}
         |                      <= exact_common * ${ThetaOps.TolNum} THEN 1 ELSE 0 END AS INTEGER) AS common_ok
         |FROM tst""".stripMargin,
+    // Pearson chi-square per event type: exact rational through HUGEINT,
+    // cross-multiplied 3.841 significance verdict — no float anywhere
+    "q_ab_chisquare" ->
+      s"""WITH xc AS (
+        |    SELECT CAST(user_id % 2 AS INTEGER) AS arm, event_type,
+        |           CAST(COUNT(*) AS BIGINT) AS cnt
+        |    FROM events GROUP BY 1, 2
+        |), xa AS (
+        |    SELECT event_type,
+        |           CAST(SUM(CASE WHEN arm = 0 THEN cnt ELSE 0 END) AS BIGINT) AS a,
+        |           CAST(SUM(CASE WHEN arm = 1 THEN cnt ELSE 0 END) AS BIGINT) AS c
+        |    FROM xc GROUP BY 1
+        |), xt AS (
+        |    SELECT CAST(SUM(CASE WHEN arm = 0 THEN cnt ELSE 0 END) AS BIGINT) AS tot_a,
+        |           CAST(SUM(CASE WHEN arm = 1 THEN cnt ELSE 0 END) AS BIGINT) AS tot_b
+        |    FROM xc
+        |), xx AS (
+        |    SELECT event_type, a, tot_a - a AS b, c, tot_b - c AS d,
+        |           tot_a + tot_b AS n
+        |    FROM xa, xt
+        |)
+        |SELECT event_type, a, b, c, d, CAST(n AS BIGINT) AS n,
+        |       CAST(CAST(n AS HUGEINT) * (CAST(a AS HUGEINT)*d - CAST(b AS HUGEINT)*c) * (CAST(a AS HUGEINT)*d - CAST(b AS HUGEINT)*c)
+        |            * ${EventOps.Chi2Scale}
+        |            // (CAST(a+b AS HUGEINT) * (c+d) * (a+c) * (b+d))
+        |            AS BIGINT) AS chi2_ppm,
+        |       CAST(CASE WHEN CAST(n AS HUGEINT) * (CAST(a AS HUGEINT)*d - CAST(b AS HUGEINT)*c) * (CAST(a AS HUGEINT)*d - CAST(b AS HUGEINT)*c)
+        |                      * 1000
+        |                      >= ${EventOps.Chi2CritThousandths}
+        |                         * CAST(a+b AS HUGEINT) * (c+d) * (a+c) * (b+d)
+        |                 THEN 1 ELSE 0 END AS INTEGER) AS significant
+        |FROM xx ORDER BY event_type""".stripMargin,
+    // Kaplan-Meier: right-censored time-to-conversion — risk sets from
+    // exit-day running sums, per-day factors, and the EXPLICIT day-order
+    // prefix fold (list_reduce over a prepended init, matching Spark's
+    // aggregate(slice)) — curve replayed day for day
+    "q_survival_km" ->
+      s"""WITH kev AS (
+        |    SELECT user_id, epoch_ns(ts) AS tns, event_type, props
+        |    FROM events
+        |), kt0 AS (
+        |    SELECT user_id, MIN(tns) AS t0 FROM kev
+        |    WHERE event_type = 'signup' GROUP BY 1
+        |), kq AS (
+        |    SELECT e.user_id, MIN(e.tns) AS tp
+        |    FROM kev e JOIN kt0 t USING (user_id)
+        |    WHERE e.event_type = 'purchase'
+        |      AND CAST(json_extract_string(e.props, '$$.k') AS BIGINT) % 7 = 0
+        |      AND e.tns > t.t0
+        |    GROUP BY 1
+        |), kob AS (
+        |    SELECT MAX(tns) AS obs_end FROM kev
+        |), kpu AS (
+        |    SELECT t.user_id,
+        |           CASE WHEN q.tp IS NOT NULL THEN 1 ELSE 0 END AS observed,
+        |           CASE WHEN q.tp IS NOT NULL
+        |                THEN (q.tp - t.t0) // ${EventOps.DayNs}
+        |                ELSE ((SELECT obs_end FROM kob) - t.t0)
+        |                     // ${EventOps.DayNs} END AS exit_day
+        |    FROM kt0 t LEFT JOIN kq q USING (user_id)
+        |), kex AS (
+        |    SELECT exit_day, CAST(COUNT(*) AS BIGINT) AS n_exit,
+        |           CAST(SUM(observed) AS BIGINT) AS d_ev
+        |    FROM kpu GROUP BY 1
+        |), kgr AS (
+        |    SELECT exit_day, d_ev,
+        |           (SELECT CAST(COUNT(*) AS BIGINT) FROM kpu)
+        |             - COALESCE(SUM(n_exit) OVER (ORDER BY exit_day
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING
+        |                 AND 1 PRECEDING), 0) AS n_risk
+        |    FROM kex
+        |), kfa AS (
+        |    SELECT exit_day, d_ev, n_risk,
+        |           CAST(${EventOps.KmScale} * (n_risk - d_ev) // n_risk
+        |                AS BIGINT) AS factor_fp,
+        |           CAST(row_number() OVER (ORDER BY exit_day) AS INTEGER)
+        |               AS rn
+        |    FROM kgr WHERE d_ev > 0
+        |), kls AS (
+        |    SELECT list(factor_fp ORDER BY exit_day) AS facs FROM kfa
+        |)
+        |SELECT exit_day AS day, CAST(n_risk AS BIGINT) AS n_risk,
+        |       d_ev AS n_events, factor_fp,
+        |       CAST(list_reduce(
+        |           list_prepend(CAST(${EventOps.KmScale} AS BIGINT),
+        |               list_slice(facs, 1, rn)),
+        |           (acc, x) -> acc * x // ${EventOps.KmScale}) AS BIGINT)
+        |           AS surv_fp
+        |FROM kfa, kls ORDER BY day""".stripMargin,
     // Luhn-validated PAN scan: crafted valid/invalid candidates from
     // doc_id arithmetic, the digit fold replayed position for position,
     // checksum-gated redaction — every cell including the redacted text

@@ -159,6 +159,139 @@ object EventOps {
       .orderBy("user_id", "session_idx")
   }
 
+  /** ns per day — the survival grid unit. */
+  val DayNs = 86400000000000L
+
+  /** Survival fixed-point scale. */
+  val KmScale = 1000000L
+
+  /** Kaplan-Meier survival estimate (Kaplan & Meier 1958) for
+    * time-to-conversion WITH right-censoring — the estimator plain
+    * conversion rates get wrong when observation windows are uneven:
+    * cohort = users with a signup; event = their first QUALIFYING
+    * purchase after signup (props.k ≡ 0 mod 7 — the deterministic
+    * qualifying rule that leaves a censored tail); users without one are
+    * censored at the corpus observation end.
+    *
+    *   S(d) = Π_{days e ≤ d} (n_risk(e) − d_events(e)) / n_risk(e)
+    *
+    * in [[KmScale]] fixed point, each factor truncating once and the
+    * product FOLDING IN DAY ORDER — the same explicit-order fold in both
+    * engines (`aggregate(slice(...), S, ...)` vs
+    * `list_reduce(list_prepend(S, list_slice(...)))`), so the curve
+    * replays bit-exactly; a commutative float product would not.
+    * Censored users leave the risk set without contributing an event —
+    * at-risk at their own censor day (the standard convention).
+    *
+    * Scale shape: two user-keyed aggregations (cohort t0, first
+    * qualifying purchase) + one exit-day agg; the curve math runs on the
+    * DAY-GRID-bounded frame (the approx-percentile posture: windows and
+    * the prefix-product fold are grid-sized, never event-sized).
+    */
+  def kaplanMeier(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val t0 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t0"))
+    val q = ev.filter(col("event_type") === "purchase" &&
+        get_json_object(col("props"), "$.k").cast("long") % 7 === 0)
+      .select("user_id", "ts")
+    val firstQ = q.join(t0, "user_id").filter(col("ts") > col("t0"))
+      .groupBy("user_id").agg(min("ts").as("tp"))
+    val obsEnd = ev.agg(max("ts").as("obs_end"))
+    val perUser = t0.join(firstQ, Seq("user_id"), "left")
+      .crossJoin(broadcast(obsEnd))
+      .withColumn("observed", col("tp").isNotNull.cast("long"))
+      .withColumn("exit_day",
+        when(col("observed") === 1, expr(s"(tp - t0) div $DayNs"))
+          .otherwise(expr(s"(obs_end - t0) div $DayNs")))
+    val nTotal = perUser.agg(count(lit(1)).as("n_total"))
+    val exits = perUser.groupBy("exit_day").agg(
+      count(lit(1)).as("n_exit"), sum("observed").as("d_ev"))
+    val wd = Window.orderBy("exit_day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grid = exits.crossJoin(broadcast(nTotal))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum("n_exit").over(wd), lit(0L)))
+      .filter(col("d_ev") > 0)
+      .withColumn("factor_fp",
+        expr(s"$KmScale * (n_risk - d_ev) div n_risk"))
+      .withColumn("rn", row_number().over(Window.orderBy("exit_day")))
+    // day-ordered factor array: sort the collected structs — a bare
+    // ordered collect_list is shuffle-order-dependent
+    val facs = grid.agg(expr(
+      "transform(array_sort(collect_list(struct(exit_day, factor_fp))), " +
+        "e -> e.factor_fp)").as("facs"))
+    grid.crossJoin(broadcast(facs))
+      .withColumn("surv_fp", expr(
+        s"aggregate(slice(facs, 1, rn), ${KmScale}L, " +
+          s"(acc, x) -> acc * x div $KmScale)"))
+      .select(col("exit_day").as("day"), col("n_risk"),
+        col("d_ev").as("n_events"), col("factor_fp"), col("surv_fp"))
+      .orderBy("day")
+  }
+
+  /** χ² fixed-point scale (ppm) and the 95% / df=1 critical value in
+    * thousandths (3.841) — the comparison cross-multiplies, no float.
+    */
+  val Chi2Scale = 1000000L
+  val Chi2CritThousandths = 3841L
+
+  /** Exact Pearson χ² independence test per event type — the A/B-test
+    * analytics primitive: does event-type incidence differ between the
+    * two experiment arms (user_id parity — the deterministic assignment
+    * [[graft.ops.SamplingOps]]'s split family would produce)? For the
+    * 2×2 table (a, b; c, d):
+    *
+    *   χ² = n·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+    *
+    * — an exact RATIONAL, so the engine emits it in [[Chi2Scale]] fixed
+    * point through DECIMAL(38) products (n·(ad−bc)²·10⁶ reaches ~10³³ at
+    * corpus scale — past Long, inside DECIMAL(38); the tfidfKnn
+    * precedent) and the significance verdict cross-multiplies against
+    * the χ²₀.₉₅(1) = 3.841 critical value — no float, no sqrt, no
+    * p-value interpolation anywhere, and DuckDB replays through HUGEINT.
+    *
+    * Scale shape: ONE (arm, event_type) count aggregation (map-side
+    * combined); everything downstream is K-row (event-type count)
+    * arithmetic on broadcast totals.
+    */
+  def abChiSquare(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+    val cells = ev.groupBy("arm", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val arms = cells.groupBy("event_type").agg(
+      sum(when(col("arm") === 0, col("cnt")).otherwise(0L)).as("a"),
+      sum(when(col("arm") === 1, col("cnt")).otherwise(0L)).as("c"))
+    val tot = cells.agg(
+      sum(when(col("arm") === 0, col("cnt")).otherwise(0L)).as("tot_a"),
+      sum(when(col("arm") === 1, col("cnt")).otherwise(0L)).as("tot_b"))
+    arms.crossJoin(broadcast(tot))
+      .withColumn("b", col("tot_a") - col("a"))
+      .withColumn("d", col("tot_b") - col("c"))
+      .withColumn("n", col("tot_a") + col("tot_b"))
+      .withColumn("chi2_ppm", expr(
+        s"""CAST(CAST(n AS DECIMAL(38,0))
+           | * (CAST(a AS DECIMAL(38,0))*d - CAST(b AS DECIMAL(38,0))*c)
+           | * (CAST(a AS DECIMAL(38,0))*d - CAST(b AS DECIMAL(38,0))*c)
+           | * $Chi2Scale
+           | div (CAST(a+b AS DECIMAL(38,0)) * CAST(c+d AS DECIMAL(38,0))
+           |      * CAST(a+c AS DECIMAL(38,0)) * CAST(b+d AS DECIMAL(38,0)))
+           | AS BIGINT)""".stripMargin.replace("\n", " ")))
+      .withColumn("significant", expr(
+        s"""CAST(CAST(n AS DECIMAL(38,0))
+           | * (CAST(a AS DECIMAL(38,0))*d - CAST(b AS DECIMAL(38,0))*c)
+           | * (CAST(a AS DECIMAL(38,0))*d - CAST(b AS DECIMAL(38,0))*c)
+           | * 1000
+           | >= $Chi2CritThousandths
+           |    * CAST(a+b AS DECIMAL(38,0)) * CAST(c+d AS DECIMAL(38,0))
+           |    * CAST(a+c AS DECIMAL(38,0)) * CAST(b+d AS DECIMAL(38,0))
+           | AS INT)""".stripMargin.replace("\n", " ")))
+      .select("event_type", "a", "b", "c", "d", "n", "chi2_ppm",
+        "significant")
+      .orderBy("event_type")
+  }
+
   /** ns per epoch week (7 · 86400 · 1e9) — the exact integer week index
     * both engines derive from the ns-epoch ts contract.
     */

@@ -369,6 +369,67 @@ object GraphOps {
     finally checkpointFilesOf(h).foreach(deleteCheckpointFile(h, _))
   }
 
+  /** SYNCHRONOUS label propagation (Raghavan, Albert & Kumara 2007) —
+    * community detection where CC is too coarse (CC fuses everything
+    * reachable; LPA splits a connected graph into densely-linked
+    * neighborhoods): every vertex starts as its own label; each round,
+    * every vertex adopts the label holding the MAJORITY among its
+    * neighbors, ties broken by the SMALLEST label — the deterministic
+    * rendering (asynchronous random-order LPA is the published default;
+    * synchronous + lexicographic tie-break makes the whole run
+    * replayable, so the oracle can unroll the rounds declaratively, the
+    * HITS posture). Fixed `iters` rounds, no convergence test — LPA
+    * oscillates on bipartite structures, and a fixed-round contract is
+    * what an oracle can replay.
+    *
+    * Works on the UNWEIGHTED simple graph: self-loops dropped, parallel
+    * and reversed duplicates collapse (a doubled edge must not double a
+    * vote). Per round: one src-keyed edge join + one (id, label) count
+    * agg + a per-id WindowGroupLimit pick — the CC shuffle class; rounds
+    * eagerly checkpointed with superseded-file deletion.
+    *
+    * `vertices`: (id). Returns (id, label) — label = the community's
+    * lexicographically-least member seen through the propagation.
+    */
+  def labelPropagation(edges: DataFrame, vertices: DataFrame,
+                       iters: Int = 4): DataFrame = {
+    require(iters >= 1, "labelPropagation needs at least one round")
+    val sym = edges.filter(col("src") =!= col("dst"))
+      .select(explode(array(
+        struct(col("src").as("src"), col("dst").as("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct().persist()
+    try {
+      var labels = roundCheckpoint(vertices.select(col("id"))
+        .distinct().withColumn("label", col("id")))
+      for (_ <- 1 to iters) {
+        val votes = sym.join(labels.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id"), col("label"))
+          .agg(count(lit(1)).as("c"))
+        val pick = votes.withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("id")
+              .orderBy(col("c").desc, col("label").asc)))
+          .filter(col("rk") === 1)
+          .select(col("id"), col("label").as("new_label"))
+        val next = roundCheckpoint(labels.join(pick, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("new_label"), col("label")).as("label")))
+        checkpointFileOf(labels).foreach(deleteCheckpointFile(labels, _))
+        labels = next
+      }
+      labels
+    } finally sym.unpersist()
+  }
+
+  /** Loan variant of [[labelPropagation]] ([[pagerankInto]] contract). */
+  def labelPropagationInto[A](edges: DataFrame, vertices: DataFrame,
+                              iters: Int = 4)(consume: DataFrame => A): A = {
+    val l = labelPropagation(edges, vertices, iters)
+    try consume(l)
+    finally checkpointFilesOf(l).foreach(deleteCheckpointFile(l, _))
+  }
+
   /** Oracle-gated cluster query: deterministic block-chain edges over the
     * documents table (doc_id → doc_id+1 within each 10-id block, plus a
     * +2 skip edge in the block's lower half), so components are exactly

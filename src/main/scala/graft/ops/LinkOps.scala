@@ -285,6 +285,32 @@ object LinkOps {
       }
     }.orderBy(col("auth_fp").desc, col("hub_fp").desc, col("domain"))
 
+  /** LPA rounds for [[communitiesLpa]] — fixed by contract (see
+    * [[GraphOps.labelPropagation]]: a fixed-round synchronous run is what
+    * the oracle can unroll).
+    */
+  val LpaIters = 4
+
+  /** Community detection over the domain graph
+    * ([[GraphOps.labelPropagation]], [[LpaIters]] synchronous rounds,
+    * smallest-label tie-break): where connected components answer "what
+    * is reachable" (one giant blob on a crawl graph), LPA answers "which
+    * domains form densely-linked neighborhoods" — the crawl-cluster /
+    * link-farm signal. Emits each domain's community label (the
+    * community's least member) and the community size.
+    */
+  def communitiesLpa(s: SparkSession, d: String): DataFrame =
+    withDomainGraph(s, d) { (_, edges, verts) =>
+      GraphOps.labelPropagationInto(edges, verts, LpaIters) { labels =>
+        val sizes = labels.groupBy("label")
+          .agg(count(lit(1)).as("community_size"))
+        labels.join(sizes, Seq("label"))
+          .select(col("id").as("domain"), col("label").as("community"),
+            col("community_size"))
+          .localCheckpoint(eager = true)
+      }
+    }.orderBy("domain")
+
   /** Crawl-depth BFS over the crafted domain graph ([[GraphOps.bfsHops]],
     * 6 rounds): seeds = the `.co.uk` registered PAGE domains — the
     * structurally interesting choice on this fixture, because `.co.uk`

@@ -263,6 +263,28 @@ class LinkOpsSpec extends SparkSpec {
       }
   }
 
+  test("LPA: bridged triangles split into two communities (CC would " +
+      "fuse them) — hand-traced synchronous rounds with min tie-break") {
+    import spark.implicits._
+    // triangles {a,b,c} and {x,y,z} joined by bridge c-x; the 4-round
+    // deterministic trace lands abc→'a', xyz→'c'
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x"))
+      .toDF("src", "dst")
+    val verts = Seq("a", "b", "c", "x", "y", "z").toDF("id")
+    val got = graft.ops.GraphOps.labelPropagation(edges, verts, iters = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "c", "y" -> "c", "z" -> "c"), got)
+    // fixture gate: every domain labeled, sizes sum to the vertex count
+    val fx = graft.ops.LinkOps.communitiesLpa(spark, sf).collect()
+    assert(fx.nonEmpty)
+    val perComm = fx.groupBy(_.getAs[String]("community"))
+    for ((_, rows) <- perComm)
+      assert(rows.map(_.getAs[Long]("community_size")).distinct.toSeq ==
+        Seq(rows.length.toLong))
+  }
+
   test("triangles: K4 is all-triangles (gcc = 1e6), paths and stars are " +
       "triangle-free, duplicate/reversed/self edges collapse") {
     import spark.implicits._

@@ -3261,6 +3261,57 @@ class OpsPropertySpec extends SparkSpec {
     assert(out == Map((0L, 0L) -> 2L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
   }
 
+  test("chi-square: hand-computed 2x2 lands exactly (12.5 ppm-scaled), " +
+      "complement outcome carries the same statistic") {
+    // arm0: 30 error / 70 view; arm1: 10 error / 90 view
+    //   chi2 = 200·(30·90 − 70·10)² / (100·100·40·160) = 12.5 exactly
+    val dir = TempDirs.create("graft-chi2-spec")
+    val rows = Seq.tabulate(30)(i => (0L, i.toLong, "error")) ++
+      Seq.tabulate(70)(i => (0L, (100 + i).toLong, "view")) ++
+      Seq.tabulate(10)(i => (1L, (200 + i).toLong, "error")) ++
+      Seq.tabulate(90)(i => (1L, (300 + i).toLong, "view"))
+    rows.toDF("user_id", "event_id", "event_type")
+      .withColumn("ts", col("event_id") * 1000000000L)
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.ops.EventOps.abChiSquare(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("c"),
+          r.getAs[Long]("d"), r.getAs[Long]("chi2_ppm"),
+          r.getAs[Int]("significant"))).toMap
+    assert(got("error") == ((30L, 70L, 10L, 90L, 12500000L, 1)), got)
+    // testing the complement outcome is the SAME 2x2 up to row swap —
+    // identical statistic, the classic invariance check
+    assert(got("view") == ((70L, 30L, 90L, 10L, 12500000L, 1)), got)
+  }
+
+  test("kaplan-meier: hand-computed curve with censoring — risk sets, " +
+      "factors and the day-ordered prefix product land exactly") {
+    // 3 signups at day 0; user 1 converts day 1, user 2 day 3, user 3
+    // never (censored at the day-5 observation end):
+    //   day 1: n_risk 3, d 1 → factor 666666, S 666666
+    //   day 3: n_risk 2, d 1 → factor 500000, S 666666·5e5 div 1e6 = 333333
+    val dir = TempDirs.create("graft-km-spec")
+    val day = graft.ops.EventOps.DayNs
+    Seq(
+      (1L, 0L, 1L, "signup", "{\"k\": 1}"),
+      (2L, 0L, 2L, "signup", "{\"k\": 1}"),
+      (3L, 0L, 3L, "signup", "{\"k\": 1}"),
+      (1L, day + day / 2, 4L, "purchase", "{\"k\": 7}"),   // qualifies
+      (2L, 3 * day + 7L, 5L, "purchase", "{\"k\": 14}"),   // qualifies
+      (3L, 2 * day, 6L, "purchase", "{\"k\": 3}"),         // non-qualifying
+      (3L, 5 * day, 7L, "view", "{\"k\": 1}"))
+      .toDF("user_id", "ts", "event_id", "event_type", "props")
+      .withColumn("value", lit(1.0))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.ops.EventOps.kaplanMeier(spark, dir).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("factor_fp"),
+        r.getAs[Long]("surv_fp"))).toSeq
+    assert(got == Seq((1L, 3L, 1L, 666666L, 666666L),
+      (3L, 2L, 1L, 500000L, 333333L)), got)
+  }
+
   test("luhn scan: validator separates crafted valid/invalid 100%/0%, " +
       "agrees with an independent JVM Luhn, redaction is checksum-gated") {
     def jvmLuhn(s: String): Boolean = {
