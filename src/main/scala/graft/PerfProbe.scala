@@ -549,7 +549,11 @@ object PerfProbe {
         // KM grids are day-bounded (events ×K fold into the same days);
         // LPA rounds run over the K-invariant domain graph; chi-square
         // is one count agg + constant-row math
-        "q_survival_km", "q_communities_lpa", "q_ab_chisquare")
+        "q_survival_km", "q_communities_lpa", "q_ab_chisquare",
+        // daily theta folds K× events into the same day grid (sample
+        // tails constant); containment candidates follow the jaccard
+        // join's prefix-bucket growth
+        "q_theta_daily", "q_containment_join")
       // q_hybrid_search is deliberately absent for the q_contamination
       // reason: its semantic leg is probe-set x corpus and BOTH grow with
       // K here, so the ratio would measure the quadratic workload growth,

@@ -148,7 +148,11 @@ object PlanAudit {
       // (checkpointed rounds: per round one edge join + a per-id
       // WindowGroupLimit pick — returned frame is a checkpointed scan)
       // and chi-square (ONE (arm,type) count agg + K-row DECIMAL math)
-      "q_survival_km", "q_communities_lpa", "q_ab_chisquare")
+      "q_survival_km", "q_communities_lpa", "q_ab_chisquare",
+      // daily theta (per-day WindowGroupLimit K-min + sample-bounded
+      // range merge) and containment (one-sided prefix-filter join —
+      // A's rare-prefix buckets probe the full shingle frame)
+      "q_theta_daily", "q_containment_join")
     // q_corpus_pipeline is deliberately NOT audited here: its query-form
     // plan is a trivial read over the staged tables (auditing it would
     // execute the whole 5-stage materialization for nothing — against

@@ -183,6 +183,8 @@ object SparkEntry {
     "q_survival_km"         -> (EventOps.kaplanMeier _),
     "q_communities_lpa"     -> (graft.ops.LinkOps.communitiesLpa _),
     "q_ab_chisquare"        -> (EventOps.abChiSquare _),
+    "q_theta_daily"         -> (graft.ops.ThetaOps.thetaDaily _),
+    "q_containment_join"    -> (SetJoinOps.containmentJoin _),
     "q_bm25_decontam"       -> (RetrievalOps.bm25Decontam _),
     "q_domain_mix"          -> (DomainOps.domainMixTemperature _),
     "q_cdc_chunks"          -> (ChunkOps.cdcChunkStats _),
@@ -3855,6 +3857,70 @@ object SparkEntry {
         |       CAST(CASE WHEN abs(est_common - exact_common) * ${ThetaOps.TolDen}
         |                      <= exact_common * ${ThetaOps.TolNum} THEN 1 ELSE 0 END AS INTEGER) AS common_ok
         |FROM tst""".stripMargin,
+    // directional containment: brute-force ordered-pair replay —
+    // completeness proof for the one-sided prefix filter
+    "q_containment_join" ->
+      s"""WITH tok AS (
+        |    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens
+        |    FROM documents
+        |), csh AS (
+        |    SELECT doc_id, unnest(list_distinct(list_transform(
+        |               range(1, len(tokens) - 1),
+        |               i -> array_to_string(tokens[i:i+2], ' ')))) AS sh
+        |    FROM tok WHERE len(tokens) >= 3
+        |), csz AS (
+        |    SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM csh GROUP BY 1
+        |), cov AS (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |           CAST(count(*) AS BIGINT) AS overlap
+        |    FROM csh a JOIN csh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        |    GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, za.sz AS size_a, zb.sz AS size_b, overlap,
+        |       CAST(overlap * 1000000 // za.sz AS BIGINT) AS containment_ppm
+        |FROM cov
+        |JOIN csz za ON za.doc_id = cov.doc_a
+        |JOIN csz zb ON zb.doc_id = cov.doc_b
+        |WHERE ${SetJoinOps.ConDen} * overlap >= ${SetJoinOps.ConNum} * za.sz
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // daily theta rollup: per-day K-min samples + the range estimate
+    // from MERGED samples (day = -1 row) — replayed value for value
+    "q_theta_daily" ->
+      s"""WITH tdk AS (
+        |    SELECT DISTINCT CAST(epoch_ns(ts) // 86400000000000 AS VARCHAR)
+        |               AS tag,
+        |           ('0x' || substr(md5(concat(
+        |               CAST(user_id AS VARCHAR), ':',
+        |               CAST((epoch_ns(ts) % 86400000000000) // 60000000000
+        |                    AS VARCHAR))), 1,
+        |               ${ThetaOps.HashHexChars}))::BIGINT + 1 AS hv
+        |    FROM events
+        |), tds AS (
+        |    SELECT tag, hv FROM (
+        |        SELECT tag, hv,
+        |               row_number() OVER (PARTITION BY tag ORDER BY hv) AS rn
+        |        FROM tdk) WHERE rn <= ${ThetaOps.K}
+        |), tdp AS (
+        |    SELECT CAST(tag AS BIGINT) AS day, MAX(hv) AS theta,
+        |           CAST(COUNT(*) AS BIGINT) AS cnt
+        |    FROM tds GROUP BY 1
+        |), tdr AS (
+        |    SELECT CAST(-1 AS BIGINT) AS day, MAX(hv) AS theta,
+        |           CAST(COUNT(*) AS BIGINT) AS cnt
+        |    FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+        |          FROM (SELECT DISTINCT hv FROM tds
+        |                WHERE CAST(tag AS BIGINT) >= ${ThetaOps.DailyRangeLo}
+        |                  AND CAST(tag AS BIGINT) < ${ThetaOps.DailyRangeHi}))
+        |    WHERE rn <= ${ThetaOps.K}
+        |), tdu AS (
+        |    SELECT day, cnt, theta FROM tdp
+        |    UNION ALL SELECT day, cnt, theta FROM tdr
+        |)
+        |SELECT day, cnt, theta,
+        |       CAST(CASE WHEN cnt < ${ThetaOps.K} THEN cnt
+        |                 ELSE ${(ThetaOps.K - 1).toLong * ThetaOps.M} // theta
+        |            END AS BIGINT) AS est
+        |FROM tdu ORDER BY day""".stripMargin,
     // Pearson chi-square per event type: exact rational through HUGEINT,
     // cross-multiplied 3.841 significance verdict — no float anywhere
     "q_ab_chisquare" ->

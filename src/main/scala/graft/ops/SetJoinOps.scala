@@ -118,6 +118,67 @@ object SetJoinOps {
     jaccardPairs(docShingles(t(s, d, "documents")))
       .orderBy("doc_a", "doc_b")
 
+  /** Containment threshold t = ConNum/ConDen. */
+  val ConNum = 8
+  val ConDen = 10
+
+  /** DIRECTIONAL containment join: all ordered pairs (a → b, a ≠ b) with
+    * |A∩B| ≥ t·|A| — Broder's asymmetric resemblance complement: Jaccard
+    * misses "a is quoted inside the much larger b" (the union denominator
+    * drowns it); containment is exactly the quote/subset-duplication
+    * signal. Prefix filtering adapts one-sided: if the overlap is
+    * ≥ ceil(t·|A|), the global-order-minimum common shingle sits in A's
+    * first |A| − ceil(t·|A|) + 1 rarest shingles, so candidates = A's
+    * containment prefix joined against the FULL shingle frame (only the
+    * probe side can be prefix-filtered — the containee's size gives no
+    * bound on the container). Verification on candidates alone; exact
+    * integer threshold (den·o ≥ num·|A|), emitted in ppm.
+    *
+    * Scale note: the prefix×full join is bounded by the rarest-first
+    * order exactly as in [[jaccardPairs]] — A's prefix shingles are the
+    * low-df buckets — but high-df shingles on the FULL side make this
+    * inherently heavier than the symmetric join; the standard production
+    * mitigation (df cap on the full side with a verification fall-back)
+    * is orthogonal and not needed at fixture scale.
+    */
+  def containmentPairs(sh0: DataFrame): DataFrame = {
+    val sh = PlanCache.swap("setjoin_shingles_cont", sh0)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val freq = freqOf(sh)
+    val prefix = sh.join(freq, Seq("sh"), "left")
+      .withColumn("df0", coalesce(col("df"), lit(0L)))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df0").asc, col("sh").asc)))
+      .join(sizes, "doc_id")
+      .where(col("rnk") <= col("sz") -
+        expr(s"($ConNum * sz + ${ConDen - 1}) div $ConDen") + lit(1))
+      .select(col("doc_id"), col("sh"))
+    val cands = prefix.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val overlaps = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("overlap"))
+    overlaps
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("size_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("size_b")),
+        Seq("doc_b"))
+      .where(lit(ConDen) * col("overlap") >= lit(ConNum) * col("size_a"))
+      .select(col("doc_a"), col("doc_b"), col("size_a"), col("size_b"),
+        col("overlap"),
+        expr("overlap * 1000000L div size_a").as("containment_ppm"))
+  }
+
+  /** Gate `q_containment_join`: brute-force oracle — completeness proof
+    * for the one-sided prefix filter, like the symmetric gate.
+    */
+  def containmentJoin(s: SparkSession, d: String): DataFrame =
+    containmentPairs(docShingles(t(s, d, "documents")))
+      .orderBy("doc_a", "doc_b")
+
   // ---- incremental lifecycle: frozen-order stored index ----
   //
   // The corpus signs once (shingles + sizes + the FROZEN frequency order

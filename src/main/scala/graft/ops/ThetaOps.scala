@@ -152,6 +152,50 @@ object ThetaOps {
       .orderBy("tag")
   }
 
+  /** Day-range for the [[thetaDaily]] merged estimate. */
+  val DailyRangeLo = 10L
+  val DailyRangeHi = 20L
+  private val DayNs = 86400000000000L
+  private val MinuteNs = 60000000000L
+
+  /** Time-partitioned sketch rollup — the production pattern KMV
+    * mergeability exists for: per-DAY samples of a distinct universe
+    * (active user-minutes) land as day rows, and an arbitrary DATE-RANGE
+    * distinct estimate comes from MERGING the per-day samples alone
+    * (K smallest of their union) — the events table is never rescanned
+    * for the range, which at 100 TB is the difference between answering
+    * "distinct actives for any date range" from day-partitioned
+    * K-row samples and re-shuffling a quarter's raw events per question.
+    * The range row rides with day = −1; every estimate replays exactly
+    * (the cross-engine md5 fold). The per-day K-min is one
+    * WindowGroupLimit over the (day, hv) distinct set; the range merge
+    * touches ≤ K·days rows.
+    */
+  def thetaDaily(s: SparkSession, d: String): DataFrame = {
+    val keys = t(s, d, "events").select(
+      expr(s"ts div $DayNs").cast("string").as("tag"),
+      concat_ws(":", col("user_id"),
+        expr(s"(ts % $DayNs) div $MinuteNs")).as("k"))
+    val hvs = PlanCache.swap(s"theta-daily-$d",
+      keys.select(col("tag"), hvOf(col("k")).as("hv")).distinct())
+    val samp = kMin(hvs)
+    val perDay = samp.groupBy("tag")
+      .agg(max("hv").as("theta"), count(lit(1)).as("cnt"))
+      .withColumn("est", estCol("cnt", "theta"))
+      .select(col("tag").cast("long").as("day"), col("cnt"),
+        col("theta"), col("est"))
+    val range = samp
+      .filter(col("tag").cast("long") >= DailyRangeLo &&
+        col("tag").cast("long") < DailyRangeHi)
+      .select("hv").distinct()
+      .withColumn("rn", row_number().over(Window.orderBy("hv")))
+      .filter(col("rn") <= K)
+      .agg(max("hv").as("theta"), count(lit(1)).as("cnt"))
+      .withColumn("est", estCol("cnt", "theta"))
+      .select(lit(-1L).as("day"), col("cnt"), col("theta"), col("est"))
+    perDay.unionByName(range).orderBy("day")
+  }
+
   /** Gate `q_theta_sketch`: KMV estimates vs exact counts for A = orders
     * with a returned line (l_returnflag 'R'), B = orders with an 'A'
     * line, their union and their intersection — one row, every column

@@ -134,4 +134,39 @@ class SetJoinOpsSpec extends SparkSpec {
     assert(engine == brute(sh))
     assert(engine.nonEmpty)
   }
+
+  test("containment is directional: the quoted-inside case Jaccard " +
+      "misses, and the one-sided prefix filter stays complete") {
+    // A's 2 shingles both inside B's 4: C(A→B)=1.0, C(B→A)=0.5,
+    // J(A,B)=0.5 < 0.6 — invisible to the symmetric join
+    val sets = setsOf(Map(
+      1L -> Seq("s1", "s2"),
+      2L -> Seq("s1", "s2", "s3", "s4"),
+      3L -> Seq("x1", "x2")))
+    val got = SetJoinOps.containmentPairs(sets).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+        -> r.getAs[Long]("containment_ppm")).toMap
+    assert(got == Map((1L, 2L) -> 1000000L), got)
+    assert(SetJoinOps.jaccardPairs(sets).count() == 0,
+      "the motivating pair must be invisible to the symmetric join")
+    // completeness on the fixture: engine == brute force (ordered pairs)
+    val sh = SetJoinOps.docShingles(Tables.t(spark, sf, "documents"))
+    val engine = SetJoinOps.containmentPairs(sh)
+      .select("doc_a", "doc_b", "overlap")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val bruteC = sh.as("a").join(sh.as("b"), Seq("sh"))
+      .where(col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("overlap"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("size_a")),
+        Seq("doc_a"))
+      .where(lit(SetJoinOps.ConDen) * col("overlap") >=
+        lit(SetJoinOps.ConNum) * col("size_a"))
+      .select("doc_a", "doc_b", "overlap")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(engine == bruteC && engine.nonEmpty)
+  }
 }

@@ -92,6 +92,30 @@ class ThetaOpsSpec extends SparkSpec {
     assert(est.keySet == Set("R", "A") && est.values.forall(_ > 0))
   }
 
+  test("daily rollup: the range row equals a from-scratch range sketch " +
+      "(merging per-day samples loses nothing) and days cover the span") {
+    val rows = ThetaOps.thetaDaily(spark, sf).collect()
+    val days = rows.map(_.getAs[Long]("day")).filter(_ >= 0)
+    assert(days.nonEmpty && days.distinct.length == days.length)
+    val rangeRow = rows.find(_.getAs[Long]("day") == -1L).get
+    // recompute the range estimate directly from the raw per-day keys —
+    // the merge law instantiated on this operator
+    val direct = Tables.t(spark, sf, "events")
+      .select(expr("ts div 86400000000000").as("day"),
+        concat_ws(":", col("user_id"),
+          expr("(ts % 86400000000000) div 60000000000")).as("k"))
+      .filter(col("day") >= ThetaOps.DailyRangeLo &&
+        col("day") < ThetaOps.DailyRangeHi)
+      .select(lit("r").as("tag"), ThetaOps.hvOf(col("k")).as("hv"))
+      .distinct()
+    val ds = ThetaOps.kMin(direct)
+      .agg(max("hv").as("theta"), count(lit(1)).as("cnt")).head()
+    assert(rangeRow.getAs[Long]("theta") == ds.getAs[Long]("theta")
+      && rangeRow.getAs[Long]("cnt") == ds.getAs[Long]("cnt"),
+      s"merged-range sample must equal the direct range sketch: " +
+        s"$rangeRow vs $ds")
+  }
+
   test("hash is the documented 48-bit md5 fold (cross-engine contract)") {
     val got = spark.range(1).select(ThetaOps.hvOf(lit(42L)))
       .head.getLong(0)
