@@ -185,6 +185,9 @@ object SparkEntry {
     "q_ab_chisquare"        -> (EventOps.abChiSquare _),
     "q_theta_daily"         -> (graft.ops.ThetaOps.thetaDaily _),
     "q_containment_join"    -> (SetJoinOps.containmentJoin _),
+    "q_ols_trend"           -> (graft.ops.TimeSeriesOps.olsTrend _),
+    "q_cusum_changepoint"   -> (graft.ops.TimeSeriesOps.cusumChangepoint _),
+    "q_ewma_smooth"         -> (graft.ops.TimeSeriesOps.ewmaSmooth _),
     "q_bm25_decontam"       -> (RetrievalOps.bm25Decontam _),
     "q_domain_mix"          -> (DomainOps.domainMixTemperature _),
     "q_cdc_chunks"          -> (ChunkOps.cdcChunkStats _),
@@ -4928,6 +4931,127 @@ object SparkEntry {
     // incremental maintenance (q_outlier_mad_incremental).
     "q_outlier_mad" -> madOracleSql,
     "q_outlier_mad_incremental" -> madOracleSql,
+    // OLS trend: exact rational slope/intercept through HUGEINT, signs
+    // split before the truncating division (negative `//` conventions
+    // are not cross-engine portable)
+    "q_ols_trend" ->
+      s"""WITH olm AS (
+        |    SELECT r.r_name,
+        |           (date_part('year', o.o_orderdate) - 1995) * 12
+        |             + date_part('month', o.o_orderdate) - 1 AS mx,
+        |           SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS y
+        |    FROM orders o
+        |    JOIN customer c ON c.c_custkey = o.o_custkey
+        |    JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |    JOIN region r ON r.r_regionkey = n.n_regionkey
+        |    GROUP BY 1, 2
+        |), ols AS (
+        |    SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n,
+        |           CAST(SUM(mx) AS BIGINT) AS sx, SUM(y) AS sy,
+        |           CAST(SUM(mx * mx) AS BIGINT) AS sxx,
+        |           SUM(CAST(mx AS HUGEINT) * y) AS sxy
+        |    FROM olm GROUP BY 1
+        |), olv AS (
+        |    SELECT r_name, n AS n_months,
+        |           CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |               AS s_num,
+        |           CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy
+        |               AS i_num,
+        |           CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |               AS den
+        |    FROM ols
+        |)
+        |SELECT r_name, n_months,
+        |       CAST(CASE WHEN s_num < 0
+        |                 THEN -((-s_num * ${TimeSeriesOps.OlsScale}) // den)
+        |                 ELSE (s_num * ${TimeSeriesOps.OlsScale}) // den
+        |            END AS BIGINT) AS slope_micro_cents,
+        |       CAST(CASE WHEN i_num < 0
+        |                 THEN -((-i_num * ${TimeSeriesOps.OlsScale}) // den)
+        |                 ELSE (i_num * ${TimeSeriesOps.OlsScale}) // den
+        |            END AS BIGINT) AS intercept_micro_cents
+        |FROM olv ORDER BY r_name""".stripMargin,
+    // CUSUM: the nonlinear max(0, ·) recurrence replayed as the same
+    // explicit day-order fold (list_reduce over a prepended init)
+    "q_cusum_changepoint" ->
+      s"""WITH cde AS (
+        |    SELECT event_type, epoch_ns(ts) // ${EventOps.DayNs} AS day,
+        |           CAST(COUNT(*) AS BIGINT) AS cnt
+        |    FROM events GROUP BY 1, 2
+        |), cgr AS (
+        |    SELECT event_type, unnest(range(mn, mx + 1)) AS day
+        |    FROM (SELECT event_type, min(day) AS mn, max(day) AS mx
+        |          FROM cde GROUP BY 1)
+        |), cda AS (
+        |    SELECT g.event_type, g.day,
+        |           CAST(coalesce(e.cnt, 0) AS BIGINT) AS cnt
+        |    FROM cgr g LEFT JOIN cde e USING (event_type, day)
+        |), crf AS (
+        |    SELECT event_type, CAST(SUM(cnt) // COUNT(*) AS BIGINT) AS k
+        |    FROM cda GROUP BY 1
+        |), crk AS (
+        |    SELECT event_type, day, cnt,
+        |           CAST(row_number() OVER (PARTITION BY event_type
+        |               ORDER BY day) AS INTEGER) AS rn
+        |    FROM cda
+        |), car AS (
+        |    SELECT event_type, list(cnt ORDER BY day) AS xs
+        |    FROM cda GROUP BY 1
+        |)
+        |SELECT r.event_type, r.day, r.cnt, f.k,
+        |       CAST(list_reduce(
+        |           list_prepend(CAST(0 AS BIGINT), list_slice(a.xs, 1, r.rn)),
+        |           (acc, x) -> greatest(CAST(0 AS BIGINT), acc + x - f.k))
+        |           AS BIGINT) AS cusum_hi,
+        |       CAST(list_reduce(
+        |           list_prepend(CAST(0 AS BIGINT), list_slice(a.xs, 1, r.rn)),
+        |           (acc, x) -> greatest(CAST(0 AS BIGINT), acc + f.k - x))
+        |           AS BIGINT) AS cusum_lo,
+        |       CAST(CASE WHEN cusum_hi > ${TimeSeriesOps.CusumH} * f.k
+        |            THEN 1 ELSE 0 END AS INTEGER) AS alarm_hi,
+        |       CAST(CASE WHEN cusum_lo > ${TimeSeriesOps.CusumH} * f.k
+        |            THEN 1 ELSE 0 END AS INTEGER) AS alarm_lo
+        |FROM crk r JOIN car a USING (event_type) JOIN crf f USING (event_type)
+        |ORDER BY event_type, day""".stripMargin,
+    // EWMA: seeded fixed-point fold, each level truncating once in day
+    // order; resid = one-step-ahead error off the predecessor fold
+    "q_ewma_smooth" -> {
+      def lvl(upTo: String) =
+        s"list_reduce(list_prepend(a.xs[1] * ${TimeSeriesOps.EwmaScale}, " +
+          s"list_slice(a.xs, 2, $upTo)), " +
+          s"(acc, x) -> (${TimeSeriesOps.EwmaNum} * x * " +
+          s"${TimeSeriesOps.EwmaScale} + " +
+          s"${TimeSeriesOps.EwmaDen - TimeSeriesOps.EwmaNum} * acc) " +
+          s"// ${TimeSeriesOps.EwmaDen})"
+      s"""WITH cde AS (
+        |    SELECT event_type, epoch_ns(ts) // ${EventOps.DayNs} AS day,
+        |           CAST(COUNT(*) AS BIGINT) AS cnt
+        |    FROM events GROUP BY 1, 2
+        |), cgr AS (
+        |    SELECT event_type, unnest(range(mn, mx + 1)) AS day
+        |    FROM (SELECT event_type, min(day) AS mn, max(day) AS mx
+        |          FROM cde GROUP BY 1)
+        |), cda AS (
+        |    SELECT g.event_type, g.day,
+        |           CAST(coalesce(e.cnt, 0) AS BIGINT) AS cnt
+        |    FROM cgr g LEFT JOIN cde e USING (event_type, day)
+        |), crk AS (
+        |    SELECT event_type, day, cnt,
+        |           CAST(row_number() OVER (PARTITION BY event_type
+        |               ORDER BY day) AS INTEGER) AS rn
+        |    FROM cda
+        |), car AS (
+        |    SELECT event_type, list(cnt ORDER BY day) AS xs
+        |    FROM cda GROUP BY 1
+        |)
+        |SELECT r.event_type, r.day, r.cnt,
+        |       CAST(${lvl("r.rn")} AS BIGINT) AS level_fp,
+        |       CAST(CASE WHEN r.rn = 1 THEN 0
+        |            ELSE r.cnt * ${TimeSeriesOps.EwmaScale}
+        |                 - ${lvl("r.rn - 1")} END AS BIGINT) AS resid_fp
+        |FROM crk r JOIN car a USING (event_type)
+        |ORDER BY event_type, day""".stripMargin
+    },
   ) ++ lateOracleSql
 
   /** Fresh raw-row MAD replay (shared by both outlier gates). */

@@ -216,4 +216,188 @@ object TimeSeriesOps {
     appendValueHistogram(s, ev.where(col("ts") >= thr))
     madFromHistogram(s).orderBy("event_type")
   }
+
+  // ------------------------------------------------------- trend / drift
+
+  /** OLS fixed-point scale: slope/intercept emitted in micro-units. */
+  val OlsScale = 1000000L
+
+  /** Closed-form least-squares trend per region over monthly revenue —
+    * the metrics-pipeline "is this KPI growing" primitive, as an EXACT
+    * rational: x = months since 1995-01 (integer), y = monthly revenue
+    * cents (exact sum over `round(o_totalprice*100)` longs), and
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+    *
+    * through DECIMAL(38) products (at 100 TB, Σy cents ≈ 10¹⁷ and the
+    * cross products reach ~10²² — past Long, inside DECIMAL(38), the
+    * chi-square precedent; DuckDB replays through HUGEINT). Signs are
+    * SPLIT before the integral division — slope can be negative, and the
+    * two engines' `div`/`//` truncation conventions are only guaranteed
+    * to agree on non-negative operands — so both divide |num|·scale by
+    * the (always ≥ 0) denominator and re-apply the sign.
+    *
+    * Scale shape: one orders⨝customer key shuffle (customer is data-sized
+    * at 100 TB — no broadcast), nation/region broadcast; then ONE
+    * (region, month) aggregation (map-side combined) and the OLS sums on
+    * the grid-sized monthly frame. Nothing downstream of the first agg
+    * sees row volume.
+    */
+  def olsTrend(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables.t
+    val monthly = t(s, d, "orders")
+      .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .withColumn("mx",
+        ((year(col("o_orderdate")) - 1995) * 12 +
+          month(col("o_orderdate")) - 1).cast("long"))
+      .join(t(s, d, "customer").select(
+        col("c_custkey").as("o_custkey"), col("c_nationkey")), "o_custkey")
+      .join(broadcast(t(s, d, "nation").select(
+        col("n_nationkey").as("c_nationkey"), col("n_regionkey"))),
+        "c_nationkey")
+      .join(broadcast(t(s, d, "region").select(
+        col("r_regionkey").as("n_regionkey"), col("r_name"))), "n_regionkey")
+      .groupBy("r_name", "mx").agg(sum("cents").as("y"))
+    olsFit(monthly)
+  }
+
+  /** The closed-form fit over a `(r_name, mx, y)` points frame — the
+    * arithmetic core of [[olsTrend]], separable so specs pin exact
+    * slopes (incl. the negative-slope sign split) on crafted points.
+    */
+  def olsFit(monthly: DataFrame): DataFrame = {
+    val sums = monthly.groupBy("r_name").agg(
+      count(lit(1)).as("n"), sum("mx").as("sx"), sum("y").as("sy"),
+      sum(expr("mx * mx")).as("sxx"),
+      sum(expr("CAST(mx AS DECIMAL(38,0)) * y")).as("sxy"))
+    sums.select(col("r_name"), col("n").as("n_months"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy")
+          .as("s_num"),
+        expr("CAST(sy AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sxy")
+          .as("i_num"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx")
+          .as("den"))
+      .select(col("r_name"), col("n_months"),
+        expr(s"CAST(CASE WHEN s_num < 0 THEN -((-s_num * $OlsScale) div den) " +
+          s"ELSE (s_num * $OlsScale) div den END AS BIGINT)")
+          .as("slope_micro_cents"),
+        expr(s"CAST(CASE WHEN i_num < 0 THEN -((-i_num * $OlsScale) div den) " +
+          s"ELSE (i_num * $OlsScale) div den END AS BIGINT)")
+          .as("intercept_micro_cents"))
+      .orderBy("r_name")
+  }
+
+  /** CUSUM drift parameters: reference = per-type mean daily count
+    * (exact integer `total div days`); alarm when the one-sided sum
+    * crosses [[CusumH]] × reference.
+    */
+  val CusumH = 2L
+
+  /** Page's CUSUM changepoint statistic (Page 1954) over per-type daily
+    * event counts — the sequential drift detector a metrics pipeline
+    * runs where MAD answers "is this point an outlier" and CUSUM answers
+    * "did the LEVEL shift": S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (xᵢ − k)) and the
+    * mirrored S⁻ᵢ = max(0, S⁻ᵢ₋₁ + (k − xᵢ)), k = the per-type mean
+    * daily count. The recurrence is nonlinear (the max(0,·) clamp), so
+    * it is NOT a prefix sum — both engines run the EXPLICIT day-order
+    * fold (`aggregate(slice(...))` ≡ `list_reduce(list_prepend(...))`,
+    * the Kaplan-Meier posture), exact integers end to end.
+    *
+    * Scale shape: ONE (type, day) count aggregation (map-side combined)
+    * off the events scan; the grid is densified over each type's own
+    * day span (gapfill posture — missing days count 0, which is exactly
+    * the drift a changepoint detector must see); folds run on the
+    * DAY-GRID-bounded per-type arrays, never on event rows. O(G²) slice
+    * folds on a G≈days grid is grid math, not data math.
+    */
+  def cusumChangepoint(s: SparkSession, d: String): DataFrame =
+    cusumStats(denseDaily(graft.Tables.t(s, d, "events")))
+      .orderBy("event_type", "day")
+
+  /** Per-type daily counts densified over each type's own day span
+    * (missing days are 0-count rows — the drift a detector must see).
+    */
+  def denseDaily(events: DataFrame): DataFrame = {
+    val daily0 = events
+      .select(col("event_type"), expr(s"ts div ${EventOps.DayNs}").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+    val grid = daily0.groupBy("event_type")
+      .agg(min("day").as("mn"), max("day").as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"))).as("day"))
+    grid.join(daily0, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** The fold core of [[cusumChangepoint]] over a dense
+    * `(event_type, day, cnt)` frame.
+    */
+  def cusumStats(daily: DataFrame): DataFrame = {
+    val ref = daily.groupBy("event_type").agg(
+      expr("sum(cnt) div count(1)").as("k"))
+    val wt = Window.partitionBy("event_type").orderBy("day")
+    val ranked = daily.withColumn("rn", row_number().over(wt))
+    val arrs = ranked.groupBy("event_type").agg(expr(
+      "transform(array_sort(collect_list(struct(day, cnt))), e -> e.cnt)")
+      .as("xs"))
+    ranked.join(arrs, "event_type").join(broadcast(ref), "event_type")
+      .withColumn("cusum_hi", expr(
+        "aggregate(slice(xs, 1, rn), 0L, " +
+          "(acc, x) -> greatest(0L, acc + x - k))"))
+      .withColumn("cusum_lo", expr(
+        "aggregate(slice(xs, 1, rn), 0L, " +
+          "(acc, x) -> greatest(0L, acc + k - x))"))
+      .select(col("event_type"), col("day"), col("cnt"), col("k"),
+        col("cusum_hi"), col("cusum_lo"),
+        (col("cusum_hi") > lit(CusumH) * col("k")).cast("int").as("alarm_hi"),
+        (col("cusum_lo") > lit(CusumH) * col("k")).cast("int").as("alarm_lo"))
+  }
+
+  /** EWMA fixed-point scale and the α = [[EwmaNum]]/[[EwmaDen]] = 0.3
+    * smoothing weight.
+    */
+  val EwmaScale = 1000000L
+  val EwmaNum = 3L
+  val EwmaDen = 10L
+
+  /** Exponentially-weighted moving average over per-type daily counts,
+    * in [[EwmaScale]] fixed point — the smoother/forecaster leg next to
+    * CUSUM's detector: levelᵢ = (3·xᵢ·S + 7·levelᵢ₋₁) div 10, seeded at
+    * level₁ = x₁·S, plus the one-step-ahead residual
+    * residᵢ = xᵢ·S − levelᵢ₋₁ (the anomaly signal; 0 at the seed). Each
+    * level truncates ONCE per day in day order — the same explicit
+    * nonassociative fold discipline as [[cusumChangepoint]], replayed by
+    * DuckDB over the identical prepended-init list_reduce. All operands
+    * stay non-negative, so the two engines' truncating divisions agree.
+    *
+    * Scale shape: identical to CUSUM — one (type, day) count agg, dense
+    * grid, per-type day-grid-bounded arrays; two slice folds per grid
+    * row (level and its predecessor), still grid math.
+    */
+  def ewmaSmooth(s: SparkSession, d: String): DataFrame =
+    ewmaLevels(denseDaily(graft.Tables.t(s, d, "events")))
+      .orderBy("event_type", "day")
+
+  /** The fold core of [[ewmaSmooth]] over a dense
+    * `(event_type, day, cnt)` frame.
+    */
+  def ewmaLevels(daily: DataFrame): DataFrame = {
+    val wt = Window.partitionBy("event_type").orderBy("day")
+    val ranked = daily.withColumn("rn", row_number().over(wt))
+    val arrs = ranked.groupBy("event_type").agg(expr(
+      "transform(array_sort(collect_list(struct(day, cnt))), e -> e.cnt)")
+      .as("xs"))
+    def level(upTo: String) = // fold elements 2..upTo from the x₁ seed
+      s"aggregate(slice(xs, 2, $upTo - 1), element_at(xs, 1) * $EwmaScale, " +
+        s"(acc, x) -> ($EwmaNum * x * $EwmaScale + " +
+        s"(${EwmaDen - EwmaNum}) * acc) div $EwmaDen)"
+    ranked.join(arrs, "event_type")
+      .withColumn("level_fp", expr(level("rn")))
+      .withColumn("resid_fp", expr(
+        s"CASE WHEN rn = 1 THEN 0L " +
+          s"ELSE cnt * $EwmaScale - ${level("(rn - 1)")} END"))
+      .select("event_type", "day", "cnt", "level_fp", "resid_fp")
+  }
 }

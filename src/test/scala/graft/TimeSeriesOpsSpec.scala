@@ -139,4 +139,68 @@ class TimeSeriesOpsSpec extends SparkSpec {
       (1L, 3L, 3L, 3.0), (1L, 4L, 4L, 4.0)))
     assert(df.head.getAs[Long]("med_cents") === 200L)
   }
+
+  private def monthly(rows: (String, Long, Long)*) =
+    rows.toDF("r_name", "mx", "y")
+
+  test("OLS: exact fits, positive and negative slope (sign split)") {
+    val df = TimeSeriesOps.olsFit(monthly(
+      ("A", 0L, 1L), ("A", 1L, 3L), ("A", 2L, 5L), // y = 2x + 1
+      ("B", 0L, 10L), ("B", 1L, 7L), ("B", 2L, 4L))) // y = -3x + 10
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(df === Array(
+      ("A", 3L, 2000000L, 1000000L),
+      ("B", 3L, -3000000L, 10000000L)))
+  }
+
+  test("OLS: non-exact fit truncates toward zero on both signs") {
+    // (0,0),(1,1),(2,1): den=6, s_num=3 -> 500000; i_num=1 -> 166666
+    // (0,1),(1,1),(2,0): s_num=-3 -> -500000; i_num=7 -> 1166666
+    val df = TimeSeriesOps.olsFit(monthly(
+      ("U", 0L, 0L), ("U", 1L, 1L), ("U", 2L, 1L),
+      ("D", 0L, 1L), ("D", 1L, 1L), ("D", 2L, 0L)))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(df === Array(("D", -500000L, 1166666L), ("U", 500000L, 166666L)))
+  }
+
+  private def daily(rows: (String, Long, Long)*) =
+    rows.toDF("event_type", "day", "cnt")
+
+  test("CUSUM: hand-traced clamped folds and the threshold alarm") {
+    // counts [0,0,45,45], k = 90 div 4 = 22
+    // hi: 0,0,23,46 (46 > 2k=44 -> alarm); lo: 22,44,21,0 (44 not > 44)
+    val got = TimeSeriesOps.cusumStats(daily(
+      ("t", 0L, 0L), ("t", 1L, 0L), ("t", 2L, 45L), ("t", 3L, 45L)))
+      .orderBy("day")
+      .collect().map(r => (r.getAs[Long]("cusum_hi"), r.getAs[Long]("cusum_lo"),
+        r.getAs[Int]("alarm_hi"), r.getAs[Int]("alarm_lo")))
+    assert(got === Array((0L, 22L, 0, 0), (0L, 44L, 0, 0),
+      (23L, 21L, 0, 0), (46L, 0L, 1, 0)))
+  }
+
+  test("denseDaily: missing days land as 0-count rows, per type's own span") {
+    val events = Seq(
+      (1L, 0L, 1L, "x", 1.0), (2L, 2 * 86400000000000L, 1L, "x", 1.0),
+      (3L, 5 * 86400000000000L, 1L, "y", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = TimeSeriesOps.denseDaily(events).orderBy("event_type", "day")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got === Array(("x", 0L, 1L), ("x", 1L, 0L), ("x", 2L, 1L),
+      ("y", 5L, 1L)))
+  }
+
+  test("EWMA: seeded fold, per-step truncation, one-step-ahead residual") {
+    // [10,20,40]: L1=10e6, L2=(60e6+70e6)/10=13e6, L3=(120e6+91e6)/10
+    val a = TimeSeriesOps.ewmaLevels(daily(
+      ("e", 0L, 10L), ("e", 1L, 20L), ("e", 2L, 40L))).orderBy("day")
+      .collect().map(r => (r.getAs[Long]("level_fp"), r.getAs[Long]("resid_fp")))
+    assert(a === Array((10000000L, 0L), (13000000L, 10000000L),
+      (21100000L, 27000000L)))
+    // truncating step: [1,2,4] -> L2=1300000, L3=(12e6+9.1e6)/10=2110000
+    val b = TimeSeriesOps.ewmaLevels(daily(
+      ("e", 0L, 1L), ("e", 1L, 2L), ("e", 2L, 4L))).orderBy("day")
+      .collect().map(_.getAs[Long]("level_fp"))
+    assert(b === Array(1000000L, 1300000L, 2110000L))
+  }
 }
