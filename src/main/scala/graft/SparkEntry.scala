@@ -188,6 +188,9 @@ object SparkEntry {
     "q_ols_trend"           -> (graft.ops.TimeSeriesOps.olsTrend _),
     "q_cusum_changepoint"   -> (graft.ops.TimeSeriesOps.cusumChangepoint _),
     "q_ewma_smooth"         -> (graft.ops.TimeSeriesOps.ewmaSmooth _),
+    "q_assoc_rules"         -> (BasketOps.assocRules _),
+    "q_skyline"             -> (SkylineOps.skylineParts _),
+    "q_attribution_linear"  -> (EventOps.attributionLinear _),
     "q_bm25_decontam"       -> (RetrievalOps.bm25Decontam _),
     "q_domain_mix"          -> (DomainOps.domainMixTemperature _),
     "q_cdc_chunks"          -> (ChunkOps.cdcChunkStats _),
@@ -5052,6 +5055,89 @@ object SparkEntry {
         |FROM crk r JOIN car a USING (event_type)
         |ORDER BY event_type, day""".stripMargin
     },
+    // association rules: supports as order counts, confidence/lift as
+    // exact ppm rationals through HUGEINT
+    "q_assoc_rules" ->
+      s"""WITH abk AS (
+        |    SELECT DISTINCT l.l_orderkey, p.p_brand
+        |    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |), anb AS (
+        |    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM abk
+        |), asi AS (
+        |    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS supp
+        |    FROM abk GROUP BY 1
+        |), apr AS (
+        |    SELECT a.p_brand AS ante, b.p_brand AS cons,
+        |           CAST(COUNT(*) AS BIGINT) AS supp_pair
+        |    FROM abk a JOIN abk b ON a.l_orderkey = b.l_orderkey
+        |                         AND a.p_brand < b.p_brand
+        |    GROUP BY 1, 2 HAVING COUNT(*) >= ${BasketOps.MinSupp}
+        |), aru AS (
+        |    SELECT ante, cons, supp_pair FROM apr
+        |    UNION ALL SELECT cons, ante, supp_pair FROM apr
+        |)
+        |SELECT r.ante, r.cons, r.supp_pair,
+        |       sa.supp AS supp_ante, sc.supp AS supp_cons,
+        |       CAST((r.supp_pair * ${BasketOps.Ppm}) // sa.supp AS BIGINT)
+        |           AS conf_ppm,
+        |       CAST((CAST(r.supp_pair AS HUGEINT) * anb.n * ${BasketOps.Ppm})
+        |            // (CAST(sa.supp AS HUGEINT) * sc.supp) AS BIGINT)
+        |           AS lift_ppm
+        |FROM aru r
+        |JOIN asi sa ON sa.p_brand = r.ante
+        |JOIN asi sc ON sc.p_brand = r.cons, anb
+        |ORDER BY ante, cons""".stripMargin,
+    // 2-D skyline: sort-based rendering — two RANGE-framed running
+    // maxima over the price order replace the all-pairs dominance join
+    "q_skyline" ->
+      s"""WITH ssp AS (
+        |    SELECT p_type, p_partkey,
+        |           CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+        |           p_size
+        |    FROM part
+        |), ssw AS (
+        |    SELECT *,
+        |           max(p_size) OVER (PARTITION BY p_type ORDER BY price_cents
+        |               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |               AS mx_strict,
+        |           max(p_size) OVER (PARTITION BY p_type ORDER BY price_cents
+        |               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               AS mx_incl
+        |    FROM ssp
+        |)
+        |SELECT p_type, p_partkey, price_cents, p_size
+        |FROM ssw
+        |WHERE coalesce(mx_strict < p_size, TRUE) AND NOT (mx_incl > p_size)
+        |ORDER BY p_type, p_partkey""".stripMargin,
+    // linear multi-touch attribution: equal split in micro-cents, the
+    // division remainder pinned to the most recent click (conservation)
+    "q_attribution_linear" ->
+      s"""WITH apu AS (
+        |    SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS pts,
+        |           CAST(round(value * 100) AS BIGINT) * ${EventOps.AttribScale}
+        |               AS credit_total
+        |    FROM events WHERE event_type = 'purchase'
+        |), acl AS (
+        |    SELECT event_id AS click_id, user_id AS c_user, epoch_ns(ts) AS cts
+        |    FROM events WHERE event_type = 'click'
+        |), apd AS (
+        |    SELECT * FROM apu JOIN acl ON c_user = user_id
+        |        AND cts < pts AND cts >= pts - ${EventOps.AttribWindowNs}
+        |), asp AS (
+        |    SELECT *,
+        |           CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT)
+        |               AS n,
+        |           row_number() OVER (PARTITION BY purchase_id
+        |               ORDER BY cts DESC, click_id DESC) AS rn
+        |    FROM apd
+        |)
+        |SELECT click_id, c_user AS user_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |       CAST(SUM(credit_total // n
+        |                + CASE WHEN rn = 1
+        |                  THEN credit_total - (credit_total // n) * n
+        |                  ELSE 0 END) AS BIGINT) AS credit_micro_cents
+        |FROM asp GROUP BY 1, 2 ORDER BY click_id""".stripMargin,
   ) ++ lateOracleSql
 
   /** Fresh raw-row MAD replay (shared by both outlier gates). */

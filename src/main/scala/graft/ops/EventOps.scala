@@ -372,4 +372,56 @@ object EventOps {
         expr("n * 1000000L div tot").as("p_ppm"))
       .orderBy("prev_type", "cur_type")
   }
+
+  /** Attribution lookback window (7 days, ns) and the micro-cent scale
+    * credits are split in.
+    */
+  val AttribWindowNs = 7L * DayNs
+  val AttribScale = 1000000L
+
+  /** Linear multi-touch attribution: each purchase's value is split
+    * EQUALLY across the user's clicks in the preceding 7 days — the
+    * multi-touch counterpart of the as-of last-click gate, in exact
+    * micro-cents with CONSERVATION: per click the base share is
+    * `cents·10⁶ div n`, and the division remainder goes to the MOST
+    * RECENT click (largest (ts, event_id)) — so the credits of every
+    * purchase sum to exactly `cents·10⁶`, a property a per-share
+    * round() would break (and the spec pins).
+    *
+    * Scale shape: the purchase×click pairing is the bounded-interval
+    * range join ([[rangeJoinFollowups]]): ONE equi shuffle on user_id
+    * with the time window as a co-partitioned join filter — candidates
+    * per purchase are that user's clicks in 7 days, never a time-only
+    * product. The per-purchase split (count + recency rank) and the
+    * final per-click rollup ride keyed aggregations.
+    */
+  def attributionLinear(s: SparkSession, d: String): DataFrame =
+    attributionOver(t(s, d, "events"))
+
+  private[graft] def attributionOver(ev: DataFrame): DataFrame = {
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("pts"),
+        expr("CAST(round(value * 100) AS BIGINT) * " + AttribScale)
+          .as("credit_total"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("cts"))
+    val paired = purchases.join(clicks,
+      col("c_user") === col("user_id") &&
+        col("cts") < col("pts") &&
+        col("cts") >= col("pts") - lit(AttribWindowNs))
+    val byPurchase = Window.partitionBy("purchase_id")
+    val split = paired
+      .withColumn("n", count(lit(1)).over(byPurchase))
+      .withColumn("rn", row_number().over(
+        byPurchase.orderBy(col("cts").desc, col("click_id").desc)))
+      .withColumn("credit", expr("credit_total div n") +
+        when(col("rn") === 1,
+          expr("credit_total - (credit_total div n) * n")).otherwise(0L))
+    split.groupBy(col("click_id"), col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum("credit").as("credit_micro_cents"))
+      .orderBy("click_id")
+  }
 }

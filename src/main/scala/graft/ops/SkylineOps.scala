@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Skyline (Pareto-frontier) operator (Börzsönyi, Kossmann & Stocker
+  * 2001): the rows no other row dominates — here, parts per type where
+  * dominance means cheaper-or-equal price AND larger-or-equal size, with
+  * at least one strict. The catalog-curation primitive behind "show only
+  * the non-dominated offers".
+  *
+  * The naive rendering is an all-pairs dominance anti-join — O(n²) and a
+  * scale killer. For a 2-dimensional skyline the classic sort-based
+  * algorithm is one sort + a running max: sorted by price, a row is on
+  * the skyline iff no earlier (cheaper-or-equal) row has strictly larger
+  * size, and no STRICTLY cheaper row has size ≥ its own. Both conditions
+  * are RANGE-framed window maxima over the same sort — so the whole
+  * operator is ONE hash exchange on the group key + an in-partition
+  * sort, never a self-join.
+  */
+object SkylineOps {
+
+  /** Per-type price/size skyline over `part`.
+    *
+    * Dominance checks, price-sorted (cents exact):
+    *  - `mx_strict` = max(size) over rows with price < mine
+    *    (RANGE … 1 PRECEDING): ≥ my size ⇒ dominated (price strict).
+    *  - `mx_incl` = max(size) over rows with price ≤ mine
+    *    (RANGE … CURRENT ROW, includes self): > my size ⇒ dominated
+    *    (size strict). Equal (price, size) duplicates dominate neither
+    *    way and BOTH survive — the tie convention the oracle replays.
+    *
+    * Scale shape: one exchange on p_type, one in-partition sort by
+    * price; both window maxima share that sort. Groups parallelize
+    * across the cluster; within a hot group the frame is a running max,
+    * not a pairwise scan.
+    */
+  def skylineParts(s: SparkSession, d: String): DataFrame =
+    skylineOf(graft.Tables.t(s, d, "part")
+      .select(col("p_type"), col("p_partkey"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("price_cents"),
+        col("p_size")))
+
+  /** The sort-based skyline over a `(p_type, p_partkey, price_cents,
+    * p_size)` frame — separable so specs pin the dominance/tie
+    * conventions on crafted rows.
+    */
+  def skylineOf(parts: DataFrame): DataFrame = {
+    val byPrice = Window.partitionBy("p_type").orderBy("price_cents")
+    val strict = byPrice.rangeBetween(Window.unboundedPreceding, -1)
+    val incl = byPrice.rangeBetween(Window.unboundedPreceding, 0)
+    parts
+      .withColumn("mx_strict", max("p_size").over(strict))
+      .withColumn("mx_incl", max("p_size").over(incl))
+      .where(coalesce(col("mx_strict") < col("p_size"), lit(true)) &&
+        !(col("mx_incl") > col("p_size")))
+      .select("p_type", "p_partkey", "price_cents", "p_size")
+      .orderBy("p_type", "p_partkey")
+  }
+}
