@@ -191,6 +191,8 @@ object SparkEntry {
     "q_assoc_rules"         -> (BasketOps.assocRules _),
     "q_skyline"             -> (SkylineOps.skylineParts _),
     "q_attribution_linear"  -> (EventOps.attributionLinear _),
+    "q_entity_resolution"   -> (EntityOps.entityResolution _),
+    "q_reservoir_daily"     -> (ReservoirOps.reservoirDaily _),
     "q_bm25_decontam"       -> (RetrievalOps.bm25Decontam _),
     "q_domain_mix"          -> (DomainOps.domainMixTemperature _),
     "q_cdc_chunks"          -> (ChunkOps.cdcChunkStats _),
@@ -5138,6 +5140,106 @@ object SparkEntry {
         |                  THEN credit_total - (credit_total // n) * n
         |                  ELSE 0 END) AS BIGINT) AS credit_micro_cents
         |FROM asp GROUP BY 1, 2 ORDER BY click_id""".stripMargin,
+    // entity resolution: crafted single-edit corruption replayed, then
+    // prefix/suffix blocking + levenshtein verify + argmin pick
+    "q_entity_resolution" ->
+      s"""WITH erc AS (
+        |    SELECT p_partkey AS listing_id, p_name,
+        |           p_partkey % length(p_name) + 1 AS q
+        |    FROM part
+        |), erd AS (
+        |    SELECT listing_id,
+        |           CASE listing_id % 3
+        |             WHEN 0 THEN concat(substr(p_name, 1, q - 1),
+        |                               substr(p_name, q + 1))
+        |             WHEN 1 THEN concat(substr(p_name, 1, q),
+        |                               substr(p_name, q))
+        |             ELSE p_name END AS dirty_name
+        |    FROM erc
+        |), ern AS (SELECT DISTINCT p_name FROM part
+        |), erb AS (
+        |    SELECT listing_id, dirty_name,
+        |           substr(dirty_name, 1, ${EntityOps.BlockChars}) AS bk
+        |    FROM erd
+        |    UNION ALL
+        |    SELECT listing_id, dirty_name,
+        |           substr(dirty_name, greatest(length(dirty_name)
+        |               - ${EntityOps.BlockChars - 1}, 1)) AS bk
+        |    FROM erd
+        |), ecb AS (
+        |    SELECT p_name, substr(p_name, 1, ${EntityOps.BlockChars}) AS bk
+        |    FROM ern
+        |    UNION ALL
+        |    SELECT p_name, substr(p_name, greatest(length(p_name)
+        |               - ${EntityOps.BlockChars - 1}, 1)) AS bk
+        |    FROM ern
+        |), erx AS (
+        |    SELECT DISTINCT d.listing_id, d.dirty_name, c.p_name
+        |    FROM erb d JOIN ecb c USING (bk)
+        |), erv AS (
+        |    SELECT listing_id, dirty_name, p_name,
+        |           CAST(levenshtein(dirty_name, p_name) AS INTEGER) AS dist
+        |    FROM erx
+        |    WHERE levenshtein(dirty_name, p_name) <= ${EntityOps.EditMax}
+        |)
+        |SELECT listing_id, dirty_name, p_name AS resolved_name, dist
+        |FROM (SELECT *, row_number() OVER (PARTITION BY listing_id
+        |          ORDER BY dist, p_name) AS rn FROM erv)
+        |WHERE rn = 1 ORDER BY listing_id""".stripMargin,
+    // mergeable bottom-K row sample: per-day medians + the range row
+    // answered from merged day samples (the shard-merge law)
+    "q_reservoir_daily" ->
+      s"""WITH rre AS (
+        |    SELECT epoch_ns(ts) // ${EventOps.DayNs} AS day, event_id,
+        |           CAST(round(value * 100) AS BIGINT) AS cents,
+        |           ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1,
+        |               ${graft.ops.ThetaOps.HashHexChars}))::BIGINT + 1 AS hv
+        |    FROM events
+        |), rrk AS (
+        |    SELECT *,
+        |           row_number() OVER (PARTITION BY day ORDER BY hv, event_id)
+        |               AS rn,
+        |           CAST(count(*) OVER (PARTITION BY day) AS BIGINT)
+        |               AS n_total
+        |    FROM rre
+        |), rsm AS (
+        |    SELECT day, event_id, cents, hv, n_total FROM rrk
+        |    WHERE rn <= ${ReservoirOps.K}
+        |), rmn AS (SELECT min(day) AS mn FROM rre
+        |), rpd AS (
+        |    SELECT day, n_total, CAST(mcnt AS BIGINT) AS n_sample,
+        |           cents AS med_cents
+        |    FROM (SELECT *,
+        |              row_number() OVER (PARTITION BY day
+        |                  ORDER BY cents, event_id) AS mrn,
+        |              count(*) OVER (PARTITION BY day) AS mcnt
+        |          FROM rsm)
+        |    WHERE mrn = (mcnt + 1) // 2
+        |), rrg AS (
+        |    SELECT s.* FROM rsm s, rmn
+        |    WHERE s.day >= rmn.mn + ${ReservoirOps.RangeLoOff}
+        |      AND s.day < rmn.mn + ${ReservoirOps.RangeHiOff}
+        |), rmg AS (
+        |    SELECT * FROM (SELECT *,
+        |            row_number() OVER (ORDER BY hv, event_id) AS rrn
+        |        FROM rrg)
+        |    WHERE rrn <= ${ReservoirOps.K}
+        |), rmm AS (
+        |    SELECT CAST(-1 AS BIGINT) AS day, CAST(mcnt AS BIGINT)
+        |               AS n_sample, cents AS med_cents
+        |    FROM (SELECT *,
+        |              row_number() OVER (ORDER BY cents, event_id) AS mrn,
+        |              count(*) OVER () AS mcnt
+        |          FROM rmg)
+        |    WHERE mrn = (mcnt + 1) // 2
+        |), rrt AS (
+        |    SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) AS n_total
+        |    FROM (SELECT day, max(n_total) AS nt FROM rrg GROUP BY 1)
+        |)
+        |SELECT day, n_total, n_sample, med_cents FROM rpd
+        |UNION ALL
+        |SELECT day, rrt.n_total, n_sample, med_cents FROM rmm, rrt
+        |ORDER BY day""".stripMargin,
   ) ++ lateOracleSql
 
   /** Fresh raw-row MAD replay (shared by both outlier gates). */

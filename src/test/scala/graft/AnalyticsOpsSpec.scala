@@ -75,6 +75,82 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got === Array((1L, 1L, 100000000L)))
   }
 
+  test("entity resolution: hand-traced corruption, blocking recall, argmin") {
+    import graft.ops.EntityOps
+    // q = (key mod len) + 1; mode = key mod 3 (0 delete, 1 dup, 2 keep)
+    val parts = Seq(
+      (0L, "cold widget"),  // delete q=1 -> "old widget" (prefix block broken)
+      (1L, "small widget"), // dup q=2    -> "smmall widget"
+      (2L, "large bolt"),   // unchanged
+      (3L, "cold widget"),  // delete q=4 -> "col widget"
+      (10L, "cold widget")) // dup q=11 -> "cold widgett" (suffix block broken)
+      .toDF("p_partkey", "p_name")
+    val got = EntityOps.resolveOver(parts).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+    assert(got === Array(
+      (0L, "old widget", "cold widget", 1),
+      (1L, "smmall widget", "small widget", 1),
+      (2L, "large bolt", "large bolt", 0),
+      (3L, "col widget", "cold widget", 1),
+      (10L, "cold widgett", "cold widget", 1)))
+  }
+
+  test("entity resolution: full fixture coverage, bounded distance") {
+    import graft.ops.EntityOps
+    val parts = graft.Tables.t(spark, sf, "part")
+      .select(col("p_partkey"), col("p_name"))
+    val res = EntityOps.resolveOver(parts)
+    assert(res.count() === parts.count()) // blocking recall = 1
+    assert(res.agg(max("dist")).head.getInt(0) <= 1)
+    // unchanged listings resolve to themselves exactly
+    val self = res.join(parts,
+        res("listing_id") === parts("p_partkey") &&
+          parts("p_partkey") % 3 === 2)
+      .where(col("resolved_name") =!= col("p_name") || col("dist") =!= 0)
+    assert(self.count() === 0L)
+  }
+
+  test("reservoir: small days keep every row, medians exact, range row merges") {
+    import graft.ops.ReservoirOps
+    val day = 86400000000000L
+    // days 0..6; range = [mn+5, mn+15) -> days 5,6
+    val rows = (0 to 6).flatMap { dd =>
+      (1 to 3).map(i => (dd * 10L + i, dd * day + i, 1L, "click",
+        (dd * 10 + i).toDouble)) // cents = (10*dd+i)*100
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("resv").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = ReservoirOps.reservoirDaily(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // each day: 3 rows, all sampled (K=64), lower median = 2nd by cents
+    val perDay = (0 to 6).map(dd =>
+      (dd.toLong, 3L, 3L, (dd * 10 + 2) * 100L))
+    // range days 5,6: 6 rows, lower median rank (6+1) div 2 = 3 -> 53*100
+    assert(got === ((-1L, 6L, 6L, 5300L) +: perDay).toArray)
+  }
+
+  test("reservoir merge law: range row from day samples == raw bottom-K") {
+    import graft.ops.{ReservoirOps, ThetaOps, EventOps}
+    val events = graft.Tables.t(spark, sf, "events")
+    val mn = events.agg(expr(s"min(ts div ${EventOps.DayNs})")).head.getLong(0)
+    val raw = events.select(
+        expr(s"ts div ${EventOps.DayNs}").as("day"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .where(col("day") >= mn + ReservoirOps.RangeLoOff &&
+        col("day") < mn + ReservoirOps.RangeHiOff)
+      .withColumn("hv", expr(
+        s"conv(substring(md5(cast(cast(event_id as string) as binary)), 1, " +
+          s"${ThetaOps.HashHexChars}), 16, 10)").cast("long") + 1)
+      .orderBy("hv", "event_id").limit(ReservoirOps.K)
+    val n = raw.count()
+    val med = raw.orderBy("cents", "event_id")
+      .collect().map(_.getAs[Long]("cents")).apply((n.toInt + 1) / 2 - 1)
+    val rangeRow = ReservoirOps.reservoirDaily(spark, sf)
+      .where(col("day") === -1L).head
+    assert(rangeRow.getAs[Long]("n_sample") === n)
+    assert(rangeRow.getAs[Long]("med_cents") === med)
+  }
+
   test("attribution conserves every attributed purchase's value exactly") {
     val events = graft.Tables.t(spark, sf, "events")
     val credited = EventOps.attributionOver(events)
