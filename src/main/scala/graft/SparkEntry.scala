@@ -193,6 +193,9 @@ object SparkEntry {
     "q_attribution_linear"  -> (EventOps.attributionLinear _),
     "q_entity_resolution"   -> (EntityOps.entityResolution _),
     "q_reservoir_daily"     -> (ReservoirOps.reservoirDaily _),
+    "q_reservoir_incremental" -> (ReservoirOps.reservoirIncremental _),
+    "q_cohort_ltv"          -> (EventOps.cohortLtv _),
+    "q_kcore_domains"       -> (graft.ops.LinkOps.kcoreDomains _),
     "q_bm25_decontam"       -> (RetrievalOps.bm25Decontam _),
     "q_domain_mix"          -> (DomainOps.domainMixTemperature _),
     "q_cdc_chunks"          -> (ChunkOps.cdcChunkStats _),
@@ -806,6 +809,53 @@ object SparkEntry {
          |FROM lp$iters l JOIN (
          |    SELECT label, COUNT(*) AS community_size
          |    FROM lp$iters GROUP BY 1) z ON z.label = l.label
+         |ORDER BY domain""".stripMargin
+  }
+
+  /** k-core oracle: symmetrized simple graph, `rounds` unrolled peel
+    * stages (degree → condemned set → surviving edges), then removal
+    * records + rounds-survivors with their final in-subgraph degree.
+    */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s""", kdg$i AS MATERIALIZED (
+         |    SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+         |    FROM kce${i - 1} GROUP BY 1
+         |), kdd$i AS MATERIALIZED (
+         |    SELECT a.id, COALESCE(g.deg, 0) AS deg
+         |    FROM kal${i - 1} a LEFT JOIN kdg$i g USING (id)
+         |), krm$i AS MATERIALIZED (
+         |    SELECT id, CAST($i AS BIGINT) AS removed_round,
+         |           CAST(deg AS BIGINT) AS final_deg
+         |    FROM kdd$i WHERE deg < $k
+         |), kal$i AS MATERIALIZED (
+         |    SELECT id FROM kdd$i WHERE deg >= $k
+         |), kce$i AS MATERIALIZED (
+         |    SELECT e.src, e.dst FROM kce${i - 1} e
+         |    JOIN kal$i x ON x.id = e.src
+         |    JOIN kal$i y ON y.id = e.dst
+         |)""".stripMargin
+    }.mkString
+    domainGraphCtes +
+      """, kce0 AS MATERIALIZED (
+        |    SELECT DISTINCT src, dst FROM (
+        |        SELECT src, dst FROM edges WHERE src <> dst
+        |        UNION ALL
+        |        SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
+        |    )
+        |), kal0 AS MATERIALIZED (SELECT v AS id FROM verts)""".stripMargin +
+      steps +
+      s"""
+         |SELECT id AS domain, removed_round, final_deg FROM (
+         |    ${(1 to rounds).map(i => s"SELECT * FROM krm$i")
+             .mkString(" UNION ALL ")}
+         |    UNION ALL
+         |    SELECT a.id, CAST(-1 AS BIGINT) AS removed_round,
+         |           CAST(COALESCE(g.deg, 0) AS BIGINT) AS final_deg
+         |    FROM kal$rounds a LEFT JOIN (
+         |        SELECT src AS id, COUNT(*) AS deg
+         |        FROM kce$rounds GROUP BY 1) g USING (id)
+         |)
          |ORDER BY domain""".stripMargin
   }
 
@@ -5187,8 +5237,42 @@ object SparkEntry {
         |          ORDER BY dist, p_name) AS rn FROM erv)
         |WHERE rn = 1 ORDER BY listing_id""".stripMargin,
     // mergeable bottom-K row sample: per-day medians + the range row
-    // answered from merged day samples (the shard-merge law)
-    "q_reservoir_daily" ->
+    // answered from merged day samples (the shard-merge law). The SAME
+    // replay gates the single-pass query AND the stored build/append/
+    // serve lifecycle (q_reservoir_incremental) — the madOracleSql
+    // double-use posture.
+    "q_reservoir_daily" -> reservoirOracleSql,
+    "q_reservoir_incremental" -> reservoirOracleSql,
+    // cohort LTV: money-weighted retention triangle, exact cents, with
+    // the cumulative curve over the cohort-grid-bounded cell frame
+    "q_cohort_ltv" ->
+      s"""WITH cuw AS (
+        |    SELECT DISTINCT user_id, epoch_ns(ts) // ${EventOps.WeekNs}
+        |               AS week
+        |    FROM events
+        |), cch AS (
+        |    SELECT user_id, min(week) AS cohort_week FROM cuw GROUP BY 1
+        |), crv AS (
+        |    SELECT user_id, epoch_ns(ts) // ${EventOps.WeekNs} AS week,
+        |           CAST(round(value * 100) AS BIGINT) AS cents
+        |    FROM events WHERE event_type = 'purchase'
+        |), ccl AS (
+        |    SELECT c.cohort_week, r.week - c.cohort_week AS week_offset,
+        |           CAST(SUM(r.cents) AS BIGINT) AS revenue_cents,
+        |           CAST(COUNT(DISTINCT r.user_id) AS BIGINT) AS n_buyers
+        |    FROM crv r JOIN cch c USING (user_id) GROUP BY 1, 2
+        |)
+        |SELECT cohort_week, week_offset, revenue_cents, n_buyers,
+        |       CAST(SUM(revenue_cents) OVER (PARTITION BY cohort_week
+        |           ORDER BY week_offset) AS BIGINT) AS ltv_cum_cents
+        |FROM ccl ORDER BY cohort_week, week_offset""".stripMargin,
+    // bounded-round k-core peel hash-checked against unrolled stages
+    "q_kcore_domains" -> kcoreOracle(graft.ops.LinkOps.KCoreK,
+      graft.ops.LinkOps.KCoreRounds),
+  ) ++ lateOracleSql
+
+  /** Fresh single-pass bottom-K replay (shared by both reservoir gates). */
+  private def reservoirOracleSql: String =
       s"""WITH rre AS (
         |    SELECT epoch_ns(ts) // ${EventOps.DayNs} AS day, event_id,
         |           CAST(round(value * 100) AS BIGINT) AS cents,
@@ -5239,8 +5323,7 @@ object SparkEntry {
         |SELECT day, n_total, n_sample, med_cents FROM rpd
         |UNION ALL
         |SELECT day, rrt.n_total, n_sample, med_cents FROM rmm, rrt
-        |ORDER BY day""".stripMargin,
-  ) ++ lateOracleSql
+        |ORDER BY day""".stripMargin
 
   /** Fresh raw-row MAD replay (shared by both outlier gates). */
   private def madOracleSql: String =

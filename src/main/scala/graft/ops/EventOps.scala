@@ -317,6 +317,39 @@ object EventOps {
       .agg(countDistinct("user_id").as("n_users"))
   }
 
+  /** Cohort lifetime value: users grouped by their FIRST active epoch
+    * week (the [[retentionCohorts]] cohort rule), purchase revenue
+    * summed per week offset, plus the cumulative LTV curve — the
+    * money-weighted retention triangle, exact cents end to end.
+    *
+    * Scale shape: the cohort min is one user-keyed aggregate over the
+    * DISTINCT (user, week) activity set; revenue cells are one
+    * (cohort, offset) aggregate; the cumulative curve is a running sum
+    * over the COHORT-GRID-bounded cell frame (weeks², not events).
+    * Gate `q_cohort_ltv`.
+    */
+  def cohortLtv(s: SparkSession, d: String): DataFrame =
+    cohortLtvOver(t(s, d, "events"))
+
+  private[graft] def cohortLtvOver(events: DataFrame): DataFrame = {
+    val uw = events
+      .select(col("user_id"), expr(s"ts div $WeekNs").as("week"))
+      .distinct()
+    val cohort = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val rev = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr(s"ts div $WeekNs").as("week"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val cells = rev.join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(sum("cents").as("revenue_cents"),
+        countDistinct("user_id").as("n_buyers"))
+    cells.withColumn("ltv_cum_cents",
+        sum("revenue_cents").over(Window.partitionBy("cohort_week")
+          .orderBy("week_offset")))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** Strictly-ordered funnel signup → click → purchase: a user converts
     * step k only with an event STRICTLY AFTER their earliest step-k−1
     * conversion time (the first-touch rule, so re-orderings can't fake a

@@ -430,6 +430,73 @@ object GraphOps {
     finally checkpointFilesOf(l).foreach(deleteCheckpointFile(l, _))
   }
 
+  /** Bounded-round k-core peel (Seidman 1983's coreness; the
+    * synchronous-round distributed rendering): each round removes every
+    * vertex whose degree in the REMAINING symmetrized simple graph is
+    * < k and drops its incident edges; `rounds` is fixed by contract
+    * (the [[labelPropagation]] posture — a deterministic bounded unroll
+    * the declarative oracle replays round for round, so the iterative
+    * engine hash-checks against materialized CTE stages).
+    *
+    * Output per vertex: `removed_round` (1-based peel round, −1 for
+    * rounds-survivors) and `final_deg` — for a removed vertex the
+    * CONDEMNING degree (its degree at the start of its removal round,
+    * < k), for a survivor its degree inside the surviving subgraph
+    * (which can be < k only when `rounds` stopped short of the
+    * fixpoint — the honest bounded-round contract).
+    *
+    * Scale shape: per round, ONE degree aggregation + two semi-joins
+    * keyed on vertex ids over the shrinking edge frame — no all-pairs
+    * anything; rounds checkpoint eagerly (reliable when a checkpoint
+    * dir exists) and superseded round files are deleted, the CC/LPA
+    * discipline.
+    */
+  def kcorePeel(edges: DataFrame, vertices: DataFrame,
+                k: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1, "kcorePeel needs at least one round")
+    var cur = roundCheckpoint(edges.filter(col("src") =!= col("dst"))
+      .select(explode(array(
+        struct(col("src").as("src"), col("dst").as("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct())
+    var alive = roundCheckpoint(vertices.select(col("id")).distinct())
+    var removed = List.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val deg = cur.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      val degd = alive.join(deg, Seq("id"), "left")
+        .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
+      val rm = roundCheckpoint(degd.where(col("deg") < k)
+        .select(col("id"), lit(r.toLong).as("removed_round"),
+          col("deg").as("final_deg")))
+      removed ::= rm
+      val aliveNext = roundCheckpoint(degd.where(col("deg") >= k)
+        .select("id"))
+      val curNext = roundCheckpoint(cur
+        .join(aliveNext.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(aliveNext.select(col("id").as("dst")), Seq("dst"), "left_semi"))
+      // rm/aliveNext/curNext are materialized — the superseded round
+      // files are safe to drop
+      checkpointFileOf(alive).foreach(deleteCheckpointFile(alive, _))
+      checkpointFileOf(cur).foreach(deleteCheckpointFile(cur, _))
+      alive = aliveNext
+      cur = curNext
+    }
+    val degF = cur.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val survivors = alive.join(degF, Seq("id"), "left")
+      .select(col("id"), lit(-1L).as("removed_round"),
+        coalesce(col("deg"), lit(0L)).as("final_deg"))
+    (survivors :: removed).reduce(_ unionByName _)
+  }
+
+  /** Loan variant of [[kcorePeel]] ([[pagerankInto]] contract). */
+  def kcorePeelInto[A](edges: DataFrame, vertices: DataFrame,
+                       k: Int, rounds: Int)(consume: DataFrame => A): A = {
+    val r = kcorePeel(edges, vertices, k, rounds)
+    try consume(r)
+    finally checkpointFilesOf(r).foreach(deleteCheckpointFile(r, _))
+  }
+
   /** Oracle-gated cluster query: deterministic block-chain edges over the
     * documents table (doc_id → doc_id+1 within each 10-id block, plus a
     * +2 skip edge in the block's lower half), so components are exactly

@@ -311,6 +311,28 @@ object LinkOps {
       }
     }.orderBy("domain")
 
+  /** k and rounds for [[kcoreDomains]] — fixed by contract (the
+    * [[LpaIters]] posture: the oracle unrolls exactly this many
+    * materialized stages).
+    */
+  val KCoreK = 2
+  val KCoreRounds = 4
+
+  /** Bounded-round 2-core peel over the domain graph
+    * ([[GraphOps.kcorePeel]]) — the dense-web extractor: leaves (domains
+    * held in the graph by a single link) peel off round by round, and
+    * what survives is the mutually-linked mesh a crawl scheduler treats
+    * as the web's core. Gate `q_kcore_domains` — the iterative peel
+    * hash-checks against the oracle's unrolled rounds.
+    */
+  def kcoreDomains(s: SparkSession, d: String): DataFrame =
+    withDomainGraph(s, d) { (_, edges, verts) =>
+      GraphOps.kcorePeelInto(edges, verts, KCoreK, KCoreRounds) { r =>
+        r.select(col("id").as("domain"), col("removed_round"),
+          col("final_deg")).localCheckpoint(eager = true)
+      }
+    }.orderBy("domain")
+
   /** Crawl-depth BFS over the crafted domain graph ([[GraphOps.bfsHops]],
     * 6 rounds): seeds = the `.co.uk` registered PAGE domains — the
     * structurally interesting choice on this fixture, because `.co.uk`

@@ -151,6 +151,56 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(rangeRow.getAs[Long]("med_cents") === med)
   }
 
+  test("cohort LTV: hand-traced cells and cumulative curve") {
+    val wk = EventOps.WeekNs
+    // u1 cohort week0: buys 1.00 (off 0) + 2.50 (off 2)
+    // u3 cohort week0 (active via click): buys 0.50 at off 1
+    // u2 cohort week1: buys 3.00 (off 0)
+    val df = EventOps.cohortLtvOver(ev(
+      (1L, 0L, 1L, "purchase", 1.0),
+      (2L, 2 * wk, 1L, "purchase", 2.5),
+      (3L, 1L, 3L, "click", 0.0),
+      (4L, wk, 3L, "purchase", 0.5),
+      (5L, wk, 2L, "purchase", 3.0)))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got === Array(
+      (0L, 0L, 100L, 1L, 100L),
+      (0L, 1L, 50L, 1L, 150L),
+      (0L, 2L, 250L, 1L, 400L),
+      (1L, 0L, 300L, 1L, 300L)))
+  }
+
+  test("reservoir lifecycle: build + append serves bit-equal to fresh") {
+    import graft.ops.ReservoirOps
+    spark.sql(s"DROP DATABASE IF EXISTS `${ReservoirOps.Db}` CASCADE")
+    val inc = ReservoirOps.reservoirIncremental(spark, sf).collect()
+    val fresh = ReservoirOps.reservoirDaily(spark, sf).collect()
+    assert(inc.map(_.toSeq).toSeq === fresh.map(_.toSeq).toSeq)
+  }
+
+  test("reservoir fence: replayed batches refuse loudly (totals would double)") {
+    import graft.ops.ReservoirOps
+    spark.sql(s"DROP DATABASE IF EXISTS `${ReservoirOps.Db}` CASCADE")
+    ReservoirOps.buildDaySamples(ev((1L, 1L, 1L, "click", 1.0)))
+    val batch = ev((2L, 10L, 1L, "click", 2.0))
+    ReservoirOps.appendDaySamples(spark, batch)
+    val e = intercept[IllegalArgumentException] {
+      ReservoirOps.appendDaySamples(spark, batch)
+    }
+    assert(e.getMessage.contains("watermark"))
+    ReservoirOps.appendDaySamples(spark, ev()) // empty batch is a no-op
+  }
+
+  test("reservoir serving never sees the events table") {
+    import graft.ops.ReservoirOps
+    spark.sql(s"DROP DATABASE IF EXISTS `${ReservoirOps.Db}` CASCADE")
+    ReservoirOps.buildDaySamples(ev((1L, 1L, 1L, "click", 1.0)))
+    val plan = ReservoirOps.servedDaily(spark)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("events"), "serve must read only the model tables")
+  }
+
   test("attribution conserves every attributed purchase's value exactly") {
     val events = graft.Tables.t(spark, sf, "events")
     val credited = EventOps.attributionOver(events)

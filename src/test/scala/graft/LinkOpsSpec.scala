@@ -285,6 +285,44 @@ class LinkOpsSpec extends SparkSpec {
         Seq(rows.length.toLong))
   }
 
+  test("k-core peel: hand-traced rounds, condemning degrees, fixpoint") {
+    import spark.implicits._
+    def run(edges: Seq[(String, String)], verts: Seq[String],
+            k: Int, rounds: Int) =
+      graft.ops.GraphOps.kcorePeel(edges.toDF("src", "dst"),
+          verts.toDF("id"), k, rounds)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    // K4 + pendant e-a, k=3: e peels round 1 at degree 1; K4 survives
+    val k4e = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("e", "a"))
+    assert(run(k4e, Seq("a", "b", "c", "d", "e"), 3, 4) === Seq(
+      ("a", -1L, 3L), ("b", -1L, 3L), ("c", -1L, 3L), ("d", -1L, 3L),
+      ("e", 1L, 1L)))
+    // path p1-p2-p3-p4, k=2: ends peel round 1, middle peels round 2 at
+    // its post-peel degree 1; nothing survives. Isolated vertex: round 1
+    // at degree 0.
+    val path = Seq(("p1", "p2"), ("p2", "p3"), ("p3", "p4"))
+    assert(run(path, Seq("p1", "p2", "p3", "p4", "iso"), 2, 3) === Seq(
+      ("iso", 1L, 0L), ("p1", 1L, 1L), ("p2", 2L, 1L), ("p3", 2L, 1L),
+      ("p4", 1L, 1L)))
+    // bounded-round honesty: 1 round leaves the middle as survivors
+    // whose final degree (1) is below k — the documented contract
+    assert(run(path, Seq("p1", "p2", "p3", "p4"), 2, 1) === Seq(
+      ("p1", 1L, 1L), ("p2", -1L, 1L), ("p3", -1L, 1L), ("p4", 1L, 1L)))
+  }
+
+  test("k-core fixture gate: removed rounds bounded, survivor mesh holds k") {
+    val fx = graft.ops.LinkOps.kcoreDomains(spark, sf).collect()
+    assert(fx.nonEmpty)
+    val rounds = fx.map(_.getAs[Long]("removed_round"))
+    assert(rounds.forall(r => r == -1L ||
+      (r >= 1L && r <= graft.ops.LinkOps.KCoreRounds)))
+    // every removed vertex was condemned by a sub-k degree
+    assert(fx.filter(_.getAs[Long]("removed_round") > 0)
+      .forall(_.getAs[Long]("final_deg") < graft.ops.LinkOps.KCoreK))
+  }
+
   test("triangles: K4 is all-triangles (gcc = 1e6), paths and stars are " +
       "triangle-free, duplicate/reversed/self edges collapse") {
     import spark.implicits._
