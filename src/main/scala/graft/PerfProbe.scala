@@ -553,7 +553,27 @@ object PerfProbe {
         // daily theta folds K× events into the same day grid (sample
         // tails constant); containment candidates follow the jaccard
         // join's prefix-bucket growth
-        "q_theta_daily", "q_containment_join")
+        "q_theta_daily", "q_containment_join",
+        // round-11 eighth-session additions: OLS joins K× orders against
+        // the unscaled customer dim and folds into the same month grid;
+        // CUSUM/EWMA fold K× events into the same day grid; association
+        // rules pair within K× baskets over the SAME brand vocabulary
+        // (pairs per basket constant → linear); skyline is one sort over
+        // K× parts; entity resolution blocks K× listings against the
+        // K-INVARIANT canon name set (copies share names — only keys
+        // offset); reservoir caps every tail at K samples per day;
+        // cohort LTV folds into the constant user×week grid; k-core
+        // peels the K-invariant domain graph.
+        // q_attribution_linear is deliberately absent for the
+        // q_contamination reason: replication multiplies BOTH each
+        // user's clicks and purchases ×K, so in-window pairs grow ×K² —
+        // the ratio would measure the degenerate workload, not the
+        // engine (production user counts grow with data; per-user
+        // candidate sets stay bounded).
+        "q_ols_trend", "q_cusum_changepoint", "q_ewma_smooth",
+        "q_assoc_rules", "q_skyline", "q_entity_resolution",
+        "q_reservoir_daily", "q_reservoir_incremental", "q_cohort_ltv",
+        "q_kcore_domains")
       // q_hybrid_search is deliberately absent for the q_contamination
       // reason: its semantic leg is probe-set x corpus and BOTH grow with
       // K here, so the ratio would measure the quadratic workload growth,

@@ -152,7 +152,25 @@ object PlanAudit {
       // daily theta (per-day WindowGroupLimit K-min + sample-bounded
       // range merge) and containment (one-sided prefix-filter join —
       // A's rare-prefix buckets probe the full shingle frame)
-      "q_theta_daily", "q_containment_join")
+      "q_theta_daily", "q_containment_join",
+      // round-11 eighth-session additions: OLS (one orders⨝customer key
+      // shuffle + broadcast dims, OLS math on the month grid), CUSUM/EWMA
+      // (one (type,day) agg, day-grid slice folds), association rules
+      // (order-keyed pair self-join + broadcast vocab-sized supports),
+      // skyline (the audit evidence is ONE p_type exchange + in-partition
+      // sort shared by both RANGE-framed maxima — no dominance self-join),
+      // attribution (user-keyed bounded range join + purchase-keyed
+      // window + click rollup), entity resolution (block-keyed candidate
+      // joins + per-listing WindowGroupLimit — never dirty×canon),
+      // reservoir (ONE day-keyed exchange carrying rank + count,
+      // sample-bounded tails; the incremental form audits the stored
+      // serve), cohort LTV (distinct-activity cohort agg + cell-grid
+      // cumulative window) and the k-core peel (checkpointed rounds —
+      // the returned frame is a union of checkpoint scans)
+      "q_ols_trend", "q_cusum_changepoint", "q_ewma_smooth",
+      "q_assoc_rules", "q_skyline", "q_attribution_linear",
+      "q_entity_resolution", "q_reservoir_daily", "q_reservoir_incremental",
+      "q_cohort_ltv", "q_kcore_domains")
     // q_corpus_pipeline is deliberately NOT audited here: its query-form
     // plan is a trivial read over the staged tables (auditing it would
     // execute the whole 5-stage materialization for nothing — against

@@ -196,6 +196,10 @@ object SparkEntry {
     "q_reservoir_incremental" -> (ReservoirOps.reservoirIncremental _),
     "q_cohort_ltv"          -> (EventOps.cohortLtv _),
     "q_kcore_domains"       -> (graft.ops.LinkOps.kcoreDomains _),
+    "q_interval_concurrency" -> (EventOps.intervalConcurrency _),
+    "q_funnel_windowed"     -> (EventOps.funnelWindowed _),
+    "q_id_islands"          -> (Relational.idIslands _),
+    "q_skyline_incremental" -> (SkylineOps.skylineIncremental _),
     "q_bm25_decontam"       -> (RetrievalOps.bm25Decontam _),
     "q_domain_mix"          -> (DomainOps.domainMixTemperature _),
     "q_cdc_chunks"          -> (ChunkOps.cdcChunkStats _),
@@ -5140,27 +5144,10 @@ object SparkEntry {
         |JOIN asi sc ON sc.p_brand = r.cons, anb
         |ORDER BY ante, cons""".stripMargin,
     // 2-D skyline: sort-based rendering — two RANGE-framed running
-    // maxima over the price order replace the all-pairs dominance join
-    "q_skyline" ->
-      s"""WITH ssp AS (
-        |    SELECT p_type, p_partkey,
-        |           CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
-        |           p_size
-        |    FROM part
-        |), ssw AS (
-        |    SELECT *,
-        |           max(p_size) OVER (PARTITION BY p_type ORDER BY price_cents
-        |               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |               AS mx_strict,
-        |           max(p_size) OVER (PARTITION BY p_type ORDER BY price_cents
-        |               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |               AS mx_incl
-        |    FROM ssp
-        |)
-        |SELECT p_type, p_partkey, price_cents, p_size
-        |FROM ssw
-        |WHERE coalesce(mx_strict < p_size, TRUE) AND NOT (mx_incl > p_size)
-        |ORDER BY p_type, p_partkey""".stripMargin,
+    // maxima over the price order replace the all-pairs dominance join.
+    // The SAME replay gates the single-pass query AND the stored
+    // build/fold/serve lifecycle (q_skyline_incremental).
+    "q_skyline" -> skylineOracleSql,
     // linear multi-touch attribution: equal split in micro-cents, the
     // division remainder pinned to the most recent click (conservation)
     "q_attribution_linear" ->
@@ -5269,7 +5256,97 @@ object SparkEntry {
     // bounded-round k-core peel hash-checked against unrolled stages
     "q_kcore_domains" -> kcoreOracle(graft.ops.LinkOps.KCoreK,
       graft.ops.LinkOps.KCoreRounds),
+    // sweep-line interval concurrency: two delta rows per interval, one
+    // day-keyed collapse, running sum on the day grid
+    "q_interval_concurrency" ->
+      s"""WITH civ AS (
+        |    SELECT epoch_ns(o_orderdate) // ${EventOps.DayNs} AS d0,
+        |           epoch_ns(o_orderdate) // ${EventOps.DayNs}
+        |             + o_orderkey % 7 + 1 AS d1
+        |    FROM orders
+        |), cdl AS (
+        |    SELECT day, CAST(SUM(opened) AS BIGINT) AS n_open,
+        |           CAST(SUM(closed) AS BIGINT) AS n_close
+        |    FROM (
+        |        SELECT d0 AS day, 1 AS opened, 0 AS closed FROM civ
+        |        UNION ALL
+        |        SELECT d1 AS day, 0 AS opened, 1 AS closed FROM civ
+        |    ) GROUP BY 1
+        |)
+        |SELECT day, n_open, n_close,
+        |       CAST(SUM(n_open - n_close) OVER (ORDER BY day) AS BIGINT)
+        |           AS n_active
+        |FROM cdl ORDER BY day""".stripMargin,
+    // windowed funnel: each step within FunnelStepNs of the previous
+    // step's conversion instant
+    "q_funnel_windowed" ->
+      s"""WITH e AS (
+        |    SELECT user_id, event_type, epoch_ns(ts) AS tsn FROM events
+        |), s1 AS (
+        |    SELECT user_id, MIN(tsn) AS t1 FROM e
+        |    WHERE event_type = 'signup' GROUP BY 1
+        |), s2 AS (
+        |    SELECT e.user_id, MIN(e.tsn) AS t2
+        |    FROM e JOIN s1 USING (user_id)
+        |    WHERE e.event_type = 'click' AND e.tsn > s1.t1
+        |      AND e.tsn <= s1.t1 + ${EventOps.FunnelStepNs} GROUP BY 1
+        |), s3 AS (
+        |    SELECT e.user_id, MIN(e.tsn) AS t3
+        |    FROM e JOIN s2 USING (user_id)
+        |    WHERE e.event_type = 'purchase' AND e.tsn > s2.t2
+        |      AND e.tsn <= s2.t2 + ${EventOps.FunnelStepNs} GROUP BY 1
+        |), c AS (
+        |    SELECT 1 AS step, 'signup' AS event_type,
+        |           CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+        |    UNION ALL
+        |    SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+        |    UNION ALL
+        |    SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+        |), t AS (
+        |    SELECT CAST(count(*) AS BIGINT) AS n_top FROM s1
+        |)
+        |SELECT CAST(step AS INTEGER) AS step, event_type, n_users,
+        |       CAST(CASE WHEN n_top = 0 THEN 0
+        |                 ELSE n_users * 1000000 // n_top END AS BIGINT)
+        |           AS conv_ppm
+        |FROM c, t ORDER BY step""".stripMargin,
+    // gaps-and-islands: the id - row_number grouping key
+    "q_id_islands" ->
+      """WITH ii AS (
+        |    SELECT doc_id,
+        |           doc_id - row_number() OVER (ORDER BY doc_id) AS grp
+        |    FROM documents
+        |)
+        |SELECT CAST(MIN(doc_id) AS BIGINT) AS island_start,
+        |       CAST(MAX(doc_id) AS BIGINT) AS island_end,
+        |       CAST(COUNT(*) AS BIGINT) AS island_len
+        |FROM ii GROUP BY grp ORDER BY island_start""".stripMargin,
+    // stored skyline maintenance: the SAME fresh replay as q_skyline
+    // gates the merge-law fold + stored serve (double-use posture)
+    "q_skyline_incremental" -> skylineOracleSql,
   ) ++ lateOracleSql
+
+  /** Fresh sort-based skyline replay (shared by both skyline gates). */
+  private def skylineOracleSql: String =
+      s"""WITH ssp AS (
+        |    SELECT p_type, p_partkey,
+        |           CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+        |           p_size
+        |    FROM part
+        |), ssw AS (
+        |    SELECT *,
+        |           max(p_size) OVER (PARTITION BY p_type ORDER BY price_cents
+        |               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |               AS mx_strict,
+        |           max(p_size) OVER (PARTITION BY p_type ORDER BY price_cents
+        |               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               AS mx_incl
+        |    FROM ssp
+        |)
+        |SELECT p_type, p_partkey, price_cents, p_size
+        |FROM ssw
+        |WHERE coalesce(mx_strict < p_size, TRUE) AND NOT (mx_incl > p_size)
+        |ORDER BY p_type, p_partkey""".stripMargin
 
   /** Fresh single-pass bottom-K replay (shared by both reservoir gates). */
   private def reservoirOracleSql: String =

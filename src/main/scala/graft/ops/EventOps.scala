@@ -317,6 +317,79 @@ object EventOps {
       .agg(countDistinct("user_id").as("n_users"))
   }
 
+  /** Interval-concurrency sweep over order fulfillment windows: each
+    * order is an interval [orderdate, orderdate + (o_orderkey mod 7 + 1)
+    * days) (the crafted-duration posture — deterministic from key
+    * arithmetic, so the oracle replays it), and the output is the
+    * classic concurrency profile: per day, how many intervals OPEN,
+    * CLOSE and are ACTIVE.
+    *
+    * Scale shape — the sweep-line rendering, not the explode: each
+    * interval contributes exactly TWO delta rows (+1 at start, −1 at
+    * end) regardless of its span, one (day)-keyed aggregation collapses
+    * them, and the running sum rides the DAY-GRID-bounded frame. The
+    * alternative (explode each interval into its covered days) is
+    * span×rows and dies on long intervals; the sweep is 2×rows always.
+    * The lone unpartitioned window is over the day grid (the theta
+    * posture). Gate `q_interval_concurrency`.
+    */
+  def intervalConcurrency(s: SparkSession, d: String): DataFrame = {
+    val iv = t(s, d, "orders").select(
+      expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) * 1000 div $DayNs")
+        .as("d0"),
+      col("o_orderkey"))
+      .select(col("d0"), (col("d0") + col("o_orderkey") % 7 + 1).as("d1"))
+    val deltas = iv.select(col("d0").as("day"), lit(1L).as("opened"),
+        lit(0L).as("closed"))
+      .unionByName(iv.select(col("d1").as("day"), lit(0L).as("opened"),
+        lit(1L).as("closed")))
+      .groupBy("day").agg(sum("opened").as("n_open"),
+        sum("closed").as("n_close"))
+    deltas
+      .withColumn("n_active", sum(col("n_open") - col("n_close"))
+        .over(Window.orderBy("day")))
+      .orderBy("day")
+  }
+
+  /** Windowed-step gate for [[funnelWindowed]] (3 days, ns). */
+  val FunnelStepNs = 3L * DayNs
+
+  /** Time-constrained funnel signup → click → purchase: like
+    * [[funnelSteps]] but each step must land within [[FunnelStepNs]] of
+    * the previous step's conversion instant (the windowFunnel
+    * semantics product analytics actually uses — an unbounded funnel
+    * credits conversions months later). Same first-touch chaining
+    * (earliest qualifying instant per step), same per-step user-keyed
+    * aggregates; exact ns-integer window arithmetic.
+    * Gate `q_funnel_windowed`.
+    */
+  def funnelWindowed(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").select(col("user_id"), col("event_type"),
+      col("ts"))
+    val s1 = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.where(col("event_type") === "click")
+      .join(s1, "user_id")
+      .where(col("ts") > col("t1") && col("ts") <= col("t1") + FunnelStepNs)
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.where(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .where(col("ts") > col("t2") && col("ts") <= col("t2") + FunnelStepNs)
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    val counts = s1.agg(count(lit(1)).as("n")).withColumn("step", lit(1))
+      .withColumn("event_type", lit("signup"))
+      .unionByName(s2.agg(count(lit(1)).as("n")).withColumn("step", lit(2))
+        .withColumn("event_type", lit("click")))
+      .unionByName(s3.agg(count(lit(1)).as("n")).withColumn("step", lit(3))
+        .withColumn("event_type", lit("purchase")))
+    val top = s1.agg(count(lit(1)).as("n_top"))
+    counts.crossJoin(broadcast(top))
+      .select(col("step"), col("event_type"), col("n").as("n_users"),
+        when(col("n_top") === 0L, 0L)
+          .otherwise(expr("n * 1000000L div n_top")).as("conv_ppm"))
+      .orderBy("step")
+  }
+
   /** Cohort lifetime value: users grouped by their FIRST active epoch
     * week (the [[retentionCohorts]] cohort rule), purchase revenue
     * summed per week offset, plus the cumulative LTV curve — the

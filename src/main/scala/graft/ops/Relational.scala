@@ -393,4 +393,27 @@ object Relational {
       year(col("o_orderdate")).as("order_year"),
       date_add(col("o_orderdate").cast("date"), 30).as("due_date"))
       .orderBy("o_orderkey")
+
+  /** Gaps-and-islands over the document id sequence: contiguous doc_id
+    * runs collapse to (island_start, island_end, island_len) rows — the
+    * completeness check an ingest pipeline runs to see WHICH ranges a
+    * feed dropped, not just how many rows ([[ExpectationOps]] counts;
+    * this locates). The classic id − row_number() grouping key: constant
+    * within a contiguous run, distinct across gaps.
+    *
+    * Scale shape: one global-order window (a RANGE exchange + local
+    * sorts — the export/z-order posture; ids are near-uniform so range
+    * partitions balance) and one (grp)-keyed aggregate. Output is
+    * island-count-sized. Gate `q_id_islands`.
+    */
+  def idIslands(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"))
+      .withColumn("grp", col("doc_id") -
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("doc_id")))
+      .groupBy("grp")
+      .agg(min("doc_id").as("island_start"), max("doc_id").as("island_end"),
+        count(lit(1)).as("island_len"))
+      .select("island_start", "island_end", "island_len")
+      .orderBy("island_start")
 }

@@ -201,6 +201,65 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(!plan.contains("events"), "serve must read only the model tables")
   }
 
+  private def tmpTable(name: String, df: org.apache.spark.sql.DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("anops").toString
+    df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    dir
+  }
+
+  test("interval concurrency: hand-traced sweep deltas and running sum") {
+    val day = 86400000000000L
+    // k=1 day0 -> [0,2); k=2 day0 -> [0,3); k=7 day1 -> [1,2)
+    val dir = tmpTable("orders", Seq(
+      (1L, new java.sql.Timestamp(0L)),
+      (2L, new java.sql.Timestamp(0L)),
+      (7L, new java.sql.Timestamp(day / 1000000L)))
+      .toDF("o_orderkey", "o_orderdate"))
+    val got = EventOps.intervalConcurrency(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array(
+      (0L, 2L, 0L, 2L), (1L, 1L, 0L, 3L), (2L, 0L, 2L, 1L),
+      (3L, 0L, 1L, 0L)))
+  }
+
+  test("windowed funnel: late steps fall out of the window") {
+    val day = 86400000000000L
+    val df = EventOps.funnelWindowed(spark, tmpTable("events", ev(
+      (1L, 0L, 1L, "signup", 0.0), (2L, day, 1L, "click", 0.0),
+      (3L, 3 * day, 1L, "purchase", 0.0), // within 3d of t2 = day
+      (4L, 0L, 2L, "signup", 0.0), (5L, 4 * day, 2L, "click", 0.0), // late
+      (6L, 0L, 3L, "signup", 0.0), (7L, day, 3L, "click", 0.0),
+      (8L, 5 * day, 3L, "purchase", 0.0)))) // 4d past t2 -> late
+    val got = df.collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    assert(got === Array((1, 3L, 1000000L), (2, 2L, 666666L),
+      (3, 1L, 333333L)))
+  }
+
+  test("id islands: contiguous runs collapse, gaps split") {
+    val dir = tmpTable("documents",
+      Seq(1L, 2L, 3L, 7L, 8L, 10L).toDF("doc_id"))
+    val got = graft.ops.Relational.idIslands(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got === Array((1L, 3L, 3L), (7L, 8L, 2L), (10L, 10L, 1L)))
+  }
+
+  test("skyline lifecycle: merge-law fold serves bit-equal to fresh; " +
+      "replays are idempotent") {
+    import graft.ops.SkylineOps
+    spark.sql(s"DROP DATABASE IF EXISTS `${SkylineOps.Db}` CASCADE")
+    val inc = SkylineOps.skylineIncremental(spark, sf).collect()
+    val fresh = SkylineOps.skylineParts(spark, sf).collect()
+    assert(inc.map(_.toSeq).toSeq === fresh.map(_.toSeq).toSeq)
+    // refolding the same batch must not change the frontier (no fence
+    // needed — the dominance fold is idempotent, unlike additive counts)
+    val batch = parts(("T", 999L, 1L, 1))
+    SkylineOps.appendSkyline(spark, batch)
+    val once = SkylineOps.servedSkyline(spark).collect()
+    SkylineOps.appendSkyline(spark, batch)
+    val twice = SkylineOps.servedSkyline(spark).collect()
+    assert(once.map(_.toSeq).toSeq === twice.map(_.toSeq).toSeq)
+  }
+
   test("attribution conserves every attributed purchase's value exactly") {
     val events = graft.Tables.t(spark, sf, "events")
     val credited = EventOps.attributionOver(events)
