@@ -573,7 +573,16 @@ object PerfProbe {
         "q_ols_trend", "q_cusum_changepoint", "q_ewma_smooth",
         "q_assoc_rules", "q_skyline", "q_entity_resolution",
         "q_reservoir_daily", "q_reservoir_incremental", "q_cohort_ltv",
-        "q_kcore_domains")
+        "q_kcore_domains",
+        // interval sweep emits exactly 2 delta rows per K× order onto
+        // the constant day grid; the windowed funnel is min-aggregates
+        // per step (never click×purchase pairs); islands are one global
+        // sort over K× ids; the skyline lifecycle sorts K× parts twice
+        "q_interval_concurrency", "q_funnel_windowed", "q_id_islands",
+        "q_skyline_incremental",
+        // classifier eval: training + scoring are the q_quality_classifier
+        // shape; the AUC window rides the score-distinct histogram
+        "q_classifier_auc", "q_classifier_prf")
       // q_hybrid_search is deliberately absent for the q_contamination
       // reason: its semantic leg is probe-set x corpus and BOTH grow with
       // K here, so the ratio would measure the quadratic workload growth,

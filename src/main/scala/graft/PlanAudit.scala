@@ -170,7 +170,18 @@ object PlanAudit {
       "q_ols_trend", "q_cusum_changepoint", "q_ewma_smooth",
       "q_assoc_rules", "q_skyline", "q_attribution_linear",
       "q_entity_resolution", "q_reservoir_daily", "q_reservoir_incremental",
-      "q_cohort_ltv", "q_kcore_domains")
+      "q_cohort_ltv", "q_kcore_domains",
+      // the sweep-line concurrency profile (two delta rows per interval,
+      // one day-keyed collapse — the audit evidence is NO explode and no
+      // interval self-join), the windowed funnel (per-step min
+      // aggregates), islands (one range exchange + grp aggregate) and
+      // the stored skyline serve
+      "q_interval_concurrency", "q_funnel_windowed", "q_id_islands",
+      "q_skyline_incremental",
+      // classifier evaluation: the audit evidence is the AUC rank window
+      // riding the SCORE-HISTOGRAM frame (one q_score agg), never the
+      // corpus rows; PRF is one aggregate over the scoring join
+      "q_classifier_auc", "q_classifier_prf")
     // q_corpus_pipeline is deliberately NOT audited here: its query-form
     // plan is a trivial read over the staged tables (auditing it would
     // execute the whole 5-stage materialization for nothing — against

@@ -200,6 +200,8 @@ object SparkEntry {
     "q_funnel_windowed"     -> (EventOps.funnelWindowed _),
     "q_id_islands"          -> (Relational.idIslands _),
     "q_skyline_incremental" -> (SkylineOps.skylineIncremental _),
+    "q_classifier_auc"      -> (TextOps.classifierAuc _),
+    "q_classifier_prf"      -> (TextOps.classifierPrf _),
     "q_bm25_decontam"       -> (RetrievalOps.bm25Decontam _),
     "q_domain_mix"          -> (DomainOps.domainMixTemperature _),
     "q_cdc_chunks"          -> (ChunkOps.cdcChunkStats _),
@@ -5324,6 +5326,60 @@ object SparkEntry {
     // stored skyline maintenance: the SAME fresh replay as q_skyline
     // gates the merge-law fold + stored serve (double-use posture)
     "q_skyline_incremental" -> skylineOracleSql,
+    // exact Mann-Whitney AUC off the score histogram: integer midrank2
+    // = 2·cnt_lt + n + 1, U2 = 2U, one non-negative HUGEINT division
+    "q_classifier_auc" ->
+      s"""WITH $qcKeptCte
+        |, auh AS (
+        |    SELECT q.q_score, CAST(COUNT(*) AS BIGINT) AS n,
+        |           CAST(SUM(CASE WHEN q.doc_id % 100 = 7 THEN 1 ELSE 0 END)
+        |               AS BIGINT) AS np
+        |    FROM qsc2 q GROUP BY 1
+        |), aur AS (
+        |    SELECT np, n,
+        |           2 * COALESCE(SUM(n) OVER (ORDER BY q_score
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |             + n + 1 AS midrank2
+        |    FROM auh
+        |), aut AS (
+        |    SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+        |           CAST(SUM(n - np) AS BIGINT) AS n_neg,
+        |           CAST(SUM(np * midrank2) AS BIGINT) AS r2_pos
+        |    FROM aur
+        |)
+        |SELECT n_pos, n_neg,
+        |       CAST(r2_pos - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+        |       CAST((CAST(r2_pos - n_pos * (n_pos + 1) AS HUGEINT)
+        |             * ${TextOps.QcScale})
+        |            // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+        |           AS auc_ppm
+        |FROM aut""".stripMargin,
+    // confusion matrix + P/R/F1 in exact ppm (F1 single-division form)
+    "q_classifier_prf" ->
+      s"""WITH $qcKeptCte
+        |, prl AS (
+        |    SELECT CASE WHEN q.doc_id % 100 = 7 THEN 1 ELSE 0 END AS pos,
+        |           CASE WHEN q.doc_id IN (SELECT doc_id FROM qckept)
+        |                THEN 1 ELSE 0 END AS keep
+        |    FROM qsc2 q
+        |), pcm AS (
+        |    SELECT CAST(SUM(pos * keep) AS BIGINT) AS tp,
+        |           CAST(SUM((1 - pos) * keep) AS BIGINT) AS fp,
+        |           CAST(SUM(pos * (1 - keep)) AS BIGINT) AS fn,
+        |           CAST(SUM((1 - pos) * (1 - keep)) AS BIGINT) AS tn
+        |    FROM prl
+        |)
+        |SELECT tp, fp, fn, tn,
+        |       CAST(CASE WHEN tp + fp = 0 THEN 0
+        |            ELSE tp * ${TextOps.QcScale} // (tp + fp) END AS BIGINT)
+        |           AS precision_ppm,
+        |       CAST(CASE WHEN tp + fn = 0 THEN 0
+        |            ELSE tp * ${TextOps.QcScale} // (tp + fn) END AS BIGINT)
+        |           AS recall_ppm,
+        |       CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+        |            ELSE 2 * tp * ${TextOps.QcScale} // (2 * tp + fp + fn)
+        |            END AS BIGINT) AS f1_ppm
+        |FROM pcm""".stripMargin,
   ) ++ lateOracleSql
 
   /** Fresh sort-based skyline replay (shared by both skyline gates). */

@@ -1290,6 +1290,80 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Exact ROC-AUC of the trained classifier's scores against the seed
+    * labels, via the Mann-Whitney rank statistic with midrank tie
+    * handling — the model-evaluation primitive a filtering pipeline
+    * needs before trusting a classifier gate:
+    *
+    *   AUC = (Σ_{pos} midrank − n₊(n₊+1)/2) / (n₊ · n₋)
+    *
+    * kept EXACT by doubling: midrank2 = 2·cnt_lt + n_at_score + 1 is an
+    * integer (twice the tied average rank), U2 = Σ₂r − n₊(n₊+1) is 2U,
+    * and auc_ppm = U2·10⁶ div (2·n₊·n₋) divides non-negative DECIMAL(38)
+    * operands — both engines replay cell-exact.
+    *
+    * Scale shape: ranks come off the SCORE HISTOGRAM (one q_score
+    * aggregation — the [[TimeSeriesOps.madFromHistogram]] posture), so
+    * the running-count window rides the score-distinct frame, never the
+    * corpus rows; the corpus is touched once by the scoring join.
+    * Gate `q_classifier_auc`.
+    */
+  def classifierAuc(s: SparkSession, d: String): DataFrame = {
+    buildQualityClassifier(t(s, d, "documents"), "graft_qc_auc")
+    aucOver(qualityClassifierFromModel(s, d, "graft_qc_auc")
+      .withColumn("pos", (col("doc_id") % 100 === 7).cast("long")))
+  }
+
+  /** The rank math over a `(q_score, pos)` frame — separable so specs
+    * pin perfect/inverted/tied orderings exactly.
+    */
+  private[graft] def aucOver(scored: DataFrame): DataFrame = {
+    val hist = scored.groupBy("q_score")
+      .agg(count(lit(1)).as("n"), sum("pos").as("np"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("q_score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist
+      .withColumn("cnt_lt", coalesce(sum("n").over(w), lit(0L)))
+      .withColumn("midrank2", lit(2L) * col("cnt_lt") + col("n") + 1)
+    ranked.agg(sum("np").as("n_pos"),
+        sum(col("n") - col("np")).as("n_neg"),
+        sum(col("np") * col("midrank2")).as("r2_pos"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("r2_pos - n_pos * (n_pos + 1)").as("u2"),
+        expr("CAST((CAST(r2_pos - n_pos * (n_pos + 1) AS DECIMAL(38,0)) " +
+          s"* $QcScale) div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) " +
+          "AS BIGINT)").as("auc_ppm"))
+  }
+
+  /** Confusion matrix + precision/recall/F1 of the classifier's keep
+    * gate against the seed labels, exact ppm — F1 in its single-division
+    * form 2·tp·10⁶ div (2·tp + fp + fn), so no nested truncation. One
+    * corpus-keyed scoring pass + ONE aggregate. Gate `q_classifier_prf`.
+    */
+  def classifierPrf(s: SparkSession, d: String): DataFrame = {
+    buildQualityClassifier(t(s, d, "documents"), "graft_qc_prf")
+    prfOver(qualityClassifierFromModel(s, d, "graft_qc_prf")
+      .withColumn("pos", (col("doc_id") % 100 === 7).cast("long")))
+  }
+
+  /** The confusion math over a `(pos, keep)` frame. */
+  private[graft] def prfOver(scored: DataFrame): DataFrame =
+    scored
+      .agg(sum(expr("pos * keep")).as("tp"),
+        sum(expr("(1 - pos) * keep")).as("fp"),
+        sum(expr("pos * (1 - keep)")).as("fn"),
+        sum(expr("(1 - pos) * (1 - keep)")).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr(s"CAST(CASE WHEN tp + fp = 0 THEN 0 " +
+          s"ELSE tp * $QcScale div (tp + fp) END AS BIGINT)")
+          .as("precision_ppm"),
+        expr(s"CAST(CASE WHEN tp + fn = 0 THEN 0 " +
+          s"ELSE tp * $QcScale div (tp + fn) END AS BIGINT)")
+          .as("recall_ppm"),
+        expr(s"CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0 " +
+          s"ELSE 2 * tp * $QcScale div (2 * tp + fp + fn) END AS BIGINT)")
+          .as("f1_ppm"))
+
   /** Span-coverage dedup signal (Lee et al. 2021, the substring-level
     * complement of the repeated-spans miner): for each document, how many
     * of its tokens sit inside at least one n-gram that ALSO appears in

@@ -260,6 +260,31 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(once.map(_.toSeq).toSeq === twice.map(_.toSeq).toSeq)
   }
 
+  test("AUC: perfect, inverted and tied orderings land exactly") {
+    import graft.ops.TextOps
+    def auc(rows: (Long, Long)*): (Long, Long) = {
+      val r = TextOps.aucOver(rows.toDF("q_score", "pos")).head
+      (r.getAs[Long]("u2"), r.getAs[Long]("auc_ppm"))
+    }
+    // pos {3,2} above neg {1}: midrank2 = 2r, U2 = (4+6) - 2*3 = 4 -> 1.0
+    assert(auc((3L, 1L), (2L, 1L), (1L, 0L)) === ((4L, 1000000L)))
+    // inverted: pos at the bottom -> U2 = 0, AUC = 0
+    assert(auc((1L, 1L), (2L, 0L), (3L, 0L)) === ((0L, 0L)))
+    // full tie: midrank2 = 3 for both -> U2 = 1, AUC = 0.5 exactly
+    assert(auc((2L, 1L), (2L, 0L)) === ((1L, 500000L)))
+  }
+
+  test("PRF: hand-counted confusion cells, single-division F1") {
+    import graft.ops.TextOps
+    val r = TextOps.prfOver(Seq((1L, 1L), (1L, 1L), (0L, 0L), (1L, 0L))
+      .toDF("pos", "keep")).head
+    // tp=2 fp=0 fn=1 tn=1: P=1e6, R=666666, F1=2*2e6 div 5=800000
+    assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"),
+      r.getAs[Long]("tn")) === ((2L, 0L, 1L, 1L)))
+    assert((r.getAs[Long]("precision_ppm"), r.getAs[Long]("recall_ppm"),
+      r.getAs[Long]("f1_ppm")) === ((1000000L, 666666L, 800000L)))
+  }
+
   test("attribution conserves every attributed purchase's value exactly") {
     val events = graft.Tables.t(spark, sf, "events")
     val credited = EventOps.attributionOver(events)
