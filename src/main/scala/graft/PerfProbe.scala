@@ -582,7 +582,15 @@ object PerfProbe {
         "q_skyline_incremental",
         // classifier eval: training + scoring are the q_quality_classifier
         // shape; the AUC window rides the score-distinct histogram
-        "q_classifier_auc", "q_classifier_prf")
+        "q_classifier_auc", "q_classifier_prf",
+        // TWAP segments x K on the same users (linear, one exchange);
+        // P-o-P folds K x orders into the same month grid; the sliding
+        // rate's RANGE frame is a two-pointer (O(1)/row amortized even
+        // as frames lengthen x K); WAU's (user, day) distinct set is
+        // K-invariant under replication; ABC aggregates K x lineitem
+        // onto the constant part catalog
+        "q_time_weighted_avg", "q_period_over_period", "q_sliding_rate",
+        "q_trailing_wau", "q_abc_classification")
       // q_hybrid_search is deliberately absent for the q_contamination
       // reason: its semantic leg is probe-set x corpus and BOTH grow with
       // K here, so the ratio would measure the quadratic workload growth,

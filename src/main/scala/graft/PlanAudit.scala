@@ -181,7 +181,14 @@ object PlanAudit {
       // classifier evaluation: the audit evidence is the AUC rank window
       // riding the SCORE-HISTOGRAM frame (one q_score agg), never the
       // corpus rows; PRF is one aggregate over the scoring join
-      "q_classifier_auc", "q_classifier_prf")
+      "q_classifier_auc", "q_classifier_prf",
+      // TWAP (ONE user exchange shared by the lead window and the
+      // final agg), period-over-period (lag on the month grid), the
+      // trailing-hour rate (user-keyed RANGE frame — a sliding
+      // two-pointer, no self-join), rolling WAU (bounded 7x fan-out +
+      // one exact distinct) and ABC bands (catalog-sized running sum)
+      "q_time_weighted_avg", "q_period_over_period", "q_sliding_rate",
+      "q_trailing_wau", "q_abc_classification")
     // q_corpus_pipeline is deliberately NOT audited here: its query-form
     // plan is a trivial read over the staged tables (auditing it would
     // execute the whole 5-stage materialization for nothing — against

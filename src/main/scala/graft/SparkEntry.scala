@@ -202,6 +202,11 @@ object SparkEntry {
     "q_skyline_incremental" -> (SkylineOps.skylineIncremental _),
     "q_classifier_auc"      -> (TextOps.classifierAuc _),
     "q_classifier_prf"      -> (TextOps.classifierPrf _),
+    "q_time_weighted_avg"   -> (graft.ops.TimeSeriesOps.timeWeightedAvg _),
+    "q_period_over_period"  -> (graft.ops.TimeSeriesOps.periodOverPeriod _),
+    "q_sliding_rate"        -> (EventOps.slidingRate _),
+    "q_trailing_wau"        -> (EventOps.trailingWau _),
+    "q_abc_classification"  -> (Relational.abcClassification _),
     "q_bm25_decontam"       -> (RetrievalOps.bm25Decontam _),
     "q_domain_mix"          -> (DomainOps.domainMixTemperature _),
     "q_cdc_chunks"          -> (ChunkOps.cdcChunkStats _),
@@ -5380,6 +5385,114 @@ object SparkEntry {
         |            ELSE 2 * tp * ${TextOps.QcScale} // (2 * tp + fp + fn)
         |            END AS BIGINT) AS f1_ppm
         |FROM pcm""".stripMargin,
+    // TWAP: LOCF-held segments, exact HUGEINT numerator, single-event
+    // users excluded (no held segment)
+    "q_time_weighted_avg" ->
+      s"""WITH twe AS (
+        |    SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+        |           CAST(round(value * 100) AS BIGINT) AS cents
+        |    FROM events
+        |), tws AS (
+        |    SELECT user_id, tsn, cents,
+        |           lead(tsn) OVER (PARTITION BY user_id
+        |               ORDER BY tsn, event_id) AS next_ts
+        |    FROM twe
+        |)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |       CAST(MAX(next_ts) - MIN(tsn) AS BIGINT) AS span_ns,
+        |       CAST((SUM(CAST(next_ts - tsn AS HUGEINT) * cents)
+        |             * ${graft.ops.TimeSeriesOps.TwapScale})
+        |            // (MAX(next_ts) - MIN(tsn)) AS BIGINT)
+        |           AS twap_milli_cents
+        |FROM tws WHERE next_ts IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // period-over-period: lag on the observed month grid, sign-split
+    // ppm change, NULL deltas at grid gaps
+    "q_period_over_period" ->
+      s"""WITH pom AS (
+        |    SELECT r.r_name,
+        |           (date_part('year', o.o_orderdate) - 1995) * 12
+        |             + date_part('month', o.o_orderdate) - 1 AS mx,
+        |           SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS y
+        |    FROM orders o
+        |    JOIN customer c ON c.c_custkey = o.o_custkey
+        |    JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |    JOIN region r ON r.r_regionkey = n.n_regionkey
+        |    GROUP BY 1, 2
+        |), pol AS (
+        |    SELECT r_name, mx AS month_idx, y AS revenue_cents,
+        |           CASE WHEN lag(mx) OVER (PARTITION BY r_name ORDER BY mx)
+        |                     = mx - 1
+        |                THEN lag(y) OVER (PARTITION BY r_name ORDER BY mx)
+        |                END AS prev_cents
+        |    FROM pom
+        |), pod AS (
+        |    SELECT *, revenue_cents - prev_cents AS delta_cents FROM pol
+        |)
+        |SELECT r_name, CAST(month_idx AS BIGINT) AS month_idx,
+        |       CAST(revenue_cents AS BIGINT) AS revenue_cents,
+        |       CAST(prev_cents AS BIGINT) AS prev_cents,
+        |       CAST(delta_cents AS BIGINT) AS delta_cents,
+        |       CAST(CASE WHEN prev_cents IS NULL THEN NULL
+        |            WHEN delta_cents < 0
+        |              THEN -((-delta_cents * ${TimeSeriesOps.OlsScale})
+        |                     // prev_cents)
+        |            ELSE (delta_cents * ${TimeSeriesOps.OlsScale})
+        |                 // prev_cents END AS BIGINT) AS pct_change_ppm
+        |FROM pod ORDER BY r_name, month_idx""".stripMargin,
+    // trailing-hour rate: user-keyed RANGE frame over exact ns
+    "q_sliding_rate" ->
+      s"""WITH sre AS (
+        |    SELECT event_id, user_id, epoch_ns(ts) AS tsn FROM events
+        |)
+        |SELECT event_id, user_id,
+        |       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY tsn
+        |           RANGE BETWEEN ${graft.ops.TimeSeriesOps.HourNs - 1}
+        |           PRECEDING AND CURRENT ROW) AS BIGINT) AS n_trailing_1h,
+        |       CAST(CASE WHEN COUNT(*) OVER (PARTITION BY user_id
+        |           ORDER BY tsn RANGE BETWEEN
+        |           ${graft.ops.TimeSeriesOps.HourNs - 1} PRECEDING
+        |           AND CURRENT ROW) > ${EventOps.BurstThreshold}
+        |           THEN 1 ELSE 0 END AS INTEGER) AS burst
+        |FROM sre ORDER BY event_id""".stripMargin,
+    // rolling 7-day distinct actives: bounded fan-out + exact distinct
+    "q_trailing_wau" ->
+      s"""WITH wua AS (
+        |    SELECT DISTINCT user_id, epoch_ns(ts) // ${EventOps.DayNs}
+        |               AS day
+        |    FROM events
+        |), wub AS (SELECT min(day) AS mn, max(day) AS mx FROM wua
+        |), wuf AS (
+        |    SELECT a.user_id,
+        |           unnest(range(a.day, least(a.day + 7,
+        |               (SELECT mx FROM wub) + 1))) AS target_day
+        |    FROM wua a
+        |)
+        |SELECT target_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        |FROM wuf WHERE target_day >= (SELECT mn FROM wub)
+        |GROUP BY 1 ORDER BY target_day""".stripMargin,
+    // ABC bands: running revenue share cross-multiplied against the
+    // 80/95 cuts — no division anywhere
+    "q_abc_classification" ->
+      """WITH abr AS (
+        |    SELECT l_partkey,
+        |           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |               AS BIGINT) AS revenue_cents
+        |    FROM lineitem GROUP BY 1
+        |), abt AS (
+        |    SELECT CAST(SUM(revenue_cents) AS BIGINT) AS total FROM abr
+        |), abc AS (
+        |    SELECT l_partkey, revenue_cents,
+        |           CAST(SUM(revenue_cents) OVER (ORDER BY revenue_cents
+        |               DESC, l_partkey ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND CURRENT ROW) AS BIGINT) AS cum_cents
+        |    FROM abr
+        |)
+        |SELECT l_partkey AS p_partkey, revenue_cents, cum_cents,
+        |       CASE WHEN cum_cents * 100 <= abt.total * 80 THEN 'A'
+        |            WHEN cum_cents * 100 <= abt.total * 95 THEN 'B'
+        |            ELSE 'C' END AS abc_class
+        |FROM abc, abt ORDER BY revenue_cents DESC, p_partkey""".stripMargin,
   ) ++ lateOracleSql
 
   /** Fresh sort-based skyline replay (shared by both skyline gates). */

@@ -317,6 +317,62 @@ object EventOps {
       .agg(countDistinct("user_id").as("n_users"))
   }
 
+  /** Burst threshold for [[slidingRate]]: events-per-trailing-hour
+    * above this flag the row.
+    */
+  val BurstThreshold = 5L
+
+  /** Per-event trailing-hour rate (the abuse/fraud primitive — "how
+    * many requests did THIS user make in the hour ending here"): a
+    * user-keyed RANGE-framed count over exact ns timestamps, with rows
+    * past [[BurstThreshold]] flagged. The frame is
+    * `RANGE (HourNs−1) PRECEDING .. CURRENT ROW` — inclusive of equal
+    * timestamps (a burst AT one instant counts whole).
+    *
+    * Scale shape: ONE user-keyed exchange + in-partition ts sort; the
+    * range frame is a sliding two-pointer inside each partition, never
+    * a self-join. Output is event-sized by contract (each event gets
+    * its rate). Gate `q_sliding_rate`.
+    */
+  def slidingRate(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+      .rangeBetween(-(graft.ops.TimeSeriesOps.HourNs - 1), 0)
+    t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("n_trailing_1h", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"), col("n_trailing_1h"),
+        (col("n_trailing_1h") > BurstThreshold).cast("int").as("burst"))
+      .orderBy("event_id")
+  }
+
+  /** Trailing-7-day distinct active users per day (rolling WAU) — the
+    * engagement metric exact COUNT DISTINCT over a sliding window,
+    * which no window frame computes directly (distinct does not
+    * decompose over frame slides). The distributed rendering: the
+    * DISTINCT (user, day) activity set fans each row out to the ≤ 7
+    * target days it supports (a CONSTANT-bounded explode — the inverse
+    * of the interval sweep's reasoning: here the window is fixed and
+    * small, so fan-out beats re-scanning), then one (target-day)-keyed
+    * countDistinct. Target days clamp to the observed range.
+    *
+    * Scale shape: one (user, day) distinct shuffle, a ≤7× row fan-out,
+    * one day-keyed exact distinct aggregation. Gate `q_trailing_wau`.
+    */
+  def trailingWau(s: SparkSession, d: String): DataFrame = {
+    val uw = t(s, d, "events")
+      .select(col("user_id"), expr(s"ts div $DayNs").as("day"))
+      .distinct()
+    val b = uw.agg(min("day"), max("day")).head
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    uw.select(col("user_id"),
+        explode(sequence(col("day"),
+          least(col("day") + 6, lit(mx)))).as("target_day"))
+      .where(col("target_day") >= mn)
+      .groupBy("target_day")
+      .agg(countDistinct("user_id").as("wau"))
+      .orderBy("target_day")
+  }
+
   /** Interval-concurrency sweep over order fulfillment windows: each
     * order is an interval [orderdate, orderdate + (o_orderkey mod 7 + 1)
     * days) (the crafted-duration posture — deterministic from key

@@ -406,6 +406,38 @@ object Relational {
     * partitions balance) and one (grp)-keyed aggregate. Output is
     * island-count-sized. Gate `q_id_islands`.
     */
+  /** ABC (Pareto) classification of parts by revenue: parts sorted by
+    * revenue descending, class A while the running revenue share stays
+    * ≤ 80%, B ≤ 95%, C for the tail — the inventory-analytics banding,
+    * with the share comparison CROSS-MULTIPLIED (cum·100 vs pct·total)
+    * so no division happens at all. Ties order by (revenue desc,
+    * partkey) — total and deterministic.
+    *
+    * Scale shape: one lineitem aggregation keyed on partkey, then a
+    * global-order running sum over the CATALOG-sized part frame (a
+    * range exchange — the id-islands posture; catalogs sort, fact
+    * tables wouldn't). Gate `q_abc_classification`.
+    */
+  def abcClassification(s: SparkSession, d: String): DataFrame = {
+    val rev = t(s, d, "lineitem")
+      .select(col("l_partkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .groupBy("l_partkey").agg(sum("cents").as("revenue_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("revenue_cents").desc, col("l_partkey"))
+    rev.crossJoin(broadcast(rev.agg(sum("revenue_cents").as("total"))))
+      .withColumn("cum_cents", sum("revenue_cents").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .withColumn("abc_class",
+        when(col("cum_cents") * 100 <= col("total") * 80, "A")
+          .when(col("cum_cents") * 100 <= col("total") * 95, "B")
+          .otherwise("C"))
+      .select(col("l_partkey").as("p_partkey"), col("revenue_cents"),
+        col("cum_cents"), col("abc_class"))
+      .orderBy(col("revenue_cents").desc, col("p_partkey"))
+  }
+
   def idIslands(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select(col("doc_id"))
       .withColumn("grp", col("doc_id") -

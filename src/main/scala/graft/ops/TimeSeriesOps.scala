@@ -244,9 +244,18 @@ object TimeSeriesOps {
     * the grid-sized monthly frame. Nothing downstream of the first agg
     * sees row volume.
     */
-  def olsTrend(s: SparkSession, d: String): DataFrame = {
+  def olsTrend(s: SparkSession, d: String): DataFrame =
+    olsFit(monthlyRevenue(s, d))
+
+  /** Monthly revenue cents per region — the shared grid assembly of the
+    * trend family ([[olsTrend]], [[periodOverPeriod]]): one
+    * orders⨝customer key shuffle (customer is data-sized at 100 TB — no
+    * broadcast), nation/region broadcast, ONE (region, month)
+    * map-side-combined aggregation.
+    */
+  def monthlyRevenue(s: SparkSession, d: String): DataFrame = {
     import graft.Tables.t
-    val monthly = t(s, d, "orders")
+    t(s, d, "orders")
       .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
       .withColumn("mx",
         ((year(col("o_orderdate")) - 1995) * 12 +
@@ -259,7 +268,70 @@ object TimeSeriesOps {
       .join(broadcast(t(s, d, "region").select(
         col("r_regionkey").as("n_regionkey"), col("r_name"))), "n_regionkey")
       .groupBy("r_name", "mx").agg(sum("cents").as("y"))
-    olsFit(monthly)
+  }
+
+  /** Period-over-period reporting off the same monthly grid: previous
+    * month's revenue, the delta, and the exact sign-split ppm change —
+    * the dashboard primitive next to [[olsTrend]]'s fitted slope. Months
+    * with no preceding observed month emit NULL deltas (a gap is not a
+    * 0-revenue month — the grid is observed months, the gapfill
+    * convention does not apply to ratios). The lag window rides the
+    * month-grid frame. Gate `q_period_over_period`.
+    */
+  def periodOverPeriod(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("r_name").orderBy("mx")
+    monthlyRevenue(s, d)
+      .withColumn("prev_mx", lag("mx", 1).over(w))
+      .withColumn("prev_cents", lag("y", 1).over(w))
+      .select(col("r_name"), col("mx").as("month_idx"),
+        col("y").as("revenue_cents"),
+        when(col("prev_mx") === col("mx") - 1, col("prev_cents"))
+          .as("prev_cents"))
+      .withColumn("delta_cents", col("revenue_cents") - col("prev_cents"))
+      .withColumn("pct_change_ppm", expr(
+        s"""CASE WHEN prev_cents IS NULL THEN NULL
+           | WHEN delta_cents < 0
+           |   THEN -((-delta_cents * $OlsScale) div prev_cents)
+           | ELSE (delta_cents * $OlsScale) div prev_cents END"""
+          .stripMargin.replace("\n", " ")))
+      .orderBy("r_name", "month_idx")
+  }
+
+  /** TWAP fixed-point scale (milli-cents). */
+  val TwapScale = 1000L
+
+  /** Time-weighted average value per user (the metering/billing
+    * estimator — events sampled at uneven times must weight each value
+    * by how long it HELD, or burst-sampled periods dominate the mean):
+    * between consecutive events the PREVIOUS value holds (LOCF), so
+    *
+    *   twap = Σᵢ (tᵢ₊₁ − tᵢ) · vᵢ / (tₙ − t₁)
+    *
+    * — exact through DECIMAL(38) (ns spans × cents pass Long), emitted
+    * in [[TwapScale]] milli-cents with the non-negative-operand
+    * convention (values are cents ≥ 0 on this fixture; spans ≥ 0 by
+    * construction). Users with a single event have no held segment and
+    * are excluded (span 0 — the honest contract, not a 0 average).
+    *
+    * Scale shape: ONE user-keyed exchange carries the lag window and
+    * the final per-user aggregation (the SCD2 exchange-reuse posture).
+    * Gate `q_time_weighted_avg`.
+    */
+  def timeWeightedAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    graft.Tables.t(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("next_ts", lead("ts", 1).over(w))
+      .where(col("next_ts").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(expr("CAST(next_ts - ts AS DECIMAL(38,0)) * cents")).as("num"),
+        (max("next_ts") - min("ts")).as("span_ns"))
+      .select(col("user_id"), col("n_segments"), col("span_ns"),
+        expr(s"CAST((num * $TwapScale) div span_ns AS BIGINT)")
+          .as("twap_milli_cents"))
+      .orderBy("user_id")
   }
 
   /** The closed-form fit over a `(r_name, mx, y)` points frame — the

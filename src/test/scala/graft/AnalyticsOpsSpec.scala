@@ -285,6 +285,80 @@ class AnalyticsOpsSpec extends SparkSpec {
       r.getAs[Long]("f1_ppm")) === ((1000000L, 666666L, 800000L)))
   }
 
+  test("TWAP: LOCF-held segments, exact weighting, single-event exclusion") {
+    import graft.ops.TimeSeriesOps
+    // u1: [0,10)@100c + [10,30)@300c over span 30 -> 7000*1000/30
+    val dir = tmpTable("events", ev(
+      (1L, 0L, 1L, "click", 1.0), (2L, 10L, 1L, "click", 3.0),
+      (3L, 30L, 1L, "click", 0.0),
+      (4L, 5L, 2L, "click", 9.0))) // single event: excluded
+    val got = TimeSeriesOps.timeWeightedAvg(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array((1L, 2L, 30L, 233333L)))
+  }
+
+  test("period-over-period: contiguous lag, grid gap -> NULL, sign split") {
+    import graft.ops.TimeSeriesOps
+    val dir = java.nio.file.Files.createTempDirectory("pop").toString
+    // months 0 (100.00), 1 (50.00), 3 (75.00 — gap at 2)
+    Seq((1L, 1L, 100.0, java.sql.Timestamp.valueOf("1995-01-15 00:00:00")),
+      (2L, 1L, 50.0, java.sql.Timestamp.valueOf("1995-02-15 00:00:00")),
+      (3L, 1L, 75.0, java.sql.Timestamp.valueOf("1995-04-15 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 0)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((0, "N", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((0, "R")).toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    val got = TimeSeriesOps.periodOverPeriod(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(5)) null else r.getLong(5)))
+    assert(got === Array(
+      (0L, 10000L, null, null),
+      (1L, 5000L, 10000L, -500000L), // -50% exactly, sign split
+      (3L, 7500L, null, null)))      // gap at month 2: no ratio
+  }
+
+  test("sliding rate: trailing-hour frame bounds and burst flag") {
+    val h = graft.ops.TimeSeriesOps.HourNs
+    val base = ev(
+      (1L, 0L, 1L, "click", 0.0),
+      (2L, h - 1, 1L, "click", 0.0), // within [0, h-1] of itself + e1
+      (3L, h, 1L, "click", 0.0))     // frame [1, h]: excludes e1
+    val got = EventOps.slidingRate(spark, tmpTable("events", base))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    assert(got === Array((1L, 1L, 0), (2L, 2L, 0), (3L, 2L, 0)))
+    // 7 events at one instant: whole burst counts, flag trips
+    val burst = ev((1L to 7L).map(i => (i, 100L, 1L, "click", 0.0)): _*)
+    val b = EventOps.slidingRate(spark, tmpTable("events", burst)).collect()
+    assert(b.forall(r => r.getLong(2) === 7L && r.getInt(3) === 1))
+  }
+
+  test("trailing WAU: 7-day support fan-out, exact distinct, range clamp") {
+    val day = 86400000000000L
+    val dir = tmpTable("events", ev(
+      (1L, 0L, 1L, "click", 0.0), (2L, 0L, 2L, "click", 0.0),
+      (3L, 3 * day, 1L, "click", 0.0), (4L, 3 * day, 3L, "click", 0.0)))
+    val got = EventOps.trailingWau(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // day0 activity supports days 0..3 (clamped); day3 adds u3
+    assert(got === Array((0L, 2L), (1L, 2L), (2L, 2L), (3L, 3L)))
+  }
+
+  test("ABC: cross-multiplied bands, boundary lands in the lower class") {
+    val dir = tmpTable("lineitem", Seq(
+      (1L, 8.0), (2L, 1.5), (3L, 0.5)) // 800/150/50 cents, total 1000
+      .toDF("l_partkey", "l_extendedprice"))
+    val got = graft.ops.Relational.abcClassification(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // cum 800 = exactly 80% -> A; 950 = exactly 95% -> B; tail -> C
+    assert(got === Array((1L, 800L, 800L, "A"), (2L, 150L, 950L, "B"),
+      (3L, 50L, 1000L, "C")))
+  }
+
   test("attribution conserves every attributed purchase's value exactly") {
     val events = graft.Tables.t(spark, sf, "events")
     val credited = EventOps.attributionOver(events)
