@@ -590,7 +590,13 @@ object PerfProbe {
         // K-invariant under replication; ABC aggregates K x lineitem
         // onto the constant part catalog
         "q_time_weighted_avg", "q_period_over_period", "q_sliding_rate",
-        "q_trailing_wau", "q_abc_classification")
+        "q_trailing_wau", "q_abc_classification",
+        // snapshot diff is one key join over K x orders; triples pair
+        // within K x baskets over the constant brand vocabulary (output
+        // capped at C(|brands|,3)); masking is per-row; ANN recall runs
+        // the two existing probe-bounded searches
+        "q_snapshot_diff", "q_frequent_triples", "q_mask_spans",
+        "q_ann_recall")
       // q_hybrid_search is deliberately absent for the q_contamination
       // reason: its semantic leg is probe-set x corpus and BOTH grow with
       // K here, so the ratio would measure the quadratic workload growth,

@@ -188,7 +188,13 @@ object PlanAudit {
       // two-pointer, no self-join), rolling WAU (bounded 7x fan-out +
       // one exact distinct) and ABC bands (catalog-sized running sum)
       "q_time_weighted_avg", "q_period_over_period", "q_sliding_rate",
-      "q_trailing_wau", "q_abc_classification")
+      "q_trailing_wau", "q_abc_classification",
+      // snapshot diff (ONE key-keyed full outer join), Apriori triples
+      // (order-keyed joins + broadcast supports), MLM masking (per-row,
+      // zero pre-sort exchange) and ANN recall (two probe-bounded
+      // searches + one (probe, neighbor) semi-join)
+      "q_snapshot_diff", "q_frequent_triples", "q_mask_spans",
+      "q_ann_recall")
     // q_corpus_pipeline is deliberately NOT audited here: its query-form
     // plan is a trivial read over the staged tables (auditing it would
     // execute the whole 5-stage materialization for nothing — against

@@ -207,6 +207,10 @@ object SparkEntry {
     "q_sliding_rate"        -> (EventOps.slidingRate _),
     "q_trailing_wau"        -> (EventOps.trailingWau _),
     "q_abc_classification"  -> (Relational.abcClassification _),
+    "q_snapshot_diff"       -> (Relational.snapshotDiff _),
+    "q_frequent_triples"    -> (BasketOps.frequentTriples _),
+    "q_mask_spans"          -> (TextOps.maskSpans _),
+    "q_ann_recall"          -> (VectorOps.annRecall _),
     "q_bm25_decontam"       -> (RetrievalOps.bm25Decontam _),
     "q_domain_mix"          -> (DomainOps.domainMixTemperature _),
     "q_cdc_chunks"          -> (ChunkOps.cdcChunkStats _),
@@ -5493,6 +5497,123 @@ object SparkEntry {
         |            WHEN cum_cents * 100 <= abt.total * 95 THEN 'B'
         |            ELSE 'C' END AS abc_class
         |FROM abc, abt ORDER BY revenue_cents DESC, p_partkey""".stripMargin,
+    // snapshot reconciliation: crafted v2 replayed, one full outer join
+    // on the key, per-class counts + value sums
+    "q_snapshot_diff" ->
+      """WITH sdv1 AS (
+        |    SELECT o_orderkey AS k,
+        |           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |    FROM orders
+        |), sdmx AS (SELECT max(k) AS mk FROM sdv1
+        |), sdv2 AS (
+        |    SELECT k, CASE WHEN k % 13 = 5 THEN cents + 500
+        |                   ELSE cents END AS cents
+        |    FROM sdv1 WHERE k % 97 <> 3
+        |    UNION ALL
+        |    SELECT k + (SELECT mk FROM sdmx) + 1, cents
+        |    FROM sdv1 WHERE k % 101 = 7
+        |), sdj AS (
+        |    SELECT a.cents AS c1, b.cents AS c2
+        |    FROM sdv1 a FULL OUTER JOIN sdv2 b ON a.k = b.k
+        |)
+        |SELECT CASE WHEN c2 IS NULL THEN 'removed'
+        |            WHEN c1 IS NULL THEN 'added'
+        |            WHEN c1 <> c2 THEN 'changed'
+        |            ELSE 'unchanged' END AS change_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(coalesce(SUM(c1), 0) AS BIGINT) AS sum_cents_v1,
+        |       CAST(coalesce(SUM(c2), 0) AS BIGINT) AS sum_cents_v2
+        |FROM sdj GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Apriori level 3: order-keyed triple join, HUGEINT 3-way lift
+    "q_frequent_triples" ->
+      s"""WITH fbk AS (
+        |    SELECT DISTINCT l.l_orderkey, p.p_brand
+        |    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |), fnb AS (
+        |    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM fbk
+        |), fsi AS (
+        |    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS supp
+        |    FROM fbk GROUP BY 1
+        |), ftr AS (
+        |    SELECT a.p_brand AS i1, b.p_brand AS i2, c.p_brand AS i3,
+        |           CAST(COUNT(*) AS BIGINT) AS supp_triple
+        |    FROM fbk a
+        |    JOIN fbk b ON a.l_orderkey = b.l_orderkey
+        |              AND a.p_brand < b.p_brand
+        |    JOIN fbk c ON a.l_orderkey = c.l_orderkey
+        |              AND b.p_brand < c.p_brand
+        |    GROUP BY 1, 2, 3
+        |    HAVING COUNT(*) >= ${BasketOps.MinSuppTriple}
+        |)
+        |SELECT t.i1, t.i2, t.i3, t.supp_triple,
+        |       CAST((CAST(t.supp_triple AS HUGEINT) * fnb.n * fnb.n
+        |             * ${BasketOps.Ppm})
+        |            // (CAST(s1.supp AS HUGEINT) * s2.supp * s3.supp)
+        |            AS BIGINT) AS lift_ppm
+        |FROM ftr t
+        |JOIN fsi s1 ON s1.p_brand = t.i1
+        |JOIN fsi s2 ON s2.p_brand = t.i2
+        |JOIN fsi s3 ON s3.p_brand = t.i3, fnb
+        |ORDER BY i1, i2, i3""".stripMargin,
+    // deterministic MLM masking: position rule replayed, masked text
+    // cell hash-compared
+    "q_mask_spans" ->
+      s"""WITH mtk AS (
+        |    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens
+        |    FROM documents
+        |)
+        |SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+        |       CASE WHEN len(tokens) = 0 THEN ''
+        |            ELSE array_to_string(list_transform(
+        |                range(1, len(tokens) + 1),
+        |                p -> CASE WHEN (doc_id * 31 + p)
+        |                               % ${TextOps.MaskEvery} = 0
+        |                     THEN '[MASK]' ELSE tokens[p] END), ' ')
+        |            END AS masked_text,
+        |       CAST(len(list_filter(range(1, len(tokens) + 1),
+        |           p -> (doc_id * 31 + p) % ${TextOps.MaskEvery} = 0))
+        |           AS BIGINT) AS n_masked
+        |FROM mtk ORDER BY doc_id""".stripMargin,
+    // ANN recall@k: engine-materialized approx set (split gate), oracle
+    // recomputes the exact flat side and the intersection arithmetic
+    "q_ann_recall" -> {
+      val path = OracleInputs.sqlPath("ann_recall_sq")
+      s"""WITH sqp AS (
+        |    SELECT probe_id, neighbor_id FROM read_parquet('$path/*.parquet')
+        |), nrm AS (
+        |    SELECT vec_id, embedding,
+        |           sqrt(list_reduce(
+        |             list_prepend(CAST(0.0 AS DOUBLE),
+        |               list_transform(embedding,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |             (a, b) -> a + b)) AS l2
+        |    FROM embeddings
+        |), pairs AS (
+        |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |           list_reduce(
+        |             list_prepend(CAST(0.0 AS DOUBLE),
+        |               list_transform(range(1, len(p.embedding) + 1),
+        |                 i -> CAST(p.embedding[i] AS DOUBLE)
+        |                      * CAST(c.embedding[i] AS DOUBLE))),
+        |             (a, b) -> a + b) / (p.l2 * c.l2) AS cosine
+        |    FROM nrm p JOIN nrm c ON p.vec_id < 5
+        |), exact AS (
+        |    SELECT probe_id, neighbor_id FROM (
+        |        SELECT probe_id, neighbor_id,
+        |               row_number() OVER (PARTITION BY probe_id
+        |                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+        |        FROM pairs)
+        |    WHERE rnk <= 5
+        |)
+        |SELECT e.probe_id, CAST(COUNT(*) AS BIGINT) AS k,
+        |       CAST(SUM(CASE WHEN s.probe_id IS NOT NULL THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_match,
+        |       CAST(SUM(CASE WHEN s.probe_id IS NOT NULL THEN 1 ELSE 0 END)
+        |            * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+        |FROM exact e LEFT JOIN sqp s ON s.probe_id = e.probe_id
+        |                            AND s.neighbor_id = e.neighbor_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
   ) ++ lateOracleSql
 
   /** Fresh sort-based skyline replay (shared by both skyline gates). */

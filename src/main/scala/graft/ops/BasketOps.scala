@@ -76,4 +76,49 @@ object BasketOps {
           .as("lift_ppm"))
       .orderBy("ante", "cons")
   }
+
+  /** Minimum triple support. */
+  val MinSuppTriple = 5L
+
+  /** Frequent itemsets one Apriori level past [[assocRules]]: brand
+    * TRIPLES co-occurring in ≥ [[MinSuppTriple]] orders, with the
+    * 3-way lift supp·n²·10⁶ div (sa·sb·sc) through DECIMAL(38)
+    * (n²·supp·10⁶ ≈ 10³⁶ at corpus scale — the outermost exact product
+    * this engine carries; still inside 38 digits).
+    *
+    * Scale shape: the candidate generator is TWO order-keyed self-joins
+    * (C(k,3) per basket — basket-width-bounded like the pair join,
+    * never catalog³); supports broadcast. The full Apriori would prune
+    * candidate triples against frequent pairs first; at brand
+    * cardinality the per-basket bound already contains the fan-out, so
+    * the prune is documented, not paid. Gate `q_frequent_triples`.
+    */
+  def frequentTriples(s: SparkSession, d: String): DataFrame = {
+    val baskets = t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part").select(
+        col("p_partkey").as("l_partkey"), col("p_brand"))), "l_partkey")
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+    val nBaskets = baskets.select("l_orderkey").distinct()
+      .agg(count(lit(1)).as("n"))
+    val itemSupp = baskets.groupBy("p_brand").agg(count(lit(1)).as("supp"))
+    def side(as: String) =
+      baskets.select(col("l_orderkey"), col("p_brand").as(as))
+    val triples = side("i1").join(side("i2"), "l_orderkey")
+      .where(col("i1") < col("i2"))
+      .join(side("i3"), "l_orderkey")
+      .where(col("i2") < col("i3"))
+      .groupBy("i1", "i2", "i3").agg(count(lit(1)).as("supp_triple"))
+      .where(col("supp_triple") >= MinSuppTriple)
+    def suppOf(item: String) = broadcast(itemSupp.select(
+      col("p_brand").as(item), col("supp").as(s"supp_$item")))
+    triples
+      .join(suppOf("i1"), "i1").join(suppOf("i2"), "i2")
+      .join(suppOf("i3"), "i3")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("i1"), col("i2"), col("i3"), col("supp_triple"),
+        expr(s"CAST((CAST(supp_triple AS DECIMAL(38,0)) * n * n * $Ppm) " +
+          "div (CAST(supp_i1 AS DECIMAL(38,0)) * supp_i2 * supp_i3) " +
+          "AS BIGINT)").as("lift_ppm"))
+      .orderBy("i1", "i2", "i3")
+  }
 }

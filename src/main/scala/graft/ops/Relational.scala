@@ -406,6 +406,45 @@ object Relational {
     * partitions balance) and one (grp)-keyed aggregate. Output is
     * island-count-sized. Gate `q_id_islands`.
     */
+  /** Snapshot reconciliation: diff two versions of the orders table by
+    * primary key and classify every key as added / removed / changed /
+    * unchanged with per-class counts and value sums — the audit a
+    * pipeline runs after a load to see WHAT a refresh did (the
+    * row-count-only check merge modes get for free misses silent value
+    * drift). v2 is CRAFTED from v1 by key arithmetic (the oracle
+    * replays it): keys ≡ 3 (mod 97) deleted, keys ≡ 5 (mod 13) get
+    * +500 cents, keys ≡ 7 (mod 101) re-inserted under fresh ids past
+    * the key max.
+    *
+    * Scale shape: ONE full outer join on the primary key (both sides
+    * hash-partition on it) comparing integer cents; the classification
+    * is per-row; output is 4 summary rows. Gate `q_snapshot_diff`.
+    */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val v1 = t(s, d, "orders").select(col("o_orderkey").as("k"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val maxK = v1.agg(max("k")).head.getLong(0)
+    val kept = v1.where(col("k") % 97 =!= 3)
+      .select(col("k"),
+        when(col("k") % 13 === 5, col("cents") + 500)
+          .otherwise(col("cents")).as("cents"))
+    val inserted = v1.where(col("k") % 101 === 7)
+      .select((col("k") + maxK + 1).as("k"), col("cents"))
+    val v2 = kept.unionByName(inserted)
+    v1.select(col("k"), col("cents").as("c1"))
+      .join(v2.select(col("k"), col("cents").as("c2")), Seq("k"), "full_outer")
+      .withColumn("change_type",
+        when(col("c2").isNull, "removed")
+          .when(col("c1").isNull, "added")
+          .when(col("c1") =!= col("c2"), "changed")
+          .otherwise("unchanged"))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum("c1"), lit(0L)).as("sum_cents_v1"),
+        coalesce(sum("c2"), lit(0L)).as("sum_cents_v2"))
+      .orderBy("change_type")
+  }
+
   /** ABC (Pareto) classification of parts by revenue: parts sorted by
     * revenue descending, class A while the running revenue share stays
     * ≤ 80%, B ≤ 95%, C for the tail — the inventory-analytics banding,

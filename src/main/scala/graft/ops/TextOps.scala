@@ -1364,6 +1364,41 @@ object TextOps {
           s"ELSE 2 * tp * $QcScale div (2 * tp + fp + fn) END AS BIGINT)")
           .as("f1_ppm"))
 
+  /** Masking period for [[maskSpans]] (≈ 15% of positions, the BERT
+    * recipe's rate, rendered deterministic).
+    */
+  val MaskEvery = 7L
+
+  /** Deterministic MLM-style token masking — the training-data export
+    * for a masked-language objective: token at 1-based position p of
+    * document d is replaced by `[MASK]` when (d·31 + p) mod
+    * [[MaskEvery]] = 0 (a per-document phase shift, so masks don't
+    * align in a column across documents the way a bare `p mod 7` would).
+    * Emits the masked text plus the mask count; zero-token documents
+    * pass through with empty output.
+    *
+    * Scale shape: per-row transform inside one projection — no shuffle
+    * before the output sort. Gate `q_mask_spans`.
+    */
+  def maskSpans(s: SparkSession, d: String): DataFrame =
+    withTokens(t(s, d, "documents"))
+      .select(col("doc_id"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        // size-0 guard: Spark's sequence(1, 0) is a DESCENDING [1, 0],
+        // not empty — an empty doc must short-circuit
+        expr(s"""CASE WHEN size(tokens) = 0 THEN ''
+          | ELSE array_join(zip_with(tokens,
+          | sequence(1, size(tokens)),
+          | (tk, p) -> CASE WHEN (doc_id * 31 + p) % $MaskEvery = 0
+          |            THEN '[MASK]' ELSE tk END), ' ') END"""
+          .stripMargin.replace("\n", " ")).as("masked_text"),
+        expr(s"""CASE WHEN size(tokens) = 0 THEN 0L
+          | ELSE aggregate(sequence(1, size(tokens)), 0L,
+          | (acc, p) -> acc + CASE WHEN (doc_id * 31 + p) % $MaskEvery = 0
+          |             THEN 1L ELSE 0L END) END"""
+          .stripMargin.replace("\n", " ")).as("n_masked"))
+      .orderBy("doc_id")
+
   /** Span-coverage dedup signal (Lee et al. 2021, the substring-level
     * complement of the repeated-spans miner): for each document, how many
     * of its tokens sit inside at least one n-gram that ALSO appears in

@@ -1015,6 +1015,35 @@ object VectorOps {
   def sqCosineTopk(s: SparkSession, d: String): DataFrame =
     sqTopkFrame(s, d).orderBy("probe_id", "rnk")
 
+  /** Recall@k of the SQ8 retrieval against the exact flat scan — the
+    * standard ANN evaluation, as a GATED measurement: per probe,
+    * |approx top-k ∩ exact top-k| · 10⁶ div k, exact integers. Both
+    * sides are individually hash-gated queries; this gate proves the
+    * EVALUATION arithmetic (the number a quantization-tuning loop
+    * trusts), split-style: the engine materializes the approx set
+    * ([[graft.OracleInputs]]), the oracle recomputes the exact side and
+    * the intersection itself.
+    *
+    * Scale shape: both searches are the existing probe-bounded paths;
+    * the intersection is a (probe, neighbor)-keyed semi-join over
+    * probes×k rows. Gate `q_ann_recall`.
+    */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = knnCosineTopk(s, d).select("probe_id", "neighbor_id")
+    val approx = graft.OracleInputs.checkpoint(
+      sqTopkFrame(s, d).select("probe_id", "neighbor_id"),
+      d, "ann_recall_sq")
+    val k = exact.groupBy("probe_id").agg(count(lit(1)).as("k"))
+    val matched = exact
+      .join(approx, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("n_match"))
+    k.join(matched, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("k"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"),
+        expr("coalesce(n_match, 0L) * 1000000 div k").as("recall_ppm"))
+      .orderBy("probe_id")
+  }
+
   private[graft] def sqTopkFrame(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val emb = t(s, d, "embeddings")

@@ -496,6 +496,40 @@ object StreamingOps {
       s"('$HistEpochProp'='$epochId')")
   }
 
+  /** Streaming twin of [[graft.ops.ReservoirOps.appendDaySamples]]: the
+    * bottom-K fold is the histogram's lifecycle shape (additive totals →
+    * the same epoch fence + watermark guard), so a micro-batch stream
+    * grows the day-sample tables exactly-once.
+    */
+  def sinkDaySamples(events: DataFrame, db: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    withCheckpoint(events.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        processDaySamplesBatch(batch.toDF(), db, epochId)
+      }, events, s"$db.${graft.ops.ReservoirOps.SampleTable}")
+      .start()
+
+  private val ReservoirEpochProp = "graft.reservoir.last_epoch"
+
+  private[graft] def processDaySamplesBatch(b: DataFrame, db: String,
+                                            epochId: Long): Unit = {
+    import graft.ops.ReservoirOps
+    if (b.isEmpty) return
+    val s = b.sparkSession
+    require(s.catalog.tableExists(s"$db.${ReservoirOps.SampleTable}"),
+      s"sinkDaySamples: no day samples in `$db` — run " +
+        "ReservoirOps.buildDaySamples first")
+    if (epochId >= 0 && s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          ReservoirOps.SampleTable, Some(db))).properties
+        .get(ReservoirEpochProp).filter(_.nonEmpty)
+        .map(_.toLong).exists(_ >= epochId)) return // committed replay
+    ReservoirOps.appendDaySamples(s, b, db)
+    s.sql(s"ALTER TABLE `$db`.`${ReservoirOps.SampleTable}` " +
+      s"SET TBLPROPERTIES ('$ReservoirEpochProp'='$epochId')")
+  }
+
   private val Scd2EpochProp = "graft.scd2.last_epoch"
 
   private[graft] def processScd2Batch(b: DataFrame, db: String,

@@ -359,6 +359,89 @@ class AnalyticsOpsSpec extends SparkSpec {
       (3L, 50L, 1000L, "C")))
   }
 
+  test("snapshot diff: hand-crafted add/remove/change/unchanged classes") {
+    // keys: 3 deleted (3%97=3), 5 changed (+500c), 7 unchanged + cloned
+    // to key 15 (7%101=7, maxK=7), 1 unchanged
+    val dir = tmpTable("orders", Seq(
+      (1L, 1.0), (3L, 3.0), (5L, 5.0), (7L, 7.0))
+      .toDF("o_orderkey", "o_totalprice"))
+    val got = graft.ops.Relational.snapshotDiff(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array(
+      ("added", 1L, 0L, 700L),      // key 15 (clone of 7)
+      ("changed", 1L, 500L, 1000L), // key 5: 500 -> 1000
+      ("removed", 1L, 300L, 0L),    // key 3
+      ("unchanged", 2L, 800L, 800L))) // keys 1, 7
+  }
+
+  test("frequent triples: hand-counted level-3 support and exact lift") {
+    import graft.ops.BasketOps
+    val dir = java.nio.file.Files.createTempDirectory("trip").toString
+    Seq((1L, "A"), (2L, "B"), (3L, "C"), (4L, "D"))
+      .toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    // 5 orders {A,B,C} + 1 order {A,B,D}: ABC supp 5, others < 5
+    val rows = (1L to 5L).flatMap(o => Seq((o, 1L), (o, 2L), (o, 3L))) ++
+      Seq((6L, 1L), (6L, 2L), (6L, 4L))
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = BasketOps.frequentTriples(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    // lift = 5 * 36 * 1e6 div (6 * 6 * 5) = 1e6 exactly
+    assert(got === Array(("A", "B", "C", 5L, 1000000L)))
+  }
+
+  test("mask spans: per-document phase, exact positions, count") {
+    import graft.ops.TextOps
+    val dir = java.nio.file.Files.createTempDirectory("mask").toString
+    Seq((0L, "a b c d e f g h"), (1L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.maskSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    // doc 0: p ≡ 0 (mod 7) -> p=7; doc 1: 31+p ≡ 0 -> p ≡ 4 (mod 7)
+    assert(got === Array(
+      (0L, "a b c d e f [MASK] h", 1L),
+      (1L, "a b c [MASK] e f g h", 1L)))
+  }
+
+  test("ANN recall: arithmetic consistency on the fixture") {
+    val rows = graft.ops.VectorOps.annRecall(spark, sf).collect()
+    assert(rows.length === 5)
+    for (r <- rows) {
+      val (k, m, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(k === 5L && m >= 0L && m <= k)
+      assert(ppm === m * 1000000L / k)
+    }
+  }
+
+  test("streamed day-sample folds land bit-equal to the fresh reservoir") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.ReservoirOps
+    implicit val sq = spark.sqlContext
+    spark.sql(s"DROP DATABASE IF EXISTS `${ReservoirOps.Db}` CASCADE")
+    val full = ev(
+      (1L, 1L, 1L, "click", 1.0), (2L, 2L, 1L, "click", 2.0),
+      (3L, 3L, 2L, "click", 3.0),
+      (4L, 60L, 1L, "click", 4.0), (5L, 70L, 2L, "click", 5.0))
+    ReservoirOps.buildDaySamples(full.where(col("ts") < 50L))
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val q = graft.streaming.StreamingOps.sinkDaySamples(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      ReservoirOps.Db)
+    mem.addData((4L, 60L, 1L, "click", 4.0))
+    q.processAllAvailable()
+    mem.addData((5L, 70L, 2L, "click", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val served = ReservoirOps.servedDaily(spark).collect()
+    spark.sql(s"DROP DATABASE IF EXISTS `${ReservoirOps.Db}` CASCADE")
+    ReservoirOps.buildDaySamples(full)
+    val fresh = ReservoirOps.servedDaily(spark).collect()
+    assert(served.map(_.toSeq).toSeq === fresh.map(_.toSeq).toSeq)
+  }
+
   test("attribution conserves every attributed purchase's value exactly") {
     val events = graft.Tables.t(spark, sf, "events")
     val credited = EventOps.attributionOver(events)
