@@ -596,7 +596,11 @@ object PerfProbe {
         // capped at C(|brands|,3)); masking is per-row; ANN recall runs
         // the two existing probe-bounded searches
         "q_snapshot_diff", "q_frequent_triples", "q_mask_spans",
-        "q_ann_recall")
+        "q_ann_recall",
+        // weighted paths relax over the K-invariant domain graph; vocab
+        // stats shuffle K x tokens onto the ~linearly-growing rotated
+        // vocabulary; key skew is one key count + count-histogram math
+        "q_weighted_paths", "q_vocab_stats", "q_key_skew")
       // q_hybrid_search is deliberately absent for the q_contamination
       // reason: its semantic leg is probe-set x corpus and BOTH grow with
       // K here, so the ratio would measure the quadratic workload growth,

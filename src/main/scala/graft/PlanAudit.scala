@@ -194,7 +194,11 @@ object PlanAudit {
       // zero pre-sort exchange) and ANN recall (two probe-bounded
       // searches + one (probe, neighbor) semi-join)
       "q_snapshot_diff", "q_frequent_triples", "q_mask_spans",
-      "q_ann_recall")
+      "q_ann_recall",
+      // weighted paths (checkpointed min-plus rounds — serve plan is a
+      // checkpoint scan), vocab stats (one (source, token) shuffle) and
+      // the key-skew report (windows over the count-of-counts frame)
+      "q_weighted_paths", "q_vocab_stats", "q_key_skew")
     // q_corpus_pipeline is deliberately NOT audited here: its query-form
     // plan is a trivial read over the staged tables (auditing it would
     // execute the whole 5-stage materialization for nothing — against

@@ -211,6 +211,9 @@ object SparkEntry {
     "q_frequent_triples"    -> (BasketOps.frequentTriples _),
     "q_mask_spans"          -> (TextOps.maskSpans _),
     "q_ann_recall"          -> (VectorOps.annRecall _),
+    "q_weighted_paths"      -> (graft.ops.LinkOps.weightedPaths _),
+    "q_vocab_stats"         -> (TextOps.vocabStats _),
+    "q_key_skew"            -> (Relational.keySkew _),
     "q_bm25_decontam"       -> (RetrievalOps.bm25Decontam _),
     "q_domain_mix"          -> (DomainOps.domainMixTemperature _),
     "q_cdc_chunks"          -> (ChunkOps.cdcChunkStats _),
@@ -898,6 +901,36 @@ object SparkEntry {
       s"""
          |SELECT t.v AS domain, CAST(COALESCE(h.dist, -1) AS BIGINT) AS dist
          |FROM verts t LEFT JOIN bh$iters h ON h.v = t.v
+         |ORDER BY domain""".stripMargin
+  }
+
+  /** Weighted-paths oracle: per-pair link-count costs, `iters` unrolled
+    * min-plus relaxations — min is order-independent, so the replay
+    * lands on GraphOps.weightedHops' exact Longs.
+    */
+  private def weightedPathsOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s""", wh$i AS MATERIALIZED (
+         |    SELECT v, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+         |        SELECT v, dist FROM wh${i - 1}
+         |        UNION ALL
+         |        SELECT e.dst AS v, h.dist + e.w AS dist
+         |        FROM wh${i - 1} h JOIN wce e ON e.src = h.v
+         |    ) GROUP BY 1
+         |)""".stripMargin
+    }.mkString
+    domainGraphCtes +
+      """, wce AS MATERIALIZED (
+        |    SELECT page_domain AS src, target_domain AS dst,
+        |           CAST(1000000 // COUNT(*) AS BIGINT) AS w
+        |    FROM lx WHERE is_external = 1 GROUP BY 1, 2
+        |), wh0 AS MATERIALIZED (
+        |    SELECT DISTINCT page_domain AS v, CAST(0 AS BIGINT) AS dist
+        |    FROM lx WHERE page_domain LIKE '%.co.uk'
+        |)""".stripMargin + steps +
+      s"""
+         |SELECT t.v AS domain, CAST(COALESCE(h.dist, -1) AS BIGINT) AS cost
+         |FROM verts t LEFT JOIN wh$iters h ON h.v = t.v
          |ORDER BY domain""".stripMargin
   }
 
@@ -5614,6 +5647,68 @@ object SparkEntry {
         |                            AND s.neighbor_id = e.neighbor_id
         |GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    // weighted crawl distance: unrolled min-plus relaxations over
+    // link-count edge costs
+    "q_weighted_paths" -> weightedPathsOracle(
+      graft.ops.LinkOps.WPathIters),
+    // vocabulary health: one (source, token) count + source rollup
+    "q_vocab_stats" ->
+      """WITH vtk AS (
+        |    SELECT source,
+        |           unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents
+        |), vct AS (
+        |    SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        |    FROM vtk GROUP BY 1, 2
+        |), vag AS (
+        |    SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |           CAST(COUNT(*) AS BIGINT) AS n_types,
+        |           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |               AS n_hapax
+        |    FROM vct GROUP BY 1
+        |)
+        |SELECT source, n_tokens, n_types, n_hapax,
+        |       CAST(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
+        |       CAST(n_hapax * 1000000 // n_types AS BIGINT) AS hapax_ppm
+        |FROM vag ORDER BY source""".stripMargin,
+    // key-skew report: count-of-counts histogram, exact Gini through
+    // HUGEINT with the doubled (no-intermediate-division) form
+    "q_key_skew" ->
+      """WITH ksc AS (
+        |    SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        |    FROM lineitem GROUP BY 1
+        |), ksh AS (
+        |    SELECT cnt, CAST(COUNT(*) AS BIGINT) AS nk FROM ksc GROUP BY 1
+        |), ks2 AS (
+        |    SELECT cnt, nk,
+        |           CAST(COALESCE(SUM(nk) OVER (ORDER BY cnt ROWS BETWEEN
+        |               UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |               AS cumk_before,
+        |           CAST(SUM(nk) OVER (ORDER BY cnt ROWS BETWEEN UNBOUNDED
+        |               PRECEDING AND CURRENT ROW) AS BIGINT) AS cumk
+        |    FROM ksh
+        |), kst AS (
+        |    SELECT CAST(SUM(nk) AS BIGINT) AS n_keys,
+        |           CAST(SUM(CAST(cnt AS HUGEINT) * nk) AS BIGINT) AS n_rows,
+        |           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+        |           SUM(CAST(cnt AS HUGEINT)
+        |               * (2 * CAST(cumk_before AS HUGEINT) * nk
+        |                  + CAST(nk AS HUGEINT) * (nk + 1))) AS t2
+        |    FROM ks2
+        |), k50 AS (
+        |    SELECT CAST(MIN(cnt) AS BIGINT) AS p50_cnt FROM ks2, kst
+        |    WHERE cumk >= (n_keys + 1) // 2
+        |), k99 AS (
+        |    SELECT CAST(MIN(cnt) AS BIGINT) AS p99_cnt FROM ks2, kst
+        |    WHERE cumk >= (99 * n_keys + 99) // 100
+        |)
+        |SELECT n_keys, n_rows, max_cnt,
+        |       CAST(max_cnt * 1000000 // n_rows AS BIGINT) AS max_share_ppm,
+        |       p50_cnt, p99_cnt,
+        |       CAST((t2 - (n_keys + 1) * CAST(n_rows AS HUGEINT)) * 1000000
+        |            // (CAST(n_keys AS HUGEINT) * n_rows) AS BIGINT)
+        |           AS gini_ppm
+        |FROM kst, k50, k99""".stripMargin,
   ) ++ lateOracleSql
 
   /** Fresh sort-based skyline replay (shared by both skyline gates). */

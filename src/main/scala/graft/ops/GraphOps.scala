@@ -369,6 +369,55 @@ object GraphOps {
     finally checkpointFilesOf(h).foreach(deleteCheckpointFile(h, _))
   }
 
+  /** Weighted shortest paths by bounded Bellman-Ford rounds — the
+    * min-plus sibling of [[bfsHops]] (hop counts become integer edge
+    * COSTS; `iters` rounds certify exact distances for every path of
+    * ≤ iters edges, the bounded-round contract every iterative operator
+    * here carries). Each round is one relax: dist' = min(dist, min over
+    * in-edges (dist[src] + w)) — min is order-independent, so the
+    * declarative oracle lands on the same Longs. Unreached vertices
+    * emit −1. Negative weights are refused (a negative cycle would make
+    * bounded rounds silently wrong rather than just short).
+    *
+    * `edges`: (src, dst, w: Long ≥ 0), directed; parallel edges are fine
+    * (min absorbs them). Scale shape: per round one src-keyed join + one
+    * dst-keyed min aggregation — the BFS shape with a cost column.
+    */
+  def weightedHops(edges: DataFrame, vertices: DataFrame, seeds: DataFrame,
+                   iters: Int = 6): DataFrame = {
+    require(iters >= 1, "weightedHops needs at least one round")
+    val verts = vertices.select(col("id")).distinct().persist()
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .persist()
+    try {
+      val negs = e.filter(col("w") < 0).limit(1).count()
+      require(negs == 0, "weightedHops: negative edge weights are refused " +
+        "(bounded rounds cannot certify distances under negative cycles)")
+      var reached = roundCheckpoint(
+        verts.join(seeds.select(col("id")).distinct(), Seq("id"), "left_semi")
+          .select(col("id"), lit(0L).as("dist")))
+      for (_ <- 1 to iters) {
+        val fringe = e.join(reached.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+        val next = roundCheckpoint(reached.unionByName(fringe)
+          .groupBy("id").agg(min("dist").as("dist")))
+        checkpointFileOf(reached).foreach(deleteCheckpointFile(reached, _))
+        reached = next
+      }
+      verts.join(reached, Seq("id"), "left")
+        .select(col("id"), coalesce(col("dist"), lit(-1L)).as("dist"))
+    } finally { verts.unpersist(); e.unpersist() }
+  }
+
+  /** Loan variant of [[weightedHops]] ([[pagerankInto]] contract). */
+  def weightedHopsInto[A](edges: DataFrame, vertices: DataFrame,
+                          seeds: DataFrame, iters: Int = 6)
+                         (consume: DataFrame => A): A = {
+    val h = weightedHops(edges, vertices, seeds, iters)
+    try consume(h)
+    finally checkpointFilesOf(h).foreach(deleteCheckpointFile(h, _))
+  }
+
   /** SYNCHRONOUS label propagation (Raghavan, Albert & Kumara 2007) —
     * community detection where CC is too coarse (CC fuses everything
     * reachable; LPA splits a connected graph into densely-linked

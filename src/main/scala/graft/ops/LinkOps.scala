@@ -333,6 +333,35 @@ object LinkOps {
       }
     }.orderBy("domain")
 
+  /** Rounds for [[weightedPaths]] — fixed by contract ([[LpaIters]]
+    * posture).
+    */
+  val WPathIters = 6
+
+  /** Weighted crawl distance ([[GraphOps.weightedHops]], Bellman-Ford
+    * rounds): same `.co.uk` seeds as [[domainHops]], but each inter-domain
+    * edge costs `10⁶ div link_count` — heavily-linked hops are cheap, so
+    * the metric reads "how strongly is this domain tied to the trusted
+    * seeds", not just how many hops out it sits (the weighted spam prior;
+    * hop count treats a single stray link and a thousand links as the
+    * same edge). Exact integer costs; unreached = −1.
+    * Gate `q_weighted_paths`.
+    */
+  def weightedPaths(s: SparkSession, d: String): DataFrame =
+    withDomainGraph(s, d) { (links, _, verts) =>
+      val wedges = links.filter(col("is_external") === 1)
+        .groupBy(col("page_domain").as("src"),
+          col("target_domain").as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("src"), col("dst"), expr("1000000L div cnt").as("w"))
+      val seeds = links.filter(col("page_domain").endsWith(".co.uk"))
+        .select(col("page_domain").as("id")).distinct()
+      GraphOps.weightedHopsInto(wedges, verts, seeds, WPathIters) { h =>
+        h.select(col("id").as("domain"), col("dist").as("cost"))
+          .localCheckpoint(eager = true)
+      }
+    }.orderBy("domain")
+
   /** Crawl-depth BFS over the crafted domain graph ([[GraphOps.bfsHops]],
     * 6 rounds): seeds = the `.co.uk` registered PAGE domains — the
     * structurally interesting choice on this fixture, because `.co.uk`

@@ -406,6 +406,58 @@ object Relational {
     * partitions balance) and one (grp)-keyed aggregate. Output is
     * island-count-sized. Gate `q_id_islands`.
     */
+  /** Join-key skew report for the lineitem fact's order key — the
+    * pre-shuffle diagnostic that predicts whether a straight hash join
+    * needs salting ([[saltedGroupAgg]]) before anyone pays for the
+    * skewed run: per-key counts collapse to a COUNT-OF-COUNTS histogram
+    * (keys with equal counts are interchangeable in sorted order), and
+    * every statistic — max share, lower-rank p50/p99, the exact Gini —
+    * derives from that bounded frame:
+    *
+    *   gini = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx),   x sorted ascending
+    *
+    * with the doubled form T = Σ_runs cnt·(2·cumk·nk + nk·(nk+1)) kept
+    * in DECIMAL(38) throughout (cumk·nk ≈ 10²⁰ at corpus scale — past
+    * Long; no intermediate division anywhere, so no truncation-order
+    * trap). All ppm fields are exact non-negative integer divisions.
+    *
+    * Scale shape: one key-keyed count (the only data-sized shuffle),
+    * one histogram aggregation, windows over the DISTINCT-COUNT-VALUES
+    * frame (bounded by the count range, not by keys — the
+    * madFromHistogram posture). Gate `q_key_skew`.
+    */
+  def keySkew(s: SparkSession, d: String): DataFrame = {
+    val counts = t(s, d, "lineitem")
+      .groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
+    val hist = counts.groupBy("cnt").agg(count(lit(1)).as("nk"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("cnt")
+    val h2 = hist
+      .withColumn("cumk_before", coalesce(sum("nk").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)), lit(0L)))
+      .withColumn("cumk", col("cumk_before") + col("nk"))
+      .withColumn("t_run", expr(
+        "CAST(cnt AS DECIMAL(38,0)) * (2 * CAST(cumk_before AS " +
+          "DECIMAL(38,0)) * nk + CAST(nk AS DECIMAL(38,0)) * (nk + 1))"))
+    val tot = h2.agg(sum("nk").as("n_keys"),
+      sum(expr("CAST(cnt AS DECIMAL(38,0)) * nk")).as("n_rows_d"),
+      max("cnt").as("max_cnt"), sum("t_run").as("t2"))
+      .withColumn("n_rows", col("n_rows_d").cast("long"))
+    def rankPick(rankExpr: String, out: String) =
+      h2.crossJoin(broadcast(tot.select("n_keys")))
+        .where(col("cumk") >= expr(rankExpr))
+        .agg(min("cnt").as(out))
+    val p50 = rankPick("(n_keys + 1) div 2", "p50_cnt")
+    val p99 = rankPick("(99 * n_keys + 99) div 100", "p99_cnt")
+    tot.crossJoin(broadcast(p50)).crossJoin(broadcast(p99))
+      .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+        expr("max_cnt * 1000000 div n_rows").as("max_share_ppm"),
+        col("p50_cnt"), col("p99_cnt"),
+        expr("CAST((t2 - (n_keys + 1) * CAST(n_rows AS DECIMAL(38,0))) " +
+          "* 1000000 div (CAST(n_keys AS DECIMAL(38,0)) * n_rows) " +
+          "AS BIGINT)").as("gini_ppm"))
+  }
+
   /** Snapshot reconciliation: diff two versions of the orders table by
     * primary key and classify every key as added / removed / changed /
     * unchanged with per-class counts and value sums — the audit a

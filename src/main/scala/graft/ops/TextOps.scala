@@ -1364,6 +1364,29 @@ object TextOps {
           s"ELSE 2 * tp * $QcScale div (2 * tp + fp + fn) END AS BIGINT)")
           .as("f1_ppm"))
 
+  /** Vocabulary-health stats per source: token occurrences, distinct
+    * types, hapax legomena (frequency-1 types), type-token ratio and
+    * hapax share in exact ppm — the corpus diagnostics that catch a
+    * broken tokenizer (TTR collapses) or boilerplate floods (hapax
+    * share collapses) before they poison training.
+    *
+    * Scale shape: ONE (source, token) count aggregation (map-side
+    * combined — the corpus's only shuffle), then a source-keyed rollup
+    * of the vocab-sized frame. Gate `q_vocab_stats`.
+    */
+  def vocabStats(s: SparkSession, d: String): DataFrame =
+    withTokens(t(s, d, "documents"))
+      .select(col("source"), explode(col("tokens")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        expr("n_types * 1000000 div n_tokens").as("ttr_ppm"),
+        expr("n_hapax * 1000000 div n_types").as("hapax_ppm"))
+      .orderBy("source")
+
   /** Masking period for [[maskSpans]] (≈ 15% of positions, the BERT
     * recipe's rate, rendered deterministic).
     */

@@ -496,6 +496,35 @@ object StreamingOps {
       s"('$HistEpochProp'='$epochId')")
   }
 
+  /** Stream-stream interval join: purchases ⨝ clicks of the same user
+    * within the preceding attribution window — the streaming twin of
+    * [[graft.ops.EventOps.attributionOver]]'s pairing (the credit math
+    * composes downstream). Both sides carry event-time watermarks, so
+    * Spark bounds the join STATE: a click older than the window past
+    * the purchase-side watermark can never match again and is evicted —
+    * the property that makes a stream-stream join runnable forever,
+    * and the reason the join condition must carry BOTH time bounds.
+    */
+  def clickPurchasePairs(events: DataFrame,
+                         delay: String = "1 hour"): DataFrame = {
+    val ev = events.select(col("event_id"), col("user_id"),
+      col("event_type"),
+      timestamp_micros(expr("ts div 1000")).as("ets"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ets").as("cts"))
+      .withWatermark("cts", delay)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ets").as("pts"))
+      .withWatermark("pts", delay)
+    purchases.join(clicks,
+      expr(s"""c_user = user_id AND cts < pts
+        | AND cts >= pts - INTERVAL ${graft.ops.EventOps.AttribWindowNs / 1000000000L}
+        | SECONDS""".stripMargin.replace("\n", " ")))
+      .select(col("purchase_id"), col("click_id"), col("user_id"))
+  }
+
   /** Streaming twin of [[graft.ops.ReservoirOps.appendDaySamples]]: the
     * bottom-K fold is the histogram's lifecycle shape (additive totals →
     * the same epoch fence + watermark guard), so a micro-batch stream

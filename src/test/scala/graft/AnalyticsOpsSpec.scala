@@ -442,6 +442,62 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(served.map(_.toSeq).toSeq === fresh.map(_.toSeq).toSeq)
   }
 
+  test("vocab stats: hand-counted types, hapax and exact ppm ratios") {
+    import graft.ops.TextOps
+    val dir = java.nio.file.Files.createTempDirectory("vocab").toString
+    Seq((1L, "a a b", "X"), (2L, "c", "X"), (3L, "z z", "Y"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.vocabStats(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got === Array(
+      ("X", 4L, 3L, 2L, 750000L, 666666L), // types a,b,c; hapax b,c
+      ("Y", 2L, 1L, 0L, 500000L, 0L)))
+  }
+
+  test("key skew: histogram-derived max share, rank picks and exact Gini") {
+    // per-key counts [1,1,2,4]: T=50, gini=(50-5*8)/(4*8)=0.3125
+    val rows = Seq((1L, 1), (2L, 1), (3L, 2), (4L, 4))
+      .flatMap { case (k, n) => (1 to n).map(_ => Tuple1(k)) }
+    val dir = tmpTable("lineitem", rows.toDF("l_orderkey"))
+    val r = graft.ops.Relational.keySkew(spark, dir).head
+    assert((r.getAs[Long]("n_keys"), r.getAs[Long]("n_rows"),
+      r.getAs[Long]("max_cnt"), r.getAs[Long]("max_share_ppm"),
+      r.getAs[Long]("p50_cnt"), r.getAs[Long]("p99_cnt"),
+      r.getAs[Long]("gini_ppm")) === ((4L, 8L, 4L, 500000L, 1L, 4L, 312500L)))
+    // uniform keys -> gini exactly 0
+    val uni = tmpTable("lineitem",
+      Seq(1L, 1L, 2L, 2L, 3L, 3L).toDF("l_orderkey"))
+    assert(graft.ops.Relational.keySkew(spark, uni)
+      .head.getAs[Long]("gini_ppm") === 0L)
+  }
+
+  test("stream-stream interval join pairs match the batch range join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val sec = 1000000000L
+    val base = 1577836800L * sec // 2020-01-01, clear of the initial epoch watermark
+    val rows = Seq(
+      (1L, base, 1L, "click", 0.0),
+      (2L, base + 1000 * sec, 1L, "click", 0.0),
+      (3L, base + 2000 * sec, 1L, "purchase", 1.0), // pairs with clicks 1, 2
+      (4L, base + 2500 * sec, 1L, "click", 0.0),    // after purchase: no pair
+      (5L, base + 1500 * sec, 2L, "click", 0.0))    // other user: no pair
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val joined = graft.streaming.StreamingOps.clickPurchasePairs(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val q = joined.writeStream.format("memory")
+      .queryName("sspairs").outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("sspairs").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === Seq((3L, 1L), (3L, 2L)))
+    } finally q.stop()
+  }
+
   test("attribution conserves every attributed purchase's value exactly") {
     val events = graft.Tables.t(spark, sf, "events")
     val credited = EventOps.attributionOver(events)

@@ -323,6 +323,25 @@ class LinkOpsSpec extends SparkSpec {
       .forall(_.getAs[Long]("final_deg") < graft.ops.LinkOps.KCoreK))
   }
 
+  test("weighted hops: min-plus relaxation beats hop count; refusals") {
+    import spark.implicits._
+    // a->b (10), b->c (1), a->c (100): cheapest a->c path is THROUGH b
+    val edges = Seq(("a", "b", 10L), ("b", "c", 1L), ("a", "c", 100L))
+      .toDF("src", "dst", "w")
+    val verts = Seq("a", "b", "c", "d").toDF("id")
+    val seeds = Seq("a").toDF("id")
+    val got = graft.ops.GraphOps
+      .weightedHops(edges, verts, seeds, iters = 6)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 0L, "b" -> 10L, "c" -> 11L, "d" -> -1L))
+    // negative weights refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.GraphOps.weightedHops(
+        Seq(("a", "b", -1L)).toDF("src", "dst", "w"), verts, seeds, 2)
+    }
+    assert(e.getMessage.contains("negative"))
+  }
+
   test("triangles: K4 is all-triangles (gcc = 1e6), paths and stars are " +
       "triangle-free, duplicate/reversed/self edges collapse") {
     import spark.implicits._
