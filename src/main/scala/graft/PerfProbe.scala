@@ -600,7 +600,13 @@ object PerfProbe {
         // weighted paths relax over the K-invariant domain graph; vocab
         // stats shuffle K x tokens onto the ~linearly-growing rotated
         // vocabulary; key skew is one key count + count-histogram math
-        "q_weighted_paths", "q_vocab_stats", "q_key_skew")
+        "q_weighted_paths", "q_vocab_stats", "q_key_skew",
+        // PPR walks the K-invariant domain graph; drop reasons and
+        // debounce are the corpus-clean / session shapes; calibration
+        // ranks K x scored rows (one range exchange); trending joins
+        // K x facts onto the constant brand set
+        "q_pagerank_seeded", "q_drop_reasons", "q_calibration_bins",
+        "q_event_debounce", "q_trending_brands")
       // q_hybrid_search is deliberately absent for the q_contamination
       // reason: its semantic leg is probe-set x corpus and BOTH grow with
       // K here, so the ratio would measure the quadratic workload growth,

@@ -198,7 +198,14 @@ object PlanAudit {
       // weighted paths (checkpointed min-plus rounds — serve plan is a
       // checkpoint scan), vocab stats (one (source, token) shuffle) and
       // the key-skew report (windows over the count-of-counts frame)
-      "q_weighted_paths", "q_vocab_stats", "q_key_skew")
+      "q_weighted_paths", "q_vocab_stats", "q_key_skew",
+      // PPR (checkpointed walk rounds — serve plan is a checkpoint
+      // scan), drop provenance (dedup hash-groupBy + per-row gates),
+      // calibration (one range-exchange rank + a 10-row agg), debounce
+      // (ONE (user, type) exchange under lag window + burst group) and
+      // trending (fact-fact key join + broadcast brand + shift decay)
+      "q_pagerank_seeded", "q_drop_reasons", "q_calibration_bins",
+      "q_event_debounce", "q_trending_brands")
     // q_corpus_pipeline is deliberately NOT audited here: its query-form
     // plan is a trivial read over the staged tables (auditing it would
     // execute the whole 5-stage materialization for nothing — against

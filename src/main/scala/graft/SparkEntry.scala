@@ -214,6 +214,11 @@ object SparkEntry {
     "q_weighted_paths"      -> (graft.ops.LinkOps.weightedPaths _),
     "q_vocab_stats"         -> (TextOps.vocabStats _),
     "q_key_skew"            -> (Relational.keySkew _),
+    "q_pagerank_seeded"     -> (graft.ops.LinkOps.pagerankSeededDomains _),
+    "q_drop_reasons"        -> (TextOps.dropReasons _),
+    "q_calibration_bins"    -> (TextOps.calibrationBins _),
+    "q_event_debounce"      -> (EventOps.eventDebounce _),
+    "q_trending_brands"     -> (BasketOps.trendingBrands _),
     "q_bm25_decontam"       -> (RetrievalOps.bm25Decontam _),
     "q_domain_mix"          -> (DomainOps.domainMixTemperature _),
     "q_cdc_chunks"          -> (ChunkOps.cdcChunkStats _),
@@ -931,6 +936,57 @@ object SparkEntry {
       s"""
          |SELECT t.v AS domain, CAST(COALESCE(h.dist, -1) AS BIGINT) AS cost
          |FROM verts t LEFT JOIN wh$iters h ON h.v = t.v
+         |ORDER BY domain""".stripMargin
+  }
+
+  /** Personalized-PageRank oracle: seed-conditional teleport/dangling
+    * mass, `iters` unrolled exact-integer rounds.
+    */
+  private def pprOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s""", pc$i AS MATERIALIZED (
+         |    SELECT e.dst AS v, CAST(SUM(r.r // o.outdeg) AS BIGINT)
+         |               AS contrib
+         |    FROM edges e
+         |    JOIN pr${i - 1} r ON e.src = r.v
+         |    JOIN outd o ON o.src = e.src
+         |    GROUP BY 1
+         |), pd$i AS MATERIALIZED (
+         |    SELECT CAST(COALESCE(SUM(r.r), 0) AS BIGINT) AS dang
+         |    FROM pr${i - 1} r LEFT JOIN outd o ON o.src = r.v
+         |    WHERE o.src IS NULL
+         |), pr$i AS MATERIALIZED (
+         |    SELECT t.v,
+         |           CAST(t.is_seed * nsv.base
+         |                + (85 * (COALESCE(c.contrib, 0)
+         |                   + t.is_seed * (pd$i.dang // nsv.ns))) // 100
+         |                AS BIGINT) AS r
+         |    FROM fverts t CROSS JOIN nsv CROSS JOIN pd$i
+         |    LEFT JOIN pc$i c ON c.v = t.v
+         |)""".stripMargin
+    }.mkString
+    domainGraphCtes +
+      """, outd AS MATERIALIZED (
+        |    SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+        |    FROM edges GROUP BY 1
+        |), sd AS MATERIALIZED (
+        |    SELECT DISTINCT page_domain AS v FROM lx
+        |    WHERE page_domain LIKE '%.co.uk'
+        |), nsv AS MATERIALIZED (
+        |    SELECT CAST(COUNT(*) AS BIGINT) AS ns,
+        |           CAST(150000000000 // COUNT(*) AS BIGINT) AS base,
+        |           CAST(1000000000000 // COUNT(*) AS BIGINT) AS r_init
+        |    FROM sd
+        |), fverts AS MATERIALIZED (
+        |    SELECT t.v, CASE WHEN s.v IS NOT NULL THEN 1 ELSE 0 END
+        |               AS is_seed
+        |    FROM verts t LEFT JOIN sd s ON s.v = t.v
+        |), pr0 AS MATERIALIZED (
+        |    SELECT v, CAST(is_seed * r_init AS BIGINT) AS r
+        |    FROM fverts CROSS JOIN nsv
+        |)""".stripMargin + steps +
+      s"""
+         |SELECT v AS domain, r AS rank_fp FROM pr$iters
          |ORDER BY domain""".stripMargin
   }
 
@@ -5709,6 +5765,106 @@ object SparkEntry {
         |            // (CAST(n_keys AS HUGEINT) * n_rows) AS BIGINT)
         |           AS gini_ppm
         |FROM kst, k50, k99""".stripMargin,
+    // personalized PageRank: seed-conditional teleport, unrolled rounds
+    "q_pagerank_seeded" -> pprOracle(10),
+    // drop provenance: first-failing-gate precedence over the same
+    // corpus-clean gate definitions
+    "q_drop_reasons" ->
+      """WITH drs AS (
+        |    SELECT MIN(doc_id) AS doc_id FROM documents
+        |    GROUP BY sha256(lower(trim(text)))
+        |), drt AS (
+        |    SELECT doc_id,
+        |           string_split_regex(trim(text), '\s+') AS tokens
+        |    FROM documents
+        |), drg AS (
+        |    SELECT doc_id, len(tokens) AS n_tokens,
+        |           CAST(len(list_filter(tokens,
+        |               tk -> tk IN ('the', 'a', 'of', 'to', 'and')))
+        |               AS DOUBLE) / CAST(len(tokens) AS DOUBLE)
+        |               AS stop_ratio
+        |    FROM drt
+        |), drr AS (
+        |    SELECT doc_id,
+        |           CASE WHEN doc_id NOT IN (SELECT doc_id FROM drs)
+        |                THEN 'duplicate'
+        |                WHEN n_tokens < 20 THEN 'too_short'
+        |                WHEN stop_ratio < 0.05 THEN 'low_stopwords'
+        |                WHEN stop_ratio > 0.6 THEN 'high_stopwords'
+        |                ELSE 'kept' END AS reason
+        |    FROM drg
+        |)
+        |SELECT doc_id,
+        |       CAST(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END AS INTEGER)
+        |           AS kept,
+        |       reason
+        |FROM drr ORDER BY doc_id""".stripMargin,
+    // reliability bins: exact decile rank cut, integer rates
+    "q_calibration_bins" ->
+      s"""WITH $qcKeptCte
+        |, cbr AS (
+        |    SELECT doc_id, q_score,
+        |           CASE WHEN doc_id % 100 = 7 THEN 1 ELSE 0 END AS pos,
+        |           row_number() OVER (ORDER BY q_score, doc_id) AS rnk,
+        |           (SELECT COUNT(*) FROM qsc2) AS n_all
+        |    FROM qsc2
+        |)
+        |SELECT CAST((rnk - 1) * 10 // n_all AS BIGINT) AS bin,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |       CAST(SUM(pos) * 1000000 // COUNT(*) AS BIGINT)
+        |           AS pos_rate_ppm,
+        |       CAST(SUM(q_score) // COUNT(*) AS BIGINT) AS mean_score
+        |FROM cbr GROUP BY 1 ORDER BY 1""".stripMargin,
+    // telemetry debounce: gaps-and-islands per (user, type), first-of-
+    // burst kept by (ts, event_id) struct order
+    "q_event_debounce" ->
+      s"""WITH dbe AS (
+        |    SELECT user_id, event_type, epoch_ns(ts) AS tsn, event_id
+        |    FROM events
+        |), dbl AS (
+        |    SELECT *,
+        |           CASE WHEN lag(tsn) OVER (PARTITION BY user_id, event_type
+        |                    ORDER BY tsn, event_id) IS NULL
+        |                  OR tsn - lag(tsn) OVER (PARTITION BY user_id,
+        |                    event_type ORDER BY tsn, event_id)
+        |                    >= ${EventOps.DebounceNs}
+        |                THEN 1 ELSE 0 END AS new_burst
+        |    FROM dbe
+        |), dbi AS (
+        |    SELECT *, SUM(new_burst) OVER (PARTITION BY user_id, event_type
+        |        ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING)
+        |        AS burst_idx
+        |    FROM dbl
+        |)
+        |SELECT user_id, event_type,
+        |       CAST(MIN(tsn) // 1000000 AS BIGINT) AS burst_start_ms,
+        |       CAST((MIN(struct_pack(t := tsn, e := event_id))).e AS BIGINT)
+        |           AS kept_event_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_in_burst
+        |FROM dbi GROUP BY user_id, event_type, burst_idx
+        |ORDER BY user_id, event_type, burst_start_ms, kept_event_id"""
+        .stripMargin,
+    // trending: exact power-of-two decay by right shift, anchored at
+    // the corpus max order date
+    "q_trending_brands" ->
+      s"""WITH tbo AS (
+        |    SELECT o_orderkey AS l_orderkey,
+        |           epoch_ns(o_orderdate) // ${EventOps.DayNs} AS day
+        |    FROM orders
+        |), tba AS (SELECT MAX(day) AS max_day FROM tbo
+        |), tbw AS (
+        |    SELECT p.p_brand,
+        |           ${BasketOps.TrendScale} >> CAST(LEAST(tba.max_day - o.day,
+        |               ${BasketOps.TrendMaxAge}) AS INTEGER) AS w
+        |    FROM lineitem l
+        |    JOIN part p ON p.p_partkey = l.l_partkey
+        |    JOIN tbo o ON o.l_orderkey = l.l_orderkey, tba
+        |)
+        |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+        |       CAST(SUM(w) AS BIGINT) AS trend_score
+        |FROM tbw GROUP BY 1 ORDER BY trend_score DESC, p_brand"""
+        .stripMargin,
   ) ++ lateOracleSql
 
   /** Fresh sort-based skyline replay (shared by both skyline gates). */

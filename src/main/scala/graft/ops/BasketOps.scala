@@ -80,6 +80,43 @@ object BasketOps {
   /** Minimum triple support. */
   val MinSuppTriple = 5L
 
+  /** Exponential-decay half-life (days) and the power-of-two decay
+    * scale for [[trendingBrands]].
+    */
+  val TrendScale = 1048576L // 2^20
+  val TrendMaxAge = 20L
+
+  /** Recency-weighted brand demand ("trending"): each order contributes
+    * weight 2²⁰ ≫ age_days (one halving per day old, floored at
+    * [[TrendMaxAge]] days → weight 1, never 0) — exponential decay kept
+    * EXACT by making the decay base 2 and the arithmetic a right shift,
+    * where a float exp() would never replay cross-engine. The anchor is
+    * the corpus max order date (pinned data-derived time — the engine's
+    * no-wall-clock rule).
+    *
+    * Scale shape: one lineitem⨝orders key join (both data-sized,
+    * hash-partitioned) + broadcast part brand + one brand agg; the
+    * 1-row max-date anchor broadcasts. Gate `q_trending_brands`.
+    */
+  def trendingBrands(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders").select(
+      col("o_orderkey").as("l_orderkey"),
+      expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) * 1000 div " +
+        s"${EventOps.DayNs}").as("day"))
+    val anchor = orders.agg(max("day").as("max_day"))
+    val weighted = t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part").select(
+        col("p_partkey").as("l_partkey"), col("p_brand"))), "l_partkey")
+      .join(orders, "l_orderkey")
+      .crossJoin(broadcast(anchor))
+      .withColumn("w", expr(
+        s"shiftright($TrendScale, CAST(least(max_day - day, $TrendMaxAge) " +
+          "AS INT))"))
+    weighted.groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lineitems"), sum("w").as("trend_score"))
+      .orderBy(col("trend_score").desc, col("p_brand"))
+  }
+
   /** Frequent itemsets one Apriori level past [[assocRules]]: brand
     * TRIPLES co-occurring in ≥ [[MinSuppTriple]] orders, with the
     * 3-way lift supp·n²·10⁶ div (sa·sb·sc) through DECIMAL(38)

@@ -322,6 +322,44 @@ object EventOps {
     */
   val BurstThreshold = 5L
 
+  /** Debounce gap (5 s, ns): same-(user, type) events closer than this
+    * collapse into one burst.
+    */
+  val DebounceNs = 5000000000L
+
+  /** Telemetry debouncing: same-user same-type events within
+    * [[DebounceNs]] of the previous one are retries/double-fires, not
+    * signal — collapse each burst run to one row carrying the burst's
+    * first instant and its size (the gaps-and-islands cut, per
+    * (user, type)). The kept-row rule is FIRST-of-burst — the
+    * at-least-once-delivery convention (the first observation is the
+    * real event; the tail is the noise).
+    *
+    * Scale shape: ONE (user, type)-keyed exchange shared by the lag
+    * window and the burst group (the session-assembly posture).
+    * Gate `q_event_debounce`.
+    */
+  def eventDebounce(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    t(s, d, "events")
+      .select("user_id", "event_type", "ts", "event_id")
+      .withColumn("new_burst",
+        (coalesce(col("ts") - lag("ts", 1).over(w), lit(Long.MaxValue))
+          >= DebounceNs).cast("long"))
+      .withColumn("burst_idx", sum("new_burst").over(w))
+      .groupBy("user_id", "event_type", "burst_idx")
+      .agg(expr("min(ts) div 1000000").as("burst_start_ms"),
+        count(lit(1)).as("n_in_burst"),
+        // first-of-burst by (ts, event_id) — a bare min(event_id) could
+        // name a later-ts row that happens to carry a smaller id
+        min(struct(col("ts"), col("event_id")))
+          .getField("event_id").as("kept_event_id"))
+      .select("user_id", "event_type", "burst_start_ms", "kept_event_id",
+        "n_in_burst")
+      .orderBy("user_id", "event_type", "burst_start_ms", "kept_event_id")
+  }
+
   /** Per-event trailing-hour rate (the abuse/fraud primitive — "how
     * many requests did THIS user make in the hour ending here"): a
     * user-keyed RANGE-framed count over exact ns timestamps, with rows

@@ -242,6 +242,73 @@ object GraphOps {
     finally checkpointFilesOf(r).foreach(deleteCheckpointFile(r, _))
   }
 
+  /** Personalized PageRank (Page et al.'s topic-sensitive variant): the
+    * SAME exact-integer recurrence as [[pagerank]], but ALL teleport
+    * mass — the (100−damp)% restart AND the dangling redistribution —
+    * lands on the SEED set instead of uniformly, so rank_fp reads
+    * "random-walk affinity to the seeds", the trusted-seed relevance
+    * prior a crawl scheduler mixes with global authority. Initial mass
+    * sits on the seeds; a vertex unreachable from them holds exactly 0
+    * forever (the spec pins this).
+    *
+    * Scale shape: identical to [[pagerank]] — per round one src-keyed
+    * join + one dst-keyed sum + a 1-row dangling scalar; the seed flag
+    * rides the vertex frame.
+    */
+  def pagerankSeeded(edges: DataFrame, vertices: DataFrame,
+                     seeds: DataFrame, iters: Int = 10,
+                     scale: Long = 1000000000000L, damp: Int = 85)
+      : DataFrame = {
+    require(iters >= 1 && damp >= 0 && damp <= 100)
+    val verts = vertices.select(col("id")).distinct().persist()
+    val seedIds = verts.join(seeds.select(col("id")).distinct(),
+      Seq("id"), "left_semi").persist()
+    val flagged = verts.join(seedIds.withColumn("is_seed", lit(1L)),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      .persist()
+    val outd = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("outdeg"))
+    val ewd = edges.join(outd.withColumnRenamed("id", "src"), "src").persist()
+    val dangVerts = verts.join(edges.select("src").distinct()
+      .withColumnRenamed("src", "id"), Seq("id"), "left_anti").persist()
+    try {
+      val nS = seedIds.count()
+      require(nS > 0, "pagerankSeeded needs at least one seed in the graph")
+      val base = (100L - damp) * scale / 100 / nS
+      var r = roundCheckpoint(flagged.select(col("id"),
+        (col("is_seed") * lit(scale / nS)).as("r")))
+      for (_ <- 1 to iters) {
+        val dangShare = r.join(dangVerts, Seq("id"), "left_semi")
+          .agg(coalesce(sum("r"), lit(0L))).head().getLong(0) / nS
+        val contrib = ewd.join(r, ewd("src") === r("id"))
+          .select(col("dst").as("id"), expr("r div outdeg").as("share"))
+          .groupBy("id").agg(sum("share").as("contrib"))
+        val next = roundCheckpoint(flagged.join(contrib, Seq("id"), "left")
+          .select(col("id"),
+            (col("is_seed") * lit(base) +
+              expr(s"($damp * (coalesce(contrib, 0L) + " +
+                s"is_seed * ${dangShare}L)) div 100")).as("r")))
+        checkpointFileOf(r).foreach(deleteCheckpointFile(r, _))
+        r = next
+      }
+      r.select(col("id"), col("r").as("rank_fp"))
+    } finally {
+      verts.unpersist(); seedIds.unpersist(); flagged.unpersist()
+      ewd.unpersist(); dangVerts.unpersist()
+    }
+  }
+
+  /** Loan variant of [[pagerankSeeded]] ([[pagerankInto]] contract). */
+  def pagerankSeededInto[A](edges: DataFrame, vertices: DataFrame,
+                            seeds: DataFrame, iters: Int = 10,
+                            scale: Long = 1000000000000L, damp: Int = 85)
+                           (consume: DataFrame => A): A = {
+    val r = pagerankSeeded(edges, vertices, seeds, iters, scale, damp)
+    try consume(r)
+    finally checkpointFilesOf(r).foreach(deleteCheckpointFile(r, _))
+  }
+
   /** HITS (Kleinberg) hubs/authorities in EXACT integer fixed point — the
     * mutually-recursive complement of [[pagerank]]: per round, authority
     * mass is the sum of in-linking hub scores, hub mass the sum of

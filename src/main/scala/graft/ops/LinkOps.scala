@@ -338,6 +338,22 @@ object LinkOps {
     */
   val WPathIters = 6
 
+  /** Personalized PageRank from the `.co.uk` trusted seeds
+    * ([[GraphOps.pagerankSeeded]], 10 exact-integer rounds) — the
+    * seed-affinity prior next to [[domainRanks]]' global authority: a
+    * domain the seeds' random surfer never reaches scores exactly 0.
+    * Gate `q_pagerank_seeded`.
+    */
+  def pagerankSeededDomains(s: SparkSession, d: String): DataFrame =
+    withDomainGraph(s, d) { (links, edges, verts) =>
+      val seeds = links.filter(col("page_domain").endsWith(".co.uk"))
+        .select(col("page_domain").as("id")).distinct()
+      GraphOps.pagerankSeededInto(edges, verts, seeds) { r =>
+        r.select(col("id").as("domain"), col("rank_fp"))
+          .localCheckpoint(eager = true)
+      }
+    }.orderBy("domain")
+
   /** Weighted crawl distance ([[GraphOps.weightedHops]], Bellman-Ford
     * rounds): same `.co.uk` seeds as [[domainHops]], but each inter-domain
     * edge costs `10⁶ div link_count` — heavily-linked hops are cheap, so

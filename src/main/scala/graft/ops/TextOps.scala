@@ -1364,6 +1364,66 @@ object TextOps {
           s"ELSE 2 * tp * $QcScale div (2 * tp + fp + fn) END AS BIGINT)")
           .as("f1_ppm"))
 
+  /** Per-document drop provenance for the [[corpusClean]] gates — WHY a
+    * document fell, not just that it fell (the audit a data owner asks
+    * for first): first-failing-gate precedence duplicate → too_short →
+    * low_stopwords → high_stopwords, 'kept' otherwise. Same gate
+    * definitions as [[corpusClean]] (one definition each — the reasons
+    * CANNOT drift from the filter because they read the same columns).
+    *
+    * Scale shape: the dedup survivors hash-groupBy + one per-row gate
+    * evaluation — corpusClean's own cost plus nothing.
+    * Gate `q_drop_reasons`.
+    */
+  def dropReasons(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val survivors = docs
+      .groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(1).as("is_survivor"))
+    qualityGateStats(docs)
+      .join(survivors, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_survivor").isNull, "duplicate")
+          .when(col("__gate_n_tokens") < 20, "too_short")
+          .when(col("__gate_stop_ratio") < 0.05, "low_stopwords")
+          .when(col("__gate_stop_ratio") > 0.6, "high_stopwords")
+          .otherwise("kept").as("reason"))
+      .withColumn("kept", (col("reason") === "kept").cast("int"))
+      .select("doc_id", "kept", "reason")
+      .orderBy("doc_id")
+  }
+
+  /** Calibration bins for [[classifierAuc]]'s scores: documents ranked
+    * by (q_score, doc_id) into 10 equal-count bins, per bin the
+    * positive rate vs the mean score — the reliability diagram that
+    * says whether a score of 0.8 MEANS 80% (AUC only says the ordering
+    * is right). Exact: bin = (rank−1)·10 div n; rates and mean scores
+    * are integer divisions.
+    *
+    * Scale shape: the global rank is one range exchange over scored
+    * rows (the export posture — this is an offline eval, not a serving
+    * path); everything after is a 10-row aggregate.
+    * Gate `q_calibration_bins`.
+    */
+  def calibrationBins(s: SparkSession, d: String): DataFrame = {
+    buildQualityClassifier(t(s, d, "documents"), "graft_qc_cal")
+    val scored = qualityClassifierFromModel(s, d, "graft_qc_cal")
+      .withColumn("pos", (col("doc_id") % 100 === 7).cast("long"))
+    val n = scored.count()
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("q_score"), col("doc_id"))))
+      .withColumn("bin", expr(s"(rnk - 1) * 10 div ${n}L"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"),
+        sum("q_score").as("score_sum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("n_pos * 1000000 div n").as("pos_rate_ppm"),
+        expr("score_sum div n").as("mean_score"))
+      .orderBy("bin")
+  }
+
   /** Vocabulary-health stats per source: token occurrences, distinct
     * types, hapax legomena (frequency-1 types), type-token ratio and
     * hapax share in exact ppm — the corpus diagnostics that catch a

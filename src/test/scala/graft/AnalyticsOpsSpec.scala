@@ -498,6 +498,71 @@ class AnalyticsOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("drop reasons: first-failing-gate precedence, duplicate wins") {
+    import graft.ops.TextOps
+    val stop2 = "the a " + (1 to 18).map(i => s"w$i").mkString(" ") // 0.1
+    val nostop = (1 to 20).map(i => s"w$i").mkString(" ")
+    val allstop = ("the a of to and " * 4).trim // 20 tokens, ratio 1.0
+    val dir = java.nio.file.Files.createTempDirectory("drop").toString
+    Seq((1L, stop2), (2L, "hello world"), (3L, nostop), (4L, allstop),
+      (5L, stop2), // dup of 1 — AND would pass the gates: still 'duplicate'
+      (6L, "hello world")) // dup of 2 AND short: duplicate wins
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.dropReasons(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(got === Array(
+      (1L, 1, "kept"), (2L, 0, "too_short"), (3L, 0, "low_stopwords"),
+      (4L, 0, "high_stopwords"), (5L, 0, "duplicate"),
+      (6L, 0, "duplicate")))
+  }
+
+  test("calibration bins: exact decile cuts and rate arithmetic") {
+    val rows = graft.ops.TextOps.calibrationBins(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (0L to 9L))
+    val total = rows.map(_.getLong(1)).sum
+    assert(total === graft.Tables.t(spark, sf, "documents").count())
+    for (r <- rows) {
+      assert(r.getLong(3) === r.getLong(2) * 1000000L / r.getLong(1))
+      // equal-count bins: sizes differ by at most 1
+      assert(math.abs(r.getLong(1) - total / 10) <= 1)
+    }
+  }
+
+  test("event debounce: burst cuts, first-of-burst keep, tie-break") {
+    val sec = 1000000000L
+    val dir = tmpTable("events", ev(
+      (2L, 0L, 1L, "click", 0.0),          // burst 1 (id 2 first by ts)
+      (1L, 1 * sec, 1L, "click", 0.0),     // 1s gap: same burst
+      (3L, 3 * sec, 1L, "click", 0.0),     // still < 5s from prev
+      (4L, 10 * sec, 1L, "click", 0.0),    // 7s gap: new burst
+      (6L, 10 * sec, 1L, "click", 0.0),    // same instant: same burst,
+      (5L, 20 * sec, 1L, "view", 0.0)))    //   kept id = min(4, 6) = 4
+    val got = EventOps.eventDebounce(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got === Array(
+      ("click", 0L, 2L, 3L),
+      ("click", 10000L, 4L, 2L),
+      ("view", 20000L, 5L, 1L)))
+  }
+
+  test("trending brands: exact right-shift decay from the max-date anchor") {
+    import graft.ops.BasketOps
+    val day = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    val day2 = java.sql.Timestamp.valueOf("2020-01-03 00:00:00")
+    val dir = java.nio.file.Files.createTempDirectory("trend").toString
+    Seq((1L, day), (2L, day2)).toDF("o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, "A"), (20L, "B")).toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq((1L, 10L), (2L, 10L), (1L, 20L)).toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = BasketOps.trendingBrands(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // A: day2 (age 0 -> 2^20) + day0 (age 2 -> 2^18); B: day0 -> 2^18
+    assert(got === Array(("A", 2L, 1048576L + 262144L), ("B", 1L, 262144L)))
+  }
+
   test("attribution conserves every attributed purchase's value exactly") {
     val events = graft.Tables.t(spark, sf, "events")
     val credited = EventOps.attributionOver(events)

@@ -342,6 +342,21 @@ class LinkOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("negative"))
   }
 
+  test("personalized pagerank: hand-traced seed teleport; unreachable = 0") {
+    import spark.implicits._
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    val verts = Seq("a", "b", "c").toDF("id") // c: no edges at all
+    val seeds = Seq("a").toDF("id")
+    val got = graft.ops.GraphOps
+      .pagerankSeeded(edges, verts, seeds, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // r0: a=1e12. r1: a=base=1.5e11 (b dangles with 0 mass);
+    //   b=85%*1e12=8.5e11. r2: dang=r1(b)=8.5e11 teleports to the seed:
+    //   a=1.5e11+85%*8.5e11=8.725e11; b=85%*r1(a)=1.275e11. c: 0 always.
+    assert(got === Map("a" -> 872500000000L, "b" -> 127500000000L,
+      "c" -> 0L))
+  }
+
   test("triangles: K4 is all-triangles (gcc = 1e6), paths and stars are " +
       "triangle-free, duplicate/reversed/self edges collapse") {
     import spark.implicits._
