@@ -606,7 +606,13 @@ object PerfProbe {
         // ranks K x scored rows (one range exchange); trending joins
         // K x facts onto the constant brand set
         "q_pagerank_seeded", "q_drop_reasons", "q_calibration_bins",
-        "q_event_debounce", "q_trending_brands")
+        "q_event_debounce", "q_trending_brands",
+        // LSH recall runs the banded + exact-jaccard shapes (prefix
+        // buckets, salted replicas); periodicity/interp fold K x events
+        // through user-keyed windows (grid output span-bounded);
+        // agreement is the lang-id scan + a K-cell agg
+        "q_minhash_recall", "q_bot_periodicity", "q_gapfill_interp",
+        "q_langid_agreement")
       // q_hybrid_search is deliberately absent for the q_contamination
       // reason: its semantic leg is probe-set x corpus and BOTH grow with
       // K here, so the ratio would measure the quadratic workload growth,

@@ -205,7 +205,13 @@ object PlanAudit {
       // (ONE (user, type) exchange under lag window + burst group) and
       // trending (fact-fact key join + broadcast brand + shift decay)
       "q_pagerank_seeded", "q_drop_reasons", "q_calibration_bins",
-      "q_event_debounce", "q_trending_brands")
+      "q_event_debounce", "q_trending_brands",
+      // LSH recall (two gated paths + one pair semi-join), periodicity
+      // (ONE user exchange under lag + gap count + argmax window),
+      // interp gapfill (the LOCF shape + a mirrored next-known window)
+      // and the lang agreement cross-tab (K-cell aggregate)
+      "q_minhash_recall", "q_bot_periodicity", "q_gapfill_interp",
+      "q_langid_agreement")
     // q_corpus_pipeline is deliberately NOT audited here: its query-form
     // plan is a trivial read over the staged tables (auditing it would
     // execute the whole 5-stage materialization for nothing — against

@@ -219,6 +219,10 @@ object SparkEntry {
     "q_calibration_bins"    -> (TextOps.calibrationBins _),
     "q_event_debounce"      -> (EventOps.eventDebounce _),
     "q_trending_brands"     -> (BasketOps.trendingBrands _),
+    "q_minhash_recall"      -> (TextOps.minhashRecall _),
+    "q_bot_periodicity"     -> (EventOps.botPeriodicity _),
+    "q_gapfill_interp"      -> (graft.ops.TimeSeriesOps.gapfillInterpQuery _),
+    "q_langid_agreement"    -> (TextOps.langIdAgreement _),
     "q_bm25_decontam"       -> (RetrievalOps.bm25Decontam _),
     "q_domain_mix"          -> (DomainOps.domainMixTemperature _),
     "q_cdc_chunks"          -> (ChunkOps.cdcChunkStats _),
@@ -5865,6 +5869,167 @@ object SparkEntry {
         |       CAST(SUM(w) AS BIGINT) AS trend_score
         |FROM tbw GROUP BY 1 ORDER BY trend_score DESC, p_brand"""
         .stripMargin,
+    // LSH recall: engine-materialized candidate pairs (split gate);
+    // oracle recomputes the exact-Jaccard truth and the intersection
+    "q_minhash_recall" -> {
+      val path = OracleInputs.sqlPath("minhash_recall_cand")
+      s"""WITH mrc AS (
+        |    SELECT doc_a, doc_b FROM read_parquet('$path/*.parquet')
+        |), tok AS (
+        |    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens
+        |    FROM documents
+        |), sh AS (
+        |    SELECT doc_id, unnest(list_distinct(list_transform(
+        |               range(1, len(tokens) - ${SetJoinOps.ShingleN - 2}),
+        |               i -> array_to_string(
+        |                   tokens[i:i+${SetJoinOps.ShingleN - 1}], ' '))))
+        |               AS sh
+        |    FROM tok WHERE len(tokens) >= ${SetJoinOps.ShingleN}
+        |), sz AS (
+        |    SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1
+        |), ov AS (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |           CAST(count(*) AS BIGINT) AS overlap
+        |    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2
+        |), truth AS (
+        |    SELECT doc_a, doc_b FROM ov
+        |    JOIN sz za ON za.doc_id = ov.doc_a
+        |    JOIN sz zb ON zb.doc_id = ov.doc_b
+        |    WHERE ${SetJoinOps.JacDen} * overlap >=
+        |          ${SetJoinOps.JacNum} * (za.sz + zb.sz - overlap)
+        |), agg AS (
+        |    SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+        |           CAST((SELECT COUNT(*) FROM mrc) AS BIGINT)
+        |               AS n_candidates,
+        |           CAST((SELECT COUNT(*) FROM truth t JOIN mrc c
+        |                 ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+        |               AS BIGINT) AS n_hit
+        |)
+        |SELECT n_truth, n_candidates, n_hit,
+        |       CAST(CASE WHEN n_truth = 0 THEN 0
+        |            ELSE n_hit * 1000000 // n_truth END AS BIGINT)
+        |           AS recall_ppm
+        |FROM agg""".stripMargin
+    },
+    // periodicity bot signal: second-rounded gap mode per user
+    "q_bot_periodicity" ->
+      s"""WITH bpe AS (
+        |    SELECT user_id, epoch_ns(ts) AS tsn, event_id FROM events
+        |), bpg AS (
+        |    SELECT user_id,
+        |           (tsn - lag(tsn) OVER (PARTITION BY user_id
+        |               ORDER BY tsn, event_id)) // 1000000000 AS gap_s
+        |    FROM bpe
+        |), bpc AS (
+        |    SELECT user_id, gap_s, CAST(COUNT(*) AS BIGINT) AS c
+        |    FROM bpg WHERE gap_s IS NOT NULL GROUP BY 1, 2
+        |), bpt AS (
+        |    SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_gaps
+        |    FROM bpc GROUP BY 1
+        |), bpm AS (
+        |    SELECT user_id, gap_s AS modal_gap_s, c AS modal_n FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY user_id
+        |            ORDER BY c DESC, gap_s ASC) AS rk FROM bpc)
+        |    WHERE rk = 1
+        |)
+        |SELECT m.user_id, t.n_gaps, m.modal_gap_s,
+        |       CAST(m.modal_n * 1000000 // t.n_gaps AS BIGINT)
+        |           AS modal_share_ppm,
+        |       CAST(CASE WHEN m.modal_n * 1000000 // t.n_gaps
+        |                      > ${EventOps.BotShareThresholdPpm}
+        |            THEN 1 ELSE 0 END AS INTEGER) AS is_bot
+        |FROM bpm m JOIN bpt t USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    // linear interpolation between known buckets, sign-split division
+    "q_gapfill_interp" ->
+      s"""WITH gie AS (
+        |    SELECT user_id, epoch_ns(ts) // ${TimeSeriesOps.HourNs}
+        |               AS bucket,
+        |           epoch_ns(ts) AS tsn, event_id,
+        |           CAST(round(value * 100) AS BIGINT) AS cents
+        |    FROM events
+        |), gib AS (
+        |    SELECT user_id, bucket, n, cents AS v FROM (
+        |        SELECT *,
+        |               row_number() OVER (PARTITION BY user_id, bucket
+        |                   ORDER BY tsn DESC, event_id DESC) AS rn,
+        |               CAST(count(*) OVER (PARTITION BY user_id, bucket)
+        |                   AS BIGINT) AS n
+        |        FROM gie) WHERE rn = 1
+        |), gig AS (
+        |    SELECT user_id, unnest(range(mn, mx + 1)) AS bucket
+        |    FROM (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+        |          FROM gib GROUP BY 1)
+        |), gij AS (
+        |    SELECT g.user_id, g.bucket, coalesce(b.n, 0) AS n_events, b.v
+        |    FROM gig g LEFT JOIN gib b USING (user_id, bucket)
+        |), gik AS (
+        |    SELECT user_id, bucket, n_events,
+        |           last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |               ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND CURRENT ROW) AS v0,
+        |           last_value(CASE WHEN v IS NOT NULL THEN bucket END
+        |               IGNORE NULLS) OVER (PARTITION BY user_id
+        |               ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND CURRENT ROW) AS b0,
+        |           first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |               ORDER BY bucket ROWS BETWEEN CURRENT ROW
+        |               AND UNBOUNDED FOLLOWING) AS v1,
+        |           first_value(CASE WHEN v IS NOT NULL THEN bucket END
+        |               IGNORE NULLS) OVER (PARTITION BY user_id
+        |               ORDER BY bucket ROWS BETWEEN CURRENT ROW
+        |               AND UNBOUNDED FOLLOWING) AS b1
+        |    FROM gij
+        |)
+        |SELECT user_id, bucket, CAST(n_events AS BIGINT) AS n_events,
+        |       CAST(v0 * ${TimeSeriesOps.InterpScale}
+        |            + CASE WHEN b1 = b0 THEN 0
+        |              WHEN (v1 - v0) * (bucket - b0) < 0
+        |                THEN -((-((v1 - v0) * ${TimeSeriesOps.InterpScale}
+        |                       * (bucket - b0))) // (b1 - b0))
+        |              ELSE ((v1 - v0) * ${TimeSeriesOps.InterpScale}
+        |                    * (bucket - b0)) // (b1 - b0) END
+        |            AS BIGINT) AS value_interp_mc
+        |FROM gik ORDER BY user_id, bucket""".stripMargin,
+    // declared-vs-guessed language agreement matrix in exact ppm
+    "q_langid_agreement" ->
+      """WITH lat AS (
+        |    SELECT doc_id, lang,
+        |           string_split_regex(trim(text), '\s+') AS tokens
+        |    FROM documents
+        |), las AS (
+        |    SELECT lang,
+        |      CASE WHEN en_score > greatest(de_score, es_score, fr_score)
+        |               THEN 'en'
+        |           WHEN de_score > greatest(en_score, es_score, fr_score)
+        |               THEN 'de'
+        |           WHEN es_score > greatest(en_score, de_score, fr_score)
+        |               THEN 'es'
+        |           WHEN fr_score > greatest(en_score, de_score, es_score)
+        |               THEN 'fr'
+        |           ELSE 'und' END AS lang_guess
+        |    FROM (SELECT lang,
+        |        len(list_filter(tokens, t -> t IN ('the','a','of','and')))
+        |            AS en_score,
+        |        len(list_filter(tokens, t -> t IN ('der','die','und','das')))
+        |            AS de_score,
+        |        len(list_filter(tokens, t -> t IN ('el','la','los','que')))
+        |            AS es_score,
+        |        len(list_filter(tokens, t -> t IN ('le','la','les','et')))
+        |            AS fr_score
+        |        FROM lat)
+        |), lac AS (
+        |    SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n
+        |    FROM las GROUP BY 1, 2
+        |), lal AS (
+        |    SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang
+        |    FROM lac GROUP BY 1
+        |)
+        |SELECT c.lang, c.lang_guess, c.n,
+        |       CAST(c.n * 1000000 // l.n_lang AS BIGINT) AS share_ppm
+        |FROM lac c JOIN lal l USING (lang)
+        |ORDER BY lang, lang_guess""".stripMargin,
   ) ++ lateOracleSql
 
   /** Fresh sort-based skyline replay (shared by both skyline gates). */

@@ -327,6 +327,44 @@ object EventOps {
     */
   val DebounceNs = 5000000000L
 
+  /** Bot-flag threshold: modal-gap share above this marks the user. */
+  val BotShareThresholdPpm = 800000L
+
+  /** Periodicity-based bot signal: humans' inter-event gaps spread; a
+    * scripted client fires on a timer, so ONE gap value (rounded to the
+    * second) dominates. Per user: gap count, the modal rounded gap, its
+    * share in exact ppm, and the flag share > [[BotShareThresholdPpm]].
+    * Ties on the modal gap break to the SMALLEST gap (deterministic).
+    *
+    * Scale shape: ONE user-keyed exchange (lag window), one
+    * (user, gap)-keyed count, one per-user argmax window over the
+    * user's own distinct-gap frame — never a self-join.
+    * Gate `q_bot_periodicity`.
+    */
+  def botPeriodicity(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gaps = t(s, d, "events")
+      .select("user_id", "ts", "event_id")
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .where(col("prev_ts").isNotNull)
+      .withColumn("gap_s", expr("(ts - prev_ts) div 1000000000"))
+    val counts = gaps.groupBy("user_id", "gap_s")
+      .agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy("user_id").agg(sum("c").as("n_gaps"))
+    val modal = counts.withColumn("rk", row_number().over(
+        Window.partitionBy("user_id")
+          .orderBy(col("c").desc, col("gap_s").asc)))
+      .where(col("rk") === 1)
+      .select(col("user_id"), col("gap_s").as("modal_gap_s"),
+        col("c").as("modal_n"))
+    modal.join(tot, "user_id")
+      .select(col("user_id"), col("n_gaps"), col("modal_gap_s"),
+        expr("modal_n * 1000000 div n_gaps").as("modal_share_ppm"))
+      .withColumn("is_bot",
+        (col("modal_share_ppm") > BotShareThresholdPpm).cast("int"))
+      .orderBy("user_id")
+  }
+
   /** Telemetry debouncing: same-user same-type events within
     * [[DebounceNs]] of the previous one are retries/double-fires, not
     * signal — collapse each burst run to one row carrying the burst's

@@ -1364,6 +1364,60 @@ object TextOps {
           s"ELSE 2 * tp * $QcScale div (2 * tp + fp + fn) END AS BIGINT)")
           .as("f1_ppm"))
 
+  /** Agreement matrix between the fixture's declared language and
+    * [[langId]]'s stopword vote — the labeling-QA cross-tab: per
+    * (declared, guessed) cell the count and its share of the declared
+    * language's documents in exact ppm. The diagonal's share IS the
+    * per-language accuracy; off-diagonal mass names the confusions.
+    * One doc-keyed join + a K²-cell aggregate. Gate `q_langid_agreement`.
+    */
+  def langIdAgreement(s: SparkSession, d: String): DataFrame = {
+    val cells = langId(s, d).select("lang", "lang_guess")
+      .groupBy("lang", "lang_guess").agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy("lang").agg(sum("n").as("n_lang"))
+    cells.join(tot, "lang")
+      .select(col("lang"), col("lang_guess"), col("n"),
+        expr("n * 1000000 div n_lang").as("share_ppm"))
+      .orderBy("lang", "lang_guess")
+  }
+
+  /** Recall of the MinHash-LSH candidate generator against the EXACT
+    * Jaccard join at the same threshold over the same 3-token shingle
+    * sets — the dedup-tuning measurement ([[graft.ops.VectorOps.annRecall]]'s
+    * sibling for the text family): with 16 hashes in 4-row bands, a
+    * J = 0.6 pair matches a band with p = 0.6⁴ ≈ 0.13, so expected
+    * recall ≈ 1 − (1 − 0.13)⁴ ≈ 0.43 — the gate MEASURES the operating
+    * point instead of asserting a number, and a banding change shows up
+    * as a recall shift the tuning loop can read.
+    *
+    * Split gate: the engine materializes its (hash-family-specific)
+    * candidate pairs; the oracle recomputes the exact truth side and
+    * the intersection arithmetic. Gate `q_minhash_recall`.
+    */
+  def minhashRecall(s: SparkSession, d: String): DataFrame = {
+    // both sides feed TWO consumers (their own count + the intersection)
+    // — persist once or every branch re-runs the expensive pair DAGs
+    // (the theta branch-reuse lesson: un-persisted, the 25× probe
+    // measured ~3× the sum of the parts)
+    val truth = PlanCache.swap(s"minhash-recall-truth-$d",
+      SetJoinOps.jaccardPairs(SetJoinOps.docShingles(t(s, d, "documents")))
+        .select("doc_a", "doc_b"))
+    val cand = PlanCache.swap(s"minhash-recall-cand-$d",
+      graft.OracleInputs.checkpoint(
+        minhashCandidatePairs(s, d).select("doc_a", "doc_b").distinct(),
+        d, "minhash_recall_cand"))
+    // single pass over truth: LEFT join with a hit indicator counts the
+    // truth set and the intersection together
+    val flagged = truth.join(cand.withColumn("hit", lit(1L)),
+      Seq("doc_a", "doc_b"), "left")
+    flagged.agg(count(lit(1)).as("n_truth"),
+        coalesce(sum("hit"), lit(0L)).as("n_hit"))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+      .select(col("n_truth"), col("n_candidates"), col("n_hit"),
+        expr("CASE WHEN n_truth = 0 THEN 0L " +
+          "ELSE n_hit * 1000000 div n_truth END").as("recall_ppm"))
+  }
+
   /** Per-document drop provenance for the [[corpusClean]] gates — WHY a
     * document fell, not just that it fell (the audit a data owner asks
     * for first): first-failing-gate precedence duplicate → too_short →

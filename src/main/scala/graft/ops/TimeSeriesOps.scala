@@ -62,6 +62,67 @@ object TimeSeriesOps {
     gapfillLocf(graft.Tables.t(s, d, "events"))
       .orderBy("user_id", "bucket")
 
+  /** Interpolation fixed point: milli-cents. */
+  val InterpScale = 1000L
+
+  /** Dense hourly grid with LINEAR INTERPOLATION — the second standard
+    * gap policy next to [[gapfillLocf]]'s carry-forward (a gauge that
+    * RAMPS between readings interpolates; a state flag carries): at gap
+    * bucket g between known points (b₀,v₀) and (b₁,v₁),
+    *
+    *   v(g) = v₀ + (v₁−v₀)·(g−b₀)/(b₁−b₀)
+    *
+    * in [[InterpScale]] milli-cents with the sign-split truncating
+    * division (the slope can be negative). Known buckets emit exactly
+    * v·1000; the grid spans each user's own known range, so every gap
+    * has both neighbors by construction. Products stay inside Long:
+    * |Δv| cents · 10³ · gap ≲ 10¹² on hourly grids (a wider value/span
+    * domain would move this to DECIMAL — the OLS posture).
+    *
+    * Scale shape: the [[gapfillLocf]] shape plus one
+    * mirrored next-known window — still ONE (user)-keyed exchange after the
+    * bucket collapse. Gate `q_gapfill_interp`.
+    */
+  def gapfillInterp(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"),
+      expr(s"ts div $HourNs").as("bucket"), col("ts"), col("event_id"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val byBucket = Window.partitionBy("user_id", "bucket")
+    val bkt = ev
+      .withColumn("rn", row_number().over(
+        byBucket.orderBy(col("ts").desc, col("event_id").desc)))
+      .withColumn("n", count(lit(1)).over(byBucket))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("bucket"), col("n"), col("cents").as("v"))
+    val grid = bkt.groupBy("user_id")
+      .agg(min("bucket").as("mn"), max("bucket").as("mx"))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"))).as("bucket"))
+    val base = Window.partitionBy("user_id").orderBy("bucket")
+    val wAsc = base.rowsBetween(Window.unboundedPreceding, 0)
+    val wDesc = base.rowsBetween(0, Window.unboundedFollowing)
+    grid.join(bkt, Seq("user_id", "bucket"), "left")
+      .withColumn("v0", last(col("v"), ignoreNulls = true).over(wAsc))
+      .withColumn("b0", last(when(col("v").isNotNull, col("bucket")),
+        ignoreNulls = true).over(wAsc))
+      .withColumn("v1", first(col("v"), ignoreNulls = true).over(wDesc))
+      .withColumn("b1", first(when(col("v").isNotNull, col("bucket")),
+        ignoreNulls = true).over(wDesc))
+      .select(col("user_id"), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        expr(s"""v0 * $InterpScale + CASE WHEN b1 = b0 THEN 0L
+          | WHEN (v1 - v0) * (bucket - b0) < 0
+          |   THEN -((-((v1 - v0) * $InterpScale * (bucket - b0)))
+          |         div (b1 - b0))
+          | ELSE ((v1 - v0) * $InterpScale * (bucket - b0)) div (b1 - b0)
+          | END""".stripMargin.replace("\n", " ")).as("value_interp_mc"))
+  }
+
+  /** Gate `q_gapfill_interp`. */
+  def gapfillInterpQuery(s: SparkSession, d: String): DataFrame =
+    gapfillInterp(graft.Tables.t(s, d, "events"))
+      .orderBy("user_id", "bucket")
+
   /** Per-type robust outlier summary: lower median and MAD over integer
     * cents, counting rows past [[MadK]] MADs.
     *

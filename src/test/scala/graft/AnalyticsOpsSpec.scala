@@ -563,6 +563,64 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got === Array(("A", 2L, 1048576L + 262144L), ("B", 1L, 262144L)))
   }
 
+  test("bot periodicity: modal gap share, smallest-gap tie-break, flag") {
+    val sec = 1000000000L
+    val dir = tmpTable("events", ev(
+      // u1: gaps 10,10,10,3 -> modal 10 at 750000 (below the flag)
+      (1L, 0L, 1L, "click", 0.0), (2L, 10 * sec, 1L, "click", 0.0),
+      (3L, 20 * sec, 1L, "click", 0.0), (4L, 30 * sec, 1L, "click", 0.0),
+      (5L, 33 * sec, 1L, "click", 0.0),
+      // u2: gaps 10,10,10,10 -> share 1e6 -> bot
+      (6L, 0L, 2L, "click", 0.0), (7L, 10 * sec, 2L, "click", 0.0),
+      (8L, 20 * sec, 2L, "click", 0.0), (9L, 30 * sec, 2L, "click", 0.0),
+      (10L, 40 * sec, 2L, "click", 0.0),
+      // u3: gaps 5,5,7,7 -> tie breaks to the SMALLER gap
+      (11L, 0L, 3L, "click", 0.0), (12L, 5 * sec, 3L, "click", 0.0),
+      (13L, 10 * sec, 3L, "click", 0.0), (14L, 17 * sec, 3L, "click", 0.0),
+      (15L, 24 * sec, 3L, "click", 0.0)))
+    val got = EventOps.botPeriodicity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    assert(got === Array(
+      (1L, 4L, 10L, 750000L, 0),
+      (2L, 4L, 10L, 1000000L, 1),
+      (3L, 4L, 5L, 500000L, 0)))
+  }
+
+  test("gapfill interp: exact ramps, negative slope, truncation") {
+    import graft.ops.TimeSeriesOps
+    val h = TimeSeriesOps.HourNs
+    val df = TimeSeriesOps.gapfillInterp(ev(
+      (1L, 0L, 1L, "click", 1.0), (2L, 3 * h, 1L, "click", 4.0),
+      (3L, 0L, 2L, "click", 4.0), (4L, 2 * h, 2L, "click", 1.0),
+      (5L, 0L, 3L, "click", 0.0), (6L, 3 * h, 3L, "click", 0.01)))
+      .orderBy("user_id", "bucket")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got === Array(
+      (1L, 0L, 100000L), (1L, 1L, 200000L), (1L, 2L, 300000L),
+      (1L, 3L, 400000L),
+      (2L, 0L, 400000L), (2L, 1L, 250000L), (2L, 2L, 100000L),
+      (3L, 0L, 0L), (3L, 1L, 333L), (3L, 2L, 666L), (3L, 3L, 1000L)))
+  }
+
+  test("minhash recall: intersection arithmetic is consistent") {
+    val r = graft.ops.TextOps.minhashRecall(spark, sf).head
+    val (t, c, h, ppm) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))
+    assert(h <= t && h <= c && t > 0)
+    assert(ppm === h * 1000000L / t)
+  }
+
+  test("langid agreement: shares are exact per-language fractions") {
+    val rows = graft.ops.TextOps.langIdAgreement(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_.getString(0))
+    for ((_, rs) <- byLang) {
+      val n = rs.map(_.getLong(2)).sum
+      for (r <- rs) assert(r.getLong(3) === r.getLong(2) * 1000000L / n)
+    }
+  }
+
   test("attribution conserves every attributed purchase's value exactly") {
     val events = graft.Tables.t(spark, sf, "events")
     val credited = EventOps.attributionOver(events)
