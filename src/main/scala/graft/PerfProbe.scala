@@ -612,7 +612,10 @@ object PerfProbe {
         // through user-keyed windows (grid output span-bounded);
         // agreement is the lang-id scan + a K-cell agg
         "q_minhash_recall", "q_bot_periodicity", "q_gapfill_interp",
-        "q_langid_agreement")
+        "q_langid_agreement",
+        // TVD folds K x events into the bounded (type, cents) histogram;
+        // the session funnel is the session-assembly + funnel shapes
+        "q_histogram_drift", "q_session_funnel")
       // q_hybrid_search is deliberately absent for the q_contamination
       // reason: its semantic leg is probe-set x corpus and BOTH grow with
       // K here, so the ratio would measure the quadratic workload growth,

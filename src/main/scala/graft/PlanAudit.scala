@@ -211,7 +211,11 @@ object PlanAudit {
       // interp gapfill (the LOCF shape + a mirrored next-known window)
       // and the lang agreement cross-tab (K-cell aggregate)
       "q_minhash_recall", "q_bot_periodicity", "q_gapfill_interp",
-      "q_langid_agreement")
+      "q_langid_agreement",
+      // TVD drift (one (type, cents, half) agg + broadcast totals) and
+      // the session funnel (ONE user exchange for the session cut +
+      // composite-keyed step aggregates)
+      "q_histogram_drift", "q_session_funnel")
     // q_corpus_pipeline is deliberately NOT audited here: its query-form
     // plan is a trivial read over the staged tables (auditing it would
     // execute the whole 5-stage materialization for nothing — against

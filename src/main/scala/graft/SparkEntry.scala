@@ -223,6 +223,8 @@ object SparkEntry {
     "q_bot_periodicity"     -> (EventOps.botPeriodicity _),
     "q_gapfill_interp"      -> (graft.ops.TimeSeriesOps.gapfillInterpQuery _),
     "q_langid_agreement"    -> (TextOps.langIdAgreement _),
+    "q_histogram_drift"     -> (EventOps.histogramDrift _),
+    "q_session_funnel"      -> (EventOps.sessionFunnel _),
     "q_bm25_decontam"       -> (RetrievalOps.bm25Decontam _),
     "q_domain_mix"          -> (DomainOps.domainMixTemperature _),
     "q_cdc_chunks"          -> (ChunkOps.cdcChunkStats _),
@@ -6030,6 +6032,83 @@ object SparkEntry {
         |       CAST(c.n * 1000000 // l.n_lang AS BIGINT) AS share_ppm
         |FROM lac c JOIN lal l USING (lang)
         |ORDER BY lang, lang_guess""".stripMargin,
+    // exact TVD drift per type between the two time halves (HUGEINT
+    // cross-multiplied; an absent half is total drift)
+    "q_histogram_drift" ->
+      """WITH hde AS (
+        |    SELECT event_type,
+        |           CAST(round(value * 100) AS BIGINT) AS cents,
+        |           CASE WHEN epoch_ns(ts) >= (SELECT min(epoch_ns(ts))
+        |                  + (max(epoch_ns(ts)) - min(epoch_ns(ts))) // 2
+        |                FROM events) THEN 1 ELSE 0 END AS late
+        |    FROM events
+        |), hdc AS (
+        |    SELECT event_type, cents,
+        |           CAST(SUM(CASE WHEN late = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |               AS c1,
+        |           CAST(SUM(CASE WHEN late = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |               AS c2
+        |    FROM hde GROUP BY 1, 2
+        |), hdt AS (
+        |    SELECT event_type, CAST(SUM(c1) AS BIGINT) AS n1,
+        |           CAST(SUM(c2) AS BIGINT) AS n2
+        |    FROM hdc GROUP BY 1
+        |), hda AS (
+        |    SELECT c.event_type, t.n1 AS n_early, t.n2 AS n_late,
+        |           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |           SUM(abs(CAST(c.c1 AS HUGEINT) * t.n2
+        |               - CAST(c.c2 AS HUGEINT) * t.n1)) AS num
+        |    FROM hdc c JOIN hdt t USING (event_type)
+        |    GROUP BY 1, 2, 3
+        |)
+        |SELECT event_type, n_early, n_late, n_buckets,
+        |       CAST(CASE WHEN n_early = 0 OR n_late = 0 THEN 1000000
+        |            ELSE (num * 1000000)
+        |                 // (2 * CAST(n_early AS HUGEINT) * n_late)
+        |            END AS BIGINT) AS tvd_ppm
+        |FROM hda ORDER BY event_type""".stripMargin,
+    // session-scoped funnel: same gaps-and-islands session cut, steps
+    // chained within the (user, session) key
+    "q_session_funnel" ->
+      s"""WITH sfe AS (
+        |    SELECT user_id, epoch_ns(ts) AS tsn, event_id, event_type
+        |    FROM events
+        |), sfl AS (
+        |    SELECT *,
+        |           CASE WHEN tsn - lag(tsn) OVER (PARTITION BY user_id
+        |                    ORDER BY tsn, event_id)
+        |                    > ${EventOps.SessionGapNs}
+        |                THEN 1 ELSE 0 END AS new_s
+        |    FROM sfe
+        |), sfs AS (
+        |    SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+        |        ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING)
+        |        AS session_idx
+        |    FROM sfl
+        |), f1 AS (
+        |    SELECT user_id, session_idx, MIN(tsn) AS t1 FROM sfs
+        |    WHERE event_type = 'signup' GROUP BY 1, 2
+        |), f2 AS (
+        |    SELECT e.user_id, e.session_idx, MIN(e.tsn) AS t2
+        |    FROM sfs e JOIN f1 USING (user_id, session_idx)
+        |    WHERE e.event_type = 'click' AND e.tsn > f1.t1 GROUP BY 1, 2
+        |), f3 AS (
+        |    SELECT e.user_id, e.session_idx, MIN(e.tsn) AS t3
+        |    FROM sfs e JOIN f2 USING (user_id, session_idx)
+        |    WHERE e.event_type = 'purchase' AND e.tsn > f2.t2 GROUP BY 1, 2
+        |), c AS (
+        |    SELECT 1 AS step, 'signup' AS event_type,
+        |           CAST((SELECT count(*) FROM f1) AS BIGINT) AS n_sessions
+        |    UNION ALL
+        |    SELECT 2, 'click', CAST((SELECT count(*) FROM f2) AS BIGINT)
+        |    UNION ALL
+        |    SELECT 3, 'purchase', CAST((SELECT count(*) FROM f3) AS BIGINT)
+        |), t AS (SELECT CAST(count(*) AS BIGINT) AS n_top FROM f1)
+        |SELECT CAST(step AS INTEGER) AS step, event_type, n_sessions,
+        |       CAST(CASE WHEN n_top = 0 THEN 0
+        |                 ELSE n_sessions * 1000000 // n_top END AS BIGINT)
+        |           AS conv_ppm
+        |FROM c, t ORDER BY step""".stripMargin,
   ) ++ lateOracleSql
 
   /** Fresh sort-based skyline replay (shared by both skyline gates). */

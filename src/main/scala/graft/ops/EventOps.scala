@@ -327,6 +327,91 @@ object EventOps {
     */
   val DebounceNs = 5000000000L
 
+  /** Value-distribution drift between the first and second half of the
+    * time range, per event type, as EXACT total-variation distance —
+    * the drift monitor the float-based PSI can't give a hash gate
+    * (PSI needs ln; TVD is a rational):
+    *
+    *   TVD = ½ Σ_buckets |c₁(b)/n₁ − c₂(b)/n₂|
+    *       = Σ|c₁(b)·n₂ − c₂(b)·n₁| · 10⁶ div (2·n₁·n₂)   [ppm]
+    *
+    * through DECIMAL(38) (c·n ≈ 10²⁰ at corpus scale). Buckets are
+    * exact value cents; a type missing from one half contributes its
+    * whole mass (TVD = 1e6 — the loudest possible drift).
+    *
+    * Scale shape: ONE (type, cents, half) count aggregation (map-side
+    * combined), a (type, cents)-keyed full outer merge, broadcast
+    * per-type totals, one per-type rollup. Gate `q_histogram_drift`.
+    */
+  def histogramDrift(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val b = ev.agg(min("ts"), max("ts")).head
+    val thr = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+    val counts = ev.select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        (col("ts") >= thr).cast("int").as("late"))
+      .groupBy("event_type", "cents")
+      .agg(sum(when(col("late") === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("late") === 1, 1L).otherwise(0L)).as("c2"))
+    val tots = counts.groupBy("event_type")
+      .agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    counts.join(broadcast(tots), "event_type")
+      .groupBy("event_type")
+      .agg(first("n1").as("n_early"), first("n2").as("n_late"),
+        count(lit(1)).as("n_buckets"),
+        sum(expr("abs(CAST(c1 AS DECIMAL(38,0)) * n2 " +
+          "- CAST(c2 AS DECIMAL(38,0)) * n1)")).as("num"))
+      .select(col("event_type"), col("n_early"), col("n_late"),
+        col("n_buckets"),
+        expr("CAST(CASE WHEN n_early = 0 OR n_late = 0 THEN 1000000 " +
+          "ELSE (num * 1000000) div (2 * CAST(n_early AS DECIMAL(38,0))" +
+          " * n_late) END AS BIGINT)").as("tvd_ppm"))
+      .orderBy("event_type")
+  }
+
+  /** Session-scoped funnel signup → click → purchase: every step must
+    * land inside the SAME [[SessionGapNs]] session (the visit-level
+    * conversion metric — [[funnelSteps]] credits a purchase days later,
+    * [[funnelWindowed]] within a wall-clock window; this one within the
+    * behavioral visit). First-touch chaining per (user, session); the
+    * funnel top is sessions containing a signup.
+    *
+    * Scale shape: ONE user-keyed exchange assigns sessions (lag +
+    * running sum); each step is a (user, session)-keyed min aggregate
+    * joined to the previous step's survivor set — the funnelSteps shape
+    * on the composite key. Gate `q_session_funnel`.
+    */
+  def sessionFunnel(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val sess = t(s, d, "events")
+      .select("user_id", "ts", "event_id", "event_type")
+      .withColumn("new_s",
+        (col("ts") - lag("ts", 1).over(w) > SessionGapNs).cast("int"))
+      .withColumn("session_idx",
+        coalesce(sum("new_s").over(w), lit(0L)).cast("int"))
+    val key = Seq("user_id", "session_idx")
+    val s1 = sess.where(col("event_type") === "signup")
+      .groupBy(key.map(col): _*).agg(min("ts").as("t1"))
+    val s2 = sess.where(col("event_type") === "click")
+      .join(s1, key).where(col("ts") > col("t1"))
+      .groupBy(key.map(col): _*).agg(min("ts").as("t2"))
+    val s3 = sess.where(col("event_type") === "purchase")
+      .join(s2, key).where(col("ts") > col("t2"))
+      .groupBy(key.map(col): _*).agg(min("ts").as("t3"))
+    val counts = s1.agg(count(lit(1)).as("n")).withColumn("step", lit(1))
+      .withColumn("event_type", lit("signup"))
+      .unionByName(s2.agg(count(lit(1)).as("n")).withColumn("step", lit(2))
+        .withColumn("event_type", lit("click")))
+      .unionByName(s3.agg(count(lit(1)).as("n")).withColumn("step", lit(3))
+        .withColumn("event_type", lit("purchase")))
+    val top = s1.agg(count(lit(1)).as("n_top"))
+    counts.crossJoin(broadcast(top))
+      .select(col("step"), col("event_type"), col("n").as("n_sessions"),
+        when(col("n_top") === 0L, 0L)
+          .otherwise(expr("n * 1000000L div n_top")).as("conv_ppm"))
+      .orderBy("step")
+  }
+
   /** Bot-flag threshold: modal-gap share above this marks the user. */
   val BotShareThresholdPpm = 800000L
 

@@ -621,6 +621,40 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("histogram drift: identical halves TVD 0, disjoint halves TVD 1e6") {
+    // 4 events; threshold = midpoint of [0, 100]: late = ts >= 50
+    val same = EventOps.histogramDrift(spark, tmpTable("events", ev(
+      (1L, 0L, 1L, "click", 1.0), (2L, 10L, 1L, "click", 2.0),
+      (3L, 90L, 1L, "click", 1.0), (4L, 100L, 1L, "click", 2.0))))
+    assert(same.head.getAs[Long]("tvd_ppm") === 0L)
+    val disj = EventOps.histogramDrift(spark, tmpTable("events", ev(
+      (1L, 0L, 1L, "click", 1.0), (2L, 10L, 1L, "click", 1.0),
+      (3L, 90L, 1L, "click", 9.0), (4L, 100L, 1L, "click", 9.0))))
+    assert(disj.head.getAs[Long]("tvd_ppm") === 1000000L)
+    // hand case: early {1,1}, late {1,9}: TVD = 1/2*(|1 - 1/2| + 1/2)
+    // = 1/2 -> 500000
+    val half = EventOps.histogramDrift(spark, tmpTable("events", ev(
+      (1L, 0L, 1L, "click", 1.0), (2L, 10L, 1L, "click", 1.0),
+      (3L, 90L, 1L, "click", 1.0), (4L, 100L, 1L, "click", 9.0))))
+    assert(half.head.getAs[Long]("tvd_ppm") === 500000L)
+  }
+
+  test("session funnel: conversion only counts inside one session") {
+    val gap = EventOps.SessionGapNs
+    val df = EventOps.sessionFunnel(spark, tmpTable("events", ev(
+      // u1: signup, click, purchase all in one session
+      (1L, 0L, 1L, "signup", 0.0), (2L, 1L, 1L, "click", 0.0),
+      (3L, 2L, 1L, "purchase", 0.0),
+      // u2: signup, then the click lands in a NEW session -> depth 1
+      (4L, 0L, 2L, "signup", 0.0), (5L, gap + 1000L, 2L, "click", 0.0),
+      // u3: signup + click in session, purchase in the next -> depth 2
+      (6L, 0L, 3L, "signup", 0.0), (7L, 1L, 3L, "click", 0.0),
+      (8L, gap + 5000L, 3L, "purchase", 0.0))))
+    val got = df.collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    assert(got === Array((1, 3L, 1000000L), (2, 2L, 666666L),
+      (3, 1L, 333333L)))
+  }
+
   test("attribution conserves every attributed purchase's value exactly") {
     val events = graft.Tables.t(spark, sf, "events")
     val credited = EventOps.attributionOver(events)
