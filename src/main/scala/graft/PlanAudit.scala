@@ -215,7 +215,11 @@ object PlanAudit {
       // TVD drift (one (type, cents, half) agg + broadcast totals) and
       // the session funnel (ONE user exchange for the session cut +
       // composite-keyed step aggregates)
-      "q_histogram_drift", "q_session_funnel")
+      "q_histogram_drift", "q_session_funnel",
+      // decayed-counter store (the audit form runs build+fold+serve; the
+      // serve leg is the stored-table scan asserted in spec) and the
+      // cluster-size rollup over the CC machinery
+      "q_trending_incremental", "q_dedup_cluster_stats")
     // q_corpus_pipeline is deliberately NOT audited here: its query-form
     // plan is a trivial read over the staged tables (auditing it would
     // execute the whole 5-stage materialization for nothing — against

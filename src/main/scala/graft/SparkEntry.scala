@@ -225,6 +225,8 @@ object SparkEntry {
     "q_langid_agreement"    -> (TextOps.langIdAgreement _),
     "q_histogram_drift"     -> (EventOps.histogramDrift _),
     "q_session_funnel"      -> (EventOps.sessionFunnel _),
+    "q_trending_incremental" -> (BasketOps.trendingIncremental _),
+    "q_dedup_cluster_stats" -> (GraphOps.dedupClusterStats _),
     "q_bm25_decontam"       -> (RetrievalOps.bm25Decontam _),
     "q_domain_mix"          -> (DomainOps.domainMixTemperature _),
     "q_cdc_chunks"          -> (ChunkOps.cdcChunkStats _),
@@ -6109,6 +6111,55 @@ object SparkEntry {
         |                 ELSE n_sessions * 1000000 // n_top END AS BIGINT)
         |           AS conv_ppm
         |FROM c, t ORDER BY step""".stripMargin,
+    // decayed-counter store: fresh zero-floor replay at the global-max
+    // anchor, score-positive rows — proves the shift re-anchoring
+    // composes exactly
+    "q_trending_incremental" ->
+      s"""WITH tio AS (
+        |    SELECT o_orderkey AS l_orderkey,
+        |           epoch_ns(o_orderdate) // ${EventOps.DayNs} AS day
+        |    FROM orders
+        |), tia AS (SELECT MAX(day) AS a FROM tio
+        |), tiw AS (
+        |    SELECT p.p_brand,
+        |           ${BasketOps.TrendScale} >> CAST(LEAST(tia.a - o.day,
+        |               ${BasketOps.TrendZeroAge}) AS INTEGER) AS w
+        |    FROM lineitem l
+        |    JOIN tio o ON o.l_orderkey = l.l_orderkey
+        |    JOIN part p ON p.p_partkey = l.l_partkey, tia
+        |)
+        |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+        |       CAST(SUM(w) AS BIGINT) AS trend_score
+        |FROM tiw GROUP BY 1 HAVING SUM(w) > 0
+        |ORDER BY trend_score DESC, p_brand""".stripMargin,
+    // cluster-size distribution over the same recursive closure
+    "q_dedup_cluster_stats" ->
+      """WITH RECURSIVE
+        |bounds AS (SELECT max(doc_id) AS mx FROM documents),
+        |e AS (
+        |    SELECT doc_id AS src, doc_id + 1 AS dst FROM documents, bounds
+        |    WHERE doc_id % 10 <> 9 AND doc_id + 1 <= mx
+        |      AND doc_id + 1 IN (SELECT doc_id FROM documents)
+        |    UNION ALL
+        |    SELECT doc_id AS src, doc_id + 2 AS dst FROM documents, bounds
+        |    WHERE doc_id % 10 < 5 AND doc_id + 2 <= mx
+        |      AND doc_id + 2 IN (SELECT doc_id FROM documents)
+        |),
+        |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |reach(id, r) AS (
+        |    SELECT doc_id, doc_id FROM documents
+        |    UNION
+        |    SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id
+        |),
+        |cls AS (
+        |    SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+        |),
+        |szs AS (
+        |    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        |    FROM cls GROUP BY 1
+        |)
+        |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+        |FROM szs GROUP BY 1 ORDER BY cluster_size""".stripMargin,
   ) ++ lateOracleSql
 
   /** Fresh sort-based skyline replay (shared by both skyline gates). */

@@ -158,4 +158,131 @@ object BasketOps {
           "AS BIGINT)").as("lift_ppm"))
       .orderBy("i1", "i2", "i3")
   }
+
+  // -------------------------------------------- stored decayed counters
+
+  /** Stored-counter decay floor: ages ≥ this shift to weight 0 EXACTLY
+    * (no cap-at-1 tail), which is what makes the state MERGEABLE — with
+    * a hard zero floor the shift composes, (2²⁰ ≫ a) ≫ d = 2²⁰ ≫ (a+d)
+    * with both sides 0 past the floor, so re-anchoring a stored score
+    * is ONE right shift. [[trendingBrands]]' cap-at-1 tail
+    * (`min(age, 20)`) does NOT compose (the capped weight stops
+    * decaying; a later shift would decay it anyway) — the stored family
+    * deliberately uses the zero-floor decay and documents the
+    * difference.
+    */
+  val TrendZeroAge = 21L
+
+  val Db = "graft_trending"
+  val Table = "brand_scores"
+  val AnchorProp = "graft.trending.anchor_day"
+  val WmKeyProp = "graft.trending.wm_orderkey"
+
+  private def fqn = s"`$Db`.`$Table`"
+
+  private def decayed(s: SparkSession, d: String, orders: DataFrame,
+                      anchorDay: Long): DataFrame =
+    t(s, d, "lineitem")
+      .join(orders, "l_orderkey")
+      .join(broadcast(t(s, d, "part").select(
+        col("p_partkey").as("l_partkey"), col("p_brand"))), "l_partkey")
+      .withColumn("w", expr(
+        s"shiftright($TrendScale, CAST(least($anchorDay - day, " +
+          s"$TrendZeroAge) AS INT))"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lineitems"), sum("w").as("trend_score"))
+
+  private def ordersUpTo(s: SparkSession, d: String, keyMax: Long)
+      : DataFrame =
+    t(s, d, "orders")
+      .where(col("o_orderkey") <= keyMax)
+      .select(col("o_orderkey").as("l_orderkey"),
+        expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) * 1000 div " +
+          s"${EventOps.DayNs}").as("day"))
+
+  /** Full build over orders with key ≤ `keyMax`, anchored at that
+    * slice's max day.
+    */
+  def buildTrending(s: SparkSession, d: String, keyMax: Long,
+                    db: String = Db): Unit = {
+    val orders = ordersUpTo(s, d, keyMax)
+    val a = orders.agg(max("day")).head
+    require(!a.isNullAt(0),
+      s"buildTrending: no orders with key <= $keyMax — an empty build " +
+        "has no anchor; pick a keyMax inside the ingested range")
+    val anchorDay = a.getLong(0)
+    graft.store.Warehouse.saveModel(
+      decayed(s, d, orders, anchorDay), db, Table)
+    s.sql(s"ALTER TABLE ${fqn} SET TBLPROPERTIES " +
+      s"('$AnchorProp'='$anchorDay', '$WmKeyProp'='$keyMax')")
+  }
+
+  /** Fold the orders in key range (stored watermark, `keyMax`]: the
+    * stored scores RE-ANCHOR by one right shift to the batch's later
+    * anchor (the zero-floor composition law), then the batch's own
+    * decayed scores ADD. Scores are additive → watermark fence (the
+    * histogram posture): a replayed batch refuses loudly, the rebuild
+    * re-anchors.
+    *
+    * Scale shape: the batch pays its own fact join; the stored side is
+    * a brand-vocabulary-sized shift + sum — the raw history is never
+    * rescanned (the decayed-counter store every trending dashboard
+    * actually runs).
+    */
+  def appendTrending(s: SparkSession, d: String, keyMax: Long,
+                     db: String = Db): Unit = {
+    val wmKey = graft.store.Warehouse.readTablePropLong(s, db, Table,
+      WmKeyProp, "rebuild with buildTrending before appending")
+    require(keyMax > wmKey,
+      s"appendTrending: keyMax $keyMax is not past the stored watermark " +
+        s"$wmKey — replayed or out-of-order batches are refused (additive " +
+        "scores would double); re-anchor with buildTrending")
+    val anchor0 = graft.store.Warehouse.readTablePropLong(s, db, Table,
+      AnchorProp, "rebuild with buildTrending before appending")
+    val batchOrders = t(s, d, "orders")
+      .where(col("o_orderkey") > wmKey && col("o_orderkey") <= keyMax)
+      .select(col("o_orderkey").as("l_orderkey"),
+        expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) * 1000 div " +
+          s"${EventOps.DayNs}").as("day"))
+    val b = batchOrders.agg(max("day")).head
+    if (b.isNullAt(0)) return // empty key range: nothing to fold
+    val anchor1 = math.max(b.getLong(0), anchor0)
+    val delta = anchor1 - anchor0
+    val batch = decayed(s, d, batchOrders, anchor1).localCheckpoint()
+    graft.store.Warehouse.rewriteVia(s, db, Table)(stored =>
+      stored.select(col("p_brand"), col("n_lineitems"),
+          expr(s"shiftright(trend_score, CAST(least($delta, " +
+            s"$TrendZeroAge) AS INT))").as("trend_score"))
+        .unionByName(batch)
+        .groupBy("p_brand")
+        .agg(sum("n_lineitems").as("n_lineitems"),
+          sum("trend_score").as("trend_score")))
+    s.sql(s"ALTER TABLE ${fqn} SET TBLPROPERTIES " +
+      s"('$AnchorProp'='$anchor1', '$WmKeyProp'='$keyMax')")
+  }
+
+  /** The stored scores — no fact scan, by construction. Zero-decayed
+    * rows are filtered at serve time (a fresh build never produces
+    * them for brands whose only demand aged out, so the folded store
+    * must not SHOW them either — the agreement the gate checks).
+    */
+  def servedTrending(s: SparkSession, db: String = Db): DataFrame = {
+    graft.store.Warehouse.refreshDb(s, db)
+    s.table(fqn).where(col("trend_score") > 0)
+      .orderBy(col("trend_score").desc, col("p_brand"))
+  }
+
+  /** Gate `q_trending_incremental`: build on the first two-thirds of the
+    * order-key range, fold the rest, serve from the stored table. The
+    * oracle is a FRESH zero-floor replay over ALL orders at the final
+    * anchor, score-positive rows only — a green row proves the shift
+    * re-anchoring composes exactly.
+    */
+  def trendingIncremental(s: SparkSession, d: String): DataFrame = {
+    val mx = t(s, d, "orders").agg(max("o_orderkey")).head.getLong(0)
+    val thr = mx / 3 * 2
+    buildTrending(s, d, thr)
+    appendTrending(s, d, mx)
+    servedTrending(s)
+  }
 }

@@ -621,6 +621,19 @@ object GraphOps {
     * to hash-check an iterative distributed algorithm against a
     * declarative oracle.
     */
+  /** Cluster-size distribution over [[dedupClusters]] — the dedup
+    * observability panel: how many singletons, how many mega-clusters
+    * (a sudden mega-cluster means boilerplate or a broken shingle rule
+    * before anyone reads survivor rows). One (cluster)-keyed count +
+    * one (size)-keyed rollup on top of the CC cost.
+    * Gate `q_dedup_cluster_stats`.
+    */
+  def dedupClusterStats(s: SparkSession, d: String): DataFrame =
+    dedupClusters(s, d)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select(col("doc_id"))
     val bounds = docs.agg(max("doc_id")).head()

@@ -655,6 +655,44 @@ class AnalyticsOpsSpec extends SparkSpec {
       (3, 1L, 333333L)))
   }
 
+  test("trending store: shift re-anchoring composes across the zero floor") {
+    import graft.ops.BasketOps
+    spark.sql(s"DROP DATABASE IF EXISTS `${BasketOps.Db}` CASCADE")
+    val day = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    val day25 = java.sql.Timestamp.valueOf("2020-01-26 00:00:00")
+    val dir = java.nio.file.Files.createTempDirectory("trinc").toString
+    Seq((3L, day), (100L, day25)).toDF("o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, "A")).toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq((3L, 10L), (100L, 10L)).toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // 2/3 key split: build covers key 3 (anchor day0, A = 2^20); fold
+    // key 100 (anchor day25:
+    // delta 25 clamps past the zero floor — stored decays to EXACTLY 0,
+    // the batch contributes 2^20 at age 0)
+    val got = BasketOps.trendingIncremental(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got === Array(("A", 2L, 1048576L)))
+    // replayed/out-of-order batch refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      BasketOps.appendTrending(spark, dir, 100L)
+    }
+    assert(e.getMessage.contains("watermark"))
+    // serving reads only the stored scores — no fact scan
+    val plan = BasketOps.servedTrending(spark)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("lineitem.parquet") &&
+      !plan.contains("orders.parquet"),
+      "serve must read only the stored scores")
+  }
+
+  test("dedup cluster stats: sizes partition the corpus") {
+    val stats = graft.ops.GraphOps.dedupClusterStats(spark, sf).collect()
+    val docs = graft.Tables.t(spark, sf, "documents").count()
+    assert(stats.map(r => r.getLong(0) * r.getLong(1)).sum === docs)
+  }
+
   test("attribution conserves every attributed purchase's value exactly") {
     val events = graft.Tables.t(spark, sf, "events")
     val credited = EventOps.attributionOver(events)
