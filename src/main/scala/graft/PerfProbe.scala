@@ -618,7 +618,9 @@ object PerfProbe {
         "q_histogram_drift", "q_session_funnel",
         // the decayed-counter fold pays the batch's fact join + a
         // brand-sized shift; cluster stats add one rollup to the CC cost
-        "q_trending_incremental", "q_dedup_cluster_stats")
+        "q_trending_incremental", "q_dedup_cluster_stats",
+        // trigrams ride the transitions shape (one user window)
+        "q_event_trigrams")
       // q_hybrid_search is deliberately absent for the q_contamination
       // reason: its semantic leg is probe-set x corpus and BOTH grow with
       // K here, so the ratio would measure the quadratic workload growth,

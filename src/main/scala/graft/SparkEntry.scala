@@ -227,6 +227,7 @@ object SparkEntry {
     "q_session_funnel"      -> (EventOps.sessionFunnel _),
     "q_trending_incremental" -> (BasketOps.trendingIncremental _),
     "q_dedup_cluster_stats" -> (GraphOps.dedupClusterStats _),
+    "q_event_trigrams"      -> (EventOps.eventTrigrams _),
     "q_bm25_decontam"       -> (RetrievalOps.bm25Decontam _),
     "q_domain_mix"          -> (DomainOps.domainMixTemperature _),
     "q_cdc_chunks"          -> (ChunkOps.cdcChunkStats _),
@@ -6160,6 +6161,31 @@ object SparkEntry {
         |)
         |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
         |FROM szs GROUP BY 1 ORDER BY cluster_size""".stripMargin,
+    // third-order paths: two lags on the same per-user order, exact
+    // conditional ppm
+    "q_event_trigrams" ->
+      """WITH tge AS (
+        |    SELECT user_id, event_type, epoch_ns(ts) AS tsn, event_id
+        |    FROM events
+        |), tgl AS (
+        |    SELECT user_id, event_type,
+        |           lag(event_type, 1) OVER (PARTITION BY user_id
+        |               ORDER BY tsn, event_id) AS p1,
+        |           lag(event_type, 2) OVER (PARTITION BY user_id
+        |               ORDER BY tsn, event_id) AS p2
+        |    FROM tge
+        |), tgc AS (
+        |    SELECT p2 AS t1, p1 AS t2, event_type AS t3,
+        |           CAST(COUNT(*) AS BIGINT) AS n
+        |    FROM tgl WHERE p2 IS NOT NULL GROUP BY 1, 2, 3
+        |), tgx AS (
+        |    SELECT t1, t2, CAST(SUM(n) AS BIGINT) AS ctx_n
+        |    FROM tgc GROUP BY 1, 2
+        |)
+        |SELECT c.t1, c.t2, c.t3, c.n,
+        |       CAST(c.n * 1000000 // x.ctx_n AS BIGINT) AS p_ppm
+        |FROM tgc c JOIN tgx x USING (t1, t2)
+        |ORDER BY t1, t2, t3""".stripMargin,
   ) ++ lateOracleSql
 
   /** Fresh sort-based skyline replay (shared by both skyline gates). */

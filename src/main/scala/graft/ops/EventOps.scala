@@ -674,6 +674,31 @@ object EventOps {
       .orderBy("step")
   }
 
+  /** Third-order path mining: per-user contiguous event-type TRIGRAMS in
+    * (ts, event_id) order, counted with the conditional
+    * P(next | prev two) in exact ppm — the sequential-pattern depth
+    * [[eventTransitions]]' bigrams can't see (the "view→click→purchase
+    * vs view→click→view" distinction a recommendation loop reads).
+    * Same shape as transitions: one user-keyed window (two lags ride the
+    * SAME sort) + one K³-bounded aggregate. Gate `q_event_trigrams`.
+    */
+  def eventTrigrams(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tri = t(s, d, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("p1", lag(col("event_type"), 1).over(w))
+      .withColumn("p2", lag(col("event_type"), 2).over(w))
+      .where(col("p2").isNotNull)
+      .groupBy(col("p2").as("t1"), col("p1").as("t2"),
+        col("event_type").as("t3"))
+      .agg(count(lit(1)).as("n"))
+    val ctx = tri.groupBy("t1", "t2").agg(sum("n").as("ctx_n"))
+    tri.join(ctx, Seq("t1", "t2"))
+      .select(col("t1"), col("t2"), col("t3"), col("n"),
+        expr("n * 1000000 div ctx_n").as("p_ppm"))
+      .orderBy("t1", "t2", "t3")
+  }
+
   /** First-order Markov transition matrix between event types: per-user
     * (prev, cur) bigrams in (ts, event_id) order, counts and the exact
     * per-million row-conditional probability. One user-keyed window +

@@ -693,6 +693,20 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(stats.map(r => r.getLong(0) * r.getLong(1)).sum === docs)
   }
 
+  test("event trigrams: hand-counted paths and conditional ppm") {
+    // u1: a b a ; u2: a b c ; u3: a b  (too short for a trigram)
+    // context (a,b): outcomes a x1, c x1 -> 500000 each
+    val dir = tmpTable("events", ev(
+      (1L, 1L, 1L, "a", 0.0), (2L, 2L, 1L, "b", 0.0), (3L, 3L, 1L, "a", 0.0),
+      (4L, 1L, 2L, "a", 0.0), (5L, 2L, 2L, "b", 0.0), (6L, 3L, 2L, "c", 0.0),
+      (7L, 1L, 3L, "a", 0.0), (8L, 2L, 3L, "b", 0.0)))
+    val got = EventOps.eventTrigrams(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got === Array(
+      ("a", "b", "a", 1L, 500000L), ("a", "b", "c", 1L, 500000L)))
+  }
+
   test("attribution conserves every attributed purchase's value exactly") {
     val events = graft.Tables.t(spark, sf, "events")
     val credited = EventOps.attributionOver(events)
