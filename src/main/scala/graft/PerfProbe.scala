@@ -619,8 +619,9 @@ object PerfProbe {
         // the decayed-counter fold pays the batch's fact join + a
         // brand-sized shift; cluster stats add one rollup to the CC cost
         "q_trending_incremental", "q_dedup_cluster_stats",
-        // trigrams ride the transitions shape (one user window)
-        "q_event_trigrams")
+        // trigrams ride the transitions shape (one user window);
+        // spearman ranks the K x part catalog off value histograms
+        "q_event_trigrams", "q_spearman")
       // q_hybrid_search is deliberately absent for the q_contamination
       // reason: its semantic leg is probe-set x corpus and BOTH grow with
       // K here, so the ratio would measure the quadratic workload growth,

@@ -221,7 +221,9 @@ object PlanAudit {
       // cluster-size rollup over the CC machinery
       "q_trending_incremental", "q_dedup_cluster_stats",
       // third-order paths: two lags on ONE per-user sort + K^3 agg
-      "q_event_trigrams")
+      "q_event_trigrams",
+      // spearman: ranks off value histograms, one final sum
+      "q_spearman")
     // q_corpus_pipeline is deliberately NOT audited here: its query-form
     // plan is a trivial read over the staged tables (auditing it would
     // execute the whole 5-stage materialization for nothing — against

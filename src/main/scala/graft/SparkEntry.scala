@@ -228,6 +228,7 @@ object SparkEntry {
     "q_trending_incremental" -> (BasketOps.trendingIncremental _),
     "q_dedup_cluster_stats" -> (GraphOps.dedupClusterStats _),
     "q_event_trigrams"      -> (EventOps.eventTrigrams _),
+    "q_spearman"            -> (Relational.spearmanSizePrice _),
     "q_bm25_decontam"       -> (RetrievalOps.bm25Decontam _),
     "q_domain_mix"          -> (DomainOps.domainMixTemperature _),
     "q_cdc_chunks"          -> (ChunkOps.cdcChunkStats _),
@@ -6186,6 +6187,56 @@ object SparkEntry {
         |       CAST(c.n * 1000000 // x.ctx_n AS BIGINT) AS p_ppm
         |FROM tgc c JOIN tgx x USING (t1, t2)
         |ORDER BY t1, t2, t3""".stripMargin,
+    // exact Spearman: midrank2 ranks off value histograms, sqrt-free
+    // sign + rho^2 through HUGEINT
+    "q_spearman" ->
+      """WITH spr AS (
+        |    SELECT p_partkey,
+        |           CAST(round(p_retailprice * 100) AS BIGINT) AS price,
+        |           CAST(p_size AS BIGINT) AS size
+        |    FROM part
+        |), rkx AS (
+        |    SELECT price,
+        |           2 * COALESCE(SUM(nat) OVER (ORDER BY price ROWS BETWEEN
+        |               UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + nat + 1
+        |               AS rx
+        |    FROM (SELECT price, CAST(COUNT(*) AS BIGINT) AS nat
+        |          FROM spr GROUP BY 1)
+        |), rky AS (
+        |    SELECT size,
+        |           2 * COALESCE(SUM(nat) OVER (ORDER BY size ROWS BETWEEN
+        |               UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + nat + 1
+        |               AS ry
+        |    FROM (SELECT size, CAST(COUNT(*) AS BIGINT) AS nat
+        |          FROM spr GROUP BY 1)
+        |), rkd AS (
+        |    SELECT r.p_partkey, x.rx, y.ry
+        |    FROM spr r JOIN rkx x USING (price) JOIN rky y USING (size)
+        |), sms AS (
+        |    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |           CAST(SUM(rx) AS BIGINT) AS sx,
+        |           CAST(SUM(ry) AS BIGINT) AS sy,
+        |           SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+        |           SUM(CAST(ry AS HUGEINT) * ry) AS syy,
+        |           SUM(CAST(rx AS HUGEINT) * ry) AS sxy
+        |    FROM rkd
+        |), smv AS (
+        |    SELECT n,
+        |           CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |               AS num,
+        |           CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |               AS denx,
+        |           CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+        |               AS deny
+        |    FROM sms
+        |)
+        |SELECT n,
+        |       CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1
+        |            ELSE 0 END AS INTEGER) AS rho_sign,
+        |       CAST(CASE WHEN denx = 0 OR deny = 0 THEN 0
+        |            ELSE (num * num * 1000000) // (denx * deny)
+        |            END AS BIGINT) AS rho2_ppm
+        |FROM smv""".stripMargin,
   ) ++ lateOracleSql
 
   /** Fresh sort-based skyline replay (shared by both skyline gates). */

@@ -406,6 +406,58 @@ object Relational {
     * partitions balance) and one (grp)-keyed aggregate. Output is
     * island-count-sized. Gate `q_id_islands`.
     */
+  /** Exact Spearman rank correlation between part size and price — the
+    * dependence measure for ordinal/monotone relationships (Pearson
+    * needs linearity; chi-square needs categories): both columns rank
+    * with MIDRANK tie handling kept integer by doubling (the
+    * classifier-AUC trick: midrank2 = 2·cnt_lt + n_at + 1), and the
+    * correlation is the exact rational
+    *
+    *   ρ = (n·Σxy − Σx·Σy) / √((n·Σx²−(Σx)²)(n·Σy²−(Σy)²))
+    *
+    * emitted sqrt-free as the SIGN plus ρ²·10⁶ = num²·10⁶ div
+    * (denx·deny) through DECIMAL(38). Scope: num² reaches ~10²⁷ on a
+    * catalog-sized frame and would pass 38 digits on a fact table —
+    * this is the exact estimator for frames that fit the bound
+    * (catalogs, aggregates), the madOutliers scoping rule.
+    *
+    * Scale shape: ranks come off per-column VALUE HISTOGRAMS (two
+    * value-keyed aggs + broadcast joins back), one final sum — no
+    * row-level rank window. Gate `q_spearman`.
+    */
+  def spearmanSizePrice(s: SparkSession, d: String): DataFrame = {
+    val rows = t(s, d, "part").select(col("p_partkey"),
+      expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("price"),
+      col("p_size").cast("long").as("size"))
+    def withMidrank(df: DataFrame, c: String, out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(c)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      val ranks = df.groupBy(c).agg(count(lit(1)).as("nat"))
+        .withColumn("cnt_lt", coalesce(sum("nat").over(w), lit(0L)))
+        .select(col(c), (lit(2L) * col("cnt_lt") + col("nat") + 1).as(out))
+      df.join(broadcast(ranks), c)
+    }
+    val ranked = withMidrank(withMidrank(rows, "price", "rx"), "size", "ry")
+    ranked.agg(count(lit(1)).as("n"), sum("rx").as("sx"), sum("ry").as("sy"),
+        sum(expr("CAST(rx AS DECIMAL(38,0)) * rx")).as("sxx"),
+        sum(expr("CAST(ry AS DECIMAL(38,0)) * ry")).as("syy"),
+        sum(expr("CAST(rx AS DECIMAL(38,0)) * ry")).as("sxy"))
+      .select(col("n"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy")
+          .as("num"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx")
+          .as("denx"),
+        expr("CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy")
+          .as("deny"))
+      .select(col("n"),
+        expr("CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 " +
+          "ELSE 0 END AS INTEGER)").as("rho_sign"),
+        expr("CAST(CASE WHEN denx = 0 OR deny = 0 THEN 0 " +
+          "ELSE (num * num * 1000000) div (denx * deny) END AS BIGINT)")
+          .as("rho2_ppm"))
+  }
+
   /** Join-key skew report for the lineitem fact's order key — the
     * pre-shuffle diagnostic that predicts whether a straight hash join
     * needs salting ([[saltedGroupAgg]]) before anyone pays for the

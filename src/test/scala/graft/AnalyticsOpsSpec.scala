@@ -707,6 +707,22 @@ class AnalyticsOpsSpec extends SparkSpec {
       ("a", "b", "a", 1L, 500000L), ("a", "b", "c", 1L, 500000L)))
   }
 
+  test("spearman: perfect monotone with ties = 1, inverse = -1") {
+    def run(rows: Seq[(Long, Double, Int)]) = {
+      val dir = java.nio.file.Files.createTempDirectory("spear").toString
+      rows.toDF("p_partkey", "p_retailprice", "p_size")
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
+      val r = graft.ops.Relational.spearmanSizePrice(spark, dir).head
+      (r.getInt(1), r.getLong(2))
+    }
+    // tied middle pair, still perfectly monotone -> rho = 1 exactly
+    assert(run(Seq((1L, 1.0, 1), (2L, 2.0, 2), (3L, 2.0, 2),
+      (4L, 3.0, 3))) === ((1, 1000000L)))
+    // perfectly inverse -> sign -1, rho^2 = 1
+    assert(run(Seq((1L, 1.0, 3), (2L, 2.0, 2), (3L, 3.0, 1)))
+      === ((-1, 1000000L)))
+  }
+
   test("attribution conserves every attributed purchase's value exactly") {
     val events = graft.Tables.t(spark, sf, "events")
     val credited = EventOps.attributionOver(events)
