@@ -621,7 +621,9 @@ object PerfProbe {
         "q_trending_incremental", "q_dedup_cluster_stats",
         // trigrams ride the transitions shape (one user window);
         // spearman ranks the K x part catalog off value histograms
-        "q_event_trigrams", "q_spearman")
+        "q_event_trigrams", "q_spearman",
+        // benford is one digit agg over K x orders
+        "q_benford")
       // q_hybrid_search is deliberately absent for the q_contamination
       // reason: its semantic leg is probe-set x corpus and BOTH grow with
       // K here, so the ratio would measure the quadratic workload growth,

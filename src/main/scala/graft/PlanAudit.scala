@@ -222,8 +222,9 @@ object PlanAudit {
       "q_trending_incremental", "q_dedup_cluster_stats",
       // third-order paths: two lags on ONE per-user sort + K^3 agg
       "q_event_trigrams",
-      // spearman: ranks off value histograms, one final sum
-      "q_spearman")
+      // spearman: ranks off value histograms, one final sum; benford:
+      // one digit-keyed agg + a 9-row constant join
+      "q_spearman", "q_benford")
     // q_corpus_pipeline is deliberately NOT audited here: its query-form
     // plan is a trivial read over the staged tables (auditing it would
     // execute the whole 5-stage materialization for nothing — against

@@ -229,6 +229,7 @@ object SparkEntry {
     "q_dedup_cluster_stats" -> (GraphOps.dedupClusterStats _),
     "q_event_trigrams"      -> (EventOps.eventTrigrams _),
     "q_spearman"            -> (Relational.spearmanSizePrice _),
+    "q_benford"             -> (Relational.benfordOrders _),
     "q_bm25_decontam"       -> (RetrievalOps.bm25Decontam _),
     "q_domain_mix"          -> (DomainOps.domainMixTemperature _),
     "q_cdc_chunks"          -> (ChunkOps.cdcChunkStats _),
@@ -6237,6 +6238,27 @@ object SparkEntry {
         |            ELSE (num * num * 1000000) // (denx * deny)
         |            END AS BIGINT) AS rho2_ppm
         |FROM smv""".stripMargin,
+    // Benford screen: fixed ppm expectations (they sum to exactly 1e6),
+    // integer shares and deviations
+    "q_benford" -> {
+      val values = Relational.BenfordPpm.toSeq.sortBy(_._1)
+        .map { case (d, p) => s"($d, ${p})" }.mkString(", ")
+      s"""WITH bfc AS (
+        |    SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+        |               AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        |           CAST(COUNT(*) AS BIGINT) AS n
+        |    FROM orders GROUP BY 1
+        |), bft AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM bfc
+        |), bfe (digit, benford_ppm) AS (VALUES $values)
+        |SELECT e.digit, COALESCE(c.n, 0) AS n,
+        |       CAST(COALESCE(c.n, 0) * 1000000 // t.total AS BIGINT)
+        |           AS obs_ppm,
+        |       CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
+        |       CAST(abs(COALESCE(c.n, 0) * 1000000 // t.total
+        |            - e.benford_ppm) AS BIGINT) AS dev_ppm
+        |FROM bfe e CROSS JOIN bft t LEFT JOIN bfc c ON c.digit = e.digit
+        |ORDER BY e.digit""".stripMargin
+    },
   ) ++ lateOracleSql
 
   /** Fresh sort-based skyline replay (shared by both skyline gates). */

@@ -406,6 +406,39 @@ object Relational {
     * partitions balance) and one (grp)-keyed aggregate. Output is
     * island-count-sized. Gate `q_id_islands`.
     */
+  /** Benford first-digit ppm expectations, log10(1+1/d) at ppm scale —
+    * FIXED integer literals (they sum to exactly 10⁶), so the whole
+    * screen is integer arithmetic on constants, no log anywhere.
+    */
+  val BenfordPpm: Map[Int, Long] = Map(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** Benford's-law screen over order totals — the fraud/fabrication
+    * smell test (organically-grown amounts lead with 1 ~30% of the
+    * time; invented ones don't): per first digit of the cents amount,
+    * the observed share vs the Benford expectation and the absolute
+    * deviation, all exact ppm. One digit-keyed aggregation off the
+    * orders scan; the 9-row expectation table is inlined constants.
+    * Gate `q_benford`.
+    */
+  def benfordOrders(s: SparkSession, d: String): DataFrame = {
+    val counts = t(s, d, "orders")
+      .select(expr("CAST(substr(CAST(CAST(round(o_totalprice * 100) " +
+        "AS BIGINT) AS STRING), 1, 1) AS INT)").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    import s.implicits._
+    val expected = BenfordPpm.toSeq.sortBy(_._1)
+      .toDF("digit", "benford_ppm")
+    expected.crossJoin(broadcast(counts.agg(sum("n").as("total"))))
+      .join(broadcast(counts), Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        expr("coalesce(n, 0L) * 1000000 div total").as("obs_ppm"),
+        col("benford_ppm"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("benford_ppm")))
+      .orderBy("digit")
+  }
+
   /** Exact Spearman rank correlation between part size and price — the
     * dependence measure for ordinal/monotone relationships (Pearson
     * needs linearity; chi-square needs categories): both columns rank

@@ -723,6 +723,20 @@ class AnalyticsOpsSpec extends SparkSpec {
       === ((-1, 1000000L)))
   }
 
+  test("benford: all nine digit rows, zero-count digits carry full dev") {
+    val dir = java.nio.file.Files.createTempDirectory("benf").toString
+    // all totals lead with 1 (100 cents)
+    Seq((1L, 1.0), (2L, 1.0)).toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.ops.Relational.benfordOrders(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(got.length === 9)
+    assert(got(0) === ((1, 2L, 1000000L, 1000000L - 301030L)))
+    for (i <- 1 until 9)
+      assert(got(i)._2 === 0L && got(i)._3 === 0L &&
+        got(i)._4 === graft.ops.Relational.BenfordPpm(i + 1))
+  }
+
   test("attribution conserves every attributed purchase's value exactly") {
     val events = graft.Tables.t(spark, sf, "events")
     val credited = EventOps.attributionOver(events)
