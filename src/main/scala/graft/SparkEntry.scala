@@ -5508,7 +5508,7 @@ object SparkEntry {
         |             * ${graft.ops.TimeSeriesOps.TwapScale})
         |            // (MAX(next_ts) - MIN(tsn)) AS BIGINT)
         |           AS twap_milli_cents
-        |FROM tws WHERE next_ts IS NOT NULL
+        |FROM tws WHERE next_ts > tsn
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // period-over-period: lag on the observed month grid, sign-split
     // ppm change, NULL deltas at grid gaps

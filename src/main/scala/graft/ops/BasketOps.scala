@@ -162,13 +162,22 @@ object BasketOps {
   // -------------------------------------------- stored decayed counters
 
   /** Stored-counter decay floor: ages ≥ this shift to weight 0 EXACTLY
-    * (no cap-at-1 tail), which is what makes the state MERGEABLE — with
-    * a hard zero floor the shift composes, (2²⁰ ≫ a) ≫ d = 2²⁰ ≫ (a+d)
-    * with both sides 0 past the floor, so re-anchoring a stored score
-    * is ONE right shift. [[trendingBrands]]' cap-at-1 tail
-    * (`min(age, 20)`) does NOT compose (the capped weight stops
-    * decaying; a later shift would decay it anyway) — the stored family
-    * deliberately uses the zero-floor decay and documents the
+    * (no cap-at-1 tail). The zero-floor shift composes PER WEIGHT —
+    * (2²⁰ ≫ a) ≫ d = 2²⁰ ≫ (a+d), both sides 0 past the floor — but
+    * NOT over a SUM of weights: floor(·/2^d) drops low bits, so two
+    * age-20 orders (score 1+1=2) shifted by d=1 give 1 where a fresh
+    * rebuild gives 0+0. The stored state is therefore kept per
+    * (brand, day) BUCKET — every order in one day bucket carries the
+    * identical power-of-two weight, so a bucket's score is
+    * n·(2²⁰ ≫ age) and re-anchoring recomputes each bucket's weight
+    * from its own day, exactly. Buckets at/past the floor compact into
+    * one sentinel bucket per brand at day = anchor − [[TrendZeroAge]]
+    * (weight 0 now and at every later anchor, since anchors only move
+    * forward), so state stays ≤ [[TrendZeroAge]]+2 rows per brand —
+    * brand-vocabulary-sized, never history-sized.
+    * [[trendingBrands]]' cap-at-1 tail (`min(age, 20)`) does not
+    * compose at all (the capped weight stops decaying); the stored
+    * family deliberately uses the zero-floor decay and documents the
     * difference.
     */
   val TrendZeroAge = 21L
@@ -180,17 +189,20 @@ object BasketOps {
 
   private def fqn = s"`$Db`.`$Table`"
 
-  private def decayed(s: SparkSession, d: String, orders: DataFrame,
-                      anchorDay: Long): DataFrame =
+  /** Per-(brand, day) lineitem counts, aged-out days compacted to the
+    * weight-0 sentinel bucket `anchorDay - TrendZeroAge` (a single
+    * `greatest` — fresh days pass through unchanged).
+    */
+  private def dayBuckets(s: SparkSession, d: String, orders: DataFrame,
+                         anchorDay: Long): DataFrame =
     t(s, d, "lineitem")
       .join(orders, "l_orderkey")
       .join(broadcast(t(s, d, "part").select(
         col("p_partkey").as("l_partkey"), col("p_brand"))), "l_partkey")
-      .withColumn("w", expr(
-        s"shiftright($TrendScale, CAST(least($anchorDay - day, " +
-          s"$TrendZeroAge) AS INT))"))
-      .groupBy("p_brand")
-      .agg(count(lit(1)).as("n_lineitems"), sum("w").as("trend_score"))
+      .withColumn("day",
+        greatest(col("day"), lit(anchorDay - TrendZeroAge)))
+      .groupBy("p_brand", "day")
+      .agg(count(lit(1)).as("n_lineitems"))
 
   private def ordersUpTo(s: SparkSession, d: String, keyMax: Long)
       : DataFrame =
@@ -212,20 +224,21 @@ object BasketOps {
         "has no anchor; pick a keyMax inside the ingested range")
     val anchorDay = a.getLong(0)
     graft.store.Warehouse.saveModel(
-      decayed(s, d, orders, anchorDay), db, Table)
+      dayBuckets(s, d, orders, anchorDay), db, Table)
     s.sql(s"ALTER TABLE ${fqn} SET TBLPROPERTIES " +
       s"('$AnchorProp'='$anchorDay', '$WmKeyProp'='$keyMax')")
   }
 
   /** Fold the orders in key range (stored watermark, `keyMax`]: the
-    * stored scores RE-ANCHOR by one right shift to the batch's later
-    * anchor (the zero-floor composition law), then the batch's own
-    * decayed scores ADD. Scores are additive → watermark fence (the
-    * histogram posture): a replayed batch refuses loudly, the rebuild
-    * re-anchors.
+    * stored per-(brand, day) buckets re-anchor by RE-CLAMPING each
+    * bucket's day to the new anchor's sentinel (exact — the weight is
+    * recomputed from the bucket's own day at serve time, so no stored
+    * sum is ever shifted), then the batch's own buckets ADD. Counts are
+    * additive → watermark fence (the histogram posture): a replayed
+    * batch refuses loudly, the rebuild re-anchors.
     *
     * Scale shape: the batch pays its own fact join; the stored side is
-    * a brand-vocabulary-sized shift + sum — the raw history is never
+    * a brand-vocabulary-sized re-clamp + sum — the raw history is never
     * rescanned (the decayed-counter store every trending dashboard
     * actually runs).
     */
@@ -247,28 +260,37 @@ object BasketOps {
     val b = batchOrders.agg(max("day")).head
     if (b.isNullAt(0)) return // empty key range: nothing to fold
     val anchor1 = math.max(b.getLong(0), anchor0)
-    val delta = anchor1 - anchor0
-    val batch = decayed(s, d, batchOrders, anchor1).localCheckpoint()
+    val batch = dayBuckets(s, d, batchOrders, anchor1).localCheckpoint()
     graft.store.Warehouse.rewriteVia(s, db, Table)(stored =>
-      stored.select(col("p_brand"), col("n_lineitems"),
-          expr(s"shiftright(trend_score, CAST(least($delta, " +
-            s"$TrendZeroAge) AS INT))").as("trend_score"))
+      stored.select(col("p_brand"),
+          greatest(col("day"), lit(anchor1 - TrendZeroAge)).as("day"),
+          col("n_lineitems"))
         .unionByName(batch)
-        .groupBy("p_brand")
-        .agg(sum("n_lineitems").as("n_lineitems"),
-          sum("trend_score").as("trend_score")))
+        .groupBy("p_brand", "day")
+        .agg(sum("n_lineitems").as("n_lineitems")))
     s.sql(s"ALTER TABLE ${fqn} SET TBLPROPERTIES " +
       s"('$AnchorProp'='$anchor1', '$WmKeyProp'='$keyMax')")
   }
 
-  /** The stored scores — no fact scan, by construction. Zero-decayed
-    * rows are filtered at serve time (a fresh build never produces
-    * them for brands whose only demand aged out, so the folded store
-    * must not SHOW them either — the agreement the gate checks).
+  /** The stored scores — no fact scan, by construction: each bucket's
+    * weight is recomputed from its own day against the stored anchor
+    * (n·(2²⁰ ≫ age), exact), summed per brand. Zero-score brands are
+    * filtered at serve time (a fresh build never shows brands whose
+    * only demand aged out, so the folded store must not either — the
+    * agreement the gate checks).
     */
   def servedTrending(s: SparkSession, db: String = Db): DataFrame = {
     graft.store.Warehouse.refreshDb(s, db)
-    s.table(fqn).where(col("trend_score") > 0)
+    val anchor = graft.store.Warehouse.readTablePropLong(s, db, Table,
+      AnchorProp, "rebuild with buildTrending before serving")
+    s.table(fqn)
+      .withColumn("w", expr(
+        s"shiftright($TrendScale, CAST(least($anchor - day, " +
+          s"$TrendZeroAge) AS INT))"))
+      .groupBy("p_brand")
+      .agg(sum("n_lineitems").as("n_lineitems"),
+        sum(expr("n_lineitems * w")).as("trend_score"))
+      .where(col("trend_score") > 0)
       .orderBy(col("trend_score").desc, col("p_brand"))
   }
 

@@ -345,7 +345,8 @@ object EventOps {
     */
   def histogramDrift(s: SparkSession, d: String): DataFrame = {
     val ev = t(s, d, "events")
-    val b = ev.agg(min("ts"), max("ts")).head
+    val b = Guards.anchored(ev.agg(min("ts"), max("ts")).head,
+      "histogramDrift", "min(ts)")
     val thr = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
     val counts = ev.select(col("event_type"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
@@ -523,7 +524,8 @@ object EventOps {
     val uw = t(s, d, "events")
       .select(col("user_id"), expr(s"ts div $DayNs").as("day"))
       .distinct()
-    val b = uw.agg(min("day"), max("day")).head
+    val b = Guards.anchored(uw.agg(min("day"), max("day")).head,
+      "trailingWau", "min(day)")
     val (mn, mx) = (b.getLong(0), b.getLong(1))
     uw.select(col("user_id"),
         explode(sequence(col("day"),

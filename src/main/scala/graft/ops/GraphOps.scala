@@ -326,7 +326,9 @@ object GraphOps {
     * registered-domain range; a larger graph needs a smaller scale or a
     * two-level normalization, refused loudly rather than wrapped. (The
     * normalization sums themselves are bounded by E·scale — Long-safe to
-    * ~9·10¹² edges — and ANSI mode makes any residual overflow loud.)
+    * ~9·10¹² edges — guarded by an explicit edge-count `require` below,
+    * since the session does not run ANSI mode and a wrap would otherwise
+    * be silent.)
     *
     * Shape: per round two keyed join+sum passes over the edge set and two
     * driver scalars (the normalization sums); rounds eagerly checkpointed
@@ -343,7 +345,13 @@ object GraphOps {
       require(n > 0, "hits over an empty vertex set")
       require(n <= Long.MaxValue / scale / scale,
         s"hits: n=$n vertices overflow the $scale fixed point")
-      require(e.limit(1).count() > 0, "hits over an edgeless graph")
+      val eCnt = e.count()
+      require(eCnt > 0, "hits over an edgeless graph")
+      // normalization sums are bounded by E·scale; past this the Long
+      // sum would wrap silently (non-ANSI session) and corrupt scores
+      require(eCnt <= Long.MaxValue / scale,
+        s"hits: $eCnt edges overflow the $scale fixed point's " +
+          "normalization sum; use a smaller scale")
       def half(src: DataFrame, scoreCol: String, from: String, to: String,
                outName: String): DataFrame = {
         val raw = e.join(src.withColumnRenamed("id", from), from)

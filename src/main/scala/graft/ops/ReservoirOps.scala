@@ -119,7 +119,8 @@ object ReservoirOps {
       .withColumn("n_total", count(lit(1)).over(byDay))
       .where(col("rn") <= K)
       .select("day", "event_id", "cents", "hv", "n_total")
-    val mn = rows.agg(min("day")).head.getLong(0)
+    val mn = Guards.anchored(rows.agg(min("day")).head,
+      "reservoir daySamples", "min(day)").getLong(0)
     statsFrom(samples, mn)
   }
 
@@ -181,7 +182,8 @@ object ReservoirOps {
     graft.store.Warehouse.refreshDb(s, db)
     val totals = s.table(fqn(db, TotalsTable))
     val samples = s.table(fqn(db, SampleTable)).join(totals, "day")
-    val mn = totals.agg(min("day")).head.getLong(0)
+    val mn = Guards.anchored(totals.agg(min("day")).head,
+      "servedDaily", "min(day)").getLong(0)
     statsFrom(samples, mn)
   }
 
@@ -194,7 +196,8 @@ object ReservoirOps {
     */
   def reservoirIncremental(s: SparkSession, d: String): DataFrame = {
     val ev = graft.Tables.t(s, d, "events")
-    val b = ev.agg(min("ts"), max("ts")).head
+    val b = Guards.anchored(ev.agg(min("ts"), max("ts")).head,
+      "reservoirIncremental", "min(ts)")
     val thr = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 3 * 2
     buildDaySamples(ev.where(col("ts") < thr))
     appendDaySamples(s, ev.where(col("ts") >= thr))

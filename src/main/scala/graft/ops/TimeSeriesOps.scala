@@ -271,7 +271,8 @@ object TimeSeriesOps {
     */
   def outlierMadIncremental(s: SparkSession, d: String): DataFrame = {
     val ev = graft.Tables.t(s, d, "events")
-    val b = ev.agg(min("ts"), max("ts")).head
+    val b = Guards.anchored(ev.agg(min("ts"), max("ts")).head,
+      "outlierMadIncremental", "min(ts)")
     val thr = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 3 * 2
     buildValueHistogram(ev.where(col("ts") < thr))
     appendValueHistogram(s, ev.where(col("ts") >= thr))
@@ -384,7 +385,11 @@ object TimeSeriesOps {
       .select(col("user_id"), col("ts"), col("event_id"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       .withColumn("next_ts", lead("ts", 1).over(w))
-      .where(col("next_ts").isNotNull)
+      // zero-length segments (tied timestamps) contribute nothing to
+      // num or span but would let a user whose events ALL tie reach the
+      // aggregation with span_ns = 0 → NULL division; they are excluded
+      // like single-event users (same contract: no held segment)
+      .where(col("next_ts") > col("ts"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_segments"),
         sum(expr("CAST(next_ts - ts AS DECIMAL(38,0)) * cents")).as("num"),

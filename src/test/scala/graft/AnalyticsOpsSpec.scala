@@ -297,6 +297,19 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got === Array((1L, 2L, 30L, 233333L)))
   }
 
+  test("TWAP: tied timestamps drop zero segments; all-tied users excluded") {
+    import graft.ops.TimeSeriesOps
+    val dir = tmpTable("events", ev(
+      // u1: tie at ts 0 (zero-length segment dropped), then [0,10)@200c
+      (1L, 0L, 1L, "click", 1.0), (2L, 0L, 1L, "click", 2.0),
+      (3L, 10L, 1L, "click", 0.0),
+      // u2: ALL events tie -> no held segment -> excluded, never NULL
+      (4L, 5L, 2L, "click", 9.0), (5L, 5L, 2L, "click", 8.0)))
+    val got = TimeSeriesOps.timeWeightedAvg(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array((1L, 1L, 10L, 200000L)))
+  }
+
   test("period-over-period: contiguous lag, grid gap -> NULL, sign split") {
     import graft.ops.TimeSeriesOps
     val dir = java.nio.file.Files.createTempDirectory("pop").toString
@@ -685,6 +698,33 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(!plan.contains("lineitem.parquet") &&
       !plan.contains("orders.parquet"),
       "serve must read only the stored scores")
+  }
+
+  test("trending store: summed low bits re-anchor exactly (day buckets)") {
+    import graft.ops.BasketOps
+    spark.sql(s"DROP DATABASE IF EXISTS `${BasketOps.Db}` CASCADE")
+    val d0 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    val d20 = java.sql.Timestamp.valueOf("2020-01-21 00:00:00")
+    val d21 = java.sql.Timestamp.valueOf("2020-01-22 00:00:00")
+    val dir = java.nio.file.Files.createTempDirectory("trlow").toString
+    Seq((1L, d0), (2L, d0), (3L, d20), (4L, d21))
+      .toDF("o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, "A"), (11L, "B")).toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq((1L, 10L), (2L, 10L), (3L, 11L), (4L, 11L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // build to key 3 (anchor day20): brand A holds TWO age-20 weight-1
+    // lineitems. A summed-counter store shifted by delta=1 would keep
+    // floor(2/2)=1 for A; the per-day buckets decay each weight from
+    // its own day -> A lands at exactly 0 (= the fresh rebuild)
+    BasketOps.buildTrending(spark, dir, 3L)
+    BasketOps.appendTrending(spark, dir, 4L)
+    val got = BasketOps.servedTrending(spark).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // A aged past the zero floor -> filtered; B = 2^19 + 2^20
+    assert(got === Array(("B", 2L, 1572864L)))
   }
 
   test("dedup cluster stats: sizes partition the corpus") {
