@@ -14,223 +14,20 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
-    val names = Seq(
-      "q_scan_projection", "q_filter_tenant_eq", "q_join_broadcast_dim",
-      "q_join_equi", "q_window_latest_by_pk", "q_dedup_minhash",
-      "q_knn_cosine_topk", "q_embedding_near_dup", "q_asof_last_click",
-      "q_groupby_salted", "q_partition_backfill", "q_ivf_cosine_topk",
-      "q_doc_chunking", "q_corpus_clean", "q_simhash_near_dup",
-      "q_sample_stratified", "q_mix_weighted", "q_pack_sequences",
-      "q_contamination", "q_join_range", "q_percentile_status",
-      "q_ivf_semantic_dedup", "q_repetition_stats", "q_mix_temperature",
-      "q_export_shuffle", "q_decontaminate_ngram", "q_blocklist_bloom",
-      "q_join_bucketed", "q_salient_terms",
-      // round-7 additions: profiler over the north-star tables, the real
-      // PNG decode path, and the unicode-tokenizer compositions
-      "q_profile_documents", "q_profile_embeddings", "q_png_pixel_stats",
-      "q_decontaminate_cjk", "q_salient_terms_cjk",
-      // round-7 additions: rarity signal, quality-prefix budget selection,
-      // best-of-cluster dedup
-      "q_mean_token_freq", "q_token_budget_select", "q_dedup_best_of_cluster",
-      "q_dedup_incremental", "q_cluster_sample", "q_budget_mix",
-      // round-8 addition: PQ retrieve + exact re-rank (training collects
-      // are part of the audited path, like q_ivf_cosine_topk above)
-      "q_pq_cosine_topk",
-      // round-9 additions: the IVF-PQ composition (the audit evidence is
-      // the cell-keyed BroadcastHashJoin pruning the code scan) and the
-      // VP8L decode leg (typed mapPartitions batch shape)
-      "q_ivfpq_cosine_topk", "q_vp8l_pixel_stats",
-      // round-10 additions: the incremental-extract hot path (the audit
-      // evidence is the transposed watermark predicate back in the events
-      // scan's PushedFilters — EpochNsTranspose), and the bigram-LM
-      // perplexity gate (vocab-sized LM join + one fine-keyed probe join)
-      "q_filter_incremental", "q_perplexity_filter", "q_corpus_clean_ppx",
-      "q_span_coverage", "q_semantic_decontam",
-      // round-10 additions: SQ8 flat + IVF-composed (the audit evidence is
-      // the decode-dot ADC inside whole-stage codegen, and for the
-      // composition the cell-keyed BroadcastHashJoin pruning the scan)
-      // and the shuffle-free split assignment
-      "q_sq_cosine_topk", "q_ivfsq_cosine_topk", "q_split_assign",
-      // stored-LM serving: the registered form pays the build (the
-      // q_join_bucketed unavoidable-materialization class); the audited
-      // plan is the serve — stored-table scans, no corpus-sized training
-      // aggregate
-      "q_perplexity_serve",
-      // the typed mapPartitions resize shape (decode → thumbnail → stats,
-      // rasters never leave the executor), the perceptual-hash dedup
-      // (one hash-keyed window over decode output — never image pairs),
-      // its banded hamming near-dup (band-keyed equi-join over the
-      // persisted survivor hashes) and the GIF LZW decode leg
-      "q_image_resize_stats", "q_image_dedup_phash", "q_image_near_dup",
-      "q_gif_pixel_stats",
-      // round-11 additions: substring-extent dedup (the audit evidence is
-      // ONE doc_id hash-partitioning shared by the lag window and the
-      // final group — no second exchange — plus the gram-keyed count as
-      // the only token-volume shuffle) and the per-row frame-sampling
-      // flatMap (typed, no shuffle before the output sort)
-      "q_substring_dedup", "q_frame_sample",
-      // round-11 late additions: BM25 serving (the audit evidence is the
-      // bkt-partition-pruned postings scan + broadcast terms + vocab-sized
-      // df join; the registry form pays the index build, the
-      // q_perplexity_serve class), the K-class domain scorer (broadcast
-      // K-row class frame, stored-table joins, doc-keyed argmax window)
-      // and the CM-sketch heavy-hitter gate (TakeOrderedAndProject top-k,
-      // never a full-vocab window)
-      "q_bm25_topk", "q_domain_classify", "q_heavy_ngrams",
-      // and their compositions: decontam inherits the pruned-postings
-      // serve shape with a doc-keyed flag agg; domain mix appends one
-      // stratum WindowGroupLimit to the classifier's serve plan
-      "q_bm25_decontam", "q_domain_mix",
-      // CDC chunking: the audit evidence is ONE chunk-hash exchange for
-      // the duplicate set + doc-keyed aggs — the exact-dedup shape at
-      // chunk granularity, no positional self-join
-      "q_cdc_chunks", "q_cdc_dedup_rewrite", "q_cdc_rewrite_incremental",
-      "q_phrase_search", "q_hybrid_search", "q_approx_percentile",
-      // round-11 web-provenance additions: link extraction (per-row
-      // regex + explode, zero exchange before the output sort), domain
-      // PageRank (the audit evidence is the returned frame being a
-      // checkpointed scan — the 10 iterative rounds run one src-keyed
-      // join + one dst-keyed sum each and never appear in the serve
-      // plan) and the authority mix (broadcast domain-sized quota join
-      // + one WindowGroupLimit under the constant rank bound)
-      "q_link_extract", "q_pagerank_domains", "q_authority_mix",
-      "q_hits_domains",
-      // Z-order key: the audit evidence is the 32-term shift/mask sum
-      // riding inside one WholeStageCodegen project over the scan
-      "q_zorder_key",
-      // round-11 fifth-session additions: expectations (ONE aggregate
-      // pass per fact table — every constraint a conditional sum in the
-      // same agg — plus a broadcast anti-join for referential), exact
-      // Jaccard join (prefix-bucket equi-join, never all-pairs;
-      // verification keyed on candidate pairs), hashed TF-IDF (one
-      // (doc,token) shuffle + one (doc,dim) sum; the kNN consumer
-      // broadcasts probes over one corpus scan), authority survivors
-      // (CC over banded pairs + ONE broadcast rank join + per-cluster
-      // WindowGroupLimit) and the robots filter (domain-sized broadcast
-      // rule table, single corpus scan, per-doc WindowGroupLimit)
-      "q_expectations", "q_jaccard_join_exact", "q_hashed_tfidf",
-      "q_tfidf_knn", "q_authority_survivors", "q_robots_filter",
-      // round-11 sixth-session additions: SCD2 collapse (the audit
-      // evidence is ONE user-keyed hash exchange carrying all three
-      // windows), the deletion-neighborhood join (residue equi-join +
-      // broadcast vocab joins, codegen'd levenshtein verify), winnowing
-      // (one doc-keyed exchange, struct-min window — no member self-join),
-      // the incremental copy probe (bucket-pruned index scan), gap-fill
-      // (one (user,bucket) collapse + user-keyed LOCF window), histogram
-      // MAD serving (bounded-table windows, no events scan), the power
-      // iteration serve (broadcast 64-row direction, one corpus scan) and
-      // the per-row RAG/mojibake transforms
-      "q_scd2_history", "q_scd2_incremental", "q_fuzzy_vocab_edit1",
-      "q_winnow_fingerprint", "q_copy_candidates", "q_copy_incremental",
-      "q_gapfill_locf", "q_outlier_mad", "q_outlier_mad_incremental",
-      "q_spectral_order", "q_rag_chunks", "q_mojibake_repair",
-      // round-11 seventh-session additions: theta sketch (ONE (tag,key)
-      // distinct shuffle + per-tag WindowGroupLimit K-min; every
-      // downstream frame sample-bounded), DSIR (one bucket-keyed feature
-      // shuffle, broadcast B-sized model, TakeOrderedAndProject draw),
-      // Kneser-Ney (vocab-sized enrichment joins + one (prev,w) probe on
-      // the c2 exchange key), curriculum (one token shuffle + value-
-      // bounded boundary window, no global rank), the AC span scan (the
-      // audit evidence is the single corpus scan with the DFA literal
-      // inside WholeStageCodegen — the term join fans over match rows)
-      // and the Hamilton split (strata-bounded windows + the constant
-      // rank bound keeping WindowGroupLimit)
-      "q_theta_sketch", "q_dsir_select", "q_kneser_ney",
-      "q_curriculum_order", "q_ac_scan", "q_split_proportional",
-      // collocations (vocab-sized lift join + TakeOrderedAndProject),
-      // session assembly (ONE user-keyed exchange under window + group),
-      // luhn (per-row folds, zero pre-sort exchanges) and triangles
-      // (oriented wedge self-join + membership join — no vertex-pair
-      // cartesian anywhere)
-      "q_collocations", "q_session_sequences", "q_pii_luhn",
-      "q_triangle_count",
-      // KM (user-keyed aggs + the day-grid-bounded curve math), LPA
-      // (checkpointed rounds: per round one edge join + a per-id
-      // WindowGroupLimit pick — returned frame is a checkpointed scan)
-      // and chi-square (ONE (arm,type) count agg + K-row DECIMAL math)
-      "q_survival_km", "q_communities_lpa", "q_ab_chisquare",
-      // daily theta (per-day WindowGroupLimit K-min + sample-bounded
-      // range merge) and containment (one-sided prefix-filter join —
-      // A's rare-prefix buckets probe the full shingle frame)
-      "q_theta_daily", "q_containment_join",
-      // round-11 eighth-session additions: OLS (one orders⨝customer key
-      // shuffle + broadcast dims, OLS math on the month grid), CUSUM/EWMA
-      // (one (type,day) agg, day-grid slice folds), association rules
-      // (order-keyed pair self-join + broadcast vocab-sized supports),
-      // skyline (the audit evidence is ONE p_type exchange + in-partition
-      // sort shared by both RANGE-framed maxima — no dominance self-join),
-      // attribution (user-keyed bounded range join + purchase-keyed
-      // window + click rollup), entity resolution (block-keyed candidate
-      // joins + per-listing WindowGroupLimit — never dirty×canon),
-      // reservoir (ONE day-keyed exchange carrying rank + count,
-      // sample-bounded tails; the incremental form audits the stored
-      // serve), cohort LTV (distinct-activity cohort agg + cell-grid
-      // cumulative window) and the k-core peel (checkpointed rounds —
-      // the returned frame is a union of checkpoint scans)
-      "q_ols_trend", "q_cusum_changepoint", "q_ewma_smooth",
-      "q_assoc_rules", "q_skyline", "q_attribution_linear",
-      "q_entity_resolution", "q_reservoir_daily", "q_reservoir_incremental",
-      "q_cohort_ltv", "q_kcore_domains",
-      // the sweep-line concurrency profile (two delta rows per interval,
-      // one day-keyed collapse — the audit evidence is NO explode and no
-      // interval self-join), the windowed funnel (per-step min
-      // aggregates), islands (one range exchange + grp aggregate) and
-      // the stored skyline serve
-      "q_interval_concurrency", "q_funnel_windowed", "q_id_islands",
-      "q_skyline_incremental",
-      // classifier evaluation: the audit evidence is the AUC rank window
-      // riding the SCORE-HISTOGRAM frame (one q_score agg), never the
-      // corpus rows; PRF is one aggregate over the scoring join
-      "q_classifier_auc", "q_classifier_prf",
-      // TWAP (ONE user exchange shared by the lead window and the
-      // final agg), period-over-period (lag on the month grid), the
-      // trailing-hour rate (user-keyed RANGE frame — a sliding
-      // two-pointer, no self-join), rolling WAU (bounded 7x fan-out +
-      // one exact distinct) and ABC bands (catalog-sized running sum)
-      "q_time_weighted_avg", "q_period_over_period", "q_sliding_rate",
-      "q_trailing_wau", "q_abc_classification",
-      // snapshot diff (ONE key-keyed full outer join), Apriori triples
-      // (order-keyed joins + broadcast supports), MLM masking (per-row,
-      // zero pre-sort exchange) and ANN recall (two probe-bounded
-      // searches + one (probe, neighbor) semi-join)
-      "q_snapshot_diff", "q_frequent_triples", "q_mask_spans",
-      "q_ann_recall",
-      // weighted paths (checkpointed min-plus rounds — serve plan is a
-      // checkpoint scan), vocab stats (one (source, token) shuffle) and
-      // the key-skew report (windows over the count-of-counts frame)
-      "q_weighted_paths", "q_vocab_stats", "q_key_skew",
-      // PPR (checkpointed walk rounds — serve plan is a checkpoint
-      // scan), drop provenance (dedup hash-groupBy + per-row gates),
-      // calibration (one range-exchange rank + a 10-row agg), debounce
-      // (ONE (user, type) exchange under lag window + burst group) and
-      // trending (fact-fact key join + broadcast brand + shift decay)
-      "q_pagerank_seeded", "q_drop_reasons", "q_calibration_bins",
-      "q_event_debounce", "q_trending_brands",
-      // LSH recall (two gated paths + one pair semi-join), periodicity
-      // (ONE user exchange under lag + gap count + argmax window),
-      // interp gapfill (the LOCF shape + a mirrored next-known window)
-      // and the lang agreement cross-tab (K-cell aggregate)
-      "q_minhash_recall", "q_bot_periodicity", "q_gapfill_interp",
-      "q_langid_agreement",
-      // TVD drift (one (type, cents, half) agg + broadcast totals) and
-      // the session funnel (ONE user exchange for the session cut +
-      // composite-keyed step aggregates)
-      "q_histogram_drift", "q_session_funnel",
-      // decayed-counter store (the audit form runs build+fold+serve; the
-      // serve leg is the stored-table scan asserted in spec) and the
-      // cluster-size rollup over the CC machinery
-      "q_trending_incremental", "q_dedup_cluster_stats",
-      // third-order paths: two lags on ONE per-user sort + K^3 agg
-      "q_event_trigrams",
-      // spearman: ranks off value histograms, one final sum; benford:
-      // one digit-keyed agg + a 9-row constant join
-      "q_spearman", "q_benford")
-    // q_corpus_pipeline is deliberately NOT audited here: its query-form
-    // plan is a trivial read over the staged tables (auditing it would
-    // execute the whole 5-stage materialization for nothing — against
-    // this file's lazy-audit discipline), the stage plans ARE the
-    // operators audited above, and CorpusPipelineSpec plan-asserts the
-    // one pipeline-specific shape (zero-exchange bucketed self-probe).
+    // The audit enumerates the FULL registry (round-12 verdict #1): every
+    // query in SparkEntry.queries gets a read-path section, so a new —
+    // possibly expensive — query cannot ship without plan evidence. The
+    // enforcement below (registry-coverage require before the write)
+    // makes the guarantee structural rather than reviewed-for.
+    // Historical per-group audit notes (what evidence each family's plan
+    // carries) lived in the hand-maintained list this replaced — see git
+    // history at round 11 — and remain in the operators' scaladoc.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Registry completeness means some gates' frame CONSTRUCTION executes
+    // eager work (training collects, stored-model builds, the corpus
+    // pipeline's staged materialization) — the same work Verify pays; the
+    // audit run is a few minutes at sf0.01, the price of plan evidence
+    // for every registry row.
     // Plan-only overrides: q_embedding_near_dup's default construction
     // sizes its adaptive banding with a Spark job (persist + count of the
     // sketch); an explicit bandBits keeps the audit lazy and the plan
@@ -529,8 +326,20 @@ object PlanAudit {
         f"\\u${c.toInt}%04x"
       case c => c.toString
     }
+    // Self-enforcement (round-12 verdict #1): the audit FAILS — no
+    // PLANS.md written — if any registry query lacks a section. `names`
+    // derives from the registry above, so this can only fire if the
+    // emission loop regresses (e.g. someone reintroduces a hand list);
+    // the require documents the contract where it's checked.
+    val missing = SparkEntry.queries.keys.filterNot(n =>
+      sanitized.contains(s"\n## $n\n")).toSeq.sorted
+    require(missing.isEmpty,
+      s"PlanAudit: ${missing.size} registry queries have no plan section " +
+        s"— a query cannot ship without plan evidence: " +
+        missing.take(10).mkString(", "))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sanitized)
-    println("wrote PLANS.md")
+    println(s"wrote PLANS.md (${SparkEntry.queries.size} registry sections" +
+      " + write-path/serve extras)")
     spark.stop()
   }
 }

@@ -190,6 +190,31 @@ object DomainOps {
     domainClassifyFromModel(s, d, "graft_dc_q")
   }
 
+  /** Stored-model language ID (gate `q_lang_id_nb`): the same K-class NB,
+    * trained on the fixture's DECLARED `lang` as the class label — the
+    * stored-model posture [[graft.ops.TextOps.langId]]'s per-query
+    * stopword heuristic lacks (trained once, appendable via
+    * [[appendToDomainClassifier]]/[[dcDeltaSink]], cron-refreshed via
+    * [[dcRefreshEntry]] — the label column is the only difference). The
+    * oracle retrains declaratively ([[graft.oracle.Ctes.dcCtesOver]]
+    * with `lang`), so a green row proves training AND serving exactly.
+    * Scale shape inherits the classifier's: one (c, w) token shuffle to
+    * train; serving joins vocab×K tables, K = languages.
+    */
+  def langIdNbClassify(s: SparkSession, d: String): DataFrame = {
+    val docs = langLabeled(s, d)
+    buildDomainClassifier(docs, "graft_lang_nb")
+    scoreAgainst(docs, s, "graft_lang_nb")
+      .select(col("doc_id"), col("pred_source").as("pred_lang"),
+        col("dc_score").as("nb_score"), col("is_correct"))
+      .orderBy("doc_id")
+  }
+
+  /** Documents with the declared language as the NB class label. */
+  private[graft] def langLabeled(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), col("text"), col("lang").as("source"))
+
   /** The end-use composition: temperature-scaled mixing keyed on the
     * PREDICTED domain instead of the stored label — what a crawl pipeline
     * actually does when sources arrive untrusted (infer the domain, then

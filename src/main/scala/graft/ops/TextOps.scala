@@ -1364,21 +1364,30 @@ object TextOps {
           s"ELSE 2 * tp * $QcScale div (2 * tp + fp + fn) END AS BIGINT)")
           .as("f1_ppm"))
 
-  /** Agreement matrix between the fixture's declared language and
-    * [[langId]]'s stopword vote — the labeling-QA cross-tab: per
-    * (declared, guessed) cell the count and its share of the declared
-    * language's documents in exact ppm. The diagonal's share IS the
-    * per-language accuracy; off-diagonal mass names the confusions.
-    * One doc-keyed join + a K²-cell aggregate. Gate `q_langid_agreement`.
+  /** THREE-rater agreement matrix — the fixture's declared language,
+    * [[langId]]'s stopword vote, and the stored-NB prediction
+    * ([[graft.ops.DomainOps.langIdNbClassify]]'s model) — the
+    * labeling-QA cross-tab: per (declared, vote, nb) cell the count and
+    * its share of the declared language's documents in exact ppm. The
+    * full-agreement diagonal's share IS the per-language consensus
+    * accuracy; a cell where the two raters agree AGAINST the declared
+    * label is the label-error signal a cleanup queue drains. One
+    * doc-keyed join + a K³-cell aggregate (K = languages).
+    * Gate `q_langid_agreement`.
     */
   def langIdAgreement(s: SparkSession, d: String): DataFrame = {
-    val cells = langId(s, d).select("lang", "lang_guess")
-      .groupBy("lang", "lang_guess").agg(count(lit(1)).as("n"))
+    val docs = graft.ops.DomainOps.langLabeled(s, d)
+    graft.ops.DomainOps.buildDomainClassifier(docs, "graft_lang_agree")
+    val nb = graft.ops.DomainOps.scoreAgainst(docs, s, "graft_lang_agree")
+      .select(col("doc_id"), col("pred_source").as("nb_guess"))
+    val cells = langId(s, d).select("doc_id", "lang", "lang_guess")
+      .join(nb, "doc_id")
+      .groupBy("lang", "lang_guess", "nb_guess").agg(count(lit(1)).as("n"))
     val tot = cells.groupBy("lang").agg(sum("n").as("n_lang"))
     cells.join(tot, "lang")
-      .select(col("lang"), col("lang_guess"), col("n"),
+      .select(col("lang"), col("lang_guess"), col("nb_guess"), col("n"),
         expr("n * 1000000 div n_lang").as("share_ppm"))
-      .orderBy("lang", "lang_guess")
+      .orderBy("lang", "lang_guess", "nb_guess")
   }
 
   /** Recall of the MinHash-LSH candidate generator against the EXACT
