@@ -122,6 +122,17 @@ object SetJoinOps {
   val ConNum = 8
   val ConDen = 10
 
+  /** Container-side posting cap (document frequency): shingles with
+    * df above this generate candidates only for HOT probes (see
+    * [[containmentPairs]]). The cap is what keeps the candidate volume
+    * LINEAR in the corpus — without it, every probe's prefix joined
+    * against full postings makes candidate count grow with the df of
+    * boilerplate shingles, i.e. with corpus size (the at-linear 25×
+    * sweep row this cap closes). With the cap, the light branch emits
+    * ≤ HotDf candidates per prefix posting.
+    */
+  val HotDf = 64L
+
   /** DIRECTIONAL containment join: all ordered pairs (a → b, a ≠ b) with
     * |A∩B| ≥ t·|A| — Broder's asymmetric resemblance complement: Jaccard
     * misses "a is quoted inside the much larger b" (the union denominator
@@ -129,32 +140,60 @@ object SetJoinOps {
     * signal. Prefix filtering adapts one-sided: if the overlap is
     * ≥ ceil(t·|A|), the global-order-minimum common shingle sits in A's
     * first |A| − ceil(t·|A|) + 1 rarest shingles, so candidates = A's
-    * containment prefix joined against the FULL shingle frame (only the
+    * containment prefix joined against the shingle frame (only the
     * probe side can be prefix-filtered — the containee's size gives no
     * bound on the container). Verification on candidates alone; exact
     * integer threshold (den·o ≥ num·|A|), emitted in ppm.
     *
-    * Scale note: the prefix×full join is bounded by the rarest-first
-    * order exactly as in [[jaccardPairs]] — A's prefix shingles are the
-    * low-df buckets — but high-df shingles on the FULL side make this
-    * inherently heavier than the symmetric join; the standard production
-    * mitigation (df cap on the full side with a verification fall-back)
-    * is orthogonal and not needed at fixture scale.
+    * The df cap (`cap`, default [[HotDf]]) splits candidate generation
+    * in two EXACT branches:
+    *   1. light: prefixes ⋈ postings of shingles with df ≤ cap;
+    *   2. hot-probe fall-back: for probes whose HEAVY-shingle count
+    *      already covers the required overlap ceil(t·|A|), prefixes ⋈
+    *      ALL postings (heavy included).
+    * Completeness proof: for a true pair (A,B) the rarest common
+    * shingle w = min over A∩B of (df, sh) sits in A's prefix (the
+    * one-sided theorem). If df(w) ≤ cap, branch 1 emits the pair
+    * through w. Otherwise every common shingle x has df(x) ≥ df(w) >
+    * cap — the WHOLE intersection is heavy — so A holds ≥ |A∩B| ≥
+    * ceil(t·|A|) heavy shingles, A is hot, and branch 2 emits the pair
+    * through w. Verification is unchanged, so no false positives
+    * either: the capped join returns exactly the brute-force pair set
+    * (the gate oracle replays brute force — hash equality IS the
+    * completeness proof on the fixture).
+    *
+    * Scale shape: branch 1 ≤ cap candidates per prefix posting (linear
+    * in corpus at fixed cap); branch 2 pays the uncapped cost only for
+    * boilerplate-dominated probes (≥ t of the doc's shingles corpus-hot)
+    * — a residue that the quality gates upstream of any real dedup run
+    * shrink further.
     */
-  def containmentPairs(sh0: DataFrame): DataFrame = {
+  def containmentPairs(sh0: DataFrame, cap: Long = HotDf): DataFrame = {
     val sh = PlanCache.swap("setjoin_shingles_cont", sh0)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val freq = freqOf(sh)
+    val needed = expr(s"($ConNum * sz + ${ConDen - 1}) div $ConDen")
     val prefix = sh.join(freq, Seq("sh"), "left")
       .withColumn("df0", coalesce(col("df"), lit(0L)))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df0").asc, col("sh").asc)))
       .join(sizes, "doc_id")
-      .where(col("rnk") <= col("sz") -
-        expr(s"($ConNum * sz + ${ConDen - 1}) div $ConDen") + lit(1))
+      .where(col("rnk") <= col("sz") - needed + lit(1))
       .select(col("doc_id"), col("sh"))
-    val cands = prefix.select(col("doc_id").as("doc_a"), col("sh"))
+    val lightSh = freq.where(col("df") <= cap).select("sh")
+    val candsLight = prefix.join(lightSh, "sh")
+      .select(col("doc_id").as("doc_a"), col("sh"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+    val hotProbes = sh
+      .join(freq.where(col("df") > cap).select("sh"), "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("heavy_cnt"))
+      .join(sizes, "doc_id")
+      .where(col("heavy_cnt") >= needed)
+      .select("doc_id")
+    val candsHot = prefix.join(hotProbes, "doc_id")
+      .select(col("doc_id").as("doc_a"), col("sh"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+    val cands = candsLight.unionByName(candsHot)
       .where(col("doc_a") =!= col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     val overlaps = cands

@@ -169,4 +169,38 @@ class SetJoinOpsSpec extends SparkSpec {
       .toSeq.sorted
     assert(engine == bruteC && engine.nonEmpty)
   }
+
+  test("containment df cap: hot-probe fall-back keeps capped grams exact") {
+    // cap = 1 makes EVERY shared shingle heavy (each appears in >= 2
+    // docs). Pair (1 -> 2): all of doc 1's shingles are heavy, so the
+    // rarest common shingle is heavy and the light branch alone would
+    // MISS the pair — only the hot-probe branch can emit it. Doc 4's
+    // containment in 5 rides a unique (light) witness s9 and must come
+    // through the light branch (4 is not hot: 1 heavy of 2 < ceil(.8*2)).
+    val sets = setsOf(Map(
+      1L -> Seq("h1", "h2"),             // fully inside 2 and 3's shared pool
+      2L -> Seq("h1", "h2", "h3", "h4"),
+      3L -> Seq("h1", "h2", "h3", "h4"), // forces df(h*) = 2..3 > cap
+      4L -> Seq("h1", "s9"),             // NOT hot, but s9 alone can't reach
+                                         // 80% of 2 shingles -> needs both
+      5L -> Seq("h1", "s9", "z1", "z2")))
+    val got = SetJoinOps.containmentPairs(sets, cap = 1L).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSet
+    // brute truth: containment >= 0.8 means FULL overlap at these sizes
+    // 1->2, 1->3 (2/2); 2<->3 (4/4); 4->5 (2/2); 1->4? overlap {h1} 1/2 no
+    assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 2L), (4L, 5L)))
+    // the capped engine equals brute force on the fixture too
+    val sh = SetJoinOps.docShingles(Tables.t(spark, sf, "documents"))
+    val capped = SetJoinOps.containmentPairs(sh, cap = 2L)
+      .select("doc_a", "doc_b", "overlap")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    val default = SetJoinOps.containmentPairs(sh)
+      .select("doc_a", "doc_b", "overlap")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(capped == default && capped.nonEmpty,
+      "pair set must be cap-invariant (exactness does not depend on cap)")
+  }
 }
