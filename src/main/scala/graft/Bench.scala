@@ -202,7 +202,22 @@ object Bench {
     val calibJson = s"""{"n":${calibSamples.size},"min":${r4(
       if (calibSamples.nonEmpty) calibSamples.min else 0.0)},"max":${r4(
       if (calibSamples.nonEmpty) calibSamples.max else 0.0)}}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"gate_ckpt":"local","ckpt_sec":$ckptSec,"host_load_index":$hostLoadIndex,"calib":$calibJson,"sf":"$sfDir","runs":$runs}"""
+    // Stored-model build/serve split IN the bench record (round-12
+    // verdict #4): the gate totals above conflate build+serve by design
+    // (the oracle replays training), so a serve-path regression was
+    // visible only to someone who ran PerfProbe. Timed AFTER the passes —
+    // it must not perturb the per-query numbers — and best-effort: a
+    // model-split failure must not lose the whole bench line.
+    val modelsJson = try {
+      PerfProbe.modelSplitRows(spark, sfDir).map { case (name, phases) =>
+        "\"" + name + "\":" + phases.map { case (p, v) =>
+          "\"" + p + "\":" + r4(v) }.mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
+    } catch { case e: Throwable =>
+      s"""{"error":"${esc(Option(e.getMessage).getOrElse(
+        e.getClass.getName).take(200))}"}"""
+    }
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"gate_ckpt":"local","ckpt_sec":$ckptSec,"host_load_index":$hostLoadIndex,"calib":$calibJson,"models":$modelsJson,"sf":"$sfDir","runs":$runs}"""
     // Full line to a file too — the lossless record when the stdout window
     // still clips (best-effort: a read-only checkout must not fail the run).
     val fullPath = "target/bench_full.json"

@@ -121,6 +121,94 @@ object PerfProbe {
       (System.nanoTime() - t0) / 1e9
     }.min
 
+  /** Stored-model build/serve split rows (round-11 verdict #7, lifted to
+    * the bench JSON itself in round 12): the registry gates time
+    * build+serve as ONE number because the oracle must replay training,
+    * so a serving regression hides under training cost. This pays each
+    * family's training once and times the hot serving path alone — serve
+    * timed on a cold plan after one warm run (JIT + file cache), like
+    * the ANN serving probe. Shared by `PerfProbe models` (human table)
+    * and [[Bench]] (the `models` JSON object in BENCH_r*.json, so the
+    * driver record itself carries the split).
+    *
+    * Returns (family, phases) where phases are ("build_s"/"append_s"/
+    * "serve_s", seconds) — nine families: LM, BPE, NB quality, NB
+    * domain, BM25, phrase, domain authority, CDC chunk index, and the
+    * incremental-cluster state (build/append/serve three-way).
+    */
+  def modelSplitRows(spark: SparkSession, d: String)
+      : Seq[(String, Seq[(String, Double)])] = {
+    import graft.ops.{BpeOps, TextOps}
+    val docs = Tables.t(spark, d, "documents")
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def row(name: String, db: String, build: => Unit, serve: => Long)
+        : (String, Seq[(String, Double)]) = {
+      spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+      val b = timed(build)
+      serve // warm
+      val s1 = timed(serve)
+      (name, Seq("build_s" -> b, "serve_s" -> s1))
+    }
+    val eight = Seq(
+      row("lm_perplexity", "model_probe_lm",
+        TextOps.buildLmModel(docs, "model_probe_lm"),
+        TextOps.perplexityFilterFromModel(spark, d, "model_probe_lm").count()),
+      row("bpe_tokenizer", "model_probe_bpe",
+        BpeOps.buildBpeModel(docs, "model_probe_bpe"),
+        BpeOps.bpeTokenizeFromModel(spark, d, "model_probe_bpe").count()),
+      row("nb_quality_classifier", "model_probe_qc",
+        TextOps.buildQualityClassifier(docs, "model_probe_qc"),
+        TextOps.qualityClassifierFromModel(spark, d, "model_probe_qc").count()),
+      row("nb_domain_classifier", "model_probe_dc",
+        graft.ops.DomainOps.buildDomainClassifier(docs, "model_probe_dc"),
+        graft.ops.DomainOps.domainClassifyFromModel(spark, d,
+          "model_probe_dc").count()),
+      row("bm25_index", "model_probe_bm25",
+        graft.ops.RetrievalOps.buildBm25Index(docs, "model_probe_bm25"),
+        graft.ops.RetrievalOps.bm25TopKFromIndex(spark, d,
+          "model_probe_bm25").count()),
+      row("phrase_index", "model_probe_ph",
+        graft.ops.RetrievalOps.buildPhraseIndex(docs, "model_probe_ph"),
+        graft.ops.RetrievalOps.phraseSearchFromIndex(spark, d,
+          "model_probe_ph").count()),
+      row("domain_authority", "model_probe_auth",
+        graft.ops.LinkOps.buildDomainAuthority(spark, d, "model_probe_auth"),
+        graft.ops.LinkOps.authorityMixFromModel(spark, d,
+          "model_probe_auth").count()),
+      row("cdc_chunk_index", "model_probe_cdc",
+        graft.ops.ChunkOps.buildChunkIndex(
+          graft.ops.IncrementalClusters.corpusDocsRange(spark, d),
+          "model_probe_cdc"),
+        graft.ops.ChunkOps.cdcRewriteAgainst(
+          graft.ops.IncrementalClusters.batchDocsRange(spark, d), spark,
+          "model_probe_cdc").count()))
+    // incremental-cluster split: the registry gate times the full
+    // build + append lifecycle (the oracle proves the maintenance
+    // invariant); production pays the BUILD on the rebuild cadence and
+    // the APPEND per batch — time them apart
+    import graft.ops.{IncrementalClusters, IncrementalDedup}
+    spark.sql("DROP DATABASE IF EXISTS `model_probe_cl` CASCADE")
+    val corpus = IncrementalClusters.corpusDocsRange(spark, d)
+    val batch = IncrementalClusters.batchDocsRange(spark, d)
+    val tb = timed {
+      IncrementalDedup.buildIndexFrom(corpus, db = "model_probe_cl",
+        table = "bands")
+      IncrementalClusters.buildClusterState(spark, corpus, "model_probe_cl")
+    }
+    val ta = timed {
+      IncrementalClusters.appendBatchClusters(spark, batch,
+        spark.table("`model_probe_cl`.`bands`"), "model_probe_cl")
+    }
+    IncrementalClusters.clusterState(spark, "model_probe_cl").count() // warm
+    val ts = timed {
+      IncrementalClusters.clusterState(spark, "model_probe_cl").count()
+    }
+    eight :+ ("cluster_state" -> Seq(
+      "build_s" -> tb, "append_s" -> ta, "serve_s" -> ts))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -156,86 +244,11 @@ object PerfProbe {
         println(f"$n%-26s rep$i ${(System.nanoTime() - t0) / 1e9}%8.3f s")
       }
     } else if (args.headOption.contains("models")) {
-      // Stored-model TEXT families (round-11 verdict #7): the registry
-      // gates time build+serve as one number because the oracle must
-      // replay training; this probe pays training once and times the hot
-      // serving path alone, so a serving regression can't hide under
-      // training cost. Serve is timed on a cold plan after one warm run
-      // (JIT + file cache), like the ANN serving probe.
-      import graft.ops.{BpeOps, TextOps}
-      val docs = Tables.t(spark, d, "documents")
-      def timed(f: => Unit): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
-      def row(name: String, build: => Unit, serve: => Long): Unit = {
-        val b = timed(build)
-        serve // warm
-        val s1 = timed(serve)
-        println(f"$name%-22s build $b%7.2f s   serve $s1%7.2f s")
-      }
       println(s"stored-model build/serve split at $d (local[32])")
-      spark.sql("DROP DATABASE IF EXISTS `model_probe_lm` CASCADE")
-      row("lm_perplexity",
-        TextOps.buildLmModel(docs, "model_probe_lm"),
-        TextOps.perplexityFilterFromModel(spark, d, "model_probe_lm").count())
-      spark.sql("DROP DATABASE IF EXISTS `model_probe_bpe` CASCADE")
-      row("bpe_tokenizer",
-        BpeOps.buildBpeModel(docs, "model_probe_bpe"),
-        BpeOps.bpeTokenizeFromModel(spark, d, "model_probe_bpe").count())
-      spark.sql("DROP DATABASE IF EXISTS `model_probe_qc` CASCADE")
-      row("nb_quality_classifier",
-        TextOps.buildQualityClassifier(docs, "model_probe_qc"),
-        TextOps.qualityClassifierFromModel(spark, d, "model_probe_qc").count())
-      spark.sql("DROP DATABASE IF EXISTS `model_probe_dc` CASCADE")
-      row("nb_domain_classifier",
-        graft.ops.DomainOps.buildDomainClassifier(docs, "model_probe_dc"),
-        graft.ops.DomainOps.domainClassifyFromModel(spark, d,
-          "model_probe_dc").count())
-      spark.sql("DROP DATABASE IF EXISTS `model_probe_bm25` CASCADE")
-      row("bm25_index",
-        graft.ops.RetrievalOps.buildBm25Index(docs, "model_probe_bm25"),
-        graft.ops.RetrievalOps.bm25TopKFromIndex(spark, d,
-          "model_probe_bm25").count())
-      spark.sql("DROP DATABASE IF EXISTS `model_probe_ph` CASCADE")
-      row("phrase_index",
-        graft.ops.RetrievalOps.buildPhraseIndex(docs, "model_probe_ph"),
-        graft.ops.RetrievalOps.phraseSearchFromIndex(spark, d,
-          "model_probe_ph").count())
-      spark.sql("DROP DATABASE IF EXISTS `model_probe_auth` CASCADE")
-      row("domain_authority",
-        graft.ops.LinkOps.buildDomainAuthority(spark, d, "model_probe_auth"),
-        graft.ops.LinkOps.authorityMixFromModel(spark, d,
-          "model_probe_auth").count())
-      spark.sql("DROP DATABASE IF EXISTS `model_probe_cdc` CASCADE")
-      row("cdc_chunk_index",
-        graft.ops.ChunkOps.buildChunkIndex(
-          graft.ops.IncrementalClusters.corpusDocsRange(spark, d),
-          "model_probe_cdc"),
-        graft.ops.ChunkOps.cdcRewriteAgainst(
-          graft.ops.IncrementalClusters.batchDocsRange(spark, d), spark,
-          "model_probe_cdc").count())
-      // incremental-cluster split: the registry gate times the full
-      // build + append lifecycle (the oracle proves the maintenance
-      // invariant); production pays the BUILD on the rebuild cadence and
-      // the APPEND per batch — time them apart
-      import graft.ops.{IncrementalClusters, IncrementalDedup}
-      spark.sql("DROP DATABASE IF EXISTS `model_probe_cl` CASCADE")
-      val corpus = IncrementalClusters.corpusDocsRange(spark, d)
-      val batch = IncrementalClusters.batchDocsRange(spark, d)
-      val tb = timed {
-        IncrementalDedup.buildIndexFrom(corpus, db = "model_probe_cl",
-          table = "bands")
-        IncrementalClusters.buildClusterState(spark, corpus, "model_probe_cl")
+      modelSplitRows(spark, d).foreach { case (name, phases) =>
+        println(f"$name%-22s " + phases.map { case (p, v) =>
+          f"$p%s $v%7.2f s" }.mkString("   "))
       }
-      val ta = timed {
-        IncrementalClusters.appendBatchClusters(spark, batch,
-          spark.table("`model_probe_cl`.`bands`"), "model_probe_cl")
-      }
-      println(f"${"cluster_maintenance"}%-22s build $tb%7.2f s   append $ta%7.2f s")
-      val ts = timed {
-        IncrementalClusters.clusterState(spark, "model_probe_cl").count()
-      }
-      println(f"${"cluster_state_serve"}%-22s                  serve $ts%7.2f s")
     } else if (args.headOption.contains("gramindex")) {
       // State-compaction evidence for the hashed gram index: build both
       // layouts over sf0.1 and report on-disk bytes. The claim under test

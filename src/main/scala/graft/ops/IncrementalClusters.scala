@@ -126,6 +126,18 @@ object IncrementalClusters {
     */
   def buildClusterState(s: SparkSession, corpus: DataFrame,
                         db: String = Db): Unit = {
+    // Writer exclusion (round-12 verdict #5): a rebuild racing a live
+    // streaming append (sinkIncrementalClusters → appendBatchClusters,
+    // which takes this same db lease) must serialize — the loser refuses
+    // with LeaseHeldException, never interleaves into a mixed labeling.
+    graft.store.Warehouse.ensureDatabase(s, db) // lease props live on the db
+    val lease = graft.pipeline.CorpusPipeline.acquireLease(s, db)
+    try { buildClusterStateBody(s, corpus, db) }
+    finally graft.pipeline.CorpusPipeline.releaseLease(s, db, lease)
+  }
+
+  private def buildClusterStateBody(s: SparkSession, corpus: DataFrame,
+                                    db: String): Unit = {
     val bounds = corpus.agg(max("doc_id")).head
     val block =
       if (bounds.isNullAt(0)) PartBlockMin
@@ -150,7 +162,23 @@ object IncrementalClusters {
     * any band frame with (doc_id, band_idx, band_hash) works.
     */
   def appendBatchClusters(s: SparkSession, batch: DataFrame,
-                          corpusBands: DataFrame, db: String = Db): Unit = {
+                          corpusBands: DataFrame, db: String = Db,
+                          midHook: () => Unit = () => ()): Unit = {
+    // Writer exclusion (round-12 verdict #5): two concurrent appends could
+    // both pass the id fence below before either advances it (read-then-
+    // write), double-appending rows; under the db lease exactly one
+    // writer proceeds. `midHook` runs while the lease is held — the test
+    // seam for driving a second live session inside the window.
+    val lease = graft.pipeline.CorpusPipeline.acquireLease(s, db)
+    try {
+      midHook()
+      appendBatchClustersBody(s, batch, corpusBands, db)
+    } finally graft.pipeline.CorpusPipeline.releaseLease(s, db, lease)
+  }
+
+  private def appendBatchClustersBody(s: SparkSession, batch: DataFrame,
+                                      corpusBands: DataFrame,
+                                      db: String): Unit = {
     val block = currentPartBlock(s, db)
     val labels = s.table(fqn(db))
     // Append-only id guard (the CorpusPipeline contract, enforced LOUDLY

@@ -93,6 +93,19 @@ object RetrievalOps {
     */
   def buildBm25Index(docs: DataFrame, db: String): Unit = {
     val s = docs.sparkSession
+    // Writer exclusion (round-12 verdict #5): the cron rebuild racing a
+    // live streaming append (which holds this same db lease per batch —
+    // Bm25Ingest) or a concurrent manual rebuild must serialize; the
+    // loser refuses loudly with LeaseHeldException instead of
+    // interleaving table overwrites into a silently mixed index.
+    graft.store.Warehouse.ensureDatabase(s, db) // lease props live on the db
+    val lease = graft.pipeline.CorpusPipeline.acquireLease(s, db)
+    try { buildBm25IndexBody(docs, db) }
+    finally graft.pipeline.CorpusPipeline.releaseLease(s, db, lease)
+  }
+
+  private def buildBm25IndexBody(docs: DataFrame, db: String): Unit = {
+    val s = docs.sparkSession
     val docsT = withTokens(docs)
     val postings = docsT
       .select(col("doc_id"), explode(col("tokens")).as("w"))
@@ -275,7 +288,24 @@ object RetrievalOps {
     * rather than double-counting (refusal beats silent corruption — the
     * cluster-append contract).
     */
-  def appendToBm25Index(s: SparkSession, db: String, docs: DataFrame): Unit = {
+  def appendToBm25Index(s: SparkSession, db: String, docs: DataFrame,
+                        midHook: () => Unit = () => ()): Unit = {
+    // Writer exclusion (round-12 verdict #5): two concurrent appends of
+    // the same batch could BOTH pass the fence read below (read-then-
+    // write is not atomic) and silently double the counts; under the db
+    // lease exactly one writer proceeds — a concurrent one refuses with
+    // LeaseHeldException, a later one with the fence refusal. `midHook`
+    // is the test seam: it runs while the lease is held, so a spec can
+    // drive a second live session's append INSIDE the window.
+    val lease = graft.pipeline.CorpusPipeline.acquireLease(s, db)
+    try {
+      midHook()
+      appendToBm25IndexBody(s, db, docs)
+    } finally graft.pipeline.CorpusPipeline.releaseLease(s, db, lease)
+  }
+
+  private def appendToBm25IndexBody(s: SparkSession, db: String,
+                                    docs: DataFrame): Unit = {
     val nb = readProp(s, db, BucketsProp)
     require(nb == NumBuckets,
       s"stored index bucketed mod $nb but this build buckets mod $NumBuckets")

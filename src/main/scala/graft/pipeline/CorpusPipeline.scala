@@ -293,7 +293,7 @@ object CorpusPipeline {
       s"$token:${System.currentTimeMillis() + LeaseTtlMs}")
   }
 
-  private[pipeline] def releaseLease(s: SparkSession, db: String, token: String): Unit =
+  private[graft] def releaseLease(s: SparkSession, db: String, token: String): Unit =
     // release only what we still own — clearing another runner's lease
     // would re-open the race the lease exists to close
     if (leaseOf(s, db).exists(_._1 == token)) setDbProp(s, db, LeaseProp, "")
