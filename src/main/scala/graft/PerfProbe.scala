@@ -636,7 +636,17 @@ object PerfProbe {
         // spearman ranks the K x part catalog off value histograms
         "q_event_trigrams", "q_spearman",
         // benford is one digit agg over K x orders
-        "q_benford")
+        "q_benford",
+        // round-12 additions: readability/KWIC/line-quality are per-row
+        // crafted-view expressions (linear by construction; KWIC's term
+        // matches only copy 0 under the rotation cipher — the probe
+        // measures the K x token scan, output K-invariant); RFM joins
+        // K x orders onto value-histogram broadcasts; Theil-Sen pairs
+        // within the constant month grid; Kendall's cell histogram is
+        // catalog-bounded; harmonic centrality walks the K-invariant
+        // domain graph
+        "q_readability", "q_kwic", "q_line_quality", "q_rfm_segments",
+        "q_theil_sen", "q_kendall_tau", "q_harmonic_centrality")
       // q_hybrid_search is deliberately absent for the q_contamination
       // reason: its semantic leg is probe-set x corpus and BOTH grow with
       // K here, so the ratio would measure the quadratic workload growth,

@@ -268,6 +268,14 @@ object SparkEntry {
     "q_tokenizer_health"    -> (graft.ops.BpeOps.tokenizerHealth _),
     "q_rr_privatize"        -> (graft.ops.PrivacyOps.rrPrivatize _),
     "q_k_anonymity"         -> (graft.ops.PrivacyOps.kAnonymize _),
+    // round-12 additions
+    "q_theil_sen"           -> (graft.ops.TimeSeriesOps.theilSenTrend _),
+    "q_kendall_tau"         -> (Relational.kendallTauSizePrice _),
+    "q_rfm_segments"        -> (BasketOps.rfmSegments _),
+    "q_readability"         -> (TextOps.readability _),
+    "q_kwic"                -> (TextOps.kwicConcordance _),
+    "q_line_quality"        -> (WebTextOps.lineQuality _),
+    "q_harmonic_centrality" -> (graft.ops.LinkOps.harmonicCentrality _),
   )
 
   /** DuckDB-dialect oracle SQL per query — since round 8, EVERY query has

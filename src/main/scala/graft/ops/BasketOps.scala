@@ -159,6 +159,71 @@ object BasketOps {
       .orderBy("i1", "i2", "i3")
   }
 
+  /** RFM quintile segmentation (Hughes 1994 — the classic
+    * recency/frequency/monetary customer cut every retention pipeline
+    * runs): per customer the three raw metrics, each bucketed into
+    * exact quintiles 1..5, and the composite RFM code. Quintile rank is
+    * computed WITHOUT a global window: per-metric VALUE HISTOGRAMS give
+    * cnt_lt per value (broadcast — value-cardinality-sized), the
+    * within-value tie-break is a row_number PARTITIONED BY THE VALUE
+    * (a keyed exchange, never Exchange SinglePartition), and
+    *
+    *   q = 1 + (5 · rank₀) div n,  rank₀ = cnt_lt + rn − 1 ∈ [0, n)
+    *
+    * — the two-phase-prefix-sum posture of the budget selection. Scoring
+    * convention (documented, not configurable): every metric buckets
+    * ASCENDING — q_r = 1 is the most recent (fewest days), q_f/q_m = 5
+    * the most orders / most spend. Ties break by customer key — total
+    * order, oracle-exact.
+    *
+    * Scale shape: one orders aggregation keyed on customer (map-side
+    * combined), three value-histogram broadcasts, three value-keyed
+    * row_number exchanges. Gate `q_rfm_segments`.
+    */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = t(s, d, "orders")
+    val anchor = orders.agg(max(expr(
+      s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) * 1000 div " +
+        s"${EventOps.DayNs}")).as("max_day"))
+    val base = orders
+      .withColumn("day", expr(
+        s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) * 1000 div " +
+          s"${EventOps.DayNs}"))
+      .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(max("day").as("last_day"), count(lit(1)).as("frequency"),
+        sum("cents").as("monetary_cents"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency_days", col("max_day") - col("last_day"))
+      .drop("max_day", "last_day")
+    def quintile(df: DataFrame, metric: String, out: String): DataFrame = {
+      val hist = df.groupBy(metric).agg(count(lit(1)).as("nat"))
+      val ow = Window.orderBy(col(metric).asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // the histogram is value-cardinality-sized: its global window is a
+      // bounded-frame sort, not a fact-volume single partition
+      val ranks = hist
+        .withColumn("cnt_lt", coalesce(sum("nat").over(ow), lit(0L)))
+        .select(col(metric), col("cnt_lt"))
+      val vw = Window.partitionBy(metric).orderBy("c_custkey")
+      df.join(broadcast(ranks), metric)
+        .withColumn("rn", row_number().over(vw))
+        .withColumn(out, expr(
+          s"CAST(1 + (5 * (cnt_lt + rn - 1)) div n_total AS INTEGER)"))
+        .drop("cnt_lt", "rn")
+    }
+    val n = base.agg(count(lit(1)).as("n_total"))
+    val withN = base.crossJoin(broadcast(n))
+    val scored = quintile(quintile(quintile(withN,
+      "recency_days", "r_q"), "frequency", "f_q"),
+      "monetary_cents", "m_q")
+    scored.select(col("c_custkey"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r_q"), col("f_q"), col("m_q"),
+        expr("CAST(r_q * 100 + f_q * 10 + m_q AS INTEGER)").as("rfm"))
+      .orderBy("c_custkey")
+  }
+
   // -------------------------------------------- stored decayed counters
 
   /** Stored-counter decay floor: ages ≥ this shift to weight 0 EXACTLY

@@ -444,6 +444,45 @@ object GraphOps {
     finally checkpointFilesOf(h).foreach(deleteCheckpointFile(h, _))
   }
 
+  /** ALL-PAIRS bounded BFS — [[bfsHops]] with the walk keyed by its
+    * source: state is (s, id, dist), one row per (source, reached)
+    * pair, so the frame is V²-bounded. ONLY for K-bounded graphs (the
+    * registered-domain graph — the [[hits]] scoping rule): on a
+    * document-sized graph V² is the wrong primitive and the caller
+    * should be running seeded BFS or PageRank instead; the bound is the
+    * caller's contract, documented here rather than guessed at with a
+    * magic threshold. Per round one src-keyed join + one (s, id) min —
+    * min is order-independent, declaratively replayable.
+    */
+  def allPairsHops(edges: DataFrame, vertices: DataFrame,
+                   iters: Int = 6): DataFrame = {
+    require(iters >= 1, "allPairsHops needs at least one round")
+    val verts = vertices.select(col("id")).distinct().persist()
+    val e = edges.select("src", "dst").persist()
+    try {
+      var reached = roundCheckpoint(
+        verts.select(col("id").as("s"), col("id"), lit(0L).as("dist")))
+      for (_ <- 1 to iters) {
+        val fringe = e.join(reached.withColumnRenamed("id", "src"), "src")
+          .select(col("s"), col("dst").as("id"),
+            (col("dist") + lit(1L)).as("dist"))
+        val next = roundCheckpoint(reached.unionByName(fringe)
+          .groupBy("s", "id").agg(min("dist").as("dist")))
+        checkpointFileOf(reached).foreach(deleteCheckpointFile(reached, _))
+        reached = next
+      }
+      reached
+    } finally { verts.unpersist(); e.unpersist() }
+  }
+
+  /** Loan variant of [[allPairsHops]] ([[bfsHopsInto]]'s contract). */
+  def allPairsHopsInto[A](edges: DataFrame, vertices: DataFrame,
+                          iters: Int = 6)(consume: DataFrame => A): A = {
+    val h = allPairsHops(edges, vertices, iters)
+    try consume(h)
+    finally checkpointFilesOf(h).foreach(deleteCheckpointFile(h, _))
+  }
+
   /** Weighted shortest paths by bounded Bellman-Ford rounds — the
     * min-plus sibling of [[bfsHops]] (hop counts become integer edge
     * COSTS; `iters` rounds certify exact distances for every path of

@@ -401,6 +401,42 @@ object LinkOps {
       }
     }.orderBy("domain")
 
+  /** Harmonic centrality over the domain graph (Marchiori & Latora
+    * 2000; Boldi & Vigna 2014 argue it as the principled closeness
+    * variant for DISCONNECTED graphs — unreachable pairs contribute 0
+    * instead of poisoning the mean):
+    *
+    *   H(v) = Σ_{u ≠ v, d(u→v) ≤ iters} (10⁶ div d(u→v))
+    *
+    * — exact integer fixed point (1/d as a truncated ppm term, the
+    * engine's rational posture), distances from 6 bounded BFS rounds
+    * keyed per source ([[GraphOps.allPairsHops]] — V²-bounded state,
+    * valid ONLY because the registered-domain count is K-bounded; same
+    * scoping rule as [[hitsDomains]]). Domains no other domain reaches
+    * emit 0 with n_reachers 0 (the left join keeps the full vertex
+    * list — a centrality report that silently drops isolated nodes
+    * reads as a smaller graph).
+    *
+    * Scale shape: per round one src-keyed join + one (s, id) min over
+    * the V²-bounded frame; the rollup is one id-keyed agg; the
+    * returned frame is checkpoint-scan + broadcast verts.
+    * Gate `q_harmonic_centrality`.
+    */
+  def harmonicCentrality(s: SparkSession, d: String): DataFrame =
+    withDomainGraph(s, d) { (_, edges, verts) =>
+      GraphOps.allPairsHopsInto(edges, verts) { hops =>
+        val h = hops.where(col("s") =!= col("id"))
+          .groupBy("id")
+          .agg(count(lit(1)).as("n_reachers"),
+            sum(expr("1000000 div dist")).as("harmonic_fp"))
+        verts.join(h, Seq("id"), "left")
+          .select(col("id").as("domain"),
+            coalesce(col("n_reachers"), lit(0L)).as("n_reachers"),
+            coalesce(col("harmonic_fp"), lit(0L)).as("harmonic_fp"))
+          .localCheckpoint(eager = true)
+      }
+    }.orderBy(col("harmonic_fp").desc, col("domain"))
+
   /** Authority-weighted source mixing — the provenance composition the
     * link graph exists for (RefinedWeb-style domain weighting): each
     * registered domain's sampling quota scales with its PageRank mass,

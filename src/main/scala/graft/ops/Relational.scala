@@ -491,6 +491,60 @@ object Relational {
           .as("rho2_ppm"))
   }
 
+  /** Exact Kendall τ-b between part size and price — the concordance
+    * complement of [[spearmanSizePrice]] (Spearman correlates the RANKS;
+    * Kendall counts pairwise ORDER agreements, the more robust and more
+    * interpretable of the two for heavy ties):
+    *
+    *   τ-b = (C − D) / √((n₀ − n₁)(n₀ − n₂))
+    *
+    * with C/D the concordant/discordant pair counts, n₀ = C(n,2), n₁/n₂
+    * the tied-pair counts per column — emitted sqrt-free as the SIGN of
+    * C − D plus τ²·10⁶ = (C−D)²·10⁶ div ((n₀−n₁)(n₀−n₂)) through
+    * DECIMAL(38) (the spearman posture exactly).
+    *
+    * Scale shape: all pair counting runs over the JOINT VALUE HISTOGRAM
+    * (one (size, price) aggregation — cells ≤ distinct-size ×
+    * distinct-price, catalog-bounded), so C and D come from a
+    * cell-pair self-join on the histogram, never an n² row join; the
+    * tie terms come from the two marginals. Same scoping rule as
+    * spearman: exact estimator for frames inside the DECIMAL(38)
+    * bound (catalogs, aggregates). Gate `q_kendall_tau`.
+    */
+  def kendallTauSizePrice(s: SparkSession, d: String): DataFrame = {
+    val cells = t(s, d, "part").select(
+        col("p_size").cast("long").as("x"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c"))
+    val pinned = PlanCache.swap("kendall_cells", cells)
+    // each unordered observation pair is counted once via x1 < x2; the
+    // y direction classifies it (ties in y under x1 < x2 are neither)
+    val pairAgg = pinned.as("a").join(pinned.as("b"),
+        col("a.x") < col("b.x"))
+      .agg(
+        sum(when(col("a.y") < col("b.y"),
+          col("a.c") * col("b.c")).otherwise(0L)).as("nc"),
+        sum(when(col("a.y") > col("b.y"),
+          col("a.c") * col("b.c")).otherwise(0L)).as("nd"))
+    val margins = pinned.agg(
+      sum("c").as("n"),
+      sum(expr("c * (c - 1) div 2")).as("txy"))
+    val tx = pinned.groupBy("x").agg(sum("c").as("cx"))
+      .agg(sum(expr("cx * (cx - 1) div 2")).as("n1"))
+    val ty = pinned.groupBy("y").agg(sum("c").as("cy"))
+      .agg(sum(expr("cy * (cy - 1) div 2")).as("n2"))
+    pairAgg.crossJoin(broadcast(margins))
+      .crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .select(col("n"), col("nc"), col("nd"),
+        expr("CAST(CASE WHEN nc < nd THEN -1 WHEN nc > nd THEN 1 " +
+          "ELSE 0 END AS INTEGER)").as("tau_sign"),
+        expr("CAST(CASE WHEN (n * (n - 1) div 2 - n1) = 0 " +
+          "OR (n * (n - 1) div 2 - n2) = 0 THEN 0 ELSE " +
+          "(CAST(nc - nd AS DECIMAL(38,0)) * (nc - nd) * 1000000) div " +
+          "(CAST(n * (n - 1) div 2 - n1 AS DECIMAL(38,0)) * " +
+          "(n * (n - 1) div 2 - n2)) END AS BIGINT)").as("tau2_ppm"))
+  }
+
   /** Join-key skew report for the lineitem fact's order key — the
     * pre-shuffle diagnostic that predicts whether a straight hash join
     * needs salting ([[saltedGroupAgg]]) before anyone pays for the

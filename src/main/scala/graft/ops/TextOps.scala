@@ -139,6 +139,78 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Tokens per crafted sentence for [[readability]]. */
+  private[graft] val SentenceTokens = 12
+
+  /** Readability statistics (LIX — Björnsson 1968, the arithmetic-only
+    * readability index: words/sentence + 100·longwords/words — chosen
+    * over Flesch precisely because it needs NO syllable model, so the
+    * engine and the oracle land on identical integers). The fixture is a
+    * flat token stream, so sentences come from a DETERMINISTIC crafted
+    * view — every [[SentenceTokens]]-th inter-token space becomes a
+    * period (one global regex, the [[graft.ops.WebTextOps.craftedLines]]
+    * posture: the crafting is the fixture, the splitter + index math is
+    * the product). Long words are tokens of ≥ 7 chars (the LIX
+    * convention), counted on the ORIGINAL tokens. All ratios exact ppm.
+    *
+    * Scale shape: per-row expressions only — zero shuffle before the
+    * output sort, linear at any corpus size. Gate `q_readability`.
+    */
+  def readability(s: SparkSession, d: String): DataFrame = {
+    val crafted = concat(regexp_replace(trim(col("text")),
+      s"(\\S+( \\S+){${SentenceTokens - 1}}) ", "$1. "), lit("."))
+    withTokens(t(s, d, "documents"))
+      .withColumn("n_words", size(col("tokens")).cast("long"))
+      .withColumn("n_long", size(filter(col("tokens"),
+        tk => length(tk) >= 7)).cast("long"))
+      .withColumn("sent", crafted)
+      .withColumn("n_sentences",
+        (length(col("sent")) -
+          length(regexp_replace(col("sent"), "\\.", ""))).cast("long"))
+      .select(col("doc_id"), col("n_words"), col("n_long"),
+        col("n_sentences"),
+        expr("CAST(CASE WHEN n_sentences = 0 THEN 0 ELSE " +
+          "n_words * 1000000 div n_sentences END AS BIGINT)")
+          .as("wps_ppm"),
+        expr("CAST(CASE WHEN n_words = 0 THEN 0 ELSE " +
+          "n_long * 1000000 div n_words END AS BIGINT)").as("long_ppm"),
+        expr("CAST(CASE WHEN n_sentences = 0 OR n_words = 0 THEN 0 ELSE " +
+          "n_words * 1000000 div n_sentences + " +
+          "n_long * 100000000 div n_words END AS BIGINT)").as("lix_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** KWIC concordance term and context radius. */
+  val KwicTerm = "spark"
+  val KwicRadius = 2
+
+  /** Keyword-in-context concordance — the corpus-inspection primitive
+    * (every lexicographer's and data-quality reviewer's first query):
+    * each occurrence of [[KwicTerm]] with its ±[[KwicRadius]]-token
+    * context window, 1-based position. Slices clamp at the document
+    * edges (an occurrence at position 1 has an empty left context —
+    * emitted as '', not dropped).
+    *
+    * Scale shape: per-row posexplode + slice expressions, one match-row
+    * output — no shuffle before the sort; the match volume is the
+    * term's corpus frequency, never the token volume.
+    * Gate `q_kwic`.
+    */
+  def kwicConcordance(s: SparkSession, d: String): DataFrame =
+    withTokens(t(s, d, "documents"))
+      .select(col("doc_id"), col("tokens"),
+        posexplode(col("tokens")).as(Seq("p0", "w")))
+      .where(col("w") === KwicTerm)
+      .withColumn("p", col("p0") + 1)
+      .select(col("doc_id"), col("p").cast("long").as("pos"),
+        concat_ws(" ", slice(col("tokens"),
+          greatest(col("p") - KwicRadius, lit(1)),
+          col("p") - greatest(col("p") - KwicRadius, lit(1))))
+          .as("left_ctx"),
+        concat_ws(" ", slice(col("tokens"), col("p") + 1, lit(KwicRadius)))
+          .as("right_ctx"))
+      .orderBy("doc_id", "pos")
+
   /** Batch-local exact-dedup groups over any (doc_id, text) frame:
     * (text_hash, keep-lowest doc_id, duplicate count) — hash-groupBy, one
     * shuffle on the 256-bit digest, scales linearly. Shared by the batch

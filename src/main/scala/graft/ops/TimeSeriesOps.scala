@@ -332,6 +332,48 @@ object TimeSeriesOps {
       .groupBy("r_name", "mx").agg(sum("cents").as("y"))
   }
 
+  /** Theil-Sen robust trend per region over the same monthly grid — the
+    * median of all pairwise slopes (Theil 1950 / Sen 1968), the
+    * outlier-resistant complement of [[olsTrend]]'s least-squares fit
+    * (one anomalous month drags OLS; the slope MEDIAN shrugs it off —
+    * the robust-trend primitive a metrics pipeline wants next to the
+    * fitted one). Each pair slope is the exact sign-split truncation
+    *
+    *   slope_µ(i,j) = sign(Δy) · (|Δy| · 10⁶ div Δx),  Δx > 0
+    *
+    * through DECIMAL(38) (sign split because Spark's `div` truncates
+    * toward zero while DuckDB's `//` floors — nonnegative operands make
+    * them agree; the period-over-period precedent). The reported value
+    * is the LOWER median under the total order (slope_µ, x1, x2) — a
+    * deterministic rank both engines replay.
+    *
+    * Scale shape: the pair generator is a region-keyed self-join of the
+    * MONTH GRID (months ≤ grid span — C(84,2) ≈ 3.5k pairs per region,
+    * never order-volume); the median is one region-keyed window. The
+    * grid assembly is [[monthlyRevenue]]'s one key shuffle.
+    * Gate `q_theil_sen`.
+    */
+  def theilSenTrend(s: SparkSession, d: String): DataFrame = {
+    val g = monthlyRevenue(s, d)
+    val a = g.select(col("r_name"), col("mx").as("x1"), col("y").as("y1"))
+    val b = g.select(col("r_name"), col("mx").as("x2"), col("y").as("y2"))
+    val slopes = a.join(b, "r_name").where(col("x1") < col("x2"))
+      .select(col("r_name"), col("x1"), col("x2"),
+        expr(s"CAST(CASE WHEN y2 >= y1 THEN " +
+          s"(CAST(y2 - y1 AS DECIMAL(38,0)) * $OlsScale) div (x2 - x1) " +
+          s"ELSE -((CAST(y1 - y2 AS DECIMAL(38,0)) * $OlsScale) " +
+          s"div (x2 - x1)) END AS BIGINT)").as("slope_micro"))
+    val byRegion = Window.partitionBy("r_name")
+    slopes
+      .withColumn("rn", row_number().over(
+        byRegion.orderBy(col("slope_micro"), col("x1"), col("x2"))))
+      .withColumn("np", count(lit(1)).over(byRegion))
+      .where(col("rn") === expr("(np + 1) div 2"))
+      .select(col("r_name"), col("np").as("n_pairs"),
+        col("slope_micro").as("theil_slope_micro"))
+      .orderBy("r_name")
+  }
+
   /** Period-over-period reporting off the same monthly grid: previous
     * month's revenue, the delta, and the exact sign-split ppm change —
     * the dashboard primitive next to [[olsTrend]]'s fitted slope. Months

@@ -117,6 +117,49 @@ object WebTextOps {
       .orderBy("doc_id")
   }
 
+  /** Minimum tokens for a line to qualify as content in [[lineQuality]]. */
+  val LineMinTokens = 4
+
+  /** jusText-style SINGLE-DOCUMENT content/boilerplate line
+    * classification (Pomikálek 2011's stopword-density core) — the
+    * corpus-state-free complement of [[lineDedup]]'s cross-document df
+    * rule: a line is CONTENT iff it carries ≥ [[LineMinTokens]] tokens
+    * AND at least one stopword ([[TextOps.StopWords]] — function words
+    * mark running prose; nav/footer fragments are noun strings). The
+    * crafted header (`home about contact …`, 4 tokens, 0 stops), bullet
+    * and ellipsis lines (3 tokens) and the copyright footer (0 stops)
+    * all classify boilerplate without ANY corpus pass — the rule a
+    * single-page extractor can run at crawl time, before corpus-level
+    * dedup ever sees the page. Output: per-doc line verdict counts and
+    * the cleaned text (content lines re-joined in original order,
+    * cell-exact against the oracle).
+    *
+    * Scale shape: per-row line explode + per-line expressions + ONE
+    * doc-keyed aggregation — no corpus-wide state, linear always.
+    * Gate `q_line_quality`.
+    */
+  def lineQuality(s: SparkSession, d: String): DataFrame =
+    lineQualityFor(t(s, d, "documents"))
+
+  /** [[lineQuality]] over any (doc_id, text, source) frame. */
+  private[graft] def lineQualityFor(raw: DataFrame): DataFrame = {
+    val stops = TextOps.StopWords.map(x => x: Any)
+    val scored = explodedLines(raw.withColumn("crafted", craftedLines))
+      .withColumn("toks", split(col("line"), " "))
+      .withColumn("content",
+        size(col("toks")) >= LineMinTokens &&
+          size(filter(col("toks"), tk => tk.isin(stops: _*))) >= 1)
+    scored.groupBy("doc_id").agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("content").cast("long")).as("n_content"),
+        sum((!col("content")).cast("long")).as("n_boiler"),
+        concat_ws("\n", expr(
+          "transform(array_sort(collect_list(" +
+            "CASE WHEN content THEN struct(p, line) END))," +
+            " x -> x.line)")).as("text_content"))
+      .orderBy("doc_id")
+  }
+
   /** A line is corpus-boilerplate when this many DISTINCT documents carry
     * it (CCNet's cross-document paragraph-dedup rule).
     */

@@ -644,6 +644,40 @@ object Ctes {
          |ORDER BY domain""".stripMargin
   }
 
+  /** All-pairs bounded-BFS oracle (q_harmonic_centrality): the bfsHops
+    * walk keyed by its source vertex — `iters` unrolled rounds over the
+    * (s, v, dist) frame, then the harmonic rollup
+    * Σ (10⁶ // dist) per target with a verts left join so isolated
+    * domains emit 0 (GraphOps.allPairsHops replayed declaratively).
+    */
+  def allPairsHopsOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s""", ap$i AS MATERIALIZED (
+         |    SELECT s, v, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+         |        SELECT s, v, dist FROM ap${i - 1}
+         |        UNION ALL
+         |        SELECT h.s, e.dst AS v, h.dist + 1 AS dist
+         |        FROM ap${i - 1} h JOIN edges e ON e.src = h.v
+         |    ) GROUP BY 1, 2
+         |)""".stripMargin
+    }.mkString
+    domainGraphCtes +
+      """, ap0 AS MATERIALIZED (
+        |    SELECT v AS s, v, CAST(0 AS BIGINT) AS dist FROM verts
+        |)""".stripMargin + steps +
+      s"""
+         |, hc AS (
+         |    SELECT v, CAST(COUNT(*) AS BIGINT) AS n_reachers,
+         |           CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_fp
+         |    FROM ap$iters WHERE s <> v GROUP BY 1
+         |)
+         |SELECT t.v AS domain,
+         |       CAST(COALESCE(h.n_reachers, 0) AS BIGINT) AS n_reachers,
+         |       CAST(COALESCE(h.harmonic_fp, 0) AS BIGINT) AS harmonic_fp
+         |FROM verts t LEFT JOIN hc h ON h.v = t.v
+         |ORDER BY harmonic_fp DESC, domain""".stripMargin
+  }
+
   /** Weighted-paths oracle: per-pair link-count costs, `iters` unrolled
     * min-plus relaxations — min is order-independent, so the replay
     * lands on GraphOps.weightedHops' exact Longs.

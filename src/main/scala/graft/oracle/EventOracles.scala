@@ -278,6 +278,75 @@ object EventOracles {
     // OLS trend: exact rational slope/intercept through HUGEINT, signs
     // split before the truncating division (negative `//` conventions
     // are not cross-engine portable)
+    // Theil-Sen: all pairwise month-grid slopes, sign-split exact
+    // truncation, lower median under the (slope, x1, x2) total order
+    "q_theil_sen" ->
+      s"""WITH olm AS (
+        |    SELECT r.r_name,
+        |           (date_part('year', o.o_orderdate) - 1995) * 12
+        |             + date_part('month', o.o_orderdate) - 1 AS mx,
+        |           SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS y
+        |    FROM orders o
+        |    JOIN customer c ON c.c_custkey = o.o_custkey
+        |    JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |    JOIN region r ON r.r_regionkey = n.n_regionkey
+        |    GROUP BY 1, 2
+        |), tsp AS (
+        |    SELECT a.r_name, a.mx AS x1, b.mx AS x2, a.y AS y1, b.y AS y2
+        |    FROM olm a JOIN olm b
+        |      ON b.r_name = a.r_name AND a.mx < b.mx
+        |), tss AS (
+        |    SELECT r_name, x1, x2,
+        |           CAST(CASE WHEN y2 >= y1 THEN
+        |                  (CAST(y2 - y1 AS HUGEINT)
+        |                   * ${graft.ops.TimeSeriesOps.OlsScale}) // (x2 - x1)
+        |                ELSE -((CAST(y1 - y2 AS HUGEINT)
+        |                   * ${graft.ops.TimeSeriesOps.OlsScale}) // (x2 - x1))
+        |                END AS BIGINT) AS slope_micro
+        |    FROM tsp
+        |), tsr AS (
+        |    SELECT r_name, slope_micro,
+        |           row_number() OVER (PARTITION BY r_name
+        |               ORDER BY slope_micro, x1, x2) AS rn,
+        |           CAST(COUNT(*) OVER (PARTITION BY r_name) AS BIGINT) AS np
+        |    FROM tss
+        |)
+        |SELECT r_name, np AS n_pairs, slope_micro AS theil_slope_micro
+        |FROM tsr WHERE rn = (np + 1) // 2 ORDER BY r_name""".stripMargin,
+    // RFM quintiles: global row_number per metric with the custkey
+    // tie-break == the engine's histogram + value-partitioned rank
+    "q_rfm_segments" ->
+      s"""WITH rfo AS (
+        |    SELECT o_custkey AS c_custkey,
+        |           epoch_ns(o_orderdate) // ${EventOps.DayNs} AS day,
+        |           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |    FROM orders
+        |), rfa AS (SELECT MAX(day) AS max_day FROM rfo),
+        |rfb AS (
+        |    SELECT c_custkey,
+        |           CAST((SELECT max_day FROM rfa) - MAX(day) AS BIGINT)
+        |               AS recency_days,
+        |           CAST(COUNT(*) AS BIGINT) AS frequency,
+        |           CAST(SUM(cents) AS BIGINT) AS monetary_cents
+        |    FROM rfo GROUP BY 1
+        |), rfn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rfb),
+        |rfq AS (
+        |    SELECT c_custkey, recency_days, frequency, monetary_cents,
+        |           CAST(1 + (5 * (row_number() OVER (ORDER BY recency_days,
+        |               c_custkey) - 1)) // (SELECT n FROM rfn) AS INTEGER)
+        |             AS r_q,
+        |           CAST(1 + (5 * (row_number() OVER (ORDER BY frequency,
+        |               c_custkey) - 1)) // (SELECT n FROM rfn) AS INTEGER)
+        |             AS f_q,
+        |           CAST(1 + (5 * (row_number() OVER (ORDER BY monetary_cents,
+        |               c_custkey) - 1)) // (SELECT n FROM rfn) AS INTEGER)
+        |             AS m_q
+        |    FROM rfb
+        |)
+        |SELECT c_custkey, recency_days, frequency, monetary_cents,
+        |       r_q, f_q, m_q,
+        |       CAST(r_q * 100 + f_q * 10 + m_q AS INTEGER) AS rfm
+        |FROM rfq ORDER BY c_custkey""".stripMargin,
     "q_ols_trend" ->
       s"""WITH olm AS (
         |    SELECT r.r_name,

@@ -563,6 +563,42 @@ object RelationalOracles {
         |            ELSE (num * num * 1000000) // (denx * deny)
         |            END AS BIGINT) AS rho2_ppm
         |FROM smv""".stripMargin,
+    // Kendall tau-b: pair counting over the joint (size, price) value
+    // histogram — concordant/discordant from the cell-pair self-join on
+    // x1 < x2, tie terms from the marginals; (nc-nd)^2 is nonnegative and
+    // both tie-corrected denominators positive, so HUGEINT `//` matches
+    // Spark's DECIMAL(38) `div` exactly
+    "q_kendall_tau" ->
+      """WITH ktc AS (
+        |    SELECT CAST(p_size AS BIGINT) AS x,
+        |           CAST(round(p_retailprice * 100) AS BIGINT) AS y,
+        |           CAST(COUNT(*) AS BIGINT) AS c
+        |    FROM part GROUP BY 1, 2
+        |), ktp AS (
+        |    SELECT CAST(SUM(CASE WHEN a.y < b.y THEN a.c * b.c
+        |                    ELSE 0 END) AS BIGINT) AS nc,
+        |           CAST(SUM(CASE WHEN a.y > b.y THEN a.c * b.c
+        |                    ELSE 0 END) AS BIGINT) AS nd
+        |    FROM ktc a JOIN ktc b ON a.x < b.x
+        |), ktm AS (
+        |    SELECT CAST(SUM(c) AS BIGINT) AS n FROM ktc
+        |), kt1 AS (
+        |    SELECT CAST(SUM(cx * (cx - 1) // 2) AS BIGINT) AS n1
+        |    FROM (SELECT CAST(SUM(c) AS BIGINT) AS cx FROM ktc GROUP BY x)
+        |), kt2 AS (
+        |    SELECT CAST(SUM(cy * (cy - 1) // 2) AS BIGINT) AS n2
+        |    FROM (SELECT CAST(SUM(c) AS BIGINT) AS cy FROM ktc GROUP BY y)
+        |)
+        |SELECT n, nc, nd,
+        |       CAST(CASE WHEN nc < nd THEN -1 WHEN nc > nd THEN 1
+        |            ELSE 0 END AS INTEGER) AS tau_sign,
+        |       CAST(CASE WHEN (n * (n - 1) // 2 - n1) = 0
+        |                  OR (n * (n - 1) // 2 - n2) = 0 THEN 0
+        |            ELSE (CAST(nc - nd AS HUGEINT) * (nc - nd) * 1000000)
+        |              // (CAST(n * (n - 1) // 2 - n1 AS HUGEINT)
+        |                 * (n * (n - 1) // 2 - n2))
+        |            END AS BIGINT) AS tau2_ppm
+        |FROM ktp CROSS JOIN ktm CROSS JOIN kt1 CROSS JOIN kt2""".stripMargin,
     // Benford screen: fixed ppm expectations (they sum to exactly 1e6),
     // integer shares and deviations
     "q_benford" -> {

@@ -232,6 +232,61 @@ object TextOracles {
         |       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
         |       length(replace(text, ' ', '')) AS n_nonspace
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // LIX readability over the crafted sentence view: the every-12th-space
+    // period injection is one global regex both engines run identically;
+    // long words count on the ORIGINAL whitespace tokens; ratios are
+    // nonnegative-integer truncations, so `//` == Spark `div`
+    "q_readability" ->
+      s"""WITH rdt AS (
+        |    SELECT doc_id,
+        |           string_split_regex(trim(text), '\\s+') AS tokens,
+        |           regexp_replace(trim(text),
+        |             '(\\S+( \\S+){${TextOps.SentenceTokens - 1}}) ',
+        |             '\\1. ', 'g') || '.' AS sent
+        |    FROM documents
+        |), rdc AS (
+        |    SELECT doc_id,
+        |           CAST(len(tokens) AS BIGINT) AS n_words,
+        |           CAST(len(list_filter(tokens, tk -> length(tk) >= 7))
+        |               AS BIGINT) AS n_long,
+        |           CAST(length(sent) - length(replace(sent, '.', ''))
+        |               AS BIGINT) AS n_sentences
+        |    FROM rdt
+        |)
+        |SELECT doc_id, n_words, n_long, n_sentences,
+        |       CAST(CASE WHEN n_sentences = 0 THEN 0
+        |            ELSE n_words * 1000000 // n_sentences END AS BIGINT)
+        |           AS wps_ppm,
+        |       CAST(CASE WHEN n_words = 0 THEN 0
+        |            ELSE n_long * 1000000 // n_words END AS BIGINT)
+        |           AS long_ppm,
+        |       CAST(CASE WHEN n_sentences = 0 OR n_words = 0 THEN 0
+        |            ELSE n_words * 1000000 // n_sentences
+        |               + n_long * 100000000 // n_words END AS BIGINT)
+        |           AS lix_ppm
+        |FROM rdc ORDER BY doc_id""".stripMargin,
+    // KWIC concordance: 1-based token positions via unnest(range),
+    // edge-clamped inclusive list slices == Spark's (start, length)
+    // slice; empty contexts emit '' in both engines
+    "q_kwic" ->
+      s"""WITH kwt AS (
+        |    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens
+        |    FROM documents
+        |), kwp AS (
+        |    SELECT doc_id, tokens,
+        |           unnest(range(1, len(tokens) + 1)) AS p,
+        |           unnest(tokens) AS w
+        |    FROM kwt
+        |)
+        |SELECT doc_id, CAST(p AS BIGINT) AS pos,
+        |       COALESCE(array_to_string(
+        |           tokens[greatest(p - ${TextOps.KwicRadius}, 1) : p - 1],
+        |           ' '), '') AS left_ctx,
+        |       COALESCE(array_to_string(
+        |           tokens[p + 1 : p + ${TextOps.KwicRadius}], ' '), '')
+        |           AS right_ctx
+        |FROM kwp WHERE w = '${TextOps.KwicTerm}'
+        |ORDER BY doc_id, pos""".stripMargin,
     "q_quality_score" ->
       """WITH tok AS (
         |    SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS tokens

@@ -76,6 +76,37 @@ object WebOracles {
         |                  AND n_nonspace <= n_tokens * 10
         |            THEN 1 ELSE 0 END AS INT) AS keep
         |FROM la JOIN tk USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // single-document content/boilerplate line classification: the
+    // jusText stopword-density rule replayed per line — >= 4 single-space
+    // tokens AND at least one canonical stopword; cleaned text re-joins
+    // content lines in original order, compared cell-for-cell
+    "q_line_quality" ->
+      s"""WITH $craftedLinesCte,
+        |lql AS (
+        |    SELECT doc_id, unnest(range(1, len(ls) + 1)) AS p,
+        |           unnest(ls) AS line
+        |    FROM (SELECT doc_id, string_split(crafted, chr(10)) AS ls
+        |          FROM crafted)
+        |), lqv AS (
+        |    SELECT doc_id, p, line,
+        |           len(string_split(line, ' '))
+        |               >= ${ops.WebTextOps.LineMinTokens}
+        |           AND len(list_filter(string_split(line, ' '),
+        |               tk -> tk IN ('the', 'a', 'of', 'to', 'and'))) >= 1
+        |               AS content
+        |    FROM lql
+        |)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |       CAST(SUM(CASE WHEN content THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_content,
+        |       CAST(SUM(CASE WHEN content THEN 0 ELSE 1 END) AS BIGINT)
+        |           AS n_boiler,
+        |       COALESCE(array_to_string(
+        |           list(CASE WHEN content THEN line END ORDER BY p)
+        |               FILTER (WHERE content), chr(10)), '')
+        |           AS text_content
+        |FROM lqv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // corpus-level line dedup: the oracle reconstructs the crafted lines,
     // counts distinct docs per md5 line key (the ENGINE's join key, so
     // grouping can never diverge), and replays the rewrite — the cleaned
@@ -302,6 +333,10 @@ object WebOracles {
     // HITS: the second iterative walk — same exact-integer replay
     // posture, mutually-recursive half-steps with in-band renormalization
     "q_hits_domains" -> hitsOracle(5),
+    // harmonic centrality: the all-pairs bounded BFS keyed per source,
+    // 6 unrolled min-rounds, then the exact ppm harmonic rollup with a
+    // verts left join so isolated domains emit 0
+    "q_harmonic_centrality" -> allPairsHopsOracle(6),
     "q_domain_hops" -> bfsHopsOracle(6),
     "q_communities_lpa" -> lpaOracle(graft.ops.LinkOps.LpaIters),
     // triangle counting: degree-ordered orientation, (lo)-keyed wedge

@@ -629,8 +629,10 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(rows.nonEmpty)
     val byLang = rows.groupBy(_.getString(0))
     for ((_, rs) <- byLang) {
-      val n = rs.map(_.getLong(2)).sum
-      for (r <- rs) assert(r.getLong(3) === r.getLong(2) * 1000000L / n)
+      // named lookups: the third rater (nb_guess) shifted the positions
+      val n = rs.map(_.getAs[Long]("n")).sum
+      for (r <- rs)
+        assert(r.getAs[Long]("share_ppm") === r.getAs[Long]("n") * 1000000L / n)
     }
   }
 
