@@ -244,11 +244,22 @@ object PerfProbe {
         println(f"$n%-26s rep$i ${(System.nanoTime() - t0) / 1e9}%8.3f s")
       }
     } else if (args.headOption.contains("models")) {
-      println(s"stored-model build/serve split at $d (local[32])")
-      modelSplitRows(spark, d).foreach { case (name, phases) =>
+      // SPARK_GRAFT_SF_DIR override: point the split at a `buildscale`d
+      // K× corpus to read each family's build-vs-serve slope separately
+      // (the q_phrase_search 100×-octave investigation's tool)
+      val md = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", d)
+      println(s"stored-model build/serve split at $md (local[32])")
+      modelSplitRows(spark, md).foreach { case (name, phases) =>
         println(f"$name%-22s " + phases.map { case (p, v) =>
           f"$p%s $v%7.2f s" }.mkString("   "))
       }
+    } else if (args.headOption.contains("buildscale")) {
+      // Persist a K× corpus at args(1) for ad-hoc split probes (the
+      // `scale` mode's TempDirs corpus dies with the JVM by design).
+      val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "5").toInt
+      val dst = args(1)
+      println(s"building ${k}x corpus at $dst ...")
+      buildScaled(spark, d, dst, k)
     } else if (args.headOption.contains("gramindex")) {
       // State-compaction evidence for the hashed gram index: build both
       // layouts over sf0.1 and report on-disk bytes. The claim under test

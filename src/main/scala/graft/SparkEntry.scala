@@ -276,6 +276,10 @@ object SparkEntry {
     "q_kwic"                -> (TextOps.kwicConcordance _),
     "q_line_quality"        -> (WebTextOps.lineQuality _),
     "q_harmonic_centrality" -> (graft.ops.LinkOps.harmonicCentrality _),
+    "q_acf_lags"            -> (graft.ops.TimeSeriesOps.acfLags _),
+    "q_c4_filters"          -> (WebTextOps.c4Filters _),
+    "q_stress_centrality"   -> (graft.ops.LinkOps.stressCentrality _),
+    "q_retrieval_mrr"       -> (graft.ops.RetrievalOps.retrievalMrr _),
   )
 
   /** DuckDB-dialect oracle SQL per query — since round 8, EVERY query has

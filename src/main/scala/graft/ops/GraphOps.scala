@@ -475,6 +475,57 @@ object GraphOps {
     } finally { verts.unpersist(); e.unpersist() }
   }
 
+  /** [[allPairsHops]] carrying GEODESIC COUNTS — state (s, id, dist,
+    * sigma) where sigma = number of distinct shortest s→id paths. The
+    * count rides the walk-count identity σ(s,v) = W_{d(s,v)}(s,v): any
+    * walk whose length equals the shortest distance is necessarily a
+    * shortest path, and W_i = W_{i-1}·A is one src-keyed join + sum per
+    * round — so each round extends the walk matrix and first-discovery
+    * freezes (dist, sigma) for the newly reached pairs (sum is
+    * order-independent, declaratively replayable). Same K-bounded
+    * contract as [[allPairsHops]]: V²-bounded state, ONLY for the
+    * registered-domain graph. Walk counts grow ≤ Δ^iters; the CALLER
+    * owning the downstream arithmetic must bound σ products
+    * (see [[graft.ops.LinkOps.stressCentrality]]'s explicit require).
+    */
+  def allPairsGeodesics(edges: DataFrame, vertices: DataFrame,
+                        iters: Int = 6): DataFrame = {
+    require(iters >= 1, "allPairsGeodesics needs at least one round")
+    val verts = vertices.select(col("id")).distinct().persist()
+    val e = edges.select("src", "dst").persist()
+    try {
+      var state = roundCheckpoint(verts.select(col("id").as("s"),
+        col("id"), lit(0L).as("dist"), lit(1L).as("sigma")))
+      var walks = roundCheckpoint(state.select(col("s"), col("id"),
+        col("sigma").as("w")))
+      for (i <- 1 to iters) {
+        val stepped = roundCheckpoint(
+          walks.withColumnRenamed("id", "src").join(e, "src")
+            .groupBy(col("s"), col("dst").as("id"))
+            .agg(sum("w").as("w")))
+        val fresh = stepped.join(state.select("s", "id"),
+            Seq("s", "id"), "left_anti")
+          .select(col("s"), col("id"), lit(i.toLong).as("dist"),
+            col("w").as("sigma"))
+        val nextState = roundCheckpoint(state.unionByName(fresh))
+        checkpointFileOf(state).foreach(deleteCheckpointFile(state, _))
+        checkpointFileOf(walks).foreach(deleteCheckpointFile(walks, _))
+        state = nextState
+        walks = stepped
+      }
+      checkpointFileOf(walks).foreach(deleteCheckpointFile(walks, _))
+      state
+    } finally { verts.unpersist(); e.unpersist() }
+  }
+
+  /** Loan variant of [[allPairsGeodesics]] ([[bfsHopsInto]]'s contract). */
+  def allPairsGeodesicsInto[A](edges: DataFrame, vertices: DataFrame,
+                               iters: Int = 6)(consume: DataFrame => A): A = {
+    val g = allPairsGeodesics(edges, vertices, iters)
+    try consume(g)
+    finally checkpointFilesOf(g).foreach(deleteCheckpointFile(g, _))
+  }
+
   /** Loan variant of [[allPairsHops]] ([[bfsHopsInto]]'s contract). */
   def allPairsHopsInto[A](edges: DataFrame, vertices: DataFrame,
                           iters: Int = 6)(consume: DataFrame => A): A = {

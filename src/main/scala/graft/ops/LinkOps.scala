@@ -437,6 +437,58 @@ object LinkOps {
       }
     }.orderBy(col("harmonic_fp").desc, col("domain"))
 
+  /** Stress centrality over the domain graph (Shimbel 1953) — the
+    * exact-integer sibling of betweenness: for each domain v the number
+    * of shortest s→t paths (within [[GraphOps.allPairsGeodesics]]'s
+    * 6-round horizon) passing THROUGH v,
+    *
+    *   stress(v) = Σ_{s ≠ v ≠ t} σ(s,v) · σ(v,t) · [d(s,v)+d(v,t) = d(s,t)]
+    *
+    * (betweenness divides each term by σ(s,t) — a fraction the bit-exact
+    * oracle contract can't carry; the UNDIVIDED path count is the same
+    * ranking signal and stays in integers). All σ come from one geodesic
+    * walk; the triple condition is two joins of the V²-bounded frame on
+    * its middle/endpoint keys — V³ candidate rows, valid ONLY on the
+    * K-bounded registered-domain graph (the [[hitsDomains]] scoping
+    * rule). Overflow is refused loudly: σ_max²·V² must fit Long (an
+    * explicit require — the [[GraphOps.hits]] posture), never wrapped.
+    * Isolated domains emit 0 via the verts left join.
+    *
+    * Scale shape: per round one src-keyed join + sum; the stress rollup
+    * is two keyed joins + one id-keyed agg over K-bounded frames; fact
+    * volume only enters through the link-extraction leg.
+    * Gate `q_stress_centrality`.
+    */
+  def stressCentrality(s: SparkSession, d: String): DataFrame =
+    withDomainGraph(s, d) { (_, edges, verts) =>
+      GraphOps.allPairsGeodesicsInto(edges, verts) { geo =>
+        val bounds = geo.agg(max("sigma"), count(lit(1))).head
+        val (sigMax, nPairs) = (bounds.getLong(0), bounds.getLong(1))
+        require(sigMax <= Long.MaxValue / math.max(sigMax, 1L) /
+          math.max(nPairs, 1L),
+          s"stressCentrality: sigma_max=$sigMax over $nPairs reachable " +
+            "pairs cannot be summed in Long without wrap — graph too " +
+            "dense for the exact integer fold, refusing")
+        val g1 = geo.where(col("dist") > 0).select(col("s"),
+          col("id").as("v"), col("dist").as("d1"), col("sigma").as("s1"))
+        val g2 = geo.where(col("dist") > 0).select(col("id").as("t"),
+          col("s").as("v"), col("dist").as("d2"), col("sigma").as("s2"))
+        val g3 = geo.select(col("s"), col("id").as("t"),
+          col("dist").as("d3"))
+        val through = g1.join(g2, "v")
+          .join(g3, Seq("s", "t"))
+          .where(col("d1") + col("d2") === col("d3"))
+          .groupBy("v")
+          .agg(count(lit(1)).as("n_routes"),
+            sum(expr("s1 * s2")).as("stress"))
+        verts.join(through, col("id") === col("v"), "left")
+          .select(col("id").as("domain"),
+            coalesce(col("n_routes"), lit(0L)).as("n_routes"),
+            coalesce(col("stress"), lit(0L)).as("stress"))
+          .localCheckpoint(eager = true)
+      }
+    }.orderBy(col("stress").desc, col("domain"))
+
   /** Authority-weighted source mixing — the provenance composition the
     * link graph exists for (RefinedWeb-style domain weighting): each
     * registered domain's sampling quota scales with its PageRank mass,

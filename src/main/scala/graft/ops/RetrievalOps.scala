@@ -586,6 +586,97 @@ object RetrievalOps {
     * against the corpus-sized labels table (the label-lookup posture) and
     * one broadcast-sized join on the query side.
     */
+  /** Mean-reciprocal-rank evaluation of the BM25 retriever against the
+    * MinHash near-dup clusters as relevance truth — the retrieval-quality
+    * gauge next to [[graft.ops.VectorOps.annRecall]]'s ANN one (a
+    * dedup-retrieval system's standard smoke metric: querying with a
+    * document's own salient terms, its near-duplicates should surface
+    * first). Per probe query: the rank of the FIRST retrieved document
+    * sharing the query's duplicate cluster (self excluded BEFORE ranking,
+    * so the trivial hit can't occupy rank 1 and can't leave a hole), and
+    * the exact reciprocal rank `10⁶ div rank` — 0 when no cluster
+    * partner lands in the [[TopK]] window or the query has none
+    * (`n_relevant` reports the partner count so the two zero cases stay
+    * distinguishable). A corpus-level mean would hide which probes
+    * regressed; the per-probe frame IS the metric, and any consumer's
+    * AVG over `rr_ppm` is the MRR.
+    *
+    * Split gate: the engine materializes its candidate pairs (the
+    * [[hardNegatives]] posture); the oracle replays BM25 scoring
+    * declaratively and the cluster closure over the materialized pairs.
+    *
+    * Scale shape: scoring is the serve posture (bucket-pruned postings ×
+    * broadcast terms); the cluster decoration is one doc_id-keyed join
+    * plus a broadcast-sized query-side join; the first-hit pick is one
+    * probe-keyed min. Gate `q_retrieval_mrr`.
+    */
+  /** Per-probe query terms for [[retrievalMrr]]: the probe document's
+    * FULL distinct-token set — the classic more-like-this query. The
+    * short selectors are wrong for a dedup-retrieval eval on this
+    * corpus, measurably: first-position terms ([[queryTermsFor]]) are
+    * function words every document matches, and the 4-RAREST-term
+    * variant is adversarial because the rarest tokens are hapaxes —
+    * precisely the tokens the near-duplicate does NOT share (both
+    * selectors scored first_rank = 0 on every partnered probe). Only
+    * the whole profile separates a near-duplicate (matches ~every term)
+    * from a topically-similar document (matches most), so the full set
+    * IS the query. Hapaxes ride along harmlessly — they match only the
+    * excluded self.
+    */
+  private[graft] def allTermsFor(docs: DataFrame, modulus: Long,
+                                 residue: Long): DataFrame =
+    withTokens(docs)
+      .filter(pmod(col("doc_id"), lit(modulus)) === residue)
+      .select(col("doc_id").as("query_id"), explode(col("tokens")).as("w"))
+      .distinct()
+
+  /** Probe slice for [[retrievalMrr]] — wider than the serving gates'
+    * 1-in-100 (the fixture corpus is 500 docs at small sf; an MRR over
+    * 5 probes is a coin toss, over 25 it ranks).
+    */
+  val MrrModulus = 20L
+  val MrrResidue = 7L
+
+  def retrievalMrr(s: SparkSession, d: String): DataFrame = {
+    val db = "graft_bm25_mrr"
+    val docs = t(s, d, "documents")
+    buildBm25Index(docs, db)
+    val terms = allTermsFor(docs, MrrModulus, MrrResidue)
+    val nb = readProp(s, db, BucketsProp)
+    val bkts = terms.select(pmod(xxhash64(col("w")), lit(nb)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val postings = s.table(fqn(db, PostingsTable))
+      .filter(col("bkt").isin(bkts: _*))
+    val scored = scoredTerms(terms, postings, s.table(fqn(db, DfTable)),
+      s.table(fqn(db, DocLenTable)), s.table(fqn(db, TotalsTable)))
+    val ranked = rankTopK(scored.filter(col("doc_id") =!= col("query_id")))
+    val pairs = graft.OracleInputs.checkpoint(
+      TextOps.minhashCandidatePairs(s, d)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")),
+      d, "text_pairs_mrr")
+    val comps = GraphOps.connectedComponents(pairs,
+      docs.select(col("doc_id").as("id")))
+    val sizes = comps.groupBy("cluster_id").agg(count(lit(1)).as("csz"))
+    val qc = comps.join(sizes, "cluster_id")
+      .select(col("id").as("query_id"), col("cluster_id").as("q_cluster"),
+        (col("csz") - 1L).as("n_relevant"))
+    val dc = comps.select(col("id").as("doc_id"),
+      col("cluster_id").as("d_cluster"))
+    val firstHit = ranked
+      .join(dc, Seq("doc_id"))
+      .join(qc.select("query_id", "q_cluster"), Seq("query_id"))
+      .filter(col("d_cluster") === col("q_cluster"))
+      .groupBy("query_id").agg(min("rnk").as("first_rank"))
+    terms.select("query_id").distinct()
+      .join(qc, Seq("query_id"))
+      .join(firstHit, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_relevant"),
+        coalesce(col("first_rank"), lit(0)).cast("int").as("first_rank"),
+        coalesce(expr("CAST(1000000 div first_rank AS BIGINT)"), lit(0L))
+          .as("rr_ppm"))
+      .orderBy("query_id")
+  }
+
   def hardNegatives(s: SparkSession, d: String): DataFrame = {
     val db = "graft_bm25_hn"
     val docs = t(s, d, "documents")

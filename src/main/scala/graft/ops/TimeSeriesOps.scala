@@ -374,6 +374,55 @@ object TimeSeriesOps {
       .orderBy("r_name")
   }
 
+  /** Largest lag [[acfLags]] reports. */
+  val AcfMaxLag = 6
+
+  /** Rank autocorrelation per region for lags 1..[[AcfMaxLag]] over the
+    * monthly revenue grid — the seasonality screen next to [[olsTrend]]'s
+    * fitted slope and [[theilSenTrend]]'s robust one (a high lag-12 rank
+    * ACF is the classic annual-cycle signature; lag-1 measures momentum).
+    * SPEARMAN-flavored by design: the correlation runs on each month's
+    * within-region revenue RANK (row_number over (y, mx) — the mx
+    * tie-break makes the rank total and both engines replay it), because
+    * ranks are grid-bounded integers, so every Pearson sum stays exact
+    * where raw cents products would overflow even DECIMAL(38) in the
+    * r² numerator. Emitted sqrt-free as the [[graft.ops.Relational
+    * .spearmanSizePrice]] pair: sign of the covariance numerator plus
+    * r²·10⁶ truncated through DECIMAL(38).
+    *
+    * Scale shape: the grid is month-span-bounded (K× facts fold into the
+    * SAME months), so the lag self-join and per-(region, lag) sums are
+    * constant-size regardless of corpus scale; the only fact-volume work
+    * is [[monthlyRevenue]]'s one keyed aggregation. Gate `q_acf_lags`.
+    */
+  def acfLags(s: SparkSession, d: String): DataFrame = {
+    val rw = Window.partitionBy("r_name").orderBy("y", "mx")
+    val g = monthlyRevenue(s, d)
+      .withColumn("rk", row_number().over(rw).cast("long"))
+    val a = g.select(col("r_name"), col("mx"), col("rk").as("x"))
+    val b = g.select(col("r_name").as("r2"), col("mx").as("mx2"),
+      col("rk").as("yr"))
+    a.join(b, col("r2") === col("r_name") &&
+        col("mx2") > col("mx") && col("mx2") <= col("mx") + AcfMaxLag)
+      .withColumn("lag", col("mx2") - col("mx"))
+      .groupBy("r_name", "lag")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("yr").as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("yr * yr")).as("syy"),
+        sum(expr("x * yr")).as("sxy"))
+      .select(col("r_name"), col("lag"), col("n"),
+        expr("CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 " +
+          "WHEN n * sxy - sx * sy > 0 THEN 1 ELSE 0 END AS INTEGER)")
+          .as("acf_sign"),
+        expr("CAST(CASE WHEN n * sxx - sx * sx = 0 " +
+          "OR n * syy - sy * sy = 0 THEN 0 ELSE " +
+          "(CAST(n * sxy - sx * sy AS DECIMAL(38,0)) " +
+          "* (n * sxy - sx * sy) * 1000000) div " +
+          "(CAST(n * sxx - sx * sx AS DECIMAL(38,0)) " +
+          "* (n * syy - sy * sy)) END AS BIGINT)").as("acf2_ppm"))
+      .orderBy("r_name", "lag")
+  }
+
   /** Period-over-period reporting off the same monthly grid: previous
     * month's revenue, the delta, and the exact sign-split ppm change —
     * the dashboard primitive next to [[olsTrend]]'s fitted slope. Months

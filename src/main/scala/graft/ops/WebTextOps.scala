@@ -160,6 +160,74 @@ object WebTextOps {
       .orderBy("doc_id")
   }
 
+  /** Minimum words per kept line and minimum kept lines per page in
+    * [[c4Filters]] (Raffel et al. 2020 §2.2's 5-word / 3-sentence rules,
+    * lines standing in for sentences over the crafted view).
+    */
+  val C4MinLineTokens = 5
+  val C4MinKeptLines = 3
+
+  /** C4-style rule-based cleaning (Raffel et al. 2020 §2.2) — the THIRD
+    * classic web-cleaning recipe next to [[gopherQuality]]'s repetition
+    * thresholds and [[lineQuality]]'s stopword-density rule, and the one
+    * production pipelines usually run FIRST because every rule is a
+    * per-line constant test:
+    *
+    *  - keep only lines ending in terminal punctuation (`.` `!` `?` `"`),
+    *  - with ≥ [[C4MinLineTokens]] single-space words,
+    *  - not mentioning `javascript` and not a `privacy policy` line;
+    *  - drop the WHOLE page when any line carries `{` or `lorem ipsum`,
+    *    or fewer than [[C4MinKeptLines]] lines survive.
+    *
+    * The crafted view extends [[craftedLines]] with the rule-exercising
+    * fixtures (the lang-ID enrichment posture — crafting is the fixture,
+    * the rules are the product): `doc_id % 13 = 0` gets a
+    * `lorem ipsum … {` line (page kill), `% 9 = 0` a javascript notice,
+    * `% 10 = 0` a privacy-policy line, and every line whose
+    * `(p + doc_id) % 3 = 1` gains a terminal period — so all four line
+    * rules and both page rules fire on deterministic slices. Output:
+    * per-doc line/kept counts, the page verdict, and the cleaned text
+    * (kept lines in original order; `''` for dropped pages).
+    *
+    * Scale shape: per-row line explode + constant per-line tests + ONE
+    * doc-keyed aggregation — zero corpus-wide state, linear always.
+    * Gate `q_c4_filters`.
+    */
+  def c4Filters(s: SparkSession, d: String): DataFrame =
+    c4FiltersFor(t(s, d, "documents"))
+
+  /** [[c4Filters]] over any (doc_id, text, source) frame. */
+  private[graft] def c4FiltersFor(raw: DataFrame): DataFrame = {
+    val crafted = concat_ws("\n", craftedLines,
+      when(col("doc_id") % 13 === 0, lit("lorem ipsum dolor sit amet {")),
+      when(col("doc_id") % 9 === 0,
+        lit("please enable javascript to view this site.")),
+      when(col("doc_id") % 10 === 0, lit("read our privacy policy here.")))
+    val scored = explodedLines(raw.withColumn("crafted", crafted))
+      .withColumn("line2", concat(col("line"),
+        when((col("p") + col("doc_id")) % 3 === 1, lit(".")).otherwise(lit(""))))
+      .withColumn("kept",
+        substring(col("line2"), -1, 1).isin(".", "!", "?", "\"") &&
+          size(split(col("line2"), " ")) >= C4MinLineTokens &&
+          !col("line2").contains("javascript") &&
+          !col("line2").contains("privacy policy"))
+      .withColumn("page_bad",
+        col("line2").contains("{") || col("line2").contains("lorem ipsum"))
+    scored.groupBy("doc_id").agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        (!max(col("page_bad")) &&
+          sum(col("kept").cast("long")) >= C4MinKeptLines).as("pk"),
+        concat_ws("\n", expr(
+          "transform(array_sort(collect_list(" +
+            "CASE WHEN kept THEN struct(p, line2) END))," +
+            " x -> x.line2)")).as("kept_text"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        col("pk").cast("int").as("page_keep"),
+        when(col("pk"), col("kept_text")).otherwise(lit("")).as("text_c4"))
+      .orderBy("doc_id")
+  }
+
   /** A line is corpus-boilerplate when this many DISTINCT documents carry
     * it (CCNet's cross-document paragraph-dedup rule).
     */

@@ -215,7 +215,26 @@ object Ctes {
     * against `candFilter`-restricted candidates, ending at the ranked
     * top-k CTE `rk`.
     */
-  def bm25Ctes(probeFilter: String, candFilter: String): String =
+  def bm25Ctes(probeFilter: String, candFilter: String,
+               fullDocTerms: Boolean = false): String = {
+    // two query-term selectors share the scoring pipeline: first-4-by-
+    // position (the serving gates) vs the full distinct-token profile
+    // (the MRR eval — RetrievalOps.allTermsFor replayed)
+    val qtCte = if (fullDocTerms)
+      raw"""qt AS (
+        |    SELECT DISTINCT doc_id AS query_id, w
+        |    FROM tok WHERE $probeFilter
+        |)""".stripMargin
+    else
+      raw"""qt AS (
+        |    SELECT query_id, w FROM (
+        |        SELECT query_id, w,
+        |               row_number() OVER (PARTITION BY query_id
+        |                   ORDER BY fp ASC, w ASC) AS rn
+        |        FROM (SELECT doc_id AS query_id, w, MIN(pos) AS fp
+        |              FROM tok WHERE $probeFilter GROUP BY 1, 2))
+        |    WHERE rn <= 4
+        |)""".stripMargin
     raw"""WITH base AS (
         |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
         |    FROM documents
@@ -235,15 +254,7 @@ object Ctes {
         |    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
         |           CAST(SUM(dl) AS BIGINT) AS total_len
         |    FROM dlx
-        |), qt AS (
-        |    SELECT query_id, w FROM (
-        |        SELECT query_id, w,
-        |               row_number() OVER (PARTITION BY query_id
-        |                   ORDER BY fp ASC, w ASC) AS rn
-        |        FROM (SELECT doc_id AS query_id, w, MIN(pos) AS fp
-        |              FROM tok WHERE $probeFilter GROUP BY 1, 2))
-        |    WHERE rn <= 4
-        |), sc AS (
+        |), $qtCte, sc AS (
         |    SELECT q.query_id, f.doc_id,
         |           CAST(COUNT(*) AS BIGINT) AS n_hit,
         |           CAST(SUM(
@@ -266,6 +277,7 @@ object Ctes {
         |               ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rnk
         |    FROM sc
         |)""".stripMargin
+  }
 
   val qcKeptCte: String =
     """tokq AS (
@@ -676,6 +688,54 @@ object Ctes {
          |       CAST(COALESCE(h.harmonic_fp, 0) AS BIGINT) AS harmonic_fp
          |FROM verts t LEFT JOIN hc h ON h.v = t.v
          |ORDER BY harmonic_fp DESC, domain""".stripMargin
+  }
+
+  /** Geodesic-count oracle (q_stress_centrality): the walk-count matrix
+    * W_i = W_{i-1}·A unrolled `iters` rounds, (dist, sigma) frozen at
+    * each pair's first-discovery round (GraphOps.allPairsGeodesics
+    * replayed declaratively — σ(s,v) = W_{d(s,v)}(s,v)), then the
+    * Shimbel stress rollup: σ(s,v)·σ(v,t) summed over triples with
+    * d(s,v)+d(v,t) = d(s,t), verts left-joined so isolated domains
+    * emit 0.
+    */
+  def allPairsGeodesicsOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s""", gw$i AS MATERIALIZED (
+         |    SELECT s, e.dst AS v, CAST(SUM(w) AS BIGINT) AS w
+         |    FROM gw${i - 1} g JOIN edges e ON e.src = g.v GROUP BY 1, 2
+         |)""".stripMargin
+    }.mkString
+    val union = (0 to iters)
+      .map(i => s"SELECT s, v, CAST($i AS BIGINT) AS i, w FROM gw$i")
+      .mkString("\n        UNION ALL\n        ")
+    domainGraphCtes +
+      """, gw0 AS MATERIALIZED (
+        |    SELECT v AS s, v, CAST(1 AS BIGINT) AS w FROM verts
+        |)""".stripMargin + steps +
+      s"""
+         |, gst AS MATERIALIZED (
+         |    SELECT * FROM (
+         |        $union)
+         |), geo AS MATERIALIZED (
+         |    SELECT g.s, g.v, g.i AS dist, g.w AS sigma
+         |    FROM gst g
+         |    JOIN (SELECT s, v, MIN(i) AS mi FROM gst GROUP BY 1, 2) m
+         |      ON m.s = g.s AND m.v = g.v AND m.mi = g.i
+         |), thr AS (
+         |    SELECT g1.v, CAST(COUNT(*) AS BIGINT) AS n_routes,
+         |           CAST(SUM(g1.sigma * g2.sigma) AS BIGINT) AS stress
+         |    FROM geo g1
+         |    JOIN geo g2 ON g2.s = g1.v AND g2.dist > 0
+         |    JOIN geo g3 ON g3.s = g1.s AND g3.v = g2.v
+         |      AND g3.dist = g1.dist + g2.dist
+         |    WHERE g1.dist > 0
+         |    GROUP BY 1
+         |)
+         |SELECT t.v AS domain,
+         |       CAST(COALESCE(h.n_routes, 0) AS BIGINT) AS n_routes,
+         |       CAST(COALESCE(h.stress, 0) AS BIGINT) AS stress
+         |FROM verts t LEFT JOIN thr h ON h.v = t.v
+         |ORDER BY stress DESC, domain""".stripMargin
   }
 
   /** Weighted-paths oracle: per-pair link-count costs, `iters` unrolled

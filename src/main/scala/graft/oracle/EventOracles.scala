@@ -313,6 +313,52 @@ object EventOracles {
         |)
         |SELECT r_name, np AS n_pairs, slope_micro AS theil_slope_micro
         |FROM tsr WHERE rn = (np + 1) // 2 ORDER BY r_name""".stripMargin,
+    // rank autocorrelation: within-region month ranks (mx tie-break),
+    // lag self-join on the bounded grid, exact Pearson sums over the
+    // grid-bounded rank integers, HUGEINT // == Spark DECIMAL(38) div
+    "q_acf_lags" ->
+      s"""WITH olm AS (
+        |    SELECT r.r_name,
+        |           (date_part('year', o.o_orderdate) - 1995) * 12
+        |             + date_part('month', o.o_orderdate) - 1 AS mx,
+        |           SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS y
+        |    FROM orders o
+        |    JOIN customer c ON c.c_custkey = o.o_custkey
+        |    JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |    JOIN region r ON r.r_regionkey = n.n_regionkey
+        |    GROUP BY 1, 2
+        |), arr AS (
+        |    SELECT r_name, mx,
+        |           CAST(row_number() OVER (PARTITION BY r_name
+        |               ORDER BY y, mx) AS BIGINT) AS rk
+        |    FROM olm
+        |), apr AS (
+        |    SELECT a.r_name, CAST(b.mx - a.mx AS BIGINT) AS lag,
+        |           a.rk AS x, b.rk AS yr
+        |    FROM arr a JOIN arr b ON b.r_name = a.r_name
+        |      AND b.mx > a.mx
+        |      AND b.mx <= a.mx + ${graft.ops.TimeSeriesOps.AcfMaxLag}
+        |), asm AS (
+        |    SELECT r_name, lag, CAST(COUNT(*) AS BIGINT) AS n,
+        |           CAST(SUM(x) AS BIGINT) AS sx,
+        |           CAST(SUM(yr) AS BIGINT) AS sy,
+        |           CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |           CAST(SUM(yr * yr) AS BIGINT) AS syy,
+        |           CAST(SUM(x * yr) AS BIGINT) AS sxy
+        |    FROM apr GROUP BY 1, 2
+        |)
+        |SELECT r_name, lag, n,
+        |       CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1
+        |            WHEN n * sxy - sx * sy > 0 THEN 1 ELSE 0 END
+        |            AS INTEGER) AS acf_sign,
+        |       CAST(CASE WHEN n * sxx - sx * sx = 0
+        |                  OR n * syy - sy * sy = 0 THEN 0
+        |            ELSE (CAST(n * sxy - sx * sy AS HUGEINT)
+        |                  * (n * sxy - sx * sy) * 1000000)
+        |              // (CAST(n * sxx - sx * sx AS HUGEINT)
+        |                  * (n * syy - sy * sy)) END AS BIGINT)
+        |           AS acf2_ppm
+        |FROM asm ORDER BY r_name, lag""".stripMargin,
     // RFM quintiles: global row_number per metric with the custkey
     // tie-break == the engine's histogram + value-partitioned rank
     "q_rfm_segments" ->

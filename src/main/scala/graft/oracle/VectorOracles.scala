@@ -283,6 +283,51 @@ object VectorOracles {
     // query's whole near-dup cluster (closure over the materialized
     // minhash pair set), re-ranked top-5 — a cluster member at rank 3
     // must PROMOTE rank 6, hence the filter-then-rank order
+    // retrieval MRR: BM25 replayed declaratively, self excluded BEFORE
+    // ranking, relevance = shared minhash cluster over the materialized
+    // pair set; first_rank/rr_ppm 0-defaulted so no-partner and
+    // missed-partner probes stay distinguishable via n_relevant
+    "q_retrieval_mrr" -> {
+      val path = OracleInputs.sqlPath("text_pairs_mrr")
+      bm25Ctes(s"doc_id % ${ops.RetrievalOps.MrrModulus} = " +
+          s"${ops.RetrievalOps.MrrResidue}", "", fullDocTerms = true)
+        .replaceFirst("WITH ", "WITH RECURSIVE ") +
+        s""", e AS (SELECT src, dst FROM read_parquet('$path/*.parquet')),
+           |sym AS (SELECT src, dst FROM e
+           |        UNION SELECT dst AS src, src AS dst FROM e),
+           |reach(id, rr) AS (
+           |    SELECT doc_id, doc_id FROM documents
+           |    UNION
+           |    SELECT s.dst, reach.rr FROM reach JOIN sym s ON s.src = reach.id
+           |),
+           |comp AS (SELECT id, MIN(rr) AS cluster_id FROM reach GROUP BY id),
+           |cszm AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csz
+           |         FROM comp GROUP BY 1),
+           |mrk AS (
+           |    SELECT sc.query_id, sc.doc_id,
+           |           CAST(row_number() OVER (PARTITION BY sc.query_id
+           |               ORDER BY sc.score DESC, sc.doc_id ASC) AS INTEGER)
+           |               AS rnk
+           |    FROM sc WHERE sc.doc_id <> sc.query_id
+           |), fh AS (
+           |    SELECT r.query_id, MIN(r.rnk) AS first_rank
+           |    FROM mrk r
+           |    JOIN comp cq ON cq.id = r.query_id
+           |    JOIN comp cd ON cd.id = r.doc_id
+           |    WHERE cq.cluster_id = cd.cluster_id AND r.rnk <= 5
+           |    GROUP BY 1
+           |)
+           |SELECT q.query_id,
+           |       CAST(z.csz - 1 AS BIGINT) AS n_relevant,
+           |       CAST(COALESCE(f.first_rank, 0) AS INTEGER) AS first_rank,
+           |       CAST(COALESCE(1000000 // f.first_rank, 0) AS BIGINT)
+           |           AS rr_ppm
+           |FROM (SELECT DISTINCT query_id FROM qt) q
+           |JOIN comp c ON c.id = q.query_id
+           |JOIN cszm z ON z.cluster_id = c.cluster_id
+           |LEFT JOIN fh f ON f.query_id = q.query_id
+           |ORDER BY q.query_id""".stripMargin
+    },
     "q_hard_negatives" -> {
       val path = OracleInputs.sqlPath("text_pairs_hardneg")
       bm25Ctes("doc_id % 100 = 7", "")

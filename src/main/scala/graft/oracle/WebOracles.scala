@@ -107,6 +107,59 @@ object WebOracles {
         |               FILTER (WHERE content), chr(10)), '')
         |           AS text_content
         |FROM lqv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // C4 rule-based cleaning: the crafted view plus the rule-exercising
+    // injected lines and the (p + doc_id) % 3 period schedule, then the
+    // four line rules and two page rules replayed verbatim
+    "q_c4_filters" ->
+      s"""WITH $craftedLinesCte,
+        |c4c AS (
+        |    SELECT doc_id,
+        |           crafted
+        |           || CASE WHEN doc_id % 13 = 0 THEN chr(10) ||
+        |                'lorem ipsum dolor sit amet {' ELSE '' END
+        |           || CASE WHEN doc_id % 9 = 0 THEN chr(10) ||
+        |                'please enable javascript to view this site.'
+        |              ELSE '' END
+        |           || CASE WHEN doc_id % 10 = 0 THEN chr(10) ||
+        |                'read our privacy policy here.' ELSE '' END
+        |               AS crafted2
+        |    FROM crafted
+        |), c4l AS (
+        |    SELECT doc_id, unnest(range(1, len(ls) + 1)) AS p,
+        |           unnest(ls) AS line
+        |    FROM (SELECT doc_id, string_split(crafted2, chr(10)) AS ls
+        |          FROM c4c)
+        |), c4s AS (
+        |    SELECT doc_id, p,
+        |           line || CASE WHEN (p + doc_id) % 3 = 1 THEN '.'
+        |                   ELSE '' END AS line2
+        |    FROM c4l
+        |), c4v AS (
+        |    SELECT doc_id, p, line2,
+        |           right(line2, 1) IN ('.', '!', '?', '"')
+        |           AND len(string_split(line2, ' '))
+        |               >= ${ops.WebTextOps.C4MinLineTokens}
+        |           AND NOT contains(line2, 'javascript')
+        |           AND NOT contains(line2, 'privacy policy') AS kept,
+        |           contains(line2, '{') OR contains(line2, 'lorem ipsum')
+        |               AS page_bad
+        |    FROM c4s
+        |), c4a AS (
+        |    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+        |               AS n_kept,
+        |           CAST(CASE WHEN NOT MAX(page_bad)
+        |                  AND SUM(CASE WHEN kept THEN 1 ELSE 0 END)
+        |                      >= ${ops.WebTextOps.C4MinKeptLines}
+        |                THEN 1 ELSE 0 END AS INTEGER) AS page_keep,
+        |           COALESCE(array_to_string(
+        |               list(CASE WHEN kept THEN line2 END ORDER BY p)
+        |                   FILTER (WHERE kept), chr(10)), '') AS kt
+        |    FROM c4v GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_lines, n_kept, page_keep,
+        |       CASE WHEN page_keep = 1 THEN kt ELSE '' END AS text_c4
+        |FROM c4a ORDER BY doc_id""".stripMargin,
     // corpus-level line dedup: the oracle reconstructs the crafted lines,
     // counts distinct docs per md5 line key (the ENGINE's join key, so
     // grouping can never diverge), and replays the rewrite — the cleaned
@@ -337,6 +390,9 @@ object WebOracles {
     // 6 unrolled min-rounds, then the exact ppm harmonic rollup with a
     // verts left join so isolated domains emit 0
     "q_harmonic_centrality" -> allPairsHopsOracle(6),
+    // stress centrality: the geodesic-count walk unrolled, then the
+    // Shimbel through-path rollup — exact integer path counts end to end
+    "q_stress_centrality" -> allPairsGeodesicsOracle(6),
     "q_domain_hops" -> bfsHopsOracle(6),
     "q_communities_lpa" -> lpaOracle(graft.ops.LinkOps.LpaIters),
     // triangle counting: degree-ordered orientation, (lo)-keyed wedge

@@ -796,4 +796,110 @@ class AnalyticsOpsSpec extends SparkSpec {
       .agg(sum("ct")).head.getLong(0)
     assert(credited === attributed)
   }
+
+  test("kendall tau-b: hand cases (monotone 1, inverse -1, tie-corrected)") {
+    def run(rows: Seq[(Long, Double, Int)]) = {
+      val dir = java.nio.file.Files.createTempDirectory("kend").toString
+      rows.toDF("p_partkey", "p_retailprice", "p_size")
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
+      val r = graft.ops.Relational.kendallTauSizePrice(spark, dir).head
+      (r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4))
+    }
+    // strictly monotone: all 3 pairs concordant -> tau = 1
+    assert(run(Seq((1L, 1.0, 1), (2L, 2.0, 2), (3L, 3.0, 3)))
+      === ((3L, 0L, 1, 1000000L)))
+    // strictly inverse -> tau = -1
+    assert(run(Seq((1L, 3.0, 1), (2L, 2.0, 2), (3L, 1.0, 3)))
+      === ((0L, 3L, -1, 1000000L)))
+    // x-ties: sizes (1,1,2), prices (1,2,3): nc=2 (the two x1<x2 pairs),
+    // nd=0, n0=3, n1=1 (the tied-x pair), n2=0:
+    // tau^2 = 4/((3-1)*3) = 2/3 -> 666666 ppm truncated
+    assert(run(Seq((1L, 1.0, 1), (2L, 2.0, 1), (3L, 3.0, 2)))
+      === ((2L, 0L, 1, 666666L)))
+  }
+
+  test("kendall tau-b agrees with the brute-force pair count on the fixture") {
+    val pts = graft.Tables.t(spark, sf, "part").select(
+        col("p_size").cast("long"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var (nc, nd) = (0L, 0L)
+    for (i <- pts.indices; j <- pts.indices if i < j) {
+      val ((x1, y1), (x2, y2)) = (pts(i), pts(j))
+      if (x1 != x2 && y1 != y2) {
+        if ((x1 < x2) == (y1 < y2)) nc += 1 else nd += 1
+      }
+    }
+    val r = graft.ops.Relational.kendallTauSizePrice(spark, sf).head
+    assert(r.getLong(0) === pts.length.toLong)
+    assert((r.getLong(1), r.getLong(2)) === ((nc, nd)))
+  }
+
+  test("rfm: quintile sizes balanced, code composes, metrics exact") {
+    val rows = graft.ops.BasketOps.rfmSegments(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    for (qcol <- Seq("r_q", "f_q", "m_q")) {
+      val hist = rows.groupBy(_.getAs[Int](qcol)).map { case (q, rs) =>
+        q -> rs.length }
+      // exact quintiles: every bucket within [floor(n/5), ceil(n/5)]
+      assert(hist.keys.forall(q => q >= 1 && q <= 5))
+      assert(hist.values.forall(c => c >= n / 5 && c <= (n + 4) / 5),
+        s"unbalanced quintiles: $hist")
+    }
+    for (r <- rows)
+      assert(r.getAs[Int]("rfm") === r.getAs[Int]("r_q") * 100 +
+        r.getAs[Int]("f_q") * 10 + r.getAs[Int]("m_q"))
+    // recency rank 1 = most recent: the min-recency customer scores q_r 1
+    val minRec = rows.minBy(r => (r.getAs[Long]("recency_days"),
+      r.getAs[Long]("c_custkey")))
+    assert(minRec.getAs[Int]("r_q") === 1)
+  }
+
+  test("readability: hand-counted LIX on a crafted 25-token doc") {
+    import spark.implicits._
+    val st = graft.ops.TextOps.SentenceTokens
+    // 25 tokens, 5 of length >= 7 -> 2 injected periods + the terminal
+    // one = 3 sentences (period injected after tokens 12 and 24)
+    val toks = (1 to 25).map(i =>
+      if (i <= 5) "longword" + i else "w" + i).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("lix").toString
+    Seq((1L, toks)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.ops.TextOps.readability(spark, dir).head
+    assert(st === 12) // the hand math below pins the constant
+    assert((r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((25L, 5L, 3L)))
+    assert(r.getLong(4) === 25L * 1000000L / 3L)
+    assert(r.getLong(5) === 5L * 1000000L / 25L)
+    assert(r.getLong(6) === 25L * 1000000L / 3L + 5L * 100000000L / 25L)
+  }
+
+  test("kwic: edge-clamped contexts, 1-based positions, only the term") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kwic").toString
+    Seq((1L, "spark a b spark c"), (2L, "x y"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.TextOps.kwicConcordance(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(got === Array(
+      (1L, 1L, "", "a b"),
+      (1L, 4L, "a b", "c")))
+  }
+
+  test("retrieval MRR: rr arithmetic exact; partnerless probes score 0") {
+    val rows = graft.ops.RetrievalOps.retrievalMrr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (nrel, fr, rr) = (r.getLong(1), r.getInt(2), r.getLong(3))
+      if (fr > 0) assert(rr === 1000000L / fr && nrel > 0)
+      else assert(rr === 0L)
+      if (nrel == 0) assert(fr === 0)
+      assert(fr >= 0 && fr <= graft.ops.RetrievalOps.TopK)
+    }
+    // the probe slice must contain at least one cluster hit, or the gate
+    // is vacuous
+    assert(rows.exists(_.getInt(2) > 0), "no probe found its near-dup")
+  }
 }

@@ -385,4 +385,39 @@ class LinkOpsSpec extends SparkSpec {
     val tri = stats(Seq(("h", "x1"), ("h", "x2"), ("x1", "x2"), ("h", "x3")))
     assert(tri.getAs[Long]("n_triangles") == 1L)
   }
+
+  test("all-pairs hops/geodesics: diamond distances, path counts, freeze " +
+    "at first discovery") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"))
+      .toDF("src", "dst")
+    val verts = Seq("a", "b", "c", "d", "e").toDF("id")
+    val hops = graft.ops.GraphOps.allPairsHopsInto(edges, verts, 4) { h =>
+      h.collect().map(r =>
+        (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    }
+    assert(hops(("a", "d")) === 2L)
+    assert(hops(("a", "b")) === 1L)
+    assert(hops(("e", "e")) === 0L)
+    assert(!hops.contains(("b", "a")), "directed: no back edge")
+    assert(!hops.contains(("a", "e")), "isolated vertex unreachable")
+
+    val geo = graft.ops.GraphOps.allPairsGeodesicsInto(edges, verts, 4) { g =>
+      g.collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    }
+    assert(geo(("a", "d")) === ((2L, 2L)), "two shortest a->d paths")
+    assert(geo(("a", "b")) === ((1L, 1L)))
+    assert(geo(("a", "a")) === ((0L, 1L)))
+
+    // shortcut triangle: the length-2 a->c walk must NOT count once the
+    // direct edge froze (dist, sigma) at round 1
+    val tri = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("src", "dst")
+    val vs = Seq("a", "b", "c").toDF("id")
+    val g2 = graft.ops.GraphOps.allPairsGeodesicsInto(tri, vs, 4) { g =>
+      g.collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    }
+    assert(g2(("a", "c")) === ((1L, 1L)))
+  }
 }

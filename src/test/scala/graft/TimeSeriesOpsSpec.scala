@@ -203,4 +203,60 @@ class TimeSeriesOpsSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("level_fp"))
     assert(b === Array(1000000L, 1300000L, 2110000L))
   }
+
+  test("theil-sen: slope median equals the brute-force pairwise median") {
+    val grid = TimeSeriesOps.monthlyRevenue(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = TimeSeriesOps.theilSenTrend(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val sc = TimeSeriesOps.OlsScale
+    for ((region, rows) <- grid.groupBy(_._1)) {
+      val pts = rows.map(t => (t._2, t._3))
+      val slopes = (for {
+        (x1, y1) <- pts; (x2, y2) <- pts if x1 < x2
+      } yield {
+        val s = if (y2 >= y1)
+          (BigInt(y2 - y1) * sc / BigInt(x2 - x1)).toLong
+        else -(BigInt(y1 - y2) * sc / BigInt(x2 - x1)).toLong
+        (s, x1, x2)
+      }).sorted
+      val (np, fr) = got(region)
+      assert(np === slopes.length.toLong)
+      assert(fr === slopes(((np + 1) / 2 - 1).toInt)._1)
+    }
+  }
+
+  test("rank ACF: brute-force Pearson-on-ranks agrees at every lag") {
+    val grid = TimeSeriesOps.monthlyRevenue(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = TimeSeriesOps.acfLags(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getInt(3), r.getLong(4))).toMap
+    assert(got.nonEmpty)
+    for ((region, rows) <- grid.groupBy(_._1)) {
+      val ranked = rows.sortBy(t => (t._3, t._2)).zipWithIndex
+        .map { case ((_, mx, _), i) => mx -> (i + 1).toLong }.toMap
+      for (lag <- 1L to TimeSeriesOps.AcfMaxLag.toLong) {
+        val pairs = ranked.toSeq.flatMap { case (mx, x) =>
+          ranked.get(mx + lag).map(y => (x, y)) }
+        if (pairs.nonEmpty) {
+          val n = BigInt(pairs.length)
+          val sx = BigInt(pairs.map(_._1).sum)
+          val sy = BigInt(pairs.map(_._2).sum)
+          val sxx = BigInt(pairs.map(p => p._1 * p._1).sum)
+          val syy = BigInt(pairs.map(p => p._2 * p._2).sum)
+          val sxy = BigInt(pairs.map(p => p._1 * p._2).sum)
+          val num = n * sxy - sx * sy
+          val dx = n * sxx - sx * sx
+          val dy = n * syy - sy * sy
+          val want2 = if (dx == 0 || dy == 0) BigInt(0)
+            else num * num * 1000000 / (dx * dy)
+          val (gn, gs, g2) = got((region, lag))
+          assert(gn === pairs.length.toLong)
+          assert(gs === num.signum)
+          assert(g2 === want2.toLong)
+        } else assert(!got.contains((region, lag)))
+      }
+    }
+  }
 }

@@ -236,4 +236,59 @@ class WebTextOpsSpec extends SparkSpec {
     assert(byArm(4L)._1 === 0L, "genuine Latin-1 arm never repairs")
     assert(byArm(0L)._1 === 0L)
   }
+
+  test("line quality: stopword-density rule on a hand-built document") {
+    // id 1 selects no optional crafted lines: header (4 toks, 0 stops),
+    // one 8-token body line carrying 'the', footer (5 toks, 0 stops)
+    val r = WebTextOps.lineQualityFor(docsDf(
+      (1L, "the quick brown fox jumps over lazy dogs", "s1"))).head
+    assert(r.getAs[Long]("n_lines") == 3L)
+    assert(r.getAs[Long]("n_content") == 1L)
+    assert(r.getAs[Long]("n_boiler") == 2L)
+    assert(r.getAs[String]("text_content")
+      === "the quick brown fox jumps over lazy dogs")
+  }
+
+  test("c4: terminal-punct/word-count line rules and the kept-line page floor") {
+    // id 1, 16 tokens -> header + 2 body lines + footer; period schedule
+    // (p + 1) % 3 = 1 marks only p=3, so exactly one line survives and
+    // the page fails the 3-kept floor
+    val toks16 = (1 to 16).map(i => s"tok$i").mkString(" ")
+    val a = WebTextOps.c4FiltersFor(docsDf((1L, toks16, "s"))).head
+    assert(a.getAs[Long]("n_lines") == 4L)
+    assert(a.getAs[Long]("n_kept") == 1L)
+    assert(a.getAs[Int]("page_keep") == 0)
+    assert(a.getAs[String]("text_c4") === "")
+
+    // id 2, 72 tokens -> 9 body lines p2..p10 + footer p11; periods at
+    // p = 2,5,8,11 -> three 8-word body lines + the footer survive
+    val toks72 = (1 to 72).map(i => s"tok$i").mkString(" ")
+    val b = WebTextOps.c4FiltersFor(docsDf((2L, toks72, "s"))).head
+    assert(b.getAs[Long]("n_lines") == 11L)
+    assert(b.getAs[Long]("n_kept") == 4L)
+    assert(b.getAs[Int]("page_keep") == 1)
+    val kept = b.getAs[String]("text_c4").split("\n")
+    assert(kept.length == 4)
+    assert(kept.last === "copyright 2024 all rights reserved.")
+    assert(kept.forall(_.endsWith(".")))
+  }
+
+  test("c4: lorem/brace kills the page; javascript and policy kill the line") {
+    val toks72 = (1 to 72).map(i => s"tok$i").mkString(" ")
+    // id 26 = 2 mod 3 (same period schedule shape as id 2 shifted) and
+    // 26 % 13 = 0 -> lorem line injected -> page dropped regardless of
+    // how many lines the line rules keep
+    val lorem = WebTextOps.c4FiltersFor(docsDf((26L, toks72, "s"))).head
+    assert(lorem.getAs[Int]("page_keep") == 0)
+    assert(lorem.getAs[String]("text_c4") === "")
+    // id 9 -> javascript notice injected; id 10 -> privacy-policy line:
+    // both end with '.' and pass the word count, but the phrase rules
+    // must keep them out of the cleaned text
+    for (id <- Seq(9L, 10L)) {
+      val r = WebTextOps.c4FiltersFor(docsDf((id, toks72, "s"))).head
+      val txt = r.getAs[String]("text_c4")
+      assert(!txt.contains("javascript") && !txt.contains("privacy policy"))
+      assert(r.getAs[Long]("n_kept") < r.getAs[Long]("n_lines"))
+    }
+  }
 }
