@@ -18,9 +18,16 @@ import org.apache.spark.sql.functions._
   * each other — so candidate sets and outputs scale ~linearly instead of
   * quadratically in K, and the measured ratio reflects the engine, not a
   * degenerate workload:
-  *  - documents.text: per-copy letter-rotation cipher (translate(); a
-  *    bijection on shingles — minhash/simhash relations within a copy are
-  *    preserved exactly, cross-copy shingles share nothing);
+  *  - documents.text: per-copy AFFINE letter cipher σ(c) = a·c + b mod 26
+  *    (translate(); a bijection on shingles — minhash/simhash relations
+  *    within a copy are preserved exactly, cross-copy shingles share
+  *    nothing). Affine, not rotation: the rotation group wraps at 26, so
+  *    a K=100 sweep gave copies i and i+26 IDENTICAL vocabularies and
+  *    every term-keyed probe (phrase anchors, bm25 postings) saw
+  *    cross-copy candidate volume grow ×(K/26) on top of linear — the
+  *    measured q_phrase_search match volume was 385× at K=100, the
+  *    3.85 ≈ 100/26 signature exactly. 12 units × 26 shifts = 312
+  *    distinct bijections cover any K this box can hold;
   *  - embeddings: per-copy circular dimension shift (L2 and within-copy
   *    cosines exact; cross-copy cosines ≈ random);
   *  - part: plain key offset (pipeline CTAS volume).
@@ -43,7 +50,14 @@ object PerfProbe {
       (0 until k).map(i => f(df, i)).reduce(_ unionByName _)
 
     val az = "abcdefghijklmnopqrstuvwxyz"
-    def rot(s: String, i: Int) = s.drop(i % s.length) + s.take(i % s.length)
+    // affine cipher per copy: i=0 is (a=1, b=0) = identity; (a, b) pairs
+    // stay distinct for i < 312, so no two copies share a vocabulary
+    val units = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    def affine(i: Int): String = {
+      val a = units((i / 26) % units.length)
+      val b = i % 26
+      (0 until 26).map(x => ('a' + ((a * x + b) % 26)).toChar).mkString
+    }
 
     val docs = Tables.t(spark, src, "documents")
     val docStride = docs.agg(max("doc_id")).head.getLong(0) + 1
@@ -51,7 +65,7 @@ object PerfProbe {
       (col("doc_id") + lit(i * docStride)).as("doc_id"),
       (if (i == 0) col("text")
        else translate(col("text"), az + az.toUpperCase,
-         rot(az, i) + rot(az.toUpperCase, i))).as("text"),
+         affine(i) + affine(i).toUpperCase)).as("text"),
       col("lang"), col("source"), col("n_chars")))
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 

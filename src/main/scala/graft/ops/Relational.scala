@@ -503,13 +503,16 @@ object Relational {
     * C − D plus τ²·10⁶ = (C−D)²·10⁶ div ((n₀−n₁)(n₀−n₂)) through
     * DECIMAL(38) (the spearman posture exactly).
     *
-    * Scale shape: all pair counting runs over the JOINT VALUE HISTOGRAM
-    * (one (size, price) aggregation — cells ≤ distinct-size ×
-    * distinct-price, catalog-bounded), so C and D come from a
-    * cell-pair self-join on the histogram, never an n² row join; the
-    * tie terms come from the two marginals. Same scoping rule as
-    * spearman: exact estimator for frames inside the DECIMAL(38)
-    * bound (catalogs, aggregates). Gate `q_kendall_tau`.
+    * Scale shape: pair counting via the 2-D dominance decomposition
+    * over the (size, price) cell histogram — pivot on the BOUNDED size
+    * domain, one two-phase prefix sum over the global price order for
+    * every size column at once, one y-keyed join back (details at the
+    * implementation comment). O(cells · |sizes|) total, linear in the
+    * catalog; the naive cell-pair self-join is O(cells²) and the cell
+    * count tracks the CATALOG when prices are near-continuous — the
+    * quadratic shape this decomposition exists to avoid. Tie terms come
+    * from the two marginals. Same exactness scoping as spearman
+    * (DECIMAL(38) frames). Gate `q_kendall_tau`.
     */
   def kendallTauSizePrice(s: SparkSession, d: String): DataFrame = {
     val cells = t(s, d, "part").select(
@@ -517,15 +520,70 @@ object Relational {
         expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("y"))
       .groupBy("x", "y").agg(count(lit(1)).as("c"))
     val pinned = PlanCache.swap("kendall_cells", cells)
-    // each unordered observation pair is counted once via x1 < x2; the
-    // y direction classifies it (ties in y under x1 < x2 are neither)
-    val pairAgg = pinned.as("a").join(pinned.as("b"),
-        col("a.x") < col("b.x"))
+    // Pair counting WITHOUT the cell-pair self-join: the naive
+    // `a.x < b.x` join is O(cells²) with a BNLJ — and the (size, price)
+    // joint histogram is NOT catalog-bounded when the y side is
+    // near-continuous (cells ≈ n on real prices), so the quadratic
+    // shape dies at scale. Instead, each unordered pair is charged to
+    // its higher-x member via the 2-D DOMINANCE COUNT
+    //
+    //   nc = Σ_cells c(x,y) · #{rows: x' > x, y' > y}
+    //   nd = Σ_cells c(x,y) · #{rows: x' > x, y' < y}
+    //
+    // computed by PIVOTING on the BOUNDED x domain (p_size — collected
+    // like IVF centroids, loudly refused past the bound) and running
+    // ONE two-phase prefix sum over the global y order for all x
+    // columns at once (the packTokens posture: equi-depth y buckets,
+    // bucket totals to the driver, parallel within-bucket windows —
+    // zero Exchange SinglePartition). Unpivot + one y-keyed join with
+    // the cells closes the sum. Work: O(cells · |x-domain|) rows,
+    // linear in the catalog at the bounded fan-out — never cells².
+    val xs = pinned.select("x").distinct().orderBy("x")
+      .collect().map(_.getLong(0))
+    require(xs.length <= 1000,
+      s"kendallTau: x-domain has ${xs.length} distinct values — the " +
+        "bounded-pivot fan-out contract (<= 1000) does not hold, refusing")
+    val xCols = xs.map(v => s"x_$v")
+    val piv = pinned.groupBy("y").pivot("x", xs.map(v => v: Any).toSeq)
+      .sum("c").na.fill(0L)
+      .toDF(("y" +: xCols.toSeq): _*)
+    // two-phase prefix over the global y order, all x columns at once
+    val bucketed = SamplingOps.equiDepthBucketed(piv, 32, keyCol = "y")
+    val totals = bucketed.groupBy("bucket")
+      .agg(xCols.head -> "sum", xCols.tail.map(_ -> "sum").toSeq: _*)
+      .collect().map(r => r.getInt(0) -> xs.indices.map(i =>
+        r.getLong(i + 1)).toArray).sortBy(_._1)
+    val grand = xs.indices.map(i => totals.map(_._2(i)).sum).toArray
+    val offsets = totals.map(_._1).zip(
+      totals.map(_._2).scanLeft(xs.indices.map(_ => 0L).toArray) {
+        (acc, t) => acc.zip(t).map { case (a, b) => a + b } }.init)
+    val offsetDf = s.createDataFrame(
+        offsets.map { case (b, arr) => (b, arr.toSeq) }.toSeq)
+      .toDF("bucket", "offs")
+    val w = Window.partitionBy("bucket").orderBy("y")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pref = bucketed.join(broadcast(offsetDf), Seq("bucket"))
+    // per (y, x'): lt = rows of x' strictly below this y; gt = strictly
+    // above. ONE select carries every column's window (same window spec
+    // → one Window operator, one pass), then stack() unpivots — a d-way
+    // union would recompute the pivot d times.
+    val withCums = pref.select(
+      col("y") +: xs.indices.flatMap { i =>
+        val below = coalesce(sum(col(xCols(i))).over(w), lit(0L)) +
+          element_at(col("offs"), i + 1)
+        Seq(below.as(s"lt_$i"),
+          (lit(grand(i)) - below - col(xCols(i))).as(s"gt_$i"))
+      }.toSeq: _*)
+    val stackExpr = s"stack(${xs.length}, " + xs.indices.map(i =>
+      s"${xs(i)}L, lt_$i, gt_$i").mkString(", ") +
+      ") AS (xv, lt_cnt, gt_cnt)"
+    val longForm = withCums.select(col("y"), expr(stackExpr))
+    val pairAgg = pinned
+      .join(longForm.withColumnRenamed("y", "y2"),
+        col("y") === col("y2") && col("xv") > col("x"))
       .agg(
-        sum(when(col("a.y") < col("b.y"),
-          col("a.c") * col("b.c")).otherwise(0L)).as("nc"),
-        sum(when(col("a.y") > col("b.y"),
-          col("a.c") * col("b.c")).otherwise(0L)).as("nd"))
+        coalesce(sum(expr("c * gt_cnt")), lit(0L)).as("nc"),
+        coalesce(sum(expr("c * lt_cnt")), lit(0L)).as("nd"))
     val margins = pinned.agg(
       sum("c").as("n"),
       sum(expr("c * (c - 1) div 2")).as("txy"))
