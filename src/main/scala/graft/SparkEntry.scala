@@ -280,6 +280,8 @@ object SparkEntry {
     "q_c4_filters"          -> (WebTextOps.c4Filters _),
     "q_stress_centrality"   -> (graft.ops.LinkOps.stressCentrality _),
     "q_retrieval_mrr"       -> (graft.ops.RetrievalOps.retrievalMrr _),
+    "q_isotonic_calibration" -> (TextOps.isotonicCalibration _),
+    "q_trimmed_stats"       -> (Relational.trimmedStats _),
   )
 
   /** DuckDB-dialect oracle SQL per query — since round 8, EVERY query has

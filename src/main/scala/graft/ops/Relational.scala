@@ -603,6 +603,66 @@ object Relational {
           "(n * (n - 1) div 2 - n2)) END AS BIGINT)").as("tau2_ppm"))
   }
 
+  /** Trim fraction denominator for [[trimmedStats]] (10% each side). */
+  val TrimDen = 10L
+
+  /** Trimmed and winsorized order-value means per region — the robust
+    * location estimates (Tukey 1962) a metrics pipeline reports next to
+    * the raw mean when heavy tails are suspected: drop (trimmed) or
+    * clamp (winsorized) the lowest/highest n div [[TrimDen]] values per
+    * group. Everything exact integer: per-region rank with the orderkey
+    * tie-break (total order), boundary values lifted by conditional
+    * window max, means as `sum div count` — cell-identical in both
+    * engines, no float percentile anywhere.
+    *
+    * Scale shape: ONE region-keyed exchange shared by the rank and the
+    * boundary windows (same partitioning), then a region-keyed agg —
+    * no global sort, no broadcast of fact volume. Groups here are
+    * regions; any high-cardinality group key shards the same way.
+    * Gate `q_trimmed_stats`.
+    */
+  def trimmedStats(s: SparkSession, d: String): DataFrame = {
+    val rows = t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .join(t(s, d, "customer").select(
+        col("c_custkey").as("o_custkey"), col("c_nationkey")), "o_custkey")
+      .join(broadcast(t(s, d, "nation").select(
+        col("n_nationkey").as("c_nationkey"), col("n_regionkey"))),
+        "c_nationkey")
+      .join(broadcast(t(s, d, "region").select(
+        col("r_regionkey").as("n_regionkey"), col("r_name"))),
+        "n_regionkey")
+    val byR = Window.partitionBy("r_name")
+    val ranked = rows
+      .withColumn("rnk", row_number().over(
+        byR.orderBy(col("cents"), col("o_orderkey"))))
+      .withColumn("nr", count(lit(1)).over(byR))
+      .withColumn("lo", expr(s"nr div $TrimDen"))
+      .withColumn("hi", col("nr") - col("lo"))
+      .withColumn("lo_val",
+        max(when(col("rnk") === col("lo") + 1, col("cents"))).over(byR))
+      .withColumn("hi_val",
+        max(when(col("rnk") === col("hi"), col("cents"))).over(byR))
+      .withColumn("wins", when(col("rnk") <= col("lo"), col("lo_val"))
+        .when(col("rnk") > col("hi"), col("hi_val"))
+        .otherwise(col("cents")))
+    ranked.groupBy("r_name")
+      .agg(count(lit(1)).as("n"), max("lo").as("n_trim_side"),
+        sum("cents").as("sum_cents"),
+        sum(when(col("rnk") > col("lo") && col("rnk") <= col("hi"),
+          col("cents")).otherwise(0L)).as("trim_sum"),
+        sum(when(col("rnk") > col("lo") && col("rnk") <= col("hi"), 1L)
+          .otherwise(0L)).as("trim_n"),
+        sum("wins").as("wins_sum"))
+      .select(col("r_name"), col("n"), col("n_trim_side"),
+        expr("sum_cents div n").as("mean_cents"),
+        expr("CASE WHEN trim_n = 0 THEN 0 ELSE trim_sum div trim_n END")
+          .as("trimmed_mean_cents"),
+        expr("wins_sum div n").as("winsor_mean_cents"))
+      .orderBy("r_name")
+  }
+
   /** Join-key skew report for the lineitem fact's order key — the
     * pre-shuffle diagnostic that predicts whether a straight hash join
     * needs salting ([[saltedGroupAgg]]) before anyone pays for the

@@ -1559,6 +1559,68 @@ object TextOps {
       .orderBy("bin")
   }
 
+  /** Isotonic calibration of the quality-classifier score (pool-adjacent
+    * violators via the MINIMAX characterization — Ayer et al. 1955,
+    * Robertson-Wright-Dykstra 1988 eq. 1.9: the PAV fit at bin i equals
+    *
+    *   iso(i) = max_{a ≤ i} min_{b ≥ i} rate(a..b)
+    *
+    * over segment positive-rates), the monotone regression every
+    * production calibrator runs after [[calibrationBins]]'s reliability
+    * diagram shows a non-monotone bucket: the fitted curve is the
+    * least-squares NONDECREASING rate, deployable as a score→probability
+    * table. Sequential PAVA doesn't distribute; the minimax form is a
+    * bounded-frame join — segments are pairs over the 10-row bin frame,
+    * so every frame is ≤ B² rows however large the corpus.
+    *
+    * Exactness: segment rates are ordered by the scaled-fraction key
+    * `spos·10¹⁸ div scnt` in DECIMAL(38) — distinct rationals p₁/c₁ ≠
+    * p₂/c₂ with c ≤ 10⁹ rows differ by ≥ 10¹⁸/c² ≥ 1 in the key, so the
+    * key order IS the rational order for any eval sample under a
+    * billion rows (an eval bins a sample, not the corpus); ties pick
+    * lexicographic-(key, b, spos, scnt) min / max — a total order both
+    * engines replay, and equal tuples emit equal ppm regardless. Output
+    * ppm is the chosen segment's exact `spos·10⁶ div scnt`.
+    *
+    * Scale shape: the classifier score + one range exchange for the
+    * global rank (the calibrationBins posture — offline eval), then
+    * everything is 10-row arithmetic. Gate `q_isotonic_calibration`.
+    */
+  def isotonicCalibration(s: SparkSession, d: String): DataFrame = {
+    buildQualityClassifier(t(s, d, "documents"), "graft_qc_iso")
+    val scored = qualityClassifierFromModel(s, d, "graft_qc_iso")
+      .withColumn("pos", (col("doc_id") % 100 === 7).cast("long"))
+    val n = scored.count()
+    val bins = scored
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("q_score"), col("doc_id"))))
+      .withColumn("bin", expr(s"(rnk - 1) * 10 div ${n}L"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
+    val pinned = PlanCache.swap("iso_bins", bins)
+    val segs = pinned.select(col("bin").as("a"))
+      .join(pinned.select(col("bin").as("b")), col("a") <= col("b"))
+      .join(pinned.select(col("bin"), col("n"), col("n_pos")),
+        col("bin").between(col("a"), col("b")))
+      .groupBy("a", "b")
+      .agg(sum("n").as("scnt"), sum("n_pos").as("spos"))
+      .withColumn("rate_key", expr(
+        "CAST(spos AS DECIMAL(38,0)) * 1000000000000000000 div scnt"))
+    val inner = segs
+      .join(pinned.select(col("bin").as("i")),
+        col("a") <= col("i") && col("i") <= col("b"))
+      .groupBy("i", "a")
+      .agg(min(struct(col("rate_key"), col("b"), col("spos"),
+        col("scnt"))).as("mn"))
+    val outer = inner.groupBy("i").agg(max(col("mn")).as("mx"))
+    pinned.join(outer, col("bin") === col("i"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("n_pos * 1000000 div n").as("raw_rate_ppm"),
+        expr("CAST(mx.spos * 1000000 div mx.scnt AS BIGINT)")
+          .as("iso_rate_ppm"))
+      .orderBy("bin")
+  }
+
   /** Vocabulary-health stats per source: token occurrences, distinct
     * types, hapax legomena (frequency-1 types), type-token ratio and
     * hapax share in exact ppm — the corpus diagnostics that catch a

@@ -563,6 +563,51 @@ object RelationalOracles {
         |            ELSE (num * num * 1000000) // (denx * deny)
         |            END AS BIGINT) AS rho2_ppm
         |FROM smv""".stripMargin,
+    // trimmed + winsorized means: per-region rank with the orderkey
+    // tie-break, boundary values by conditional window max, exact
+    // integer means — the engine's windows replayed verbatim
+    "q_trimmed_stats" ->
+      s"""WITH trows AS (
+        |    SELECT o.o_orderkey, r.r_name,
+        |           CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        |    FROM orders o
+        |    JOIN customer c ON c.c_custkey = o.o_custkey
+        |    JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |    JOIN region r ON r.r_regionkey = n.n_regionkey
+        |), trk AS (
+        |    SELECT r_name, cents,
+        |           row_number() OVER (PARTITION BY r_name
+        |               ORDER BY cents, o_orderkey) AS rnk,
+        |           CAST(COUNT(*) OVER (PARTITION BY r_name) AS BIGINT)
+        |               AS nr
+        |    FROM trows
+        |), tbn AS (
+        |    SELECT r_name, cents, rnk,
+        |           nr // ${Relational.TrimDen} AS lo,
+        |           nr - nr // ${Relational.TrimDen} AS hi,
+        |           MAX(CASE WHEN rnk = nr // ${Relational.TrimDen} + 1
+        |               THEN cents END) OVER (PARTITION BY r_name)
+        |               AS lo_val,
+        |           MAX(CASE WHEN rnk = nr - nr // ${Relational.TrimDen}
+        |               THEN cents END) OVER (PARTITION BY r_name)
+        |               AS hi_val
+        |    FROM trk
+        |)
+        |SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(MAX(lo) AS BIGINT) AS n_trim_side,
+        |       CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mean_cents,
+        |       CAST(CASE WHEN SUM(CASE WHEN rnk > lo AND rnk <= hi
+        |                 THEN 1 ELSE 0 END) = 0 THEN 0
+        |            ELSE SUM(CASE WHEN rnk > lo AND rnk <= hi
+        |                 THEN cents ELSE 0 END)
+        |              // SUM(CASE WHEN rnk > lo AND rnk <= hi
+        |                 THEN 1 ELSE 0 END) END AS BIGINT)
+        |           AS trimmed_mean_cents,
+        |       CAST(SUM(CASE WHEN rnk <= lo THEN lo_val
+        |                WHEN rnk > hi THEN hi_val
+        |                ELSE cents END) // COUNT(*) AS BIGINT)
+        |           AS winsor_mean_cents
+        |FROM tbn GROUP BY r_name ORDER BY r_name""".stripMargin,
     // Kendall tau-b: pair counting over the joint (size, price) value
     // histogram — concordant/discordant from the cell-pair self-join on
     // x1 < x2, tie terms from the marginals; (nc-nd)^2 is nonnegative and

@@ -1213,6 +1213,53 @@ object TextOracles {
         |           AS pos_rate_ppm,
         |       CAST(SUM(q_score) // COUNT(*) AS BIGINT) AS mean_score
         |FROM cbr GROUP BY 1 ORDER BY 1""".stripMargin,
+    // isotonic calibration: PAV via the minimax characterization over
+    // the bounded bin frame — segment rates ordered by the exact scaled-
+    // fraction key (HUGEINT // == Spark DECIMAL(38) div), lexicographic
+    // tie-breaks replaying Spark's min/max-of-struct, emitted as the
+    // chosen segment's exact ppm
+    "q_isotonic_calibration" ->
+      s"""WITH $qcKeptCte
+        |, isr AS (
+        |    SELECT doc_id, q_score,
+        |           CASE WHEN doc_id % 100 = 7 THEN 1 ELSE 0 END AS pos,
+        |           row_number() OVER (ORDER BY q_score, doc_id) AS rnk,
+        |           (SELECT COUNT(*) FROM qsc2) AS n_all
+        |    FROM qsc2
+        |), isb AS (
+        |    SELECT CAST((rnk - 1) * 10 // n_all AS BIGINT) AS bin,
+        |           CAST(COUNT(*) AS BIGINT) AS n,
+        |           CAST(SUM(pos) AS BIGINT) AS n_pos
+        |    FROM isr GROUP BY 1
+        |), iseg AS (
+        |    SELECT a.bin AS a, b.bin AS b,
+        |           CAST(SUM(x.n) AS BIGINT) AS scnt,
+        |           CAST(SUM(x.n_pos) AS BIGINT) AS spos
+        |    FROM isb a JOIN isb b ON a.bin <= b.bin
+        |    JOIN isb x ON x.bin BETWEEN a.bin AND b.bin
+        |    GROUP BY 1, 2
+        |), isk AS (
+        |    SELECT a, b, scnt, spos,
+        |           CAST(spos AS HUGEINT) * 1000000000000000000 // scnt
+        |               AS rate_key
+        |    FROM iseg
+        |), isn AS (
+        |    SELECT i.bin AS i, k.a, k.rate_key, k.b, k.spos, k.scnt,
+        |           row_number() OVER (PARTITION BY i.bin, k.a
+        |               ORDER BY k.rate_key, k.b, k.spos, k.scnt) AS rn
+        |    FROM isk k JOIN isb i ON k.a <= i.bin AND i.bin <= k.b
+        |), iso AS (
+        |    SELECT i, spos, scnt,
+        |           row_number() OVER (PARTITION BY i
+        |               ORDER BY rate_key DESC, b DESC, spos DESC,
+        |                        scnt DESC) AS rx
+        |    FROM isn WHERE rn = 1
+        |)
+        |SELECT s.bin, s.n, s.n_pos,
+        |       CAST(s.n_pos * 1000000 // s.n AS BIGINT) AS raw_rate_ppm,
+        |       CAST(o.spos * 1000000 // o.scnt AS BIGINT) AS iso_rate_ppm
+        |FROM isb s JOIN iso o ON o.i = s.bin AND o.rx = 1
+        |ORDER BY s.bin""".stripMargin,
     // LSH recall: engine-materialized candidate pairs (split gate);
     // oracle recomputes the exact-Jaccard truth and the intersection
     "q_minhash_recall" -> {

@@ -902,4 +902,67 @@ class AnalyticsOpsSpec extends SparkSpec {
     // is vacuous
     assert(rows.exists(_.getInt(2) > 0), "no probe found its near-dup")
   }
+
+  test("isotonic calibration: equals sequential PAVA, nondecreasing") {
+    val rows = graft.ops.TextOps.isotonicCalibration(spark, sf)
+      .orderBy("bin").collect()
+    assert(rows.length === 10)
+    // brute-force pool-adjacent-violators with exact fractions
+    val bins = rows.map(r => (r.getAs[Long]("n"), r.getAs[Long]("n_pos")))
+    val blocks = scala.collection.mutable.Stack[(BigInt, BigInt, Int)]()
+    for ((n, pos) <- bins) {
+      var blk = (BigInt(pos), BigInt(n), 1)
+      while (blocks.nonEmpty &&
+        blocks.top._1 * blk._2 >= blk._1 * blocks.top._2) {
+        val t = blocks.pop()
+        blk = (t._1 + blk._1, t._2 + blk._2, t._3 + blk._3)
+      }
+      blocks.push(blk)
+    }
+    val fit = blocks.toSeq.reverse.flatMap { case (p, c, k) =>
+      Seq.fill(k)((p * 1000000 / c).toLong) }
+    for ((r, i) <- rows.zipWithIndex) {
+      assert(r.getAs[Long]("iso_rate_ppm") === fit(i),
+        s"bin $i: minimax != PAVA")
+      if (i > 0) assert(r.getAs[Long]("iso_rate_ppm") >=
+        rows(i - 1).getAs[Long]("iso_rate_ppm"), "fit must be monotone")
+      assert(r.getAs[Long]("raw_rate_ppm") ===
+        r.getAs[Long]("n_pos") * 1000000L / r.getAs[Long]("n"))
+    }
+  }
+
+  test("trimmed/winsorized means: brute-force per-region agreement") {
+    val got = graft.ops.Relational.trimmedStats(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.nonEmpty)
+    val rows = graft.Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .join(graft.Tables.t(spark, sf, "customer").select(
+        col("c_custkey").as("o_custkey"), col("c_nationkey")), "o_custkey")
+      .join(graft.Tables.t(spark, sf, "nation").select(
+        col("n_nationkey").as("c_nationkey"), col("n_regionkey")),
+        "c_nationkey")
+      .join(graft.Tables.t(spark, sf, "region").select(
+        col("r_regionkey").as("n_regionkey"), col("r_name")), "n_regionkey")
+      .select("r_name", "o_orderkey", "cents").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((region, rs) <- rows.groupBy(_._1)) {
+      val sorted = rs.sortBy(t => (t._3, t._2)).map(_._3)
+      val n = sorted.length
+      val lo = n / 10
+      val trimmed = sorted.slice(lo, n - lo)
+      val wins = sorted.zipWithIndex.map { case (v, i) =>
+        if (i < lo) sorted(lo)
+        else if (i >= n - lo) sorted(n - lo - 1)
+        else v }
+      val r = got(region)
+      assert(r.getAs[Long]("n") === n.toLong)
+      assert(r.getAs[Long]("n_trim_side") === lo.toLong)
+      assert(r.getAs[Long]("mean_cents") === sorted.sum / n)
+      assert(r.getAs[Long]("trimmed_mean_cents") ===
+        (if (trimmed.isEmpty) 0L else trimmed.sum / trimmed.length))
+      assert(r.getAs[Long]("winsor_mean_cents") === wins.sum / n)
+    }
+  }
 }
