@@ -224,8 +224,14 @@ object PerfProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    // SPARK_GRAFT_SHUFFLE: scale-probe partition override. The bench
+    // contract pins 32, but a K=100 corpus through 32 partitions carries
+    // 100× per partition and starts measuring SPILL I/O instead of the
+    // operator — production scales partition count with data; the probe
+    // must be able to as well, or at-linear rows read as super-linear.
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", TempDirs.create("graft-probe-wh"))
