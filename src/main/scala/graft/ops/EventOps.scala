@@ -292,6 +292,50 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Fixed-point scale for [[cramersV]]'s per-cell χ² terms. */
+  val CramerScale = 1000000000000L
+
+  /** Cramér's V between event type and epoch weekday — the r×c
+    * contingency ASSOCIATION measure (Cramér 1946) that [[abChiSquare]]'s
+    * per-type 2×2 tests can't express (it answers "is behavior
+    * day-of-week-patterned AT ALL", normalized to [0,1] so tables of
+    * different shape compare). Exact integer posture via the identity
+    * χ²/n = Σ_ij O_ij²/(r_i·c_j) − 1:
+    *
+    *   phi2_fp = Σ_ij (O_ij² · 10¹² div (r_i·c_j)) − 10¹²
+    *   V²_ppm  = phi2_fp div ((min(r,c) − 1) · 10⁶)
+    *
+    * — each cell's term is an INDEPENDENT floor (order-free sum, exact
+    * replay; O_ij ≤ min(r_i, c_j) keeps every term ≤ 10¹², and the
+    * DECIMAL(38) numerator holds to n = 10¹³ rows), with the floor-sum
+    * clamped at 0 (mathematically ≥ 0; per-cell truncation can dip a
+    * hair under).
+    *
+    * Scale shape: ONE (type, weekday) count aggregation (map-side
+    * combined) — the only fact-volume pass; marginals and the term sum
+    * run over the ≤ r·c cell frame. Gate `q_cramers_v`.
+    */
+  def cramersV(s: SparkSession, d: String): DataFrame = {
+    val cells = t(s, d, "events")
+      .select(col("event_type"), expr(s"(ts div $DayNs) % 7").as("wd"))
+      .groupBy("event_type", "wd").agg(count(lit(1)).as("o"))
+    val pinned = graft.ops.PlanCache.swap("cramers_cells", cells)
+    val rm = pinned.groupBy("event_type").agg(sum("o").as("ri"))
+    val cm = pinned.groupBy("wd").agg(sum("o").as("cj"))
+    val nn = pinned.agg(sum("o").as("n"),
+      countDistinct("event_type").as("r"), countDistinct("wd").as("c"))
+    pinned.join(rm, "event_type").join(cm, "wd")
+      .agg(sum(expr(s"CAST(o AS DECIMAL(38,0)) * o * $CramerScale " +
+        "div (CAST(ri AS DECIMAL(38,0)) * cj)")).as("s_fp"))
+      .crossJoin(broadcast(nn))
+      .select(col("n"), col("r").as("n_rows"), col("c").as("n_cols"),
+        expr(s"CAST(greatest(s_fp - $CramerScale, 0) AS BIGINT)")
+          .as("phi2_fp"),
+        expr(s"CAST(CASE WHEN least(r, c) <= 1 THEN 0 ELSE " +
+          s"greatest(s_fp - $CramerScale, 0) div " +
+          "((least(r, c) - 1) * 1000000) END AS BIGINT)").as("v2_ppm"))
+  }
+
   /** ns per epoch week (7 · 86400 · 1e9) — the exact integer week index
     * both engines derive from the ns-epoch ts contract.
     */

@@ -313,6 +313,42 @@ object EventOracles {
         |)
         |SELECT r_name, np AS n_pairs, slope_micro AS theil_slope_micro
         |FROM tsr WHERE rn = (np + 1) // 2 ORDER BY r_name""".stripMargin,
+    // Cramér's V: the r×c contingency identity chi²/n = Σ O²/(ri·cj) − 1
+    // with per-cell independent floors at 1e12 — order-free exact sum,
+    // HUGEINT // == Spark DECIMAL(38) div
+    "q_cramers_v" ->
+      s"""WITH cvx AS (
+        |    SELECT event_type,
+        |           (epoch_ns(ts) // ${EventOps.DayNs}) % 7 AS wd,
+        |           CAST(COUNT(*) AS BIGINT) AS o
+        |    FROM events GROUP BY 1, 2
+        |), cvr AS (
+        |    SELECT event_type, CAST(SUM(o) AS BIGINT) AS ri
+        |    FROM cvx GROUP BY 1
+        |), cvcm AS (
+        |    SELECT wd, CAST(SUM(o) AS BIGINT) AS cj FROM cvx GROUP BY 1
+        |), cvn AS (
+        |    SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r,
+        |           CAST(COUNT(DISTINCT wd) AS BIGINT) AS c
+        |    FROM cvx
+        |), cvs AS (
+        |    SELECT CAST(SUM(CAST(x.o AS HUGEINT) * x.o
+        |               * ${EventOps.CramerScale}
+        |               // (CAST(a.ri AS HUGEINT) * b.cj)) AS HUGEINT)
+        |               AS s_fp
+        |    FROM cvx x
+        |    JOIN cvr a ON a.event_type = x.event_type
+        |    JOIN cvcm b ON b.wd = x.wd
+        |)
+        |SELECT n, r AS n_rows, c AS n_cols,
+        |       CAST(GREATEST(s_fp - ${EventOps.CramerScale}, 0) AS BIGINT)
+        |           AS phi2_fp,
+        |       CAST(CASE WHEN LEAST(r, c) <= 1 THEN 0
+        |            ELSE GREATEST(s_fp - ${EventOps.CramerScale}, 0)
+        |              // ((LEAST(r, c) - 1) * 1000000) END AS BIGINT)
+        |           AS v2_ppm
+        |FROM cvs, cvn""".stripMargin,
     // rank autocorrelation: within-region month ranks (mx tie-break),
     // lag self-join on the bounded grid, exact Pearson sums over the
     // grid-bounded rank integers, HUGEINT // == Spark DECIMAL(38) div

@@ -931,6 +931,30 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("cramers v: brute-force contingency agreement, [0, 1e6] bound") {
+    val r = graft.ops.EventOps.cramersV(spark, sf).head
+    val cells = graft.Tables.t(spark, sf, "events")
+      .select(col("event_type"),
+        expr(s"(ts div ${EventOps.DayNs}) % 7").as("wd"))
+      .groupBy("event_type", "wd").agg(count(lit(1)).as("o"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    val ri = cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val cj = cells.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    val n = cells.map(_._3).sum
+    val scale = BigInt(graft.ops.EventOps.CramerScale)
+    val sFp = cells.map { case (et, wd, o) =>
+      BigInt(o) * o * scale / (BigInt(ri(et)) * cj(wd)) }.sum
+    val phi2 = (sFp - scale).max(BigInt(0))
+    val k = math.min(ri.size, cj.size).toLong
+    assert(r.getAs[Long]("n") === n)
+    assert(r.getAs[Long]("n_rows") === ri.size.toLong)
+    assert(r.getAs[Long]("n_cols") === cj.size.toLong)
+    assert(r.getAs[Long]("phi2_fp") === phi2.toLong)
+    val v2 = if (k <= 1) 0L else (phi2 / ((k - 1) * 1000000)).toLong
+    assert(r.getAs[Long]("v2_ppm") === v2)
+    assert(v2 >= 0L && v2 <= 1000000L)
+  }
+
   test("trimmed/winsorized means: brute-force per-region agreement") {
     val got = graft.ops.Relational.trimmedStats(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
