@@ -292,6 +292,68 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Mann-Whitney U between the A/B arms' purchase values — the
+    * NONPARAMETRIC location test next to [[abChiSquare]]'s categorical
+    * one (rates can match while the SPEND DISTRIBUTION shifts; U is the
+    * standard detector and assumes nothing about the shape). Exact
+    * integer end to end via DOUBLED midranks (the spearman device:
+    * 2·midrank(v) = 2·cnt_lt(v) + cnt_eq(v) + 1 stays integral under
+    * ties):
+    *
+    *   2·U₁ = Σ_{arm 0} 2r(v) − n₁(n₁+1),   2·μ_U = n₁n₂
+    *   z² = (2U₁ − n₁n₂)² · 3n(n−1) / (n₁n₂·((n+1)n(n−1) − T))
+    *
+    * with T = Σ_ties (t³ − t) the tie correction — emitted in exact
+    * milli units through DECIMAL(38) (numerator ≈ n⁶: exact to ~10⁶
+    * observations, the spearman/eval-sample scoping), and the verdict
+    * `significant` decided by the SAME cross-multiplied comparison
+    * against z²·1000 = [[Chi2CritThousandths]] (χ²₁ ≡ z² — one shared
+    * critical constant, no float compare anywhere).
+    *
+    * Scale shape: midranks come from the VALUE HISTOGRAM (one value
+    * count aggregation + a bounded-frame cumulative — the spearman
+    * posture), rank sums are one keyed agg; nothing pairwise, never
+    * the O(n²) textbook U. Gate `q_mann_whitney`.
+    */
+  def mannWhitney(s: SparkSession, d: String): DataFrame = {
+    val v = t(s, d, "events").filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).cast("int").as("arm"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val hist = v.groupBy("cents").agg(
+      count(lit(1)).as("nat"),
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0v"))
+    val ow = Window.orderBy(col("cents").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // the histogram is value-cardinality-sized: its global window is a
+    // bounded-frame sort, not a fact-volume single partition
+    val ranked = hist
+      .withColumn("cnt_lt", coalesce(sum("nat").over(ow), lit(0L)))
+      .withColumn("r2", lit(2L) * col("cnt_lt") + col("nat") + 1L)
+    val agg = ranked.agg(
+      sum(expr("n0v * r2")).as("r1d"),
+      sum("n0v").as("n1"),
+      sum(expr("nat - n0v")).as("n2"),
+      sum(expr("nat * nat * nat - nat")).as("tcorr"))
+    agg.select(col("n1"), col("n2"),
+        expr("r1d - n1 * (n1 + 1)").as("u1_doubled"),
+        expr("n1 * n2").as("mu_doubled"), col("tcorr"),
+        // the second guard is the all-values-tied degenerate table
+        // (T = (n+1)n(n-1) makes the variance 0): no ordering signal
+        // exists, z2 = 0 — refusing the division keeps non-ANSI Spark
+        // (NULL) and DuckDB (error) from diverging
+        expr("CAST(CASE WHEN n1 = 0 OR n2 = 0 OR " +
+          "(CAST(n1 + n2 + 1 AS DECIMAL(38,0)) * (n1 + n2) " +
+          " * (n1 + n2 - 1)) - tcorr = 0 THEN 0 ELSE " +
+          "(CAST(r1d - n1 * (n1 + 1) - n1 * n2 AS DECIMAL(38,0)) " +
+          " * (r1d - n1 * (n1 + 1) - n1 * n2) " +
+          " * 3000 * (n1 + n2) * (n1 + n2 - 1)) div " +
+          "(CAST(n1 AS DECIMAL(38,0)) * n2 * " +
+          " ((CAST(n1 + n2 + 1 AS DECIMAL(38,0)) * (n1 + n2) " +
+          "   * (n1 + n2 - 1)) - tcorr)) END AS BIGINT)").as("z2_milli"))
+      .withColumn("significant",
+        (col("z2_milli") >= Chi2CritThousandths).cast("int"))
+  }
+
   /** Fixed-point scale for [[cramersV]]'s per-cell χ² terms. */
   val CramerScale = 1000000000000L
 

@@ -313,6 +313,57 @@ object EventOracles {
         |)
         |SELECT r_name, np AS n_pairs, slope_micro AS theil_slope_micro
         |FROM tsr WHERE rn = (np + 1) // 2 ORDER BY r_name""".stripMargin,
+    // Mann-Whitney U: doubled midranks off the value histogram, exact
+    // z² in milli through HUGEINT, the chi-square critical constant
+    // shared via the same cross-multiplied comparison
+    "q_mann_whitney" ->
+      s"""WITH mwv AS (
+        |    SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+        |           CAST(round(value * 100) AS BIGINT) AS cents
+        |    FROM events WHERE event_type = 'purchase'
+        |), mwh AS (
+        |    SELECT cents, CAST(COUNT(*) AS BIGINT) AS nat,
+        |           CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+        |               AS BIGINT) AS n0v
+        |    FROM mwv GROUP BY 1
+        |), mwr AS (
+        |    SELECT cents, nat, n0v,
+        |           2 * COALESCE(SUM(nat) OVER (ORDER BY cents
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |               0) + nat + 1 AS r2
+        |    FROM mwh
+        |), mwa AS (
+        |    SELECT CAST(SUM(n0v * r2) AS BIGINT) AS r1d,
+        |           CAST(SUM(n0v) AS BIGINT) AS n1,
+        |           CAST(SUM(nat - n0v) AS BIGINT) AS n2,
+        |           CAST(SUM(nat * nat * nat - nat) AS BIGINT) AS tcorr
+        |    FROM mwr
+        |)
+        |SELECT n1, n2,
+        |       CAST(r1d - n1 * (n1 + 1) AS BIGINT) AS u1_doubled,
+        |       CAST(n1 * n2 AS BIGINT) AS mu_doubled, tcorr,
+        |       CAST(CASE WHEN n1 = 0 OR n2 = 0 OR
+        |                 (CAST(n1 + n2 + 1 AS HUGEINT) * (n1 + n2)
+        |                  * (n1 + n2 - 1)) - tcorr = 0 THEN 0 ELSE
+        |            (CAST(r1d - n1 * (n1 + 1) - n1 * n2 AS HUGEINT)
+        |             * (r1d - n1 * (n1 + 1) - n1 * n2)
+        |             * 3000 * (n1 + n2) * (n1 + n2 - 1))
+        |            // (CAST(n1 AS HUGEINT) * n2 *
+        |                ((CAST(n1 + n2 + 1 AS HUGEINT) * (n1 + n2)
+        |                  * (n1 + n2 - 1)) - tcorr)) END AS BIGINT)
+        |           AS z2_milli,
+        |       CAST(CASE WHEN CASE WHEN n1 = 0 OR n2 = 0 OR
+        |                 (CAST(n1 + n2 + 1 AS HUGEINT) * (n1 + n2)
+        |                  * (n1 + n2 - 1)) - tcorr = 0 THEN 0 ELSE
+        |            (CAST(r1d - n1 * (n1 + 1) - n1 * n2 AS HUGEINT)
+        |             * (r1d - n1 * (n1 + 1) - n1 * n2)
+        |             * 3000 * (n1 + n2) * (n1 + n2 - 1))
+        |            // (CAST(n1 AS HUGEINT) * n2 *
+        |                ((CAST(n1 + n2 + 1 AS HUGEINT) * (n1 + n2)
+        |                  * (n1 + n2 - 1)) - tcorr)) END
+        |            >= ${EventOps.Chi2CritThousandths} THEN 1 ELSE 0 END
+        |            AS INTEGER) AS significant
+        |FROM mwa""".stripMargin,
     // Cramér's V: the r×c contingency identity chi²/n = Σ O²/(ri·cj) − 1
     // with per-cell independent floors at 1e12 — order-free exact sum,
     // HUGEINT // == Spark DECIMAL(38) div

@@ -955,6 +955,38 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(v2 >= 0L && v2 <= 1000000L)
   }
 
+  test("mann-whitney: brute-force rank sums and z2 on the fixture") {
+    val r = graft.ops.EventOps.mannWhitney(spark, sf).head
+    val vals = graft.Tables.t(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).cast("int").as("arm"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect().map(x => (x.getInt(0), x.getLong(1)))
+    val all = vals.map(_._2).sorted
+    def r2(v: Long) =
+      2L * all.count(_ < v) + all.count(_ === v) + 1L
+    val arm0 = vals.filter(_._1 == 0).map(_._2)
+    val n1 = arm0.length.toLong
+    val n2 = vals.length.toLong - n1
+    val r1d = arm0.map(r2).sum
+    val u1d = r1d - n1 * (n1 + 1)
+    assert(r.getAs[Long]("n1") === n1)
+    assert(r.getAs[Long]("n2") === n2)
+    assert(r.getAs[Long]("u1_doubled") === u1d)
+    assert(r.getAs[Long]("mu_doubled") === n1 * n2)
+    val tcorr = all.groupBy(identity).values
+      .map(g => { val t = BigInt(g.length); t * t * t - t }).sum
+    assert(BigInt(r.getAs[Long]("tcorr")) === tcorr)
+    val n = n1 + n2
+    val den = BigInt(n1) * n2 *
+      (BigInt(n + 1) * n * (n - 1) - tcorr)
+    val want = if (n1 == 0 || n2 == 0 || den == 0) BigInt(0)
+      else BigInt(u1d - n1 * n2) * (u1d - n1 * n2) * 3000 * n * (n - 1) / den
+    assert(BigInt(r.getAs[Long]("z2_milli")) === want)
+    assert(r.getAs[Int]("significant") ===
+      (if (want >= 3841) 1 else 0))
+  }
+
   test("trimmed/winsorized means: brute-force per-region agreement") {
     val got = graft.ops.Relational.trimmedStats(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
