@@ -354,6 +354,58 @@ object EventOps {
         (col("z2_milli") >= Chi2CritThousandths).cast("int"))
   }
 
+  /** KS critical value c(0.05)² in thousandths (1.3581² = 1.8444). */
+  val KsCritSqThousandths = 1845L
+
+  /** Two-sample Kolmogorov-Smirnov over the A/B arms' purchase values —
+    * the DISTRIBUTIONAL test completing the two-sample family
+    * ([[abChiSquare]] rates, [[mannWhitney]] location, KS any-shape
+    * difference): D = max_v |F₁(v) − F₂(v)| over the pooled support.
+    * Exact integers throughout: the ECDF difference is kept as the
+    * cross-multiplied numerator
+    *
+    *   D_num = max_v |cnt₁_≤(v)·n₂ − cnt₂_≤(v)·n₁|,   D = D_num/(n₁n₂)
+    *
+    * and the α = 0.05 verdict compares D_num²·1000 ≥
+    * [[KsCritSqThousandths]]·(n₁+n₂)·n₁n₂ (the Smirnov large-sample
+    * criterion, cross-multiplied like the chi-square/MW verdicts — no
+    * float anywhere; DECIMAL(38) holds to ~10⁶ observations, the
+    * eval-sample scoping).
+    *
+    * Scale shape: ONE value-count aggregation (map-side combined) —
+    * the only fact-volume pass; cumulatives run over the
+    * value-cardinality-bounded histogram frame. Gate `q_ks_test`.
+    */
+  def ksTest(s: SparkSession, d: String): DataFrame = {
+    val hist = t(s, d, "events").filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).cast("int").as("arm"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("cents").agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c1"))
+    val pinned = graft.ops.PlanCache.swap("ks_hist", hist)
+    val ow = Window.orderBy(col("cents").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = pinned.agg(sum("c0").as("n1"), sum("c1").as("n2"))
+    // histogram frame: the global window is value-cardinality-bounded
+    val dNum = pinned
+      .withColumn("f0", sum("c0").over(ow))
+      .withColumn("f1", sum("c1").over(ow))
+      .crossJoin(broadcast(tot))
+      .agg(max(expr("abs(f0 * n2 - f1 * n1)")).as("d_num"))
+    dNum.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        coalesce(col("d_num"), lit(0L)).as("d_num"),
+        expr("CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 0 ELSE " +
+          "coalesce(d_num, 0L) * 1000000 div (n1 * n2) END AS BIGINT)")
+          .as("d_ppm"),
+        expr("CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 0 " +
+          "WHEN CAST(coalesce(d_num, 0L) AS DECIMAL(38,0)) " +
+          s"* coalesce(d_num, 0L) * 1000 >= $KsCritSqThousandths " +
+          "* CAST(n1 + n2 AS DECIMAL(38,0)) * n1 * n2 " +
+          "THEN 1 ELSE 0 END AS INTEGER)").as("significant"))
+  }
+
   /** Fixed-point scale for [[cramersV]]'s per-cell χ² terms. */
   val CramerScale = 1000000000000L
 

@@ -313,6 +313,48 @@ object EventOracles {
         |)
         |SELECT r_name, np AS n_pairs, slope_micro AS theil_slope_micro
         |FROM tsr WHERE rn = (np + 1) // 2 ORDER BY r_name""".stripMargin,
+    // two-sample KS: cross-multiplied ECDF-difference numerator off the
+    // pooled value histogram; the Smirnov criterion via the same
+    // cross-multiplied integer comparison
+    "q_ks_test" ->
+      s"""WITH ksv AS (
+        |    SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+        |           CAST(round(value * 100) AS BIGINT) AS cents
+        |    FROM events WHERE event_type = 'purchase'
+        |), ksh AS (
+        |    SELECT cents,
+        |           CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+        |               AS BIGINT) AS c0,
+        |           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+        |               AS BIGINT) AS c1
+        |    FROM ksv GROUP BY 1
+        |), kst AS (
+        |    SELECT CAST(SUM(c0) AS BIGINT) AS n1,
+        |           CAST(SUM(c1) AS BIGINT) AS n2
+        |    FROM ksh
+        |), ksc AS (
+        |    SELECT SUM(c0) OVER (ORDER BY cents
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               AS f0,
+        |           SUM(c1) OVER (ORDER BY cents
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               AS f1
+        |    FROM ksh
+        |), ksd AS (
+        |    SELECT CAST(COALESCE(MAX(abs(f0 * t.n2 - f1 * t.n1)), 0)
+        |               AS BIGINT) AS d_num
+        |    FROM ksc, kst t
+        |)
+        |SELECT t.n1, t.n2, d.d_num,
+        |       CAST(CASE WHEN t.n1 = 0 OR t.n2 = 0 THEN 0
+        |            ELSE d.d_num * 1000000 // (t.n1 * t.n2) END AS BIGINT)
+        |           AS d_ppm,
+        |       CAST(CASE WHEN t.n1 = 0 OR t.n2 = 0 THEN 0
+        |            WHEN CAST(d.d_num AS HUGEINT) * d.d_num * 1000
+        |                 >= ${EventOps.KsCritSqThousandths}
+        |                    * CAST(t.n1 + t.n2 AS HUGEINT) * t.n1 * t.n2
+        |            THEN 1 ELSE 0 END AS INTEGER) AS significant
+        |FROM ksd d, kst t""".stripMargin,
     // Mann-Whitney U: doubled midranks off the value histogram, exact
     // z² in milli through HUGEINT, the chi-square critical constant
     // shared via the same cross-multiplied comparison

@@ -987,6 +987,27 @@ class AnalyticsOpsSpec extends SparkSpec {
       (if (want >= 3841) 1 else 0))
   }
 
+  test("ks test: brute-force ECDF max-gap on the fixture") {
+    val r = graft.ops.EventOps.ksTest(spark, sf).head
+    val vals = graft.Tables.t(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).cast("int").as("arm"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect().map(x => (x.getInt(0), x.getLong(1)))
+    val a0 = vals.filter(_._1 == 0).map(_._2)
+    val a1 = vals.filter(_._1 == 1).map(_._2)
+    val (n1, n2) = (a0.length.toLong, a1.length.toLong)
+    val support = vals.map(_._2).distinct.sorted
+    val dNum = support.map(v =>
+      math.abs(a0.count(_ <= v) * n2 - a1.count(_ <= v) * n1)).max
+    assert((r.getAs[Long]("n1"), r.getAs[Long]("n2")) === ((n1, n2)))
+    assert(r.getAs[Long]("d_num") === dNum)
+    assert(r.getAs[Long]("d_ppm") === dNum * 1000000L / (n1 * n2))
+    val sig = BigInt(dNum) * dNum * 1000 >=
+      BigInt(1845) * (n1 + n2) * n1 * n2
+    assert(r.getAs[Int]("significant") === (if (sig) 1 else 0))
+  }
+
   test("trimmed/winsorized means: brute-force per-region agreement") {
     val got = graft.ops.Relational.trimmedStats(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
