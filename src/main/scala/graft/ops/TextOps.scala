@@ -1631,6 +1631,64 @@ object TextOps {
     * combined — the corpus's only shuffle), then a source-keyed rollup
     * of the vocab-sized frame. Gate `q_vocab_stats`.
     */
+  /** Per-language SOURCE CONCENTRATION — Herfindahl-Hirschman index and
+    * its Simpson-diversity complement (1 − HHI), the data-mixing
+    * diagnostic that says whether one provenance dominates a language
+    * slice (the risk signal before [[graft.ops.SamplingOps]]'
+    * re-balancing: HHI → 1 means a monoculture no temperature mix can
+    * fix). Exact: HHI_ppm = Σ cnt²·10⁶ div n² — integer sums first,
+    * ONE floor at the end, so both engines land on the same integer; the
+    * n² product holds in DECIMAL(38) to 10¹⁸ docs per slice.
+    *
+    * Scale shape: one (lang, source) count aggregation (map-side
+    * combined) — the only fact-volume pass; the rollup runs over the
+    * provenance-bounded cell frame. Gate `q_source_concentration`.
+    */
+  def sourceConcentration(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("cnt"))
+      .groupBy("lang")
+      .agg(sum("cnt").as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt")).as("s2"))
+      .select(col("lang"), col("n_docs"), col("n_sources"),
+        expr("CAST(s2 * 1000000 div (CAST(n_docs AS DECIMAL(38,0)) " +
+          "* n_docs) AS BIGINT)").as("hhi_ppm"),
+        expr("CAST(1000000 - s2 * 1000000 div " +
+          "(CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)")
+          .as("simpson_ppm"))
+      .orderBy("lang")
+
+  /** Distinct-3-gram NOVELTY of the odd-doc slice against the even-doc
+    * reference — the self-BLEU-flavored memorization/novelty screen a
+    * generation pipeline runs between a candidate corpus and its
+    * training reference (novelty → 0 means the candidate re-treads the
+    * reference's surface forms): |grams(cand) \ grams(ref)| over
+    * |grams(cand)|, on the dedup family's 3-token shingles.
+    *
+    * Scale shape: gram explode + per-slice DISTINCT (one hash shuffle
+    * on the gram), one gram-keyed anti join — the decontamination
+    * shape, linear, never all-pairs. Gate `q_ngram_novelty`.
+    */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    val grams = graft.ops.SetJoinOps.docShingles(t(s, d, "documents"))
+    // both slices feed two consumers each — persist or the gram
+    // distinct recomputes per branch (the theta branch-reuse lesson)
+    val ref = PlanCache.swap("novelty_ref",
+      grams.where(col("doc_id") % 2 === 0).select("sh").distinct())
+    val cand = PlanCache.swap("novelty_cand",
+      grams.where(col("doc_id") % 2 === 1).select("sh").distinct())
+    val novel = cand.join(ref, Seq("sh"), "left_anti")
+      .agg(count(lit(1)).as("n_novel"))
+    val nr = ref.agg(count(lit(1)).as("n_grams_ref"))
+    val nc = cand.agg(count(lit(1)).as("n_grams_cand"))
+    novel.crossJoin(broadcast(nr)).crossJoin(broadcast(nc))
+      .select(col("n_grams_ref"), col("n_grams_cand"), col("n_novel"),
+        expr("CAST(CASE WHEN n_grams_cand = 0 THEN 0 ELSE " +
+          "n_novel * 1000000 div n_grams_cand END AS BIGINT)")
+          .as("novelty_ppm"))
+  }
+
   def vocabStats(s: SparkSession, d: String): DataFrame =
     withTokens(t(s, d, "documents"))
       .select(col("source"), explode(col("tokens")).as("w"))

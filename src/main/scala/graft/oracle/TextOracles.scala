@@ -1213,6 +1213,56 @@ object TextOracles {
         |           AS pos_rate_ppm,
         |       CAST(SUM(q_score) // COUNT(*) AS BIGINT) AS mean_score
         |FROM cbr GROUP BY 1 ORDER BY 1""".stripMargin,
+    // HHI / Simpson concentration: exact integer sums, one floor at the
+    // end — HUGEINT // == Spark DECIMAL(38) div
+    "q_source_concentration" ->
+      """WITH scc AS (
+        |    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS cnt
+        |    FROM documents GROUP BY 1, 2
+        |), sca AS (
+        |    SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+        |           CAST(COUNT(*) AS BIGINT) AS n_sources,
+        |           CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS HUGEINT) AS s2
+        |    FROM scc GROUP BY 1
+        |)
+        |SELECT lang, n_docs, n_sources,
+        |       CAST(s2 * 1000000 // (CAST(n_docs AS HUGEINT) * n_docs)
+        |            AS BIGINT) AS hhi_ppm,
+        |       CAST(1000000 - s2 * 1000000
+        |            // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT)
+        |           AS simpson_ppm
+        |FROM sca ORDER BY lang""".stripMargin,
+    // distinct-3-gram novelty of the odd slice vs the even reference:
+    // per-slice distinct gram sets, anti-join count, exact ppm
+    "q_ngram_novelty" ->
+      s"""WITH nvt AS (
+        |    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens
+        |    FROM documents
+        |), nvg AS (
+        |    SELECT doc_id, unnest(list_distinct(list_transform(
+        |               range(1, len(tokens) - ${SetJoinOps.ShingleN - 2}),
+        |               i -> array_to_string(
+        |                   tokens[i:i+${SetJoinOps.ShingleN - 1}], ' '))))
+        |               AS sh
+        |    FROM nvt WHERE len(tokens) >= ${SetJoinOps.ShingleN}
+        |), nvr AS (
+        |    SELECT DISTINCT sh FROM nvg WHERE doc_id % 2 = 0
+        |), nvc AS (
+        |    SELECT DISTINCT sh FROM nvg WHERE doc_id % 2 = 1
+        |), nvn AS (
+        |    SELECT CAST(COUNT(*) AS BIGINT) AS n_novel
+        |    FROM nvc WHERE sh NOT IN (SELECT sh FROM nvr)
+        |), nvs AS (
+        |    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nvr)
+        |               AS n_grams_ref,
+        |           (SELECT CAST(COUNT(*) AS BIGINT) FROM nvc)
+        |               AS n_grams_cand
+        |)
+        |SELECT s.n_grams_ref, s.n_grams_cand, n.n_novel,
+        |       CAST(CASE WHEN s.n_grams_cand = 0 THEN 0
+        |            ELSE n.n_novel * 1000000 // s.n_grams_cand END
+        |            AS BIGINT) AS novelty_ppm
+        |FROM nvn n, nvs s""".stripMargin,
     // isotonic calibration: PAV via the minimax characterization over
     // the bounded bin frame — segment rates ordered by the exact scaled-
     // fraction key (HUGEINT // == Spark DECIMAL(38) div), lexicographic

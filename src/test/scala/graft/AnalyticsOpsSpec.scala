@@ -1008,6 +1008,47 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(r.getAs[Int]("significant") === (if (sig) 1 else 0))
   }
 
+  test("source concentration: brute-force HHI, complement law, bounds") {
+    val rows = graft.ops.TextOps.sourceConcentration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    for (r <- rows) {
+      val lang = r.getString(0)
+      val cnts = docs.filter(_._1 == lang).groupBy(_._2)
+        .values.map(_.length.toLong).toSeq
+      val n = cnts.sum
+      val hhi = (cnts.map(c => BigInt(c) * c).sum * 1000000 /
+        (BigInt(n) * n)).toLong
+      assert(r.getAs[Long]("n_docs") === n)
+      assert(r.getAs[Long]("n_sources") === cnts.length.toLong)
+      assert(r.getAs[Long]("hhi_ppm") === hhi)
+      assert(r.getAs[Long]("simpson_ppm") === 1000000L - hhi)
+      assert(hhi >= 1000000L / cnts.length && hhi <= 1000000L)
+    }
+  }
+
+  test("ngram novelty: brute-force gram-set difference on the fixture") {
+    val r = graft.ops.TextOps.ngramNovelty(spark, sf).head
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    def grams(slice: Array[(Long, String)]) = slice.flatMap { case (_, t) =>
+      val toks = t.trim.split("\\s+")
+      if (toks.length < 3) Array.empty[String]
+      else toks.sliding(3).map(_.mkString(" ")).toArray
+    }.toSet
+    val ref = grams(docs.filter(_._1 % 2 == 0))
+    val cand = grams(docs.filter(_._1 % 2 == 1))
+    val novel = (cand -- ref).size.toLong
+    assert(r.getAs[Long]("n_grams_ref") === ref.size.toLong)
+    assert(r.getAs[Long]("n_grams_cand") === cand.size.toLong)
+    assert(r.getAs[Long]("n_novel") === novel)
+    assert(r.getAs[Long]("novelty_ppm") ===
+      novel * 1000000L / cand.size)
+  }
+
   test("trimmed/winsorized means: brute-force per-region agreement") {
     val got = graft.ops.Relational.trimmedStats(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
