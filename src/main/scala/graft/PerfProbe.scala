@@ -677,7 +677,19 @@ object PerfProbe {
         // catalog-bounded; harmonic centrality walks the K-invariant
         // domain graph
         "q_readability", "q_kwic", "q_line_quality", "q_rfm_segments",
-        "q_theil_sen", "q_kendall_tau", "q_harmonic_centrality")
+        "q_theil_sen", "q_kendall_tau", "q_harmonic_centrality",
+        // round-12 later additions: C4 is per-row line rules; the
+        // centrality walks ride the K-invariant domain graph; MRR is
+        // the bm25 serve shape (probes grow with K, candidates stay
+        // per-copy-bounded under the affine cipher); isotonic is the
+        // classifier-train shape + bin-frame math; the A/B tests and
+        // concentration are one value/cell histogram each; trimmed
+        // stats is one region-keyed exchange; novelty is the
+        // decontamination anti-join shape
+        "q_c4_filters", "q_stress_centrality", "q_retrieval_mrr",
+        "q_acf_lags", "q_isotonic_calibration", "q_trimmed_stats",
+        "q_cramers_v", "q_mann_whitney", "q_ks_test",
+        "q_source_concentration", "q_ngram_novelty")
       // q_hybrid_search is deliberately absent for the q_contamination
       // reason: its semantic leg is probe-set x corpus and BOTH grow with
       // K here, so the ratio would measure the quadratic workload growth,
