@@ -689,7 +689,16 @@ object PerfProbe {
         "q_c4_filters", "q_stress_centrality", "q_retrieval_mrr",
         "q_acf_lags", "q_isotonic_calibration", "q_trimmed_stats",
         "q_cramers_v", "q_mann_whitney", "q_ks_test",
-        "q_source_concentration", "q_ngram_novelty")
+        "q_source_concentration", "q_ngram_novelty",
+        // round-12 continued: gini folds K× orders onto the constant
+        // customer set (histogram ≤ customers); the FD profile is one
+        // two-phase distinct agg per candidate onto constant key
+        // domains; burstiness folds K× events into the (type, day)
+        // grid; the Markov chain lag-windows K× events on the SAME
+        // users (runs lengthen — the SCD2 shape) into a |types|²
+        // matrix; modularity tallies the K-invariant domain graph
+        "q_gini_spend", "q_fd_profile", "q_burstiness",
+        "q_markov_stationary", "q_modularity")
       // q_hybrid_search is deliberately absent for the q_contamination
       // reason: its semantic leg is probe-set x corpus and BOTH grow with
       // K here, so the ratio would measure the quadratic workload growth,

@@ -881,6 +881,104 @@ object EventOps {
       .orderBy("prev_type", "cur_type")
   }
 
+  /** Per-type BURSTINESS of the event stream — the Fano factor
+    * (variance-to-mean ratio) of daily event counts over the GLOBAL
+    * observed day grid: a Poisson-uniform type scores ≈ 10⁶ (ppm), a
+    * bursty type (bot storms, campaign spikes) far above, a
+    * metronome-regular one below. Days inside the grid with zero events
+    * of a type count as 0 — algebraically, via
+    *
+    *   fano_ppm = 10⁶ · (D·Σc² − S²) div (D·S)
+    *
+    * (D = grid days, S = type total, Σc² over ACTIVE days only — zero
+    * days add nothing to either sum), so no day-grid rows are ever
+    * generated. Exact integers end-to-end; Cauchy-Schwarz keeps the
+    * numerator ≥ 0. DECIMAL(38) holds D·Σc² to 10¹⁸ events/day.
+    *
+    * Scale shape: one (type, day) count aggregation (map-side combined)
+    * — the only fact-volume pass; the grid bounds are a broadcast 1-row
+    * aggregate; the rollup runs over the bounded (type, day) frame.
+    * Gate `q_burstiness`.
+    */
+  def burstiness(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("event_type"), expr(s"ts div $DayNs").as("day"))
+    val daily = ev.groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    val grid = ev.agg((max("day") - min("day") + lit(1L)).as("n_days"))
+    daily.groupBy("event_type")
+      .agg(sum("c").as("n_events"), count(lit(1)).as("days_active"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("s2"))
+      .crossJoin(broadcast(grid))
+      .select(col("event_type"), col("n_events"), col("n_days"),
+        col("days_active"),
+        expr("CAST((n_days * s2 - CAST(n_events AS DECIMAL(38,0)) " +
+          "* n_events) * 1000000 div (CAST(n_days AS DECIMAL(38,0)) " +
+          "* n_events) AS BIGINT)").as("fano_ppm"))
+      .orderBy("event_type")
+  }
+
+  /** Power-iteration rounds for [[markovStationary]] — fixed by contract
+    * (the [[graft.ops.GraphOps.labelPropagation]] posture: a bounded
+    * unroll the declarative oracle replays round for round).
+    */
+  val MarkovIters = 8
+
+  /** Stationary distribution of the event-type MARKOV CHAIN — the
+    * long-run "where does a user's session settle" answer that the raw
+    * transition matrix ([[eventTransitions]]) only implies: start
+    * uniform, apply the observed row-stochastic transition matrix for
+    * [[MarkovIters]] exact-integer rounds. The PageRank arithmetic
+    * exactly (mass in ppm; per round π'_j = Σ_i π_i·p_ij div 10⁶ —
+    * ONE floor per target state per round), so both engines land on
+    * identical integers. States with no outgoing transition lose their
+    * mass (the dangling contract, documented like the walk gates);
+    * floor truncation bleeds ≤ |states| ppm per round — deterministic
+    * on both sides, and the spec pins conservation bounds.
+    *
+    * Scale shape: ONE fact-volume pass (the lag window per user — the
+    * session-sequence shuffle class) builds the |types|²-bounded
+    * transition matrix; the matrix is BOUNDED METADATA (the centroid
+    * doctrine — require-guarded), so the 8 rounds fold driver-side in
+    * exact Long arithmetic with zero extra Spark jobs: at any corpus
+    * size the iteration cost is |types|², not a per-round job.
+    * Gate `q_markov_stationary`.
+    */
+  def markovStationary(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = ev.withColumn("prev", lag(col("event_type"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val tot = trans.groupBy("src").agg(sum("n").as("tot"))
+    val p = trans.join(tot, Seq("src"))
+      .select(col("src"), col("dst"), expr("n * 1000000L div tot").as("p_ppm"))
+      .collect()
+    require(p.length <= 65536, s"markovStationary: ${p.length} transition " +
+      "cells exceed the bounded-metadata contract (event-type vocabulary " +
+      "is expected to be small; refusing a driver-side fold that isn't)")
+    val pm = p.map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val states = p.flatMap(r => Seq(r.getString(0), r.getString(1)))
+      .distinct.sorted
+    // dangling isolates: types that never border a transition still get
+    // initial mass (they are chain states with no edges either way)
+    val iso = ev.select(col("event_type")).distinct().collect()
+      .map(_.getString(0)).sorted
+    val all = (states ++ iso).distinct.sorted
+    import s.implicits._
+    if (all.isEmpty) // empty stream → empty distribution, like the oracle
+      return Seq.empty[(String, Long)].toDF("event_type", "pi_ppm")
+    var pi: Map[String, Long] = all.map(_ -> 1000000L / all.length).toMap
+    for (_ <- 1 to MarkovIters)
+      pi = all.map { j =>
+        // acc ≤ 10⁶·10⁶·|types| — Long-safe under the 65536-cell guard
+        j -> all.map(i => pi(i) * pm.getOrElse((i, j), 0L)).sum / 1000000L
+      }.toMap
+    all.map(st => (st, pi(st))).toSeq.toDF("event_type", "pi_ppm")
+      .orderBy("event_type")
+  }
+
   /** Attribution lookback window (7 days, ns) and the micro-cent scale
     * credits are split in.
     */

@@ -751,4 +751,68 @@ object GraphOps {
       .select(col("id").as("doc_id"), col("cluster_id"))
       .orderBy("doc_id")
   }
+
+  /** Newman-Girvan MODULARITY tallies of a vertex partition (Newman &
+    * Girvan 2004) — the quality score that says whether a community
+    * assignment (here: [[labelPropagation]]'s labels) actually captures
+    * denser-than-chance structure:
+    *
+    *   Q = Σ_c ( e_c/m − (d_c / 2m)² )
+    *
+    * with m = undirected simple-graph edges, e_c = intra-community edges
+    * and d_c = the community's degree sum. Emitted SQRT- and
+    * DIVISION-free so both engines land on identical integers: per
+    * community the NUMERATOR `contrib_num = 4·m·e_c − d_c²` plus the
+    * shared denominator `four_m2 = 4m²` (Q = Σ contrib_num / four_m2 —
+    * the consumer's one division; a per-row ppm would need floor
+    * semantics on NEGATIVE numerators, where Spark `div` truncates and
+    * DuckDB `//` floors, so the division is deliberately not taken).
+    * DECIMAL(38) holds the products to 10¹⁸ edges.
+    *
+    * Works on the symmetrized simple graph ([[labelPropagation]]'s
+    * convention exactly): self-loops dropped, parallel/reversed
+    * duplicates collapse.
+    *
+    * Scale shape: one distinct over the edge set, one vertex-keyed
+    * degree agg, TWO label lookups on the edge frame (community labels
+    * are vertex-sized — broadcast when they fit, shuffle-keyed
+    * otherwise; Spark's planner picks via AQE) and bounded
+    * community-keyed rollups — the triangle-count shuffle class, never
+    * all-pairs.
+    *
+    * `edges`: directed (src, dst); `labels`: (id, label). Returns one
+    * row per community: (community, n_nodes, e_intra, d_sum,
+    * contrib_num, four_m2).
+    */
+  def modularityOver(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().persist()
+    try {
+      val m = und.agg(count(lit(1)).as("m"))
+      val deg = und.select(col("a").as("v"))
+        .unionAll(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val la = labels.select(col("id").as("a"), col("label").as("la"))
+      val lb = labels.select(col("id").as("b"), col("label").as("lb"))
+      val intra = und.join(la, "a").join(lb, "b")
+        .where(col("la") === col("lb"))
+        .groupBy(col("la").as("community")).agg(count(lit(1)).as("e_intra"))
+      val dsum = labels.join(deg, labels("id") === deg("v"), "left")
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(coalesce(col("deg"), lit(0L))).as("d_sum"))
+      dsum.join(intra, Seq("community"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("community"), col("n_nodes"),
+          coalesce(col("e_intra"), lit(0L)).as("e_intra"), col("d_sum"),
+          expr("CAST(4 * CAST(m AS DECIMAL(38,0)) * coalesce(e_intra, 0)" +
+            " - CAST(d_sum AS DECIMAL(38,0)) * d_sum AS BIGINT)")
+            .as("contrib_num"),
+          expr("CAST(4 * CAST(m AS DECIMAL(38,0)) * m AS BIGINT)")
+            .as("four_m2"))
+        .localCheckpoint(eager = true)
+    } finally und.unpersist()
+  }
 }

@@ -629,6 +629,21 @@ object LinkOps {
       .orderBy(col("rank_fp").desc, col("domain"))
   }
 
+  /** Modularity tallies of the [[communitiesLpa]] partition over the
+    * domain graph ([[GraphOps.modularityOver]]) — the gate that scores
+    * the LPA communities instead of merely listing them: a community
+    * whose `contrib_num` ≤ 0 is no denser than the configuration-model
+    * chance baseline (the link-farm / crawl-cluster adjudicator). Same
+    * [[LpaIters]] synchronous rounds, so the oracle replays label
+    * assignment AND score. Gate `q_modularity`.
+    */
+  def modularityCommunities(s: SparkSession, d: String): DataFrame =
+    withDomainGraph(s, d) { (_, edges, verts) =>
+      GraphOps.labelPropagationInto(edges, verts, LpaIters) { labels =>
+        GraphOps.modularityOver(edges, labels)
+      }
+    }.orderBy("community")
+
   /** Cron posture: re-extract, re-walk, overwrite the stored table. */
   def authorityRebuildEntry(id: String, cronExpr: String, d: String,
                             db: String): graft.pipeline.ScheduleRunner.Entry =

@@ -786,6 +786,96 @@ object Relational {
       .orderBy(col("revenue_cents").desc, col("p_partkey"))
   }
 
+  /** GINI COEFFICIENT of customer spend per region — the inequality
+    * profile of the revenue base (Gini 0 = every customer spends the
+    * same; → 1 = one whale carries the region), via the exact
+    * rank-weighted identity on the VALUE HISTOGRAM:
+    *
+    *   G = Σᵢ (2i − n − 1)·xᵢ / (n·Σx)          (x ascending)
+    *     = ( Σ_v x·c·(2F + c) − n·S ) / (n·S)
+    *
+    * where per distinct value v: c = customers at v, F = customers
+    * strictly below v, S = total cents — so the rank sum needs NO
+    * per-customer global sort, only a prefix sum over the
+    * value-histogram frame (the calibration/RFM two-phase posture).
+    * Ties collapse into one histogram row, making the result
+    * order-independent; exact integers end-to-end (gini_ppm =
+    * num·10⁶ div (n·S); DECIMAL(38) holds x·c·2n to 10²⁷-scale).
+    *
+    * Scale shape: one custkey aggregation over orders (map-side
+    * combined), one custkey-keyed join against customer (both sides
+    * key-partitioned; nation/region broadcast), then ONE histogram
+    * aggregation — the per-region prefix window runs over distinct
+    * spend values, not customers. Gate `q_gini_spend`.
+    */
+  def giniSpend(s: SparkSession, d: String): DataFrame = {
+    val spend = t(s, d, "orders")
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy("o_custkey").agg(sum("cents").as("x"))
+    val cust = t(s, d, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+    val nat = t(s, d, "nation")
+      .select(col("n_nationkey").as("c_nationkey"), col("n_regionkey"))
+    val reg = t(s, d, "region")
+      .select(col("r_regionkey").as("n_regionkey"), col("r_name"))
+    val hist = spend.join(cust, "o_custkey")
+      .join(broadcast(nat), "c_nationkey")
+      .join(broadcast(reg), "n_regionkey")
+      .groupBy("r_name", "x").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("r_name").orderBy("x")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    hist.withColumn("f", coalesce(sum("c").over(w), lit(0L)))
+      .groupBy("r_name")
+      .agg(sum("c").as("n_customers"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * c")).as("s"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * c * (2 * f + c)")).as("a"))
+      .select(col("r_name"), col("n_customers"),
+        expr("CAST(s AS BIGINT)").as("total_cents"),
+        expr("CAST((a - CAST(n_customers AS DECIMAL(38,0)) * s) * 1000000" +
+          " div (CAST(n_customers AS DECIMAL(38,0)) * s) AS BIGINT)")
+          .as("gini_ppm"))
+      .orderBy("r_name")
+  }
+
+  /** FUNCTIONAL-DEPENDENCY profile over five candidate FDs — the schema-
+    * discovery diagnostic (does X determine Y in the data?) a warehouse
+    * runs before trusting a column as a grouping key or a dimension
+    * attribute: per candidate X→Y, the determinant-group count, how many
+    * groups carry >1 distinct dependent value (violations), the exact
+    * violation share in ppm and the worst group's dependent cardinality.
+    * `viol_ppm = 0` certifies the FD holds exactly on this corpus.
+    *
+    * Scale shape: per FD one (X, Y)-level two-phase distinct aggregation
+    * (map-side combined — countDistinct plans as partial sets) and a
+    * 1-row rollup; the five frames union. No joins, never all-pairs.
+    * Gate `q_fd_profile`.
+    */
+  def fdProfile(s: SparkSession, d: String): DataFrame = {
+    def fd(name: String, df: DataFrame, det: String, dep: String)
+        : DataFrame =
+      df.groupBy(col(det).as("k")).agg(countDistinct(col(dep)).as("card"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("card") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max("card").as("max_card"))
+        .select(lit(name).as("fd"), col("n_groups"), col("n_violating"),
+          expr("n_violating * 1000000L div n_groups").as("viol_ppm"),
+          col("max_card"))
+    fd("customer.nation->segment", t(s, d, "customer"),
+        "c_nationkey", "c_mktsegment")
+      .unionByName(fd("documents.source->lang", t(s, d, "documents"),
+        "source", "lang"))
+      .unionByName(fd("events.user->type", t(s, d, "events"),
+        "user_id", "event_type"))
+      .unionByName(fd("lineitem.part->supp", t(s, d, "lineitem"),
+        "l_partkey", "l_suppkey"))
+      .unionByName(fd("orders.cust->priority", t(s, d, "orders"),
+        "o_custkey", "o_orderpriority"))
+      .orderBy("fd")
+  }
+
   def idIslands(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select(col("doc_id"))
       .withColumn("grp", col("doc_id") -

@@ -549,7 +549,12 @@ object Ctes {
     * rounds (neighbor-label counts → per-vertex majority pick with the
     * count-desc/label-asc tie-break), community sizes joined last.
     */
-  def lpaOracle(iters: Int): String = {
+  /** The LPA round CTEs (symmetrized simple graph + `iters` unrolled
+    * synchronous rounds ending at `lp<iters>`) — shared by the community
+    * listing ([[lpaOracle]]) and its modularity score
+    * ([[modularityOracle]]).
+    */
+  private def lpaCtes(iters: Int): String = {
     val steps = (1 to iters).map { i =>
       s""", lpn$i AS MATERIALIZED (
          |    SELECT s.dst AS id, l.label, CAST(COUNT(*) AS BIGINT) AS c
@@ -572,7 +577,11 @@ object Ctes {
         |    )
         |), lp0 AS MATERIALIZED (
         |    SELECT v AS id, v AS label FROM verts
-        |)""".stripMargin + steps +
+        |)""".stripMargin + steps
+  }
+
+  def lpaOracle(iters: Int): String =
+    lpaCtes(iters) +
       s"""
          |SELECT l.id AS domain, l.label AS community,
          |       CAST(z.community_size AS BIGINT) AS community_size
@@ -580,7 +589,47 @@ object Ctes {
          |    SELECT label, COUNT(*) AS community_size
          |    FROM lp$iters GROUP BY 1) z ON z.label = l.label
          |ORDER BY domain""".stripMargin
-  }
+
+  /** Modularity oracle: the LPA rounds, then the Newman-Girvan tallies
+    * over the UNDIRECTED simple graph — per community intra-edge count,
+    * degree sum and the division-free numerator 4·m·e_c − d_c² next to
+    * the shared denominator 4m² (GraphOps.modularityOver's contract:
+    * the division is the consumer's, because floor semantics differ on
+    * negative numerators between the engines).
+    */
+  def modularityOracle(iters: Int): String =
+    lpaCtes(iters) +
+      s""", mue AS MATERIALIZED (
+         |    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |    FROM edges WHERE src <> dst
+         |), mmm AS (
+         |    SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM mue
+         |), mdg AS (
+         |    SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |        SELECT a AS v FROM mue UNION ALL SELECT b AS v FROM mue
+         |    ) GROUP BY 1
+         |), mint AS (
+         |    SELECT la.label AS community, CAST(COUNT(*) AS BIGINT)
+         |               AS e_intra
+         |    FROM mue e
+         |    JOIN lp$iters la ON la.id = e.a
+         |    JOIN lp$iters lb ON lb.id = e.b
+         |    WHERE la.label = lb.label GROUP BY 1
+         |), mds AS (
+         |    SELECT l.label AS community, CAST(COUNT(*) AS BIGINT)
+         |               AS n_nodes,
+         |           CAST(SUM(COALESCE(g.deg, 0)) AS BIGINT) AS d_sum
+         |    FROM lp$iters l LEFT JOIN mdg g ON g.v = l.id GROUP BY 1
+         |)
+         |SELECT d.community, d.n_nodes,
+         |       CAST(COALESCE(i.e_intra, 0) AS BIGINT) AS e_intra, d.d_sum,
+         |       CAST(4 * (SELECT m FROM mmm) * COALESCE(i.e_intra, 0)
+         |            - CAST(d.d_sum AS HUGEINT) * d.d_sum AS BIGINT)
+         |           AS contrib_num,
+         |       CAST(4 * (SELECT m FROM mmm) * (SELECT m FROM mmm)
+         |            AS BIGINT) AS four_m2
+         |FROM mds d LEFT JOIN mint i USING (community)
+         |ORDER BY community""".stripMargin
 
   /** k-core oracle: symmetrized simple graph, `rounds` unrolled peel
     * stages (degree → condemned set → surviving edges), then removal

@@ -1229,5 +1229,77 @@ object EventOracles {
         |       CAST(n.n * 1000000 // t.tot AS BIGINT) AS p_ppm
         |FROM n JOIN tot t USING (prev_type)
         |ORDER BY prev_type, cur_type""".stripMargin,
+    // Fano factor over the global day grid: zero days enter only
+    // through D, fano_ppm = 10⁶·(D·Σc² − S²) // (D·S), numerator ≥ 0
+    // by Cauchy-Schwarz so truncating // == floor == Spark div
+    "q_burstiness" ->
+      s"""WITH bde AS (
+        |    SELECT event_type, epoch_ns(ts) // ${graft.ops.EventOps.DayNs}
+        |               AS day
+        |    FROM events
+        |), bdc AS (
+        |    SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS c
+        |    FROM bde GROUP BY 1, 2
+        |), bdg AS (
+        |    SELECT CAST(max(day) - min(day) + 1 AS BIGINT) AS n_days
+        |    FROM bde
+        |), bdt AS (
+        |    SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_events,
+        |           CAST(COUNT(*) AS BIGINT) AS days_active,
+        |           CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+        |    FROM bdc GROUP BY 1
+        |)
+        |SELECT t.event_type, t.n_events, g.n_days, t.days_active,
+        |       CAST((g.n_days * t.s2
+        |             - CAST(t.n_events AS HUGEINT) * t.n_events) * 1000000
+        |            // (CAST(g.n_days AS HUGEINT) * t.n_events) AS BIGINT)
+        |           AS fano_ppm
+        |FROM bdt t CROSS JOIN bdg g ORDER BY event_type""".stripMargin,
+    // stationary distribution: the transition-matrix CTEs + 8 unrolled
+    // power-iteration rounds in exact ppm (sum of HUGEINT products,
+    // ONE // per state per round; acc ≥ 0 so // == Spark div)
+    "q_markov_stationary" -> {
+      val rounds = (1 to graft.ops.EventOps.MarkovIters).map { i =>
+        s""", mk$i AS MATERIALIZED (
+           |    SELECT t.state,
+           |           CAST(COALESCE(x.acc // 1000000, 0) AS BIGINT) AS pi
+           |    FROM mts t LEFT JOIN (
+           |        SELECT p.dst AS state,
+           |               SUM(CAST(m.pi AS HUGEINT) * p.p_ppm) AS acc
+           |        FROM mk${i - 1} m JOIN mpp p ON p.src = m.state
+           |        GROUP BY 1) x USING (state)
+           |)""".stripMargin
+      }.mkString
+      s"""WITH mts AS MATERIALIZED (
+         |    SELECT DISTINCT event_type AS state FROM events
+         |), mev AS (
+         |    SELECT user_id, event_type, epoch_ns(ts) AS ts, event_id
+         |    FROM events
+         |), mpr AS (
+         |    SELECT event_type,
+         |           lag(event_type) OVER (PARTITION BY user_id
+         |               ORDER BY ts, event_id) AS prev
+         |    FROM mev
+         |), mtn AS (
+         |    SELECT prev AS src, event_type AS dst,
+         |           CAST(COUNT(*) AS BIGINT) AS n
+         |    FROM mpr WHERE prev IS NOT NULL GROUP BY 1, 2
+         |), mto AS (
+         |    SELECT src, SUM(n) AS tot FROM mtn GROUP BY 1
+         |), mpp AS MATERIALIZED (
+         |    SELECT n.src, n.dst, CAST(n.n * 1000000 // t.tot AS BIGINT)
+         |               AS p_ppm
+         |    FROM mtn n JOIN mto t USING (src)
+         |), mk0 AS MATERIALIZED (
+         |    SELECT state,
+         |           CAST(1000000 // (SELECT COUNT(*) FROM mts) AS BIGINT)
+         |               AS pi
+         |    FROM mts
+         |)""".stripMargin + rounds +
+        s"""
+           |SELECT state AS event_type, pi AS pi_ppm
+           |FROM mk${graft.ops.EventOps.MarkovIters}
+           |ORDER BY event_type""".stripMargin
+    },
   )
 }

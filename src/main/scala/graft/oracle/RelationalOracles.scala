@@ -665,5 +665,64 @@ object RelationalOracles {
         |FROM bfe e CROSS JOIN bft t LEFT JOIN bfc c ON c.digit = e.digit
         |ORDER BY e.digit""".stripMargin
     },
+    // Gini via the value-histogram rank-weighted identity: per distinct
+    // spend value x (c customers, F strictly below), rank sum
+    // Σ(2i−n−1)x = Σ x·c·(2F+c) − n·S — exact HUGEINT, one floor at
+    // the end (HUGEINT // == Spark DECIMAL(38) div; numerator ≥ 0)
+    "q_gini_spend" ->
+      """WITH gsp AS (
+        |    SELECT o_custkey,
+        |           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+        |                AS BIGINT) AS x
+        |    FROM orders GROUP BY 1
+        |), gjr AS (
+        |    SELECT r.r_name, s.x
+        |    FROM gsp s
+        |    JOIN customer c ON c.c_custkey = s.o_custkey
+        |    JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |    JOIN region r ON r.r_regionkey = n.n_regionkey
+        |), gh AS (
+        |    SELECT r_name, x, CAST(COUNT(*) AS BIGINT) AS c
+        |    FROM gjr GROUP BY 1, 2
+        |), gf AS (
+        |    SELECT r_name, x, c,
+        |           COALESCE(SUM(c) OVER (PARTITION BY r_name ORDER BY x
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |               0) AS f
+        |    FROM gh
+        |), gt AS (
+        |    SELECT r_name, CAST(SUM(c) AS BIGINT) AS n_customers,
+        |           CAST(SUM(CAST(x AS HUGEINT) * c) AS HUGEINT) AS s,
+        |           CAST(SUM(CAST(x AS HUGEINT) * c * (2 * f + c))
+        |                AS HUGEINT) AS a
+        |    FROM gf GROUP BY 1
+        |)
+        |SELECT r_name, n_customers, CAST(s AS BIGINT) AS total_cents,
+        |       CAST((a - n_customers * s) * 1000000 // (n_customers * s)
+        |            AS BIGINT) AS gini_ppm
+        |FROM gt ORDER BY r_name""".stripMargin,
+    // candidate-FD profile: per FD one (det)-level distinct-dep count,
+    // then the violation rollup — exact ppm, truncating //
+    "q_fd_profile" -> {
+      def one(name: String, tbl: String, det: String, dep: String) =
+        s"""SELECT '$name' AS fd,
+           |       CAST(COUNT(*) AS BIGINT) AS n_groups,
+           |       CAST(SUM(CASE WHEN card > 1 THEN 1 ELSE 0 END)
+           |            AS BIGINT) AS n_violating,
+           |       CAST(SUM(CASE WHEN card > 1 THEN 1 ELSE 0 END)
+           |            * 1000000 // COUNT(*) AS BIGINT) AS viol_ppm,
+           |       CAST(MAX(card) AS BIGINT) AS max_card
+           |FROM (SELECT $det AS k, COUNT(DISTINCT $dep) AS card
+           |      FROM $tbl GROUP BY 1)""".stripMargin
+      Seq(
+        one("customer.nation->segment", "customer",
+          "c_nationkey", "c_mktsegment"),
+        one("documents.source->lang", "documents", "source", "lang"),
+        one("events.user->type", "events", "user_id", "event_type"),
+        one("lineitem.part->supp", "lineitem", "l_partkey", "l_suppkey"),
+        one("orders.cust->priority", "orders",
+          "o_custkey", "o_orderpriority"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+    },
   )
 }

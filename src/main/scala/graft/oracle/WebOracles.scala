@@ -395,6 +395,9 @@ object WebOracles {
     "q_stress_centrality" -> allPairsGeodesicsOracle(6),
     "q_domain_hops" -> bfsHopsOracle(6),
     "q_communities_lpa" -> lpaOracle(graft.ops.LinkOps.LpaIters),
+    // LPA rounds + the Newman-Girvan tallies (division-free numerator
+    // and shared 4m² denominator — see GraphOps.modularityOver)
+    "q_modularity" -> modularityOracle(graft.ops.LinkOps.LpaIters),
     // triangle counting: degree-ordered orientation, (lo)-keyed wedge
     // self-join, closing-edge membership in the canonical undirected
     // set — counts and the exact gcc ppm replayed join for join
