@@ -698,7 +698,15 @@ object PerfProbe {
         // users (runs lengthen — the SCD2 shape) into a |types|²
         // matrix; modularity tallies the K-invariant domain graph
         "q_gini_spend", "q_fd_profile", "q_burstiness",
-        "q_markov_stationary", "q_modularity")
+        "q_markov_stationary", "q_modularity",
+        // skip-gram pairs are a per-row zip expression + one count agg
+        // (fixed top-k output); Zipf ranks the ~linearly-growing rotated
+        // vocabulary; quantile alignment runs on length HISTOGRAMS
+        // (fixed 101-point grid output); Holt folds K× orders into the
+        // constant month grid; eccentricity walks the K-invariant
+        // domain graph
+        "q_skipgram_pairs", "q_zipf_profile", "q_quantile_align",
+        "q_holt_smooth", "q_eccentricity")
       // q_hybrid_search is deliberately absent for the q_contamination
       // reason: its semantic leg is probe-set x corpus and BOTH grow with
       // K here, so the ratio would measure the quadratic workload growth,

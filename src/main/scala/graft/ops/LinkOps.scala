@@ -437,6 +437,35 @@ object LinkOps {
       }
     }.orderBy(col("harmonic_fp").desc, col("domain"))
 
+  /** Per-domain ECCENTRICITY / distance profile over the domain graph
+    * (out-direction, the crawl-frontier view): within the bounded
+    * 6-round horizon ([[GraphOps.allPairsHops]] — the honest bounded-
+    * round contract of the walk family), each domain's reached count,
+    * total distance (closeness's denominator) and eccentricity (max
+    * geodesic — its rows' max/min are the graph's bounded-horizon
+    * diameter/radius). Unreached pairs simply don't count — the same
+    * convention as [[harmonicCentrality]], which this completes: the
+    * harmonic gate aggregates the IN-direction, this the OUT.
+    *
+    * Scale shape: the K-invariant domain-graph APSP walk (per round one
+    * src-keyed join + min-agg), then ONE s-keyed rollup.
+    * Gate `q_eccentricity`.
+    */
+  def eccentricityDomains(s: SparkSession, d: String): DataFrame =
+    withDomainGraph(s, d) { (_, edges, verts) =>
+      GraphOps.allPairsHopsInto(edges, verts) { hops =>
+        val e = hops.where(col("s") =!= col("id")).groupBy("s")
+          .agg(count(lit(1)).as("n_reached"), sum("dist").as("dist_sum"),
+            max("dist").as("ecc"))
+        verts.join(e, verts("id") === e("s"), "left")
+          .select(col("id").as("domain"),
+            coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+            coalesce(col("dist_sum"), lit(0L)).as("dist_sum"),
+            coalesce(col("ecc"), lit(0L)).as("ecc"))
+          .localCheckpoint(eager = true)
+      }
+    }.orderBy("domain")
+
   /** Stress centrality over the domain graph (Shimbel 1953) — the
     * exact-integer sibling of betweenness: for each domain v the number
     * of shortest s→t paths (within [[GraphOps.allPairsGeodesics]]'s

@@ -1689,6 +1689,119 @@ object TextOps {
           .as("novelty_ppm"))
   }
 
+  /** SKIP-GRAM co-occurrence pairs (window ±2, the word2vec context
+    * shape) — the training-pair export for embedding models and the
+    * collocation surface wider than [[collocations]]' adjacent bigrams:
+    * per ordered (center, context) pair within 2 positions, the corpus
+    * count; top-100 by (count desc, pair) — a total order, so the
+    * LIMIT cut is deterministic.
+    *
+    * Scale shape: pair generation is a PER-ROW zip_with expression
+    * (offsets +1/+2 against the token array — no posexplode self-join,
+    * zero shuffle before the count agg); one (w, c) count aggregation
+    * (map-side combined), then the fixed top-k. Symmetric counts come
+    * from unioning the swapped frame, not a second pass over text.
+    * Gate `q_skipgram_pairs`.
+    */
+  def skipgramPairs(s: SparkSession, d: String): DataFrame = {
+    def off(k: Int) =
+      s"""CASE WHEN size(tokens) > $k THEN
+         |  zip_with(slice(tokens, 1, size(tokens) - $k),
+         |           slice(tokens, 1 + $k, size(tokens) - $k),
+         |           (a, b) -> named_struct('w', a, 'c', b))
+         |ELSE array() END""".stripMargin
+    val fwd = withTokens(t(s, d, "documents"))
+      .select(explode(expr(s"concat(${off(1)}, ${off(2)})")).as("p"))
+      .select(col("p.w").as("w"), col("p.c").as("c"))
+    fwd.unionAll(fwd.select(col("c").as("w"), col("w").as("c")))
+      .groupBy("w", "c").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w"), col("c"))
+      .limit(100)
+  }
+
+  /** ZIPF DECAY PROFILE per source — token-frequency mass per rank
+    * DOUBLING bucket (bucket b holds type ranks [2^b, 2^{b+1})): under
+    * an ideal Zipf 1/r law every doubling bucket carries equal token
+    * mass, so `decay_ppm` (next bucket's mass over this one's, exact
+    * ppm) sits near 10⁶ — a collapsed tail (boilerplate floods) or a
+    * missing head (tokenizer shattering) bends it far off. The bucket
+    * index is exact integer arithmetic (binary-digit count of the
+    * rank), never a floating log.
+    *
+    * Scale shape: one (source, token) count aggregation — the corpus's
+    * only shuffle; the rank window and the bucket rollup run on the
+    * VOCABULARY-sized frame, and the lead window on the ~log₂|V| bucket
+    * frame. Gate `q_zipf_profile`.
+    */
+  def zipfProfile(s: SparkSession, d: String): DataFrame = {
+    val freq = withTokens(t(s, d, "documents"))
+      .select(col("source"), explode(col("tokens")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val ranked = freq.withColumn("rnk", row_number().over(
+      Window.partitionBy("source").orderBy(col("c").desc, col("tok"))))
+    val buckets = ranked
+      .withColumn("bucket", (length(conv(col("rnk"), 10, 2)) - 1).cast("long"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_types"), sum("c").as("bucket_tokens"))
+    val w2 = Window.partitionBy("source").orderBy("bucket")
+    buckets.withColumn("nxt", lead("bucket_tokens", 1).over(w2))
+      .select(col("source"), col("bucket"), col("n_types"),
+        col("bucket_tokens"),
+        coalesce(expr("nxt * 1000000 div bucket_tokens"), lit(-1L))
+          .as("decay_ppm"))
+      .orderBy("source", "bucket")
+  }
+
+  /** QUANTILE ALIGNMENT table of document length across sources — the
+    * exact per-source percentile grid (p = 0..100, value at within-
+    * source rank ceil(p·n_s/100), rank-1 at p = 0) next to the global
+    * grid and their difference: the lookup table quantile NORMALIZATION
+    * applies (map a value through its source percentile onto the global
+    * quantile function — the batch-effect corrector) and the drift
+    * diagnostic that catches one source's length distribution walking
+    * away from the corpus.
+    *
+    * Scale shape: histograms only — one (source, n_chars) count agg
+    * (map-side combined), prefix windows over HISTOGRAM frames, and the
+    * percentile lookup as an AS-OF union+window per source (cells + 101
+    * rows per partition; the q_asof_last_click posture) — never a
+    * per-document rank, never a histogram×grid nested-loop join.
+    * Gate `q_quantile_align`.
+    */
+  def quantileAlign(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("source"), col("n_chars"))
+    def pctValues(df: DataFrame): DataFrame = {
+      val hist = df.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+        .withColumn("hi", sum("c").over(Window.partitionBy("source")
+          .orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("lo", col("hi") - col("c") + 1)
+      val grid = df.groupBy("source").agg(count(lit(1)).as("n_s"))
+        .select(col("source"), col("n_s"),
+          explode(expr("sequence(0, 100)")).as("pct"))
+        .select(col("source"), col("pct"),
+          expr("greatest(1L, (pct * n_s + 99) div 100)").as("k"))
+      val cells = hist.select(col("source"), col("lo").as("k"),
+        lit(0).as("isg"), col("n_chars").as("v"),
+        lit(null).cast("int").as("pct"))
+      val probes = grid.select(col("source"), col("k"), lit(1).as("isg"),
+        lit(null).cast("long").as("v"), col("pct").cast("int").as("pct"))
+      cells.unionByName(probes)
+        .withColumn("value", last("v", ignoreNulls = true).over(
+          Window.partitionBy("source").orderBy(col("k"), col("isg"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .where(col("isg") === 1)
+        .select(col("source"), col("pct"), col("value"))
+    }
+    val src = pctValues(docs)
+    val glob = pctValues(docs.withColumn("source", lit("__all__")))
+      .select(col("pct"), col("value").as("global_value"))
+    src.join(broadcast(glob), Seq("pct"))
+      .select(col("source"), col("pct"), col("value").as("src_value"),
+        col("global_value"),
+        (col("value") - col("global_value")).as("shift"))
+      .orderBy("source", "pct")
+  }
+
   def vocabStats(s: SparkSession, d: String): DataFrame =
     withTokens(t(s, d, "documents"))
       .select(col("source"), explode(col("tokens")).as("w"))

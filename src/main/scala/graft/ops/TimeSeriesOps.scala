@@ -395,6 +395,66 @@ object TimeSeriesOps {
     * constant-size regardless of corpus scale; the only fact-volume work
     * is [[monthlyRevenue]]'s one keyed aggregation. Gate `q_acf_lags`.
     */
+  /** Fixed-point scale of [[holtSmooth]]'s level/trend state (2¹⁰ —
+    * dyadic so every division in the recurrence is an ARITHMETIC SHIFT,
+    * which floors identically for negative trends in Spark
+    * (`shiftright`, Java `>>`) and DuckDB (`>>`): the signed-floor-
+    * division trap that rules out `div`/`//` here).
+    */
+  val HoltScale = 1L << 10
+
+  /** Holt's linear exponential smoothing (Holt 1957) over the monthly
+    * revenue grid, α = β = ½ — the level+TREND upgrade of the EWMA
+    * gate (EWMA's level alone lags a trending series by a constant;
+    * Holt's trend state closes the gap — the standard short-horizon
+    * forecaster a metrics pipeline runs per region):
+    *
+    *   l_t = (x_t·S + l_{t−1} + b_{t−1}) >> 1
+    *   b_t = ((l_t − l_{t−1}) + b_{t−1}) >> 1,   l_1 = x_1·S, b_1 = 0
+    *
+    * Exact integers: the dyadic α makes both recurrences single shifts;
+    * month gaps fill with 0 revenue (the EWMA grid posture). The
+    * input-magnitude require keeps x·S inside a Long without ANSI.
+    *
+    * Scale shape: the [[monthlyRevenue]] grid assembly (one key shuffle
+    * + bounded aggregation) — everything after runs on the
+    * (region × month)-bounded frame: the per-row prefix re-fold is the
+    * EWMA slice posture (T² per region with T grid-bounded).
+    * Gate `q_holt_smooth`.
+    */
+  def holtSmooth(s: SparkSession, d: String): DataFrame = {
+    val g = monthlyRevenue(s, d)
+    val mx = g.agg(max(abs(col("y")))).head()
+    require(mx.isNullAt(0) ||
+      mx.getLong(0) <= Long.MaxValue / (HoltScale * 4),
+      "holtSmooth: monthly revenue exceeds the fixed-point headroom")
+    val grid = g.groupBy("r_name").agg(min("mx").as("mn"), max("mx").as("mh"))
+      .select(col("r_name"), explode(expr("sequence(mn, mh)")).as("mx"))
+    val filled = grid.join(g, Seq("r_name", "mx"), "left")
+      .select(col("r_name"), col("mx"), coalesce(col("y"), lit(0L)).as("y"))
+    val arr = filled.groupBy("r_name")
+      .agg(sort_array(collect_list(struct(col("mx"), col("y")))).as("xs"))
+    arr.select(col("r_name"),
+        expr("transform(xs, e -> e.y)").as("ys"),
+        posexplode(col("xs")).as(Seq("i", "m")))
+      .select(col("r_name"), col("m.mx").as("mx"),
+        col("m.y").as("revenue_cents"),
+        expr(s"""aggregate(
+          |  slice(ys, 2, i),
+          |  array(element_at(ys, 1) * $HoltScale, CAST(0 AS BIGINT)),
+          |  (acc, x) -> array(
+          |    shiftright(x * $HoltScale + element_at(acc, 1)
+          |      + element_at(acc, 2), 1),
+          |    shiftright(shiftright(x * $HoltScale + element_at(acc, 1)
+          |        + element_at(acc, 2), 1)
+          |      - element_at(acc, 1) + element_at(acc, 2), 1)))"""
+          .stripMargin).as("lb"))
+      .select(col("r_name"), col("mx"), col("revenue_cents"),
+        expr("element_at(lb, 1)").as("level_fp"),
+        expr("element_at(lb, 2)").as("trend_fp"))
+      .orderBy("r_name", "mx")
+  }
+
   def acfLags(s: SparkSession, d: String): DataFrame = {
     val rw = Window.partitionBy("r_name").orderBy("y", "mx")
     val g = monthlyRevenue(s, d)

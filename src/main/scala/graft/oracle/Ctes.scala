@@ -711,7 +711,11 @@ object Ctes {
     * Σ (10⁶ // dist) per target with a verts left join so isolated
     * domains emit 0 (GraphOps.allPairsHops replayed declaratively).
     */
-  def allPairsHopsOracle(iters: Int): String = {
+  /** The bounded-round APSP CTEs (ap0..ap<iters>) — shared by the
+    * harmonic ([[allPairsHopsOracle]]) and eccentricity
+    * ([[eccentricityOracle]]) rollups.
+    */
+  private def apHopsCtes(iters: Int): String = {
     val steps = (1 to iters).map { i =>
       s""", ap$i AS MATERIALIZED (
          |    SELECT s, v, CAST(MIN(dist) AS BIGINT) AS dist FROM (
@@ -725,7 +729,31 @@ object Ctes {
     domainGraphCtes +
       """, ap0 AS MATERIALIZED (
         |    SELECT v AS s, v, CAST(0 AS BIGINT) AS dist FROM verts
-        |)""".stripMargin + steps +
+        |)""".stripMargin + steps
+  }
+
+  /** Eccentricity oracle: the APSP rounds, then the per-SOURCE rollup
+    * (reached count, distance sum, max geodesic) with isolated domains
+    * left-joined to 0 — GraphOps.allPairsHops replayed, out-direction.
+    */
+  def eccentricityOracle(iters: Int): String =
+    apHopsCtes(iters) +
+      s"""
+         |, ec AS (
+         |    SELECT s, CAST(COUNT(*) AS BIGINT) AS n_reached,
+         |           CAST(SUM(dist) AS BIGINT) AS dist_sum,
+         |           CAST(MAX(dist) AS BIGINT) AS ecc
+         |    FROM ap$iters WHERE s <> v GROUP BY 1
+         |)
+         |SELECT t.v AS domain,
+         |       CAST(COALESCE(e.n_reached, 0) AS BIGINT) AS n_reached,
+         |       CAST(COALESCE(e.dist_sum, 0) AS BIGINT) AS dist_sum,
+         |       CAST(COALESCE(e.ecc, 0) AS BIGINT) AS ecc
+         |FROM verts t LEFT JOIN ec e ON e.s = t.v
+         |ORDER BY domain""".stripMargin
+
+  def allPairsHopsOracle(iters: Int): String = {
+    apHopsCtes(iters) +
       s"""
          |, hc AS (
          |    SELECT v, CAST(COUNT(*) AS BIGINT) AS n_reachers,

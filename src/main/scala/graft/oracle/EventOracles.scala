@@ -522,6 +522,55 @@ object EventOracles {
         |       r_q, f_q, m_q,
         |       CAST(r_q * 100 + f_q * 10 + m_q AS INTEGER) AS rfm
         |FROM rfq ORDER BY c_custkey""".stripMargin,
+    // Holt level+trend: the monthly grid (gaps 0-filled), then the
+    // dyadic recurrence replayed per row as a list_reduce over the
+    // prefix — acc and elements both LIST(BIGINT) so types unify; >>
+    // is an arithmetic (flooring) shift in BOTH engines, the reason
+    // alpha = beta = 1/2 (signed div/floor semantics differ otherwise)
+    "q_holt_smooth" -> {
+      val S = graft.ops.TimeSeriesOps.HoltScale
+      s"""WITH hmr AS (
+        |    SELECT r.r_name,
+        |           (date_part('year', o.o_orderdate) - 1995) * 12
+        |             + date_part('month', o.o_orderdate) - 1 AS mx,
+        |           SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS y
+        |    FROM orders o
+        |    JOIN customer c ON c.c_custkey = o.o_custkey
+        |    JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |    JOIN region r ON r.r_regionkey = n.n_regionkey
+        |    GROUP BY 1, 2
+        |), hgr AS (
+        |    SELECT r_name, unnest(range(mn, mh + 1)) AS mx
+        |    FROM (SELECT r_name, min(mx) AS mn, max(mx) AS mh
+        |          FROM hmr GROUP BY 1)
+        |), hda AS (
+        |    SELECT g.r_name, g.mx,
+        |           CAST(coalesce(m.y, 0) AS BIGINT) AS y
+        |    FROM hgr g LEFT JOIN hmr m USING (r_name, mx)
+        |), hrk AS (
+        |    SELECT r_name, mx, y,
+        |           CAST(row_number() OVER (PARTITION BY r_name
+        |               ORDER BY mx) AS INTEGER) AS rn
+        |    FROM hda
+        |), har AS (
+        |    SELECT r_name, list(y ORDER BY mx) AS ys FROM hda GROUP BY 1
+        |), hlb AS (
+        |    SELECT r.r_name, r.mx, r.y,
+        |           list_reduce(
+        |             list_prepend([a.ys[1] * $S, 0::BIGINT],
+        |               list_transform(list_slice(a.ys, 2, r.rn),
+        |                 x -> [x * $S, 0::BIGINT])),
+        |             (acc, e) -> [
+        |               (e[1] + acc[1] + acc[2]) >> 1,
+        |               (((e[1] + acc[1] + acc[2]) >> 1) - acc[1]
+        |                 + acc[2]) >> 1 ]) AS lb
+        |    FROM hrk r JOIN har a USING (r_name)
+        |)
+        |SELECT r_name, CAST(mx AS BIGINT) AS mx, y AS revenue_cents,
+        |       CAST(lb[1] AS BIGINT) AS level_fp,
+        |       CAST(lb[2] AS BIGINT) AS trend_fp
+        |FROM hlb ORDER BY r_name, mx""".stripMargin
+    },
     "q_ols_trend" ->
       s"""WITH olm AS (
         |    SELECT r.r_name,

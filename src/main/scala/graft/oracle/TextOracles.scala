@@ -1396,5 +1396,82 @@ object TextOracles {
         |       CAST(c.n * 1000000 // l.n_lang AS BIGINT) AS share_ppm
         |FROM lac c JOIN lal l USING (lang)
         |ORDER BY lang, lang_guess, nb_guess""".stripMargin),
+    // skip-gram pairs: per-row list generation (backward offsets 1..2,
+    // both directions emitted), one count, deterministic top-100
+    "q_skipgram_pairs" ->
+      """WITH sgt AS (
+        |    SELECT string_split_regex(trim(text), '\s+') AS tk
+        |    FROM documents
+        |), sgp AS (
+        |    SELECT u.pr FROM sgt, unnest(flatten(list_transform(
+        |        range(1, len(tk) + 1),
+        |        i -> flatten(list_transform(range(greatest(1, i - 2), i),
+        |          j -> [struct_pack(w := tk[i], c := tk[j]),
+        |                struct_pack(w := tk[j], c := tk[i])]))))) AS u(pr)
+        |)
+        |SELECT pr.w AS w, pr.c AS c, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM sgp GROUP BY 1, 2
+        |ORDER BY cnt DESC, w, c LIMIT 100""".stripMargin,
+    // Zipf doubling buckets: rank types per source, bucket = binary
+    // digit count of the rank - 1 (exact integer log2), lead ratio ppm
+    "q_zipf_profile" ->
+      """WITH zpf AS (
+        |    SELECT source, u.tok, CAST(COUNT(*) AS BIGINT) AS c
+        |    FROM (SELECT source,
+        |              string_split_regex(trim(text), '\s+') AS tk
+        |          FROM documents) d, unnest(d.tk) AS u(tok)
+        |    GROUP BY 1, 2
+        |), zpr AS (
+        |    SELECT source, c,
+        |           row_number() OVER (PARTITION BY source
+        |               ORDER BY c DESC, tok) AS rnk
+        |    FROM zpf
+        |), zpb AS (
+        |    SELECT source,
+        |           CAST(length(printf('%b', rnk)) - 1 AS BIGINT) AS bucket,
+        |           CAST(COUNT(*) AS BIGINT) AS n_types,
+        |           CAST(SUM(c) AS BIGINT) AS bucket_tokens
+        |    FROM zpr GROUP BY 1, 2
+        |)
+        |SELECT source, bucket, n_types, bucket_tokens,
+        |       CAST(coalesce(lead(bucket_tokens) OVER (PARTITION BY source
+        |                ORDER BY bucket) * 1000000 // bucket_tokens, -1)
+        |            AS BIGINT) AS decay_ppm
+        |FROM zpb ORDER BY source, bucket""".stripMargin,
+    // quantile alignment: per-source and global length histograms with
+    // cumulative ranges, percentile ranks ceil(p*n/100) looked up by
+    // range containment (the oracle favors the declarative BETWEEN
+    // join; the engine's as-of union+window computes the same cell)
+    "q_quantile_align" -> {
+      def side(src: String, tag: String) =
+        s"""${tag}h AS (
+           |    SELECT $src AS source, n_chars,
+           |           CAST(COUNT(*) AS BIGINT) AS c,
+           |           SUM(COUNT(*)) OVER (PARTITION BY $src
+           |               ORDER BY n_chars) AS hi
+           |    FROM documents GROUP BY 1, 2
+           |), ${tag}r AS (
+           |    SELECT source, n_chars, hi - c + 1 AS lo, hi FROM ${tag}h
+           |), ${tag}n AS (
+           |    SELECT $src AS source, CAST(COUNT(*) AS BIGINT) AS n_s
+           |    FROM documents GROUP BY 1
+           |), ${tag}g AS (
+           |    SELECT source, u.pct,
+           |           greatest(1, (u.pct * n_s + 99) // 100) AS k
+           |    FROM ${tag}n, unnest(range(0, 101)) AS u(pct)
+           |), ${tag}v AS (
+           |    SELECT g.source, g.pct, r.n_chars AS value
+           |    FROM ${tag}g g JOIN ${tag}r r
+           |      ON r.source = g.source AND g.k BETWEEN r.lo AND r.hi
+           |)""".stripMargin
+      s"""WITH ${side("source", "qa")},
+         |${side("'__all__'", "qb")}
+         |SELECT a.source, CAST(a.pct AS INTEGER) AS pct,
+         |       CAST(a.value AS BIGINT) AS src_value,
+         |       CAST(b.value AS BIGINT) AS global_value,
+         |       CAST(a.value - b.value AS BIGINT) AS shift
+         |FROM qav a JOIN qbv b ON b.pct = a.pct
+         |ORDER BY a.source, a.pct""".stripMargin
+    },
   )
 }

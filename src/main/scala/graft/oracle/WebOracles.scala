@@ -390,6 +390,8 @@ object WebOracles {
     // 6 unrolled min-rounds, then the exact ppm harmonic rollup with a
     // verts left join so isolated domains emit 0
     "q_harmonic_centrality" -> allPairsHopsOracle(6),
+    // same APSP rounds, per-SOURCE rollup (reach, dist sum, max geodesic)
+    "q_eccentricity" -> eccentricityOracle(6),
     // stress centrality: the geodesic-count walk unrolled, then the
     // Shimbel through-path rollup — exact integer path counts end to end
     "q_stress_centrality" -> allPairsGeodesicsOracle(6),

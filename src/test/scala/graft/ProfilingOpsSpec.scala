@@ -129,6 +129,115 @@ class ProfilingOpsSpec extends SparkSpec {
     // Q = (35+35)/196 = 5/14
   }
 
+  test("skipgram pairs: brute-force window-2 counting on the fixture") {
+    val got = graft.ops.TextOps.skipgramPairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.length === 100)
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    for (r <- Tables.t(spark, sf, "documents").select("text").collect()) {
+      val tk = r.getString(0).trim.split("\\s+")
+      for (i <- tk.indices; j <- math.max(0, i - 2) until i) {
+        counts((tk(i), tk(j))) = counts.getOrElse((tk(i), tk(j)), 0L) + 1
+        counts((tk(j), tk(i))) = counts.getOrElse((tk(j), tk(i)), 0L) + 1
+      }
+    }
+    val top = counts.toSeq.map { case ((w, c), n) => (w, c, n) }
+      .sortBy { case (w, c, n) => (-n, w, c) }.take(100)
+    assert(got.toSeq === top)
+  }
+
+  test("zipf profile: bucket law and token-mass conservation") {
+    val rows = graft.ops.TextOps.zipfProfile(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val docs = Tables.t(spark, sf, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    for ((src, ds) <- docs.groupBy(_._1)) {
+      val freq = ds.flatMap(_._2.trim.split("\\s+"))
+        .groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+      val ranked = freq.toSeq.sortBy { case (tok, c) => (-c, tok) }
+        .zipWithIndex.map { case ((_, c), i) => (i + 1L, c) }
+      val buckets = ranked
+        .groupBy { case (rnk, _) => 63 - java.lang.Long
+          .numberOfLeadingZeros(rnk) }
+        .map { case (b, v) =>
+          (b.toLong, v.length.toLong, v.map(_._2).sum) }
+      val mine = rows.filter(_._1 == src)
+      assert(mine.map(m => (m._2, m._3, m._4)).sortBy(_._1) ===
+        buckets.toSeq.sortBy(_._1))
+      // decay chain: each row's ppm replays next/cur; last row is -1
+      val byB = mine.sortBy(_._2)
+      for (w <- byB.sliding(2) if w.length == 2)
+        assert(w(0)._5 === w(1)._4 * 1000000L / w(0)._4)
+      assert(byB.last._5 === -1L)
+    }
+  }
+
+  test("quantile align: brute-force percentile grid per source") {
+    val got = graft.ops.TextOps.quantileAlign(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val docs = Tables.t(spark, sf, "documents")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def grid(xs: Seq[Long]): Map[Int, Long] = {
+      val sorted = xs.sorted
+      (0 to 100).map { p =>
+        val k = math.max(1L, (p.toLong * sorted.length + 99) / 100)
+        p -> sorted((k - 1).toInt)
+      }.toMap
+    }
+    val glob = grid(docs.map(_._2).toSeq)
+    val srcs = docs.groupBy(_._1)
+    assert(got.size === srcs.size * 101)
+    for ((src, ds) <- srcs; (p, v) <- grid(ds.map(_._2).toSeq))
+      assert(got((src, p)) === ((v, glob(p), v - glob(p))))
+  }
+
+  test("holt smoothing: brute-force dyadic fold per region") {
+    val got = graft.ops.TimeSeriesOps.holtSmooth(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.nonEmpty)
+    val g = graft.ops.TimeSeriesOps.monthlyRevenue(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+    val s = graft.ops.TimeSeriesOps.HoltScale
+    for ((region, rows) <- g.groupBy(_._1._1)) {
+      val byMx = rows.map { case ((_, m), y) => (m, y) }.toMap
+      val (mn, mh) = (byMx.keys.min, byMx.keys.max)
+      var (l, b) = (0L, 0L)
+      for (m <- mn to mh) {
+        val y = byMx.getOrElse(m, 0L)
+        if (m == mn) { l = y * s; b = 0L }
+        else {
+          val l2 = (y * s + l + b) >> 1
+          b = ((l2 - l) + b) >> 1
+          l = l2
+        }
+        assert(got((region, m)) === ((y, l, b)),
+          s"mismatch at $region month $m")
+      }
+    }
+  }
+
+  test("eccentricity gate: direction duality and walk bounds") {
+    val ecc = graft.ops.LinkOps.eccentricityDomains(spark, sf).collect()
+    val har = graft.ops.LinkOps.harmonicCentrality(spark, sf).collect()
+    assert(ecc.nonEmpty)
+    // ordered reachable pairs counted from sources == counted at targets
+    assert(ecc.map(_.getAs[Long]("n_reached")).sum ===
+      har.map(_.getAs[Long]("n_reachers")).sum)
+    for (r <- ecc) {
+      val (n, ds, e) = (r.getAs[Long]("n_reached"),
+        r.getAs[Long]("dist_sum"), r.getAs[Long]("ecc"))
+      assert(e >= 0 && e <= 6) // the bounded-round contract
+      assert(ds >= n && (n > 0 || ds == 0))
+      assert(e <= ds && (n == 0 || e >= 1))
+    }
+  }
+
   test("modularity gate: tallies obey the graph identities") {
     val rows = graft.ops.LinkOps.modularityCommunities(spark, sf).collect()
     assert(rows.nonEmpty)
