@@ -706,7 +706,26 @@ object PerfProbe {
         // constant month grid; eccentricity walks the K-invariant
         // domain graph
         "q_skipgram_pairs", "q_zipf_profile", "q_quantile_align",
-        "q_holt_smooth", "q_eccentricity")
+        "q_holt_smooth", "q_eccentricity",
+        // assortativity/reciprocity ride the K-invariant domain graph;
+        // brand communities pair K× baskets over the constant brand
+        // vocabulary (the assoc-rules shape) then LPA a brand-bounded
+        // graph; funnel latency is the funnel's user-keyed aggregates
+        // + a latency histogram
+        "q_assortativity", "q_reciprocity", "q_brand_communities",
+        "q_funnel_latency",
+        // the histogram family's build+fold+serve lifecycle (histogram
+        // state is source×length-bounded); source similarity is the
+        // decontamination gram-shuffle shape with C(|sources|,2)
+        // pair fan-out per gram
+        "q_quantile_align_incremental", "q_source_similarity",
+        // the curve is 4 broadcast-probe candidate joins over the K×
+        // code table (the ivf serve shape ×4); weekday profile is one
+        // bounded-grid count agg
+        "q_ivf_nprobe_curve", "q_weekday_profile",
+        // coverage ranks the ~linearly-growing rotated vocabulary;
+        // OOV is the decontamination token-keyed join shape
+        "q_vocab_coverage", "q_oov_rate")
       // q_hybrid_search is deliberately absent for the q_contamination
       // reason: its semantic leg is probe-set x corpus and BOTH grow with
       // K here, so the ratio would measure the quadratic workload growth,

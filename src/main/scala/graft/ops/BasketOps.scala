@@ -372,4 +372,56 @@ object BasketOps {
     appendTrending(s, d, mx)
     servedTrending(s)
   }
+
+  /** LPA rounds for [[brandCommunities]] ([[LinkOps.LpaIters]] posture:
+    * a fixed synchronous unroll the oracle replays).
+    */
+  val BrandLpaIters = 4
+
+  /** BRAND COMMUNITIES — label propagation over the co-purchase
+    * AFFINITY graph: an edge joins two brands whose pair support clears
+    * 1.25× the MEAN pair support (exact integer form
+    * `4·c·|pairs| ≥ 5·Σc` — a fixed absolute threshold would go
+    * degenerate as the corpus grows, since EVERY pair count scales with
+    * order volume; the mean-relative cut keeps the graph's density
+    * scale-free). The merchandising view of [[assocRules]]: rules rank
+    * individual pairs, communities find the CLIQUES a planner treats as
+    * one assortment. Second graph domain for the LPA machinery (the
+    * link gates walk the web graph; this walks a transaction graph).
+    *
+    * Scale shape: the [[assocRules]] pair shape (per-order fan-out
+    * bounded by basket brand count) into a |brands|²-bounded pair
+    * frame; the threshold is one 1-row aggregate broadcast; LPA runs
+    * on the brand-bounded graph. Gate `q_brand_communities`.
+    */
+  def brandCommunities(s: SparkSession, d: String): DataFrame = {
+    val bbk = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      .join(t(s, d, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand")),
+        "l_partkey")
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .persist()
+    try {
+      val pairs = bbk.select(col("l_orderkey"), col("p_brand").as("ba"))
+        .join(bbk.select(col("l_orderkey"), col("p_brand").as("bb")),
+          "l_orderkey")
+        .where(col("ba") < col("bb"))
+        .groupBy(col("ba").as("src"), col("bb").as("dst"))
+        .agg(count(lit(1)).as("c"))
+      val tot = pairs.agg(count(lit(1)).as("np"), sum("c").as("sc"))
+      val edges = pairs.crossJoin(broadcast(tot))
+        .where(expr("4 * CAST(c AS DECIMAL(38,0)) * np >= " +
+          "5 * CAST(sc AS DECIMAL(38,0))"))
+        .select("src", "dst")
+      val verts = bbk.select(col("p_brand").as("id")).distinct()
+      GraphOps.labelPropagationInto(edges, verts, BrandLpaIters) { labels =>
+        val sizes = labels.groupBy("label")
+          .agg(count(lit(1)).as("community_size"))
+        labels.join(sizes, Seq("label"))
+          .select(col("id").as("brand"), col("label").as("community"),
+            col("community_size"))
+          .localCheckpoint(eager = true)
+      }.orderBy("brand")
+    } finally bbk.unpersist()
+  }
 }

@@ -767,6 +767,86 @@ object EventOps {
       .orderBy("step")
   }
 
+  /** WEEKDAY SEASONALITY profile — per (event_type, weekday 0=Mon..6=Sun)
+    * the event count, the exact within-type share in ppm and the summed
+    * purchase value in cents: the dayparting baseline every anomaly
+    * screen ([[histogramDrift]], [[botPeriodicity]]) implicitly compares
+    * against, made explicit. Weekday from exact epoch-day arithmetic
+    * ((day + 3) mod 7 — 1970-01-01 was a Thursday), never a timezone-
+    * dependent date function.
+    *
+    * Scale shape: one (type, weekday) aggregation, map-side combined;
+    * the share join runs on the 7×|types| frame.
+    * Gate `q_weekday_profile`.
+    */
+  def weekdayProfile(s: SparkSession, d: String): DataFrame = {
+    val cells = t(s, d, "events")
+      .select(col("event_type"),
+        expr(s"pmod(ts div $DayNs + 3, 7)").as("weekday"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "weekday")
+      .agg(count(lit(1)).as("n"), sum("cents").as("value_cents"))
+    val tot = cells.groupBy("event_type").agg(sum("n").as("n_type"))
+    cells.join(tot, Seq("event_type"))
+      .select(col("event_type"), col("weekday"), col("n"),
+        expr("n * 1000000L div n_type").as("share_ppm"),
+        col("value_cents"))
+      .orderBy("event_type", "weekday")
+  }
+
+  /** FUNNEL LATENCY — the time-between-steps distribution the
+    * conversion COUNTS ([[funnelSteps]]) don't show: per step
+    * transition (signup→click, click→purchase, first-touch chaining
+    * exactly as the funnel gates), the converter count, exact mean,
+    * exact LOWER-MEDIAN, min and max latency in ms (the determinism
+    * contract: ts-derived output never finer than ms). The median
+    * comes off the VALUE HISTOGRAM — first latency value whose
+    * cumulative count reaches (n+1) div 2 — so no per-user global
+    * sort exists.
+    *
+    * Scale shape: the funnel's user-keyed step aggregates, one
+    * (step, lat_ms) histogram aggregation, prefix windows over the
+    * HISTOGRAM frame. Gate `q_funnel_latency`.
+    */
+  def funnelLatency(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").select(col("user_id"), col("event_type"),
+      col("ts"))
+    val s1 = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.where(col("event_type") === "click")
+      .join(s1, "user_id").where(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.where(col("event_type") === "purchase")
+      .join(s2.select("user_id", "t2"), "user_id")
+      .where(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    val lat = s2.join(s1, "user_id")
+      .select(lit("1_signup_to_click").as("step"),
+        expr("(t2 - t1) div 1000000").as("lat_ms"))
+      .unionByName(s3.join(s2, "user_id")
+        .select(lit("2_click_to_purchase").as("step"),
+          expr("(t3 - t2) div 1000000").as("lat_ms")))
+    val hist = lat.groupBy("step", "lat_ms").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("step").orderBy("lat_ms")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val h2 = hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(Window.partitionBy("step")))
+    val med = h2
+      .where(col("cum") - col("c") < expr("(n + 1) div 2") &&
+        expr("(n + 1) div 2") <= col("cum"))
+      .select(col("step"), col("lat_ms").as("p50_ms"))
+    val tot = hist.groupBy("step")
+      .agg(sum("c").as("n_users"),
+        sum(expr("CAST(lat_ms AS DECIMAL(38,0)) * c")).as("lsum"),
+        min("lat_ms").as("min_ms"), max("lat_ms").as("max_ms"))
+    tot.join(med, Seq("step"))
+      .select(col("step"), col("n_users"),
+        expr("CAST(lsum div n_users AS BIGINT)").as("mean_ms"),
+        col("p50_ms"), col("min_ms"), col("max_ms"))
+      .orderBy("step")
+  }
+
   /** Cohort lifetime value: users grouped by their FIRST active epoch
     * week (the [[retentionCohorts]] cohort rule), purchase revenue
     * summed per week offset, plus the cumulative LTV curve — the

@@ -437,6 +437,82 @@ object LinkOps {
       }
     }.orderBy(col("harmonic_fp").desc, col("domain"))
 
+  /** Degree ASSORTATIVITY of the domain graph (Newman 2002) — the
+    * Pearson correlation of endpoint degrees over the undirected simple
+    * edge set, the hub-wiring diagnostic (r > 0: hubs link hubs, the
+    * collaboration-network shape; r < 0: hubs link leaves, the
+    * web/crawl shape — which also predicts whether hub removal
+    * fragments the graph). SQRT-FREE because the point set is
+    * SYMMETRIC (each edge contributes both (dx, dy) and (dy, dx)), so
+    * both marginal variances are equal and r is the exact rational
+    *
+    *   r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²),   M = 2m points
+    *
+    * emitted as signed ppm with the OLS negative-floor posture
+    * (−((−num)·10⁶ div den) — truncation-consistent across engines).
+    *
+    * Scale shape: one distinct over the edge set, one vertex-keyed
+    * degree agg, two degree lookups on edges, ONE 1-row rollup.
+    * Gate `q_assortativity`.
+    */
+  def assortativityDomains(s: SparkSession, d: String): DataFrame =
+    withDomainGraph(s, d) { (_, edges, _) =>
+      val und = edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct().persist()
+      try {
+        val deg = und.select(col("a").as("v"))
+          .unionAll(und.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("deg"))
+        und.join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+          .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+          .select(explode(array(
+            struct(col("da").as("x"), col("db").as("y")),
+            struct(col("db").as("x"), col("da").as("y")))).as("p"))
+          .select(col("p.x").as("x"), col("p.y").as("y"))
+          .agg(count(lit(1)).as("m2"), sum("x").as("sx"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+          .select(col("m2"),
+            expr("CAST(m2 AS DECIMAL(38,0)) * sxy " +
+              "- CAST(sx AS DECIMAL(38,0)) * sx").as("num"),
+            expr("CAST(m2 AS DECIMAL(38,0)) * sxx " +
+              "- CAST(sx AS DECIMAL(38,0)) * sx").as("den"))
+          .select(expr("CAST(m2 div 2 AS BIGINT)").as("n_edges"),
+            expr("CAST(CASE WHEN den = 0 THEN 0 " +
+              "WHEN num < 0 THEN -((-num * 1000000) div den) " +
+              "ELSE (num * 1000000) div den END AS BIGINT)")
+              .as("assort_ppm"))
+          .localCheckpoint(eager = true)
+      } finally und.unpersist()
+    }
+
+  /** Link RECIPROCITY of the domain graph — the share of directed
+    * inter-domain edges whose REVERSE edge also exists (mutual linking:
+    * organic topical neighborhoods reciprocate, link farms and spam
+    * shotguns don't — the classic crawl-prior next to PageRank): exact
+    * `recip_ppm = 10⁶·|reciprocated| div |E|` over the distinct
+    * self-loop-free edge set.
+    *
+    * Scale shape: ONE (src, dst)-keyed left-semi self-join against the
+    * reversed edge set + two 1-row aggregates. Gate `q_reciprocity`.
+    */
+  def reciprocityDomains(s: SparkSession, d: String): DataFrame =
+    withDomainGraph(s, d) { (_, edges, _) =>
+      val e = edges.filter(col("src") =!= col("dst")).persist()
+      try {
+        val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+        val nR = e.join(rev, Seq("src", "dst"), "left_semi")
+          .agg(count(lit(1)).as("n_reciprocated"))
+        e.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(broadcast(nR))
+          .select(col("n_edges"), col("n_reciprocated"),
+            expr("CASE WHEN n_edges = 0 THEN 0L ELSE " +
+              "n_reciprocated * 1000000L div n_edges END").as("recip_ppm"))
+          .localCheckpoint(eager = true)
+      } finally e.unpersist()
+    }
+
   /** Per-domain ECCENTRICITY / distance profile over the domain graph
     * (out-direction, the crawl-frontier view): within the bounded
     * 6-round horizon ([[GraphOps.allPairsHops]] — the honest bounded-

@@ -1768,14 +1768,26 @@ object TextOps {
     * per-document rank, never a histogram×grid nested-loop join.
     * Gate `q_quantile_align`.
     */
-  def quantileAlign(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents").select(col("source"), col("n_chars"))
-    def pctValues(df: DataFrame): DataFrame = {
-      val hist = df.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+  def quantileAlign(s: SparkSession, d: String): DataFrame =
+    quantileAlignFromHist(histOfDocs(t(s, d, "documents")))
+
+  /** The (source, n_chars, c) length histogram — [[quantileAlign]]'s
+    * whole state, and ADDITIVE, which is what makes the stored/
+    * incremental variant exactly-once for free.
+    */
+  private[graft] def histOfDocs(docs: DataFrame): DataFrame =
+    docs.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+
+  /** [[quantileAlign]] over an explicit histogram (split out so the
+    * stored delta-grown histogram serves the same computation).
+    */
+  private[graft] def quantileAlignFromHist(histIn: DataFrame): DataFrame = {
+    def pctValues(hist0: DataFrame): DataFrame = {
+      val hist = hist0
         .withColumn("hi", sum("c").over(Window.partitionBy("source")
           .orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)))
         .withColumn("lo", col("hi") - col("c") + 1)
-      val grid = df.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val grid = hist0.groupBy("source").agg(sum("c").as("n_s"))
         .select(col("source"), col("n_s"),
           explode(expr("sequence(0, 100)")).as("pct"))
         .select(col("source"), col("pct"),
@@ -1792,14 +1804,174 @@ object TextOps {
         .where(col("isg") === 1)
         .select(col("source"), col("pct"), col("value"))
     }
-    val src = pctValues(docs)
-    val glob = pctValues(docs.withColumn("source", lit("__all__")))
+    val src = pctValues(histIn)
+    val glob = pctValues(histIn.groupBy("n_chars").agg(sum("c").as("c"))
+        .withColumn("source", lit("__all__")))
       .select(col("pct"), col("value").as("global_value"))
     src.join(broadcast(glob), Seq("pct"))
       .select(col("source"), col("pct"), col("value").as("src_value"),
         col("global_value"),
         (col("value") - col("global_value")).as("shift"))
       .orderBy("source", "pct")
+  }
+
+  /** Stored table of the quantile-alignment histogram family. */
+  val QaHistTable = "qa_hist"
+
+  /** Delta-model descriptor: the length histogram is a pure additive
+    * count model, so [[graft.pipeline.DeltaModelIngest]]'s exactly-once
+    * machinery applies verbatim.
+    */
+  def qaFamily(db: String): graft.pipeline.DeltaModelIngest.Family =
+    graft.pipeline.DeltaModelIngest.Family(db, QaHistTable,
+      Seq("source", "n_chars"), Seq("c"))
+
+  /** Full rebuild of the stored histogram (the cron re-anchor). */
+  def buildQaModel(docs: DataFrame, db: String): Unit = {
+    val s = docs.sparkSession
+    import graft.pipeline.DeltaModelIngest
+    val prev = DeltaModelIngest.prepareRebuild(s, qaFamily(db))
+    graft.store.Warehouse.saveModel(histOfDocs(docs), db, QaHistTable)
+    DeltaModelIngest.finishRebuild(s, qaFamily(db), prev)
+  }
+
+  /** foreachBatch adapter: exactly-once histogram growth — one
+    * (source, epoch)-named overwrite delta per batch.
+    */
+  def qaDeltaSink(srcTag: String, db: String): (DataFrame, Long) => Unit =
+    (batch, epochId) => graft.pipeline.DeltaModelIngest.append(
+      batch.sparkSession, qaFamily(db), srcTag, epochId,
+      histOfDocs(batch))
+
+  /** Serve the alignment from the STORED (possibly delta-grown)
+    * histogram — no corpus aggregation in the query path.
+    */
+  def quantileAlignFromStore(s: SparkSession, db: String): DataFrame = {
+    graft.store.Warehouse.refreshDb(s, db)
+    import graft.pipeline.DeltaModelIngest
+    val hist =
+      if (DeltaModelIngest.hasDeltas(s, qaFamily(db)))
+        PlanCache.swap(s"qa-delta-eff-$db",
+          DeltaModelIngest.effectiveCounts(s, qaFamily(db)))
+      else s.table(s"`$db`.`$QaHistTable`")
+    quantileAlignFromHist(hist)
+  }
+
+  /** Maintenance-invariant gate: build the stored histogram on the
+    * front ⅔ of the corpus, fold the back ⅓ as an exactly-once delta,
+    * serve — the oracle is the FRESH full-corpus alignment, so a green
+    * row proves streamed state ≡ a from-scratch build (the
+    * q_link_graph_incremental posture, histogram family).
+    * Gate `q_quantile_align_incremental`.
+    */
+  def quantileAlignIncrement(s: SparkSession, d: String): DataFrame = {
+    val db = "graft_qa_inc_q"
+    buildQaModel(IncrementalClusters.corpusDocsRange(s, d), db)
+    graft.pipeline.DeltaModelIngest.append(s, qaFamily(db), "gate", 0L,
+      histOfDocs(IncrementalClusters.batchDocsRange(s, d)))
+    quantileAlignFromStore(s, db)
+  }
+
+  /** SOURCE SIMILARITY matrix — pairwise 3-gram Jaccard between the
+    * sources' DISTINCT shingle sets (the corpus-mixing diagnostic one
+    * level above document dedup: two provenances with high gram overlap
+    * are near-redundant slices, and a mixing plan that weights both is
+    * double-counting a distribution). Exact: intersection via one
+    * gram-keyed self-pairing, |A∪B| = |A|+|B|−|A∩B|.
+    *
+    * Scale shape: gram explode + per-source DISTINCT (one hash shuffle
+    * on the gram — the decontamination class); the pair fan-out per
+    * gram is C(k,2) with k ≤ |sources| (provenance-bounded, never
+    * corpus-bounded); per-source set sizes are one agg.
+    * Gate `q_source_similarity`.
+    */
+  def sourceSimilarity(s: SparkSession, d: String): DataFrame = {
+    val grams = graft.ops.SetJoinOps.docShingles(t(s, d, "documents"))
+      .join(t(s, d, "documents").select("doc_id", "source"), "doc_id")
+      .select(col("source"), col("sh")).distinct()
+      .persist()
+    try {
+      val sizes = grams.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = grams.select(col("source").as("sa"), col("sh"))
+        .join(grams.select(col("source").as("sb"), col("sh")), "sh")
+        .where(col("sa") < col("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).as("n_inter"))
+      val out = inter
+        .join(sizes.select(col("source").as("sa"), col("n").as("na")), "sa")
+        .join(sizes.select(col("source").as("sb"), col("n").as("nb")), "sb")
+        .select(col("sa"), col("sb"), col("na"), col("nb"),
+          col("n_inter"),
+          expr("n_inter * 1000000L div (na + nb - n_inter)")
+            .as("jaccard_ppm"))
+        .orderBy("sa", "sb")
+      out.localCheckpoint(eager = true)
+    } finally grams.unpersist()
+  }
+
+
+
+  /** VOCABULARY COVERAGE CURVE — the share of token OCCURRENCES covered
+    * by the top-N most frequent types for N ∈ {100, 1000, 10000}: the
+    * vocab-sizing table (how big must a tokenizer's vocabulary be
+    * before the OOV tail stops mattering) next to [[zipfProfile]]'s
+    * decay shape. Exact ppm; rank ties broken by token so the cutoff
+    * is a total order both engines replay.
+    *
+    * Scale shape: one token count aggregation (the corpus's only
+    * shuffle); each cutoff is a TakeOrderedAndProject top-N over the
+    * vocabulary frame (per-partition heaps — the heavy-ngrams posture;
+    * a global rank WINDOW here would be an Exchange SinglePartition
+    * over the whole vocabulary, and measured 6.2× at the 25× probe
+    * before this rewrite), then a ≤N-row sum. Gate `q_vocab_coverage`.
+    */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val freq = PlanCache.swap(s"vocab-coverage-freq-$d",
+      withTokens(t(s, d, "documents"))
+        .select(explode(col("tokens")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c")))
+    val tot = freq.agg(sum("c").as("total"), count(lit(1)).as("n_types"))
+    Seq(100, 1000, 10000).map { n =>
+      freq.orderBy(col("c").desc, col("w")).limit(n)
+        .agg(coalesce(sum("c"), lit(0L)).as("covered"))
+        .crossJoin(broadcast(tot))
+        .select(lit(n.toLong).as("top_n"), col("n_types"), col("total"),
+          col("covered"),
+          expr("covered * 1000000L div total").as("coverage_ppm"))
+    }.reduce(_ unionByName _).orderBy("top_n")
+  }
+
+  /** OUT-OF-VOCABULARY RATE of the batch slice against the training
+    * slice's vocabulary — the retrain-the-tokenizer signal (an OOV
+    * climb means the incoming distribution is outrunning the stored
+    * vocab; [[ngramNovelty]] asks the DISTINCT-surface question, this
+    * the occurrence-weighted one): front ⅔ of the corpus trains the
+    * vocabulary, back ⅓ is the batch; per batch source, the OOV token
+    * occurrences and exact ppm.
+    *
+    * Scale shape: one distinct over the training tokens (vocab-sized
+    * output), one (source, token) count aggregation on the batch, one
+    * token-keyed anti-flagging join — the decontamination class.
+    * Gate `q_oov_rate`.
+    */
+  def oovRate(s: SparkSession, d: String): DataFrame = {
+    val vocab = withTokens(
+        graft.ops.IncrementalClusters.corpusDocsRange(s, d))
+      .select(explode(col("tokens")).as("w")).distinct()
+    val batch = withTokens(
+        graft.ops.IncrementalClusters.batchDocsRange(s, d))
+      .select(col("source"), explode(col("tokens")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    batch.join(vocab.withColumn("known", lit(1)), Seq("w"), "left")
+      .groupBy("source")
+      .agg(sum("c").as("n_tokens"),
+        sum(when(col("known").isNull, col("c")).otherwise(0L))
+          .as("n_oov"),
+        sum(when(col("known").isNull, 1L).otherwise(0L))
+          .as("n_oov_types"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        col("n_oov_types"),
+        expr("n_oov * 1000000L div n_tokens").as("oov_ppm"))
+      .orderBy("source")
   }
 
   def vocabStats(s: SparkSession, d: String): DataFrame =

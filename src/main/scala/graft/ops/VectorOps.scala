@@ -512,6 +512,53 @@ object VectorOps {
       .orderBy("probe_id", "rnk")
   }
 
+  /** IVF nPROBE TUNING CURVE — recall against the exact top-5 and the
+    * candidate volume (the cost a probed cell actually buys) at
+    * nProbe ∈ {1, 2, 4, 8}: the table an operator reads to PICK the
+    * probe budget instead of trusting the default — the √K serving-cost
+    * law only holds if nProbe sits where recall saturates
+    * ([[annRecall]]'s sibling: that gate measures ONE operating point,
+    * this one the curve).
+    *
+    * Split gate (the [[ivfCosineTopk]] contract): which candidates each
+    * probe budget surfaces is quantizer-dependent, so the per-nProbe
+    * candidate frames are materialized; given them, the counts, the
+    * top-k rank order and the recall arithmetic are exact and the
+    * oracle replays all three from the parquet + raw embeddings.
+    *
+    * Scale shape: per budget one broadcast-probe candidate join
+    * (corpus × nProbe/nCells rows) + a probe-keyed WindowGroupLimit;
+    * the curve is 4 one-row aggregates. Gate `q_ivf_nprobe_curve`.
+    */
+  def ivfNprobeCurve(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val (assignments, centroids) = ivfIndex(emb)
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val exact = PlanCache.swap(s"ivf-curve-exact-$d",
+      knnCosineTopk(s, d).select("probe_id", "neighbor_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    Seq(1, 2, 4, 8).map { np =>
+      val cands = graft.OracleInputs.checkpoint(
+        searchIvfCandidates(assignments,
+          probeNearestCells(centroids, probes, np),
+          largeProbeSide = false)
+          .select("probe_id", "neighbor_id", "cosine"),
+        d, s"ivf_curve_cand_np$np")
+      val topk = cands.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5).select("probe_id", "neighbor_id")
+      val hit = exact.join(topk, Seq("probe_id", "neighbor_id"),
+        "left_semi").agg(count(lit(1)).as("n_hit"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(hit))
+        .crossJoin(broadcast(cands.agg(count(lit(1)).as("n_candidates"))))
+        .select(lit(np).as("nprobe"), col("n_candidates"), col("n_exact"),
+          col("n_hit"),
+          expr("n_hit * 1000000L div n_exact").as("recall_ppm"))
+    }.reduce(_ unionByName _).orderBy("nprobe")
+  }
+
   /** Auto-thresholded search over a stored or in-session index: counts the
     * probe side (one scan — callers that already know the probe scale call
     * the explicit-flag paths and stay lazy) and picks the broadcast plan

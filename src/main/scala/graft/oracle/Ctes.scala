@@ -554,8 +554,13 @@ object Ctes {
     * listing ([[lpaOracle]]) and its modularity score
     * ([[modularityOracle]]).
     */
-  private def lpaCtes(iters: Int): String = {
-    val steps = (1 to iters).map { i =>
+  /** The synchronous LPA round steps (lpn/lpp/lp 1..iters) — graph-
+    * agnostic: any caller that defines `lsy` (symmetrized simple edges)
+    * and `lp0` (initial id = label) can append these, whatever the
+    * underlying graph (domain links, brand co-purchase, ...).
+    */
+  def lpaRounds(iters: Int): String =
+    (1 to iters).map { i =>
       s""", lpn$i AS MATERIALIZED (
          |    SELECT s.dst AS id, l.label, CAST(COUNT(*) AS BIGINT) AS c
          |    FROM lsy s JOIN lp${i - 1} l ON l.id = s.src GROUP BY 1, 2
@@ -568,6 +573,9 @@ object Ctes {
          |    FROM lp${i - 1} l LEFT JOIN lpp$i p USING (id)
          |)""".stripMargin
     }.mkString
+
+  private def lpaCtes(iters: Int): String = {
+    val steps = lpaRounds(iters)
     domainGraphCtes +
       """, lsy AS MATERIALIZED (
         |    SELECT DISTINCT src, dst FROM (

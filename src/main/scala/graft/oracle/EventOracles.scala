@@ -522,6 +522,72 @@ object EventOracles {
         |       r_q, f_q, m_q,
         |       CAST(r_q * 100 + f_q * 10 + m_q AS INTEGER) AS rfm
         |FROM rfq ORDER BY c_custkey""".stripMargin,
+    // weekday seasonality: exact epoch-day arithmetic, within-type ppm
+    "q_weekday_profile" ->
+      s"""WITH wdc AS (
+        |    SELECT event_type,
+        |           (epoch_ns(ts) // ${EventOps.DayNs} + 3) % 7 AS weekday,
+        |           CAST(COUNT(*) AS BIGINT) AS n,
+        |           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |               AS value_cents
+        |    FROM events GROUP BY 1, 2
+        |), wdt AS (
+        |    SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_type
+        |    FROM wdc GROUP BY 1
+        |)
+        |SELECT c.event_type, CAST(c.weekday AS BIGINT) AS weekday, c.n,
+        |       CAST(c.n * 1000000 // t.n_type AS BIGINT) AS share_ppm,
+        |       c.value_cents
+        |FROM wdc c JOIN wdt t USING (event_type)
+        |ORDER BY event_type, weekday""".stripMargin,
+    // funnel latency: the funnel-steps CTEs, ms latencies (ns div 1e6),
+    // histogram lower-median + exact mean/min/max per transition
+    "q_funnel_latency" ->
+      """WITH e AS (
+        |    SELECT user_id, event_type, epoch_ns(ts) AS tsn FROM events
+        |), s1 AS (
+        |    SELECT user_id, MIN(tsn) AS t1 FROM e
+        |    WHERE event_type = 'signup' GROUP BY 1
+        |), s2 AS (
+        |    SELECT e.user_id, MIN(e.tsn) AS t2
+        |    FROM e JOIN s1 USING (user_id)
+        |    WHERE e.event_type = 'click' AND e.tsn > s1.t1 GROUP BY 1
+        |), s3 AS (
+        |    SELECT e.user_id, MIN(e.tsn) AS t3
+        |    FROM e JOIN s2 USING (user_id)
+        |    WHERE e.event_type = 'purchase' AND e.tsn > s2.t2 GROUP BY 1
+        |), fla AS (
+        |    SELECT '1_signup_to_click' AS step,
+        |           (s2.t2 - s1.t1) // 1000000 AS lat_ms
+        |    FROM s2 JOIN s1 USING (user_id)
+        |    UNION ALL
+        |    SELECT '2_click_to_purchase',
+        |           (s3.t3 - s2.t2) // 1000000
+        |    FROM s3 JOIN s2 USING (user_id)
+        |), flh AS (
+        |    SELECT step, lat_ms, CAST(COUNT(*) AS BIGINT) AS c
+        |    FROM fla GROUP BY 1, 2
+        |), flc AS (
+        |    SELECT step, lat_ms, c,
+        |           SUM(c) OVER (PARTITION BY step ORDER BY lat_ms) AS cum,
+        |           SUM(c) OVER (PARTITION BY step) AS n
+        |    FROM flh
+        |), fmd AS (
+        |    SELECT step, lat_ms AS p50_ms FROM flc
+        |    WHERE cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum
+        |), ftt AS (
+        |    SELECT step, CAST(SUM(c) AS BIGINT) AS n_users,
+        |           CAST(SUM(CAST(lat_ms AS HUGEINT) * c) AS HUGEINT)
+        |               AS lsum,
+        |           CAST(MIN(lat_ms) AS BIGINT) AS min_ms,
+        |           CAST(MAX(lat_ms) AS BIGINT) AS max_ms
+        |    FROM flh GROUP BY 1
+        |)
+        |SELECT t.step, t.n_users,
+        |       CAST(t.lsum // t.n_users AS BIGINT) AS mean_ms,
+        |       CAST(m.p50_ms AS BIGINT) AS p50_ms, t.min_ms, t.max_ms
+        |FROM ftt t JOIN fmd m USING (step)
+        |ORDER BY step""".stripMargin,
     // Holt level+trend: the monthly grid (gaps 0-filled), then the
     // dyadic recurrence replayed per row as a list_reduce over the
     // prefix — acc and elements both LIST(BIGINT) so types unify; >>

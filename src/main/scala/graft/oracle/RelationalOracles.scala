@@ -724,5 +724,41 @@ object RelationalOracles {
           "o_custkey", "o_orderpriority"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
     },
+    // brand co-purchase affinity graph (pair support >= 1.25x mean,
+    // exact 4*c*np >= 5*sc) + the shared LPA rounds
+    "q_brand_communities" -> (
+      s"""WITH bbk AS MATERIALIZED (
+         |    SELECT DISTINCT l.l_orderkey, p.p_brand
+         |    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         |), bpe AS MATERIALIZED (
+         |    SELECT a.p_brand AS src, b.p_brand AS dst,
+         |           CAST(COUNT(*) AS BIGINT) AS c
+         |    FROM bbk a JOIN bbk b ON a.l_orderkey = b.l_orderkey
+         |      AND a.p_brand < b.p_brand
+         |    GROUP BY 1, 2
+         |), btt AS (
+         |    SELECT CAST(COUNT(*) AS HUGEINT) AS np,
+         |           CAST(SUM(c) AS HUGEINT) AS sc
+         |    FROM bpe
+         |), bed AS MATERIALIZED (
+         |    SELECT src, dst FROM bpe, btt WHERE 4 * c * np >= 5 * sc
+         |), lsy AS MATERIALIZED (
+         |    SELECT DISTINCT src, dst FROM (
+         |        SELECT src, dst FROM bed
+         |        UNION ALL
+         |        SELECT dst AS src, src AS dst FROM bed
+         |    )
+         |), lp0 AS MATERIALIZED (
+         |    SELECT DISTINCT p_brand AS id, p_brand AS label FROM bbk
+         |)""".stripMargin +
+        lpaRounds(ops.BasketOps.BrandLpaIters) +
+        s"""
+           |SELECT l.id AS brand, l.label AS community,
+           |       CAST(z.community_size AS BIGINT) AS community_size
+           |FROM lp${ops.BasketOps.BrandLpaIters} l JOIN (
+           |    SELECT label, COUNT(*) AS community_size
+           |    FROM lp${ops.BasketOps.BrandLpaIters} GROUP BY 1) z
+           |  ON z.label = l.label
+           |ORDER BY brand""".stripMargin),
   )
 }

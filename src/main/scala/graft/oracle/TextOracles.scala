@@ -1438,11 +1438,102 @@ object TextOracles {
         |                ORDER BY bucket) * 1000000 // bucket_tokens, -1)
         |            AS BIGINT) AS decay_ppm
         |FROM zpb ORDER BY source, bucket""".stripMargin,
+    // coverage curve: vocabulary ranks + three prefix cutoffs
+    "q_vocab_coverage" ->
+      """WITH vcf AS (
+        |    SELECT u.w, CAST(COUNT(*) AS BIGINT) AS c
+        |    FROM (SELECT string_split_regex(trim(text), '\s+') AS tk
+        |          FROM documents) d, unnest(d.tk) AS u(w)
+        |    GROUP BY 1
+        |), vcr AS (
+        |    SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rnk
+        |    FROM vcf
+        |), vct AS (
+        |    SELECT CAST(SUM(c) AS BIGINT) AS total,
+        |           CAST(COUNT(*) AS BIGINT) AS n_types
+        |    FROM vcf
+        |)
+        |SELECT CAST(n.top_n AS BIGINT) AS top_n, t.n_types, t.total,
+        |       CAST(COALESCE((SELECT SUM(c) FROM vcr
+        |                      WHERE rnk <= n.top_n), 0) AS BIGINT)
+        |           AS covered,
+        |       CAST(COALESCE((SELECT SUM(c) FROM vcr
+        |                      WHERE rnk <= n.top_n), 0) * 1000000
+        |            // t.total AS BIGINT) AS coverage_ppm
+        |FROM (VALUES (100), (1000), (10000)) n(top_n), vct t
+        |ORDER BY top_n""".stripMargin,
+    // OOV of the back-1/3 batch against the front-2/3 vocabulary
+    // (the incremental gates' doc_id split rule)
+    "q_oov_rate" ->
+      """WITH omx AS (
+        |    SELECT MAX(doc_id) AS mx FROM documents
+        |), ovv AS (
+        |    SELECT DISTINCT u.w
+        |    FROM (SELECT string_split_regex(trim(text), '\s+') AS tk
+        |          FROM documents, omx WHERE doc_id * 3 < mx * 2) d,
+        |         unnest(d.tk) AS u(w)
+        |), ovb AS (
+        |    SELECT d.source, u.w, CAST(COUNT(*) AS BIGINT) AS c
+        |    FROM (SELECT source,
+        |              string_split_regex(trim(text), '\s+') AS tk
+        |          FROM documents, omx WHERE doc_id * 3 >= mx * 2) d,
+        |         unnest(d.tk) AS u(w)
+        |    GROUP BY 1, 2
+        |)
+        |SELECT b.source, CAST(SUM(b.c) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(CASE WHEN v.w IS NULL THEN b.c ELSE 0 END)
+        |            AS BIGINT) AS n_oov,
+        |       CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_oov_types,
+        |       CAST(SUM(CASE WHEN v.w IS NULL THEN b.c ELSE 0 END)
+        |            * 1000000 // SUM(b.c) AS BIGINT) AS oov_ppm
+        |FROM ovb b LEFT JOIN ovv v ON v.w = b.w
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // quantile alignment: per-source and global length histograms with
     // cumulative ranges, percentile ranks ceil(p*n/100) looked up by
     // range containment (the oracle favors the declarative BETWEEN
     // join; the engine's as-of union+window computes the same cell)
-    "q_quantile_align" -> {
+    "q_quantile_align" -> quantileAlignSql,
+    // maintenance invariant: the gate serves from a delta-grown stored
+    // histogram; the oracle is the FRESH full-corpus alignment — green
+    // proves streamed state ≡ from-scratch (the link-graph posture)
+    "q_quantile_align_incremental" -> quantileAlignSql,
+    // pairwise source 3-gram Jaccard: per-source distinct shingle sets,
+    // gram-keyed pairing (fan-out ≤ C(|sources|,2) per gram), exact
+    // |A∪B| = |A|+|B|−|A∩B|
+    "q_source_similarity" ->
+      s"""WITH sst AS (
+        |    SELECT source, doc_id,
+        |           string_split_regex(trim(text), '\\s+') AS tokens
+        |    FROM documents
+        |), ssg AS (
+        |    SELECT DISTINCT source, unnest(list_transform(
+        |               range(1, len(tokens) - ${SetJoinOps.ShingleN - 2}),
+        |               i -> array_to_string(
+        |                   tokens[i:i+${SetJoinOps.ShingleN - 1}], ' ')))
+        |               AS sh
+        |    FROM sst WHERE len(tokens) >= ${SetJoinOps.ShingleN}
+        |), ssn AS (
+        |    SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        |    FROM ssg GROUP BY 1
+        |), ssi AS (
+        |    SELECT a.source AS sa, b.source AS sb,
+        |           CAST(COUNT(*) AS BIGINT) AS n_inter
+        |    FROM ssg a JOIN ssg b ON a.sh = b.sh AND a.source < b.source
+        |    GROUP BY 1, 2
+        |)
+        |SELECT i.sa, i.sb, x.n AS na, y.n AS nb, i.n_inter,
+        |       CAST(i.n_inter * 1000000 // (x.n + y.n - i.n_inter)
+        |            AS BIGINT) AS jaccard_ppm
+        |FROM ssi i JOIN ssn x ON x.source = i.sa
+        |JOIN ssn y ON y.source = i.sb
+        |ORDER BY i.sa, i.sb""".stripMargin,
+  )
+
+  /** The quantile-alignment SQL — shared by the fresh gate and the
+    * incremental gate's from-scratch oracle.
+    */
+  private def quantileAlignSql: String = {
       def side(src: String, tag: String) =
         s"""${tag}h AS (
            |    SELECT $src AS source, n_chars,
@@ -1472,6 +1563,5 @@ object TextOracles {
          |       CAST(a.value - b.value AS BIGINT) AS shift
          |FROM qav a JOIN qbv b ON b.pct = a.pct
          |ORDER BY a.source, a.pct""".stripMargin
-    },
-  )
+  }
 }

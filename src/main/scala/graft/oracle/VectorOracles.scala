@@ -668,6 +668,65 @@ object VectorOracles {
         |                            AND s.neighbor_id = e.neighbor_id
         |GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    // nProbe tuning curve: the exact top-5 CTEs (the ann_recall text),
+    // then per budget the materialized candidate frame's count, top-5
+    // rank replay and hit count — split-gate contract
+    "q_ivf_nprobe_curve" -> {
+      val blocks = Seq(1, 2, 4, 8).map { np =>
+        val path = OracleInputs.sqlPath(s"ivf_curve_cand_np$np")
+        s""", c$np AS (
+           |    SELECT probe_id, neighbor_id, cosine
+           |    FROM read_parquet('$path/*.parquet')
+           |), t$np AS (
+           |    SELECT probe_id, neighbor_id FROM (
+           |        SELECT probe_id, neighbor_id,
+           |               row_number() OVER (PARTITION BY probe_id
+           |                   ORDER BY cosine DESC, neighbor_id) AS rnk
+           |        FROM c$np) WHERE rnk <= 5
+           |), r$np AS (
+           |    SELECT CAST($np AS INTEGER) AS nprobe,
+           |           (SELECT CAST(COUNT(*) AS BIGINT) FROM c$np)
+           |               AS n_candidates,
+           |           (SELECT CAST(COUNT(*) AS BIGINT) FROM exact)
+           |               AS n_exact,
+           |           CAST((SELECT COUNT(*) FROM exact e JOIN t$np t
+           |                 ON t.probe_id = e.probe_id
+           |                AND t.neighbor_id = e.neighbor_id) AS BIGINT)
+           |               AS n_hit
+           |)""".stripMargin
+      }.mkString
+      s"""WITH nrm AS (
+        |    SELECT vec_id, embedding,
+        |           sqrt(list_reduce(
+        |             list_prepend(CAST(0.0 AS DOUBLE),
+        |               list_transform(embedding,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |             (a, b) -> a + b)) AS l2
+        |    FROM embeddings
+        |), pairs AS (
+        |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |           list_reduce(
+        |             list_prepend(CAST(0.0 AS DOUBLE),
+        |               list_transform(range(1, len(p.embedding) + 1),
+        |                 i -> CAST(p.embedding[i] AS DOUBLE)
+        |                      * CAST(c.embedding[i] AS DOUBLE))),
+        |             (a, b) -> a + b) / (p.l2 * c.l2) AS cosine
+        |    FROM nrm p JOIN nrm c ON p.vec_id < 5
+        |), exact AS (
+        |    SELECT probe_id, neighbor_id FROM (
+        |        SELECT probe_id, neighbor_id,
+        |               row_number() OVER (PARTITION BY probe_id
+        |                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+        |        FROM pairs)
+        |    WHERE rnk <= 5
+        |)""".stripMargin + blocks +
+        """
+          |SELECT nprobe, n_candidates, n_exact, n_hit,
+          |       CAST(n_hit * 1000000 // n_exact AS BIGINT) AS recall_ppm
+          |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+          |      UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r8)
+          |ORDER BY nprobe""".stripMargin
+    },
     // Power iteration over the TF-IDF Gram matrix: every round replayed
     // as MATERIALIZED CTE stages (HUGEINT sums, truncating division).
     "q_power_direction" ->

@@ -392,6 +392,54 @@ object WebOracles {
     "q_harmonic_centrality" -> allPairsHopsOracle(6),
     // same APSP rounds, per-SOURCE rollup (reach, dist sum, max geodesic)
     "q_eccentricity" -> eccentricityOracle(6),
+    // symmetric endpoint-degree Pearson: variance terms equal by
+    // symmetry so r is the exact rational num/den, no sqrt; the
+    // negative-floor CASE matches Spark's truncating div
+    "q_assortativity" -> (domainGraphCtes +
+      """, aue AS MATERIALIZED (
+        |    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        |    FROM edges WHERE src <> dst
+        |), adg AS (
+        |    SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |        SELECT a AS v FROM aue UNION ALL SELECT b AS v FROM aue
+        |    ) GROUP BY 1
+        |), apt AS (
+        |    SELECT da.deg AS x, db.deg AS y
+        |    FROM aue e JOIN adg da ON da.v = e.a JOIN adg db ON db.v = e.b
+        |    UNION ALL
+        |    SELECT db.deg AS x, da.deg AS y
+        |    FROM aue e JOIN adg da ON da.v = e.a JOIN adg db ON db.v = e.b
+        |), asm AS (
+        |    SELECT CAST(COUNT(*) AS HUGEINT) AS m2,
+        |           CAST(SUM(x) AS HUGEINT) AS sx,
+        |           CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |           CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        |    FROM apt
+        |), and_ AS (
+        |    SELECT m2, m2 * sxy - sx * sx AS num, m2 * sxx - sx * sx AS den
+        |    FROM asm
+        |)
+        |SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+        |       CAST(CASE WHEN den = 0 THEN 0
+        |                 WHEN num < 0 THEN -((-num * 1000000) // den)
+        |                 ELSE (num * 1000000) // den END AS BIGINT)
+        |           AS assort_ppm
+        |FROM and_""".stripMargin),
+    // directed-edge reciprocity: semi-join against the reversed set
+    "q_reciprocity" -> (domainGraphCtes +
+      """, rde AS MATERIALIZED (
+        |    SELECT src, dst FROM edges WHERE src <> dst
+        |), rcp AS (
+        |    SELECT CAST(COUNT(*) AS BIGINT) AS n_reciprocated
+        |    FROM rde e WHERE EXISTS (
+        |        SELECT 1 FROM rde r WHERE r.src = e.dst AND r.dst = e.src)
+        |)
+        |SELECT CAST((SELECT COUNT(*) FROM rde) AS BIGINT) AS n_edges,
+        |       (SELECT n_reciprocated FROM rcp) AS n_reciprocated,
+        |       CAST(CASE WHEN (SELECT COUNT(*) FROM rde) = 0 THEN 0
+        |            ELSE (SELECT n_reciprocated FROM rcp) * 1000000
+        |                 // (SELECT COUNT(*) FROM rde) END AS BIGINT)
+        |           AS recip_ppm""".stripMargin),
     // stress centrality: the geodesic-count walk unrolled, then the
     // Shimbel through-path rollup — exact integer path counts end to end
     "q_stress_centrality" -> allPairsGeodesicsOracle(6),

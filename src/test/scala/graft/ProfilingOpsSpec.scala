@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{EventOps, GraphOps, Relational}
+import graft.ops.{BasketOps, EventOps, GraphOps, Relational}
 
 /** Round-12 profiling/analytics additions: Gini spend inequality, FD
   * profiling, burstiness (Fano), Markov stationary distribution and
@@ -235,6 +235,256 @@ class ProfilingOpsSpec extends SparkSpec {
       assert(e >= 0 && e <= 6) // the bounded-round contract
       assert(ds >= n && (n > 0 || ds == 0))
       assert(e <= ds && (n == 0 || e >= 1))
+    }
+  }
+
+  /** The domain graph rebuilt from the link-extract gate's own output —
+    * the independent edge list the graph-gate brute forces run on.
+    */
+  private lazy val domainEdges: Set[(String, String)] =
+    graft.ops.LinkOps.linkExtract(spark, sf).collect()
+      .filter(_.getAs[Int]("is_external") == 1)
+      .map(r => (r.getAs[String]("page_domain"),
+        r.getAs[String]("target_domain")))
+      .filter(e => e._1 != e._2).toSet
+
+  test("assortativity: brute-force symmetric degree Pearson") {
+    val r = graft.ops.LinkOps.assortativityDomains(spark, sf).head
+    val und = domainEdges.map { case (a, b) =>
+      if (a < b) (a, b) else (b, a) }
+    val deg = und.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val pts = und.toSeq.flatMap { case (a, b) =>
+      Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+    val m2 = pts.size.toLong
+    val sx = pts.map(_._1).sum
+    val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+    val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+    val num = BigInt(m2) * sxy - BigInt(sx) * sx
+    val den = BigInt(m2) * sxx - BigInt(sx) * sx
+    val ppm = if (den == 0) 0L
+      else if (num < 0) -((-num * 1000000) / den).toLong
+      else (num * 1000000 / den).toLong
+    assert(r.getAs[Long]("n_edges") === und.size.toLong)
+    assert(r.getAs[Long]("assort_ppm") === ppm)
+    assert(math.abs(ppm) <= 1000000L)
+  }
+
+  test("reciprocity: brute-force reversed-edge membership") {
+    val r = graft.ops.LinkOps.reciprocityDomains(spark, sf).head
+    val nRec = domainEdges.count(e => domainEdges((e._2, e._1))).toLong
+    assert(r.getAs[Long]("n_edges") === domainEdges.size.toLong)
+    assert(r.getAs[Long]("n_reciprocated") === nRec)
+    assert(r.getAs[Long]("recip_ppm") ===
+      nRec * 1000000L / domainEdges.size)
+  }
+
+  test("eccentricity: brute-force 6-round BFS per source") {
+    val got = graft.ops.LinkOps.eccentricityDomains(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val verts = graft.ops.LinkOps.linkExtract(spark, sf).collect()
+      .flatMap(r => Seq(r.getAs[String]("page_domain")) ++
+        (if (r.getAs[Int]("is_external") == 1)
+          Seq(r.getAs[String]("target_domain")) else Nil)).toSet
+    val adj = domainEdges.groupBy(_._1).map { case (k, v) =>
+      (k, v.map(_._2)) }
+    assert(got.keySet === verts)
+    for (s0 <- verts) {
+      val dist = scala.collection.mutable.Map(s0 -> 0L)
+      var frontier = Set(s0)
+      for (i <- 1 to 6) {
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+          .filterNot(dist.contains)
+        frontier.foreach(v => dist(v) = i.toLong)
+      }
+      val reached = dist.filter(_._1 != s0).values.toSeq
+      assert(got(s0) === ((reached.size.toLong, reached.sum,
+        if (reached.isEmpty) 0L else reached.max)), s"source $s0")
+    }
+  }
+
+  test("brand communities: brute-force affinity edges + 4 LPA rounds") {
+    val got = BasketOps.brandCommunities(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    val li = Tables.t(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pb = Tables.t(spark, sf, "part").select("p_partkey", "p_brand")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val baskets = li.map { case (o, p) => (o, pb(p)) }.distinct
+    val byOrder = baskets.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val pairCnt = scala.collection.mutable.Map.empty[(String, String), Long]
+    for (bs <- byOrder; i <- bs.indices; j <- i + 1 until bs.length
+         if bs(i) < bs(j))
+      pairCnt((bs(i), bs(j))) = pairCnt.getOrElse((bs(i), bs(j)), 0L) + 1
+    val np = pairCnt.size.toLong
+    val sc = pairCnt.values.sum
+    val edges = pairCnt.filter { case (_, c) => 4 * c * np >= 5 * sc }
+      .keySet
+    val verts = baskets.map(_._2).toSet
+    val sym = edges.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).toSet) }
+    var labels: Map[String, String] = verts.map(v => v -> v).toMap
+    for (_ <- 1 to BasketOps.BrandLpaIters)
+      labels = verts.map { v =>
+        val votes = sym.getOrElse(v, Set.empty).toSeq.map(labels)
+          .groupBy(identity).map { case (l, o) => (l, o.size) }
+        if (votes.isEmpty) v -> labels(v)
+        else v -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    val sizes = labels.values.groupBy(identity)
+      .map { case (l, o) => (l, o.size.toLong) }
+    assert(got === labels.map { case (v, l) => v -> (l, sizes(l)) })
+  }
+
+  test("funnel latency: brute-force first-touch latency stats") {
+    val got = EventOps.funnelLatency(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val ev = Tables.t(spark, sf, "events")
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def firstAfter(tpe: String, prev: Map[Long, Long]): Map[Long, Long] =
+      ev.filter(e => e._2 == tpe && prev.contains(e._1) &&
+          e._3 > prev(e._1))
+        .groupBy(_._1).map { case (u, es) => (u, es.map(_._3).min) }
+    val t1 = ev.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, es) => (u, es.map(_._3).min) }
+    val t2 = firstAfter("click", t1)
+    val t3 = firstAfter("purchase", t2)
+    def stats(lat: Seq[Long]): (Long, Long, Long, Long, Long) = {
+      val sorted = lat.sorted
+      (lat.size.toLong, lat.map(BigInt(_)).sum.toLong / lat.size,
+        sorted(((lat.size + 1) / 2 - 1).toInt), sorted.head, sorted.last)
+    }
+    assert(got("1_signup_to_click") ===
+      stats(t2.map { case (u, t) => (t - t1(u)) / 1000000 }.toSeq))
+    assert(got("2_click_to_purchase") ===
+      stats(t3.map { case (u, t) => (t - t2(u)) / 1000000 }.toSeq))
+  }
+
+  test("quantile align lifecycle: delta fold ≡ fresh, redelivery-safe") {
+    import graft.ops.{IncrementalClusters, TextOps}
+    val db = "graft_qa_spec"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    val front = IncrementalClusters.corpusDocsRange(spark, sf)
+    val batch = IncrementalClusters.batchDocsRange(spark, sf)
+    TextOps.buildQaModel(front, db)
+    graft.pipeline.DeltaModelIngest.append(spark, TextOps.qaFamily(db),
+      "spec", 0L, TextOps.histOfDocs(batch))
+    // crash-window redelivery: the same (source, epoch) lands again
+    graft.pipeline.DeltaModelIngest.append(spark, TextOps.qaFamily(db),
+      "spec", 0L, TextOps.histOfDocs(batch))
+    val served = TextOps.quantileAlignFromStore(spark, db).collect()
+      .map(_.toSeq).toSet
+    val fresh = TextOps.quantileAlign(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(served === fresh)
+    assert(served.nonEmpty)
+  }
+
+  test("source similarity: brute-force gram-set Jaccard per pair") {
+    val got = graft.ops.TextOps.sourceSimilarity(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val docs = Tables.t(spark, sf, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val sets = docs.groupBy(_._1).map { case (src, ds) =>
+      src -> ds.flatMap { case (_, t) =>
+        val tk = t.trim.split("\\s+")
+        if (tk.length < 3) Array.empty[String]
+        else tk.sliding(3).map(_.mkString(" ")).toArray
+      }.toSet
+    }
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size.toLong if inter > 0
+    } yield ((a, b), (sets(a).size.toLong, sets(b).size.toLong, inter,
+      inter * 1000000L / (sets(a).size + sets(b).size - inter)))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("ivf nprobe curve: monotone recall/cost, exact arithmetic") {
+    val rows = graft.ops.VectorOps.ivfNprobeCurve(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq === Seq(1, 2, 4, 8))
+    val nExact = graft.ops.VectorOps.knnCosineTopk(spark, sf).count()
+    for ((np, nc, ne, nh, rp) <- rows) {
+      assert(ne === nExact)
+      assert(nh <= ne && nh >= 0 && nc >= nh)
+      assert(rp === nh * 1000000L / ne)
+    }
+    for (w <- rows.sliding(2) if w.length == 2) {
+      assert(w(0)._2 <= w(1)._2, "candidate volume must grow with nprobe")
+      assert(w(0)._4 <= w(1)._4, "recall must not fall as cells widen")
+    }
+  }
+
+  test("weekday profile: brute-force counts and Thursday epoch anchor") {
+    val got = EventOps.weekdayProfile(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val ev = Tables.t(spark, sf, "events")
+      .select(col("event_type"), col("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // 1970-01-01 (epoch day 0) is a Thursday: (0 + 3) % 7 = 3 under
+    // the Monday=0 convention the op documents
+    assert((0L + 3) % 7 === 3L)
+    val cells = ev.groupBy(e =>
+      (e._1, (e._2 / EventOps.DayNs + 3) % 7))
+    val byType = ev.groupBy(_._1).map { case (k, v) => (k, v.size.toLong) }
+    assert(got.size === cells.size)
+    for ((key, es) <- cells) {
+      val n = es.size.toLong
+      assert(got(key) === ((n, n * 1000000L / byType(key._1),
+        es.map(_._3).sum)))
+    }
+  }
+
+  test("vocab coverage: brute-force rank cutoffs, monotone curve") {
+    val rows = graft.ops.TextOps.vocabCoverage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq === Seq(100L, 1000L, 10000L))
+    val freq = Tables.t(spark, sf, "documents").select("text").collect()
+      .flatMap(_.getString(0).trim.split("\\s+"))
+      .groupBy(identity).map { case (w, o) => (w, o.length.toLong) }
+    val ranked = freq.toSeq.sortBy { case (w, c) => (-c, w) }.map(_._2)
+    val total = ranked.sum
+    for ((n, nTypes, tot, cov, ppm) <- rows) {
+      assert(nTypes === ranked.length.toLong)
+      assert(tot === total)
+      assert(cov === ranked.take(n.toInt).sum)
+      assert(ppm === cov * 1000000L / total)
+    }
+    for (w <- rows.sliding(2) if w.length == 2)
+      assert(w(0)._4 <= w(1)._4)
+  }
+
+  test("oov rate: brute-force front-vocab membership per batch source") {
+    val got = graft.ops.TextOps.oovRate(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val docs = Tables.t(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val mx = docs.map(_._1).max
+    def toks(t: String) = t.trim.split("\\s+").toSeq
+    val vocab = docs.filter(_._1 * 3 < mx * 2).flatMap(d => toks(d._3))
+      .toSet
+    val batch = docs.filter(_._1 * 3 >= mx * 2)
+    assert(batch.nonEmpty && got.nonEmpty)
+    for ((src, ds) <- batch.groupBy(_._2)) {
+      val ws = ds.flatMap(d => toks(d._3))
+      val oov = ws.count(!vocab(_)).toLong
+      val oovTypes = ws.distinct.count(!vocab(_)).toLong
+      assert(got(src) === ((ws.length.toLong, oov, oovTypes,
+        oov * 1000000L / ws.length)))
     }
   }
 
