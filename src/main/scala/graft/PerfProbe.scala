@@ -725,7 +725,11 @@ object PerfProbe {
         "q_ivf_nprobe_curve", "q_weekday_profile",
         // coverage ranks the ~linearly-growing rotated vocabulary;
         // OOV is the decontamination token-keyed join shape
-        "q_vocab_coverage", "q_oov_rate")
+        "q_vocab_coverage", "q_oov_rate",
+        // the forget fold pays one build + one negative-delta histogram
+        // append (both histogram-agg shapes); brand modularity is the
+        // community gate's graph + the tally rollups
+        "q_quantile_align_forget", "q_brand_modularity")
       // q_hybrid_search is deliberately absent for the q_contamination
       // reason: its semantic leg is probe-set x corpus and BOTH grow with
       // K here, so the ratio would measure the quadratic workload growth,

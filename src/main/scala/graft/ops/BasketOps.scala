@@ -394,7 +394,41 @@ object BasketOps {
     * frame; the threshold is one 1-row aggregate broadcast; LPA runs
     * on the brand-bounded graph. Gate `q_brand_communities`.
     */
-  def brandCommunities(s: SparkSession, d: String): DataFrame = {
+  def brandCommunities(s: SparkSession, d: String): DataFrame =
+    withBrandGraph(s, d) { (edges, verts) =>
+      GraphOps.labelPropagationInto(edges, verts, BrandLpaIters) { labels =>
+        val sizes = labels.groupBy("label")
+          .agg(count(lit(1)).as("community_size"))
+        labels.join(sizes, Seq("label"))
+          .select(col("id").as("brand"), col("label").as("community"),
+            col("community_size"))
+          .localCheckpoint(eager = true)
+      }
+    }.orderBy("brand")
+
+  /** Modularity tallies of the [[brandCommunities]] partition
+    * ([[GraphOps.modularityOver]] on the co-purchase affinity graph) —
+    * the same adjudicator the link gates carry (`q_modularity`), on the
+    * transaction graph: an assortment "community" whose contrib_num
+    * ≤ 0 is no denser than chance and shouldn't drive planning.
+    * Gate `q_brand_modularity`.
+    */
+  def brandModularity(s: SparkSession, d: String): DataFrame =
+    withBrandGraph(s, d) { (edges, verts) =>
+      GraphOps.labelPropagationInto(edges, verts, BrandLpaIters) { labels =>
+        GraphOps.modularityOver(edges, labels)
+      }
+    }.orderBy("community")
+
+  /** Loan pattern over the co-purchase AFFINITY graph ([[brandCommunities]]'
+    * construction): distinct per-order brand sets → pair supports →
+    * mean-relative edge cut → (edges, verts) handed to `f`, which must
+    * return an eagerly-materialized frame (both callers checkpoint
+    * through their GraphOps loans).
+    */
+  private def withBrandGraph(s: SparkSession, d: String)
+                            (f: (DataFrame, DataFrame) => DataFrame)
+      : DataFrame = {
     val bbk = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
       .join(t(s, d, "part")
         .select(col("p_partkey").as("l_partkey"), col("p_brand")),
@@ -414,14 +448,7 @@ object BasketOps {
           "5 * CAST(sc AS DECIMAL(38,0))"))
         .select("src", "dst")
       val verts = bbk.select(col("p_brand").as("id")).distinct()
-      GraphOps.labelPropagationInto(edges, verts, BrandLpaIters) { labels =>
-        val sizes = labels.groupBy("label")
-          .agg(count(lit(1)).as("community_size"))
-        labels.join(sizes, Seq("label"))
-          .select(col("id").as("brand"), col("label").as("community"),
-            col("community_size"))
-          .localCheckpoint(eager = true)
-      }.orderBy("brand")
+      f(edges, verts)
     } finally bbk.unpersist()
   }
 }

@@ -1781,7 +1781,11 @@ object TextOps {
   /** [[quantileAlign]] over an explicit histogram (split out so the
     * stored delta-grown histogram serves the same computation).
     */
-  private[graft] def quantileAlignFromHist(histIn: DataFrame): DataFrame = {
+  private[graft] def quantileAlignFromHist(histRaw: DataFrame): DataFrame = {
+    // zero cells arise only from a forget fold that exactly cancelled a
+    // cell; they carry no mass but would tie two cells on the same
+    // cumulative rank key, making the as-of pick order-dependent
+    val histIn = histRaw.where(col("c") > 0)
     def pctValues(hist0: DataFrame): DataFrame = {
       val hist = hist0
         .withColumn("hi", sum("c").over(Window.partitionBy("source")
@@ -1854,7 +1858,39 @@ object TextOps {
         PlanCache.swap(s"qa-delta-eff-$db",
           DeltaModelIngest.effectiveCounts(s, qaFamily(db)))
       else s.table(s"`$db`.`$QaHistTable`")
+    // forget folds may cancel cells to zero (filtered downstream) but
+    // must NEVER drive one negative — that means a deletion of rows
+    // never ingested, and serving from it would silently misalign
+    val mn = hist.agg(min("c")).head()
+    require(mn.isNullAt(0) || mn.getLong(0) >= 0L,
+      "quantileAlignFromStore: negative histogram cell — a forget fold " +
+        "deleted rows the store never ingested; rebuild from the corpus")
     quantileAlignFromHist(hist)
+  }
+
+  /** RIGHT-TO-BE-FORGOTTEN fold — the deletion dual of
+    * [[quantileAlignIncrement]]: the histogram family is ADDITIVE, so a
+    * departing slice folds in as a NEGATIVE delta through the same
+    * exactly-once machinery (redelivered deletion batches land
+    * identical bytes — no double-forget), and the served alignment
+    * equals a from-scratch build WITHOUT the deleted documents (the
+    * oracle). Exactly-zero cells are filtered at serve; a cell driven
+    * NEGATIVE refuses loudly ([[quantileAlignFromStore]]) — deleting
+    * never-ingested rows is corruption, not maintenance. The
+    * data-governance posture every stored count model at 100 TB needs:
+    * retrain-scale cost for a delete would make compliance a full
+    * rebuild; the additive fold makes it one delta.
+    * Gate `q_quantile_align_forget`.
+    */
+  def quantileAlignForget(s: SparkSession, d: String): DataFrame = {
+    val db = "graft_qa_fgt_q"
+    buildQaModel(t(s, d, "documents"), db)
+    val departing = histOfDocs(
+        graft.ops.IncrementalClusters.batchDocsRange(s, d))
+      .select(col("source"), col("n_chars"), (-col("c")).as("c"))
+    graft.pipeline.DeltaModelIngest.append(s, qaFamily(db), "forget", 0L,
+      departing)
+    quantileAlignFromStore(s, db)
   }
 
   /** Maintenance-invariant gate: build the stored histogram on the

@@ -726,31 +726,7 @@ object RelationalOracles {
     },
     // brand co-purchase affinity graph (pair support >= 1.25x mean,
     // exact 4*c*np >= 5*sc) + the shared LPA rounds
-    "q_brand_communities" -> (
-      s"""WITH bbk AS MATERIALIZED (
-         |    SELECT DISTINCT l.l_orderkey, p.p_brand
-         |    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-         |), bpe AS MATERIALIZED (
-         |    SELECT a.p_brand AS src, b.p_brand AS dst,
-         |           CAST(COUNT(*) AS BIGINT) AS c
-         |    FROM bbk a JOIN bbk b ON a.l_orderkey = b.l_orderkey
-         |      AND a.p_brand < b.p_brand
-         |    GROUP BY 1, 2
-         |), btt AS (
-         |    SELECT CAST(COUNT(*) AS HUGEINT) AS np,
-         |           CAST(SUM(c) AS HUGEINT) AS sc
-         |    FROM bpe
-         |), bed AS MATERIALIZED (
-         |    SELECT src, dst FROM bpe, btt WHERE 4 * c * np >= 5 * sc
-         |), lsy AS MATERIALIZED (
-         |    SELECT DISTINCT src, dst FROM (
-         |        SELECT src, dst FROM bed
-         |        UNION ALL
-         |        SELECT dst AS src, src AS dst FROM bed
-         |    )
-         |), lp0 AS MATERIALIZED (
-         |    SELECT DISTINCT p_brand AS id, p_brand AS label FROM bbk
-         |)""".stripMargin +
+    "q_brand_communities" -> (brandGraphCtes +
         lpaRounds(ops.BasketOps.BrandLpaIters) +
         s"""
            |SELECT l.id AS brand, l.label AS community,
@@ -760,5 +736,70 @@ object RelationalOracles {
            |    FROM lp${ops.BasketOps.BrandLpaIters} GROUP BY 1) z
            |  ON z.label = l.label
            |ORDER BY brand""".stripMargin),
+    // the Newman-Girvan tallies of the brand partition (the
+    // q_modularity tail on the co-purchase graph)
+    "q_brand_modularity" -> (brandGraphCtes +
+      lpaRounds(ops.BasketOps.BrandLpaIters) +
+      s""", mue AS MATERIALIZED (
+         |    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |    FROM bed WHERE src <> dst
+         |), mmm AS (
+         |    SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM mue
+         |), mdg AS (
+         |    SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |        SELECT a AS v FROM mue UNION ALL SELECT b AS v FROM mue
+         |    ) GROUP BY 1
+         |), mint AS (
+         |    SELECT la.label AS community, CAST(COUNT(*) AS BIGINT)
+         |               AS e_intra
+         |    FROM mue e
+         |    JOIN lp${ops.BasketOps.BrandLpaIters} la ON la.id = e.a
+         |    JOIN lp${ops.BasketOps.BrandLpaIters} lb ON lb.id = e.b
+         |    WHERE la.label = lb.label GROUP BY 1
+         |), mds AS (
+         |    SELECT l.label AS community, CAST(COUNT(*) AS BIGINT)
+         |               AS n_nodes,
+         |           CAST(SUM(COALESCE(g.deg, 0)) AS BIGINT) AS d_sum
+         |    FROM lp${ops.BasketOps.BrandLpaIters} l
+         |    LEFT JOIN mdg g ON g.v = l.id GROUP BY 1
+         |)
+         |SELECT d.community, d.n_nodes,
+         |       CAST(COALESCE(i.e_intra, 0) AS BIGINT) AS e_intra, d.d_sum,
+         |       CAST(4 * (SELECT m FROM mmm) * COALESCE(i.e_intra, 0)
+         |            - CAST(d.d_sum AS HUGEINT) * d.d_sum AS BIGINT)
+         |           AS contrib_num,
+         |       CAST(4 * (SELECT m FROM mmm) * (SELECT m FROM mmm)
+         |            AS BIGINT) AS four_m2
+         |FROM mds d LEFT JOIN mint i USING (community)
+         |ORDER BY community""".stripMargin),
   )
+
+  /** The co-purchase affinity graph CTEs (bbk/bpe/btt/bed + lsy/lp0) —
+    * shared by the community listing and its modularity score.
+    */
+  private def brandGraphCtes: String =
+    s"""WITH bbk AS MATERIALIZED (
+       |    SELECT DISTINCT l.l_orderkey, p.p_brand
+       |    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       |), bpe AS MATERIALIZED (
+       |    SELECT a.p_brand AS src, b.p_brand AS dst,
+       |           CAST(COUNT(*) AS BIGINT) AS c
+       |    FROM bbk a JOIN bbk b ON a.l_orderkey = b.l_orderkey
+       |      AND a.p_brand < b.p_brand
+       |    GROUP BY 1, 2
+       |), btt AS (
+       |    SELECT CAST(COUNT(*) AS HUGEINT) AS np,
+       |           CAST(SUM(c) AS HUGEINT) AS sc
+       |    FROM bpe
+       |), bed AS MATERIALIZED (
+       |    SELECT src, dst FROM bpe, btt WHERE 4 * c * np >= 5 * sc
+       |), lsy AS MATERIALIZED (
+       |    SELECT DISTINCT src, dst FROM (
+       |        SELECT src, dst FROM bed
+       |        UNION ALL
+       |        SELECT dst AS src, src AS dst FROM bed
+       |    )
+       |), lp0 AS MATERIALIZED (
+       |    SELECT DISTINCT p_brand AS id, p_brand AS label FROM bbk
+       |)""".stripMargin
 }

@@ -1498,6 +1498,12 @@ object TextOracles {
     // histogram; the oracle is the FRESH full-corpus alignment — green
     // proves streamed state ≡ from-scratch (the link-graph posture)
     "q_quantile_align_incremental" -> quantileAlignSql,
+    // deletion invariant: the gate folds the back-1/3 slice as a
+    // NEGATIVE delta; the oracle is the fresh alignment WITHOUT that
+    // slice — green proves the forget fold ≡ retrain-without-deleted
+    "q_quantile_align_forget" -> quantileAlignSqlOver(
+      "(SELECT * FROM documents WHERE doc_id * 3 < " +
+        "(SELECT MAX(doc_id) FROM documents) * 2)"),
     // pairwise source 3-gram Jaccard: per-source distinct shingle sets,
     // gram-keyed pairing (fan-out ≤ C(|sources|,2) per gram), exact
     // |A∪B| = |A|+|B|−|A∩B|
@@ -1533,19 +1539,24 @@ object TextOracles {
   /** The quantile-alignment SQL — shared by the fresh gate and the
     * incremental gate's from-scratch oracle.
     */
-  private def quantileAlignSql: String = {
+  private def quantileAlignSql: String = quantileAlignSqlOver("documents")
+
+  /** The alignment SQL over a caller-chosen document relation — the
+    * forget gate's oracle passes the corpus MINUS the departing slice.
+    */
+  private def quantileAlignSqlOver(docs: String): String = {
       def side(src: String, tag: String) =
         s"""${tag}h AS (
            |    SELECT $src AS source, n_chars,
            |           CAST(COUNT(*) AS BIGINT) AS c,
            |           SUM(COUNT(*)) OVER (PARTITION BY $src
            |               ORDER BY n_chars) AS hi
-           |    FROM documents GROUP BY 1, 2
+           |    FROM $docs GROUP BY 1, 2
            |), ${tag}r AS (
            |    SELECT source, n_chars, hi - c + 1 AS lo, hi FROM ${tag}h
            |), ${tag}n AS (
            |    SELECT $src AS source, CAST(COUNT(*) AS BIGINT) AS n_s
-           |    FROM documents GROUP BY 1
+           |    FROM $docs GROUP BY 1
            |), ${tag}g AS (
            |    SELECT source, u.pct,
            |           greatest(1, (u.pct * n_s + 99) // 100) AS k

@@ -488,6 +488,55 @@ class ProfilingOpsSpec extends SparkSpec {
     }
   }
 
+  test("quantile align forget: negative fold ≡ retrain-without, " +
+      "idempotent, loud on over-delete") {
+    import graft.ops.{IncrementalClusters, TextOps}
+    val db = "graft_qa_fgt_spec"
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    val all = Tables.t(spark, sf, "documents")
+    val departing = TextOps.histOfDocs(
+      IncrementalClusters.batchDocsRange(spark, sf))
+      .select(col("source"), col("n_chars"), (-col("c")).as("c"))
+    TextOps.buildQaModel(all, db)
+    graft.pipeline.DeltaModelIngest.append(spark, TextOps.qaFamily(db),
+      "fgt", 0L, departing)
+    // redelivered deletion: same (source, epoch) — must not double-forget
+    graft.pipeline.DeltaModelIngest.append(spark, TextOps.qaFamily(db),
+      "fgt", 0L, departing)
+    val served = TextOps.quantileAlignFromStore(spark, db).collect()
+      .map(_.toSeq).toSet
+    val fresh = TextOps.quantileAlignFromHist(TextOps.histOfDocs(
+      IncrementalClusters.corpusDocsRange(spark, sf))).collect()
+      .map(_.toSeq).toSet
+    assert(served === fresh)
+    // a SECOND forget of the same slice (new epoch) drives cells
+    // negative — serving must refuse loudly, never misalign silently
+    graft.pipeline.DeltaModelIngest.append(spark, TextOps.qaFamily(db),
+      "fgt", 1L, departing)
+    val e = intercept[IllegalArgumentException] {
+      TextOps.quantileAlignFromStore(spark, db).collect()
+    }
+    assert(e.getMessage.contains("negative histogram cell"))
+  }
+
+  test("brand modularity: tallies obey the graph identities") {
+    val rows = BasketOps.brandModularity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val fourM2 = rows.head.getAs[Long]("four_m2")
+    val m = math.sqrt(fourM2 / 4.0).round
+    assert(4L * m * m === fourM2)
+    assert(rows.map(_.getAs[Long]("e_intra")).sum <= m)
+    assert(rows.map(_.getAs[Long]("d_sum")).sum === 2L * m)
+    for (r <- rows)
+      assert(r.getAs[Long]("contrib_num") ===
+        4L * m * r.getAs[Long]("e_intra") -
+          r.getAs[Long]("d_sum") * r.getAs[Long]("d_sum"))
+    // one tally row per community the LPA gate reports
+    val comms = BasketOps.brandCommunities(spark, sf).collect()
+      .map(_.getAs[String]("community")).toSet
+    assert(rows.map(_.getAs[String]("community")).toSet === comms)
+  }
+
   test("modularity gate: tallies obey the graph identities") {
     val rows = graft.ops.LinkOps.modularityCommunities(spark, sf).collect()
     assert(rows.nonEmpty)
