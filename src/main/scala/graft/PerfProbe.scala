@@ -197,7 +197,11 @@ object PerfProbe {
           "model_probe_cdc"),
         graft.ops.ChunkOps.cdcRewriteAgainst(
           graft.ops.IncrementalClusters.batchDocsRange(spark, d), spark,
-          "model_probe_cdc").count()))
+          "model_probe_cdc").count()),
+      // round-12 continued: the quantile-alignment histogram family
+      row("qa_hist", "model_probe_qa",
+        TextOps.buildQaModel(docs, "model_probe_qa"),
+        TextOps.quantileAlignFromStore(spark, "model_probe_qa").count()))
     // incremental-cluster split: the registry gate times the full
     // build + append lifecycle (the oracle proves the maintenance
     // invariant); production pays the BUILD on the rebuild cadence and
@@ -729,7 +733,14 @@ object PerfProbe {
         // the forget fold pays one build + one negative-delta histogram
         // append (both histogram-agg shapes); brand modularity is the
         // community gate's graph + the tally rollups
-        "q_quantile_align_forget", "q_brand_modularity")
+        "q_quantile_align_forget", "q_brand_modularity",
+        // rfm migration is two custkey aggs + value-histogram quintiles.
+        // q_attribution_position is deliberately absent for the
+        // q_attribution_linear reason: replication multiplies each
+        // user's clicks AND purchases ×K, so in-window pairs grow ×K² —
+        // the probe would measure the degenerate workload, not the
+        // engine (its plan shape IS the linear gate's)
+        "q_rfm_migration")
       // q_hybrid_search is deliberately absent for the q_contamination
       // reason: its semantic leg is probe-set x corpus and BOTH grow with
       // K here, so the ratio would measure the quadratic workload growth,

@@ -224,6 +224,61 @@ object BasketOps {
       .orderBy("c_custkey")
   }
 
+  /** RFM MIGRATION — the monetary-quintile TRANSITION MATRIX between
+    * the two calendar halves of the order window: which spend segment
+    * customers START in (first half) and where they LAND (second half),
+    * counts plus exact row-share ppm — the CRM answer [[rfmSegments]]'
+    * static snapshot can't give (a static 5 might be a rising 3 or a
+    * collapsing whale). Halves split at the exact calendar midpoint
+    * ((min_day + max_day) div 2); quintiles are computed WITHIN each
+    * half's population (the migration is rank-relative, so corpus
+    * growth between halves doesn't masquerade as movement); only
+    * customers active in BOTH halves enter the matrix.
+    *
+    * Scale shape: two custkey aggregations; quintiles via the
+    * [[rfmSegments]] value-histogram broadcast + per-value row_number
+    * (never a fact-volume global window); the matrix is a ≤25-cell
+    * rollup. Gate `q_rfm_migration`.
+    */
+  def rfmMigration(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = t(s, d, "orders")
+      .withColumn("day", expr(
+        s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) * 1000 div " +
+          s"${EventOps.DayNs}"))
+      .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+    val half = base.agg(expr("(min(day) + max(day)) div 2").as("half"))
+    val withHalf = base.crossJoin(broadcast(half))
+    def spendWhere(cond: org.apache.spark.sql.Column): DataFrame =
+      withHalf.where(cond)
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(sum("cents").as("m"))
+    def quintile(df: DataFrame, out: String): DataFrame = {
+      val n = df.agg(count(lit(1)).as("n_total"))
+      val hist = df.groupBy("m").agg(count(lit(1)).as("nat"))
+      val ow = Window.orderBy(col("m").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranks = hist
+        .withColumn("cnt_lt", coalesce(sum("nat").over(ow), lit(0L)))
+        .select(col("m"), col("cnt_lt"))
+      val vw = Window.partitionBy("m").orderBy("c_custkey")
+      df.crossJoin(broadcast(n)).join(broadcast(ranks), "m")
+        .withColumn("rn", row_number().over(vw))
+        .select(col("c_custkey"),
+          expr("CAST(1 + (5 * (cnt_lt + rn - 1)) div n_total AS INTEGER)")
+            .as(out))
+    }
+    val from = quintile(spendWhere(col("day") <= col("half")), "q_from")
+    val to = quintile(spendWhere(col("day") > col("half")), "q_to")
+    val cells = from.join(to, "c_custkey")
+      .groupBy("q_from", "q_to").agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy("q_from").agg(sum("n").as("n_from"))
+    cells.join(rowTot, Seq("q_from"))
+      .select(col("q_from"), col("q_to"), col("n"),
+        expr("n * 1000000L div n_from").as("row_ppm"))
+      .orderBy("q_from", "q_to")
+  }
+
   // -------------------------------------------- stored decayed counters
 
   /** Stored-counter decay floor: ages ≥ this shift to weight 0 EXACTLY

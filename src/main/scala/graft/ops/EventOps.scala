@@ -1084,6 +1084,63 @@ object EventOps {
   def attributionLinear(s: SparkSession, d: String): DataFrame =
     attributionOver(t(s, d, "events"))
 
+  /** POSITION-BASED (U-shaped) multi-touch attribution — the 40/20/40
+    * recipe next to [[attributionLinear]]'s equal split: the FIRST
+    * click (the discovery touch) and the LAST click (the closer) each
+    * take 40% of a purchase's value; the middles share the remaining
+    * 20%. Exact micro-cents with CONSERVATION: 40% legs are
+    * `credit·2 div 5`; the middle pool is the exact remainder
+    * `credit − 2·(credit·2 div 5)` split `div (n−2)` with the division
+    * remainder going to the MOST RECENT middle; n = 1 takes everything,
+    * n = 2 splits half/half with the odd micro-cent to the last — every
+    * purchase's credits sum to exactly `credit_total`, the property the
+    * spec pins. Same 7-day first-touch window join as the linear gate.
+    *
+    * Scale shape: identical to [[attributionLinear]] — the in-window
+    * pair join + two per-purchase windows (purchase-keyed, bounded by
+    * the 7-day click fan). Gate `q_attribution_position`.
+    */
+  def attributionPosition(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("pts"),
+        expr("CAST(round(value * 100) AS BIGINT) * " + AttribScale)
+          .as("credit_total"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("cts"))
+    val paired = purchases.join(clicks,
+      col("c_user") === col("user_id") &&
+        col("cts") < col("pts") &&
+        col("cts") >= col("pts") - lit(AttribWindowNs))
+    val byPurchase = Window.partitionBy("purchase_id")
+    val split = paired
+      .withColumn("n", count(lit(1)).over(byPurchase))
+      .withColumn("rn_asc", row_number().over(
+        byPurchase.orderBy(col("cts").asc, col("click_id").asc)))
+      .withColumn("rn_desc", row_number().over(
+        byPurchase.orderBy(col("cts").desc, col("click_id").desc)))
+      .withColumn("credit", expr(
+        """CASE
+          |  WHEN n = 1 THEN credit_total
+          |  WHEN n = 2 AND rn_asc = 1 THEN credit_total div 2
+          |  WHEN n = 2 THEN credit_total - credit_total div 2
+          |  WHEN rn_asc = 1 OR rn_desc = 1 THEN (credit_total * 2) div 5
+          |  ELSE (credit_total - 2 * ((credit_total * 2) div 5))
+          |         div (n - 2)
+          |       + CASE WHEN rn_desc = 2 THEN
+          |           (credit_total - 2 * ((credit_total * 2) div 5))
+          |           - ((credit_total - 2 * ((credit_total * 2) div 5))
+          |              div (n - 2)) * (n - 2)
+          |         ELSE 0 END
+          |END""".stripMargin))
+    split.groupBy(col("click_id"), col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum("credit").as("credit_micro_cents"))
+      .orderBy("click_id")
+  }
+
   private[graft] def attributionOver(ev: DataFrame): DataFrame = {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),

@@ -821,6 +821,93 @@ object EventOracles {
         |                  THEN credit_total - (credit_total // n) * n
         |                  ELSE 0 END) AS BIGINT) AS credit_micro_cents
         |FROM asp GROUP BY 1, 2 ORDER BY click_id""".stripMargin,
+    // U-shaped attribution: the linear gate's pair join, two position
+    // ranks, the exact 40/20/40 CASE (conservation by construction;
+    // credits positive so // == Spark div)
+    "q_attribution_position" ->
+      s"""WITH apu AS (
+        |    SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS pts,
+        |           CAST(round(value * 100) AS BIGINT) * ${EventOps.AttribScale}
+        |               AS credit_total
+        |    FROM events WHERE event_type = 'purchase'
+        |), acl AS (
+        |    SELECT event_id AS click_id, user_id AS c_user, epoch_ns(ts) AS cts
+        |    FROM events WHERE event_type = 'click'
+        |), apd AS (
+        |    SELECT * FROM apu JOIN acl ON c_user = user_id
+        |        AND cts < pts AND cts >= pts - ${EventOps.AttribWindowNs}
+        |), asp AS (
+        |    SELECT *,
+        |           CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT)
+        |               AS n,
+        |           row_number() OVER (PARTITION BY purchase_id
+        |               ORDER BY cts ASC, click_id ASC) AS rn_asc,
+        |           row_number() OVER (PARTITION BY purchase_id
+        |               ORDER BY cts DESC, click_id DESC) AS rn_desc
+        |    FROM apd
+        |), acr AS (
+        |    SELECT click_id, c_user,
+        |           CASE
+        |             WHEN n = 1 THEN credit_total
+        |             WHEN n = 2 AND rn_asc = 1 THEN credit_total // 2
+        |             WHEN n = 2 THEN credit_total - credit_total // 2
+        |             WHEN rn_asc = 1 OR rn_desc = 1
+        |               THEN (credit_total * 2) // 5
+        |             ELSE (credit_total - 2 * ((credit_total * 2) // 5))
+        |                    // (n - 2)
+        |                  + CASE WHEN rn_desc = 2 THEN
+        |                      (credit_total - 2 * ((credit_total * 2) // 5))
+        |                      - ((credit_total
+        |                          - 2 * ((credit_total * 2) // 5))
+        |                         // (n - 2)) * (n - 2)
+        |                    ELSE 0 END
+        |           END AS credit
+        |    FROM asp
+        |)
+        |SELECT click_id, c_user AS user_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |       CAST(SUM(credit) AS BIGINT) AS credit_micro_cents
+        |FROM acr GROUP BY 1, 2 ORDER BY click_id""".stripMargin,
+    // monetary-quintile migration between calendar halves: per half a
+    // custkey spend agg + the RFM rank-quintile formula, inner join,
+    // 5x5 rollup with exact row-share ppm
+    "q_rfm_migration" ->
+      s"""WITH rmb AS (
+        |    SELECT o_custkey,
+        |           epoch_ns(o_orderdate) // ${EventOps.DayNs} AS day,
+        |           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |    FROM orders
+        |), rmh AS (
+        |    SELECT (min(day) + max(day)) // 2 AS half FROM rmb
+        |), rm1 AS (
+        |    SELECT o_custkey AS c_custkey, CAST(SUM(cents) AS BIGINT) AS m
+        |    FROM rmb, rmh WHERE day <= half GROUP BY 1
+        |), rm2 AS (
+        |    SELECT o_custkey AS c_custkey, CAST(SUM(cents) AS BIGINT) AS m
+        |    FROM rmb, rmh WHERE day > half GROUP BY 1
+        |), rq1 AS (
+        |    SELECT c_custkey,
+        |           CAST(1 + (5 * (row_number() OVER (ORDER BY m, c_custkey)
+        |               - 1)) // (SELECT COUNT(*) FROM rm1) AS INTEGER)
+        |             AS q_from
+        |    FROM rm1
+        |), rq2 AS (
+        |    SELECT c_custkey,
+        |           CAST(1 + (5 * (row_number() OVER (ORDER BY m, c_custkey)
+        |               - 1)) // (SELECT COUNT(*) FROM rm2) AS INTEGER)
+        |             AS q_to
+        |    FROM rm2
+        |), rmc AS (
+        |    SELECT q_from, q_to, CAST(COUNT(*) AS BIGINT) AS n
+        |    FROM rq1 JOIN rq2 USING (c_custkey) GROUP BY 1, 2
+        |), rmt AS (
+        |    SELECT q_from, CAST(SUM(n) AS BIGINT) AS n_from
+        |    FROM rmc GROUP BY 1
+        |)
+        |SELECT c.q_from, c.q_to, c.n,
+        |       CAST(c.n * 1000000 // t.n_from AS BIGINT) AS row_ppm
+        |FROM rmc c JOIN rmt t USING (q_from)
+        |ORDER BY q_from, q_to""".stripMargin,
     // entity resolution: crafted single-edit corruption replayed, then
     // prefix/suffix blocking + levenshtein verify + argmin pick
     "q_entity_resolution" ->

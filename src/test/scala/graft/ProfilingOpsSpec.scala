@@ -537,6 +537,78 @@ class ProfilingOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("community")).toSet === comms)
   }
 
+  test("position attribution: conservation and the 40/20/40 split") {
+    val got = EventOps.attributionPosition(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(got.nonEmpty)
+    val ev = Tables.t(spark, sf, "events")
+      .select("event_id", "user_id", "event_type", "ts", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    val clicks = ev.filter(_._3 == "click")
+    val credits = scala.collection.mutable.Map.empty[Long, Long]
+    var conserved = 0L
+    var expected = 0L
+    for ((pid, u, _, pts, v) <- ev.filter(_._3 == "purchase")) {
+      val total = math.round(v * 100) * EventOps.AttribScale
+      val cs = clicks.filter(c => c._2 == u && c._4 < pts &&
+        c._4 >= pts - EventOps.AttribWindowNs)
+        .sortBy(c => (c._4, c._1)) // ascending: first touch first
+      val n = cs.length
+      if (n > 0) {
+        expected += total
+        val shares: Seq[Long] =
+          if (n == 1) Seq(total)
+          else if (n == 2) Seq(total / 2, total - total / 2)
+          else {
+            val leg = total * 2 / 5
+            val pool = total - 2 * leg
+            val base = pool / (n - 2)
+            // most recent middle (desc rank 2) takes the remainder
+            Seq(leg) ++ (0 until n - 2).map(i =>
+              base + (if (i == n - 3) pool - base * (n - 2) else 0L)) ++
+              Seq(leg)
+          }
+        conserved += shares.sum
+        for ((c, sh) <- cs.zip(shares))
+          credits(c._1) = credits.getOrElse(c._1, 0L) + sh
+      }
+    }
+    assert(conserved === expected) // every purchase fully credited
+    assert(got.toMap === credits.toMap)
+  }
+
+  test("rfm migration: brute-force half-split quintile transitions") {
+    val got = BasketOps.rfmMigration(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val orders = Tables.t(spark, sf, "orders")
+      .select(col("o_custkey"),
+        expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) * 1000 div " +
+          s"${EventOps.DayNs}").as("day"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val half = (orders.map(_._2).min + orders.map(_._2).max) / 2
+    def quint(rows: Seq[(Long, Long)]): Map[Long, Int] = {
+      val sorted = rows.sortBy { case (k, m) => (m, k) }
+      val n = sorted.length.toLong
+      sorted.zipWithIndex.map { case ((k, _), i) =>
+        k -> (1 + (5 * i.toLong) / n).toInt }.toMap
+    }
+    def spend(p: ((Long, Long, Long)) => Boolean) =
+      orders.filter(p).groupBy(_._1)
+        .map { case (k, v) => (k, v.map(_._3).sum) }.toSeq
+    val q1 = quint(spend(_._2 <= half))
+    val q2 = quint(spend(_._2 > half))
+    val cells = q1.keySet.intersect(q2.keySet).toSeq
+      .map(k => (q1(k), q2(k))).groupBy(identity)
+      .map { case (k, v) => (k, v.size.toLong) }
+    val rowTot = cells.groupBy(_._1._1)
+      .map { case (q, v) => (q, v.values.sum) }
+    assert(got === cells.map { case (k, n) =>
+      k -> (n, n * 1000000L / rowTot(k._1)) })
+  }
+
   test("modularity gate: tallies obey the graph identities") {
     val rows = graft.ops.LinkOps.modularityCommunities(spark, sf).collect()
     assert(rows.nonEmpty)
