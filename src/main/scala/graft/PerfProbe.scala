@@ -584,6 +584,9 @@ object PerfProbe {
         // scales with the corpus); the Hamilton split draws a CONSTANT
         // N over strata-bounded windows (output K-invariant)
         "q_theta_sketch", "q_dsir_select", "q_kneser_ney",
+        // round-13: the pruned-model variant — same (prev,w) shuffle,
+        // hapax-free enrichment/probe tables (the production KN shape)
+        "q_kneser_ney_pruned",
         "q_curriculum_order", "q_ac_scan", "q_split_proportional",
         // collocations is the KN count shape minus the probe join (two
         // vocab-sized outputs + a fixed top-k); session sequences is ONE

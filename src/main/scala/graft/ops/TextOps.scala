@@ -929,6 +929,45 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Pruning threshold for [[kneserNeyScorePruned]]: bigram TYPES seen
+    * fewer than this many times are dropped from the model tables
+    * (hapax pruning — the standard KN practice; SRILM/KenLM default to
+    * pruning singleton higher-order n-grams, Chen & Goodman 1999 §5.3).
+    */
+  val KnPruneMinCount = 2L
+
+  /** [[kneserNeyScore]] with COUNT-THRESHOLD PRUNING of the bigram
+    * model (hapax bigram types dropped before the derived statistics
+    * are computed): the production-scale variant — at corpus scale the
+    * bigram-type table is dominated by singletons (Zipf), so pruning
+    * at [[KnPruneMinCount]] shrinks every vocab-sized enrichment table
+    * and the probe join's build side by the hapax share while leaving
+    * the token-volume (prev, w) count aggregation (the one unavoidable
+    * corpus shuffle) untouched. A transition whose bigram was pruned
+    * scores through the stored-model backoff law ([[knScoreAgainst]]):
+    * λ(prev)·p_cont(w) when the context survives, p_cont(w) alone when
+    * the context itself was fully pruned — the SAME rule the serve
+    * path applies to unseen pairs, so pruning introduces no second
+    * scoring definition. All derived stats (c1, N1p, N1m, NB) roll up
+    * from the PRUNED c2 — the model is self-consistent, exactly what a
+    * pruned KenLM table serves. Gate `q_kneser_ney_pruned` (exact: the
+    * oracle applies the identical cut); the unpruned [[kneserNeyScore]]
+    * stays the small-corpus gate.
+    */
+  def kneserNeyScorePruned(s: SparkSession, d: String): DataFrame = {
+    val docsT = withTokens(t(s, d, "documents"))
+    val pw = lmTransitions(docsT)
+    val c2 = pw.groupBy("prev", "w").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= KnPruneMinCount)
+    val doc = knScoreAgainst(pw, c2)
+    val totals = doc.agg(sum("kn_fp").as("tot"), count(lit(1)).as("n"))
+    doc.crossJoin(broadcast(totals))
+      .withColumn("keep",
+        (col("kn_fp") * col("n") >= col("tot")).cast("int"))
+      .select("doc_id", "n_trans", "kn_fp", "keep")
+      .orderBy("doc_id")
+  }
+
   /** Kneser-Ney scoring against the STORED bigram table — the ONE count
     * table [[buildLmModel]] persists serves BOTH smoothing laws: add-one
     * ([[perplexityFilterFromModel]]) and KN (here). Every derived
@@ -1747,8 +1786,9 @@ object TextOps {
     buckets.withColumn("nxt", lead("bucket_tokens", 1).over(w2))
       .select(col("source"), col("bucket"), col("n_types"),
         col("bucket_tokens"),
-        coalesce(expr("nxt * 1000000 div bucket_tokens"), lit(-1L))
-          .as("decay_ppm"))
+        coalesce(
+          expr("CAST(nxt AS DECIMAL(38,0)) * 1000000 div bucket_tokens"),
+          lit(-1L)).as("decay_ppm"))
       .orderBy("source", "bucket")
   }
 
@@ -1972,7 +2012,8 @@ object TextOps {
         .crossJoin(broadcast(tot))
         .select(lit(n.toLong).as("top_n"), col("n_types"), col("total"),
           col("covered"),
-          expr("covered * 1000000L div total").as("coverage_ppm"))
+          expr("CAST(covered AS DECIMAL(38,0)) * 1000000 div total")
+            .as("coverage_ppm"))
     }.reduce(_ unionByName _).orderBy("top_n")
   }
 

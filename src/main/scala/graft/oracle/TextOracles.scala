@@ -1006,6 +1006,61 @@ object TextOracles {
         |       CAST(CASE WHEN kn_fp * (SELECT n FROM tot) >= (SELECT tot FROM tot)
         |                 THEN 1 ELSE 0 END AS INTEGER) AS keep
         |FROM doc2 ORDER BY doc_id""".stripMargin,
+    // count-threshold-pruned KN: hapax bigram types cut from the model
+    // (HAVING >= KnPruneMinCount), derived stats from the PRUNED table,
+    // pruned transitions back off through the stored-model serve law
+    // (context survives → λ·p_cont; context fully pruned → p_cont)
+    "q_kneser_ney_pruned" ->
+      s"""WITH base AS (
+        |    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        |    FROM documents
+        |), tok AS (
+        |    SELECT doc_id, unnest(toks) AS w,
+        |           unnest(range(1, len(toks)+1)) AS pos
+        |    FROM base WHERE len(toks) >= 2
+        |), pw AS (
+        |    SELECT a.doc_id, a.w AS prev, b.w AS w
+        |    FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |), c2 AS (SELECT prev, w, CAST(COUNT(*) AS BIGINT) AS c2
+        |          FROM pw GROUP BY 1, 2
+        |          HAVING COUNT(*) >= ${TextOps.KnPruneMinCount}),
+        |c1 AS (SELECT prev, CAST(SUM(c2) AS BIGINT) AS c1,
+        |              CAST(COUNT(*) AS BIGINT) AS n1p
+        |       FROM c2 GROUP BY 1),
+        |cont AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n1m FROM c2 GROUP BY 1),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM c2),
+        |joined AS (
+        |    SELECT p.doc_id,
+        |           (${TextOps.KnScale} * COALESCE(cont.n1m, 0))
+        |               // (SELECT nb FROM nb) AS p_cont,
+        |           c2.c2 AS c2, c1.c1 AS c1, c1.n1p AS n1p
+        |    FROM pw p
+        |    LEFT JOIN c2 ON p.prev = c2.prev AND p.w = c2.w
+        |    LEFT JOIN c1 ON p.prev = c1.prev
+        |    LEFT JOIN cont ON p.w = cont.w
+        |), scored AS (
+        |    SELECT doc_id,
+        |           CASE WHEN c1 IS NULL THEN p_cont
+        |                ELSE COALESCE((${TextOps.KnScale} * (4*c2 - 3))
+        |                         // (4*c1), 0)
+        |                   + (((3 * ${TextOps.KnScale} * n1p) // (4*c1))
+        |                      * p_cont) // ${TextOps.KnScale}
+        |           END AS p_fp
+        |    FROM joined
+        |), doc AS (
+        |    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+        |           CAST(SUM(p_fp) AS BIGINT) AS p_sum
+        |    FROM scored GROUP BY doc_id
+        |), doc2 AS (
+        |    SELECT doc_id, n_trans,
+        |           CAST(p_sum // n_trans AS BIGINT) AS kn_fp FROM doc
+        |), tot AS (
+        |    SELECT CAST(SUM(kn_fp) AS BIGINT) AS tot, COUNT(*) AS n FROM doc2
+        |)
+        |SELECT doc_id, n_trans, kn_fp,
+        |       CAST(CASE WHEN kn_fp * (SELECT n FROM tot) >= (SELECT tot FROM tot)
+        |                 THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM doc2 ORDER BY doc_id""".stripMargin,
     // dataset card: per-source release summary — counts, token/char
     // totals, mean via truncating x100 fixed point, intra-source exact
     // dups (docs - distinct normalized hashes), per-million corpus share
@@ -1434,8 +1489,9 @@ object TextOracles {
         |    FROM zpr GROUP BY 1, 2
         |)
         |SELECT source, bucket, n_types, bucket_tokens,
-        |       CAST(coalesce(lead(bucket_tokens) OVER (PARTITION BY source
-        |                ORDER BY bucket) * 1000000 // bucket_tokens, -1)
+        |       CAST(coalesce(CAST(lead(bucket_tokens) OVER (PARTITION BY source
+        |                ORDER BY bucket) AS HUGEINT)
+        |                * 1000000 // bucket_tokens, -1)
         |            AS BIGINT) AS decay_ppm
         |FROM zpb ORDER BY source, bucket""".stripMargin,
     // coverage curve: vocabulary ranks + three prefix cutoffs
@@ -1457,9 +1513,9 @@ object TextOracles {
         |       CAST(COALESCE((SELECT SUM(c) FROM vcr
         |                      WHERE rnk <= n.top_n), 0) AS BIGINT)
         |           AS covered,
-        |       CAST(COALESCE((SELECT SUM(c) FROM vcr
-        |                      WHERE rnk <= n.top_n), 0) * 1000000
-        |            // t.total AS BIGINT) AS coverage_ppm
+        |       CAST(CAST(COALESCE((SELECT SUM(c) FROM vcr
+        |                      WHERE rnk <= n.top_n), 0) AS HUGEINT)
+        |            * 1000000 // t.total AS BIGINT) AS coverage_ppm
         |FROM (VALUES (100), (1000), (10000)) n(top_n), vct t
         |ORDER BY top_n""".stripMargin,
     // OOV of the back-1/3 batch against the front-2/3 vocabulary

@@ -62,6 +62,42 @@ class KneserNeySpec extends SparkSpec {
       s"unseen continuation must carry zero mass: $foreign")
   }
 
+  test("pruned model: hapax bigrams drop, pruned transitions back off " +
+      "through the serve law (hand-computed)") {
+    // same corpus as above; threshold 2 keeps only (a,b)=2:
+    //   pruned c1(a)=2, n1p(a)=1; n1m(b)=1; NB=1 → p_cont(b)=10⁶, else 0
+    //   (a,b): term1 = (10⁶·5)//8 = 625000, λ(a) = (3·10⁶)//8 = 375000,
+    //          p = 625000 + 375000 = 1000000
+    //   (b,a): context b fully pruned → p_cont(a) = 0
+    //   (a,c): context a survives, pair pruned → λ(a)·p_cont(c)//S = 0
+    //   doc1 kn = 2000000//3 = 666666 keep=1; doc2 kn = 0 keep=0
+    val dir = TempDirs.create("graft-kn-prune-spec")
+    Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.kneserNeyScorePruned(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSeq
+    assert(got == Seq((1L, 3L, 666666L, 1), (2L, 1L, 0L, 0)), got)
+  }
+
+  test("pruning is the identity on a hapax-free corpus") {
+    // every bigram type occurs ≥ KnPruneMinCount ⇒ the cut removes
+    // nothing and the pruned law must reproduce the unpruned gate
+    val dir = TempDirs.create("graft-kn-nohapax-spec")
+    Seq((1L, "a b a b a b"), (2L, "b a b a")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pruned = TextOps.kneserNeyScorePruned(spark, dir)
+      .collect().toSeq.map(_.toSeq)
+    val full = TextOps.kneserNeyScore(spark, dir)
+      .collect().toSeq.map(_.toSeq)
+    assert(pruned == full,
+      "a cut that removes no bigram type must not change any score")
+  }
+
   test("gate shape on the fixture: deterministic, keep splits the corpus") {
     val a = TextOps.kneserNeyScore(spark, sf)
     val rows = a.collect()
