@@ -208,16 +208,43 @@ object Bench {
     // visible only to someone who ran PerfProbe. Timed AFTER the passes —
     // it must not perturb the per-query numbers — and best-effort: a
     // model-split failure must not lose the whole bench line.
-    val modelsJson = try {
-      PerfProbe.modelSplitRows(spark, sfDir).map { case (name, phases) =>
+    val modelRows = try Right(PerfProbe.modelSplitRows(spark, sfDir))
+      catch { case e: Throwable =>
+        Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+    val modelsJson = modelRows match {
+      case Right(rows) => rows.map { case (name, phases) =>
         "\"" + name + "\":" + phases.map { case (p, v) =>
           "\"" + p + "\":" + r4(v) }.mkString("{", ",", "}")
       }.mkString("{", ",", "}")
-    } catch { case e: Throwable =>
-      s"""{"error":"${esc(Option(e.getMessage).getOrElse(
-        e.getClass.getName).take(200))}"}"""
+      case Left(msg) => s"""{"error":"${esc(msg)}"}"""
     }
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"gate_ckpt":"local","ckpt_sec":$ckptSec,"host_load_index":$hostLoadIndex,"calib":$calibJson,"models":$modelsJson,"sf":"$sfDir","runs":$runs}"""
+    // Quiet-reference adjudication + serve budgets (round-12 verdict #2
+    // and #4, machinery in BenchQuiet): verdict in-band / contended /
+    // regressed against the committed BENCH_QUIET.json anchors, and the
+    // stored-model serve times checked against their budgets. Best-effort
+    // by construction: no reference file → "no-ref", nothing fails.
+    val quietRef = BenchQuiet.load()
+    val measuredMap = stabilized.map { case (n, v, _, _) => n -> v }.toMap
+    val measuredCalibMin =
+      if (calibSamples.nonEmpty) calibSamples.min else Double.MaxValue
+    val (quietVerdict, regressed) = quietRef
+      .map(r => BenchQuiet.adjudicate(r, measuredMap, measuredCalibMin,
+        hostLoadIndex))
+      .getOrElse(("no-ref", Map.empty[String, Double]))
+    val serveBreach = quietRef.map(r => BenchQuiet.serveBreaches(
+      modelRows.getOrElse(Seq.empty), r.serveBudgets)).getOrElse(Seq.empty)
+    val regressedJson = regressed.toSeq.sortBy(-_._2).map { case (n, r) =>
+      "\"" + n + "\":" + r }.mkString("{", ",", "}")
+    val quietJson = quietRef match {
+      case Some(r) =>
+        s"""{"verdict":"$quietVerdict","anchor_calib_min":${r.calibMin},"measured_calib_min":${r4(
+          if (calibSamples.nonEmpty) calibSamples.min else 0.0)},"n_anchored":${
+          measuredMap.keys.count(r.queries.contains)},"regressed":$regressedJson}"""
+      case None => s"""{"verdict":"no-ref"}"""
+    }
+    val serveBreachJson =
+      serveBreach.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"gate_ckpt":"local","ckpt_sec":$ckptSec,"host_load_index":$hostLoadIndex,"calib":$calibJson,"models":$modelsJson,"quiet":$quietJson,"serve_breach":$serveBreachJson,"sf":"$sfDir","runs":$runs}"""
     // Full line to a file too — the lossless record when the stdout window
     // still clips (best-effort: a read-only checkout must not fail the run).
     val fullPath = "target/bench_full.json"
@@ -229,7 +256,7 @@ object Bench {
     // Compact summary as the FINAL stdout line (stop() noise goes to
     // stderr): ~150 bytes, so the tail window always contains the totals
     // even when the full per-query line overflows it.
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n":${stabilized.size},"n_err":${stabilized.count(_._3.nonEmpty)},"n_flaky":${stabilized.count(r => r._3.isEmpty && r._4 > 0)},"host_load_index":$hostLoadIndex,"sf":"$sfDir","runs":$runs,"full":"$fullPath"}""")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n":${stabilized.size},"n_err":${stabilized.count(_._3.nonEmpty)},"n_flaky":${stabilized.count(r => r._3.isEmpty && r._4 > 0)},"host_load_index":$hostLoadIndex,"quiet_verdict":"$quietVerdict","n_regressed":${regressed.size},"n_serve_breach":${serveBreach.size},"sf":"$sfDir","runs":$runs,"full":"$fullPath"}""")
     } // end withDurability(false)
     spark.stop()
   }

@@ -1,0 +1,99 @@
+package graft
+
+/** Quiet-reference bench adjudication (round-12 verdict #2 and #4): the
+  * per-round bench number was adjudicated against host load by PROSE —
+  * three rounds of driver-vs-quiet-host disputes each needed a hand
+  * re-derivation from calib points and per-query diffs. `BENCH_QUIET
+  * .json` (committed) pins the per-query quiet anchors (the r12 driver
+  * run: host_load_index 1.09, calib.min inside the 0.063–0.073 quiet
+  * band), and [[Bench]] emits a machine verdict against it:
+  *
+  *  - `contended` — this RUN's probe evidence says the host was loaded:
+  *    calib.min more than [[ContendedCalibFactor]] above the anchor's
+  *    (identical probe code+config ⇒ directly comparable — the r10
+  *    dispute's adjudicator), or host_load_index past
+  *    [[ContendedLoadIndex]] (some pass never saw a clean window). The
+  *    per-query ratios are then suspect and must not be read as
+  *    regressions.
+  *  - `regressed` — the host was quiet AND at least one anchored query
+  *    grew past [[RegressionRatio]]× its quiet anchor with a real
+  *    absolute delta ([[RegressionAbsSec]]) on a query above the noise
+  *    floor ([[RegressionFloorSec]] — BENCHLOG r4/r6: sub-second rows
+  *    swing 3× on GC/page-cache noise alone, so they adjudicate by the
+  *    flaky/extra-pass machinery, not by ratio).
+  *  - `in-band` — quiet host, no regression.
+  *
+  * Stored-model serve budgets (verdict #2) ride the same file: budget =
+  * max(2× quiet serve_s, 1 s) per family — the 1 s floor keeps the
+  * sub-second serves (noise-floor) from breaching on jitter. A breach
+  * lands in the bench JSON's `serve_breach` list; the driver sees a
+  * serving regression as a flag, not a diff to notice.
+  */
+object BenchQuiet {
+
+  /** Run-level contention gate: calib.min is reproducible on identical
+    * code+config, so 25% past the anchor's means sustained external load
+    * (the r12 adjudication called 16% "visibly contended"; 25% keeps a
+    * margin for same-band jitter).
+    */
+  val ContendedCalibFactor = 1.25
+
+  /** Per-pass contention gate — the established Bench interpretation:
+    * index > 2 means a whole pass never saw an uncontended probe window.
+    */
+  val ContendedLoadIndex = 2.0
+
+  val RegressionRatio = 2.0
+  val RegressionFloorSec = 0.5
+  val RegressionAbsSec = 1.0
+
+  final case class Ref(calibMin: Double, queries: Map[String, Double],
+                       serveBudgets: Map[String, Double])
+
+  /** Best-effort load — a missing/corrupt reference file must degrade to
+    * "no adjudication", never fail the bench.
+    */
+  def load(path: String = "BENCH_QUIET.json"): Option[Ref] =
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(new java.io.File(path))
+      def objMap(field: String): Map[String, Double] = {
+        val node = root.get(field)
+        val it = node.fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+        b.result()
+      }
+      Some(Ref(root.get("calib_min").asDouble(), objMap("queries"),
+        objMap("serve_budgets")))
+    } catch { case _: Throwable => None }
+
+  /** (verdict, regressed query → ratio). Contention takes precedence:
+    * ratios measured under load are evidence of the HOST, not the code.
+    */
+  def adjudicate(ref: Ref, measured: Map[String, Double], calibMin: Double,
+                 hostLoadIndex: Double): (String, Map[String, Double]) = {
+    val regressed = measured.flatMap { case (n, v) =>
+      ref.queries.get(n).collect {
+        case a if a >= RegressionFloorSec && v > a * RegressionRatio &&
+            v - a > RegressionAbsSec =>
+          n -> math.rint(v / a * 100) / 100
+      }
+    }
+    val contended = calibMin > ref.calibMin * ContendedCalibFactor ||
+      hostLoadIndex > ContendedLoadIndex
+    val verdict =
+      if (contended) "contended"
+      else if (regressed.nonEmpty) "regressed"
+      else "in-band"
+    (verdict, regressed)
+  }
+
+  /** Families whose timed serve exceeds the committed budget. */
+  def serveBreaches(models: Seq[(String, Seq[(String, Double)])],
+                    budgets: Map[String, Double]): Seq[String] =
+    models.collect {
+      case (fam, phases) if phases.collectFirst { case ("serve_s", v) => v }
+        .exists(v => budgets.get(fam).exists(v > _)) => fam
+    }
+}

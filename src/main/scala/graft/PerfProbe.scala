@@ -450,6 +450,56 @@ object PerfProbe {
       println(f"corpus fresh-full $fresh%8.2f s | increment (10%% batch, " +
         f"base in place) $inc%8.2f s | ratio ${inc / fresh}%5.2f")
       spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    } else if (args.headOption.contains("spill")) {
+      // Constrained-heap completion probe (round-12 verdict #5): every
+      // scale sweep runs with -Xmx32g on a 128 GiB box, so nothing on
+      // record proved the heavy-state gates COMPLETE under memory
+      // pressure by SPILLING rather than dying. Launch this mode with a
+      // small heap (BENCHLOG protocol: -Xmx4g) and it runs the heavy
+      // tail at K× (default 25), recording wall seconds plus the
+      // executor spill counters from a stage listener — completion with
+      // nonzero spill bytes IS the evidence that the operators degrade
+      // to disk instead of OOM. An OOM propagates and fails the probe
+      // loudly (the point of running it).
+      val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "25").toInt
+      val scaled = TempDirs.create(s"graft-sf-spill-k$k")
+      println(s"building ${k}x corpus at $scaled (heap " +
+        f"${Runtime.getRuntime.maxMemory / (1L << 30)}%d GiB) ...")
+      buildScaled(spark, d, scaled, k)
+      // the heavy-state tail: the gates whose intermediate state (CC
+      // frontiers, gram indexes, postings, pair graphs, bigram tables)
+      // is the thing that must spill — plus the heaviest plain bench
+      // rows, so the probe covers both state-heavy and volume-heavy
+      val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq(
+          "q_dedup_clusters", "q_dedup_clusters_incremental",
+          "q_substring_dedup", "q_bm25_topk", "q_brand_communities",
+          "q_brand_modularity", "q_link_graph_incremental",
+          "q_minhash_recall", "q_containment_join", "q_kneser_ney",
+          "q_kneser_ney_pruned", "q_source_similarity"))
+      val spillMem = new java.util.concurrent.atomic.AtomicLong
+      val spillDisk = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            spillMem.addAndGet(e.stageInfo.taskMetrics.memoryBytesSpilled)
+            spillDisk.addAndGet(e.stageInfo.taskMetrics.diskBytesSpilled)
+          }
+        })
+      println(f"${"query"}%-28s ${"wall_s"}%8s ${"spill_mem_gb"}%13s ${"spill_disk_gb"}%14s")
+      names.foreach { n =>
+        graft.ops.PlanCache.release(spark)
+        spark.catalog.clearCache()
+        spillMem.set(0L); spillDisk.set(0L)
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, scaled).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1000) // listener bus drain — probe-grade attribution
+        println(f"$n%-28s $wall%8.2f ${spillMem.get / 1073741824.0}%13.2f " +
+          f"${spillDisk.get / 1073741824.0}%14.2f")
+      }
     } else if (args.headOption.contains("scale")) {
       val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "5").toInt
       // TempDirs: the K× corpus is a full replicated copy of sf0.1 — it

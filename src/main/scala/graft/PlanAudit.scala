@@ -22,6 +22,19 @@ object PlanAudit {
     // Historical per-group audit notes (what evidence each family's plan
     // carries) lived in the hand-maintained list this replaced — see git
     // history at round 11 — and remain in the operators' scaladoc.
+    // `PlanAudit only q_a,q_b`: iterate on one query's plan + policy
+    // verdict without paying the full-registry run (no PLANS.md write)
+    args.headOption.filter(_ == "only").foreach { _ =>
+      args(1).split(',').map(_.trim).filter(_.nonEmpty).foreach { n =>
+        val df = SparkEntry.queries(n)(spark, d)
+        val full = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode)
+        val v = PlanPolicy.violations(n, full)
+        println(s"== $n: ${if (v.isEmpty) "CLEAN" else v.mkString("; ")}")
+        println(full)
+      }
+      spark.stop(); sys.exit(0)
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
     // Registry completeness means some gates' frame CONSTRUCTION executes
     // eager work (training collects, stored-model builds, the corpus
@@ -116,20 +129,41 @@ object PlanAudit {
     sb.append("What to look for per DESIGN.md: `PushedFilters`/pruned `ReadSchema` on scans,\n")
     sb.append("`BroadcastHashJoin` on dimension joins, single hash-partition exchanges on\n")
     sb.append("group/window keys, `BroadcastNestedLoopJoin` only for the blocked knn probe,\n")
-    sb.append("and no `CartesianProduct` anywhere.\n")
+    sb.append("and no `CartesianProduct` anywhere.\n\n")
+    sb.append("MACHINE-ENFORCED (graft.PlanPolicy, round 13): this file exists only if\n")
+    sb.append("every registry plan passed the policy scan — no CartesianProduct, and\n")
+    sb.append("Exchange SinglePartition only above a partial aggregate or with a\n")
+    sb.append("PlanPolicy allowlist entry pinning the occurrence count and the\n")
+    sb.append("boundedness argument. The scan runs on FULL explain strings; the\n")
+    sb.append("sections below stay truncated for readability.\n")
+    // Machine policy scan (round-12 verdict #1): collected over the FULL
+    // explain string of every registry plan (the PLANS.md sections are
+    // truncated for readability; the policy is not) and enforced by the
+    // require after the loop — a CartesianProduct or an unallowlisted
+    // data-funneling SinglePartition exchange fails the audit outright.
+    val policyViolations = scala.collection.mutable.ArrayBuffer.empty[String]
     names.foreach { n =>
       val df = overrides.getOrElse(n, SparkEntry.queries(n)(spark, d))
+      val full = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      policyViolations ++= PlanPolicy.violations(n, full)
       sb.append(s"\n## $n\n\n```\n")
-      sb.append(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.SimpleMode).take(6000))
+      sb.append(full.take(6000))
       sb.append("\n```\n")
     }
     servedOverrides.toSeq.sortBy(_._1).foreach { case (n, df) =>
+      val full = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      policyViolations ++= PlanPolicy.violations(s"$n (serve)", full)
       sb.append(s"\n## $n — SERVE path (stored model, training paid in build)\n\n```\n")
-      sb.append(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.SimpleMode).take(6000))
+      sb.append(full.take(6000))
       sb.append("\n```\n")
     }
+    require(policyViolations.isEmpty,
+      s"PlanAudit: ${policyViolations.size} plan-policy violation(s) — " +
+        "no CartesianProduct ever; Exchange SinglePartition only above a " +
+        "partial aggregate or with a PlanPolicy allowlist entry:\n  " +
+        policyViolations.mkString("\n  "))
     // Incremental-cluster append WRITE-path audit (round 11): the rewrite
     // must READ only the affected id-range partitions. Evidence: the
     // affected-slice scan below carries the part IN-list as a

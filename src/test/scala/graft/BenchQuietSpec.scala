@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The quiet-reference adjudication and serve-budget machinery must turn
+  * the BENCHLOG prose rules into decisions: a planted slow serve
+  * breaches its budget, a loaded-host run reads "contended" (never
+  * "regressed"), and the committed BENCH_QUIET.json parses.
+  */
+class BenchQuietSpec extends AnyFunSuite {
+
+  private val ref = BenchQuiet.Ref(
+    calibMin = 0.065,
+    queries = Map("q_big" -> 3.0, "q_small" -> 0.2, "q_mid" -> 1.0),
+    serveBudgets = Map("lm" -> 1.5, "bpe" -> 1.0))
+
+  test("quiet host, no growth: in-band") {
+    val (v, r) = BenchQuiet.adjudicate(ref,
+      Map("q_big" -> 3.2, "q_small" -> 0.5, "q_mid" -> 1.1), 0.066, 1.2)
+    assert(v == "in-band" && r.isEmpty)
+  }
+
+  test("quiet host, 2x growth with real seconds: regressed, ratio named") {
+    val (v, r) = BenchQuiet.adjudicate(ref,
+      Map("q_big" -> 7.0, "q_mid" -> 1.1), 0.066, 1.2)
+    assert(v == "regressed" && r == Map("q_big" -> 2.33), (v, r))
+  }
+
+  test("sub-noise-floor anchors never adjudicate by ratio") {
+    // 0.2 s → 0.9 s is 4.5x but under both the anchor floor and the
+    // absolute-delta gate — the r4/r6 phantom-regression shape
+    val (v, r) = BenchQuiet.adjudicate(ref, Map("q_small" -> 0.9), 0.066, 1.2)
+    assert(v == "in-band" && r.isEmpty, (v, r))
+  }
+
+  test("loaded host: contended takes precedence over apparent regressions") {
+    val (v, r) = BenchQuiet.adjudicate(ref,
+      Map("q_big" -> 9.0), calibMin = 0.13, hostLoadIndex = 1.2)
+    assert(v == "contended", (v, r))
+    val (v2, _) = BenchQuiet.adjudicate(ref,
+      Map("q_big" -> 9.0), calibMin = 0.066, hostLoadIndex = 2.5)
+    assert(v2 == "contended")
+  }
+
+  test("deliberate slow serve breaches its budget; others do not") {
+    val models = Seq(
+      "lm" -> Seq("build_s" -> 5.0, "serve_s" -> 4.0),  // planted breach
+      "bpe" -> Seq("build_s" -> 2.0, "serve_s" -> 0.3),
+      "unbudgeted" -> Seq("build_s" -> 1.0, "serve_s" -> 99.0))
+    assert(BenchQuiet.serveBreaches(models, ref.serveBudgets) == Seq("lm"))
+  }
+
+  test("committed BENCH_QUIET.json loads: 288 anchors, ten budgets") {
+    val r = BenchQuiet.load("BENCH_QUIET.json")
+    assert(r.nonEmpty, "committed reference must parse")
+    assert(r.get.queries.size == 288, r.get.queries.size)
+    assert(r.get.serveBudgets.size == 10, r.get.serveBudgets)
+    assert(r.get.calibMin > 0.03 && r.get.calibMin < 0.1)
+    // every budget honors the documented floor
+    assert(r.get.serveBudgets.values.forall(_ >= 1.0))
+  }
+
+  test("missing reference degrades to None, never throws") {
+    assert(BenchQuiet.load("/nonexistent/BENCH_QUIET.json").isEmpty)
+  }
+}

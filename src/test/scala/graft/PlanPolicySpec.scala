@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The plan-policy scan must catch the shapes the human eye used to: a
+  * planted global window (the q_kendall_tau incident's shape) and a
+  * planted cross join must FAIL; the legal global-aggregate shape and
+  * today's registry allowlist shapes must pass.
+  */
+class PlanPolicySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def explainOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+
+  test("planted global window (no partitionBy) fails the policy") {
+    val df = Seq((1L, 2L), (3L, 4L)).toDF("k", "v")
+      .withColumn("rnk", row_number().over(Window.orderBy("v")))
+    val v = PlanPolicy.violations("q_scratch_global_window", explainOf(df))
+    assert(v.nonEmpty, "a corpus-wide single-partition window must be flagged")
+    assert(v.head.contains("Exchange SinglePartition"), v)
+  }
+
+  test("planted cross join fails the policy even when allowlisted") {
+    val a = Seq(1L, 2L).toDF("x")
+    val b = Seq(3L, 4L).toDF("y")
+    // defeat both broadcast paths so the planner picks CartesianProduct
+    val noB = a.hint("shuffle_replicate_nl").crossJoin(b)
+    val v = PlanPolicy.violations("q_abc_classification", explainOf(noB))
+    assert(v.exists(_.contains("CartesianProduct")),
+      s"CartesianProduct is never legal, allowlist or not: $v")
+  }
+
+  test("global aggregate's SinglePartition exchange is structurally exempt") {
+    val df = Seq(1L, 2L, 3L).toDF("v").agg(sum("v").as("s"))
+    val v = PlanPolicy.violations("q_scratch_global_agg", explainOf(df))
+    assert(v.isEmpty, s"partial-agg child is the bounded shape: $v")
+  }
+
+  test("allowlist pins a COUNT — a second exchange still fails") {
+    // crafted plan text: two non-agg-child SinglePartition exchanges for
+    // a query allowlisted at 1
+    val planted =
+      """AdaptiveSparkPlan isFinalPlan=false
+        |+- Window [row_number()], [v ASC]
+        |   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]
+        |      +- Sort [v ASC]
+        |         +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=2]
+        |            +- Project [v]
+        |               +- FileScan parquet""".stripMargin
+    assert(PlanPolicy.singlePartitionAllow("q_ks_test") == 1)
+    val v = PlanPolicy.violations("q_ks_test", planted)
+    assert(v.nonEmpty, "count past the allowlisted 1 must fail")
+    // and exactly at the pinned count it passes
+    val one = planted.linesIterator.toSeq.take(4).mkString("\n")
+    assert(PlanPolicy.violations("q_ks_test", one).isEmpty)
+  }
+
+  test("codegen star tags don't hide an aggregate child") {
+    val planted =
+      """Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]
+        |+- *(3) HashAggregate(keys=[], functions=[partial_sum(v)])""".stripMargin
+    assert(PlanPolicy.violations("q_scratch", planted).isEmpty)
+  }
+}
