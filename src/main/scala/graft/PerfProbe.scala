@@ -233,7 +233,14 @@ object PerfProbe {
     // 100× per partition and starts measuring SPILL I/O instead of the
     // operator — production scales partition count with data; the probe
     // must be able to as well, or at-linear rows read as super-linear.
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+    // SPARK_GRAFT_CPUS: thread-count override (default 32 — the bench
+    // contract). The spill probe runs with it REDUCED to model executor
+    // sizing: a 4 GiB executor runs 2-8 cores in any real deployment
+    // (~0.5-2 GiB/core), never 32 — task concurrency is the memory
+    // knob clusters actually turn.
+    val nCpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$nCpus]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")
@@ -463,8 +470,24 @@ object PerfProbe {
       // loudly (the point of running it).
       val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "25").toInt
       val scaled = TempDirs.create(s"graft-sf-spill-k$k")
+      // Broadcast thresholds scaled to the heap — the production sizing
+      // rule this probe models: the default 10 MB threshold assumes a
+      // multi-GiB executor (the deserialized build of a 10 MB-estimated
+      // string relation is far larger), and the first 4 GiB run died
+      // building a planner-chosen broadcast in q_containment_join
+      // ("Not enough memory to build and broadcast"). A memory-sized
+      // cluster sets the threshold per executor heap; heap/1024 gives
+      // the default 10 MB back at ~10 GiB and 4 MB at 4 GiB. The
+      // correctness of every join is threshold-independent (broadcast
+      // is a physical strategy choice; SMJ replaces it) — explicit
+      // broadcast() hints on dimension/scalar frames are unaffected.
+      val bcBytes = math.max(Runtime.getRuntime.maxMemory / 1024L, 1L << 20)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcBytes.toString)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+        bcBytes.toString)
       println(s"building ${k}x corpus at $scaled (heap " +
-        f"${Runtime.getRuntime.maxMemory / (1L << 30)}%d GiB) ...")
+        f"${Runtime.getRuntime.maxMemory / (1L << 30)}%d GiB, " +
+        s"autoBroadcast $bcBytes B) ...")
       buildScaled(spark, d, scaled, k)
       // the heavy-state tail: the gates whose intermediate state (CC
       // frontiers, gram indexes, postings, pair graphs, bigram tables)
