@@ -223,7 +223,11 @@ object Bench {
     // regressed against the committed BENCH_QUIET.json anchors, and the
     // stored-model serve times checked against their budgets. Best-effort
     // by construction: no reference file → "no-ref", nothing fails.
-    val quietRef = BenchQuiet.load()
+    // sf gate: anchors are only comparable against the SAME corpus — a
+    // run at another sf must read "no-ref", not "contended"/"regressed"
+    // (per-query wall times and the calib's GC neighborhood both shift
+    // with corpus size; the sf0.01 smoke run proved the confusion).
+    val quietRef = BenchQuiet.load().filter(_.sf == sfDir)
     val measuredMap = stabilized.map { case (n, v, _, _) => n -> v }.toMap
     val measuredCalibMin =
       if (calibSamples.nonEmpty) calibSamples.min else Double.MaxValue

@@ -47,7 +47,8 @@ object BenchQuiet {
   val RegressionFloorSec = 0.5
   val RegressionAbsSec = 1.0
 
-  final case class Ref(calibMin: Double, queries: Map[String, Double],
+  final case class Ref(calibMin: Double, sf: String,
+                       queries: Map[String, Double],
                        serveBudgets: Map[String, Double])
 
   /** Best-effort load — a missing/corrupt reference file must degrade to
@@ -64,8 +65,9 @@ object BenchQuiet {
         while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
         b.result()
       }
-      Some(Ref(root.get("calib_min").asDouble(), objMap("queries"),
-        objMap("serve_budgets")))
+      Some(Ref(root.get("calib_min").asDouble(),
+        Option(root.get("sf")).map(_.asText()).getOrElse(""),
+        objMap("queries"), objMap("serve_budgets")))
     } catch { case _: Throwable => None }
 
   /** (verdict, regressed query → ratio). Contention takes precedence:

@@ -11,6 +11,7 @@ class BenchQuietSpec extends AnyFunSuite {
 
   private val ref = BenchQuiet.Ref(
     calibMin = 0.065,
+    sf = "/root/testdata/sf0.1",
     queries = Map("q_big" -> 3.0, "q_small" -> 0.2, "q_mid" -> 1.0),
     serveBudgets = Map("lm" -> 1.5, "bpe" -> 1.0))
 
@@ -50,12 +51,20 @@ class BenchQuietSpec extends AnyFunSuite {
     assert(BenchQuiet.serveBreaches(models, ref.serveBudgets) == Seq("lm"))
   }
 
-  test("committed BENCH_QUIET.json loads: 288 anchors, ten budgets") {
+  test("committed BENCH_QUIET.json loads: every registry gate anchored, " +
+      "ten budgets") {
     val r = BenchQuiet.load("BENCH_QUIET.json")
     assert(r.nonEmpty, "committed reference must parse")
-    assert(r.get.queries.size == 288, r.get.queries.size)
+    // anchors regenerate per quiet close (tools/make_quiet.py); every
+    // CURRENT registry gate must carry one — a gate added without a
+    // fresh quiet anchor escapes regression adjudication silently
+    val unanchored = SparkEntry.queries.keySet -- r.get.queries.keySet
+    assert(unanchored.isEmpty,
+      s"registry gates without a quiet anchor: $unanchored")
     assert(r.get.serveBudgets.size == 10, r.get.serveBudgets)
     assert(r.get.calibMin > 0.03 && r.get.calibMin < 0.1)
+    // anchors carry their corpus — Bench refuses cross-sf adjudication
+    assert(r.get.sf == "/root/testdata/sf0.1", r.get.sf)
     // every budget honors the documented floor
     assert(r.get.serveBudgets.values.forall(_ >= 1.0))
   }

@@ -59,6 +59,32 @@ class PlanPolicySpec extends SparkSpec {
     assert(PlanPolicy.violations("q_ks_test", one).isEmpty)
   }
 
+  test("live registry sample is policy-clean inside the TEST gate") {
+    // PlanAudit enforces the policy over the FULL registry, but the
+    // per-round driver gate is `sbt test` — without this sample a
+    // violation ships until someone runs the audit. Covers the cheap
+    // lazily-constructible families (pure transform pipelines at
+    // sf0.001); the training/lifecycle gates stay audit-only (their
+    // frame CONSTRUCTION pays real jobs).
+    val sample = Seq(
+      "q_scan_projection", "q_filter_tenant_eq", "q_filter_incremental",
+      "q_cast_standard", "q_concat_partition_key", "q_coalesce_prefix",
+      "q_suffix_tag", "q_arith_scale", "q_timestamp_replace",
+      "q_cte_stage_chain", "q_groupby_count", "q_limit_topk",
+      "q_join_equi", "q_join_broadcast_dim", "q_join_semi_anti",
+      "q_join_range", "q_window_latest_by_pk", "q_window_running_agg",
+      "q_sort_topk_per_group", "q_union_two_tenants", "q_except_intersect",
+      "q_rollup_agg", "q_scalar_datetime_math", "q_json_extract",
+      "q_text_stats", "q_quality_score", "q_lang_id", "q_dedup_exact_text",
+      "q_corpus_clean", "q_redact_pii", "q_zorder_key", "q_skipgram_pairs",
+      "q_zipf_profile", "q_vocab_stats", "q_kneser_ney",
+      "q_kneser_ney_pruned", "q_event_tumbling_window", "q_percentile_status")
+    val bad = sample.flatMap { n =>
+      PlanPolicy.violations(n, explainOf(SparkEntry.queries(n)(spark, sf)))
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
   test("codegen star tags don't hide an aggregate child") {
     val planted =
       """Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]
