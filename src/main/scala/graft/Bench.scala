@@ -229,11 +229,16 @@ object Bench {
     // with corpus size; the sf0.01 smoke run proved the confusion).
     val quietRef = BenchQuiet.load().filter(_.sf == sfDir)
     val measuredMap = stabilized.map { case (n, v, _, _) => n -> v }.toMap
-    val measuredCalibMin =
-      if (calibSamples.nonEmpty) calibSamples.min else Double.MaxValue
+    // ONE definition of the measured calib floor, reused by the verdict
+    // and the JSON field — two empty-case defaults once disagreed (the
+    // record could say contended while printing a sub-anchor min). No
+    // samples = the run cannot prove quietness, so the verdict side
+    // reads MaxValue (→ contended) and the record side -1 (absent).
+    val measuredCalibMin: Option[Double] =
+      if (calibSamples.nonEmpty) Some(calibSamples.min) else None
     val (quietVerdict, regressed) = quietRef
-      .map(r => BenchQuiet.adjudicate(r, measuredMap, measuredCalibMin,
-        hostLoadIndex))
+      .map(r => BenchQuiet.adjudicate(r, measuredMap,
+        measuredCalibMin.getOrElse(Double.MaxValue), hostLoadIndex))
       .getOrElse(("no-ref", Map.empty[String, Double]))
     val serveBreach = quietRef.map(r => BenchQuiet.serveBreaches(
       modelRows.getOrElse(Seq.empty), r.serveBudgets)).getOrElse(Seq.empty)
@@ -242,7 +247,7 @@ object Bench {
     val quietJson = quietRef match {
       case Some(r) =>
         s"""{"verdict":"$quietVerdict","anchor_calib_min":${r.calibMin},"measured_calib_min":${r4(
-          if (calibSamples.nonEmpty) calibSamples.min else 0.0)},"n_anchored":${
+          measuredCalibMin.getOrElse(-1.0))},"n_anchored":${
           measuredMap.keys.count(r.queries.contains)},"regressed":$regressedJson}"""
       case None => s"""{"verdict":"no-ref"}"""
     }

@@ -22,11 +22,82 @@ object PlanAudit {
     // Historical per-group audit notes (what evidence each family's plan
     // carries) lived in the hand-maintained list this replaced — see git
     // history at round 11 — and remain in the operators' scaladoc.
+    // Per-name (lazy): the `only` iteration mode must audit the SAME
+    // frame the full audit enforces (a Map literal would also build
+    // every override frame eagerly, paying the small index/probe setups
+    // even for a one-query run).
+    def overrideFrame(n: String): Option[org.apache.spark.sql.DataFrame] = n match {
+      case "q_embedding_near_dup" => Some(ops.VectorOps.nearDupPairs(
+        Tables.t(spark, d, "embeddings"), 0.45,
+        bandBits = Some(ops.VectorOps.BitsPerBand)))
+      // the gated query's executed plan is only the oracle-checkpoint
+      // read-back — audit the SEARCH frame instead (training collects
+      // are unavoidable, the plan's codebooks are trained literals)
+      case "q_pq_cosine_topk" => Some(ops.VectorOps.pqTopkFrame(spark, d))
+      case "q_ivfpq_cosine_topk" => Some(ops.VectorOps.ivfPqTopkFrame(spark, d))
+      case "q_ivfsq_cosine_topk" => Some(ops.VectorOps.ivfSqTopkFrame(spark, d))
+      // explicit nCells skips the corpus-count job (the index TRAINING
+      // jobs are unavoidable — the plan's centroid side is trained data)
+      case "q_ivf_semantic_dedup" => Some(ops.VectorOps.ivfSemanticDedupPairs(
+        Tables.t(spark, d, "embeddings"), 0.45,
+        nCells = Some(ops.VectorOps.IvfCells)))
+      // the bloom bitmap is a plan LITERAL, so the shape is content-
+      // independent: a layout-valid dummy keeps the audit lazy (no
+      // blocklist count, no bitmap collect)
+      case "q_blocklist_bloom" =>
+        val docs = Tables.t(spark, d, "documents")
+          .withColumn("digest",
+            org.apache.spark.sql.functions.sha2(
+              org.apache.spark.sql.functions.col("text"), 256))
+        val block = docs
+          .filter(org.apache.spark.sql.functions.expr("doc_id % 11 = 3"))
+          .select("digest").distinct()
+        Some(ops.BlocklistOps.cleanAgainstBloom(docs, block,
+          Array[Byte](7, -1, -1, -1, -1, -1, -1, -1, -1)))
+      // the scalar source count would otherwise run before the plan exists
+      case "q_salient_terms" => Some(ops.TextOps.salientTermsPerSource(
+        spark, d, nSourcesHint = Some(20L)))
+      case "q_salient_terms_cjk" => Some(ops.TextOps.salientTermsCjk(
+        spark, d, nSourcesHint = Some(20L)))
+      // q_ivf_cosine_topk's registered form returns its oracle-input
+      // checkpoint READ-BACK (the search executes during the write); the
+      // plan worth auditing is the search frame itself. The mid-pipeline
+      // checkpoints (minhash bands, simhash frame) need no override — the
+      // join/confirm stages still sit in the registered plans.
+      case "q_ivf_cosine_topk" =>
+        val emb = Tables.t(spark, d, "embeddings")
+        val (assignments, centroids) = ops.VectorOps.ivfIndex(emb)
+        val probes = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+          .select(org.apache.spark.sql.functions.col("vec_id").as("probe_id"),
+            org.apache.spark.sql.functions.col("embedding").as("probe_vec"))
+        Some(ops.VectorOps.ivfSearch(assignments, centroids, probes))
+      // the registered form materializes gate inputs; the plan worth
+      // auditing is the PRODUCTION probe against the persisted bucketed
+      // band index (one small index build — same unavoidable-
+      // materialization class as the bucketed-join tables)
+      case "q_dedup_incremental" =>
+        Some(ops.IncrementalDedup.dedupIncrementJoined(spark, d))
+      // the vocab scalar is a literal in the score expression; the hint
+      // keeps the audit lazy with an identical plan shape (salientTerms'
+      // nSourcesHint contract)
+      case "q_perplexity_filter" =>
+        Some(ops.TextOps.perplexityFilter(spark, d, vocabHint = Some(1L)))
+      case "q_corpus_clean_ppx" =>
+        Some(ops.TextOps.corpusCleanPerplexity(spark, d, vocabHint = Some(1L)))
+      case _ => None
+    }
+
     // `PlanAudit only q_a,q_b`: iterate on one query's plan + policy
-    // verdict without paying the full-registry run (no PLANS.md write)
+    // verdict without paying the full-registry run (no PLANS.md write).
+    // Goes through the SAME overrideFrame the full audit enforces — the
+    // iterate tool must never print a verdict for a different plan than
+    // the one the audit would fail on (review finding).
     args.headOption.filter(_ == "only").foreach { _ =>
-      args(1).split(',').map(_.trim).filter(_.nonEmpty).foreach { n =>
-        val df = SparkEntry.queries(n)(spark, d)
+      val list = args.lift(1).getOrElse {
+        println("usage: PlanAudit only q_a,q_b"); spark.stop(); sys.exit(2)
+      }
+      list.split(',').map(_.trim).filter(_.nonEmpty).foreach { n =>
+        val df = overrideFrame(n).getOrElse(SparkEntry.queries(n)(spark, d))
         val full = df.queryExecution.explainString(
           org.apache.spark.sql.execution.SimpleMode)
         val v = PlanPolicy.violations(n, full)
@@ -45,66 +116,6 @@ object PlanAudit {
     // sizes its adaptive banding with a Spark job (persist + count of the
     // sketch); an explicit bandBits keeps the audit lazy and the plan
     // shape identical (sf0.01 sits at the BitsPerBand floor anyway).
-    val overrides: Map[String, org.apache.spark.sql.DataFrame] = Map(
-      "q_embedding_near_dup" -> ops.VectorOps.nearDupPairs(
-        Tables.t(spark, d, "embeddings"), 0.45,
-        bandBits = Some(ops.VectorOps.BitsPerBand)),
-      // the gated query's executed plan is only the oracle-checkpoint
-      // read-back — audit the SEARCH frame instead (training collects
-      // are unavoidable, the plan's codebooks are trained literals)
-      "q_pq_cosine_topk" -> ops.VectorOps.pqTopkFrame(spark, d),
-      "q_ivfpq_cosine_topk" -> ops.VectorOps.ivfPqTopkFrame(spark, d),
-      "q_ivfsq_cosine_topk" -> ops.VectorOps.ivfSqTopkFrame(spark, d),
-      // explicit nCells skips the corpus-count job (the index TRAINING
-      // jobs are unavoidable — the plan's centroid side is trained data)
-      "q_ivf_semantic_dedup" -> ops.VectorOps.ivfSemanticDedupPairs(
-        Tables.t(spark, d, "embeddings"), 0.45,
-        nCells = Some(ops.VectorOps.IvfCells)),
-      // the bloom bitmap is a plan LITERAL, so the shape is content-
-      // independent: a layout-valid dummy keeps the audit lazy (no
-      // blocklist count, no bitmap collect)
-      "q_blocklist_bloom" -> {
-        val docs = Tables.t(spark, d, "documents")
-          .withColumn("digest",
-            org.apache.spark.sql.functions.sha2(
-              org.apache.spark.sql.functions.col("text"), 256))
-        val block = docs
-          .filter(org.apache.spark.sql.functions.expr("doc_id % 11 = 3"))
-          .select("digest").distinct()
-        ops.BlocklistOps.cleanAgainstBloom(docs, block,
-          Array[Byte](7, -1, -1, -1, -1, -1, -1, -1, -1))
-      },
-      // the scalar source count would otherwise run before the plan exists
-      "q_salient_terms" -> ops.TextOps.salientTermsPerSource(spark, d,
-        nSourcesHint = Some(20L)),
-      "q_salient_terms_cjk" -> ops.TextOps.salientTermsCjk(spark, d,
-        nSourcesHint = Some(20L)),
-      // q_ivf_cosine_topk's registered form returns its oracle-input
-      // checkpoint READ-BACK (the search executes during the write); the
-      // plan worth auditing is the search frame itself. The mid-pipeline
-      // checkpoints (minhash bands, simhash frame) need no override — the
-      // join/confirm stages still sit in the registered plans.
-      "q_ivf_cosine_topk" -> {
-        val emb = Tables.t(spark, d, "embeddings")
-        val (assignments, centroids) = ops.VectorOps.ivfIndex(emb)
-        val probes = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
-          .select(org.apache.spark.sql.functions.col("vec_id").as("probe_id"),
-            org.apache.spark.sql.functions.col("embedding").as("probe_vec"))
-        ops.VectorOps.ivfSearch(assignments, centroids, probes)
-      },
-      // the registered form materializes gate inputs; the plan worth
-      // auditing is the PRODUCTION probe against the persisted bucketed
-      // band index (one small index build — same unavoidable-
-      // materialization class as the bucketed-join tables)
-      "q_dedup_incremental" ->
-        ops.IncrementalDedup.dedupIncrementJoined(spark, d),
-      // the vocab scalar is a literal in the score expression; the hint
-      // keeps the audit lazy with an identical plan shape (salientTerms'
-      // nSourcesHint contract)
-      "q_perplexity_filter" ->
-        ops.TextOps.perplexityFilter(spark, d, vocabHint = Some(1L)),
-      "q_corpus_clean_ppx" ->
-        ops.TextOps.corpusCleanPerplexity(spark, d, vocabHint = Some(1L)))
     // Round-11 stored-model SERVE audits (the registered gates pay
     // training so the oracle can replay it; the plan worth auditing is
     // the serve — stored-table scans + the codegen application fold, no
@@ -143,7 +154,7 @@ object PlanAudit {
     // data-funneling SinglePartition exchange fails the audit outright.
     val policyViolations = scala.collection.mutable.ArrayBuffer.empty[String]
     names.foreach { n =>
-      val df = overrides.getOrElse(n, SparkEntry.queries(n)(spark, d))
+      val df = overrideFrame(n).getOrElse(SparkEntry.queries(n)(spark, d))
       val full = df.queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode)
       policyViolations ++= PlanPolicy.violations(n, full)

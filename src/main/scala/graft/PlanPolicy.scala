@@ -44,8 +44,6 @@ object PlanPolicy {
     *    and production runs it per partition-range slice.
     *  - q_ks_test: the two-sample CDF merge over the distinct-CENTS
     *    value histogram (value-domain-bounded, ≤ 10⁵ cells).
-    *  - q_rfm_segments / q_rfm_migration: quintile boundaries via one
-    *    window over the distinct-value histogram (value-bounded).
     *  - q_calibration_bins / q_isotonic_calibration: ONE global rank
     *    over the scored EVAL SAMPLE (the reliability diagram ranks an
     *    eval slice, not the corpus — the operators' documented
@@ -58,17 +56,17 @@ object PlanPolicy {
     *    TextOps.isotonicCalibration).
     *  - q_split_proportional: the Hamilton largest-remainder draw — a
     *    CONSTANT N rows (the requested sample) through one task.
-    *  - q_theta_sketch / q_theta_daily: the KMV tail — sample-bounded
-    *    (k per tag) by the sketch definition.
-    *  - q_key_skew: the count-of-counts histogram (≤ distinct count
-    *    values, not keys).
-    *  - q_spearman / q_kendall_tau: rank/concordance over the value
-    *    HISTOGRAM frames (value-domain-bounded).
-    *  - q_funnel_steps / q_funnel_windowed / q_session_funnel: the
-    *    step-summary frame (≤ steps × cohorts rows).
     *
-    * The counts pin today's plans: a NEW single-partition exchange in
-    * an allowlisted query still fails (count exceeded).
+    * (Families one might expect here but which need NO entry because
+    * their single-partition exchanges all sit above partial aggregates
+    * — the structural exemption: the theta-sketch tails, key-skew's
+    * count-of-counts, spearman/kendall's histogram ranks, the funnel
+    * step summaries.)
+    *
+    * The counts pin today's plans EXACTLY: a new single-partition
+    * exchange fails (count exceeded), and a plan that improves BELOW
+    * its pin also fails — stale headroom would otherwise let future
+    * data-funneling exchanges ship silently under the old allowance.
     */
   val singlePartitionAllow: Map[String, Int] = Map(
     "q_abc_classification" -> 1,
@@ -76,8 +74,6 @@ object PlanPolicy {
     "q_interval_concurrency" -> 1,
     "q_id_islands" -> 1,
     "q_ks_test" -> 1,
-    "q_rfm_segments" -> 1,
-    "q_rfm_migration" -> 1,
     "q_calibration_bins" -> 1,
     "q_isotonic_calibration" -> 5,
     "q_split_proportional" -> 1)
@@ -118,6 +114,11 @@ object PlanPolicy {
           s"SinglePartition node(s) (allowlisted: $allowed) — children: " +
           unexempt.map(i => nodeOf(lines.lift(i + 1).getOrElse("<eof>"))
             .take(60)).mkString("[", " | ", "]"))
+      else if (unexempt.size < allowed)
+        Seq(s"$name: plan improved below its allowlist pin " +
+          s"(${unexempt.size} < $allowed) — lower the PlanPolicy entry " +
+          "so the stale headroom cannot absorb a future data-funneling " +
+          "exchange")
       else Seq.empty
     cartV ++ spV
   }

@@ -200,6 +200,15 @@ private[graft] trait TextLmPart extends TextCorePart {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_trans"), sum("p_fp").as("p_sum"))
       .withColumn("kn_fp", expr("p_sum div n_trans"))
+    knKeepAgainstMean(doc)
+  }
+
+  /** The ONE keep rule all three KN gates share (in-session, pruned,
+    * stored-model serve — a drift between them would be a second
+    * scoring definition): a document keeps iff its mean p_fp is at or
+    * above the corpus mean, cross-multiplied so no division happens.
+    */
+  private def knKeepAgainstMean(doc: DataFrame): DataFrame = {
     val totals = doc.agg(sum("kn_fp").as("tot"), count(lit(1)).as("n"))
     doc.crossJoin(broadcast(totals))
       .withColumn("keep",
@@ -238,13 +247,7 @@ private[graft] trait TextLmPart extends TextCorePart {
     val pw = lmTransitions(docsT)
     val c2 = pw.groupBy("prev", "w").agg(count(lit(1)).as("c2"))
       .filter(col("c2") >= KnPruneMinCount)
-    val doc = knScoreAgainst(pw, c2)
-    val totals = doc.agg(sum("kn_fp").as("tot"), count(lit(1)).as("n"))
-    doc.crossJoin(broadcast(totals))
-      .withColumn("keep",
-        (col("kn_fp") * col("n") >= col("tot")).cast("int"))
-      .select("doc_id", "n_trans", "kn_fp", "keep")
-      .orderBy("doc_id")
+    knKeepAgainstMean(knScoreAgainst(pw, c2))
   }
 
   /** Kneser-Ney scoring against the STORED bigram table — the ONE count
@@ -263,13 +266,7 @@ private[graft] trait TextLmPart extends TextCorePart {
     graft.store.Warehouse.refreshDb(s, db)
     val c2 = s.table(s"`$db`.`$LmCountsTable`")
     val docsT = withTokens(t(s, d, "documents"))
-    val doc = knScoreAgainst(lmTransitions(docsT), c2)
-    val totals = doc.agg(sum("kn_fp").as("tot"), count(lit(1)).as("n"))
-    doc.crossJoin(broadcast(totals))
-      .withColumn("keep",
-        (col("kn_fp") * col("n") >= col("tot")).cast("int"))
-      .select("doc_id", "n_trans", "kn_fp", "keep")
-      .orderBy("doc_id")
+    knKeepAgainstMean(knScoreAgainst(lmTransitions(docsT), c2))
   }
 
   /** Shared KN scoring core: enrich a c2 count table with its derived
@@ -285,7 +282,14 @@ private[graft] trait TextLmPart extends TextCorePart {
       .join(c1, Seq("prev"), "left")
       .join(cont, Seq("w"), "left")
       .crossJoin(broadcast(nb))
-      .withColumn("p_cont", expr(s"($KnScale * coalesce(n1m, 0L)) div nb"))
+      // nb = 0 guard: an EMPTY model table (every bigram type pruned, or
+      // a fresh stored model) would make `div nb` throw under ANSI (and
+      // go NULL — diverging from the oracle — under non-ANSI). Zero
+      // continuation mass is the honest score; the oracle carries the
+      // identical CASE.
+      .withColumn("p_cont", expr(
+        s"CASE WHEN nb = 0 THEN 0L " +
+          s"ELSE ($KnScale * coalesce(n1m, 0L)) div nb END"))
       .withColumn("p_fp", expr(
         s"""CASE
            |  WHEN c1 IS NULL THEN p_cont

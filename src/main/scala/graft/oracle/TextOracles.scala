@@ -1031,8 +1031,9 @@ object TextOracles {
         |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM c2),
         |joined AS (
         |    SELECT p.doc_id,
-        |           (${TextOps.KnScale} * COALESCE(cont.n1m, 0))
-        |               // (SELECT nb FROM nb) AS p_cont,
+        |           CASE WHEN (SELECT nb FROM nb) = 0 THEN 0
+        |                ELSE (${TextOps.KnScale} * COALESCE(cont.n1m, 0))
+        |                     // (SELECT nb FROM nb) END AS p_cont,
         |           c2.c2 AS c2, c1.c1 AS c1, c1.n1p AS n1p
         |    FROM pw p
         |    LEFT JOIN c2 ON p.prev = c2.prev AND p.w = c2.w

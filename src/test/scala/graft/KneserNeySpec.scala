@@ -82,6 +82,22 @@ class KneserNeySpec extends SparkSpec {
     assert(got == Seq((1L, 3L, 666666L, 1), (2L, 1L, 0L, 0)), got)
   }
 
+  test("pruning an ALL-hapax corpus empties the model without NULLs: " +
+      "every doc scores zero mass and the degenerate mean keeps all") {
+    // every bigram type occurs once ⇒ the cut empties c2, nb = 0 — the
+    // `div 0` edge that went NULL before the p_cont guard (review
+    // finding): both engines must agree on kn_fp = 0, keep = 1
+    val dir = TempDirs.create("graft-kn-empty-spec")
+    Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.kneserNeyScorePruned(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSeq
+    assert(got == Seq((1L, 1L, 0L, 1), (2L, 1L, 0L, 1)), got)
+  }
+
   test("pruning is the identity on a hapax-free corpus") {
     // every bigram type occurs ≥ KnPruneMinCount ⇒ the cut removes
     // nothing and the pruned law must reproduce the unpruned gate

@@ -54,9 +54,14 @@ class PlanPolicySpec extends SparkSpec {
     assert(PlanPolicy.singlePartitionAllow("q_ks_test") == 1)
     val v = PlanPolicy.violations("q_ks_test", planted)
     assert(v.nonEmpty, "count past the allowlisted 1 must fail")
-    // and exactly at the pinned count it passes
+    // exactly at the pinned count it passes
     val one = planted.linesIterator.toSeq.take(4).mkString("\n")
     assert(PlanPolicy.violations("q_ks_test", one).isEmpty)
+    // and BELOW the pin it also fails — stale headroom would let a
+    // future data-funneling exchange ship inside the old allowance
+    val none = "Project [v]\n+- FileScan parquet"
+    val below = PlanPolicy.violations("q_ks_test", none)
+    assert(below.exists(_.contains("below its allowlist pin")), below)
   }
 
   test("live registry sample is policy-clean inside the TEST gate") {

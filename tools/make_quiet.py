@@ -20,6 +20,10 @@ cmin = d["calib"]["min"]
 assert load <= 1.5, f"host_load_index {load} > 1.5: not a quiet run, refuse to anchor"
 assert 0.05 <= cmin <= 0.08, f"calib.min {cmin} outside the 0.05-0.08 quiet band, refuse to anchor"
 assert not d.get("errors") or d["errors"] == {}, f"run has errors: {d['errors']}"
+models = d.get("models") or {}
+assert "error" not in models, f"model split failed in the source run: {models}"
+assert models and all(isinstance(v, dict) and "serve_s" in v for v in models.values()), \
+    f"models section malformed — anchoring would silently disable serve budgets: {models}"
 
 quiet = {
     "anchor": (f"bench runs={d['runs']} at {d['sf']} "
