@@ -199,8 +199,12 @@ object Bench {
         val pts = calibSamples.toSeq.sorted
         if (pts.size >= 2) r4(pts(pts.size / 2) / pts.head) else 1.0
       }
+    // ONE definition of the measured calib floor — the quiet verdict and
+    // both JSON fields read it (two empty-case defaults once disagreed).
+    val measuredCalibMin: Option[Double] =
+      if (calibSamples.nonEmpty) Some(calibSamples.min) else None
     val calibJson = s"""{"n":${calibSamples.size},"min":${r4(
-      if (calibSamples.nonEmpty) calibSamples.min else 0.0)},"max":${r4(
+      measuredCalibMin.getOrElse(0.0))},"max":${r4(
       if (calibSamples.nonEmpty) calibSamples.max else 0.0)}}"""
     // Stored-model build/serve split IN the bench record (round-12
     // verdict #4): the gate totals above conflate build+serve by design
@@ -229,13 +233,8 @@ object Bench {
     // with corpus size; the sf0.01 smoke run proved the confusion).
     val quietRef = BenchQuiet.load().filter(_.sf == sfDir)
     val measuredMap = stabilized.map { case (n, v, _, _) => n -> v }.toMap
-    // ONE definition of the measured calib floor, reused by the verdict
-    // and the JSON field — two empty-case defaults once disagreed (the
-    // record could say contended while printing a sub-anchor min). No
-    // samples = the run cannot prove quietness, so the verdict side
-    // reads MaxValue (→ contended) and the record side -1 (absent).
-    val measuredCalibMin: Option[Double] =
-      if (calibSamples.nonEmpty) Some(calibSamples.min) else None
+    // No samples = the run cannot prove quietness: the verdict side
+    // reads MaxValue (→ contended), the record side -1 (absent).
     val (quietVerdict, regressed) = quietRef
       .map(r => BenchQuiet.adjudicate(r, measuredMap,
         measuredCalibMin.getOrElse(Double.MaxValue), hostLoadIndex))

@@ -78,6 +78,16 @@ object PartitionedMaterializer {
         "partition boundaries")
     val batch = rangedBatch(source, dateCol, grain, from, untilExcl, partCol)
     val fq = s"`$db`.`$table`"
+    // make the table whole from any crashed maintenance op BEFORE the
+    // range drop (same entry contract as merge/delete/evolve): without
+    // this, a surviving partition tmp from a crashed merge would later
+    // auto-recover OVER the partitions this backfill just rewrote,
+    // silently regressing them to pre-crash data
+    if (spark.catalog.tableExists(s"$db.$table")) {
+      Warehouse.recoverReplacement(spark, db, table)
+      Warehouse.recoverRewrite(spark, db, table)
+      Warehouse.recoverEvolve(spark, db, table)
+    }
     if (!spark.catalog.tableExists(s"$db.$table")) {
       Warehouse.saveModel(batch, db, table, Seq(partCol))
     } else {
@@ -134,12 +144,23 @@ object PartitionedMaterializer {
     val spark = df.sparkSession
     // a null event time would land in the default (__HIVE_DEFAULT_PARTITION__)
     // partition, which no date-ranged backfill can ever clear — such rows
-    // are undatable and excluded from a time-partitioned table by contract
-    val withKey = df.filter(col(dateCol).isNotNull)
-      .withColumn(partCol, grain.key(col(dateCol)))
+    // are undatable and REFUSED loudly, the same contract as the sibling
+    // partition-rewriting paths (a silent filter here was strictly worse:
+    // ingest-path data loss with no signal, while the same rows through
+    // mergeUpsert failed with "batch has NULL partition values")
+    require(df.filter(col(dateCol).isNull).limit(1).isEmpty,
+      s"appendPartitioned: batch has NULL `$dateCol` values — undatable " +
+        "rows cannot land in a time-partitioned table; filter or repair " +
+        "them upstream")
+    val withKey = df.withColumn(partCol, grain.key(col(dateCol)))
     if (!spark.catalog.tableExists(s"$db.$table"))
       Warehouse.saveModel(withKey, db, table, Seq(partCol))
     else {
+      // same crash-recovery entry contract as backfill: heal surviving
+      // maintenance tmps before appending into their partitions
+      Warehouse.recoverReplacement(spark, db, table)
+      Warehouse.recoverRewrite(spark, db, table)
+      Warehouse.recoverEvolve(spark, db, table)
       val cols = spark.table(s"`$db`.`$table`").columns
       withKey.select(cols.map(col).toIndexedSeq: _*)
         .write.mode(SaveMode.Append).insertInto(s"`$db`.`$table`")
@@ -177,9 +198,12 @@ object PartitionedMaterializer {
       s"evolve range [$from, $untilExcl) is not aligned to month " +
         "boundaries (the coarser grain)")
     // make the table whole from any crashed maintenance op before
-    // planning over it — same entry contract as merge/delete
+    // planning over it — same entry contract as merge/delete (incl. the
+    // full-swap tmp: planning over a partial target left by a crashed
+    // compact would evolve half a table)
     Warehouse.recoverEvolve(spark, db, table)
     Warehouse.recoverReplacement(spark, db, table)
+    Warehouse.recoverRewrite(spark, db, table)
     val oldKeys = fromGrain.keys(from, untilExcl)
     val slice = spark.table(s"`$db`.`$table`")
       .filter(col(partCol).isin(oldKeys: _*))   // plan-time pruning

@@ -34,12 +34,8 @@ object Bm25Ingest {
 
   private[graft] val LastEpochProp = "graft.bm25.last_epoch"
 
-  private def digest(x: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
   private[graft] def epochProp(srcTag: String): String =
-    s"$LastEpochProp.${digest(srcTag)}"
+    IngestLedger.epochProp(LastEpochProp, srcTag)
 
   private def fqn(db: String, tbl: String) = s"`$db`.`$tbl`"
 
@@ -65,6 +61,12 @@ object Bm25Ingest {
     if (batch.isEmpty) return
     require(s.catalog.tableExists(s"$db.${RetrievalOps.PostingsTable}"),
       s"bm25IngestBatch: no BM25 index in `$db` — buildBm25Index first")
+    // cross-session freshness (the LinkIngest posture): the stream's
+    // cloned session may hold a frozen file listing for the unpartitioned
+    // index tables; after a scheduled rebuild in ANOTHER session the
+    // cached listing points at deleted files and every redelivered batch
+    // dies on FAILED_READ_FILE until the JVM restarts
+    graft.store.Warehouse.refreshDb(s, db)
     val lease = CorpusPipeline.acquireLease(s, db)
     val b = batch.persist()
     try {

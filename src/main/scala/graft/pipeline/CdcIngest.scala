@@ -32,12 +32,8 @@ object CdcIngest {
 
   private[graft] val LastEpochProp = "graft.cdc.last_epoch"
 
-  private def digest(x: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
   private[graft] def epochProp(srcTag: String): String =
-    s"$LastEpochProp.${digest(srcTag)}"
+    IngestLedger.epochProp(LastEpochProp, srcTag)
 
   def cdcIngestBatch(s: SparkSession, srcTag: String, batch: DataFrame,
                      db: String, epochId: Long = -1L,

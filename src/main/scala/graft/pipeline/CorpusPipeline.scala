@@ -102,9 +102,7 @@ object CorpusPipeline {
 
   final case class StageResult(stage: String, skipped: Boolean, key: String)
 
-  private def digest(x: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def digest(x: String): String = IngestLedger.digest(x)
 
   /** Structural lineage keys per stage for source descriptor `d` — each
     * key digests the stage recipe + its params + the upstream key, so a
@@ -757,7 +755,7 @@ object CorpusPipeline {
     */
   private[graft] val LastEpochProp = "graft.corpus.last_epoch"
   private[graft] def epochProp(srcTag: String): String =
-    s"$LastEpochProp.${digest(srcTag)}"
+    IngestLedger.epochProp(LastEpochProp, srcTag)
 
   /** Fold ONE micro-batch of documents through the clean+dedup prefix —
     * the foreachBatch body of a streaming corpus ingest: s1/s2 and the
@@ -786,13 +784,18 @@ object CorpusPipeline {
     val lease = acquireLease(s, db)
     val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def pin(df: DataFrame): DataFrame = { pinned += df; df }
+    // pin the incoming batch itself (the VectorIngest/Bm25Ingest pin):
+    // it is consumed by the bounds agg, the legacy content proof, and
+    // every appendS12 stage — unpinned, each consumer recomputes the
+    // stream's upstream frame
+    val b = pin(batch.persist())
     try {
       val props = dbProps(s, db)
       if (epochId >= 0 &&
           props.get(epochProp(srcTag)).filter(_.nonEmpty)
             .map(_.toLong).exists(_ >= epochId))
         return // committed-epoch replay: everything already landed
-      val bounds = batch.agg(min("doc_id"), max("doc_id")).head
+      val bounds = b.agg(min("doc_id"), max("doc_id")).head
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       // Migration from the pre-r10 SCALAR ledger (single-stream by its
       // own documented contract): a restarted legacy stream redelivering
@@ -816,7 +819,7 @@ object CorpusPipeline {
           // the ingested range fails this and falls through to the
           // loud append-only guard instead of being silently swallowed.
           val known = s.table(fq(db, HashIndexTable))
-          val allKnown = batch
+          val allKnown = b
             .select(sha2(lower(trim(col("text"))), 256).as("h")).distinct()
             .join(known, Seq("h"), "left_anti").isEmpty
           allKnown && {
@@ -837,7 +840,7 @@ object CorpusPipeline {
           s"corpusIngestBatch: batch min id $lo <= ingested max " +
             s"$storedMax — the append-only contract (keep-lowest " +
             "immutability) forbids out-of-order ingest"))
-      appendS12(s, db, batch, lease, pin)
+      appendS12(s, db, b, lease, pin)
       val keys = lineageKeys(srcTag)
       Seq("s1_clean", "s2_dedup").foreach { st =>
         s.sql(s"ALTER TABLE ${fq(db, st)} SET TBLPROPERTIES (" +

@@ -35,12 +35,8 @@ object LinkIngest {
   private[graft] val MaxDocProp = "graft.links.max_doc"
   private[graft] val LastEpochProp = "graft.links.last_epoch"
 
-  private def digest(x: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
   private[graft] def epochProp(srcTag: String): String =
-    s"$LastEpochProp.${digest(srcTag)}"
+    IngestLedger.epochProp(LastEpochProp, srcTag)
 
   private def fqn(db: String, tbl: String) = s"`$db`.`$tbl`"
 

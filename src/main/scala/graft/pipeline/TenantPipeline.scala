@@ -53,7 +53,10 @@ final class TenantPipeline(
     // macros/generate_schema_name.sql:1-7). The environment prefix applies
     // on top, so dev materializations of explicit schemas are isolated too.
     val base = m.config.get("schema") match {
-      case Some(s) if s.startsWith("var") => tenant.id
+      // the actual var(...) CALL syntax, not any name starting with the
+      // substring "var" — a literal schema like "variant_marts" must land
+      // where it says, not silently redirect to the tenant schema
+      case Some(s) if s.matches("""var\s*\(.*""") => tenant.id
       case Some(s) if s.nonEmpty => s
       case _ => tenant.id
     }
@@ -101,14 +104,32 @@ final class TenantPipeline(
     try {
       ModelDag.levels(models).flatMap { level =>
         val futures = level.map { m =>
-          Future {
+          m.name -> Future {
             val df = spark.sql(r.render(m))
             Warehouse.saveModel(df, modelSchema(m), m.alias)
             s"${modelSchema(m)}.${m.alias}" ->
               spark.table(s"`${modelSchema(m)}`.`${m.alias}`").count()
           }
         }
-        futures.map(Await.result(_, Duration.Inf))
+        // Await EVERY model in the level before reporting (the
+        // TenantRegistry.runAll contract): awaiting in submission order
+        // and throwing on the first failure would leave siblings still
+        // writing on the pool — a retry then races their DROP+CTAS on
+        // the same database — with their own failures silently discarded.
+        val outcomes = futures.map { case (name, f) =>
+          name -> scala.util.Try(Await.result(f, Duration.Inf))
+        }
+        val failures = outcomes.collect {
+          case (name, scala.util.Failure(e)) => (name, e)
+        }
+        if (failures.nonEmpty) {
+          val ex = new RuntimeException("model failures: " + failures
+            .map { case (name, e) => s"$name: ${e.getMessage}" }
+            .mkString("; "))
+          failures.foreach { case (_, e) => ex.addSuppressed(e) }
+          throw ex
+        }
+        outcomes.collect { case (_, scala.util.Success(kv)) => kv }
       }.toMap
     } finally pool.shutdown()
   }

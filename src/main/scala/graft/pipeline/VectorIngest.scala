@@ -34,12 +34,8 @@ object VectorIngest {
   private[graft] val MaxVecIdProp = "graft.ann.max_vec_id"
   private[graft] val LastEpochProp = "graft.ann.last_epoch"
 
-  private def digest(x: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
   private[graft] def epochProp(srcTag: String): String =
-    s"$LastEpochProp.${digest(srcTag)}"
+    IngestLedger.epochProp(LastEpochProp, srcTag)
 
   /** Fold one micro-batch of (vec_id, embedding, ...) rows into every
     * stored index family present in `db`. `failAfter` is a TEST-ONLY

@@ -216,20 +216,33 @@ object Warehouse {
       def write(df: DataFrame, target: String): Unit =
         writeWithLayout(reshape(df), meta, target)
       write(transform(spark.table(fq)), tmp)
-      write(spark.table(tmp), fq)
-      // saveAsTable(Overwrite) recreates the table WITHOUT its
+      // saveAsTable(Overwrite) recreates tables WITHOUT their
       // TBLPROPERTIES — silently erasing frozen layout/generation stamps
       // (the DeltaModelIngest generation, the index bucket moduli), which
-      // downstream readers treat as hard contracts. Re-apply the user
-      // properties the pre-rewrite table carried.
+      // downstream readers treat as hard contracts. Stamp the pre-rewrite
+      // user properties onto the TMP FIRST: from here on they ride the
+      // surviving tmp through any crash, so recoverRewrite can restore
+      // them with the data (a tmp-without-props crash window would lose
+      // them permanently — the target overwrite below drops the only
+      // other copy).
       val userProps = meta.properties.filterNot(_._1.startsWith("spark."))
-      if (userProps.nonEmpty)
-        spark.sql(s"ALTER TABLE $fq SET TBLPROPERTIES (" +
-          userProps.map { case (k, v) =>
-            s"'${k.replace("'", "''")}' = '${v.replace("'", "''")}'"
-          }.mkString(", ") + ")")
+      applyUserProps(spark, tmp, userProps)
+      write(spark.table(tmp), fq)
+      applyUserProps(spark, fq, userProps)
       spark.sql(s"DROP TABLE IF EXISTS $tmp")
     }
+
+  /** Re-apply preserved user TBLPROPERTIES after a saveAsTable(Overwrite)
+    * recreated a table bare — shared by [[rewriteVia]] (both the tmp
+    * stamp and the target re-apply) and [[recoverRewrite]].
+    */
+  private def applyUserProps(spark: SparkSession, fqTable: String,
+                             props: Map[String, String]): Unit =
+    if (props.nonEmpty)
+      spark.sql(s"ALTER TABLE $fqTable SET TBLPROPERTIES (" +
+        props.map { case (k, v) =>
+          s"'${k.replace("'", "''")}' = '${v.replace("'", "''")}'"
+        }.mkString(", ") + ")")
 
   /** Layout-preserving table write (partition + bucket spec from `meta`). */
   private def writeWithLayout(df: DataFrame,
@@ -274,9 +287,23 @@ object Warehouse {
           "completing the crashed rewrite's swap before proceeding")
         val meta = spark.sessionState.catalog.getTableMetadata(
           org.apache.spark.sql.catalyst.TableIdentifier(tmpName, Some(db)))
+        // user TBLPROPERTIES travel on the tmp (rewriteVia stamps them
+        // right after the tmp write); a tmp from the narrow pre-stamp
+        // window carries none, but the TARGET is then still the intact
+        // pre-rewrite table — read its props as the fallback before the
+        // rebuild drops them. Without the re-apply, crash recovery
+        // permanently erased generation stamps and bucket moduli.
+        val tmpProps = meta.properties.filterNot(_._1.startsWith("spark."))
+        val targetProps =
+          if (spark.catalog.tableExists(s"$db.$table"))
+            spark.sessionState.catalog.getTableMetadata(
+                org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
+              .properties.filterNot(_._1.startsWith("spark."))
+          else Map.empty[String, String]
         if (!spark.catalog.tableExists(s"$db.$table"))
           dropStaleLocation(spark, db, table)
         writeWithLayout(spark.table(s"`$db`.`$tmpName`"), meta, s"`$db`.`$table`")
+        applyUserProps(spark, s"`$db`.`$table`", targetProps ++ tmpProps)
         spark.sql(s"DROP TABLE IF EXISTS `$db`.`$tmpName`")
         true
       }

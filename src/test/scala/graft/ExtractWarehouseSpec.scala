@@ -471,4 +471,99 @@ class ExtractWarehouseSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       ProductSchema.requireConformant(renamed, ProductSchema.martItemMaster))
   }
+
+  test("crash recovery preserves user TBLPROPERTIES through the full-table " +
+      "swap (generation stamps, bucket moduli)") {
+    val (db, table) = ("graft_props", "kv_props")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`${table}__rw_tmp`")
+    Warehouse.saveModel(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), db, table)
+    spark.sql(s"ALTER TABLE `$db`.`$table` SET TBLPROPERTIES (" +
+      "'graft.test.generation'='7', 'graft.test.modulus'='64')")
+    def propsOf: Map[String, String] =
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
+        .properties.filter(_._1.startsWith("graft.test."))
+    // the normal rewrite keeps them (pre-existing contract)
+    Warehouse.rewriteVia(spark, db, table)(identity)
+    assert(propsOf == Map("graft.test.generation" -> "7",
+      "graft.test.modulus" -> "64"))
+    // WORST crash point: target dropped, the props-stamped tmp is the
+    // ONLY copy (the rewrite protocol stamps props on the tmp right
+    // after writing it) — recovery must restore data AND properties
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.format("parquet").saveAsTable(s"`$db`.`${table}__rw_tmp`")
+    spark.sql(s"ALTER TABLE `$db`.`${table}__rw_tmp` SET TBLPROPERTIES (" +
+      "'graft.test.generation'='7', 'graft.test.modulus'='64')")
+    spark.sql(s"DROP TABLE `$db`.`$table`")
+    assert(Warehouse.recoverRewrite(spark, db, table))
+    assert(propsOf == Map("graft.test.generation" -> "7",
+      "graft.test.modulus" -> "64"),
+      "recovery from the tmp-only state must restore the stamps")
+    // PRE-STAMP window: tmp exists WITHOUT props, target still intact —
+    // recovery falls back to the (still committed) target's props
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.format("parquet").saveAsTable(s"`$db`.`${table}__rw_tmp`")
+    assert(Warehouse.recoverRewrite(spark, db, table))
+    assert(propsOf == Map("graft.test.generation" -> "7",
+      "graft.test.modulus" -> "64"),
+      "recovery in the pre-stamp window must keep the target's stamps")
+    assert(!spark.catalog.tableExists(s"$db.${table}__rw_tmp"))
+  }
+
+  test("backfill heals a crashed partition swap at entry — a later " +
+      "auto-recovery can no longer regress the backfilled range") {
+    import java.time.LocalDate
+    import graft.pipeline.{PartitionGrain, PartitionedMaterializer}
+    val (db, table) = ("graft_bf_heal", "orders_m")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`${table}__rw_part_tmp`")
+    def src(feb: String) = Seq(
+      (1L, "jan", java.sql.Timestamp.valueOf("1996-01-10 00:00:00")),
+      (2L, feb, java.sql.Timestamp.valueOf("1996-02-15 00:00:00")),
+      (3L, "mar", java.sql.Timestamp.valueOf("1996-03-20 00:00:00")))
+      .toDF("k", "v", "ts")
+    PartitionedMaterializer.backfill(spark, src("feb_v1"), "ts",
+      PartitionGrain.Monthly, db, table,
+      LocalDate.of(1996, 1, 1), LocalDate.of(1996, 4, 1))
+    // simulate a merge that crashed inside its drop+append window: the
+    // surviving tmp holds a STALE copy of the Feb partition
+    spark.table(s"`$db`.`$table`").filter($"part_key" === "1996-02")
+      .write.format("parquet").partitionBy("part_key")
+      .saveAsTable(s"`$db`.`${table}__rw_part_tmp`")
+    // a corrective backfill of Feb with FRESH data must heal the tmp
+    // FIRST — otherwise the stale slice survives and a later entry
+    // point's auto-recovery would re-apply it OVER the fresh rewrite
+    PartitionedMaterializer.backfill(spark, src("feb_v2"), "ts",
+      PartitionGrain.Monthly, db, table,
+      LocalDate.of(1996, 2, 1), LocalDate.of(1996, 3, 1))
+    assert(!spark.catalog.tableExists(s"$db.${table}__rw_part_tmp"),
+      "backfill must consume the surviving tmp before rewriting")
+    assert(!Warehouse.recoverReplacement(spark, db, table),
+      "no tmp may remain for a later entry point to re-apply")
+    val feb = spark.table(s"`$db`.`$table`")
+      .filter($"part_key" === "1996-02").select("v").collect().map(_.getString(0))
+    assert(feb.toSeq == Seq("feb_v2"), feb.toSeq)
+  }
+
+  test("appendPartitioned refuses NULL event times loudly (the sibling " +
+      "partition-path contract, not a silent filter)") {
+    import graft.pipeline.{PartitionGrain, PartitionedMaterializer}
+    val (db, table) = ("graft_bf_heal", "evts_null")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
+    val bad = Seq(
+      (1L, java.sql.Timestamp.valueOf("1996-01-10 00:00:00")),
+      (2L, null.asInstanceOf[java.sql.Timestamp])).toDF("k", "ts")
+    val e = intercept[IllegalArgumentException] {
+      PartitionedMaterializer.appendPartitioned(bad, "ts",
+        PartitionGrain.Daily, db, table)
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+    assert(!spark.catalog.tableExists(s"$db.$table"),
+      "a refused batch must not half-create the table")
+  }
 }
+
