@@ -82,6 +82,26 @@ object Bench {
     // the first sample
     try spark.range(1L << 20).selectExpr("bit_xor(xxhash64(id)) AS h").collect()
     catch { case _: Throwable => () }
+    // DISK calibration probe (round-13): the CPU probe is blind to I/O
+    // contention, and the checkpoint-bound gates (connected components'
+    // per-round localCheckpoint) are exactly the ones host disk pressure
+    // inflates — a quiet-CPU run once flagged q_dedup_clusters 2.4× while
+    // an A/B of identical code on the same host reproduced the 2× on BOTH
+    // commits (BENCHLOG r13 false-regressed adjudication). One 64 MiB
+    // write+read+delete per PASS through java.io.tmpdir (the same device
+    // Spark's local dirs use here); min across passes anchors the same
+    // way calib.min does. Best-effort — a probe failure records nothing.
+    val ioSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ioPayload = Array.fill[Byte](64 << 20)(0x5a)
+    def calibrateIo(): Unit =
+      try {
+        val f = java.nio.file.Files.createTempFile("graft-bench-io", ".bin")
+        val t0 = System.nanoTime()
+        java.nio.file.Files.write(f, ioPayload)
+        val n = java.nio.file.Files.readAllBytes(f).length
+        ioSamples += (System.nanoTime() - t0) / 1e9 + (n - n) // keep `n` live
+        java.nio.file.Files.deleteIfExists(f)
+      } catch { case _: Throwable => () }
     val CalibEvery = 15
     // (name, seconds, error). A failing query must surface its error, not a
     // fast wall-time — a swallowed exception here once masqueraded as the
@@ -111,6 +131,7 @@ object Bench {
     val perRun = (1 to runs).map { r =>
       OracleInputs.checkpointNanos.set(0L)
       calibPasses += scala.collection.mutable.ArrayBuffer.empty[Double]
+      calibrateIo()
       val res = oneRun()
       ckptSecPerPass += OracleInputs.checkpointNanos.get / 1e9
       if (r < runs) {
@@ -206,6 +227,11 @@ object Bench {
     val calibJson = s"""{"n":${calibSamples.size},"min":${r4(
       measuredCalibMin.getOrElse(0.0))},"max":${r4(
       if (calibSamples.nonEmpty) calibSamples.max else 0.0)}}"""
+    val measuredIoMin: Option[Double] =
+      if (ioSamples.nonEmpty) Some(ioSamples.min) else None
+    val calibIoJson = s"""{"n":${ioSamples.size},"min":${r4(
+      measuredIoMin.getOrElse(0.0))},"max":${r4(
+      if (ioSamples.nonEmpty) ioSamples.max else 0.0)}}"""
     // Stored-model build/serve split IN the bench record (round-12
     // verdict #4): the gate totals above conflate build+serve by design
     // (the oracle replays training), so a serve-path regression was
@@ -237,7 +263,8 @@ object Bench {
     // reads MaxValue (→ contended), the record side -1 (absent).
     val (quietVerdict, regressed) = quietRef
       .map(r => BenchQuiet.adjudicate(r, measuredMap,
-        measuredCalibMin.getOrElse(Double.MaxValue), hostLoadIndex))
+        measuredCalibMin.getOrElse(Double.MaxValue), hostLoadIndex,
+        measuredIoMin))
       .getOrElse(("no-ref", Map.empty[String, Double]))
     val serveBreach = quietRef.map(r => BenchQuiet.serveBreaches(
       modelRows.getOrElse(Seq.empty), r.serveBudgets)).getOrElse(Seq.empty)
@@ -252,7 +279,7 @@ object Bench {
     }
     val serveBreachJson =
       serveBreach.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"gate_ckpt":"local","ckpt_sec":$ckptSec,"host_load_index":$hostLoadIndex,"calib":$calibJson,"models":$modelsJson,"quiet":$quietJson,"serve_breach":$serveBreachJson,"sf":"$sfDir","runs":$runs}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"gate_ckpt":"local","ckpt_sec":$ckptSec,"host_load_index":$hostLoadIndex,"calib":$calibJson,"calib_io":$calibIoJson,"models":$modelsJson,"quiet":$quietJson,"serve_breach":$serveBreachJson,"sf":"$sfDir","runs":$runs}"""
     // Full line to a file too — the lossless record when the stdout window
     // still clips (best-effort: a read-only checkout must not fail the run).
     val fullPath = "target/bench_full.json"

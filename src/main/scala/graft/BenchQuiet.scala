@@ -47,9 +47,19 @@ object BenchQuiet {
   val RegressionFloorSec = 0.5
   val RegressionAbsSec = 1.0
 
+  /** Disk-probe contention gate (round-13): the CPU probe is blind to
+    * I/O pressure, which inflates exactly the checkpoint-bound gates
+    * (the q_dedup_clusters false-regressed incident — identical code
+    * read 2× the anchor on both sides of an A/B while the CPU calib
+    * sat inside its band). Disk latency is noisier than CPU, so the
+    * factor is wider.
+    */
+  val ContendedIoFactor = 2.0
+
   final case class Ref(calibMin: Double, sf: String,
                        queries: Map[String, Double],
-                       serveBudgets: Map[String, Double])
+                       serveBudgets: Map[String, Double],
+                       calibIoMin: Option[Double] = None)
 
   /** Best-effort load — a missing/corrupt reference file must degrade to
     * "no adjudication", never fail the bench.
@@ -67,14 +77,17 @@ object BenchQuiet {
       }
       Some(Ref(root.get("calib_min").asDouble(),
         Option(root.get("sf")).map(_.asText()).getOrElse(""),
-        objMap("queries"), objMap("serve_budgets")))
+        objMap("queries"), objMap("serve_budgets"),
+        Option(root.get("calib_io_min")).map(_.asDouble()).filter(_ > 0)))
     } catch { case _: Throwable => None }
 
   /** (verdict, regressed query → ratio). Contention takes precedence:
     * ratios measured under load are evidence of the HOST, not the code.
     */
   def adjudicate(ref: Ref, measured: Map[String, Double], calibMin: Double,
-                 hostLoadIndex: Double): (String, Map[String, Double]) = {
+                 hostLoadIndex: Double,
+                 calibIoMin: Option[Double] = None)
+      : (String, Map[String, Double]) = {
     val regressed = measured.flatMap { case (n, v) =>
       ref.queries.get(n).collect {
         case a if a >= RegressionFloorSec && v > a * RegressionRatio &&
@@ -82,8 +95,12 @@ object BenchQuiet {
           n -> math.rint(v / a * 100) / 100
       }
     }
+    val ioContended = (ref.calibIoMin, calibIoMin) match {
+      case (Some(a), Some(m)) => m > a * ContendedIoFactor
+      case _ => false // no anchored/measured I/O floor — CPU gates only
+    }
     val contended = calibMin > ref.calibMin * ContendedCalibFactor ||
-      hostLoadIndex > ContendedLoadIndex
+      hostLoadIndex > ContendedLoadIndex || ioContended
     val verdict =
       if (contended) "contended"
       else if (regressed.nonEmpty) "regressed"

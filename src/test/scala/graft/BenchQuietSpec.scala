@@ -43,6 +43,21 @@ class BenchQuietSpec extends AnyFunSuite {
     assert(v2 == "contended")
   }
 
+  test("disk-probe contention reads contended even when the CPU probe " +
+      "is quiet (the q_dedup_clusters false-regressed shape)") {
+    val withIo = ref.copy(calibIoMin = Some(0.2))
+    // quiet CPU, 2x+ disk floor, a checkpoint-bound gate inflated 2.4x:
+    // the verdict must blame the HOST, not the code
+    val (v, _) = BenchQuiet.adjudicate(withIo, Map("q_big" -> 7.2),
+      calibMin = 0.066, hostLoadIndex = 1.2, calibIoMin = Some(0.45))
+    assert(v == "contended", v)
+    // same run without an anchored I/O floor: CPU gates only (pre-r13
+    // anchors), so the flag surfaces as regressed for the A/B escalation
+    val (v2, r2) = BenchQuiet.adjudicate(ref, Map("q_big" -> 7.2),
+      calibMin = 0.066, hostLoadIndex = 1.2, calibIoMin = Some(0.45))
+    assert(v2 == "regressed" && r2.nonEmpty, (v2, r2))
+  }
+
   test("deliberate slow serve breaches its budget; others do not") {
     val models = Seq(
       "lm" -> Seq("build_s" -> 5.0, "serve_s" -> 4.0),  // planted breach

@@ -31,6 +31,10 @@ quiet = {
                + (note or f"regenerated {datetime.date.today().isoformat()}")),
     "calib_min": cmin,
     "sf": d["sf"],
+    # disk-probe floor (absent on pre-r13 records): anchors the I/O
+    # contention gate that catches what the CPU probe cannot
+    **({"calib_io_min": d["calib_io"]["min"]}
+       if d.get("calib_io", {}).get("min", 0) > 0 else {}),
     "host_load_index": load,
     "total": d["value"],
     "serve_budget_rule": "max(2x quiet serve_s, 1.0s) per stored-model family",
