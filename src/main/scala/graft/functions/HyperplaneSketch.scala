@@ -22,8 +22,17 @@ import org.apache.spark.sql.types._
   * the per-vector cost is a register-local loop with no shuffle and no
   * 65-column codegen surface (which alone cost ~10 s of janino compile).
   *
-  * Numeric contract: inputs are bounded embeddings (|x_i| ≤ ~95 keeps
-  * x²·1e15 inside a long); elements must be non-null.
+  * Numeric contract: inputs are bounded embeddings and elements must be
+  * non-null. The bound is on the ACCUMULATED sums, not per term (the
+  * original "~95 per element" note covered one term only — round-13
+  * review): dims·max(x²)·1e15 and dims·max(|x·w|)·1e15 must stay inside
+  * a long, i.e. |x_i| ≲ sqrt(9.2e18 / (dims·1e15)) ≈ 12 at 64 dims, ≈ 4
+  * at 512 dims (the plane weights w are ±1-scaled). The engine's
+  * embedding fixture is unit-normalized (|x_i| ≤ 1), two decades inside
+  * the bound; an overflowing input would corrupt sketch bits silently,
+  * so callers feeding UNnormalized vectors must normalize first (every
+  * in-repo call site does — lshCosineBuckets divides by l2 downstream
+  * and the dedup banding consumes sign bits of a normalized fold).
   */
 case class HyperplaneSketch(child: Expression) extends UnaryExpression {
   import HyperplaneSketch._

@@ -75,13 +75,13 @@ object GraftFunctions {
   /** Idempotent per-session registration (temp function registry). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
+      "rolling_hash", exprs => RollingHash(GraftFunctions.unary("rolling_hash", exprs)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hyperplane_sketch", exprs => HyperplaneSketch(exprs.head), "scala_udf")
+      "hyperplane_sketch", exprs => HyperplaneSketch(GraftFunctions.unary("hyperplane_sketch", exprs)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+      "simhash64", exprs => SimHash64(GraftFunctions.unary("simhash64", exprs)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "nfc_normalize", exprs => NfcNormalize(exprs.head), "scala_udf")
+      "nfc_normalize", exprs => NfcNormalize(GraftFunctions.unary("nfc_normalize", exprs)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => {
         val (a, b) = binary("vec_dot", exprs); VecDot(a, b)
@@ -99,11 +99,21 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_ngrams", WordNgrams.build, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "unicode_tokens", exprs => UnicodeTokens(exprs.head), "scala_udf")
+      "unicode_tokens", exprs => UnicodeTokens(GraftFunctions.unary("unicode_tokens", exprs)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ac_scan", exprs => {
         val (a, b) = binary("ac_scan", exprs); AcScan(a, b)
       }, "scala_udf")
+  }
+
+  /** Arity gate for 1-arg builders — `exprs.head` silently IGNORED extra
+    * arguments (nfc_normalize(a, b) computed over `a` alone with no
+    * diagnostic) and crashed opaquely on zero args.
+    */
+  private[functions] def unary(name: String, exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1,
+      s"$name requires exactly 1 argument, got ${exprs.length}")
+    exprs.head
   }
 
   /** Arity gate for 2-arg builders — a clear analysis-time message instead
@@ -126,19 +136,19 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((
       FunctionIdentifier("rolling_hash"),
       GraftFunctions.rollingHashInfo,
-      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+      (exprs: Seq[Expression]) => RollingHash(GraftFunctions.unary("rolling_hash", exprs))))
     ext.injectFunction((
       FunctionIdentifier("hyperplane_sketch"),
       HyperplaneSketch.info,
-      (exprs: Seq[Expression]) => HyperplaneSketch(exprs.head)))
+      (exprs: Seq[Expression]) => HyperplaneSketch(GraftFunctions.unary("hyperplane_sketch", exprs))))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       SimHash64.info,
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+      (exprs: Seq[Expression]) => SimHash64(GraftFunctions.unary("simhash64", exprs))))
     ext.injectFunction((
       FunctionIdentifier("nfc_normalize"),
       NfcNormalize.info,
-      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+      (exprs: Seq[Expression]) => NfcNormalize(GraftFunctions.unary("nfc_normalize", exprs))))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       VecDot.info,
@@ -169,7 +179,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((
       FunctionIdentifier("unicode_tokens"),
       UnicodeTokens.info,
-      (exprs: Seq[Expression]) => UnicodeTokens(exprs.head)))
+      (exprs: Seq[Expression]) => UnicodeTokens(GraftFunctions.unary("unicode_tokens", exprs))))
     ext.injectFunction((
       FunctionIdentifier("ac_scan"),
       AcScan.info,

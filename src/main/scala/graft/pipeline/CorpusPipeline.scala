@@ -176,11 +176,11 @@ object CorpusPipeline {
     */
   private[graft] val PrologueProp = "graft.run.prologue"
 
-  private[pipeline] def dbProps(s: SparkSession, db: String): Map[String, String] =
+  private[graft] def dbProps(s: SparkSession, db: String): Map[String, String] =
     if (!s.catalog.databaseExists(db)) Map.empty
     else s.sessionState.catalog.getDatabaseMetadata(db).properties
 
-  private[pipeline] def setDbProp(s: SparkSession, db: String, k: String,
+  private[graft] def setDbProp(s: SparkSession, db: String, k: String,
                         v: String): Unit =
     s.sql(s"ALTER DATABASE `$db` SET DBPROPERTIES ('$k'='$v')")
 

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.catalog.HiveTableRelation
-import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Cast, EqualTo, Expression, Literal, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -58,19 +58,70 @@ case class TenantIsolationRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => false
     }
 
+    // `db.table` WITHOUT the catalog prefix (the exemption-list key —
+    // Spark 4 identifiers print as spark_catalog.db.table)
+    def identOf(p: LogicalPlan): String = {
+      def key(id: org.apache.spark.sql.catalyst.TableIdentifier): String =
+        (id.database.toSeq :+ id.table).mkString(".")
+      p match {
+        case rel: LogicalRelation =>
+          rel.catalogTable.map(t => key(t.identifier)).getOrElse(p.nodeName)
+        case rel: HiveTableRelation => key(rel.tableMeta.identifier)
+        case _ => p.nodeName
+      }
+    }
+
+    val exempt = spark.conf.get(ExemptKey, "").split(',')
+      .map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+
     def predicateFor(rel: LogicalPlan) =
       rel.output.find(a => a.name.equalsIgnoreCase(column))
         .map(attr => EqualTo(attr, Cast(Literal(value), attr.dataType)))
+
+    // FAIL CLOSED (round-13 review): a raw relation without the configured
+    // isolation column (or a typo'd column name) must refuse loudly — the
+    // old `.getOrElse(rel)` served every tenant's rows silently, the one
+    // failure mode a row-level-security mechanism must not have. Raw
+    // tables that are tenant-agnostic BY DESIGN (the reference's
+    // tenantFilter-less TableSpecs: shared reference data) are declared,
+    // not inferred: list them in graft.tenant.exemptTables.
+    def filterOrRefuse(rel: LogicalPlan): LogicalPlan =
+      predicateFor(rel) match {
+        case Some(p) => Filter(p, rel)
+        case None if exempt.contains(identOf(rel).toLowerCase) => rel
+        case None => throw new IllegalStateException(
+          s"tenant isolation: raw relation ${identOf(rel)} carries no " +
+            s"column '$column' (graft.tenant.filterColumn) — refusing the " +
+            "unfiltered scan; fix the column name, or declare the table " +
+            s"tenant-agnostic in $ExemptKey")
+      }
+
+    // top-level CONJUNCTS only: `cond.find` would match the tenant
+    // predicate anywhere — including under OR/NOT, where it guards
+    // nothing (`project_id = 'own' OR true` admits every tenant)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+
+    // subquery plans are NOT children of the operator tree — an IN/EXISTS/
+    // scalar subquery scanning a raw table would otherwise escape the rule
+    // entirely (the cross-tenant leak the rule exists to close)
+    def injectSubqueries(p: LogicalPlan): LogicalPlan =
+      p.transformExpressions {
+        case se: SubqueryExpression => se.withNewPlan(inject(se.plan))
+      }
 
     // manual recursion: transform's automatic descent would re-wrap the
     // relation under its own freshly injected (or pre-existing) filter
     def inject(p: LogicalPlan): LogicalPlan = p match {
       case f @ Filter(cond, rel) if isRawRelation(rel) &&
-          predicateFor(rel).exists(exp => cond.find(_.semanticEquals(exp)).isDefined) =>
-        f // already guarded for this tenant; don't descend
+          predicateFor(rel).exists(exp =>
+            conjuncts(cond).exists(_.semanticEquals(exp))) =>
+        injectSubqueries(f) // guarded; still police subqueries in the cond
       case rel if isRawRelation(rel) =>
-        predicateFor(rel).map(Filter(_, rel)).getOrElse(rel)
-      case other => other.mapChildren(inject)
+        filterOrRefuse(rel)
+      case other => injectSubqueries(other.mapChildren(inject))
     }
     inject(plan)
   }
@@ -80,6 +131,12 @@ object TenantIsolationRule {
   val ColumnKey = "graft.tenant.filterColumn"
   val ValueKey = "graft.tenant.filterValue"
   val BypassKey = "graft.tenant.maintenanceBypass"
+
+  /** Comma-separated `db.table` list of raw tables that are
+    * tenant-agnostic BY DESIGN (no isolation column to filter on) —
+    * everything else without the column fails closed.
+    */
+  val ExemptKey = "graft.tenant.exemptTables"
 
   /** Run `body` with tenant-filter injection suspended (maintenance ops). */
   def withMaintenanceBypass[T](spark: SparkSession)(body: => T): T = {

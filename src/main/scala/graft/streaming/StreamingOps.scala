@@ -118,7 +118,16 @@ object StreamingOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000)
+              // clamp to strictly past the CURRENT watermark: an event
+              // admitted late-but-inside the 2 h watermark can leave
+              // lastUs + gap BEHIND it (gap < watermark delay), and
+              // Spark's GroupStateImpl throws on a timeout at-or-before
+              // the watermark — terminating the whole query on ordinary
+              // late data. Clamped sessions time out on the next trigger
+              // instead (they were already gap-expired in event time).
+              val wmMs = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(
+                math.max((s.lastUs + gapUs) / 1000, wmMs + 1))
             }
             closed.reverseIterator
           }
@@ -222,25 +231,65 @@ object StreamingOps {
     * aggregation); a scheduled compaction can materialize that view over
     * the log when it grows (the append-log + compact pattern).
     */
+  /** Per-log committed-epoch ledger base ([[IngestLedger]] key). */
+  private[graft] val DedupLogEpochProp = "graft.deduplog.last_epoch"
+
   def sinkDedupedLog(docs: DataFrame, db: String, table: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     withCheckpoint(docs.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.store.Warehouse.load(batch.sparkSession,
-          graft.ops.TextOps.dedupGroups(batch.toDF()), db, table,
-          graft.store.LoadMode.WatermarkAppend)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        // Replays were NOT harmless as first shipped (round-13 review):
+        // min(doc_id) resolution is idempotent but sum(dup_cnt) is not —
+        // a redelivered batch doubled counts. Three-layer fix, the other
+        // sinks' posture: (1) committed-epoch ledger skips whole-batch
+        // replays; (2) rows carry their epoch, so the crash window
+        // (append landed, ledger not yet set) redelivers IDENTICAL
+        // (epoch, text_hash) rows that resolution dedups exactly;
+        // (3) an epoch BEHIND the ledger by more than a replay (a reset
+        // checkpoint against a durable log) refuses loudly instead of
+        // silently discarding new data forever.
+        val s = batch.sparkSession
+        // the ledger/lease live as db properties — the db must exist
+        // before the first batch reads them (Warehouse.load used to be
+        // the implicit creator)
+        graft.store.Warehouse.ensureDatabase(s, db)
+        // the db lease serializes this append against compactDedupLog's
+        // temp-swap — mutual exclusion needs BOTH writers to take it
+        val lease = graft.pipeline.CorpusPipeline.acquireLease(s, db)
+        try {
+          val prop = graft.pipeline.IngestLedger.epochProp(
+            DedupLogEpochProp, s"$db.$table")
+          val committed = graft.pipeline.CorpusPipeline.dbProps(s, db)
+            .get(prop).filter(_.nonEmpty).map(_.toLong)
+          require(committed.forall(c => epochId >= c),
+            s"sinkDedupedLog: batch epoch $epochId behind committed " +
+              s"${committed.get} — a RESET checkpoint against the durable " +
+              "log would silently discard new data; restore the checkpoint " +
+              "or start a fresh log table")
+          if (!committed.exists(_ >= epochId)) {
+            graft.store.Warehouse.load(s,
+              graft.ops.TextOps.dedupGroups(batch.toDF())
+                .withColumn("epoch", lit(epochId)), db, table,
+              graft.store.LoadMode.WatermarkAppend)
+            graft.pipeline.CorpusPipeline.setDbProp(s, db, prop,
+              epochId.toString)
+          }
+        } finally graft.pipeline.CorpusPipeline.releaseLease(s, db, lease)
       }, docs, s"$db.$table")
       .start()
 
   /** Read-side resolution over the [[sinkDedupedLog]] survivor log:
     * keep-lowest doc_id and summed duplicate count per content hash —
     * equal to batch dedupExactText over the same rows, whatever the
-    * micro-batch boundaries were.
+    * micro-batch boundaries were. The (epoch, text_hash) distinct first
+    * absorbs the crash-window redelivery's identical rows (a replayed
+    * deterministic batch re-emits the same groups under the same epoch).
     */
   def dedupedCorpus(spark: org.apache.spark.sql.SparkSession,
                     db: String, table: String): DataFrame =
     spark.table(s"`$db`.`$table`")
+      .dropDuplicates("epoch", "text_hash")
       .groupBy("text_hash")
       .agg(min("doc_id").as("doc_id"), sum("dup_cnt").as("dup_cnt"))
       .select("doc_id", "dup_cnt")
@@ -251,14 +300,24 @@ object StreamingOps {
     * scan-and-overwrite of the same files), re-anchoring the log's size to
     * the unique-hash count instead of growing with trigger count.
     * [[dedupedCorpus]] reads identically before and after (idempotent
-    * resolution).
+    * resolution: compacted rows keep their per-hash MAX epoch, so a
+    * crash-window redelivery of that epoch still collapses against them).
+    * Runs under the db LEASE: the live sink appends between any read and
+    * rewrite, and an unguarded temp-swap would erase a micro-batch that
+    * committed inside the window (the IncrementalClusters race, round-12
+    * verdict #5 — same fix).
     */
   def compactDedupLog(spark: org.apache.spark.sql.SparkSession,
-                      db: String, table: String): Unit =
-    graft.store.Warehouse.rewriteVia(spark, db, table)(log =>
-      log.groupBy("text_hash")
-        .agg(min("doc_id").as("doc_id"), sum("dup_cnt").as("dup_cnt"))
-        .select("text_hash", "doc_id", "dup_cnt"))
+                      db: String, table: String): Unit = {
+    val lease = graft.pipeline.CorpusPipeline.acquireLease(spark, db)
+    try graft.store.Warehouse.rewriteVia(spark, db, table)(log =>
+      log.dropDuplicates("epoch", "text_hash")
+        .groupBy("text_hash")
+        .agg(min("doc_id").as("doc_id"), sum("dup_cnt").as("dup_cnt"),
+          max("epoch").as("epoch"))
+        .select("text_hash", "doc_id", "dup_cnt", "epoch"))
+    finally graft.pipeline.CorpusPipeline.releaseLease(spark, db, lease)
+  }
 
   /** Watermark-bounded streaming exact dedup via Spark's
     * dropDuplicatesWithinWatermark: collapse replayed/at-least-once
@@ -356,6 +415,14 @@ object StreamingOps {
       s"sinkIncrementalNearDup: no band index at $idx")
     val bands = graft.ops.TextOps.bandsOfDocs(b).persist()
     try {
+      // HOT-BUCKET pruning on the batch bands BEFORE any join — the same
+      // MaxBucketSize cap every batch-path equivalent applies
+      // (TextOps.pairsOfBands, IncrementalDedup.indexBands): a hot
+      // template in one micro-batch (thousands of docs sharing a band)
+      // would otherwise make the intra self-join O(n²) per bucket AND
+      // make streaming verdicts for hot-bucket docs disagree with the
+      // batch operators', which never see hot-band candidates.
+      val pruned = graft.ops.IncrementalDedup.pruneHot(bands)
       // ONE union of both mate legs, distinct-counted together: on a
       // replay the same canonical mate surfaces through BOTH the corpus
       // leg (the replayed trigger's survivors are index content now) and
@@ -363,12 +430,12 @@ object StreamingOps {
       // break verdict idempotency. Self rows can only come from the
       // corpus leg (the intra leg filters mate < doc); they carry the
       // replay flag and are excluded from the stats.
-      val corpusLeg = bands
+      val corpusLeg = pruned
         .join(s.table(idx).withColumnRenamed("doc_id", "corpus_id"),
           Seq("band_idx", "band_hash"))
         .select(col("doc_id"), col("corpus_id").as("mate_id"))
-      val intraLeg = bands
-        .join(bands.select(col("band_idx"), col("band_hash"),
+      val intraLeg = pruned
+        .join(pruned.select(col("band_idx"), col("band_hash"),
           col("doc_id").as("mate_id")), Seq("band_idx", "band_hash"))
         .filter(col("mate_id") < col("doc_id"))
         .select(col("doc_id"), col("mate_id"))
@@ -476,6 +543,28 @@ object StreamingOps {
       }, events, s"$db.${graft.ops.TimeSeriesOps.HistTable}")
       .start()
 
+  /** Committed-epoch verdict shared by the table-property ledgers below:
+    * `true` = the batch is the benign single-epoch replay Spark's
+    * at-least-once contract produces (stored == epochId) and every write
+    * already landed — skip. An epoch BEHIND the ledger is NOT a replay
+    * (the engine never re-fires committed epochs under one checkpoint):
+    * it means a reset/lost checkpoint pointed at the durable table, and
+    * the old `stored >= epochId` skip silently discarded every new batch
+    * until the fresh stream's epoch counter caught up — refuse loudly
+    * instead (round-13 review).
+    */
+  private def committedReplay(stored: Option[Long], epochId: Long,
+                              what: String): Boolean =
+    stored match {
+      case Some(st) if epochId >= 0 && st == epochId => true
+      case Some(st) if epochId >= 0 && st > epochId =>
+        throw new IllegalStateException(
+          s"$what: batch epoch $epochId behind committed $st — a RESET " +
+            "checkpoint against the durable table would silently discard " +
+            "new data; restore the checkpoint or rebuild the table")
+      case _ => false
+    }
+
   private val HistEpochProp = "graft.tshist.last_epoch"
 
   private[graft] def processHistogramBatch(b: DataFrame, db: String,
@@ -486,11 +575,11 @@ object StreamingOps {
     require(s.catalog.tableExists(s"$db.${TimeSeriesOps.HistTable}"),
       s"sinkValueHistogram: no histogram in `$db` — run " +
         "TimeSeriesOps.buildValueHistogram first")
-    if (epochId >= 0 && s.sessionState.catalog.getTableMetadata(
+    if (committedReplay(s.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(
           TimeSeriesOps.HistTable, Some(db))).properties
-        .get(HistEpochProp).filter(_.nonEmpty)
-        .map(_.toLong).exists(_ >= epochId)) return // committed replay
+        .get(HistEpochProp).filter(_.nonEmpty).map(_.toLong),
+        epochId, "sinkValueHistogram")) return
     TimeSeriesOps.appendValueHistogram(s, b, db)
     s.sql(s"ALTER TABLE `$db`.`${TimeSeriesOps.HistTable}` SET TBLPROPERTIES " +
       s"('$HistEpochProp'='$epochId')")
@@ -549,11 +638,11 @@ object StreamingOps {
     require(s.catalog.tableExists(s"$db.${ReservoirOps.SampleTable}"),
       s"sinkDaySamples: no day samples in `$db` — run " +
         "ReservoirOps.buildDaySamples first")
-    if (epochId >= 0 && s.sessionState.catalog.getTableMetadata(
+    if (committedReplay(s.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(
           ReservoirOps.SampleTable, Some(db))).properties
-        .get(ReservoirEpochProp).filter(_.nonEmpty)
-        .map(_.toLong).exists(_ >= epochId)) return // committed replay
+        .get(ReservoirEpochProp).filter(_.nonEmpty).map(_.toLong),
+        epochId, "sinkDaySamples")) return
     ReservoirOps.appendDaySamples(s, b, db)
     s.sql(s"ALTER TABLE `$db`.`${ReservoirOps.SampleTable}` " +
       s"SET TBLPROPERTIES ('$ReservoirEpochProp'='$epochId')")
@@ -568,11 +657,11 @@ object StreamingOps {
     val s = b.sparkSession
     require(s.catalog.tableExists(s"$db.${ScdOps.HistTable}"),
       s"sinkScd2: no history table in `$db` — run ScdOps.buildScd2 first")
-    if (epochId >= 0 && s.sessionState.catalog.getTableMetadata(
+    if (committedReplay(s.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(
           ScdOps.HistTable, Some(db))).properties
-        .get(Scd2EpochProp).filter(_.nonEmpty)
-        .map(_.toLong).exists(_ >= epochId)) return // committed replay
+        .get(Scd2EpochProp).filter(_.nonEmpty).map(_.toLong),
+        epochId, "sinkScd2")) return
     ScdOps.applyScd2Batch(s, b, db)
     s.sql(s"ALTER TABLE `$db`.`${ScdOps.HistTable}` SET TBLPROPERTIES " +
       s"('$Scd2EpochProp'='$epochId')")
@@ -597,9 +686,8 @@ object StreamingOps {
       s"${IncrementalDedup.IndexDb}.${IncrementalDedup.IndexTable}"),
       s"sinkIncrementalClusters: no band index at $idxFqn — " +
         "run IncrementalDedup.buildIndexFrom over the same corpus first")
-    if (epochId >= 0 &&
-        tableProps.get(ClusterEpochProp).filter(_.nonEmpty)
-          .map(_.toLong).exists(_ >= epochId)) return // committed replay
+    if (committedReplay(tableProps.get(ClusterEpochProp).filter(_.nonEmpty)
+        .map(_.toLong), epochId, "sinkIncrementalClusters")) return
     val storedMax = tableProps.get(IncrementalClusters.MaxDocIdProp)
       .map(_.toLong).getOrElse(Long.MinValue)
     val bMin = b.agg(min("doc_id")).head.getLong(0)

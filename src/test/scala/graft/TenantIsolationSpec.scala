@@ -81,10 +81,21 @@ class TenantIsolationSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(spark.table("iso_raw.items").count() == 2)
       // non-raw databases are untouched
       assert(spark.table("iso_mart.items").count() == 3)
-      // tables without the column are untouched (no resolution error)
+      // a raw table WITHOUT the isolation column FAILS CLOSED (round-13
+      // review: silent unfiltered scans were RLS fail-open) ...
       Warehouse.load(spark, Seq((10L, "x")).toDF("k", "v"), "iso2_raw", "nocol",
         LoadMode.FullRefresh)
-      assert(spark.table("iso2_raw.nocol").count() == 1)
+      val e = intercept[Exception] { spark.table("iso2_raw.nocol").count() }
+      def rootMsgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ rootMsgs(x.getCause))
+      assert(rootMsgs(e).exists(_.contains("tenant isolation")), e)
+      // ... unless declared tenant-agnostic BY DESIGN (the reference's
+      // tenantFilter-less TableSpecs)
+      spark.conf.set(graft.plans.TenantIsolationRule.ExemptKey,
+        "iso2_raw.nocol")
+      try assert(spark.table("iso2_raw.nocol").count() == 1)
+      finally spark.conf.set(graft.plans.TenantIsolationRule.ExemptKey, "")
     } finally {
       spark.conf.set("graft.tenant.filterColumn", "")
       spark.conf.set("graft.tenant.filterValue", "")
@@ -143,4 +154,49 @@ class TenantIsolationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT rolling_hash('abc') AS h").head().getLong(0) ==
       "abc".getBytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L))
   }
+
+  test("subquery plans get the tenant filter too (IN/EXISTS/scalar — the " +
+      "escape hatch the rule must close)") {
+    val s2 = spark
+    import s2.implicits._
+    Warehouse.load(spark, Seq(("T1", 1L), ("T2", 2L)).toDF("project_id", "id"),
+      "isos_raw", "users", LoadMode.FullRefresh)
+    Warehouse.load(spark, Seq((1L, "a"), (2L, "b")).toDF("uid", "v"),
+      "isos_mart", "facts", LoadMode.FullRefresh)
+    spark.conf.set("graft.tenant.filterColumn", "project_id")
+    spark.conf.set("graft.tenant.filterValue", "T1")
+    try {
+      // the raw scan lives INSIDE an IN-subquery: mapChildren alone never
+      // reaches it (subquery plans are expressions, not operator children)
+      val got = spark.sql(
+        """SELECT uid FROM isos_mart.facts
+          |WHERE uid IN (SELECT id FROM isos_raw.users)""".stripMargin)
+        .collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == Seq(1L),
+        s"subquery raw scan leaked other tenants' rows: ${got.toSeq}")
+      // scalar subquery composes the same way
+      val n = spark.sql(
+        "SELECT (SELECT count(*) FROM isos_raw.users) AS n").head().getLong(0)
+      assert(n == 1L, s"scalar subquery saw $n rows (want the tenant's 1)")
+    } finally spark.conf.set("graft.tenant.filterColumn", "")
+  }
+
+  test("a tenant predicate hidden under OR does not count as guarded") {
+    val s2 = spark
+    import s2.implicits._
+    Warehouse.load(spark, Seq(("T1", 1L), ("T2", 2L)).toDF("project_id", "id"),
+      "isoo_raw", "users", LoadMode.FullRefresh)
+    spark.conf.set("graft.tenant.filterColumn", "project_id")
+    spark.conf.set("graft.tenant.filterValue", "T1")
+    try {
+      // `project_id = 'T1' OR true` admits every row — the rule must
+      // still inject (only a top-level CONJUNCT guards)
+      val got = spark.table("isoo_raw.users")
+        .filter("project_id = 'T1' OR true")
+        .collect().map(_.getLong(1)).sorted
+      assert(got.toSeq == Seq(1L),
+        s"OR-masked predicate bypassed isolation: ${got.toSeq}")
+    } finally spark.conf.set("graft.tenant.filterColumn", "")
+  }
 }
+
