@@ -268,6 +268,15 @@ object Bench {
       .getOrElse(("no-ref", Map.empty[String, Double]))
     val serveBreach = quietRef.map(r => BenchQuiet.serveBreaches(
       modelRows.getOrElse(Seq.empty), r.serveBudgets)).getOrElse(Seq.empty)
+    // round-14 verdict #6: the build and append legs get the same budget
+    // guard as serve — an append-path regression (the most state-
+    // sensitive leg) must land as a FLAG, not a number someone must read
+    val buildBreach = quietRef.map(r => BenchQuiet.phaseBreaches(
+      modelRows.getOrElse(Seq.empty), r.buildBudgets, "build_s"))
+      .getOrElse(Seq.empty)
+    val appendBreach = quietRef.map(r => BenchQuiet.phaseBreaches(
+      modelRows.getOrElse(Seq.empty), r.appendBudgets, "append_s"))
+      .getOrElse(Seq.empty)
     val regressedJson = regressed.toSeq.sortBy(-_._2).map { case (n, r) =>
       "\"" + n + "\":" + r }.mkString("{", ",", "}")
     val quietJson = quietRef match {
@@ -277,9 +286,10 @@ object Bench {
           measuredMap.keys.count(r.queries.contains)},"regressed":$regressedJson}"""
       case None => s"""{"verdict":"no-ref"}"""
     }
-    val serveBreachJson =
-      serveBreach.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"gate_ckpt":"local","ckpt_sec":$ckptSec,"host_load_index":$hostLoadIndex,"calib":$calibJson,"calib_io":$calibIoJson,"models":$modelsJson,"quiet":$quietJson,"serve_breach":$serveBreachJson,"sf":"$sfDir","runs":$runs}"""
+    def breachJson(b: Seq[String]): String =
+      b.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val serveBreachJson = breachJson(serveBreach)
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flaky,"gate_ckpt":"local","ckpt_sec":$ckptSec,"host_load_index":$hostLoadIndex,"calib":$calibJson,"calib_io":$calibIoJson,"models":$modelsJson,"quiet":$quietJson,"serve_breach":$serveBreachJson,"build_breach":${breachJson(buildBreach)},"append_breach":${breachJson(appendBreach)},"sf":"$sfDir","runs":$runs}"""
     // Full line to a file too — the lossless record when the stdout window
     // still clips (best-effort: a read-only checkout must not fail the run).
     val fullPath = "target/bench_full.json"
@@ -291,7 +301,7 @@ object Bench {
     // Compact summary as the FINAL stdout line (stop() noise goes to
     // stderr): ~150 bytes, so the tail window always contains the totals
     // even when the full per-query line overflows it.
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n":${stabilized.size},"n_err":${stabilized.count(_._3.nonEmpty)},"n_flaky":${stabilized.count(r => r._3.isEmpty && r._4 > 0)},"host_load_index":$hostLoadIndex,"quiet_verdict":"$quietVerdict","n_regressed":${regressed.size},"n_serve_breach":${serveBreach.size},"sf":"$sfDir","runs":$runs,"full":"$fullPath"}""")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n":${stabilized.size},"n_err":${stabilized.count(_._3.nonEmpty)},"n_flaky":${stabilized.count(r => r._3.isEmpty && r._4 > 0)},"host_load_index":$hostLoadIndex,"quiet_verdict":"$quietVerdict","n_regressed":${regressed.size},"n_serve_breach":${serveBreach.size},"n_build_breach":${buildBreach.size},"n_append_breach":${appendBreach.size},"sf":"$sfDir","runs":$runs,"full":"$fullPath"}""")
     } // end withDurability(false)
     spark.stop()
   }

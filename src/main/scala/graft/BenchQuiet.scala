@@ -56,13 +56,36 @@ object BenchQuiet {
     */
   val ContendedIoFactor = 2.0
 
+  /** Breadth fallback (round-14 verdict #1): uniform inflation across
+    * many unrelated anchored queries is HOST evidence even when both
+    * calibration probes sit under their gates (the r13 driver run: 12+
+    * unrelated queries at 1.5-2.2× with CPU calib at 1.22× — just under
+    * the 1.25 gate — and no committed I/O anchor). If at least
+    * [[BreadthMinQueries]] anchored queries above the noise floor exceed
+    * [[BreadthRatio]]× simultaneously AND they span at least
+    * [[BreadthMinFamilies]] distinct name families (`q_xxx` prefix), the
+    * verdict is contended: a real code regression clusters in the
+    * changed operator's family, while host load inflates everything it
+    * touches. A genuine tree-wide slowdown (e.g. a Warehouse regression
+    * under 20 gates) would read contended ONCE — but it reproduces on
+    * the quiet re-run the contended verdict triggers, where it then
+    * reads regressed.
+    */
+  val BreadthRatio = 1.5
+  val BreadthMinQueries = 8
+  val BreadthMinFamilies = 4
+
   final case class Ref(calibMin: Double, sf: String,
                        queries: Map[String, Double],
                        serveBudgets: Map[String, Double],
-                       calibIoMin: Option[Double] = None)
+                       calibIoMin: Option[Double] = None,
+                       buildBudgets: Map[String, Double] = Map.empty,
+                       appendBudgets: Map[String, Double] = Map.empty)
 
   /** Best-effort load — a missing/corrupt reference file must degrade to
-    * "no adjudication", never fail the bench.
+    * "no adjudication", never fail the bench. Budget maps absent from a
+    * pre-r14 file degrade to empty (that phase unguarded), not to a
+    * parse failure.
     */
   def load(path: String = "BENCH_QUIET.json"): Option[Ref] =
     try {
@@ -70,15 +93,19 @@ object BenchQuiet {
       val root = om.readTree(new java.io.File(path))
       def objMap(field: String): Map[String, Double] = {
         val node = root.get(field)
-        val it = node.fields()
-        val b = Map.newBuilder[String, Double]
-        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
-        b.result()
+        if (node == null) Map.empty
+        else {
+          val it = node.fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+          b.result()
+        }
       }
       Some(Ref(root.get("calib_min").asDouble(),
         Option(root.get("sf")).map(_.asText()).getOrElse(""),
         objMap("queries"), objMap("serve_budgets"),
-        Option(root.get("calib_io_min")).map(_.asDouble()).filter(_ > 0)))
+        Option(root.get("calib_io_min")).map(_.asDouble()).filter(_ > 0),
+        objMap("build_budgets"), objMap("append_budgets")))
     } catch { case _: Throwable => None }
 
   /** (verdict, regressed query → ratio). Contention takes precedence:
@@ -99,8 +126,17 @@ object BenchQuiet {
       case (Some(a), Some(m)) => m > a * ContendedIoFactor
       case _ => false // no anchored/measured I/O floor — CPU gates only
     }
+    // breadth fallback: many unrelated anchored queries inflated at once
+    // is host evidence the point probes can miss (see BreadthRatio doc)
+    val inflated = measured.keys.filter { n =>
+      ref.queries.get(n).exists(a => a >= RegressionFloorSec &&
+        measured(n) > a * BreadthRatio && measured(n) - a > RegressionAbsSec)
+    }.toSeq
+    def family(n: String): String = n.split('_').take(2).mkString("_")
+    val breadthContended = inflated.size >= BreadthMinQueries &&
+      inflated.map(family).distinct.size >= BreadthMinFamilies
     val contended = calibMin > ref.calibMin * ContendedCalibFactor ||
-      hostLoadIndex > ContendedLoadIndex || ioContended
+      hostLoadIndex > ContendedLoadIndex || ioContended || breadthContended
     val verdict =
       if (contended) "contended"
       else if (regressed.nonEmpty) "regressed"
@@ -108,11 +144,24 @@ object BenchQuiet {
     (verdict, regressed)
   }
 
+  /** Families whose timed `phaseKey` leg exceeds the committed budget —
+    * serve was round-13's guard; round-14 verdict #6 extends the same
+    * rule shape (budget = max(2× quiet, 1 s floor), committed in
+    * BENCH_QUIET.json) to the BUILD and APPEND legs, so a stored-model
+    * build or the state-sensitive incremental append can't regress into
+    * a number someone must read.
+    */
+  def phaseBreaches(models: Seq[(String, Seq[(String, Double)])],
+                    budgets: Map[String, Double],
+                    phaseKey: String): Seq[String] =
+    models.collect {
+      case (fam, phases) if phases.collectFirst {
+        case (`phaseKey`, v) => v
+      }.exists(v => budgets.get(fam).exists(v > _)) => fam
+    }
+
   /** Families whose timed serve exceeds the committed budget. */
   def serveBreaches(models: Seq[(String, Seq[(String, Double)])],
                     budgets: Map[String, Double]): Seq[String] =
-    models.collect {
-      case (fam, phases) if phases.collectFirst { case ("serve_s", v) => v }
-        .exists(v => budgets.get(fam).exists(v > _)) => fam
-    }
+    phaseBreaches(models, budgets, "serve_s")
 }

@@ -457,6 +457,107 @@ object PerfProbe {
       println(f"corpus fresh-full $fresh%8.2f s | increment (10%% batch, " +
         f"base in place) $inc%8.2f s | ratio ${inc / fresh}%5.2f")
       spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    } else if (args.headOption.contains("ckptab")) {
+      // Round-checkpoint strategy A/B (round-14 verdict #5): the
+      // iterative gates' per-round localCheckpoint was named as the
+      // disk-contention exposure; the candidate replacement is
+      // persist(MEMORY_AND_DISK) + count + a fresh-LogicalRDD re-wrap
+      // (the only other way to bound plan growth — a bare persist leaves
+      // the logical plan referencing every prior round and plan
+      // rendering alone OOMs past ~10 rounds, the GraphOps scaladoc's
+      // original measurement). This mode isolates the CHECKPOINT
+      // variable on the exact prod round shape (min-label propagation +
+      // pointer jump over symmetrized edges, mirroring
+      // GraphOps.connectedComponents) at a round-frame size ~25× the
+      // sf0.1 cluster gates', under a quiet disk and under hog-thread
+      // disk load, so the decision is measured, not argued.
+      // N: vertex count (default 4M ≈ 25× the sf0.1 label frames);
+      // chains of length 1024 force ~log2-many pointer-jump rounds.
+      val n = sys.env.getOrElse("SPARK_GRAFT_CKPT_N", (1L << 22).toString).toLong
+      val chain = 1024L
+      def ccLoop(checkpointVia: DataFrame => DataFrame): (Int, Double, Long) = {
+        val t0 = System.nanoTime()
+        val sym = spark.range(n).toDF("src")
+          .filter(col("src") % chain =!= (chain - 1L))
+          .select(col("src"), (col("src") + 1L).as("dst"))
+          .select(explode(array(
+            struct(col("src"), col("dst")),
+            struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+          .persist()
+        var labels = checkpointVia(spark.range(n)
+          .select(col("id"), col("id").as("label")))
+        var clusters = 0L
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < 50) {
+          val nbrMin = sym.join(labels, sym("src") === labels("id"))
+            .select(col("dst").as("id"), col("label"))
+            .groupBy("id").agg(min("label").as("nbr_label"))
+          val prop = labels.join(nbrMin, Seq("id"), "left")
+            .select(col("id"), col("label").as("prev"),
+              least(col("label"), coalesce(col("nbr_label"), col("label")))
+                .as("label"))
+          val hops = prop.select(col("id").as("label"), col("label").as("hop"))
+          val jumped = checkpointVia(prop.join(hops, Seq("label"), "left")
+            .select(col("id"), col("prev"),
+              least(col("label"), coalesce(col("hop"), col("label")))
+                .as("label")))
+          changed = jumped.filter(col("label") =!= col("prev")).count()
+          labels = jumped.select("id", "label")
+          iter += 1
+        }
+        clusters = labels.select("label").distinct().count()
+        sym.unpersist()
+        (iter, (System.nanoTime() - t0) / 1e9, clusters)
+      }
+      def localVia(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+      def persistVia(): DataFrame => DataFrame = {
+        // one mutable slot per LOOP RUN: the previous round's blocks are
+        // safe to drop once the current round is fully materialized
+        // (count below) — the prod loop deletes reliable files at the
+        // same point
+        var prev: Option[DataFrame] = None
+        df => {
+          val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          p.count()
+          val flat = p.sparkSession.createDataFrame(p.rdd, p.schema)
+          prev.foreach(_.unpersist(false))
+          prev = Some(p)
+          flat
+        }
+      }
+      def withDiskLoad[A](nThreads: Int)(f: => A): A = {
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val buf = Array.fill[Byte](64 << 20)(0x33)
+        val ts = (1 to nThreads).map(i => new Thread(() => {
+          while (!stop.get) {
+            try {
+              val p = java.nio.file.Files.createTempFile(s"graft-hog-$i", ".bin")
+              java.nio.file.Files.write(p, buf)
+              java.nio.file.Files.readAllBytes(p)
+              java.nio.file.Files.deleteIfExists(p)
+            } catch { case _: Throwable => () }
+          }
+        }))
+        ts.foreach { t => t.setDaemon(true); t.start() }
+        try f finally { stop.set(true); ts.foreach(_.join(5000)) }
+      }
+      println(s"round-checkpoint A/B: n=$n chain=$chain " +
+        s"(strategy x {quiet, 4-thread disk hog}; min of 2 runs each)")
+      println(f"${"strategy"}%-16s ${"disk"}%-7s ${"rounds"}%6s ${"wall_s"}%8s ${"clusters"}%9s")
+      def run(label: String, via: () => DataFrame => DataFrame): Unit = {
+        for (loaded <- Seq(false, true)) {
+          val (it, w, c) = (1 to 2).map { _ =>
+            spark.catalog.clearCache()
+            if (loaded) withDiskLoad(4)(ccLoop(via())) else ccLoop(via())
+          }.minBy(_._2)
+          println(f"$label%-16s ${if (loaded) "loaded" else "quiet"}%-7s " +
+            f"$it%6d $w%8.2f $c%9d")
+        }
+      }
+      run("localCheckpoint", () => localVia)
+      run("persist+rewrap", () => persistVia())
     } else if (args.headOption.contains("spill")) {
       // Constrained-heap completion probe (round-12 verdict #5): every
       // scale sweep runs with -Xmx32g on a 128 GiB box, so nothing on

@@ -11,6 +11,9 @@ object PlanAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", TempDirs.create("graft-audit-wh"))
+      // explain truncates scan metadata at 100 chars by default — the
+      // PlanPolicy pushdown pins need the full PushedFilters list
+      .config("spark.sql.maxMetadataStringLength", "2000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
@@ -98,8 +101,7 @@ object PlanAudit {
       }
       list.split(',').map(_.trim).filter(_.nonEmpty).foreach { n =>
         val df = overrideFrame(n).getOrElse(SparkEntry.queries(n)(spark, d))
-        val full = df.queryExecution.explainString(
-          org.apache.spark.sql.execution.SimpleMode)
+        val full = PlanPolicy.planText(df)
         val v = PlanPolicy.violations(n, full)
         println(s"== $n: ${if (v.isEmpty) "CLEAN" else v.mkString("; ")}")
         println(full)
@@ -141,12 +143,15 @@ object PlanAudit {
     sb.append("`BroadcastHashJoin` on dimension joins, single hash-partition exchanges on\n")
     sb.append("group/window keys, `BroadcastNestedLoopJoin` only for the blocked knn probe,\n")
     sb.append("and no `CartesianProduct` anywhere.\n\n")
-    sb.append("MACHINE-ENFORCED (graft.PlanPolicy, round 13): this file exists only if\n")
-    sb.append("every registry plan passed the policy scan — no CartesianProduct, and\n")
-    sb.append("Exchange SinglePartition only above a partial aggregate or with a\n")
-    sb.append("PlanPolicy allowlist entry pinning the occurrence count and the\n")
-    sb.append("boundedness argument. The scan runs on FULL explain strings; the\n")
-    sb.append("sections below stay truncated for readability.\n")
+    sb.append("MACHINE-ENFORCED (graft.PlanPolicy, round 13; extended round 14): this\n")
+    sb.append("file exists only if every registry plan passed the policy scan — no\n")
+    sb.append("CartesianProduct; Exchange SinglePartition only above a partial\n")
+    sb.append("aggregate or with a PlanPolicy allowlist entry pinning the occurrence\n")
+    sb.append("count and the boundedness argument; per-query pushdown/pruning/\n")
+    sb.append("bucketing pins (PlanPolicy.mustMatch) and the star-lookup broadcast\n")
+    sb.append("floor with zero shuffle joins (PlanPolicy.broadcastOnlyJoins). The\n")
+    sb.append("scan runs on FULL plan text INCLUDING subquery plans (SimpleMode\n")
+    sb.append("alone omits them); the sections below stay truncated for readability.\n")
     // Machine policy scan (round-12 verdict #1): collected over the FULL
     // explain string of every registry plan (the PLANS.md sections are
     // truncated for readability; the policy is not) and enforced by the
@@ -155,16 +160,14 @@ object PlanAudit {
     val policyViolations = scala.collection.mutable.ArrayBuffer.empty[String]
     names.foreach { n =>
       val df = overrideFrame(n).getOrElse(SparkEntry.queries(n)(spark, d))
-      val full = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.SimpleMode)
+      val full = PlanPolicy.planText(df)
       policyViolations ++= PlanPolicy.violations(n, full)
       sb.append(s"\n## $n\n\n```\n")
       sb.append(full.take(6000))
       sb.append("\n```\n")
     }
     servedOverrides.toSeq.sortBy(_._1).foreach { case (n, df) =>
-      val full = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.SimpleMode)
+      val full = PlanPolicy.planText(df)
       policyViolations ++= PlanPolicy.violations(s"$n (serve)", full)
       sb.append(s"\n## $n — SERVE path (stored model, training paid in build)\n\n```\n")
       sb.append(full.take(6000))

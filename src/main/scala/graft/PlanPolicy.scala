@@ -7,7 +7,8 @@ package graft
   * violation, so a Cartesian product or an unbounded single-partition
   * exchange cannot ship with plan evidence attached.
   *
-  * Policy, applied to every registry query's FULL explain string (the
+  * Policy, applied to every registry query's FULL plan text — the
+  * SimpleMode string plus every SUBQUERY plan via [[planText]] (the
   * PLANS.md sections are 6000-char-truncated; the check is not):
   *
   *  - `CartesianProduct` — never legal. The engine has no unbounded
@@ -21,9 +22,12 @@ package graft
   *    and must be explicitly allowlisted below with the boundedness
   *    argument.
   *
-  * Scalar subqueries/broadcast exchanges are not flagged: a broadcast is
-  * bounded by the autoBroadcastJoinThreshold and the driver guards in
-  * Guards.scala.
+  *  - [[mustMatch]] — per-query pushdown/pruning/bucketing pins, and
+  *    [[broadcastOnlyJoins]] — the star-lookup broadcast floor (round-14
+  *    verdict #2: the last two red-flag classes, previously prose).
+  *
+  * Broadcast exchanges are not flagged: a broadcast is bounded by the
+  * autoBroadcastJoinThreshold and the driver guards in Guards.scala.
   */
 object PlanPolicy {
 
@@ -78,6 +82,86 @@ object PlanPolicy {
     "q_isotonic_calibration" -> 5,
     "q_split_proportional" -> 1)
 
+  /** Round-14 verdict #2a — the "filters/pruning must reach the scan"
+    * red-flag class as per-query PINS: each regex must match somewhere
+    * in the full plan text. The pins carry column NAMES and literals but
+    * never expression ids (those renumber per session). Families:
+    *
+    *  - watermark/tenant/event-type filters must appear in a scan's
+    *    `PushedFilters` (parquet row-group skipping — B4's contract and
+    *    the as-of/range joins' pre-join reduction);
+    *  - projection-pruning gates pin the scan's `ReadSchema` to exactly
+    *    the referenced columns (a scan reading all 16 lineitem columns
+    *    for a 5-column projection is wrong at any scale);
+    *  - the bucketed join pins BOTH scans `Bucketed: true` (the
+    *    zero-exchange co-located join exists only while the catalog
+    *    layout is actually picked up).
+    */
+  val mustMatch: Map[String, Seq[String]] = Map(
+    "q_filter_incremental" -> Seq(
+      "PushedFilters: \\[IsNotNull\\(ts\\), GreaterThan\\(ts,"),
+    "q_filter_tenant_eq" -> Seq(
+      "PushedFilters:[^\\n]*EqualTo\\(o_orderstatus,F\\)",
+      "PushedFilters:[^\\n]*GreaterThan\\(o_totalprice,"),
+    "q_scan_projection" -> Seq(
+      "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint," +
+        "l_linenumber:int,l_quantity:double,l_extendedprice:double>"),
+    "q_groupby_count" -> Seq("ReadSchema: struct<event_type:string>"),
+    "q_asof_last_click" -> Seq(
+      "PushedFilters:[^\\n]*EqualTo\\(event_type,click\\)",
+      "PushedFilters:[^\\n]*EqualTo\\(event_type,purchase\\)"),
+    "q_join_range" -> Seq(
+      "PushedFilters:[^\\n]*EqualTo\\(event_type,click\\)",
+      "PushedFilters:[^\\n]*EqualTo\\(event_type,purchase\\)"),
+    "q_join_bucketed" -> Seq("(?s)Bucketed: true.*Bucketed: true"))
+
+  /** Round-14 verdict #2b — the "dim joins must broadcast" red-flag
+    * class: the star-lookup family must carry at least the pinned
+    * number of BroadcastHashJoin nodes and ZERO shuffle joins
+    * (SortMergeJoin / ShuffledHashJoin). A minimum, not an exact pin:
+    * the guarded failure mode is a broadcast DEGRADING to a shuffle —
+    * extra broadcasts are strictly legal — and the zero-shuffle-join
+    * clause catches a degradation even when the broadcast count holds.
+    * q_join_bucketed is deliberately absent: its SortMergeJoin over
+    * co-bucketed scans IS the design (zero exchange), pinned via
+    * [[mustMatch]] instead.
+    */
+  val broadcastOnlyJoins: Map[String, Int] = Map(
+    "q_join_broadcast_dim" -> 3,
+    "q_join_equi" -> 1,
+    "q_join_semi_anti" -> 1,
+    "q_join_range" -> 1)
+
+  /** Full policy-scan text for a frame: the SimpleMode physical plan
+    * plus any subquery plan the main string did NOT already print
+    * (round-14 ADVICE — and the round-13 tenant-rule holes showed
+    * subquery plans are a real blind-spot class). Spark 4.1's SimpleMode
+    * usually prints expression subqueries as innerChildren, so the walk
+    * below is insurance for the paths that don't (and DEDUPES against
+    * the main text — blindly appending an already-printed subquery would
+    * double its nodes against the exact allowlist pins). Best-effort: a
+    * plan that cannot enumerate subqueries still scans its main text.
+    */
+  def planText(df: org.apache.spark.sql.DataFrame): String = {
+    val qe = df.queryExecution
+    val main = qe.explainString(org.apache.spark.sql.execution.SimpleMode)
+    // AdaptiveSparkPlanExec is a LEAF node — subqueriesAll on it walks
+    // nothing; scan its input plan (where PlanAdaptiveSubqueries left the
+    // subquery expressions) instead
+    val subs =
+      try {
+        val root = qe.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.inputPlan
+          case p => p
+        }
+        root.subqueriesAll.map(_.treeString)
+          .filterNot(t => main.contains(t.linesIterator.next().trim))
+      } catch { case _: Throwable => Seq.empty }
+    if (subs.isEmpty) main
+    else main + "\n=== Subqueries (policy scan) ===\n" + subs.mkString("\n")
+  }
+
   private val TreeArt = "^[\\s:+\\-]*".r
   private val CodegenTag = "^\\*\\(\\d+\\)\\s*".r
 
@@ -120,6 +204,29 @@ object PlanPolicy {
           "so the stale headroom cannot absorb a future data-funneling " +
           "exchange")
       else Seq.empty
-    cartV ++ spV
+    val mmV = mustMatch.getOrElse(name, Seq.empty).flatMap { p =>
+      if (p.r.findFirstIn(explain).isEmpty)
+        Some(s"$name: expected plan evidence missing — no match for /$p/ " +
+          "(pushdown/pruning/bucketing pin)")
+      else None
+    }
+    val bV = broadcastOnlyJoins.get(name).toSeq.flatMap { minB =>
+      val b = lines.count(l => nodeOf(l).startsWith("BroadcastHashJoin"))
+      val shuffled = lines.map(nodeOf).filter(n =>
+        n.startsWith("SortMergeJoin") || n.startsWith("ShuffledHashJoin"))
+      val low =
+        if (b < minB)
+          Seq(s"$name: $b BroadcastHashJoin node(s), pinned minimum $minB " +
+            "— a dimension join stopped broadcasting")
+        else Seq.empty
+      val shuf =
+        if (shuffled.nonEmpty)
+          Seq(s"$name: ${shuffled.size} shuffle-join node(s) " +
+            shuffled.map(_.take(40)).mkString("[", " | ", "]") +
+            " — the star-lookup family must broadcast its dims")
+        else Seq.empty
+      low ++ shuf
+    }
+    cartV ++ spV ++ mmV ++ bV
   }
 }

@@ -418,8 +418,12 @@ object TimeSeriesOps {
     *
     * Scale shape: the [[monthlyRevenue]] grid assembly (one key shuffle
     * + bounded aggregation) — everything after runs on the
-    * (region × month)-bounded frame: the per-row prefix re-fold is the
-    * EWMA slice posture (T² per region with T grid-bounded).
+    * (region × month)-bounded frame: ONE linear fold per region emits
+    * the running (level, trend) state ARRAY (the round-14 verdict's
+    * linearization — the previous per-row `aggregate(slice(ys, 2, i))`
+    * re-fold was the only quadratic re-fold left in the tree and paid
+    * T²/2 lambda evaluations per region; the fold below pays T, and the
+    * accumulator-append copies are month-grid-bounded memcopies).
     * Gate `q_holt_smooth`.
     */
   def holtSmooth(s: SparkSession, d: String): DataFrame = {
@@ -434,24 +438,29 @@ object TimeSeriesOps {
       .select(col("r_name"), col("mx"), coalesce(col("y"), lit(0L)).as("y"))
     val arr = filled.groupBy("r_name")
       .agg(sort_array(collect_list(struct(col("mx"), col("y")))).as("xs"))
-    arr.select(col("r_name"),
-        expr("transform(xs, e -> e.y)").as("ys"),
-        posexplode(col("xs")).as(Seq("i", "m")))
-      .select(col("r_name"), col("m.mx").as("mx"),
-        col("m.y").as("revenue_cents"),
+    // prev-state references stay inline (SQL lambdas bind no lets): the
+    // duplicated element_at(acc, -1) reads are constant-factor, not O(T)
+    arr.select(col("r_name"), col("xs"),
         expr(s"""aggregate(
-          |  slice(ys, 2, i),
-          |  array(element_at(ys, 1) * $HoltScale, CAST(0 AS BIGINT)),
-          |  (acc, x) -> array(
-          |    shiftright(x * $HoltScale + element_at(acc, 1)
-          |      + element_at(acc, 2), 1),
-          |    shiftright(shiftright(x * $HoltScale + element_at(acc, 1)
-          |        + element_at(acc, 2), 1)
-          |      - element_at(acc, 1) + element_at(acc, 2), 1)))"""
-          .stripMargin).as("lb"))
-      .select(col("r_name"), col("mx"), col("revenue_cents"),
-        expr("element_at(lb, 1)").as("level_fp"),
-        expr("element_at(lb, 2)").as("trend_fp"))
+          |  slice(transform(xs, e -> e.y), 2, size(xs) - 1),
+          |  array(array(element_at(xs, 1).y * $HoltScale,
+          |    CAST(0 AS BIGINT))),
+          |  (acc, x) -> acc || array(array(
+          |    shiftright(x * $HoltScale
+          |      + element_at(element_at(acc, -1), 1)
+          |      + element_at(element_at(acc, -1), 2), 1),
+          |    shiftright(shiftright(x * $HoltScale
+          |        + element_at(element_at(acc, -1), 1)
+          |        + element_at(element_at(acc, -1), 2), 1)
+          |      - element_at(element_at(acc, -1), 1)
+          |      + element_at(element_at(acc, -1), 2), 1))))"""
+          .stripMargin).as("st"))
+      .select(col("r_name"),
+        posexplode(expr("arrays_zip(xs, st)")).as(Seq("i", "z")))
+      .select(col("r_name"), col("z.xs.mx").as("mx"),
+        col("z.xs.y").as("revenue_cents"),
+        expr("element_at(z.st, 1)").as("level_fp"),
+        expr("element_at(z.st, 2)").as("trend_fp"))
       .orderBy("r_name", "mx")
   }
 

@@ -82,12 +82,15 @@ object PartitionedMaterializer {
     // range drop (same entry contract as merge/delete/evolve): without
     // this, a surviving partition tmp from a crashed merge would later
     // auto-recover OVER the partitions this backfill just rewrote,
-    // silently regressing them to pre-crash data
-    if (spark.catalog.tableExists(s"$db.$table")) {
-      Warehouse.recoverReplacement(spark, db, table)
-      Warehouse.recoverRewrite(spark, db, table)
-      Warehouse.recoverEvolve(spark, db, table)
-    }
+    // silently regressing them to pre-crash data. UNCONDITIONAL — a
+    // crashed full-swap can leave the tmp as the ONLY copy with the
+    // target dropped; gating on tableExists would skip exactly that
+    // state, create a batch-only table, and let the surviving tmp later
+    // auto-recover OVER it (the recover calls are cheap no-ops when no
+    // tmp survives and handle a missing target themselves).
+    Warehouse.recoverReplacement(spark, db, table)
+    Warehouse.recoverRewrite(spark, db, table)
+    Warehouse.recoverEvolve(spark, db, table)
     if (!spark.catalog.tableExists(s"$db.$table")) {
       Warehouse.saveModel(batch, db, table, Seq(partCol))
     } else {
@@ -153,14 +156,17 @@ object PartitionedMaterializer {
         "rows cannot land in a time-partitioned table; filter or repair " +
         "them upstream")
     val withKey = df.withColumn(partCol, grain.key(col(dateCol)))
+    // same crash-recovery entry contract as backfill, and UNCONDITIONAL
+    // for the same reason: a crashed full-swap leaves the tmp as the only
+    // copy with the target dropped — healing must run BEFORE the
+    // tableExists branch or the append creates a batch-only table the
+    // surviving tmp later recovers over
+    Warehouse.recoverReplacement(spark, db, table)
+    Warehouse.recoverRewrite(spark, db, table)
+    Warehouse.recoverEvolve(spark, db, table)
     if (!spark.catalog.tableExists(s"$db.$table"))
       Warehouse.saveModel(withKey, db, table, Seq(partCol))
     else {
-      // same crash-recovery entry contract as backfill: heal surviving
-      // maintenance tmps before appending into their partitions
-      Warehouse.recoverReplacement(spark, db, table)
-      Warehouse.recoverRewrite(spark, db, table)
-      Warehouse.recoverEvolve(spark, db, table)
       val cols = spark.table(s"`$db`.`$table`").columns
       withKey.select(cols.map(col).toIndexedSeq: _*)
         .write.mode(SaveMode.Append).insertInto(s"`$db`.`$table`")

@@ -172,6 +172,39 @@ class BackfillSpec extends SparkSpec {
     assert(!Warehouse.recoverEvolve(spark, db, "ev2"))
   }
 
+  test("backfill heals a tmp-only crashed swap instead of creating beside it") {
+    // The round-14 ADVICE state: a crashed full-table swap dropped the
+    // target and left `__rw_tmp` as the ONLY copy. A tableExists-gated
+    // recovery prologue skips exactly this, takes the create branch, and
+    // the surviving tmp later auto-recovers OVER the fresh table from any
+    // other entry point — silent regression. The prologue must run
+    // unconditionally: recover the tmp FIRST, then backfill over the
+    // recovered table.
+    val (cdb, tbl) = ("graft_backfill_crash", "om")
+    spark.sql(s"DROP DATABASE IF EXISTS `$cdb` CASCADE")
+    spark.sql(s"CREATE DATABASE `$cdb`")
+    val src = Tables.t(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    PartitionedMaterializer.backfill(spark, src, "o_orderdate",
+      PartitionGrain.Monthly, cdb, tbl,
+      LocalDate.of(1996, 1, 1), LocalDate.of(1996, 4, 1))
+    val wholeTable = spark.table(s"`$cdb`.`$tbl`").count()
+    // simulate the crash window: tmp fully written, target dropped
+    spark.table(s"`$cdb`.`$tbl`").write.format("parquet")
+      .partitionBy("part_key").saveAsTable(s"`$cdb`.`${tbl}__rw_tmp`")
+    spark.sql(s"DROP TABLE `$cdb`.`$tbl`")
+    // a corrective re-run over ONE month must first recover all three
+    PartitionedMaterializer.backfill(spark, src, "o_orderdate",
+      PartitionGrain.Monthly, cdb, tbl,
+      LocalDate.of(1996, 2, 1), LocalDate.of(1996, 3, 1))
+    assert(!spark.catalog.tableExists(s"$cdb.${tbl}__rw_tmp"),
+      "recovery must consume the surviving tmp")
+    assert(spark.table(s"`$cdb`.`$tbl`").count() == wholeTable,
+      "all three months must survive — a create-branch backfill would " +
+        "hold only 1996-02")
+    spark.sql(s"DROP DATABASE IF EXISTS `$cdb` CASCADE")
+  }
+
   test("reads prune to the requested partition at plan time") {
     val src = Tables.t(spark, sf, "orders")
       .select("o_orderkey", "o_totalprice", "o_orderdate")

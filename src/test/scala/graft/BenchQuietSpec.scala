@@ -66,6 +66,46 @@ class BenchQuietSpec extends AnyFunSuite {
     assert(BenchQuiet.serveBreaches(models, ref.serveBudgets) == Seq("lm"))
   }
 
+  test("planted slow build and append breach their own budgets") {
+    // round-14 verdict #6: the same rule shape guards the build leg and
+    // the state-sensitive incremental append leg
+    val buildBudgets = Map("lm" -> 4.0, "cluster_state" -> 8.0)
+    val appendBudgets = Map("cluster_state" -> 9.5)
+    val models = Seq(
+      "lm" -> Seq("build_s" -> 9.0, "serve_s" -> 0.5),   // planted breach
+      "cluster_state" -> Seq("build_s" -> 4.0,
+        "append_s" -> 22.0, "serve_s" -> 0.4))           // planted breach
+    assert(BenchQuiet.phaseBreaches(models, buildBudgets, "build_s") ==
+      Seq("lm"))
+    assert(BenchQuiet.phaseBreaches(models, appendBudgets, "append_s") ==
+      Seq("cluster_state"))
+    // a family with no budget for the phase never breaches
+    assert(BenchQuiet.phaseBreaches(models, Map.empty, "append_s").isEmpty)
+  }
+
+  test("breadth fallback: uniform inflation reads contended even when " +
+      "both probes sit under their gates (the r13 false-regressed shape)") {
+    val wide = BenchQuiet.Ref(calibMin = 0.0577, sf = "sf",
+      queries = (1 to 6).flatMap(i => Seq(
+        s"q_fama${i}_x" -> 2.0, s"q_famb${i}_y" -> 3.0)).toMap,
+      serveBudgets = Map.empty)
+    // 12 anchored queries across 12 families at 1.6-1.8x, CPU calib at
+    // 1.22x (under the 1.25 gate — exactly the r13 driver run's shape)
+    val measured = wide.queries.map { case (n, a) => n -> a * 1.7 }
+    val (v, _) = BenchQuiet.adjudicate(wide, measured,
+      calibMin = 0.0577 * 1.22, hostLoadIndex = 1.3)
+    assert(v == "contended", v)
+    // the same inflation confined to ONE family stays regressed — a real
+    // code regression clusters in the changed operator's family
+    val narrow = BenchQuiet.Ref(calibMin = 0.0577, sf = "sf",
+      queries = (1 to 12).map(i => s"q_fama_v$i" -> 2.0).toMap,
+      serveBudgets = Map.empty)
+    val (v2, r2) = BenchQuiet.adjudicate(narrow,
+      narrow.queries.map { case (n, a) => n -> a * 2.5 },
+      calibMin = 0.0577 * 1.22, hostLoadIndex = 1.3)
+    assert(v2 == "regressed" && r2.size == 12, (v2, r2.size))
+  }
+
   test("committed BENCH_QUIET.json loads: every registry gate anchored, " +
       "ten budgets") {
     val r = BenchQuiet.load("BENCH_QUIET.json")

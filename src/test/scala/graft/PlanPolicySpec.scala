@@ -85,9 +85,72 @@ class PlanPolicySpec extends SparkSpec {
       "q_zipf_profile", "q_vocab_stats", "q_kneser_ney",
       "q_kneser_ney_pruned", "q_event_tumbling_window", "q_percentile_status")
     val bad = sample.flatMap { n =>
-      PlanPolicy.violations(n, explainOf(SparkEntry.queries(n)(spark, sf)))
+      PlanPolicy.violations(n,
+        PlanPolicy.planText(SparkEntry.queries(n)(spark, sf)))
     }
     assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
+  test("planted unpushed filter fails the pushdown pin") {
+    // the q_filter_incremental shape with the watermark filter evaluated
+    // POST-scan (empty PushedFilters) — the round-14 verdict's first
+    // remaining red-flag class, previously prose in the PLANS.md preamble
+    val unpushed =
+      """*(1) Filter (isnotnull(ts#1) AND (ts#1 > 2024-01-15 00:00:00))
+        |+- FileScan parquet [event_id#0L,ts#1] Batched: true, DataFilters: [], Format: Parquet, PartitionFilters: [], PushedFilters: [], ReadSchema: struct<event_id:bigint,ts:timestamp_ntz>""".stripMargin
+    val v = PlanPolicy.violations("q_filter_incremental", unpushed)
+    assert(v.exists(_.contains("expected plan evidence missing")), v)
+    val pushed = unpushed.replace("PushedFilters: []",
+      "PushedFilters: [IsNotNull(ts), GreaterThan(ts,2024-01-15T00:00)]")
+    assert(PlanPolicy.violations("q_filter_incremental", pushed).isEmpty)
+  }
+
+  test("planted shuffled dim join fails the broadcast pin") {
+    // q_join_broadcast_dim with one dim join degraded to SortMergeJoin:
+    // both clauses must fire (broadcast count below the 3 floor AND a
+    // shuffle-join node present)
+    val degraded =
+      """*(5) BroadcastHashJoin [n_regionkey#1], [r_regionkey#2], Inner, BuildRight, false
+        |:- *(5) BroadcastHashJoin [c_nationkey#3], [n_nationkey#4], Inner, BuildRight, false
+        |:  :- SortMergeJoin [o_custkey#5L], [c_custkey#6L], Inner
+        |:  :  :- FileScan parquet [o_custkey#5L]
+        |:  :  +- FileScan parquet [c_custkey#6L]
+        |:  +- FileScan parquet [n_nationkey#4]
+        |+- FileScan parquet [r_regionkey#2]""".stripMargin
+    val v = PlanPolicy.violations("q_join_broadcast_dim", degraded)
+    assert(v.exists(_.contains("stopped broadcasting")), v)
+    assert(v.exists(_.contains("shuffle-join node")), v)
+    // ShuffledHashJoin is the same degradation class
+    val shj = degraded.replace("SortMergeJoin", "ShuffledHashJoin")
+    assert(PlanPolicy.violations("q_join_broadcast_dim", shj)
+      .exists(_.contains("shuffle-join node")))
+  }
+
+  test("planText surfaces subquery plans to the policy scan, no double count") {
+    // a data-funneling global window INSIDE a scalar subquery (the
+    // tenant-rule holes showed subqueries are a real blind-spot class):
+    // the policy over planText must flag its Exchange SinglePartition —
+    // and planText must not DOUBLE the subquery when the main SimpleMode
+    // string already prints it as innerChildren (a blind append would
+    // double node counts against the exact allowlist pins)
+    spark.range(0, 100, 1, 4).toDF("v").createOrReplaceTempView("pp_subq_t")
+    // r > 2 (not r = 2): an equality rank filter lets the optimizer
+    // collapse the window into TakeOrderedAndProject — a legal global
+    // top-k with no exchange — and the planted violation evaporates
+    val df = spark.sql(
+      """SELECT v FROM pp_subq_t WHERE v > (
+        |  SELECT max(v) FROM (
+        |    SELECT v, row_number() OVER (ORDER BY v) AS r FROM pp_subq_t
+        |  ) WHERE r > 2)""".stripMargin)
+    val full = PlanPolicy.planText(df)
+    val v = PlanPolicy.violations("q_scratch_subq", full)
+    assert(v.exists(_.contains("Exchange SinglePartition")),
+      s"the policy must see the subquery's global window: $v\n$full")
+    def spCount(t: String): Int = t.linesIterator.count(
+      _.contains("Exchange SinglePartition"))
+    val mainOnly = explainOf(df)
+    assert(spCount(full) == math.max(spCount(mainOnly), 1),
+      s"planText must not duplicate an already-printed subquery:\n$full")
   }
 
   test("codegen star tags don't hide an aggregate child") {

@@ -18,6 +18,10 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // explain truncates scan metadata fields at 100 chars by default —
+      // long PushedFilters lists lose their tail and the PlanPolicy
+      // pushdown pins can't see the filters they assert
+      .config("spark.sql.maxMetadataStringLength", "2000")
       .config("spark.sql.warehouse.dir", TempDirs.create("graft-wh"))
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

@@ -179,6 +179,74 @@ class StreamingSpec extends SparkSpec {
     assert(afterCompact == streamed)
   }
 
+  test("dedup log: post-compaction crash-window redelivery keeps earlier epochs' counts") {
+    // The round-14 ADVICE scenario: epoch E lands, the ledger is not yet
+    // set (crash window), a compaction rewrites the log, THEN E is
+    // redelivered — two NON-identical rows now share (epoch=E, hash): the
+    // compacted summary (cross-epoch sum, global min id) and the raw
+    // batch row. An arbitrary row pick loses earlier epochs' counts
+    // nondeterministically; the max/min pre-resolution keeps the summary.
+    import graft.streaming.StreamingOps
+    val (db, tbl) = ("stream_dedup_rd", "survivor_log")
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    val e0 = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha")).toDF("doc_id", "text")
+    val e1 = Seq((4L, "alpha"), (5L, "gamma")).toDF("doc_id", "text")
+    graft.store.Warehouse.saveModel(
+      graft.ops.TextOps.dedupGroups(e0).withColumn("epoch", lit(0L)), db, tbl)
+    graft.ops.TextOps.dedupGroups(e1).withColumn("epoch", lit(1L))
+      .select(spark.table(s"`$db`.`$tbl`").columns.map(col).toIndexedSeq: _*)
+      .write.mode("append").insertInto(s"`$db`.`$tbl`")
+    val expected = graft.ops.TextOps.dedupGroups(
+        e0.unionByName(e1)).select("doc_id", "dup_cnt").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    StreamingOps.compactDedupLog(spark, db, tbl)
+    // crash-window redelivery of epoch 1's RAW batch rows, post-compaction
+    graft.ops.TextOps.dedupGroups(e1).withColumn("epoch", lit(1L))
+      .select(spark.table(s"`$db`.`$tbl`").columns.map(col).toIndexedSeq: _*)
+      .write.mode("append").insertInto(s"`$db`.`$tbl`")
+    val got = StreamingOps.dedupedCorpus(spark, db, tbl)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected,
+      "the compacted summary must dominate the redelivered raw row " +
+        "(alpha's epoch-0 counts survive)")
+    // and a SECOND compaction over the redelivered state is idempotent
+    StreamingOps.compactDedupLog(spark, db, tbl)
+    val got2 = StreamingOps.dedupedCorpus(spark, db, tbl)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2 == expected)
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
+  test("legacy pre-epoch dedup log refuses loudly and migrates once") {
+    import graft.streaming.StreamingOps
+    val (db, tbl) = ("stream_dedup_legacy", "survivor_log")
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+    // a log created before the epoch column existed: one row per
+    // (micro-batch, hash) — per-batch INCREMENTS, not copies
+    val legacy = Seq(
+      ("h_a", 1L, 2L), ("h_a", 4L, 1L), ("h_b", 2L, 1L))
+      .toDF("text_hash", "doc_id", "dup_cnt")
+    graft.store.Warehouse.saveModel(legacy, db, tbl)
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.dedupedCorpus(spark, db, tbl).collect()
+    }
+    assert(e.getMessage.contains("migrateDedupLog"),
+      s"the refusal must name the migration step: ${e.getMessage}")
+    StreamingOps.migrateDedupLog(spark, db, tbl)
+    // migration compacts (sum/min across the legacy increments) — NOT an
+    // in-place stamp, whose max() pre-resolution would undercount h_a
+    val got = StreamingOps.dedupedCorpus(spark, db, tbl)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 3L), (2L, 1L)))
+    assert(spark.table(s"`$db`.`$tbl`").select("epoch").distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(StreamingOps.LegacyEpoch))
+    // idempotent: a second migrate is a no-op
+    StreamingOps.migrateDedupLog(spark, db, tbl)
+    assert(StreamingOps.dedupedCorpus(spark, db, tbl)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == got)
+    spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+  }
+
   test("watermark-bounded streaming dedup collapses replays, keeps distinct docs") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Long, String)]

@@ -40,6 +40,11 @@ quiet = {
     "serve_budget_rule": "max(2x quiet serve_s, 1.0s) per stored-model family",
     "serve_budgets": {k: round(max(2 * v["serve_s"], 1.0), 4)
                       for k, v in d["models"].items() if "serve_s" in v},
+    # round-14 verdict #6: same rule shape for the build and append legs
+    "build_budgets": {k: round(max(2 * v["build_s"], 1.0), 4)
+                      for k, v in d["models"].items() if "build_s" in v},
+    "append_budgets": {k: round(max(2 * v["append_s"], 1.0), 4)
+                       for k, v in d["models"].items() if "append_s" in v},
     "queries": d["queries"],
 }
 json.dump(quiet, open("BENCH_QUIET.json", "w"), indent=1, sort_keys=True)
