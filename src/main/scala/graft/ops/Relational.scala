@@ -448,11 +448,18 @@ object Relational {
     *
     *   ρ = (n·Σxy − Σx·Σy) / √((n·Σx²−(Σx)²)(n·Σy²−(Σy)²))
     *
-    * emitted sqrt-free as the SIGN plus ρ²·10⁶ = num²·10⁶ div
-    * (denx·deny) through DECIMAL(38). Scope: num² reaches ~10²⁷ on a
-    * catalog-sized frame and would pass 38 digits on a fact table —
-    * this is the exact estimator for frames that fit the bound
-    * (catalogs, aggregates), the madOutliers scoping rule.
+    * emitted sqrt-free as the SIGN plus ρ²·10⁶ staged as
+    * ((|num|·10⁶ div denx)·|num|) div deny through DECIMAL(38) — each
+    * stage an exact nonnegative integer division (abs first: Spark's
+    * `div` truncates toward zero while DuckDB's `//` floors, so a
+    * negative intermediate would diverge), within 1 ppm of the single
+    * rational num²·10⁶ div (denx·deny) (first-stage truncation loses
+    * < denx, i.e. < 1 ppm of the product). Staging is what keeps the
+    * fold inside 38 digits: the single form squares num (~4n⁴, past
+    * DECIMAL(38) at ~300k rows — the round-14 25× Verify caught it at
+    * 4.3e44), while the staged intermediates are bounded by
+    * max(|num|·10⁶, 10⁶·deny) (Cauchy-Schwarz: num² ≤ denx·deny), good
+    * to ~2·10⁷ catalog rows.
     *
     * Scale shape: ranks come off per-column VALUE HISTOGRAMS (two
     * value-keyed aggs + broadcast joins back), one final sum — no
@@ -487,8 +494,8 @@ object Relational {
         expr("CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 " +
           "ELSE 0 END AS INTEGER)").as("rho_sign"),
         expr("CAST(CASE WHEN denx = 0 OR deny = 0 THEN 0 " +
-          "ELSE (num * num * 1000000) div (denx * deny) END AS BIGINT)")
-          .as("rho2_ppm"))
+          "ELSE (((abs(num) * 1000000) div denx) * abs(num)) div deny " +
+          "END AS BIGINT)").as("rho2_ppm"))
   }
 
   /** Exact Kendall τ-b between part size and price — the concordance

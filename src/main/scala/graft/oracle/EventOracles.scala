@@ -13,13 +13,21 @@ object EventOracles {
   private val _ = (OracleInputs, Ctes)
 
   val sql: Map[String, String] = Map(
+    // clicks pre-reduced to one row per (user, microsecond) = MAX
+    // event_id: DuckDB's ASOF picks an ARBITRARY row among equal-tsu
+    // matches, while the engine's window order (is_click desc, click_id
+    // asc under a running last) deterministically takes the largest
+    // click_id of the winning microsecond — the 25x replicated corpus
+    // (copies share user_id and ts) made the tie real and the oracle
+    // nondeterministic; the reduction is an identity on tie-free corpora
     "q_asof_last_click" ->
       """WITH p AS (
         |    SELECT user_id, epoch_ns(ts) // 1000 AS tsu, event_id
         |    FROM events WHERE event_type = 'purchase'
         |), c AS (
-        |    SELECT user_id, epoch_ns(ts) // 1000 AS tsu, event_id
-        |    FROM events WHERE event_type = 'click'
+        |    SELECT user_id, epoch_ns(ts) // 1000 AS tsu,
+        |           MAX(event_id) AS event_id
+        |    FROM events WHERE event_type = 'click' GROUP BY 1, 2
         |)
         |SELECT p.event_id AS purchase_id, p.user_id,
         |       c.event_id AS last_click_id,

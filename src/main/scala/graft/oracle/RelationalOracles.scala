@@ -514,7 +514,9 @@ object RelationalOracles {
         |           AS gini_ppm
         |FROM kst, k50, k99""".stripMargin,
     // exact Spearman: midrank2 ranks off value histograms, sqrt-free
-    // sign + rho^2 through HUGEINT
+    // sign + rho^2 through HUGEINT; the ppm quotient is STAGED through
+    // abs(num) exactly like the engine (each stage nonnegative, so // and
+    // div agree; the unstaged num^2 passed 38 digits at the 25x probe)
     "q_spearman" ->
       """WITH spr AS (
         |    SELECT p_partkey,
@@ -560,7 +562,7 @@ object RelationalOracles {
         |       CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1
         |            ELSE 0 END AS INTEGER) AS rho_sign,
         |       CAST(CASE WHEN denx = 0 OR deny = 0 THEN 0
-        |            ELSE (num * num * 1000000) // (denx * deny)
+        |            ELSE (((abs(num) * 1000000) // denx) * abs(num)) // deny
         |            END AS BIGINT) AS rho2_ppm
         |FROM smv""".stripMargin,
     // trimmed + winsorized means: per-region rank with the orderkey

@@ -60,7 +60,13 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # driver corpora are flat files; PerfProbe-buildScaled corpora are
+        # Spark part-file directories — glob those
+        p = f"{sf_dir}/{t}.parquet"
+        import os
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
     failures = 0
@@ -86,7 +92,22 @@ def main():
             probs.append(f"columns spark={list(spark_df.columns)} oracle={list(ora_df.columns)}")
         if len(spark_df) != len(ora_df):
             probs.append(f"rows spark={len(spark_df)} oracle={len(ora_df)}")
+        # vectorized fast path for large frames (the 25x replication runs
+        # push some results past 10M rows — the per-cell Python loop is
+        # minutes there): DataFrame.equals demands identical dtypes, so
+        # the int-vs-float drift values_equal rejects still falls through
+        # to the slow loop and gets flagged; any exception (exotic object
+        # columns) also falls through
+        fast_equal = False
         if not probs:
+            try:
+                fast_equal = (
+                    [str(t) for t in spark_df.dtypes] ==
+                    [str(t) for t in ora_df.dtypes] and
+                    spark_df.equals(ora_df))
+            except Exception:
+                fast_equal = False
+        if not probs and not fast_equal:
             ncell = 0
             for c in spark_df.columns:
                 sv, ov = spark_df[c].tolist(), ora_df[c].tolist()
