@@ -274,6 +274,45 @@ object PerfProbe {
         SparkEntry.queries(n)(spark, sfd).count()
         println(f"$n%-26s rep$i ${(System.nanoTime() - t0) / 1e9}%8.3f s")
       }
+    } else if (args.headOption.contains("jobs")) {
+      // Per-JOB wall breakdown of one query (guide §1/§7: decide whether a
+      // gate's seconds are compute or scheduling before touching code): a
+      // listener records every job's duration while the query runs once
+      // warm (one untimed run first — codegen/JIT must not smear the
+      // profile), then prints jobs slowest-first plus the count × overhead
+      // summary. The iterative walks' per-round jobs show up individually.
+      val qn = args(1)
+      val sfd = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", d)
+      val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      val done = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, String)]
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.put(js.jobId, (js.time,
+            Option(js.properties.getProperty("spark.job.description"))
+              .getOrElse("")))
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(jobs.get(je.jobId)).foreach { case (t0, desc) =>
+            done.synchronized {
+              done += ((je.jobId, (je.time - t0) / 1e3, desc)) }
+          }
+        }
+      }
+      graft.ops.PlanCache.release(spark); spark.catalog.clearCache()
+      SparkEntry.queries(qn)(spark, sfd).count() // warm, unprofiled
+      graft.ops.PlanCache.release(spark); spark.catalog.clearCache()
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      SparkEntry.queries(qn)(spark, sfd).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // listener bus drain (private API in Spark 4)
+      spark.sparkContext.removeSparkListener(listener)
+      val snap = done.synchronized { done.toList }
+      println(f"$qn: wall $wall%.3f s, ${snap.size} jobs, " +
+        f"job-sum ${snap.map(_._2).sum}%.3f s")
+      snap.sortBy(-_._2).take(40).foreach { case (id, s, desc) =>
+        println(f"  job $id%4d $s%8.3f s  ${desc.take(90)}") }
     } else if (args.headOption.contains("models")) {
       // SPARK_GRAFT_SF_DIR override: point the split at a `buildscale`d
       // K× corpus to read each family's build-vs-serve slope separately
