@@ -303,16 +303,71 @@ object PerfProbe {
       SparkEntry.queries(qn)(spark, sfd).count() // warm, unprofiled
       graft.ops.PlanCache.release(spark); spark.catalog.clearCache()
       spark.sparkContext.addSparkListener(listener)
+      // in-process driver-thread sampler (external attach is blocked in
+      // the sandbox): aggregate the main thread's top frames every 10 ms
+      // while the query runs — the poor-man's async-profiler for the
+      // driver-gap half of the wall time.
+      val mainThread = Thread.currentThread()
+      val frames = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+      @volatile var sampling = true
+      val sampler = new Thread(() => {
+        while (sampling) {
+          val st = mainThread.getStackTrace
+          if (st.nonEmpty) {
+            // skip sleep/park frames; take the topmost INTERESTING frame
+            // plus one caller for context
+            val useful = st.dropWhile(f =>
+              f.getClassName.startsWith("java.lang.Thread") ||
+                f.getClassName.startsWith("jdk.internal"))
+            val key = useful.take(2).map(f =>
+              f.getClassName.split('.').takeRight(2).mkString(".") + "." +
+                f.getMethodName).mkString(" <- ")
+            frames.merge(key, 1, (a, b) => a + b)
+          }
+          Thread.sleep(10)
+        }
+      })
+      sampler.setDaemon(true); sampler.start()
       val t0 = System.nanoTime()
       SparkEntry.queries(qn)(spark, sfd).count()
       val wall = (System.nanoTime() - t0) / 1e9
+      sampling = false
       Thread.sleep(500) // listener bus drain (private API in Spark 4)
       spark.sparkContext.removeSparkListener(listener)
       val snap = done.synchronized { done.toList }
       println(f"$qn: wall $wall%.3f s, ${snap.size} jobs, " +
         f"job-sum ${snap.map(_._2).sum}%.3f s")
-      snap.sortBy(-_._2).take(40).foreach { case (id, s, desc) =>
+      snap.sortBy(-_._2).take(25).foreach { case (id, s, desc) =>
         println(f"  job $id%4d $s%8.3f s  ${desc.take(90)}") }
+      // driver-gap timeline: how much wall time has NO job running at all
+      // (planning/codegen/catalog work between jobs — invisible in any
+      // per-job metric). Intervals merged; the biggest gaps print with the
+      // job id that follows them.
+      val iv = jobs.entrySet().toArray(Array.empty[java.util.Map.Entry[Int, (Long, String)]])
+        .flatMap { en =>
+          snap.find(_._1 == en.getKey).map(j =>
+            (en.getValue._1, en.getValue._1 + (j._2 * 1000).toLong, en.getKey))
+        }.sortBy(_._1)
+      if (iv.nonEmpty) {
+        var covered = 0L; var cursor = iv.head._1
+        val gaps = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+        for ((s0, e0, id) <- iv) {
+          if (s0 > cursor) gaps += ((s0 - cursor, id))
+          cursor = math.max(cursor, e0)
+          covered += math.max(0, e0 - math.max(s0, cursor.min(s0)))
+        }
+        val gapSum = gaps.map(_._1).sum / 1e3
+        println(f"  idle-driver gaps: ${gapSum}%.3f s across ${gaps.size} gaps")
+        gaps.sortBy(-_._1).take(15).foreach { case (ms, id) =>
+          println(f"    gap ${ms / 1e3}%7.3f s before job $id%4d") }
+      }
+      val fr = frames.entrySet().toArray(
+        Array.empty[java.util.Map.Entry[String, Integer]])
+        .map(e => (e.getValue.intValue, e.getKey)).sortBy(-_._1)
+      val nSamples = fr.map(_._1).sum
+      println(s"  driver main-thread samples ($nSamples):")
+      fr.take(18).foreach { case (c, k) =>
+        println(f"    $c%4d  ${k.take(110)}") }
     } else if (args.headOption.contains("models")) {
       // SPARK_GRAFT_SF_DIR override: point the split at a `buildscale`d
       // K× corpus to read each family's build-vs-serve slope separately

@@ -213,15 +213,24 @@ object GraphOps {
       val base = (100L - damp) * scale / 100 / n
       var r = roundCheckpoint(verts.select(col("id"), lit(scale / n).as("r")))
       for (_ <- 1 to iters) {
-        val dangShare = r.join(dangVerts, Seq("id"), "left_semi")
-          .agg(coalesce(sum("r"), lit(0L))).head().getLong(0) / n
+        // The dangling mass rides the round plan as a broadcast 1-row
+        // aggregate COLUMN instead of a per-round driver `.head()` literal
+        // (r14 optimization, guide §1.2/§7.3): the synchronous driver
+        // round-trip per round goes away, and — because the embedded
+        // literal changed every round — so does a whole-stage-codegen
+        // recompile per round (identical round bodies now hit the Janino
+        // cache). Arithmetic unchanged: `dang_sum div n` is the same Long
+        // truncating division the collected literal carried.
+        val dang = r.join(dangVerts, Seq("id"), "left_semi")
+          .agg(coalesce(sum("r"), lit(0L)).as("dang_sum"))
         val contrib = ewd.join(r, ewd("src") === r("id"))
           .select(col("dst").as("id"), expr("r div outdeg").as("share"))
           .groupBy("id").agg(sum("share").as("contrib"))
         val next = roundCheckpoint(verts.join(contrib, Seq("id"), "left")
+          .crossJoin(broadcast(dang))
           .select(col("id"),
             (lit(base) + expr(s"($damp * (coalesce(contrib, 0L) + " +
-              s"${dangShare}L)) div 100")).as("r")))
+              s"dang_sum div ${n}L)) div 100")).as("r")))
         checkpointFileOf(r).foreach(deleteCheckpointFile(r, _))
         r = next
       }
@@ -279,16 +288,19 @@ object GraphOps {
       var r = roundCheckpoint(flagged.select(col("id"),
         (col("is_seed") * lit(scale / nS)).as("r")))
       for (_ <- 1 to iters) {
-        val dangShare = r.join(dangVerts, Seq("id"), "left_semi")
-          .agg(coalesce(sum("r"), lit(0L))).head().getLong(0) / nS
+        // dangling mass as a broadcast column, not a per-round collected
+        // literal — see [[pagerank]]'s round body for the rationale
+        val dang = r.join(dangVerts, Seq("id"), "left_semi")
+          .agg(coalesce(sum("r"), lit(0L)).as("dang_sum"))
         val contrib = ewd.join(r, ewd("src") === r("id"))
           .select(col("dst").as("id"), expr("r div outdeg").as("share"))
           .groupBy("id").agg(sum("share").as("contrib"))
         val next = roundCheckpoint(flagged.join(contrib, Seq("id"), "left")
+          .crossJoin(broadcast(dang))
           .select(col("id"),
             (col("is_seed") * lit(base) +
               expr(s"($damp * (coalesce(contrib, 0L) + " +
-                s"is_seed * ${dangShare}L)) div 100")).as("r")))
+                s"is_seed * (dang_sum div ${nS}L))) div 100")).as("r")))
         checkpointFileOf(r).foreach(deleteCheckpointFile(r, _))
         r = next
       }
@@ -356,10 +368,18 @@ object GraphOps {
                outName: String): DataFrame = {
         val raw = e.join(src.withColumnRenamed("id", from), from)
           .groupBy(col(to).as("id")).agg(sum(scoreCol).as("raw"))
-        val total = raw.agg(sum("raw")).head().getLong(0)
+        // normalization total as a broadcast column, not a per-half-round
+        // collected literal (see [[pagerank]]'s round body): the raw
+        // subtree feeds both branches through ONE exchange (ReusedExchange
+        // dedupes it), one plan per half-round instead of two, and the
+        // round bodies codegen-cache across rounds. Same truncating
+        // `div`; a zero/absent total divides to NULL exactly as the
+        // collected-literal form would have.
+        val tot = raw.agg(sum("raw").as("tot"))
         roundCheckpoint(verts.join(raw, Seq("id"), "left")
+          .crossJoin(broadcast(tot))
           .select(col("id"), expr(
-            s"(coalesce(raw, 0L) * $scale) div ${total}L").as(outName)))
+            s"(coalesce(raw, 0L) * $scale) div tot").as(outName)))
       }
       var h = roundCheckpoint(verts.select(col("id"), lit(scale).as("h")))
       var a: DataFrame = null
