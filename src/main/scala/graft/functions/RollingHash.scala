@@ -104,6 +104,8 @@ object GraftFunctions {
       "ac_scan", exprs => {
         val (a, b) = binary("ac_scan", exprs); AcScan(a, b)
       }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cdc_chunks", exprs => CdcChunks(unary("cdc_chunks", exprs)), "scala_udf")
   }
 
   /** Arity gate for 1-arg builders — `exprs.head` silently IGNORED extra
@@ -186,6 +188,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[Expression]) => {
         val (a, b) = GraftFunctions.binary("ac_scan", exprs); AcScan(a, b)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("cdc_chunks"),
+      CdcChunks.info,
+      (exprs: Seq[Expression]) =>
+        CdcChunks(GraftFunctions.unary("cdc_chunks", exprs))))
     // resolution-stage so the filter is in the analyzed plan (cache-safe)
     ext.injectPostHocResolutionRule(spark => graft.plans.TenantIsolationRule(spark))
     // restore parquet pushdown for ns-epoch watermark predicates over the

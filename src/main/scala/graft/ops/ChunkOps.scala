@@ -39,7 +39,30 @@ object ChunkOps {
   private val B = 31L
   private val M = 1000000007L
 
-  /** (doc_id, chunk, chunk_pos) — the raw CDC split of a documents frame.
+  /** (doc_id, chunk, chunk_pos) — the raw CDC split of a documents frame,
+    * via the native `cdc_chunks` expression
+    * ([[graft.functions.CdcChunks]]): one flat code-point loop per row
+    * inside whole-stage codegen. The higher-order-function formulation it
+    * replaces ([[chunksOfHof]], kept as the law-test reference) evaluated
+    * an interpreted `aggregate(slice(...))` lambda chain per window
+    * position — the same O(n·W) arithmetic at interpreted-lambda prices
+    * was the single 4.5 s job inside `q_cdc_rewrite_incremental`
+    * (r14 optimization; equivalence law-tested in ChunkOpsSpec).
+    */
+  private[graft] def chunksOf(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("ck", expr("cdc_chunks(text)"))
+      .select(col("doc_id"), explode(col("ck")).as("c"))
+      .select(col("doc_id"), col("c.chunk_pos").as("chunk_pos"),
+        col("c.chunk").as("chunk"))
+  }
+
+  /** The pre-r14 higher-order-function formulation — retained ONLY as the
+    * independent reference implementation the law test compares
+    * [[chunksOf]] against (two formulations, one from SQL primitives both
+    * engines replay, one native — agreement is the evidence the native
+    * loop implements the documented rule).
     *
     * Expression-shape notes, all load-bearing:
     *  - the per-char code array and the boundary array are LET-BOUND as
@@ -59,7 +82,7 @@ object ChunkOps {
     *    empty text produces (real boundaries are strictly increasing, so
     *    no real chunk is empty).
     */
-  private[graft] def chunksOf(docs: DataFrame): DataFrame = {
+  private[graft] def chunksOfHof(docs: DataFrame): DataFrame = {
     val codesExpr =
       "transform(filter(split(text, ''), ch -> ch != ''), " +
         "ch -> bigint(ascii(ch)))"

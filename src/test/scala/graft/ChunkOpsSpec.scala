@@ -123,6 +123,26 @@ class ChunkOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("num_buckets"))
   }
 
+  test("law: native cdc_chunks ≡ the HOF SQL formulation, fixture + edges") {
+    // the r14 native expression must reproduce the SQL-primitive
+    // formulation bit for bit: whole fixture corpus plus adversarial
+    // edges (empty, sub-window, exactly-window, multibyte incl. a
+    // surrogate-pair emoji, boundary-at-end, long repetitive run)
+    val edges = docsDf(
+      1000L -> "", 1001L -> "x", 1002L -> "exactly8",
+      1003L -> "한글 텍스트와 English가 섞인 문서입니다. 청크 규칙은 코드포인트 단위로 동작해야 합니다.",
+      1004L -> "emoji 😀 inside 😀😀 the text",
+      1005L -> ("ab" * 300), 1006L -> ("the quick brown fox " * 40))
+    val fixture = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    for (docs <- Seq(fixture, edges)) {
+      val native = ChunkOps.chunksOf(docs)
+        .orderBy("doc_id", "chunk_pos").collect().toSeq
+      val hof = ChunkOps.chunksOfHof(docs)
+        .orderBy("doc_id", "chunk_pos").collect().toSeq
+      assert(native == hof)
+    }
+  }
+
   test("degenerate inputs: empty text is zero chunks, short text one whole chunk") {
     val m = chunksOf(1L -> "", 2L -> "tiny", 3L -> "exactly8")
     assert(!m.contains(1L) || m(1L).isEmpty)
