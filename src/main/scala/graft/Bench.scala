@@ -13,6 +13,16 @@ object Bench {
       // Hermetic managed-table storage (same rationale as Verify): a stale
       // cwd/spark-warehouse must not fail the pipeline query's create path.
       .config("spark.sql.warehouse.dir", TempDirs.create("graft-bench-wh"))
+      // Partition-listing goes driver-side up to 1024 paths (default 32):
+      // the partitioned state tables (cluster labels ~TargetParts dirs,
+      // the bucketed band/chunk indexes) pay a 0.3-0.6 s listing JOB per
+      // read under the default, pure scheduling overhead on a local FS
+      // where the driver lists hundreds of dirs in ms (guide §6). A real
+      // deployment on an object store keeps the distributed listing by
+      // lowering SPARK_GRAFT_LIST_THRESHOLD (or relies on manifest-based
+      // table formats); >1024-partition tables still list distributed.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_THRESHOLD", "1024"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The split-gate queries materialize engine intermediates so the ORACLE

@@ -24,6 +24,10 @@ object Verify {
       // would otherwise make every saveAsTable create path fail with
       // LOCATION_ALREADY_EXISTS on the second run in the same checkout.
       .config("spark.sql.warehouse.dir", TempDirs.create("graft-verify-wh"))
+      // driver-side partition listing up to 1024 paths — see Bench's
+      // builder for the rationale and the deployment override
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_THRESHOLD", "1024"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -498,12 +498,18 @@ object BasketOps {
         .groupBy(col("ba").as("src"), col("bb").as("dst"))
         .agg(count(lit(1)).as("c"))
       val tot = pairs.agg(count(lit(1)).as("np"), sum("c").as("sc"))
+      // persisted: brandModularity consumes the edge set TWICE (the LPA
+      // symmetrization and the modularity tallies) — unpinned, each
+      // branch re-ran the per-order brand-pair self-join + support agg
+      // over the cached bbk (r14: two ~0.8 s duplicate jobs in the gate)
       val edges = pairs.crossJoin(broadcast(tot))
         .where(expr("4 * CAST(c AS DECIMAL(38,0)) * np >= " +
           "5 * CAST(sc AS DECIMAL(38,0))"))
-        .select("src", "dst")
-      val verts = bbk.select(col("p_brand").as("id")).distinct()
-      f(edges, verts)
+        .select("src", "dst").persist()
+      try {
+        val verts = bbk.select(col("p_brand").as("id")).distinct()
+        f(edges, verts)
+      } finally edges.unpersist()
     } finally bbk.unpersist()
   }
 }

@@ -90,7 +90,11 @@ object DsirOps {
     * (declarative retrain, the q_quality_classifier posture).
     */
   def dsirSelect(s: SparkSession, d: String): DataFrame = {
-    val fs = features(t(s, d, "documents"))
+    // the feature explode (per-bigram md5 + hex fold) feeds TWO branches
+    // — the bucket counts and the raw-side scoring join — with different
+    // downstream shuffles, so nothing dedupes the subtree; pin it once
+    // (r14: the plan re-ran the md5 explode twice, ~1 s of the gate)
+    val fs = PlanCache.swap("dsir_features", features(t(s, d, "documents")))
     val counts = fs.groupBy("f").agg(
       sum("is_target").as("c_t"),
       sum(lit(1L) - col("is_target")).as("c_r"))
