@@ -198,6 +198,21 @@ object GraphOps {
     * multiplicity must not weight the walk. `vertices`: (id) — must cover
     * every edge endpoint; isolated vertices hold base + teleport share.
     */
+  /** Vertex-count bound under which walk ROUND frames (ranks/scores —
+    * one 16-byte row per vertex) carry an explicit broadcast hint. The
+    * round frames are checkpointed LogicalRDDs with no stats, so the
+    * planner falls back to sort-merge and AQE must materialize both
+    * exchanges before it can convert the join — several extra stages per
+    * round. Below the bound (4M vertices ≈ 64 MB built relation — the
+    * guide's comfortable-broadcast range) the hint plans the broadcast
+    * statically; above it the frames flow through the normal
+    * shuffle-join path and AQE keeps the runtime adaptivity. The bound
+    * gates on the MEASURED vertex count, not on local core count, and is
+    * env-overridable for deployments with small executors.
+    */
+  private[graft] def broadcastVertexBound: Long =
+    sys.env.getOrElse("SPARK_GRAFT_WALK_BCAST_VERTS", "4000000").toLong
+
   def pagerank(edges: DataFrame, vertices: DataFrame, iters: Int = 10,
                scale: Long = 1000000000000L, damp: Int = 85): DataFrame = {
     require(iters >= 1 && damp >= 0 && damp <= 100)
@@ -211,6 +226,10 @@ object GraphOps {
       val n = verts.count()
       require(n > 0, "pagerank over an empty vertex set")
       val base = (100L - damp) * scale / 100 / n
+      // vertex-sized round frames broadcast below the measured bound —
+      // see [[broadcastVertexBound]]
+      val bc: DataFrame => DataFrame =
+        if (n <= broadcastVertexBound) broadcast else identity
       var r = roundCheckpoint(verts.select(col("id"), lit(scale / n).as("r")))
       for (_ <- 1 to iters) {
         // The dangling mass rides the round plan as a broadcast 1-row
@@ -221,12 +240,12 @@ object GraphOps {
         // recompile per round (identical round bodies now hit the Janino
         // cache). Arithmetic unchanged: `dang_sum div n` is the same Long
         // truncating division the collected literal carried.
-        val dang = r.join(dangVerts, Seq("id"), "left_semi")
+        val dang = r.join(bc(dangVerts), Seq("id"), "left_semi")
           .agg(coalesce(sum("r"), lit(0L)).as("dang_sum"))
-        val contrib = ewd.join(r, ewd("src") === r("id"))
+        val contrib = ewd.join(bc(r), ewd("src") === r("id"))
           .select(col("dst").as("id"), expr("r div outdeg").as("share"))
           .groupBy("id").agg(sum("share").as("contrib"))
-        val next = roundCheckpoint(verts.join(contrib, Seq("id"), "left")
+        val next = roundCheckpoint(verts.join(bc(contrib), Seq("id"), "left")
           .crossJoin(broadcast(dang))
           .select(col("id"),
             (lit(base) + expr(s"($damp * (coalesce(contrib, 0L) + " +
@@ -285,17 +304,21 @@ object GraphOps {
       val nS = seedIds.count()
       require(nS > 0, "pagerankSeeded needs at least one seed in the graph")
       val base = (100L - damp) * scale / 100 / nS
+      // vertex-sized round frames broadcast below the measured bound —
+      // gate on the VERTEX count (the round-frame size), not the seeds
+      val bc: DataFrame => DataFrame =
+        if (verts.count() <= broadcastVertexBound) broadcast else identity
       var r = roundCheckpoint(flagged.select(col("id"),
         (col("is_seed") * lit(scale / nS)).as("r")))
       for (_ <- 1 to iters) {
         // dangling mass as a broadcast column, not a per-round collected
         // literal — see [[pagerank]]'s round body for the rationale
-        val dang = r.join(dangVerts, Seq("id"), "left_semi")
+        val dang = r.join(bc(dangVerts), Seq("id"), "left_semi")
           .agg(coalesce(sum("r"), lit(0L)).as("dang_sum"))
-        val contrib = ewd.join(r, ewd("src") === r("id"))
+        val contrib = ewd.join(bc(r), ewd("src") === r("id"))
           .select(col("dst").as("id"), expr("r div outdeg").as("share"))
           .groupBy("id").agg(sum("share").as("contrib"))
-        val next = roundCheckpoint(flagged.join(contrib, Seq("id"), "left")
+        val next = roundCheckpoint(flagged.join(bc(contrib), Seq("id"), "left")
           .crossJoin(broadcast(dang))
           .select(col("id"),
             (col("is_seed") * lit(base) +
@@ -364,9 +387,13 @@ object GraphOps {
       require(eCnt <= Long.MaxValue / scale,
         s"hits: $eCnt edges overflow the $scale fixed point's " +
           "normalization sum; use a smaller scale")
+      // vertex-sized score frames broadcast below the measured bound —
+      // see [[broadcastVertexBound]]
+      val bc: DataFrame => DataFrame =
+        if (n <= broadcastVertexBound) broadcast else identity
       def half(src: DataFrame, scoreCol: String, from: String, to: String,
                outName: String): DataFrame = {
-        val raw = e.join(src.withColumnRenamed("id", from), from)
+        val raw = e.join(bc(src.withColumnRenamed("id", from)), from)
           .groupBy(col(to).as("id")).agg(sum(scoreCol).as("raw"))
         // normalization total as a broadcast column, not a per-half-round
         // collected literal (see [[pagerank]]'s round body): the raw
@@ -376,7 +403,7 @@ object GraphOps {
         // `div`; a zero/absent total divides to NULL exactly as the
         // collected-literal form would have.
         val tot = raw.agg(sum("raw").as("tot"))
-        roundCheckpoint(verts.join(raw, Seq("id"), "left")
+        roundCheckpoint(verts.join(bc(raw), Seq("id"), "left")
           .crossJoin(broadcast(tot))
           .select(col("id"), expr(
             s"(coalesce(raw, 0L) * $scale) div tot").as(outName)))

@@ -142,7 +142,13 @@ object IncrementalClusters {
     val block =
       if (bounds.isNullAt(0)) PartBlockMin
       else adaptivePartBlock(bounds.getLong(0))
-    val pairs = pairsOfBands(TextOps.bandsOfDocs(corpus))
+    // pinned under a shared tag: the registry gate (and any build-then-
+    // probe caller) passes the SAME corpus band frame as the append
+    // probe's corpusBands — PlanCache's sameResult check hands both the
+    // one persisted copy, so the minhash signature pass over the corpus
+    // runs once per gate instead of twice (r14)
+    val pairs = pairsOfBands(PlanCache.swap("cluster_corpus_bands",
+      TextOps.bandsOfDocs(corpus)))
     GraphOps.connectedComponentsInto(pairs,
       corpus.select(col("doc_id").as("id"))) { labels =>
       graft.store.Warehouse.saveModel(
@@ -320,7 +326,10 @@ object IncrementalClusters {
     val corpus = corpusDocsRange(s, d)
     val batch = batchDocsRange(s, d)
     buildClusterState(s, corpus)
-    appendBatchClusters(s, batch, TextOps.bandsOfDocs(corpus))
+    // same plan + same tag as the build's pin → the persisted band frame
+    // is reused, not recomputed (see buildClusterStateBody)
+    appendBatchClusters(s, batch,
+      PlanCache.swap("cluster_corpus_bands", TextOps.bandsOfDocs(corpus)))
     // materialize the fresh-run pair set for the oracle's closure replay
     graft.OracleInputs.checkpoint(
       TextOps.minhashCandidatePairs(s, d)
