@@ -82,6 +82,102 @@ object PlanPolicy {
     "q_isotonic_calibration" -> 5,
     "q_split_proportional" -> 1)
 
+  /** r15 (round-14 verdict #4): the allowlist's boundedness arguments as
+    * MEASURED guards, not prose. Every [[singlePartitionAllow]] entry maps
+    * to a bound — the funneled frame's cardinality measured over the live
+    * data dir against the dimension cap that justifies the entry —
+    * machine-driven by PlanPolicySpec (fixture scale + a planted
+    * violation) and re-runnable at any replication factor. Two postures:
+    *
+    *  - dimension-bounded entries measure rows ≤ the justifying dimension
+    *    (catalog size, observation day span, value-domain cells, the
+    *    constant sample N) — a restructure that starts funneling
+    *    fact-sized rows through the allowlisted exchange goes red;
+    *  - corpus-row entries funnel one NARROW row per corpus row BY
+    *    DESIGN (q_id_islands: 8-byte ids, production slices by id range;
+    *    the two calibration ranks: offline eval of a scored sample) —
+    *    their guard is the documented single-task row budget
+    *    ([[RankRowBudget]] / [[EvalSampleBudget]]), which fixture and
+    *    replication scales must sit under and a deployment-scale audit
+    *    run trips. q_id_islands' 8-byte width claim is additionally
+    *    machine-checked via its [[mustMatch]] ReadSchema pin.
+    */
+  final case class SpBound(dim: String,
+      measured: (org.apache.spark.sql.SparkSession, String) => Long,
+      cap: (org.apache.spark.sql.SparkSession, String) => Long)
+
+  /** Single-task row budget for the id-ranked gaps-and-islands funnel
+    * (8 B/row — ~400 MB through one task at the budget; production runs
+    * per id-range slice well below it).
+    */
+  val RankRowBudget = 50000000L
+
+  /** Offline-eval sample budget for the calibration ranks (the
+    * reliability diagram and PAV fit rank a scored EVAL SAMPLE; a
+    * deployment ranking more than this through one task must sample
+    * first — the operators' documented contract).
+    */
+  val EvalSampleBudget = 10000000L
+
+  val singlePartitionBounds: Map[String, SpBound] = {
+    import org.apache.spark.sql.functions._
+    def docsRows(s: org.apache.spark.sql.SparkSession, d: String): Long =
+      Tables.t(s, d, "documents").count()
+    Map(
+      "q_abc_classification" -> SpBound(
+        "revenue-ranked part catalog (rows ≤ |part|)",
+        (s, d) => ops.Relational.abcClassification(s, d).count(),
+        (s, d) => Tables.t(s, d, "part").count()),
+      "q_survival_km" -> SpBound(
+        "exit-day grid (rows ≤ observation day span)",
+        (s, d) => ops.EventOps.kaplanMeier(s, d).count(),
+        (s, d) => {
+          val mm = Tables.t(s, d, "events")
+            .agg(min("ts").as("lo"), max("ts").as("hi")).head
+          (mm.getLong(1) - mm.getLong(0)) / ops.EventOps.DayNs + 2
+        }),
+      "q_interval_concurrency" -> SpBound(
+        "±7-day interval grid (rows ≤ order-date span + 8)",
+        (s, d) => ops.EventOps.intervalConcurrency(s, d).count(),
+        (s, d) => {
+          val mm = Tables.t(s, d, "orders")
+            .agg(min("o_orderdate").as("lo"), max("o_orderdate").as("hi"))
+            .select(datediff(col("hi"), col("lo"))).head
+          mm.getInt(0).toLong + 9
+        }),
+      "q_ks_test" -> SpBound(
+        "distinct-cents value histogram (cells ≤ 10⁵ value domain)",
+        (s, d) => Tables.t(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .distinct().count(),
+        (_, _) => 100000L),
+      "q_split_proportional" -> SpBound(
+        "constant Hamilton sample N",
+        (s, d) => ops.SamplingOps.proportionalSplit(s, d).count(),
+        (_, _) => ops.SamplingOps.ApportionN),
+      "q_id_islands" -> SpBound(
+        "8-byte id column through one task (production slices by range; " +
+          "width machine-checked by the mustMatch ReadSchema pin)",
+        docsRows, (_, _) => RankRowBudget),
+      "q_calibration_bins" -> SpBound(
+        "scored eval sample (offline-eval posture)",
+        docsRows, (_, _) => EvalSampleBudget),
+      "q_isotonic_calibration" -> SpBound(
+        "scored eval sample (offline-eval posture)",
+        docsRows, (_, _) => EvalSampleBudget))
+  }
+
+  /** The measured-guard verdict for one allowlist entry — pure so the
+    * planted-violation spec can drive it directly.
+    */
+  def boundViolation(name: String, measured: Long, cap: Long,
+                     dim: String): Option[String] =
+    if (measured > cap)
+      Some(s"$name: single-partition funnel guard violated — measured " +
+        s"$measured rows exceeds the declared bound $cap ($dim)")
+    else None
+
   /** Round-14 verdict #2a — the "filters/pruning must reach the scan"
     * red-flag class as per-query PINS: each regex must match somewhere
     * in the full plan text. The pins carry column NAMES and literals but
@@ -107,6 +203,11 @@ object PlanPolicy {
       "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint," +
         "l_linenumber:int,l_quantity:double,l_extendedprice:double>"),
     "q_groupby_count" -> Seq("ReadSchema: struct<event_type:string>"),
+    // r15 (verdict #4): the width half of q_id_islands' allowlist
+    // argument — the single-partition rank funnels the 8-byte id column
+    // ONLY; a restructure that drags wider columns through the global
+    // sort goes red here
+    "q_id_islands" -> Seq("ReadSchema: struct<doc_id:bigint>"),
     "q_asof_last_click" -> Seq(
       "PushedFilters:[^\\n]*EqualTo\\(event_type,click\\)",
       "PushedFilters:[^\\n]*EqualTo\\(event_type,purchase\\)"),

@@ -106,6 +106,10 @@ object GraftFunctions {
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cdc_chunks", exprs => CdcChunks(unary("cdc_chunks", exprs)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_pieces", exprs => {
+        val (a, b) = binary("bpe_pieces", exprs); BpePieces(a, b)
+      }, "scala_udf")
   }
 
   /** Arity gate for 1-arg builders — `exprs.head` silently IGNORED extra

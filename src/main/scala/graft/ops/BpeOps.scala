@@ -127,21 +127,46 @@ object BpeOps {
     mdf.select("rank", "l", "r").orderBy("rank").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toIndexedSeq
 
-  /** Apply stored merges to every whitespace word of `text`: one codegen
-    * `aggregate` fold over the K merge literals per word. Adds a `pieces`
-    * column: every word's post-merge symbols, space-joined in order (the
-    * wrappers stripped — symbols never contain spaces, so the join is
-    * lossless).
+  /** The merge table as a literal array<struct<pat,rep>> column — the
+    * bounded-driver-metadata serving contract, shared by the native
+    * fold and the HOF reference formulation.
+    */
+  private def mergeLitsOf(merges: Seq[(Int, String, String)]) =
+    if (merges.isEmpty) array().cast("array<struct<pat:string,rep:string>>")
+    else array(merges.map { case (_, l, r) =>
+      struct(lit(s"$L$l$R$L$r$R").as("pat"), lit(s"$L$l$r$R").as("rep"))
+    }: _*)
+
+  /** Apply stored merges to every whitespace word of `text` via the
+    * native `bpe_pieces` expression ([[graft.functions.BpePieces]]): one
+    * flat Java loop per row inside whole-stage codegen (r15, guide §4 —
+    * the interpreted HOF fold it replaces, [[applyBpeHof]], re-scanned
+    * the word per position through `substring(w, i, 1)` and evaluated an
+    * interpreted lambda chain per word; equivalence law-tested in
+    * BpeOpsSpec). Adds a `pieces` column: every word's post-merge
+    * symbols, space-joined in order (the wrappers stripped — symbols
+    * never contain spaces, so the join is lossless). NULL text coalesces
+    * to '' — exactly what the HOF form's concat_ws-over-null yielded.
     */
   private[graft] def applyBpe(docs: DataFrame,
                               merges: Seq[(Int, String, String)]): DataFrame = {
-    val mergeLits =
-      if (merges.isEmpty) array().cast("array<struct<pat:string,rep:string>>")
-      else array(merges.map { case (_, l, r) =>
-        struct(lit(s"$L$l$R$L$r$R").as("pat"), lit(s"$L$l$r$R").as("rep"))
-      }: _*)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.withColumn("pieces",
+      call_function("bpe_pieces",
+        coalesce(col("text"), lit("")), mergeLitsOf(merges)))
+  }
+
+  /** The pre-r15 higher-order-function formulation — retained ONLY as the
+    * independent reference implementation the BpeOpsSpec law test compares
+    * [[applyBpe]] against (the [[graft.ops.ChunkOps.chunksOfHof]] posture:
+    * one formulation from SQL primitives both engines replay, one native —
+    * agreement is the evidence the native loop implements the documented
+    * fold).
+    */
+  private[graft] def applyBpeHof(docs: DataFrame,
+                                 merges: Seq[(Int, String, String)]): DataFrame =
     docs
-      .withColumn("__bpe_merges", mergeLits)
+      .withColumn("__bpe_merges", mergeLitsOf(merges))
       .withColumn("pieces", expr(
         "concat_ws(' ', transform(split(trim(text), '\\\\s+'), " +
           s"w -> CASE WHEN char_length(w) = 0 THEN '' ELSE " +
@@ -152,7 +177,6 @@ object BpeOps {
           "(acc, m) -> replace(acc, m.pat, m.rep)), " +
           "concat(chr(3), chr(2)), ' '), chr(2), ''), chr(3), '') END))"))
       .drop("__bpe_merges")
-  }
 
   /** Serve token counts from a STORED model ([[buildBpeModel]]): no
     * training aggregation in the query path — merges come off the K-row

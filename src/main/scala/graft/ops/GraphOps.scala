@@ -50,6 +50,21 @@ object GraphOps {
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
 
+  /** LAZY round checkpoint — same mode selection as [[roundCheckpoint]]
+    * but materialization is left to the caller's next action, so a round
+    * that must also compute a driver scalar (the CC fixpoint count) pays
+    * ONE job per round instead of two: the scalar's action computes the
+    * round's rows, the persist caches them as a side effect, and the
+    * post-job checkpoint hook truncates the lineage (r15, guide §1.2/§7 —
+    * the per-round driver floor is jobs × scheduling, not data). The
+    * caller MUST run an action that consumes the returned frame before
+    * reading it as materialized.
+    */
+  private def lazyRoundCheckpoint(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
+
   /** Reliable-checkpoint FILES of a checkpointed frame (None in local
     * mode). Needed for superseded-round cleanup: the ContextCleaner
     * reclaims localCheckpoint BLOCKS, but reliable checkpoint files are
@@ -96,20 +111,35 @@ object GraphOps {
       var labels = roundCheckpoint(vertices.select(
         col("id").cast("long").as("id"),
         col("id").cast("long").as("label")))
+      // vertex-sized round frames broadcast below the measured bound (r15,
+      // extending the r14 walk gating to CC): the checkpointed label frames
+      // are stats-blind LogicalRDDs, so the planner otherwise falls back to
+      // sort-merge and AQE materializes both exchanges per join before it
+      // can convert them — several shuffle-file-writing stages per round.
+      // The count reads the just-materialized checkpoint (cheap, once per
+      // call, amortized over every round); above the bound nothing changes.
+      val bc: DataFrame => DataFrame =
+        if (labels.count() <= broadcastVertexBound) broadcast else identity
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < maxIter) {
-        val nbrMin = sym.join(labels, sym("src") === labels("id"))
+        val nbrMin = sym.join(bc(labels), sym("src") === labels("id"))
           .select(col("dst").as("id"), col("label"))
           .groupBy("id").agg(min("label").as("nbr_label"))
-        val prop = labels.join(nbrMin, Seq("id"), "left")
+        val prop = labels.join(bc(nbrMin), Seq("id"), "left")
           .select(col("id"), col("label").as("prev"),
             least(col("label"), coalesce(col("nbr_label"), col("label")))
               .as("label"))
         // pointer jump: every label is a real vertex id, so look up that
         // vertex's own label and take the smaller (halves chain depth)
         val hops = prop.select(col("id").as("label"), col("label").as("hop"))
-        val jumped = roundCheckpoint(prop.join(hops, Seq("label"), "left")
+        // LAZY checkpoint + the fixpoint count as the materializing action
+        // (r15): the count's job computes the round ONCE (persist caches it,
+        // the post-job hook truncates lineage) — one job per round instead
+        // of eager-materialize + a separate count job. The count is exact:
+        // it runs on the round's own rows before anything downstream reads
+        // them.
+        val jumped = lazyRoundCheckpoint(prop.join(bc(hops), Seq("label"), "left")
           .select(col("id"), col("prev"),
             least(col("label"), coalesce(col("hop"), col("label"))).as("label")))
         changed = jumped.filter(col("label") =!= col("prev")).count()
@@ -465,11 +495,15 @@ object GraphOps {
     val verts = vertices.select(col("id")).distinct().persist()
     val e = edges.select("src", "dst").persist()
     try {
+      // reached grows toward vertex-sized: broadcast the round frame below
+      // the measured VERTEX bound (r15 — the r14 walk gating extended)
+      val bc: DataFrame => DataFrame =
+        if (verts.count() <= broadcastVertexBound) broadcast else identity
       var reached = roundCheckpoint(
         verts.join(seeds.select(col("id")).distinct(), Seq("id"), "left_semi")
           .select(col("id"), lit(0L).as("dist")))
       for (_ <- 1 to iters) {
-        val fringe = e.join(reached.withColumnRenamed("id", "src"), "src")
+        val fringe = e.join(bc(reached.withColumnRenamed("id", "src")), "src")
           .select(col("dst").as("id"), (col("dist") + lit(1L)).as("dist"))
         val next = roundCheckpoint(reached.unionByName(fringe)
           .groupBy("id").agg(min("dist").as("dist")))
@@ -507,10 +541,17 @@ object GraphOps {
     val verts = vertices.select(col("id")).distinct().persist()
     val e = edges.select("src", "dst").persist()
     try {
+      // the all-pairs state is V²-bounded, not vertex-sized: broadcast the
+      // round frame only when V² fits the bound (the K-bounded
+      // registered-domain contract this operator carries anyway)
+      val nV = verts.count()
+      val bc: DataFrame => DataFrame =
+        if (nV <= math.sqrt(broadcastVertexBound.toDouble).toLong) broadcast
+        else identity
       var reached = roundCheckpoint(
         verts.select(col("id").as("s"), col("id"), lit(0L).as("dist")))
       for (_ <- 1 to iters) {
-        val fringe = e.join(reached.withColumnRenamed("id", "src"), "src")
+        val fringe = e.join(bc(reached.withColumnRenamed("id", "src")), "src")
           .select(col("s"), col("dst").as("id"),
             (col("dist") + lit(1L)).as("dist"))
         val next = roundCheckpoint(reached.unionByName(fringe)
@@ -541,16 +582,21 @@ object GraphOps {
     val verts = vertices.select(col("id")).distinct().persist()
     val e = edges.select("src", "dst").persist()
     try {
+      // V²-bounded state — the [[allPairsHops]] broadcast gate
+      val nV = verts.count()
+      val bc: DataFrame => DataFrame =
+        if (nV <= math.sqrt(broadcastVertexBound.toDouble).toLong) broadcast
+        else identity
       var state = roundCheckpoint(verts.select(col("id").as("s"),
         col("id"), lit(0L).as("dist"), lit(1L).as("sigma")))
       var walks = roundCheckpoint(state.select(col("s"), col("id"),
         col("sigma").as("w")))
       for (i <- 1 to iters) {
         val stepped = roundCheckpoint(
-          walks.withColumnRenamed("id", "src").join(e, "src")
+          bc(walks.withColumnRenamed("id", "src")).join(e, "src")
             .groupBy(col("s"), col("dst").as("id"))
             .agg(sum("w").as("w")))
-        val fresh = stepped.join(state.select("s", "id"),
+        val fresh = stepped.join(bc(state.select("s", "id")),
             Seq("s", "id"), "left_anti")
           .select(col("s"), col("id"), lit(i.toLong).as("dist"),
             col("w").as("sigma"))
@@ -605,11 +651,15 @@ object GraphOps {
       val negs = e.filter(col("w") < 0).limit(1).count()
       require(negs == 0, "weightedHops: negative edge weights are refused " +
         "(bounded rounds cannot certify distances under negative cycles)")
+      // vertex-sized round frames broadcast below the measured bound —
+      // the [[bfsHops]] gate with a cost column
+      val bc: DataFrame => DataFrame =
+        if (verts.count() <= broadcastVertexBound) broadcast else identity
       var reached = roundCheckpoint(
         verts.join(seeds.select(col("id")).distinct(), Seq("id"), "left_semi")
           .select(col("id"), lit(0L).as("dist")))
       for (_ <- 1 to iters) {
-        val fringe = e.join(reached.withColumnRenamed("id", "src"), "src")
+        val fringe = e.join(bc(reached.withColumnRenamed("id", "src")), "src")
           .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
         val next = roundCheckpoint(reached.unionByName(fringe)
           .groupBy("id").agg(min("dist").as("dist")))
@@ -664,8 +714,14 @@ object GraphOps {
     try {
       var labels = roundCheckpoint(vertices.select(col("id"))
         .distinct().withColumn("label", col("id")))
+      // vertex-sized round frames broadcast below the measured bound (r15
+      // — the r14 pagerank/hits gating extended here): the checkpointed
+      // label frame and the per-round pick are both vertex-sized; the
+      // count reads the just-materialized checkpoint, once per call
+      val bc: DataFrame => DataFrame =
+        if (labels.count() <= broadcastVertexBound) broadcast else identity
       for (_ <- 1 to iters) {
-        val votes = sym.join(labels.withColumnRenamed("id", "src"), "src")
+        val votes = sym.join(bc(labels.withColumnRenamed("id", "src")), "src")
           .groupBy(col("dst").as("id"), col("label"))
           .agg(count(lit(1)).as("c"))
         val pick = votes.withColumn("rk", row_number().over(
@@ -673,7 +729,7 @@ object GraphOps {
               .orderBy(col("c").desc, col("label").asc)))
           .filter(col("rk") === 1)
           .select(col("id"), col("label").as("new_label"))
-        val next = roundCheckpoint(labels.join(pick, Seq("id"), "left")
+        val next = roundCheckpoint(labels.join(bc(pick), Seq("id"), "left")
           .select(col("id"),
             coalesce(col("new_label"), col("label")).as("label")))
         checkpointFileOf(labels).foreach(deleteCheckpointFile(labels, _))
@@ -722,22 +778,36 @@ object GraphOps {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct())
     var alive = roundCheckpoint(vertices.select(col("id")).distinct())
+    // vertex-sized survivor frames broadcast below the measured bound
+    // (r15 — the walk gating); the count reads the materialized checkpoint
+    val bc: DataFrame => DataFrame =
+      if (alive.count() <= broadcastVertexBound) broadcast else identity
     var removed = List.empty[DataFrame]
     for (r <- 1 to rounds) {
       val deg = cur.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-      val degd = alive.join(deg, Seq("id"), "left")
-        .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
-      val rm = roundCheckpoint(degd.where(col("deg") < k)
+      // ONE materialized frame per round (r15, guide §1.2/§7): the degree
+      // aggregate is LAZY-checkpointed and everything else derives from it
+      // — previously rm and aliveNext each re-ran the degree aggregation
+      // (two jobs), and curNext was a third. Now curNext's eager
+      // materialization computes degd once (cached + lineage-truncated by
+      // the post-job hook) and aliveNext through it; rm stays a plain
+      // filter over the cached degd — no job of its own, and the final
+      // union reads it from the round's cached blocks.
+      val degd = lazyRoundCheckpoint(alive.join(deg, Seq("id"), "left")
+        .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg")))
+      val rm = degd.where(col("deg") < k)
         .select(col("id"), lit(r.toLong).as("removed_round"),
-          col("deg").as("final_deg")))
+          col("deg").as("final_deg"))
       removed ::= rm
-      val aliveNext = roundCheckpoint(degd.where(col("deg") >= k)
+      val aliveNext = lazyRoundCheckpoint(degd.where(col("deg") >= k)
         .select("id"))
       val curNext = roundCheckpoint(cur
-        .join(aliveNext.select(col("id").as("src")), Seq("src"), "left_semi")
-        .join(aliveNext.select(col("id").as("dst")), Seq("dst"), "left_semi"))
-      // rm/aliveNext/curNext are materialized — the superseded round
-      // files are safe to drop
+        .join(bc(aliveNext.select(col("id").as("src"))), Seq("src"), "left_semi")
+        .join(bc(aliveNext.select(col("id").as("dst"))), Seq("dst"), "left_semi"))
+      // curNext's materialization computed degd and aliveNext — the
+      // superseded round files are safe to drop. degd's own reliable
+      // files must SURVIVE the loop (the rm filters in the final union
+      // read it); kcorePeelInto's checkpointFilesOf sweep reclaims them.
       checkpointFileOf(alive).foreach(deleteCheckpointFile(alive, _))
       checkpointFileOf(cur).foreach(deleteCheckpointFile(cur, _))
       alive = aliveNext

@@ -67,6 +67,39 @@ object IncrementalClusters {
   private def partOf(c: Column, block: Long): Column =
     (c / lit(block)).cast("long").cast("int")
 
+  /** Target rows per labels-table output file (~16 B/row → ~128 MB files
+    * at the default; env-overridable for deployments with different row
+    * widths or file-size targets).
+    */
+  private[graft] def labelRowsPerFile: Long =
+    sys.env.getOrElse("SPARK_GRAFT_LABEL_ROWS_PER_FILE", "8000000").toLong
+
+  /** Size-aware clustering before the dynamic-partition write (r15,
+    * guide §6 small files): an unclustered write fans out to
+    * (tasks × touched dirs) files — at fixture scale the ~157-dir build
+    * wrote thousands of ~32-row parquet files, and at 100 TB the same
+    * shape is the classic small-file explosion. Repartitioning by
+    * (part, doc_id div rowsPerFile-split) lands each partition dir's rows
+    * in exactly ceil(rows/[[labelRowsPerFile]]) write tasks → that many
+    * files: one file per dir at fixture scale, ~128 MB files at any
+    * scale. The split count comes from a partition-dir-bounded count
+    * aggregate (broadcast), never a corpus shuffle beyond the clustering
+    * exchange itself — which replaces, not augments, the write's input
+    * exchange cost.
+    */
+  private[graft] def clusterForWrite(df: DataFrame): DataFrame = {
+    val target = labelRowsPerFile
+    val splits = df.groupBy("part").agg(count(lit(1)).as("__n"))
+      .select(col("part"),
+        greatest(lit(1L), ceil(col("__n") / lit(target.toDouble)).cast("long"))
+          .as("__nsplit"))
+    // restore the caller's column ORDER: the using-column join fronts
+    // `part`, and the append path's insertInto is positional
+    df.join(broadcast(splits), Seq("part"))
+      .repartition(col("part"), pmod(col("doc_id"), col("__nsplit")))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** The FROZEN block size of the stored labels table. Absence is a hard
     * error, not a default: writing parts under a guessed block into a
     * table laid out under another corrupts every pruned read (the
@@ -152,9 +185,9 @@ object IncrementalClusters {
     GraphOps.connectedComponentsInto(pairs,
       corpus.select(col("doc_id").as("id"))) { labels =>
       graft.store.Warehouse.saveModel(
-        labels.select(col("id").as("doc_id"),
+        clusterForWrite(labels.select(col("id").as("doc_id"),
           col("cluster_id").as("canonical_id"),
-          partOf(col("cluster_id"), block).as("part")),
+          partOf(col("cluster_id"), block).as("part"))),
         db, LabelsTable, partitionCols = Seq("part"))
     }
     s.sql(s"ALTER TABLE ${fqn(db)} SET TBLPROPERTIES " +
@@ -265,7 +298,7 @@ object IncrementalClusters {
       // silently truncate every partition absent from `written`
       val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try written.write.mode("overwrite").insertInto(fqn(db))
+      try clusterForWrite(written).write.mode("overwrite").insertInto(fqn(db))
       finally prev match {
         case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")

@@ -313,9 +313,21 @@ class OpsPropertySpec extends SparkSpec {
         .toMap
     val before = fileState()
     assert(before.nonEmpty)
+    // r15 clusterForWrite (guide §6 small files): the size-aware
+    // clustering must land each partition dir's rows in exactly
+    // ceil(rows / labelRowsPerFile) = 1 file at fixture scale — the
+    // unclustered write fanned out (tasks × touched dirs) tiny files
+    assert(before.values.forall(_.size == 1),
+      s"expected 1 file per partition dir after build, got " +
+        before.view.mapValues(_.size).toMap.toString)
     IncrementalClusters.appendBatchClusters(spark, batch,
       graft.ops.TextOps.bandsOfDocs(corpus), db)
     val after = fileState()
+    // the append's dynamic-partition rewrite goes through the same
+    // clustering — rewritten partitions must also stay at 1 file each
+    assert(after.values.forall(_.size == 1),
+      s"expected 1 file per partition dir after append, got " +
+        after.view.mapValues(_.size).toMap.toString)
     // a replayed (or out-of-order) batch must trip the loud append-only
     // guard — an id collision would fuse unrelated clusters in the
     // contracted graph — and must not modify the state
@@ -3399,6 +3411,41 @@ class OpsPropertySpec extends SparkSpec {
       val ranks = picks.map(_.getAs[Int]("pick_rank")).sorted
       assert(ranks.toSeq == (1 to alloc(lang)._2.toInt).toSeq,
         s"$lang ranks: $ranks")
+    }
+  }
+
+  test("bpe_pieces native expression: bit-equal to the HOF reference " +
+      "formulation on the fixture corpus and crafted edge cases") {
+    import graft.ops.BpeOps
+    // crafted edges: empty, single char, untrimmed, tab/newline splits
+    // (trim strips only 0x20 — leading \t must keep its empty word), CJK,
+    // surrogate-pair emoji, repetitive merge chains, the wrap sentinels
+    // chr(2)/chr(3) INSIDE the text, and NULL text
+    val edges = Seq(
+      1000L -> "", 1001L -> "x", 1002L -> "  leading and trailing  ",
+      1003L -> "tab\tseparated\nnewline words",
+      1004L -> "한글 텍스트와 English가 섞인 문서입니다",
+      1005L -> "emoji 😀 inside 😀😀 the text",
+      1006L -> ("ab " * 200 + "abab ababab abb"),
+      1007L -> "\u0002sentinel\u0003 chars \u0002\u0003",
+      1008L -> null.asInstanceOf[String])
+      .toDF("doc_id", "text")
+    val fixture = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    // merges trained on the fixture corpus — real multi-char merge chains
+    val merges = BpeOps.trainBpe(fixture, 24)
+    assert(merges.nonEmpty)
+    for (docs <- Seq(fixture, edges);
+         ms <- Seq(merges, Seq.empty[(Int, String, String)])) {
+      val native = BpeOps.applyBpe(docs, ms)
+        .select("doc_id", "pieces").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val hof = BpeOps.applyBpeHof(docs, ms)
+        .select("doc_id", "pieces").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(native == hof,
+        s"native bpe_pieces diverged from the HOF reference " +
+          s"(${ms.size} merges): " +
+          native.zip(hof).filter(p => p._1 != p._2).take(3).toString)
     }
   }
 }

@@ -159,4 +159,33 @@ class PlanPolicySpec extends SparkSpec {
         |+- *(3) HashAggregate(keys=[], functions=[partial_sum(v)])""".stripMargin
     assert(PlanPolicy.violations("q_scratch", planted).isEmpty)
   }
+
+  test("every single-partition allowlist entry carries a measured bound " +
+      "(r15 verdict #4) and a planted overflow goes red") {
+    // completeness: an allowlist entry WITHOUT a bound is itself a
+    // violation of the policy's contract — prose boundedness arguments
+    // are exactly what this replaces
+    assert(PlanPolicy.singlePartitionAllow.keySet ==
+      PlanPolicy.singlePartitionBounds.keySet,
+      "singlePartitionAllow and singlePartitionBounds must cover the " +
+        "same queries")
+    // planted violation: measured above the declared cap must report
+    val planted = PlanPolicy.boundViolation("q_planted", 101L, 100L, "dim")
+    assert(planted.exists(_.contains("guard violated")), planted.toString)
+    assert(PlanPolicy.boundViolation("q_ok", 100L, 100L, "dim").isEmpty)
+  }
+
+  test("measured single-partition bounds hold over the live fixture") {
+    // drive every declared bound at fixture scale: the funneled frame's
+    // measured cardinality must sit under the dimension cap that
+    // justifies its allowlist entry (q_ks_test's histogram under the
+    // value domain, the grids under their spans, the constant sample at
+    // N, the corpus-row funnels under their documented task budgets)
+    val bad = PlanPolicy.singlePartitionBounds.toSeq.sortBy(_._1).flatMap {
+      case (n, b) =>
+        PlanPolicy.boundViolation(n, b.measured(spark, sf),
+          b.cap(spark, sf), b.dim)
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
 }
