@@ -95,7 +95,8 @@ object GraphOps {
     } catch { case _: Throwable => () } // cleanup is best-effort
 
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50,
+                          batch: Int = roundBatch): DataFrame = {
     // symmetrize in ONE pass over the edge frame: the union form computes
     // the (possibly expensive, e.g. banded-minhash) edges subtree twice —
     // once per branch — while explode duplicates each row after a single
@@ -120,37 +121,67 @@ object GraphOps {
       // call, amortized over every round); above the bound nothing changes.
       val bc: DataFrame => DataFrame =
         if (labels.count() <= broadcastVertexBound) broadcast else identity
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < maxIter) {
-        val nbrMin = sym.join(bc(labels), sym("src") === labels("id"))
+      // one min-label + pointer-jump round as a PLAN transform (no
+      // materialization — batching below decides where rounds materialize)
+      def ccRound(in: DataFrame): DataFrame = {
+        val nbrMin = sym.join(bc(in), sym("src") === in("id"))
           .select(col("dst").as("id"), col("label"))
           .groupBy("id").agg(min("label").as("nbr_label"))
-        val prop = labels.join(bc(nbrMin), Seq("id"), "left")
+        val prop = in.join(bc(nbrMin), Seq("id"), "left")
           .select(col("id"), col("label").as("prev"),
             least(col("label"), coalesce(col("nbr_label"), col("label")))
               .as("label"))
         // pointer jump: every label is a real vertex id, so look up that
         // vertex's own label and take the smaller (halves chain depth)
         val hops = prop.select(col("id").as("label"), col("label").as("hop"))
-        // LAZY checkpoint + the fixpoint count as the materializing action
-        // (r15): the count's job computes the round ONCE (persist caches it,
-        // the post-job hook truncates lineage) — one job per round instead
-        // of eager-materialize + a separate count job. The count is exact:
-        // it runs on the round's own rows before anything downstream reads
-        // them.
-        val jumped = lazyRoundCheckpoint(prop.join(bc(hops), Seq("label"), "left")
+        prop.join(bc(hops), Seq("label"), "left")
           .select(col("id"), col("prev"),
-            least(col("label"), coalesce(col("hop"), col("label"))).as("label")))
-        changed = jumped.filter(col("label") =!= col("prev")).count()
-        // `jumped` is fully materialized (eager), so the PREVIOUS round's
-        // reliable checkpoint files are no longer referenced by anything
-        // downstream — delete them now; only the FINAL round's files
-        // outlive the call (they back the returned frame), so reliable
-        // mode holds one round of files, not `iter` rounds
+            least(col("label"), coalesce(col("hop"), col("label")))
+              .as("label"))
+      }
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIter) {
+        // ROUND BATCHING (r15, guide §1.2/§7): [[roundBatch]] rounds per
+        // materialization instead of one — at sf0.1 the loop's cost is
+        // jobs × (scheduling + Catalyst planning), and at cluster scale
+        // each materialization is a synchronous driver barrier; batching
+        // halves both. Intermediate rounds are LAZILY persisted — the
+        // next sub-round consumes its input three times (nbrMin build,
+        // prop join, pointer-jump lookup), and the persist dedupes those
+        // consumers at the block level once the batch's single job runs.
+        // The batch's LAST round is lazy-checkpointed with the fixpoint
+        // count as the materializing action — one job per batch. The
+        // exit test stays exact: `changed` compares the last sub-round
+        // against ITS OWN input, and a no-op round means its input was
+        // already a fixpoint (min-label propagation is monotone), so
+        // changed==0 ⟺ converged regardless of what earlier sub-rounds
+        // in the batch did. `steps` never exceeds maxIter − iter, so the
+        // convergence guard sees exactly the same round budget.
+        val steps = math.min(math.max(1, batch), maxIter - iter)
+        var interm = List.empty[DataFrame]
+        var cur = labels
+        var last: DataFrame = null
+        for (s <- 1 to steps) {
+          val r = ccRound(cur)
+          if (s < steps) {
+            val p = r.select("id", "label").persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            interm ::= p
+            cur = p
+          } else last = lazyRoundCheckpoint(r)
+        }
+        changed = last.filter(col("label") =!= col("prev")).count()
+        // `last` is fully materialized by the count, so the PREVIOUS
+        // batch's reliable checkpoint files and this batch's intermediate
+        // persist blocks are no longer referenced by anything downstream —
+        // release them now; only the FINAL round's files outlive the call
+        // (they back the returned frame), so reliable mode holds one round
+        // of files, not `iter` rounds
+        interm.foreach(_.unpersist(false))
         checkpointFileOf(labels).foreach(deleteCheckpointFile(labels, _))
-        labels = jumped.select("id", "label")
-        iter += 1
+        labels = last.select("id", "label")
+        iter += steps
       }
       if (changed != 0) {
         // the abort path must not leak the last round's reliable files —
@@ -242,6 +273,30 @@ object GraphOps {
     */
   private[graft] def broadcastVertexBound: Long =
     sys.env.getOrElse("SPARK_GRAFT_WALK_BCAST_VERTS", "4000000").toLong
+
+  /** Rounds per materialization in the iterative loops (CC and the
+    * fixed-iteration walks) — r15, guide §1.2/§7. Each materialization
+    * is one Spark job preceded by a full Catalyst pass AND, on a
+    * cluster, a synchronous driver barrier the whole fleet idles
+    * behind; at sf0.1 the measured floor of the heavy gates is exactly
+    * jobs × (scheduling + planning), none over 0.5 s. Batching K rounds
+    * per materialization divides that floor by K at the cost of a K×
+    * deeper plan per job (K=2 keeps plans well under the depth where
+    * plan rendering/codegen blows up — the reason per-round checkpoints
+    * exist at all). MEASURED at sf0.1 (q_authority_survivors job/wall
+    * matrix, r15): K=2 is job- and wall-NEUTRAL — the gate's job floor
+    * is broadcast-exchange builds (3 per sub-round, unchanged by
+    * batching), not the materializing counts — and K=4 REGRESSES 2.8×
+    * (154 jobs / 26.7 s vs 129 / 9.5 s): past K=2 the unmaterialized
+    * sub-round subtrees multiply recompute through the broadcast-build
+    * chains faster than the persist dedupes them. Default is therefore
+    * 1 (the measured optimum); the mechanism stays because the barrier
+    * count per walk — not sf0.1 wall — is what a 100 TB deployment
+    * tunes, and K is structural (independent of core count), but any
+    * K>1 deployment must re-measure on its own shape first.
+    */
+  private[graft] def roundBatch: Int =
+    math.max(1, sys.env.getOrElse("SPARK_GRAFT_ROUND_BATCH", "1").toInt)
 
   def pagerank(edges: DataFrame, vertices: DataFrame, iters: Int = 10,
                scale: Long = 1000000000000L, damp: Int = 85): DataFrame = {

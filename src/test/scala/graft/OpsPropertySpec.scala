@@ -1355,6 +1355,26 @@ class OpsPropertySpec extends SparkSpec {
     assert(cc2 == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("connected components: round batching is label-invariant (K=1/2/3)") {
+    import graft.ops.GraphOps
+    // r15 round-batching law: K rounds per materialization must be a pure
+    // scheduling choice — labels identical for every K, including a batch
+    // whose FIRST sub-round converges (the exit test reads only the last
+    // sub-round) and a K that doesn't divide the round count. Mixed
+    // shapes: a 100-chain (many pointer-jump rounds), a triangle, two
+    // isolated vertices, duplicate + self-loop edges.
+    val edges = ((0L until 100L).map(i => (i, i + 1)) ++
+      Seq((200L, 201L), (201L, 202L), (202L, 200L), (200L, 201L),
+        (300L, 300L))).toDF("src", "dst")
+    val verts = ((0L to 100L) ++ Seq(200L, 201L, 202L, 300L, 400L)).toDF("id")
+    def run(k: Int) = GraphOps.connectedComponents(edges, verts, batch = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val k1 = run(1)
+    assert(k1(100L) == 0L && k1(202L) == 200L && k1(400L) == 400L)
+    assert(run(2) == k1, "batch=2 diverged from batch=1")
+    assert(run(3) == k1, "batch=3 diverged from batch=1")
+  }
+
   test("near-dup pairs compose with connected components into keep/drop sets") {
     import graft.ops.GraphOps
     // three chained near-identical vectors (1~2 and 2~3 pair, 1~3 may or
