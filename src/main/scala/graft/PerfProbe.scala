@@ -387,6 +387,45 @@ object PerfProbe {
       val dst = args(1)
       println(s"building ${k}x corpus at $dst ...")
       buildScaled(spark, d, dst, k)
+    } else if (args.headOption.contains("writefanout")) {
+      // Labels-table write fan-out evidence (round-14 verdict #5): build
+      // the cluster state at $SPARK_GRAFT_SF_DIR (point it at a
+      // buildscale'd K× corpus for the scale half) and report parquet
+      // files per partition dir — clusterForWrite's claim is ~1 file per
+      // touched dir at any scale below [[graft.ops.IncrementalClusters
+      // .labelRowsPerFile]] rows per dir.
+      val sfd = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", d)
+      val db = "graft_probe_fanout"
+      spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+      val corpus = graft.ops.IncrementalClusters.corpusDocsRange(spark, sfd)
+      graft.ops.IncrementalClusters.buildClusterState(spark, corpus, db)
+      val loc = spark.sql(s"DESCRIBE TABLE EXTENDED `$db`.`cluster_labels`")
+        .filter(col("col_name") === "Location").head.getString(1)
+      val root = new java.io.File(new java.net.URI(loc))
+      val dirs = Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("part="))
+      val counts = dirs.map(dir => Option(dir.listFiles()).getOrElse(Array.empty)
+        .count(_.getName.endsWith(".parquet")))
+      def report(tag: String): Unit = {
+        val cs = Option(root.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("part="))
+          .map(dir => Option(dir.listFiles()).getOrElse(Array.empty)
+            .count(_.getName.endsWith(".parquet")))
+        println(s"$tag: ${cs.length} partition dirs, " +
+          s"files/dir min=${if (cs.isEmpty) 0 else cs.min} " +
+          s"max=${if (cs.isEmpty) 0 else cs.max} total=${cs.sum}")
+      }
+      println(s"labels table at $loc")
+      report("after build")
+      // the append leg rewrites every AFFECTED dir through the dynamic
+      // overwrite — the historical tasks × touched-dirs fan-out site
+      graft.ops.IncrementalDedup.buildIndexFrom(corpus, db = db,
+        table = "bands")
+      graft.ops.IncrementalClusters.appendBatchClusters(spark,
+        graft.ops.IncrementalClusters.batchDocsRange(spark, sfd),
+        spark.table(s"`$db`.`bands`"), db)
+      report("after append")
+      spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
     } else if (args.headOption.contains("gramindex")) {
       // State-compaction evidence for the hashed gram index: build both
       // layouts over sf0.1 and report on-disk bytes. The claim under test
