@@ -59,6 +59,19 @@ def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # Large replicated corpora (PerfProbe buildscale, K>=25) push a few
+    # oracle replays past what an in-memory DuckDB can hold — without a
+    # temp_directory it cannot spill and dies with "Out of Memory Error"
+    # instead. Opt-in via env so the driver-scale default path is
+    # byte-identical: CHECK_TEMP_DIR enables disk spill, CHECK_THREADS
+    # bounds concurrency (fewer threads = less transient memory).
+    import os
+    if os.environ.get("CHECK_TEMP_DIR"):
+        con.sql(f"SET temp_directory='{os.environ['CHECK_TEMP_DIR']}'")
+    if os.environ.get("CHECK_THREADS"):
+        con.sql(f"SET threads={int(os.environ['CHECK_THREADS'])}")
+    if os.environ.get("CHECK_MEM_LIMIT"):
+        con.sql(f"SET memory_limit='{os.environ['CHECK_MEM_LIMIT']}'")
     for t in TABLES:
         # driver corpora are flat files; PerfProbe-buildScaled corpora are
         # Spark part-file directories — glob those
