@@ -70,9 +70,18 @@ object EventOracles {
         |                ELSE 0 END AS brk
         |    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu)
         |), sess AS (
+        |    -- RANGE, not ROWS (r15): under duplicate (user_id, tsu) the
+        |    -- ROWS frame is tie-order-dependent — tie rows framed before
+        |    -- the brk=1 row land in the PREVIOUS session, so the oracle
+        |    -- was nondeterministic exactly where the engine's
+        |    -- session_window is not (equal-ts events share one session by
+        |    -- construction). RANGE includes all ORDER BY peers in the
+        |    -- frame, assigning tie groups atomically; identical to ROWS on
+        |    -- tie-free data (all driver SFs measured tie-free), surfaced
+        |    -- by the 25x replica where every ts is duplicated 25x.
         |    SELECT user_id, tsu,
         |           SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu
-        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |    FROM m
         |)
         |SELECT user_id, MIN(tsu) AS session_start_us, COUNT(*) AS cnt
